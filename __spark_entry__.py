@@ -1,10 +1,16 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Every entry in ``queries()`` is one operator/query from SURVEY.md §2 (or a
+training-data pipeline operator), implemented Spark-first in
+``comet_spark/``; ``oracle_sql()`` holds the DuckDB-equivalent SQL the
+driver hash-compares against at sf=0.01.
+
+Parity rules (shared by the Spark plans and the SQL oracles):
+- all vector math in DOUBLE, final scores ROUND(…, 6)
+- every ordering is a total order (score, then id) so top-k is deterministic
+- tokenizer is lower() + split on [^a-z0-9]+ (FIXTURES.md §3)
+- numeric metadata comparisons use the reference's ×100 quantization
+  (CAST(ROUND(v*100) AS BIGINT), metadata_index.go:142-143)
 """
 
 from __future__ import annotations
@@ -12,27 +18,796 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+from comet_spark.functions.text import STOPWORDS_EN, tokenize
+from comet_spark.operators.autocut import autocut
+from comet_spark.operators.bm25 import BM25, tokenize_py
+from comet_spark.operators.fusion import fuse_max, fuse_min, rrf, weighted_sum
+from comet_spark.operators.knn import knn, knn_aggregate
+from comet_spark.operators.metadata import (
+    Between,
+    Eq,
+    Exists,
+    Gt,
+    In,
+    Ne,
+    NotExists,
+    NotIn,
+    NumField,
+    Field,
+    Where,
+    q100,
+)
+from comet_spark.plans.builder import Corpus
+
+# ---------------------------------------------------------------------------
+# shared fixtures (pinned; the oracle SQL inlines the same constants)
+# ---------------------------------------------------------------------------
+
+K = 10
+QUERY_VEC_ID = 0
+MULTI_QIDS = (0, 1, 2)
+PREFILTER_LABELS = (1, 3, 5)
+RANGE_THRESHOLD = 1.25
+MLT_NODE_ID = 7
+BM25_QUERY = "spark table join fast"
+BM25_QUERY_2 = "window batch stream"
+HYBRID_LANG = "en"
+NEARDUP_SIM = 0.40
+
+_REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {}
+
+
+def _register(name: str, fn: Callable[[SparkSession, str], DataFrame], sql: str | None) -> None:
+    _REGISTRY[name] = (fn, sql)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # events.parquet stores TIMESTAMP(NANOS); read as int64 nanos so the
+        # arithmetic is timezone-independent (oracle uses epoch_ns()).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _emb_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vector"), "label"
+    )
+
+
+def _emb_queries(spark: SparkSession, sf_dir: str, vec_ids: tuple[int, ...]) -> DataFrame:
+    return _t(spark, sf_dir, "embeddings").filter(F.col("vec_id").isin(list(vec_ids))).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+
+
+# --- DuckDB SQL fragments ---------------------------------------------------
+
+# element-wise over DOUBLE[] columns; mirrors comet_spark.functions.vector
+def _sql_l2sq(v: str, q: str) -> str:
+    return f"list_sum(list_transform(range(1, len({q})+1), i -> ({v}[i]-{q}[i])*({v}[i]-{q}[i])))"
+
+
+def _sql_l2(v: str, q: str) -> str:
+    return f"sqrt({_sql_l2sq(v, q)})"
+
+
+def _sql_dot(v: str, q: str) -> str:
+    return f"list_sum(list_transform(range(1, len({q})+1), i -> {v}[i]*{q}[i]))"
+
+
+def _sql_cos(v: str, q: str) -> str:
+    sim = f"({_sql_dot(v, q)})/(sqrt({_sql_dot(v, v)})*sqrt({_sql_dot(q, q)}))"
+    return f"1.0 - greatest(-1.0, least(1.0, {sim}))"
+
+
+_SQL_METRIC = {"l2": _sql_l2, "l2sq": _sql_l2sq, "cosine": _sql_cos}
+
+_SQL_TOKENIZE = "list_filter(string_split_regex(lower({col}), '[^a-z0-9]+'), t -> t != '')"
+
+
+def _sql_knn_cte(metric: str, where: str = "TRUE") -> str:
+    """CTEs: q (query vector), e (docs), d (scored)."""
+    return f"""
+q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = {QUERY_VEC_ID}),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE {where}),
+d AS (SELECT e.vec_id, ROUND({_SQL_METRIC[metric]('e.v', 'q.qv')}, 6) AS score FROM e, q)
+"""
+
+
+# ---------------------------------------------------------------------------
+# A1/H1-H3/F1-F4 — flat exact k-NN (single query, three metrics)
+# ---------------------------------------------------------------------------
+
+def _mk_knn(metric: str) -> Callable[[SparkSession, str], DataFrame]:
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        res = knn(
+            _emb_docs(spark, sf_dir),
+            _emb_queries(spark, sf_dir, (QUERY_VEC_ID,)),
+            k=K,
+            metric=metric,
+        )
+        return res.select(F.col("id").alias("vec_id"), "score")
+
+    return fn
+
+
+for _metric in ("l2", "l2sq", "cosine"):
+    _register(
+        f"knn_{_metric}",
+        _mk_knn(_metric),
+        f"WITH {_sql_knn_cte(_metric)} "
+        f"SELECT vec_id, score FROM d ORDER BY score, vec_id LIMIT {K}",
+    )
+
+
+# B14 — distance threshold / range search (k=0 → all matches)
+def _range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    res = knn(
+        _emb_docs(spark, sf_dir),
+        _emb_queries(spark, sf_dir, (QUERY_VEC_ID,)),
+        k=0,
+        metric="l2",
+        threshold=RANGE_THRESHOLD,
+    )
+    return res.select(F.col("id").alias("vec_id"), "score")
+
+
+_register(
+    "range_search_l2",
+    _range_search,
+    f"WITH {_sql_knn_cte('l2')} "
+    f"SELECT vec_id, score FROM d WHERE score <= {RANGE_THRESHOLD}",
+)
+
+
+# C4/D1-D3 — multi-query k-NN with Sum/Mean score aggregation
+def _mk_knn_multi(agg: str) -> Callable[[SparkSession, str], DataFrame]:
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        per_q = knn(
+            _emb_docs(spark, sf_dir),
+            _emb_queries(spark, sf_dir, MULTI_QIDS),
+            k=K,
+            metric="l2",
+        )
+        res = knn_aggregate(per_q, k=K, agg=agg, ascending=True)
+        return res.select(F.col("id").alias("vec_id"), "score")
+
+    return fn
+
+
+def _sql_knn_multi(agg_sql: str) -> str:
+    qids = ", ".join(str(q) for q in MULTI_QIDS)
+    return f"""
+WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id IN ({qids})),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+d AS (SELECT q.qid, e.vec_id, ROUND({_sql_l2('e.v', 'q.qv')}, 6) AS score FROM e, q),
+topk AS (SELECT qid, vec_id, score FROM
+         (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score, vec_id) AS rn FROM d)
+         WHERE rn <= {K})
+SELECT vec_id, ROUND({agg_sql}, 6) AS score FROM topk GROUP BY vec_id
+ORDER BY score, vec_id LIMIT {K}
+"""
+
+
+_register("knn_multi_sum", _mk_knn_multi("sum"), _sql_knn_multi("sum(score)"))
+_register("knn_multi_mean", _mk_knn_multi("mean"), _sql_knn_multi("avg(score)"))
+
+
+# C1/B13 — metadata prefilter pushed below the scan (semi-join semantics)
+def _knn_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    res = knn(
+        _emb_docs(spark, sf_dir),
+        _emb_queries(spark, sf_dir, (QUERY_VEC_ID,)),
+        k=K,
+        metric="l2",
+        prefilter=F.col("label").isin(list(PREFILTER_LABELS)),
+    )
+    return res.select(F.col("id").alias("vec_id"), "score")
+
+
+_register(
+    "knn_prefilter",
+    _knn_prefilter,
+    f"WITH {_sql_knn_cte('l2', where=f'label IN {PREFILTER_LABELS}')} "
+    f"SELECT vec_id, score FROM d ORDER BY score, vec_id LIMIT {K}",
+)
+
+
+# §2.L WithNode — more-like-this through the fluent builder
+def _more_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = Corpus(_emb_docs(spark, sf_dir), metric="l2")
+    res = corpus.vector_search().with_node(MLT_NODE_ID).with_k(K).execute()
+    return res.select(F.col("id").alias("vec_id"), "score")
+
+
+_register(
+    "more_like_this",
+    _more_like_this,
+    f"""
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = {MLT_NODE_ID}),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+d AS (SELECT e.vec_id, ROUND({_sql_l2('e.v', 'q.qv')}, 6) AS score FROM e, q)
+SELECT vec_id, ROUND(sum(score), 6) AS score FROM
+  (SELECT * FROM d ORDER BY score, vec_id LIMIT {K})
+GROUP BY vec_id ORDER BY score, vec_id LIMIT {K}
+""",
+)
+
+
+# ---------------------------------------------------------------------------
+# A6/D5/D6/H6/H7 — BM25
+# ---------------------------------------------------------------------------
+
+def _sql_bm25_ctes() -> str:
+    tok = _SQL_TOKENIZE.format(col="text")
+    return f"""
+tok AS (SELECT doc_id AS id, unnest({tok}) AS term FROM documents),
+tf AS (SELECT id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY id, term),
+dl AS (SELECT id, count(*)::DOUBLE AS dl FROM tok GROUP BY id),
+dft AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+st AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n_docs,
+              (SELECT sum(coalesce(dl, 0)) FROM documents LEFT JOIN dl ON doc_id = id)
+              / (SELECT count(*) FROM documents) AS avgdl)
+"""
+
+
+def _sql_bm25_score(query: str, cand_where: str = "TRUE", suffix: str = "") -> str:
+    """CTE ``sc{suffix}`` = (id, score) BM25 scores for a constant query."""
+    terms: dict[str, int] = {}
+    for t in tokenize_py(query):
+        terms[t] = terms.get(t, 0) + 1
+    vals = ", ".join(f"('{t}', {c}::DOUBLE)" for t, c in terms.items())
+    qt, sc = f"qt{suffix}", f"sc{suffix}"
+    return f"""
+{qt} AS (SELECT * FROM (VALUES {vals}) AS _{qt}(term, qtf)),
+{sc} AS (
+  SELECT tf.id,
+         sum({qt}.qtf * ln((st.n_docs - dft.df + 0.5)/(dft.df + 0.5) + 1.0)
+             * (tf.tf * (1.2 + 1.0)) / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * (dl.dl / st.avgdl)))) AS score
+  FROM tf JOIN {qt} USING (term) JOIN dl USING (id) JOIN dft USING (term) CROSS JOIN st
+  WHERE tf.id IN (SELECT doc_id FROM documents WHERE {cand_where})
+  GROUP BY tf.id)
+"""
+
+
+def _bm25_single(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    bm = BM25(docs, id_col="doc_id", text_col="text")
+    return bm.score(BM25_QUERY, k=K).select(F.col("id").alias("doc_id"), "score")
+
+
+_register(
+    "bm25_single",
+    _bm25_single,
+    f"WITH {_sql_bm25_ctes()}, {_sql_bm25_score(BM25_QUERY)} "
+    f"SELECT id AS doc_id, ROUND(score, 6) AS score FROM sc ORDER BY score DESC, id LIMIT {K}",
+)
+
+
+def _bm25_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    corpus = Corpus(docs, id_col="doc_id", text_col="text")
+    res = corpus.text_search().with_query(BM25_QUERY, BM25_QUERY_2).with_k(K).execute()
+    return res.select(F.col("id").alias("doc_id"), "score")
+
+
+_register(
+    "bm25_multi_sum",
+    _bm25_multi,
+    f"""
+WITH {_sql_bm25_ctes()},
+{_sql_bm25_score(BM25_QUERY, suffix='1')},
+{_sql_bm25_score(BM25_QUERY_2, suffix='2')},
+t1 AS (SELECT id, ROUND(score, 6) AS score FROM sc1 ORDER BY score DESC, id LIMIT {K}),
+t2 AS (SELECT id, ROUND(score, 6) AS score FROM sc2 ORDER BY score DESC, id LIMIT {K}),
+u AS (SELECT * FROM t1 UNION ALL SELECT * FROM t2)
+SELECT id AS doc_id, ROUND(sum(score), 6) AS score FROM u GROUP BY id
+ORDER BY score DESC, doc_id LIMIT {K}
+""",
+)
+
+
+# ---------------------------------------------------------------------------
+# §3.2 hybrid search — metadata prefilter + vector + BM25 + fusion
+# ---------------------------------------------------------------------------
+
+def _hybrid_corpus(spark: SparkSession, sf_dir: str) -> Corpus:
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    joined = docs.join(emb, docs["doc_id"] == emb["vec_id"], "left").select(
+        docs["doc_id"].alias("id"),
+        emb["embedding"].alias("vector"),
+        docs["text"],
+        docs["lang"],
+        docs["source"],
+    )
+    return Corpus(joined, metric="l2")
+
+
+def _hybrid_qvec(spark: SparkSession, sf_dir: str) -> list[float]:
+    row = (
+        _t(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") == QUERY_VEC_ID)
+        .select("embedding")
+        .head()
+    )
+    return [float(x) for x in row[0]]
+
+
+def _mk_hybrid(kind: str, **kwargs) -> Callable[[SparkSession, str], DataFrame]:
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        corpus = _hybrid_corpus(spark, sf_dir)
+        hs = (
+            corpus.hybrid_search()
+            .with_vector(_hybrid_qvec(spark, sf_dir))
+            .with_text(BM25_QUERY)
+            .with_metadata(Eq(Field("lang"), HYBRID_LANG))
+            .with_k(K)
+            .with_fusion(kind, **kwargs)
+        )
+        return hs.execute().select(F.col("id").alias("doc_id"), "score")
+
+    return fn
+
+
+def _sql_hybrid_ctes() -> str:
+    """vres/tres = per-modality rounded top-k over lang-filtered candidates."""
+    cand = f"lang = '{HYBRID_LANG}'"
+    return f"""
+q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = {QUERY_VEC_ID}),
+ev AS (SELECT d.doc_id AS id, e.embedding::DOUBLE[] AS v
+       FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id WHERE d.{cand}),
+vd AS (SELECT ev.id, ROUND({_sql_l2('ev.v', 'q.qv')}, 6) AS score FROM ev, q),
+vres AS (SELECT id, score FROM vd ORDER BY score, id LIMIT {K}),
+{_sql_bm25_ctes().strip().rstrip(',')},
+{_sql_bm25_score(BM25_QUERY, cand_where=cand)},
+tres AS (SELECT id, ROUND(score, 6) AS score FROM sc ORDER BY score DESC, id LIMIT {K})
+"""
+
+
+_register(
+    "hybrid_rrf",
+    _mk_hybrid("rrf"),
+    f"""
+WITH {_sql_hybrid_ctes()},
+vrank AS (SELECT id, row_number() OVER (ORDER BY score ASC, id ASC) - 1 AS r FROM vres),
+trank AS (SELECT id, row_number() OVER (ORDER BY score DESC, id ASC) - 1 AS r FROM tres)
+SELECT coalesce(vrank.id, trank.id) AS doc_id,
+       ROUND(coalesce(1.0/(60.0 + vrank.r), 0) + coalesce(1.0/(60.0 + trank.r), 0), 6) AS score
+FROM vrank FULL OUTER JOIN trank ON vrank.id = trank.id
+ORDER BY score DESC, doc_id LIMIT {K}
+""",
+)
+
+_register(
+    "hybrid_weighted",
+    _mk_hybrid("weighted_sum", vector_weight=1.0, text_weight=0.5),
+    f"""
+WITH {_sql_hybrid_ctes()}
+SELECT coalesce(vres.id, tres.id) AS doc_id,
+       ROUND(coalesce(vres.score * 1.0, 0) + coalesce(tres.score * 0.5, 0), 6) AS score
+FROM vres FULL OUTER JOIN tres ON vres.id = tres.id
+ORDER BY score DESC, doc_id LIMIT {K}
+""",
+)
+
+_register(
+    "hybrid_max",
+    _mk_hybrid("max"),
+    f"""
+WITH {_sql_hybrid_ctes()}
+SELECT coalesce(vres.id, tres.id) AS doc_id,
+       ROUND(greatest(coalesce(vres.score, tres.score), coalesce(tres.score, vres.score)), 6) AS score
+FROM vres FULL OUTER JOIN tres ON vres.id = tres.id
+ORDER BY score DESC, doc_id LIMIT {K}
+""",
+)
+
+_register(
+    "hybrid_min",
+    _mk_hybrid("min"),
+    f"""
+WITH {_sql_hybrid_ctes()}
+SELECT vres.id AS doc_id, ROUND(least(vres.score, tres.score), 6) AS score
+FROM vres JOIN tres ON vres.id = tres.id
+ORDER BY score DESC, doc_id LIMIT {K}
+""",
+)
+
+
+def _hybrid_metadata_only(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _hybrid_corpus(spark, sf_dir)
+    hs = (
+        corpus.hybrid_search()
+        .with_metadata(Eq(Field("lang"), "de"), Eq(Field("source"), "src4"))
+        .with_k(K)
+    )
+    return hs.execute().select(F.col("id").alias("doc_id"), "score")
+
+
+_register(
+    "hybrid_metadata_only",
+    _hybrid_metadata_only,
+    f"SELECT doc_id, 1.0::DOUBLE AS score FROM documents WHERE lang = 'de' AND source = 'src4' "
+    f"ORDER BY doc_id LIMIT {K}",
+)
+
+
+# ---------------------------------------------------------------------------
+# §2.B metadata filter DSL on `part` (×100 quantization + NULL semantics)
+# ---------------------------------------------------------------------------
+
+# derived nullable columns, identical in Spark and SQL:
+#   cat_opt = CASE WHEN p_size % 3 = 0 THEN NULL ELSE p_brand END
+#   num_opt = CASE WHEN p_size % 4 = 0 THEN NULL ELSE p_retailprice END
+def _part_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        "p_brand",
+        "p_type",
+        "p_size",
+        "p_retailprice",
+        F.when(F.col("p_size") % 3 == 0, F.lit(None)).otherwise(F.col("p_brand")).alias("cat_opt"),
+        F.when(F.col("p_size") % 4 == 0, F.lit(None)).otherwise(F.col("p_retailprice")).alias("num_opt"),
+    )
+
+
+_SQL_PART_META = """
+pm AS (SELECT p_partkey, p_brand, p_type, p_size, p_retailprice,
+              CASE WHEN p_size % 3 = 0 THEN NULL ELSE p_brand END AS cat_opt,
+              CASE WHEN p_size % 4 = 0 THEN NULL ELSE p_retailprice END AS num_opt
+       FROM part)
+"""
+
+
+def _meta_filter_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pm = _part_meta(spark, sf_dir)
+    pred = Where(
+        Eq(Field("p_brand"), "Brand#13"), Gt(NumField("p_retailprice"), 1500.0)
+    ).Or(
+        In(Field("p_type"), ("ECONOMY ANODIZED STEEL", "STANDARD POLISHED TIN")),
+        Between(NumField("p_size", quantize=False), 10, 30),
+    )
+    return pm.filter(pred.expr()).select("p_partkey")
+
+
+_register(
+    "meta_filter_groups",
+    _meta_filter_groups,
+    f"""
+WITH {_SQL_PART_META}
+SELECT p_partkey FROM pm
+WHERE (p_brand = 'Brand#13' AND CAST(ROUND(p_retailprice*100) AS BIGINT) > 150000)
+   OR (p_type IN ('ECONOMY ANODIZED STEEL', 'STANDARD POLISHED TIN') AND p_size BETWEEN 10 AND 30)
+""",
+)
+
+
+def _meta_ne_categorical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pm = _part_meta(spark, sf_dir)
+    return pm.filter(Ne(Field("cat_opt"), "Brand#13").expr()).select("p_partkey")
+
+
+_register(
+    "meta_ne_categorical",
+    _meta_ne_categorical,
+    # allDocs ANDNOT eq: NULL rows MATCH (metadata_index.go:267-273)
+    f"WITH {_SQL_PART_META} SELECT p_partkey FROM pm WHERE cat_opt IS NULL OR cat_opt != 'Brand#13'",
+)
+
+
+def _meta_ne_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pm = _part_meta(spark, sf_dir)
+    return pm.filter(Ne(NumField("num_opt"), 1200.0).expr()).select("p_partkey")
+
+
+_register(
+    "meta_ne_numeric",
+    _meta_ne_numeric,
+    # existence ANDNOT eq: NULL rows do NOT match (metadata_index.go:341-349)
+    f"WITH {_SQL_PART_META} SELECT p_partkey FROM pm "
+    f"WHERE num_opt IS NOT NULL AND CAST(ROUND(num_opt*100) AS BIGINT) != 120000",
+)
+
+
+def _meta_notin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pm = _part_meta(spark, sf_dir)
+    return pm.filter(NotIn(Field("cat_opt"), ("Brand#13", "Brand#42")).expr()).select("p_partkey")
+
+
+_register(
+    "meta_notin",
+    _meta_notin,
+    # allDocs ANDNOT union: NULL rows MATCH (metadata_index.go:300-323)
+    f"WITH {_SQL_PART_META} SELECT p_partkey FROM pm "
+    f"WHERE cat_opt IS NULL OR cat_opt NOT IN ('Brand#13', 'Brand#42')",
+)
+
+
+def _meta_exists_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pm = _part_meta(spark, sf_dir)
+    pred = Where(Exists(Field("cat_opt")), Gt(NumField("num_opt"), 1600.0)).Or(
+        NotExists(Field("num_opt"))
+    )
+    return pm.filter(pred.expr()).select("p_partkey")
+
+
+_register(
+    "meta_exists_groups",
+    _meta_exists_groups,
+    f"WITH {_SQL_PART_META} SELECT p_partkey FROM pm "
+    f"WHERE (cat_opt IS NOT NULL AND CAST(ROUND(num_opt*100) AS BIGINT) > 160000) "
+    f"   OR num_opt IS NULL",
+)
+
+
+def _meta_q100(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part")
+    return p.filter(
+        Between(NumField("p_retailprice"), 900.0, 1100.0).expr()
+        & Gt(NumField("p_size", quantize=False), 20).expr()
+    ).select("p_partkey", q100("p_retailprice").alias("price_q100"))
+
+
+_register(
+    "meta_q100_between",
+    _meta_q100,
+    "SELECT p_partkey, CAST(ROUND(p_retailprice*100) AS BIGINT) AS price_q100 FROM part "
+    "WHERE CAST(ROUND(p_retailprice*100) AS BIGINT) BETWEEN 90000 AND 110000 AND p_size > 20",
+)
+
+
+# ---------------------------------------------------------------------------
+# E3 — autocut over a k-NN result curve
+# ---------------------------------------------------------------------------
+
+def _autocut_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    res = knn(
+        _emb_docs(spark, sf_dir),
+        _emb_queries(spark, sf_dir, (QUERY_VEC_ID,)),
+        k=50,
+        metric="l2",
+    ).select(F.col("id"), "score")
+    cut = autocut(res, cutoff=1, ascending=True)
+    return cut.select(F.col("id").alias("vec_id"), "score")
+
+
+_register(
+    "autocut_knn",
+    _autocut_knn,
+    f"""
+WITH {_sql_knn_cte('l2')},
+base AS (SELECT vec_id, score FROM d ORDER BY score, vec_id LIMIT 50),
+o AS (SELECT vec_id, score,
+             row_number() OVER w AS rn,
+             count(*) OVER () AS n,
+             first_value(score) OVER w AS y0,
+             last_value(score) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS yn
+      FROM base WINDOW w AS (ORDER BY score, vec_id)),
+dd AS (SELECT *, (score - y0)/(yn - y0) - (rn - 1)::DOUBLE/(n - 1) AS diff FROM o),
+ee AS (SELECT *,
+             CASE WHEN rn = 1 THEN FALSE
+                  WHEN rn = n THEN n > 1 AND diff > lag(diff, 1) OVER v AND diff > lag(diff, 2) OVER v
+                  ELSE diff > lag(diff, 1) OVER v AND diff > lead(diff, 1) OVER v
+             END AS ext
+      FROM dd WINDOW v AS (ORDER BY rn)),
+cc AS (SELECT *, sum(CASE WHEN coalesce(ext, FALSE) THEN 1 ELSE 0 END)
+                 OVER (ORDER BY rn ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       FROM ee),
+cut AS (SELECT min(rn) AS cut_rn FROM cc WHERE coalesce(ext, FALSE) AND cum = 1)
+SELECT vec_id, score FROM cc, cut WHERE cut.cut_rn IS NULL OR cc.rn < cut.cut_rn
+""",
+)
+
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline operators (dedup / text analysis / similarity)
+# ---------------------------------------------------------------------------
+
+def _dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(F.md5(F.col("text").cast("binary")).alias("fp"))
+        .agg(F.count("*").alias("n_dups"), F.min("doc_id").alias("keep_id"))
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+_register(
+    "dedup_exact",
+    _dedup_exact,
+    "SELECT md5(text) AS fp, count(*) AS n_dups, min(doc_id) AS keep_id "
+    "FROM documents GROUP BY fp HAVING count(*) > 1",
+)
+
+
+def _dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: md5 over the first 8 normalized tokens —
+    catches boilerplate-prefix near-duplicates at shuffle-free cost."""
+    docs = _t(spark, sf_dir, "documents")
+    fp = F.md5(F.concat_ws(" ", F.slice(tokenize("text"), 1, 8)).cast("binary"))
+    return (
+        docs.groupBy(fp.alias("fp"))
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("keep_id"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+_register(
+    "dedup_fingerprint",
+    _dedup_fingerprint,
+    f"""
+WITH t AS (SELECT doc_id, md5(array_to_string(({_SQL_TOKENIZE.format(col='text')})[1:8], ' ')) AS fp
+           FROM documents)
+SELECT fp, count(*) AS n_docs, min(doc_id) AS keep_id FROM t GROUP BY fp HAVING count(*) > 1
+""",
+)
+
+
+def _text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    toks = tokenize("text")
+    sw = F.array(*[F.lit(w) for w in STOPWORDS_EN])
+    n = F.size(toks).cast("bigint")
+    n_uniq = F.size(F.array_distinct(toks)).cast("bigint")
+    tok_chars = F.aggregate(toks, F.lit(0).cast("bigint"), lambda s, t: s + F.length(t))
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(sw, t))).cast("bigint")
+    return docs.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        n_uniq.alias("n_uniq"),
+        F.round(n_uniq.cast("double") / n, 6).alias("uniq_ratio"),
+        F.round(tok_chars.cast("double") / n, 6).alias("avg_token_len"),
+        F.round(n_stop.cast("double") / n, 6).alias("stopword_ratio"),
+    )
+
+
+_SQL_STOPWORDS = "[" + ", ".join(f"'{w}'" for w in STOPWORDS_EN) + "]"
+
+_register(
+    "text_quality",
+    _text_quality,
+    f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKENIZE.format(col='text')} AS toks FROM documents)
+SELECT doc_id,
+       len(toks)::BIGINT AS n_tokens,
+       len(list_distinct(toks))::BIGINT AS n_uniq,
+       ROUND(len(list_distinct(toks))::DOUBLE / len(toks), 6) AS uniq_ratio,
+       ROUND(list_sum(list_transform(toks, t -> len(t)))::DOUBLE / len(toks), 6) AS avg_token_len,
+       ROUND(len(list_filter(toks, t -> list_contains({_SQL_STOPWORDS}, t)))::DOUBLE / len(toks), 6) AS stopword_ratio
+FROM t
+""",
+)
+
+
+def _token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(tokenize("text")).alias("term"))
+    return toks.agg(
+        F.count("*").alias("total_tokens"),
+        F.countDistinct("term").alias("distinct_terms"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    )
+
+
+_register(
+    "token_stats",
+    _token_stats,
+    f"""
+WITH tok AS (SELECT doc_id, unnest({_SQL_TOKENIZE.format(col='text')}) AS term FROM documents)
+SELECT count(*) AS total_tokens, count(DISTINCT term) AS distinct_terms,
+       count(DISTINCT doc_id) AS n_docs FROM tok
+""",
+)
+
+
+# brute-force cosine near-duplicate pairs over embeddings (the baseline ANN
+# path; LSH/IVF is the scale path — see comet_spark/operators/ann.py)
+def _neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from comet_spark.functions.vector import cosine_distance, to_double_array
+
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", to_double_array("embedding").alias("v")
+    )
+    a = e.select(F.col("vec_id").alias("a_id"), F.col("v").alias("va"))
+    b = e.select(F.col("vec_id").alias("b_id"), F.col("v").alias("vb"))
+    sim = F.round(F.lit(1.0) - cosine_distance(F.col("va"), F.col("vb")), 6)
+    return (
+        a.join(b, F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", sim.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= NEARDUP_SIM)
+    )
+
+
+_register(
+    "neardup_cosine_pairs",
+    _neardup_pairs,
+    f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+       ROUND(1.0 - ({_sql_cos('a.v', 'b.v')}), 6) AS cos_sim
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE ROUND(1.0 - ({_sql_cos('a.v', 'b.v')}), 6) >= {NEARDUP_SIM}
+""",
+)
+
+
+# ---------------------------------------------------------------------------
+# events — time-bucketed aggregation + sessionization (J-family analogs)
+# ---------------------------------------------------------------------------
+
+def _events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")  # ts is int64 nanos
+    hour = (F.col("ts") / F.lit(3_600_000_000_000)).cast("bigint")
+    return ev.groupBy(hour.alias("hour_bucket"), "event_type").agg(
+        F.count("*").alias("n_events"), F.round(F.sum("value"), 6).alias("total_value")
+    )
+
+
+_register(
+    "events_hourly",
+    _events_hourly,
+    """
+SELECT CAST(floor(epoch_ns(ts) / 3600000000000) AS BIGINT) AS hour_bucket, event_type,
+       count(*) AS n_events, ROUND(sum(value), 6) AS total_value
+FROM events GROUP BY hour_bucket, event_type
+""",
+)
+
+
+def _events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30 min): the batch twin of a streaming
+    session window; per user emits session count and event count."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    gap = F.col("ts") - F.lag("ts").over(w)
+    new_sess = F.when(gap.isNull() | (gap > 30 * 60 * 1_000_000_000), 1).otherwise(0)
+    sess = ev.select(
+        "user_id",
+        "ts",
+        F.sum(new_sess).over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("session_id"),
+    )
+    return sess.groupBy("user_id").agg(
+        F.countDistinct("session_id").alias("n_sessions"), F.count("*").alias("n_events")
+    )
+
+
+_register(
+    "events_sessionize",
+    _events_sessionize,
+    """
+WITH g AS (SELECT user_id, ts,
+                  CASE WHEN lag(ts) OVER w IS NULL
+                            OR epoch_ns(ts) - epoch_ns(lag(ts) OVER w) > 1800000000000::BIGINT
+                       THEN 1 ELSE 0 END AS new_sess
+           FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+s AS (SELECT user_id, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id FROM g)
+SELECT user_id, count(DISTINCT session_id) AS n_sessions, count(*) AS n_events
+FROM s GROUP BY user_id
+""",
+)
+
+
+# ---------------------------------------------------------------------------
+# driver contract
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the §3.2 hybrid query (metadata prefilter → vector + BM25 →
+    RRF fusion → top-k) on sf0.001."""
+    return _mk_hybrid("rrf")(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {name: fn for name, (fn, _) in _REGISTRY.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {name: sql for name, (_, sql) in _REGISTRY.items() if sql is not None}

@@ -1,0 +1,21 @@
+"""comet_spark — a PySpark-native hybrid search & analytics engine.
+
+Re-expresses the query surface of the reference engine (wizenheimer/comet:
+vector k-NN over flat/IVF/PQ/IVFPQ layouts, BM25 full-text, metadata
+filtering, score fusion, LSM-style persistence) as idiomatic Spark
+DataFrame plans, plus the large-scale training-data pipeline operators
+(dedup, similarity search, text analysis, multimodal plumbing) such an
+engine needs at 100 TB.
+
+Design rules (see SURVEY.md §4):
+- declare plans with DataFrame/SQL; let Catalyst pick physical strategy
+- distance math as native Catalyst array expressions (zip_with/aggregate),
+  never row-at-a-time Python
+- top-k is ORDER BY + LIMIT (TakeOrderedAndProject) or a salted two-stage
+  window for per-group top-k
+- small sides broadcast; prefilters pushed below scans
+"""
+
+from comet_spark.session import get_spark, load_tables
+
+__all__ = ["get_spark", "load_tables"]

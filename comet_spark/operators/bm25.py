@@ -1,0 +1,102 @@
+"""BM25 full-text scoring as DataFrame algebra.
+
+Reference semantics (``bm25_index_search.go:278-327``, constants
+``bm25_index.go:75-80``):
+
+- K1 = 1.2, B = 0.75
+- IDF = ln((N − df + 0.5)/(df + 0.5) + 1)
+- per (doc, term): idf · tf·(K1+1) / (tf + K1·(1 − B + B·docLen/avgDocLen))
+- the scoring loop walks *query tokens including duplicates* — a term that
+  appears twice in the query contributes twice (we multiply by ``qtf``).
+- corpus stats (N, avgDocLen) are index-global: a candidate prefilter
+  restricts which documents are scored, not the statistics
+  (``hybrid_search_index.go:546-572`` passes candidates into an index whose
+  stats cover the whole corpus).
+- results sort score *descending* (``index_search.go:281-312``).
+
+Spark shape: postings/doc-length/df are plain aggregations over an exploded
+token table (map-side combine applies); the query-term table is tiny and
+broadcast; scoring is one join + groupBy(id).sum() — no Python in the plan.
+At cluster scale the postings build is a single shuffle on (id, term) and
+scoring shuffles only the posting rows of the query's terms.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from comet_spark.functions.text import TOKEN_SPLIT_RE, tokenize
+from comet_spark.operators.topk import topk
+
+__all__ = ["BM25", "K1", "B", "tokenize_py"]
+
+K1 = 1.2
+B = 0.75
+
+
+def tokenize_py(text: str) -> list[str]:
+    """Python twin of :func:`comet_spark.functions.text.tokenize` for
+    constant query strings."""
+    return [t for t in re.split(TOKEN_SPLIT_RE, text.lower()) if t]
+
+
+class BM25:
+    """A BM25 'index' = three small derived DataFrames over a corpus."""
+
+    def __init__(self, docs: DataFrame, *, id_col: str = "id", text_col: str = "text"):
+        toks = docs.select(
+            F.col(id_col).alias("id"), F.explode(tokenize(text_col)).alias("term")
+        )
+        # tf per (doc, term); doc length per doc
+        self.postings = toks.groupBy("id", "term").agg(F.count("*").alias("tf"))
+        self.doc_len = toks.groupBy("id").agg(F.count("*").alias("dl"))
+        # document frequency per term
+        self.df = self.postings.groupBy("term").agg(F.count("*").alias("df"))
+        # N counts every document (token-less docs have dl=0 and can never
+        # match, but they participate in N/avgdl like the reference's
+        # numDocs/totalTokens counters, bm25_index.go:107-113)
+        self.stats = docs.select(F.col(id_col).alias("id")).join(
+            self.doc_len, "id", "left"
+        ).agg(
+            F.count("*").cast("double").alias("n_docs"),
+            (F.sum(F.coalesce("dl", F.lit(0))) / F.count("*")).alias("avgdl"),
+        )
+
+    def score(
+        self,
+        query: str,
+        *,
+        k: int = 10,
+        prefilter_ids: DataFrame | None = None,
+        round_to: int | None = 6,
+    ) -> DataFrame:
+        """Top-k ``(id, score)`` for a constant query string, score desc."""
+        terms = {}
+        for t in tokenize_py(query):
+            terms[t] = terms.get(t, 0) + 1
+        spark = self.postings.sparkSession
+        qterms = spark.createDataFrame(
+            [(t, float(c)) for t, c in terms.items()], "term string, qtf double"
+        )
+
+        matched = self.postings.join(F.broadcast(qterms), "term")
+        if prefilter_ids is not None:
+            matched = matched.join(prefilter_ids.select("id"), "id", "left_semi")
+        matched = (
+            matched.join(self.doc_len, "id")
+            .join(F.broadcast(self.df), "term")
+            .crossJoin(F.broadcast(self.stats))
+        )
+
+        idf = F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+        tf = F.col("tf").cast("double")
+        denom = tf + K1 * (1.0 - B + B * (F.col("dl") / F.col("avgdl")))
+        term_score = F.col("qtf") * idf * (tf * (K1 + 1.0)) / denom
+
+        scored = matched.groupBy("id").agg(F.sum(term_score).alias("score"))
+        if round_to is not None:
+            scored = scored.withColumn("score", F.round("score", round_to))
+        return topk(scored, [F.col("score").desc(), F.col("id").asc()], k)

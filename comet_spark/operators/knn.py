@@ -1,0 +1,107 @@
+"""Exact (flat) k-NN scan and multi-query aggregation.
+
+Re-expresses the reference's flat index search (reference
+``flat_index_search.go:109-294``): exhaustive distance scan with optional
+candidate prefilter and distance threshold, ascending sort, top-k; for
+multi-query batches, per-query top-k results are aggregated per document
+(Sum/Max/Mean/Count, reference ``aggregation.go:94-255``), re-sorted
+ascending and cut to k again.
+
+Spark shape (and why it scales):
+- the query side is a tiny DataFrame → ``broadcast`` cross join; the docs
+  side streams through whole-stage codegen computing the distance as a
+  native array expression (no Python, no extra shuffle).
+- prefilters are plain ``filter`` predicates applied *before* the join, so
+  Catalyst pushes them into the parquet scan (PushedFilters), and the
+  distance is never computed for pruned rows.
+- top-k per query uses the salted two-stage window from
+  :mod:`comet_spark.operators.topk`.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from comet_spark.functions.vector import distance, to_double_array
+from comet_spark.operators.topk import topk, topk_per_group
+
+__all__ = ["knn", "knn_aggregate", "SCORE_AGGS"]
+
+
+def knn(
+    docs: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 10,
+    metric: str = "l2",
+    id_col: str = "id",
+    vec_col: str = "vector",
+    qid_col: str = "qid",
+    qvec_col: str = "qvec",
+    threshold: float | None = None,
+    prefilter: Column | None = None,
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Per-query exact top-k: returns ``(qid, id, score)``.
+
+    ``threshold`` keeps only ``score <= threshold`` when set and > 0
+    (reference ``flat_index_search.go:267-271``). ``prefilter`` is the
+    candidate predicate (metadata prefilter / document-ID filter, reference
+    ``document_filter.go``) evaluated on ``docs`` before any distance math.
+    """
+    if prefilter is not None:
+        docs = docs.filter(prefilter)
+    docs = docs.filter(F.col(vec_col).isNotNull())
+
+    d = docs.select(F.col(id_col).alias("id"), to_double_array(vec_col).alias("__v"))
+    q = queries.select(F.col(qid_col).alias("qid"), to_double_array(qvec_col).alias("__qv"))
+
+    score = distance(metric, F.col("__v"), F.col("__qv"))
+    if round_to is not None:
+        score = F.round(score, round_to)
+
+    scored = d.crossJoin(F.broadcast(q)).select("qid", "id", score.alias("score"))
+    if threshold is not None and threshold > 0:
+        scored = scored.filter(F.col("score") <= threshold)
+
+    order = [F.col("score").asc(), F.col("id").asc()]
+    return topk_per_group(scored, ["qid"], order, k).select("qid", "id", "score")
+
+
+SCORE_AGGS = {
+    "sum": F.sum,
+    "max": F.max,
+    "mean": F.avg,
+    "count": F.count,
+}
+
+
+def knn_aggregate(
+    per_query: DataFrame,
+    *,
+    k: int = 10,
+    agg: str = "sum",
+    ascending: bool = True,
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Cross-query score aggregation → ``(id, score)``.
+
+    Mirrors reference semantics: aggregate over the per-query *top-k*
+    result lists (documents absent from a query's top-k contribute
+    nothing), then sort (asc for distances, desc for text relevance) and
+    cut to k (reference ``flat_index_search.go:127-164``,
+    ``aggregation.go:107-255``).
+    """
+    try:
+        fn = SCORE_AGGS[agg]
+    except KeyError:
+        raise ValueError(f"unknown aggregation {agg!r}; one of {sorted(SCORE_AGGS)}")
+    score = fn("score")
+    if round_to is not None:
+        score = F.round(score, round_to)
+    out = per_query.groupBy("id").agg(score.alias("score"))
+    order = [F.col("score").asc() if ascending else F.col("score").desc(), F.col("id").asc()]
+    return topk(out, order, k)

@@ -1,0 +1,280 @@
+"""Fluent search builders — the user-facing query API.
+
+Mirrors the reference's builder surface (``index_search.go:141-430``,
+``hybrid_search_index.go:326-365``): ``VectorSearch().with_query(...)
+.with_k(10).with_threshold(t).execute()`` etc. The builder *is* the logical
+plan; ``execute()`` emits a DataFrame graph and Catalyst does the real
+optimization (SURVEY.md §3.4).
+
+Defaults match the reference: k=10, sum aggregation, cutoff=-1 (off),
+weighted-sum fusion with weights 1.0/1.0 (``hybrid_search_index.go:230-239``,
+``fusion.go:62-83``).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field as dc_field
+from typing import Any
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from comet_spark.operators import fusion as fusion_ops
+from comet_spark.operators.autocut import autocut
+from comet_spark.operators.bm25 import BM25
+from comet_spark.operators.knn import knn, knn_aggregate
+from comet_spark.operators.metadata import Filter, Group, Where
+
+__all__ = ["Corpus", "VectorSearch", "TextSearch", "HybridSearch"]
+
+_FUSIONS = {
+    "weighted_sum": fusion_ops.weighted_sum,
+    "rrf": fusion_ops.rrf,
+    "max": fusion_ops.fuse_max,
+    "min": fusion_ops.fuse_min,
+}
+
+
+@dataclass
+class Corpus:
+    """One document table = the reference's HybridSearchIndex facade
+    (``index.go:103-139``): id + vector + text + typed metadata columns."""
+
+    docs: DataFrame
+    id_col: str = "id"
+    vec_col: str = "vector"
+    text_col: str = "text"
+    metric: str = "l2"
+    _bm25: BM25 | None = None
+
+    def bm25(self) -> BM25:
+        if self._bm25 is None:
+            self._bm25 = BM25(self.docs, id_col=self.id_col, text_col=self.text_col)
+        return self._bm25
+
+    def vector_search(self) -> "VectorSearch":
+        return VectorSearch(self)
+
+    def text_search(self) -> "TextSearch":
+        return TextSearch(self)
+
+    def hybrid_search(self) -> "HybridSearch":
+        return HybridSearch(self)
+
+
+@dataclass
+class VectorSearch:
+    corpus: Corpus
+    _queries: list[list[float]] = dc_field(default_factory=list)
+    _node_ids: list[int] = dc_field(default_factory=list)
+    k: int = 10
+    threshold: float | None = None
+    agg: str = "sum"
+    cutoff: int = -1
+    _prefilter: Column | None = None
+
+    def with_query(self, *vecs: list[float]) -> "VectorSearch":
+        self._queries.extend(vecs)
+        return self
+
+    def with_node(self, *ids: int) -> "VectorSearch":
+        """More-like-this: stored vectors by id become the queries
+        (``flat_index_search.go:171-196``)."""
+        self._node_ids.extend(ids)
+        return self
+
+    def with_k(self, k: int) -> "VectorSearch":
+        self.k = k
+        return self
+
+    def with_threshold(self, t: float) -> "VectorSearch":
+        self.threshold = t
+        return self
+
+    def with_score_aggregation(self, agg: str) -> "VectorSearch":
+        self.agg = agg
+        return self
+
+    def with_cutoff(self, c: int) -> "VectorSearch":
+        self.cutoff = c
+        return self
+
+    def with_prefilter(self, pred: Column) -> "VectorSearch":
+        self._prefilter = pred
+        return self
+
+    def _query_df(self) -> DataFrame:
+        c = self.corpus
+        spark = c.docs.sparkSession
+        parts = []
+        if self._queries:
+            parts.append(
+                spark.createDataFrame(
+                    [(i, [float(x) for x in v]) for i, v in enumerate(self._queries)],
+                    "qid bigint, qvec array<double>",
+                )
+            )
+        if self._node_ids:
+            looked_up = c.docs.filter(F.col(c.id_col).isin(self._node_ids)).select(
+                (F.col(c.id_col) + 1_000_000_000).alias("qid"),
+                F.col(c.vec_col).alias("qvec"),
+            )
+            parts.append(looked_up)
+        if not parts:
+            raise ValueError("vector search needs with_query(...) or with_node(...)")
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def execute(self) -> DataFrame:
+        c = self.corpus
+        per_query = knn(
+            c.docs,
+            self._query_df(),
+            k=self.k,
+            metric=c.metric,
+            id_col=c.id_col,
+            vec_col=c.vec_col,
+            threshold=self.threshold,
+            prefilter=self._prefilter,
+        )
+        out = knn_aggregate(per_query, k=self.k, agg=self.agg, ascending=True)
+        if self.cutoff != -1:
+            out = autocut(out, cutoff=self.cutoff, ascending=True)
+        return out
+
+
+@dataclass
+class TextSearch:
+    corpus: Corpus
+    _queries: list[str] = dc_field(default_factory=list)
+    k: int = 10
+    cutoff: int = -1
+    _prefilter: Column | None = None
+
+    def with_query(self, *texts: str) -> "TextSearch":
+        self._queries.extend(texts)
+        return self
+
+    def with_k(self, k: int) -> "TextSearch":
+        self.k = k
+        return self
+
+    def with_cutoff(self, c: int) -> "TextSearch":
+        self.cutoff = c
+        return self
+
+    def with_prefilter(self, pred: Column) -> "TextSearch":
+        self._prefilter = pred
+        return self
+
+    def execute(self) -> DataFrame:
+        c = self.corpus
+        ids = None
+        if self._prefilter is not None:
+            ids = c.docs.filter(self._prefilter).select(F.col(c.id_col).alias("id"))
+        # multi-query: score each, then sum-aggregate descending (D4)
+        parts = [
+            c.bm25().score(q, k=self.k, prefilter_ids=ids) for q in self._queries
+        ]
+        if not parts:
+            raise ValueError("text search needs with_query(...)")
+        out = parts[0]
+        if len(parts) > 1:
+            allp = parts[0]
+            for p in parts[1:]:
+                allp = allp.unionByName(p)
+            out = knn_aggregate(allp, k=self.k, agg="sum", ascending=False)
+        if self.cutoff != -1:
+            out = autocut(out, cutoff=self.cutoff, ascending=False)
+        return out
+
+
+@dataclass
+class HybridSearch:
+    """Metadata prefilter → vector + text search over candidates → fusion
+    → sort desc → k (``hybrid_search_index.go:477-615``)."""
+
+    corpus: Corpus
+    k: int = 10
+    _vec: list[float] | None = None
+    _text: str | None = None
+    _filters: list[Filter] = dc_field(default_factory=list)
+    _groups: Where | None = None
+    fusion_kind: str = "weighted_sum"
+    fusion_args: dict[str, Any] = dc_field(default_factory=dict)
+
+    def with_vector(self, vec: list[float]) -> "HybridSearch":
+        self._vec = list(vec)
+        return self
+
+    def with_text(self, text: str) -> "HybridSearch":
+        self._text = text
+        return self
+
+    def with_metadata(self, *filters: Filter) -> "HybridSearch":
+        self._filters.extend(filters)
+        return self
+
+    def with_metadata_groups(self, groups: Where) -> "HybridSearch":
+        self._groups = groups
+        return self
+
+    def with_k(self, k: int) -> "HybridSearch":
+        self.k = k
+        return self
+
+    def with_fusion(self, kind: str, **kwargs: Any) -> "HybridSearch":
+        if kind not in _FUSIONS:
+            raise ValueError(f"unknown fusion {kind!r}; one of {sorted(_FUSIONS)}")
+        self.fusion_kind = kind
+        self.fusion_args = kwargs
+        return self
+
+    def _candidate_pred(self) -> Column | None:
+        preds = []
+        if self._filters:
+            preds.append(Group(list(self._filters)).expr())
+        if self._groups is not None:
+            preds.append(self._groups.expr())
+        if not preds:
+            return None
+        out = preds[0]
+        for p in preds[1:]:
+            out = out & p
+        return out
+
+    def execute(self) -> DataFrame:
+        c = self.corpus
+        pred = self._candidate_pred()
+
+        vec_res = txt_res = None
+        if self._vec is not None:
+            vs = VectorSearch(c, _queries=[self._vec], k=self.k)
+            if pred is not None:
+                vs = vs.with_prefilter(pred)
+            vec_res = vs.execute()
+        if self._text is not None:
+            ts = TextSearch(c, _queries=[self._text], k=self.k)
+            if pred is not None:
+                ts = ts.with_prefilter(pred)
+            txt_res = ts.execute()
+
+        if vec_res is not None and txt_res is not None:
+            fuse = _FUSIONS[self.fusion_kind]
+            return fuse(vec_res, txt_res, k=self.k, **self.fusion_args)
+        if vec_res is not None:
+            return vec_res
+        if txt_res is not None:
+            return txt_res
+        if pred is not None:
+            # metadata-only search: every candidate scores 1.0
+            # (hybrid_search_index.go:589-593)
+            return (
+                c.docs.filter(pred)
+                .select(F.col(c.id_col).alias("id"), F.lit(1.0).alias("score"))
+                .orderBy(F.col("id").asc())
+                .limit(self.k)
+            )
+        raise ValueError("hybrid search needs vector, text, or metadata input")
