@@ -10,7 +10,7 @@ Parity rules (shared by the Spark plans and the SQL oracles):
 - every ordering is a total order (score, then id) so top-k is deterministic
 - tokenizer is lower() + split on [^a-z0-9]+ (FIXTURES.md §3)
 - numeric metadata comparisons use the reference's ×100 quantization
-  (CAST(ROUND(v*100) AS BIGINT), metadata_index.go:142-143)
+  (CAST(TRUNC(v*100) AS BIGINT) — Go truncation, metadata_index.go:142-143)
 """
 
 from __future__ import annotations
@@ -481,7 +481,7 @@ _register(
     f"""
 WITH {_SQL_PART_META}
 SELECT p_partkey FROM pm
-WHERE (p_brand = 'Brand#13' AND CAST(ROUND(p_retailprice*100) AS BIGINT) > 150000)
+WHERE (p_brand = 'Brand#13' AND CAST(TRUNC(p_retailprice*100) AS BIGINT) > 150000)
    OR (p_type IN ('ECONOMY ANODIZED STEEL', 'STANDARD POLISHED TIN') AND p_size BETWEEN 10 AND 30)
 """,
 )
@@ -510,7 +510,7 @@ _register(
     _meta_ne_numeric,
     # existence ANDNOT eq: NULL rows do NOT match (metadata_index.go:341-349)
     f"WITH {_SQL_PART_META} SELECT p_partkey FROM pm "
-    f"WHERE num_opt IS NOT NULL AND CAST(ROUND(num_opt*100) AS BIGINT) != 120000",
+    f"WHERE num_opt IS NOT NULL AND CAST(TRUNC(num_opt*100) AS BIGINT) != 120000",
 )
 
 
@@ -540,7 +540,7 @@ _register(
     "meta_exists_groups",
     _meta_exists_groups,
     f"WITH {_SQL_PART_META} SELECT p_partkey FROM pm "
-    f"WHERE (cat_opt IS NOT NULL AND CAST(ROUND(num_opt*100) AS BIGINT) > 160000) "
+    f"WHERE (cat_opt IS NOT NULL AND CAST(TRUNC(num_opt*100) AS BIGINT) > 160000) "
     f"   OR num_opt IS NULL",
 )
 
@@ -556,8 +556,8 @@ def _meta_q100(spark: SparkSession, sf_dir: str) -> DataFrame:
 _register(
     "meta_q100_between",
     _meta_q100,
-    "SELECT p_partkey, CAST(ROUND(p_retailprice*100) AS BIGINT) AS price_q100 FROM part "
-    "WHERE CAST(ROUND(p_retailprice*100) AS BIGINT) BETWEEN 90000 AND 110000 AND p_size > 20",
+    "SELECT p_partkey, CAST(TRUNC(p_retailprice*100) AS BIGINT) AS price_q100 FROM part "
+    "WHERE CAST(TRUNC(p_retailprice*100) AS BIGINT) BETWEEN 90000 AND 110000 AND p_size > 20",
 )
 
 
@@ -602,6 +602,77 @@ cut AS (SELECT min(rn) AS cut_rn FROM cc WHERE coalesce(ext, FALSE) AND cum = 1)
 SELECT vec_id, score FROM cc, cut WHERE cut.cut_rn IS NULL OR cc.rn < cut.cut_rn
 """,
 )
+
+
+# ---------------------------------------------------------------------------
+# §2.I / A2 / A4 / A5 — trained ANN layouts (IVF / PQ / IVFPQ)
+# ---------------------------------------------------------------------------
+
+def _ivf_fullprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with nprobe = nlist scans every list → must equal the flat scan
+    exactly; that identity is this query's oracle. The partition-pruned
+    nprobe < nlist path is covered by ivf_knn_nprobe2 + recall tests."""
+    from comet_spark.operators.ann import IVFIndex
+
+    emb = _emb_docs(spark, sf_dir).select("id", "vector").cache()
+    ivf = IVFIndex.train(emb, 8)
+    assigned = ivf.assign(emb)
+    qvec = _hybrid_qvec(spark, sf_dir)
+    res = ivf.search(assigned, qvec, k=K, nprobe=8)
+    emb.unpersist()
+    return res.select(F.col("id").alias("vec_id"), "score")
+
+
+_register(
+    "ivf_knn_fullprobe",
+    _ivf_fullprobe,
+    f"WITH {_sql_knn_cte('l2')} "
+    f"SELECT vec_id, score FROM d ORDER BY score, vec_id LIMIT {K}",
+)
+
+
+def _ivf_nprobe2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from comet_spark.operators.ann import IVFIndex
+
+    emb = _emb_docs(spark, sf_dir).select("id", "vector").cache()
+    ivf = IVFIndex.train(emb, 8)
+    assigned = ivf.assign(emb)
+    res = ivf.search(assigned, _hybrid_qvec(spark, sf_dir), k=K, nprobe=2)
+    emb.unpersist()
+    return res.select(F.col("id").alias("vec_id"), "score")
+
+
+# approximate (pruned) scans: rows-only driver check; recall bounds are
+# asserted in tests/test_ann.py, mirroring the reference's recall tests
+_register("ivf_knn_nprobe2", _ivf_nprobe2, None)
+
+
+def _pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from comet_spark.operators.ann import PQIndex
+
+    emb = _emb_docs(spark, sf_dir).select("id", "vector").cache()
+    pq = PQIndex.train(emb, m=4, nbits=4, max_iter=5)
+    codes = pq.encode(emb)
+    res = pq.search(codes, _hybrid_qvec(spark, sf_dir), k=K)
+    emb.unpersist()
+    return res.select(F.col("id").alias("vec_id"), "score")
+
+
+_register("pq_adc_knn", _pq_adc, None)
+
+
+def _ivfpq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from comet_spark.operators.ann import IVFPQIndex
+
+    emb = _emb_docs(spark, sf_dir).select("id", "vector").cache()
+    ix = IVFPQIndex.train(emb, nlist=4, m=4, nbits=4, max_iter=5)
+    enc = ix.encode(emb)
+    res = ix.search(enc, _hybrid_qvec(spark, sf_dir), k=K, nprobe=4)
+    emb.unpersist()
+    return res.select(F.col("id").alias("vec_id"), "score")
+
+
+_register("ivfpq_adc_knn", _ivfpq_adc, None)
 
 
 # ---------------------------------------------------------------------------
@@ -705,22 +776,12 @@ SELECT count(*) AS total_tokens, count(DISTINCT term) AS distinct_terms,
 )
 
 
-# brute-force cosine near-duplicate pairs over embeddings (the baseline ANN
-# path; LSH/IVF is the scale path — see comet_spark/operators/ann.py)
+# embedding near-duplicate pairs: BLAS block-nested-loop kernel (broadcast
+# right side); LSH banding is the 100 TB path — comet_spark/operators/similarity.py
 def _neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from comet_spark.functions.vector import cosine_distance, to_double_array
+    from comet_spark.operators.similarity import cosine_pairs_blocked
 
-    e = _t(spark, sf_dir, "embeddings").select(
-        "vec_id", to_double_array("embedding").alias("v")
-    )
-    a = e.select(F.col("vec_id").alias("a_id"), F.col("v").alias("va"))
-    b = e.select(F.col("vec_id").alias("b_id"), F.col("v").alias("vb"))
-    sim = F.round(F.lit(1.0) - cosine_distance(F.col("va"), F.col("vb")), 6)
-    return (
-        a.join(b, F.col("a_id") < F.col("b_id"))
-        .select("a_id", "b_id", sim.alias("cos_sim"))
-        .filter(F.col("cos_sim") >= NEARDUP_SIM)
-    )
+    return cosine_pairs_blocked(_t(spark, sf_dir, "embeddings"), min_sim=NEARDUP_SIM)
 
 
 _register(

@@ -1,0 +1,271 @@
+"""Trained ANN layouts: IVF, PQ, IVFPQ — physical layouts of one logical table.
+
+Reference semantics re-expressed for Spark (SURVEY.md §2.A/§2.I):
+
+- **IVF** (``ivf_index.go``): k-means (nlist) centroids; each doc assigned
+  to its nearest list at write. Search ranks centroids by distance to the
+  query on the driver (nlist is tiny), scans only the ``nprobe`` nearest
+  lists, exact distances on the candidates. In Spark the inverted list is a
+  *partition*: the table is written ``partitionBy("cluster_id")`` and
+  ``filter(cluster_id ∈ probed)`` becomes partition pruning — the scan
+  never reads the other lists' files. With ``nprobe = nlist`` results are
+  exactly the flat scan (that identity is the correctness oracle).
+- **PQ** (``pq_index.go``): per-subspace codebooks (k-means on each of M
+  subvector slices, L2², Ksub=2^nbits); docs stored as ``codes
+  ARRAY<SMALLINT>``. ADC search builds an M×Ksub lookup table of squared
+  distances from the query's subvectors to the codebooks and scores every
+  code row with ``sqrt(Σ_m LUT[m][code_m])`` — expressed as a native
+  Catalyst sum of ``element_at`` over broadcast-literal LUT arrays, so the
+  scan stays JVM-side and is ~d/M times cheaper than flat.
+- **IVFPQ** (``ivfpq_index.go``): coarse IVF assignment, PQ trained on
+  *residuals* (v − centroid); search prunes to nprobe lists, builds one
+  residual LUT per probed list, unions the per-list ADC scans.
+
+Approximate recall (nprobe < nlist, PQ distortion) is validated by
+recall-vs-flat tests — the same strategy the reference uses for its
+approximate indexes.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from comet_spark.functions.vector import to_double_array
+from comet_spark.operators.topk import topk
+from comet_spark.training.kmeans import assign_clusters, kmeans_train
+
+__all__ = ["IVFIndex", "PQIndex", "IVFPQIndex"]
+
+
+def _np_dist_sq(q: np.ndarray, cents: np.ndarray) -> np.ndarray:
+    d = cents - q[None, :]
+    return (d * d).sum(axis=1)
+
+
+class IVFIndex:
+    """Centroid table + cluster-assigned docs; lists = table partitions."""
+
+    def __init__(self, centroids: np.ndarray, metric: str = "l2"):
+        self.centroids = np.asarray(centroids, dtype=np.float64)
+        self.metric = metric
+
+    @classmethod
+    def train(
+        cls, docs: DataFrame, nlist: int, *, id_col: str = "id",
+        vec_col: str = "vector", metric: str = "l2", max_iter: int = 20,
+    ) -> "IVFIndex":
+        cents = kmeans_train(
+            docs, nlist, id_col=id_col, vec_col=vec_col, metric=metric, max_iter=max_iter
+        )
+        return cls(cents, metric)
+
+    def assign(self, docs: DataFrame, *, id_col: str = "id", vec_col: str = "vector") -> DataFrame:
+        return assign_clusters(
+            docs, self.centroids, id_col=id_col, vec_col=vec_col, metric=self.metric
+        )
+
+    def write(self, assigned: DataFrame, path: str) -> None:
+        """Persist lists as partitions → nprobe search = partition pruning."""
+        assigned.write.mode("overwrite").partitionBy("cluster_id").parquet(path)
+
+    def probe_lists(self, qvec: np.ndarray, nprobe: int) -> list[int]:
+        """Rank centroids by distance to the query (driver-side; nlist is
+        small by construction — ``ivf_index_search.go:244-261``)."""
+        q = np.asarray(qvec, dtype=np.float64)
+        d = _np_dist_sq(q, self.centroids)
+        order = np.argsort(d, kind="stable")
+        return [int(i) for i in order[: max(1, nprobe)]]
+
+    def search(
+        self, assigned: DataFrame, qvec: list[float], *, k: int = 10,
+        nprobe: int = 8, id_col: str = "id", vec_col: str = "vector",
+        round_to: int | None = 6,
+    ) -> DataFrame:
+        """Exact distances over the probed lists only → ``(id, score)``."""
+        from comet_spark.functions.vector import distance
+
+        probed = self.probe_lists(np.asarray(qvec), nprobe)
+        cand = assigned.filter(F.col("cluster_id").isin(probed))
+        qlit = F.array(*[F.lit(float(x)) for x in qvec])
+        score = distance(self.metric, to_double_array(vec_col), qlit)
+        if round_to is not None:
+            score = F.round(score, round_to)
+        scored = cand.select(F.col(id_col).alias("id"), score.alias("score"))
+        return topk(scored, [F.col("score").asc(), F.col("id").asc()], k)
+
+
+class PQIndex:
+    """Product quantization: codebooks (M, Ksub, dsub) + ADC scan."""
+
+    def __init__(self, codebooks: np.ndarray):
+        self.codebooks = np.asarray(codebooks, dtype=np.float64)  # (M,Ksub,dsub)
+        self.m = self.codebooks.shape[0]
+        self.ksub = self.codebooks.shape[1]
+        self.dsub = self.codebooks.shape[2]
+
+    @staticmethod
+    def params_for(dim: int) -> tuple[int, int]:
+        """Recommended (M, nbits): prefer M=8, else smallest divisor in
+        8..32, else 4 (``pq_index.go:50-67``)."""
+        m = 8
+        if dim % m != 0:
+            for m in range(8, 33):
+                if dim % m == 0:
+                    break
+            if dim % m != 0:
+                m = 4
+        return m, 8
+
+    @classmethod
+    def train(
+        cls, docs: DataFrame, *, m: int, nbits: int = 8,
+        id_col: str = "id", vec_col: str = "vector", max_iter: int = 20,
+    ) -> "PQIndex":
+        ksub = 2**nbits
+        e = docs.select(F.col(id_col).alias("id"), to_double_array(vec_col).alias("v"))
+        dim = len(e.select("v").first()[0])
+        if dim % m != 0:
+            raise ValueError(f"dim {dim} not divisible by M={m}")
+        dsub = dim // m
+        books = []
+        for sub in range(m):
+            sliced = e.select("id", F.slice("v", sub * dsub + 1, dsub).alias("vector"))
+            cents = kmeans_train(
+                sliced, ksub, id_col="id", vec_col="vector", metric="l2sq", max_iter=max_iter
+            )
+            if cents.shape[0] < ksub:  # k auto-clamped to n; pad for shape
+                cents = np.vstack([cents] + [cents[-1:]] * (ksub - cents.shape[0]))
+            books.append(cents)
+        return cls(np.stack(books))
+
+    def encode(self, docs: DataFrame, *, id_col: str = "id", vec_col: str = "vector") -> DataFrame:
+        """→ ``(id, codes ARRAY<SMALLINT>)`` (argmin per subspace, L2²)."""
+        spark = docs.sparkSession
+        bc = spark.sparkContext.broadcast(self.codebooks)
+        m, dsub = self.m, self.dsub
+
+        def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            books = bc.value
+            for pdf in batches:
+                mat = np.array(pdf["v"].tolist(), dtype=np.float64)
+                if len(mat) == 0:
+                    continue
+                codes = np.empty((len(mat), m), dtype=np.int16)
+                for sub in range(m):
+                    seg = mat[:, sub * dsub : (sub + 1) * dsub]
+                    codes[:, sub] = np.argmin(
+                        _pairwise_sq(seg, books[sub]), axis=1
+                    ).astype(np.int16)
+                yield pd.DataFrame({"id": pdf["id"], "codes": list(codes)})
+
+        e = docs.select(F.col(id_col).cast("bigint").alias("id"), to_double_array(vec_col).alias("v"))
+        return e.mapInPandas(enc, "id bigint, codes array<smallint>")
+
+    def lut(self, qvec: np.ndarray) -> np.ndarray:
+        """M×Ksub table of squared distances query-subvector → codebook
+        centroid (``pq_index_search.go:242-264``)."""
+        q = np.asarray(qvec, dtype=np.float64)
+        out = np.empty((self.m, self.ksub))
+        for sub in range(self.m):
+            qseg = q[sub * self.dsub : (sub + 1) * self.dsub]
+            out[sub] = _pairwise_sq(qseg[None, :], self.codebooks[sub])[0]
+        return out
+
+    def adc_score_col(self, lut: np.ndarray, codes_col: str = "codes"):
+        """Native Catalyst ADC: sqrt(Σ_m lut[m][code_m]) via element_at over
+        literal arrays (stays in the JVM; the LUT is M×Ksub doubles)."""
+        terms = []
+        for sub in range(self.m):
+            arr = F.array(*[F.lit(float(x)) for x in lut[sub]])
+            idx = F.element_at(F.col(codes_col), sub + 1).cast("int") + 1
+            terms.append(F.element_at(arr, idx))
+        total = terms[0]
+        for t in terms[1:]:
+            total = total + t
+        return F.sqrt(total)
+
+    def search(
+        self, codes: DataFrame, qvec: list[float], *, k: int = 10, round_to: int | None = 6,
+    ) -> DataFrame:
+        score = self.adc_score_col(self.lut(np.asarray(qvec)))
+        if round_to is not None:
+            score = F.round(score, round_to)
+        scored = codes.select(F.col("id"), score.alias("score"))
+        return topk(scored, [F.col("score").asc(), F.col("id").asc()], k)
+
+
+def _pairwise_sq(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    return (
+        (a * a).sum(axis=1)[:, None] - 2.0 * (a @ b.T) + (b * b).sum(axis=1)[None, :]
+    ).clip(min=0.0)
+
+
+class IVFPQIndex:
+    """Coarse IVF + PQ on residuals (``ivfpq_index.go:164-341``)."""
+
+    def __init__(self, ivf: IVFIndex, pq: PQIndex):
+        self.ivf = ivf
+        self.pq = pq
+
+    @classmethod
+    def train(
+        cls, docs: DataFrame, *, nlist: int, m: int, nbits: int = 8,
+        id_col: str = "id", vec_col: str = "vector", max_iter: int = 20,
+    ) -> "IVFPQIndex":
+        ivf = IVFIndex.train(docs, nlist, id_col=id_col, vec_col=vec_col, metric="l2", max_iter=max_iter)
+        assigned = ivf.assign(docs, id_col=id_col, vec_col=vec_col)
+        resid = _residuals(assigned, ivf.centroids, vec_col=vec_col)
+        pq = PQIndex.train(resid, m=m, nbits=nbits, id_col=id_col, vec_col="residual", max_iter=max_iter)
+        return cls(ivf, pq)
+
+    def encode(self, docs: DataFrame, *, id_col: str = "id", vec_col: str = "vector") -> DataFrame:
+        """→ ``(id, cluster_id, codes)``: assignment + residual PQ codes."""
+        assigned = self.ivf.assign(docs, id_col=id_col, vec_col=vec_col)
+        resid = _residuals(assigned, self.ivf.centroids, vec_col=vec_col)
+        codes = self.pq.encode(resid, id_col=id_col, vec_col="residual")
+        return codes.join(
+            assigned.select(F.col(id_col).alias("id"), "cluster_id"), "id"
+        )
+
+    def search(
+        self, encoded: DataFrame, qvec: list[float], *, k: int = 10,
+        nprobe: int = 8, round_to: int | None = 6,
+    ) -> DataFrame:
+        """Per-probed-list residual LUT → union of pruned ADC scans."""
+        q = np.asarray(qvec, dtype=np.float64)
+        probed = self.ivf.probe_lists(q, nprobe)
+        parts = []
+        for cid in probed:
+            resid_q = q - self.ivf.centroids[cid]
+            score = self.pq.adc_score_col(self.pq.lut(resid_q))
+            if round_to is not None:
+                score = F.round(score, round_to)
+            parts.append(
+                encoded.filter(F.col("cluster_id") == cid).select(
+                    F.col("id"), score.alias("score")
+                )
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return topk(out, [F.col("score").asc(), F.col("id").asc()], k)
+
+
+def _residuals(assigned: DataFrame, centroids: np.ndarray, *, vec_col: str = "vector") -> DataFrame:
+    """residual = v − centroid[cluster_id] (``ivfpq_index.go:216-226``)."""
+    spark = assigned.sparkSession
+    cent_rows = [(int(i), [float(x) for x in c]) for i, c in enumerate(centroids)]
+    cents = spark.createDataFrame(cent_rows, "cluster_id bigint, centroid array<double>")
+    return (
+        assigned.join(F.broadcast(cents), "cluster_id")
+        .withColumn(
+            "residual",
+            F.zip_with(to_double_array(vec_col), "centroid", lambda a, b: a - b),
+        )
+        .drop("centroid")
+    )

@@ -56,9 +56,13 @@ __all__ = [
 
 
 def q100(col: Column | str) -> Column:
-    """Reference numeric quantization: CAST(ROUND(v*100) AS BIGINT)."""
+    """Reference numeric quantization: ``int64(v*100)`` — Go's float→int
+    conversion TRUNCATES toward zero (``metadata_index.go:142-143``), so
+    999.99 stores as 99998 (999.99*100 = 99998.99999…). Spark's
+    double→bigint cast truncates identically; the DuckDB oracle needs an
+    explicit ``trunc()`` because DuckDB rounds on cast."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.round(c * 100).cast("bigint")
+    return (c * 100).cast("bigint")
 
 
 @dataclass(frozen=True)
@@ -88,7 +92,8 @@ class NumField(Field):
 
 def _qval(f: Field, v: Any) -> Any:
     if isinstance(f, NumField):
-        return int(round(v * 100)) if f.quantize else int(v)
+        # int() truncates toward zero like Go's int64() (metadata_index.go:396-408)
+        return int(v * 100) if f.quantize else int(v)
     if isinstance(v, bool):
         return "true" if v else "false"
     return str(v)

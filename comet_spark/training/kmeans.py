@@ -1,0 +1,157 @@
+"""Deterministic distributed Lloyd's k-means.
+
+Mirrors the reference's trainer semantics (``clustering.go:100-243``):
+- init: every (n//k)-th vector *in id order* (uniform spacing, no RNG —
+  ``clustering.go:146-162``), clamped to the last row
+- assignment: argmin over centroids, first centroid wins ties
+- update: mean of assigned vectors; an empty cluster keeps its old centroid
+- stop: assignments stable (equivalently: centroids reach a fixpoint) or
+  ``max_iter`` (default 20, ``clustering.go:13-15``)
+
+Distributed shape (the same one MLlib uses internally): centroids are a
+k×d numpy array on the driver (tiny), broadcast each iteration; one
+``mapInPandas`` pass per iteration computes BLAS argmin assignments *and*
+per-cluster partial sums inside each task, so the per-iteration shuffle is
+only k×d partials per partition — never the vectors themselves. MLlib
+KMeans remains the drop-in alternative when reference-deterministic
+centroids aren't required.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from comet_spark.functions.vector import to_double_array
+
+__all__ = ["kmeans_train", "assign_clusters"]
+
+
+def _dist_block(mat: np.ndarray, cents: np.ndarray, metric: str) -> np.ndarray:
+    """(n×d, k×d) → n×k distance matrix. l2sq == l2 for argmin purposes."""
+    if metric in ("l2", "l2sq"):
+        # |a-b|^2 = |a|^2 - 2ab + |b|^2
+        d = (
+            (mat * mat).sum(axis=1)[:, None]
+            - 2.0 * (mat @ cents.T)
+            + (cents * cents).sum(axis=1)[None, :]
+        )
+        return np.maximum(d, 0.0)
+    if metric == "cosine":
+        an = np.linalg.norm(mat, axis=1)
+        cn = np.linalg.norm(cents, axis=1)
+        sim = (mat @ cents.T) / np.outer(an, np.where(cn == 0, 1.0, cn))
+        return 1.0 - np.clip(sim, -1.0, 1.0)
+    raise ValueError(f"unsupported kmeans metric {metric!r}")
+
+
+def kmeans_train(
+    df: DataFrame,
+    k: int,
+    *,
+    id_col: str = "id",
+    vec_col: str = "vector",
+    metric: str = "l2sq",
+    max_iter: int = 20,
+) -> np.ndarray:
+    """Train and return the k×d centroid matrix (float64)."""
+    spark = df.sparkSession
+    e = df.select(F.col(id_col).alias("id"), to_double_array(vec_col).alias("v")).cache()
+    n = e.count()
+    if n == 0 or k <= 0:
+        raise ValueError("kmeans needs rows and k > 0")
+    k = min(k, n)
+
+    # uniform-spacing init over id order
+    step = max(n // k, 1)
+    wanted = sorted({min(j * step, n - 1) + 1 for j in range(k)})  # 1-based rn
+    w = Window.orderBy("id")
+    init_rows = (
+        e.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn").isin(wanted))
+        .orderBy("__rn")
+        .collect()
+    )
+    centroids = np.array([r["v"] for r in init_rows], dtype=np.float64)
+    # duplicates of the clamped last index collapse in the set; pad if needed
+    while centroids.shape[0] < k:
+        centroids = np.vstack([centroids, centroids[-1]])
+
+    for _ in range(max_iter):
+        bc = spark.sparkContext.broadcast(centroids)
+
+        def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            cents = bc.value
+            kk, dd = cents.shape
+            sums = np.zeros((kk, dd))
+            counts = np.zeros(kk, dtype=np.int64)
+            for pdf in batches:
+                mat = np.array(pdf["v"].tolist(), dtype=np.float64)
+                if len(mat) == 0:
+                    continue
+                a = np.argmin(_dist_block(mat, cents, metric), axis=1)
+                np.add.at(sums, a, mat)
+                np.add.at(counts, a, 1)
+            nz = np.nonzero(counts)[0]
+            yield pd.DataFrame(
+                {
+                    "cluster_id": nz.astype(np.int64),
+                    "psum": list(sums[nz]),
+                    "pcount": counts[nz],
+                }
+            )
+
+        rows = e.mapInPandas(
+            partials, "cluster_id bigint, psum array<double>, pcount bigint"
+        ).collect()
+        sums = np.zeros_like(centroids)
+        counts = np.zeros(centroids.shape[0], dtype=np.int64)
+        for r in rows:
+            sums[r["cluster_id"]] += np.array(r["psum"])
+            counts[r["cluster_id"]] += r["pcount"]
+        new = centroids.copy()  # empty clusters keep old centroid
+        nz = counts > 0
+        new[nz] = sums[nz] / counts[nz, None]
+        bc.unpersist()
+        if np.array_equal(new, centroids):
+            break
+        centroids = new
+
+    e.unpersist()
+    return centroids
+
+
+def assign_clusters(
+    df: DataFrame,
+    centroids: np.ndarray,
+    *,
+    id_col: str = "id",
+    vec_col: str = "vector",
+    metric: str = "l2sq",
+) -> DataFrame:
+    """Return ``(id, vector, cluster_id)`` — the write-time assignment step
+    (reference ``clustering.go:259-272`` FindNearestCentroidIndex)."""
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast(np.asarray(centroids, dtype=np.float64))
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cents = bc.value
+        for pdf in batches:
+            mat = np.array(pdf["v"].tolist(), dtype=np.float64)
+            if len(mat) == 0:
+                yield pd.DataFrame({"id": [], "v": [], "cluster_id": []})
+                continue
+            a = np.argmin(_dist_block(mat, cents, metric), axis=1)
+            yield pd.DataFrame(
+                {"id": pdf["id"], "v": pdf["v"], "cluster_id": a.astype(np.int64)}
+            )
+
+    e = df.select(F.col(id_col).alias("id"), to_double_array(vec_col).alias("v"))
+    out = e.mapInPandas(assign, "id bigint, v array<double>, cluster_id bigint")
+    return out.select(
+        F.col("id").alias(id_col), F.col("v").alias(vec_col), "cluster_id"
+    )

@@ -1,0 +1,87 @@
+"""Trained-index tests: full-probe identity, recall bounds (the reference's
+own validation strategy for approximate indexes), and the partition-pruning
+physical layout."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from comet_spark.operators.ann import IVFIndex, IVFPQIndex, PQIndex
+from comet_spark.operators.knn import knn
+from tests.conftest import SF_DIR_SMALL
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    df = (
+        spark.read.parquet(f"{SF_DIR_SMALL}/embeddings.parquet")
+        .select(F.col("vec_id").alias("id"), F.col("embedding").alias("vector"))
+        .cache()
+    )
+    df.count()
+    return df
+
+
+@pytest.fixture(scope="module")
+def qvec(emb):
+    return [float(x) for x in emb.filter(F.col("id") == 0).first()["vector"]]
+
+
+@pytest.fixture(scope="module")
+def flat_top10(spark, emb, qvec):
+    qdf = spark.createDataFrame([(0, qvec)], "qid bigint, qvec array<double>")
+    return [tuple(r) for r in knn(emb, qdf, k=10, metric="l2").select("id", "score").collect()]
+
+
+def test_ivf_fullprobe_equals_flat(emb, qvec, flat_top10):
+    ivf = IVFIndex.train(emb, 8)
+    assigned = ivf.assign(emb)
+    got = [tuple(r) for r in ivf.search(assigned, qvec, k=10, nprobe=8).collect()]
+    assert got == flat_top10
+
+
+def test_ivf_nprobe_recall(emb, qvec, flat_top10):
+    ivf = IVFIndex.train(emb, 8)
+    assigned = ivf.assign(emb).cache()
+    gt = {r[0] for r in flat_top10}
+    r2 = {r["id"] for r in ivf.search(assigned, qvec, k=10, nprobe=2).collect()}
+    r8 = {r["id"] for r in ivf.search(assigned, qvec, k=10, nprobe=8).collect()}
+    assert len(r8 & gt) / 10 == 1.0
+    assert len(r2 & gt) / 10 >= 0.3  # partial probing keeps most of top-k
+    assert len(r2 & gt) <= len(r8 & gt)
+
+
+def test_ivf_partition_pruned_layout(emb, qvec, tmp_path, spark):
+    """Writing lists as partitions makes nprobe search a pruned scan."""
+    ivf = IVFIndex.train(emb, 8)
+    path = str(tmp_path / "ivf_table")
+    ivf.write(ivf.assign(emb), path)
+    table = spark.read.parquet(path)
+    probed = ivf.probe_lists(qvec, 2)
+    plan = table.filter(F.col("cluster_id").isin(probed))._jdf.queryExecution().executedPlan().toString()
+    # partition filter must appear as a PartitionFilters entry, not a post-scan filter
+    assert "PartitionFilters" in plan and "cluster_id" in plan.split("PartitionFilters")[1][:200]
+
+
+def test_pq_recall_beats_random(emb, qvec, flat_top10):
+    pq = PQIndex.train(emb, m=4, nbits=6, max_iter=10)
+    codes = pq.encode(emb)
+    got = {r["id"] for r in pq.search(codes, qvec, k=10).collect()}
+    gt = {r[0] for r in flat_top10}
+    # random top-10 of 500 would intersect ~0.2 ids; require well above
+    assert len(got & gt) >= 2
+
+
+def test_pq_params_for():
+    assert PQIndex.params_for(64) == (8, 8)
+    assert PQIndex.params_for(60) == (10, 8)
+    assert PQIndex.params_for(13) == (13, 8)  # 13 divides itself within 8..32
+    assert PQIndex.params_for(6) == (4, 8)  # reference fallback (pq_index.go:50-67)
+
+
+def test_ivfpq_search_runs_and_overlaps(emb, qvec, flat_top10):
+    ix = IVFPQIndex.train(emb, nlist=4, m=4, nbits=4, max_iter=5)
+    enc = ix.encode(emb)
+    got = {r["id"] for r in ix.search(enc, qvec, k=10, nprobe=4).collect()}
+    assert len(got) == 10
+    gt = {r[0] for r in flat_top10}
+    assert len(got & gt) >= 1

@@ -1,0 +1,143 @@
+"""Hand-checkable fixture tests (FIXTURES.md §2/§7, mirroring the
+reference's own unit fixtures in flat_index_search_test.go:10-80,
+limiter.go tests, fusion tests)."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from comet_spark.operators.autocut import autocut
+from comet_spark.operators.fusion import fuse_max, fuse_min, rrf, weighted_sum
+from comet_spark.operators.knn import knn, knn_aggregate
+from comet_spark.operators.metadata import (
+    Between, Eq, Exists, Field, Gt, In, Ne, Not, NotExists, NotIn, NumField, Where,
+)
+
+
+@pytest.fixture(scope="module")
+def unit_docs(spark):
+    # canonical tiny case: unit basis vectors + {1,1,0}
+    rows = [(1, [1.0, 0.0, 0.0]), (2, [0.0, 1.0, 0.0]), (3, [0.0, 0.0, 1.0]), (4, [1.0, 1.0, 0.0])]
+    return spark.createDataFrame(rows, "id bigint, vector array<double>")
+
+
+def _q(spark, vec):
+    return spark.createDataFrame([(0, vec)], "qid bigint, qvec array<double>")
+
+
+def test_knn_exact_order(spark, unit_docs):
+    got = knn(unit_docs, _q(spark, [1.0, 0.0, 0.0]), k=4, metric="l2").collect()
+    assert [r["id"] for r in got] == [1, 4, 2, 3]
+    assert got[0]["score"] == 0.0
+    assert got[1]["score"] == 1.0  # |(1,1,0)-(1,0,0)| = 1
+
+
+def test_knn_threshold_colinear(spark):
+    # colinear points with known distances 0/1/3/9 (flat_index_search_test.go:50-80)
+    rows = [(1, [1.0, 0.0, 0.0]), (2, [2.0, 0.0, 0.0]), (3, [4.0, 0.0, 0.0]), (4, [10.0, 0.0, 0.0])]
+    docs = spark.createDataFrame(rows, "id bigint, vector array<double>")
+    got = knn(docs, _q(spark, [1.0, 0.0, 0.0]), k=0, metric="l2", threshold=3.0).collect()
+    assert [(r["id"], r["score"]) for r in got] == [(1, 0.0), (2, 1.0), (3, 3.0)]
+
+
+def test_knn_multiquery_sum_mean(spark, unit_docs):
+    qs = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0])], "qid bigint, qvec array<double>"
+    )
+    per_q = knn(unit_docs, qs, k=4, metric="l2sq")
+    s = {r["id"]: r["score"] for r in knn_aggregate(per_q, k=4, agg="sum").collect()}
+    # doc4 (1,1,0): dist² to q0 = 1, to q1 = 1 → sum 2; doc1: 0+2=2; doc2: 2+0=2; doc3: 2+2=4
+    assert s == {1: 2.0, 2: 2.0, 3: 4.0, 4: 2.0}
+    m = {r["id"]: r["score"] for r in knn_aggregate(per_q, k=4, agg="mean").collect()}
+    assert m[3] == 2.0 and m[4] == 1.0
+
+
+def test_autocut_elbow(spark):
+    # obvious elbow: [0.1, 0.12, 0.13, 0.9, 0.95] cutoff=1 → keep 3
+    rows = [(i + 1, s) for i, s in enumerate([0.1, 0.12, 0.13, 0.9, 0.95])]
+    df = spark.createDataFrame(rows, "id bigint, score double")
+    got = autocut(df, cutoff=1, ascending=True).collect()
+    assert [r["id"] for r in got] == [1, 2, 3]
+    # cutoff=-1 disables
+    assert autocut(df, cutoff=-1, ascending=True).count() == 5
+
+
+def _scores(spark, pairs):
+    return spark.createDataFrame(pairs, "id bigint, score double")
+
+
+def test_fusion_weighted_and_max_min(spark):
+    vec = _scores(spark, [(1, 0.1), (2, 0.5)])
+    txt = _scores(spark, [(2, 2.0), (3, 1.0)])
+    ws = {r["id"]: r["score"] for r in weighted_sum(vec, txt, vector_weight=1.0, text_weight=0.5).collect()}
+    assert ws == {1: 0.1, 2: 1.5, 3: 0.5}
+    mx = {r["id"]: r["score"] for r in fuse_max(vec, txt).collect()}
+    assert mx == {1: 0.1, 2: 2.0, 3: 1.0}
+    mn = fuse_min(vec, txt).collect()  # intersection only
+    assert [(r["id"], r["score"]) for r in mn] == [(2, 0.5)]
+
+
+def test_rrf_ranks(spark):
+    vec = _scores(spark, [(1, 0.1), (2, 0.5)])   # ranks: 1→0, 2→1 (asc)
+    txt = _scores(spark, [(2, 2.0), (3, 1.0)])   # ranks: 2→0, 3→1 (desc)
+    got = {r["id"]: r["score"] for r in rrf(vec, txt).collect()}
+    assert got[1] == round(1 / 60, 6)
+    assert got[2] == round(1 / 61 + 1 / 60, 6)
+    assert got[3] == round(1 / 61, 6)
+
+
+@pytest.fixture(scope="module")
+def meta_docs(spark):
+    rows = [
+        (1, "electronics", 999.994, None),
+        (2, "electronics", 999.996, "x"),
+        (3, "books", None, "y"),
+        (4, None, 500.0, None),
+    ]
+    return spark.createDataFrame(rows, "id bigint, category string, price double, opt string")
+
+
+def _ids(df, pred):
+    return sorted(r["id"] for r in df.filter(pred.expr() if hasattr(pred, "expr") else pred).collect())
+
+
+def test_q100_edges(meta_docs):
+    # Go int64(v*100) TRUNCATES: 999.994 and 999.996 both store 99999;
+    # 999.99*100 is 99999.00000000001 in IEEE double so it also hits 99999
+    # (metadata_index.go:142-143 + FIXTURES.md §4)
+    assert _ids(meta_docs, Eq(NumField("price"), 999.994)) == [1, 2]
+    assert _ids(meta_docs, Eq(NumField("price"), 999.99)) == [1, 2]
+    assert _ids(meta_docs, Eq(NumField("price"), 1000.0)) == []
+
+
+def test_ne_null_semantics(meta_docs):
+    # categorical Ne: missing-field docs MATCH
+    assert _ids(meta_docs, Ne(Field("category"), "books")) == [1, 2, 4]
+    # numeric Ne: missing-field docs do NOT match
+    assert _ids(meta_docs, Ne(NumField("price"), 500.0)) == [1, 2]
+
+
+def test_in_notin_exists(meta_docs):
+    assert _ids(meta_docs, In(Field("category"), ("books",))) == [3]
+    assert _ids(meta_docs, NotIn(Field("category"), ("books",))) == [1, 2, 4]
+    assert _ids(meta_docs, Exists(Field("opt"))) == [2, 3]
+    assert _ids(meta_docs, NotExists(Field("opt"))) == [1, 4]
+
+
+def test_not_inversion_table(meta_docs):
+    assert _ids(meta_docs, Not(Eq(Field("category"), "books"))) == _ids(
+        meta_docs, Ne(Field("category"), "books")
+    )
+    assert _ids(meta_docs, Not(Gt(NumField("price"), 600.0))) == [4]  # → Lte
+    assert _ids(meta_docs, Not(Between(NumField("price"), 600.0, 1000.0))) == [4]
+
+
+def test_filter_groups(meta_docs):
+    # both prices truncate to 99999 == q100(999.99), so Gt excludes them
+    pred = Where(Eq(Field("category"), "electronics"), Gt(NumField("price"), 999.99)).Or(
+        Eq(Field("opt"), "y")
+    )
+    assert _ids(meta_docs, pred) == [3]
+    pred2 = Where(Eq(Field("category"), "electronics"), Gt(NumField("price"), 999.5)).Or(
+        Eq(Field("opt"), "y")
+    )
+    assert _ids(meta_docs, pred2) == [1, 2, 3]

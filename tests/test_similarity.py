@@ -1,0 +1,41 @@
+"""The three all-pairs similarity strategies must agree (blocked == expr
+exactly; LSH ⊆ exact with bounded recall)."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from comet_spark.operators.similarity import (
+    cosine_pairs_blocked,
+    cosine_pairs_expr,
+    lsh_bucket_pairs,
+)
+from tests.conftest import SF_DIR_SMALL
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    df = spark.read.parquet(f"{SF_DIR_SMALL}/embeddings.parquet").cache()
+    df.count()
+    return df
+
+
+def _pairs(df):
+    return {(r["a_id"], r["b_id"]): r["cos_sim"] for r in df.collect()}
+
+
+def test_blocked_equals_expr(emb):
+    exact = _pairs(cosine_pairs_expr(emb, min_sim=0.35))
+    fast = _pairs(cosine_pairs_blocked(emb, min_sim=0.35))
+    assert fast == exact
+    assert len(exact) > 0
+
+
+def test_lsh_subset_with_recall(emb):
+    exact = _pairs(cosine_pairs_blocked(emb, min_sim=0.35))
+    lsh = _pairs(lsh_bucket_pairs(emb, min_sim=0.35, n_planes=16, bands=8))
+    # verification step makes precision exact
+    assert set(lsh) <= set(exact)
+    for k, v in lsh.items():
+        assert v == exact[k]
+    # banded with 8 bands of 2 bits → high collision prob for sim≥0.35
+    assert len(lsh) >= 0.5 * len(exact)
