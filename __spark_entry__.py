@@ -797,6 +797,299 @@ WHERE ROUND(1.0 - ({_sql_cos('a.v', 'b.v')}), 6) >= {NEARDUP_SIM}
 )
 
 
+# --- B15/J6 soft deletes + J5 LSM read-path merge ----------------------------
+
+def _soft_delete_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every scan skips soft-deleted ids (deletion-vector anti-join)."""
+    docs = _emb_docs(spark, sf_dir)
+    deletes = docs.filter(F.col("id") % 17 == 0).select("id")
+    live = docs.join(deletes, "id", "left_anti")
+    res = knn(live, _emb_queries(spark, sf_dir, (QUERY_VEC_ID,)), k=K, metric="l2")
+    return res.select(F.col("id").alias("vec_id"), "score")
+
+
+_register(
+    "soft_delete_knn",
+    _soft_delete_knn,
+    f"WITH {_sql_knn_cte('l2', where='vec_id % 17 != 0')} "
+    f"SELECT vec_id, score FROM d ORDER BY score, vec_id LIMIT {K}",
+)
+
+
+def _lsm_merge_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read-path merge (storage.go:489-629): the same query runs over every
+    segment (each segment has its own index → its own corpus stats), then
+    results dedup by MAX score (storage_merge.go:13-38), sort desc, top-k.
+    Segments are simulated as doc_id % 2 halves of the corpus."""
+    docs = _t(spark, sf_dir, "documents")
+    parts = []
+    for seg in (0, 1):
+        seg_docs = docs.filter(F.col("doc_id") % 2 == seg)
+        bm = BM25(seg_docs, id_col="doc_id", text_col="text")
+        parts.append(bm.score(BM25_QUERY, k=K))
+    both = parts[0].unionByName(parts[1])
+    merged = both.groupBy("id").agg(F.max("score").alias("score"))
+    from comet_spark.operators.topk import topk
+
+    res = topk(merged, [F.col("score").desc(), F.col("id").asc()], K)
+    return res.select(F.col("id").alias("doc_id"), "score")
+
+
+def _sql_bm25_segment(seg: int) -> str:
+    """Per-segment BM25 pipeline with segment-local stats."""
+    tok = _SQL_TOKENIZE.format(col="text")
+    from comet_spark.operators.bm25 import tokenize_py as _tp
+
+    terms: dict[str, int] = {}
+    for t in _tp(BM25_QUERY):
+        terms[t] = terms.get(t, 0) + 1
+    vals = ", ".join(f"('{t}', {c}::DOUBLE)" for t, c in terms.items())
+    s = f"s{seg}"
+    return f"""
+docs{s} AS (SELECT * FROM documents WHERE doc_id % 2 = {seg}),
+tok{s} AS (SELECT doc_id AS id, unnest({tok}) AS term FROM docs{s}),
+tf{s} AS (SELECT id, term, count(*)::DOUBLE AS tf FROM tok{s} GROUP BY id, term),
+dl{s} AS (SELECT id, count(*)::DOUBLE AS dl FROM tok{s} GROUP BY id),
+dft{s} AS (SELECT term, count(*)::DOUBLE AS df FROM tf{s} GROUP BY term),
+st{s} AS (SELECT (SELECT count(*) FROM docs{s})::DOUBLE AS n_docs,
+                 (SELECT sum(coalesce(dl, 0)) FROM docs{s} LEFT JOIN dl{s} ON doc_id = id)
+                 / (SELECT count(*) FROM docs{s}) AS avgdl),
+qt{s} AS (SELECT * FROM (VALUES {vals}) AS _qt{s}(term, qtf)),
+sc{s} AS (
+  SELECT tf{s}.id,
+         sum(qt{s}.qtf * ln((st{s}.n_docs - dft{s}.df + 0.5)/(dft{s}.df + 0.5) + 1.0)
+             * (tf{s}.tf * (1.2 + 1.0)) / (tf{s}.tf + 1.2 * (1.0 - 0.75 + 0.75 * (dl{s}.dl / st{s}.avgdl)))) AS score
+  FROM tf{s} JOIN qt{s} USING (term) JOIN dl{s} USING (id) JOIN dft{s} USING (term) CROSS JOIN st{s}
+  GROUP BY tf{s}.id),
+top{s} AS (SELECT id, ROUND(score, 6) AS score FROM sc{s} ORDER BY score DESC, id LIMIT {K})
+"""
+
+
+_register(
+    "lsm_merge_bm25",
+    _lsm_merge_bm25,
+    f"""
+WITH {_sql_bm25_segment(0)}, {_sql_bm25_segment(1)},
+u AS (SELECT * FROM tops0 UNION ALL SELECT * FROM tops1),
+m AS (SELECT id, max(score) AS score FROM u GROUP BY id)
+SELECT id AS doc_id, score FROM m ORDER BY score DESC, doc_id LIMIT {K}
+""",
+)
+
+
+# --- MinHash / SimHash / n-gram near-dup detection --------------------------
+
+NGRAM_N = 3
+MIN_JACCARD = 0.3
+N_HASHES = 16
+LSH_BANDS = 4
+SIMHASH_MAX_HAMMING = 4
+
+_SQL_SHINGLES = f"""
+tok AS (SELECT doc_id AS id, {_SQL_TOKENIZE.format(col='text')} AS toks FROM documents),
+sh AS (SELECT DISTINCT id,
+              unnest(list_transform(range(1, greatest(len(toks)-{NGRAM_N - 1}, 1)+1),
+                     i -> array_to_string(toks[i:i+{NGRAM_N - 1}], ' '))) AS shingle
+       FROM tok),
+cnt AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id)
+"""
+
+_SQL_JACCARD_VERIFY = """
+j AS (SELECT i.a_id, i.b_id,
+             ROUND(i.c::DOUBLE / (ca.n_sh + cb.n_sh - i.c), 6) AS jaccard
+      FROM inter i JOIN cnt ca ON i.a_id = ca.id JOIN cnt cb ON i.b_id = cb.id)
+"""
+
+
+def _ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from comet_spark.operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), n=NGRAM_N, min_jaccard=MIN_JACCARD
+    )
+
+
+_register(
+    "ngram_jaccard_pairs",
+    _ngram_jaccard,
+    f"""
+WITH {_SQL_SHINGLES},
+inter AS (SELECT a.id AS a_id, b.id AS b_id, count(*) AS c
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+          GROUP BY a.id, b.id),
+{_SQL_JACCARD_VERIFY}
+SELECT a_id, b_id, jaccard FROM j WHERE jaccard >= {MIN_JACCARD}
+""",
+)
+
+
+def _minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from comet_spark.operators.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"),
+        n=NGRAM_N, n_hashes=N_HASHES, bands=LSH_BANDS, min_jaccard=MIN_JACCARD,
+    )
+
+
+def _sql_minhash_coeffs() -> str:
+    from comet_spark.operators.dedup import minhash_coeffs
+
+    vals = ", ".join(f"({i}, {a}, {b})" for i, (a, b) in enumerate(minhash_coeffs(N_HASHES)))
+    return f"co AS (SELECT * FROM (VALUES {vals}) AS _co(i, a, b))"
+
+
+_register(
+    "minhash_lsh_pairs",
+    _minhash_lsh,
+    f"""
+WITH {_SQL_SHINGLES},
+h AS (SELECT id, (('0x' || substr(md5(shingle), 1, 8))::BIGINT % 2147483647) AS h FROM sh),
+{_sql_minhash_coeffs()},
+mh AS (SELECT id, i, min((a * h + b) % 2147483647) AS mh FROM h CROSS JOIN co GROUP BY id, i),
+bsig AS (SELECT id, i // {N_HASHES // LSH_BANDS} AS band,
+                md5(string_agg(mh::VARCHAR, ',' ORDER BY i)) AS sig
+         FROM mh GROUP BY id, i // {N_HASHES // LSH_BANDS}),
+cand AS (SELECT DISTINCT a.id AS a_id, b.id AS b_id
+         FROM bsig a JOIN bsig b ON a.band = b.band AND a.sig = b.sig AND a.id < b.id),
+inter AS (SELECT c.a_id, c.b_id, count(*) AS c
+          FROM cand c JOIN sh sa ON sa.id = c.a_id
+                      JOIN sh sb ON sb.id = c.b_id AND sb.shingle = sa.shingle
+          GROUP BY c.a_id, c.b_id),
+{_SQL_JACCARD_VERIFY}
+SELECT a_id, b_id, jaccard FROM j WHERE jaccard >= {MIN_JACCARD}
+""",
+)
+
+_SQL_SIMHASH = f"""
+tok AS (SELECT doc_id AS id, {_SQL_TOKENIZE.format(col='text')} AS toks FROM documents),
+tf AS (SELECT id, term, count(*) AS tf
+       FROM (SELECT id, unnest(toks) AS term FROM tok) GROUP BY id, term),
+th AS (SELECT id, tf, ('0x' || substr(md5(term), 1, 8))::BIGINT AS h FROM tf),
+pb AS (SELECT id, b, sum(CASE WHEN ((h >> b) & 1) = 1 THEN tf ELSE -tf END) AS w
+       FROM th, range(32) t(b) GROUP BY id, b),
+fp AS (SELECT id, sum(CASE WHEN w > 0 THEN (1::BIGINT << b) ELSE 0 END) AS simhash
+       FROM pb GROUP BY id)
+"""
+
+
+def _simhash_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from comet_spark.operators.dedup import simhash_fingerprints
+
+    fp = simhash_fingerprints(_t(spark, sf_dir, "documents"))
+    return fp.select(F.col("id").alias("doc_id"), "simhash")
+
+
+_register(
+    "simhash_fingerprints",
+    _simhash_fp,
+    f"WITH {_SQL_SIMHASH} SELECT id AS doc_id, simhash FROM fp",
+)
+
+
+def _simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from comet_spark.operators.dedup import simhash_neardup_pairs
+
+    return simhash_neardup_pairs(
+        _t(spark, sf_dir, "documents"), max_hamming=SIMHASH_MAX_HAMMING
+    )
+
+
+_register(
+    "simhash_neardup_pairs",
+    _simhash_pairs,
+    f"""
+WITH {_SQL_SIMHASH}
+SELECT a.id AS a_id, b.id AS b_id, bit_count(xor(a.simhash, b.simhash))::INT AS hamming
+FROM fp a JOIN fp b ON a.id < b.id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}
+""",
+)
+
+
+# --- language-ID heuristic + JSON extraction ---------------------------------
+
+_LANG_MARKERS = {
+    "en": ["the", "a", "of", "and", "to", "is"],
+    "de": ["der", "die", "das", "und", "ist", "nicht"],
+    "es": ["el", "la", "los", "que", "es", "y"],
+    "fr": ["le", "les", "des", "est", "et", "une"],
+}
+
+
+def _lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language ID. On this synthetic corpus every language
+    shares one English-ish vocabulary, so the operator (honestly) predicts
+    'en' everywhere — the pipeline shape is what's under test."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = tokenize("text")
+    hits = {}
+    for lang, markers in _LANG_MARKERS.items():
+        arr = F.array(*[F.lit(w) for w in markers])
+        hits[lang] = F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+    pred = (
+        F.when(
+            (hits["en"] >= hits["de"]) & (hits["en"] >= hits["es"]) & (hits["en"] >= hits["fr"]),
+            F.lit("en"),
+        )
+        .when((hits["de"] >= hits["es"]) & (hits["de"] >= hits["fr"]), F.lit("de"))
+        .when(hits["es"] >= hits["fr"], F.lit("es"))
+        .otherwise(F.lit("fr"))
+    )
+    return docs.select(
+        "doc_id",
+        pred.alias("pred_lang"),
+        (pred == F.col("lang")).alias("is_correct"),
+    )
+
+
+def _sql_lang_hits(lang: str) -> str:
+    markers = "[" + ", ".join(f"'{w}'" for w in _LANG_MARKERS[lang]) + "]"
+    return f"len(list_filter(toks, t -> list_contains({markers}, t)))"
+
+
+_register(
+    "lang_id",
+    _lang_id,
+    f"""
+WITH t AS (SELECT doc_id, lang, {_SQL_TOKENIZE.format(col='text')} AS toks FROM documents),
+hits AS (SELECT doc_id, lang,
+                {_sql_lang_hits('en')} AS en, {_sql_lang_hits('de')} AS de,
+                {_sql_lang_hits('es')} AS es, {_sql_lang_hits('fr')} AS fr
+         FROM t),
+p AS (SELECT doc_id, lang,
+             CASE WHEN en >= de AND en >= es AND en >= fr THEN 'en'
+                  WHEN de >= es AND de >= fr THEN 'de'
+                  WHEN es >= fr THEN 'es'
+                  ELSE 'fr' END AS pred_lang
+      FROM hits)
+SELECT doc_id, pred_lang, pred_lang = lang AS is_correct FROM p
+""",
+)
+
+
+def _events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum(k).alias("sum_k"),
+        F.round(F.avg(k), 6).alias("avg_k"),
+    )
+
+
+_register(
+    "events_json",
+    _events_json,
+    """
+SELECT event_type, count(*) AS n_events,
+       sum(json_extract_string(props, '$.k')::BIGINT) AS sum_k,
+       ROUND(avg(json_extract_string(props, '$.k')::BIGINT), 6) AS avg_k
+FROM events GROUP BY event_type
+""",
+)
+
+
 # ---------------------------------------------------------------------------
 # events — time-bucketed aggregation + sessionization (J-family analogs)
 # ---------------------------------------------------------------------------

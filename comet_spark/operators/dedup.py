@@ -1,0 +1,198 @@
+"""Document deduplication operators for training-data pipelines.
+
+All hashes derive from md5 so a DuckDB oracle can recompute them exactly:
+``h(s) = int(md5(s)[:8], 16)`` (32-bit), then universal hashing
+``(a_i·h + b_i) mod p`` with pinned odd constants and p = 2^31−1. Every
+operator is deterministic and integer-exact across engines.
+
+- exact dedup: groupBy(md5(text)) — one shuffle, trivially scales
+- n-gram jaccard: exact pairwise similarity via shared-shingle join;
+  the verification step for every approximate method
+- MinHash + LSH banding: signatures per doc (n_hashes · shingles min-agg),
+  band buckets → candidate pairs → exact-jaccard verification. The classic
+  near-dup pipeline: candidate generation is linear in corpus size, the
+  quadratic join happens only inside buckets.
+- SimHash: 32-bit tf-weighted fingerprint; near-dups = pairs with small
+  Hamming distance (bit_count(xor)).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from comet_spark.functions.text import tokenize
+
+__all__ = [
+    "MINHASH_P",
+    "minhash_coeffs",
+    "shingles",
+    "ngram_jaccard_pairs",
+    "minhash_signatures",
+    "minhash_lsh_pairs",
+    "simhash_fingerprints",
+    "simhash_neardup_pairs",
+]
+
+MINHASH_P = 2147483647  # 2^31 − 1
+
+
+def minhash_coeffs(n_hashes: int) -> list[tuple[int, int]]:
+    """Pinned (a, b) pairs — the oracle inlines the same table."""
+    return [(1 + 2 * i, 7 + 13 * i) for i in range(n_hashes)]
+
+
+def _hash32(col: Column) -> Column:
+    """First 8 hex chars of md5 → 32-bit int; identical in DuckDB via
+    ('0x' || substr(md5(s),1,8))::BIGINT."""
+    return F.conv(F.substring(F.md5(col.cast("binary")), 1, 8), 16, 10).cast("bigint")
+
+
+def shingles(docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text", n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per doc → (id, shingle)."""
+    toks = tokenize(text_col)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    return (
+        docs.select(F.col(id_col).alias("id"), F.explode(grams).alias("shingle"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text",
+    n: int = 3, min_jaccard: float = 0.3, round_to: int = 6,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Exact jaccard over shingle sets → (a_id, b_id, jaccard).
+
+    Without ``candidates`` this is the exact O(pairs-sharing-a-shingle)
+    join; with a candidate DataFrame (from LSH) it verifies only those.
+    """
+    sh = shingles(docs, id_col=id_col, text_col=text_col, n=n)
+    cnt = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
+
+    if candidates is None:
+        a = sh.select(F.col("id").alias("a_id"), "shingle")
+        b = sh.select(F.col("id").alias("b_id"), "shingle")
+        inter = (
+            a.join(b, "shingle")
+            .filter(F.col("a_id") < F.col("b_id"))
+            .groupBy("a_id", "b_id")
+            .agg(F.count("*").alias("c"))
+        )
+    else:
+        a = sh.select(F.col("id").alias("a_id"), "shingle")
+        b = sh.select(F.col("id").alias("b_id"), "shingle")
+        inter = (
+            candidates.join(a, "a_id")
+            .join(b, ["b_id", "shingle"])
+            .groupBy("a_id", "b_id")
+            .agg(F.count("*").alias("c"))
+        )
+
+    jac = F.col("c").cast("double") / (F.col("na") + F.col("nb") - F.col("c"))
+    out = (
+        inter.join(cnt.select(F.col("id").alias("a_id"), F.col("n_sh").alias("na")), "a_id")
+        .join(cnt.select(F.col("id").alias("b_id"), F.col("n_sh").alias("nb")), "b_id")
+        .select("a_id", "b_id", F.round(jac, round_to).alias("jaccard"))
+    )
+    return out.filter(F.col("jaccard") >= min_jaccard)
+
+
+def minhash_signatures(
+    docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text",
+    n: int = 3, n_hashes: int = 16,
+) -> DataFrame:
+    """→ (id, i, mh): minhash value per doc per hash function."""
+    sh = shingles(docs, id_col=id_col, text_col=text_col, n=n)
+    h = sh.select("id", (_hash32(F.col("shingle")) % MINHASH_P).alias("h"))
+    spark = docs.sparkSession
+    coeffs = spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(minhash_coeffs(n_hashes))],
+        "i int, a bigint, b bigint",
+    )
+    return (
+        h.crossJoin(F.broadcast(coeffs))
+        .groupBy("id", "i")
+        .agg(F.min((F.col("a") * F.col("h") + F.col("b")) % MINHASH_P).alias("mh"))
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text",
+    n: int = 3, n_hashes: int = 16, bands: int = 4,
+    min_jaccard: float = 0.3, round_to: int = 6,
+) -> DataFrame:
+    """LSH banding → candidates → exact-jaccard verification.
+
+    With 4 bands × 4 rows a pair at jaccard j collides with prob
+    1 − (1 − j⁴)⁴ (≈ 0.93 at j = 0.7, ≈ 0.03 at j = 0.2)."""
+    rows_per_band = n_hashes // bands
+    sig = minhash_signatures(docs, id_col=id_col, text_col=text_col, n=n, n_hashes=n_hashes)
+    banded = sig.withColumn("band", (F.col("i") / rows_per_band).cast("int"))
+    # band signature: md5 over the ordered minhash values
+    bsig = banded.groupBy("id", "band").agg(
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("i", "mh"))),
+                    lambda s: s["mh"].cast("string"),
+                ),
+            ).cast("binary")
+        ).alias("sig")
+    )
+    a = bsig.select(F.col("band").alias("ba"), F.col("sig").alias("sa"), F.col("id").alias("a_id"))
+    b = bsig.select(F.col("band").alias("bb"), F.col("sig").alias("sb"), F.col("id").alias("b_id"))
+    cand = (
+        a.join(b, (F.col("ba") == F.col("bb")) & (F.col("sa") == F.col("sb")) & (F.col("a_id") < F.col("b_id")))
+        .select("a_id", "b_id")
+        .distinct()
+    )
+    return ngram_jaccard_pairs(
+        docs, id_col=id_col, text_col=text_col, n=n,
+        min_jaccard=min_jaccard, round_to=round_to, candidates=cand,
+    )
+
+
+def simhash_fingerprints(
+    docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text", bits: int = 32,
+) -> DataFrame:
+    """tf-weighted SimHash → (id, simhash BIGINT)."""
+    toks = docs.select(F.col(id_col).alias("id"), F.explode(tokenize(text_col)).alias("term"))
+    tf = toks.groupBy("id", "term").agg(F.count("*").alias("tf"))
+    th = tf.select("id", "tf", _hash32(F.col("term")).alias("h"))
+    per_bit = (
+        th.select("id", "tf", "h", F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("b"))
+        .groupBy("id", "b")
+        .agg(
+            F.sum(
+                F.when(F.expr("((h >> b) & 1) = 1"), F.col("tf")).otherwise(-F.col("tf"))
+            ).alias("w")
+        )
+    )
+    bitval = F.when(F.col("w") > 0, F.expr("CAST(1 AS BIGINT) << b")).otherwise(F.lit(0))
+    return per_bit.groupBy("id").agg(F.sum(bitval).alias("simhash"))
+
+
+def simhash_neardup_pairs(
+    docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text",
+    bits: int = 32, max_hamming: int = 4,
+) -> DataFrame:
+    """Pairs with Hamming(simhash) ≤ max_hamming → (a_id, b_id, hamming).
+
+    The quadratic join is fine at test scale; at corpus scale the standard
+    trick is banding the fingerprint into (max_hamming+1) segments and
+    joining on exact segment match first (pigeonhole), same as LSH."""
+    fp = simhash_fingerprints(docs, id_col=id_col, text_col=text_col, bits=bits)
+    a = fp.select(F.col("id").alias("a_id"), F.col("simhash").alias("fa"))
+    b = fp.select(F.col("id").alias("b_id"), F.col("simhash").alias("fb"))
+    ham = F.expr("bit_count(fa ^ fb)")
+    return (
+        a.join(b, F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", ham.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )

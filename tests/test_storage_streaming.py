@@ -1,0 +1,107 @@
+"""DocumentStore (LSM parity: segments, soft deletes, merged view,
+compaction) + Structured Streaming ingest + multimodal plumbing."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from comet_spark.multimodal import (
+    attach_media_stub,
+    audio_duration,
+    frame_sample,
+    image_features,
+)
+from comet_spark.storage.store import DocumentStore
+from comet_spark.streaming.ingest import stream_into_store, windowed_event_counts
+
+
+@pytest.fixture()
+def store(spark, tmp_path):
+    return DocumentStore(spark, str(tmp_path / "store"))
+
+
+def _batch(spark, rows):
+    return spark.createDataFrame(rows, "id bigint, text string")
+
+
+def test_segments_and_newest_wins(spark, store):
+    store.append(_batch(spark, [(1, "v1"), (2, "v1")]))
+    store.append(_batch(spark, [(2, "v2"), (3, "v1")]))  # doc 2 updated
+    assert store.segment_count() == 2
+    got = {r["id"]: r["text"] for r in store.read().collect()}
+    assert got == {1: "v1", 2: "v2", 3: "v1"}
+
+
+def test_soft_delete_then_compact(spark, store):
+    store.append(_batch(spark, [(1, "a"), (2, "b"), (3, "c")]))
+    store.append(_batch(spark, [(4, "d")]))
+    store.delete(spark.createDataFrame([(2,)], "id bigint"))
+    assert sorted(r["id"] for r in store.read().collect()) == [1, 3, 4]
+
+    store.compact()
+    assert store.segment_count() == 1
+    # deletes applied hard; results unchanged after flush (FIXTURES.md §5)
+    assert sorted(r["id"] for r in store.read().collect()) == [1, 3, 4]
+
+
+def test_streaming_ingest_into_segments(spark, store, tmp_path):
+    # deterministic source: two parquet files, one micro-batch each
+    src_dir = str(tmp_path / "incoming")
+    _batch(spark, [(1, "a"), (2, "b")]).coalesce(1).write.mode("append").parquet(src_dir)
+    _batch(spark, [(3, "c")]).coalesce(1).write.mode("append").parquet(src_dir)
+
+    stream = (
+        spark.readStream.schema("id bigint, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
+    q = stream_into_store(stream, store, checkpoint=str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+
+    # each micro-batch flushed one immutable segment (J1-J3)
+    assert store.segment_count() == 2
+    assert sorted(r["id"] for r in store.read().collect()) == [1, 2, 3]
+
+
+def test_windowed_event_counts_batch_twin(spark):
+    rows = [
+        ("2024-01-01 00:10:00", "click"),
+        ("2024-01-01 00:50:00", "click"),
+        ("2024-01-01 01:10:00", "view"),
+    ]
+    df = spark.createDataFrame(rows, "ts string, event_type string").select(
+        F.col("ts").cast("timestamp").alias("ts"), "event_type"
+    )
+    got = {
+        (str(r["window_start"]), r["event_type"]): r["n_events"]
+        for r in windowed_event_counts(df).collect()
+    }
+    assert got[("2024-01-01 00:00:00", "click")] == 2
+    assert got[("2024-01-01 01:00:00", "view")] == 1
+
+
+def test_multimodal_pipeline(spark):
+    docs = spark.range(0, 30).select(F.col("id").alias("doc_id"))
+    media = attach_media_stub(docs)
+    assert media.columns == [
+        "media_id", "payload", "media_type", "width", "height", "sample_rate", "n_frames",
+    ]
+
+    feats = image_features(media, dim=8).collect()
+    assert all(len(r["features"]) == 8 for r in feats)
+    assert {r["media_id"] % 3 for r in feats} == {0}  # only images
+    # deterministic: same payload → same features across runs
+    again = {r["media_id"]: r["features"] for r in image_features(media, dim=8).collect()}
+    assert all(again[r["media_id"]] == r["features"] for r in feats)
+
+    frames = frame_sample(media, every_n=100).collect()
+    assert all(r["frame_idx"] % 100 == 0 for r in frames)
+    assert all(isinstance(r["frame"], (bytes, bytearray)) for r in frames)
+
+    dur = audio_duration(media).collect()
+    assert all(r["duration_s"] > 0 for r in dur)
+
+
+def test_real_decode_is_gated(spark):
+    media = attach_media_stub(spark.range(0, 3).select(F.col("id").alias("doc_id")))
+    with pytest.raises(NotImplementedError):
+        frame_sample(media, decode_mode="real")
