@@ -604,6 +604,206 @@ SELECT vec_id, score FROM cc, cut WHERE cut.cut_rn IS NULL OR cc.rn < cut.cut_rn
 )
 
 
+# C4 at batch scale — 100 queries × corpus in ONE job (the meaningful
+# throughput shape: per-query Spark-job overhead amortizes away; this is
+# the headline number BASELINE.md's 45 ms/query flat scan maps onto)
+N_BATCH_QUERIES = 100
+
+
+def _knn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    qs = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < N_BATCH_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    return knn(_emb_docs(spark, sf_dir), qs, k=K, metric="l2").select(
+        "qid", F.col("id").alias("vec_id"), "score"
+    )
+
+
+_register(
+    "knn_batch100",
+    _knn_batch,
+    f"""
+WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < {N_BATCH_QUERIES}),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+d AS (SELECT q.qid, e.vec_id, ROUND({_sql_l2('e.v', 'q.qv')}, 6) AS score FROM e, q)
+SELECT qid, vec_id, score FROM
+  (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score, vec_id) AS rn FROM d)
+WHERE rn <= {K}
+""",
+)
+
+
+# per-group similarity search: top-3 nearest per label partition
+def _knn_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from comet_spark.operators.topk import topk_per_group
+
+    docs = _emb_docs(spark, sf_dir)
+    q = _emb_queries(spark, sf_dir, (QUERY_VEC_ID,))
+    from comet_spark.functions.vector import l2, to_double_array
+
+    scored = docs.crossJoin(F.broadcast(q.select(to_double_array("qvec").alias("qv")))).select(
+        "label",
+        F.col("id"),
+        F.round(l2(to_double_array("vector"), F.col("qv")), 6).alias("score"),
+    )
+    res = topk_per_group(scored, ["label"], [F.col("score").asc(), F.col("id").asc()], 3)
+    return res.select("label", F.col("id").alias("vec_id"), "score")
+
+
+_register(
+    "knn_top3_per_label",
+    _knn_per_label,
+    f"""
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = {QUERY_VEC_ID}),
+e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+d AS (SELECT e.label, e.vec_id, ROUND({_sql_l2('e.v', 'q.qv')}, 6) AS score FROM e, q)
+SELECT label, vec_id, score FROM
+  (SELECT *, row_number() OVER (PARTITION BY label ORDER BY score, vec_id) AS rn FROM d)
+WHERE rn <= 3
+""",
+)
+
+
+# H9 — int8 symmetric quantizer round-trip error
+def _int8_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from comet_spark.functions.quantize import int8_absmax, int8_dequantize, int8_quantize
+    from comet_spark.functions.vector import to_double_array
+
+    emb = _t(spark, sf_dir, "embeddings")
+    am = int8_absmax(emb, "embedding")
+    v = to_double_array("embedding")
+    deq = int8_dequantize(int8_quantize(v, am), am)
+    max_err = F.aggregate(
+        F.zip_with(v, deq, lambda a, b: F.abs(a - b)),
+        F.lit(0.0),
+        lambda s, x: F.greatest(s, x),
+    )
+    return emb.select("vec_id", F.round(max_err, 6).alias("max_abs_err"))
+
+
+_register(
+    "int8_quant_roundtrip",
+    _int8_roundtrip,
+    """
+WITH am AS (SELECT max(list_max(list_transform(embedding::DOUBLE[], x -> abs(x)))) AS m FROM embeddings),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+d AS (SELECT vec_id,
+             list_max(list_transform(range(1, len(v)+1),
+               i -> abs(v[i] - greatest(-127, least(127, round(v[i] * 127.0 / am.m)))::DOUBLE * am.m / 127.0))) AS err
+      FROM e, am)
+SELECT vec_id, ROUND(err, 6) AS max_abs_err FROM d
+""",
+)
+
+
+# ---------------------------------------------------------------------------
+# relational analytics on the big tables (Catalyst breadth + sf0.1 weight:
+# lineitem is 600k rows there — these are the queries that exercise real
+# shuffles, partial aggregation, and broadcast join selection)
+# ---------------------------------------------------------------------------
+
+def _pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2001-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 6).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 6).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 6).alias("sum_disc_price"),
+            F.round(F.sum(charge), 6).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+_register(
+    "pricing_summary",
+    _pricing_summary,
+    """
+SELECT l_returnflag, l_linestatus,
+       ROUND(sum(l_quantity), 6) AS sum_qty,
+       ROUND(sum(l_extendedprice), 6) AS sum_base_price,
+       ROUND(sum(l_extendedprice * (1 - l_discount)), 6) AS sum_disc_price,
+       ROUND(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 6) AS sum_charge,
+       ROUND(avg(l_quantity), 6) AS avg_qty,
+       count(*) AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '2001-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+
+
+def _shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-table join: broadcast the filtered dimension sides into the
+    lineitem fact scan (verified BroadcastHashJoin in tests)."""
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    joined = (
+        li.join(F.broadcast(orders.join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])),
+                li["l_orderkey"] == F.col("o_orderkey"))
+    )
+    return (
+        joined.groupBy("l_orderkey", "o_orderpriority")
+        .agg(F.round(F.sum(revenue), 6).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+_register(
+    "shipping_priority",
+    _shipping_priority,
+    """
+SELECT l_orderkey, o_orderpriority, ROUND(sum(l_extendedprice * (1 - l_discount)), 6) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY l_orderkey, o_orderpriority
+ORDER BY revenue DESC, l_orderkey LIMIT 10
+""",
+)
+
+
+def _orders_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-function coverage on a real table: per-customer running
+    revenue ordered by date, top spender rows only."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    enriched = o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 6).alias("running_total"),
+        F.row_number()
+        .over(Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey"))
+        .alias("order_seq"),
+    )
+    return enriched.filter(F.col("order_seq") <= 3)
+
+
+_register(
+    "orders_running_total",
+    _orders_running_total,
+    """
+SELECT o_custkey, o_orderkey,
+       ROUND(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS running_total,
+       row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS order_seq
+FROM orders QUALIFY order_seq <= 3
+""",
+)
+
+
 # ---------------------------------------------------------------------------
 # §2.I / A2 / A4 / A5 — trained ANN layouts (IVF / PQ / IVFPQ)
 # ---------------------------------------------------------------------------

@@ -72,6 +72,15 @@ class VectorSearch:
     agg: str = "sum"
     cutoff: int = -1
     _prefilter: Column | None = None
+    _reranker: Any = None
+
+    def with_reranker(self, fn) -> "VectorSearch":
+        """Post-search hook (reference ``index_search.go:50-60`` Reranker):
+        a DataFrame→DataFrame callable applied after limit/autocut — runs
+        on ≤ k rows, so arbitrary Python (mapInPandas or collect-side
+        models) is fine here."""
+        self._reranker = fn
+        return self
 
     def with_query(self, *vecs: list[float]) -> "VectorSearch":
         self._queries.extend(vecs)
@@ -142,6 +151,8 @@ class VectorSearch:
         out = knn_aggregate(per_query, k=self.k, agg=self.agg, ascending=True)
         if self.cutoff != -1:
             out = autocut(out, cutoff=self.cutoff, ascending=True)
+        if self._reranker is not None:
+            out = self._reranker(out)
         return out
 
 

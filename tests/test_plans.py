@@ -1,0 +1,65 @@
+"""Physical-plan assertions — the scale story has to show up in the plan:
+pushed filters at the scan, broadcast joins for small sides, top-k as
+TakeOrderedAndProject, no Python in JVM-only paths."""
+
+import pyspark.sql.functions as F
+import pytest
+
+import __spark_entry__ as entry_mod
+from comet_spark.operators.knn import knn
+from tests.conftest import SF_DIR_SMALL
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_DIR_SMALL}/embeddings.parquet").select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vector"), "label"
+    )
+
+
+def test_prefilter_pushed_to_scan(spark, emb):
+    q = spark.createDataFrame([(0, [0.0] * 64)], "qid bigint, qvec array<double>")
+    df = knn(emb, q, k=10, prefilter=F.col("label").isin([1, 3]))
+    plan = _plan(df)
+    assert "PushedFilters" in plan and "label" in plan.split("PushedFilters")[1][:200]
+
+
+def test_single_query_topk_is_take_ordered(spark, emb):
+    from comet_spark.operators.topk import topk
+
+    q = spark.createDataFrame([(0, [0.0] * 64)], "qid bigint, qvec array<double>")
+    scored = knn(emb, q, k=0)  # no limit yet
+    df = topk(scored, [F.col("score").asc(), F.col("id").asc()], 10)
+    assert "TakeOrderedAndProject" in _plan(df)
+
+
+def test_knn_query_side_broadcast(spark, emb):
+    q = spark.createDataFrame([(0, [0.0] * 64)], "qid bigint, qvec array<double>")
+    plan = _plan(knn(emb, q, k=10))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_shipping_priority_broadcasts_dims(spark):
+    df = entry_mod.queries()["shipping_priority"](spark, SF_DIR_SMALL)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan  # dims must not shuffle the fact table
+
+
+def test_knn_plan_has_no_python_udf(spark, emb):
+    q = spark.createDataFrame([(0, [0.0] * 64)], "qid bigint, qvec array<double>")
+    plan = _plan(knn(emb, q, k=10))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_bm25_query_terms_broadcast(spark):
+    from comet_spark.operators.bm25 import BM25
+
+    docs = spark.read.parquet(f"{SF_DIR_SMALL}/documents.parquet")
+    bm = BM25(docs, id_col="doc_id", text_col="text")
+    plan = _plan(bm.score("spark table join", k=10))
+    assert "BroadcastHashJoin" in plan
