@@ -34,7 +34,7 @@ from pyspark.sql import functions as F
 
 from comet_spark.functions.vector import cosine_distance, to_double_array
 
-__all__ = ["cosine_pairs_expr", "cosine_pairs_blocked", "lsh_bucket_pairs"]
+__all__ = ["cosine_pairs_expr", "cosine_pairs_blocked", "lsh_bucket_pairs", "lsh_ann_topk"]
 
 _OUT_SCHEMA = "a_id bigint, b_id bigint, cos_sim double"
 
@@ -157,3 +157,75 @@ def lsh_bucket_pairs(
         .select("a_id", "b_id", sim.alias("cos_sim"))
         .filter(F.col("cos_sim") >= min_sim)
     )
+
+
+def lsh_ann_topk(
+    docs: DataFrame, qvec: list[float], *, k: int = 10,
+    id_col: str = "id", vec_col: str = "vector", metric: str = "l2",
+    n_planes: int = 16, bands: int = 8, seed: int = 42,
+    ef: int = 0, round_to: int = 6,
+) -> DataFrame:
+    """HNSW-role approximate top-k (SURVEY.md A3): random-hyperplane LSH
+    candidate generation + exact distance on candidates.
+
+    A doc is a candidate when any of its ``bands`` band signatures matches
+    the query's. ``ef`` plays the role of HNSW's efSearch: bands with fewer
+    bits per band (more bands) → more candidates → higher recall, and
+    ``ef > 0`` additionally pads the candidate set with the ef nearest by
+    full signature Hamming distance. Validated by recall-vs-flat bounds,
+    exactly how the reference validates HNSW
+    (hnsw_index_search_test.go:992-1150); the plan is a pruned exact scan,
+    so precision within the candidate set is 1.0.
+    """
+    from comet_spark.functions.vector import distance as dist_fn
+
+    dim = len(qvec)
+    planes = _random_hyperplanes(n_planes, dim, seed)
+    rows_per_band = n_planes // bands
+    q = np.asarray(qvec, dtype=np.float64)
+    qbits = (planes @ q) >= 0
+    weights = 1 << np.arange(rows_per_band, dtype=np.int64)
+    qsigs = [
+        int(qbits[b * rows_per_band : (b + 1) * rows_per_band] @ weights)
+        for b in range(bands)
+    ]
+    qfull = int(qbits @ (1 << np.arange(n_planes, dtype=np.int64)))
+
+    spark = docs.sparkSession
+    bc = spark.sparkContext.broadcast(planes)
+
+    def signatures(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pl = bc.value
+        for pdf in batches:
+            ids = pdf["id"].to_numpy(dtype=np.int64)
+            mat = np.array(pdf["v"].tolist(), dtype=np.float64)
+            bits = (mat @ pl.T) >= 0
+            full = bits @ (1 << np.arange(pl.shape[0], dtype=np.int64))
+            hit = np.zeros(len(ids), dtype=bool)
+            for b in range(bands):
+                seg = bits[:, b * rows_per_band : (b + 1) * rows_per_band]
+                hit |= (seg @ weights) == qsigs[b]
+            yield pd.DataFrame({"id": ids, "full_sig": full, "band_hit": hit})
+
+    e = docs.select(
+        F.col(id_col).cast("bigint").alias("id"), to_double_array(vec_col).alias("v")
+    )
+    sigs = e.mapInPandas(signatures, "id bigint, full_sig bigint, band_hit boolean")
+
+    cand = sigs.filter("band_hit").select("id")
+    if ef > 0:
+        ham = F.expr(f"bit_count(full_sig ^ CAST({qfull} AS BIGINT))")
+        near = (
+            sigs.select("id", ham.alias("h"))
+            .orderBy(F.col("h").asc(), F.col("id").asc())
+            .limit(ef)
+            .select("id")
+        )
+        cand = cand.union(near).distinct()
+
+    qlit = F.array(*[F.lit(float(x)) for x in qvec])
+    score = dist_fn(metric, F.col("v"), qlit)
+    if round_to is not None:
+        score = F.round(score, round_to)
+    scored = e.join(cand, "id", "left_semi").select("id", score.alias("score"))
+    return scored.orderBy(F.col("score").asc(), F.col("id").asc()).limit(k)

@@ -38,7 +38,11 @@ _FUSIONS = {
 @dataclass
 class Corpus:
     """One document table = the reference's HybridSearchIndex facade
-    (``index.go:103-139``): id + vector + text + typed metadata columns."""
+    (``index.go:103-139``): id + vector + text + typed metadata columns.
+
+    ``build_ivf(nlist)`` attaches an IVF layout; a VectorSearch with
+    ``with_nprobes(n)`` then runs the pruned scan instead of flat.
+    ``with_ef_search(ef)`` routes through the LSH ANN path (HNSW's role)."""
 
     docs: DataFrame
     id_col: str = "id"
@@ -46,11 +50,25 @@ class Corpus:
     text_col: str = "text"
     metric: str = "l2"
     _bm25: BM25 | None = None
+    _ivf: Any = None
+    _ivf_assigned: DataFrame | None = None
 
     def bm25(self) -> BM25:
         if self._bm25 is None:
             self._bm25 = BM25(self.docs, id_col=self.id_col, text_col=self.text_col)
         return self._bm25
+
+    def build_ivf(self, nlist: int, max_iter: int = 20) -> "Corpus":
+        from comet_spark.operators.ann import IVFIndex
+
+        self._ivf = IVFIndex.train(
+            self.docs, nlist, id_col=self.id_col, vec_col=self.vec_col,
+            metric=self.metric, max_iter=max_iter,
+        )
+        self._ivf_assigned = self._ivf.assign(
+            self.docs, id_col=self.id_col, vec_col=self.vec_col
+        ).cache()
+        return self
 
     def vector_search(self) -> "VectorSearch":
         return VectorSearch(self)
@@ -73,6 +91,20 @@ class VectorSearch:
     cutoff: int = -1
     _prefilter: Column | None = None
     _reranker: Any = None
+    nprobes: int = 0
+    ef_search: int = 0
+
+    def with_nprobes(self, n: int) -> "VectorSearch":
+        """IVF probing (requires ``corpus.build_ivf``); reference
+        ``index_search.go:178-182`` WithNProbes."""
+        self.nprobes = n
+        return self
+
+    def with_ef_search(self, ef: int) -> "VectorSearch":
+        """Route through the LSH ANN scan (the HNSW-role path); reference
+        ``index_search.go:195-199`` WithEfSearch."""
+        self.ef_search = ef
+        return self
 
     def with_reranker(self, fn) -> "VectorSearch":
         """Post-search hook (reference ``index_search.go:50-60`` Reranker):
@@ -138,6 +170,8 @@ class VectorSearch:
 
     def execute(self) -> DataFrame:
         c = self.corpus
+        if self.nprobes > 0 or self.ef_search > 0:
+            return self._execute_ann()
         per_query = knn(
             c.docs,
             self._query_df(),
@@ -149,11 +183,46 @@ class VectorSearch:
             prefilter=self._prefilter,
         )
         out = knn_aggregate(per_query, k=self.k, agg=self.agg, ascending=True)
+        return self._finish(out)
+
+    def _finish(self, out: DataFrame) -> DataFrame:
         if self.cutoff != -1:
             out = autocut(out, cutoff=self.cutoff, ascending=True)
         if self._reranker is not None:
             out = self._reranker(out)
         return out
+
+    def _execute_ann(self) -> DataFrame:
+        """Approximate single-query paths: IVF (nprobes) or LSH (ef)."""
+        c = self.corpus
+        qdf = self._query_df()
+        qrows = qdf.collect()
+        if len(qrows) != 1:
+            raise ValueError("approximate search paths support a single query")
+        qvec = [float(x) for x in qrows[0]["qvec"]]
+        if self.nprobes > 0:
+            if c._ivf is None:
+                raise ValueError("with_nprobes requires corpus.build_ivf(nlist)")
+            docs = c._ivf_assigned
+            if self._prefilter is not None:
+                docs = docs.join(
+                    c.docs.filter(self._prefilter).select(F.col(c.id_col)),
+                    c.id_col,
+                    "left_semi",
+                )
+            out = c._ivf.search(
+                docs, qvec, k=self.k, nprobe=self.nprobes,
+                id_col=c.id_col, vec_col=c.vec_col,
+            )
+        else:
+            from comet_spark.operators.similarity import lsh_ann_topk
+
+            docs = c.docs if self._prefilter is None else c.docs.filter(self._prefilter)
+            out = lsh_ann_topk(
+                docs, qvec, k=self.k, id_col=c.id_col, vec_col=c.vec_col,
+                metric=c.metric, ef=self.ef_search,
+            )
+        return self._finish(out)
 
 
 @dataclass
