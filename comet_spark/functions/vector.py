@@ -72,9 +72,12 @@ def normalize(a: Column) -> Column:
 def cosine_distance(a: Column, b: Column) -> Column:
     """``1 - cos_sim`` with the similarity clamped to [-1, 1]
     (reference ``distance.go:201-216``). Inputs need not be pre-normalized;
-    the reference normalizes at insert time, which is equivalent."""
-    sim = dot(a, b) / (norm(a) * norm(b))
-    clamped = F.greatest(F.lit(-1.0), F.least(F.lit(1.0), sim))
+    the reference normalizes at insert time, which is equivalent. A zero
+    vector yields NULL (try_divide — ANSI mode would otherwise raise),
+    mirroring the reference's zero-vector rejection."""
+    sim = F.try_divide(dot(a, b), norm(a) * norm(b))
+    # greatest/least skip NULLs in Spark — propagate NULL explicitly
+    clamped = F.when(sim.isNotNull(), F.greatest(F.lit(-1.0), F.least(F.lit(1.0), sim)))
     return F.lit(1.0) - clamped
 
 

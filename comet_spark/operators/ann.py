@@ -126,21 +126,30 @@ class PQIndex:
         cls, docs: DataFrame, *, m: int, nbits: int = 8,
         id_col: str = "id", vec_col: str = "vector", max_iter: int = 20,
     ) -> "PQIndex":
+        from comet_spark.training.kmeans import kmeans_train_grouped
+
         ksub = 2**nbits
         e = docs.select(F.col(id_col).alias("id"), to_double_array(vec_col).alias("v"))
         dim = len(e.select("v").first()[0])
         if dim % m != 0:
             raise ValueError(f"dim {dim} not divisible by M={m}")
         dsub = dim // m
+        # all M independent subspace clusterings share one iteration loop:
+        # ~max_iter distributed passes total instead of M*max_iter
+        sub_ids = F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("grp")
+        sliced = e.select("id", "v", sub_ids).select(
+            "grp", "id", F.expr(f"slice(v, grp * {dsub} + 1, {dsub})").alias("vector")
+        )
+        cents = kmeans_train_grouped(
+            sliced, ksub, group_col="grp", id_col="id", vec_col="vector",
+            metric="l2sq", max_iter=max_iter,
+        )
         books = []
         for sub in range(m):
-            sliced = e.select("id", F.slice("v", sub * dsub + 1, dsub).alias("vector"))
-            cents = kmeans_train(
-                sliced, ksub, id_col="id", vec_col="vector", metric="l2sq", max_iter=max_iter
-            )
-            if cents.shape[0] < ksub:  # k auto-clamped to n; pad for shape
-                cents = np.vstack([cents] + [cents[-1:]] * (ksub - cents.shape[0]))
-            books.append(cents)
+            c = cents[sub]
+            if c.shape[0] < ksub:  # k auto-clamped to n; pad for shape
+                c = np.vstack([c] + [c[-1:]] * (ksub - c.shape[0]))
+            books.append(c)
         return cls(np.stack(books))
 
     def encode(self, docs: DataFrame, *, id_col: str = "id", vec_col: str = "vector") -> DataFrame:

@@ -42,8 +42,8 @@ def autocut(results: DataFrame, *, cutoff: int = 1, ascending: bool = True) -> D
         rn.alias("__rn"),
         n.alias("__n"),
         (
-            (F.col("score") - y0) / (yn - y0)
-            - (rn - F.lit(1)).cast("double") / (n - F.lit(1)).cast("double")
+            F.try_divide(F.col("score") - y0, yn - y0)
+            - F.try_divide((rn - F.lit(1)).cast("double"), (n - F.lit(1)).cast("double"))
         ).alias("__diff"),
     )
 

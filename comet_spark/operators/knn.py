@@ -64,6 +64,9 @@ def knn(
         score = F.round(score, round_to)
 
     scored = d.crossJoin(F.broadcast(q)).select("qid", "id", score.alias("score"))
+    # cosine of a zero vector is NULL (reference rejects zero vectors,
+    # distance.go:252-255); Spark sorts NULLs first ascending, so drop them
+    scored = scored.filter(F.col("score").isNotNull())
     if threshold is not None and threshold > 0:
         scored = scored.filter(F.col("score") <= threshold)
 

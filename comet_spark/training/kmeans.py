@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 
 from comet_spark.functions.vector import to_double_array
 
-__all__ = ["kmeans_train", "assign_clusters"]
+__all__ = ["kmeans_train", "kmeans_train_grouped", "assign_clusters"]
 
 
 def _dist_block(mat: np.ndarray, cents: np.ndarray, metric: str) -> np.ndarray:
@@ -123,6 +123,109 @@ def kmeans_train(
 
     e.unpersist()
     return centroids
+
+
+def kmeans_train_grouped(
+    df: DataFrame,
+    k: int,
+    *,
+    group_col: str = "grp",
+    id_col: str = "id",
+    vec_col: str = "vector",
+    metric: str = "l2sq",
+    max_iter: int = 20,
+) -> dict[int, np.ndarray]:
+    """Train one independent k-means per group in a SHARED iteration loop.
+
+    Semantically identical to calling :func:`kmeans_train` per group (same
+    init, same updates) but every iteration is ONE distributed pass over
+    all groups instead of one per group — this is what makes PQ training
+    (M independent subspace clusterings, ``pq_index.go:180-247``) cost
+    ~max_iter jobs instead of ~M·max_iter. Returns {group: k×d centroids}.
+    """
+    spark = df.sparkSession
+    e = df.select(
+        F.col(group_col).cast("bigint").alias("g"),
+        F.col(id_col).alias("id"),
+        to_double_array(vec_col).alias("v"),
+    ).cache()
+
+    # per-group uniform-spacing init over id order
+    w = Window.partitionBy("g").orderBy("id")
+    counts = {r["g"]: r["n"] for r in e.groupBy("g").agg(F.count("*").alias("n")).collect()}
+    wanted: dict[int, list[int]] = {}
+    for g, n in counts.items():
+        kk = min(k, n)
+        step = max(n // kk, 1)
+        wanted[g] = sorted({min(j * step, n - 1) + 1 for j in range(kk)})
+    wanted_df = spark.createDataFrame(
+        [(g, rn) for g, rns in wanted.items() for rn in rns], "g bigint, __rn int"
+    )
+    init = (
+        e.withColumn("__rn", F.row_number().over(w))
+        .join(F.broadcast(wanted_df), ["g", "__rn"])
+        .collect()
+    )
+    cents: dict[int, np.ndarray] = {}
+    for g, rns in wanted.items():
+        rows = sorted(
+            (r for r in init if r["g"] == g and r["__rn"] in set(rns)),
+            key=lambda r: r["__rn"],
+        )
+        c = np.array([r["v"] for r in rows], dtype=np.float64)
+        while c.shape[0] < min(k, counts[g]):
+            c = np.vstack([c, c[-1]])
+        cents[g] = c
+
+    for _ in range(max_iter):
+        bc = spark.sparkContext.broadcast(cents)
+
+        def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            cc = bc.value
+            acc_sum: dict[tuple[int, int], np.ndarray] = {}
+            acc_cnt: dict[tuple[int, int], int] = {}
+            for pdf in batches:
+                for g, sub in pdf.groupby("g"):
+                    mat = np.array(sub["v"].tolist(), dtype=np.float64)
+                    a = np.argmin(_dist_block(mat, cc[g], metric), axis=1)
+                    for cid in np.unique(a):
+                        key = (int(g), int(cid))
+                        sel = mat[a == cid]
+                        if key in acc_sum:
+                            acc_sum[key] += sel.sum(axis=0)
+                            acc_cnt[key] += len(sel)
+                        else:
+                            acc_sum[key] = sel.sum(axis=0)
+                            acc_cnt[key] = len(sel)
+            if acc_sum:
+                yield pd.DataFrame(
+                    {
+                        "g": [g for g, _ in acc_sum],
+                        "cluster_id": [c for _, c in acc_sum],
+                        "psum": [list(s) for s in acc_sum.values()],
+                        "pcount": list(acc_cnt.values()),
+                    }
+                )
+
+        rows = e.mapInPandas(
+            partials, "g bigint, cluster_id bigint, psum array<double>, pcount bigint"
+        ).collect()
+        new = {g: c.copy() for g, c in cents.items()}
+        sums = {g: np.zeros_like(c) for g, c in cents.items()}
+        cnts = {g: np.zeros(c.shape[0], dtype=np.int64) for g, c in cents.items()}
+        for r in rows:
+            sums[r["g"]][r["cluster_id"]] += np.array(r["psum"])
+            cnts[r["g"]][r["cluster_id"]] += r["pcount"]
+        for g in new:
+            nz = cnts[g] > 0
+            new[g][nz] = sums[g][nz] / cnts[g][nz, None]
+        bc.unpersist()
+        if all(np.array_equal(new[g], cents[g]) for g in cents):
+            break
+        cents = new
+
+    e.unpersist()
+    return cents
 
 
 def assign_clusters(

@@ -141,3 +141,17 @@ def test_filter_groups(meta_docs):
         Eq(Field("opt"), "y")
     )
     assert _ids(meta_docs, pred2) == [1, 2, 3]
+
+
+def test_zero_vector_cosine_excluded(spark):
+    rows = [(1, [1.0, 0.0]), (2, [0.0, 0.0]), (3, [0.5, 0.5])]
+    docs = spark.createDataFrame(rows, "id bigint, vector array<double>")
+    got = knn(docs, _q(spark, [1.0, 0.0]), k=10, metric="cosine").collect()
+    # zero vector (id 2) must not appear (reference rejects zero vectors)
+    assert [r["id"] for r in got] == [1, 3]
+
+
+def test_where_or_logic_within_group(spark, meta_docs):
+    pred = Where(Eq(Field("category"), "books"), Eq(Field("opt"), "x"), logic="or")
+    got = sorted(r["id"] for r in meta_docs.filter(pred.expr()).collect())
+    assert got == [2, 3]
