@@ -71,6 +71,20 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+# BM25 'index build' memoized per (session, corpus): several queries share
+# one cached postings table, like the reference's in-memory inverted index
+_BM25_CACHE: dict[tuple[int, str], BM25] = {}
+
+
+def _bm25_index(spark: SparkSession, sf_dir: str) -> BM25:
+    key = (id(spark), sf_dir)
+    if key not in _BM25_CACHE:
+        _BM25_CACHE[key] = BM25(
+            _t(spark, sf_dir, "documents"), id_col="doc_id", text_col="text", cache=True
+        )
+    return _BM25_CACHE[key]
+
+
 def _emb_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _t(spark, sf_dir, "embeddings").select(
         F.col("vec_id").alias("id"), F.col("embedding").alias("vector"), "label"
@@ -274,8 +288,7 @@ def _sql_bm25_score(query: str, cand_where: str = "TRUE", suffix: str = "") -> s
 
 
 def _bm25_single(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
-    bm = BM25(docs, id_col="doc_id", text_col="text")
+    bm = _bm25_index(spark, sf_dir)
     return bm.score(BM25_QUERY, k=K).select(F.col("id").alias("doc_id"), "score")
 
 
@@ -289,7 +302,7 @@ _register(
 
 def _bm25_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
-    corpus = Corpus(docs, id_col="doc_id", text_col="text")
+    corpus = Corpus(docs, id_col="doc_id", text_col="text", _bm25=_bm25_index(spark, sf_dir))
     res = corpus.text_search().with_query(BM25_QUERY, BM25_QUERY_2).with_k(K).execute()
     return res.select(F.col("id").alias("doc_id"), "score")
 
@@ -324,7 +337,7 @@ def _hybrid_corpus(spark: SparkSession, sf_dir: str) -> Corpus:
         docs["lang"],
         docs["source"],
     )
-    return Corpus(joined, metric="l2")
+    return Corpus(joined, metric="l2", _bm25=_bm25_index(spark, sf_dir))
 
 
 def _hybrid_qvec(spark: SparkSession, sf_dir: str) -> list[float]:
@@ -413,6 +426,77 @@ _register(
 WITH {_sql_hybrid_ctes()}
 SELECT vres.id AS doc_id, ROUND(least(vres.score, tres.score), 6) AS score
 FROM vres JOIN tres ON vres.id = tres.id
+ORDER BY score DESC, doc_id LIMIT {K}
+""",
+)
+
+
+def _hybrid_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FilterGroups through the hybrid builder: (lang='en' AND source='src1')
+    OR (lang='de') candidates → vector + BM25 → RRF."""
+    corpus = _hybrid_corpus(spark, sf_dir)
+    groups = Where(Eq(Field("lang"), "en"), Eq(Field("source"), "src1")).Or(
+        Eq(Field("lang"), "de")
+    )
+    hs = (
+        corpus.hybrid_search()
+        .with_vector(_hybrid_qvec(spark, sf_dir))
+        .with_text(BM25_QUERY)
+        .with_metadata_groups(groups)
+        .with_k(K)
+        .with_fusion("rrf")
+    )
+    return hs.execute().select(F.col("id").alias("doc_id"), "score")
+
+
+def _sql_hybrid_groups_ctes() -> str:
+    cand = "((lang = 'en' AND source = 'src1') OR lang = 'de')"
+    return f"""
+q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = {QUERY_VEC_ID}),
+ev AS (SELECT d.doc_id AS id, e.embedding::DOUBLE[] AS v
+       FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id WHERE {cand}),
+vd AS (SELECT ev.id, ROUND({_sql_l2('ev.v', 'q.qv')}, 6) AS score FROM ev, q),
+vres AS (SELECT id, score FROM vd ORDER BY score, id LIMIT {K}),
+{_sql_bm25_ctes().strip().rstrip(',')},
+{_sql_bm25_score(BM25_QUERY, cand_where=cand)},
+tres AS (SELECT id, ROUND(score, 6) AS score FROM sc ORDER BY score DESC, id LIMIT {K})
+"""
+
+
+_register(
+    "hybrid_filter_groups",
+    _hybrid_groups,
+    f"""
+WITH {_sql_hybrid_groups_ctes()},
+vrank AS (SELECT id, row_number() OVER (ORDER BY score ASC, id ASC) - 1 AS r FROM vres),
+trank AS (SELECT id, row_number() OVER (ORDER BY score DESC, id ASC) - 1 AS r FROM tres)
+SELECT coalesce(vrank.id, trank.id) AS doc_id,
+       ROUND(coalesce(1.0/(60.0 + vrank.r), 0) + coalesce(1.0/(60.0 + trank.r), 0), 6) AS score
+FROM vrank FULL OUTER JOIN trank ON vrank.id = trank.id
+ORDER BY score DESC, doc_id LIMIT {K}
+""",
+)
+
+
+def _bm25_multi_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D4 text Max aggregation across two queries (sort desc)."""
+    bm = _bm25_index(spark, sf_dir)
+    both = bm.score(BM25_QUERY, k=K).unionByName(bm.score(BM25_QUERY_2, k=K))
+    res = knn_aggregate(both, k=K, agg="max", ascending=False)
+    return res.select(F.col("id").alias("doc_id"), "score")
+
+
+_register(
+    "bm25_multi_max",
+    _bm25_multi_max,
+    f"""
+WITH {_sql_bm25_ctes()},
+{_sql_bm25_score(BM25_QUERY, suffix='1')},
+{_sql_bm25_score(BM25_QUERY_2, suffix='2')},
+t1 AS (SELECT id, ROUND(score, 6) AS score FROM sc1 ORDER BY score DESC, id LIMIT {K}),
+t2 AS (SELECT id, ROUND(score, 6) AS score FROM sc2 ORDER BY score DESC, id LIMIT {K}),
+u AS (SELECT * FROM t1 UNION ALL SELECT * FROM t2)
+SELECT id AS doc_id, ROUND(max(score), 6) AS score FROM u GROUP BY id
 ORDER BY score DESC, doc_id LIMIT {K}
 """,
 )

@@ -44,14 +44,24 @@ def tokenize_py(text: str) -> list[str]:
 
 
 class BM25:
-    """A BM25 'index' = three small derived DataFrames over a corpus."""
+    """A BM25 'index' = three small derived DataFrames over a corpus.
 
-    def __init__(self, docs: DataFrame, *, id_col: str = "id", text_col: str = "text"):
+    ``cache=True`` persists the postings/doc-stats (the 'index build'):
+    right when several queries hit the same corpus — exactly the situation
+    the reference's in-memory inverted index optimizes for.
+    """
+
+    def __init__(
+        self, docs: DataFrame, *, id_col: str = "id", text_col: str = "text",
+        cache: bool = False,
+    ):
         toks = docs.select(
             F.col(id_col).alias("id"), F.explode(tokenize(text_col)).alias("term")
         )
         # tf per (doc, term); doc length per doc
         self.postings = toks.groupBy("id", "term").agg(F.count("*").alias("tf"))
+        if cache:
+            self.postings = self.postings.cache()
         self.doc_len = toks.groupBy("id").agg(F.count("*").alias("dl"))
         # document frequency per term
         self.df = self.postings.groupBy("term").agg(F.count("*").alias("df"))

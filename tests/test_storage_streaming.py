@@ -105,3 +105,36 @@ def test_real_decode_is_gated(spark):
     media = attach_media_stub(spark.range(0, 3).select(F.col("id").alias("doc_id")))
     with pytest.raises(NotImplementedError):
         frame_sample(media, decode_mode="real")
+
+
+def test_streaming_windowed_aggregation(spark, tmp_path):
+    """windowed_event_counts over an actual stream (file source → memory
+    sink), not just the batch twin."""
+    src_dir = str(tmp_path / "events_in")
+    rows = [
+        ("2024-01-01 00:10:00", "click"),
+        ("2024-01-01 00:50:00", "click"),
+        ("2024-01-01 01:10:00", "view"),
+    ]
+    df = spark.createDataFrame(rows, "ts string, event_type string").select(
+        F.col("ts").cast("timestamp").alias("ts"), "event_type"
+    )
+    df.coalesce(1).write.mode("append").parquet(src_dir)
+
+    stream = spark.readStream.schema("ts timestamp, event_type string").parquet(src_dir)
+    agg = windowed_event_counts(stream)
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("win_counts")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (str(r["window_start"]), r["event_type"]): r["n_events"]
+        for r in spark.sql("select * from win_counts").collect()
+    }
+    assert got[("2024-01-01 00:00:00", "click")] == 2
+    assert got[("2024-01-01 01:00:00", "view")] == 1
