@@ -5,12 +5,13 @@ plans ``TakeOrderedAndProject`` — each task keeps a size-k heap and the
 driver merges k·P rows; this is the distributed analog of the reference's
 pooled min-heap top-k (reference ``bm25_index_search.go:358-396``).
 
-Per-group top-k with few groups (e.g. 3 query vectors over 10^9 docs) would
-naively shuffle *every* row to one reducer per group. ``topk_per_group``
-avoids that with a two-stage plan: a local top-k per (group, input
-partition) — the window partition key includes ``spark_partition_id()``, so
-stage 1 is evenly spread across the cluster — followed by a global window
-over at most k·P survivors per group.
+Per-group top-k is a ``row_number()`` window + rank filter. Spark's
+rank-limit pushdown (``WindowGroupLimit``, 3.5+) turns that into a
+two-stage plan automatically: a *partial* group-limit runs in each input
+partition before the exchange (only k rows per group per partition
+shuffle), then the final window ranks the k·P survivors — verified in
+``tests/test_plans.py``. Hand-rolled salting would add a second exchange
+for nothing, so we deliberately emit the plain window.
 """
 
 from __future__ import annotations
@@ -40,13 +41,10 @@ def topk_per_group(
     order: Sequence[Column],
     k: int,
     rank_col: str | None = None,
-    local_prefilter: bool = True,
 ) -> DataFrame:
     """Deterministic top-k rows per group; optional 0-based ``rank_col``.
 
-    Stage 1 (when ``local_prefilter``) cuts each group to k rows per input
-    partition without a data-dependent shuffle key imbalance; stage 2 ranks
-    the survivors. ``order`` must totally order rows within a group.
+    ``order`` must totally order rows within a group (include the id).
     """
     if not group_cols:
         out = topk(df, order, k)
@@ -54,14 +52,6 @@ def topk_per_group(
             w = Window.orderBy(*order)
             out = out.withColumn(rank_col, F.row_number().over(w) - 1)
         return out
-
-    if local_prefilter and k > 0:
-        local = Window.partitionBy(*group_cols, F.spark_partition_id()).orderBy(*order)
-        df = (
-            df.withColumn("__local_rn", F.row_number().over(local))
-            .filter(F.col("__local_rn") <= k)
-            .drop("__local_rn")
-        )
 
     w = Window.partitionBy(*group_cols).orderBy(*order)
     out = df.withColumn("__rn", F.row_number().over(w))

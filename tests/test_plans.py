@@ -63,3 +63,18 @@ def test_bm25_query_terms_broadcast(spark):
     bm = BM25(docs, id_col="doc_id", text_col="text")
     plan = _plan(bm.score("spark table join", k=10))
     assert "BroadcastHashJoin" in plan
+
+
+def test_per_group_topk_partial_limit_before_exchange(spark, emb):
+    """Spark's rank-limit pushdown must give us the two-stage top-k: a
+    partial WindowGroupLimit BEFORE the exchange (local pruning), then the
+    final one after — i.e. only ~k rows per group per partition shuffle."""
+    from comet_spark.operators.topk import topk_per_group
+
+    q = spark.createDataFrame(
+        [(i, [0.0] * 64) for i in range(3)], "qid bigint, qvec array<double>"
+    )
+    df = knn(emb, q, k=10)
+    plan = _plan(df)
+    pre, _, post = plan.partition("Exchange")
+    assert "WindowGroupLimit" in pre and "WindowGroupLimit" in post
