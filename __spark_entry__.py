@@ -1245,6 +1245,28 @@ SELECT a_id, b_id, jaccard FROM j WHERE jaccard >= {MIN_JACCARD}
 """,
 )
 
+def _minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from comet_spark.operators.dedup import minhash_signatures
+
+    sig = minhash_signatures(
+        _t(spark, sf_dir, "documents"), n=NGRAM_N, n_hashes=N_HASHES
+    )
+    return sig.select(F.col("id").alias("doc_id"), "i", "mh")
+
+
+_register(
+    "minhash_signatures",
+    _minhash_sigs,
+    f"""
+WITH {_SQL_SHINGLES},
+h AS (SELECT id, (('0x' || substr(md5(shingle), 1, 8))::BIGINT % 2147483647) AS h FROM sh),
+{_sql_minhash_coeffs()}
+SELECT id AS doc_id, i, min((a * h + b) % 2147483647) AS mh
+FROM h CROSS JOIN co GROUP BY id, i
+""",
+)
+
+
 _SQL_SIMHASH = f"""
 tok AS (SELECT doc_id AS id, {_SQL_TOKENIZE.format(col='text')} AS toks FROM documents),
 tf AS (SELECT id, term, count(*) AS tf

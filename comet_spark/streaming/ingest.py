@@ -16,7 +16,7 @@ from pyspark.sql.streaming import StreamingQuery
 
 from comet_spark.storage.store import DocumentStore
 
-__all__ = ["stream_into_store", "windowed_event_counts"]
+__all__ = ["stream_into_store", "windowed_event_counts", "sessionize_stream"]
 
 
 def stream_into_store(
@@ -39,6 +39,70 @@ def stream_into_store(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def sessionize_stream(
+    events: DataFrame,
+    *,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    gap_minutes: int = 30,
+) -> DataFrame:
+    """Custom stateful streaming operator via ``applyInPandasWithState``:
+    gap-based sessions per user; emits a row per CLOSED session, keeps the
+    open session in group state across micro-batches. This is the
+    Spark-native home for operators the reference would hand-roll
+    (SURVEY.md §2.J notes comet has no event-time/state machinery)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def fn(key, pdfs, state: GroupState):
+        parts = [pdf for pdf in pdfs if len(pdf)]
+        if not parts:
+            return
+        ts = (
+            pd.concat(parts)[ts_col]
+            .astype("datetime64[us]")
+            .astype("int64")
+            .sort_values()
+            .to_numpy()
+        )
+        if state.exists:
+            start, last, count = state.get
+        else:
+            start, last, count = None, None, 0
+
+        closed = []
+        for t in ts:
+            t = int(t)
+            if start is None:
+                start, last, count = t, t, 1
+            elif t - last > gap_us:
+                closed.append((start, last, count))
+                start, last, count = t, t, 1
+            else:
+                last, count = t, count + 1
+        state.update((start, last, count))
+        if closed:
+            yield pd.DataFrame(
+                {
+                    user_col: [key[0]] * len(closed),
+                    "session_start": pd.to_datetime([c[0] for c in closed], unit="us"),
+                    "session_end": pd.to_datetime([c[1] for c in closed], unit="us"),
+                    "n_events": [c[2] for c in closed],
+                }
+            )
+
+    return events.groupBy(user_col).applyInPandasWithState(
+        fn,
+        outputStructType=f"{user_col} bigint, session_start timestamp, "
+        "session_end timestamp, n_events bigint",
+        stateStructType="start bigint, last bigint, count bigint",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
 
 
 def windowed_event_counts(

@@ -138,3 +138,72 @@ def test_streaming_windowed_aggregation(spark, tmp_path):
     }
     assert got[("2024-01-01 00:00:00", "click")] == 2
     assert got[("2024-01-01 01:00:00", "view")] == 1
+
+
+def test_search_over_store_roundtrip(spark, store):
+    """§3.3 persistent-search lifecycle: hybrid corpus served from the
+    store (hot segment + soft deletes) gives the same k-NN as the source,
+    and the serialization round-trip (A8) loses nothing."""
+    import pyspark.sql.functions as F
+    from comet_spark.operators.knn import knn
+    from tests.conftest import SF_DIR_SMALL
+
+    emb = spark.read.parquet(f"{SF_DIR_SMALL}/embeddings.parquet").select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vector")
+    )
+    base = emb.filter(F.col("id") < 400)
+    hot = emb.filter(F.col("id") >= 400)
+    store.append(base)
+    store.append(hot)  # hot segment
+    store.delete(spark.createDataFrame([(7,), (13,)], "id bigint"))
+
+    qdf = emb.filter(F.col("id") == 0).select(
+        F.lit(0).alias("qid"), F.col("vector").alias("qvec")
+    )
+    direct = knn(emb.join(spark.createDataFrame([(7,), (13,)], "id bigint"), "id", "left_anti"),
+                 qdf, k=10).collect()
+    via_store = knn(store.read(), qdf, k=10).collect()
+    assert [tuple(r) for r in via_store] == [tuple(r) for r in direct]
+    assert all(r["id"] not in (7, 13) for r in via_store)
+
+    store.compact()
+    after = knn(store.read(), qdf, k=10).collect()
+    assert [tuple(r) for r in after] == [tuple(r) for r in direct]
+
+
+def test_stateful_sessionize_stream(spark, tmp_path):
+    """applyInPandasWithState sessionization: closed sessions emit, the
+    open session stays in group state."""
+    from comet_spark.streaming.ingest import sessionize_stream
+
+    rows = [
+        # user 1: session A (2 events), then a 2h gap -> session B (open)
+        (1, "2024-01-01 00:00:00"),
+        (1, "2024-01-01 00:10:00"),
+        (1, "2024-01-01 02:30:00"),
+        # user 2: one open session
+        (2, "2024-01-01 00:05:00"),
+    ]
+    src_dir = str(tmp_path / "sess_in")
+    df = spark.createDataFrame(rows, "user_id bigint, ts string").select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts")
+    )
+    df.coalesce(1).write.mode("append").parquet(src_dir)
+
+    stream = spark.readStream.schema("user_id bigint, ts timestamp").parquet(src_dir)
+    q = (
+        sessionize_stream(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("sessions")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt3"))
+        .start()
+    )
+    q.awaitTermination(120)
+    got = [
+        (r["user_id"], str(r["session_start"]), str(r["session_end"]), r["n_events"])
+        for r in spark.sql("select * from sessions").collect()
+    ]
+    # only user 1's first session closed (2 events, 00:00-00:10)
+    assert got == [(1, "2024-01-01 00:00:00", "2024-01-01 00:10:00", 2)]
