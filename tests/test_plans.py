@@ -78,3 +78,32 @@ def test_per_group_topk_partial_limit_before_exchange(spark, emb):
     plan = _plan(df)
     pre, _, post = plan.partition("Exchange")
     assert "WindowGroupLimit" in pre and "WindowGroupLimit" in post
+
+
+def test_bucketed_join_skips_exchange(spark, tmp_path):
+    """Co-located joins (SCALE.md): bucketing both tables on the join key
+    removes the shuffle — SortMergeJoin with no Exchange on either side."""
+    li = spark.read.parquet(f"{SF_DIR_SMALL}/lineitem.parquet").select(
+        "l_orderkey", "l_quantity"
+    )
+    orders = spark.read.parquet(f"{SF_DIR_SMALL}/orders.parquet").select(
+        "o_orderkey", "o_totalprice"
+    )
+    # default warehouse dir (spark-warehouse/, gitignored) — warehouse.dir
+    # is a static conf and can't be set per-test
+    li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").mode("overwrite").saveAsTable("li_b")
+    orders.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").mode("overwrite").saveAsTable("ord_b")
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = spark.table("li_b").join(
+            spark.table("ord_b"), F.col("l_orderkey") == F.col("o_orderkey")
+        )
+        plan = _plan(j)
+        assert "SortMergeJoin" in plan
+        assert "Exchange hashpartitioning" not in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS li_b")
+        spark.sql("DROP TABLE IF EXISTS ord_b")
