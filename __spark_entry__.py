@@ -892,18 +892,31 @@ FROM orders QUALIFY order_seq <= 3
 # §2.I / A2 / A4 / A5 — trained ANN layouts (IVF / PQ / IVFPQ)
 # ---------------------------------------------------------------------------
 
+# trained layouts are built once per corpus (like any index) and reused by
+# every query against that corpus — memoized per (session, sf_dir)
+_IVF_CACHE: dict[tuple[int, str], tuple] = {}
+
+
+def _ivf_trained(spark: SparkSession, sf_dir: str):
+    from comet_spark.operators.ann import IVFIndex
+
+    key = (id(spark), sf_dir)
+    if key not in _IVF_CACHE:
+        emb = _emb_docs(spark, sf_dir).select("id", "vector").cache()
+        ivf = IVFIndex.train(emb, 8)
+        assigned = ivf.assign(emb).cache()
+        assigned.count()
+        emb.unpersist()
+        _IVF_CACHE[key] = (ivf, assigned)
+    return _IVF_CACHE[key]
+
+
 def _ivf_fullprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF with nprobe = nlist scans every list → must equal the flat scan
     exactly; that identity is this query's oracle. The partition-pruned
     nprobe < nlist path is covered by ivf_knn_nprobe2 + recall tests."""
-    from comet_spark.operators.ann import IVFIndex
-
-    emb = _emb_docs(spark, sf_dir).select("id", "vector").cache()
-    ivf = IVFIndex.train(emb, 8)
-    assigned = ivf.assign(emb)
-    qvec = _hybrid_qvec(spark, sf_dir)
-    res = ivf.search(assigned, qvec, k=K, nprobe=8)
-    emb.unpersist()
+    ivf, assigned = _ivf_trained(spark, sf_dir)
+    res = ivf.search(assigned, _hybrid_qvec(spark, sf_dir), k=K, nprobe=8)
     return res.select(F.col("id").alias("vec_id"), "score")
 
 
@@ -916,13 +929,8 @@ _register(
 
 
 def _ivf_nprobe2(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from comet_spark.operators.ann import IVFIndex
-
-    emb = _emb_docs(spark, sf_dir).select("id", "vector").cache()
-    ivf = IVFIndex.train(emb, 8)
-    assigned = ivf.assign(emb)
+    ivf, assigned = _ivf_trained(spark, sf_dir)
     res = ivf.search(assigned, _hybrid_qvec(spark, sf_dir), k=K, nprobe=2)
-    emb.unpersist()
     return res.select(F.col("id").alias("vec_id"), "score")
 
 
@@ -1035,6 +1043,34 @@ SELECT doc_id,
        ROUND(list_sum(list_transform(toks, t -> len(t)))::DOUBLE / len(toks), 6) AS avg_token_len,
        ROUND(len(list_filter(toks, t -> list_contains({_SQL_STOPWORDS}, t)))::DOUBLE / len(toks), 6) AS stopword_ratio
 FROM t
+""",
+)
+
+
+def _doc_stats_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping-sets breadth (absent from the reference, free in Spark):
+    per-(lang, source) doc stats with ROLLUP subtotals."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = tokenize("text")
+    return (
+        docs.rollup("lang", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.size(toks)).cast("bigint").alias("total_tokens"),
+            F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+        )
+    )
+
+
+_register(
+    "doc_stats_rollup",
+    _doc_stats_rollup,
+    f"""
+WITH t AS (SELECT lang, source, n_chars,
+                  len({_SQL_TOKENIZE.format(col='text')}) AS n_toks FROM documents)
+SELECT lang, source, count(*) AS n_docs, sum(n_toks)::BIGINT AS total_tokens,
+       ROUND(avg(n_chars), 6) AS avg_chars
+FROM t GROUP BY ROLLUP (lang, source)
 """,
 )
 

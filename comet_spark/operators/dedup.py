@@ -65,13 +65,18 @@ def ngram_jaccard_pairs(
     docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text",
     n: int = 3, min_jaccard: float = 0.3, round_to: int = 6,
     candidates: DataFrame | None = None,
+    shingles_df: DataFrame | None = None,
 ) -> DataFrame:
     """Exact jaccard over shingle sets → (a_id, b_id, jaccard).
 
     Without ``candidates`` this is the exact O(pairs-sharing-a-shingle)
     join; with a candidate DataFrame (from LSH) it verifies only those.
+    ``shingles_df`` lets a caller reuse an already-computed (cached)
+    shingle table.
     """
-    sh = shingles(docs, id_col=id_col, text_col=text_col, n=n)
+    sh = shingles_df if shingles_df is not None else shingles(
+        docs, id_col=id_col, text_col=text_col, n=n
+    )
     cnt = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
 
     if candidates is None:
@@ -104,21 +109,22 @@ def ngram_jaccard_pairs(
 
 def minhash_signatures(
     docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text",
-    n: int = 3, n_hashes: int = 16,
+    n: int = 3, n_hashes: int = 16, shingles_df: DataFrame | None = None,
 ) -> DataFrame:
     """→ (id, i, mh): minhash value per doc per hash function."""
-    sh = shingles(docs, id_col=id_col, text_col=text_col, n=n)
+    sh = shingles_df if shingles_df is not None else shingles(
+        docs, id_col=id_col, text_col=text_col, n=n
+    )
     h = sh.select("id", (_hash32(F.col("shingle")) % MINHASH_P).alias("h"))
-    spark = docs.sparkSession
-    coeffs = spark.createDataFrame(
-        [(i, a, b) for i, (a, b) in enumerate(minhash_coeffs(n_hashes))],
-        "i int, a bigint, b bigint",
-    )
-    return (
-        h.crossJoin(F.broadcast(coeffs))
-        .groupBy("id", "i")
-        .agg(F.min((F.col("a") * F.col("h") + F.col("b")) % MINHASH_P).alias("mh"))
-    )
+    # all n_hashes minima in ONE aggregation (no n_hashes× row blowup;
+    # map-side combine applies), then unpivot the wide row to (id, i, mh)
+    aggs = [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % MINHASH_P).alias(f"mh{i}")
+        for i, (a, b) in enumerate(minhash_coeffs(n_hashes))
+    ]
+    wide = h.groupBy("id").agg(*aggs)
+    stack = ", ".join(f"{i}, mh{i}" for i in range(n_hashes))
+    return wide.selectExpr("id", f"stack({n_hashes}, {stack}) AS (i, mh)")
 
 
 def minhash_lsh_pairs(
@@ -131,7 +137,10 @@ def minhash_lsh_pairs(
     With 4 bands × 4 rows a pair at jaccard j collides with prob
     1 − (1 − j⁴)⁴ (≈ 0.93 at j = 0.7, ≈ 0.03 at j = 0.2)."""
     rows_per_band = n_hashes // bands
-    sig = minhash_signatures(docs, id_col=id_col, text_col=text_col, n=n, n_hashes=n_hashes)
+    # the shingle table feeds both signature generation and the exact
+    # verification — compute once, cache across the two passes
+    sh = shingles(docs, id_col=id_col, text_col=text_col, n=n).cache()
+    sig = minhash_signatures(sh, id_col="id", text_col=text_col, n=n, n_hashes=n_hashes, shingles_df=sh)
     banded = sig.withColumn("band", (F.col("i") / rows_per_band).cast("int"))
     # band signature: md5 over the ordered minhash values
     bsig = banded.groupBy("id", "band").agg(
@@ -155,6 +164,7 @@ def minhash_lsh_pairs(
     return ngram_jaccard_pairs(
         docs, id_col=id_col, text_col=text_col, n=n,
         min_jaccard=min_jaccard, round_to=round_to, candidates=cand,
+        shingles_df=sh,
     )
 
 
