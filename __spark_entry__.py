@@ -323,6 +323,49 @@ ORDER BY score DESC, doc_id LIMIT {K}
 )
 
 
+# batch text retrieval: 50 queries (first 8 tokens of docs 0..49) scored in
+# ONE job — the text-side twin of knn_batch100
+N_TEXT_QUERIES = 50
+
+
+def _bm25_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    qterms = (
+        docs.filter(F.col("doc_id") < N_TEXT_QUERIES)
+        .select(
+            F.col("doc_id").alias("qid"),
+            F.explode(F.slice(tokenize("text"), 1, 8)).alias("term"),
+        )
+        .groupBy("qid", "term")
+        .agg(F.count("*").cast("double").alias("qtf"))
+    )
+    res = _bm25_index(spark, sf_dir).score_batch(qterms, k=K)
+    return res.select("qid", F.col("id").alias("doc_id"), "score")
+
+
+_register(
+    "bm25_batch50",
+    _bm25_batch,
+    f"""
+WITH {_sql_bm25_ctes()},
+qt AS (SELECT doc_id AS qid, term, count(*)::DOUBLE AS qtf
+       FROM (SELECT doc_id, unnest(({_SQL_TOKENIZE.format(col='text')})[1:8]) AS term
+             FROM documents WHERE doc_id < {N_TEXT_QUERIES})
+       GROUP BY qid, term),
+sc AS (SELECT qt.qid, tf.id,
+              sum(qt.qtf * ln((st.n_docs - dft.df + 0.5)/(dft.df + 0.5) + 1.0)
+                  * (tf.tf * (1.2 + 1.0)) / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * (dl.dl / st.avgdl)))) AS score
+       FROM tf JOIN qt USING (term) JOIN dl USING (id) JOIN dft USING (term) CROSS JOIN st
+       GROUP BY qt.qid, tf.id)
+SELECT qid, id AS doc_id, score FROM
+  (SELECT qid, id, ROUND(score, 6) AS score,
+          row_number() OVER (PARTITION BY qid ORDER BY ROUND(score, 6) DESC, id) AS rn
+   FROM sc)
+WHERE rn <= {K}
+""",
+)
+
+
 # ---------------------------------------------------------------------------
 # §3.2 hybrid search — metadata prefilter + vector + BM25 + fusion
 # ---------------------------------------------------------------------------
@@ -1515,6 +1558,57 @@ s AS (SELECT user_id, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id FROM g)
 SELECT user_id, count(DISTINCT session_id) AS n_sessions, count(*) AS n_events
 FROM s GROUP BY user_id
+""",
+)
+
+
+# as-of (point-in-time) join: latest order per customer at or before each
+# event, on day granularity (calendar-pure on both engines)
+def _asof_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from comet_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        (F.col("ts") / F.lit(86_400_000_000_000)).cast("bigint").alias("event_day"),
+    )
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .select(
+            F.col("o_custkey"),
+            F.datediff(
+                F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")
+            ).cast("bigint").alias("order_day"),
+            "o_orderkey",
+        )
+        .groupBy("o_custkey", "order_day")
+        .agg(F.max("o_orderkey").alias("o_orderkey"))  # unique per (key, t)
+    )
+    joined = asof_join(
+        ev.withColumnRenamed("user_id", "k"),
+        orders.withColumnRenamed("o_custkey", "k"),
+        on="k",
+        left_time="event_day",
+        right_time="order_day",
+        right_cols=["o_orderkey"],
+    )
+    return joined.select(
+        "event_id", F.col("k").alias("user_id"), "event_day", "o_orderkey"
+    )
+
+
+_register(
+    "asof_latest_order",
+    _asof_latest_order,
+    """
+WITH ev AS (SELECT event_id, user_id,
+                   CAST(floor(epoch_ns(ts) / 86400000000000) AS BIGINT) AS event_day
+            FROM events),
+o AS (SELECT o_custkey, (o_orderdate::DATE - DATE '1970-01-01')::BIGINT AS order_day,
+             max(o_orderkey) AS o_orderkey
+      FROM orders GROUP BY o_custkey, order_day)
+SELECT ev.event_id, ev.user_id, ev.event_day, o.o_orderkey
+FROM ev ASOF LEFT JOIN o ON ev.user_id = o.o_custkey AND ev.event_day >= o.order_day
 """,
 )
 

@@ -75,6 +75,35 @@ class BM25:
             (F.sum(F.coalesce("dl", F.lit(0))) / F.count("*")).alias("avgdl"),
         )
 
+    def score_batch(
+        self,
+        query_terms: DataFrame,
+        *,
+        k: int = 10,
+        round_to: int | None = 6,
+    ) -> DataFrame:
+        """Batch retrieval: ``query_terms`` is ``(qid, term, qtf)``; returns
+        top-k ``(qid, id, score)`` per query — one job for the whole batch,
+        so per-query overhead amortizes (the realistic serving shape)."""
+        from comet_spark.operators.topk import topk_per_group
+
+        matched = (
+            self.postings.join(F.broadcast(query_terms), "term")
+            .join(self.doc_len, "id")
+            .join(F.broadcast(self.df), "term")
+            .crossJoin(F.broadcast(self.stats))
+        )
+        idf = F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+        tf = F.col("tf").cast("double")
+        denom = tf + K1 * (1.0 - B + B * (F.col("dl") / F.col("avgdl")))
+        term_score = F.col("qtf") * idf * (tf * (K1 + 1.0)) / denom
+        scored = matched.groupBy("qid", "id").agg(F.sum(term_score).alias("score"))
+        if round_to is not None:
+            scored = scored.withColumn("score", F.round("score", round_to))
+        return topk_per_group(
+            scored, ["qid"], [F.col("score").desc(), F.col("id").asc()], k
+        ).select("qid", "id", "score")
+
     def score(
         self,
         query: str,

@@ -155,3 +155,24 @@ def test_where_or_logic_within_group(spark, meta_docs):
     pred = Where(Eq(Field("category"), "books"), Eq(Field("opt"), "x"), logic="or")
     got = sorted(r["id"] for r in meta_docs.filter(pred.expr()).collect())
     assert got == [2, 3]
+
+
+def test_asof_join_hand_fixture(spark):
+    from comet_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 5, "e1"), (1, 10, "e2"), (1, 2, "e0"), (2, 7, "e3")],
+        "k bigint, t bigint, ev string",
+    )
+    right = spark.createDataFrame(
+        [(1, 3, "r3"), (1, 10, "r10"), (2, 9, "r9")], "k bigint, t bigint, val string"
+    )
+    got = {
+        r["ev"]: r["val"]
+        for r in asof_join(
+            left, right, on="k", left_time="t", right_time="t", right_cols=["val"]
+        ).collect()
+    }
+    # e0@2: no right <= 2 → NULL; e1@5 → r3; e2@10 → r10 (inclusive tie);
+    # e3@7 (k=2): r9 is later → NULL
+    assert got == {"e0": None, "e1": "r3", "e2": "r10", "e3": None}
