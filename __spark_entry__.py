@@ -1613,6 +1613,86 @@ FROM ev ASOF LEFT JOIN o ON ev.user_id = o.o_custkey AND ev.event_day >= o.order
 )
 
 
+# range/interval join: events ⨝ "orders in the 7 days before the event" by
+# the same user. Expressed as an EQUI-join: each order explodes into its 7
+# active day-buckets, pre-aggregated per (custkey, day) — no inequality
+# join (which Catalyst could only plan as a nested loop at scale).
+RANGE_DAYS = 7
+
+
+def _range_join_recent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        (F.col("ts") / F.lit(86_400_000_000_000)).cast("bigint").alias("event_day"),
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")
+        ).cast("bigint").alias("order_day"),
+    )
+    # explode each order into the RANGE_DAYS day-buckets it is "recent" for
+    buckets = orders.select(
+        "o_custkey",
+        F.explode(
+            F.sequence(F.col("order_day"), F.col("order_day") + (RANGE_DAYS - 1))
+        ).alias("day"),
+    ).groupBy("o_custkey", "day").agg(F.count("*").alias("n_recent_orders"))
+    out = ev.join(
+        buckets,
+        (ev["user_id"] == buckets["o_custkey"]) & (ev["event_day"] == buckets["day"]),
+        "left",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "event_day",
+        F.coalesce("n_recent_orders", F.lit(0)).alias("n_recent_orders"),
+    )
+
+
+_register(
+    "range_join_recent_orders",
+    _range_join_recent_orders,
+    f"""
+WITH ev AS (SELECT event_id, user_id,
+                   CAST(floor(epoch_ns(ts) / 86400000000000) AS BIGINT) AS event_day
+            FROM events),
+o AS (SELECT o_custkey, (o_orderdate::DATE - DATE '1970-01-01')::BIGINT AS order_day FROM orders)
+SELECT ev.event_id, ev.user_id, ev.event_day,
+       (SELECT count(*) FROM o
+        WHERE o.o_custkey = ev.user_id
+          AND o.order_day BETWEEN ev.event_day - {RANGE_DAYS - 1} AND ev.event_day) AS n_recent_orders
+FROM ev
+""",
+)
+
+
+# exact percentiles (linear interpolation — Spark percentile() and DuckDB
+# quantile_cont agree bit-for-bit after rounding)
+def _event_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
+        F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+    )
+
+
+_register(
+    "event_value_percentiles",
+    _event_value_percentiles,
+    """
+SELECT event_type,
+       ROUND(quantile_cont(value, 0.5), 6) AS p50,
+       ROUND(quantile_cont(value, 0.9), 6) AS p90,
+       ROUND(quantile_cont(value, 0.99), 6) AS p99
+FROM events GROUP BY event_type
+""",
+)
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
