@@ -81,15 +81,18 @@ class BM25:
         *,
         k: int = 10,
         round_to: int | None = 6,
+        prefilter_ids: DataFrame | None = None,
     ) -> DataFrame:
         """Batch retrieval: ``query_terms`` is ``(qid, term, qtf)``; returns
         top-k ``(qid, id, score)`` per query — one job for the whole batch,
         so per-query overhead amortizes (the realistic serving shape)."""
         from comet_spark.operators.topk import topk_per_group
 
+        matched = self.postings.join(F.broadcast(query_terms), "term")
+        if prefilter_ids is not None:
+            matched = matched.join(prefilter_ids.select("id"), "id", "left_semi")
         matched = (
-            self.postings.join(F.broadcast(query_terms), "term")
-            .join(self.doc_len, "id")
+            matched.join(self.doc_len, "id")
             .join(F.broadcast(self.df), "term")
             .crossJoin(F.broadcast(self.stats))
         )

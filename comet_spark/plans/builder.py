@@ -250,22 +250,33 @@ class TextSearch:
         return self
 
     def execute(self) -> DataFrame:
+        from comet_spark.operators.bm25 import tokenize_py
+
         c = self.corpus
+        if not self._queries:
+            raise ValueError("text search needs with_query(...)")
         ids = None
         if self._prefilter is not None:
             ids = c.docs.filter(self._prefilter).select(F.col(c.id_col).alias("id"))
-        # multi-query: score each, then sum-aggregate descending (D4)
-        parts = [
-            c.bm25().score(q, k=self.k, prefilter_ids=ids) for q in self._queries
-        ]
-        if not parts:
-            raise ValueError("text search needs with_query(...)")
-        out = parts[0]
-        if len(parts) > 1:
-            allp = parts[0]
-            for p in parts[1:]:
-                allp = allp.unionByName(p)
-            out = knn_aggregate(allp, k=self.k, agg="sum", ascending=False)
+
+        # all queries scored in ONE batched job (per-query top-k inside),
+        # then cross-query sum aggregation descending (D4)
+        spark = c.docs.sparkSession
+        rows = []
+        for qid, q in enumerate(self._queries):
+            terms: dict[str, int] = {}
+            for t in tokenize_py(q):
+                terms[t] = terms.get(t, 0) + 1
+            rows.extend((qid, t, float(n)) for t, n in terms.items())
+        qterms = spark.createDataFrame(rows, "qid bigint, term string, qtf double")
+        per_query = c.bm25().score_batch(qterms, k=self.k, prefilter_ids=ids)
+
+        if len(self._queries) == 1:
+            out = per_query.select("id", "score").orderBy(
+                F.col("score").desc(), F.col("id").asc()
+            )
+        else:
+            out = knn_aggregate(per_query, k=self.k, agg="sum", ascending=False)
         if self.cutoff != -1:
             out = autocut(out, cutoff=self.cutoff, ascending=False)
         return out

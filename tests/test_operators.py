@@ -176,3 +176,32 @@ def test_asof_join_hand_fixture(spark):
     # e0@2: no right <= 2 → NULL; e1@5 → r3; e2@10 → r10 (inclusive tie);
     # e3@7 (k=2): r9 is later → NULL
     assert got == {"e0": None, "e1": "r3", "e2": "r10", "e3": None}
+
+
+def test_text_search_empty_query_no_results(spark):
+    from comet_spark.plans.builder import Corpus
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma")], "id bigint, text string"
+    )
+    got = Corpus(docs).text_search().with_query("!!! ???").with_k(5).execute().collect()
+    assert got == []  # no tokens → no matches (reference returns nil)
+
+
+def test_more_like_this_multi_node(spark, unit_docs):
+    from comet_spark.plans.builder import Corpus
+
+    res = (
+        Corpus(unit_docs)
+        .vector_search()
+        .with_node(1, 2)  # two stored vectors as queries, sum-aggregated
+        .with_k(4)
+        .execute()
+        .collect()
+    )
+    got = {r["id"]: r["score"] for r in res}
+    # per-query L2 top-k then sum: doc4 (1,1,0): 1.0 + 1.0; doc1: 0 + √2
+    assert got[4] == 2.0
+    assert got[1] == got[2] == round(2**0.5, 6)
+    assert got[3] == round(round(2**0.5, 6) * 2, 6)
+    assert set(got) == {1, 2, 3, 4}
