@@ -898,6 +898,45 @@ ORDER BY revenue DESC, l_orderkey LIMIT 10
 )
 
 
+def _revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-table join tree (lineitem ⨝ supplier ⨝ nation ⨝ region): the
+    dimension chain broadcasts into the fact scan."""
+    li = _t(spark, sf_dir, "lineitem")
+    sup = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region")
+    dims = (
+        sup.join(F.broadcast(nat), sup["s_nationkey"] == nat["n_nationkey"])
+        .join(F.broadcast(reg), nat["n_regionkey"] == reg["r_regionkey"])
+        .select("s_suppkey", "n_name", "r_name")
+    )
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(dims), li["l_suppkey"] == dims["s_suppkey"])
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.round(F.sum(revenue), 6).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+_register(
+    "revenue_by_nation",
+    _revenue_by_nation,
+    """
+SELECT r_name, n_name,
+       ROUND(sum(l_extendedprice * (1 - l_discount)), 6) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+""",
+)
+
+
 def _orders_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Window-function coverage on a real table: per-customer running
     revenue ordered by date, top spender rows only."""

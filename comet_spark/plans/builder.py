@@ -58,6 +58,22 @@ class Corpus:
             self._bm25 = BM25(self.docs, id_col=self.id_col, text_col=self.text_col)
         return self._bm25
 
+    def to_store(self, store) -> None:
+        """Persist the corpus as one segment (A8 serialization sink)."""
+        store.append(self.docs.withColumnRenamed(self.id_col, store.id_col))
+
+    @classmethod
+    def from_store(
+        cls, store, *, id_col: str = "id", vec_col: str = "vector",
+        text_col: str = "text", metric: str = "l2",
+    ) -> "Corpus":
+        """Reopen a corpus from a DocumentStore's merged view (A10/J5:
+        segments unioned, newest version wins, deletes hidden)."""
+        docs = store.read()
+        if store.id_col != id_col:
+            docs = docs.withColumnRenamed(store.id_col, id_col)
+        return cls(docs, id_col=id_col, vec_col=vec_col, text_col=text_col, metric=metric)
+
     def build_ivf(self, nlist: int, max_iter: int = 20) -> "Corpus":
         from comet_spark.operators.ann import IVFIndex
 

@@ -207,3 +207,25 @@ def test_stateful_sessionize_stream(spark, tmp_path):
     ]
     # only user 1's first session closed (2 events, 00:00-00:10)
     assert got == [(1, "2024-01-01 00:00:00", "2024-01-01 00:10:00", 2)]
+
+
+def test_corpus_store_roundtrip_search(spark, store):
+    """Corpus.to_store/from_store: full search round-trip through the
+    serialization layer gives identical hybrid results."""
+    from comet_spark.plans.builder import Corpus
+    from tests.conftest import SF_DIR_SMALL
+
+    docs = spark.read.parquet(f"{SF_DIR_SMALL}/documents.parquet")
+    emb = spark.read.parquet(f"{SF_DIR_SMALL}/embeddings.parquet")
+    joined = docs.join(emb, docs["doc_id"] == emb["vec_id"]).select(
+        docs["doc_id"].alias("id"), emb["embedding"].alias("vector"),
+        docs["text"], docs["lang"],
+    )
+    corpus = Corpus(joined)
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+
+    before = corpus.vector_search().with_query(qvec).with_k(10).execute().collect()
+    corpus.to_store(store)
+    reopened = Corpus.from_store(store)
+    after = reopened.vector_search().with_query(qvec).with_k(10).execute().collect()
+    assert [tuple(r) for r in after] == [tuple(r) for r in before]
