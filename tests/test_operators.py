@@ -205,3 +205,31 @@ def test_more_like_this_multi_node(spark, unit_docs):
     assert got[1] == got[2] == round(2**0.5, 6)
     assert got[3] == round(round(2**0.5, 6) * 2, 6)
     assert set(got) == {1, 2, 3, 4}
+
+
+def test_normalize_unit_norm_and_zero_vector(spark):
+    from comet_spark.functions.vector import norm, normalize, to_double_array
+
+    df = spark.createDataFrame(
+        [(1, [3.0, 4.0]), (2, [0.0, 0.0])], "id bigint, vector array<double>"
+    )
+    out = df.select(
+        "id", normalize(to_double_array("vector")).alias("nv")
+    ).withColumn("n", F.round(norm(F.col("nv")), 9))
+    rows = {r["id"]: (r["nv"], r["n"]) for r in out.collect()}
+    assert rows[1][1] == 1.0 and rows[1][0] == [0.6, 0.8]
+    assert rows[2][0] is None  # zero vector → NULL (reference raises)
+
+
+def test_cosine_invariant_to_write_time_normalization(spark, unit_docs):
+    # reference normalizes at insert for cosine; distance must be the same
+    # whether vectors are pre-normalized or raw
+    from comet_spark.functions.vector import normalize, to_double_array
+
+    q = _q(spark, [2.0, 1.0, 0.0])  # deliberately non-unit query
+    raw = knn(unit_docs, q, k=4, metric="cosine").collect()
+    normed = unit_docs.select(
+        "id", normalize(to_double_array("vector")).alias("vector")
+    )
+    pre = knn(normed, q, k=4, metric="cosine").collect()
+    assert [tuple(r) for r in pre] == [tuple(r) for r in raw]
