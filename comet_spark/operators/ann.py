@@ -245,23 +245,38 @@ class IVFPQIndex:
         self, encoded: DataFrame, qvec: list[float], *, k: int = 10,
         nprobe: int = 8, round_to: int | None = 6,
     ) -> DataFrame:
-        """Per-probed-list residual LUT → union of pruned ADC scans."""
+        """Residual ADC over the probed lists in ONE pruned scan: the
+        per-cluster LUTs (nprobe × M × Ksub doubles) join in broadcast and
+        the score is a native nested element_at sum — no per-cluster union
+        branches (SURVEY.md A5: 'join codes⨝cluster_luts')."""
         q = np.asarray(qvec, dtype=np.float64)
         probed = self.ivf.probe_lists(q, nprobe)
-        parts = []
-        for cid in probed:
-            resid_q = q - self.ivf.centroids[cid]
-            score = self.pq.adc_score_col(self.pq.lut(resid_q))
-            if round_to is not None:
-                score = F.round(score, round_to)
-            parts.append(
-                encoded.filter(F.col("cluster_id") == cid).select(
-                    F.col("id"), score.alias("score")
-                )
+        spark = encoded.sparkSession
+        lut_rows = [
+            (int(cid), [[float(x) for x in row] for row in self.pq.lut(q - self.ivf.centroids[cid])])
+            for cid in probed
+        ]
+        luts = spark.createDataFrame(
+            lut_rows, "cluster_id bigint, lut array<array<double>>"
+        )
+        terms = [
+            F.element_at(
+                F.element_at(F.col("lut"), sub + 1),
+                F.element_at(F.col("codes"), sub + 1).cast("int") + 1,
             )
-        out = parts[0]
-        for p in parts[1:]:
-            out = out.unionByName(p)
+            for sub in range(self.pq.m)
+        ]
+        total = terms[0]
+        for t in terms[1:]:
+            total = total + t
+        score = F.sqrt(total)
+        if round_to is not None:
+            score = F.round(score, round_to)
+        out = (
+            encoded.filter(F.col("cluster_id").isin(probed))
+            .join(F.broadcast(luts), "cluster_id")
+            .select(F.col("id"), score.alias("score"))
+        )
         return topk(out, [F.col("score").asc(), F.col("id").asc()], k)
 
 

@@ -1,0 +1,131 @@
+"""Generate RECALL.md — recall@10 and batch-scan timing for every ANN
+layout vs the exact flat scan, mirroring the reference's index-comparison
+evaluation (docs/INDEX.md table, reproduced in BASELINE.md).
+
+Run: python scripts/recall_report.py  (uses $SPARK_GRAFT_SF_DIR or sf0.1)
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import pyspark.sql.functions as F
+
+from comet_spark.operators.ann import IVFIndex, IVFPQIndex, PQIndex
+from comet_spark.operators.knn import knn
+from comet_spark.operators.similarity import lsh_ann_topk
+from comet_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+N_QUERIES = 20
+K = 10
+
+
+def main() -> None:
+    spark = get_spark("recall-report")
+    spark.sparkContext.setLogLevel("ERROR")
+    emb = (
+        spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        .select(F.col("vec_id").alias("id"), F.col("embedding").alias("vector"))
+        .cache()
+    )
+    n = emb.count()
+    qvecs = {
+        r["id"]: [float(x) for x in r["vector"]]
+        for r in emb.filter(F.col("id") < N_QUERIES).collect()
+    }
+
+    # ground truth: exact flat top-K per query (one batched job)
+    qdf = spark.createDataFrame(
+        [(qid, v) for qid, v in qvecs.items()], "qid bigint, qvec array<double>"
+    )
+    t0 = time.perf_counter()
+    flat = knn(emb, qdf, k=K, metric="l2").collect()
+    flat_time = time.perf_counter() - t0
+    gt = {}
+    for r in flat:
+        gt.setdefault(r["qid"], set()).add(r["id"])
+
+    rows = []
+
+    def evaluate(name, config, search_fn, build_s):
+        t0 = time.perf_counter()
+        hits = total = 0
+        for qid, v in qvecs.items():
+            got = {r["id"] for r in search_fn(v).collect()}
+            hits += len(got & gt[qid])
+            total += K
+        dt = time.perf_counter() - t0
+        rows.append((name, config, build_s, dt / N_QUERIES, hits / total))
+
+    rows.append(("Flat (exact)", f"batched {N_QUERIES}q", 0.0, flat_time / N_QUERIES, 1.0))
+
+    t0 = time.perf_counter()
+    ivf = IVFIndex.train(emb, 16)
+    assigned = ivf.assign(emb).cache()
+    assigned.count()
+    ivf_build = time.perf_counter() - t0
+    for nprobe in (1, 2, 4, 16):
+        evaluate(
+            "IVF", f"nlist=16 nprobe={nprobe}",
+            lambda v, np=nprobe: ivf.search(assigned, v, k=K, nprobe=np),
+            ivf_build,
+        )
+
+    t0 = time.perf_counter()
+    pq = PQIndex.train(emb, m=8, nbits=6, max_iter=10)
+    codes = pq.encode(emb).cache()
+    codes.count()
+    pq_build = time.perf_counter() - t0
+    evaluate("PQ", "M=8 nbits=6", lambda v: pq.search(codes, v, k=K), pq_build)
+
+    t0 = time.perf_counter()
+    ivfpq = IVFPQIndex.train(emb, nlist=16, m=8, nbits=6, max_iter=10)
+    enc = ivfpq.encode(emb).cache()
+    enc.count()
+    ivfpq_build = time.perf_counter() - t0
+    evaluate(
+        "IVFPQ", "nlist=16 M=8 nprobe=4",
+        lambda v: ivfpq.search(enc, v, k=K, nprobe=4), ivfpq_build,
+    )
+
+    for ef in (0, 100):
+        evaluate(
+            "LSH (HNSW-role)", f"16 planes, 8 bands, ef={ef}",
+            lambda v, e=ef: lsh_ann_topk(emb, v, k=K, ef=e), 0.0,
+        )
+
+    lines = [
+        "# RECALL — ANN layouts vs exact flat scan",
+        "",
+        f"Corpus: `{SF_DIR}/embeddings.parquet` ({n} × 64-dim, L2), "
+        f"{N_QUERIES} queries, recall@{K} vs exact flat top-{K}. "
+        "Per-query latency is local[32] wall time including Spark job "
+        "overhead (the cluster-relevant number is the *pruning ratio*, "
+        "see SCALE.md). Regenerate: `python scripts/recall_report.py`.",
+        "",
+        "| layout | config | build (s) | s/query | recall@10 |",
+        "|---|---|---|---|---|",
+    ]
+    for name, config, build_s, per_q, rec in rows:
+        lines.append(
+            f"| {name} | {config} | {build_s:.1f} | {per_q:.2f} | {rec:.2f} |"
+        )
+    lines.append("")
+    lines.append(
+        "Reference envelope (SIFT-1M, BASELINE.md): IVF ~60-96% recall for "
+        "nprobe 1→32; PQ ~91%; HNSW ~85-98% for ef 50→400. Synthetic "
+        "near-uniform vectors cluster/hash worse than SIFT, so the "
+        "approximate rows trail those numbers at matched settings."
+    )
+    out = os.path.join(os.path.dirname(__file__), "..", "RECALL.md")
+    with open(out, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print("\n".join(lines))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
