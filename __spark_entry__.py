@@ -1121,6 +1121,86 @@ SELECT fp, count(*) AS n_docs, min(doc_id) AS keep_id FROM t GROUP BY fp HAVING 
 )
 
 
+def _dedup_keep_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The actual dedup *decision*: within each fingerprint group keep the
+    longest doc (ties → lowest id); emit the docs to DROP."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    fp = F.md5(F.concat_ws(" ", F.slice(tokenize("text"), 1, 8)).cast("binary"))
+    w = Window.partitionBy("fp").orderBy(F.col("n_chars").desc(), F.col("doc_id").asc())
+    ranked = docs.select("doc_id", "n_chars", fp.alias("fp")).withColumn(
+        "rnk", F.row_number().over(w)
+    )
+    grp = ranked.groupBy("fp").agg(F.count("*").alias("grp_size"))
+    return (
+        ranked.join(grp, "fp")
+        .filter((F.col("grp_size") > 1) & (F.col("rnk") > 1))
+        .select("fp", F.col("doc_id").alias("drop_id"), "n_chars")
+    )
+
+
+_register(
+    "dedup_keep_decision",
+    _dedup_keep_decision,
+    f"""
+WITH t AS (SELECT doc_id, n_chars,
+                  md5(array_to_string(({_SQL_TOKENIZE.format(col='text')})[1:8], ' ')) AS fp
+           FROM documents),
+r AS (SELECT *, row_number() OVER (PARTITION BY fp ORDER BY n_chars DESC, doc_id) AS rnk,
+             count(*) OVER (PARTITION BY fp) AS grp_size
+      FROM t)
+SELECT fp, doc_id AS drop_id, n_chars FROM r WHERE grp_size > 1 AND rnk > 1
+""",
+)
+
+
+def _top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(tokenize("text")).alias("term"))
+    return (
+        toks.groupBy("term")
+        .agg(F.count("*").alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("term").asc())
+        .limit(20)
+    )
+
+
+_register(
+    "top_terms",
+    _top_terms,
+    f"""
+WITH tok AS (SELECT unnest({_SQL_TOKENIZE.format(col='text')}) AS term FROM documents)
+SELECT term, count(*) AS freq FROM tok GROUP BY term ORDER BY freq DESC, term LIMIT 20
+""",
+)
+
+
+def _label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label element-wise centroid — the k-means UPDATE step (D7,
+    clustering.go:208-239) expressed as a relational aggregation."""
+    emb = _t(spark, sf_dir, "embeddings")
+    exploded = emb.select(
+        "label", F.posexplode(F.col("embedding").cast("array<double>")).alias("j", "x")
+    )
+    return exploded.groupBy("label", "j").agg(
+        F.round(F.avg("x"), 6).alias("centroid_val"), F.count("*").alias("n_vecs")
+    )
+
+
+_register(
+    "label_centroids",
+    _label_centroids,
+    """
+WITH e AS (SELECT label, unnest(embedding::DOUBLE[]) AS x,
+                  generate_subscripts(embedding, 1) - 1 AS j
+           FROM embeddings)
+SELECT label, j, ROUND(avg(x), 6) AS centroid_val, count(*) AS n_vecs
+FROM e GROUP BY label, j
+""",
+)
+
+
 def _text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     toks = tokenize("text")
