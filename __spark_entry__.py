@@ -1063,6 +1063,44 @@ def _ivfpq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
 _register("ivfpq_adc_knn", _ivfpq_adc, None)
 
 
+N_IVF_BATCH = 20
+
+
+def _ivf_batch_fullprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch IVF: 20 queries through the probed layout in ONE job; with
+    nprobe = nlist it must equal the exact batch scan (the oracle)."""
+    ivf, assigned = _ivf_trained(spark, sf_dir)
+    qs = _emb_queries(spark, sf_dir, tuple(range(N_IVF_BATCH)))
+    return ivf.search_batch(assigned, qs, k=K, nprobe=8).select(
+        "qid", F.col("id").alias("vec_id"), "score"
+    )
+
+
+_register(
+    "ivf_batch20_fullprobe",
+    _ivf_batch_fullprobe,
+    f"""
+WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < {N_IVF_BATCH}),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+d AS (SELECT q.qid, e.vec_id, ROUND({_sql_l2('e.v', 'q.qv')}, 6) AS score FROM e, q)
+SELECT qid, vec_id, score FROM
+  (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score, vec_id) AS rn FROM d)
+WHERE rn <= {K}
+""",
+)
+
+
+def _ivf_batch_nprobe2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ivf, assigned = _ivf_trained(spark, sf_dir)
+    qs = _emb_queries(spark, sf_dir, tuple(range(N_IVF_BATCH)))
+    return ivf.search_batch(assigned, qs, k=K, nprobe=2).select(
+        "qid", F.col("id").alias("vec_id"), "score"
+    )
+
+
+_register("ivf_batch20_nprobe2", _ivf_batch_nprobe2, None)
+
+
 def _lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A3 HNSW-role: LSH candidates + exact rescore (deterministic: fixed
     hyperplane seed, per-row signatures, total-order top-k)."""

@@ -98,6 +98,47 @@ class IVFIndex:
         scored = cand.select(F.col(id_col).alias("id"), score.alias("score"))
         return topk(scored, [F.col("score").asc(), F.col("id").asc()], k)
 
+    def search_batch(
+        self, assigned: DataFrame, queries: DataFrame, *, k: int = 10,
+        nprobe: int = 8, id_col: str = "id", vec_col: str = "vector",
+        qid_col: str = "qid", qvec_col: str = "qvec", round_to: int | None = 6,
+    ) -> DataFrame:
+        """Batch probed search, ONE job for all queries → (qid, id, score).
+
+        Per-query probe sets are ranked on the driver (centroids are tiny)
+        and become a broadcast (qid, cluster_id) probe table; the join
+        against the cluster-partitioned docs restricts each query to its
+        own lists, and per-query top-k uses rank-limit pushdown. Every
+        query's pruning happens inside one distributed pass — the batch
+        twin of the reference's per-query nprobe loop."""
+        from comet_spark.functions.vector import distance
+        from comet_spark.operators.topk import topk_per_group
+
+        spark = assigned.sparkSession
+        qrows = queries.select(
+            F.col(qid_col).alias("qid"), to_double_array(qvec_col).alias("qv")
+        ).collect()
+        probe_rows = []
+        qvec_rows = []
+        for r in qrows:
+            qv = [float(x) for x in r["qv"]]
+            qvec_rows.append((r["qid"], qv))
+            for cid in self.probe_lists(np.asarray(qv), nprobe):
+                probe_rows.append((r["qid"], cid))
+        probes = spark.createDataFrame(probe_rows, "qid bigint, cluster_id bigint")
+        qvecs = spark.createDataFrame(qvec_rows, "qid bigint, qv array<double>")
+
+        cand = assigned.join(F.broadcast(probes), "cluster_id").join(
+            F.broadcast(qvecs), "qid"
+        )
+        score = distance(self.metric, to_double_array(vec_col), F.col("qv"))
+        if round_to is not None:
+            score = F.round(score, round_to)
+        scored = cand.select("qid", F.col(id_col).alias("id"), score.alias("score"))
+        return topk_per_group(
+            scored, ["qid"], [F.col("score").asc(), F.col("id").asc()], k
+        ).select("qid", "id", "score")
+
 
 class PQIndex:
     """Product quantization: codebooks (M, Ksub, dsub) + ADC scan."""

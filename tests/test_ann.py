@@ -85,3 +85,24 @@ def test_ivfpq_search_runs_and_overlaps(emb, qvec, flat_top10):
     assert len(got) == 10
     gt = {r[0] for r in flat_top10}
     assert len(got & gt) >= 1
+
+
+def test_ivf_batch_fullprobe_equals_flat_batch(spark, emb):
+    """search_batch with nprobe = nlist reproduces the exact batch scan."""
+    from comet_spark.operators.ann import IVFIndex
+    from comet_spark.operators.knn import knn
+
+    qs = emb.filter(F.col("id") < 5).select(
+        F.col("id").alias("qid"), F.col("vector").alias("qvec")
+    )
+    flat = {
+        (r["qid"], r["id"], r["score"])
+        for r in knn(emb, qs, k=10, metric="l2").collect()
+    }
+    ivf = IVFIndex.train(emb, 8)
+    assigned = ivf.assign(emb)
+    got = {
+        (r["qid"], r["id"], r["score"])
+        for r in ivf.search_batch(assigned, qs, k=10, nprobe=8).collect()
+    }
+    assert got == flat
