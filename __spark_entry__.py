@@ -1431,7 +1431,7 @@ NGRAM_N = 3
 MIN_JACCARD = 0.3
 N_HASHES = 16
 LSH_BANDS = 4
-SIMHASH_MAX_HAMMING = 4
+SIMHASH_MAX_HAMMING = 8
 
 _SQL_SHINGLES = f"""
 tok AS (SELECT doc_id AS id, {_SQL_TOKENIZE.format(col='text')} AS toks FROM documents),
@@ -1535,9 +1535,9 @@ _SQL_SIMHASH = f"""
 tok AS (SELECT doc_id AS id, {_SQL_TOKENIZE.format(col='text')} AS toks FROM documents),
 tf AS (SELECT id, term, count(*) AS tf
        FROM (SELECT id, unnest(toks) AS term FROM tok) GROUP BY id, term),
-th AS (SELECT id, tf, ('0x' || substr(md5(term), 1, 8))::BIGINT AS h FROM tf),
+th AS (SELECT id, tf, ('0x' || substr(md5(term), 1, 15))::BIGINT AS h FROM tf),
 pb AS (SELECT id, b, sum(CASE WHEN ((h >> b) & 1) = 1 THEN tf ELSE -tf END) AS w
-       FROM th, range(32) t(b) GROUP BY id, b),
+       FROM th, range(60) t(b) GROUP BY id, b),
 fp AS (SELECT id, sum(CASE WHEN w > 0 THEN (1::BIGINT << b) ELSE 0 END) AS simhash
        FROM pb GROUP BY id)
 """

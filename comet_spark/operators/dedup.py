@@ -48,6 +48,12 @@ def _hash32(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col.cast("binary")), 1, 8), 16, 10).cast("bigint")
 
 
+def _hash60(col: Column) -> Column:
+    """First 15 hex chars of md5 → 60-bit int (fits signed BIGINT);
+    DuckDB twin: ('0x' || substr(md5(s),1,15))::BIGINT."""
+    return F.conv(F.substring(F.md5(col.cast("binary")), 1, 15), 16, 10).cast("bigint")
+
+
 def shingles(docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text", n: int = 3) -> DataFrame:
     """Distinct word n-gram shingles per doc → (id, shingle)."""
     toks = tokenize(text_col)
@@ -169,12 +175,12 @@ def minhash_lsh_pairs(
 
 
 def simhash_fingerprints(
-    docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text", bits: int = 32,
+    docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text", bits: int = 60,
 ) -> DataFrame:
-    """tf-weighted SimHash → (id, simhash BIGINT)."""
+    """tf-weighted SimHash over 60 hash bits → (id, simhash BIGINT)."""
     toks = docs.select(F.col(id_col).alias("id"), F.explode(tokenize(text_col)).alias("term"))
     tf = toks.groupBy("id", "term").agg(F.count("*").alias("tf"))
-    th = tf.select("id", "tf", _hash32(F.col("term")).alias("h"))
+    th = tf.select("id", "tf", _hash60(F.col("term")).alias("h"))
     per_bit = (
         th.select("id", "tf", "h", F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("b"))
         .groupBy("id", "b")
@@ -190,7 +196,7 @@ def simhash_fingerprints(
 
 def simhash_neardup_pairs(
     docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text",
-    bits: int = 32, max_hamming: int = 4,
+    bits: int = 60, max_hamming: int = 8,
 ) -> DataFrame:
     """Pairs with Hamming(simhash) ≤ max_hamming → (a_id, b_id, hamming).
 
