@@ -1683,6 +1683,32 @@ FROM events GROUP BY hour_bucket, event_type
 )
 
 
+def _daily_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct aggregation (absent from the reference, free in
+    Spark — SURVEY §2.D): daily active users + events per user."""
+    ev = _t(spark, sf_dir, "events")
+    day = (F.col("ts") / F.lit(86_400_000_000_000)).cast("bigint")
+    return ev.groupBy(day.alias("day")).agg(
+        F.countDistinct("user_id").alias("dau"),
+        F.count("*").alias("n_events"),
+        F.round(F.count("*").cast("double") / F.countDistinct("user_id"), 6).alias(
+            "events_per_user"
+        ),
+    )
+
+
+_register(
+    "daily_active_users",
+    _daily_active_users,
+    """
+SELECT CAST(floor(epoch_ns(ts) / 86400000000000) AS BIGINT) AS day,
+       count(DISTINCT user_id) AS dau, count(*) AS n_events,
+       ROUND(count(*)::DOUBLE / count(DISTINCT user_id), 6) AS events_per_user
+FROM events GROUP BY day
+""",
+)
+
+
 def _events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (30 min): the batch twin of a streaming
     session window; per user emits session count and event count."""
