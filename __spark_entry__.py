@@ -1115,6 +1115,44 @@ def _lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 _register("lsh_ann_topk", _lsh_ann, None)
 
 
+# E3 descending: autocut over a BM25 relevance curve (text scores sort
+# desc; the diff-curve algorithm runs on the descending sequence)
+def _autocut_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bm = _bm25_index(spark, sf_dir)
+    res = bm.score(BM25_QUERY, k=50).select(F.col("id"), "score")
+    cut = autocut(res, cutoff=1, ascending=False)
+    return cut.select(F.col("id").alias("doc_id"), "score")
+
+
+_register(
+    "autocut_bm25",
+    _autocut_bm25,
+    f"""
+WITH {_sql_bm25_ctes()},
+{_sql_bm25_score(BM25_QUERY)},
+base AS (SELECT id, ROUND(score, 6) AS score FROM sc ORDER BY score DESC, id LIMIT 50),
+o AS (SELECT id, score,
+             row_number() OVER w AS rn,
+             count(*) OVER () AS n,
+             first_value(score) OVER w AS y0,
+             last_value(score) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS yn
+      FROM base WINDOW w AS (ORDER BY score DESC, id)),
+dd AS (SELECT *, (score - y0)/(yn - y0) - (rn - 1)::DOUBLE/(n - 1) AS diff FROM o),
+ee AS (SELECT *,
+             CASE WHEN rn = 1 THEN FALSE
+                  WHEN rn = n THEN n > 1 AND diff > lag(diff, 1) OVER v AND diff > lag(diff, 2) OVER v
+                  ELSE diff > lag(diff, 1) OVER v AND diff > lead(diff, 1) OVER v
+             END AS ext
+      FROM dd WINDOW v AS (ORDER BY rn)),
+cc AS (SELECT *, sum(CASE WHEN coalesce(ext, FALSE) THEN 1 ELSE 0 END)
+                 OVER (ORDER BY rn ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       FROM ee),
+cut AS (SELECT min(rn) AS cut_rn FROM cc WHERE coalesce(ext, FALSE) AND cum = 1)
+SELECT id AS doc_id, score FROM cc, cut WHERE cut.cut_rn IS NULL OR cc.rn < cut.cut_rn
+""",
+)
+
+
 # ---------------------------------------------------------------------------
 # Training-data pipeline operators (dedup / text analysis / similarity)
 # ---------------------------------------------------------------------------
