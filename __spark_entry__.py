@@ -1362,12 +1362,13 @@ SELECT count(*) AS total_tokens, count(DISTINCT term) AS distinct_terms,
 )
 
 
-# embedding near-duplicate pairs: BLAS block-nested-loop kernel (broadcast
-# right side); LSH banding is the 100 TB path — comet_spark/operators/similarity.py
+# embedding near-duplicate pairs: block-partitioned grid join — each task
+# BLAS-multiplies one (A-block, B-block) cell; no driver collect, no corpus
+# broadcast. LSH banding (lsh_bucket_pairs) prunes cells at 100 TB.
 def _neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from comet_spark.operators.similarity import cosine_pairs_blocked
+    from comet_spark.operators.similarity import cosine_pairs_grid
 
-    return cosine_pairs_blocked(_t(spark, sf_dir, "embeddings"), min_sim=NEARDUP_SIM)
+    return cosine_pairs_grid(_t(spark, sf_dir, "embeddings"), min_sim=NEARDUP_SIM, nblocks=4)
 
 
 _register(

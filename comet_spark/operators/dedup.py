@@ -12,8 +12,9 @@ operator is deterministic and integer-exact across engines.
   band buckets → candidate pairs → exact-jaccard verification. The classic
   near-dup pipeline: candidate generation is linear in corpus size, the
   quadratic join happens only inside buckets.
-- SimHash: 32-bit tf-weighted fingerprint; near-dups = pairs with small
-  Hamming distance (bit_count(xor)).
+- SimHash: 60-bit tf-weighted fingerprint; near-dups = pairs with small
+  Hamming distance (bit_count(xor)), candidates via pigeonhole banding —
+  an equi-join on fingerprint segments, never an all-pairs cartesian.
 """
 
 from __future__ import annotations
@@ -31,6 +32,7 @@ __all__ = [
     "minhash_signatures",
     "minhash_lsh_pairs",
     "simhash_fingerprints",
+    "simhash_segments",
     "simhash_neardup_pairs",
 ]
 
@@ -177,21 +179,41 @@ def minhash_lsh_pairs(
 def simhash_fingerprints(
     docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text", bits: int = 60,
 ) -> DataFrame:
-    """tf-weighted SimHash over 60 hash bits → (id, simhash BIGINT)."""
+    """tf-weighted SimHash over 60 hash bits → (id, simhash BIGINT).
+
+    All ``bits`` signed tf-weights are computed in ONE aggregation over the
+    (id, term) tf table — no per-bit explode, so the shuffle carries the tf
+    rows once instead of ``bits`` times (map-side combine applies)."""
     toks = docs.select(F.col(id_col).alias("id"), F.explode(tokenize(text_col)).alias("term"))
     tf = toks.groupBy("id", "term").agg(F.count("*").alias("tf"))
     th = tf.select("id", "tf", _hash60(F.col("term")).alias("h"))
-    per_bit = (
-        th.select("id", "tf", "h", F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("b"))
-        .groupBy("id", "b")
-        .agg(
-            F.sum(
-                F.when(F.expr("((h >> b) & 1) = 1"), F.col("tf")).otherwise(-F.col("tf"))
-            ).alias("w")
+    signed = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, F.col("tf"))
+            .otherwise(-F.col("tf"))
+        ).alias(f"w{b}")
+        for b in range(bits)
+    ]
+    wide = th.groupBy("id").agg(*signed)
+    fp: Column = F.lit(0).cast("bigint")
+    for b in range(bits):
+        fp = fp + F.when(F.col(f"w{b}") > 0, F.lit(1 << b).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
         )
-    )
-    bitval = F.when(F.col("w") > 0, F.expr("CAST(1 AS BIGINT) << b")).otherwise(F.lit(0))
-    return per_bit.groupBy("id").agg(F.sum(bitval).alias("simhash"))
+    return wide.select("id", fp.alias("simhash"))
+
+
+def simhash_segments(bits: int, max_hamming: int) -> list[tuple[int, int]]:
+    """Pigeonhole banding layout: split ``bits`` into ``max_hamming + 1``
+    contiguous segments, sizes as even as possible → [(start, width), ...].
+    Any pair within Hamming ≤ max_hamming must match exactly on ≥1 segment."""
+    nseg = max_hamming + 1
+    sizes = [bits // nseg + (1 if s < bits % nseg else 0) for s in range(nseg)]
+    out, start = [], 0
+    for w in sizes:
+        out.append((start, w))
+        start += w
+    return out
 
 
 def simhash_neardup_pairs(
@@ -200,15 +222,36 @@ def simhash_neardup_pairs(
 ) -> DataFrame:
     """Pairs with Hamming(simhash) ≤ max_hamming → (a_id, b_id, hamming).
 
-    The quadratic join is fine at test scale; at corpus scale the standard
-    trick is banding the fingerprint into (max_hamming+1) segments and
-    joining on exact segment match first (pigeonhole), same as LSH."""
+    Pigeonhole banding (the exact-cover analog of MinHash-LSH banding): the
+    fingerprint splits into ``max_hamming + 1`` segments; a pair within the
+    Hamming budget must agree exactly on at least one segment, so candidates
+    come from an EQUI-join on (segment_index, segment_value) — never an
+    all-pairs cartesian — then the full-fingerprint Hamming verifies. Exact
+    (recall 1.0 by pigeonhole), and the join is linear in bucket sizes.
+    Reference validates its approximate search the same
+    candidates-then-verify way (hnsw_index_search_test.go:992-1150)."""
     fp = simhash_fingerprints(docs, id_col=id_col, text_col=text_col, bits=bits)
-    a = fp.select(F.col("id").alias("a_id"), F.col("simhash").alias("fa"))
-    b = fp.select(F.col("id").alias("b_id"), F.col("simhash").alias("fb"))
+    segs = F.array(
+        *[
+            F.struct(
+                F.lit(s).alias("seg"),
+                F.shiftright(F.col("simhash"), start)
+                .bitwiseAND(F.lit((1 << width) - 1))
+                .alias("segval"),
+            )
+            for s, (start, width) in enumerate(simhash_segments(bits, max_hamming))
+        ]
+    )
+    keyed = fp.select("id", "simhash", F.explode(segs).alias("s")).select(
+        "id", "simhash", F.col("s.seg").alias("seg"), F.col("s.segval").alias("segval")
+    )
+    a = keyed.select("seg", "segval", F.col("id").alias("a_id"), F.col("simhash").alias("fa"))
+    b = keyed.select("seg", "segval", F.col("id").alias("b_id"), F.col("simhash").alias("fb"))
     ham = F.expr("bit_count(fa ^ fb)")
     return (
-        a.join(b, F.col("a_id") < F.col("b_id"))
+        a.join(b, ["seg", "segval"])
+        .filter(F.col("a_id") < F.col("b_id"))
         .select("a_id", "b_id", ham.alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )

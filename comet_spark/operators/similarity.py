@@ -10,9 +10,11 @@ Three strategies, one semantic (cosine similarity, DOUBLE math, ROUND 6):
   join — each task multiplies its Arrow batch of A (B_rows × d numpy
   float64) against a broadcast right-hand matrix with BLAS, ~100× the
   expression path. The broadcast side must fit in executor memory
-  (~N·d·8 bytes); at 100 TB the right side is first cut down by LSH
-  bucketing (``lsh_bucket_pairs``) or partition pruning, and the same
-  kernel runs per bucket.
+  (~N·d·8 bytes) — a serving-path kernel for small corpora only.
+- ``cosine_pairs_grid``: the scale path for exact all-pairs — block-
+  partitioned grid join; each task BLAS-multiplies one (A-block, B-block)
+  cell. No driver collect, no corpus broadcast; per-task memory is bounded
+  by ``block_rows`` regardless of N.
 - ``lsh_bucket_pairs``: random-hyperplane (SimHash-family) LSH banding —
   candidate pairs only form inside a (band, signature) bucket, turning the
   O(N²) join into a groupBy + within-bucket join; the exact kernel then
@@ -34,7 +36,13 @@ from pyspark.sql import functions as F
 
 from comet_spark.functions.vector import cosine_distance, to_double_array
 
-__all__ = ["cosine_pairs_expr", "cosine_pairs_blocked", "lsh_bucket_pairs", "lsh_ann_topk"]
+__all__ = [
+    "cosine_pairs_expr",
+    "cosine_pairs_blocked",
+    "cosine_pairs_grid",
+    "lsh_bucket_pairs",
+    "lsh_ann_topk",
+]
 
 _OUT_SCHEMA = "a_id bigint, b_id bigint, cos_sim double"
 
@@ -86,6 +94,83 @@ def cosine_pairs_blocked(
         F.col(id_col).cast("bigint").alias("id"), to_double_array(vec_col).alias("v")
     )
     return left.mapInPandas(compute, _OUT_SCHEMA)
+
+
+def cosine_pairs_grid(
+    emb: DataFrame, *, id_col: str = "vec_id", vec_col: str = "embedding",
+    min_sim: float = 0.4, round_to: int = 6,
+    block_rows: int = 8192, nblocks: int | None = None,
+) -> DataFrame:
+    """Block-partitioned grid all-pairs join — fully distributed, NO driver
+    collect and NO broadcast of the corpus.
+
+    Rows hash into ``nblocks`` disjoint blocks; the pair space is tiled into
+    grid cells (i, j), i ≤ j. Each row is tagged into every cell where it
+    participates (as the A side of row-block i, and the B side of
+    column-block j), one shuffle keyed on the cell id, and each cell runs
+    the same BLAS block kernel as ``cosine_pairs_blocked`` over just its two
+    blocks. Memory per task = 2 · block_rows · d · 8 bytes regardless of
+    corpus size; replication factor = nblocks per side — at 10⁸ rows with
+    block_rows 8192 that's ~12k blocks, so the grid is paired with LSH
+    pre-bucketing (``lsh_bucket_pairs``) to prune cells; here it IS the
+    exact path and every cell is evaluated.
+
+    Exactness: blocks are disjoint, each unordered pair {x, y} lands in
+    exactly one cell (block(x), block(y)) sorted; the diagonal cell dedups
+    by a_id < b_id, off-diagonal output is (least, greatest). Same DOUBLE
+    math / ROUND 6 as the expr path, so the DuckDB oracle is unchanged.
+    """
+    e = emb.select(
+        F.col(id_col).cast("bigint").alias("id"), to_double_array(vec_col).alias("v")
+    )
+    if nblocks is None:
+        n = e.count()
+        nblocks = max(1, math.ceil(n / block_rows))
+    blk = F.pmod(F.col("id"), F.lit(nblocks)).cast("int")
+    base = e.withColumn("blk", blk)
+    # A side: row-block i paired with every column block j ≥ i
+    a_side = base.select(
+        "id", "v",
+        F.col("blk").alias("ci"),
+        F.explode(F.sequence(F.col("blk"), F.lit(nblocks - 1))).alias("cj"),
+        F.lit(0).alias("side"),
+    )
+    # B side: column-block j paired with every row block i ≤ j
+    b_side = base.select(
+        "id", "v",
+        F.explode(F.sequence(F.lit(0), F.col("blk"))).alias("ci"),
+        F.col("blk").alias("cj"),
+        F.lit(1).alias("side"),
+    )
+    tagged = a_side.unionByName(b_side)
+
+    def kernel(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        ci, cj = int(key[0]), int(key[1])
+        amask = pdf["side"].to_numpy() == 0
+        A, B = pdf[amask], pdf[~amask]
+        empty = pd.DataFrame({"a_id": [], "b_id": [], "cos_sim": []})
+        if len(A) == 0 or len(B) == 0:
+            return empty
+        a_ids = A["id"].to_numpy(dtype=np.int64)
+        b_ids = B["id"].to_numpy(dtype=np.int64)
+        a_mat = np.array(A["v"].tolist(), dtype=np.float64)
+        b_mat = np.array(B["v"].tolist(), dtype=np.float64)
+        sims = (a_mat @ b_mat.T) / np.outer(
+            np.linalg.norm(a_mat, axis=1), np.linalg.norm(b_mat, axis=1)
+        )
+        np.clip(sims, -1.0, 1.0, out=sims)
+        sims = np.round(sims, round_to)
+        mask = sims >= min_sim
+        if ci == cj:  # same block on both sides: emit each pair once
+            mask &= a_ids[:, None] < b_ids[None, :]
+        ai, bi = np.nonzero(mask)
+        if len(ai) == 0:
+            return empty
+        lo = np.minimum(a_ids[ai], b_ids[bi])
+        hi = np.maximum(a_ids[ai], b_ids[bi])
+        return pd.DataFrame({"a_id": lo, "b_id": hi, "cos_sim": sims[ai, bi]})
+
+    return tagged.groupBy("ci", "cj").applyInPandas(kernel, _OUT_SCHEMA)
 
 
 def _random_hyperplanes(n_planes: int, dim: int, seed: int) -> np.ndarray:

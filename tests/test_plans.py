@@ -80,6 +80,33 @@ def test_per_group_topk_partial_limit_before_exchange(spark, emb):
     assert "WindowGroupLimit" in pre and "WindowGroupLimit" in post
 
 
+def test_simhash_neardup_no_cartesian(spark):
+    """Pigeonhole banding must make the candidate join an EQUI-join on
+    (seg, segval) — an all-pairs cartesian/BNLJ would be O(N²) at scale
+    (VERDICT r01 item 1)."""
+    df = entry_mod.queries()["simhash_neardup_pairs"](spark, SF_DIR_SMALL)
+    plan = _plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_cosine_grid_no_cartesian_no_collect(spark):
+    """The grid all-pairs join is one shuffle keyed on the grid cell +
+    FlatMapGroupsInPandas — no cartesian, no corpus broadcast, and by
+    construction no driver collect (the operator never calls .collect())."""
+    import inspect
+
+    from comet_spark.operators import similarity
+
+    df = entry_mod.queries()["neardup_cosine_pairs"](spark, SF_DIR_SMALL)
+    plan = _plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "FlatMapGroupsInPandas" in plan
+    src = inspect.getsource(similarity.cosine_pairs_grid)
+    assert ".collect()" not in src and "broadcast(" not in src
+
+
 def test_bucketed_join_skips_exchange(spark, tmp_path):
     """Co-located joins (SCALE.md): bucketing both tables on the join key
     removes the shuffle — SortMergeJoin with no Exchange on either side."""
