@@ -15,6 +15,7 @@ Parity rules (shared by the Spark plans and the SQL oracles):
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -975,8 +976,26 @@ FROM orders QUALIFY order_seq <= 3
 # ---------------------------------------------------------------------------
 
 # trained layouts are built once per corpus (like any index) and reused by
-# every query against that corpus — memoized per (session, sf_dir)
+# every query against that corpus — memoized per (session, sf_dir).
+#
+# Trained artifacts (centroids, probe sets, LUTs, codes) are exported to
+# parquet under .artifacts/ann/<sf>/ at build time: the partitioned docs
+# parquet IS the serving layout (lists = partitions, ivf_index_search.go:
+# 277-301), and the side tables let the DuckDB oracle recompute the pruned
+# scan exactly — flipping the approximate paths from rows-only checks to
+# hash-matched ones.
+_ART_ROOT = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".artifacts", "ann")
+_ART01 = f"{_ART_ROOT}/sf0.01"  # oracle SQL always runs at the sf0.01 gate
+
 _IVF_CACHE: dict[tuple[int, str], tuple] = {}
+
+
+def _art_dir(sf_dir: str) -> str:
+    return f"{_ART_ROOT}/{os.path.basename(sf_dir.rstrip('/'))}"
+
+
+def _write_rows(spark: SparkSession, path: str, rows: list, schema: str) -> None:
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode("overwrite").parquet(path)
 
 
 def _ivf_trained(spark: SparkSession, sf_dir: str):
@@ -986,9 +1005,18 @@ def _ivf_trained(spark: SparkSession, sf_dir: str):
     if key not in _IVF_CACHE:
         emb = _emb_docs(spark, sf_dir).select("id", "vector").cache()
         ivf = IVFIndex.train(emb, 8)
-        assigned = ivf.assign(emb).cache()
-        assigned.count()
+        base = f"{_art_dir(sf_dir)}/ivf"
+        # the disk layout IS the operator at scale: lists are parquet
+        # partitions, nprobe filter = partition pruning (no other list's
+        # files are read) — asserted on the executed plan in test_plans.py
+        ivf.write(ivf.assign(emb), f"{base}/assigned.parquet")
+        _write_rows(
+            spark, f"{base}/centroids.parquet",
+            [(int(i), [float(x) for x in c]) for i, c in enumerate(ivf.centroids)],
+            "cluster_id bigint, centroid array<double>",
+        )
         emb.unpersist()
+        assigned = spark.read.parquet(f"{base}/assigned.parquet")
         _IVF_CACHE[key] = (ivf, assigned)
     return _IVF_CACHE[key]
 
@@ -1010,57 +1038,159 @@ _register(
 )
 
 
+_PROBE_WRITTEN: set[tuple[int, str, str]] = {*()}
+
+
 def _ivf_nprobe2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
     ivf, assigned = _ivf_trained(spark, sf_dir)
-    res = ivf.search(assigned, _hybrid_qvec(spark, sf_dir), k=K, nprobe=2)
+    qvec = _hybrid_qvec(spark, sf_dir)
+    key = (id(spark), sf_dir, "probes_q2")
+    if key not in _PROBE_WRITTEN:
+        probed = ivf.probe_lists(np.asarray(qvec), 2)
+        _write_rows(
+            spark, f"{_art_dir(sf_dir)}/ivf/probes_q2.parquet",
+            [(int(c),) for c in probed], "cluster_id bigint",
+        )
+        _PROBE_WRITTEN.add(key)
+    res = ivf.search(assigned, qvec, k=K, nprobe=2)
     return res.select(F.col("id").alias("vec_id"), "score")
 
 
-# approximate (pruned) scans: rows-only driver check; recall bounds are
-# asserted in tests/test_ann.py, mirroring the reference's recall tests
-_register("ivf_knn_nprobe2", _ivf_nprobe2, None)
+# the pruned (nprobe < nlist) scan is oracle-checked BY CONSTRUCTION: the
+# query exports its trained centroids, probe set, and partitioned layout to
+# parquet, and DuckDB recomputes the same pruned scan over those artifacts —
+# recall bounds stay asserted in tests/test_ann.py like the reference does
+_register(
+    "ivf_knn_nprobe2",
+    _ivf_nprobe2,
+    f"""
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = {QUERY_VEC_ID}),
+a AS (SELECT id, vector, cluster_id
+      FROM read_parquet('{_ART01}/ivf/assigned.parquet/**/*.parquet', hive_partitioning=1)),
+p AS (SELECT cluster_id FROM read_parquet('{_ART01}/ivf/probes_q2.parquet/*.parquet')),
+d AS (SELECT a.id AS vec_id, ROUND({_sql_l2('a.vector', 'q.qv')}, 6) AS score
+      FROM a JOIN p USING (cluster_id), q)
+SELECT vec_id, score FROM d ORDER BY score, vec_id LIMIT {K}
+""",
+)
 
 
 _PQ_CACHE: dict[tuple[int, str], tuple] = {}
 _IVFPQ_CACHE: dict[tuple[int, str], tuple] = {}
 
 
+PQ_M = 4
+
+
+def _sql_adc(codes_tbl: str, lut_tbl: str, extra_on: str = "") -> str:
+    """ADC score recomputed from exported LUT artifacts: M explicit joins,
+    left-to-right addition — the exact fold order of the Spark expression."""
+    joins = "\n".join(
+        f"JOIN {lut_tbl} l{s} ON l{s}.sub = {s} AND l{s}.code = c.codes[{s + 1}]{extra_on.format(s=s)}"
+        for s in range(PQ_M)
+    )
+    total = " + ".join(f"l{s}.dist" for s in range(PQ_M))
+    return (
+        f"SELECT c.id AS vec_id, ROUND(sqrt({total}), 6) AS score FROM {codes_tbl} c\n{joins}"
+    )
+
+
 def _pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
     from comet_spark.operators.ann import PQIndex
 
     key = (id(spark), sf_dir)
     if key not in _PQ_CACHE:
         emb = _emb_docs(spark, sf_dir).select("id", "vector").cache()
-        pq = PQIndex.train(emb, m=4, nbits=4, max_iter=5)
-        codes = pq.encode(emb).cache()
-        codes.count()
+        pq = PQIndex.train(emb, m=PQ_M, nbits=4, max_iter=5)
+        base = f"{_art_dir(sf_dir)}/pq"
+        codes = pq.encode(emb)
+        codes.write.mode("overwrite").parquet(f"{base}/codes.parquet")
         emb.unpersist()
+        codes = spark.read.parquet(f"{base}/codes.parquet")
         _PQ_CACHE[key] = (pq, codes)
     pq, codes = _PQ_CACHE[key]
-    res = pq.search(codes, _hybrid_qvec(spark, sf_dir), k=K)
+    qvec = _hybrid_qvec(spark, sf_dir)
+    key2 = (id(spark), sf_dir, "pq_lut_q")
+    if key2 not in _PROBE_WRITTEN:
+        lut = pq.lut(np.asarray(qvec))
+        _write_rows(
+            spark, f"{_art_dir(sf_dir)}/pq/lut_q.parquet",
+            [(s, c, float(lut[s][c])) for s in range(pq.m) for c in range(pq.ksub)],
+            "sub int, code int, dist double",
+        )
+        _PROBE_WRITTEN.add(key2)
+    res = pq.search(codes, qvec, k=K)
     return res.select(F.col("id").alias("vec_id"), "score")
 
 
-_register("pq_adc_knn", _pq_adc, None)
+# ADC oracle by construction: codes + the query's LUT are parquet artifacts;
+# DuckDB replays the lookup-sum scan exactly (same fold order, ROUND 6)
+_register(
+    "pq_adc_knn",
+    _pq_adc,
+    f"""
+WITH c AS (SELECT id, codes FROM read_parquet('{_ART01}/pq/codes.parquet/*.parquet')),
+l AS (SELECT sub, code, dist FROM read_parquet('{_ART01}/pq/lut_q.parquet/*.parquet')),
+d AS ({_sql_adc('c', 'l')})
+SELECT vec_id, score FROM d ORDER BY score, vec_id LIMIT {K}
+""",
+)
 
 
 def _ivfpq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
     from comet_spark.operators.ann import IVFPQIndex
 
     key = (id(spark), sf_dir)
     if key not in _IVFPQ_CACHE:
         emb = _emb_docs(spark, sf_dir).select("id", "vector").cache()
-        ix = IVFPQIndex.train(emb, nlist=4, m=4, nbits=4, max_iter=5)
-        enc = ix.encode(emb).cache()
-        enc.count()
+        ix = IVFPQIndex.train(emb, nlist=4, m=PQ_M, nbits=4, max_iter=5)
+        base = f"{_art_dir(sf_dir)}/ivfpq"
+        ix.encode(emb).write.mode("overwrite").parquet(f"{base}/encoded.parquet")
         emb.unpersist()
+        enc = spark.read.parquet(f"{base}/encoded.parquet")
         _IVFPQ_CACHE[key] = (ix, enc)
     ix, enc = _IVFPQ_CACHE[key]
-    res = ix.search(enc, _hybrid_qvec(spark, sf_dir), k=K, nprobe=4)
+    qvec = _hybrid_qvec(spark, sf_dir)
+    key2 = (id(spark), sf_dir, "ivfpq_luts_q")
+    if key2 not in _PROBE_WRITTEN:
+        q = np.asarray(qvec, dtype=np.float64)
+        probed = ix.ivf.probe_lists(q, 4)
+        rows = []
+        for cid in probed:
+            lut = ix.pq.lut(q - ix.ivf.centroids[cid])
+            rows.extend(
+                (int(cid), s, c, float(lut[s][c]))
+                for s in range(ix.pq.m)
+                for c in range(ix.pq.ksub)
+            )
+        _write_rows(
+            spark, f"{_art_dir(sf_dir)}/ivfpq/luts_q.parquet",
+            rows, "cluster_id bigint, sub int, code int, dist double",
+        )
+        _PROBE_WRITTEN.add(key2)
+    res = ix.search(enc, qvec, k=K, nprobe=4)
     return res.select(F.col("id").alias("vec_id"), "score")
 
 
-_register("ivfpq_adc_knn", _ivfpq_adc, None)
+# residual-ADC oracle by construction: per-probed-cluster LUT artifacts join
+# the encoded table on (cluster_id, sub, code) — probing is implicit (only
+# probed clusters have LUT rows)
+_register(
+    "ivfpq_adc_knn",
+    _ivfpq_adc,
+    f"""
+WITH c AS (SELECT id, cluster_id, codes FROM read_parquet('{_ART01}/ivfpq/encoded.parquet/*.parquet')),
+l AS (SELECT cluster_id, sub, code, dist FROM read_parquet('{_ART01}/ivfpq/luts_q.parquet/*.parquet')),
+d AS ({_sql_adc('c', 'l', extra_on=' AND l{s}.cluster_id = c.cluster_id')})
+SELECT vec_id, score FROM d ORDER BY score, vec_id LIMIT {K}
+""",
+)
 
 
 N_IVF_BATCH = 20
@@ -1091,14 +1221,42 @@ WHERE rn <= {K}
 
 
 def _ivf_batch_nprobe2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
     ivf, assigned = _ivf_trained(spark, sf_dir)
     qs = _emb_queries(spark, sf_dir, tuple(range(N_IVF_BATCH)))
+    key = (id(spark), sf_dir, "probes_batch2")
+    if key not in _PROBE_WRITTEN:
+        rows = []
+        for r in qs.select("qid", "qvec").collect():
+            qv = np.asarray([float(x) for x in r["qvec"]])
+            rows.extend((int(r["qid"]), int(c)) for c in ivf.probe_lists(qv, 2))
+        _write_rows(
+            spark, f"{_art_dir(sf_dir)}/ivf/probes_batch2.parquet",
+            rows, "qid bigint, cluster_id bigint",
+        )
+        _PROBE_WRITTEN.add(key)
     return ivf.search_batch(assigned, qs, k=K, nprobe=2).select(
         "qid", F.col("id").alias("vec_id"), "score"
     )
 
 
-_register("ivf_batch20_nprobe2", _ivf_batch_nprobe2, None)
+# per-query pruned batch scan, oracle-checked from the exported probe table
+_register(
+    "ivf_batch20_nprobe2",
+    _ivf_batch_nprobe2,
+    f"""
+WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < {N_IVF_BATCH}),
+a AS (SELECT id, vector, cluster_id
+      FROM read_parquet('{_ART01}/ivf/assigned.parquet/**/*.parquet', hive_partitioning=1)),
+p AS (SELECT qid, cluster_id FROM read_parquet('{_ART01}/ivf/probes_batch2.parquet/*.parquet')),
+d AS (SELECT p.qid, a.id AS vec_id, ROUND({_sql_l2('a.vector', 'q.qv')}, 6) AS score
+      FROM a JOIN p USING (cluster_id) JOIN q ON q.qid = p.qid)
+SELECT qid, vec_id, score FROM
+  (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score, vec_id) AS rn FROM d)
+WHERE rn <= {K}
+""",
+)
 
 
 def _lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1107,12 +1265,29 @@ def _lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     from comet_spark.operators.similarity import lsh_ann_topk
 
     res = lsh_ann_topk(
-        _emb_docs(spark, sf_dir), _hybrid_qvec(spark, sf_dir), k=K, ef=100
+        _emb_docs(spark, sf_dir), _hybrid_qvec(spark, sf_dir), k=K, ef=100,
+        artifacts_path=f"{_art_dir(sf_dir)}/lsh",
     )
     return res.select(F.col("id").alias("vec_id"), "score")
 
 
-_register("lsh_ann_topk", _lsh_ann, None)
+# oracle by construction from the exported signature artifacts: DuckDB
+# replays band-hit candidates ∪ ef-nearest-by-Hamming padding, then the
+# exact L2 rescore + total-order top-k
+_register(
+    "lsh_ann_topk",
+    _lsh_ann,
+    f"""
+WITH s AS (SELECT id, full_sig, band_hit FROM read_parquet('{_ART01}/lsh/sigs.parquet/*.parquet')),
+qm AS (SELECT qfull FROM read_parquet('{_ART01}/lsh/qmeta.parquet/*.parquet')),
+near AS (SELECT id FROM s, qm ORDER BY bit_count(xor(full_sig, qfull)), id LIMIT 100),
+cand AS (SELECT id FROM s WHERE band_hit UNION SELECT id FROM near),
+q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = {QUERY_VEC_ID}),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings JOIN cand ON cand.id = vec_id),
+d AS (SELECT vec_id, ROUND({_sql_l2('e.v', 'q.qv')}, 6) AS score FROM e, q)
+SELECT vec_id, score FROM d ORDER BY score, vec_id LIMIT {K}
+""",
+)
 
 
 # E3 descending: autocut over a BM25 relevance curve (text scores sort

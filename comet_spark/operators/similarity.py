@@ -248,7 +248,7 @@ def lsh_ann_topk(
     docs: DataFrame, qvec: list[float], *, k: int = 10,
     id_col: str = "id", vec_col: str = "vector", metric: str = "l2",
     n_planes: int = 16, bands: int = 8, seed: int = 42,
-    ef: int = 0, round_to: int = 6,
+    ef: int = 0, round_to: int = 6, artifacts_path: str | None = None,
 ) -> DataFrame:
     """HNSW-role approximate top-k (SURVEY.md A3): random-hyperplane LSH
     candidate generation + exact distance on candidates.
@@ -296,6 +296,16 @@ def lsh_ann_topk(
         F.col(id_col).cast("bigint").alias("id"), to_double_array(vec_col).alias("v")
     )
     sigs = e.mapInPandas(signatures, "id bigint, full_sig bigint, band_hit boolean")
+
+    if artifacts_path is not None:
+        # oracle-export hook: persist the per-doc signatures + the query's
+        # full signature so a SQL oracle can replay candidate selection,
+        # ef padding, and the exact rescore from the same artifacts
+        sigs.write.mode("overwrite").parquet(f"{artifacts_path}/sigs.parquet")
+        spark.createDataFrame([(qfull,)], "qfull bigint").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{artifacts_path}/qmeta.parquet")
+        sigs = spark.read.parquet(f"{artifacts_path}/sigs.parquet")
 
     cand = sigs.filter("band_hit").select("id")
     if ef > 0:

@@ -108,6 +108,10 @@ def kmeans_train(
         rows = e.mapInPandas(
             partials, "cluster_id bigint, psum array<double>, pcount bigint"
         ).collect()
+        # canonical merge order → centroids are bit-stable run-to-run for a
+        # fixed partitioning (float addition is not associative; an
+        # arrival-order merge would make them nondeterministic)
+        rows.sort(key=lambda r: (r["cluster_id"], r["pcount"], tuple(r["psum"])))
         sums = np.zeros_like(centroids)
         counts = np.zeros(centroids.shape[0], dtype=np.int64)
         for r in rows:
@@ -166,12 +170,12 @@ def kmeans_train_grouped(
         .join(F.broadcast(wanted_df), ["g", "__rn"])
         .collect()
     )
+    by_group: dict[int, list] = {}
+    for r in init:  # one pass, not O(rows·groups)
+        by_group.setdefault(r["g"], []).append(r)
     cents: dict[int, np.ndarray] = {}
-    for g, rns in wanted.items():
-        rows = sorted(
-            (r for r in init if r["g"] == g and r["__rn"] in set(rns)),
-            key=lambda r: r["__rn"],
-        )
+    for g in wanted:
+        rows = sorted(by_group.get(g, []), key=lambda r: r["__rn"])
         c = np.array([r["v"] for r in rows], dtype=np.float64)
         while c.shape[0] < min(k, counts[g]):
             c = np.vstack([c, c[-1]])
@@ -182,34 +186,36 @@ def kmeans_train_grouped(
 
         def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             cc = bc.value
-            acc_sum: dict[tuple[int, int], np.ndarray] = {}
-            acc_cnt: dict[tuple[int, int], int] = {}
+            acc_sum: dict[int, np.ndarray] = {}
+            acc_cnt: dict[int, np.ndarray] = {}
             for pdf in batches:
                 for g, sub in pdf.groupby("g"):
+                    g = int(g)
                     mat = np.array(sub["v"].tolist(), dtype=np.float64)
                     a = np.argmin(_dist_block(mat, cc[g], metric), axis=1)
-                    for cid in np.unique(a):
-                        key = (int(g), int(cid))
-                        sel = mat[a == cid]
-                        if key in acc_sum:
-                            acc_sum[key] += sel.sum(axis=0)
-                            acc_cnt[key] += len(sel)
-                        else:
-                            acc_sum[key] = sel.sum(axis=0)
-                            acc_cnt[key] = len(sel)
+                    if g not in acc_sum:
+                        acc_sum[g] = np.zeros_like(cc[g])
+                        acc_cnt[g] = np.zeros(cc[g].shape[0], dtype=np.int64)
+                    # one vectorized scatter-add per group, no per-cluster loop
+                    np.add.at(acc_sum[g], a, mat)
+                    np.add.at(acc_cnt[g], a, 1)
             if acc_sum:
+                out_g, out_c, out_s, out_n = [], [], [], []
+                for g, s in acc_sum.items():
+                    nz = np.nonzero(acc_cnt[g])[0]
+                    out_g.extend([g] * len(nz))
+                    out_c.extend(int(c) for c in nz)
+                    out_s.extend(list(s[nz]))
+                    out_n.extend(int(x) for x in acc_cnt[g][nz])
                 yield pd.DataFrame(
-                    {
-                        "g": [g for g, _ in acc_sum],
-                        "cluster_id": [c for _, c in acc_sum],
-                        "psum": [list(s) for s in acc_sum.values()],
-                        "pcount": list(acc_cnt.values()),
-                    }
+                    {"g": out_g, "cluster_id": out_c, "psum": out_s, "pcount": out_n}
                 )
 
         rows = e.mapInPandas(
             partials, "g bigint, cluster_id bigint, psum array<double>, pcount bigint"
         ).collect()
+        # canonical merge order (same rationale as kmeans_train)
+        rows.sort(key=lambda r: (r["g"], r["cluster_id"], r["pcount"], tuple(r["psum"])))
         new = {g: c.copy() for g, c in cents.items()}
         sums = {g: np.zeros_like(c) for g, c in cents.items()}
         cnts = {g: np.zeros(c.shape[0], dtype=np.int64) for g, c in cents.items()}

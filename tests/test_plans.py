@@ -80,6 +80,17 @@ def test_per_group_topk_partial_limit_before_exchange(spark, emb):
     assert "WindowGroupLimit" in pre and "WindowGroupLimit" in post
 
 
+def test_ivf_nprobe_partition_pruning(spark):
+    """The IVF driver query must run off the on-disk partitionBy(cluster_id)
+    layout, and the nprobe filter must land as PartitionFilters — the scan
+    never reads the other lists' files (ivf_index_search.go:277-301)."""
+    df = entry_mod.queries()["ivf_knn_nprobe2"](spark, SF_DIR_SMALL)
+    plan = _plan(df)
+    assert "PartitionFilters" in plan
+    seg = plan.split("PartitionFilters")[1][:200]
+    assert "cluster_id" in seg and "IN" in seg.upper()
+
+
 def test_simhash_neardup_no_cartesian(spark):
     """Pigeonhole banding must make the candidate join an EQUI-join on
     (seg, segval) — an all-pairs cartesian/BNLJ would be O(N²) at scale
