@@ -1141,6 +1141,38 @@ SELECT vec_id, score FROM d ORDER BY score, vec_id LIMIT {K}
 )
 
 
+PQ_RESCORE = 100
+
+
+def _pq_adc_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC+R: the compressed-domain scan selects an R-deep shortlist, the
+    exact metric reranks it (the standard recall fix for PQ distortion —
+    recall@10 0.93 vs 0.43 pure-ADC on this corpus, RECALL.md)."""
+    _pq_adc(spark, sf_dir)  # ensures the trained index + artifacts exist
+    pq, codes = _PQ_CACHE[(id(spark), sf_dir)]
+    res = pq.search(
+        codes, _hybrid_qvec(spark, sf_dir), k=K,
+        rescore=PQ_RESCORE, vectors=_emb_docs(spark, sf_dir),
+    )
+    return res.select(F.col("id").alias("vec_id"), "score")
+
+
+_register(
+    "pq_adc_rescore",
+    _pq_adc_rescore,
+    f"""
+WITH c AS (SELECT id, codes FROM read_parquet('{_ART01}/pq/codes.parquet/*.parquet')),
+l AS (SELECT sub, code, dist FROM read_parquet('{_ART01}/pq/lut_q.parquet/*.parquet')),
+adc AS ({_sql_adc('c', 'l')}),
+short AS (SELECT vec_id FROM adc ORDER BY score, vec_id LIMIT {PQ_RESCORE}),
+q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = {QUERY_VEC_ID}),
+e AS (SELECT e.vec_id, embedding::DOUBLE[] AS v FROM embeddings e JOIN short USING (vec_id)),
+d AS (SELECT vec_id, ROUND({_sql_l2('e.v', 'q.qv')}, 6) AS score FROM e, q)
+SELECT vec_id, score FROM d ORDER BY score, vec_id LIMIT {K}
+""",
+)
+
+
 def _ivfpq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
 
@@ -1188,6 +1220,35 @@ _register(
 WITH c AS (SELECT id, cluster_id, codes FROM read_parquet('{_ART01}/ivfpq/encoded.parquet/*.parquet')),
 l AS (SELECT cluster_id, sub, code, dist FROM read_parquet('{_ART01}/ivfpq/luts_q.parquet/*.parquet')),
 d AS ({_sql_adc('c', 'l', extra_on=' AND l{s}.cluster_id = c.cluster_id')})
+SELECT vec_id, score FROM d ORDER BY score, vec_id LIMIT {K}
+""",
+)
+
+
+def _ivfpq_adc_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC+R (the reference's recall regime needs this at 4-bit codes):
+    residual-ADC over the probed lists picks an R-deep shortlist, exact L2
+    reranks — same plan shape as pq_adc_rescore but list-pruned."""
+    _ivfpq_adc(spark, sf_dir)  # ensures trained index + LUT artifacts exist
+    ix, enc = _IVFPQ_CACHE[(id(spark), sf_dir)]
+    res = ix.search(
+        enc, _hybrid_qvec(spark, sf_dir), k=K, nprobe=4,
+        rescore=PQ_RESCORE, vectors=_emb_docs(spark, sf_dir),
+    )
+    return res.select(F.col("id").alias("vec_id"), "score")
+
+
+_register(
+    "ivfpq_adc_rescore",
+    _ivfpq_adc_rescore,
+    f"""
+WITH c AS (SELECT id, cluster_id, codes FROM read_parquet('{_ART01}/ivfpq/encoded.parquet/*.parquet')),
+l AS (SELECT cluster_id, sub, code, dist FROM read_parquet('{_ART01}/ivfpq/luts_q.parquet/*.parquet')),
+adc AS ({_sql_adc('c', 'l', extra_on=' AND l{s}.cluster_id = c.cluster_id')}),
+short AS (SELECT vec_id FROM adc ORDER BY score, vec_id LIMIT {PQ_RESCORE}),
+q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = {QUERY_VEC_ID}),
+e AS (SELECT e.vec_id, embedding::DOUBLE[] AS v FROM embeddings e JOIN short USING (vec_id)),
+d AS (SELECT vec_id, ROUND({_sql_l2('e.v', 'q.qv')}, 6) AS score FROM e, q)
 SELECT vec_id, score FROM d ORDER BY score, vec_id LIMIT {K}
 """,
 )
@@ -1257,6 +1318,31 @@ SELECT qid, vec_id, score FROM
 WHERE rn <= {K}
 """,
 )
+
+
+def _ivf_multi_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-query approximate search through the BUILDER (L + C4 + D1 on
+    the IVF path, reference index_search.go:141-279): the trained disk
+    layout is injected as the corpus index, nprobe = nlist makes the probed
+    batch scan exact, so the fullprobe multi-query aggregation is the
+    oracle."""
+    from comet_spark.plans.builder import Corpus
+
+    ivf, assigned = _ivf_trained(spark, sf_dir)
+    c = Corpus(_emb_docs(spark, sf_dir))
+    c._ivf, c._ivf_assigned = ivf, assigned
+    qvecs = [
+        [float(x) for x in r["qvec"]]
+        for r in _emb_queries(spark, sf_dir, MULTI_QIDS).sort("qid").collect()
+    ]
+    res = (
+        c.vector_search().with_query(*qvecs).with_k(K)
+        .with_score_aggregation("sum").with_nprobes(8).execute()
+    )
+    return res.select(F.col("id").alias("vec_id"), "score")
+
+
+_register("ivf_multi_sum", _ivf_multi_sum, _sql_knn_multi("sum(score)"))
 
 
 def _lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -209,13 +209,17 @@ class VectorSearch:
         return out
 
     def _execute_ann(self) -> DataFrame:
-        """Approximate single-query paths: IVF (nprobes) or LSH (ef)."""
+        """Approximate paths: IVF (nprobes) or LSH (ef).
+
+        Multi-query mirrors the reference (every index type accepts a query
+        batch, ``index_search.go:141-279``): per-query approximate top-k,
+        then cross-query score aggregation — IVF batches all queries into
+        ONE probed job (``IVFIndex.search_batch``); LSH unions per-query
+        scans into one lazy DAG (queries are driver-held literals either
+        way, so no extra collect happens)."""
         c = self.corpus
         qdf = self._query_df()
         qrows = qdf.collect()
-        if len(qrows) != 1:
-            raise ValueError("approximate search paths support a single query")
-        qvec = [float(x) for x in qrows[0]["qvec"]]
         if self.nprobes > 0:
             if c._ivf is None:
                 raise ValueError("with_nprobes requires corpus.build_ivf(nlist)")
@@ -226,18 +230,36 @@ class VectorSearch:
                     c.id_col,
                     "left_semi",
                 )
-            out = c._ivf.search(
-                docs, qvec, k=self.k, nprobe=self.nprobes,
-                id_col=c.id_col, vec_col=c.vec_col,
-            )
+            if len(qrows) == 1:
+                out = c._ivf.search(
+                    docs, [float(x) for x in qrows[0]["qvec"]], k=self.k,
+                    nprobe=self.nprobes, id_col=c.id_col, vec_col=c.vec_col,
+                )
+            else:
+                per_query = c._ivf.search_batch(
+                    docs, qdf, k=self.k, nprobe=self.nprobes,
+                    id_col=c.id_col, vec_col=c.vec_col,
+                )
+                out = knn_aggregate(per_query, k=self.k, agg=self.agg, ascending=True)
         else:
             from comet_spark.operators.similarity import lsh_ann_topk
 
             docs = c.docs if self._prefilter is None else c.docs.filter(self._prefilter)
-            out = lsh_ann_topk(
-                docs, qvec, k=self.k, id_col=c.id_col, vec_col=c.vec_col,
-                metric=c.metric, ef=self.ef_search,
-            )
+            per_parts = []
+            for r in qrows:
+                qvec = [float(x) for x in r["qvec"]]
+                part = lsh_ann_topk(
+                    docs, qvec, k=self.k, id_col=c.id_col, vec_col=c.vec_col,
+                    metric=c.metric, ef=self.ef_search,
+                )
+                per_parts.append(part.select(F.lit(int(r["qid"])).alias("qid"), "id", "score"))
+            if len(per_parts) == 1:
+                out = per_parts[0].select("id", "score")
+            else:
+                per_query = per_parts[0]
+                for p in per_parts[1:]:
+                    per_query = per_query.unionByName(p)
+                out = knn_aggregate(per_query, k=self.k, agg=self.agg, ascending=True)
         return self._finish(out)
 
 

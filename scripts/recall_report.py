@@ -74,12 +74,21 @@ def main() -> None:
             ivf_build,
         )
 
-    t0 = time.perf_counter()
-    pq = PQIndex.train(emb, m=8, nbits=6, max_iter=10)
-    codes = pq.encode(emb).cache()
-    codes.count()
-    pq_build = time.perf_counter() - t0
-    evaluate("PQ", "M=8 nbits=6", lambda v: pq.search(codes, v, k=K), pq_build)
+    for nbits in (6, 8):
+        t0 = time.perf_counter()
+        pq = PQIndex.train(emb, m=8, nbits=nbits, max_iter=10)
+        codes = pq.encode(emb).cache()
+        codes.count()
+        pq_build = time.perf_counter() - t0
+        evaluate(
+            f"PQ", f"M=8 nbits={nbits}",
+            lambda v, p=pq, c=codes: p.search(c, v, k=K), pq_build,
+        )
+        evaluate(
+            "PQ +rescore", f"M=8 nbits={nbits} R=100",
+            lambda v, p=pq, c=codes: p.search(c, v, k=K, rescore=100, vectors=emb),
+            pq_build,
+        )
 
     t0 = time.perf_counter()
     ivfpq = IVFPQIndex.train(emb, nlist=16, m=8, nbits=6, max_iter=10)
@@ -89,6 +98,11 @@ def main() -> None:
     evaluate(
         "IVFPQ", "nlist=16 M=8 nprobe=4",
         lambda v: ivfpq.search(enc, v, k=K, nprobe=4), ivfpq_build,
+    )
+    evaluate(
+        "IVFPQ +rescore", "nlist=16 M=8 nprobe=4 R=100",
+        lambda v: ivfpq.search(enc, v, k=K, nprobe=4, rescore=100, vectors=emb),
+        ivfpq_build,
     )
 
     for ef in (0, 100):
@@ -118,7 +132,12 @@ def main() -> None:
         "Reference envelope (SIFT-1M, BASELINE.md): IVF ~60-96% recall for "
         "nprobe 1→32; PQ ~91%; HNSW ~85-98% for ef 50→400. Synthetic "
         "near-uniform vectors cluster/hash worse than SIFT, so the "
-        "approximate rows trail those numbers at matched settings."
+        "approximate rows trail those numbers at matched settings. "
+        "`+rescore` = ADC+R (exact rerank of the R-deep compressed-domain "
+        "shortlist — a broadcast semi-join of R ids, negligible at scale): "
+        "it lifts PQ recall to the reference's regime. IVFPQ+R is "
+        "probe-bound, not code-bound — IVF alone at nprobe=4/16 caps at "
+        "the same ~0.6; raise nprobe to trade scan fraction for recall."
     )
     out = os.path.join(os.path.dirname(__file__), "..", "RECALL.md")
     with open(out, "w") as f:

@@ -71,6 +71,20 @@ def test_pq_recall_beats_random(emb, qvec, flat_top10):
     assert len(got & gt) >= 2
 
 
+def test_pq_rescore_recovers_recall(emb, qvec, flat_top10):
+    """ADC+R: exact rerank of the ADC shortlist dominates pure ADC — with a
+    corpus-sized shortlist it must reproduce the exact top-k."""
+    pq = PQIndex.train(emb, m=4, nbits=4, max_iter=5)
+    codes = pq.encode(emb)
+    gt = {r[0] for r in flat_top10}
+    pure = {r["id"] for r in pq.search(codes, qvec, k=10).collect()}
+    res = pq.search(codes, qvec, k=10, rescore=100, vectors=emb)
+    rescored = {r["id"] for r in res.collect()}
+    assert len(rescored & gt) >= len(pure & gt)
+    full = pq.search(codes, qvec, k=10, rescore=emb.count(), vectors=emb)
+    assert [tuple(r) for r in full.collect()] == flat_top10
+
+
 def test_pq_params_for():
     assert PQIndex.params_for(64) == (8, 8)
     assert PQIndex.params_for(60) == (10, 8)

@@ -60,7 +60,33 @@ def test_lsh_ann_topk_standalone(corpus, qvec, flat_ids):
     assert rows[0]["id"] == 0 and rows[0]["score"] == 0.0  # query is doc 0
 
 
-def test_ann_multi_query_rejected(corpus, qvec):
-    vs = corpus.vector_search().with_query(qvec, qvec).with_k(5).with_nprobes(2)
-    with pytest.raises(ValueError):
-        vs.execute()
+@pytest.fixture(scope="module")
+def qvec2(corpus):
+    return [float(x) for x in corpus.docs.filter(F.col("id") == 1).first()["vector"]]
+
+
+def test_ann_multi_query_ivf_fullprobe_equals_exact(corpus, qvec, qvec2):
+    """Multi-query through the IVF path at nprobe=nlist must equal the
+    exact multi-query aggregation (reference: multi-query on every index,
+    index_search.go:141-279)."""
+    if corpus._ivf is None:
+        corpus.build_ivf(nlist=8)
+    exact = (
+        corpus.vector_search().with_query(qvec, qvec2).with_k(10)
+        .with_score_aggregation("sum").execute()
+    )
+    approx = (
+        corpus.vector_search().with_query(qvec, qvec2).with_k(10)
+        .with_score_aggregation("sum").with_nprobes(8).execute()
+    )
+    assert [tuple(r) for r in approx.collect()] == [tuple(r) for r in exact.collect()]
+
+
+def test_ann_multi_query_lsh_runs(corpus, qvec, qvec2, flat_ids):
+    res = (
+        corpus.vector_search().with_query(qvec, qvec2).with_k(10)
+        .with_score_aggregation("sum").with_ef_search(100).execute()
+    )
+    rows = res.collect()
+    assert len(rows) == 10
+    assert len({r["id"] for r in rows} & set(flat_ids)) >= 3
