@@ -67,8 +67,13 @@ def _register(name: str, fn: Callable[[SparkSession, str], DataFrame], sql: str 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         # events.parquet stores TIMESTAMP(NANOS); read as int64 nanos so the
-        # arithmetic is timezone-independent (oracle uses epoch_ns()).
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # arithmetic is timezone-independent (oracle uses epoch_ns()). The
+        # driver hands us a vanilla session (no factory involved), so this
+        # runtime-settable conf is applied here — guarded to avoid mutating
+        # session state on every read (comet_spark.session.get_spark sets it
+        # at build time for sessions we create ourselves).
+        if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
@@ -1343,6 +1348,42 @@ def _ivf_multi_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _register("ivf_multi_sum", _ivf_multi_sum, _sql_knn_multi("sum(score)"))
+
+
+_HNSW_CACHE: dict[tuple[int, str], object] = {}
+
+
+def _hnsw_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 true graph-HNSW (driver-built serving index, SURVEY §4.3 option
+    a; reference hnsw_index.go:473-694): deterministic build (seeded
+    levels, id insertion order), beam candidates exported to parquet, and
+    the CLUSTER does exact scoring + top-k over a broadcast semi-join —
+    so the oracle replays scoring from the candidate artifact."""
+    from comet_spark.operators.hnsw import HNSWIndex
+
+    key = (id(spark), sf_dir)
+    if key not in _HNSW_CACHE:
+        _HNSW_CACHE[key] = HNSWIndex.build(
+            _emb_docs(spark, sf_dir), m=8, ef_construction=100
+        )
+    res = _HNSW_CACHE[key].search(
+        _emb_docs(spark, sf_dir), _hybrid_qvec(spark, sf_dir), k=K,
+        ef_search=50, artifacts_path=f"{_art_dir(sf_dir)}/hnsw",
+    )
+    return res.select(F.col("id").alias("vec_id"), "score")
+
+
+_register(
+    "hnsw_ann_topk",
+    _hnsw_ann,
+    f"""
+WITH c AS (SELECT id FROM read_parquet('{_ART01}/hnsw/candidates.parquet/*.parquet')),
+q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = {QUERY_VEC_ID}),
+e AS (SELECT e.vec_id, embedding::DOUBLE[] AS v FROM embeddings e JOIN c ON c.id = e.vec_id),
+d AS (SELECT vec_id, ROUND({_sql_l2('e.v', 'q.qv')}, 6) AS score FROM e, q)
+SELECT vec_id, score FROM d ORDER BY score, vec_id LIMIT {K}
+""",
+)
 
 
 def _lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:

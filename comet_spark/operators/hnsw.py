@@ -1,0 +1,225 @@
+"""True graph-HNSW — the driver-built serving index (SURVEY §4.3 option a).
+
+The reference's HNSW (`hnsw_index.go:473-694` build, `hnsw_index_search.go:
+248-354` search) is sequential pointer-chasing — there is no idiomatic
+distributed equivalent, so this repo ships TWO implementations of the A3
+role and is explicit about which to use when:
+
+- ``lsh_ann_topk`` (similarity.py): fully distributed signatures, the
+  100 TB path — candidate generation never leaves the executors.
+- ``HNSWIndex`` (here): the real hierarchical graph, built and traversed
+  on the driver over a collected corpus — the *serving* shape (the
+  reference itself is a single-node in-memory engine; its HNSW holds the
+  whole graph in RAM too, ~634 MB at SIFT-1M per BASELINE.md). Build is
+  capped by ``max_rows`` so a 100 TB table cannot be collected by
+  accident; beyond that, use LSH or an IVF-pruned scan.
+
+The *scoring* stays in Spark: ``search`` returns the beam's visited
+candidate set and the cluster computes exact distances + top-k over a
+broadcast semi-join, identical plan shape to ``lsh_ann_topk`` — so the
+DuckDB oracle can replay scoring/ordering from an exported candidate
+artifact (by-construction check), while graph traversal itself is
+validated by recall-vs-flat and an ef ladder, exactly how the reference
+validates HNSW (`hnsw_index_search_test.go:992-1150`).
+
+Algorithm: standard HNSW (Malkov & Yashunin 2016, public): geometric
+level assignment with p = 1/M (cap 16, matching `hnsw_index.go:473-484`),
+greedy descent through upper layers, beam search (ef) at each insert
+layer, bidirectional edges pruned to M (2M at layer 0).
+"""
+
+from __future__ import annotations
+
+import heapq
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from comet_spark.functions.vector import to_double_array
+from comet_spark.operators.topk import topk
+
+__all__ = ["HNSWIndex"]
+
+MAX_LEVEL_CAP = 16
+
+
+class HNSWIndex:
+    def __init__(
+        self, ids: np.ndarray, mat: np.ndarray, *, m: int = 8,
+        ef_construction: int = 100, seed: int = 42, metric: str = "l2",
+    ):
+        self.ids = np.asarray(ids, dtype=np.int64)
+        self.mat = np.asarray(mat, dtype=np.float64)
+        self.m = m
+        self.ef_construction = ef_construction
+        self.metric = metric
+        n = len(self.ids)
+        rng = np.random.RandomState(seed)
+        # geometric level: P(level >= l) = (1/M)^l, capped (hnsw_index.go:473-484)
+        self.levels = np.minimum(
+            rng.geometric(1.0 - 1.0 / m, size=n) - 1, MAX_LEVEL_CAP
+        )
+        self.max_level = int(self.levels.max(initial=0))
+        # adjacency: per layer, node -> list of neighbor row indices
+        self.adj: list[dict[int, list[int]]] = [
+            {} for _ in range(self.max_level + 1)
+        ]
+        self.entry = 0
+        for i in range(n):
+            self._insert(i)
+
+    # -- build ----------------------------------------------------------
+
+    def _dist(self, q: np.ndarray, idxs: list[int] | np.ndarray) -> np.ndarray:
+        d = self.mat[np.asarray(idxs, dtype=np.int64)] - q[None, :]
+        return np.sqrt((d * d).sum(axis=1))
+
+    def _search_layer(
+        self, q: np.ndarray, entry: int, ef: int, layer: int
+    ) -> list[tuple[float, int]]:
+        """Beam search within one layer → up to ef (dist, node) ascending."""
+        d0 = float(self._dist(q, [entry])[0])
+        visited = {entry}
+        cand = [(d0, entry)]  # min-heap of frontier
+        best = [(-d0, entry)]  # max-heap (negated) of current ef best
+        while cand:
+            d, u = heapq.heappop(cand)
+            if d > -best[0][0] and len(best) >= ef:
+                break
+            neigh = [v for v in self.adj[layer].get(u, ()) if v not in visited]
+            if not neigh:
+                continue
+            visited.update(neigh)
+            for dv, v in zip(self._dist(q, neigh), neigh):
+                dv = float(dv)
+                if len(best) < ef or dv < -best[0][0]:
+                    heapq.heappush(cand, (dv, v))
+                    heapq.heappush(best, (-dv, v))
+                    if len(best) > ef:
+                        heapq.heappop(best)
+        return sorted((-nd, v) for nd, v in best)
+
+    def _insert(self, i: int) -> None:
+        if i == 0:
+            for layer in range(self.levels[0] + 1):
+                self.adj[layer][0] = []
+            self.entry = 0
+            return
+        q = self.mat[i]
+        level = int(self.levels[i])
+        ep = self.entry
+        # greedy descent through layers above the node's level
+        for layer in range(self.max_level, level, -1):
+            if self.adj[layer]:
+                ep = self._greedy(q, ep, layer)
+        for layer in range(min(level, self.max_level), -1, -1):
+            if not self.adj[layer]:
+                self.adj[layer][i] = []
+                continue
+            found = self._search_layer(q, ep, self.ef_construction, layer)
+            cap = self.m if layer > 0 else 2 * self.m
+            neighbors = [v for _, v in found[: self.m]]
+            self.adj[layer][i] = list(neighbors)
+            for v in neighbors:
+                lst = self.adj[layer].setdefault(v, [])
+                lst.append(i)
+                if len(lst) > cap:  # prune to closest (hnsw_index.go:667-694)
+                    dd = self._dist(self.mat[v], lst)
+                    order = np.argsort(dd, kind="stable")[:cap]
+                    self.adj[layer][v] = [lst[j] for j in order]
+            ep = found[0][1]
+        if level > int(self.levels[self.entry]):
+            self.entry = i
+
+    def _greedy(self, q: np.ndarray, ep: int, layer: int) -> int:
+        cur = ep if ep in self.adj[layer] else next(iter(self.adj[layer]))
+        cur_d = float(self._dist(q, [cur])[0])
+        improved = True
+        while improved:
+            improved = False
+            neigh = self.adj[layer].get(cur, [])
+            if neigh:
+                dd = self._dist(q, neigh)
+                j = int(np.argmin(dd))
+                if float(dd[j]) < cur_d:
+                    cur, cur_d, improved = neigh[j], float(dd[j]), True
+        return cur
+
+    # -- public API -----------------------------------------------------
+
+    @classmethod
+    def build(
+        cls, docs: DataFrame, *, id_col: str = "id", vec_col: str = "vector",
+        m: int = 8, ef_construction: int = 100, seed: int = 42,
+        metric: str = "l2", max_rows: int = 1_000_000,
+    ) -> "HNSWIndex":
+        """Collect the corpus to the driver and build the graph.
+
+        DELIBERATE driver collect — this is the serving-index shape (the
+        graph must live in one memory space; the reference holds it in
+        process RAM the same way). ``max_rows`` refuses corpora that
+        don't fit; the distributed A3 path is ``lsh_ann_topk``.
+        """
+        n = docs.count()
+        if n > max_rows:
+            raise ValueError(
+                f"HNSW build collects the corpus to the driver ({n} rows > "
+                f"max_rows={max_rows}); use lsh_ann_topk for corpora beyond "
+                "driver memory"
+            )
+        rows = docs.select(
+            F.col(id_col).cast("bigint").alias("id"),
+            to_double_array(vec_col).alias("v"),
+        ).collect()
+        ids = np.array([r["id"] for r in rows], dtype=np.int64)
+        mat = np.array([r["v"] for r in rows], dtype=np.float64)
+        order = np.argsort(ids, kind="stable")  # insertion order = id order
+        return cls(
+            ids[order], mat[order], m=m, ef_construction=ef_construction,
+            seed=seed, metric=metric,
+        )
+
+    def search_candidates(self, qvec: list[float], *, ef_search: int = 50) -> list[int]:
+        """Graph traversal only → candidate doc ids (the layer-0 beam's
+        result set, ≥ ef_search entries), driver-side."""
+        q = np.asarray(qvec, dtype=np.float64)
+        ep = self.entry
+        for layer in range(self.max_level, 0, -1):
+            if self.adj[layer]:
+                ep = self._greedy(q, ep, layer)
+        found = self._search_layer(q, ep, max(ef_search, 1), 0)
+        return [int(self.ids[v]) for _, v in found]
+
+    def search(
+        self, docs: DataFrame, qvec: list[float], *, k: int = 10,
+        ef_search: int = 50, id_col: str = "id", vec_col: str = "vector",
+        round_to: int | None = 6, artifacts_path: str | None = None,
+    ) -> DataFrame:
+        """Graph candidates → DISTRIBUTED exact scoring + top-k (same plan
+        shape as lsh_ann_topk: broadcast semi-join prunes the scan, the
+        cluster computes distances) → ``(id, score)``."""
+        from comet_spark.functions.vector import distance as dist_fn
+
+        spark = docs.sparkSession
+        cand_ids = self.search_candidates(qvec, ef_search=max(ef_search, k))
+        cand = spark.createDataFrame([(int(c),) for c in cand_ids], "id bigint")
+        if artifacts_path is not None:
+            # oracle-export: the candidate set as parquet → DuckDB replays
+            # exact scoring + ordering over the same candidates
+            cand.coalesce(1).write.mode("overwrite").parquet(
+                f"{artifacts_path}/candidates.parquet"
+            )
+            cand = spark.read.parquet(f"{artifacts_path}/candidates.parquet")
+        e = docs.select(
+            F.col(id_col).cast("bigint").alias("id"),
+            to_double_array(vec_col).alias("v"),
+        )
+        qlit = F.array(*[F.lit(float(x)) for x in qvec])
+        score = dist_fn(self.metric, F.col("v"), qlit)
+        if round_to is not None:
+            score = F.round(score, round_to)
+        scored = e.join(F.broadcast(cand), "id", "left_semi").select(
+            "id", score.alias("score")
+        )
+        return topk(scored, [F.col("score").asc(), F.col("id").asc()], k)

@@ -247,31 +247,35 @@ def lsh_bucket_pairs(
 def lsh_ann_topk(
     docs: DataFrame, qvec: list[float], *, k: int = 10,
     id_col: str = "id", vec_col: str = "vector", metric: str = "l2",
-    n_planes: int = 16, bands: int = 8, seed: int = 42,
+    n_planes: int = 60, bands: int = 4, band_bits: int = 4, seed: int = 42,
     ef: int = 0, round_to: int = 6, artifacts_path: str | None = None,
 ) -> DataFrame:
     """HNSW-role approximate top-k (SURVEY.md A3): random-hyperplane LSH
     candidate generation + exact distance on candidates.
 
-    A doc is a candidate when any of its ``bands`` band signatures matches
-    the query's. ``ef`` plays the role of HNSW's efSearch: bands with fewer
-    bits per band (more bands) → more candidates → higher recall, and
-    ``ef > 0`` additionally pads the candidate set with the ef nearest by
-    full signature Hamming distance. Validated by recall-vs-flat bounds,
-    exactly how the reference validates HNSW
-    (hnsw_index_search_test.go:992-1150); the plan is a pruned exact scan,
-    so precision within the candidate set is 1.0.
+    Two decoupled signature roles (so the ef knob has HNSW-like effect):
+    banding uses the first ``bands × band_bits`` planes — a doc is a
+    candidate when any band signature matches the query's; the FULL
+    ``n_planes``-bit signature (60 default: fits a signed bigint) ranks
+    docs by Hamming distance to the query, and ``ef > 0`` pads the
+    candidate set with the ef Hamming-nearest — exactly efSearch's role:
+    a larger beam, monotonically more candidates, higher recall
+    (recall-vs-ef ladder in RECALL.md; monotonicity is tested the way the
+    reference tests HNSW's ef ladder, hnsw_index_search_test.go:992-1150
+    and docs/INDEX.md:972-974). The plan is a pruned exact scan, so
+    precision within the candidate set is 1.0.
     """
     from comet_spark.functions.vector import distance as dist_fn
 
     dim = len(qvec)
     planes = _random_hyperplanes(n_planes, dim, seed)
-    rows_per_band = n_planes // bands
+    if bands * band_bits > n_planes:
+        raise ValueError("bands * band_bits must be <= n_planes")
     q = np.asarray(qvec, dtype=np.float64)
     qbits = (planes @ q) >= 0
-    weights = 1 << np.arange(rows_per_band, dtype=np.int64)
+    weights = 1 << np.arange(band_bits, dtype=np.int64)
     qsigs = [
-        int(qbits[b * rows_per_band : (b + 1) * rows_per_band] @ weights)
+        int(qbits[b * band_bits : (b + 1) * band_bits] @ weights)
         for b in range(bands)
     ]
     qfull = int(qbits @ (1 << np.arange(n_planes, dtype=np.int64)))
@@ -288,7 +292,7 @@ def lsh_ann_topk(
             full = bits @ (1 << np.arange(pl.shape[0], dtype=np.int64))
             hit = np.zeros(len(ids), dtype=bool)
             for b in range(bands):
-                seg = bits[:, b * rows_per_band : (b + 1) * rows_per_band]
+                seg = bits[:, b * band_bits : (b + 1) * band_bits]
                 hit |= (seg @ weights) == qsigs[b]
             yield pd.DataFrame({"id": ids, "full_sig": full, "band_hit": hit})
 

@@ -105,10 +105,21 @@ def main() -> None:
         ivfpq_build,
     )
 
-    for ef in (0, 100):
+    for ef in (0, 100, 200, 400):
         evaluate(
-            "LSH (HNSW-role)", f"16 planes, 8 bands, ef={ef}",
+            "LSH (HNSW-role)", f"60 planes, 4x4-bit bands, ef={ef}",
             lambda v, e=ef: lsh_ann_topk(emb, v, k=K, ef=e), 0.0,
+        )
+
+    from comet_spark.operators.hnsw import HNSWIndex
+
+    t0 = time.perf_counter()
+    hnsw = HNSWIndex.build(emb, m=8, ef_construction=100)
+    hnsw_build = time.perf_counter() - t0
+    for ef in (10, 50, 100):
+        evaluate(
+            "HNSW (graph, driver-built)", f"M=8 efC=100 ef={ef}",
+            lambda v, e=ef: hnsw.search(emb, v, k=K, ef_search=e), hnsw_build,
         )
 
     lines = [

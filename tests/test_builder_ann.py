@@ -53,6 +53,20 @@ def test_ef_search_lsh_recall(corpus, qvec, flat_ids):
     assert len(got & set(flat_ids)) >= 5
 
 
+def test_lsh_ef_ladder_monotone(corpus, qvec, flat_ids):
+    """ef is efSearch's role: a larger Hamming beam must not lose recall,
+    and a corpus-sized beam makes the scan exact (recall 1.0) — the
+    reference's ef-ladder validation (docs/INDEX.md:972-974)."""
+    n = corpus.docs.count()
+    gt = set(flat_ids)
+    recalls = []
+    for ef in (0, 50, n):
+        got = {r["id"] for r in lsh_ann_topk(corpus.docs, qvec, k=10, ef=ef).collect()}
+        recalls.append(len(got & gt))
+    assert recalls == sorted(recalls)  # monotone non-decreasing
+    assert recalls[-1] == 10  # beam = corpus -> exact scan
+
+
 def test_lsh_ann_topk_standalone(corpus, qvec, flat_ids):
     res = lsh_ann_topk(corpus.docs, qvec, k=10, ef=50)
     rows = res.collect()

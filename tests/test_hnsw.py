@@ -1,0 +1,75 @@
+"""True graph-HNSW (serving index): recall bounds + ef ladder, the
+reference's own validation strategy (hnsw_index_search_test.go:992-1150);
+plus the driver-collect guard and deterministic rebuild."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from comet_spark.operators.hnsw import HNSWIndex
+from comet_spark.operators.knn import knn
+from tests.conftest import SF_DIR_SMALL
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    df = (
+        spark.read.parquet(f"{SF_DIR_SMALL}/embeddings.parquet")
+        .select(F.col("vec_id").alias("id"), F.col("embedding").alias("vector"))
+        .cache()
+    )
+    df.count()
+    return df
+
+
+@pytest.fixture(scope="module")
+def qvec(emb):
+    return [float(x) for x in emb.filter(F.col("id") == 0).first()["vector"]]
+
+
+@pytest.fixture(scope="module")
+def flat_top10(spark, emb, qvec):
+    qdf = spark.createDataFrame([(0, qvec)], "qid bigint, qvec array<double>")
+    return [tuple(r) for r in knn(emb, qdf, k=10, metric="l2").select("id", "score").collect()]
+
+
+@pytest.fixture(scope="module")
+def index(emb):
+    return HNSWIndex.build(emb, m=8, ef_construction=100)
+
+
+def test_hnsw_recall_at_ef100(index, emb, qvec, flat_top10):
+    got = [tuple(r) for r in index.search(emb, qvec, k=10, ef_search=100).collect()]
+    gt = {r[0] for r in flat_top10}
+    assert len({g[0] for g in got} & gt) >= 9  # reference regime: 85-98%
+
+
+def test_hnsw_ef_ladder(index, emb, qvec, flat_top10):
+    """Recall must not degrade as the beam widens; a corpus-sized beam is
+    exact when the layer-0 graph is connected (it is at M=8, n~500)."""
+    gt = {r[0] for r in flat_top10}
+    n = len(index.ids)
+    recalls = []
+    for ef in (4, 32, n):
+        got = {r["id"] for r in index.search(emb, qvec, k=10, ef_search=ef).collect()}
+        recalls.append(len(got & gt))
+    assert recalls == sorted(recalls)
+    assert recalls[-1] == 10
+    got_full = [tuple(r) for r in index.search(emb, qvec, k=10, ef_search=n).collect()]
+    assert got_full == flat_top10  # exact scan identity incl. scores
+
+
+def test_hnsw_deterministic_rebuild(emb, index, qvec):
+    again = HNSWIndex.build(emb, m=8, ef_construction=100)
+    assert index.search_candidates(qvec, ef_search=20) == again.search_candidates(
+        qvec, ef_search=20
+    )
+
+
+def test_hnsw_build_refuses_oversized_corpus(emb):
+    with pytest.raises(ValueError, match="max_rows"):
+        HNSWIndex.build(emb, max_rows=10)
+
+
+def test_hnsw_candidates_contain_query_doc(index, qvec):
+    # doc 0 IS the query; greedy descent must find its own vector
+    assert 0 in index.search_candidates(qvec, ef_search=10)
