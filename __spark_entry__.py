@@ -57,6 +57,16 @@ BM25_QUERY_2 = "window batch stream"
 HYBRID_LANG = "en"
 NEARDUP_SIM = 0.40
 
+# trained-index artifacts (centroids, probe sets, LUTs, codes, signatures,
+# quantized layouts) export to parquet here; DuckDB oracles replay the
+# pruned/encoded scans from these artifacts by construction
+_ART_ROOT = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".artifacts", "ann")
+_ART01 = f"{_ART_ROOT}/sf0.01"  # oracle SQL always runs at the sf0.01 gate
+
+
+def _art_dir(sf_dir: str) -> str:
+    return f"{_ART_ROOT}/{os.path.basename(sf_dir.rstrip('/'))}"
+
 _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {}
 
 
@@ -829,6 +839,85 @@ SELECT vec_id, ROUND(err, 6) AS max_abs_err FROM d
 )
 
 
+# H8/H9 as STORAGE MODES (quantizer.go:136-157): flat search over the
+# scalar-quantized parquet layout — int8 dequantizes inside the scan
+# expression (pure Catalyst), f16 stores squeezed floats at write time
+_SQ_CACHE: dict[tuple[int, str, str], object] = {}
+
+
+def _sq_index(spark: SparkSession, sf_dir: str, mode: str):
+    from comet_spark.operators.scalar_quant import ScalarQuantizedIndex
+
+    key = (id(spark), sf_dir, mode)
+    if key not in _SQ_CACHE:
+        ix = ScalarQuantizedIndex.build(_emb_docs(spark, sf_dir), mode)
+        base = f"{_art_dir(sf_dir)}/sq_{mode}"
+        ix.write(base)
+        _SQ_CACHE[key] = ScalarQuantizedIndex.read(spark, base)
+    return _SQ_CACHE[key]
+
+
+def _knn_int8_storage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    res = _sq_index(spark, sf_dir, "int8").search(_hybrid_qvec(spark, sf_dir), k=K)
+    return res.select(F.col("id").alias("vec_id"), "score")
+
+
+# independent oracle (no artifacts): quantize/dequant is native arithmetic,
+# so DuckDB recomputes the whole int8 storage path from the raw table
+_SQL_INT8_DEQ = (
+    "list_transform({v}, x -> greatest(-127, least(127, "
+    "round(x * 127.0 / am.m)))::DOUBLE * am.m / 127.0)"
+)
+
+_register(
+    "knn_int8_storage",
+    _knn_int8_storage,
+    f"""
+WITH am AS (SELECT max(list_max(list_transform(embedding::DOUBLE[], x -> abs(x)))) AS m FROM embeddings),
+q AS (SELECT {_SQL_INT8_DEQ.format(v='embedding::DOUBLE[]')} AS qv FROM embeddings, am WHERE vec_id = {QUERY_VEC_ID}),
+e AS (SELECT vec_id, {_SQL_INT8_DEQ.format(v='embedding::DOUBLE[]')} AS v FROM embeddings, am),
+d AS (SELECT vec_id, ROUND({_sql_l2('e.v', 'q.qv')}, 6) AS score FROM e, q)
+SELECT vec_id, score FROM d ORDER BY score, vec_id LIMIT {K}
+""",
+)
+
+
+def _knn_f16_storage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    ix = _sq_index(spark, sf_dir, "float16")
+    qvec = _hybrid_qvec(spark, sf_dir)
+    key = (id(spark), sf_dir, "f16_q")
+    if key not in _PROBE_WRITTEN:
+        q16 = [
+            float(v)
+            for v in np.asarray(qvec, dtype=np.float64).astype(np.float16).astype(np.float64)
+        ]
+        _write_rows(
+            spark, f"{_art_dir(sf_dir)}/sq_float16/q16.parquet",
+            [(q16,)], "qv array<double>",
+        )
+        _PROBE_WRITTEN.add(key)
+    res = ix.search(qvec, k=K)
+    return res.select(F.col("id").alias("vec_id"), "score")
+
+
+# by-construction oracle: the stored layout already holds the f16-squeezed
+# floats (the squeeze is the only non-SQL step); DuckDB replays the exact
+# scan over the written vectors + the exported squeezed query
+_register(
+    "knn_f16_storage",
+    _knn_f16_storage,
+    f"""
+WITH e AS (SELECT id AS vec_id, qvec::DOUBLE[] AS v
+           FROM read_parquet('{_ART01}/sq_float16/vectors.parquet/*.parquet')),
+q AS (SELECT qv FROM read_parquet('{_ART01}/sq_float16/q16.parquet/*.parquet')),
+d AS (SELECT vec_id, ROUND({_sql_l2('e.v', 'q.qv')}, 6) AS score FROM e, q)
+SELECT vec_id, score FROM d ORDER BY score, vec_id LIMIT {K}
+""",
+)
+
+
 # ---------------------------------------------------------------------------
 # relational analytics on the big tables (Catalyst breadth + sf0.1 weight:
 # lineitem is 600k rows there — these are the queries that exercise real
@@ -989,14 +1078,7 @@ FROM orders QUALIFY order_seq <= 3
 # 277-301), and the side tables let the DuckDB oracle recompute the pruned
 # scan exactly — flipping the approximate paths from rows-only checks to
 # hash-matched ones.
-_ART_ROOT = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".artifacts", "ann")
-_ART01 = f"{_ART_ROOT}/sf0.01"  # oracle SQL always runs at the sf0.01 gate
-
 _IVF_CACHE: dict[tuple[int, str], tuple] = {}
-
-
-def _art_dir(sf_dir: str) -> str:
-    return f"{_ART_ROOT}/{os.path.basename(sf_dir.rstrip('/'))}"
 
 
 def _write_rows(spark: SparkSession, path: str, rows: list, schema: str) -> None:

@@ -58,3 +58,44 @@ def test_reranker_hook(spark):
         .collect()
     )
     assert [r["id"] for r in rr] == [r["id"] for r in base][::-1]
+
+
+def test_scalar_quantized_index_int8_close_to_exact(spark):
+    """int8 storage search ranks like the exact scan (quantization noise is
+    tiny at 8 bits) and the layout round-trips through parquet."""
+    import pyspark.sql.functions as F
+
+    from comet_spark.operators.knn import knn
+    from comet_spark.operators.scalar_quant import ScalarQuantizedIndex
+    from tests.conftest import SF_DIR_SMALL
+
+    emb = (
+        spark.read.parquet(f"{SF_DIR_SMALL}/embeddings.parquet")
+        .select(F.col("vec_id").alias("id"), F.col("embedding").alias("vector"))
+    )
+    qvec = [float(x) for x in emb.filter(F.col("id") == 0).first()["vector"]]
+    qdf = spark.createDataFrame([(0, qvec)], "qid bigint, qvec array<double>")
+    gt = {r["id"] for r in knn(emb, qdf, k=10, metric="l2").collect()}
+    ix = ScalarQuantizedIndex.build(emb, "int8")
+    got = {r["id"] for r in ix.search(qvec, k=10).collect()}
+    assert len(got & gt) >= 8
+
+
+def test_scalar_quantized_index_f16_parquet_roundtrip(spark, tmp_path):
+    import pyspark.sql.functions as F
+
+    from comet_spark.operators.scalar_quant import ScalarQuantizedIndex
+    from tests.conftest import SF_DIR_SMALL
+
+    emb = (
+        spark.read.parquet(f"{SF_DIR_SMALL}/embeddings.parquet")
+        .select(F.col("vec_id").alias("id"), F.col("embedding").alias("vector"))
+    )
+    qvec = [float(x) for x in emb.filter(F.col("id") == 0).first()["vector"]]
+    ix = ScalarQuantizedIndex.build(emb, "float16")
+    before = [tuple(r) for r in ix.search(qvec, k=10).collect()]
+    ix.write(str(tmp_path / "sq"))
+    back = ScalarQuantizedIndex.read(spark, str(tmp_path / "sq"))
+    assert [tuple(r) for r in back.search(qvec, k=10).collect()] == before
+    # the query doc itself survives the squeeze as the nearest hit
+    assert before[0][0] == 0
