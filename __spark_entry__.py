@@ -101,10 +101,20 @@ def _bm25_index(spark: SparkSession, sf_dir: str) -> BM25:
     return _BM25_CACHE[key]
 
 
+# the vector corpus is cached once per session like the reference's
+# in-memory index (flat_index.go holds vectors in RAM); ~40 queries share it
+_EMB_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
 def _emb_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _t(spark, sf_dir, "embeddings").select(
-        F.col("vec_id").alias("id"), F.col("embedding").alias("vector"), "label"
-    )
+    key = (id(spark), sf_dir)
+    if key not in _EMB_CACHE:
+        _EMB_CACHE[key] = (
+            _t(spark, sf_dir, "embeddings")
+            .select(F.col("vec_id").alias("id"), F.col("embedding").alias("vector"), "label")
+            .cache()
+        )
+    return _EMB_CACHE[key]
 
 
 def _emb_queries(spark: SparkSession, sf_dir: str, vec_ids: tuple[int, ...]) -> DataFrame:
@@ -1082,7 +1092,10 @@ _IVF_CACHE: dict[tuple[int, str], tuple] = {}
 
 
 def _write_rows(spark: SparkSession, path: str, rows: list, schema: str) -> None:
-    spark.createDataFrame(rows, schema).coalesce(1).write.mode("overwrite").parquet(path)
+    # repartition(1), NOT coalesce(1): coalesce folds the 32 tiny local
+    # partitions into ONE task that runs their Python evaluation serially
+    # (~5 s for 8 rows); the shuffle keeps it parallel (<1 s)
+    spark.createDataFrame(rows, schema).repartition(1).write.mode("overwrite").parquet(path)
 
 
 def _ivf_trained(spark: SparkSession, sf_dir: str):

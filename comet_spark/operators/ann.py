@@ -70,8 +70,15 @@ class IVFIndex:
         )
 
     def write(self, assigned: DataFrame, path: str) -> None:
-        """Persist lists as partitions → nprobe search = partition pruning."""
-        assigned.write.mode("overwrite").partitionBy("cluster_id").parquet(path)
+        """Persist lists as partitions → nprobe search = partition pruning.
+
+        Rows are co-located by list first: without it every input partition
+        writes a file into every cluster directory (P × nlist small files —
+        a metadata bomb at 100 TB); with it each list gets contiguous
+        files."""
+        assigned.repartition("cluster_id").write.mode("overwrite").partitionBy(
+            "cluster_id"
+        ).parquet(path)
 
     def probe_lists(self, qvec: np.ndarray, nprobe: int) -> list[int]:
         """Rank centroids by distance to the query (driver-side; nlist is

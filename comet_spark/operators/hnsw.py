@@ -207,7 +207,7 @@ class HNSWIndex:
         if artifacts_path is not None:
             # oracle-export: the candidate set as parquet → DuckDB replays
             # exact scoring + ordering over the same candidates
-            cand.coalesce(1).write.mode("overwrite").parquet(
+            cand.repartition(1).write.mode("overwrite").parquet(
                 f"{artifacts_path}/candidates.parquet"
             )
             cand = spark.read.parquet(f"{artifacts_path}/candidates.parquet")

@@ -306,7 +306,7 @@ def lsh_ann_topk(
         # full signature so a SQL oracle can replay candidate selection,
         # ef padding, and the exact rescore from the same artifacts
         sigs.write.mode("overwrite").parquet(f"{artifacts_path}/sigs.parquet")
-        spark.createDataFrame([(qfull,)], "qfull bigint").coalesce(1).write.mode(
+        spark.createDataFrame([(qfull,)], "qfull bigint").repartition(1).write.mode(
             "overwrite"
         ).parquet(f"{artifacts_path}/qmeta.parquet")
         sigs = spark.read.parquet(f"{artifacts_path}/sigs.parquet")

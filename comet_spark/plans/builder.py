@@ -52,6 +52,7 @@ class Corpus:
     _bm25: BM25 | None = None
     _ivf: Any = None
     _ivf_assigned: DataFrame | None = None
+    _hnsw: Any = None
 
     def bm25(self) -> BM25:
         if self._bm25 is None:
@@ -84,6 +85,22 @@ class Corpus:
         self._ivf_assigned = self._ivf.assign(
             self.docs, id_col=self.id_col, vec_col=self.vec_col
         ).cache()
+        return self
+
+    def build_hnsw(
+        self, m: int = 8, ef_construction: int = 100, *,
+        seed: int = 42, max_rows: int = 1_000_000,
+    ) -> "Corpus":
+        """Attach the true graph index (driver-built serving shape,
+        hnsw.py); ``with_ef_search(ef)`` then traverses the graph instead
+        of the LSH path — the reference's WithEfSearch→HNSW mapping."""
+        from comet_spark.operators.hnsw import HNSWIndex
+
+        self._hnsw = HNSWIndex.build(
+            self.docs, id_col=self.id_col, vec_col=self.vec_col, m=m,
+            ef_construction=ef_construction, seed=seed, metric=self.metric,
+            max_rows=max_rows,
+        )
         return self
 
     def vector_search(self) -> "VectorSearch":
@@ -248,10 +265,19 @@ class VectorSearch:
             per_parts = []
             for r in qrows:
                 qvec = [float(x) for x in r["qvec"]]
-                part = lsh_ann_topk(
-                    docs, qvec, k=self.k, id_col=c.id_col, vec_col=c.vec_col,
-                    metric=c.metric, ef=self.ef_search,
-                )
+                if c._hnsw is not None:
+                    # true graph traversal (build_hnsw attached); prefilter
+                    # applies at the distributed scoring step = the
+                    # reference's post-filter-by-docIDs semantics
+                    part = c._hnsw.search(
+                        docs, qvec, k=self.k, ef_search=self.ef_search,
+                        id_col=c.id_col, vec_col=c.vec_col,
+                    )
+                else:
+                    part = lsh_ann_topk(
+                        docs, qvec, k=self.k, id_col=c.id_col, vec_col=c.vec_col,
+                        metric=c.metric, ef=self.ef_search,
+                    )
                 per_parts.append(part.select(F.lit(int(r["qid"])).alias("qid"), "id", "score"))
             if len(per_parts) == 1:
                 out = per_parts[0].select("id", "score")
@@ -260,6 +286,10 @@ class VectorSearch:
                 for p in per_parts[1:]:
                     per_query = per_query.unionByName(p)
                 out = knn_aggregate(per_query, k=self.k, agg=self.agg, ascending=True)
+        if self.threshold is not None and self.threshold > 0:
+            # post-filter by distance threshold (reference post-filters ANN
+            # results the same way, hnsw_index_search.go threshold path)
+            out = out.filter(F.col("score") <= F.lit(self.threshold))
         return self._finish(out)
 
 

@@ -104,3 +104,29 @@ def test_ann_multi_query_lsh_runs(corpus, qvec, qvec2, flat_ids):
     rows = res.collect()
     assert len(rows) == 10
     assert len({r["id"] for r in rows} & set(flat_ids)) >= 3
+
+
+def test_ef_search_routes_to_hnsw_when_built(corpus, qvec, flat_ids):
+    """build_hnsw attaches the graph; with_ef_search then traverses it —
+    recall must be in the reference's HNSW regime (>= 0.9 at ef=100)."""
+    corpus.build_hnsw(m=8, ef_construction=100)
+    try:
+        res = corpus.vector_search().with_query(qvec).with_k(10).with_ef_search(100).execute()
+        got = {r["id"] for r in res.collect()}
+        assert len(got & set(flat_ids)) >= 9
+    finally:
+        corpus._hnsw = None  # don't leak into the module-scoped fixture
+
+
+def test_ann_threshold_postfilter(corpus, qvec):
+    corpus.build_hnsw(m=8, ef_construction=100)
+    try:
+        res = (
+            corpus.vector_search().with_query(qvec).with_k(10)
+            .with_ef_search(100).with_threshold(0.5).execute()
+        )
+        rows = res.collect()
+        assert all(r["score"] <= 0.5 for r in rows)
+        assert rows[0]["id"] == 0  # the query doc itself at distance 0
+    finally:
+        corpus._hnsw = None
