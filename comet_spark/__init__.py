@@ -16,6 +16,9 @@ Design rules (see SURVEY.md §4 and SCALE.md):
 - small sides broadcast; prefilters pushed below scans
 """
 
+from comet_spark.operators.ann import IVFIndex, IVFPQIndex, PQIndex
+from comet_spark.operators.hnsw import HNSWIndex
+from comet_spark.operators.scalar_quant import ScalarQuantizedIndex
 from comet_spark.plans.builder import Corpus, HybridSearch, TextSearch, VectorSearch
 from comet_spark.session import get_spark, load_tables
 from comet_spark.storage.store import DocumentStore
@@ -28,4 +31,9 @@ __all__ = [
     "TextSearch",
     "HybridSearch",
     "DocumentStore",
+    "IVFIndex",
+    "PQIndex",
+    "IVFPQIndex",
+    "HNSWIndex",
+    "ScalarQuantizedIndex",
 ]

@@ -71,7 +71,7 @@ class ScalarQuantizedIndex:
         self.encoded.write.mode("overwrite").parquet(f"{path}/vectors.parquet")
         spark = self.encoded.sparkSession
         meta = [(self.mode, float(self.abs_max) if self.abs_max is not None else None)]
-        spark.createDataFrame(meta, "mode string, abs_max double").coalesce(
+        spark.createDataFrame(meta, "mode string, abs_max double").repartition(
             1
         ).write.mode("overwrite").parquet(f"{path}/meta.parquet")
 
