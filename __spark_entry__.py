@@ -2313,6 +2313,126 @@ FROM events GROUP BY event_type
 
 
 # ---------------------------------------------------------------------------
+# multimodal columns (binary payload + typed metadata, multimodal.py):
+# the stub media table derives from `documents` with pure Catalyst
+# expressions, so DuckDB replays it independently; only the md5-chain
+# feature extractor (Python hashlib over digest BYTES — DuckDB's md5 is
+# VARCHAR-only) uses a by-construction artifact oracle
+# ---------------------------------------------------------------------------
+
+def _media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from comet_spark.multimodal import attach_media_stub
+
+    return attach_media_stub(_t(spark, sf_dir, "documents"), id_col="doc_id")
+
+
+_SQL_MEDIA = """
+SELECT doc_id AS media_id,
+       CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+       (doc_id % 640 + 32)::INT AS width,
+       (doc_id % 480 + 32)::INT AS height,
+       16000 AS sample_rate,
+       (doc_id % 300 + 1)::INT AS n_frames
+FROM documents
+"""
+
+
+def _media_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _media(spark, sf_dir)
+        .groupBy("media_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("width"), 6).alias("avg_width"),
+            F.round(F.avg("height"), 6).alias("avg_height"),
+            F.sum("n_frames").alias("total_frames"),
+        )
+    )
+
+
+_register(
+    "media_inventory",
+    _media_inventory,
+    f"""
+WITH m AS ({_SQL_MEDIA})
+SELECT media_type, count(*) AS n, ROUND(avg(width), 6) AS avg_width,
+       ROUND(avg(height), 6) AS avg_height, sum(n_frames) AS total_frames
+FROM m GROUP BY media_type
+""",
+)
+
+
+def _video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """frame_sample's mapInPandas expansion (1 row per sampled frame),
+    checked against an independent generate_series oracle."""
+    from comet_spark.multimodal import frame_sample
+
+    return frame_sample(_media(spark, sf_dir), every_n=30).select(
+        "media_id", "frame_idx"
+    )
+
+
+_register(
+    "video_frame_sample",
+    _video_frame_sample,
+    f"""
+WITH m AS ({_SQL_MEDIA})
+SELECT media_id, unnest(generate_series(0, n_frames - 1, 30))::INT AS frame_idx
+FROM m WHERE media_type = 'video'
+""",
+)
+
+
+def _audio_durations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from comet_spark.multimodal import audio_duration
+
+    return audio_duration(_media(spark, sf_dir))
+
+
+_register(
+    "audio_durations",
+    _audio_durations,
+    f"""
+WITH m AS ({_SQL_MEDIA})
+SELECT media_id, ROUND(n_frames * 512.0 / sample_rate, 6) AS duration_s
+FROM m WHERE media_type = 'audio'
+""",
+)
+
+
+MEDIA_FEAT_DIM = 8
+
+
+def _image_feature_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched stub decode → per-element feature columns; the
+    recomputation must match the exported artifact exactly (determinism of
+    the whole mapInPandas path — the same artifact-replay style as the
+    LSH/HNSW oracles)."""
+    from comet_spark.multimodal import image_features
+
+    feats = image_features(_media(spark, sf_dir), dim=MEDIA_FEAT_DIM)
+    key = (id(spark), sf_dir, "media_feats")
+    if key not in _PROBE_WRITTEN:
+        feats.write.mode("overwrite").parquet(f"{_art_dir(sf_dir)}/media/features.parquet")
+        _PROBE_WRITTEN.add(key)
+    cols = [
+        F.round(F.element_at("features", i + 1), 6).alias(f"f{i}")
+        for i in range(MEDIA_FEAT_DIM)
+    ]
+    return feats.select("media_id", *cols)
+
+
+_register(
+    "image_feature_cols",
+    _image_feature_cols,
+    f"""
+SELECT media_id, {", ".join(f"ROUND(features[{i + 1}], 6) AS f{i}" for i in range(MEDIA_FEAT_DIM))}
+FROM read_parquet('{_ART01}/media/features.parquet/*.parquet')
+""",
+)
+
+
+# ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
 
