@@ -1481,6 +1481,33 @@ SELECT vec_id, score FROM d ORDER BY score, vec_id LIMIT {K}
 )
 
 
+def _hnsw_multi_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph search_batch + cross-query Sum aggregation (one scoring job
+    for all queries); a corpus-sized beam makes every per-query search
+    exact, so the exact multi-query aggregation is the oracle — the same
+    identity trick as ivf fullprobe (connectivity at M=8 is asserted by
+    tests/test_hnsw.py's ef-ladder exactness)."""
+    from comet_spark.operators.hnsw import HNSWIndex
+    from comet_spark.operators.knn import knn_aggregate
+
+    key = (id(spark), sf_dir)
+    if key not in _HNSW_CACHE:
+        _HNSW_CACHE[key] = HNSWIndex.build(
+            _emb_docs(spark, sf_dir), m=8, ef_construction=100
+        )
+    ix = _HNSW_CACHE[key]
+    per_q = ix.search_batch(
+        _emb_docs(spark, sf_dir),
+        _emb_queries(spark, sf_dir, MULTI_QIDS),
+        k=K, ef_search=len(ix.ids),
+    )
+    res = knn_aggregate(per_q, k=K, agg="sum", ascending=True)
+    return res.select(F.col("id").alias("vec_id"), "score")
+
+
+_register("hnsw_multi_sum", _hnsw_multi_sum, _sql_knn_multi("sum(score)"))
+
+
 def _lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A3 HNSW-role: LSH candidates + exact rescore (deterministic: fixed
     hyperplane seed, per-row signatures, total-order top-k)."""

@@ -75,6 +75,45 @@ class BM25:
             (F.sum(F.coalesce("dl", F.lit(0))) / F.count("*")).alias("avgdl"),
         )
 
+    def write(self, path: str, *, buckets: int = 0) -> None:
+        """Persist the index (A8 serialization sink for the text index —
+        the reference writes BM25 streams the same way,
+        ``bm25_index.go:423+``; here the parquet tables ARE the format).
+
+        With ``buckets > 0`` the postings are written ``bucketBy(term)``
+        (as a Spark-managed table, the only way bucketing persists):
+        repeated sessions then score queries without re-shuffling the
+        corpus — the scan of a query's terms touches only their buckets.
+        ``buckets=0`` writes plain parquet (portable, no metastore)."""
+        if buckets > 0:
+            name = "bm25_postings_" + re.sub(r"[^a-zA-Z0-9_]", "_", path).strip("_")
+            (
+                self.postings.write.mode("overwrite")
+                .option("path", f"{path}/postings")
+                .bucketBy(buckets, "term")
+                .sortBy("term")
+                .saveAsTable(name)
+            )
+        else:
+            self.postings.write.mode("overwrite").parquet(f"{path}/postings")
+        self.doc_len.write.mode("overwrite").parquet(f"{path}/doc_len")
+        self.df.write.mode("overwrite").parquet(f"{path}/df")
+        self.stats.repartition(1).write.mode("overwrite").parquet(f"{path}/stats")
+
+    @classmethod
+    def read(cls, spark, path: str, *, buckets: int = 0) -> "BM25":
+        """Reopen a persisted index — no tokenize/shuffle on the read path."""
+        ix = cls.__new__(cls)
+        if buckets > 0:
+            name = "bm25_postings_" + re.sub(r"[^a-zA-Z0-9_]", "_", path).strip("_")
+            ix.postings = spark.table(name)
+        else:
+            ix.postings = spark.read.parquet(f"{path}/postings")
+        ix.doc_len = spark.read.parquet(f"{path}/doc_len")
+        ix.df = spark.read.parquet(f"{path}/df")
+        ix.stats = spark.read.parquet(f"{path}/stats")
+        return ix
+
     def score_batch(
         self,
         query_terms: DataFrame,

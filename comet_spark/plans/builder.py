@@ -262,30 +262,39 @@ class VectorSearch:
             from comet_spark.operators.similarity import lsh_ann_topk
 
             docs = c.docs if self._prefilter is None else c.docs.filter(self._prefilter)
-            per_parts = []
-            for r in qrows:
-                qvec = [float(x) for x in r["qvec"]]
-                if c._hnsw is not None:
-                    # true graph traversal (build_hnsw attached); prefilter
-                    # applies at the distributed scoring step = the
-                    # reference's post-filter-by-docIDs semantics
-                    part = c._hnsw.search(
-                        docs, qvec, k=self.k, ef_search=self.ef_search,
-                        id_col=c.id_col, vec_col=c.vec_col,
-                    )
-                else:
-                    part = lsh_ann_topk(
-                        docs, qvec, k=self.k, id_col=c.id_col, vec_col=c.vec_col,
-                        metric=c.metric, ef=self.ef_search,
-                    )
-                per_parts.append(part.select(F.lit(int(r["qid"])).alias("qid"), "id", "score"))
-            if len(per_parts) == 1:
-                out = per_parts[0].select("id", "score")
-            else:
-                per_query = per_parts[0]
-                for p in per_parts[1:]:
-                    per_query = per_query.unionByName(p)
+            if c._hnsw is not None and len(qrows) > 1:
+                # true graph traversal, all queries scored in ONE job;
+                # prefilter applies at the distributed scoring step = the
+                # reference's post-filter-by-docIDs semantics
+                per_query = c._hnsw.search_batch(
+                    docs, qdf, k=self.k, ef_search=self.ef_search,
+                    id_col=c.id_col, vec_col=c.vec_col,
+                )
                 out = knn_aggregate(per_query, k=self.k, agg=self.agg, ascending=True)
+            else:
+                per_parts = []
+                for r in qrows:
+                    qvec = [float(x) for x in r["qvec"]]
+                    if c._hnsw is not None:
+                        part = c._hnsw.search(
+                            docs, qvec, k=self.k, ef_search=self.ef_search,
+                            id_col=c.id_col, vec_col=c.vec_col,
+                        )
+                    else:
+                        part = lsh_ann_topk(
+                            docs, qvec, k=self.k, id_col=c.id_col, vec_col=c.vec_col,
+                            metric=c.metric, ef=self.ef_search,
+                        )
+                    per_parts.append(
+                        part.select(F.lit(int(r["qid"])).alias("qid"), "id", "score")
+                    )
+                if len(per_parts) == 1:
+                    out = per_parts[0].select("id", "score")
+                else:
+                    per_query = per_parts[0]
+                    for p in per_parts[1:]:
+                        per_query = per_query.unionByName(p)
+                    out = knn_aggregate(per_query, k=self.k, agg=self.agg, ascending=True)
         if self.threshold is not None and self.threshold > 0:
             # post-filter by distance threshold (reference post-filters ANN
             # results the same way, hnsw_index_search.go threshold path)

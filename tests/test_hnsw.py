@@ -73,3 +73,45 @@ def test_hnsw_build_refuses_oversized_corpus(emb):
 def test_hnsw_candidates_contain_query_doc(index, qvec):
     # doc 0 IS the query; greedy descent must find its own vector
     assert 0 in index.search_candidates(qvec, ef_search=10)
+
+
+def test_hnsw_search_batch_matches_single(index, emb, spark):
+    """One batched job ≡ per-query searches (the IVF search_batch twin)."""
+    import pyspark.sql.functions as F
+
+    qs = emb.filter(F.col("id") < 3).select(
+        F.col("id").alias("qid"), F.col("vector").alias("qvec")
+    )
+    got = {
+        (r["qid"], r["id"], r["score"])
+        for r in index.search_batch(emb, qs, k=5, ef_search=50).collect()
+    }
+    want = set()
+    for r in qs.collect():
+        qv = [float(x) for x in r["qvec"]]
+        for s in index.search(emb, qv, k=5, ef_search=50).collect():
+            want.add((r["qid"], s["id"], s["score"]))
+    assert got == want
+
+
+def test_hnsw_builder_multi_query(emb, spark):
+    """Builder multi-query over the graph: fullish beam ≡ exact multi-agg."""
+    import pyspark.sql.functions as F
+
+    from comet_spark.plans.builder import Corpus
+
+    docs = emb.select("id", "vector")
+    c = Corpus(docs)
+    q0 = [float(x) for x in emb.filter(F.col("id") == 0).first()["vector"]]
+    q1 = [float(x) for x in emb.filter(F.col("id") == 1).first()["vector"]]
+    exact = (
+        c.vector_search().with_query(q0, q1).with_k(10)
+        .with_score_aggregation("sum").execute().collect()
+    )
+    n = docs.count()
+    c.build_hnsw(m=8, ef_construction=100)
+    approx = (
+        c.vector_search().with_query(q0, q1).with_k(10)
+        .with_score_aggregation("sum").with_ef_search(n).execute().collect()
+    )
+    assert [tuple(r) for r in approx] == [tuple(r) for r in exact]

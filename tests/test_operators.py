@@ -233,3 +233,27 @@ def test_cosine_invariant_to_write_time_normalization(spark, unit_docs):
     )
     pre = knn(normed, q, k=4, metric="cosine").collect()
     assert [tuple(r) for r in pre] == [tuple(r) for r in raw]
+
+
+def test_bm25_persist_roundtrip(spark, tmp_path):
+    """Persisted BM25 index (plain + bucketed) scores identically to the
+    in-memory build — the text-index A8 sink/source."""
+    import pyspark.sql.functions as F
+
+    from comet_spark.operators.bm25 import BM25
+
+    docs = spark.createDataFrame(
+        [(1, "spark joins tables fast"), (2, "spark streams data"),
+         (3, "tables of data"), (4, "")],
+        "id bigint, text string",
+    )
+    ix = BM25(docs)
+    want = [tuple(r) for r in ix.score("spark tables", k=3).collect()]
+
+    ix.write(str(tmp_path / "plain"))
+    back = BM25.read(spark, str(tmp_path / "plain"))
+    assert [tuple(r) for r in back.score("spark tables", k=3).collect()] == want
+
+    ix.write(str(tmp_path / "bucketed"), buckets=4)
+    bucketed = BM25.read(spark, str(tmp_path / "bucketed"), buckets=4)
+    assert [tuple(r) for r in bucketed.score("spark tables", k=3).collect()] == want
