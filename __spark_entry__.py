@@ -234,6 +234,7 @@ ORDER BY score, vec_id LIMIT {K}
 
 _register("knn_multi_sum", _mk_knn_multi("sum"), _sql_knn_multi("sum(score)"))
 _register("knn_multi_mean", _mk_knn_multi("mean"), _sql_knn_multi("avg(score)"))
+_register("knn_multi_max", _mk_knn_multi("max"), _sql_knn_multi("max(score)"))
 
 
 # C1/B13 — metadata prefilter pushed below the scan (semi-join semantics)
@@ -678,6 +679,24 @@ _register(
     # allDocs ANDNOT union: NULL rows MATCH (metadata_index.go:300-323)
     f"WITH {_SQL_PART_META} SELECT p_partkey FROM pm "
     f"WHERE cat_opt IS NULL OR cat_opt NOT IN ('Brand#13', 'Brand#42')",
+)
+
+
+def _meta_not_gt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B9 operator inversion (metadata_index.go:518-543): Not(Gt) ≡ Lte —
+    NULL rows excluded either way (numeric comparisons are
+    existence-scoped)."""
+    from comet_spark.operators.metadata import Gt, Not, NumField
+
+    pm = _part_meta(spark, sf_dir)
+    return pm.filter(Not(Gt(NumField("num_opt"), 1600.0)).expr()).select("p_partkey")
+
+
+_register(
+    "meta_not_gt",
+    _meta_not_gt,
+    f"WITH {_SQL_PART_META} SELECT p_partkey FROM pm "
+    f"WHERE num_opt IS NOT NULL AND CAST(TRUNC(num_opt*100) AS BIGINT) <= 160000",
 )
 
 

@@ -145,3 +145,32 @@ def test_bucketed_join_skips_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS li_b")
         spark.sql("DROP TABLE IF EXISTS ord_b")
+
+
+def test_pq_rescore_is_broadcast_semijoin_no_python_scoring(spark, emb):
+    """ADC+R: the exact rerank must reach the corpus through a broadcast
+    semi-join of the R-id shortlist (never a shuffle of the corpus), and
+    the rescoring math must stay JVM-side."""
+    from comet_spark.operators.ann import PQIndex
+
+    pq = PQIndex.train(emb, m=4, nbits=4, max_iter=3)
+    codes = pq.encode(emb)
+    qvec = [float(x) for x in emb.first()["vector"]]
+    plan = _plan(pq.search(codes, qvec, k=5, rescore=20, vectors=emb))
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    # the exact-distance side has no Python evaluation (codes encode is
+    # Python, but it's upstream of the shortlist, not the rescore join)
+    rescore_part = plan.split("LeftSemi")[0]
+    assert "BatchEvalPython" not in rescore_part
+
+
+def test_int8_storage_scan_has_no_python(spark, emb):
+    """The quantized-storage scan dequantizes inside the Catalyst
+    expression — pure JVM, whole plan."""
+    from comet_spark.operators.scalar_quant import ScalarQuantizedIndex
+
+    ix = ScalarQuantizedIndex.build(emb, "int8")
+    qvec = [float(x) for x in emb.first()["vector"]]
+    plan = _plan(ix.search(qvec, k=5))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "FlatMapGroupsInPandas" not in plan and "MapInPandas" not in plan
