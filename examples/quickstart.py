@@ -66,8 +66,25 @@ def main() -> None:
     corpus.build_ivf(nlist=8)
     corpus.vector_search().with_query(qvec).with_k(5).with_nprobes(2).execute().show()
 
-    print("— LSH (HNSW-role) approximate search —")
+    print("— LSH (distributed ANN) approximate search —")
     corpus.vector_search().with_query(qvec).with_k(5).with_ef_search(50).execute().show()
+
+    print("— true graph-HNSW (serving index): build once, beam search —")
+    corpus.build_hnsw(m=8, ef_construction=100)
+    corpus.vector_search().with_query(qvec).with_k(5).with_ef_search(50).execute().show()
+
+    print("— multi-query batch ANN with Sum aggregation —")
+    qvec2 = [float(x) for x in emb.filter(F.col("vec_id") == 1).first()["embedding"]]
+    (
+        corpus.vector_search().with_query(qvec, qvec2).with_k(5)
+        .with_score_aggregation("sum").with_ef_search(50).execute().show()
+    )
+
+    print("— int8 quantized storage: 4x smaller scan, same ranking —")
+    from comet_spark.operators.scalar_quant import ScalarQuantizedIndex
+
+    sq = ScalarQuantizedIndex.build(corpus.docs.filter(F.col("vector").isNotNull()), "int8")
+    sq.search(qvec, k=5).show()
 
     spark.stop()
 
