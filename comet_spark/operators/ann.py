@@ -69,6 +69,29 @@ class IVFIndex:
             docs, self.centroids, id_col=id_col, vec_col=vec_col, metric=self.metric
         )
 
+    def save(self, spark, path: str) -> None:
+        """A8 sink for the model itself (the reference's WriteTo,
+        ``flat_index.go:366-614`` family): centroids + metric as parquet —
+        pair with :meth:`write` for the data layout."""
+        rows = [
+            (int(i), [float(x) for x in c]) for i, c in enumerate(self.centroids)
+        ]
+        spark.createDataFrame(
+            rows, "cluster_id bigint, centroid array<double>"
+        ).repartition(1).write.mode("overwrite").parquet(f"{path}/centroids.parquet")
+        spark.createDataFrame([(self.metric,)], "metric string").repartition(
+            1
+        ).write.mode("overwrite").parquet(f"{path}/meta.parquet")
+
+    @classmethod
+    def load(cls, spark, path: str) -> "IVFIndex":
+        meta = spark.read.parquet(f"{path}/meta.parquet").first()
+        rows = sorted(
+            spark.read.parquet(f"{path}/centroids.parquet").collect(),
+            key=lambda r: r["cluster_id"],
+        )
+        return cls(np.array([r["centroid"] for r in rows]), meta["metric"])
+
     def write(self, assigned: DataFrame, path: str) -> None:
         """Persist lists as partitions → nprobe search = partition pruning.
 
@@ -200,6 +223,28 @@ class PQIndex:
             books.append(c)
         return cls(np.stack(books))
 
+    def save(self, spark, path: str) -> None:
+        """A8 sink: codebooks as one (sub, code, centroid) parquet table."""
+        rows = [
+            (sub, code, [float(x) for x in self.codebooks[sub][code]])
+            for sub in range(self.m)
+            for code in range(self.ksub)
+        ]
+        spark.createDataFrame(
+            rows, "sub int, code int, centroid array<double>"
+        ).repartition(1).write.mode("overwrite").parquet(f"{path}/codebooks.parquet")
+
+    @classmethod
+    def load(cls, spark, path: str) -> "PQIndex":
+        rows = sorted(
+            spark.read.parquet(f"{path}/codebooks.parquet").collect(),
+            key=lambda r: (r["sub"], r["code"]),
+        )
+        m = rows[-1]["sub"] + 1
+        ksub = rows[-1]["code"] + 1
+        books = np.array([r["centroid"] for r in rows]).reshape(m, ksub, -1)
+        return cls(books)
+
     def encode(self, docs: DataFrame, *, id_col: str = "id", vec_col: str = "vector") -> DataFrame:
         """→ ``(id, codes ARRAY<SMALLINT>)`` (argmin per subspace, L2²)."""
         spark = docs.sparkSession
@@ -313,6 +358,17 @@ class IVFPQIndex:
         resid = _residuals(assigned, ivf.centroids, vec_col=vec_col)
         pq = PQIndex.train(resid, m=m, nbits=nbits, id_col=id_col, vec_col="residual", max_iter=max_iter)
         return cls(ivf, pq)
+
+    def save(self, spark, path: str) -> None:
+        """A8 sink: coarse + residual models in subdirectories (the
+        reference's hybrid 4-stream write, ``hybrid_search_index.go:
+        617-659``, reduced to two model tables here)."""
+        self.ivf.save(spark, f"{path}/ivf")
+        self.pq.save(spark, f"{path}/pq")
+
+    @classmethod
+    def load(cls, spark, path: str) -> "IVFPQIndex":
+        return cls(IVFIndex.load(spark, f"{path}/ivf"), PQIndex.load(spark, f"{path}/pq"))
 
     def encode(self, docs: DataFrame, *, id_col: str = "id", vec_col: str = "vector") -> DataFrame:
         """→ ``(id, cluster_id, codes)``: assignment + residual PQ codes."""

@@ -180,6 +180,51 @@ class HNSWIndex:
             seed=seed, metric=metric,
         )
 
+    def save(self, spark, path: str) -> None:
+        """A8 sink for the graph (reference ``hnsw_index.go:696-759``
+        WriteTo): nodes (id, vector, level) + edges (layer, node, neighbors)
+        as parquet — a load skips the whole build."""
+        nodes = [
+            (int(self.ids[i]), [float(x) for x in self.mat[i]], int(self.levels[i]))
+            for i in range(len(self.ids))
+        ]
+        spark.createDataFrame(
+            nodes, "id bigint, vector array<double>, level int"
+        ).repartition(1).write.mode("overwrite").parquet(f"{path}/nodes.parquet")
+        edges = [
+            (layer, int(u), [int(v) for v in vs])
+            for layer, adj in enumerate(self.adj)
+            for u, vs in adj.items()
+        ]
+        spark.createDataFrame(
+            edges, "layer int, node bigint, neighbors array<bigint>"
+        ).repartition(1).write.mode("overwrite").parquet(f"{path}/edges.parquet")
+        spark.createDataFrame(
+            [(self.m, self.ef_construction, self.metric, int(self.entry))],
+            "m int, ef_construction int, metric string, entry bigint",
+        ).repartition(1).write.mode("overwrite").parquet(f"{path}/meta.parquet")
+
+    @classmethod
+    def load(cls, spark, path: str) -> "HNSWIndex":
+        meta = spark.read.parquet(f"{path}/meta.parquet").first()
+        nodes = sorted(
+            spark.read.parquet(f"{path}/nodes.parquet").collect(),
+            key=lambda r: r["id"],
+        )
+        ix = cls.__new__(cls)
+        ix.ids = np.array([r["id"] for r in nodes], dtype=np.int64)
+        ix.mat = np.array([r["vector"] for r in nodes], dtype=np.float64)
+        ix.levels = np.array([r["level"] for r in nodes], dtype=np.int64)
+        ix.m = meta["m"]
+        ix.ef_construction = meta["ef_construction"]
+        ix.metric = meta["metric"]
+        ix.entry = int(meta["entry"])
+        ix.max_level = int(ix.levels.max(initial=0))
+        ix.adj = [{} for _ in range(ix.max_level + 1)]
+        for r in spark.read.parquet(f"{path}/edges.parquet").collect():
+            ix.adj[r["layer"]][int(r["node"])] = [int(v) for v in r["neighbors"]]
+        return ix
+
     def search_candidates(self, qvec: list[float], *, ef_search: int = 50) -> list[int]:
         """Graph traversal only → candidate doc ids (the layer-0 beam's
         result set, ≥ ef_search entries), driver-side."""

@@ -120,3 +120,29 @@ def test_ivf_batch_fullprobe_equals_flat_batch(spark, emb):
         for r in ivf.search_batch(assigned, qs, k=10, nprobe=8).collect()
     }
     assert got == flat
+
+
+def test_ann_model_save_load_roundtrip(spark, emb, qvec, tmp_path):
+    """A8 for the trained models: IVF/PQ/IVFPQ persist + reload and
+    reproduce searches exactly."""
+    import numpy as np
+
+    ivf = IVFIndex.train(emb, 4)
+    ivf.save(spark, str(tmp_path / "ivf"))
+    ivf2 = IVFIndex.load(spark, str(tmp_path / "ivf"))
+    assert np.array_equal(ivf.centroids, ivf2.centroids) and ivf2.metric == ivf.metric
+
+    pq = PQIndex.train(emb, m=4, nbits=4, max_iter=3)
+    pq.save(spark, str(tmp_path / "pq"))
+    pq2 = PQIndex.load(spark, str(tmp_path / "pq"))
+    assert np.array_equal(pq.codebooks, pq2.codebooks)
+    codes = pq.encode(emb)
+    a = [tuple(r) for r in pq.search(codes, qvec, k=5).collect()]
+    b = [tuple(r) for r in pq2.search(codes, qvec, k=5).collect()]
+    assert a == b
+
+    ix = IVFPQIndex.train(emb, nlist=2, m=4, nbits=4, max_iter=3)
+    ix.save(spark, str(tmp_path / "ivfpq"))
+    ix2 = IVFPQIndex.load(spark, str(tmp_path / "ivfpq"))
+    assert np.array_equal(ix.ivf.centroids, ix2.ivf.centroids)
+    assert np.array_equal(ix.pq.codebooks, ix2.pq.codebooks)

@@ -115,3 +115,15 @@ def test_hnsw_builder_multi_query(emb, spark):
         .with_score_aggregation("sum").with_ef_search(n).execute().collect()
     )
     assert [tuple(r) for r in approx] == [tuple(r) for r in exact]
+
+
+def test_hnsw_save_load_roundtrip(index, emb, qvec, spark, tmp_path):
+    """A8: the persisted graph reproduces traversal + search exactly."""
+    index.save(spark, str(tmp_path / "hnsw"))
+    back = HNSWIndex.load(spark, str(tmp_path / "hnsw"))
+    assert back.search_candidates(qvec, ef_search=30) == index.search_candidates(
+        qvec, ef_search=30
+    )
+    a = [tuple(r) for r in index.search(emb, qvec, k=10, ef_search=50).collect()]
+    b = [tuple(r) for r in back.search(emb, qvec, k=10, ef_search=50).collect()]
+    assert a == b
