@@ -53,6 +53,10 @@ class Corpus:
     _ivf: Any = None
     _ivf_assigned: DataFrame | None = None
     _hnsw: Any = None
+    _pq: Any = None
+    _pq_codes: DataFrame | None = None
+    _ivfpq: Any = None
+    _ivfpq_enc: DataFrame | None = None
 
     def bm25(self) -> BM25:
         if self._bm25 is None:
@@ -83,6 +87,39 @@ class Corpus:
             metric=self.metric, max_iter=max_iter,
         )
         self._ivf_assigned = self._ivf.assign(
+            self.docs, id_col=self.id_col, vec_col=self.vec_col
+        ).cache()
+        return self
+
+    def build_pq(self, m: int | None = None, nbits: int = 8, max_iter: int = 20) -> "Corpus":
+        """Attach a PQ compressed layout (codes cached); a VectorSearch
+        with ``with_adc(...)`` then runs the compressed-domain ADC scan."""
+        from comet_spark.operators.ann import PQIndex
+
+        if m is None:
+            dim = len(self.docs.select(self.vec_col).first()[0])
+            m, nbits = PQIndex.params_for(dim)
+        self._pq = PQIndex.train(
+            self.docs, m=m, nbits=nbits, id_col=self.id_col,
+            vec_col=self.vec_col, max_iter=max_iter,
+        )
+        self._pq_codes = self._pq.encode(
+            self.docs, id_col=self.id_col, vec_col=self.vec_col
+        ).cache()
+        return self
+
+    def build_ivfpq(
+        self, nlist: int, m: int, nbits: int = 8, max_iter: int = 20
+    ) -> "Corpus":
+        """Attach the coarse+residual layout; ``with_adc()`` +
+        ``with_nprobes(n)`` then runs the probed residual-ADC scan."""
+        from comet_spark.operators.ann import IVFPQIndex
+
+        self._ivfpq = IVFPQIndex.train(
+            self.docs, nlist=nlist, m=m, nbits=nbits, id_col=self.id_col,
+            vec_col=self.vec_col, max_iter=max_iter,
+        )
+        self._ivfpq_enc = self._ivfpq.encode(
             self.docs, id_col=self.id_col, vec_col=self.vec_col
         ).cache()
         return self
@@ -126,11 +163,23 @@ class VectorSearch:
     _reranker: Any = None
     nprobes: int = 0
     ef_search: int = 0
+    adc: bool = False
+    rescore: int = 0
 
     def with_nprobes(self, n: int) -> "VectorSearch":
         """IVF probing (requires ``corpus.build_ivf``); reference
         ``index_search.go:178-182`` WithNProbes."""
         self.nprobes = n
+        return self
+
+    def with_adc(self, rescore: int = 0) -> "VectorSearch":
+        """Compressed-domain ADC scan over the PQ layout (requires
+        ``corpus.build_pq``, or ``build_ivfpq`` when combined with
+        ``with_nprobes``); ``rescore=R`` adds the exact ADC+R rerank of
+        the R-deep shortlist — the reference searches PQ/IVFPQ through
+        the same builder (``index_search.go:141-279``)."""
+        self.adc = True
+        self.rescore = rescore
         return self
 
     def with_ef_search(self, ef: int) -> "VectorSearch":
@@ -203,6 +252,8 @@ class VectorSearch:
 
     def execute(self) -> DataFrame:
         c = self.corpus
+        if self.adc:
+            return self._execute_adc()
         if self.nprobes > 0 or self.ef_search > 0:
             return self._execute_ann()
         per_query = knn(
@@ -224,6 +275,60 @@ class VectorSearch:
         if self._reranker is not None:
             out = self._reranker(out)
         return out
+
+    def _execute_adc(self) -> DataFrame:
+        """PQ / IVFPQ compressed-domain paths (per-query ADC scan, optional
+        exact rescore, cross-query aggregation for batches)."""
+        c = self.corpus
+        qrows = self._query_df().collect()
+        vectors = c.docs if self.rescore else None
+        per_parts = []
+        for r in qrows:
+            qvec = [float(x) for x in r["qvec"]]
+            if self.nprobes > 0:
+                if c._ivfpq is None:
+                    raise ValueError(
+                        "with_adc + with_nprobes requires corpus.build_ivfpq(...)"
+                    )
+                enc = c._ivfpq_enc
+                if self._prefilter is not None:
+                    enc = enc.join(
+                        c.docs.filter(self._prefilter).select(
+                            F.col(c.id_col).alias("id")
+                        ),
+                        "id", "left_semi",
+                    )
+                part = c._ivfpq.search(
+                    enc, qvec, k=self.k, nprobe=self.nprobes,
+                    rescore=self.rescore, vectors=vectors,
+                    id_col=c.id_col, vec_col=c.vec_col,
+                )
+            else:
+                if c._pq is None:
+                    raise ValueError("with_adc requires corpus.build_pq(...)")
+                codes = c._pq_codes
+                if self._prefilter is not None:
+                    codes = codes.join(
+                        c.docs.filter(self._prefilter).select(
+                            F.col(c.id_col).alias("id")
+                        ),
+                        "id", "left_semi",
+                    )
+                part = c._pq.search(
+                    codes, qvec, k=self.k, rescore=self.rescore, vectors=vectors,
+                    id_col=c.id_col, vec_col=c.vec_col,
+                )
+            per_parts.append(part.select(F.lit(int(r["qid"])).alias("qid"), "id", "score"))
+        if len(per_parts) == 1:
+            out = per_parts[0].select("id", "score")
+        else:
+            per_query = per_parts[0]
+            for p in per_parts[1:]:
+                per_query = per_query.unionByName(p)
+            out = knn_aggregate(per_query, k=self.k, agg=self.agg, ascending=True)
+        if self.threshold is not None and self.threshold > 0:
+            out = out.filter(F.col("score") <= F.lit(self.threshold))
+        return self._finish(out)
 
     def _execute_ann(self) -> DataFrame:
         """Approximate paths: IVF (nprobes) or LSH (ef).

@@ -99,11 +99,16 @@ def main() -> None:
         "IVFPQ", "nlist=16 M=8 nprobe=4",
         lambda v: ivfpq.search(enc, v, k=K, nprobe=4), ivfpq_build,
     )
-    evaluate(
-        "IVFPQ +rescore", "nlist=16 M=8 nprobe=4 R=100",
-        lambda v: ivfpq.search(enc, v, k=K, nprobe=4, rescore=100, vectors=emb),
-        ivfpq_build,
-    )
+    # +R recall is probe-bound at nprobe=4; the ladder shows nprobe buying
+    # it back (scan fraction nprobe/nlist is the price)
+    for nprobe in (4, 8, 16):
+        evaluate(
+            "IVFPQ +rescore", f"nlist=16 M=8 nprobe={nprobe} R=100",
+            lambda v, np_=nprobe: ivfpq.search(
+                enc, v, k=K, nprobe=np_, rescore=100, vectors=emb
+            ),
+            ivfpq_build,
+        )
 
     for ef in (0, 100, 200, 400):
         evaluate(

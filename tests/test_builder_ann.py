@@ -130,3 +130,27 @@ def test_ann_threshold_postfilter(corpus, qvec):
         assert rows[0]["id"] == 0  # the query doc itself at distance 0
     finally:
         corpus._hnsw = None
+
+
+def test_builder_adc_rescore_full_equals_exact(corpus, qvec, flat_ids):
+    """build_pq + with_adc(rescore=corpus) must reproduce the exact flat
+    top-k (ADC shortlist covers everything, exact rerank decides)."""
+    n = corpus.docs.count()
+    corpus.build_pq(m=4, nbits=4, max_iter=3)
+    exact = corpus.vector_search().with_query(qvec).with_k(10).execute().collect()
+    got = (
+        corpus.vector_search().with_query(qvec).with_k(10)
+        .with_adc(rescore=n).execute().collect()
+    )
+    assert [tuple(r) for r in got] == [tuple(r) for r in exact]
+
+
+def test_builder_ivfpq_adc_runs(corpus, qvec, flat_ids):
+    corpus.build_ivfpq(nlist=4, m=4, nbits=4, max_iter=3)
+    res = (
+        corpus.vector_search().with_query(qvec).with_k(10)
+        .with_adc(rescore=50).with_nprobes(4).execute()
+    )
+    rows = res.collect()
+    assert len(rows) == 10
+    assert len({r["id"] for r in rows} & set(flat_ids)) >= 3
