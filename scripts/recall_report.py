@@ -152,8 +152,9 @@ def main() -> None:
         "`+rescore` = ADC+R (exact rerank of the R-deep compressed-domain "
         "shortlist — a broadcast semi-join of R ids, negligible at scale): "
         "it lifts PQ recall to the reference's regime. IVFPQ+R is "
-        "probe-bound, not code-bound — IVF alone at nprobe=4/16 caps at "
-        "the same ~0.6; raise nprobe to trade scan fraction for recall."
+        "probe-bound, not code-bound — the nprobe ladder buys recall back "
+        "with scan fraction (0.62/0.78/0.88 at nprobe 4/8/16), reaching "
+        "the reference's ~89% IVFPQ regime at matched settings."
     )
     out = os.path.join(os.path.dirname(__file__), "..", "RECALL.md")
     with open(out, "w") as f:
