@@ -477,9 +477,29 @@ class HybridSearch:
     _groups: Where | None = None
     fusion_kind: str = "weighted_sum"
     fusion_args: dict[str, Any] = dc_field(default_factory=dict)
+    nprobes: int = 0
+    ef_search: int = 0
+    adc: bool = False
+    rescore: int = 0
 
     def with_vector(self, vec: list[float]) -> "HybridSearch":
         self._vec = list(vec)
+        return self
+
+    def with_nprobes(self, n: int) -> "HybridSearch":
+        """Vector side runs the IVF probed scan (reference hybrid
+        delegates to whatever index it wraps,
+        ``hybrid_search_index.go:477-615``)."""
+        self.nprobes = n
+        return self
+
+    def with_ef_search(self, ef: int) -> "HybridSearch":
+        self.ef_search = ef
+        return self
+
+    def with_adc(self, rescore: int = 0) -> "HybridSearch":
+        self.adc = True
+        self.rescore = rescore
         return self
 
     def with_text(self, text: str) -> "HybridSearch":
@@ -524,7 +544,10 @@ class HybridSearch:
 
         vec_res = txt_res = None
         if self._vec is not None:
-            vs = VectorSearch(c, _queries=[self._vec], k=self.k)
+            vs = VectorSearch(
+                c, _queries=[self._vec], k=self.k, nprobes=self.nprobes,
+                ef_search=self.ef_search, adc=self.adc, rescore=self.rescore,
+            )
             if pred is not None:
                 vs = vs.with_prefilter(pred)
             vec_res = vs.execute()

@@ -154,3 +154,20 @@ def test_builder_ivfpq_adc_runs(corpus, qvec, flat_ids):
     rows = res.collect()
     assert len(rows) == 10
     assert len({r["id"] for r in rows} & set(flat_ids)) >= 3
+
+
+def test_hybrid_with_ann_vector_side(corpus, qvec):
+    """Hybrid delegates the vector side to the attached index (reference
+    hybrid wraps whatever vector index it holds)."""
+    if corpus._ivf is None:
+        corpus.build_ivf(nlist=8)
+    flat = (
+        corpus.hybrid_search().with_vector(qvec).with_k(5)
+        .with_fusion("rrf").execute().collect()
+    )
+    probed = (
+        corpus.hybrid_search().with_vector(qvec).with_k(5)
+        .with_nprobes(8).with_fusion("rrf").execute().collect()
+    )
+    # fullprobe == flat identity survives the hybrid wrapper
+    assert [tuple(r) for r in probed] == [tuple(r) for r in flat]
