@@ -1292,6 +1292,54 @@ SELECT vec_id, score FROM d ORDER BY score, vec_id LIMIT {K}
 )
 
 
+N_PQ_BATCH = 20
+
+
+def _pq_adc_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch ADC: one scan of the codes table scores all 20 queries
+    (broadcast per-qid LUT join + grouped sum — the compressed-domain
+    batch twin of knn_batch100). Oracle replays the joined-LUT scan."""
+    import numpy as np
+
+    _pq_adc(spark, sf_dir)  # trained index + codes artifact
+    pq, codes = _PQ_CACHE[(id(spark), sf_dir)]
+    qs = _emb_queries(spark, sf_dir, tuple(range(N_PQ_BATCH)))
+    key = (id(spark), sf_dir, "pq_luts_batch")
+    if key not in _PROBE_WRITTEN:
+        rows = []
+        for r in qs.sort("qid").collect():
+            lut = pq.lut(np.asarray([float(x) for x in r["qvec"]]))
+            rows.extend(
+                (int(r["qid"]), s, c, float(lut[s][c]))
+                for s in range(pq.m)
+                for c in range(pq.ksub)
+            )
+        _write_rows(
+            spark, f"{_art_dir(sf_dir)}/pq/luts_batch.parquet",
+            rows, "qid bigint, sub int, code int, dist double",
+        )
+        _PROBE_WRITTEN.add(key)
+    return pq.search_batch(codes, qs, k=K).select(
+        "qid", F.col("id").alias("vec_id"), "score"
+    )
+
+
+_register(
+    "pq_adc_batch20",
+    _pq_adc_batch,
+    f"""
+WITH c AS (SELECT id, codes FROM read_parquet('{_ART01}/pq/codes.parquet/*.parquet')),
+l AS (SELECT qid, sub, code, dist FROM read_parquet('{_ART01}/pq/luts_batch.parquet/*.parquet')),
+e AS (SELECT id, generate_subscripts(codes, 1) - 1 AS sub, unnest(codes) AS code FROM c),
+d AS (SELECT l.qid, e.id AS vec_id, ROUND(sqrt(sum(l.dist)), 6) AS score
+      FROM e JOIN l ON l.sub = e.sub AND l.code = e.code GROUP BY l.qid, e.id)
+SELECT qid, vec_id, score FROM
+  (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score, vec_id) AS rn FROM d)
+WHERE rn <= {K}
+""",
+)
+
+
 def _ivfpq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
 

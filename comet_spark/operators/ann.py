@@ -316,6 +316,45 @@ class PQIndex:
             )
         return topk(scored, [F.col("score").asc(), F.col("id").asc()], k)
 
+    def search_batch(
+        self, codes: DataFrame, queries: DataFrame, *, k: int = 10,
+        qid_col: str = "qid", qvec_col: str = "qvec", round_to: int | None = 6,
+    ) -> DataFrame:
+        """Batch ADC → (qid, id, score), ONE scan of the codes table.
+
+        Per-query LUTs become one broadcast (qid, sub, code, dist) table;
+        the codes column posexplodes to (id, sub, code) rows (×M, shuffle-
+        free) and joins the LUTs, then groupBy (qid, id) sums the M terms
+        — the batch twin of the single-query literal-array expression
+        (same math; the sum order differs only below ROUND 6)."""
+        from comet_spark.operators.topk import topk_per_group
+
+        spark = codes.sparkSession
+        lut_rows = []
+        for r in queries.select(
+            F.col(qid_col).alias("qid"), to_double_array(qvec_col).alias("qv")
+        ).collect():
+            lut = self.lut(np.asarray([float(x) for x in r["qv"]]))
+            lut_rows.extend(
+                (r["qid"], sub, code, float(lut[sub][code]))
+                for sub in range(self.m)
+                for code in range(self.ksub)
+            )
+        luts = spark.createDataFrame(lut_rows, "qid bigint, sub int, code int, dist double")
+        exploded = codes.select(
+            "id", F.posexplode("codes").alias("sub", "code")
+        ).select("id", F.col("sub").cast("int"), F.col("code").cast("int"))
+        scored = (
+            exploded.join(F.broadcast(luts), ["sub", "code"])
+            .groupBy("qid", "id")
+            .agg(F.sqrt(F.sum("dist")).alias("score"))
+        )
+        if round_to is not None:
+            scored = scored.withColumn("score", F.round("score", round_to))
+        return topk_per_group(
+            scored, ["qid"], [F.col("score").asc(), F.col("id").asc()], k
+        ).select("qid", "id", "score")
+
 
 def _exact_rescore(
     vectors: DataFrame, shortlist: DataFrame, qvec: list[float], *, k: int,

@@ -146,3 +146,23 @@ def test_ann_model_save_load_roundtrip(spark, emb, qvec, tmp_path):
     ix2 = IVFPQIndex.load(spark, str(tmp_path / "ivfpq"))
     assert np.array_equal(ix.ivf.centroids, ix2.ivf.centroids)
     assert np.array_equal(ix.pq.codebooks, ix2.pq.codebooks)
+
+
+def test_pq_search_batch_matches_single(spark, emb):
+    """One batched ADC scan ≡ per-query literal-expression searches (same
+    math; sum order differs only below ROUND 6)."""
+    pq = PQIndex.train(emb, m=4, nbits=4, max_iter=3)
+    codes = pq.encode(emb).cache()
+    qs = emb.filter(F.col("id") < 4).select(
+        F.col("id").alias("qid"), F.col("vector").alias("qvec")
+    )
+    got = {
+        (r["qid"], r["id"], r["score"])
+        for r in pq.search_batch(codes, qs, k=5).collect()
+    }
+    want = set()
+    for r in qs.collect():
+        qv = [float(x) for x in r["qvec"]]
+        for s in pq.search(codes, qv, k=5).collect():
+            want.add((r["qid"], s["id"], s["score"]))
+    assert got == want
