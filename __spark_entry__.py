@@ -1061,6 +1061,58 @@ GROUP BY r_name, n_name
 )
 
 
+def _local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape — 6-table join with the correlated 'customer and
+    supplier in the SAME nation' predicate: the fact table joins two
+    broadcast dimension chains and the equality between them prunes
+    cross-nation pairs. Catalyst picks broadcast hash joins throughout;
+    the lineitem scan is never shuffled."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    sup = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    # broadcast hints ONLY on the always-tiny dims (nation/region); orders/
+    # customer/supplier scale with the fact table, so their join strategy is
+    # left to Catalyst + AQE (broadcast at test SF, shuffle join at 100 TB —
+    # where lineitem⨝orders co-partitions on the join key)
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(cust, o["o_custkey"] == cust["c_custkey"])
+        .join(
+            sup,
+            (li["l_suppkey"] == sup["s_suppkey"])
+            & (cust["c_nationkey"] == sup["s_nationkey"]),
+        )
+        .join(F.broadcast(nat), sup["s_nationkey"] == nat["n_nationkey"])
+        .join(F.broadcast(reg), nat["n_regionkey"] == reg["r_regionkey"])
+        .filter(F.col("r_name") == "ASIA")
+        .groupBy("n_name")
+        .agg(F.round(F.sum(revenue), 6).alias("revenue"), F.count("*").alias("n_items"))
+    )
+
+
+_register(
+    "local_supplier_volume",
+    _local_supplier_volume,
+    """
+SELECT n_name,
+       ROUND(sum(l_extendedprice * (1 - l_discount)), 6) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+GROUP BY n_name
+""",
+)
+
+
 def _orders_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Window-function coverage on a real table: per-customer running
     revenue ordered by date, top spender rows only."""
