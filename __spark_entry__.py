@@ -2159,6 +2159,85 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}
 )
 
 
+# --- winnowing document fingerprints (MOSS-style) ----------------------------
+
+WINNOW_K = 4  # tokens per gram
+WINNOW_W = 5  # gram-hashes per winnowing window
+WINNOW_MAX_DF = 20
+WINNOW_MIN_SHARED = 3
+
+_SQL_WINNOW = f"""
+wt AS (SELECT doc_id, {_SQL_TOKENIZE.format(col='text')} AS toks FROM documents),
+wg AS (SELECT doc_id,
+         list_transform(range(1, len(toks) - {WINNOW_K} + 2),
+           i -> ('0x' || substr(md5(array_to_string(list_slice(toks, i, i + {WINNOW_K} - 1), ' ')), 1, 8))::BIGINT) AS hashes
+       FROM wt WHERE len(toks) >= {WINNOW_K + WINNOW_W - 1}),
+wf AS (SELECT doc_id AS id,
+         unnest(list_distinct(list_transform(range(1, len(hashes) - {WINNOW_W} + 2),
+           i -> list_min(list_slice(hashes, i, i + {WINNOW_W} - 1))))) AS fp
+       FROM wg)
+"""
+
+
+def _winnow_fps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint extraction (fingerprint.py): per-row native
+    array algebra, no shuffle until this per-doc rollup."""
+    from comet_spark.operators.fingerprint import winnow_fingerprints
+
+    fps = winnow_fingerprints(
+        _t(spark, sf_dir, "documents"), k=WINNOW_K, w=WINNOW_W
+    )
+    return fps.groupBy(F.col("id").alias("doc_id")).agg(
+        F.count("*").alias("n_fps"),
+        F.min("fp").alias("fp_min"),
+        F.sum("fp").alias("fp_sum"),
+    )
+
+
+_register(
+    "winnow_fingerprints",
+    _winnow_fps,
+    f"""
+WITH {_SQL_WINNOW}
+SELECT id AS doc_id, count(*) AS n_fps, min(fp) AS fp_min, sum(fp)::BIGINT AS fp_sum
+FROM wf GROUP BY id
+""",
+)
+
+
+def _winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS-style near-dup pairs: equi-join on shared fingerprints (bucketed
+    like minhash-LSH, never cartesian); max_df drops boilerplate grams and
+    bounds bucket skew."""
+    from comet_spark.operators.fingerprint import winnow_neardup_pairs
+
+    return winnow_neardup_pairs(
+        _t(spark, sf_dir, "documents"),
+        k=WINNOW_K,
+        w=WINNOW_W,
+        max_df=WINNOW_MAX_DF,
+        min_shared=WINNOW_MIN_SHARED,
+    )
+
+
+_register(
+    "winnow_neardup_pairs",
+    _winnow_pairs,
+    f"""
+WITH {_SQL_WINNOW},
+wkeep AS (SELECT fp FROM wf GROUP BY fp HAVING count(*) <= {WINNOW_MAX_DF}),
+wfk AS (SELECT wf.id, wf.fp FROM wf JOIN wkeep USING (fp)),
+wsz AS (SELECT id, count(*) AS n_fps FROM wfk GROUP BY id),
+wp AS (SELECT a.id AS a_id, b.id AS b_id, count(*) AS n_shared
+       FROM wfk a JOIN wfk b ON a.fp = b.fp AND a.id < b.id
+       GROUP BY 1, 2 HAVING count(*) >= {WINNOW_MIN_SHARED})
+SELECT a_id, b_id, n_shared,
+       ROUND(n_shared / least(sa.n_fps, sb.n_fps), 6) AS overlap
+FROM wp JOIN wsz sa ON wp.a_id = sa.id JOIN wsz sb ON wp.b_id = sb.id
+""",
+)
+
+
 # --- language-ID heuristic + JSON extraction ---------------------------------
 
 _LANG_MARKERS = {

@@ -257,3 +257,36 @@ def test_bm25_persist_roundtrip(spark, tmp_path):
     ix.write(str(tmp_path / "bucketed"), buckets=4)
     bucketed = BM25.read(spark, str(tmp_path / "bucketed"), buckets=4)
     assert [tuple(r) for r in bucketed.score("spark tables", k=3).collect()] == want
+
+
+def test_winnowing_guarantee_and_pairs(spark):
+    """Winnowing's core guarantee: two docs sharing a run of >= k+w-1
+    tokens share at least one fingerprint; unrelated docs share none;
+    docs shorter than k+w-1 tokens emit no fingerprints at all."""
+    from comet_spark.operators.fingerprint import (
+        winnow_fingerprints,
+        winnow_neardup_pairs,
+    )
+
+    shared_run = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    docs = spark.createDataFrame(
+        [
+            (1, f"one two {shared_run} three four"),
+            (2, f"five six seven {shared_run} eight"),
+            (3, "totally different words nine ten eleven twelve thirteen"),
+            (4, "too short"),
+        ],
+        "doc_id bigint, text string",
+    )
+    fps = winnow_fingerprints(docs, k=4, w=5)
+    rows = fps.collect()
+    sets = {}
+    for r in rows:
+        sets.setdefault(r["id"], set()).add(r["fp"])
+    assert 4 not in sets  # below k+w-1 tokens -> dropped
+    assert sets[1] & sets[2]  # shared 8-token run -> shared fingerprint
+    assert not (sets[1] & sets[3]) and not (sets[2] & sets[3])
+
+    pairs = winnow_neardup_pairs(docs, k=4, w=5, min_shared=1).collect()
+    assert [(r["a_id"], r["b_id"]) for r in pairs] == [(1, 2)]
+    assert 0 < pairs[0]["overlap"] <= 1.0
