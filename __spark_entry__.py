@@ -2238,6 +2238,145 @@ FROM wp JOIN wsz sa ON wp.a_id = sa.id JOIN wsz sb ON wp.b_id = sb.id
 )
 
 
+# --- BPE-ish token counting, hash sampling, sequence packing -----------------
+
+_SQL_BPE = r"regexp_extract_all(lower({col}), ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s]+')"
+
+
+def _bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace vs BPE-ish token counts per language. On this corpus
+    (pure space-separated lowercase words) the two tokenizers agree by
+    construction — the non-degenerate segmentation case is exercised by
+    ``bpe_name_tokens`` and the unit tests."""
+    from comet_spark.functions.text import bpe_pretokenize
+
+    docs = _t(spark, sf_dir, "documents")
+    per_doc = docs.select(
+        "lang",
+        F.size(F.filter(F.split("text", r"\s+"), lambda t: t != "")).alias("n_ws"),
+        F.size(bpe_pretokenize("text")).alias("n_bpe"),
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_ws").alias("ws_tokens"),
+        F.sum("n_bpe").alias("bpe_tokens"),
+        F.round(F.avg("n_bpe"), 6).alias("avg_bpe_per_doc"),
+    )
+
+
+_register(
+    "bpe_token_stats",
+    _bpe_token_stats,
+    f"""
+WITH t AS (SELECT lang,
+             len(list_filter(string_split_regex(text, '\\s+'), t -> t != '')) AS n_ws,
+             len({_SQL_BPE.format(col='text')}) AS n_bpe
+           FROM documents)
+SELECT lang, count(*) AS n_docs, sum(n_ws)::BIGINT AS ws_tokens,
+       sum(n_bpe)::BIGINT AS bpe_tokens, ROUND(avg(n_bpe), 6) AS avg_bpe_per_doc
+FROM t GROUP BY lang
+""",
+)
+
+
+def _bpe_name_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-degenerate BPE-ish segmentation: 'Customer#000000001' splits
+    into a letter run, a punct run, and a digit run. Top tokens by
+    frequency (total order: count desc, token asc)."""
+    from comet_spark.functions.text import bpe_pretokenize
+
+    cust = _t(spark, sf_dir, "customer")
+    toks = cust.select(F.explode(bpe_pretokenize("c_name")).alias("token"))
+    return (
+        toks.groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "token")
+        .limit(5)
+    )
+
+
+_register(
+    "bpe_name_tokens",
+    _bpe_name_tokens,
+    f"""
+WITH t AS (SELECT unnest({_SQL_BPE.format(col='c_name')}) AS token FROM customer)
+SELECT token, count(*) AS n FROM t GROUP BY token ORDER BY n DESC, token LIMIT 5
+""",
+)
+
+
+SAMPLE_SALT = "s1"
+SAMPLE_RATES = {"en": 10, "zh": 60}  # per-lang rates out of 100
+SAMPLE_DEFAULT_RATE = 35
+
+
+def _stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling (sampling.py:hash_sample): keep a
+    per-language fraction by hashed doc_id — reproducible across engines
+    and re-runs, pure per-row predicate (full pushdown, no shuffle)."""
+    from comet_spark.operators.sampling import hash_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    kept = hash_sample(
+        docs,
+        id_col="doc_id",
+        rates=SAMPLE_RATES,
+        stratum_col="lang",
+        salt=SAMPLE_SALT,
+        default_rate=SAMPLE_DEFAULT_RATE,
+    )
+    return kept.select("doc_id", "lang", "bucket")
+
+
+_register(
+    "stratified_sample",
+    _stratified_sample,
+    f"""
+WITH t AS (SELECT doc_id, lang,
+             ('0x' || substr(md5('{SAMPLE_SALT}' || doc_id::VARCHAR), 1, 8))::BIGINT % 100 AS bucket
+           FROM documents)
+SELECT doc_id, lang, bucket FROM t
+WHERE bucket < CASE lang WHEN 'en' THEN 10 WHEN 'zh' THEN 60 ELSE {SAMPLE_DEFAULT_RATE} END
+""",
+)
+
+
+PACK_BUDGET = 256
+
+
+def _seq_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy contiguous sequence packing (sampling.py:pack_sequences):
+    per-shard running token count -> token-budget bins. Windows run per
+    shard (source), so shards pack independently in parallel — no global
+    ordering bottleneck at 100 TB."""
+    from comet_spark.operators.sampling import pack_sequences
+
+    return pack_sequences(
+        _t(spark, sf_dir, "documents"),
+        id_col="doc_id",
+        text_col="text",
+        shard_col="source",
+        budget=PACK_BUDGET,
+    )
+
+
+_register(
+    "seq_packing",
+    _seq_packing,
+    f"""
+WITH t AS (SELECT source AS shard, doc_id AS id,
+             len({_SQL_TOKENIZE.format(col='text')}) AS n_toks FROM documents),
+b AS (SELECT shard, id, n_toks,
+        CAST(floor((sum(n_toks) OVER (PARTITION BY shard ORDER BY id
+               ROWS UNBOUNDED PRECEDING) - n_toks) / {PACK_BUDGET}) AS BIGINT) AS bin
+      FROM t)
+SELECT shard, bin, count(*) AS n_docs, sum(n_toks)::BIGINT AS total_tokens,
+       ROUND(sum(n_toks) / {PACK_BUDGET}, 6) AS fill
+FROM b GROUP BY shard, bin
+""",
+)
+
+
 # --- language-ID heuristic + JSON extraction ---------------------------------
 
 _LANG_MARKERS = {

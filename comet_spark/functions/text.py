@@ -20,6 +20,8 @@ from pyspark.sql.functions import pandas_udf
 __all__ = [
     "tokenize",
     "TOKEN_SPLIT_RE",
+    "BPE_PRETOKEN_RE",
+    "bpe_pretokenize",
     "nfkc",
     "token_count",
     "stopword_ratio",
@@ -27,6 +29,19 @@ __all__ = [
 ]
 
 TOKEN_SPLIT_RE = "[^a-z0-9]+"
+
+# GPT-2-style pretokenizer, simplified to the subset expressible
+# identically in Java regex (Spark) and RE2 (DuckDB): letter runs, digit
+# runs, and punctuation runs, each optionally preceded by one space.
+# 'Customer#000000001' -> ['customer', '#', '000000001'].
+BPE_PRETOKEN_RE = " ?[a-z]+| ?[0-9]+| ?[^a-z0-9\\s]+"
+
+
+def bpe_pretokenize(col: Column | str) -> Column:
+    """BPE-ish pretokenization: array of letter/digit/punct runs over
+    lowered text (native regexp_extract_all — JVM-side, codegen'd)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_extract_all(F.lower(c), F.lit(BPE_PRETOKEN_RE), 0)
 
 
 def tokenize(text: Column | str) -> Column:

@@ -1,0 +1,106 @@
+"""Deterministic sampling and sequence packing for training-data pipelines.
+
+Both operators are driven by content hashes, not RNG, so runs are exactly
+reproducible across engines, retries, and cluster sizes — the property a
+100 TB data pipeline needs (a re-run after a failed stage must sample the
+SAME rows) and the property that makes a DuckDB oracle possible.
+
+- ``hash_sample``: stratified Bernoulli sampling by hashed id. Each row's
+  bucket is ``md5(salt || id) % denom``; a row is kept when its bucket is
+  below its stratum's rate. Changing ``salt`` yields an independent draw
+  (train/holdout splits are the special case of one stratum). Pure
+  per-row predicate -> full predicate pushdown, zero shuffles, scales
+  linearly.
+- ``pack_sequences``: greedy contiguous sequence packing — assign each
+  document to a token-budget bin by the running token count within its
+  shard (the classic "pack examples into fixed-length training sequences"
+  step). The window runs PER SHARD (source file / partition key), never
+  globally: each shard packs independently in parallel, so there is no
+  global-ordering bottleneck at scale; a bin may overflow its budget by
+  at most one document (standard first-token-position semantics).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from comet_spark.functions.text import tokenize
+
+__all__ = ["hash_bucket", "hash_sample", "pack_sequences"]
+
+
+def hash_bucket(id_col: Column, *, salt: str = "", denom: int = 100) -> Column:
+    """Deterministic bucket in [0, denom): first 8 md5 hex chars of
+    (salt || id) as a 32-bit int, mod denom. DuckDB twin:
+    ('0x' || substr(md5(salt || id::VARCHAR), 1, 8))::BIGINT % denom."""
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt), id_col.cast("string")).cast("binary")), 1, 8),
+        16,
+        10,
+    ).cast("bigint")
+    return h % denom
+
+
+def hash_sample(
+    df: DataFrame,
+    *,
+    id_col: str,
+    rates: dict[str, int] | int,
+    stratum_col: str | None = None,
+    salt: str = "",
+    denom: int = 100,
+    default_rate: int = 0,
+) -> DataFrame:
+    """Keep rows whose hash bucket < their stratum's rate (out of denom).
+
+    ``rates`` is either a single int rate (uniform sampling) or a
+    {stratum_value: rate} dict keyed by ``stratum_col`` values; strata not
+    listed fall back to ``default_rate``. Adds a ``bucket`` column so
+    downstream stages (and the oracle) can audit the draw.
+    """
+    bucket = hash_bucket(F.col(id_col), salt=salt, denom=denom)
+    out = df.withColumn("bucket", bucket)
+    if isinstance(rates, int):
+        return out.filter(F.col("bucket") < rates)
+    if stratum_col is None:
+        raise ValueError("stratum_col is required when rates is a dict")
+    rate = F.lit(default_rate)
+    for value, r in sorted(rates.items()):
+        rate = F.when(F.col(stratum_col) == value, F.lit(r)).otherwise(rate)
+    return out.filter(F.col("bucket") < rate)
+
+
+def pack_sequences(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shard_col: str = "source",
+    budget: int = 256,
+) -> DataFrame:
+    """Greedy contiguous packing -> (shard, bin, n_docs, total_tokens, fill).
+
+    Documents are ordered by id within each shard; a document's bin is
+    ``floor(tokens_before_it / budget)`` — it lands in the bin where its
+    first token would fall. fill = total_tokens / budget rounded to 6.
+    """
+    sized = docs.select(
+        F.col(shard_col).alias("shard"),
+        F.col(id_col).alias("id"),
+        F.size(tokenize(text_col)).alias("n_toks"),
+    )
+    binned = sized.withColumn(
+        "bin",
+        F.floor((F.sum("n_toks").over(
+            Window.partitionBy("shard").orderBy("id").rowsBetween(Window.unboundedPreceding, 0)
+        ) - F.col("n_toks")) / budget),
+    )
+    return (
+        binned.groupBy("shard", "bin")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_toks").alias("total_tokens"),
+            F.round(F.sum("n_toks") / budget, 6).alias("fill"),
+        )
+    )

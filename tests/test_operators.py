@@ -290,3 +290,54 @@ def test_winnowing_guarantee_and_pairs(spark):
     pairs = winnow_neardup_pairs(docs, k=4, w=5, min_shared=1).collect()
     assert [(r["a_id"], r["b_id"]) for r in pairs] == [(1, 2)]
     assert 0 < pairs[0]["overlap"] <= 1.0
+
+
+def test_hash_sample_deterministic_and_stratified(spark):
+    from comet_spark.operators.sampling import hash_sample
+
+    docs = spark.range(0, 500).withColumn(
+        "stratum", (F.col("id") % 2 == 0).cast("string")
+    )
+    a = {r["id"] for r in hash_sample(docs, id_col="id", rates=30, salt="x").collect()}
+    b = {r["id"] for r in hash_sample(docs, id_col="id", rates=30, salt="x").collect()}
+    c = {r["id"] for r in hash_sample(docs, id_col="id", rates=30, salt="y").collect()}
+    assert a == b  # reproducible draw
+    assert a != c  # independent draw under a different salt
+    assert 500 * 0.15 < len(a) < 500 * 0.45  # ~30%
+
+    none = hash_sample(docs, id_col="id", rates=0, salt="x").count()
+    everything = hash_sample(docs, id_col="id", rates=100, salt="x").count()
+    assert (none, everything) == (0, 500)
+
+    strat = hash_sample(
+        docs, id_col="id", rates={"true": 100}, stratum_col="stratum",
+        salt="x", default_rate=0,
+    ).collect()
+    assert len(strat) == 250 and all(r["stratum"] == "true" for r in strat)
+
+
+def test_pack_sequences_bins(spark):
+    """Handcrafted shard: token counts 3,3,3,4 with budget 6 ->
+    bins by tokens-before-doc: 0,0,1(starts at 6),1(starts at 9 ->
+    overflows budget by one doc — first-token-position semantics)."""
+    from comet_spark.operators.sampling import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(1, "a b c", "s"), (2, "d e f", "s"), (3, "g h i", "s"),
+         (4, "j k l m", "s"), (5, "n o", "t")],
+        "doc_id bigint, text string, source string",
+    )
+    out = {(r["shard"], r["bin"]): (r["n_docs"], r["total_tokens"])
+           for r in pack_sequences(docs, budget=6).collect()}
+    assert out == {("s", 0): (2, 6), ("s", 1): (2, 7), ("t", 0): (1, 2)}
+
+
+def test_bpe_pretokenize_segments_mixed_runs(spark):
+    from comet_spark.functions.text import bpe_pretokenize
+
+    df = spark.createDataFrame(
+        [("Customer#000000001",), ("hello  world, x2!",)], "s string"
+    )
+    got = [r[0] for r in df.select(bpe_pretokenize("s")).collect()]
+    assert got[0] == ["customer", "#", "000000001"]
+    assert got[1] == ["hello", " world", ",", " x", "2", "!"]
