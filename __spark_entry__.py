@@ -2367,6 +2367,48 @@ FROM wp JOIN wsz sa ON wp.a_id = sa.id JOIN wsz sb ON wp.b_id = sb.id
 )
 
 
+# --- Gopher-style quality-rule filter ----------------------------------------
+
+
+def _gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Auditable quality filter (quality.py:gopher_rules): per-doc metrics,
+    each rule's verdict, AND'd keep decision. mean-length rule is
+    degenerate on this corpus (all docs pass) — kept for rule-family
+    fidelity; wordcount/stopword/repetition rules all discriminate."""
+    from comet_spark.operators.quality import gopher_rules
+
+    out = gopher_rules(_t(spark, sf_dir, "documents"))
+    return out.withColumnRenamed("id", "doc_id")
+
+
+_register(
+    "gopher_rules",
+    _gopher_rules,
+    f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKENIZE.format(col='text')} AS toks FROM documents
+           WHERE len({_SQL_TOKENIZE.format(col='text')}) > 0),
+mode AS (SELECT doc_id, max(c) AS top_c FROM
+           (SELECT doc_id, term, count(*) AS c FROM
+              (SELECT doc_id, unnest(toks) AS term FROM t) GROUP BY doc_id, term)
+         GROUP BY doc_id),
+s AS (SELECT t.doc_id,
+        len(toks)::BIGINT AS n_tokens,
+        ROUND(list_sum(list_transform(toks, x -> len(x)))::DOUBLE / len(toks), 6) AS mean_token_len,
+        len(list_filter(list_distinct(toks), x -> list_contains({_SQL_STOPWORDS}, x)))::BIGINT AS n_stopwords,
+        ROUND(mode.top_c::DOUBLE / len(toks), 6) AS top_token_frac
+      FROM t JOIN mode ON t.doc_id = mode.doc_id)
+SELECT doc_id, n_tokens, mean_token_len, n_stopwords, top_token_frac,
+       n_tokens BETWEEN 30 AND 10000 AS ok_words,
+       mean_token_len BETWEEN 3.0 AND 10.0 AS ok_mean_len,
+       n_stopwords >= 2 AS ok_stopwords,
+       top_token_frac <= 0.125 AS ok_repetition,
+       (n_tokens BETWEEN 30 AND 10000) AND (mean_token_len BETWEEN 3.0 AND 10.0)
+         AND n_stopwords >= 2 AND top_token_frac <= 0.125 AS keep
+FROM s
+""",
+)
+
+
 # --- BPE-ish token counting, hash sampling, sequence packing -----------------
 
 _SQL_BPE = r"regexp_extract_all(lower({col}), ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s]+')"

@@ -16,7 +16,12 @@ from pyspark.sql.streaming import StreamingQuery
 
 from comet_spark.storage.store import DocumentStore
 
-__all__ = ["stream_into_store", "windowed_event_counts", "sessionize_stream"]
+__all__ = [
+    "stream_into_store",
+    "windowed_event_counts",
+    "sessionize_stream",
+    "dedup_stream",
+]
 
 
 def stream_into_store(
@@ -103,6 +108,29 @@ def sessionize_stream(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def dedup_stream(
+    stream: DataFrame,
+    *,
+    text_col: str = "text",
+    ts_col: str | None = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup on ingest: drop re-ingested duplicate content
+    by md5 hash. On a stream with ``ts_col``, uses
+    ``dropDuplicatesWithinWatermark`` so the state store holds one hash per
+    unique document only inside the watermark horizon — bounded state, the
+    requirement for a continuously-ingesting 100 TB pipeline (an unbounded
+    dropDuplicates would accrete state forever). On a batch DF (or
+    ``ts_col=None``) it degrades to plain first-wins dropDuplicates —
+    the batch twin the tests compare against."""
+    hashed = stream.withColumn("content_hash", F.md5(F.col(text_col).cast("binary")))
+    if ts_col is not None and hashed.isStreaming:
+        return hashed.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+            ["content_hash"]
+        )
+    return hashed.dropDuplicates(["content_hash"])
 
 
 def windowed_event_counts(

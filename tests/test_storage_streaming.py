@@ -229,3 +229,40 @@ def test_corpus_store_roundtrip_search(spark, store):
     reopened = Corpus.from_store(store)
     after = reopened.vector_search().with_query(qvec).with_k(10).execute().collect()
     assert [tuple(r) for r in after] == [tuple(r) for r in before]
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """dedup_stream drops re-ingested duplicate content over an actual
+    stream (file source -> append memory sink) and its batch twin gives
+    the same distinct set."""
+    from comet_spark.streaming.ingest import dedup_stream
+
+    src_dir = str(tmp_path / "docs_in")
+    rows = [
+        ("2024-01-01 00:00:01", 1, "alpha beta"),
+        ("2024-01-01 00:00:02", 2, "gamma delta"),
+        ("2024-01-01 00:00:03", 3, "alpha beta"),   # dup of 1
+        ("2024-01-01 00:00:04", 4, "epsilon"),
+        ("2024-01-01 00:00:05", 5, "gamma delta"),  # dup of 2
+    ]
+    df = spark.createDataFrame(rows, "ts string, id bigint, text string").select(
+        F.col("ts").cast("timestamp").alias("ts"), "id", "text"
+    )
+    df.coalesce(1).write.mode("append").parquet(src_dir)
+
+    stream = spark.readStream.schema("ts timestamp, id bigint, text string").parquet(src_dir)
+    q = (
+        dedup_stream(stream, watermark="10 minutes")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_out")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt_dedup"))
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(r["text"] for r in spark.sql("select * from dedup_out").collect())
+    assert got == ["alpha beta", "epsilon", "gamma delta"]
+
+    batch = dedup_stream(df, ts_col=None)
+    assert sorted(r["text"] for r in batch.collect()) == got
