@@ -2367,6 +2367,64 @@ FROM wp JOIN wsz sa ON wp.a_id = sa.id JOIN wsz sb ON wp.b_id = sb.id
 )
 
 
+# --- dedup clusters: connected components over near-dup pairs ----------------
+
+
+def _dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairs -> clusters -> keep decision (graph.py:connected_components):
+    min-label propagation over the winnowing near-dup graph, then
+    longest-text-wins (tie: lowest id) per cluster. Without this step a
+    chain A~B~C would be double-dropped by pairwise deletion."""
+    from comet_spark.operators.fingerprint import winnow_neardup_pairs
+    from comet_spark.operators.graph import connected_components
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = winnow_neardup_pairs(
+        docs, k=WINNOW_K, w=WINNOW_W, max_df=WINNOW_MAX_DF, min_shared=WINNOW_MIN_SHARED
+    )
+    comp = connected_components(pairs)
+    ranked = comp.join(docs.select(F.col("doc_id").alias("id"), "n_chars"), "id").select(
+        "id",
+        "component",
+        F.row_number()
+        .over(Window.partitionBy("component").orderBy(F.desc("n_chars"), "id"))
+        .alias("rk"),
+        F.count("*").over(Window.partitionBy("component")).alias("cluster_size"),
+    )
+    return ranked.select(
+        F.col("id").alias("doc_id"),
+        "component",
+        "cluster_size",
+        (F.col("rk") == 1).alias("keep"),
+    )
+
+
+_register(
+    "dedup_clusters",
+    _dedup_clusters,
+    f"""
+WITH RECURSIVE {_SQL_WINNOW},
+wkeep AS (SELECT fp FROM wf GROUP BY fp HAVING count(*) <= {WINNOW_MAX_DF}),
+wfk AS (SELECT wf.id, wf.fp FROM wf JOIN wkeep USING (fp)),
+wp AS (SELECT a.id AS a_id, b.id AS b_id FROM wfk a JOIN wfk b
+       ON a.fp = b.fp AND a.id < b.id GROUP BY 1, 2 HAVING count(*) >= {WINNOW_MIN_SHARED}),
+edges AS (SELECT a_id AS a, b_id AS b FROM wp UNION SELECT b_id, a_id FROM wp),
+reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+),
+comp AS (SELECT a AS id, least(a, min(b)) AS component FROM reach GROUP BY a),
+ranked AS (SELECT c.id, c.component, d.n_chars,
+             row_number() OVER (PARTITION BY c.component ORDER BY d.n_chars DESC, c.id) AS rk,
+             count(*) OVER (PARTITION BY c.component) AS cluster_size
+           FROM comp c JOIN documents d ON c.id = d.doc_id)
+SELECT id AS doc_id, component, cluster_size, rk = 1 AS keep FROM ranked
+""",
+)
+
+
 # --- Gopher-style quality-rule filter ----------------------------------------
 
 

@@ -341,3 +341,16 @@ def test_bpe_pretokenize_segments_mixed_runs(spark):
     got = [r[0] for r in df.select(bpe_pretokenize("s")).collect()]
     assert got[0] == ["customer", "#", "000000001"]
     assert got[1] == ["hello", " world", ",", " x", "2", "!"]
+
+
+def test_connected_components_chain_and_clique(spark):
+    """Chain 1-2-3-4 collapses to one component (the case pairwise dedup
+    gets wrong), triangle 10-11-12 to another, pair 20-21 to a third."""
+    from comet_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)],
+        "a_id bigint, b_id bigint",
+    )
+    got = {r["id"]: r["component"] for r in connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
