@@ -9,8 +9,8 @@ SAME rows) and the property that makes a DuckDB oracle possible.
   bucket is ``md5(salt || id) % denom``; a row is kept when its bucket is
   below its stratum's rate. Changing ``salt`` yields an independent draw
   (train/holdout splits are the special case of one stratum). Pure
-  per-row predicate -> full predicate pushdown, zero shuffles, scales
-  linearly.
+  per-row predicate fused into the scan's codegen stage (plan-asserted:
+  no Exchange, no Python) — zero shuffles, scales linearly.
 - ``pack_sequences``: greedy contiguous sequence packing — assign each
   document to a token-budget bin by the running token count within its
   shard (the classic "pack examples into fixed-length training sequences"

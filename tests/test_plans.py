@@ -174,3 +174,37 @@ def test_int8_storage_scan_has_no_python(spark, emb):
     plan = _plan(ix.search(qvec, k=5))
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "FlatMapGroupsInPandas" not in plan and "MapInPandas" not in plan
+
+
+def test_winnow_extraction_no_exchange(spark):
+    """Fingerprint extraction is per-row array algebra — the plan up to
+    the (id, fp) pairs must contain no shuffle at all."""
+    from comet_spark.operators.fingerprint import winnow_fingerprints
+
+    docs = spark.read.parquet(f"{SF_DIR_SMALL}/documents.parquet")
+    plan = _plan(winnow_fingerprints(docs))
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_hash_sample_scan_stage_no_shuffle(spark):
+    """The md5-bucket predicate evaluates inside the scan's codegen stage:
+    no Exchange, no Python worker."""
+    from comet_spark.operators.sampling import hash_sample
+
+    docs = spark.read.parquet(f"{SF_DIR_SMALL}/documents.parquet")
+    plan = _plan(hash_sample(docs, id_col="doc_id", rates=30, salt="x"))
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "*(1) Filter" in plan  # fused into the single codegen'd scan stage
+
+
+def test_disjunctive_predicates_pushed_to_both_scans(spark):
+    """Q19 shape: Catalyst factors the OR-of-ANDs so each join side's
+    members reach its own parquet scan as DataFilters."""
+    df = entry_mod.queries()["disjunctive_revenue"](spark, SF_DIR_SMALL)
+    plan = _plan(df)
+    scans = [s for s in plan.split("FileScan parquet") if "DataFilters" in s]
+    li_scan = [s for s in scans if "l_quantity" in s.split("DataFilters")[1][:400]]
+    part_scan = [s for s in scans if "p_brand" in s.split("DataFilters")[1][:400]]
+    assert li_scan and part_scan
