@@ -2467,6 +2467,99 @@ FROM s
 )
 
 
+# --- end-to-end training-data funnel -----------------------------------------
+
+FUNNEL_SALT = "s2"
+FUNNEL_RATE = 50  # percent kept at the sampling stage
+
+
+def _pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole training-data pipeline as ONE declarative plan: raw ->
+    Gopher quality filter -> cluster-dedup (drop non-canonical members) ->
+    deterministic 50% sample. Emits the per-stage funnel (doc and token
+    counts) — the audit table a 100 TB curation run reports. Every stage
+    is the already-oracled operator (quality.py, fingerprint.py+graph.py,
+    sampling.py) composed lazily, so Catalyst optimizes across stage
+    boundaries instead of materializing each step."""
+    from comet_spark.operators.quality import gopher_rules
+    from comet_spark.operators.sampling import hash_bucket
+
+    docs = _t(spark, sf_dir, "documents")
+    sized = docs.select("doc_id", F.size(tokenize("text")).cast("bigint").alias("n_toks"))
+
+    q_keep = gopher_rules(docs).filter("keep").select(F.col("id").alias("doc_id"))
+    drop = _dedup_clusters(spark, sf_dir).filter(~F.col("keep")).select("doc_id")
+    d_keep = q_keep.join(drop, "doc_id", "left_anti")
+    s_keep = d_keep.filter(
+        hash_bucket(F.col("doc_id"), salt=FUNNEL_SALT, denom=100) < FUNNEL_RATE
+    )
+
+    def stage(name: str, order: int, ids: DataFrame | None) -> DataFrame:
+        base = sized if ids is None else sized.join(ids, "doc_id")
+        return base.agg(
+            F.lit(name).alias("stage"),
+            F.lit(order).cast("bigint").alias("stage_order"),
+            F.count("*").alias("n_docs"),
+            F.sum("n_toks").alias("total_tokens"),
+        )
+
+    return (
+        stage("raw", 1, None)
+        .unionByName(stage("quality", 2, q_keep))
+        .unionByName(stage("dedup", 3, d_keep))
+        .unionByName(stage("sampled", 4, s_keep))
+    )
+
+
+_register(
+    "pipeline_funnel",
+    _pipeline_funnel,
+    f"""
+WITH RECURSIVE {_SQL_WINNOW},
+wkeep AS (SELECT fp FROM wf GROUP BY fp HAVING count(*) <= {WINNOW_MAX_DF}),
+wfk AS (SELECT wf.id, wf.fp FROM wf JOIN wkeep USING (fp)),
+wp AS (SELECT a.id AS a_id, b.id AS b_id FROM wfk a JOIN wfk b
+       ON a.fp = b.fp AND a.id < b.id GROUP BY 1, 2 HAVING count(*) >= {WINNOW_MIN_SHARED}),
+edges AS (SELECT a_id AS a, b_id AS b FROM wp UNION SELECT b_id, a_id FROM wp),
+reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+),
+comp AS (SELECT a AS id, least(a, min(b)) AS component FROM reach GROUP BY a),
+clranked AS (SELECT c.id, row_number() OVER (PARTITION BY c.component
+               ORDER BY d.n_chars DESC, c.id) AS rk
+             FROM comp c JOIN documents d ON c.id = d.doc_id),
+cldrop AS (SELECT id FROM clranked WHERE rk > 1),
+sized AS (SELECT doc_id, len({_SQL_TOKENIZE.format(col='text')})::BIGINT AS n_toks FROM documents),
+toks2 AS (SELECT doc_id, {_SQL_TOKENIZE.format(col='text')} AS toks FROM documents
+          WHERE len({_SQL_TOKENIZE.format(col='text')}) > 0),
+mode2 AS (SELECT doc_id, max(c) AS top_c FROM
+            (SELECT doc_id, term, count(*) AS c FROM
+               (SELECT doc_id, unnest(toks) AS term FROM toks2) GROUP BY doc_id, term)
+          GROUP BY doc_id),
+qm AS (SELECT t.doc_id, len(toks)::BIGINT AS n,
+         ROUND(list_sum(list_transform(toks, x -> len(x)))::DOUBLE / len(toks), 6) AS mlen,
+         len(list_filter(list_distinct(toks), x -> list_contains({_SQL_STOPWORDS}, x)))::BIGINT AS nstop,
+         ROUND(mode2.top_c::DOUBLE / len(toks), 6) AS topfrac
+       FROM toks2 t JOIN mode2 ON t.doc_id = mode2.doc_id),
+qkeep AS (SELECT doc_id FROM qm
+          WHERE n BETWEEN 30 AND 10000 AND mlen BETWEEN 3.0 AND 10.0
+            AND nstop >= 2 AND topfrac <= 0.125),
+dkeep AS (SELECT doc_id FROM qkeep WHERE doc_id NOT IN (SELECT id FROM cldrop)),
+skeep AS (SELECT doc_id FROM dkeep
+          WHERE ('0x' || substr(md5('{FUNNEL_SALT}' || doc_id::VARCHAR), 1, 8))::BIGINT % 100 < {FUNNEL_RATE})
+SELECT 'raw' AS stage, 1::BIGINT AS stage_order, count(*) AS n_docs, sum(n_toks)::BIGINT AS total_tokens FROM sized
+UNION ALL
+SELECT 'quality', 2, count(*), sum(n_toks)::BIGINT FROM sized JOIN qkeep USING (doc_id)
+UNION ALL
+SELECT 'dedup', 3, count(*), sum(n_toks)::BIGINT FROM sized JOIN dkeep USING (doc_id)
+UNION ALL
+SELECT 'sampled', 4, count(*), sum(n_toks)::BIGINT FROM sized JOIN skeep USING (doc_id)
+""",
+)
+
+
 # --- BPE-ish token counting, hash sampling, sequence packing -----------------
 
 _SQL_BPE = r"regexp_extract_all(lower({col}), ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s]+')"
