@@ -19,6 +19,7 @@ Design rules (see SURVEY.md §4 and SCALE.md):
 from comet_spark.operators.ann import IVFIndex, IVFPQIndex, PQIndex
 from comet_spark.operators.hnsw import HNSWIndex
 from comet_spark.operators.scalar_quant import ScalarQuantizedIndex
+from comet_spark.pipeline import CurationPipeline
 from comet_spark.plans.builder import Corpus, HybridSearch, TextSearch, VectorSearch
 from comet_spark.session import get_spark, load_tables
 from comet_spark.storage.store import DocumentStore
@@ -30,6 +31,7 @@ __all__ = [
     "VectorSearch",
     "TextSearch",
     "HybridSearch",
+    "CurationPipeline",
     "DocumentStore",
     "IVFIndex",
     "PQIndex",

@@ -354,3 +354,35 @@ def test_connected_components_chain_and_clique(spark):
     )
     got = {r["id"]: r["component"] for r in connected_components(edges).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_curation_pipeline_fluent(spark):
+    """CurationPipeline chains quality -> dedup -> sample into one lazy
+    plan; funnel() reports monotone stage counts, dedup keeps exactly one
+    member of the duplicated pair (the longer one)."""
+    from comet_spark.pipeline import CurationPipeline
+
+    long_run = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{long_run} extra tail words here", "s1"),
+            (2, long_run, "s1"),                     # duplicate of 1, shorter
+            (3, "completely different content words one two three", "s2"),
+            (4, "tiny", "s2"),                       # fails quality (1 token)
+        ],
+        "doc_id bigint, text string, source string",
+    )
+    p = (
+        CurationPipeline(docs)
+        .quality(min_words=3, min_stopwords=0, max_top_token_frac=1.0)
+        .dedup(k=2, w=2, min_shared=1)
+        .sample(rate=100, salt="t")
+    )
+    ids = sorted(r["doc_id"] for r in p.docs().collect())
+    assert ids == [1, 3]  # 4 dropped by quality, 2 dropped as the shorter dup
+
+    funnel = {r["stage"]: r["n_docs"] for r in p.funnel().collect()}
+    assert funnel == {"raw": 4, "quality": 3, "dedup": 2, "sampled": 2}
+
+    packed = p.packed(budget=8).collect()
+    assert {r["shard"] for r in packed} == {"s1", "s2"}
