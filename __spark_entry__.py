@@ -2034,6 +2034,63 @@ SELECT count(*) AS total_tokens, count(DISTINCT term) AS distinct_terms,
 )
 
 
+def _hll_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic HLL distinct-term estimate per source (sketch.py):
+    both engines compute the SAME md5-register sketch, so the
+    approximate answer itself hash-matches — alongside the exact count
+    and the realized relative error."""
+    from comet_spark.operators.sketch import hll_distinct
+
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select("source", F.explode(tokenize("text")).alias("term"))
+    est = hll_distinct(tok, ["source"], "term", b=6)
+    exact = tok.groupBy("source").agg(F.countDistinct("term").alias("exact_distinct"))
+    return (
+        est.join(exact, "source")
+        .select(
+            "source",
+            "est_distinct",
+            "exact_distinct",
+            F.round(
+                (F.col("est_distinct") - F.col("exact_distinct"))
+                / F.col("exact_distinct"),
+                6,
+            ).alias("rel_error"),
+        )
+        .orderBy("source")
+    )
+
+
+_register(
+    "hll_distinct_terms",
+    _hll_terms,
+    f"""
+WITH tok AS (SELECT source, unnest({_SQL_TOKENIZE.format(col='text')}) AS term FROM documents),
+h AS (SELECT source, ('0x' || substr(md5(term), 1, 8))::BIGINT AS h FROM tok),
+r AS (SELECT source, h & 63 AS bucket,
+             CASE WHEN (h >> 6) = 0 THEN 27 ELSE 27 - length(bin(h >> 6)) END AS rho
+      FROM h),
+reg AS (SELECT source, bucket, max(rho) AS mj FROM r GROUP BY source, bucket),
+s AS (SELECT source, sum(1::BIGINT << (30 - mj)) AS s_hit, count(*) AS nb
+      FROM reg GROUP BY source),
+est AS (SELECT source,
+               (0.7213 / (1.0 + 1.079 / 64.0)) * 64 * 64 * 1073741824.0
+                 / (s_hit + (64 - nb) * 1073741824)::DOUBLE AS e_raw,
+               64 - nb AS v
+        FROM s),
+fin AS (SELECT source,
+               ROUND(CASE WHEN e_raw <= 160.0 AND v > 0
+                          THEN 64.0 * ln(64.0 / v) ELSE e_raw END, 6) AS est_distinct
+        FROM est),
+ex AS (SELECT source, count(DISTINCT term) AS exact_distinct FROM tok GROUP BY source)
+SELECT source, est_distinct, exact_distinct,
+       ROUND((est_distinct - exact_distinct) / exact_distinct, 6) AS rel_error
+FROM fin JOIN ex USING (source)
+ORDER BY source
+""",
+)
+
+
 # embedding near-duplicate pairs: block-partitioned grid join — each task
 # BLAS-multiplies one (A-block, B-block) cell; no driver collect, no corpus
 # broadcast. LSH banding (lsh_bucket_pairs) prunes cells at 100 TB.
@@ -2178,6 +2235,47 @@ inter AS (SELECT a.id AS a_id, b.id AS b_id, count(*) AS c
           GROUP BY a.id, b.id),
 {_SQL_JACCARD_VERIFY}
 SELECT a_id, b_id, jaccard FROM j WHERE jaccard >= {MIN_JACCARD}
+""",
+)
+
+
+EVAL_MOD = 53  # eval/benchmark set = docs with doc_id % EVAL_MOD == 0
+
+
+def _decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (GPT-3 appendix C / Gopher A1.2): flag
+    train docs sharing word n-grams with a pinned eval subset. The eval
+    shingle set is broadcast — the 100 TB train side is never shuffled
+    for the membership join (contamination.py)."""
+    from comet_spark.operators.contamination import decontaminate
+
+    docs = _t(spark, sf_dir, "documents")
+    ev = docs.filter(F.col("doc_id") % EVAL_MOD == 0)
+    tr = docs.filter(F.col("doc_id") % EVAL_MOD != 0)
+    out = decontaminate(tr, ev, n=NGRAM_N)
+    return out.select(
+        F.col("id").alias("doc_id"), "n_shingles", "n_contaminated",
+        "contaminated_frac", "n_eval_docs_hit",
+    ).orderBy("doc_id")
+
+
+_register(
+    "decontam_ngram",
+    _decontam,
+    f"""
+WITH {_SQL_SHINGLES},
+ev AS (SELECT id AS eval_id, shingle FROM sh WHERE id % {EVAL_MOD} = 0),
+tr AS (SELECT id, shingle FROM sh WHERE id % {EVAL_MOD} <> 0),
+tot AS (SELECT id, count(*) AS n_shingles FROM tr GROUP BY id),
+hits AS (SELECT tr.id, count(DISTINCT tr.shingle) AS n_contaminated,
+                count(DISTINCT ev.eval_id) AS n_eval_docs_hit
+         FROM tr JOIN ev USING (shingle) GROUP BY tr.id)
+SELECT t.id AS doc_id, t.n_shingles,
+       COALESCE(h.n_contaminated, 0) AS n_contaminated,
+       ROUND(COALESCE(h.n_contaminated, 0)::DOUBLE / t.n_shingles, 6) AS contaminated_frac,
+       COALESCE(h.n_eval_docs_hit, 0) AS n_eval_docs_hit
+FROM tot t LEFT JOIN hits h ON t.id = h.id
+ORDER BY doc_id
 """,
 )
 

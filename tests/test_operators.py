@@ -386,3 +386,53 @@ def test_curation_pipeline_fluent(spark):
 
     packed = p.packed(budget=8).collect()
     assert {r["shard"] for r in packed} == {"s1", "s2"}
+
+
+def test_decontaminate_flags_overlap_and_clean_docs(spark):
+    """A train doc sharing an n-gram with the eval set is flagged with the
+    right counts; disjoint docs report zeros but still appear."""
+    from comet_spark.operators.contamination import decontaminate
+
+    train = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "completely unrelated words about spark shuffles"),
+        ],
+        "doc_id bigint, text string",
+    )
+    ev = spark.createDataFrame(
+        [(100, "quick brown fox leaps"), (101, "brown fox jumps high")],
+        "doc_id bigint, text string",
+    )
+    got = {r["id"]: r for r in decontaminate(train, ev, n=3).collect()}
+    assert set(got) == {1, 2}
+    # doc 1: trigrams "quick brown fox" (eval 100) and "brown fox jumps"
+    # (eval 101) are contaminated
+    assert got[1]["n_contaminated"] == 2
+    assert got[1]["n_eval_docs_hit"] == 2
+    assert got[1]["n_shingles"] == 7
+    assert abs(got[1]["contaminated_frac"] - round(2 / 7, 6)) < 1e-9
+    assert got[2]["n_contaminated"] == 0
+    assert got[2]["contaminated_frac"] == 0.0
+
+
+def test_hll_distinct_tracks_exact_within_error(spark):
+    """HLL estimate lands within ~3 standard errors (1.04/sqrt(64) ~ 13%)
+    of the exact distinct count, and duplicates don't move the sketch."""
+    from pyspark.sql import functions as F
+
+    from comet_spark.operators.sketch import hll_distinct
+
+    vals = [(("g1", f"item{i}")) for i in range(500)] + [
+        ("g2", f"item{i % 20}") for i in range(400)
+    ]
+    df = spark.createDataFrame(vals, "g string, v string")
+    got = {r["g"]: r["est_distinct"] for r in hll_distinct(df, ["g"], "v").collect()}
+    assert abs(got["g1"] - 500) / 500 < 0.40
+    assert abs(got["g2"] - 20) / 20 < 0.40
+    # multiplicity-insensitive: sketch of the distinct set is identical
+    got_d = {
+        r["g"]: r["est_distinct"]
+        for r in hll_distinct(df.distinct(), ["g"], "v").collect()
+    }
+    assert got == got_d
