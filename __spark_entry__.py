@@ -1242,6 +1242,208 @@ WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 
 )
 
 
+def _order_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape — EXISTS decorrelates to a LEFT SEMI join with an
+    extra non-equi condition (late shipment: shipped >60 days after the
+    order date; the dataset has no commit/receipt dates). The date-range
+    filter pushes into the orders scan; the semi join dedups on the fly —
+    no distinct, no second shuffle."""
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    late = (li["l_orderkey"] == o["o_orderkey"]) & (
+        li["l_shipdate"] > o["o_orderdate"] + F.expr("INTERVAL 60 DAYS")
+    )
+    return (
+        o.join(li, late, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+_register(
+    "order_priority_check",
+    _order_priority_check,
+    """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1996-10-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+)
+
+
+def _late_line_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape — conditional CASE aggregation over an
+    orders⨝lineitem join with a non-equi late-shipment predicate
+    (l_shipmode doesn't exist in this dataset; l_linestatus is the
+    group). The CASE counts fold into one partial agg — one shuffle."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") < F.lit("1997-01-01")
+    )
+    j = li.join(o, li["l_orderkey"] == o["o_orderkey"]).filter(
+        li["l_shipdate"] >= o["o_orderdate"] + F.expr("INTERVAL 90 DAYS")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        j.groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+_register(
+    "late_line_priority",
+    _late_line_priority,
+    """
+SELECT l_linestatus,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate >= o_orderdate + INTERVAL 90 DAY
+GROUP BY l_linestatus
+ORDER BY l_linestatus
+""",
+)
+
+
+def _supplier_cnt_by_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape — NOT IN subquery decorrelates to a LEFT ANTI
+    join (suppliers in deficit stand in for the complaints filter; the
+    dataset has no partsupp, lineitem links parts to suppliers), then
+    count(DISTINCT) per group. The anti side is tiny and broadcasts."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#45")
+        & F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 49)
+    )
+    bad_sup = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0)
+    return (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .join(
+            F.broadcast(bad_sup), li["l_suppkey"] == bad_sup["s_suppkey"], "left_anti"
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+_register(
+    "supplier_cnt_by_part",
+    _supplier_cnt_by_part,
+    """
+SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#45'
+  AND p_size IN (1, 4, 9, 14, 19, 23, 36, 49)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+""",
+)
+
+
+LARGE_ORDER_QTY = 250
+
+
+def _large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape — HAVING over a fact-side pre-aggregation picks
+    the ~1% largest orders, then joins back to orders/customer. The
+    qualifying-key set is small → broadcast semi join into the
+    re-aggregation; orders never shuffles on a big key."""
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("s"))
+        .filter(F.col("s") > LARGE_ORDER_QTY)
+        .select("l_orderkey")
+    )
+    o = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    return (
+        li.join(F.broadcast(big), "l_orderkey", "left_semi")
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(cust, o["o_custkey"] == cust["c_custkey"])
+        .groupBy("c_custkey", "c_name", "o_orderkey", "o_totalprice")
+        .agg(F.round(F.sum("l_quantity"), 6).alias("total_qty"))
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(20)
+    )
+
+
+_register(
+    "large_orders",
+    _large_orders,
+    f"""
+SELECT c_custkey, c_name, o_orderkey, o_totalprice,
+       ROUND(sum(l_quantity), 6) AS total_qty
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE l_orderkey IN (SELECT l_orderkey FROM lineitem
+                     GROUP BY l_orderkey HAVING sum(l_quantity) > {LARGE_ORDER_QTY})
+GROUP BY c_custkey, c_name, o_orderkey, o_totalprice
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 20
+""",
+)
+
+
+def _lapsed_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape — scalar subquery (average balance, rounded to 6
+    so both engines threshold on the same value) + NOT EXISTS anti join
+    (customers with no order in the final 18 months; every customer has
+    *some* order in this dataset). Anti side is an aggregated key set."""
+    cust = _t(spark, sf_dir, "customer")
+    avg_bal = (
+        cust.filter(F.col("c_acctbal") > 0)
+        .agg(F.round(F.avg("c_acctbal"), 6).alias("a"))
+    )
+    recent = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-02-01")
+    )
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("a"))
+        .join(recent, cust["c_custkey"] == recent["o_custkey"], "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("numcust"),
+            F.round(F.sum("c_acctbal"), 6).alias("totacctbal"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+_register(
+    "lapsed_customers",
+    _lapsed_customers,
+    """
+SELECT c_nationkey, count(*) AS numcust, ROUND(sum(c_acctbal), 6) AS totacctbal
+FROM customer
+WHERE c_acctbal > (SELECT ROUND(avg(c_acctbal), 6) FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '2000-02-01 00:00:00')
+GROUP BY c_nationkey
+ORDER BY c_nationkey
+""",
+)
+
+
 def _orders_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Window-function coverage on a real table: per-customer running
     revenue ordered by date, top spender rows only."""

@@ -208,3 +208,28 @@ def test_disjunctive_predicates_pushed_to_both_scans(spark):
     li_scan = [s for s in scans if "l_quantity" in s.split("DataFilters")[1][:400]]
     part_scan = [s for s in scans if "p_brand" in s.split("DataFilters")[1][:400]]
     assert li_scan and part_scan
+
+
+def test_order_priority_exists_is_semi_join(spark):
+    """Q4 shape: the EXISTS must decorrelate to one LeftSemi join — no
+    distinct-then-inner (double shuffle) and no correlated re-scan."""
+    df = entry_mod.queries()["order_priority_check"](spark, SF_DIR_SMALL)
+    plan = _plan(df)
+    assert "LeftSemi" in plan
+    assert plan.count("Scan parquet") == 2  # orders + lineitem, once each
+
+
+def test_supplier_cnt_anti_join_broadcasts(spark):
+    """Q16 shape: NOT IN over a tiny deficit-supplier set must be a
+    broadcast anti join, never a shuffled one."""
+    df = entry_mod.queries()["supplier_cnt_by_part"](spark, SF_DIR_SMALL)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_large_orders_semi_join_prunes_fact(spark):
+    """Q18 shape: the HAVING key set joins back as a broadcast semi join
+    on lineitem — the fact table is filtered before the wide join."""
+    df = entry_mod.queries()["large_orders"](spark, SF_DIR_SMALL)
+    plan = _plan(df)
+    assert "LeftSemi" in plan
