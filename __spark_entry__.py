@@ -2767,6 +2767,47 @@ FROM s
 )
 
 
+def _repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition family beyond top-1-token (quality.py): top
+    bigram/trigram fraction + duplicate-5gram fraction, all three
+    n-levels exploded from ONE scan into one tagged gram table."""
+    from comet_spark.operators.quality import repetition_metrics
+
+    out = repetition_metrics(_t(spark, sf_dir, "documents"))
+    return out.select(
+        F.col("id").alias("doc_id"), "top_bigram_frac", "top_trigram_frac",
+        "dup_5gram_frac",
+    ).orderBy("doc_id")
+
+
+def _sql_grams(n: int) -> str:
+    return (
+        f"SELECT id, {n} AS n, unnest(list_transform("
+        f"range(1, greatest(len(toks) - {n - 1}, 1) + 1), "
+        f"i -> array_to_string(toks[i:i + {n - 1}], ' '))) AS gram FROM tok"
+    )
+
+
+_register(
+    "repetition_metrics",
+    _repetition_metrics,
+    f"""
+WITH tok AS (SELECT doc_id AS id, {_SQL_TOKENIZE.format(col='text')} AS toks FROM documents
+             WHERE len({_SQL_TOKENIZE.format(col='text')}) > 0),
+g AS ({_sql_grams(2)} UNION ALL {_sql_grams(3)} UNION ALL {_sql_grams(5)}),
+c AS (SELECT id, n, gram, count(*) AS c FROM g GROUP BY id, n, gram),
+a AS (SELECT id, n, max(c) AS top_c, sum(c) AS tot, count(*) AS dis
+      FROM c GROUP BY id, n)
+SELECT id AS doc_id,
+       ROUND(max(CASE WHEN n = 2 THEN top_c::DOUBLE / tot END), 6) AS top_bigram_frac,
+       ROUND(max(CASE WHEN n = 3 THEN top_c::DOUBLE / tot END), 6) AS top_trigram_frac,
+       ROUND(max(CASE WHEN n = 5 THEN (tot - dis)::DOUBLE / tot END), 6) AS dup_5gram_frac
+FROM a GROUP BY id
+ORDER BY doc_id
+""",
+)
+
+
 # --- end-to-end training-data funnel -----------------------------------------
 
 FUNNEL_SALT = "s2"

@@ -28,7 +28,67 @@ from pyspark.sql import functions as F
 
 from comet_spark.functions.text import STOPWORDS_EN, tokenize
 
-__all__ = ["gopher_rules"]
+__all__ = ["gopher_rules", "repetition_metrics"]
+
+
+def repetition_metrics(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_to: int = 6,
+) -> DataFrame:
+    """Gopher §A1.1 repetition family beyond the top-1-token rule in
+    :func:`gopher_rules`: per-document
+
+    - ``top_bigram_frac`` / ``top_trigram_frac`` — fraction of n-gram
+      occurrences taken by the single most frequent n-gram (n=2, 3)
+    - ``dup_5gram_frac`` — fraction of 5-gram occurrences that are
+      repeats of an earlier 5-gram (1 − distinct/total; the portable
+      form of Gopher's duplicate-n-gram character fraction)
+
+    Docs shorter than n yield one truncated gram (same convention as
+    ``dedup.shingles``).
+
+    Spark shape: ALL three n-levels explode from one scan into one
+    tagged (id, n, gram) table — a single shuffle for the gram counts
+    and a second tiny one per doc; no per-n pass over the corpus. At
+    100 TB this is the same two-shuffle budget as the top-token rule.
+    """
+    toks = tokenize(text_col)
+    base = docs.select(F.col(id_col).alias("id"), toks.alias("toks")).filter(
+        F.size("toks") > 0
+    )
+
+    def grams(n: int):
+        g = F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size("toks") - (n - 1), F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice("toks", i, n)),
+        )
+        return F.transform(
+            g, lambda s: F.struct(F.lit(n).alias("n"), s.alias("gram"))
+        )
+
+    tagged = base.select(
+        "id", F.explode(F.flatten(F.array(grams(2), grams(3), grams(5)))).alias("t")
+    ).select("id", F.col("t.n").alias("n"), F.col("t.gram").alias("gram"))
+    per_gram = tagged.groupBy("id", "n", "gram").agg(F.count("*").alias("c"))
+    per_n = per_gram.groupBy("id", "n").agg(
+        F.max("c").alias("top_c"),
+        F.sum("c").alias("tot"),
+        F.count("*").alias("dis"),
+    )
+
+    def pick(n: int, expr):
+        return F.max(F.when(F.col("n") == n, expr))
+
+    top = F.col("top_c").cast("double") / F.col("tot")
+    dup = (F.col("tot") - F.col("dis")).cast("double") / F.col("tot")
+    return per_n.groupBy("id").agg(
+        F.round(pick(2, top), round_to).alias("top_bigram_frac"),
+        F.round(pick(3, top), round_to).alias("top_trigram_frac"),
+        F.round(pick(5, dup), round_to).alias("dup_5gram_frac"),
+    )
 
 
 def gopher_rules(

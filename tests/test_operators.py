@@ -436,3 +436,21 @@ def test_hll_distinct_tracks_exact_within_error(spark):
         for r in hll_distinct(df.distinct(), ["g"], "v").collect()
     }
     assert got == got_d
+
+
+def test_repetition_metrics_hand_fixture(spark):
+    """doc 1: 'a b a b a b' -> bigrams [ab,ba,ab,ba,ab] top 3/5; trigrams
+    [aba,bab,aba,bab] top 2/4; 5grams [ababa, babab] dup 0.
+    doc 2: all-same-token text is maximally repetitive everywhere."""
+    from comet_spark.operators.quality import repetition_metrics
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b a b"), (2, "x x x x x x x x")],
+        "doc_id bigint, text string",
+    )
+    got = {r["id"]: r for r in repetition_metrics(docs).collect()}
+    assert got[1]["top_bigram_frac"] == 0.6
+    assert got[1]["top_trigram_frac"] == 0.5
+    assert got[1]["dup_5gram_frac"] == 0.0
+    assert got[2]["top_bigram_frac"] == 1.0
+    assert got[2]["dup_5gram_frac"] == 0.75  # 4 occurrences, 1 distinct
