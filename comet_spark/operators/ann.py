@@ -111,6 +111,27 @@ class IVFIndex:
         order = np.argsort(d, kind="stable")
         return [int(i) for i in order[: max(1, nprobe)]]
 
+    def auto_nprobe(
+        self, qvec: np.ndarray, list_sizes: dict[int, int], *,
+        target_scan_frac: float = 0.25, max_nprobe: int | None = None,
+    ) -> int:
+        """IVF(PQ) recall is probe-bound (RECALL.md ladder): what matters
+        is the *fraction of the corpus scanned*, not the nprobe count —
+        under skewed list sizes a fixed nprobe scans wildly different
+        masses per query. Pick the smallest nprobe whose cumulative
+        probed-list mass reaches ``target_scan_frac``.
+
+        ``list_sizes`` is one ``groupBy('cluster_id').count()`` over the
+        layout — computed once, reused for every query."""
+        order = self.probe_lists(np.asarray(qvec), len(self.centroids))
+        total = max(1, sum(list_sizes.values()))
+        acc = 0
+        for i, cid in enumerate(order, start=1):
+            acc += list_sizes.get(cid, 0)
+            if acc >= target_scan_frac * total:
+                return min(i, max_nprobe) if max_nprobe is not None else i
+        return len(order)
+
     def search(
         self, assigned: DataFrame, qvec: list[float], *, k: int = 10,
         nprobe: int = 8, id_col: str = "id", vec_col: str = "vector",

@@ -166,3 +166,21 @@ def test_pq_search_batch_matches_single(spark, emb):
         for s in pq.search(codes, qv, k=5).collect():
             want.add((r["qid"], s["id"], s["score"]))
     assert got == want
+
+
+def test_auto_nprobe_scan_mass_target():
+    """Uniform lists -> nprobe tracks the mass target; a huge nearest
+    list satisfies the target in one probe."""
+    import numpy as np
+
+    from comet_spark.operators.ann import IVFIndex
+
+    cents = np.array([[float(i), 0.0] for i in range(8)])
+    ix = IVFIndex(cents, "l2")
+    q = np.array([0.1, 0.0])  # nearest list order: 0,1,2,...
+    uniform = {i: 100 for i in range(8)}
+    assert ix.auto_nprobe(q, uniform, target_scan_frac=0.25) == 2
+    assert ix.auto_nprobe(q, uniform, target_scan_frac=1.0) == 8
+    skewed = {0: 1000, **{i: 10 for i in range(1, 8)}}
+    assert ix.auto_nprobe(q, skewed, target_scan_frac=0.25) == 1
+    assert ix.auto_nprobe(q, uniform, target_scan_frac=0.9, max_nprobe=4) == 4
