@@ -1444,6 +1444,41 @@ ORDER BY c_nationkey
 )
 
 
+def _sales_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE with GROUPING() markers — all four (segment × status)
+    aggregation levels in ONE pass (Spark expands grouping sets inside a
+    single shuffle; no union of four scans). The reference has no
+    grouping sets at all (SURVEY §2.D 'absent'); this is part of the
+    analytics surface Spark adds for free."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    j = o.join(c, o["o_custkey"] == c["c_custkey"])
+    return (
+        j.cube("c_mktsegment", "o_orderstatus")
+        .agg(
+            F.grouping("c_mktsegment").cast("bigint").alias("g_seg"),
+            F.grouping("o_orderstatus").cast("bigint").alias("g_st"),
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 6).alias("revenue"),
+        )
+        .orderBy("g_seg", "g_st", "c_mktsegment", "o_orderstatus")
+    )
+
+
+_register(
+    "sales_cube",
+    _sales_cube,
+    """
+SELECT c_mktsegment, o_orderstatus,
+       GROUPING(c_mktsegment) AS g_seg, GROUPING(o_orderstatus) AS g_st,
+       count(*) AS n_orders, ROUND(sum(o_totalprice), 6) AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY CUBE (c_mktsegment, o_orderstatus)
+ORDER BY g_seg, g_st, c_mktsegment, o_orderstatus
+""",
+)
+
+
 def _orders_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Window-function coverage on a real table: per-customer running
     revenue ordered by date, top spender rows only."""
@@ -2289,6 +2324,74 @@ SELECT source, est_distinct, exact_distinct,
        ROUND((est_distinct - exact_distinct) / exact_distinct, 6) AS rel_error
 FROM fin JOIN ex USING (source)
 ORDER BY source
+""",
+)
+
+
+CMS_PROBES = ("table", "join", "spark", "data", "row", "window", "batch", "query")
+CMS_D, CMS_W = 4, 256
+
+
+def _cms_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch heavy-hitter estimates (sketch.py): the d×w
+    counter table is deterministic across engines, so the one-sided
+    estimates hash-match alongside exact counts and the overcount."""
+    from comet_spark.operators.sketch import cms_estimate, cms_sketch
+
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(tokenize("text")).alias("term"))
+    counters = cms_sketch(tok, "term", d=CMS_D, w=CMS_W)
+    probes = spark.createDataFrame([(t,) for t in CMS_PROBES], "term string")
+    est = cms_estimate(counters, probes, d=CMS_D, w=CMS_W)
+    exact = (
+        tok.filter(F.col("term").isin(*CMS_PROBES))
+        .groupBy("term")
+        .agg(F.count("*").alias("exact_count"))
+    )
+    return (
+        est.join(exact, "term", "left")
+        .select(
+            "term",
+            "est_count",
+            F.coalesce("exact_count", F.lit(0)).alias("exact_count"),
+            (F.col("est_count") - F.coalesce("exact_count", F.lit(0))).alias(
+                "overcount"
+            ),
+        )
+        .orderBy("term")
+    )
+
+
+def _sql_cms_coeffs() -> str:
+    from comet_spark.operators.dedup import minhash_coeffs
+
+    vals = ", ".join(
+        f"({i}, {a}, {b})" for i, (a, b) in enumerate(minhash_coeffs(CMS_D))
+    )
+    return f"co AS (SELECT * FROM (VALUES {vals}) AS _co(i, a, b))"
+
+
+_register(
+    "cms_term_counts",
+    _cms_terms,
+    f"""
+WITH tok AS (SELECT unnest({_SQL_TOKENIZE.format(col='text')}) AS term FROM documents),
+{_sql_cms_coeffs()},
+h AS (SELECT term, ('0x' || substr(md5(term), 1, 8))::BIGINT AS h FROM tok),
+counters AS (SELECT i, ((a * h + b) % 2147483647) % {CMS_W} AS bucket, count(*) AS c
+             FROM h CROSS JOIN co GROUP BY i, bucket),
+probes AS (SELECT unnest({list(CMS_PROBES)}) AS term),
+pc AS (SELECT term, i,
+              ((a * (('0x' || substr(md5(term), 1, 8))::BIGINT) + b) % 2147483647) % {CMS_W} AS bucket
+       FROM probes CROSS JOIN co),
+est AS (SELECT term, min(COALESCE(c, 0)) AS est_count
+        FROM pc LEFT JOIN counters USING (i, bucket) GROUP BY term),
+ex AS (SELECT term, count(*) AS exact_count FROM tok
+       WHERE term IN {CMS_PROBES} GROUP BY term)
+SELECT term, est_count, COALESCE(exact_count, 0) AS exact_count,
+       est_count - COALESCE(exact_count, 0) AS overcount
+FROM est LEFT JOIN ex USING (term)
+ORDER BY term
 """,
 )
 

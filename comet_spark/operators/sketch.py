@@ -31,7 +31,7 @@ from pyspark.sql import functions as F
 
 from comet_spark.operators.dedup import _hash32
 
-__all__ = ["hll_distinct"]
+__all__ = ["hll_distinct", "cms_sketch", "cms_estimate"]
 
 _SHIFT = 30  # Σ 2^(30 − M_j) stays an exact BIGINT for rho ≤ 27
 
@@ -77,3 +77,64 @@ def hll_distinct(
         (e_raw <= 2.5 * m) & (v > 0), F.lit(float(m)) * F.log(F.lit(float(m)) / v)
     ).otherwise(e_raw)
     return s.select(*group_cols, F.round(est, round_to).alias("est_distinct"))
+
+
+# --- count-min sketch (Cormode & Muthukrishnan 2005) ------------------------
+#
+# Same determinism contract as hll_distinct: md5-derived base hash +
+# the repo's pinned universal-hash coefficients (dedup.minhash_coeffs),
+# so Spark and DuckDB materialize byte-identical counter tables and the
+# *approximate* frequency estimates hash-match. Estimates are one-sided
+# (est >= true count, within eN/w with prob 1-(1/2)^d).
+#
+# Scale shape: the sketch is ONE aggregation to d*w counter rows
+# (constant size regardless of corpus); merging partial sketches is
+# counter addition — the standard distributed frequency sketch at 100 TB
+# where exact per-term counts would shuffle the full token stream.
+
+def _cms_hashes(value: Column, d: int, w: int) -> list[Column]:
+    from comet_spark.operators.dedup import MINHASH_P, minhash_coeffs
+
+    h = _hash32(value)
+    return [((F.lit(a) * h + F.lit(b)) % MINHASH_P) % w for a, b in minhash_coeffs(d)]
+
+
+def cms_sketch(
+    df: DataFrame, value_col: str, *, d: int = 4, w: int = 256
+) -> DataFrame:
+    """Counter table ``(i, bucket, c)`` of the d×w count-min sketch over
+    every occurrence in ``value_col``."""
+    cells = F.array(
+        *[
+            F.struct(F.lit(i).alias("i"), b.alias("bucket"))
+            for i, b in enumerate(_cms_hashes(F.col(value_col), d, w))
+        ]
+    )
+    return (
+        df.select(F.explode(cells).alias("cell"))
+        .groupBy(F.col("cell.i").alias("i"), F.col("cell.bucket").alias("bucket"))
+        .agg(F.count("*").alias("c"))
+    )
+
+
+def cms_estimate(
+    counters: DataFrame, probes: DataFrame, *, value_col: str = "term",
+    d: int = 4, w: int = 256,
+) -> DataFrame:
+    """Point-query the sketch: min over the d counters each probe value
+    hashes to → ``(value_col, est_count)``. The probe side is tiny and
+    broadcast; missing buckets count 0."""
+    cells = F.array(
+        *[
+            F.struct(F.lit(i).alias("i"), b.alias("bucket"))
+            for i, b in enumerate(_cms_hashes(F.col(value_col), d, w))
+        ]
+    )
+    probe_cells = probes.select(
+        value_col, F.explode(cells).alias("cell")
+    ).select(value_col, F.col("cell.i").alias("i"), F.col("cell.bucket").alias("bucket"))
+    return (
+        probe_cells.join(counters, ["i", "bucket"], "left")
+        .groupBy(value_col)
+        .agg(F.min(F.coalesce("c", F.lit(0))).alias("est_count"))
+    )

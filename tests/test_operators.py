@@ -454,3 +454,22 @@ def test_repetition_metrics_hand_fixture(spark):
     assert got[1]["dup_5gram_frac"] == 0.0
     assert got[2]["top_bigram_frac"] == 1.0
     assert got[2]["dup_5gram_frac"] == 0.75  # 4 occurrences, 1 distinct
+
+
+def test_cms_one_sided_and_tight_for_heavy_hitters(spark):
+    """CMS estimates never undercount, and with w >> distinct values the
+    estimate is exact."""
+    from pyspark.sql import functions as F
+
+    from comet_spark.operators.sketch import cms_estimate, cms_sketch
+
+    rows = [("a",)] * 50 + [("b",)] * 10 + [(f"noise{i}",) for i in range(30)]
+    df = spark.createDataFrame(rows, "term string")
+    counters = cms_sketch(df, "term", d=4, w=1024)
+    probes = spark.createDataFrame([("a",), ("b",), ("absent",)], "term string")
+    got = {
+        r["term"]: r["est_count"]
+        for r in cms_estimate(counters, probes, d=4, w=1024).collect()
+    }
+    assert got["a"] >= 50 and got["b"] >= 10 and got["absent"] >= 0
+    assert got["a"] == 50  # w=1024 over 32 distinct values: no collision
