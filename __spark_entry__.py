@@ -1444,6 +1444,51 @@ ORDER BY c_nationkey
 )
 
 
+def _zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering audit (layout.py): interleave
+    (l_partkey, l_suppkey) low bits into one key, tile by the key's high
+    bits, and report per-tile min/max of BOTH dimensions — each tile is
+    a bounded 16×16 rectangle, the property that makes parquet row-group
+    stats prune scans on either column after an OPTIMIZE-ZORDER-style
+    rewrite (`df.repartitionByRange(zkey).sortWithinPartitions(zkey)`)."""
+    from comet_spark.operators.layout import zorder_key
+
+    li = _t(spark, sf_dir, "lineitem")
+    x = (F.col("l_partkey") % 256).alias("x")
+    y = (F.col("l_suppkey") % 256).alias("y")
+    zk = zorder_key([F.col("l_partkey") % 256, F.col("l_suppkey") % 256], bits=8)
+    return (
+        li.select(x, y, F.shiftright(zk, 8).alias("tile"))
+        .groupBy("tile")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("x").alias("min_x"), F.max("x").alias("max_x"),
+            F.min("y").alias("min_y"), F.max("y").alias("max_y"),
+        )
+        .orderBy("tile")
+    )
+
+
+def _sql_zorder() -> str:
+    from comet_spark.operators.layout import zorder_key_sql
+
+    return zorder_key_sql(["(l_partkey % 256)", "(l_suppkey % 256)"], bits=8)
+
+
+_register(
+    "zorder_layout_stats",
+    _zorder_stats,
+    f"""
+WITH z AS (SELECT l_partkey % 256 AS x, l_suppkey % 256 AS y,
+                  ({_sql_zorder()}) >> 8 AS tile
+           FROM lineitem)
+SELECT tile, count(*) AS n_rows,
+       min(x) AS min_x, max(x) AS max_x, min(y) AS min_y, max(y) AS max_y
+FROM z GROUP BY tile ORDER BY tile
+""",
+)
+
+
 def _sales_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE with GROUPING() markers — all four (segment × status)
     aggregation levels in ONE pass (Spark expands grouping sets inside a

@@ -473,3 +473,36 @@ def test_cms_one_sided_and_tight_for_heavy_hitters(spark):
     }
     assert got["a"] >= 50 and got["b"] >= 10 and got["absent"] >= 0
     assert got["a"] == 50  # w=1024 over 32 distinct values: no collision
+
+
+def test_zorder_key_morton_values_and_tile_bounds(spark):
+    """zorder_key(x=5, y=3, bits=4) = 27 (classic Morton interleave);
+    tiling a 16x16 grid by the key's high bits yields exact 4x4 tiles —
+    both dimensions stay bounded, which is the file-skipping property."""
+    from pyspark.sql import functions as F
+
+    from comet_spark.operators.layout import zorder_key
+
+    df = spark.createDataFrame([(5, 3)], "x int, y int")
+    got = df.select(
+        zorder_key([F.col("x"), F.col("y")], bits=4).alias("z")
+    ).first()["z"]
+    assert got == 27
+
+    grid = spark.createDataFrame(
+        [(x, y) for x in range(16) for y in range(16)], "x int, y int"
+    )
+    z = zorder_key([F.col("x"), F.col("y")], bits=4)
+    tiles = (
+        grid.select("x", "y", F.shiftright(z, 4).alias("tile"))
+        .groupBy("tile")
+        .agg(
+            F.count("*").alias("n"),
+            (F.max("x") - F.min("x")).alias("wx"),
+            (F.max("y") - F.min("y")).alias("wy"),
+        )
+        .collect()
+    )
+    assert len(tiles) == 16
+    for r in tiles:
+        assert r["n"] == 16 and r["wx"] == 3 and r["wy"] == 3
