@@ -2373,6 +2373,43 @@ ORDER BY source
 )
 
 
+TFIDF_SOURCE = "src0"
+TFIDF_MIN_SIM = 0.8
+
+
+def _tfidf_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF vector-space doc similarity (tfidf.py) within one source
+    block — the shared-term join is quadratic per posting list, so real
+    deployments block (as here) and/or cap df (max_df knob)."""
+    from comet_spark.operators.tfidf import tfidf_cosine_pairs
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("source") == TFIDF_SOURCE)
+    return tfidf_cosine_pairs(docs, min_sim=TFIDF_MIN_SIM).orderBy("a_id", "b_id")
+
+
+_register(
+    "tfidf_cosine_pairs",
+    _tfidf_pairs,
+    f"""
+WITH tok AS (SELECT doc_id AS id, unnest({_SQL_TOKENIZE.format(col='text')}) AS term
+             FROM documents WHERE source = '{TFIDF_SOURCE}'),
+tf AS (SELECT id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY id, term),
+n AS (SELECT count(DISTINCT id)::DOUBLE AS n
+      FROM (SELECT doc_id AS id FROM documents WHERE source = '{TFIDF_SOURCE}')),
+dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+w AS (SELECT id, term, tf * ln(n / df) AS w FROM tf JOIN dfq USING (term) CROSS JOIN n),
+nrm AS (SELECT id, sqrt(sum(w * w)) AS nrm FROM w GROUP BY id),
+dot AS (SELECT a.id AS a_id, b.id AS b_id, sum(a.w * b.w) AS dot
+        FROM w a JOIN w b ON a.term = b.term AND a.id < b.id GROUP BY a.id, b.id),
+cos AS (SELECT a_id, b_id, ROUND(dot / (na.nrm * nb.nrm), 6) AS cosine
+        FROM dot JOIN nrm na ON dot.a_id = na.id JOIN nrm nb ON dot.b_id = nb.id
+        WHERE na.nrm > 0 AND nb.nrm > 0)
+SELECT a_id, b_id, cosine FROM cos WHERE cosine >= {TFIDF_MIN_SIM}
+ORDER BY a_id, b_id
+""",
+)
+
+
 CMS_PROBES = ("table", "join", "spark", "data", "row", "window", "batch", "query")
 CMS_D, CMS_W = 4, 256
 

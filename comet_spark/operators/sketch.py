@@ -31,24 +31,26 @@ from pyspark.sql import functions as F
 
 from comet_spark.operators.dedup import _hash32
 
-__all__ = ["hll_distinct", "cms_sketch", "cms_estimate"]
+__all__ = [
+    "hll_distinct",
+    "hll_registers",
+    "hll_estimate",
+    "hll_merge",
+    "cms_sketch",
+    "cms_estimate",
+    "cms_merge",
+]
 
 _SHIFT = 30  # Σ 2^(30 − M_j) stays an exact BIGINT for rho ≤ 27
 
 
-def hll_distinct(
-    df: DataFrame,
-    group_cols: list[str],
-    value_col: str,
-    *,
-    b: int = 6,
-    round_to: int = 6,
+def hll_registers(
+    df: DataFrame, group_cols: list[str], value_col: str, *, b: int = 6
 ) -> DataFrame:
-    """Per-group HLL distinct estimate of ``value_col``.
-
-    Returns ``(*group_cols, est_distinct)``; ``m = 2^b`` registers
-    (default 64 → ~13% standard error).
-    """
+    """The sketch STATE: per-group register table ``(*group_cols,
+    bucket, mj)`` — at most ``2^b`` rows per group regardless of input
+    size. This is what executors emit, streams checkpoint, and
+    :func:`hll_merge` combines."""
     m = 1 << b
     w_bits = 32 - b
     h = _hash32(F.col(value_col))
@@ -57,12 +59,31 @@ def hll_distinct(
     rho = F.when(w == 0, F.lit(w_bits + 1)).otherwise(
         F.lit(w_bits + 1) - F.length(F.bin(w))
     )
-    reg = (
+    return (
         df.select(*group_cols, bucket.alias("bucket"), rho.alias("rho"))
         .groupBy(*group_cols, "bucket")
         .agg(F.max("rho").alias("mj"))
     )
-    s = reg.groupBy(*group_cols).agg(
+
+
+def hll_merge(*registers: DataFrame) -> DataFrame:
+    """Merge partial sketches (e.g. per-day, per-partition, or streaming
+    micro-batch states): union + max per register — HLL's merge is
+    lossless, so merge-of-parts == sketch-of-whole exactly."""
+    out = registers[0]
+    for r in registers[1:]:
+        out = out.unionByName(r)
+    keys = [c for c in out.columns if c not in ("mj",)]
+    return out.groupBy(*keys).agg(F.max("mj").alias("mj"))
+
+
+def hll_estimate(
+    registers: DataFrame, group_cols: list[str], *, b: int = 6, round_to: int = 6
+) -> DataFrame:
+    """Register table → ``(*group_cols, est_distinct)`` (harmonic mean +
+    linear-counting small-range correction)."""
+    m = 1 << b
+    s = registers.groupBy(*group_cols).agg(
         F.sum(F.expr(f"shiftleft(cast(1 as bigint), {_SHIFT} - mj)")).alias("s_hit"),
         F.count("*").alias("nb"),
     )
@@ -77,6 +98,27 @@ def hll_distinct(
         (e_raw <= 2.5 * m) & (v > 0), F.lit(float(m)) * F.log(F.lit(float(m)) / v)
     ).otherwise(e_raw)
     return s.select(*group_cols, F.round(est, round_to).alias("est_distinct"))
+
+
+def hll_distinct(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    *,
+    b: int = 6,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-group HLL distinct estimate of ``value_col`` in one call.
+
+    Returns ``(*group_cols, est_distinct)``; ``m = 2^b`` registers
+    (default 64 → ~13% standard error).
+    """
+    return hll_estimate(
+        hll_registers(df, group_cols, value_col, b=b),
+        group_cols,
+        b=b,
+        round_to=round_to,
+    )
 
 
 # --- count-min sketch (Cormode & Muthukrishnan 2005) ------------------------
@@ -138,3 +180,12 @@ def cms_estimate(
         .groupBy(value_col)
         .agg(F.min(F.coalesce("c", F.lit(0))).alias("est_count"))
     )
+
+
+def cms_merge(*counters: DataFrame) -> DataFrame:
+    """Merge partial CMS counter tables: union + per-cell addition —
+    lossless, so merge-of-parts == sketch-of-whole exactly."""
+    out = counters[0]
+    for c in counters[1:]:
+        out = out.unionByName(c)
+    return out.groupBy("i", "bucket").agg(F.sum("c").alias("c"))

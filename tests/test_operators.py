@@ -506,3 +506,57 @@ def test_zorder_key_morton_values_and_tile_bounds(spark):
     assert len(tiles) == 16
     for r in tiles:
         assert r["n"] == 16 and r["wx"] == 3 and r["wy"] == 3
+
+
+def test_tfidf_cosine_identical_docs_and_maxdf_prune(spark):
+    """Identical docs -> cosine 1.0; a ubiquitous term (df=N, idf=0)
+    contributes nothing, so max_df pruning it leaves cosines unchanged."""
+    from comet_spark.operators.tfidf import tfidf_cosine_pairs
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma shared"),
+            (2, "alpha beta gamma shared"),
+            (3, "delta epsilon zeta shared"),
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {(r["a_id"], r["b_id"]): r["cosine"]
+           for r in tfidf_cosine_pairs(docs, min_sim=0.0).collect()}
+    assert got[(1, 2)] == 1.0
+    assert (1, 3) not in got or got[(1, 3)] == 0.0  # only idf-0 'shared' overlaps
+    pruned = {(r["a_id"], r["b_id"]): r["cosine"]
+              for r in tfidf_cosine_pairs(docs, min_sim=0.0, max_df=2).collect()}
+    assert pruned[(1, 2)] == 1.0
+
+
+def test_sketch_merge_of_parts_equals_sketch_of_whole(spark):
+    """The distributed/streaming property: sketch each half, merge, and
+    the state equals the single-pass sketch EXACTLY (HLL: max of
+    registers; CMS: counter addition)."""
+    from pyspark.sql import functions as F
+
+    from comet_spark.operators.sketch import (
+        cms_merge,
+        cms_sketch,
+        hll_estimate,
+        hll_merge,
+        hll_registers,
+    )
+
+    rows = [("g", f"v{i}") for i in range(300)] + [("g", f"v{i % 7}") for i in range(50)]
+    df = spark.createDataFrame(rows, "g string, v string")
+    h1, h2 = df.filter(F.md5("v").startswith("a")), df.filter(~F.md5("v").startswith("a"))
+
+    whole = {(r["g"], r["bucket"]): r["mj"] for r in hll_registers(df, ["g"], "v").collect()}
+    merged_df = hll_merge(hll_registers(h1, ["g"], "v"), hll_registers(h2, ["g"], "v"))
+    merged = {(r["g"], r["bucket"]): r["mj"] for r in merged_df.collect()}
+    assert whole == merged
+    est_w = hll_estimate(hll_registers(df, ["g"], "v"), ["g"]).first()["est_distinct"]
+    est_m = hll_estimate(merged_df, ["g"]).first()["est_distinct"]
+    assert est_w == est_m
+
+    cw = {(r["i"], r["bucket"]): r["c"] for r in cms_sketch(df, "v").collect()}
+    cm = {(r["i"], r["bucket"]): r["c"]
+          for r in cms_merge(cms_sketch(h1, "v"), cms_sketch(h2, "v")).collect()}
+    assert cw == cm
