@@ -1444,6 +1444,49 @@ ORDER BY c_nationkey
 )
 
 
+def _cheapest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape — correlated scalar min subquery. Spark
+    decorrelates it as a window min over the same partition key (ONE
+    shuffle; no self-join back, no re-scan of lineitem), then equality
+    on the stored double (no arithmetic → exact tie semantics match the
+    correlated form). Part/supplier dims broadcast."""
+    from pyspark.sql import Window
+
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_size") == 15)
+    sup = _t(spark, sf_dir, "supplier")
+    w = Window.partitionBy("l_partkey")
+    cand = (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .withColumn("min_price", F.min("l_extendedprice").over(w))
+        .filter(F.col("l_extendedprice") == F.col("min_price"))
+    )
+    return (
+        cand.join(F.broadcast(sup), cand["l_suppkey"] == sup["s_suppkey"])
+        .select(
+            "p_partkey", "p_name", "s_suppkey", "s_name",
+            F.col("l_extendedprice").alias("price"),
+        )
+        .orderBy("p_partkey", "s_suppkey", "price")
+    )
+
+
+_register(
+    "cheapest_supplier",
+    _cheapest_supplier,
+    """
+SELECT p_partkey, p_name, s_suppkey, s_name, l_extendedprice AS price
+FROM part
+JOIN lineitem ON p_partkey = l_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+WHERE p_size = 15
+  AND l_extendedprice = (SELECT min(l_extendedprice) FROM lineitem
+                         WHERE l_partkey = p_partkey)
+ORDER BY p_partkey, s_suppkey, price
+""",
+)
+
+
 def _zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order (Morton) clustering audit (layout.py): interleave
     (l_partkey, l_suppkey) low bits into one key, tile by the key's high

@@ -149,3 +149,46 @@ def windowed_event_counts(
         .agg(F.count("*").alias("n_events"))
         .select(F.col("win.start").alias("window_start"), key_col, "n_events")
     )
+
+
+def hll_stream(
+    stream: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    state_path: str,
+    *,
+    b: int = 6,
+    checkpoint: str | None = None,
+):
+    """Continuous distinct-counting over a stream: each micro-batch's
+    partial HLL registers merge (lossless max, sketch.hll_merge) into a
+    parquet register table. State is ≤ 2^b rows per group FOREVER —
+    the constant-memory way to track "distinct users/terms/urls so far"
+    on a 100 TB/day firehose, where exact distinct state would grow
+    without bound. Read the estimate at any time with
+    ``hll_estimate(spark.read.parquet(state_path), group_cols)``.
+
+    The merged state is collected to the driver before the overwrite —
+    legitimate precisely because the sketch is constant-size (this is
+    the sketch's whole point); the per-batch register computation stays
+    distributed."""
+    from comet_spark.operators.sketch import hll_merge, hll_registers
+
+    def upd(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        part = hll_registers(batch, group_cols, value_col, b=b)
+        try:
+            cur = spark.read.parquet(state_path)
+            merged = hll_merge(cur, part)
+        except Exception:
+            merged = part
+        rows = merged.collect()
+        if rows:
+            spark.createDataFrame(rows, merged.schema).repartition(1).write.mode(
+                "overwrite"
+            ).parquet(state_path)
+
+    w = stream.writeStream.foreachBatch(upd).trigger(availableNow=True)
+    if checkpoint is not None:
+        w = w.option("checkpointLocation", checkpoint)
+    return w.start()

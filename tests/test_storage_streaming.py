@@ -266,3 +266,27 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
 
     batch = dedup_stream(df, ts_col=None)
     assert sorted(r["text"] for r in batch.collect()) == got
+
+
+def test_streaming_hll_state_matches_batch_sketch(spark, tmp_path):
+    """hll_stream's merged register state after consuming the stream is
+    EXACTLY the single-pass batch sketch (lossless merge), so the
+    streaming estimate equals the batch estimate."""
+    from comet_spark.operators.sketch import hll_distinct, hll_estimate
+    from comet_spark.streaming.ingest import hll_stream
+
+    src_dir = str(tmp_path / "hll_in")
+    rows = [("g", f"u{i % 37}") for i in range(200)]
+    df = spark.createDataFrame(rows, "g string, v string")
+    # two files -> at least one micro-batch each under availableNow
+    df.filter(F.md5("v").startswith("a")).coalesce(1).write.mode("append").parquet(src_dir)
+    df.filter(~F.md5("v").startswith("a")).coalesce(1).write.mode("append").parquet(src_dir)
+
+    state = str(tmp_path / "hll_state")
+    stream = spark.readStream.schema("g string, v string").parquet(src_dir)
+    q = hll_stream(stream, ["g"], "v", state, checkpoint=str(tmp_path / "ckpt_hll"))
+    q.awaitTermination(120)
+
+    est_stream = hll_estimate(spark.read.parquet(state), ["g"]).first()["est_distinct"]
+    est_batch = hll_distinct(df, ["g"], "v").first()["est_distinct"]
+    assert est_stream == est_batch
