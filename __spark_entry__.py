@@ -1444,6 +1444,131 @@ ORDER BY c_nationkey
 )
 
 
+def _customer_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE decile segmentation — per-decile customer-value stats over
+    total spend (the classic RFM-style cut). One shuffle for the spend
+    agg; the ntile window is a single global sort of the small
+    aggregate, not the fact table."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    spend = o.groupBy("o_custkey").agg(
+        F.round(F.sum("o_totalprice"), 6).alias("spend")
+    )
+    w = Window.orderBy(F.col("spend").desc(), F.col("o_custkey").asc())
+    return (
+        spend.withColumn("decile", F.ntile(10).over(w))
+        .groupBy("decile")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.sum("spend"), 6).alias("total_spend"),
+            F.round(F.min("spend"), 6).alias("min_spend"),
+            F.round(F.max("spend"), 6).alias("max_spend"),
+        )
+        .orderBy("decile")
+    )
+
+
+_register(
+    "customer_deciles",
+    _customer_deciles,
+    """
+WITH spend AS (SELECT o_custkey, ROUND(sum(o_totalprice), 6) AS spend
+               FROM orders GROUP BY o_custkey),
+d AS (SELECT o_custkey, spend,
+             ntile(10) OVER (ORDER BY spend DESC, o_custkey) AS decile
+      FROM spend)
+SELECT decile, count(*) AS n_customers, ROUND(sum(spend), 6) AS total_spend,
+       ROUND(min(spend), 6) AS min_spend, ROUND(max(spend), 6) AS max_spend
+FROM d GROUP BY decile ORDER BY decile
+""",
+)
+
+
+def _segment_status_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT coverage: order counts per market segment, statuses spread
+    to columns. The status list is pinned, so Spark's pivot compiles to
+    the same single-pass CASE aggregation the oracle spells out — one
+    shuffle, no per-status scan."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    j = o.join(c, o["o_custkey"] == c["c_custkey"])
+    return (
+        j.groupBy("c_mktsegment")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+        .select(
+            "c_mktsegment",
+            F.coalesce("F", F.lit(0)).alias("n_f"),
+            F.coalesce("O", F.lit(0)).alias("n_o"),
+            F.coalesce("P", F.lit(0)).alias("n_p"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+_register(
+    "segment_status_pivot",
+    _segment_status_pivot,
+    """
+SELECT c_mktsegment,
+       sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_f,
+       sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_o,
+       sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_p
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment ORDER BY c_mktsegment
+""",
+)
+
+
+def _repeat_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit set-operation coverage (SURVEY §2.G): customers active in
+    BOTH 1996 and 1997 (INTERSECT) minus those with a returned item in
+    1997 (EXCEPT). Set ops hash-dedup on the key — each is one shuffle
+    of an already-aggregated key set, not of the fact table."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+
+    def active(year: int) -> DataFrame:
+        return o.filter(
+            (F.col("o_orderdate") >= F.lit(f"{year}-01-01"))
+            & (F.col("o_orderdate") < F.lit(f"{year + 1}-01-01"))
+        ).select("o_custkey")
+
+    both = active(1996).intersect(active(1997))
+    ret_cust = (
+        o.filter(
+            (F.col("o_orderdate") >= F.lit("1997-01-01"))
+            & (F.col("o_orderdate") < F.lit("1998-01-01"))
+        )
+        .join(li.filter(F.col("l_returnflag") == "R"),
+              F.col("o_orderkey") == F.col("l_orderkey"))
+        .select("o_custkey")
+    )
+    return both.subtract(ret_cust).orderBy("o_custkey")
+
+
+_register(
+    "repeat_buyers",
+    _repeat_buyers,
+    """
+SELECT o_custkey FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+INTERSECT
+SELECT o_custkey FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+EXCEPT
+SELECT o_custkey FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+ORDER BY o_custkey
+""",
+)
+
+
 def _cheapest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q2 shape — correlated scalar min subquery. Spark
     decorrelates it as a window min over the same partition key (ONE
