@@ -44,7 +44,10 @@ def decontaminate(
     n_eval_docs_hit)`` — every train doc appears, including clean ones
     (zeros), so drop-rate accounting is total.
     """
-    tr = shingles(train_docs, id_col=id_col, text_col=text_col, n=n)
+    # the train shingle table feeds both the per-doc totals and the
+    # hit counting — compute once, cache across the two passes (same
+    # pattern as minhash_lsh_pairs)
+    tr = shingles(train_docs, id_col=id_col, text_col=text_col, n=n).cache()
     ev = shingles(eval_docs, id_col=id_col, text_col=text_col, n=n).select(
         F.col("id").alias("eval_id"), "shingle"
     )
