@@ -2907,10 +2907,25 @@ fp AS (SELECT id, sum(CASE WHEN w > 0 THEN (1::BIGINT << b) ELSE 0 END) AS simha
 """
 
 
-def _simhash_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
+# simhash fingerprint table memoized per (session, corpus): the
+# fingerprints query and the banded near-dup pair join share one cached
+# 60-bit table instead of re-running the 60-weight aggregation
+_SIMHASH_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
+def _simhash_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     from comet_spark.operators.dedup import simhash_fingerprints
 
-    fp = simhash_fingerprints(_t(spark, sf_dir, "documents"))
+    key = (id(spark), sf_dir)
+    if key not in _SIMHASH_CACHE:
+        _SIMHASH_CACHE[key] = simhash_fingerprints(
+            _t(spark, sf_dir, "documents")
+        ).cache()
+    return _SIMHASH_CACHE[key]
+
+
+def _simhash_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fp = _simhash_table(spark, sf_dir)
     return fp.select(F.col("id").alias("doc_id"), "simhash")
 
 
@@ -2925,7 +2940,9 @@ def _simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from comet_spark.operators.dedup import simhash_neardup_pairs
 
     return simhash_neardup_pairs(
-        _t(spark, sf_dir, "documents"), max_hamming=SIMHASH_MAX_HAMMING
+        _t(spark, sf_dir, "documents"),
+        max_hamming=SIMHASH_MAX_HAMMING,
+        fingerprints=_simhash_table(spark, sf_dir),
     )
 
 

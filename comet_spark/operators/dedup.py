@@ -219,6 +219,7 @@ def simhash_segments(bits: int, max_hamming: int) -> list[tuple[int, int]]:
 def simhash_neardup_pairs(
     docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text",
     bits: int = 60, max_hamming: int = 8,
+    fingerprints: DataFrame | None = None,
 ) -> DataFrame:
     """Pairs with Hamming(simhash) ≤ max_hamming → (a_id, b_id, hamming).
 
@@ -230,7 +231,11 @@ def simhash_neardup_pairs(
     (recall 1.0 by pigeonhole), and the join is linear in bucket sizes.
     Reference validates its approximate search the same
     candidates-then-verify way (hnsw_index_search_test.go:992-1150)."""
-    fp = simhash_fingerprints(docs, id_col=id_col, text_col=text_col, bits=bits)
+    fp = (
+        fingerprints
+        if fingerprints is not None
+        else simhash_fingerprints(docs, id_col=id_col, text_col=text_col, bits=bits)
+    )
     segs = F.array(
         *[
             F.struct(
