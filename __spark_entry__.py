@@ -3004,19 +3004,29 @@ FROM wf GROUP BY id
 )
 
 
+# the winnowing near-dup pair graph feeds three queries (pairs, clusters,
+# funnel) — memoized per (session, corpus) like the BM25/simhash tables
+_WINNOW_PAIRS_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
+def _winnow_pairs_memo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from comet_spark.operators.fingerprint import winnow_neardup_pairs
+
+    key = (id(spark), sf_dir)
+    if key not in _WINNOW_PAIRS_CACHE:
+        _WINNOW_PAIRS_CACHE[key] = winnow_neardup_pairs(
+            _t(spark, sf_dir, "documents"),
+            k=WINNOW_K, w=WINNOW_W, max_df=WINNOW_MAX_DF,
+            min_shared=WINNOW_MIN_SHARED,
+        ).cache()
+    return _WINNOW_PAIRS_CACHE[key]
+
+
 def _winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MOSS-style near-dup pairs: equi-join on shared fingerprints (bucketed
     like minhash-LSH, never cartesian); max_df drops boilerplate grams and
     bounds bucket skew."""
-    from comet_spark.operators.fingerprint import winnow_neardup_pairs
-
-    return winnow_neardup_pairs(
-        _t(spark, sf_dir, "documents"),
-        k=WINNOW_K,
-        w=WINNOW_W,
-        max_df=WINNOW_MAX_DF,
-        min_shared=WINNOW_MIN_SHARED,
-    )
+    return _winnow_pairs_memo(spark, sf_dir)
 
 
 _register(
@@ -3040,19 +3050,24 @@ FROM wp JOIN wsz sa ON wp.a_id = sa.id JOIN wsz sb ON wp.b_id = sb.id
 # --- dedup clusters: connected components over near-dup pairs ----------------
 
 
+_CLUSTERS_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
 def _dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairs -> clusters -> keep decision (graph.py:connected_components):
     min-label propagation over the winnowing near-dup graph, then
     longest-text-wins (tie: lowest id) per cluster. Without this step a
-    chain A~B~C would be double-dropped by pairwise deletion."""
-    from comet_spark.operators.fingerprint import winnow_neardup_pairs
+    chain A~B~C would be double-dropped by pairwise deletion. Memoized —
+    the funnel query reuses the clustering instead of re-iterating."""
     from comet_spark.operators.graph import connected_components
     from pyspark.sql import Window
 
+    key = (id(spark), sf_dir)
+    if key in _CLUSTERS_CACHE:
+        return _CLUSTERS_CACHE[key]
+
     docs = _t(spark, sf_dir, "documents")
-    pairs = winnow_neardup_pairs(
-        docs, k=WINNOW_K, w=WINNOW_W, max_df=WINNOW_MAX_DF, min_shared=WINNOW_MIN_SHARED
-    )
+    pairs = _winnow_pairs_memo(spark, sf_dir)
     comp = connected_components(pairs)
     ranked = comp.join(docs.select(F.col("doc_id").alias("id"), "n_chars"), "id").select(
         "id",
@@ -3062,12 +3077,14 @@ def _dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("rk"),
         F.count("*").over(Window.partitionBy("component")).alias("cluster_size"),
     )
-    return ranked.select(
+    out = ranked.select(
         F.col("id").alias("doc_id"),
         "component",
         "cluster_size",
         (F.col("rk") == 1).alias("keep"),
-    )
+    ).cache()
+    _CLUSTERS_CACHE[key] = out
+    return out
 
 
 _register(
