@@ -2491,7 +2491,7 @@ def _hll_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the realized relative error."""
     from comet_spark.operators.sketch import hll_distinct
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs_par(spark, sf_dir)
     tok = docs.select("source", F.explode(tokenize("text")).alias("term"))
     est = hll_distinct(tok, ["source"], "term", b=6)
     exact = tok.groupBy("source").agg(F.countDistinct("term").alias("exact_distinct"))
@@ -2588,7 +2588,7 @@ def _cms_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     estimates hash-match alongside exact counts and the overcount."""
     from comet_spark.operators.sketch import cms_estimate, cms_sketch
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs_par(spark, sf_dir)
     tok = docs.select(F.explode(tokenize("text")).alias("term"))
     counters = cms_sketch(tok, "term", d=CMS_D, w=CMS_W)
     probes = spark.createDataFrame([(t,) for t in CMS_PROBES], "term string")
@@ -2776,7 +2776,7 @@ def _ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from comet_spark.operators.dedup import ngram_jaccard_pairs
 
     return ngram_jaccard_pairs(
-        _t(spark, sf_dir, "documents"), n=NGRAM_N, min_jaccard=MIN_JACCARD
+        _docs_par(spark, sf_dir), n=NGRAM_N, min_jaccard=MIN_JACCARD
     )
 
 
@@ -2794,6 +2794,17 @@ SELECT a_id, b_id, jaccard FROM j WHERE jaccard >= {MIN_JACCARD}
 )
 
 
+def _docs_par(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents with the scan fanned out to all cores: the local corpus
+    is ONE parquet file = one input partition, which serializes the
+    explode-heavy token/shingle pipelines; at cluster scale the many
+    input files provide this parallelism for free, so the repartition is
+    a local-bench equalizer, not part of the operator designs."""
+    return _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+
 EVAL_MOD = 53  # eval/benchmark set = docs with doc_id % EVAL_MOD == 0
 
 
@@ -2804,7 +2815,7 @@ def _decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     for the membership join (contamination.py)."""
     from comet_spark.operators.contamination import decontaminate
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs_par(spark, sf_dir)
     ev = docs.filter(F.col("doc_id") % EVAL_MOD == 0)
     tr = docs.filter(F.col("doc_id") % EVAL_MOD != 0)
     out = decontaminate(tr, ev, n=NGRAM_N)
@@ -2839,7 +2850,7 @@ def _minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from comet_spark.operators.dedup import minhash_lsh_pairs
 
     return minhash_lsh_pairs(
-        _t(spark, sf_dir, "documents"),
+        _docs_par(spark, sf_dir),
         n=NGRAM_N, n_hashes=N_HASHES, bands=LSH_BANDS, min_jaccard=MIN_JACCARD,
     )
 
@@ -3160,7 +3171,10 @@ def _repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     n-levels exploded from ONE scan into one tagged gram table."""
     from comet_spark.operators.quality import repetition_metrics
 
-    out = repetition_metrics(_t(spark, sf_dir, "documents"))
+    # the local corpus is one parquet file = one input partition; fan the
+    # cheap doc rows out so the 3-level gram explode runs on all cores
+    # (at cluster scale the many input files provide this for free)
+    out = repetition_metrics(_docs_par(spark, sf_dir))
     return out.select(
         F.col("id").alias("doc_id"), "top_bigram_frac", "top_trigram_frac",
         "dup_5gram_frac",
