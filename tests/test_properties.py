@@ -76,3 +76,70 @@ def test_numeric_ne_model(spark, vals, target):
     # existence ANDNOT eq under int64(v*100) truncation: NULLs never match
     want = sorted(i for i, v in rows if v is not None and int(v * 100) != int(target * 100))
     assert got == want
+
+
+def zorder_model(x: int, y: int, bits: int) -> int:
+    z = 0
+    for i in range(bits):
+        z |= ((x >> i) & 1) << (2 * i)
+        z |= ((y >> i) & 1) << (2 * i + 1)
+    return z
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    pts=st.lists(
+        st.tuples(st.integers(0, 255), st.integers(0, 255)),
+        min_size=1, max_size=20, unique=True,
+    )
+)
+def test_zorder_matches_model_and_is_injective(spark, pts):
+    from pyspark.sql import functions as F
+
+    from comet_spark.operators.layout import zorder_key
+
+    df = spark.createDataFrame(pts, "x int, y int")
+    got = {
+        (r["x"], r["y"]): r["z"]
+        for r in df.select(
+            "x", "y", zorder_key([F.col("x"), F.col("y")], bits=8).alias("z")
+        ).collect()
+    }
+    want = {(x, y): zorder_model(x, y, 8) for x, y in pts}
+    assert got == want
+    assert len(set(got.values())) == len(pts)  # injective on the domain
+
+
+def cms_model(values: list[str], probe: str, d: int, w: int) -> int:
+    import hashlib
+
+    from comet_spark.operators.dedup import MINHASH_P, minhash_coeffs
+
+    def h32(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    counters: dict[tuple[int, int], int] = {}
+    for v in values:
+        for i, (a, b) in enumerate(minhash_coeffs(d)):
+            k = (i, ((a * h32(v) + b) % MINHASH_P) % w)
+            counters[k] = counters.get(k, 0) + 1
+    return min(
+        counters.get((i, ((a * h32(probe) + b) % MINHASH_P) % w), 0)
+        for i, (a, b) in enumerate(minhash_coeffs(d))
+    )
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    values=st.lists(st.sampled_from([f"t{i}" for i in range(12)]), min_size=1, max_size=40),
+    probe=st.sampled_from([f"t{i}" for i in range(12)]),
+)
+def test_cms_matches_python_model(spark, values, probe):
+    from comet_spark.operators.sketch import cms_estimate, cms_sketch
+
+    df = spark.createDataFrame([(v,) for v in values], "term string")
+    probes = spark.createDataFrame([(probe,)], "term string")
+    counters = cms_sketch(df, "term", d=2, w=16)
+    got = cms_estimate(counters, probes, d=2, w=16).first()["est_count"]
+    assert got == cms_model(values, probe, 2, 16)
+    assert got >= values.count(probe)  # one-sided error
