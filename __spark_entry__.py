@@ -2578,6 +2578,69 @@ ORDER BY a_id, b_id
 )
 
 
+HLL_SRC_A, HLL_SRC_B = "src0", "src1"
+
+
+def _hll_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch set algebra (sketch.py hll_set_estimates): how many
+    distinct terms do two sources share? |A∩B| by inclusion–exclusion
+    over mergeable registers — no join of the raw token streams — with
+    the exact intersection alongside to show the realized error."""
+    from comet_spark.operators.sketch import hll_registers, hll_set_estimates
+
+    docs = _docs_par(spark, sf_dir)
+
+    def terms(src: str) -> DataFrame:
+        return docs.filter(F.col("source") == src).select(
+            F.explode(tokenize("text")).alias("term")
+        )
+
+    ra = hll_registers(terms(HLL_SRC_A), [], "term")
+    rb = hll_registers(terms(HLL_SRC_B), [], "term")
+    est = hll_set_estimates(ra, rb)
+    exact = (
+        terms(HLL_SRC_A).distinct().intersect(terms(HLL_SRC_B).distinct())
+        .agg(F.count("*").alias("exact_intersect"))
+    )
+    return est.crossJoin(exact)
+
+
+def _sql_hll_est_expr(regsrc: str) -> str:
+    return f"""(SELECT ROUND(CASE WHEN e_raw <= 160.0 AND v > 0
+                     THEN 64.0 * ln(64.0 / v) ELSE e_raw END, 6)
+     FROM (SELECT (0.7213 / (1.0 + 1.079 / 64.0)) * 64 * 64 * 1073741824.0
+                    / (sum(1::BIGINT << (30 - mj)) + (64 - count(*)) * 1073741824)::DOUBLE AS e_raw,
+                  64 - count(*) AS v
+           FROM {regsrc}))"""
+
+
+_register(
+    "hll_shared_terms",
+    _hll_shared,
+    f"""
+WITH tok AS (SELECT source, unnest({_SQL_TOKENIZE.format(col='text')}) AS term
+             FROM documents WHERE source IN ('{HLL_SRC_A}', '{HLL_SRC_B}')),
+h AS (SELECT source, ('0x' || substr(md5(term), 1, 8))::BIGINT AS h FROM tok),
+r AS (SELECT source, h & 63 AS bucket,
+             CASE WHEN (h >> 6) = 0 THEN 27 ELSE 27 - length(bin(h >> 6)) END AS rho
+      FROM h),
+reg AS (SELECT source, bucket, max(rho) AS mj FROM r GROUP BY source, bucket),
+regm AS (SELECT bucket, max(mj) AS mj FROM reg GROUP BY bucket),
+e AS (SELECT
+  {_sql_hll_est_expr(f"(SELECT bucket, mj FROM reg WHERE source = '{HLL_SRC_A}')")} AS est_a,
+  {_sql_hll_est_expr(f"(SELECT bucket, mj FROM reg WHERE source = '{HLL_SRC_B}')")} AS est_b,
+  {_sql_hll_est_expr("regm")} AS est_union),
+x AS (SELECT count(*) AS exact_intersect FROM
+        (SELECT DISTINCT term FROM tok WHERE source = '{HLL_SRC_A}'
+         INTERSECT
+         SELECT DISTINCT term FROM tok WHERE source = '{HLL_SRC_B}'))
+SELECT est_a, est_b, est_union,
+       ROUND(est_a + est_b - est_union, 6) AS est_intersect, exact_intersect
+FROM e, x
+""",
+)
+
+
 CMS_PROBES = ("table", "join", "spark", "data", "row", "window", "batch", "query")
 CMS_D, CMS_W = 4, 256
 

@@ -189,3 +189,38 @@ def cms_merge(*counters: DataFrame) -> DataFrame:
     for c in counters[1:]:
         out = out.unionByName(c)
     return out.groupBy("i", "bucket").agg(F.sum("c").alias("c"))
+
+
+def hll_set_estimates(
+    reg_a: DataFrame,
+    reg_b: DataFrame,
+    *,
+    b: int = 6,
+    round_to: int = 6,
+) -> DataFrame:
+    """Set algebra on two UNGROUPED register tables ``(bucket, mj)``:
+    |A|, |B|, |A∪B| (lossless register merge) and |A∩B| by
+    inclusion–exclusion — the classic sketch trick for "how many
+    distinct items do these two corpora share?" without ever joining
+    the raw data. Returns one row ``(est_a, est_b, est_union,
+    est_intersect)``; intersection error compounds (|ε| ≲ 3σ·|A∪B|),
+    which is the documented trade for constant-size state."""
+    one = F.lit(1)
+    ea = hll_estimate(reg_a.select(one.alias("g"), "bucket", "mj"), ["g"], b=b,
+                      round_to=round_to).select(F.col("est_distinct").alias("est_a"))
+    eb = hll_estimate(reg_b.select(one.alias("g"), "bucket", "mj"), ["g"], b=b,
+                      round_to=round_to).select(F.col("est_distinct").alias("est_b"))
+    merged = hll_merge(
+        reg_a.select(one.alias("g"), "bucket", "mj"),
+        reg_b.select(one.alias("g"), "bucket", "mj"),
+    )
+    eu = hll_estimate(merged, ["g"], b=b, round_to=round_to).select(
+        F.col("est_distinct").alias("est_union")
+    )
+    out = ea.crossJoin(eb).crossJoin(eu)
+    return out.select(
+        "est_a", "est_b", "est_union",
+        F.round(F.col("est_a") + F.col("est_b") - F.col("est_union"), round_to).alias(
+            "est_intersect"
+        ),
+    )
