@@ -20,6 +20,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from comet_spark.functions.text import STOPWORDS_EN, tokenize
 from comet_spark.operators.autocut import autocut
@@ -74,17 +75,31 @@ def _register(name: str, fn: Callable[[SparkSession, str], DataFrame], sql: str 
     _REGISTRY[name] = (fn, sql)
 
 
+# sessions already checked for the nanos conf (see _t below)
+_NANOS_SET: set[int] = {*()}
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    if name == "events":
-        # events.parquet stores TIMESTAMP(NANOS); read as int64 nanos so the
-        # arithmetic is timezone-independent (oracle uses epoch_ns()). The
-        # driver hands us a vanilla session (no factory involved), so this
-        # runtime-settable conf is applied here — guarded to avoid mutating
-        # session state on every read (comet_spark.session.get_spark sets it
-        # at build time for sessions we create ourselves).
+    if name == "events" and id(spark) not in _NANOS_SET:
+        # Contract for every events consumer below: `ts` is int64 epoch
+        # NANOS. Driver testdata has shipped the column both as
+        # TIMESTAMP(NANOS) (needs this conf to land as long) and as
+        # TIMESTAMP(MICROS) (normalized after the read, below). The conf
+        # is runtime-settable and ensured once per session — the driver
+        # hands us a vanilla session (no factory involved).
         if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        _NANOS_SET.add(id(spark))
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and not isinstance(df.schema["ts"].dataType, T.LongType):
+        # TIMESTAMP(MICROS) testdata: to_utc_timestamp pins the
+        # wall-clock→instant interpretation to UTC, so the epoch value is
+        # session-timezone-independent and matches DuckDB's epoch_ns()
+        # on naive timestamps.
+        df = df.withColumn(
+            "ts", F.unix_micros(F.to_utc_timestamp(F.col("ts"), "UTC")) * F.lit(1000)
+        )
+    return df
 
 
 # BM25 'index build' memoized per (session, corpus): several queries share
@@ -1309,8 +1324,8 @@ _register(
     _late_line_priority,
     """
 SELECT l_linestatus,
-       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
-       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS low_line_count
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 WHERE l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
   AND l_shipdate >= o_orderdate + INTERVAL 90 DAY
@@ -1512,9 +1527,9 @@ _register(
     _segment_status_pivot,
     """
 SELECT c_mktsegment,
-       sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_f,
-       sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_o,
-       sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_p
+       CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+       CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+       CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY c_mktsegment ORDER BY c_mktsegment
 """,
@@ -2951,7 +2966,7 @@ def _minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from comet_spark.operators.dedup import minhash_signatures
 
     sig = minhash_signatures(
-        _t(spark, sf_dir, "documents"), n=NGRAM_N, n_hashes=N_HASHES
+        _docs_par(spark, sf_dir), n=NGRAM_N, n_hashes=N_HASHES
     )
     return sig.select(F.col("id").alias("doc_id"), "i", "mh")
 
@@ -2976,7 +2991,7 @@ tf AS (SELECT id, term, count(*) AS tf
 th AS (SELECT id, tf, ('0x' || substr(md5(term), 1, 15))::BIGINT AS h FROM tf),
 pb AS (SELECT id, b, sum(CASE WHEN ((h >> b) & 1) = 1 THEN tf ELSE -tf END) AS w
        FROM th, range(60) t(b) GROUP BY id, b),
-fp AS (SELECT id, sum(CASE WHEN w > 0 THEN (1::BIGINT << b) ELSE 0 END) AS simhash
+fp AS (SELECT id, CAST(sum(CASE WHEN w > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS simhash
        FROM pb GROUP BY id)
 """
 
@@ -3580,7 +3595,7 @@ _register(
     _events_json,
     """
 SELECT event_type, count(*) AS n_events,
-       sum(json_extract_string(props, '$.k')::BIGINT) AS sum_k,
+       CAST(sum(json_extract_string(props, '$.k')::BIGINT) AS BIGINT) AS sum_k,
        ROUND(avg(json_extract_string(props, '$.k')::BIGINT), 6) AS avg_k
 FROM events GROUP BY event_type
 """,
@@ -3847,7 +3862,7 @@ _register(
     f"""
 WITH m AS ({_SQL_MEDIA})
 SELECT media_type, count(*) AS n, ROUND(avg(width), 6) AS avg_width,
-       ROUND(avg(height), 6) AS avg_height, sum(n_frames) AS total_frames
+       ROUND(avg(height), 6) AS avg_height, CAST(sum(n_frames) AS BIGINT) AS total_frames
 FROM m GROUP BY media_type
 """,
 )

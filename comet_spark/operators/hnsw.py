@@ -53,7 +53,15 @@ class HNSWIndex:
         self.mat = np.asarray(mat, dtype=np.float64)
         self.m = m
         self.ef_construction = ef_construction
+        if metric not in ("l2", "l2sq", "cosine"):
+            # inner-product (MIPS) has no rank-equivalent L2 embedding —
+            # refusing beats silently traversing with the wrong geometry
+            raise ValueError(
+                f"HNSW supports metrics l2/l2sq/cosine, got {metric!r}; "
+                "use a flat scan or lsh_ann_topk for other metrics"
+            )
         self.metric = metric
+        self._tmat = self._traversal_mat(self.mat, metric)
         n = len(self.ids)
         rng = np.random.RandomState(seed)
         # geometric level: P(level >= l) = (1/M)^l, capped (hnsw_index.go:473-484)
@@ -71,8 +79,19 @@ class HNSWIndex:
 
     # -- build ----------------------------------------------------------
 
+    @staticmethod
+    def _traversal_mat(mat: np.ndarray, metric: str) -> np.ndarray:
+        """The geometry the graph is built and walked in: plain L2 for
+        l2/l2sq (argmin-equivalent), and for cosine, L2 over
+        unit-normalized vectors (|â−b̂|² = 2·(1−cosθ) — rank-equivalent,
+        so traversal agrees with the exact cosine rescore)."""
+        if metric != "cosine":
+            return mat
+        n = np.linalg.norm(mat, axis=1, keepdims=True)
+        return mat / np.where(n == 0.0, 1.0, n)
+
     def _dist(self, q: np.ndarray, idxs: list[int] | np.ndarray) -> np.ndarray:
-        d = self.mat[np.asarray(idxs, dtype=np.int64)] - q[None, :]
+        d = self._tmat[np.asarray(idxs, dtype=np.int64)] - q[None, :]
         return np.sqrt((d * d).sum(axis=1))
 
     def _search_layer(
@@ -106,7 +125,7 @@ class HNSWIndex:
                 self.adj[layer][0] = []
             self.entry = 0
             return
-        q = self.mat[i]
+        q = self._tmat[i]
         level = int(self.levels[i])
         ep = self.entry
         # greedy descent through layers above the node's level
@@ -125,7 +144,7 @@ class HNSWIndex:
                 lst = self.adj[layer].setdefault(v, [])
                 lst.append(i)
                 if len(lst) > cap:  # prune to closest (hnsw_index.go:667-694)
-                    dd = self._dist(self.mat[v], lst)
+                    dd = self._dist(self._tmat[v], lst)
                     order = np.argsort(dd, kind="stable")[:cap]
                     self.adj[layer][v] = [lst[j] for j in order]
             ep = found[0][1]
@@ -218,6 +237,7 @@ class HNSWIndex:
         ix.m = meta["m"]
         ix.ef_construction = meta["ef_construction"]
         ix.metric = meta["metric"]
+        ix._tmat = cls._traversal_mat(ix.mat, ix.metric)
         ix.entry = int(meta["entry"])
         ix.max_level = int(ix.levels.max(initial=0))
         ix.adj = [{} for _ in range(ix.max_level + 1)]
@@ -229,6 +249,10 @@ class HNSWIndex:
         """Graph traversal only → candidate doc ids (the layer-0 beam's
         result set, ≥ ef_search entries), driver-side."""
         q = np.asarray(qvec, dtype=np.float64)
+        if self.metric == "cosine":
+            qn = np.linalg.norm(q)
+            if qn > 0:
+                q = q / qn
         ep = self.entry
         for layer in range(self.max_level, 0, -1):
             if self.adj[layer]:

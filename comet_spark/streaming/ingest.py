@@ -151,6 +151,16 @@ def windowed_event_counts(
     )
 
 
+def _parquet_exists(spark, path: str) -> bool:
+    """True if ``path`` exists, via the Hadoop FileSystem of the path's
+    scheme (so it answers correctly for hdfs:///s3a:// too, not just
+    local files)."""
+    jvm = spark.sparkContext._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    return bool(fs.exists(hpath))
+
+
 def hll_stream(
     stream: DataFrame,
     group_cols: list[str],
@@ -177,10 +187,13 @@ def hll_stream(
     def upd(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
         part = hll_registers(batch, group_cols, value_col, b=b)
-        try:
-            cur = spark.read.parquet(state_path)
-            merged = hll_merge(cur, part)
-        except Exception:
+        # Only "no state yet" may fall back to a fresh sketch. A transient
+        # read failure (corrupt file, IO error, permissions) must raise so
+        # the micro-batch retries — swallowing it here would overwrite and
+        # silently discard every accumulated register.
+        if _parquet_exists(spark, state_path):
+            merged = hll_merge(spark.read.parquet(state_path), part)
+        else:
             merged = part
         rows = merged.collect()
         if rows:

@@ -35,6 +35,14 @@ __all__ = ["kmeans_train", "kmeans_train_grouped", "assign_clusters"]
 # iterations cost microseconds of numpy instead of 20 Python-worker job
 # round-trips (~0.25 s each locally). The reference trains fully in-memory
 # always; we keep the distributed path for corpora that don't fit.
+#
+# Determinism caveat: each path is bit-deterministic run-to-run, but the
+# two paths are NOT bit-identical to each other — float addition is not
+# associative, and the driver path accumulates in row order while the
+# distributed path merges per-partition partials in canonical sort order.
+# A corpus crossing the 8M-cell boundary can therefore see final-ULP
+# centroid differences (which may flip exact argmin ties downstream).
+# Pin the path explicitly if cross-scale bit-stability matters.
 DRIVER_TRAIN_CELLS = 8_000_000
 
 
@@ -109,13 +117,37 @@ def kmeans_train(
         e.unpersist()
         return _lloyd(mat, centroids, metric, max_iter)
 
-    w = Window.orderBy("id")
+    # Two-pass global rank — a bare Window.orderBy("id") would funnel every
+    # row through ONE task to number them. Instead: range-partition by id
+    # (partition p holds strictly smaller ids than p+1), count each
+    # partition (tiny collect), turn the counts into cumulative offsets,
+    # and then a partition-LOCAL row_number plus the partition's offset is
+    # the exact global rank. Both passes are fully parallel.
+    parts = e.repartitionByRange(F.col("id")).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    parts.persist()
+    pc = {
+        r["__pid"]: r["n"]
+        for r in parts.groupBy("__pid").agg(F.count("*").alias("n")).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(pc):
+        offsets[pid] = acc
+        acc += pc[pid]
+    off_df = spark.createDataFrame(
+        [(int(p), int(o)) for p, o in offsets.items()], "__pid int, __off bigint"
+    )
+    wl = Window.partitionBy("__pid").orderBy("id")
     init_rows = (
-        e.withColumn("__rn", F.row_number().over(w))
+        parts.withColumn("__lrn", F.row_number().over(wl))
+        .join(F.broadcast(off_df), "__pid")
+        .withColumn("__rn", F.col("__lrn") + F.col("__off"))
         .filter(F.col("__rn").isin(wanted))
         .orderBy("__rn")
         .collect()
     )
+    parts.unpersist()
     centroids = np.array([r["v"] for r in init_rows], dtype=np.float64)
     # duplicates of the clamped last index collapse in the set; pad if needed
     while centroids.shape[0] < k:

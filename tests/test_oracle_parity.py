@@ -58,6 +58,35 @@ def test_query_matches_oracle(name, spark):
 
     assert sorted(scols) == sorted(dcols), f"{name}: column names differ"
     assert len(srows) == len(drows), f"{name}: row count {len(srows)} != {len(drows)}"
+
+    # Physical-type guard (driver hashes dtype-sensitive values): DuckDB's
+    # sum() over any INTEGER expression yields HUGEINT, which pandas/arrow
+    # turn into float64/decimal128 while Spark emits int64 — byte-identical
+    # Python values, different driver hash (r02: late_line_priority,
+    # segment_status_pivot). Every integer-sum oracle must CAST to BIGINT.
+    arrow_schema = con.execute(ORACLES[name]).arrow().schema
+    import pyarrow.types as pat
+
+    spark_kind = {}
+    for f in sdf.schema.fields:
+        t = f.dataType.simpleString()
+        spark_kind[f.name] = (
+            "f" if t in ("float", "double") else
+            "i" if t in ("tinyint", "smallint", "int", "bigint") else "o"
+        )
+    for f in arrow_schema:
+        assert not pat.is_decimal(f.type), (
+            f"{name}.{f.name}: oracle returns {f.type} (DuckDB HUGEINT) — "
+            f"wrap the integer sum in CAST(... AS BIGINT)"
+        )
+        okind = (
+            "f" if pat.is_floating(f.type) else
+            "i" if pat.is_integer(f.type) else "o"
+        )
+        assert okind == spark_kind[f.name], (
+            f"{name}.{f.name}: oracle physical kind {f.type} vs Spark "
+            f"{[x.dataType.simpleString() for x in sdf.schema.fields if x.name == f.name]}"
+        )
     sc, dc = _canon(srows, scols), _canon(drows, dcols)
     mismatches = [(a, b) for a, b in zip(sc, dc) if a != b]
     assert not mismatches, f"{name}: first mismatches {mismatches[:5]}"
