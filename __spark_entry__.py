@@ -8,7 +8,9 @@ driver hash-compares against at sf=0.01.
 Parity rules (shared by the Spark plans and the SQL oracles):
 - all vector math in DOUBLE, final scores ROUND(…, 6)
 - every ordering is a total order (score, then id) so top-k is deterministic
-- tokenizer is lower() + split on [^a-z0-9]+ (FIXTURES.md §3)
+- tokenizer is UAX#29 word segmentation (lower + wordlike filter), the
+  same native regex pipeline on both sides — see functions/text.py and
+  _SQL_TOKENIZE below (reference pipeline: bm25_index.go:153-166)
 - numeric metadata comparisons use the reference's ×100 quantization
   (CAST(TRUNC(v*100) AS BIGINT) — Go truncation, metadata_index.go:142-143)
 """
@@ -160,7 +162,25 @@ def _sql_cos(v: str, q: str) -> str:
 
 _SQL_METRIC = {"l2": _sql_l2, "l2sq": _sql_l2sq, "cosine": _sql_cos}
 
-_SQL_TOKENIZE = "list_filter(string_split_regex(lower({col}), '[^a-z0-9]+'), t -> t != '')"
+# DuckDB twin of comet_spark.functions.text.tokenize (native UAX#29 word
+# projection): two consuming replace passes per joiner class tag in-word
+# punctuation with the same private-use marker, then one extract pulls
+# marker-joined tokens and a wordlike filter drops punctuation-only
+# segments. Must stay expression-for-expression in sync with text.py.
+_TOKEN_MARK = "\ue000"
+_SQL_TOKENIZE = (
+    "list_filter(list_transform(regexp_extract_all("
+    "regexp_replace(regexp_replace(regexp_replace(regexp_replace("
+    "lower({col}), "
+    "'(\\p{{L}})([:.''])(\\p{{L}})', '\\1" + _TOKEN_MARK + "\\2\\3', 'g'), "
+    "'(\\p{{L}})([:.''])(\\p{{L}})', '\\1" + _TOKEN_MARK + "\\2\\3', 'g'), "
+    "'(\\p{{N}})([.,;''])(\\p{{N}})', '\\1" + _TOKEN_MARK + "\\2\\3', 'g'), "
+    "'(\\p{{N}})([.,;''])(\\p{{N}})', '\\1" + _TOKEN_MARK + "\\2\\3', 'g'), "
+    "'[\\p{{L}}\\p{{N}}\\p{{Pc}}]+(" + _TOKEN_MARK
+    + "[:.'',;][\\p{{L}}\\p{{N}}\\p{{Pc}}]+)*', 0), "
+    "t -> replace(t, '" + _TOKEN_MARK + "', '')), "
+    "t -> regexp_matches(t, '[\\p{{L}}\\p{{N}}]'))"
+)
 
 
 def _sql_knn_cte(metric: str, where: str = "TRUE") -> str:
@@ -479,6 +499,65 @@ FROM vrank FULL OUTER JOIN trank ON vrank.id = trank.id
 ORDER BY score DESC, doc_id LIMIT {K}
 """,
 )
+
+def _hybrid_ivf_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid fusion over the IVF-PRUNED vector path — the reference
+    composes hybrid search with whatever index it wraps
+    (``hybrid_search_index.go:326-365``); here ``with_nprobes`` flows
+    through HybridSearch so metadata prefilter → partition-pruned IVF
+    scan → BM25 → RRF compose in one builder chain. The oracle replays
+    the pruned scan from the exported assignment + probe-set artifacts
+    (same by-construction scheme as ivf_knn_nprobe2)."""
+    import numpy as np
+
+    ivf, assigned = _ivf_trained(spark, sf_dir)
+    qvec = _hybrid_qvec(spark, sf_dir)
+    key = (id(spark), sf_dir, "probes_q2")
+    if key not in _PROBE_WRITTEN:
+        probed = ivf.probe_lists(np.asarray(qvec), 2)
+        _write_rows(
+            spark, f"{_art_dir(sf_dir)}/ivf/probes_q2.parquet",
+            [(int(c),) for c in probed], "cluster_id bigint",
+        )
+        _PROBE_WRITTEN.add(key)
+    corpus = _hybrid_corpus(spark, sf_dir)
+    corpus._ivf, corpus._ivf_assigned = ivf, assigned
+    hs = (
+        corpus.hybrid_search()
+        .with_vector(qvec)
+        .with_text(BM25_QUERY)
+        .with_metadata(Eq(Field("lang"), HYBRID_LANG))
+        .with_k(K)
+        .with_nprobes(2)
+        .with_fusion("rrf")
+    )
+    return hs.execute().select(F.col("id").alias("doc_id"), "score")
+
+
+_register(
+    "hybrid_ivf_rrf",
+    _hybrid_ivf_rrf,
+    f"""
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = {QUERY_VEC_ID}),
+a AS (SELECT id, vector, cluster_id
+      FROM read_parquet('{_ART01}/ivf/assigned.parquet/**/*.parquet', hive_partitioning=1)),
+p AS (SELECT cluster_id FROM read_parquet('{_ART01}/ivf/probes_q2.parquet/*.parquet')),
+ev AS (SELECT a.id, a.vector AS v FROM a JOIN p USING (cluster_id)
+       JOIN documents d ON d.doc_id = a.id WHERE d.lang = '{HYBRID_LANG}'),
+vd AS (SELECT ev.id, ROUND({_sql_l2('ev.v', 'q.qv')}, 6) AS score FROM ev, q),
+vres AS (SELECT id, score FROM vd ORDER BY score, id LIMIT {K}),
+{_sql_bm25_ctes().strip().rstrip(',')},
+{_sql_bm25_score(BM25_QUERY, cand_where=f"lang = '{HYBRID_LANG}'")},
+tres AS (SELECT id, ROUND(score, 6) AS score FROM sc ORDER BY score DESC, id LIMIT {K}),
+vrank AS (SELECT id, row_number() OVER (ORDER BY score ASC, id ASC) - 1 AS r FROM vres),
+trank AS (SELECT id, row_number() OVER (ORDER BY score DESC, id ASC) - 1 AS r FROM tres)
+SELECT coalesce(vrank.id, trank.id) AS doc_id,
+       ROUND(coalesce(1.0/(60.0 + vrank.r), 0) + coalesce(1.0/(60.0 + trank.r), 0), 6) AS score
+FROM vrank FULL OUTER JOIN trank ON vrank.id = trank.id
+ORDER BY score DESC, doc_id LIMIT {K}
+""",
+)
+
 
 _register(
     "hybrid_weighted",
@@ -3934,6 +4013,60 @@ _register(
     f"""
 SELECT media_id, {", ".join(f"ROUND(features[{i + 1}], 6) AS f{i}" for i in range(MEDIA_FEAT_DIM))}
 FROM read_parquet('{_ART01}/media/features.parquet/*.parquet')
+""",
+)
+
+
+def _media_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from comet_spark.multimodal import attach_media_real
+
+    return attach_media_real(_t(spark, sf_dir, "documents"), id_col="doc_id")
+
+
+def _image_real_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL pixel decode: constant-color PPM/BMP payloads are parsed from
+    actual bytes (multimodal.decode_ppm/decode_bmp) and gray-grid pooled;
+    the oracle recomputes every feature as a closed form of the id — if
+    header parsing, stride/padding, channel order, or pooling were wrong,
+    the values would not match."""
+    from comet_spark.multimodal import image_features
+
+    feats = image_features(_media_real(spark, sf_dir), dim=4, decode_mode="real")
+    cols = [
+        F.round(F.element_at("features", i + 1), 6).alias(f"f{i}") for i in range(4)
+    ]
+    return feats.select("media_id", *cols)
+
+
+_register(
+    "image_real_features",
+    _image_real_features,
+    f"""
+SELECT doc_id AS media_id,
+       {", ".join(
+        f"ROUND(((doc_id % 256) + ((7 * doc_id) % 256) + ((13 * doc_id) % 256)) / 3.0 / 255.0, 6) AS f{i}"
+        for i in range(4)
+    )}
+FROM documents WHERE doc_id % 3 = 0
+""",
+)
+
+
+def _audio_real_durations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL WAV parse: duration from the data chunk's actual sample count
+    (multimodal.decode_wav), closed-form oracle from the id."""
+    from comet_spark.multimodal import audio_duration
+
+    return audio_duration(_media_real(spark, sf_dir), decode_mode="real")
+
+
+_register(
+    "audio_real_durations",
+    _audio_real_durations,
+    """
+SELECT doc_id AS media_id,
+       ROUND((1000 + doc_id % 500) / (8000.0 + (doc_id % 4) * 2000), 6) AS duration_s
+FROM documents WHERE doc_id % 3 = 1
 """,
 )
 

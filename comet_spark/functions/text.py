@@ -1,13 +1,35 @@
 """Text normalization / tokenization / analysis expressions.
 
 The reference pipeline is NFKC-normalize → lowercase → UAX#29 word
-segmentation (reference ``bm25_index.go:153-166``). Our pinned tokenizer is
-``lower(text)`` split on ``[^a-z0-9]+`` (empties dropped) — declared in
-FIXTURES.md §3: on ASCII space-separated corpora (the driver's ``documents``
-table) this agrees exactly with UAX#29, and it is expressible identically in
-Spark and in the DuckDB oracle, which is what makes BM25 scores
-hash-checkable. NFKC for non-ASCII input is available separately as an
-Arrow-batched pandas UDF (slow path, off the hot path by default).
+segmentation (reference ``bm25_index.go:153-166``). Default ``tokenize``
+implements the UAX#29 word-break rules NATIVELY (JVM regex, codegen'd, no
+Python in the hot path) for the character classes that matter outside
+ideographic scripts:
+
+- words are runs of letters/digits/connector-punctuation
+  (``\\p{L}\\p{N}\\p{Pc}`` — WB5/8/9/10/13a/13b: they concatenate freely),
+- a single MidLetter/MidNumLet/quote (``: . '``) joins letter-runs
+  (WB6/7), a single MidNum/MidNumLet/quote (``. , ; '``) joins digit-runs
+  (WB11/12),
+- only wordlike segments (containing an alphanumeric) are kept — the
+  filter the reference's own tokenizer tests assert
+  (``bm25_index_test.go:620-663``).
+
+Mechanics: two consuming regexp_replace passes per class tag every
+in-word joiner with a private-use marker (two passes fully resolve
+overlapping chains — pass 1 consumes every other join, leaving only
+pairwise-disjoint joins for pass 2), then one regexp_extract_all pulls
+marker-joined tokens and the marker is stripped. The DuckDB oracle
+(`__spark_entry__._SQL_TOKENIZE`) runs the same four replaces + extract,
+so both engines tokenize identically — which is what keeps BM25/dedup
+scores hash-checkable.
+
+NFKC is not expressible natively; ``tokenize`` therefore assumes
+NFKC-normalized input (identity on ASCII — asserted for the driver corpus
+in tests). For arbitrary Unicode use ``tokenize_unicode`` (Arrow-batched
+pandas UDF: NFKC → lower → full pure-Python UAX#29, the reference-exact
+slow path) — property-tested to agree with the native path on
+NFKC-invariant text (tests/test_text.py).
 """
 
 from __future__ import annotations
@@ -19,7 +41,8 @@ from pyspark.sql.functions import pandas_udf
 
 __all__ = [
     "tokenize",
-    "TOKEN_SPLIT_RE",
+    "tokenize_unicode",
+    "TOKEN_MARK",
     "BPE_PRETOKEN_RE",
     "bpe_pretokenize",
     "nfkc",
@@ -28,7 +51,47 @@ __all__ = [
     "STOPWORDS_EN",
 ]
 
-TOKEN_SPLIT_RE = "[^a-z0-9]+"
+# private-use marker meaning "the joiner after me sits INSIDE a word";
+# inserted only between same-class neighbors, stripped from final tokens
+TOKEN_MARK = "\ue000"
+
+# UAX#29 ASCII-projection classes (see uax29.py for the full spec sets):
+# MidLetter ∪ MidNumLet ∪ Single_Quote between letters; MidNum ∪
+# MidNumLet ∪ Single_Quote between digits
+_L_JOIN = r"(\p{L})([:.'])(\p{L})"
+_N_JOIN = r"(\p{N})([.,;'])(\p{N})"
+_JOIN_REPL = "$1" + TOKEN_MARK + "$2$3"
+_TOKEN_RE = (
+    r"[\p{L}\p{N}\p{Pc}]+(?:" + TOKEN_MARK + r"[:.',;][\p{L}\p{N}\p{Pc}]+)*"
+)
+_WORDLIKE_RE = r"[\p{L}\p{N}]"
+
+
+def tokenize(text: Column | str) -> Column:
+    """UAX#29 word tokens of lowered ``text`` (see module docstring).
+    Fully native: 4 codegen'd regexp_replace + 1 regexp_extract_all."""
+    c = F.col(text) if isinstance(text, str) else text
+    s = F.lower(c)
+    for pat in (_L_JOIN, _L_JOIN, _N_JOIN, _N_JOIN):
+        s = F.regexp_replace(s, pat, _JOIN_REPL)
+    toks = F.regexp_extract_all(s, F.lit(_TOKEN_RE), 0)
+    toks = F.transform(toks, lambda t: F.translate(t, TOKEN_MARK, ""))
+    return F.filter(toks, lambda t: t.rlike(_WORDLIKE_RE))
+
+
+def _tokenize_unicode_fn(s: pd.Series) -> pd.Series:
+    from comet_spark.functions.uax29 import tokenize_unicode_py
+
+    return s.map(lambda x: tokenize_unicode_py(x) if x is not None else None)
+
+
+def tokenize_unicode(col: Column | str) -> Column:
+    """Reference-exact slow path: NFKC → lower → full UAX#29 word
+    segmentation (pure-Python, Arrow-batched). Use when the corpus is not
+    NFKC-normalized or uses non-ASCII joiner punctuation."""
+    c = F.col(col) if isinstance(col, str) else col
+    return pandas_udf(_tokenize_unicode_fn, "array<string>")(c)
+
 
 # GPT-2-style pretokenizer, simplified to the subset expressible
 # identically in Java regex (Spark) and RE2 (DuckDB): letter runs, digit
@@ -44,13 +107,6 @@ def bpe_pretokenize(col: Column | str) -> Column:
     return F.regexp_extract_all(F.lower(c), F.lit(BPE_PRETOKEN_RE), 0)
 
 
-def tokenize(text: Column | str) -> Column:
-    """lower → split on non-alphanumeric runs → drop empty tokens."""
-    c = F.col(text) if isinstance(text, str) else text
-    toks = F.split(F.lower(c), TOKEN_SPLIT_RE)
-    return F.filter(toks, lambda t: t != "")
-
-
 def _nfkc_fn(s: pd.Series) -> pd.Series:
     import unicodedata
 
@@ -59,8 +115,8 @@ def _nfkc_fn(s: pd.Series) -> pd.Series:
 
 def nfkc(col: Column | str) -> Column:
     """NFKC Unicode normalization (Arrow-batched pandas UDF; reference
-    ``bm25_index.go:153-156``). Only needed for non-ASCII corpora — built
-    lazily because pandas_udf registration needs an active session."""
+    ``bm25_index.go:153-156``). Compose with :func:`tokenize` for corpora
+    that aren't already NFKC-normalized."""
     c = F.col(col) if isinstance(col, str) else col
     return pandas_udf(_nfkc_fn, "string")(c)
 

@@ -29,6 +29,8 @@ def autocut(results: DataFrame, *, cutoff: int = 1, ascending: bool = True) -> D
         return results
 
     order = [F.col("score").asc() if ascending else F.col("score").desc(), F.col("id").asc()]
+    # bounded-rows: autocut input is a ≤k search-result list (reference
+    # semantics, autocut.go) — single-partition windows are fine
     w = Window.orderBy(*order)
     full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
 
@@ -47,7 +49,7 @@ def autocut(results: DataFrame, *, cutoff: int = 1, ascending: bool = True) -> D
         ).alias("__diff"),
     )
 
-    wr = Window.orderBy("__rn")
+    wr = Window.orderBy("__rn")  # bounded-rows: same ≤k result list
     prev1 = F.lag("__diff", 1).over(wr)
     prev2 = F.lag("__diff", 2).over(wr)
     nxt = F.lead("__diff", 1).over(wr)

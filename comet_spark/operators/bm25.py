@@ -28,7 +28,8 @@ import re
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from comet_spark.functions.text import TOKEN_SPLIT_RE, tokenize
+from comet_spark.functions.text import tokenize
+from comet_spark.functions.uax29 import tokenize_unicode_py
 from comet_spark.operators.topk import topk
 
 __all__ = ["BM25", "K1", "B", "tokenize_py"]
@@ -39,8 +40,10 @@ B = 0.75
 
 def tokenize_py(text: str) -> list[str]:
     """Python twin of :func:`comet_spark.functions.text.tokenize` for
-    constant query strings."""
-    return [t for t in re.split(TOKEN_SPLIT_RE, text.lower()) if t]
+    constant query strings — the full reference pipeline (NFKC → lower →
+    UAX#29 → wordlike); agrees with the native expression on
+    NFKC-invariant text (property-tested in tests/test_text.py)."""
+    return tokenize_unicode_py(text)
 
 
 class BM25:

@@ -50,7 +50,8 @@ def weighted_sum(
 
 def _ranked(df: DataFrame, ascending: bool) -> DataFrame:
     order = [F.col("score").asc() if ascending else F.col("score").desc(), F.col("id").asc()]
-    # modality results are ≤ k rows: a single-partition window is fine here
+    # bounded-rows: modality results are ≤ k rows by construction, so a
+    # single-partition window is fine here
     w = Window.orderBy(*order)
     return df.select("id", (F.row_number().over(w) - 1).alias("rank"))
 

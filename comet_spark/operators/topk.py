@@ -49,6 +49,7 @@ def topk_per_group(
     if not group_cols:
         out = topk(df, order, k)
         if rank_col:
+            # bounded-rows: out is already limited to k rows
             w = Window.orderBy(*order)
             out = out.withColumn(rank_col, F.row_number().over(w) - 1)
         return out

@@ -233,3 +233,19 @@ def test_large_orders_semi_join_prunes_fact(spark):
     df = entry_mod.queries()["large_orders"](spark, SF_DIR_SMALL)
     plan = _plan(df)
     assert "LeftSemi" in plan
+
+
+def test_cheapest_supplier_window_decorrelation(spark):
+    """Q2 shape: the correlated min subquery must run as a window min —
+    lineitem scanned ONCE (no correlated re-scan, no self-join back) with
+    exactly one exchange for the window partition key; both dims
+    broadcast."""
+    df = entry_mod.queries()["cheapest_supplier"](spark, SF_DIR_SMALL)
+    plan = _plan(df)
+    assert "Window" in plan
+    li_scans = [
+        s for s in plan.split("FileScan parquet") if "lineitem" in s[:400]
+    ]
+    assert len(li_scans) == 1, f"lineitem scanned {len(li_scans)}x"
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan  # dims must broadcast, never shuffle

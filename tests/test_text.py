@@ -1,0 +1,129 @@
+"""Tokenizer parity: native Spark expression ≡ DuckDB oracle ≡ pure-Python
+UAX#29 (the reference pipeline, ``bm25_index.go:153-166``)."""
+
+from __future__ import annotations
+
+import unicodedata
+
+import duckdb
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from comet_spark.functions.text import tokenize
+from comet_spark.functions.uax29 import (
+    segments,
+    tokenize_unicode_py,
+    word_tokens,
+)
+
+# reference's own tokenizer expectations (bm25_index_test.go:620-663) plus
+# the UAX#29 join rules the ASCII projection must honor
+CASES = {
+    "hello world": ["hello", "world"],
+    "Hello, World!": ["hello", "world"],
+    "test 123 document": ["test", "123", "document"],
+    "don't stop": ["don't", "stop"],
+    "3.14 and 1,000 end.": ["3.14", "and", "1,000", "end"],
+    "foo_bar _ baz": ["foo_bar", "baz"],
+    "a:b c:1 1:2": ["a:b", "c", "1", "1", "2"],  # ':' joins letters only
+    "e.g. i.e.": ["e.g", "i.e"],
+    "a..b 1..2": ["a", "b", "1", "2"],  # only single joiners join
+    "a'b'c'd'e": ["a'b'c'd'e"],  # chains resolve fully
+    "1.2.3.4 x1.2y": ["1.2.3.4", "x1.2y"],
+    "1;2 x;y": ["1;2", "x", "y"],  # ';' joins digits only
+    "": [],
+}
+
+
+def test_python_uax29_known_cases():
+    for s, want in CASES.items():
+        assert tokenize_unicode_py(s) == want, s
+
+
+def test_python_uax29_unicode():
+    # NFKC folds fullwidth/compatibility forms; UAX#29 keeps words across
+    # combining marks and non-Latin scripts
+    assert tokenize_unicode_py("ｆｕｌｌ １２３") == ["full", "123"]
+    assert tokenize_unicode_py("héllo wörld") == ["héllo", "wörld"]
+    assert tokenize_unicode_py("café bar") == ["café", "bar"]  # NFC via NFKC
+    assert word_tokens("a\u00adb") == ["a\u00adb"]  # soft hyphen = Format (WB4)
+    # segments() is exhaustive: whitespace/punct runs survive unfiltered
+    assert segments("a b!") == ["a", " ", "b", "!"]
+
+
+@pytest.fixture(scope="module")
+def _spark_tok(spark):
+    def run(strings: list[str]) -> list[list[str]]:
+        df = spark.createDataFrame([(s,) for s in strings], "s string")
+        return [r["t"] for r in df.select(tokenize("s").alias("t")).collect()]
+
+    return run
+
+
+def test_native_matches_python_on_cases(_spark_tok):
+    got = _spark_tok(list(CASES))
+    for s, g in zip(CASES, got):
+        assert g == tokenize_unicode_py(s), s
+
+
+def test_duckdb_oracle_matches_python_on_cases():
+    from __spark_entry__ import _SQL_TOKENIZE
+
+    con = duckdb.connect()
+    for s, want in CASES.items():
+        lit = "'" + s.replace("'", "''") + "'"
+        got = con.execute(
+            "SELECT " + _SQL_TOKENIZE.format(col=lit)
+        ).fetchone()[0]
+        assert got == want, s
+
+
+# NFKC-invariant alphabet: the native path assumes normalized input, so
+# property-test over characters NFKC maps to themselves (ASCII + common
+# accented letters — é ü ñ are NFC-composed and NFKC-stable)
+_ALPHABET = "abcz ABZ 019 .,;:'_-!?\t\néüñ"
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.text(alphabet=_ALPHABET, max_size=40))
+def test_python_vs_python_lower_nfkc_invariant(s):
+    # sanity: alphabet really is NFKC-invariant (lowered)
+    assert unicodedata.normalize("NFKC", s.lower()) == s.lower()
+
+
+def test_native_matches_python_fuzz(_spark_tok):
+    import random
+
+    rng = random.Random(29)
+    strings = [
+        "".join(rng.choice(_ALPHABET) for _ in range(rng.randrange(0, 40)))
+        for _ in range(400)
+    ]
+    got = _spark_tok(strings)
+    for s, g in zip(strings, got):
+        assert g == tokenize_unicode_py(s), repr(s)
+
+
+def test_duckdb_matches_python_fuzz():
+    from __spark_entry__ import _SQL_TOKENIZE
+
+    import random
+
+    rng = random.Random(31)
+    con = duckdb.connect()
+    for _ in range(400):
+        s = "".join(rng.choice(_ALPHABET) for _ in range(rng.randrange(0, 40)))
+        lit = "'" + s.replace("'", "''") + "'"
+        got = con.execute("SELECT " + _SQL_TOKENIZE.format(col=lit)).fetchone()[0]
+        assert got == tokenize_unicode_py(s), repr(s)
+
+
+def test_driver_corpus_is_nfkc_invariant_ascii(spark):
+    """The native tokenize assumes NFKC-normalized input; assert the
+    driver's documents corpus satisfies that (pure ASCII)."""
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    n_bad = df.filter(F.col("text").rlike("[^\\x00-\\x7F]")).count()
+    assert n_bad == 0
