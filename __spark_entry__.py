@@ -2494,8 +2494,11 @@ FROM e GROUP BY label, j
 
 
 def _text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
-    toks = tokenize("text")
+    # materialize tokens ONCE: the metrics below reference the array many
+    # times, and each reference would otherwise re-expand the whole
+    # tokenize pipeline (Catalyst doesn't CSE across lambda functions)
+    docs = _docs_par(spark, sf_dir).withColumn("__toks", tokenize("text"))
+    toks = F.col("__toks")
     sw = F.array(*[F.lit(w) for w in STOPWORDS_EN])
     n = F.size(toks).cast("bigint")
     n_uniq = F.size(F.array_distinct(toks)).cast("bigint")
@@ -2558,7 +2561,7 @@ FROM t GROUP BY ROLLUP (lang, source)
 
 
 def _token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs_par(spark, sf_dir)
     toks = docs.select("doc_id", F.explode(tokenize("text")).alias("term"))
     return toks.agg(
         F.count("*").alias("total_tokens"),
@@ -3290,7 +3293,7 @@ def _gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     fidelity; wordcount/stopword/repetition rules all discriminate."""
     from comet_spark.operators.quality import gopher_rules
 
-    out = gopher_rules(_t(spark, sf_dir, "documents"))
+    out = gopher_rules(_docs_par(spark, sf_dir))
     return out.withColumnRenamed("id", "doc_id")
 
 
@@ -3318,6 +3321,33 @@ SELECT doc_id, n_tokens, mean_token_len, n_stopwords, top_token_frac,
        (n_tokens BETWEEN 30 AND 10000) AND (mean_token_len BETWEEN 3.0 AND 10.0)
          AND n_stopwords >= 2 AND top_token_frac <= 0.125 AS keep
 FROM s
+""",
+)
+
+
+def _token_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-LM proxy quality scoring (quality.py:token_surprisal):
+    per-doc mean -ln(corpus unigram probability) — the codec-free
+    stand-in for perplexity filtering."""
+    from comet_spark.operators.quality import token_surprisal
+
+    out = token_surprisal(_docs_par(spark, sf_dir))
+    return out.select(F.col("id").alias("doc_id"), "n_tokens", "surprisal")
+
+
+_register(
+    "token_surprisal_scores",
+    _token_surprisal,
+    f"""
+WITH tok AS (SELECT doc_id AS id, unnest({_SQL_TOKENIZE.format(col='text')}) AS term
+             FROM documents),
+tf AS (SELECT term, count(*) AS ctf FROM tok GROUP BY term),
+tot AS (SELECT sum(ctf)::DOUBLE AS total FROM tf),
+s AS (SELECT tok.id, -ln(tf.ctf / tot.total) AS s
+      FROM tok JOIN tf USING (term) CROSS JOIN tot)
+SELECT id AS doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       ROUND(avg(s), 6) AS surprisal
+FROM s GROUP BY id
 """,
 )
 
@@ -3383,31 +3413,49 @@ def _pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     from comet_spark.operators.quality import gopher_rules
     from comet_spark.operators.sampling import hash_bucket
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs_par(spark, sf_dir)
     sized = docs.select("doc_id", F.size(tokenize("text")).cast("bigint").alias("n_toks"))
 
     q_keep = gopher_rules(docs).filter("keep").select(F.col("id").alias("doc_id"))
     drop = _dedup_clusters(spark, sf_dir).filter(~F.col("keep")).select("doc_id")
-    d_keep = q_keep.join(drop, "doc_id", "left_anti")
-    s_keep = d_keep.filter(
-        hash_bucket(F.col("doc_id"), salt=FUNNEL_SALT, denom=100) < FUNNEL_RATE
-    )
 
-    def stage(name: str, order: int, ids: DataFrame | None) -> DataFrame:
-        base = sized if ids is None else sized.join(ids, "doc_id")
-        return base.agg(
-            F.lit(name).alias("stage"),
-            F.lit(order).cast("bigint").alias("stage_order"),
-            F.count("*").alias("n_docs"),
-            F.sum("n_toks").alias("total_tokens"),
-        )
-
-    return (
-        stage("raw", 1, None)
-        .unionByName(stage("quality", 2, q_keep))
-        .unionByName(stage("dedup", 3, d_keep))
-        .unionByName(stage("sampled", 4, s_keep))
+    # ONE corpus pass: tag each doc with its stage-membership flags (the
+    # stages are nested subsets), aggregate all eight measures in a single
+    # job, then unpack the 1-row result into the 4-row funnel — instead of
+    # four separate scan+join+agg jobs over the same tokenized corpus
+    flagged = (
+        sized.join(q_keep.withColumn("__q", F.lit(True)), "doc_id", "left")
+        .join(drop.withColumn("__x", F.lit(True)), "doc_id", "left")
     )
+    q = F.coalesce(F.col("__q"), F.lit(False))
+    d = q & ~F.coalesce(F.col("__x"), F.lit(False))
+    s = d & (hash_bucket(F.col("doc_id"), salt=FUNNEL_SALT, denom=100) < FUNNEL_RATE)
+
+    def measures(flag, tag: str):
+        return [
+            F.sum(F.when(flag, 1).otherwise(0)).cast("bigint").alias(f"nd_{tag}"),
+            F.sum(F.when(flag, F.col("n_toks")).otherwise(0)).alias(f"nt_{tag}"),
+        ]
+
+    one = flagged.agg(
+        *measures(F.lit(True), "raw"), *measures(q, "q"),
+        *measures(d, "d"), *measures(s, "s"),
+    )
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("stage"),
+                F.lit(order).cast("bigint").alias("stage_order"),
+                F.col(f"nd_{tag}").alias("n_docs"),
+                F.col(f"nt_{tag}").alias("total_tokens"),
+            )
+            for name, order, tag in [
+                ("raw", 1, "raw"), ("quality", 2, "q"),
+                ("dedup", 3, "d"), ("sampled", 4, "s"),
+            ]
+        ]
+    )
+    return one.select(F.explode(rows).alias("r")).select("r.*")
 
 
 _register(
@@ -3573,7 +3621,7 @@ def _seq_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     from comet_spark.operators.sampling import pack_sequences
 
     return pack_sequences(
-        _t(spark, sf_dir, "documents"),
+        _docs_par(spark, sf_dir),
         id_col="doc_id",
         text_col="text",
         shard_col="source",
@@ -3612,8 +3660,10 @@ def _lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Marker-word language ID. On this synthetic corpus every language
     shares one English-ish vocabulary, so the operator (honestly) predicts
     'en' everywhere — the pipeline shape is what's under test."""
-    docs = _t(spark, sf_dir, "documents")
-    toks = tokenize("text")
+    # tokens materialized once — the hit counts and the when-chain expand
+    # `toks` a dozen times (see _text_quality note)
+    docs = _docs_par(spark, sf_dir).withColumn("__toks", tokenize("text"))
+    toks = F.col("__toks")
     hits = {}
     for lang, markers in _LANG_MARKERS.items():
         arr = F.array(*[F.lit(w) for w in markers])

@@ -69,14 +69,25 @@ _WORDLIKE_RE = r"[\p{L}\p{N}]"
 
 def tokenize(text: Column | str) -> Column:
     """UAX#29 word tokens of lowered ``text`` (see module docstring).
-    Fully native: 4 codegen'd regexp_replace + 1 regexp_extract_all."""
+    Fully native; the joiner-tagging replaces and the wordlike filter
+    are gated behind cheap rlike probes (CASE WHEN in codegen), so text
+    without in-word punctuation — the common case — pays one extract,
+    same as a plain split."""
     c = F.col(text) if isinstance(text, str) else text
     s = F.lower(c)
+    joined = s
     for pat in (_L_JOIN, _L_JOIN, _N_JOIN, _N_JOIN):
-        s = F.regexp_replace(s, pat, _JOIN_REPL)
+        joined = F.regexp_replace(joined, pat, _JOIN_REPL)
+    # the replaces are identity unless a joiner char exists at all
+    s = F.when(s.rlike(r"[:.,;']"), joined).otherwise(s)
     toks = F.regexp_extract_all(s, F.lit(_TOKEN_RE), 0)
     toks = F.transform(toks, lambda t: F.translate(t, TOKEN_MARK, ""))
-    return F.filter(toks, lambda t: t.rlike(_WORDLIKE_RE))
+    # a token can lack an alphanumeric only if it is pure connector
+    # punctuation (e.g. "_"), impossible unless \p{Pc} occurs in the text
+    return F.when(
+        s.rlike(r"\p{Pc}"),
+        F.filter(toks, lambda t: t.rlike(_WORDLIKE_RE)),
+    ).otherwise(toks)
 
 
 def _tokenize_unicode_fn(s: pd.Series) -> pd.Series:

@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 
 from comet_spark.functions.text import STOPWORDS_EN, tokenize
 
-__all__ = ["gopher_rules", "repetition_metrics"]
+__all__ = ["gopher_rules", "repetition_metrics", "token_surprisal"]
 
 
 def repetition_metrics(
@@ -151,4 +151,36 @@ def gopher_rules(
         ok_stop.alias("ok_stopwords"),
         ok_rep.alias("ok_repetition"),
         (ok_words & ok_mean & ok_stop & ok_rep).alias("keep"),
+    )
+
+
+def token_surprisal(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_to: int = 6,
+) -> DataFrame:
+    """Corpus-LM proxy quality score: per-document mean token surprisal
+    ``mean(-ln(ctf/total))`` under the corpus unigram distribution — the
+    codec-free stand-in for perplexity filtering (documents made of rare
+    tokens score high; boilerplate scores low). Returns
+    ``(id, n_tokens, surprisal)``.
+
+    Spark shape: ONE tokenize+explode scan feeds both the corpus term
+    frequencies and the per-doc join; the term-frequency table is
+    vocabulary-sized (small) and broadcast, so the only full shuffle is
+    the per-doc mean aggregation. Linear at 100 TB.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("id"), F.explode(tokenize(text_col)).alias("term")
+    )
+    tf = toks.groupBy("term").agg(F.count("*").alias("ctf"))
+    total = tf.agg(F.sum("ctf")).first()[0]
+    scored = toks.join(F.broadcast(tf), "term").select(
+        "id", (-F.log(F.col("ctf") / F.lit(float(total)))).alias("s")
+    )
+    return scored.groupBy("id").agg(
+        F.count("*").alias("n_tokens"),
+        F.round(F.avg("s"), round_to).alias("surprisal"),
     )

@@ -86,6 +86,30 @@ def main() -> None:
     sq = ScalarQuantizedIndex.build(corpus.docs.filter(F.col("vector").isNotNull()), "int8")
     sq.search(qvec, k=5).show()
 
+    print("— hybrid over the IVF-pruned layout (ANN knobs compose) —")
+    (
+        corpus.hybrid_search()
+        .with_vector(qvec)
+        .with_text("fast table scan")
+        .with_k(5)
+        .with_nprobes(2)
+        .with_fusion("rrf")
+        .execute()
+        .show()
+    )
+
+    print("— multimodal: REAL decode of PPM/BMP/WAV payloads —")
+    from comet_spark.multimodal import attach_media_real, audio_duration, image_features
+
+    media = attach_media_real(docs.select("doc_id"), id_col="doc_id")
+    image_features(media, dim=4, decode_mode="real").show(3)
+    audio_duration(media, decode_mode="real").show(3)
+
+    print("— token surprisal (corpus-LM proxy quality score) —")
+    from comet_spark.operators.quality import token_surprisal
+
+    token_surprisal(docs).orderBy(F.col("surprisal").desc()).show(3)
+
     spark.stop()
 
 

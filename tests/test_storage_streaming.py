@@ -290,3 +290,22 @@ def test_streaming_hll_state_matches_batch_sketch(spark, tmp_path):
     est_stream = hll_estimate(spark.read.parquet(state), ["g"]).first()["est_distinct"]
     est_batch = hll_distinct(df, ["g"], "v").first()["est_distinct"]
     assert est_stream == est_batch
+
+
+def test_hll_stream_state_errors_propagate(spark, tmp_path):
+    """Only a MISSING state path may fall back to a fresh sketch; a
+    corrupt state file must raise so the micro-batch retries instead of
+    overwriting (and thus discarding) the accumulated registers."""
+    from comet_spark.streaming.ingest import _parquet_exists
+
+    state = str(tmp_path / "hll_state")
+    assert not _parquet_exists(spark, state)
+    # corrupt state: path exists but is not parquet
+    import os
+
+    os.makedirs(state)
+    with open(os.path.join(state, "part-0.parquet"), "w") as fh:
+        fh.write("not parquet")
+    assert _parquet_exists(spark, state)
+    with pytest.raises(Exception):
+        spark.read.parquet(state).collect()
