@@ -127,3 +127,34 @@ def test_driver_corpus_is_nfkc_invariant_ascii(spark):
     df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     n_bad = df.filter(F.col("text").rlike("[^\\x00-\\x7F]")).count()
     assert n_bad == 0
+
+
+def test_python_uax29_spec_rules():
+    """Deeper WB-rule coverage: newline rules, Hebrew quotes, regional
+    indicator pairing, Katakana runs, Extend/Format/ZWJ skipping."""
+    assert segments("a\rb") == ["a", "\r", "b"]  # WB3a/3b
+    assert segments("a\r\nb") == ["a", "\r\n", "b"]  # WB3: CR x LF
+    assert word_tokens("א'ב") == ["א'ב"]  # WB7a/6/7
+    assert word_tokens('א"ב') == ['א"ב']  # WB7b/7c
+    flags = "\U0001F1FA\U0001F1F8\U0001F1EB\U0001F1F7"
+    assert segments(flags) == [flags[:2], flags[2:]]  # WB15/16 pairs
+    assert word_tokens(flags) == []  # flags aren't wordlike
+    assert word_tokens("カタカナ") == ["カタカナ"]  # WB13
+    assert word_tokens("カタabc") == ["カタ", "abc"]  # Ka x AL splits
+    assert word_tokens("ábc") == ["ábc"]  # combining mark = Extend (WB4)
+    assert word_tokens("x‍y") == ["x‍y"]  # ZWJ skipped by WB4
+    assert segments("a  b")[1] == "  "  # WB3d WSegSpace run
+
+
+def test_python_uax29_concat_invariant():
+    """Tokenizing space-joined text == concatenating per-piece tokens
+    (spaces always break; no rule joins across them)."""
+    import random
+
+    rng = random.Random(41)
+    pieces = ["don't", "3.14", "abc", "1,000", "x", "9"]
+    for _ in range(50):
+        ws = [rng.choice(pieces) for _ in range(rng.randrange(1, 6))]
+        joined = " ".join(ws)
+        expect = [t for w in ws for t in tokenize_unicode_py(w)]
+        assert tokenize_unicode_py(joined) == expect, joined
