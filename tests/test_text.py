@@ -158,3 +158,61 @@ def test_python_uax29_concat_invariant():
         joined = " ".join(ws)
         expect = [t for w in ws for t in tokenize_unicode_py(w)]
         assert tokenize_unicode_py(joined) == expect, joined
+
+
+def test_bm25_end_to_end_parity_on_punctuated_corpus(spark):
+    """The driver corpus has no punctuation, so the tokenizer-scoring
+    integration on joiner-bearing text (apostrophes, decimals, underscores)
+    is otherwise untested end-to-end: score a randomized punctuated corpus
+    with BM25 on Spark AND with the shared oracle SQL in DuckDB, and
+    require identical rounded scores."""
+    import random
+
+    from __spark_entry__ import _SQL_TOKENIZE
+    from comet_spark.operators.bm25 import BM25, tokenize_py
+
+    rng = random.Random(47)
+    vocab = [
+        "don't", "3.14", "1,000", "foo_bar", "e.g.", "alpha", "beta",
+        "x:y", "v2.0", "end.", "it's", "1;2", "data", "scan,merge",
+    ]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randrange(3, 12))))
+        for i in range(40)
+    ]
+    docs = spark.createDataFrame(rows, "id bigint, text string")
+    query = "don't 3.14 data foo_bar"
+
+    got = {
+        r["id"]: r["score"]
+        for r in BM25(docs).score(query, k=0).collect()
+    }
+
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE d (id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO d VALUES (?, ?)", rows)
+    terms: dict[str, int] = {}
+    for t in tokenize_py(query):
+        terms[t] = terms.get(t, 0) + 1
+    vals = ", ".join(
+        "('" + t.replace("'", "''") + f"', {c}::DOUBLE)" for t, c in terms.items()
+    )
+    tok_sql = _SQL_TOKENIZE.format(col="text")
+    sql = f"""
+WITH tok AS (SELECT id, unnest({tok_sql}) AS term FROM d),
+tf AS (SELECT id, term, count(*) AS tf FROM tok GROUP BY id, term),
+dl AS (SELECT id, count(*) AS dl FROM tok GROUP BY id),
+dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+st AS (SELECT (SELECT count(*) FROM d)::DOUBLE AS n_docs,
+              (SELECT sum(dl) FROM dl)::DOUBLE / (SELECT count(*) FROM d) AS avgdl),
+qt AS (SELECT * FROM (VALUES {vals}) AS _q(term, qtf))
+SELECT tf.id,
+       ROUND(sum(qt.qtf * ln((st.n_docs - dft.df + 0.5)/(dft.df + 0.5) + 1.0)
+           * (tf.tf * (1.2 + 1.0)) / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * (dl.dl / st.avgdl)))), 6) AS score
+FROM tf JOIN qt USING (term) JOIN dl USING (id) JOIN dft USING (term) CROSS JOIN st
+GROUP BY tf.id
+"""
+    want = {r[0]: r[1] for r in con.execute(sql).fetchall()}
+    assert got == want
