@@ -77,29 +77,27 @@ def _register(name: str, fn: Callable[[SparkSession, str], DataFrame], sql: str 
     _REGISTRY[name] = (fn, sql)
 
 
-# sessions already checked for the nanos conf (see _t below)
-_NANOS_SET: set[int] = {*()}
-
-
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    if name == "events" and id(spark) not in _NANOS_SET:
+    if name == "events":
         # Contract for every events consumer below: `ts` is int64 epoch
         # NANOS. Driver testdata has shipped the column both as
-        # TIMESTAMP(NANOS) (needs this conf to land as long) and as
-        # TIMESTAMP(MICROS) (normalized after the read, below). The conf
-        # is runtime-settable and ensured once per session — the driver
-        # hands us a vanilla session (no factory involved).
+        # TIMESTAMP(NANOS) (needs nanosAsLong to land as long) and as
+        # TIMESTAMP(MICROS) (normalized after the read, below). Both
+        # confs are runtime-settable; checked per read (cheap) rather
+        # than memoized by id(spark), which a GC'd session's address
+        # reuse could poison. Session timezone is pinned to UTC because
+        # Spark's NTZ→instant conversion goes through the SESSION zone
+        # (to_utc_timestamp can't bypass it: its NTZ input is first
+        # implicitly cast via the session zone) — with UTC the epoch
+        # equals DuckDB's timezone-independent epoch_ns() on naive data.
         if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        _NANOS_SET.add(id(spark))
+        if spark.conf.get("spark.sql.session.timeZone") != "UTC":
+            spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and not isinstance(df.schema["ts"].dataType, T.LongType):
-        # TIMESTAMP(MICROS) testdata: to_utc_timestamp pins the
-        # wall-clock→instant interpretation to UTC, so the epoch value is
-        # session-timezone-independent and matches DuckDB's epoch_ns()
-        # on naive timestamps.
         df = df.withColumn(
-            "ts", F.unix_micros(F.to_utc_timestamp(F.col("ts"), "UTC")) * F.lit(1000)
+            "ts", F.unix_micros(F.col("ts").cast("timestamp")) * F.lit(1000)
         )
     return df
 
@@ -3432,9 +3430,11 @@ def _pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = d & (hash_bucket(F.col("doc_id"), salt=FUNNEL_SALT, denom=100) < FUNNEL_RATE)
 
     def measures(flag, tag: str):
+        # token sum deliberately has NO otherwise(0): an empty stage must
+        # yield NULL, matching the oracle's sum() over an empty join
         return [
             F.sum(F.when(flag, 1).otherwise(0)).cast("bigint").alias(f"nd_{tag}"),
-            F.sum(F.when(flag, F.col("n_toks")).otherwise(0)).alias(f"nt_{tag}"),
+            F.sum(F.when(flag, F.col("n_toks"))).alias(f"nt_{tag}"),
         ]
 
     one = flagged.agg(

@@ -5,7 +5,7 @@ Decode modes:
 
 - ``decode_mode="real"`` — actually parses the payload bytes. Supported
   without any codec library (pure numpy, public formats): binary PPM (P6)
-  and uncompressed 8/24/32-bit BMP for images, PCM WAV (8/16-bit) for
+  and uncompressed 24/32-bit BI_RGB BMP for images, PCM WAV (8/16-bit) for
   audio. Compressed formats (JPEG/PNG/MP3/MP4) would need codec
   libraries this container lacks; feed them through a real deployment's
   decoder with the same kernel signatures.
@@ -159,7 +159,11 @@ def encode_ppm(img: np.ndarray) -> bytes:
 
 
 def decode_bmp(data: bytes) -> np.ndarray:
-    """Uncompressed 8/24/32-bit BMP (BITMAPINFOHEADER) → (h, w, 3) uint8."""
+    """Uncompressed 24/32-bit BI_RGB BMP (BITMAPINFOHEADER) → (h, w, 3)
+    uint8. Palettized (≤8-bit) and BI_BITFIELDS variants are REJECTED
+    rather than decoded approximately — honoring palettes/channel masks
+    is codec territory, and a silent wrong-pixels decode is worse than an
+    error."""
     if data[:2] != b"BM":
         raise ValueError("not a BMP")
     pix_off = struct.unpack_from("<I", data, 10)[0]
@@ -168,8 +172,11 @@ def decode_bmp(data: bytes) -> np.ndarray:
         raise ValueError("BITMAPCOREHEADER not supported")
     planes, bpp = struct.unpack_from("<HH", data, 26)
     compression = struct.unpack_from("<I", data, 30)[0]
-    if compression not in (0, 3) or bpp not in (8, 24, 32):
-        raise ValueError(f"unsupported BMP (bpp={bpp}, compression={compression})")
+    if compression != 0 or bpp not in (24, 32):
+        raise ValueError(
+            f"unsupported BMP (bpp={bpp}, compression={compression}); only "
+            "uncompressed BI_RGB 24/32-bit is supported"
+        )
     top_down = h < 0
     h = abs(h)
     stride = (w * bpp // 8 + 3) & ~3  # rows pad to 4 bytes
@@ -178,11 +185,8 @@ def decode_bmp(data: bytes) -> np.ndarray:
     )
     if not top_down:
         rows = rows[::-1]
-    if bpp == 8:
-        gray = rows[:, :w]
-        return np.repeat(gray[:, :, None], 3, axis=2).copy()
     px = rows[:, : w * (bpp // 8)].reshape(h, w, bpp // 8)
-    return px[:, :, 2::-1].copy()  # BGR(A) → RGB
+    return px[:, :, 2::-1].copy()  # BGR(X) → RGB
 
 
 def encode_bmp(img: np.ndarray) -> bytes:

@@ -167,18 +167,21 @@ def token_surprisal(
     tokens score high; boilerplate scores low). Returns
     ``(id, n_tokens, surprisal)``.
 
-    Spark shape: ONE tokenize+explode scan feeds both the corpus term
-    frequencies and the per-doc join; the term-frequency table is
-    vocabulary-sized (small) and broadcast, so the only full shuffle is
-    the per-doc mean aggregation. Linear at 100 TB.
+    Spark shape: the tokenized corpus is scanned twice — once to build
+    the vocabulary-sized term-frequency table (broadcast, with its total
+    attached lazily via a 1-row cross join, so constructing this
+    DataFrame launches no job) and once as the per-doc probe side; the
+    only full shuffle is the per-doc mean aggregation. Linear at 100 TB.
     """
     toks = docs.select(
         F.col(id_col).alias("id"), F.explode(tokenize(text_col)).alias("term")
     )
     tf = toks.groupBy("term").agg(F.count("*").alias("ctf"))
-    total = tf.agg(F.sum("ctf")).first()[0]
-    scored = toks.join(F.broadcast(tf), "term").select(
-        "id", (-F.log(F.col("ctf") / F.lit(float(total)))).alias("s")
+    tot = tf.agg(F.sum("ctf").cast("double").alias("__total"))
+    scored = (
+        toks.join(F.broadcast(tf), "term")
+        .crossJoin(F.broadcast(tot))
+        .select("id", (-F.log(F.col("ctf") / F.col("__total"))).alias("s"))
     )
     return scored.groupBy("id").agg(
         F.count("*").alias("n_tokens"),

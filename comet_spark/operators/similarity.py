@@ -244,8 +244,10 @@ def lsh_bucket_pairs(
     )
 
 
-# (session, artifacts_path) pairs whose signature export already ran
-_LSH_WRITTEN: set[tuple[int, str]] = {*()}
+# (session, artifacts_path, query/config fingerprint) triples whose
+# signature export already ran — the persisted sigs bake in the
+# query-dependent band_hit column, so the query must be part of the key
+_LSH_WRITTEN: set[tuple[int, str, int]] = {*()}
 
 
 def lsh_ann_topk(
@@ -309,10 +311,16 @@ def lsh_ann_topk(
         # oracle-export hook: persist the per-doc signatures + the query's
         # full signature so a SQL oracle can replay candidate selection,
         # ef padding, and the exact rescore from the same artifacts.
-        # Memoized per (session, path) — repeated executions read the
-        # already-written table instead of recomputing signatures
-        # (mirrors _PROBE_WRITTEN in the IVF/PQ query paths).
-        key = (id(spark), artifacts_path)
+        # Memoized per (session, path, query+config fingerprint) —
+        # repeated executions of the SAME search read the already-written
+        # table instead of recomputing signatures (mirrors _PROBE_WRITTEN
+        # in the IVF/PQ query paths); a different query vector or LSH
+        # config re-exports rather than silently reusing stale band_hits.
+        key = (
+            id(spark),
+            artifacts_path,
+            hash((tuple(float(x) for x in qvec), n_planes, bands, band_bits, seed)),
+        )
         if key not in _LSH_WRITTEN:
             sigs.write.mode("overwrite").parquet(f"{artifacts_path}/sigs.parquet")
             spark.createDataFrame([(qfull,)], "qfull bigint").repartition(

@@ -96,3 +96,19 @@ def test_real_media_pipeline(spark):
     assert len(durs) == 20
     for mid, d in durs.items():
         assert abs(d - (1000 + mid % 500) / (8000 + (mid % 4) * 2000)) < 1e-6
+
+
+def test_bmp_rejects_palettized_and_bitfields():
+    # build a minimal 8-bit BMP header — must be rejected, not decoded
+    import struct
+
+    hdr = struct.pack("<2sIHHI", b"BM", 54 + 4, 0, 0, 54) + struct.pack(
+        "<IiiHHIIiiII", 40, 1, 1, 1, 8, 0, 4, 0, 0, 0, 0
+    )
+    with pytest.raises(ValueError, match="unsupported BMP"):
+        decode_bmp(hdr + b"\x00\x00\x00\x00")
+    hdr32bf = struct.pack("<2sIHHI", b"BM", 54 + 4, 0, 0, 54) + struct.pack(
+        "<IiiHHIIiiII", 40, 1, 1, 1, 32, 3, 4, 0, 0, 0, 0
+    )
+    with pytest.raises(ValueError, match="unsupported BMP"):
+        decode_bmp(hdr32bf + b"\x00\x00\x00\x00")
