@@ -2916,10 +2916,10 @@ SIMHASH_MAX_HAMMING = 8
 
 _SQL_SHINGLES = f"""
 tok AS (SELECT doc_id AS id, {_SQL_TOKENIZE.format(col='text')} AS toks FROM documents),
-sh AS (SELECT DISTINCT id,
+sh AS (SELECT * FROM (SELECT DISTINCT id,
               unnest(list_transform(range(1, greatest(len(toks)-{NGRAM_N - 1}, 1)+1),
                      i -> array_to_string(toks[i:i+{NGRAM_N - 1}], ' '))) AS shingle
-       FROM tok),
+       FROM tok) WHERE shingle != ''),
 cnt AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id)
 """
 

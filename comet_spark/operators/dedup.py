@@ -57,7 +57,12 @@ def _hash60(col: Column) -> Column:
 
 
 def shingles(docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text", n: int = 3) -> DataFrame:
-    """Distinct word n-gram shingles per doc → (id, shingle)."""
+    """Distinct word n-gram shingles per doc → (id, shingle).
+
+    Docs shorter than ``n`` tokens yield one truncated gram; docs with
+    ZERO tokens yield NO rows — an empty-string sentinel would make every
+    empty/punctuation-only doc a mutual jaccard-1.0 duplicate AND one hot
+    join key (m empty docs → m² candidate rows on the '' shingle)."""
     toks = tokenize(text_col)
     grams = F.transform(
         F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1))),
@@ -65,6 +70,7 @@ def shingles(docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text",
     )
     return (
         docs.select(F.col(id_col).alias("id"), F.explode(grams).alias("shingle"))
+        .filter(F.col("shingle") != "")
         .distinct()
     )
 
@@ -144,9 +150,20 @@ def minhash_lsh_pairs(
 
     With 4 bands × 4 rows a pair at jaccard j collides with prob
     1 − (1 − j⁴)⁴ (≈ 0.93 at j = 0.7, ≈ 0.03 at j = 0.2)."""
+    if bands <= 0 or n_hashes % bands != 0:
+        # a runt band (e.g. 16 hashes / 3 bands -> one single-hash band)
+        # collides with probability j instead of j^rows — the S-curve
+        # silently collapses and candidate generation degrades toward
+        # all-pairs
+        raise ValueError(
+            f"bands ({bands}) must evenly divide n_hashes ({n_hashes})"
+        )
     rows_per_band = n_hashes // bands
     # the shingle table feeds both signature generation and the exact
-    # verification — compute once, cache across the two passes
+    # verification — compute once, cache across the two passes. The cache
+    # lives until the returned plan is garbage-collected or the session's
+    # cache is cleared; callers looping over many corpora should
+    # spark.catalog.clearCache() between iterations
     sh = shingles(docs, id_col=id_col, text_col=text_col, n=n).cache()
     sig = minhash_signatures(sh, id_col="id", text_col=text_col, n=n, n_hashes=n_hashes, shingles_df=sh)
     banded = sig.withColumn("band", (F.col("i") / rows_per_band).cast("int"))

@@ -33,14 +33,9 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from comet_spark.functions.text import tokenize
+from comet_spark.operators.dedup import _hash32  # one pinned hash convention
 
 __all__ = ["winnow_fingerprints", "winnow_neardup_pairs"]
-
-
-def _hash32(col: Column) -> Column:
-    """First 8 hex chars of md5 -> 32-bit int; DuckDB twin:
-    ('0x' || substr(md5(s),1,8))::BIGINT."""
-    return F.conv(F.substring(F.md5(col.cast("binary")), 1, 8), 16, 10).cast("bigint")
 
 
 def winnow_fingerprints(

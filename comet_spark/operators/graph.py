@@ -66,5 +66,16 @@ def connected_components(
         labels = stepped.select("id", "comp")
         if n_changed == 0:
             break
+    else:
+        # exhausting max_iter with labels still moving means components
+        # with diameter > max_iter would be returned SPLIT — silently
+        # wrong dedup clusters. Fail loudly instead.
+        und.unpersist()
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} iterations "
+            f"({n_changed} labels still changing) — the graph has a component "
+            "with diameter > max_iter; raise max_iter (propagation is one hop "
+            "per iteration) or pre-contract obvious duplicates"
+        )
     und.unpersist()
     return labels.select("id", F.col("comp").alias("component"))

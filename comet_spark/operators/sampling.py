@@ -61,6 +61,13 @@ def hash_sample(
     """
     bucket = hash_bucket(F.col(id_col), salt=salt, denom=denom)
     out = df.withColumn("bucket", bucket)
+    if isinstance(rates, bool) or isinstance(rates, float):
+        # a float would silently fall into the dict branch and raise a
+        # misleading "stratum_col is required" — say what's actually wrong
+        raise ValueError(
+            f"rates must be an integer count out of denom ({denom}) or a "
+            "{stratum: count} dict — for a 30% sample use rates=30, denom=100"
+        )
     if isinstance(rates, int):
         return out.filter(F.col("bucket") < rates)
     if stratum_col is None:
@@ -81,19 +88,24 @@ def pack_sequences(
 ) -> DataFrame:
     """Greedy contiguous packing -> (shard, bin, n_docs, total_tokens, fill).
 
-    Documents are ordered by id within each shard; a document's bin is
+    Documents are ordered by (id, n_toks) within each shard — ids are
+    expected unique per shard; the n_toks tie-break keeps the packing
+    deterministic across retries even when they are not (equal-id,
+    equal-length rows are interchangeable). A document's bin is
     ``floor(tokens_before_it / budget)`` — it lands in the bin where its
     first token would fall. fill = total_tokens / budget rounded to 6.
+    Null/token-less documents count as 0 tokens.
     """
     sized = docs.select(
         F.col(shard_col).alias("shard"),
         F.col(id_col).alias("id"),
-        F.size(tokenize(text_col)).alias("n_toks"),
+        F.coalesce(F.size(tokenize(text_col)), F.lit(0)).alias("n_toks"),
     )
     binned = sized.withColumn(
         "bin",
         F.floor((F.sum("n_toks").over(
-            Window.partitionBy("shard").orderBy("id").rowsBetween(Window.unboundedPreceding, 0)
+            Window.partitionBy("shard").orderBy("id", "n_toks")
+            .rowsBetween(Window.unboundedPreceding, 0)
         ) - F.col("n_toks")) / budget),
     )
     return (
