@@ -81,11 +81,19 @@ def cosine_distance(a: Column, b: Column) -> Column:
     return F.lit(1.0) - clamped
 
 
+def dot_distance(a: Column, b: Column) -> Column:
+    """Inner-product DISTANCE = −dot(a, b): every search path sorts score
+    ascending, so the most-similar (largest-dot) vector must have the
+    smallest score. Raw dot under ascending order would return the k
+    LEAST similar documents."""
+    return -dot(a, b)
+
+
 DISTANCE_KINDS = {
     "l2": l2,
     "l2sq": l2_sq,
     "cosine": cosine_distance,
-    "dot": dot,
+    "dot": dot_distance,
 }
 
 

@@ -104,10 +104,15 @@ class IVFIndex:
         ).parquet(path)
 
     def probe_lists(self, qvec: np.ndarray, nprobe: int) -> list[int]:
-        """Rank centroids by distance to the query (driver-side; nlist is
-        small by construction — ``ivf_index_search.go:244-261``)."""
+        """Rank centroids by the INDEX METRIC's distance to the query
+        (driver-side; nlist is small — ``ivf_index_search.go:244-261``).
+        Lists were formed under this metric by kmeans, so probing must
+        rank the same way: L2-ranking cosine centroids would bias toward
+        small-norm centroids and silently collapse recall."""
+        from comet_spark.training.kmeans import _dist_block
+
         q = np.asarray(qvec, dtype=np.float64)
-        d = _np_dist_sq(q, self.centroids)
+        d = _dist_block(q[None, :], self.centroids, self.metric)[0]
         order = np.argsort(d, kind="stable")
         return [int(i) for i in order[: max(1, nprobe)]]
 
@@ -130,7 +135,8 @@ class IVFIndex:
             acc += list_sizes.get(cid, 0)
             if acc >= target_scan_frac * total:
                 return min(i, max_nprobe) if max_nprobe is not None else i
-        return len(order)
+        # fall-through (target never reached) still honors the cap
+        return min(len(order), max_nprobe) if max_nprobe is not None else len(order)
 
     def search(
         self, assigned: DataFrame, qvec: list[float], *, k: int = 10,
@@ -147,6 +153,8 @@ class IVFIndex:
         if round_to is not None:
             score = F.round(score, round_to)
         scored = cand.select(F.col(id_col).alias("id"), score.alias("score"))
+        # cosine of a zero vector is NULL, and NULLs sort FIRST ascending
+        scored = scored.filter(F.col("score").isNotNull())
         return topk(scored, [F.col("score").asc(), F.col("id").asc()], k)
 
     def search_batch(
@@ -185,7 +193,9 @@ class IVFIndex:
         score = distance(self.metric, to_double_array(vec_col), F.col("qv"))
         if round_to is not None:
             score = F.round(score, round_to)
-        scored = cand.select("qid", F.col(id_col).alias("id"), score.alias("score"))
+        scored = cand.select(
+            "qid", F.col(id_col).alias("id"), score.alias("score")
+        ).filter(F.col("score").isNotNull())  # NULL cosine sorts first asc
         return topk_per_group(
             scored, ["qid"], [F.col("score").asc(), F.col("id").asc()], k
         ).select("qid", "id", "score")
@@ -391,6 +401,7 @@ def _exact_rescore(
     exact = (
         vectors.select(F.col(id_col).alias("id"), score.alias("score"))
         .join(F.broadcast(shortlist), "id", "left_semi")
+        .filter(F.col("score").isNotNull())  # NULL cosine sorts first asc
     )
     return topk(exact, [F.col("score").asc(), F.col("id").asc()], k)
 

@@ -91,15 +91,25 @@ class ScalarQuantizedIndex:
         parity: both sides go through storage precision, so distances are
         symmetric in the quantization error)."""
         if self.mode == "int8":
-            import math
+            from decimal import ROUND_HALF_UP, Decimal
 
+            scale = 127.0 / self.abs_max
             inv = self.abs_max / 127.0
-            # half-away-from-zero, matching Go/Spark/DuckDB ROUND (not
-            # Python's banker's rounding)
-            q = [
-                max(-127, min(127, int(math.floor(abs(x) / inv + 0.5)) * (1 if x >= 0 else -1))) * inv
-                for x in qvec
-            ]
+
+            def q8(x: float) -> int:
+                # byte-identical twin of int8_quantize's F.round(x*scale):
+                # Spark rounds the SHORTEST-DECIMAL rendering half-up
+                # (BigDecimal.valueOf), which repr() + Decimal reproduces —
+                # a hand-rolled floor(x/inv + 0.5) differs in final ULPs
+                # and can flip a boundary component by one code
+                v = int(
+                    Decimal(repr(x * scale)).quantize(
+                        Decimal("1"), rounding=ROUND_HALF_UP
+                    )
+                )
+                return max(-127, min(127, v))
+
+            q = [q8(float(x)) * inv for x in qvec]
             stored = int8_dequantize(F.col("qvec"), self.abs_max)
         else:
             import numpy as np
@@ -115,5 +125,7 @@ class ScalarQuantizedIndex:
         score = distance(metric, stored, qlit)
         if round_to is not None:
             score = F.round(score, round_to)
-        scored = self.encoded.select("id", score.alias("score"))
+        scored = self.encoded.select("id", score.alias("score")).filter(
+            F.col("score").isNotNull()  # NULL cosine (zero vector) sorts first asc
+        )
         return topk(scored, [F.col("score").asc(), F.col("id").asc()], k)

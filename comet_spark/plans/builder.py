@@ -91,14 +91,27 @@ class Corpus:
         ).cache()
         return self
 
-    def build_pq(self, m: int | None = None, nbits: int = 8, max_iter: int = 20) -> "Corpus":
+    def build_pq(
+        self, m: int | None = None, nbits: int | None = None, max_iter: int = 20
+    ) -> "Corpus":
         """Attach a PQ compressed layout (codes cached); a VectorSearch
-        with ``with_adc(...)`` then runs the compressed-domain ADC scan."""
+        with ``with_adc(...)`` then runs the compressed-domain ADC scan.
+        PQ codebooks/LUTs are L2 constructions — non-L2 corpora are
+        rejected rather than silently scanned with the wrong geometry."""
         from comet_spark.operators.ann import PQIndex
 
+        if self.metric != "l2":
+            raise ValueError(
+                f"PQ ADC is an L2 layout; corpus metric is {self.metric!r} "
+                "(use the flat/IVF/LSH paths, or normalize vectors at write "
+                "time so L2 ranks like cosine)"
+            )
         if m is None:
             dim = len(self.docs.select(self.vec_col).first()[0])
-            m, nbits = PQIndex.params_for(dim)
+            m, rec_nbits = PQIndex.params_for(dim)
+            # a caller-supplied nbits survives m auto-selection
+            nbits = rec_nbits if nbits is None else nbits
+        nbits = 8 if nbits is None else nbits
         self._pq = PQIndex.train(
             self.docs, m=m, nbits=nbits, id_col=self.id_col,
             vec_col=self.vec_col, max_iter=max_iter,
@@ -115,6 +128,11 @@ class Corpus:
         ``with_nprobes(n)`` then runs the probed residual-ADC scan."""
         from comet_spark.operators.ann import IVFPQIndex
 
+        if self.metric != "l2":
+            raise ValueError(
+                f"IVFPQ residual ADC is an L2 layout; corpus metric is "
+                f"{self.metric!r} (see build_pq)"
+            )
         self._ivfpq = IVFPQIndex.train(
             self.docs, nlist=nlist, m=m, nbits=nbits, id_col=self.id_col,
             vec_col=self.vec_col, max_iter=max_iter,
@@ -282,6 +300,22 @@ class VectorSearch:
         c = self.corpus
         qrows = self._query_df().collect()
         vectors = c.docs if self.rescore else None
+        if self.nprobes == 0 and not self.rescore and len(qrows) > 1:
+            # plain-PQ batch: ONE scan of the codes table for all queries
+            # (PQIndex.search_batch) instead of one full ADC scan per query
+            if c._pq is None:
+                raise ValueError("with_adc requires corpus.build_pq(...)")
+            codes = c._pq_codes
+            if self._prefilter is not None:
+                codes = codes.join(
+                    c.docs.filter(self._prefilter).select(F.col(c.id_col).alias("id")),
+                    "id", "left_semi",
+                )
+            per_query = c._pq.search_batch(codes, self._query_df(), k=self.k)
+            out = knn_aggregate(per_query, k=self.k, agg=self.agg, ascending=True)
+            if self.threshold is not None and self.threshold > 0:
+                out = out.filter(F.col("score") <= F.lit(self.threshold))
+            return self._finish(out)
         per_parts = []
         for r in qrows:
             qvec = [float(x) for x in r["qvec"]]

@@ -184,3 +184,84 @@ def test_auto_nprobe_scan_mass_target():
     skewed = {0: 1000, **{i: 10 for i in range(1, 8)}}
     assert ix.auto_nprobe(q, skewed, target_scan_frac=0.25) == 1
     assert ix.auto_nprobe(q, uniform, target_scan_frac=0.9, max_nprobe=4) == 4
+
+
+def test_ivf_cosine_probing_uses_cosine_geometry(spark):
+    """probe_lists must rank centroids under the INDEX metric: an
+    L2-ranking of cosine centroids can probe lists that exclude every
+    cosine-nearest doc. Recall vs flat cosine at nprobe=nlist/2 must be
+    high on direction-clustered data."""
+    import numpy as np
+    import pyspark.sql.functions as F
+
+    from comet_spark.operators.ann import IVFIndex
+    from comet_spark.operators.knn import knn
+
+    rng = np.random.RandomState(11)
+    # direction clusters with wildly different norms (the L2-bias trap)
+    dirs = rng.randn(8, 16)
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+    rows = []
+    for i in range(400):
+        d = dirs[i % 8] + 0.05 * rng.randn(16)
+        scale = 0.1 if i % 2 == 0 else 10.0  # mixed norms
+        rows.append((i, [float(x) for x in (scale * d)]))
+    docs = spark.createDataFrame(rows, "id bigint, vector array<double>")
+    ivf = IVFIndex.train(docs, 8, metric="cosine")
+    assigned = ivf.assign(docs)
+    hits = tot = 0
+    for qid in (0, 3, 5, 8, 13):
+        qvec = rows[qid][1]
+        qdf = spark.createDataFrame([(0, qvec)], "qid bigint, qvec array<double>")
+        flat = {r["id"] for r in knn(docs, qdf, k=10, metric="cosine").select("id").collect()}
+        got = {
+            r["id"]
+            for r in ivf.search(assigned, qvec, k=10, nprobe=2).collect()
+        }
+        hits += len(flat & got)
+        tot += 10
+    assert hits / tot >= 0.9, f"cosine IVF recall {hits/tot}"
+
+
+def test_dot_metric_ranks_most_similar_first(spark):
+    import pyspark.sql.functions as F
+
+    from comet_spark.operators.knn import knn
+
+    docs = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [10.0, 0.0]), (3, [-5.0, 0.0])],
+        "id bigint, vector array<double>",
+    )
+    qdf = spark.createDataFrame([(0, [1.0, 0.0])], "qid bigint, qvec array<double>")
+    got = [r["id"] for r in knn(docs, qdf, k=3, metric="dot").select("id").collect()]
+    assert got[0] == 2 and got[-1] == 3  # largest dot first, most negative last
+
+
+def test_build_pq_preserves_caller_nbits(spark):
+    from tests.conftest import SF_DIR_SMALL
+
+    import pyspark.sql.functions as F
+
+    from comet_spark.plans.builder import Corpus
+
+    emb = spark.read.parquet(f"{SF_DIR_SMALL}/embeddings.parquet").select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vector")
+    )
+    c = Corpus(emb, metric="l2").build_pq(nbits=4, max_iter=2)
+    assert c._pq.codebooks.shape[1] == 16  # 2^4, not 2^8
+
+
+def test_build_pq_rejects_non_l2_corpus(spark):
+    from tests.conftest import SF_DIR_SMALL
+
+    import pyspark.sql.functions as F
+
+    from comet_spark.plans.builder import Corpus
+
+    emb = spark.read.parquet(f"{SF_DIR_SMALL}/embeddings.parquet").select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vector")
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="L2 layout"):
+        Corpus(emb, metric="cosine").build_pq()
