@@ -38,6 +38,17 @@ K1 = 1.2
 B = 0.75
 
 
+def _postings_table_name(path: str) -> str:
+    """Metastore table name for a bucketed postings path. The readable
+    sanitized form is lossy ('/ix-1' and '/ix_1' collide), so a path hash
+    disambiguates — otherwise write() could silently clobber another
+    index's table."""
+    import hashlib
+
+    safe = re.sub(r"[^a-zA-Z0-9_]", "_", path).strip("_")
+    return f"bm25_postings_{safe}_{hashlib.md5(path.encode()).hexdigest()[:8]}"
+
+
 def tokenize_py(text: str) -> list[str]:
     """Python twin of :func:`comet_spark.functions.text.tokenize` for
     constant query strings — the full reference pipeline (NFKC → lower →
@@ -65,7 +76,11 @@ class BM25:
         self.postings = toks.groupBy("id", "term").agg(F.count("*").alias("tf"))
         if cache:
             self.postings = self.postings.cache()
-        self.doc_len = toks.groupBy("id").agg(F.count("*").alias("dl"))
+        # derive doc length FROM the postings (sum of tfs == token count),
+        # not from the raw toks plan: with cache=True every downstream
+        # consumer then reads the cached table instead of re-tokenizing
+        # and re-exploding the whole corpus per query
+        self.doc_len = self.postings.groupBy("id").agg(F.sum("tf").alias("dl"))
         # document frequency per term
         self.df = self.postings.groupBy("term").agg(F.count("*").alias("df"))
         # N counts every document (token-less docs have dl=0 and can never
@@ -77,6 +92,13 @@ class BM25:
             F.count("*").cast("double").alias("n_docs"),
             (F.sum(F.coalesce("dl", F.lit(0))) / F.count("*")).alias("avgdl"),
         )
+        if cache:
+            # the derived tables are doc- and vocabulary-sized — caching
+            # them (not just the postings) is what makes repeat queries
+            # skip every corpus-wide aggregation
+            self.doc_len = self.doc_len.cache()
+            self.df = self.df.cache()
+            self.stats = self.stats.cache()
 
     def write(self, path: str, *, buckets: int = 0) -> None:
         """Persist the index (A8 serialization sink for the text index —
@@ -89,7 +111,7 @@ class BM25:
         corpus — the scan of a query's terms touches only their buckets.
         ``buckets=0`` writes plain parquet (portable, no metastore)."""
         if buckets > 0:
-            name = "bm25_postings_" + re.sub(r"[^a-zA-Z0-9_]", "_", path).strip("_")
+            name = _postings_table_name(path)
             (
                 self.postings.write.mode("overwrite")
                 .option("path", f"{path}/postings")
@@ -108,8 +130,7 @@ class BM25:
         """Reopen a persisted index — no tokenize/shuffle on the read path."""
         ix = cls.__new__(cls)
         if buckets > 0:
-            name = "bm25_postings_" + re.sub(r"[^a-zA-Z0-9_]", "_", path).strip("_")
-            ix.postings = spark.table(name)
+            ix.postings = spark.table(_postings_table_name(path))
         else:
             ix.postings = spark.read.parquet(f"{path}/postings")
         ix.doc_len = spark.read.parquet(f"{path}/doc_len")
@@ -117,19 +138,13 @@ class BM25:
         ix.stats = spark.read.parquet(f"{path}/stats")
         return ix
 
-    def score_batch(
-        self,
-        query_terms: DataFrame,
-        *,
-        k: int = 10,
-        round_to: int | None = 6,
-        prefilter_ids: DataFrame | None = None,
+    def _scored(
+        self, query_terms: DataFrame, prefilter_ids: DataFrame | None,
+        round_to: int | None,
     ) -> DataFrame:
-        """Batch retrieval: ``query_terms`` is ``(qid, term, qtf)``; returns
-        top-k ``(qid, id, score)`` per query — one job for the whole batch,
-        so per-query overhead amortizes (the realistic serving shape)."""
-        from comet_spark.operators.topk import topk_per_group
-
+        """The ONE scoring pipeline: (qid, term, qtf) → (qid, id, score)
+        pre-top-k. score() and score_batch() share it so the BM25 formula
+        exists exactly once."""
         matched = self.postings.join(F.broadcast(query_terms), "term")
         if prefilter_ids is not None:
             matched = matched.join(prefilter_ids.select("id"), "id", "left_semi")
@@ -145,6 +160,22 @@ class BM25:
         scored = matched.groupBy("qid", "id").agg(F.sum(term_score).alias("score"))
         if round_to is not None:
             scored = scored.withColumn("score", F.round("score", round_to))
+        return scored
+
+    def score_batch(
+        self,
+        query_terms: DataFrame,
+        *,
+        k: int = 10,
+        round_to: int | None = 6,
+        prefilter_ids: DataFrame | None = None,
+    ) -> DataFrame:
+        """Batch retrieval: ``query_terms`` is ``(qid, term, qtf)``; returns
+        top-k ``(qid, id, score)`` per query — one job for the whole batch,
+        so per-query overhead amortizes (the realistic serving shape)."""
+        from comet_spark.operators.topk import topk_per_group
+
+        scored = self._scored(query_terms, prefilter_ids, round_to)
         return topk_per_group(
             scored, ["qid"], [F.col("score").desc(), F.col("id").asc()], k
         ).select("qid", "id", "score")
@@ -157,30 +188,17 @@ class BM25:
         prefilter_ids: DataFrame | None = None,
         round_to: int | None = 6,
     ) -> DataFrame:
-        """Top-k ``(id, score)`` for a constant query string, score desc."""
-        terms = {}
+        """Top-k ``(id, score)`` for a constant query string, score desc —
+        one formula implementation: delegates to :meth:`score_batch` with
+        a single constant qid."""
+        terms: dict[str, int] = {}
         for t in tokenize_py(query):
             terms[t] = terms.get(t, 0) + 1
         spark = self.postings.sparkSession
         qterms = spark.createDataFrame(
-            [(t, float(c)) for t, c in terms.items()], "term string, qtf double"
+            [(0, t, float(c)) for t, c in terms.items()],
+            "qid bigint, term string, qtf double",
         )
-
-        matched = self.postings.join(F.broadcast(qterms), "term")
-        if prefilter_ids is not None:
-            matched = matched.join(prefilter_ids.select("id"), "id", "left_semi")
-        matched = (
-            matched.join(self.doc_len, "id")
-            .join(F.broadcast(self.df), "term")
-            .crossJoin(F.broadcast(self.stats))
-        )
-
-        idf = F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
-        tf = F.col("tf").cast("double")
-        denom = tf + K1 * (1.0 - B + B * (F.col("dl") / F.col("avgdl")))
-        term_score = F.col("qtf") * idf * (tf * (K1 + 1.0)) / denom
-
-        scored = matched.groupBy("id").agg(F.sum(term_score).alias("score"))
-        if round_to is not None:
-            scored = scored.withColumn("score", F.round("score", round_to))
+        scored = self._scored(qterms, prefilter_ids, round_to).select("id", "score")
+        # single query → TakeOrderedAndProject, not a window
         return topk(scored, [F.col("score").desc(), F.col("id").asc()], k)

@@ -13,8 +13,11 @@ non-obvious NULL semantics (``metadata_index.go:260-388``):
 - ``Gt/Gte/Lt/Lte/Between``: BSI ops on the ×100 integers, missing → no
 - ``Exists/NotExists``: field existence bitmap and its complement
 - ``Not(f)``: static inversion table (eq↔ne, gt↔lte, lt↔gte, in↔not_in,
-  exists↔not_exists, between → NULL-matching complement)
-  (``metadata_index.go:518-543``)
+  exists↔not_exists) per ``metadata_index.go:518-543``. DELIBERATE
+  DEVIATION for ranges: the reference's Not() switch has NO range case, so
+  ``Not(Between)`` silently returns the Between filter UNCHANGED there; we
+  return the true outside-the-range complement (missing-field docs still
+  do not match, consistent with every other numeric comparison).
 
 Each filter compiles to one Spark ``Column`` predicate, so Catalyst pushes
 the whole conjunction into the data source scan; there is no bitmap
@@ -189,7 +192,10 @@ class Between(Filter):
         return (k >= F.lit(_qval(self.f, self.lo))) & (k <= F.lit(_qval(self.f, self.hi)))
 
     def inverted(self) -> Filter:
-        # complement over the existence set: outside the range
+        # outside the range, missing-field docs excluded. Deliberate
+        # deviation: the reference's Not() switch has no range case
+        # (metadata_index.go:518-543), so Not(Between) is a silent no-op
+        # there — a bug we choose not to reproduce (see module docstring).
         return _OutsideRange(self.f, self.lo, self.hi)
 
 

@@ -8,21 +8,26 @@ soft (bitmap) until compaction hard-deletes.
 Spark rendering:
 - a *segment* is a parquet subdirectory (``segment=N``); appending a batch
   writes a new segment — exactly the immutable-file append the LSM does
-  (J1-J3). Parquet already compresses (snappy), so no gzip layer.
-- *soft deletes* (J6/B15) are rows in a ``_deletes`` table; every read
-  anti-joins them (the industry deletion-vector pattern).
-- *compaction* (J4) rewrites all segments into one and drops the deletion
-  rows it applied — implemented correctly, not like the reference's
-  stubbed merge (``storage_compaction.go:68-70`` writes empty segments).
-- the *merged read view* (J5) is ``union_all(segments) → anti-join deletes
-  → dedup by newest segment per id`` (the reference deduped search results
-  by max score; for the storage layer we dedup documents by recency —
-  newest version of a doc wins, which is what an LSM read gives you).
+  (J1-J3). Parquet already compresses (snappy), so no gzip layer. Rows
+  carry a ``__seq`` within the segment so newest-wins is a TOTAL order
+  even when one batch writes the same id twice.
+- *soft deletes* (J6/B15) are rows in a ``_deletes`` table, SEQUENCED
+  against segments: each delete records the segment watermark it applies
+  up to, so a document re-appended AFTER its delete is visible again
+  (deletion vectors apply only to files present at delete time).
+- *compaction* (J4) rewrites all segments into one and drops exactly the
+  deletion files it applied — implemented correctly, not like the
+  reference's stubbed merge (``storage_compaction.go:68-70`` writes empty
+  segments). Single-writer semantics (like the reference's mutex'd
+  store): concurrent writers need a table format with a transaction log.
+- the *merged read view* (J5) is ``union_all(segments) → dedup by newest
+  (segment, __seq) per id → hide rows older than their delete watermark``.
+- all filesystem operations go through the Hadoop FileSystem of the
+  path's scheme, so the store works on hdfs:// and s3a:// paths, not
+  just local disk.
 """
 
 from __future__ import annotations
-
-import os
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -30,92 +35,157 @@ from pyspark.sql import functions as F
 __all__ = ["DocumentStore"]
 
 
+class _FS:
+    """Thin Hadoop FileSystem wrapper (scheme-aware list/exists/rename)."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        jvm = spark.sparkContext._jvm
+        self._Path = jvm.org.apache.hadoop.fs.Path
+        self.fs = self._Path(path).getFileSystem(
+            spark.sparkContext._jsc.hadoopConfiguration()
+        )
+
+    def exists(self, path: str) -> bool:
+        return bool(self.fs.exists(self._Path(path)))
+
+    def listdir(self, path: str) -> list[str]:
+        if not self.exists(path):
+            return []
+        return [
+            st.getPath().getName() for st in self.fs.listStatus(self._Path(path))
+        ]
+
+    def rename(self, src: str, dst: str) -> bool:
+        return bool(self.fs.rename(self._Path(src), self._Path(dst)))
+
+    def delete(self, path: str) -> None:
+        if self.exists(path):
+            self.fs.delete(self._Path(path), True)
+
+
 class DocumentStore:
     def __init__(self, spark: SparkSession, path: str, id_col: str = "id"):
         self.spark = spark
         self.path = path
         self.id_col = id_col
-        self.data_path = os.path.join(path, "data")
-        self.deletes_path = os.path.join(path, "_deletes")
+        self.data_path = f"{path}/data"
+        self.deletes_path = f"{path}/_deletes"
+        self._fs = _FS(spark, path)
 
     # -- write path ----------------------------------------------------------
 
+    def _segment_ids(self) -> list[int]:
+        return sorted(
+            int(d.split("=")[1])
+            for d in self._fs.listdir(self.data_path)
+            if d.startswith("segment=")
+        )
+
     def _next_segment(self) -> int:
-        try:
-            segs = [
-                int(d.split("=")[1])
-                for d in os.listdir(self.data_path)
-                if d.startswith("segment=")
-            ]
-            return max(segs) + 1 if segs else 0
-        except FileNotFoundError:
-            return 0
+        segs = self._segment_ids()
+        return segs[-1] + 1 if segs else 0
 
     def append(self, batch: DataFrame) -> int:
         """Write one immutable segment (memtable flush, J1-J3)."""
         seg = self._next_segment()
-        batch.withColumn("segment", F.lit(seg)).write.mode("append").partitionBy(
-            "segment"
-        ).parquet(self.data_path)
+        (
+            batch.withColumn("segment", F.lit(seg))
+            # within-segment tiebreak: newest-wins needs a TOTAL order even
+            # when one batch carries the same id twice
+            .withColumn("__seq", F.monotonically_increasing_id())
+            .write.mode("append")
+            .partitionBy("segment")
+            .parquet(self.data_path)
+        )
         return seg
 
     def delete(self, ids: DataFrame) -> None:
-        """Soft delete (J6): record ids; reads anti-join them."""
-        ids.select(F.col(self.id_col)).write.mode("append").parquet(self.deletes_path)
+        """Soft delete (J6), sequenced: hides versions in segments written
+        BEFORE this call; a later re-append of the same id is visible."""
+        upto = self._next_segment()
+        ids.select(
+            F.col(self.id_col), F.lit(upto).cast("bigint").alias("upto")
+        ).write.mode("append").parquet(self.deletes_path)
 
     # -- read path -----------------------------------------------------------
 
     def _segments(self) -> DataFrame:
-        if not os.path.isdir(self.data_path):
+        if not self._fs.exists(self.data_path):
             raise FileNotFoundError(
                 f"store at {self.path} has no segments yet — append() first"
             )
         return self.spark.read.option("basePath", self.data_path).parquet(self.data_path)
 
     def _deletes(self) -> DataFrame | None:
-        if not os.path.isdir(self.deletes_path) or not any(
-            f.endswith(".parquet") for f in os.listdir(self.deletes_path)
+        if not any(
+            f.endswith(".parquet") or f.startswith("part-")
+            for f in self._fs.listdir(self.deletes_path)
         ):
             return None
         return self.spark.read.parquet(self.deletes_path)
 
     def read(self) -> DataFrame:
-        """Merged view (J5): newest segment wins per id, deletes hidden."""
+        """Merged view (J5): newest (segment, __seq) wins per id; the
+        survivor is hidden only if a delete watermark postdates it."""
         df = self._segments()
-        w = Window.partitionBy(self.id_col).orderBy(F.col("segment").desc())
+        if "__seq" not in df.columns:  # pre-__seq stores
+            df = df.withColumn("__seq", F.lit(0))
+        w = Window.partitionBy(self.id_col).orderBy(
+            F.col("segment").desc(), F.col("__seq").desc()
+        )
         df = (
             df.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") == 1)
-            .drop("__rn")
+            .drop("__rn", "__seq")
         )
         dels = self._deletes()
         if dels is not None:
-            df = df.join(dels, self.id_col, "left_anti")
+            dmax = dels.groupBy(self.id_col).agg(F.max("upto").alias("__upto"))
+            df = (
+                df.join(dmax, self.id_col, "left")
+                .filter(
+                    F.col("__upto").isNull() | (F.col("segment") >= F.col("__upto"))
+                )
+                .drop("__upto")
+            )
         return df.drop("segment")
 
     # -- maintenance ---------------------------------------------------------
 
     def compact(self) -> None:
         """Rewrite all segments into one, applying deletes (hard delete) and
-        version dedup — the OPTIMIZE-style job (J4), implemented correctly
-        unlike the reference's stub."""
+        version dedup — the OPTIMIZE-style job (J4). Crash-safe ordering:
+        the old data directory is moved ASIDE before the compacted one
+        moves in, so no window exists where the store has no data; only
+        the delete files that were actually applied are removed."""
+        applied_delete_files = self._fs.listdir(self.deletes_path)
+        segs = self._segment_ids()
+        keep_seg = segs[-1] if segs else 0
         merged = self.read().cache()
-        merged.count()  # materialize before we overwrite the source files
+        merged.count()  # materialize before touching the source files
         tmp = self.data_path + ".compacting"
-        merged.withColumn("segment", F.lit(0)).write.mode("overwrite").partitionBy(
-            "segment"
-        ).parquet(tmp)
+        old = self.data_path + ".old"
+        self._fs.delete(tmp)
+        self._fs.delete(old)
+        # the compacted segment KEEPS the highest segment number: pending
+        # deletes are sequenced by segment watermark, so renumbering to 0
+        # would make a mid-compaction delete hide future appends
+        merged.withColumn("segment", F.lit(keep_seg)).write.mode(
+            "overwrite"
+        ).partitionBy("segment").parquet(tmp)
         merged.unpersist()
 
-        import shutil
-
-        shutil.rmtree(self.data_path)
-        os.rename(tmp, self.data_path)
-        if os.path.isdir(self.deletes_path):
-            shutil.rmtree(self.deletes_path)
+        if not self._fs.rename(self.data_path, old):
+            self._fs.delete(tmp)
+            raise OSError(f"compact: could not move {self.data_path} aside")
+        if not self._fs.rename(tmp, self.data_path):
+            self._fs.rename(old, self.data_path)  # roll back
+            raise OSError(f"compact: could not install {tmp}")
+        self._fs.delete(old)
+        # drop only the deletes this compaction applied — a delete() issued
+        # mid-compaction stays pending for the next read/compaction
+        for name in applied_delete_files:
+            self._fs.delete(f"{self.deletes_path}/{name}")
 
     def segment_count(self) -> int:
-        try:
-            return len([d for d in os.listdir(self.data_path) if d.startswith("segment=")])
-        except FileNotFoundError:
-            return 0
+        return len(self._segment_ids())

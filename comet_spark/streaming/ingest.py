@@ -100,9 +100,12 @@ def sessionize_stream(
                 }
             )
 
+    # the key column keeps ITS OWN type — hardcoding bigint would crash
+    # the first micro-batch for string user ids
+    user_type = events.schema[user_col].dataType.simpleString()
     return events.groupBy(user_col).applyInPandasWithState(
         fn,
-        outputStructType=f"{user_col} bigint, session_start timestamp, "
+        outputStructType=f"{user_col} {user_type}, session_start timestamp, "
         "session_end timestamp, n_events bigint",
         stateStructType="start bigint, last bigint, count bigint",
         outputMode="update",
@@ -125,7 +128,19 @@ def dedup_stream(
     dropDuplicates would accrete state forever). On a batch DF (or
     ``ts_col=None``) it degrades to plain first-wins dropDuplicates —
     the batch twin the tests compare against."""
-    hashed = stream.withColumn("content_hash", F.md5(F.col(text_col).cast("binary")))
+    # md5(NULL) is NULL and dropDuplicates treats NULL keys as EQUAL, so
+    # distinct no-text docs would all collapse into one row. Null-text
+    # rows fall back to a whole-row content key (streaming-safe, unlike
+    # monotonically_increasing_id): only fully-identical rows — true
+    # duplicates — still dedup. The prefix can't collide with a real
+    # 32-hex digest.
+    hashed = stream.withColumn(
+        "content_hash",
+        F.coalesce(
+            F.md5(F.col(text_col).cast("binary")),
+            F.concat(F.lit("null:"), F.md5(F.to_json(F.struct("*")))),
+        ),
+    )
     if ts_col is not None and hashed.isStreaming:
         return hashed.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
             ["content_hash"]

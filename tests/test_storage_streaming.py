@@ -309,3 +309,52 @@ def test_hll_stream_state_errors_propagate(spark, tmp_path):
     assert _parquet_exists(spark, state)
     with pytest.raises(Exception):
         spark.read.parquet(state).collect()
+
+
+def test_store_reappend_after_delete_is_visible(spark, tmp_path):
+    """LSM sequencing: a delete hides only versions written BEFORE it —
+    re-appending the id afterwards must be visible (deletion vectors
+    apply to files present at delete time), and compaction must preserve
+    that."""
+    from comet_spark.storage.store import DocumentStore
+
+    store = DocumentStore(spark, str(tmp_path / "seqstore"))
+    store.append(spark.createDataFrame([(1, "v1"), (2, "x")], "id bigint, text string"))
+    store.delete(spark.createDataFrame([(1,)], "id bigint"))
+    store.append(spark.createDataFrame([(1, "v2")], "id bigint, text string"))
+    got = {r["id"]: r["text"] for r in store.read().collect()}
+    assert got == {1: "v2", 2: "x"}
+    store.compact()
+    got = {r["id"]: r["text"] for r in store.read().collect()}
+    assert got == {1: "v2", 2: "x"}
+    # and a delete AFTER compaction still works
+    store.delete(spark.createDataFrame([(2,)], "id bigint"))
+    assert {r["id"] for r in store.read().collect()} == {1}
+
+
+def test_store_duplicate_id_within_batch_deterministic(spark, tmp_path):
+    """Within one segment the last-written row wins deterministically
+    (total order via __seq), run after run."""
+    from comet_spark.storage.store import DocumentStore
+
+    store = DocumentStore(spark, str(tmp_path / "dupstore"))
+    batch = spark.createDataFrame(
+        [(1, "first"), (1, "second")], "id bigint, text string"
+    ).coalesce(1)
+    store.append(batch)
+    for _ in range(3):
+        got = [r["text"] for r in store.read().collect()]
+        assert got == ["second"]
+
+
+def test_dedup_stream_null_text_not_collapsed(spark):
+    from comet_spark.streaming.ingest import dedup_stream
+
+    df = spark.createDataFrame(
+        [(1, None), (2, None), (3, "same"), (4, "same")],
+        "doc_id bigint, text string",
+    )
+    out = dedup_stream(df, ts_col=None).collect()
+    ids = sorted(r["doc_id"] for r in out)
+    assert len([i for i in ids if i in (1, 2)]) == 2  # null texts both kept
+    assert len([i for i in ids if i in (3, 4)]) == 1  # real dup collapsed
