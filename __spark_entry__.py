@@ -73,6 +73,13 @@ def _art_dir(sf_dir: str) -> str:
 _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {}
 
 
+def _skey(spark: SparkSession) -> str:
+    """Stable per-session memo key. applicationId, NOT id(spark): a GC'd
+    session's reused object address could alias a fresh session onto a
+    stale memo entry (cached DataFrames, already-exported artifacts)."""
+    return spark.sparkContext.applicationId
+
+
 def _register(name: str, fn: Callable[[SparkSession, str], DataFrame], sql: str | None) -> None:
     _REGISTRY[name] = (fn, sql)
 
@@ -84,8 +91,7 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # TIMESTAMP(NANOS) (needs nanosAsLong to land as long) and as
         # TIMESTAMP(MICROS) (normalized after the read, below). Both
         # confs are runtime-settable; checked per read (cheap) rather
-        # than memoized by id(spark), which a GC'd session's address
-        # reuse could poison. Session timezone is pinned to UTC because
+        # than memoized. Session timezone is pinned to UTC because
         # Spark's NTZ→instant conversion goes through the SESSION zone
         # (to_utc_timestamp can't bypass it: its NTZ input is first
         # implicitly cast via the session zone) — with UTC the epoch
@@ -104,11 +110,11 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 # BM25 'index build' memoized per (session, corpus): several queries share
 # one cached postings table, like the reference's in-memory inverted index
-_BM25_CACHE: dict[tuple[int, str], BM25] = {}
+_BM25_CACHE: dict[tuple[str, str], BM25] = {}
 
 
 def _bm25_index(spark: SparkSession, sf_dir: str) -> BM25:
-    key = (id(spark), sf_dir)
+    key = (_skey(spark), sf_dir)
     if key not in _BM25_CACHE:
         _BM25_CACHE[key] = BM25(
             _t(spark, sf_dir, "documents"), id_col="doc_id", text_col="text", cache=True
@@ -118,11 +124,11 @@ def _bm25_index(spark: SparkSession, sf_dir: str) -> BM25:
 
 # the vector corpus is cached once per session like the reference's
 # in-memory index (flat_index.go holds vectors in RAM); ~40 queries share it
-_EMB_CACHE: dict[tuple[int, str], DataFrame] = {}
+_EMB_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
 def _emb_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    key = (id(spark), sf_dir)
+    key = (_skey(spark), sf_dir)
     if key not in _EMB_CACHE:
         _EMB_CACHE[key] = (
             _t(spark, sf_dir, "embeddings")
@@ -510,7 +516,7 @@ def _hybrid_ivf_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ivf, assigned = _ivf_trained(spark, sf_dir)
     qvec = _hybrid_qvec(spark, sf_dir)
-    key = (id(spark), sf_dir, "probes_q2")
+    key = (_skey(spark), sf_dir, "probes_q2")
     if key not in _PROBE_WRITTEN:
         probed = ivf.probe_lists(np.asarray(qvec), 2)
         _write_rows(
@@ -963,13 +969,13 @@ SELECT vec_id, ROUND(err, 6) AS max_abs_err FROM d
 # H8/H9 as STORAGE MODES (quantizer.go:136-157): flat search over the
 # scalar-quantized parquet layout — int8 dequantizes inside the scan
 # expression (pure Catalyst), f16 stores squeezed floats at write time
-_SQ_CACHE: dict[tuple[int, str, str], object] = {}
+_SQ_CACHE: dict[tuple[str, str, str], object] = {}
 
 
 def _sq_index(spark: SparkSession, sf_dir: str, mode: str):
     from comet_spark.operators.scalar_quant import ScalarQuantizedIndex
 
-    key = (id(spark), sf_dir, mode)
+    key = (_skey(spark), sf_dir, mode)
     if key not in _SQ_CACHE:
         ix = ScalarQuantizedIndex.build(_emb_docs(spark, sf_dir), mode)
         base = f"{_art_dir(sf_dir)}/sq_{mode}"
@@ -1008,7 +1014,7 @@ def _knn_f16_storage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ix = _sq_index(spark, sf_dir, "float16")
     qvec = _hybrid_qvec(spark, sf_dir)
-    key = (id(spark), sf_dir, "f16_q")
+    key = (_skey(spark), sf_dir, "f16_q")
     if key not in _PROBE_WRITTEN:
         q16 = [
             float(v)
@@ -1830,7 +1836,7 @@ FROM orders QUALIFY order_seq <= 3
 # 277-301), and the side tables let the DuckDB oracle recompute the pruned
 # scan exactly — flipping the approximate paths from rows-only checks to
 # hash-matched ones.
-_IVF_CACHE: dict[tuple[int, str], tuple] = {}
+_IVF_CACHE: dict[tuple[str, str], tuple] = {}
 
 
 def _write_rows(spark: SparkSession, path: str, rows: list, schema: str) -> None:
@@ -1843,7 +1849,7 @@ def _write_rows(spark: SparkSession, path: str, rows: list, schema: str) -> None
 def _ivf_trained(spark: SparkSession, sf_dir: str):
     from comet_spark.operators.ann import IVFIndex
 
-    key = (id(spark), sf_dir)
+    key = (_skey(spark), sf_dir)
     if key not in _IVF_CACHE:
         emb = _emb_docs(spark, sf_dir).select("id", "vector").cache()
         ivf = IVFIndex.train(emb, 8)
@@ -1880,7 +1886,7 @@ _register(
 )
 
 
-_PROBE_WRITTEN: set[tuple[int, str, str]] = {*()}
+_PROBE_WRITTEN: set[tuple[str, str, str]] = {*()}
 
 
 def _ivf_nprobe2(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1888,7 +1894,7 @@ def _ivf_nprobe2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ivf, assigned = _ivf_trained(spark, sf_dir)
     qvec = _hybrid_qvec(spark, sf_dir)
-    key = (id(spark), sf_dir, "probes_q2")
+    key = (_skey(spark), sf_dir, "probes_q2")
     if key not in _PROBE_WRITTEN:
         probed = ivf.probe_lists(np.asarray(qvec), 2)
         _write_rows(
@@ -1919,8 +1925,8 @@ SELECT vec_id, score FROM d ORDER BY score, vec_id LIMIT {K}
 )
 
 
-_PQ_CACHE: dict[tuple[int, str], tuple] = {}
-_IVFPQ_CACHE: dict[tuple[int, str], tuple] = {}
+_PQ_CACHE: dict[tuple[str, str], tuple] = {}
+_IVFPQ_CACHE: dict[tuple[str, str], tuple] = {}
 
 
 PQ_M = 4
@@ -1944,7 +1950,7 @@ def _pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from comet_spark.operators.ann import PQIndex
 
-    key = (id(spark), sf_dir)
+    key = (_skey(spark), sf_dir)
     if key not in _PQ_CACHE:
         emb = _emb_docs(spark, sf_dir).select("id", "vector").cache()
         pq = PQIndex.train(emb, m=PQ_M, nbits=4, max_iter=5)
@@ -1956,7 +1962,7 @@ def _pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         _PQ_CACHE[key] = (pq, codes)
     pq, codes = _PQ_CACHE[key]
     qvec = _hybrid_qvec(spark, sf_dir)
-    key2 = (id(spark), sf_dir, "pq_lut_q")
+    key2 = (_skey(spark), sf_dir, "pq_lut_q")
     if key2 not in _PROBE_WRITTEN:
         lut = pq.lut(np.asarray(qvec))
         _write_rows(
@@ -1991,7 +1997,7 @@ def _pq_adc_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact metric reranks it (the standard recall fix for PQ distortion —
     recall@10 0.93 vs 0.43 pure-ADC on this corpus, RECALL.md)."""
     _pq_adc(spark, sf_dir)  # ensures the trained index + artifacts exist
-    pq, codes = _PQ_CACHE[(id(spark), sf_dir)]
+    pq, codes = _PQ_CACHE[(_skey(spark), sf_dir)]
     res = pq.search(
         codes, _hybrid_qvec(spark, sf_dir), k=K,
         rescore=PQ_RESCORE, vectors=_emb_docs(spark, sf_dir),
@@ -2025,9 +2031,9 @@ def _pq_adc_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
 
     _pq_adc(spark, sf_dir)  # trained index + codes artifact
-    pq, codes = _PQ_CACHE[(id(spark), sf_dir)]
+    pq, codes = _PQ_CACHE[(_skey(spark), sf_dir)]
     qs = _emb_queries(spark, sf_dir, tuple(range(N_PQ_BATCH)))
-    key = (id(spark), sf_dir, "pq_luts_batch")
+    key = (_skey(spark), sf_dir, "pq_luts_batch")
     if key not in _PROBE_WRITTEN:
         rows = []
         for r in qs.sort("qid").collect():
@@ -2068,7 +2074,7 @@ def _ivfpq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from comet_spark.operators.ann import IVFPQIndex
 
-    key = (id(spark), sf_dir)
+    key = (_skey(spark), sf_dir)
     if key not in _IVFPQ_CACHE:
         emb = _emb_docs(spark, sf_dir).select("id", "vector").cache()
         ix = IVFPQIndex.train(emb, nlist=4, m=PQ_M, nbits=4, max_iter=5)
@@ -2079,7 +2085,7 @@ def _ivfpq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         _IVFPQ_CACHE[key] = (ix, enc)
     ix, enc = _IVFPQ_CACHE[key]
     qvec = _hybrid_qvec(spark, sf_dir)
-    key2 = (id(spark), sf_dir, "ivfpq_luts_q")
+    key2 = (_skey(spark), sf_dir, "ivfpq_luts_q")
     if key2 not in _PROBE_WRITTEN:
         q = np.asarray(qvec, dtype=np.float64)
         probed = ix.ivf.probe_lists(q, 4)
@@ -2120,7 +2126,7 @@ def _ivfpq_adc_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
     residual-ADC over the probed lists picks an R-deep shortlist, exact L2
     reranks — same plan shape as pq_adc_rescore but list-pruned."""
     _ivfpq_adc(spark, sf_dir)  # ensures trained index + LUT artifacts exist
-    ix, enc = _IVFPQ_CACHE[(id(spark), sf_dir)]
+    ix, enc = _IVFPQ_CACHE[(_skey(spark), sf_dir)]
     res = ix.search(
         enc, _hybrid_qvec(spark, sf_dir), k=K, nprobe=4,
         rescore=PQ_RESCORE, vectors=_emb_docs(spark, sf_dir),
@@ -2176,7 +2182,7 @@ def _ivf_batch_nprobe2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ivf, assigned = _ivf_trained(spark, sf_dir)
     qs = _emb_queries(spark, sf_dir, tuple(range(N_IVF_BATCH)))
-    key = (id(spark), sf_dir, "probes_batch2")
+    key = (_skey(spark), sf_dir, "probes_batch2")
     if key not in _PROBE_WRITTEN:
         rows = []
         for r in qs.select("qid", "qvec").collect():
@@ -2235,7 +2241,7 @@ def _ivf_multi_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
 _register("ivf_multi_sum", _ivf_multi_sum, _sql_knn_multi("sum(score)"))
 
 
-_HNSW_CACHE: dict[tuple[int, str], object] = {}
+_HNSW_CACHE: dict[tuple[str, str], object] = {}
 
 
 def _hnsw_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2246,7 +2252,7 @@ def _hnsw_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the oracle replays scoring from the candidate artifact."""
     from comet_spark.operators.hnsw import HNSWIndex
 
-    key = (id(spark), sf_dir)
+    key = (_skey(spark), sf_dir)
     if key not in _HNSW_CACHE:
         _HNSW_CACHE[key] = HNSWIndex.build(
             _emb_docs(spark, sf_dir), m=8, ef_construction=100
@@ -2280,7 +2286,7 @@ def _hnsw_multi_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     from comet_spark.operators.hnsw import HNSWIndex
     from comet_spark.operators.knn import knn_aggregate
 
-    key = (id(spark), sf_dir)
+    key = (_skey(spark), sf_dir)
     if key not in _HNSW_CACHE:
         _HNSW_CACHE[key] = HNSWIndex.build(
             _emb_docs(spark, sf_dir), m=8, ef_construction=100
@@ -3079,13 +3085,13 @@ fp AS (SELECT id, CAST(sum(CASE WHEN w > 0 THEN (1::BIGINT << b) ELSE 0 END) AS 
 # simhash fingerprint table memoized per (session, corpus): the
 # fingerprints query and the banded near-dup pair join share one cached
 # 60-bit table instead of re-running the 60-weight aggregation
-_SIMHASH_CACHE: dict[tuple[int, str], DataFrame] = {}
+_SIMHASH_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
 def _simhash_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     from comet_spark.operators.dedup import simhash_fingerprints
 
-    key = (id(spark), sf_dir)
+    key = (_skey(spark), sf_dir)
     if key not in _SIMHASH_CACHE:
         _SIMHASH_CACHE[key] = simhash_fingerprints(
             _t(spark, sf_dir, "documents")
@@ -3175,13 +3181,13 @@ FROM wf GROUP BY id
 
 # the winnowing near-dup pair graph feeds three queries (pairs, clusters,
 # funnel) — memoized per (session, corpus) like the BM25/simhash tables
-_WINNOW_PAIRS_CACHE: dict[tuple[int, str], DataFrame] = {}
+_WINNOW_PAIRS_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
 def _winnow_pairs_memo(spark: SparkSession, sf_dir: str) -> DataFrame:
     from comet_spark.operators.fingerprint import winnow_neardup_pairs
 
-    key = (id(spark), sf_dir)
+    key = (_skey(spark), sf_dir)
     if key not in _WINNOW_PAIRS_CACHE:
         _WINNOW_PAIRS_CACHE[key] = winnow_neardup_pairs(
             _t(spark, sf_dir, "documents"),
@@ -3219,7 +3225,7 @@ FROM wp JOIN wsz sa ON wp.a_id = sa.id JOIN wsz sb ON wp.b_id = sb.id
 # --- dedup clusters: connected components over near-dup pairs ----------------
 
 
-_CLUSTERS_CACHE: dict[tuple[int, str], DataFrame] = {}
+_CLUSTERS_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
 def _dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3231,7 +3237,7 @@ def _dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from comet_spark.operators.graph import connected_components
     from pyspark.sql import Window
 
-    key = (id(spark), sf_dir)
+    key = (_skey(spark), sf_dir)
     if key in _CLUSTERS_CACHE:
         return _CLUSTERS_CACHE[key]
 
@@ -4046,7 +4052,7 @@ def _image_feature_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
     from comet_spark.multimodal import image_features
 
     feats = image_features(_media(spark, sf_dir), dim=MEDIA_FEAT_DIM)
-    key = (id(spark), sf_dir, "media_feats")
+    key = (_skey(spark), sf_dir, "media_feats")
     if key not in _PROBE_WRITTEN:
         feats.write.mode("overwrite").parquet(f"{_art_dir(sf_dir)}/media/features.parquet")
         _PROBE_WRITTEN.add(key)

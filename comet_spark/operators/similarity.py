@@ -246,8 +246,11 @@ def lsh_bucket_pairs(
 
 # (session, artifacts_path, query/config fingerprint) triples whose
 # signature export already ran — the persisted sigs bake in the
-# query-dependent band_hit column, so the query must be part of the key
-_LSH_WRITTEN: set[tuple[int, str, int]] = {*()}
+# query-dependent band_hit column, so the query must be part of the key.
+# The session key is the applicationId (stable for the app's lifetime),
+# NOT id(spark): a GC'd session's reused address could alias a new
+# session onto a stale memo and skip a needed re-export.
+_LSH_WRITTEN: set[tuple[str, str, int]] = {*()}
 
 
 def lsh_ann_topk(
@@ -317,7 +320,7 @@ def lsh_ann_topk(
         # in the IVF/PQ query paths); a different query vector or LSH
         # config re-exports rather than silently reusing stale band_hits.
         key = (
-            id(spark),
+            spark.sparkContext.applicationId,
             artifacts_path,
             hash((tuple(float(x) for x in qvec), n_planes, bands, band_bits, seed)),
         )

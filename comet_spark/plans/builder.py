@@ -311,7 +311,14 @@ class VectorSearch:
                     c.docs.filter(self._prefilter).select(F.col(c.id_col).alias("id")),
                     "id", "left_semi",
                 )
-            per_query = c._pq.search_batch(codes, self._query_df(), k=self.k)
+            # rebuild the query DF from the ALREADY-collected rows — going
+            # back through _query_df() would re-run the node-lookup join
+            # just for search_batch to collect it again
+            qlocal = c.docs.sparkSession.createDataFrame(
+                [(r["qid"], [float(x) for x in r["qvec"]]) for r in qrows],
+                "qid bigint, qvec array<double>",
+            )
+            per_query = c._pq.search_batch(codes, qlocal, k=self.k)
             out = knn_aggregate(per_query, k=self.k, agg=self.agg, ascending=True)
             if self.threshold is not None and self.threshold > 0:
                 out = out.filter(F.col("score") <= F.lit(self.threshold))

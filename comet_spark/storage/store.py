@@ -18,8 +18,12 @@ Spark rendering:
 - *compaction* (J4) rewrites all segments into one and drops exactly the
   deletion files it applied — implemented correctly, not like the
   reference's stubbed merge (``storage_compaction.go:68-70`` writes empty
-  segments). Single-writer semantics (like the reference's mutex'd
-  store): concurrent writers need a table format with a transaction log.
+  segments). Single-writer semantics, ENFORCED by a lock marker file
+  (mirroring the reference's storage lock,
+  ``storage_provider.go:36-246``): append/delete/compact atomically
+  create ``_lock``; a second concurrent writer fails fast instead of
+  corrupting the segment sequence. Concurrent writers that must both
+  succeed need a table format with a transaction log.
 - the *merged read view* (J5) is ``union_all(segments) → dedup by newest
   (segment, __seq) per id → hide rows older than their delete watermark``.
 - all filesystem operations go through the Hadoop FileSystem of the
@@ -32,11 +36,17 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-__all__ = ["DocumentStore"]
+__all__ = ["DocumentStore", "StoreLockedError"]
+
+_SEQ_MAX = (1 << 63) - 1  # "applies to every segment" delete watermark
 
 
 class _FS:
-    """Thin Hadoop FileSystem wrapper (scheme-aware list/exists/rename)."""
+    """Thin Hadoop FileSystem wrapper (scheme-aware list/exists/rename).
+
+    Reaches through the ``_jvm``/``_jsc`` gateway — the standard PySpark
+    way to touch the Hadoop FileSystem API, but a private surface that
+    pins the store to the classic (non-Connect) runtime."""
 
     def __init__(self, spark: SparkSession, path: str):
         jvm = spark.sparkContext._jvm
@@ -62,6 +72,42 @@ class _FS:
         if self.exists(path):
             self.fs.delete(self._Path(path), True)
 
+    def create_new(self, path: str) -> bool:
+        """Atomic create-if-absent (FileSystem.createNewFile) — the lock
+        primitive. Returns False when the file already exists."""
+        return bool(self.fs.createNewFile(self._Path(path)))
+
+
+class StoreLockedError(RuntimeError):
+    """Another writer holds the store's lock marker."""
+
+
+class _writer_lock:
+    """Lock marker guarding the write path (reference
+    ``storage_provider.go:36-246`` holds a storage lock for the same
+    reason: one writer owns the segment sequence). Context manager:
+    atomically creates ``<store>/_lock``; raises :class:`StoreLockedError`
+    if present. A crashed writer leaves the marker behind — call
+    ``DocumentStore.force_unlock()`` after confirming no writer is live."""
+
+    def __init__(self, fs: _FS, lock_path: str, op: str):
+        self._fs = fs
+        self._path = lock_path
+        self._op = op
+
+    def __enter__(self):
+        if not self._fs.create_new(self._path):
+            raise StoreLockedError(
+                f"{self._op}: writer lock {self._path} is held — another "
+                "append/delete/compact is in progress (or crashed; "
+                "force_unlock() after confirming no writer is live)"
+            )
+        return self
+
+    def __exit__(self, *exc):
+        self._fs.delete(self._path)
+        return False
+
 
 class DocumentStore:
     def __init__(self, spark: SparkSession, path: str, id_col: str = "id"):
@@ -70,7 +116,15 @@ class DocumentStore:
         self.id_col = id_col
         self.data_path = f"{path}/data"
         self.deletes_path = f"{path}/_deletes"
+        self.lock_path = f"{path}/_lock"
         self._fs = _FS(spark, path)
+
+    def _lock(self, op: str) -> _writer_lock:
+        return _writer_lock(self._fs, self.lock_path, op)
+
+    def force_unlock(self) -> None:
+        """Remove a stale writer lock left by a crashed writer."""
+        self._fs.delete(self.lock_path)
 
     # -- write path ----------------------------------------------------------
 
@@ -85,27 +139,36 @@ class DocumentStore:
         segs = self._segment_ids()
         return segs[-1] + 1 if segs else 0
 
-    def append(self, batch: DataFrame) -> int:
-        """Write one immutable segment (memtable flush, J1-J3)."""
+    def append(self, batch: DataFrame, *, seq_col: str | None = None) -> int:
+        """Write one immutable segment (memtable flush, J1-J3).
+
+        ``__seq`` makes newest-wins a TOTAL order even when one batch
+        carries the same id twice. By default it derives from
+        ``monotonically_increasing_id``, which is total but
+        partition-arbitrary: WHICH duplicate wins within one
+        multi-partition batch depends on partition layout, not row order.
+        Callers that need a deterministic intra-batch winner pass
+        ``seq_col`` — an existing numeric column where larger means newer
+        (an event time, an explicit version) — and ``__seq`` is taken
+        from it directly (no shuffle, no global sort)."""
         seg = self._next_segment()
-        (
-            batch.withColumn("segment", F.lit(seg))
-            # within-segment tiebreak: newest-wins needs a TOTAL order even
-            # when one batch carries the same id twice
-            .withColumn("__seq", F.monotonically_increasing_id())
-            .write.mode("append")
-            .partitionBy("segment")
-            .parquet(self.data_path)
-        )
+        out = batch.withColumn("segment", F.lit(seg))
+        if seq_col is not None:
+            out = out.withColumn("__seq", F.col(seq_col).cast("bigint"))
+        else:
+            out = out.withColumn("__seq", F.monotonically_increasing_id())
+        with self._lock("append"):
+            out.write.mode("append").partitionBy("segment").parquet(self.data_path)
         return seg
 
     def delete(self, ids: DataFrame) -> None:
         """Soft delete (J6), sequenced: hides versions in segments written
         BEFORE this call; a later re-append of the same id is visible."""
         upto = self._next_segment()
-        ids.select(
-            F.col(self.id_col), F.lit(upto).cast("bigint").alias("upto")
-        ).write.mode("append").parquet(self.deletes_path)
+        with self._lock("delete"):
+            ids.select(
+                F.col(self.id_col), F.lit(upto).cast("bigint").alias("upto")
+            ).write.mode("append").parquet(self.deletes_path)
 
     # -- read path -----------------------------------------------------------
 
@@ -114,7 +177,14 @@ class DocumentStore:
             raise FileNotFoundError(
                 f"store at {self.path} has no segments yet — append() first"
             )
-        return self.spark.read.option("basePath", self.data_path).parquet(self.data_path)
+        # mergeSchema: schema must come from ALL files, not whichever file
+        # the reader samples first — a store mixing pre-__seq segments
+        # with sequenced ones would otherwise silently drop __seq
+        return (
+            self.spark.read.option("basePath", self.data_path)
+            .option("mergeSchema", "true")
+            .parquet(self.data_path)
+        )
 
     def _deletes(self) -> DataFrame | None:
         if not any(
@@ -122,7 +192,13 @@ class DocumentStore:
             for f in self._fs.listdir(self.deletes_path)
         ):
             return None
-        return self.spark.read.parquet(self.deletes_path)
+        df = self.spark.read.option("mergeSchema", "true").parquet(self.deletes_path)
+        # backcompat: delete files written before sequencing carry no
+        # 'upto' — they predate every re-append, so they apply to all
+        # segments (watermark = +inf)
+        if "upto" not in df.columns:
+            df = df.withColumn("upto", F.lit(_SEQ_MAX))
+        return df.withColumn("upto", F.coalesce(F.col("upto"), F.lit(_SEQ_MAX)))
 
     def read(self) -> DataFrame:
         """Merged view (J5): newest (segment, __seq) wins per id; the
@@ -130,6 +206,8 @@ class DocumentStore:
         df = self._segments()
         if "__seq" not in df.columns:  # pre-__seq stores
             df = df.withColumn("__seq", F.lit(0))
+        else:  # pre-__seq segments mixed in surface as nulls under mergeSchema
+            df = df.withColumn("__seq", F.coalesce(F.col("__seq"), F.lit(0)))
         w = Window.partitionBy(self.id_col).orderBy(
             F.col("segment").desc(), F.col("__seq").desc()
         )
@@ -158,34 +236,42 @@ class DocumentStore:
         the old data directory is moved ASIDE before the compacted one
         moves in, so no window exists where the store has no data; only
         the delete files that were actually applied are removed."""
-        applied_delete_files = self._fs.listdir(self.deletes_path)
-        segs = self._segment_ids()
-        keep_seg = segs[-1] if segs else 0
-        merged = self.read().cache()
-        merged.count()  # materialize before touching the source files
-        tmp = self.data_path + ".compacting"
-        old = self.data_path + ".old"
-        self._fs.delete(tmp)
-        self._fs.delete(old)
-        # the compacted segment KEEPS the highest segment number: pending
-        # deletes are sequenced by segment watermark, so renumbering to 0
-        # would make a mid-compaction delete hide future appends
-        merged.withColumn("segment", F.lit(keep_seg)).write.mode(
-            "overwrite"
-        ).partitionBy("segment").parquet(tmp)
-        merged.unpersist()
-
-        if not self._fs.rename(self.data_path, old):
+        with self._lock("compact"):
+            applied_delete_files = self._fs.listdir(self.deletes_path)
+            segs = self._segment_ids()
+            keep_seg = segs[-1] if segs else 0
+            merged = self.read().cache()
+            merged.count()  # materialize before touching the source files
+            tmp = self.data_path + ".compacting"
+            old = self.data_path + ".old"
             self._fs.delete(tmp)
-            raise OSError(f"compact: could not move {self.data_path} aside")
-        if not self._fs.rename(tmp, self.data_path):
-            self._fs.rename(old, self.data_path)  # roll back
-            raise OSError(f"compact: could not install {tmp}")
-        self._fs.delete(old)
-        # drop only the deletes this compaction applied — a delete() issued
-        # mid-compaction stays pending for the next read/compaction
-        for name in applied_delete_files:
-            self._fs.delete(f"{self.deletes_path}/{name}")
+            self._fs.delete(old)
+            # the compacted segment KEEPS the highest segment number:
+            # pending deletes are sequenced by segment watermark, so
+            # renumbering to 0 would make a mid-compaction delete hide
+            # future appends. The compacted rows are all distinct ids, so
+            # a uniform __seq=0 is a valid restart of the within-segment
+            # order — and keeps the column in the file schema so later
+            # appends' __seq survives schema inference.
+            merged.withColumn("segment", F.lit(keep_seg)).withColumn(
+                "__seq", F.lit(0).cast("bigint")
+            ).write.mode("overwrite").partitionBy("segment").parquet(tmp)
+            merged.unpersist()
+
+            if not self._fs.rename(self.data_path, old):
+                self._fs.delete(tmp)
+                raise OSError(f"compact: could not move {self.data_path} aside")
+            if not self._fs.rename(tmp, self.data_path):
+                self._fs.rename(old, self.data_path)  # roll back
+                raise OSError(f"compact: could not install {tmp}")
+            self._fs.delete(old)
+            # drop only the deletes this compaction applied — a delete()
+            # issued mid-compaction stays pending for the next
+            # read/compaction (the lock blocks writers, so none can land
+            # mid-compaction in the locked flow; the file accounting keeps
+            # this correct even if force_unlock raced)
+            for name in applied_delete_files:
+                self._fs.delete(f"{self.deletes_path}/{name}")
 
     def segment_count(self) -> int:
         return len(self._segment_ids())

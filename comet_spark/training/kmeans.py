@@ -79,9 +79,13 @@ def _dist_block(mat: np.ndarray, cents: np.ndarray, metric: str) -> np.ndarray:
         )
         return np.maximum(d, 0.0)
     if metric == "cosine":
+        # zero norms (zero vectors/centroids) guard to 1.0: the dot is 0,
+        # sim = 0, distance = 1.0 — defined, no NaN poisoning the argmin
         an = np.linalg.norm(mat, axis=1)
         cn = np.linalg.norm(cents, axis=1)
-        sim = (mat @ cents.T) / np.outer(an, np.where(cn == 0, 1.0, cn))
+        sim = (mat @ cents.T) / np.outer(
+            np.where(an == 0, 1.0, an), np.where(cn == 0, 1.0, cn)
+        )
         return 1.0 - np.clip(sim, -1.0, 1.0)
     raise ValueError(f"unsupported kmeans metric {metric!r}")
 

@@ -358,3 +358,83 @@ def test_dedup_stream_null_text_not_collapsed(spark):
     ids = sorted(r["doc_id"] for r in out)
     assert len([i for i in ids if i in (1, 2)]) == 2  # null texts both kept
     assert len([i for i in ids if i in (3, 4)]) == 1  # real dup collapsed
+
+
+def test_store_compact_preserves_seq_column(spark, tmp_path):
+    """Regression (ADVICE r03): compact() must keep __seq in the file
+    schema — otherwise schema inference from the compacted file silently
+    drops the __seq that NEWER appends carry, and within-batch
+    newest-wins degrades to partition-arbitrary."""
+    from comet_spark.storage.store import DocumentStore
+
+    store = DocumentStore(spark, str(tmp_path / "cseq"))
+    store.append(spark.createDataFrame([(1, "v1")], "id bigint, text string"))
+    store.compact()
+    # post-compaction appends still surface their __seq in the merged scan
+    store.append(
+        spark.createDataFrame(
+            [(2, "first"), (2, "second")], "id bigint, text string"
+        ).coalesce(1)
+    )
+    assert "__seq" in store._segments().columns
+    got = {r["id"]: r["text"] for r in store.read().collect()}
+    assert got == {1: "v1", 2: "second"}
+
+
+def test_store_writer_lock(spark, tmp_path):
+    """Reference parity (storage_provider.go:36-246): one writer owns the
+    store — a second concurrent append/delete/compact fails fast on the
+    lock marker instead of corrupting the segment sequence."""
+    from comet_spark.storage.store import DocumentStore, StoreLockedError
+
+    store = DocumentStore(spark, str(tmp_path / "locked"))
+    store.append(spark.createDataFrame([(1, "a")], "id bigint, text string"))
+
+    # simulate a concurrent writer holding the lock
+    assert store._fs.create_new(store.lock_path)
+    with pytest.raises(StoreLockedError):
+        store.append(spark.createDataFrame([(2, "b")], "id bigint, text string"))
+    with pytest.raises(StoreLockedError):
+        store.delete(spark.createDataFrame([(1,)], "id bigint"))
+    with pytest.raises(StoreLockedError):
+        store.compact()
+
+    store.force_unlock()
+    store.append(spark.createDataFrame([(2, "b")], "id bigint, text string"))
+    assert {r["id"] for r in store.read().collect()} == {1, 2}
+    # the lock releases after each successful write
+    assert not store._fs.exists(store.lock_path)
+
+
+def test_store_pre_sequencing_delete_files_readable(spark, tmp_path):
+    """Backcompat: delete files written by the pre-sequencing code had no
+    'upto' column — they must read as applying to every segment present
+    then (watermark +inf), not crash the scan."""
+    from comet_spark.storage.store import DocumentStore
+
+    store = DocumentStore(spark, str(tmp_path / "oldstore"))
+    store.append(spark.createDataFrame([(1, "a"), (2, "b")], "id bigint, text string"))
+    # old-format delete file: bare ids, no upto
+    spark.createDataFrame([(2,)], "id bigint").write.mode("append").parquet(
+        store.deletes_path
+    )
+    assert {r["id"] for r in store.read().collect()} == {1}
+    # mixed old + new delete files coexist
+    store.delete(spark.createDataFrame([(1,)], "id bigint"))
+    assert store.read().count() == 0
+
+
+def test_store_append_seq_col_deterministic(spark, tmp_path):
+    """Caller-provided sequence column pins the intra-batch winner even
+    across partition layouts (the monotonically_increasing_id default is
+    total but partition-arbitrary for multi-partition batches)."""
+    from comet_spark.storage.store import DocumentStore
+
+    store = DocumentStore(spark, str(tmp_path / "verstore"))
+    batch = spark.createDataFrame(
+        [(1, "stale", 10), (1, "fresh", 20), (2, "only", 5)],
+        "id bigint, text string, version bigint",
+    ).repartition(4)
+    store.append(batch, seq_col="version")
+    got = {r["id"]: r["text"] for r in store.read().collect()}
+    assert got == {1: "fresh", 2: "only"}
