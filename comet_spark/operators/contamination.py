@@ -37,20 +37,33 @@ def decontaminate(
     text_col: str = "text",
     n: int = 8,
     round_to: int = 6,
+    train_shingles: DataFrame | None = None,
+    eval_shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Per-train-doc contamination audit against an eval set.
 
     Returns ``(id, n_shingles, n_contaminated, contaminated_frac,
     n_eval_docs_hit)`` — every train doc appears, including clean ones
     (zeros), so drop-rate accounting is total.
+
+    ``train_shingles``/``eval_shingles`` let a caller that already holds
+    a cached ``(id, shingle)`` table (e.g. filtered views of one corpus-
+    wide shingle cache) skip re-shingling; the caller owns their
+    lifecycle.
     """
     # the train shingle table feeds both the per-doc totals and the
     # hit counting — compute once, cache across the two passes (same
     # pattern as minhash_lsh_pairs)
-    tr = shingles(train_docs, id_col=id_col, text_col=text_col, n=n).cache()
-    ev = shingles(eval_docs, id_col=id_col, text_col=text_col, n=n).select(
-        F.col("id").alias("eval_id"), "shingle"
+    tr = (
+        train_shingles
+        if train_shingles is not None
+        else shingles(train_docs, id_col=id_col, text_col=text_col, n=n).cache()
     )
+    ev = (
+        eval_shingles
+        if eval_shingles is not None
+        else shingles(eval_docs, id_col=id_col, text_col=text_col, n=n)
+    ).select(F.col("id").alias("eval_id"), "shingle")
     totals = tr.groupBy("id").agg(F.count("*").alias("n_shingles"))
     hits = (
         tr.join(F.broadcast(ev), "shingle")

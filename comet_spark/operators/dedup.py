@@ -56,14 +56,25 @@ def _hash60(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col.cast("binary")), 1, 15), 16, 10).cast("bigint")
 
 
-def shingles(docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text", n: int = 3) -> DataFrame:
+def _tok(text_col: str, tokens_col: str | None) -> Column:
+    """Token source: an already-materialized token-array column when the
+    caller has one (the cached tokenize-once projection — computing the
+    UAX#29 pipeline once per corpus instead of once per operator), else
+    tokenize the text column in place."""
+    return F.col(tokens_col) if tokens_col is not None else tokenize(text_col)
+
+
+def shingles(
+    docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text",
+    n: int = 3, tokens_col: str | None = None,
+) -> DataFrame:
     """Distinct word n-gram shingles per doc → (id, shingle).
 
     Docs shorter than ``n`` tokens yield one truncated gram; docs with
     ZERO tokens yield NO rows — an empty-string sentinel would make every
     empty/punctuation-only doc a mutual jaccard-1.0 duplicate AND one hot
     join key (m empty docs → m² candidate rows on the '' shingle)."""
-    toks = tokenize(text_col)
+    toks = _tok(text_col, tokens_col)
     grams = F.transform(
         F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1))),
         lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
@@ -80,6 +91,7 @@ def ngram_jaccard_pairs(
     n: int = 3, min_jaccard: float = 0.3, round_to: int = 6,
     candidates: DataFrame | None = None,
     shingles_df: DataFrame | None = None,
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Exact jaccard over shingle sets → (a_id, b_id, jaccard).
 
@@ -89,7 +101,7 @@ def ngram_jaccard_pairs(
     shingle table.
     """
     sh = shingles_df if shingles_df is not None else shingles(
-        docs, id_col=id_col, text_col=text_col, n=n
+        docs, id_col=id_col, text_col=text_col, n=n, tokens_col=tokens_col
     )
     cnt = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
 
@@ -124,10 +136,11 @@ def ngram_jaccard_pairs(
 def minhash_signatures(
     docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text",
     n: int = 3, n_hashes: int = 16, shingles_df: DataFrame | None = None,
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """→ (id, i, mh): minhash value per doc per hash function."""
     sh = shingles_df if shingles_df is not None else shingles(
-        docs, id_col=id_col, text_col=text_col, n=n
+        docs, id_col=id_col, text_col=text_col, n=n, tokens_col=tokens_col
     )
     h = sh.select("id", (_hash32(F.col("shingle")) % MINHASH_P).alias("h"))
     # all n_hashes minima in ONE aggregation (no n_hashes× row blowup;
@@ -145,6 +158,8 @@ def minhash_lsh_pairs(
     docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text",
     n: int = 3, n_hashes: int = 16, bands: int = 4,
     min_jaccard: float = 0.3, round_to: int = 6,
+    shingles_df: DataFrame | None = None,
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """LSH banding → candidates → exact-jaccard verification.
 
@@ -160,11 +175,18 @@ def minhash_lsh_pairs(
         )
     rows_per_band = n_hashes // bands
     # the shingle table feeds both signature generation and the exact
-    # verification — compute once, cache across the two passes. The cache
-    # lives until the returned plan is garbage-collected or the session's
-    # cache is cleared; callers looping over many corpora should
-    # spark.catalog.clearCache() between iterations
-    sh = shingles(docs, id_col=id_col, text_col=text_col, n=n).cache()
+    # verification — compute once, cache across the two passes (or reuse
+    # a caller-cached ``shingles_df``, whose lifecycle the caller owns).
+    # The internal cache lives until the returned plan is garbage-
+    # collected or the session's cache is cleared; callers looping over
+    # many corpora should spark.catalog.clearCache() between iterations
+    sh = (
+        shingles_df
+        if shingles_df is not None
+        else shingles(
+            docs, id_col=id_col, text_col=text_col, n=n, tokens_col=tokens_col
+        ).cache()
+    )
     sig = minhash_signatures(sh, id_col="id", text_col=text_col, n=n, n_hashes=n_hashes, shingles_df=sh)
     banded = sig.withColumn("band", (F.col("i") / rows_per_band).cast("int"))
     # band signature: md5 over the ordered minhash values
@@ -195,13 +217,16 @@ def minhash_lsh_pairs(
 
 def simhash_fingerprints(
     docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text", bits: int = 60,
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """tf-weighted SimHash over 60 hash bits → (id, simhash BIGINT).
 
     All ``bits`` signed tf-weights are computed in ONE aggregation over the
     (id, term) tf table — no per-bit explode, so the shuffle carries the tf
     rows once instead of ``bits`` times (map-side combine applies)."""
-    toks = docs.select(F.col(id_col).alias("id"), F.explode(tokenize(text_col)).alias("term"))
+    toks = docs.select(
+        F.col(id_col).alias("id"), F.explode(_tok(text_col, tokens_col)).alias("term")
+    )
     tf = toks.groupBy("id", "term").agg(F.count("*").alias("tf"))
     th = tf.select("id", "tf", _hash60(F.col("term")).alias("h"))
     signed = [

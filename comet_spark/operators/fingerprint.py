@@ -32,8 +32,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from comet_spark.functions.text import tokenize
-from comet_spark.operators.dedup import _hash32  # one pinned hash convention
+from comet_spark.operators.dedup import _hash32, _tok  # one pinned hash convention
 
 __all__ = ["winnow_fingerprints", "winnow_neardup_pairs"]
 
@@ -45,13 +44,14 @@ def winnow_fingerprints(
     text_col: str = "text",
     k: int = 4,
     w: int = 5,
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Distinct winnowed fingerprints per document -> (id, fp).
 
     Documents shorter than k+w-1 tokens have no complete window and are
     dropped (they cannot share a guaranteed run anyway).
     """
-    toks = tokenize(text_col).alias("toks")
+    toks = _tok(text_col, tokens_col).alias("toks")
     base = docs.select(F.col(id_col).alias("id"), toks).filter(
         F.size("toks") >= k + w - 1
     )
@@ -78,6 +78,7 @@ def winnow_neardup_pairs(
     w: int = 5,
     max_df: int = 20,
     min_shared: int = 3,
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by shared winnowed fingerprints ->
     (a_id, b_id, n_shared, overlap).
@@ -86,7 +87,9 @@ def winnow_neardup_pairs(
     fingerprint sets, rounded to 6 — a containment score, so a short doc
     fully quoted inside a long one still scores ~1.0.
     """
-    fps = winnow_fingerprints(docs, id_col=id_col, text_col=text_col, k=k, w=w)
+    fps = winnow_fingerprints(
+        docs, id_col=id_col, text_col=text_col, k=k, w=w, tokens_col=tokens_col
+    )
     # drop boilerplate grams BEFORE sizing/pairing: bounds bucket skew and
     # keeps |fps| consistent between the overlap denominator and the join
     keep = fps.groupBy("fp").agg(F.count("*").alias("df")).filter(F.col("df") <= max_df)

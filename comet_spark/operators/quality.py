@@ -26,7 +26,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from comet_spark.functions.text import STOPWORDS_EN, tokenize
+from comet_spark.functions.text import STOPWORDS_EN
+from comet_spark.operators.dedup import _tok
 
 __all__ = ["gopher_rules", "repetition_metrics", "token_surprisal"]
 
@@ -37,6 +38,7 @@ def repetition_metrics(
     id_col: str = "doc_id",
     text_col: str = "text",
     round_to: int = 6,
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Gopher §A1.1 repetition family beyond the top-1-token rule in
     :func:`gopher_rules`: per-document
@@ -55,7 +57,7 @@ def repetition_metrics(
     and a second tiny one per doc; no per-n pass over the corpus. At
     100 TB this is the same two-shuffle budget as the top-token rule.
     """
-    toks = tokenize(text_col)
+    toks = _tok(text_col, tokens_col)
     base = docs.select(F.col(id_col).alias("id"), toks.alias("toks")).filter(
         F.size("toks") > 0
     )
@@ -103,12 +105,13 @@ def gopher_rules(
     min_stopwords: int = 2,
     max_top_token_frac: float = 0.125,
     stopwords: list[str] | None = None,
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Per-document quality audit -> (id, n_tokens, mean_token_len,
     n_stopwords, top_token_frac, ok_words, ok_mean_len, ok_stopwords,
     ok_repetition, keep)."""
     sw = F.array(*[F.lit(w) for w in (stopwords or STOPWORDS_EN)])
-    toks = tokenize(text_col)
+    toks = _tok(text_col, tokens_col)
     base = docs.select(F.col(id_col).alias("id"), toks.alias("toks")).filter(
         F.size("toks") > 0
     )
@@ -160,6 +163,7 @@ def token_surprisal(
     id_col: str = "doc_id",
     text_col: str = "text",
     round_to: int = 6,
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Corpus-LM proxy quality score: per-document mean token surprisal
     ``mean(-ln(ctf/total))`` under the corpus unigram distribution — the
@@ -174,7 +178,7 @@ def token_surprisal(
     only full shuffle is the per-doc mean aggregation. Linear at 100 TB.
     """
     toks = docs.select(
-        F.col(id_col).alias("id"), F.explode(tokenize(text_col)).alias("term")
+        F.col(id_col).alias("id"), F.explode(_tok(text_col, tokens_col)).alias("term")
     )
     tf = toks.groupBy("term").agg(F.count("*").alias("ctf"))
     tot = tf.agg(F.sum("ctf").cast("double").alias("__total"))

@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from comet_spark.functions.text import tokenize
+from comet_spark.operators.dedup import _tok
 
 __all__ = ["hash_bucket", "hash_sample", "pack_sequences"]
 
@@ -85,6 +85,7 @@ def pack_sequences(
     text_col: str = "text",
     shard_col: str = "source",
     budget: int = 256,
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Greedy contiguous packing -> (shard, bin, n_docs, total_tokens, fill).
 
@@ -99,7 +100,7 @@ def pack_sequences(
     sized = docs.select(
         F.col(shard_col).alias("shard"),
         F.col(id_col).alias("id"),
-        F.coalesce(F.size(tokenize(text_col)), F.lit(0)).alias("n_toks"),
+        F.coalesce(F.size(_tok(text_col, tokens_col)), F.lit(0)).alias("n_toks"),
     )
     binned = sized.withColumn(
         "bin",

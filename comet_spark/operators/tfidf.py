@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from comet_spark.functions.text import tokenize
+from comet_spark.operators.dedup import _tok
 
 __all__ = ["tfidf_cosine_pairs"]
 
@@ -36,12 +36,16 @@ def tfidf_cosine_pairs(
     min_sim: float = 0.3,
     max_df: int | None = None,
     round_to: int = 6,
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """All doc pairs with TF-IDF cosine ≥ ``min_sim`` → ``(a_id, b_id,
     cosine)``. N and df are computed over the full input corpus BEFORE
     the ``max_df`` join pruning, so weights don't depend on the knob."""
     tf = (
-        docs.select(F.col(id_col).alias("id"), F.explode(tokenize(text_col)).alias("term"))
+        docs.select(
+            F.col(id_col).alias("id"),
+            F.explode(_tok(text_col, tokens_col)).alias("term"),
+        )
         .groupBy("id", "term")
         .agg(F.count("*").cast("double").alias("tf"))
     )
