@@ -2985,10 +2985,17 @@ _TOKDOCS_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
 def _docs_tok(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from comet_spark.functions.text import ensure_nfkc
+
     key = (_skey(spark), sf_dir)
     if key not in _TOKDOCS_CACHE:
+        # ensure_nfkc = write-time normalization: a no-op passthrough on
+        # the ASCII driver corpus (one probe scan), an Arrow NFKC pass on
+        # a non-NFKC corpus — either way queries stay native
         _TOKDOCS_CACHE[key] = (
-            _docs_par(spark, sf_dir).withColumn("__toks", tokenize("text")).cache()
+            ensure_nfkc(_docs_par(spark, sf_dir))
+            .withColumn("__toks", tokenize("text"))
+            .cache()
         )
     return _TOKDOCS_CACHE[key]
 

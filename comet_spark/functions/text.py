@@ -24,12 +24,17 @@ marker-joined tokens and the marker is stripped. The DuckDB oracle
 so both engines tokenize identically — which is what keeps BM25/dedup
 scores hash-checkable.
 
-NFKC is not expressible natively; ``tokenize`` therefore assumes
-NFKC-normalized input (identity on ASCII — asserted for the driver corpus
-in tests). For arbitrary Unicode use ``tokenize_unicode`` (Arrow-batched
-pandas UDF: NFKC → lower → full pure-Python UAX#29, the reference-exact
-slow path) — property-tested to agree with the native path on
-NFKC-invariant text (tests/test_text.py).
+NFKC is not expressible natively; the engine therefore normalizes at
+WRITE time (``ensure_nfkc`` — the same ingest-time design the reference
+uses for cosine-normalizing vectors, ``flat_index.go:179-187``, applied
+to its unconditional text NFKC, ``bm25_index.go:153-156``): an
+already-NFKC corpus (ASCII is the common case; NFKC is identity on
+ASCII) passes through with zero Python, a non-NFKC corpus pays one
+Arrow-batched normalization when its index/projection is built, and
+every QUERY-time plan stays native either way. ``tokenize_unicode``
+(NFKC → lower → full pure-Python UAX#29) remains the reference-exact
+per-row slow path — property-tested to agree with the native pipeline
+on NFKC-normalized text (tests/test_text.py).
 """
 
 from __future__ import annotations
@@ -46,6 +51,8 @@ __all__ = [
     "BPE_PRETOKEN_RE",
     "bpe_pretokenize",
     "nfkc",
+    "ensure_nfkc",
+    "has_non_ascii",
     "token_count",
     "stopword_ratio",
     "STOPWORDS_EN",
@@ -121,7 +128,17 @@ def bpe_pretokenize(col: Column | str) -> Column:
 def _nfkc_fn(s: pd.Series) -> pd.Series:
     import unicodedata
 
-    return s.map(lambda x: unicodedata.normalize("NFKC", x) if x is not None else None)
+    def norm(x):
+        if x is None:
+            return None
+        # ASCII fast path: NFKC is identity on ASCII, skip the normalize
+        # call (the Arrow transfer is already paid; this avoids the
+        # per-row normalization cost on mostly-ASCII corpora)
+        if x.isascii():
+            return x
+        return unicodedata.normalize("NFKC", x)
+
+    return s.map(norm)
 
 
 def nfkc(col: Column | str) -> Column:
@@ -130,6 +147,31 @@ def nfkc(col: Column | str) -> Column:
     that aren't already NFKC-normalized."""
     c = F.col(col) if isinstance(col, str) else col
     return pandas_udf(_nfkc_fn, "string")(c)
+
+
+def has_non_ascii(df, text_col: str = "text") -> bool:
+    """Corpus probe: does any row carry non-ASCII text? One native
+    column scan (early-exits on the first match); drives the write-time
+    normalization decision in :func:`ensure_nfkc`."""
+    c = F.col(text_col)
+    return df.where(c.isNotNull() & c.rlike("[^\\x00-\\x7F]")).limit(1).count() > 0
+
+
+def ensure_nfkc(df, text_col: str = "text"):
+    """Write-time NFKC normalization — makes the native tokenize
+    spec-complete on ANY corpus with zero per-query Python (reference
+    normalizes every string unconditionally at index build,
+    ``bm25_index.go:153-156``; same ingest-time pattern as its cosine
+    vector normalization, ``flat_index.go:179-187``).
+
+    An all-ASCII corpus (NFKC = identity) passes through untouched — the
+    plan gains no Python stage at all. Otherwise the text column is
+    rewritten through the Arrow-batched NFKC pass ONCE, at the moment
+    the caller builds its index/projection, so every subsequent query
+    stays on the native JVM pipeline."""
+    if has_non_ascii(df, text_col):
+        return df.withColumn(text_col, nfkc(text_col))
+    return df
 
 
 def token_count(text: Column | str) -> Column:

@@ -11,9 +11,11 @@ Fidelity notes (documented approximations, all irrelevant to the ASCII
 corpora the driver ships):
 - ALetter is approximated as "alphabetic, not Hiragana/Katakana/Han":
   ideographic scripts segment char-by-char per WB999, as in the spec.
-- WB3c (ZWJ × Extended_Pictographic) needs the emoji property table,
-  which ``unicodedata`` does not expose; ZWJ is treated only as an
-  Extend-class skip (WB4), so some ZWJ emoji sequences split.
+- WB3c (ZWJ × Extended_Pictographic) is implemented against the
+  Extended_Pictographic ranges vendored below from the public Unicode
+  emoji-data file (UTS #51 / emoji-data.txt, merged contiguous form —
+  the property is stable and intentionally covers unassigned reserved
+  blocks), since ``unicodedata`` does not expose the property.
 - Numeric is General_Category Nd (the spec adds a handful of Other_*
   code points).
 
@@ -30,7 +32,13 @@ from __future__ import annotations
 
 import unicodedata
 
-__all__ = ["wb_class", "segments", "word_tokens", "tokenize_unicode_py"]
+__all__ = [
+    "wb_class",
+    "segments",
+    "word_tokens",
+    "tokenize_unicode_py",
+    "is_extended_pictographic",
+]
 
 # -- Word_Break property classification ---------------------------------
 
@@ -62,6 +70,41 @@ _NON_ALETTER_RANGES = (
     (0x4E00, 0x9FFF), (0x3400, 0x4DBF),   # CJK ideographs
     (0xF900, 0xFAFF), (0x20000, 0x2FA1F),
 )
+
+# Extended_Pictographic (WB3c operand): merged ranges from the public
+# Unicode emoji-data.txt (UTS #51). The file deliberately includes
+# unassigned/reserved code points so the property is forward-stable;
+# the merged form below preserves that.
+_EXT_PICT_RANGES = (
+    (0x00A9, 0x00A9), (0x00AE, 0x00AE), (0x203C, 0x203C), (0x2049, 0x2049),
+    (0x2122, 0x2122), (0x2139, 0x2139), (0x2194, 0x2199), (0x21A9, 0x21AA),
+    (0x231A, 0x231B), (0x2328, 0x2328), (0x2388, 0x2388), (0x23CF, 0x23CF),
+    (0x23E9, 0x23F3), (0x23F8, 0x23FA), (0x24C2, 0x24C2), (0x25AA, 0x25AB),
+    (0x25B6, 0x25B6), (0x25C0, 0x25C0), (0x25FB, 0x25FE), (0x2600, 0x2605),
+    (0x2607, 0x2612), (0x2614, 0x2685), (0x2690, 0x2705), (0x2708, 0x2712),
+    (0x2714, 0x2714), (0x2716, 0x2716), (0x271D, 0x271D), (0x2721, 0x2721),
+    (0x2728, 0x2728), (0x2733, 0x2734), (0x2744, 0x2744), (0x2747, 0x2747),
+    (0x274C, 0x274C), (0x274E, 0x274E), (0x2753, 0x2755), (0x2757, 0x2757),
+    (0x2763, 0x2767), (0x2795, 0x2797), (0x27A1, 0x27A1), (0x27B0, 0x27B0),
+    (0x27BF, 0x27BF), (0x2934, 0x2935), (0x2B05, 0x2B07), (0x2B1B, 0x2B1C),
+    (0x2B50, 0x2B50), (0x2B55, 0x2B55), (0x3030, 0x3030), (0x303D, 0x303D),
+    (0x3297, 0x3297), (0x3299, 0x3299),
+    (0x1F000, 0x1F0FF), (0x1F10D, 0x1F10F), (0x1F12F, 0x1F12F),
+    (0x1F16C, 0x1F171), (0x1F17E, 0x1F17F), (0x1F18E, 0x1F18E),
+    (0x1F191, 0x1F19A), (0x1F1AD, 0x1F1E5), (0x1F201, 0x1F20F),
+    (0x1F21A, 0x1F21A), (0x1F22F, 0x1F22F), (0x1F232, 0x1F23A),
+    (0x1F23C, 0x1F23F), (0x1F249, 0x1F3FA), (0x1F400, 0x1F53D),
+    (0x1F546, 0x1F64F), (0x1F680, 0x1F6FF), (0x1F774, 0x1F77F),
+    (0x1F7D5, 0x1F7FF), (0x1F80C, 0x1F80F), (0x1F848, 0x1F84F),
+    (0x1F85A, 0x1F85F), (0x1F888, 0x1F88F), (0x1F8AE, 0x1F8FF),
+    (0x1F90C, 0x1F93A), (0x1F93C, 0x1F945), (0x1F947, 0x1FAFF),
+    (0x1FC00, 0x1FFFD),
+)
+
+
+def is_extended_pictographic(ch: str) -> bool:
+    """Extended_Pictographic property (vendored emoji-data ranges)."""
+    return _in_ranges(ord(ch), _EXT_PICT_RANGES)
 
 
 def _in_ranges(cp: int, ranges) -> bool:
@@ -95,6 +138,8 @@ def wb_class(ch: str) -> int:
     cat = unicodedata.category(ch)
     if cat in ("Mn", "Mc", "Me") or ch == _ZWNJ_CH:
         return EXTEND
+    if 0x1F3FB <= cp <= 0x1F3FF:
+        return EXTEND  # emoji skin-tone modifiers are Word_Break=Extend
     if cat == "Cf":
         return FORMAT
     if cat == "Pc" or ch == _NNBSP:
@@ -136,6 +181,10 @@ def _breaks(text: str) -> list[int]:
         # WB3a/3b: break around newlines (these ignore WB4 skipping)
         if lc in (NEWLINE, CR, LF) or rc in (NEWLINE, CR, LF):
             breaks.append(i)
+            continue
+        # WB3c: ZWJ × Extended_Pictographic (literal previous char — the
+        # rule precedes WB4, so no skip-class folding applies)
+        if lc == ZWJ and is_extended_pictographic(text[i]):
             continue
         # WB3d: WSegSpace × WSegSpace
         if lc == WSEGSPACE and rc == WSEGSPACE:

@@ -28,7 +28,7 @@ import re
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from comet_spark.functions.text import tokenize
+from comet_spark.functions.text import ensure_nfkc, tokenize
 from comet_spark.functions.uax29 import tokenize_unicode_py
 from comet_spark.operators.topk import topk
 
@@ -67,8 +67,15 @@ class BM25:
 
     def __init__(
         self, docs: DataFrame, *, id_col: str = "id", text_col: str = "text",
-        cache: bool = False,
+        cache: bool = False, normalize: bool = True,
     ):
+        # write-time NFKC (reference bm25_index.go:153-156): the index
+        # build normalizes once, so scoring stays native on any corpus.
+        # ASCII corpora pass through with zero added cost (one probe
+        # scan); normalize=False opts out when the caller guarantees
+        # already-normalized input.
+        if normalize:
+            docs = ensure_nfkc(docs, text_col)
         toks = docs.select(
             F.col(id_col).alias("id"), F.explode(tokenize(text_col)).alias("term")
         )

@@ -216,3 +216,93 @@ GROUP BY tf.id
 """
     want = {r[0]: r[1] for r in con.execute(sql).fetchall()}
     assert got == want
+
+
+def test_python_uax29_wb3c_zwj_emoji():
+    """WB3c: ZWJ × Extended_Pictographic — ZWJ emoji sequences hold
+    together (vendored emoji-data ranges; the reference gets this from
+    clipperhouse/uax29, go.mod:7)."""
+    zwj = "‍"
+    family = "\U0001F468" + zwj + "\U0001F469" + zwj + "\U0001F467" + zwj + "\U0001F466"
+    assert segments(family) == [family]
+    woman_boy = "\U0001F469" + zwj + "\U0001F466"
+    assert segments("go " + woman_boy + " now") == ["go", " ", woman_boy, " ", "now"]
+    # emoji aren't wordlike; the filter still drops them
+    assert word_tokens("go " + woman_boy + " now") == ["go", "now"]
+    # heart with ZWJ + variation selector: ❤️‍🔥 (VS16 is Extend, WB4)
+    heart_fire = "❤️" + zwj + "\U0001F525"
+    assert segments(heart_fire) == [heart_fire]
+    # negative: ZWJ before a NON-pictographic still breaks per WB999
+    assert segments("?" + zwj + "!") == ["?" + zwj, "!"]
+    # skin-tone modifiers are Word_Break=Extend
+    thumbs = "\U0001F44D\U0001F3FD"
+    assert segments(thumbs) == [thumbs]
+
+
+def test_ensure_nfkc_ascii_passthrough(spark):
+    """An all-ASCII corpus must pass through ensure_nfkc UNTOUCHED — same
+    DataFrame object, so the plan gains no Python stage."""
+    from comet_spark.functions.text import ensure_nfkc
+
+    df = spark.createDataFrame([(1, "plain ascii text")], "id bigint, text string")
+    assert ensure_nfkc(df) is df
+
+
+def test_native_path_end_to_end_on_non_nfkc_corpus(spark):
+    """Write-time normalization closes the NFKC gap: ensure_nfkc + the
+    NATIVE tokenize must equal the reference-exact Python pipeline (and
+    the DuckDB oracle on the normalized text) on a corpus full of
+    NFKC-unstable characters — ligatures, fullwidth forms, circled
+    digits, compatibility symbols, decomposed accents."""
+    import random
+
+    from __spark_entry__ import _SQL_TOKENIZE
+    from comet_spark.functions.text import ensure_nfkc, tokenize
+
+    # every char's NFKC image stays inside the native-supported class
+    # (letters/digits/ASCII joiners) — CJK/fraction-slash outputs are the
+    # documented Arrow-path cases, not regressions
+    symbols = list("abc z 019 .,;:'ﬁﬂＡＢＣＴＥＳＴ①②²é") + ["é"]
+    rng = random.Random(53)
+    rows = [
+        (i, "".join(rng.choice(symbols) for _ in range(rng.randrange(0, 30))))
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "id bigint, text string")
+    normed = ensure_nfkc(df)
+    got = {
+        r["id"]: r["t"]
+        for r in normed.select("id", tokenize("text").alias("t")).collect()
+    }
+    con = duckdb.connect()
+    for i, s in rows:
+        want = tokenize_unicode_py(s)
+        assert got[i] == want, repr(s)
+        ns = unicodedata.normalize("NFKC", s)
+        lit = "'" + ns.replace("'", "''") + "'"
+        oracle = con.execute("SELECT " + _SQL_TOKENIZE.format(col=lit)).fetchone()[0]
+        assert oracle == want, repr(s)
+
+
+def test_bm25_default_normalizes_non_ascii_corpus(spark):
+    """BM25 end-to-end on a non-NFKC corpus: the default (write-time
+    normalization) must score exactly like an explicitly pre-normalized
+    corpus with normalization off."""
+    from comet_spark.operators.bm25 import BM25
+
+    rows = [
+        (0, "ﬁsh and chips"),        # ligature fi
+        (1, "ＦＩＳＨ market stall"),  # fullwidth FISH
+        (2, "fish fish fish soup"),
+        (3, "nothing relevant here"),
+    ]
+    docs = spark.createDataFrame(rows, "id bigint, text string")
+    pre = spark.createDataFrame(
+        [(i, unicodedata.normalize("NFKC", t)) for i, t in rows],
+        "id bigint, text string",
+    )
+    got = [tuple(r) for r in BM25(docs).score("fish", k=0).collect()]
+    want = [tuple(r) for r in BM25(pre, normalize=False).score("fish", k=0).collect()]
+    assert got == want
+    # all three fish-bearing docs score (ligature + fullwidth folded in)
+    assert sorted(i for i, _ in got) == [0, 1, 2]
