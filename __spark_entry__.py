@@ -2069,6 +2069,53 @@ WHERE rn <= {K}
 )
 
 
+def _hybrid_adc_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid fusion over the COMPRESSED vector path — completes the
+    hybrid × layout matrix (flat: hybrid_rrf, IVF-pruned: hybrid_ivf_rrf,
+    PQ-compressed: here; the reference wraps any index,
+    ``hybrid_search_index.go:326-365``): metadata prefilter → PQ ADC scan
+    over the surviving codes → BM25 → RRF, all in one builder chain. The
+    oracle replays the ADC scan from the exported codes + LUT artifacts
+    (same by-construction scheme as pq_adc_knn) over the same lang
+    candidates."""
+    _pq_adc(spark, sf_dir)  # trained PQ + codes + lut_q artifacts
+    pq, codes = _PQ_CACHE[(_skey(spark), sf_dir)]
+    corpus = _hybrid_corpus(spark, sf_dir)
+    corpus._pq, corpus._pq_codes = pq, codes
+    hs = (
+        corpus.hybrid_search()
+        .with_vector(_hybrid_qvec(spark, sf_dir))
+        .with_text(BM25_QUERY)
+        .with_metadata(Eq(Field("lang"), HYBRID_LANG))
+        .with_k(K)
+        .with_adc()
+        .with_fusion("rrf")
+    )
+    return hs.execute().select(F.col("id").alias("doc_id"), "score")
+
+
+_register(
+    "hybrid_adc_rrf",
+    _hybrid_adc_rrf,
+    f"""
+WITH c AS (SELECT id, codes FROM read_parquet('{_ART01}/pq/codes.parquet/*.parquet')
+           WHERE id IN (SELECT doc_id FROM documents WHERE lang = '{HYBRID_LANG}')),
+l AS (SELECT sub, code, dist FROM read_parquet('{_ART01}/pq/lut_q.parquet/*.parquet')),
+adc AS ({_sql_adc('c', 'l')}),
+vres AS (SELECT vec_id AS id, score FROM adc ORDER BY score, vec_id LIMIT {K}),
+{_sql_bm25_ctes().strip().rstrip(',')},
+{_sql_bm25_score(BM25_QUERY, cand_where=f"lang = '{HYBRID_LANG}'")},
+tres AS (SELECT id, ROUND(score, 6) AS score FROM sc ORDER BY score DESC, id LIMIT {K}),
+vrank AS (SELECT id, row_number() OVER (ORDER BY score ASC, id ASC) - 1 AS r FROM vres),
+trank AS (SELECT id, row_number() OVER (ORDER BY score DESC, id ASC) - 1 AS r FROM tres)
+SELECT coalesce(vrank.id, trank.id) AS doc_id,
+       ROUND(coalesce(1.0/(60.0 + vrank.r), 0) + coalesce(1.0/(60.0 + trank.r), 0), 6) AS score
+FROM vrank FULL OUTER JOIN trank ON vrank.id = trank.id
+ORDER BY score DESC, doc_id LIMIT {K}
+""",
+)
+
+
 def _ivfpq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
 

@@ -55,19 +55,26 @@ def main() -> None:
     total = sum(v for v in timings.values() if v == v and v != float("inf"))
     cold_total = sum(v for v in cold.values() if v == v)
 
-    print(
-        json.dumps(
-            {
-                "metric": "batch_query_suite_runtime",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "passes": passes,
-                "cold_total": round(cold_total, 3),
-            }
-        )
-    )
+    payload = {
+        "metric": "batch_query_suite_runtime",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "passes": passes,
+        "cold_total": round(cold_total, 3),
+    }
+    print(json.dumps(payload))
+    # the driver's BENCH record truncates to a tail of the stdout line, so
+    # round-over-round diffs lose the first third of the alphabet — also
+    # persist the COMPLETE per-query map (cold pass included) as a local
+    # artifact next to the repo root
+    try:
+        out = os.environ.get("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), out), "w") as fh:
+            json.dump({**payload, "cold": cold}, fh, indent=1, sort_keys=True)
+    except OSError:
+        pass  # a read-only checkout must not fail the bench
     spark.stop()
 
 
