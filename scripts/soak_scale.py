@@ -1,0 +1,138 @@
+"""10x-local scale soak for the dedup/ANN families (SCALE.md evidence).
+
+Generates a deterministic sf1-equivalent corpus (50k docs / 20k vectors —
+10x the sf0.1 tables, same schema, same vocabulary style, with an
+injected ~6% near-dup rate so the dedup operators have real work), then
+runs the headline dedup/ANN queries at sf0.1 AND at the soak scale and
+prints the per-query times side by side. Sub-quadratic growth at 10x
+data means the banded/bucketed designs hold; an all-pairs design would
+show ~100x.
+
+Usage: python scripts/soak_scale.py  [writes .artifacts/soak/sf1/*.parquet
+and SCALE_SOAK.json at the repo root]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import random
+import time
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+import sys  # noqa: E402
+
+if ROOT not in sys.path:
+    sys.path.insert(0, ROOT)
+SOAK_DIR = os.path.join(ROOT, ".artifacts", "soak", "sf1")
+SF01 = "/root/testdata/sf0.1"
+
+N_DOCS = 50_000
+N_VECS = 20_000
+DIM = 64
+NEARDUP_FRAC = 0.06
+
+QUERIES = [
+    "minhash_lsh_pairs",
+    "simhash_neardup_pairs",
+    "winnow_neardup_pairs",
+    "dedup_clusters",
+    "ngram_jaccard_pairs",
+    "lsh_ann_topk",
+    "knn_batch100",
+    "token_stats",
+    "repetition_metrics",
+]
+
+
+def generate() -> None:
+    if os.path.exists(os.path.join(SOAK_DIR, "embeddings.parquet")):
+        print(f"soak corpus already at {SOAK_DIR}")
+        return
+    os.makedirs(SOAK_DIR, exist_ok=True)
+    rng = random.Random(1729)
+
+    # vocabulary + doc-length distribution bootstrapped from the real corpus
+    seed_docs = pq.read_table(f"{SF01}/documents.parquet").to_pylist()
+    vocab = sorted({w for r in seed_docs for w in r["text"].split()})
+    lengths = [len(r["text"].split()) for r in seed_docs]
+    langs = [r["lang"] for r in seed_docs]
+    sources = [f"src{i}" for i in range(20)]
+
+    texts: list[str] = []
+    for i in range(N_DOCS):
+        if texts and rng.random() < NEARDUP_FRAC:
+            # near-dup of an earlier doc: copy + mutate a few tokens
+            base = texts[rng.randrange(len(texts))].split()
+            for _ in range(max(1, len(base) // 15)):
+                base[rng.randrange(len(base))] = rng.choice(vocab)
+            texts.append(" ".join(base))
+        else:
+            n = rng.choice(lengths)
+            texts.append(" ".join(rng.choice(vocab) for _ in range(n)))
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array(range(N_DOCS), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array([rng.choice(langs) for _ in range(N_DOCS)], pa.string()),
+            "source": pa.array(
+                [sources[i % len(sources)] for i in range(N_DOCS)], pa.string()
+            ),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+    pq.write_table(docs, os.path.join(SOAK_DIR, "documents.parquet"))
+
+    nprng = np.random.default_rng(1729)
+    centers = nprng.normal(0, 1, (10, DIM)).astype(np.float32)
+    labels = nprng.integers(0, 10, N_VECS)
+    vecs = (centers[labels] + nprng.normal(0, 0.35, (N_VECS, DIM))).astype(np.float32)
+    emb = pa.table(
+        {
+            "vec_id": pa.array(range(N_VECS), pa.int64()),
+            "embedding": pa.array([v.tolist() for v in vecs], pa.list_(pa.float32())),
+            "label": pa.array(labels.tolist(), pa.int32()),
+        }
+    )
+    pq.write_table(emb, os.path.join(SOAK_DIR, "embeddings.parquet"))
+    print(f"wrote {N_DOCS} docs / {N_VECS} vecs to {SOAK_DIR}")
+
+
+def main() -> None:
+    generate()
+
+    from comet_spark.session import get_spark
+
+    spark = get_spark("comet-spark-soak")
+    spark.sparkContext.setLogLevel("ERROR")
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+    results: dict[str, dict] = {}
+    for sf_label, sf_dir in (("sf0.1", SF01), ("soak10x", SOAK_DIR)):
+        for name in QUERIES:
+            t0 = time.perf_counter()
+            n = len(qs[name](spark, sf_dir).collect())
+            dt = round(time.perf_counter() - t0, 2)
+            results.setdefault(name, {})[sf_label] = {"sec": dt, "rows": n}
+            print(f"{sf_label:8s} {name:24s} {dt:8.2f}s  {n} rows", flush=True)
+
+    print(f"\n{'query':26s} {'sf0.1':>8s} {'10x':>8s} {'ratio':>7s}")
+    for name, r in results.items():
+        a, b = r["sf0.1"]["sec"], r["soak10x"]["sec"]
+        ratio = round(b / a, 1) if a > 0 else float("inf")
+        r["ratio"] = ratio
+        print(f"{name:26s} {a:8.2f} {b:8.2f} {ratio:>6.1f}x")
+
+    with open(os.path.join(ROOT, "SCALE_SOAK.json"), "w") as fh:
+        json.dump(results, fh, indent=1)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
