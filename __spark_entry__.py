@@ -2351,6 +2351,57 @@ def _hnsw_multi_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
 _register("hnsw_multi_sum", _hnsw_multi_sum, _sql_knn_multi("sum(score)"))
 
 
+_DHNSW_CACHE: dict[tuple[str, str], object] = {}
+
+
+def _hnsw_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 option (c): per-partition HNSW sub-graphs built in mapInPandas
+    (no driver collect, no row cap — hnsw.py DistributedHNSW); search
+    walks every sub-graph in parallel and the union of beams feeds the
+    same semi-join exact-scoring plan as the driver graph. Oracle
+    replays exact scoring + ordering from the exported candidate
+    artifact (by-construction, like hnsw_ann_topk)."""
+    from comet_spark.functions.vector import distance as dist_fn
+    from comet_spark.operators.hnsw import DistributedHNSW
+    from comet_spark.operators.topk import topk
+
+    key = (_skey(spark), sf_dir)
+    if key not in _DHNSW_CACHE:
+        _DHNSW_CACHE[key] = DistributedHNSW.build(
+            _emb_docs(spark, sf_dir), m=8, ef_construction=100, num_partitions=8
+        )
+    ix: DistributedHNSW = _DHNSW_CACHE[key]
+    qvec = _hybrid_qvec(spark, sf_dir)
+    art = f"{_art_dir(sf_dir)}/dhnsw"
+    key2 = (_skey(spark), sf_dir, "dhnsw_cands")
+    if key2 not in _PROBE_WRITTEN:
+        ix.candidates(qvec, ef_search=100).distinct().repartition(1).write.mode(
+            "overwrite"
+        ).parquet(f"{art}/candidates.parquet")
+        _PROBE_WRITTEN.add(key2)
+    cand = spark.read.parquet(f"{art}/candidates.parquet")
+    e = _emb_docs(spark, sf_dir).select("id", F.col("vector").cast("array<double>").alias("v"))
+    qlit = F.array(*[F.lit(float(x)) for x in qvec])
+    scored = e.join(F.broadcast(cand), "id", "left_semi").select(
+        "id", F.round(dist_fn("l2", F.col("v"), qlit), 6).alias("score")
+    )
+    res = topk(scored, [F.col("score").asc(), F.col("id").asc()], K)
+    return res.select(F.col("id").alias("vec_id"), "score")
+
+
+_register(
+    "hnsw_dist_topk",
+    _hnsw_dist,
+    f"""
+WITH c AS (SELECT id FROM read_parquet('{_ART01}/dhnsw/candidates.parquet/*.parquet')),
+q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = {QUERY_VEC_ID}),
+e AS (SELECT e.vec_id, embedding::DOUBLE[] AS v FROM embeddings e JOIN c ON c.id = e.vec_id),
+d AS (SELECT vec_id, ROUND({_sql_l2('e.v', 'q.qv')}, 6) AS score FROM e, q)
+SELECT vec_id, score FROM d ORDER BY score, vec_id LIMIT {K}
+""",
+)
+
+
 def _lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A3 HNSW-role: LSH candidates + exact rescore (deterministic: fixed
     hyperplane seed, per-row signatures, total-order top-k)."""

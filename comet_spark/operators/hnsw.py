@@ -12,7 +12,14 @@ role and is explicit about which to use when:
   reference itself is a single-node in-memory engine; its HNSW holds the
   whole graph in RAM too, ~634 MB at SIFT-1M per BASELINE.md). Build is
   capped by ``max_rows`` so a 100 TB table cannot be collected by
-  accident; beyond that, use LSH or an IVF-pruned scan.
+  accident.
+- ``DistributedHNSW`` (here, SURVEY A3 option c): per-partition HNSW
+  sub-graphs built INSIDE ``mapInPandas`` — no driver collect, no
+  max_rows guard. Each partition owns a hash-random slice; a search
+  walks every sub-graph in parallel and the union of the per-slice
+  beams feeds one distributed exact top-k. The true global top-k is the
+  union of per-slice top-k by construction, so recall only depends on
+  each (small, easy) sub-graph's beam quality.
 
 The *scoring* stays in Spark: ``search`` returns the beam's visited
 candidate set and the cluster computes exact distances + top-k over a
@@ -39,7 +46,7 @@ from pyspark.sql import functions as F
 from comet_spark.functions.vector import to_double_array
 from comet_spark.operators.topk import topk
 
-__all__ = ["HNSWIndex"]
+__all__ = ["HNSWIndex", "DistributedHNSW"]
 
 MAX_LEVEL_CAP = 16
 
@@ -336,3 +343,171 @@ class HNSWIndex:
         return topk_per_group(
             scored, ["qid"], [F.col("score").asc(), F.col("id").asc()], k
         ).select("qid", "id", "score")
+
+
+# executor-local cache of deserialized sub-graphs, keyed by blob digest:
+# Spark reuses executor processes across jobs, so repeated searches over
+# a cached graph table skip the unpickle. Bounded by the partitions an
+# executor ever hosts (each blob is one corpus slice).
+_SUBGRAPH_CACHE: dict[str, "HNSWIndex"] = {}
+
+
+def _subgraph_from_blob(blob: bytes) -> "HNSWIndex":
+    import hashlib
+    import pickle
+
+    key = hashlib.md5(blob).hexdigest()
+    g = _SUBGRAPH_CACHE.get(key)
+    if g is None:
+        state = pickle.loads(blob)
+        g = HNSWIndex.__new__(HNSWIndex)
+        g.__dict__.update(state)
+        _SUBGRAPH_CACHE[key] = g
+    return g
+
+
+class DistributedHNSW:
+    """Per-partition HNSW sub-graphs (SURVEY A3 option c) — the build
+    path with NO driver collect and NO row cap.
+
+    Build: one deterministic hash-repartition on id (slices are random,
+    which is exactly what union-of-top-k wants), then each partition
+    builds a standard :class:`HNSWIndex` over its own rows inside
+    ``mapInPandas`` and emits it as one pickled row — the graph table is
+    ``(part, n_rows, graph binary)``, one row per partition, cacheable
+    and persistable like any DataFrame.
+
+    Search: broadcast the query to every sub-graph row; each walks ITS
+    graph (microseconds — sub-graphs are 1/P of the corpus) and emits
+    its beam's candidate ids; exact scoring + global top-k then run as
+    the SAME Spark plan the driver-built index uses (semi-join pruned
+    scan), so scores are bit-identical to the flat scan on the
+    candidate set and the DuckDB artifact-oracle scheme applies
+    unchanged.
+
+    Recall: the global top-k is contained in the union of per-slice
+    top-k by construction; each slice's graph is small (n/P nodes), and
+    small graphs at the same M/ef have *higher* beam recall, so the
+    union meets the single-graph recall envelope. Validated like the
+    reference validates HNSW — recall-vs-flat + a monotone ef ladder
+    (``hnsw_index_search_test.go:992-1150``)."""
+
+    def __init__(self, graphs: DataFrame, *, m: int, metric: str):
+        self.graphs = graphs
+        self.m = m
+        self.metric = metric
+
+    @classmethod
+    def build(
+        cls, docs: DataFrame, *, id_col: str = "id", vec_col: str = "vector",
+        m: int = 8, ef_construction: int = 100, seed: int = 42,
+        metric: str = "l2", num_partitions: int | None = None,
+        cache: bool = True,
+    ) -> "DistributedHNSW":
+        if metric not in ("l2", "l2sq", "cosine"):
+            raise ValueError(
+                f"HNSW supports metrics l2/l2sq/cosine, got {metric!r}"
+            )
+        spark = docs.sparkSession
+        p = num_partitions or spark.sparkContext.defaultParallelism
+        e = docs.select(
+            F.col(id_col).cast("bigint").alias("id"),
+            to_double_array(vec_col).alias("v"),
+        ).repartition(p, "id")
+
+        def build_part(batches):
+            import pickle
+
+            import pandas as pd
+            from pyspark import TaskContext
+
+            ids: list[int] = []
+            vecs: list[list[float]] = []
+            for pdf in batches:
+                ids.extend(int(x) for x in pdf["id"])
+                vecs.extend(pdf["v"])
+            if not ids:
+                return
+            part = TaskContext.get().partitionId()
+            aids = np.asarray(ids, dtype=np.int64)
+            mat = np.asarray(list(vecs), dtype=np.float64)
+            order = np.argsort(aids, kind="stable")  # insertion = id order
+            # per-partition seed keeps rebuilds deterministic under the
+            # deterministic hash partitioning
+            g = HNSWIndex(
+                aids[order], mat[order], m=m,
+                ef_construction=ef_construction,
+                seed=seed * 1_000_003 + part, metric=metric,
+            )
+            blob = pickle.dumps(
+                {
+                    "ids": g.ids, "mat": g.mat, "m": g.m,
+                    "ef_construction": g.ef_construction, "metric": g.metric,
+                    "_tmat": g._tmat, "levels": g.levels,
+                    "max_level": g.max_level, "adj": g.adj, "entry": g.entry,
+                },
+                protocol=4,
+            )
+            yield pd.DataFrame(
+                {"part": [part], "n_rows": [len(ids)], "graph": [blob]}
+            )
+
+        graphs = e.mapInPandas(build_part, "part int, n_rows bigint, graph binary")
+        if cache:
+            graphs = graphs.cache()
+        return cls(graphs, m=m, metric=metric)
+
+    def save(self, path: str) -> None:
+        """A8 sink: the graph table IS the format — one parquet row per
+        sub-graph."""
+        self.graphs.write.mode("overwrite").parquet(path)
+
+    @classmethod
+    def load(cls, spark, path: str, *, m: int = 8, metric: str = "l2") -> "DistributedHNSW":
+        return cls(spark.read.parquet(path), m=m, metric=metric)
+
+    def candidates(self, qvec: list[float], *, ef_search: int = 50) -> DataFrame:
+        """Distributed traversal → (id) union of every sub-graph's beam."""
+        q = [float(x) for x in qvec]
+        ef = max(int(ef_search), 1)
+
+        def search_part(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                out: list[int] = []
+                for blob in pdf["graph"]:
+                    g = _subgraph_from_blob(bytes(blob))
+                    out.extend(g.search_candidates(q, ef_search=ef))
+                yield pd.DataFrame({"id": pd.Series(out, dtype="int64")})
+
+        return self.graphs.mapInPandas(search_part, "id bigint")
+
+    def search(
+        self, docs: DataFrame, qvec: list[float], *, k: int = 10,
+        ef_search: int = 50, id_col: str = "id", vec_col: str = "vector",
+        round_to: int | None = 6, artifacts_path: str | None = None,
+    ) -> DataFrame:
+        """Union-of-beams candidates → the SAME distributed exact-scoring
+        plan as :meth:`HNSWIndex.search` → ``(id, score)``."""
+        from comet_spark.functions.vector import distance as dist_fn
+
+        spark = docs.sparkSession
+        cand = self.candidates(qvec, ef_search=max(ef_search, k)).distinct()
+        if artifacts_path is not None:
+            cand.repartition(1).write.mode("overwrite").parquet(
+                f"{artifacts_path}/candidates.parquet"
+            )
+            cand = spark.read.parquet(f"{artifacts_path}/candidates.parquet")
+        e = docs.select(
+            F.col(id_col).cast("bigint").alias("id"),
+            to_double_array(vec_col).alias("v"),
+        )
+        qlit = F.array(*[F.lit(float(x)) for x in qvec])
+        score = dist_fn(self.metric, F.col("v"), qlit)
+        if round_to is not None:
+            score = F.round(score, round_to)
+        scored = e.join(F.broadcast(cand), "id", "left_semi").select(
+            "id", score.alias("score")
+        )
+        return topk(scored, [F.col("score").asc(), F.col("id").asc()], k)

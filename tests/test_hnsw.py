@@ -148,3 +148,67 @@ def test_hnsw_cosine_metric_traversal(emb, spark, qvec):
 def test_hnsw_rejects_unsupported_metric(emb):
     with pytest.raises(ValueError, match="l2/l2sq/cosine"):
         HNSWIndex.build(emb.limit(10), metric="dot")
+
+
+# --- DistributedHNSW (SURVEY A3 option c) ------------------------------------
+
+
+@pytest.fixture(scope="module")
+def dindex(emb):
+    from comet_spark.operators.hnsw import DistributedHNSW
+
+    return DistributedHNSW.build(emb, m=8, ef_construction=100, num_partitions=8)
+
+
+def test_dhnsw_build_is_distributed(dindex, emb):
+    """One pickled sub-graph per non-empty partition; node counts sum to
+    the corpus — and there is no driver-collect row cap on this path."""
+    rows = dindex.graphs.select("part", "n_rows").collect()
+    assert 1 < len(rows) <= 8
+    assert sum(r["n_rows"] for r in rows) == emb.count()
+    import inspect
+
+    from comet_spark.operators.hnsw import DistributedHNSW
+
+    assert "max_rows" not in inspect.signature(DistributedHNSW.build).parameters
+
+
+def test_dhnsw_recall_vs_flat(dindex, emb, qvec, flat_top10):
+    got = {r["id"] for r in dindex.search(emb, qvec, k=10, ef_search=100).collect()}
+    gt = {r[0] for r in flat_top10}
+    assert len(got & gt) >= 9  # the single-graph recall envelope holds
+
+
+def test_dhnsw_ef_ladder(dindex, emb, qvec, flat_top10):
+    """Monotone ef ladder; a corpus-wide beam is exact (every partition
+    returns its whole slice, and the union of per-slice top-k contains
+    the global top-k by construction)."""
+    gt = {r[0] for r in flat_top10}
+    n = emb.count()
+    recalls = []
+    for ef in (4, 32, n):
+        got = {r["id"] for r in dindex.search(emb, qvec, k=10, ef_search=ef).collect()}
+        recalls.append(len(got & gt))
+    assert recalls == sorted(recalls)
+    assert recalls[-1] == 10
+    full = [tuple(r) for r in dindex.search(emb, qvec, k=10, ef_search=n).collect()]
+    assert full == flat_top10  # exact identity incl. scores
+
+
+def test_dhnsw_deterministic_rebuild(dindex, emb, qvec):
+    from comet_spark.operators.hnsw import DistributedHNSW
+
+    again = DistributedHNSW.build(emb, m=8, ef_construction=100, num_partitions=8)
+    a = sorted(r["id"] for r in dindex.candidates(qvec, ef_search=20).collect())
+    b = sorted(r["id"] for r in again.candidates(qvec, ef_search=20).collect())
+    assert a == b
+
+
+def test_dhnsw_save_load_roundtrip(dindex, emb, qvec, spark, tmp_path):
+    from comet_spark.operators.hnsw import DistributedHNSW
+
+    dindex.save(str(tmp_path / "dhnsw"))
+    back = DistributedHNSW.load(spark, str(tmp_path / "dhnsw"), m=8, metric="l2")
+    a = [tuple(r) for r in dindex.search(emb, qvec, k=10, ef_search=50).collect()]
+    b = [tuple(r) for r in back.search(emb, qvec, k=10, ef_search=50).collect()]
+    assert a == b
