@@ -153,9 +153,12 @@ class IVFIndex:
         if round_to is not None:
             score = F.round(score, round_to)
         scored = cand.select(F.col(id_col).alias("id"), score.alias("score"))
-        # cosine of a zero vector is NULL, and NULLs sort FIRST ascending
-        scored = scored.filter(F.col("score").isNotNull())
-        return topk(scored, [F.col("score").asc(), F.col("id").asc()], k)
+        # cosine of a zero vector is NULL. Sort NULLs LAST and drop them
+        # after the cut: a score.isNotNull() pre-filter re-evaluates the
+        # whole distance expression in the filter condition (no CSE
+        # across operators — see knn.py)
+        out = topk(scored, [F.col("score").asc_nulls_last(), F.col("id").asc()], k)
+        return out.filter(F.col("score").isNotNull())
 
     def search_batch(
         self, assigned: DataFrame, queries: DataFrame, *, k: int = 10,
@@ -193,12 +196,13 @@ class IVFIndex:
         score = distance(self.metric, to_double_array(vec_col), F.col("qv"))
         if round_to is not None:
             score = F.round(score, round_to)
-        scored = cand.select(
-            "qid", F.col(id_col).alias("id"), score.alias("score")
-        ).filter(F.col("score").isNotNull())  # NULL cosine sorts first asc
-        return topk_per_group(
-            scored, ["qid"], [F.col("score").asc(), F.col("id").asc()], k
-        ).select("qid", "id", "score")
+        scored = cand.select("qid", F.col(id_col).alias("id"), score.alias("score"))
+        # NULL cosine: nulls-last + post-cut drop (single distance eval;
+        # a pre-filter would land in the join condition — see knn.py)
+        out = topk_per_group(
+            scored, ["qid"], [F.col("score").asc_nulls_last(), F.col("id").asc()], k
+        )
+        return out.filter(F.col("score").isNotNull()).select("qid", "id", "score")
 
 
 class PQIndex:
@@ -398,12 +402,12 @@ def _exact_rescore(
     score = distance(metric, to_double_array(vec_col), qlit)
     if round_to is not None:
         score = F.round(score, round_to)
-    exact = (
-        vectors.select(F.col(id_col).alias("id"), score.alias("score"))
-        .join(F.broadcast(shortlist), "id", "left_semi")
-        .filter(F.col("score").isNotNull())  # NULL cosine sorts first asc
+    exact = vectors.select(F.col(id_col).alias("id"), score.alias("score")).join(
+        F.broadcast(shortlist), "id", "left_semi"
     )
-    return topk(exact, [F.col("score").asc(), F.col("id").asc()], k)
+    # NULL cosine: nulls-last + post-cut drop (single distance eval)
+    out = topk(exact, [F.col("score").asc_nulls_last(), F.col("id").asc()], k)
+    return out.filter(F.col("score").isNotNull())
 
 
 def _pairwise_sq(a: np.ndarray, b: np.ndarray) -> np.ndarray:

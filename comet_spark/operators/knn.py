@@ -64,14 +64,21 @@ def knn(
         score = F.round(score, round_to)
 
     scored = d.crossJoin(F.broadcast(q)).select("qid", "id", score.alias("score"))
-    # cosine of a zero vector is NULL (reference rejects zero vectors,
-    # distance.go:252-255); Spark sorts NULLs first ascending, so drop them
-    scored = scored.filter(F.col("score").isNotNull())
     if threshold is not None and threshold > 0:
         scored = scored.filter(F.col("score") <= threshold)
 
-    order = [F.col("score").asc(), F.col("id").asc()]
-    return topk_per_group(scored, ["qid"], order, k).select("qid", "id", "score")
+    # cosine of a zero vector is NULL (reference rejects zero vectors,
+    # distance.go:252-255). Do NOT pre-filter on score.isNotNull(): a
+    # filter directly over the join becomes part of the
+    # BroadcastNestedLoopJoin CONDITION, and the whole distance
+    # expression is then evaluated TWICE per pair (once in the condition,
+    # once in the projection — Catalyst doesn't CSE across them;
+    # measured 2x on knn_batch100). Instead sort NULLs LAST so they
+    # never claim a top-k slot, and drop any stragglers after the rank
+    # cut (k rows per query, not N).
+    order = [F.col("score").asc_nulls_last(), F.col("id").asc()]
+    out = topk_per_group(scored, ["qid"], order, k)
+    return out.filter(F.col("score").isNotNull()).select("qid", "id", "score")
 
 
 SCORE_AGGS = {

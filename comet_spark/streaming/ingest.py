@@ -169,7 +169,9 @@ def windowed_event_counts(
 def _parquet_exists(spark, path: str) -> bool:
     """True if ``path`` exists, via the Hadoop FileSystem of the path's
     scheme (so it answers correctly for hdfs:///s3a:// too, not just
-    local files)."""
+    local files). Reaches through the ``_jvm``/``_jsc`` gateway — the
+    standard PySpark way to touch the Hadoop FS API, but a private
+    surface that pins this to the classic (non-Connect) runtime."""
     jvm = spark.sparkContext._jvm
     hpath = jvm.org.apache.hadoop.fs.Path(path)
     fs = hpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
