@@ -511,3 +511,49 @@ class DistributedHNSW:
             "id", score.alias("score")
         )
         return topk(scored, [F.col("score").asc(), F.col("id").asc()], k)
+
+    def search_batch(
+        self, docs: DataFrame, queries: DataFrame, *, k: int = 10,
+        ef_search: int = 50, id_col: str = "id", vec_col: str = "vector",
+        qid_col: str = "qid", qvec_col: str = "qvec", round_to: int | None = 6,
+    ) -> DataFrame:
+        """Batch distributed-graph search → (qid, id, score): per-query
+        candidate passes over the cached graph table union lazily (the
+        sub-graphs deserialize once per executor via the blob cache), and
+        ONE scoring join + per-query top-k ranks every query — the same
+        batch shape as HNSWIndex.search_batch."""
+        from comet_spark.functions.vector import distance as dist_fn
+        from comet_spark.operators.topk import topk_per_group
+
+        spark = docs.sparkSession
+        qrows = queries.select(
+            F.col(qid_col).alias("qid"), to_double_array(qvec_col).alias("qv")
+        ).collect()
+        cand = None
+        qvec_rows = []
+        for r in qrows:
+            qv = [float(x) for x in r["qv"]]
+            qvec_rows.append((r["qid"], qv))
+            part = self.candidates(qv, ef_search=max(ef_search, k)).select(
+                F.lit(int(r["qid"])).alias("qid"), "id"
+            )
+            cand = part if cand is None else cand.unionByName(part)
+        if cand is None:
+            raise ValueError("search_batch needs at least one query")
+        cand = cand.distinct()
+        qvecs = spark.createDataFrame(qvec_rows, "qid bigint, qv array<double>")
+        e = docs.select(
+            F.col(id_col).cast("bigint").alias("id"),
+            to_double_array(vec_col).alias("v"),
+        )
+        score = dist_fn(self.metric, F.col("v"), F.col("qv"))
+        if round_to is not None:
+            score = F.round(score, round_to)
+        scored = (
+            e.join(F.broadcast(cand), "id")
+            .join(F.broadcast(qvecs), "qid")
+            .select("qid", "id", score.alias("score"))
+        )
+        return topk_per_group(
+            scored, ["qid"], [F.col("score").asc(), F.col("id").asc()], k
+        ).select("qid", "id", "score")

@@ -145,10 +145,27 @@ class Corpus:
     def build_hnsw(
         self, m: int = 8, ef_construction: int = 100, *,
         seed: int = 42, max_rows: int = 1_000_000,
+        distributed: bool = False, num_partitions: int | None = None,
     ) -> "Corpus":
-        """Attach the true graph index (driver-built serving shape,
-        hnsw.py); ``with_ef_search(ef)`` then traverses the graph instead
-        of the LSH path — the reference's WithEfSearch→HNSW mapping."""
+        """Attach the true graph index; ``with_ef_search(ef)`` then
+        traverses the graph instead of the LSH path — the reference's
+        WithEfSearch→HNSW mapping.
+
+        ``distributed=False`` (default): driver-built serving graph
+        (hnsw.py HNSWIndex, ``max_rows``-guarded collect).
+        ``distributed=True``: per-partition sub-graphs built in
+        mapInPandas (DistributedHNSW) — no driver collect, no row cap;
+        same search/search_batch surface, so every builder knob
+        composes unchanged."""
+        if distributed:
+            from comet_spark.operators.hnsw import DistributedHNSW
+
+            self._hnsw = DistributedHNSW.build(
+                self.docs, id_col=self.id_col, vec_col=self.vec_col, m=m,
+                ef_construction=ef_construction, seed=seed,
+                metric=self.metric, num_partitions=num_partitions,
+            )
+            return self
         from comet_spark.operators.hnsw import HNSWIndex
 
         self._hnsw = HNSWIndex.build(

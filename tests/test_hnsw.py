@@ -212,3 +212,34 @@ def test_dhnsw_save_load_roundtrip(dindex, emb, qvec, spark, tmp_path):
     a = [tuple(r) for r in dindex.search(emb, qvec, k=10, ef_search=50).collect()]
     b = [tuple(r) for r in back.search(emb, qvec, k=10, ef_search=50).collect()]
     assert a == b
+
+
+def test_dhnsw_builder_integration(emb, spark):
+    """build_hnsw(distributed=True): single- and multi-query builder
+    chains run through the distributed graph; corpus-wide beam ≡ exact."""
+    import pyspark.sql.functions as F
+
+    from comet_spark.plans.builder import Corpus
+
+    docs = emb.select("id", "vector")
+    n = docs.count()
+    q0 = [float(x) for x in emb.filter(F.col("id") == 0).first()["vector"]]
+    q1 = [float(x) for x in emb.filter(F.col("id") == 1).first()["vector"]]
+
+    c = Corpus(docs)
+    exact_multi = (
+        c.vector_search().with_query(q0, q1).with_k(10)
+        .with_score_aggregation("sum").execute().collect()
+    )
+    exact_single = c.vector_search().with_query(q0).with_k(10).execute().collect()
+
+    c.build_hnsw(m=8, ef_construction=100, distributed=True, num_partitions=8)
+    approx_single = (
+        c.vector_search().with_query(q0).with_k(10).with_ef_search(n).execute().collect()
+    )
+    assert [tuple(r) for r in approx_single] == [tuple(r) for r in exact_single]
+    approx_multi = (
+        c.vector_search().with_query(q0, q1).with_k(10)
+        .with_score_aggregation("sum").with_ef_search(n).execute().collect()
+    )
+    assert [tuple(r) for r in approx_multi] == [tuple(r) for r in exact_multi]
