@@ -2963,7 +2963,10 @@ def _lsm_merge_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     parts = []
     for seg in (0, 1):
         seg_docs = docs.filter(F.col("doc_id") % 2 == seg)
-        bm = BM25(seg_docs, id_col="doc_id", text_col="text")
+        # normalize=False: these per-call segment indexes would pay the
+        # write-time NFKC probe on every execution; the driver corpus is
+        # ASCII-asserted (tests/test_text.py), so skip it here
+        bm = BM25(seg_docs, id_col="doc_id", text_col="text", normalize=False)
         parts.append(bm.score(BM25_QUERY, k=K))
     both = parts[0].unionByName(parts[1])
     merged = both.groupBy("id").agg(F.max("score").alias("score"))
