@@ -436,17 +436,27 @@ WHERE rn <= {K}
 # §3.2 hybrid search — metadata prefilter + vector + BM25 + fusion
 # ---------------------------------------------------------------------------
 
+# the docs⋈embeddings hybrid corpus is cached once per (session, corpus):
+# every hybrid query shares one materialized join instead of re-joining
+# per call (the reference's facade holds one in-memory index the same way)
+_HYB_DOCS_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
 def _hybrid_corpus(spark: SparkSession, sf_dir: str) -> Corpus:
-    docs = _t(spark, sf_dir, "documents")
-    emb = _t(spark, sf_dir, "embeddings")
-    joined = docs.join(emb, docs["doc_id"] == emb["vec_id"], "left").select(
-        docs["doc_id"].alias("id"),
-        emb["embedding"].alias("vector"),
-        docs["text"],
-        docs["lang"],
-        docs["source"],
-    )
-    return Corpus(joined, metric="l2", _bm25=_bm25_index(spark, sf_dir))
+    key = (_skey(spark), sf_dir)
+    if key not in _HYB_DOCS_CACHE:
+        docs = _t(spark, sf_dir, "documents")
+        emb = _t(spark, sf_dir, "embeddings")
+        _HYB_DOCS_CACHE[key] = docs.join(
+            emb, docs["doc_id"] == emb["vec_id"], "left"
+        ).select(
+            docs["doc_id"].alias("id"),
+            emb["embedding"].alias("vector"),
+            docs["text"],
+            docs["lang"],
+            docs["source"],
+        ).cache()
+    return Corpus(_HYB_DOCS_CACHE[key], metric="l2", _bm25=_bm25_index(spark, sf_dir))
 
 
 def _hybrid_qvec(spark: SparkSession, sf_dir: str) -> list[float]:
