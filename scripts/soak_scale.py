@@ -43,6 +43,7 @@ QUERIES = [
     "dedup_clusters",
     "ngram_jaccard_pairs",
     "lsh_ann_topk",
+    "hnsw_dist_topk",  # incl. the distributed per-partition graph build
     "knn_batch100",
     "token_stats",
     "repetition_metrics",
