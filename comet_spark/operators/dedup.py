@@ -30,6 +30,7 @@ __all__ = [
     "shingles",
     "ngram_jaccard_pairs",
     "minhash_signatures",
+    "minhash_band_signatures",
     "minhash_lsh_pairs",
     "simhash_fingerprints",
     "simhash_segments",
@@ -154,6 +155,36 @@ def minhash_signatures(
     return wide.selectExpr("id", f"stack({n_hashes}, {stack}) AS (i, mh)")
 
 
+def minhash_band_signatures(
+    docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text",
+    n: int = 3, n_hashes: int = 16, bands: int = 4,
+    shingles_df: DataFrame | None = None, tokens_col: str | None = None,
+) -> DataFrame:
+    """→ (id, band, sig): md5 band signature over the ordered minhash
+    values of each band — the LSH bucketing key. Shared by the batch
+    pair-mining path (:func:`minhash_lsh_pairs`) and the incremental
+    ingest-dedup path (streaming/ingest.py neardup_ingest)."""
+    if bands <= 0 or n_hashes % bands != 0:
+        raise ValueError(f"bands ({bands}) must evenly divide n_hashes ({n_hashes})")
+    rows_per_band = n_hashes // bands
+    sig = minhash_signatures(
+        docs, id_col=id_col, text_col=text_col, n=n, n_hashes=n_hashes,
+        shingles_df=shingles_df, tokens_col=tokens_col,
+    )
+    banded = sig.withColumn("band", (F.col("i") / rows_per_band).cast("int"))
+    return banded.groupBy("id", "band").agg(
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("i", "mh"))),
+                    lambda s: s["mh"].cast("string"),
+                ),
+            ).cast("binary")
+        ).alias("sig")
+    )
+
+
 def minhash_lsh_pairs(
     docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text",
     n: int = 3, n_hashes: int = 16, bands: int = 4,
@@ -173,7 +204,6 @@ def minhash_lsh_pairs(
         raise ValueError(
             f"bands ({bands}) must evenly divide n_hashes ({n_hashes})"
         )
-    rows_per_band = n_hashes // bands
     # the shingle table feeds both signature generation and the exact
     # verification — compute once, cache across the two passes (or reuse
     # a caller-cached ``shingles_df``, whose lifecycle the caller owns).
@@ -187,19 +217,9 @@ def minhash_lsh_pairs(
             docs, id_col=id_col, text_col=text_col, n=n, tokens_col=tokens_col
         ).cache()
     )
-    sig = minhash_signatures(sh, id_col="id", text_col=text_col, n=n, n_hashes=n_hashes, shingles_df=sh)
-    banded = sig.withColumn("band", (F.col("i") / rows_per_band).cast("int"))
-    # band signature: md5 over the ordered minhash values
-    bsig = banded.groupBy("id", "band").agg(
-        F.md5(
-            F.concat_ws(
-                ",",
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("i", "mh"))),
-                    lambda s: s["mh"].cast("string"),
-                ),
-            ).cast("binary")
-        ).alias("sig")
+    bsig = minhash_band_signatures(
+        docs, id_col=id_col, text_col=text_col, n=n, n_hashes=n_hashes,
+        bands=bands, shingles_df=sh,
     )
     a = bsig.select(F.col("band").alias("ba"), F.col("sig").alias("sa"), F.col("id").alias("a_id"))
     b = bsig.select(F.col("band").alias("bb"), F.col("sig").alias("sb"), F.col("id").alias("b_id"))

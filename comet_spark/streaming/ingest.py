@@ -21,6 +21,8 @@ __all__ = [
     "windowed_event_counts",
     "sessionize_stream",
     "dedup_stream",
+    "neardup_ingest",
+    "neardup_ingest_stream",
 ]
 
 
@@ -217,6 +219,113 @@ def hll_stream(
             spark.createDataFrame(rows, merged.schema).repartition(1).write.mode(
                 "overwrite"
             ).parquet(state_path)
+
+    w = stream.writeStream.foreachBatch(upd).trigger(availableNow=True)
+    if checkpoint is not None:
+        w = w.option("checkpointLocation", checkpoint)
+    return w.start()
+
+
+def neardup_ingest(
+    batch: DataFrame,
+    sig_store_path: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    n_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """NEAR-duplicate dedup at ingest (the production shape: drop fuzzy
+    re-crawls/re-posts as they arrive, before they cost storage): a
+    document is dropped when ANY of its MinHash band signatures collides
+    with a previously-ingested document's — the same LSH S-curve as the
+    batch pair-miner (``dedup.minhash_lsh_pairs``), applied
+    incrementally. Survivors' signatures append to the persistent store
+    at ``sig_store_path``, so the filter is cross-batch and survives
+    restarts (same durability pattern as ``hll_stream``).
+
+    Within one batch, the lowest id in a colliding band bucket wins
+    (deterministic). Returns the surviving rows of ``batch`` —
+    **materialize/consume the result before the next call**, since the
+    next batch's signatures append to the same store.
+
+    Scale shape: the batch side is new data (small relative to history);
+    the signature store is ``bands`` rows per kept doc, scanned with a
+    semi-join on (band, sig) — at 100 TB of history, store the table
+    bucketed by sig so the probe prunes. No all-pairs anything.
+    """
+    from comet_spark.operators.dedup import minhash_band_signatures
+
+    spark = batch.sparkSession
+    sigs = minhash_band_signatures(
+        batch, id_col=id_col, text_col=text_col, n=n, n_hashes=n_hashes,
+        bands=bands,
+    ).cache()
+
+    # 1) drop docs colliding with HISTORY
+    if _parquet_exists(spark, sig_store_path):
+        seen = spark.read.parquet(sig_store_path)
+        hist_hits = (
+            sigs.join(seen, ["band", "sig"], "left_semi").select("id").distinct()
+        )
+        fresh = sigs.join(hist_hits, "id", "left_anti")
+    else:
+        fresh = sigs
+
+    # 2) within-batch: min-id per band bucket wins; a doc survives iff it
+    # IS the min id in every bucket it occupies
+    bucket_min = fresh.groupBy("band", "sig").agg(F.min("id").alias("min_id"))
+    dropped = (
+        fresh.join(bucket_min, ["band", "sig"])
+        .filter(F.col("id") > F.col("min_id"))
+        .select("id")
+        .distinct()
+    )
+    survivors = fresh.join(dropped, "id", "left_anti")
+    # sever the lineage from the store BEFORE appending to it: the append
+    # triggers recacheByPath on sig_store_path, which would refresh any
+    # cached/lazy plan reading the store and make it see this batch's own
+    # just-written signatures as "history" (verified: survivors collapse
+    # to empty without this). localCheckpoint materializes the batch's
+    # survivor signatures on the executors — batch-sized, never driver-
+    # collected — and truncates the plan.
+    surv_sigs = survivors.select("band", "sig", "id").localCheckpoint()
+
+    # 3) persist survivors' signatures (append = new immutable files, the
+    # same segment discipline as DocumentStore)
+    surv_sigs.write.mode("append").parquet(sig_store_path)
+    sigs.unpersist()
+
+    return batch.join(
+        surv_sigs.select("id").distinct().withColumnRenamed("id", id_col),
+        id_col,
+        "left_semi",
+    )
+
+
+def neardup_ingest_stream(
+    stream: DataFrame,
+    sig_store_path: str,
+    out_path: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    n_hashes: int = 16,
+    bands: int = 4,
+    checkpoint: str | None = None,
+) -> StreamingQuery:
+    """Streaming wrapper: each micro-batch passes through
+    :func:`neardup_ingest` and survivors append to ``out_path`` —
+    continuous fuzzy-dedup'd ingestion."""
+
+    def upd(batch: DataFrame, batch_id: int) -> None:
+        kept = neardup_ingest(
+            batch, sig_store_path, id_col=id_col, text_col=text_col,
+            n=n, n_hashes=n_hashes, bands=bands,
+        )
+        kept.write.mode("append").parquet(out_path)
 
     w = stream.writeStream.foreachBatch(upd).trigger(availableNow=True)
     if checkpoint is not None:

@@ -249,3 +249,30 @@ def test_cheapest_supplier_window_decorrelation(spark):
     assert len(li_scans) == 1, f"lineitem scanned {len(li_scans)}x"
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan  # dims must broadcast, never shuffle
+
+
+def test_knn_distance_not_in_join_condition(spark):
+    """Regression (r04): a score.isNotNull() pre-filter over the broadcast
+    cross join folds the WHOLE distance expression into the
+    BroadcastNestedLoopJoin condition, evaluating it twice per pair
+    (Catalyst does not CSE between a join condition and the projection).
+    The join must stay condition-free; NULL scores are excluded by
+    nulls-last ordering + a post-cut filter instead."""
+    import pyspark.sql.functions as F
+
+    from comet_spark.operators.knn import knn
+    from tests.conftest import SF_DIR_SMALL
+
+    emb = spark.read.parquet(f"{SF_DIR_SMALL}/embeddings.parquet").select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vector")
+    )
+    qdf = emb.filter(F.col("id") < 5).select(
+        F.col("id").alias("qid"), F.col("vector").alias("qvec")
+    )
+    plan = (
+        knn(emb, qdf, k=10, metric="l2")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    for line in plan.splitlines():
+        if "Join condition" in line:
+            assert "aggregate(" not in line and "zip_with" not in line, line

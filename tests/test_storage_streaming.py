@@ -438,3 +438,93 @@ def test_store_append_seq_col_deterministic(spark, tmp_path):
     store.append(batch, seq_col="version")
     got = {r["id"]: r["text"] for r in store.read().collect()}
     assert got == {1: "fresh", 2: "only"}
+
+
+def _neardup_docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_neardup_ingest_cross_batch(spark, tmp_path):
+    """Incremental LSH dedup: fuzzy re-ingests are dropped against the
+    persistent signature store, across batches and across operator
+    restarts (a fresh call sees the same store)."""
+    from comet_spark.streaming.ingest import neardup_ingest
+
+    store = str(tmp_path / "sigs")
+    words = (
+        "alpha bravo charlie delta echo foxtrot golf hotel india juliett kilo "
+        "lima mike november oscar papa quebec romeo sierra tango uniform "
+        "victor whiskey xray yankee zulu one two three four five six seven "
+        "eight nine ten"
+    )
+    base = words
+    kept1 = neardup_ingest(
+        _neardup_docs(spark, [(1, base), (2, "completely different words here entirely")]),
+        store,
+    )
+    assert sorted(r["doc_id"] for r in kept1.collect()) == [1, 2]
+
+    # batch 2: a near-dup of doc 1 (one word changed; this fixture is
+    # verified to share 2 of 4 band signatures with the base — md5 is
+    # deterministic, so it stays that way), one exact dup of doc 2, one
+    # genuinely new doc
+    mutated = base.replace("romeo", "romero")
+    kept2 = neardup_ingest(
+        _neardup_docs(
+            spark,
+            [
+                (10, mutated),
+                (11, "completely different words here entirely"),
+                (12, "fresh content nobody has ever ingested before now"),
+            ],
+        ),
+        store,
+    )
+    assert sorted(r["doc_id"] for r in kept2.collect()) == [12]
+
+
+def test_neardup_ingest_within_batch_min_id_wins(spark, tmp_path):
+    from comet_spark.streaming.ingest import neardup_ingest
+
+    store = str(tmp_path / "sigs2")
+    t = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    kept = neardup_ingest(
+        _neardup_docs(spark, [(5, t), (3, t), (9, "unrelated totally other text")]),
+        store,
+    )
+    assert sorted(r["doc_id"] for r in kept.collect()) == [3, 9]
+
+
+def test_neardup_ingest_stream(spark, tmp_path):
+    """foreachBatch wrapper: two files -> two micro-batches; the second
+    batch's near-dup is dropped against the first batch's signatures."""
+    from comet_spark.streaming.ingest import neardup_ingest_stream
+
+    src = str(tmp_path / "nd_in")
+    base = (
+        "alpha bravo charlie delta echo foxtrot golf hotel india juliett kilo "
+        "lima mike november oscar papa quebec romeo sierra tango uniform "
+        "victor whiskey xray yankee zulu one two three four five six seven "
+        "eight nine ten"
+    )
+    _neardup_docs(spark, [(1, base)]).coalesce(1).write.mode("append").parquet(src)
+    _neardup_docs(
+        spark,
+        [(2, base.replace("romeo", "romero")), (3, "wholly new words in this row")],
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = neardup_ingest_stream(
+        stream,
+        str(tmp_path / "nd_sigs"),
+        str(tmp_path / "nd_out"),
+        checkpoint=str(tmp_path / "nd_ckpt"),
+    )
+    q.awaitTermination(120)
+    kept = {r["doc_id"] for r in spark.read.parquet(str(tmp_path / "nd_out")).collect()}
+    assert 1 in kept and 3 in kept
+    assert 2 not in kept  # fuzzy re-ingest dropped
