@@ -230,12 +230,19 @@ class DocumentStore:
 
     # -- maintenance ---------------------------------------------------------
 
-    def compact(self) -> None:
+    def compact(self, *, zorder_by: list[str] | None = None, zorder_bits: int = 8) -> None:
         """Rewrite all segments into one, applying deletes (hard delete) and
         version dedup — the OPTIMIZE-style job (J4). Crash-safe ordering:
         the old data directory is moved ASIDE before the compacted one
         moves in, so no window exists where the store has no data; only
-        the delete files that were actually applied are removed."""
+        the delete files that were actually applied are removed.
+
+        ``zorder_by`` (OPTIMIZE ZORDER): cluster the rewritten segment by
+        the Morton interleave of the named non-negative integer columns
+        (operators/layout.py) — range-partition + sort-within on the
+        Z-key, so parquet row-group min/max stays bounded in EVERY listed
+        dimension and predicates on any of them skip files. Compaction is
+        exactly when a 100 TB store pays this one-time sort."""
         with self._lock("compact"):
             applied_delete_files = self._fs.listdir(self.deletes_path)
             segs = self._segment_ids()
@@ -253,9 +260,20 @@ class DocumentStore:
             # a uniform __seq=0 is a valid restart of the within-segment
             # order — and keeps the column in the file schema so later
             # appends' __seq survives schema inference.
-            merged.withColumn("segment", F.lit(keep_seg)).withColumn(
+            out = merged.withColumn("segment", F.lit(keep_seg)).withColumn(
                 "__seq", F.lit(0).cast("bigint")
-            ).write.mode("overwrite").partitionBy("segment").parquet(tmp)
+            )
+            if zorder_by:
+                from comet_spark.operators.layout import zorder_key
+
+                zk = zorder_key([F.col(c) for c in zorder_by], bits=zorder_bits)
+                out = (
+                    out.withColumn("__zk", zk)
+                    .repartitionByRange("__zk")
+                    .sortWithinPartitions("__zk")
+                    .drop("__zk")
+                )
+            out.write.mode("overwrite").partitionBy("segment").parquet(tmp)
             merged.unpersist()
 
             if not self._fs.rename(self.data_path, old):

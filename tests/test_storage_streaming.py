@@ -528,3 +528,36 @@ def test_neardup_ingest_stream(spark, tmp_path):
     kept = {r["doc_id"] for r in spark.read.parquet(str(tmp_path / "nd_out")).collect()}
     assert 1 in kept and 3 in kept
     assert 2 not in kept  # fuzzy re-ingest dropped
+
+
+def test_store_compact_zorder(spark, tmp_path):
+    """OPTIMIZE ZORDER on compaction: results identical, and within each
+    written file the Z-key range is bounded (files are clustered — the
+    min/max-stat locality that lets predicates on any listed dimension
+    skip files)."""
+    from comet_spark.storage.store import DocumentStore
+
+    store = DocumentStore(spark, str(tmp_path / "zstore"))
+    rows = [(i, f"doc {i}", i % 17, (i * 7) % 13) for i in range(500)]
+    store.append(
+        spark.createDataFrame(rows, "id bigint, text string, x bigint, y bigint")
+    )
+    before = sorted(tuple(r) for r in store.read().collect())
+    store.compact(zorder_by=["x", "y"], zorder_bits=5)
+    after = sorted(tuple(r) for r in store.read().collect())
+    assert after == before
+
+    from comet_spark.operators.layout import zorder_key
+    import pyspark.sql.functions as F
+
+    df = store._segments().withColumn(
+        "zk", zorder_key([F.col("x"), F.col("y")], bits=5)
+    ).withColumn("f", F.input_file_name())
+    spans = (
+        df.groupBy("f").agg((F.max("zk") - F.min("zk")).alias("span"), F.count("*").alias("n"))
+        .filter(F.col("n") > 1)
+        .collect()
+    )
+    if len(spans) > 1:  # clustering only observable across multiple files
+        total_span = df.agg(F.max("zk") - F.min("zk")).first()[0]
+        assert all(s["span"] < total_span for s in spans)
