@@ -2371,9 +2371,7 @@ def _hnsw_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     same semi-join exact-scoring plan as the driver graph. Oracle
     replays exact scoring + ordering from the exported candidate
     artifact (by-construction, like hnsw_ann_topk)."""
-    from comet_spark.functions.vector import distance as dist_fn
-    from comet_spark.operators.hnsw import DistributedHNSW
-    from comet_spark.operators.topk import topk
+    from comet_spark.operators.hnsw import DistributedHNSW, score_candidates
 
     key = (_skey(spark), sf_dir)
     if key not in _DHNSW_CACHE:
@@ -2389,13 +2387,12 @@ def _hnsw_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
             "overwrite"
         ).parquet(f"{art}/candidates.parquet")
         _PROBE_WRITTEN.add(key2)
+    # replay the exported candidates through the ONE shared scoring tail
+    # (hnsw.score_candidates) — the memo only skips the traversal+export
     cand = spark.read.parquet(f"{art}/candidates.parquet")
-    e = _emb_docs(spark, sf_dir).select("id", F.col("vector").cast("array<double>").alias("v"))
-    qlit = F.array(*[F.lit(float(x)) for x in qvec])
-    scored = e.join(F.broadcast(cand), "id", "left_semi").select(
-        "id", F.round(dist_fn("l2", F.col("v"), qlit), 6).alias("score")
+    res = score_candidates(
+        _emb_docs(spark, sf_dir), cand, qvec, metric="l2", k=K
     )
-    res = topk(scored, [F.col("score").asc(), F.col("id").asc()], K)
     return res.select(F.col("id").alias("vec_id"), "score")
 
 

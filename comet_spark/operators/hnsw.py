@@ -275,8 +275,6 @@ class HNSWIndex:
         """Graph candidates → DISTRIBUTED exact scoring + top-k (same plan
         shape as lsh_ann_topk: broadcast semi-join prunes the scan, the
         cluster computes distances) → ``(id, score)``."""
-        from comet_spark.functions.vector import distance as dist_fn
-
         spark = docs.sparkSession
         cand_ids = self.search_candidates(qvec, ef_search=max(ef_search, k))
         cand = spark.createDataFrame([(int(c),) for c in cand_ids], "id bigint")
@@ -287,18 +285,10 @@ class HNSWIndex:
                 f"{artifacts_path}/candidates.parquet"
             )
             cand = spark.read.parquet(f"{artifacts_path}/candidates.parquet")
-        e = docs.select(
-            F.col(id_col).cast("bigint").alias("id"),
-            to_double_array(vec_col).alias("v"),
+        return score_candidates(
+            docs, cand, qvec, metric=self.metric, k=k, id_col=id_col,
+            vec_col=vec_col, round_to=round_to,
         )
-        qlit = F.array(*[F.lit(float(x)) for x in qvec])
-        score = dist_fn(self.metric, F.col("v"), qlit)
-        if round_to is not None:
-            score = F.round(score, round_to)
-        scored = e.join(F.broadcast(cand), "id", "left_semi").select(
-            "id", score.alias("score")
-        )
-        return topk(scored, [F.col("score").asc(), F.col("id").asc()], k)
 
     def search_batch(
         self, docs: DataFrame, queries: DataFrame, *, k: int = 10,
@@ -347,9 +337,13 @@ class HNSWIndex:
 
 # executor-local cache of deserialized sub-graphs, keyed by blob digest:
 # Spark reuses executor processes across jobs, so repeated searches over
-# a cached graph table skip the unpickle. Bounded by the partitions an
-# executor ever hosts (each blob is one corpus slice).
+# a cached graph table skip the unpickle. FIFO-bounded — every REBUILD
+# (new corpus/partitioning/appended data) mints new digests, so a
+# long-lived executor serving periodically rebuilt indexes would
+# otherwise accumulate every historical sub-graph (vectors + adjacency)
+# until OOM.
 _SUBGRAPH_CACHE: dict[str, "HNSWIndex"] = {}
+_SUBGRAPH_CACHE_MAX = 64
 
 
 def _subgraph_from_blob(blob: bytes) -> "HNSWIndex":
@@ -362,8 +356,36 @@ def _subgraph_from_blob(blob: bytes) -> "HNSWIndex":
         state = pickle.loads(blob)
         g = HNSWIndex.__new__(HNSWIndex)
         g.__dict__.update(state)
+        while len(_SUBGRAPH_CACHE) >= _SUBGRAPH_CACHE_MAX:
+            _SUBGRAPH_CACHE.pop(next(iter(_SUBGRAPH_CACHE)))
         _SUBGRAPH_CACHE[key] = g
     return g
+
+
+def score_candidates(
+    docs: DataFrame, cand: DataFrame, qvec: list[float], *, metric: str,
+    k: int, id_col: str = "id", vec_col: str = "vector",
+    round_to: int | None = 6,
+) -> DataFrame:
+    """The ONE exact-scoring tail every graph path shares: broadcast
+    semi-join prunes the scan to the candidate ids, the cluster computes
+    the exact distance, total-order top-k. Used by HNSWIndex.search,
+    DistributedHNSW.search, and the driver queries' artifact replays —
+    so the scoring plan exists exactly once."""
+    from comet_spark.functions.vector import distance as dist_fn
+
+    e = docs.select(
+        F.col(id_col).cast("bigint").alias("id"),
+        to_double_array(vec_col).alias("v"),
+    )
+    qlit = F.array(*[F.lit(float(x)) for x in qvec])
+    score = dist_fn(metric, F.col("v"), qlit)
+    if round_to is not None:
+        score = F.round(score, round_to)
+    scored = e.join(F.broadcast(cand), "id", "left_semi").select(
+        "id", score.alias("score")
+    )
+    return topk(scored, [F.col("score").asc(), F.col("id").asc()], k)
 
 
 class DistributedHNSW:
@@ -468,20 +490,38 @@ class DistributedHNSW:
 
     def candidates(self, qvec: list[float], *, ef_search: int = 50) -> DataFrame:
         """Distributed traversal → (id) union of every sub-graph's beam."""
-        q = [float(x) for x in qvec]
+        return self.candidates_batch([(0, qvec)], ef_search=ef_search).select("id")
+
+    def candidates_batch(
+        self, queries: list[tuple[int, list[float]]], *, ef_search: int = 50
+    ) -> DataFrame:
+        """ONE pass over the graph table for ALL queries → (qid, id):
+        each sub-graph deserializes once and is walked per query —
+        the batch shape that keeps Q queries from scanning the graph
+        table Q times."""
+        qs = [(int(qid), [float(x) for x in qv]) for qid, qv in queries]
         ef = max(int(ef_search), 1)
 
         def search_part(batches):
             import pandas as pd
 
             for pdf in batches:
-                out: list[int] = []
+                qids: list[int] = []
+                ids: list[int] = []
                 for blob in pdf["graph"]:
                     g = _subgraph_from_blob(bytes(blob))
-                    out.extend(g.search_candidates(q, ef_search=ef))
-                yield pd.DataFrame({"id": pd.Series(out, dtype="int64")})
+                    for qid, qv in qs:
+                        got = g.search_candidates(qv, ef_search=ef)
+                        qids.extend([qid] * len(got))
+                        ids.extend(got)
+                yield pd.DataFrame(
+                    {
+                        "qid": pd.Series(qids, dtype="int64"),
+                        "id": pd.Series(ids, dtype="int64"),
+                    }
+                )
 
-        return self.graphs.mapInPandas(search_part, "id bigint")
+        return self.graphs.mapInPandas(search_part, "qid bigint, id bigint")
 
     def search(
         self, docs: DataFrame, qvec: list[float], *, k: int = 10,
@@ -490,8 +530,6 @@ class DistributedHNSW:
     ) -> DataFrame:
         """Union-of-beams candidates → the SAME distributed exact-scoring
         plan as :meth:`HNSWIndex.search` → ``(id, score)``."""
-        from comet_spark.functions.vector import distance as dist_fn
-
         spark = docs.sparkSession
         cand = self.candidates(qvec, ef_search=max(ef_search, k)).distinct()
         if artifacts_path is not None:
@@ -499,29 +537,22 @@ class DistributedHNSW:
                 f"{artifacts_path}/candidates.parquet"
             )
             cand = spark.read.parquet(f"{artifacts_path}/candidates.parquet")
-        e = docs.select(
-            F.col(id_col).cast("bigint").alias("id"),
-            to_double_array(vec_col).alias("v"),
+        return score_candidates(
+            docs, cand, qvec, metric=self.metric, k=k, id_col=id_col,
+            vec_col=vec_col, round_to=round_to,
         )
-        qlit = F.array(*[F.lit(float(x)) for x in qvec])
-        score = dist_fn(self.metric, F.col("v"), qlit)
-        if round_to is not None:
-            score = F.round(score, round_to)
-        scored = e.join(F.broadcast(cand), "id", "left_semi").select(
-            "id", score.alias("score")
-        )
-        return topk(scored, [F.col("score").asc(), F.col("id").asc()], k)
 
     def search_batch(
         self, docs: DataFrame, queries: DataFrame, *, k: int = 10,
         ef_search: int = 50, id_col: str = "id", vec_col: str = "vector",
         qid_col: str = "qid", qvec_col: str = "qvec", round_to: int | None = 6,
     ) -> DataFrame:
-        """Batch distributed-graph search → (qid, id, score): per-query
-        candidate passes over the cached graph table union lazily (the
-        sub-graphs deserialize once per executor via the blob cache), and
+        """Batch distributed-graph search → (qid, id, score): ONE
+        mapInPandas pass over the graph table carries ALL query vectors
+        (each sub-graph deserializes once and is walked per query), then
         ONE scoring join + per-query top-k ranks every query — the same
-        batch shape as HNSWIndex.search_batch."""
+        batch shape as HNSWIndex.search_batch, without scanning the
+        graph table Q times."""
         from comet_spark.functions.vector import distance as dist_fn
         from comet_spark.operators.topk import topk_per_group
 
@@ -529,18 +560,12 @@ class DistributedHNSW:
         qrows = queries.select(
             F.col(qid_col).alias("qid"), to_double_array(qvec_col).alias("qv")
         ).collect()
-        cand = None
-        qvec_rows = []
-        for r in qrows:
-            qv = [float(x) for x in r["qv"]]
-            qvec_rows.append((r["qid"], qv))
-            part = self.candidates(qv, ef_search=max(ef_search, k)).select(
-                F.lit(int(r["qid"])).alias("qid"), "id"
-            )
-            cand = part if cand is None else cand.unionByName(part)
-        if cand is None:
+        if not qrows:
             raise ValueError("search_batch needs at least one query")
-        cand = cand.distinct()
+        qvec_rows = [(r["qid"], [float(x) for x in r["qv"]]) for r in qrows]
+        cand = self.candidates_batch(
+            qvec_rows, ef_search=max(ef_search, k)
+        ).distinct()
         qvecs = spark.createDataFrame(qvec_rows, "qid bigint, qv array<double>")
         e = docs.select(
             F.col(id_col).cast("bigint").alias("id"),

@@ -151,21 +151,26 @@ class DocumentStore:
         ``seq_col`` — an existing numeric column where larger means newer
         (an event time, an explicit version) — and ``__seq`` is taken
         from it directly (no shuffle, no global sort)."""
-        seg = self._next_segment()
-        out = batch.withColumn("segment", F.lit(seg))
-        if seq_col is not None:
-            out = out.withColumn("__seq", F.col(seq_col).cast("bigint"))
-        else:
-            out = out.withColumn("__seq", F.monotonically_increasing_id())
         with self._lock("append"):
+            # segment number MUST be computed inside the lock: reading it
+            # before would let two writers race to the same number (the
+            # lock exists to protect exactly this sequence)
+            seg = self._next_segment()
+            out = batch.withColumn("segment", F.lit(seg))
+            if seq_col is not None:
+                out = out.withColumn("__seq", F.col(seq_col).cast("bigint"))
+            else:
+                out = out.withColumn("__seq", F.monotonically_increasing_id())
             out.write.mode("append").partitionBy("segment").parquet(self.data_path)
         return seg
 
     def delete(self, ids: DataFrame) -> None:
         """Soft delete (J6), sequenced: hides versions in segments written
         BEFORE this call; a later re-append of the same id is visible."""
-        upto = self._next_segment()
         with self._lock("delete"):
+            # watermark computed inside the lock — a stale read would
+            # nondeterministically include/exclude a concurrent segment
+            upto = self._next_segment()
             ids.select(
                 F.col(self.id_col), F.lit(upto).cast("bigint").alias("upto")
             ).write.mode("append").parquet(self.deletes_path)
@@ -230,7 +235,10 @@ class DocumentStore:
 
     # -- maintenance ---------------------------------------------------------
 
-    def compact(self, *, zorder_by: list[str] | None = None, zorder_bits: int = 8) -> None:
+    def compact(
+        self, *, zorder_by: list[str] | None = None, zorder_bits: int = 8,
+        zorder_files: int | None = None,
+    ) -> None:
         """Rewrite all segments into one, applying deletes (hard delete) and
         version dedup — the OPTIMIZE-style job (J4). Crash-safe ordering:
         the old data directory is moved ASIDE before the compacted one
@@ -242,13 +250,17 @@ class DocumentStore:
         (operators/layout.py) — range-partition + sort-within on the
         Z-key, so parquet row-group min/max stays bounded in EVERY listed
         dimension and predicates on any of them skip files. Compaction is
-        exactly when a 100 TB store pays this one-time sort."""
+        exactly when a 100 TB store pays this one-time sort.
+        ``zorder_files`` caps the output file count (default ~1M rows per
+        file) — without it, repartitionByRange would emit
+        spark.sql.shuffle.partitions tiny files and re-fragment the
+        segment compaction just coalesced."""
         with self._lock("compact"):
             applied_delete_files = self._fs.listdir(self.deletes_path)
             segs = self._segment_ids()
             keep_seg = segs[-1] if segs else 0
             merged = self.read().cache()
-            merged.count()  # materialize before touching the source files
+            n_rows = merged.count()  # materialize before touching sources
             tmp = self.data_path + ".compacting"
             old = self.data_path + ".old"
             self._fs.delete(tmp)
@@ -267,9 +279,10 @@ class DocumentStore:
                 from comet_spark.operators.layout import zorder_key
 
                 zk = zorder_key([F.col(c) for c in zorder_by], bits=zorder_bits)
+                nf = zorder_files or max(1, -(-n_rows // 1_000_000))
                 out = (
                     out.withColumn("__zk", zk)
-                    .repartitionByRange("__zk")
+                    .repartitionByRange(nf, "__zk")
                     .sortWithinPartitions("__zk")
                     .drop("__zk")
                 )

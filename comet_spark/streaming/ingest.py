@@ -245,10 +245,18 @@ def neardup_ingest(
     at ``sig_store_path``, so the filter is cross-batch and survives
     restarts (same durability pattern as ``hll_stream``).
 
-    Within one batch, the lowest id in a colliding band bucket wins
-    (deterministic). Returns the surviving rows of ``batch`` —
-    **materialize/consume the result before the next call**, since the
-    next batch's signatures append to the same store.
+    Within one batch, collisions resolve by GREEDY id order (the exact
+    sequential semantics: walk docs by ascending id, keep a doc iff none
+    of its band buckets contains an already-KEPT doc) — computed
+    distributedly by iterating "decide the undominated docs, remove
+    their neighbors" rounds; near-dup collision graphs are shallow, so
+    this converges in a handful of rounds (same argument as
+    graph.connected_components). Documents with NO band signatures
+    (empty/punctuation-only/NULL text — nothing to collide on) pass
+    through unconditionally, like ``dedup_stream``'s null-text rule.
+    Returns the surviving rows of ``batch`` — **materialize/consume the
+    result before the next call**, since the next batch's signatures
+    append to the same store.
 
     Scale shape: the batch side is new data (small relative to history);
     the signature store is ``bands`` rows per kept doc, scanned with a
@@ -262,6 +270,9 @@ def neardup_ingest(
         batch, id_col=id_col, text_col=text_col, n=n, n_hashes=n_hashes,
         bands=bands,
     ).cache()
+    # docs that produced ≥1 signature; everything else (empty/NULL text —
+    # no shingles, nothing to collide on) passes through unconditionally
+    banded_ids = sigs.select("id").distinct().localCheckpoint()
 
     # 1) drop docs colliding with HISTORY
     if _parquet_exists(spark, sig_store_path):
@@ -273,16 +284,39 @@ def neardup_ingest(
     else:
         fresh = sigs
 
-    # 2) within-batch: min-id per band bucket wins; a doc survives iff it
-    # IS the min id in every bucket it occupies
-    bucket_min = fresh.groupBy("band", "sig").agg(F.min("id").alias("min_id"))
-    dropped = (
-        fresh.join(bucket_min, ["band", "sig"])
-        .filter(F.col("id") > F.col("min_id"))
-        .select("id")
-        .distinct()
-    )
-    survivors = fresh.join(dropped, "id", "left_anti")
+    # 2) within-batch greedy by id. One round of "min id per bucket wins"
+    # is NOT the greedy semantics: a doc whose only collisions are with
+    # DROPPED docs must be kept (its content would otherwise have no
+    # representative in the signature store, and an identical re-crawl
+    # next batch would sail through). Iterate: docs that are the min of
+    # every bucket they occupy are KEPT; every doc sharing a bucket with
+    # a kept doc is DROPPED; undecided docs go another round with the
+    # decided ones removed. Each round decides at least the global min,
+    # and collision chains are shallow in practice.
+    kept = None
+    cur = fresh.localCheckpoint()
+    while cur.limit(1).count() > 0:
+        bucket_min = cur.groupBy("band", "sig").agg(F.min("id").alias("min_id"))
+        dominated = (
+            cur.join(bucket_min, ["band", "sig"])
+            .filter(F.col("id") > F.col("min_id"))
+            .select("id")
+            .distinct()
+        )
+        winners = cur.join(dominated, "id", "left_anti")  # min of ALL their buckets
+        # drop everything sharing a bucket with a winner (incl. the winner
+        # rows themselves, removed from `cur` as decided)
+        hit_buckets = winners.select("band", "sig").distinct()
+        losers = (
+            cur.join(hit_buckets, ["band", "sig"], "left_semi")
+            .select("id")
+            .distinct()
+            .join(winners.select("id").distinct(), "id", "left_anti")
+        )
+        kept = winners if kept is None else kept.unionByName(winners)
+        decided = winners.select("id").unionByName(losers).distinct()
+        cur = cur.join(decided, "id", "left_anti").localCheckpoint()
+    survivors = kept if kept is not None else fresh
     # sever the lineage from the store BEFORE appending to it: the append
     # triggers recacheByPath on sig_store_path, which would refresh any
     # cached/lazy plan reading the store and make it see this batch's own
@@ -297,10 +331,18 @@ def neardup_ingest(
     surv_sigs.write.mode("append").parquet(sig_store_path)
     sigs.unpersist()
 
+    kept_ids = (
+        surv_sigs.select("id")
+        .distinct()
+        .unionByName(
+            batch.select(F.col(id_col).alias("id")).join(
+                banded_ids, "id", "left_anti"
+            )
+        )
+        .distinct()
+    )
     return batch.join(
-        surv_sigs.select("id").distinct().withColumnRenamed("id", id_col),
-        id_col,
-        "left_semi",
+        kept_ids.withColumnRenamed("id", id_col), id_col, "left_semi"
     )
 
 

@@ -543,7 +543,7 @@ def test_store_compact_zorder(spark, tmp_path):
         spark.createDataFrame(rows, "id bigint, text string, x bigint, y bigint")
     )
     before = sorted(tuple(r) for r in store.read().collect())
-    store.compact(zorder_by=["x", "y"], zorder_bits=5)
+    store.compact(zorder_by=["x", "y"], zorder_bits=5, zorder_files=4)
     after = sorted(tuple(r) for r in store.read().collect())
     assert after == before
 
@@ -561,3 +561,58 @@ def test_store_compact_zorder(spark, tmp_path):
     if len(spans) > 1:  # clustering only observable across multiple files
         total_span = df.agg(F.max("zk") - F.min("zk")).first()[0]
         assert all(s["span"] < total_span for s in spans)
+
+
+def test_neardup_ingest_unbandable_docs_pass_through(spark, tmp_path):
+    """Docs with no band signatures (empty/NULL text — nothing to collide
+    on) must pass through, not vanish as phantom duplicates."""
+    from comet_spark.streaming.ingest import neardup_ingest
+
+    store = str(tmp_path / "sigs_u")
+    kept = neardup_ingest(
+        _neardup_docs(
+            spark,
+            [(1, "regular words in a normal document here"), (2, ""), (3, None)],
+        ),
+        store,
+    )
+    assert sorted(r["doc_id"] for r in kept.collect()) == [1, 2, 3]
+
+
+def test_neardup_ingest_greedy_chain(spark, tmp_path):
+    """Greedy-by-id semantics on a collision CHAIN A~B~C (A≁C): B drops
+    against kept A, and C must be KEPT — its only collision is with a
+    doc that was itself dropped, so C's content needs a representative
+    in the signature store (one min-per-bucket round would wrongly drop
+    C and then admit an exact re-crawl of it next batch)."""
+    from comet_spark.streaming.ingest import neardup_ingest
+
+    # fixture searched offline: with bands=8 these share buckets A-B and
+    # B-C but not A-C (md5 is deterministic, so this holds forever)
+    A = "delta oscar hotel juliett november lima echo foxtrot mike india bravo alpha papa golf charlie kilo"
+    B = ("delta oscar hotel juliett november lima echo foxtrot mike india bravo alpha papa "
+         "olive teal yellow maroon blue indigo crimson navy red gold amber bronze green")
+    C = "olive teal yellow maroon blue indigo crimson navy red gold amber bronze green orange violet silver"
+    store = str(tmp_path / "sigs_chain")
+    kept = neardup_ingest(
+        _neardup_docs(spark, [(1, A), (2, B), (3, C)]), store, bands=8
+    )
+    assert sorted(r["doc_id"] for r in kept.collect()) == [1, 3]
+    # and an exact re-crawl of C's content now collides with stored sigs
+    kept2 = neardup_ingest(_neardup_docs(spark, [(9, C)]), store, bands=8)
+    assert kept2.count() == 0
+
+
+def test_store_append_delete_segment_numbering_under_lock(spark, tmp_path):
+    """The segment number / delete watermark is computed INSIDE the
+    writer lock (TOCTOU guard): sequential appends never reuse a
+    segment number."""
+    from comet_spark.storage.store import DocumentStore
+
+    store = DocumentStore(spark, str(tmp_path / "seqnum"))
+    segs = [
+        store.append(spark.createDataFrame([(i, "t")], "id bigint, text string"))
+        for i in range(4)
+    ]
+    assert segs == [0, 1, 2, 3]
+    assert store._segment_ids() == [0, 1, 2, 3]
