@@ -3747,6 +3747,129 @@ SELECT token, count(*) AS n FROM t GROUP BY token ORDER BY n DESC, token LIMIT 5
 )
 
 
+# --- PII redaction (training-data hygiene) -----------------------------------
+
+_SQL_PII = {
+    # must stay pattern-for-pattern in sync with operators/redact.py
+    "email": (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    "phone": (r"\+?\d{1,4}([-. ]\d{2,4}){2,}", "<PHONE>"),
+    "ipv4": (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IPV4>"),
+}
+
+
+def _pii_text_col() -> F.Column:
+    """Deterministic PII-bearing text derived from customer fields (the
+    shipped customer table carries no free-text/phone columns, so the
+    fixture synthesizes identical strings in BOTH engines — the operator
+    under test is the redaction, not the corpus): roughly a third of
+    rows get a phone, a quarter an email, a fifth an IPv4."""
+    key = F.col("c_custkey")
+    phone = F.when(
+        key % 3 == 0,
+        F.concat(
+            F.lit(" call +1 555-"),
+            F.lpad((key % 10000).cast("string"), 4, "0"),
+            F.lit("-1234"),
+        ),
+    ).otherwise(F.lit(""))
+    email = F.when(
+        key % 4 == 0,
+        F.concat(F.lit(" mail user"), key.cast("string"), F.lit("@example.com")),
+    ).otherwise(F.lit(""))
+    ip = F.when(
+        key % 5 == 0,
+        F.concat(
+            F.lit(" from 10.0."),
+            F.col("c_nationkey").cast("string"),
+            F.lit("."),
+            (key % 250).cast("string"),
+        ),
+    ).otherwise(F.lit(""))
+    return F.concat(F.col("c_name"), phone, email, ip)
+
+
+_SQL_PII_TEXT = (
+    "c_name"
+    " || CASE WHEN c_custkey % 3 = 0 THEN ' call +1 555-'"
+    " || lpad((c_custkey % 10000)::VARCHAR, 4, '0') || '-1234' ELSE '' END"
+    " || CASE WHEN c_custkey % 4 = 0 THEN ' mail user'"
+    " || c_custkey::VARCHAR || '@example.com' ELSE '' END"
+    " || CASE WHEN c_custkey % 5 = 0 THEN ' from 10.0.'"
+    " || c_nationkey::VARCHAR || '.' || (c_custkey % 250)::VARCHAR ELSE '' END"
+)
+
+
+def _pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pattern-based PII redaction (operators/redact.py): per-row
+    placeholder substitution + auditable match counts, all native
+    regexp projection (zero shuffles, codegen'd) — the standard
+    pretraining hygiene step."""
+    from comet_spark.operators.redact import redact_pii
+
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", _pii_text_col().alias("text")
+    )
+    out = redact_pii(cust, text_col="text", out_col="redacted")
+    return out.select(
+        "c_custkey", "n_email", "n_phone", "n_ipv4",
+        F.col("redacted").alias("redacted_text"),
+    )
+
+
+def _sql_pii_redact_expr(col: str) -> str:
+    expr = col
+    for pat, token in _SQL_PII.values():
+        expr = f"regexp_replace({expr}, '{pat}', '{token}', 'g')"
+    return expr
+
+
+_register(
+    "pii_redaction",
+    _pii_redact,
+    f"""
+WITH t AS (SELECT c_custkey, {_SQL_PII_TEXT} AS text FROM customer)
+SELECT c_custkey,
+       len(regexp_extract_all(text, '{_SQL_PII['email'][0]}'))::BIGINT AS n_email,
+       len(regexp_extract_all(text, '{_SQL_PII['phone'][0]}'))::BIGINT AS n_phone,
+       len(regexp_extract_all(text, '{_SQL_PII['ipv4'][0]}'))::BIGINT AS n_ipv4,
+       {_sql_pii_redact_expr('text')} AS redacted_text
+FROM t
+""",
+)
+
+
+def _pii_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level redaction audit per market segment: doc counts,
+    per-category totals, fraction of rows carrying any PII — the report
+    a 100 TB redaction run ships per source before training."""
+    from comet_spark.operators.redact import redaction_stats
+
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_mktsegment"), _pii_text_col().alias("text")
+    )
+    return redaction_stats(cust, group_col="c_mktsegment").orderBy("c_mktsegment")
+
+
+_register(
+    "pii_redaction_stats",
+    _pii_stats,
+    f"""
+WITH t AS (SELECT c_mktsegment, {_SQL_PII_TEXT} AS text FROM customer),
+c AS (SELECT c_mktsegment,
+             len(regexp_extract_all(text, '{_SQL_PII['email'][0]}')) AS ne,
+             len(regexp_extract_all(text, '{_SQL_PII['phone'][0]}')) AS np,
+             len(regexp_extract_all(text, '{_SQL_PII['ipv4'][0]}')) AS ni
+      FROM t)
+SELECT c_mktsegment, count(*) AS n_docs,
+       sum(ne)::BIGINT AS total_email, sum(np)::BIGINT AS total_phone,
+       sum(ni)::BIGINT AS total_ipv4,
+       ROUND(sum(CASE WHEN ne > 0 OR np > 0 OR ni > 0 THEN 1 ELSE 0 END)::DOUBLE
+             / count(*), 6) AS frac_docs_with_pii
+FROM c GROUP BY c_mktsegment ORDER BY c_mktsegment
+""",
+)
+
+
 SAMPLE_SALT = "s1"
 SAMPLE_RATES = {"en": 10, "zh": 60}  # per-lang rates out of 100
 SAMPLE_DEFAULT_RATE = 35

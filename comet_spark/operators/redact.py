@@ -1,0 +1,98 @@
+"""PII redaction for training-data pipelines.
+
+Standard pretraining hygiene (applied by every major public pipeline
+before training): replace personally-identifiable spans with typed
+placeholder tokens and keep auditable per-document counts, so drop/keep
+decisions and redaction rates can be reported per source.
+
+The patterns are deliberately restricted to the regex subset that means
+the same thing in Java regex (Spark, codegen'd) and RE2 (DuckDB) — so
+redaction output and counts are oracle-checkable like every other
+operator here. They are pattern-based detectors (emails, phone-like
+digit runs, IPv4), not an NER model: the operator's job is the
+plumbing — one native projection, zero shuffles, linear at 100 TB — a
+model-based detector would slot into the same shape as an Arrow UDF.
+
+Spark shape: pure per-row ``regexp_replace``/``regexp_count``
+projection; nothing shuffles, predicates and column pruning pass
+through, and the whole thing runs in whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["PII_PATTERNS", "redact_pii", "redaction_stats"]
+
+# pattern, placeholder — identical semantics in Java regex and RE2
+# (no lookaround, no backrefs; \b works in both)
+PII_PATTERNS: dict[str, tuple[str, str]] = {
+    # local@domain.tld — the common-case detector, ASCII mailboxes
+    "email": (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    # phone-like digit runs: 2+ groups of digits joined by -, ., or space,
+    # optionally +country; at least 7 digits total (TPC-H c_phone's
+    # 'CC-DDD-DDD-DDDD' shape matches)
+    "phone": (r"\+?\d{1,4}([-. ]\d{2,4}){2,}", "<PHONE>"),
+    # IPv4 dotted quad
+    "ipv4": (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IPV4>"),
+}
+
+
+def _count(col: Column, pattern: str) -> Column:
+    return F.regexp_count(col, F.lit(pattern)).cast("bigint")
+
+
+def redact_pii(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    out_col: str | None = None,
+    categories: list[str] | None = None,
+) -> DataFrame:
+    """Replace each PII category with its placeholder and add per-row
+    ``n_<category>`` match counts (counted BEFORE replacement, on the
+    original text, so categories don't eat each other's evidence).
+    ``out_col`` defaults to replacing ``text_col`` in place."""
+    cats = categories or list(PII_PATTERNS)
+    unknown = set(cats) - set(PII_PATTERNS)
+    if unknown:
+        raise ValueError(f"unknown PII categories {sorted(unknown)}")
+    out = docs
+    src = F.col(text_col)
+    for cat in cats:
+        pattern, _ = PII_PATTERNS[cat]
+        out = out.withColumn(f"n_{cat}", _count(src, pattern))
+    red = src
+    for cat in cats:
+        pattern, token = PII_PATTERNS[cat]
+        red = F.regexp_replace(red, pattern, token)
+    return out.withColumn(out_col or text_col, red)
+
+
+def redaction_stats(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    group_col: str | None = None,
+    categories: list[str] | None = None,
+) -> DataFrame:
+    """Corpus-level audit: per ``group_col`` (or one global row), the
+    document count, per-category totals, and the fraction of documents
+    carrying ANY PII — the report a redaction run ships with."""
+    cats = categories or list(PII_PATTERNS)
+    tagged = redact_pii(docs, text_col=text_col, categories=cats)
+    any_pii = None
+    for cat in cats:
+        c = F.col(f"n_{cat}") > 0
+        any_pii = c if any_pii is None else (any_pii | c)
+    aggs = [F.count("*").alias("n_docs")] + [
+        F.sum(f"n_{cat}").cast("bigint").alias(f"total_{cat}") for cat in cats
+    ] + [
+        F.round(
+            F.sum(F.when(any_pii, 1).otherwise(0)) / F.count("*"), 6
+        ).alias("frac_docs_with_pii")
+    ]
+    if group_col is None:
+        return tagged.agg(*aggs)
+    return tagged.groupBy(group_col).agg(*aggs)

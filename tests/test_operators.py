@@ -560,3 +560,31 @@ def test_sketch_merge_of_parts_equals_sketch_of_whole(spark):
     cm = {(r["i"], r["bucket"]): r["c"]
           for r in cms_merge(cms_sketch(h1, "v"), cms_sketch(h2, "v")).collect()}
     assert cw == cm
+
+
+def test_redact_pii_unit(spark):
+    """Counts are measured on the ORIGINAL text (categories don't eat
+    each other's evidence), placeholders substitute in, unknown
+    categories are rejected."""
+    import pytest
+
+    from comet_spark.operators.redact import redact_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail a.user@example.com or call +1 555-123-4567 from 10.0.0.1"),
+            (2, "no pii at all here"),
+            (3, None),
+        ],
+        "id bigint, text string",
+    )
+    out = {r["id"]: r for r in redact_pii(df).collect()}
+    assert out[1]["n_email"] == 1 and out[1]["n_phone"] == 1 and out[1]["n_ipv4"] == 1
+    assert "<EMAIL>" in out[1]["text"] and "<PHONE>" in out[1]["text"]
+    assert "<IPV4>" in out[1]["text"]
+    assert "example.com" not in out[1]["text"]
+    assert out[2]["text"] == "no pii at all here"
+    assert out[3]["text"] is None and out[3]["n_email"] is None
+
+    with pytest.raises(ValueError, match="unknown PII"):
+        redact_pii(df, categories=["ssn"])
