@@ -2942,6 +2942,33 @@ WHERE ROUND(1.0 - ({_sql_cos('a.v', 'b.v')}), 6) >= {NEARDUP_SIM}
 )
 
 
+def _semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (similarity.py semantic_dedup_pairs,
+    Abbas et al. 2023): the k-means/IVF cluster assignment — the SAME
+    layout the ANN queries maintain — is the blocking key, and the
+    quadratic cosine join is confined within clusters (Σ|c|², never N²;
+    cross-cluster pairs are the published recall trade). Oracle replays
+    the within-cluster join from the exported assignment artifact."""
+    from comet_spark.operators.similarity import semantic_dedup_pairs
+
+    _ivf, assigned = _ivf_trained(spark, sf_dir)
+    return semantic_dedup_pairs(assigned, min_sim=NEARDUP_SIM)
+
+
+_register(
+    "semantic_dedup_pairs",
+    _semantic_dedup,
+    f"""
+WITH a AS (SELECT id, vector::DOUBLE[] AS v, cluster_id
+           FROM read_parquet('{_ART01}/ivf/assigned.parquet/**/*.parquet', hive_partitioning=1))
+SELECT x.id AS a_id, y.id AS b_id,
+       ROUND(1.0 - ({_sql_cos('x.v', 'y.v')}), 6) AS cos_sim
+FROM a x JOIN a y ON x.cluster_id = y.cluster_id AND x.id < y.id
+WHERE ROUND(1.0 - ({_sql_cos('x.v', 'y.v')}), 6) >= {NEARDUP_SIM}
+""",
+)
+
+
 # --- B15/J6 soft deletes + J5 LSM read-path merge ----------------------------
 
 def _soft_delete_knn(spark: SparkSession, sf_dir: str) -> DataFrame:

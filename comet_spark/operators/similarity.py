@@ -42,6 +42,7 @@ __all__ = [
     "cosine_pairs_grid",
     "lsh_bucket_pairs",
     "lsh_ann_topk",
+    "semantic_dedup_pairs",
 ]
 
 _OUT_SCHEMA = "a_id bigint, b_id bigint, cos_sim double"
@@ -349,3 +350,40 @@ def lsh_ann_topk(
         score = F.round(score, round_to)
     scored = e.join(cand, "id", "left_semi").select("id", score.alias("score"))
     return scored.orderBy(F.col("score").asc(), F.col("id").asc()).limit(k)
+
+
+def semantic_dedup_pairs(
+    assigned: DataFrame, *, id_col: str = "id", vec_col: str = "vector",
+    cluster_col: str = "cluster_id", min_sim: float = 0.95,
+    round_to: int = 6,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023, public):
+    k-means-cluster the embedding space, then mine near-duplicate pairs
+    ONLY within each cluster — the published recipe for web-scale
+    semantic dedup, because the cluster id is a blocking key that
+    confines the quadratic join to cluster populations (cost
+    Σ_c |c|² instead of N²; cross-cluster near-dups are the documented,
+    deliberately-accepted recall loss).
+
+    ``assigned`` is any table carrying (id, vector, cluster) — e.g.
+    ``IVFIndex.assign``'s output, so a corpus that already maintains an
+    IVF layout gets semantic dedup for free off the same assignment.
+    Returns ``(a_id, b_id, cos_sim)`` with cos_sim ≥ ``min_sim``.
+
+    Spark shape: equi-join on the cluster column (shuffle-partitioned by
+    cluster — never a cartesian), native cosine expression, no Python,
+    no driver collect."""
+    e = assigned.select(
+        F.col(cluster_col).alias("__c"),
+        F.col(id_col).cast("bigint").alias("id"),
+        to_double_array(vec_col).alias("v"),
+    )
+    a = e.select("__c", F.col("id").alias("a_id"), F.col("v").alias("va"))
+    b = e.select("__c", F.col("id").alias("b_id"), F.col("v").alias("vb"))
+    sim = F.round(F.lit(1.0) - cosine_distance(F.col("va"), F.col("vb")), round_to)
+    return (
+        a.join(b, "__c")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", sim.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= min_sim)
+    )
