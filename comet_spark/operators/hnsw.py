@@ -481,12 +481,21 @@ class DistributedHNSW:
 
     def save(self, path: str) -> None:
         """A8 sink: the graph table IS the format — one parquet row per
-        sub-graph."""
-        self.graphs.write.mode("overwrite").parquet(path)
+        sub-graph, plus a meta row so load() can't silently score with a
+        mismatched metric."""
+        self.graphs.write.mode("overwrite").parquet(f"{path}/graphs.parquet")
+        spark = self.graphs.sparkSession
+        spark.createDataFrame(
+            [(self.m, self.metric)], "m int, metric string"
+        ).repartition(1).write.mode("overwrite").parquet(f"{path}/meta.parquet")
 
     @classmethod
-    def load(cls, spark, path: str, *, m: int = 8, metric: str = "l2") -> "DistributedHNSW":
-        return cls(spark.read.parquet(path), m=m, metric=metric)
+    def load(cls, spark, path: str) -> "DistributedHNSW":
+        meta = spark.read.parquet(f"{path}/meta.parquet").first()
+        return cls(
+            spark.read.parquet(f"{path}/graphs.parquet"),
+            m=int(meta["m"]), metric=meta["metric"],
+        )
 
     def candidates(self, qvec: list[float], *, ef_search: int = 50) -> DataFrame:
         """Distributed traversal → (id) union of every sub-graph's beam."""

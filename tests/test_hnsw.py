@@ -208,7 +208,8 @@ def test_dhnsw_save_load_roundtrip(dindex, emb, qvec, spark, tmp_path):
     from comet_spark.operators.hnsw import DistributedHNSW
 
     dindex.save(str(tmp_path / "dhnsw"))
-    back = DistributedHNSW.load(spark, str(tmp_path / "dhnsw"), m=8, metric="l2")
+    back = DistributedHNSW.load(spark, str(tmp_path / "dhnsw"))
+    assert (back.m, back.metric) == (dindex.m, dindex.metric)  # from meta
     a = [tuple(r) for r in dindex.search(emb, qvec, k=10, ef_search=50).collect()]
     b = [tuple(r) for r in back.search(emb, qvec, k=10, ef_search=50).collect()]
     assert a == b
