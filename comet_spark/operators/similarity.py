@@ -355,7 +355,7 @@ def lsh_ann_topk(
 def semantic_dedup_pairs(
     assigned: DataFrame, *, id_col: str = "id", vec_col: str = "vector",
     cluster_col: str = "cluster_id", min_sim: float = 0.95,
-    round_to: int = 6,
+    round_to: int = 6, kernel: str = "blas",
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023, public):
     k-means-cluster the embedding space, then mine near-duplicate pairs
@@ -370,20 +370,46 @@ def semantic_dedup_pairs(
     IVF layout gets semantic dedup for free off the same assignment.
     Returns ``(a_id, b_id, cos_sim)`` with cos_sim ≥ ``min_sim``.
 
-    Spark shape: equi-join on the cluster column (shuffle-partitioned by
-    cluster — never a cartesian), native cosine expression, no Python,
-    no driver collect."""
+    Spark shape: ONE shuffle keyed on the cluster column — never a
+    cartesian, no driver collect. ``kernel="blas"`` (default) runs each
+    cluster's pair block as an Arrow-batched numpy matmul
+    (applyInPandas — the same kernel family as ``cosine_pairs_grid``,
+    same DOUBLE/clip/ROUND-6 math, so the oracle is unchanged); memory
+    per task is that cluster's |c|·d matrix, the quantity SemDeDup's
+    clustering explicitly bounds. ``kernel="expr"`` is the zero-Python
+    Catalyst equi-join for environments without Python workers."""
     e = assigned.select(
         F.col(cluster_col).alias("__c"),
         F.col(id_col).cast("bigint").alias("id"),
         to_double_array(vec_col).alias("v"),
     )
-    a = e.select("__c", F.col("id").alias("a_id"), F.col("v").alias("va"))
-    b = e.select("__c", F.col("id").alias("b_id"), F.col("v").alias("vb"))
-    sim = F.round(F.lit(1.0) - cosine_distance(F.col("va"), F.col("vb")), round_to)
-    return (
-        a.join(b, "__c")
-        .filter(F.col("a_id") < F.col("b_id"))
-        .select("a_id", "b_id", sim.alias("cos_sim"))
-        .filter(F.col("cos_sim") >= min_sim)
-    )
+    if kernel == "expr":
+        a = e.select("__c", F.col("id").alias("a_id"), F.col("v").alias("va"))
+        b = e.select("__c", F.col("id").alias("b_id"), F.col("v").alias("vb"))
+        sim = F.round(
+            F.lit(1.0) - cosine_distance(F.col("va"), F.col("vb")), round_to
+        )
+        return (
+            a.join(b, "__c")
+            .filter(F.col("a_id") < F.col("b_id"))
+            .select("a_id", "b_id", sim.alias("cos_sim"))
+            .filter(F.col("cos_sim") >= min_sim)
+        )
+    if kernel != "blas":
+        raise ValueError(f"unknown kernel {kernel!r}; 'blas' or 'expr'")
+
+    def cluster_kernel(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["id"].to_numpy(dtype=np.int64)
+        if len(ids) < 2:
+            return pd.DataFrame({"a_id": [], "b_id": [], "cos_sim": []})
+        mat = np.array(pdf["v"].tolist(), dtype=np.float64)
+        nrm = np.linalg.norm(mat, axis=1)
+        sims = (mat @ mat.T) / np.outer(nrm, nrm)
+        np.clip(sims, -1.0, 1.0, out=sims)
+        sims = np.round(sims, round_to)
+        ai, bi = np.nonzero((sims >= min_sim) & (ids[:, None] < ids[None, :]))
+        return pd.DataFrame(
+            {"a_id": ids[ai], "b_id": ids[bi], "cos_sim": sims[ai, bi]}
+        )
+
+    return e.groupBy("__c").applyInPandas(cluster_kernel, _OUT_SCHEMA)

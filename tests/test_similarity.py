@@ -39,3 +39,28 @@ def test_lsh_subset_with_recall(emb):
         assert v == exact[k]
     # banded with 8 bands of 2 bits → high collision prob for sim≥0.35
     assert len(lsh) >= 0.5 * len(exact)
+
+
+def test_semantic_dedup_kernels_agree(spark):
+    """BLAS per-cluster kernel ≡ the zero-Python Catalyst equi-join
+    (same DOUBLE/clip/ROUND-6 math) on the IVF assignment."""
+    import pyspark.sql.functions as F
+
+    from comet_spark.operators.ann import IVFIndex
+    from comet_spark.operators.similarity import semantic_dedup_pairs
+    from tests.conftest import SF_DIR_SMALL
+
+    emb = spark.read.parquet(f"{SF_DIR_SMALL}/embeddings.parquet").select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vector")
+    )
+    ivf = IVFIndex.train(emb, 4)
+    assigned = ivf.assign(emb).cache()
+    blas = {
+        (r["a_id"], r["b_id"], r["cos_sim"])
+        for r in semantic_dedup_pairs(assigned, min_sim=0.3, kernel="blas").collect()
+    }
+    expr = {
+        (r["a_id"], r["b_id"], r["cos_sim"])
+        for r in semantic_dedup_pairs(assigned, min_sim=0.3, kernel="expr").collect()
+    }
+    assert blas == expr and len(blas) > 0
