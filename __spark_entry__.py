@@ -3776,12 +3776,7 @@ SELECT token, count(*) AS n FROM t GROUP BY token ORDER BY n DESC, token LIMIT 5
 
 # --- PII redaction (training-data hygiene) -----------------------------------
 
-_SQL_PII = {
-    # must stay pattern-for-pattern in sync with operators/redact.py
-    "email": (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
-    "phone": (r"\+?\d{1,4}([-. ]\d{2,4}){2,}", "<PHONE>"),
-    "ipv4": (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IPV4>"),
-}
+from comet_spark.operators.redact import PII_PATTERNS as _SQL_PII  # one source
 
 
 def _pii_text_col() -> F.Column:
@@ -3843,24 +3838,35 @@ def _pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sql_pii_redact_expr(col: str) -> str:
-    expr = col
-    for pat, token in _SQL_PII.values():
-        expr = f"regexp_replace({expr}, '{pat}', '{token}', 'g')"
-    return expr
+def _sql_pii_stages() -> tuple[str, str]:
+    """Sequential count-then-replace CTE chain — the SQL twin of
+    redact_pii's contract (each category counts on the text as redacted
+    by the previous categories): c0(text=t0) → c1(n_ipv4, t1) →
+    c2(n_email, t2) → c3(n_phone, t3)."""
+    stages = []
+    prev_t = "text"
+    for i, (cat, (pat, token)) in enumerate(_SQL_PII.items(), start=1):
+        stages.append(
+            f"c{i} AS (SELECT * EXCLUDE ({prev_t}), "
+            f"len(regexp_extract_all({prev_t}, '{pat}'))::BIGINT AS n_{cat}, "
+            f"regexp_replace({prev_t}, '{pat}', '{token}', 'g') AS t{i} "
+            f"FROM c{i - 1})"
+        )
+        prev_t = f"t{i}"
+    return ",\n".join(stages), prev_t
+
+
+_SQL_PII_CHAIN, _SQL_PII_FINAL = _sql_pii_stages()
 
 
 _register(
     "pii_redaction",
     _pii_redact,
     f"""
-WITH t AS (SELECT c_custkey, {_SQL_PII_TEXT} AS text FROM customer)
-SELECT c_custkey,
-       len(regexp_extract_all(text, '{_SQL_PII['email'][0]}'))::BIGINT AS n_email,
-       len(regexp_extract_all(text, '{_SQL_PII['phone'][0]}'))::BIGINT AS n_phone,
-       len(regexp_extract_all(text, '{_SQL_PII['ipv4'][0]}'))::BIGINT AS n_ipv4,
-       {_sql_pii_redact_expr('text')} AS redacted_text
-FROM t
+WITH c0 AS (SELECT c_custkey, {_SQL_PII_TEXT} AS text FROM customer),
+{_SQL_PII_CHAIN}
+SELECT c_custkey, n_email, n_phone, n_ipv4, {_SQL_PII_FINAL} AS redacted_text
+FROM c{len(_SQL_PII)}
 """,
 )
 
@@ -3881,18 +3887,15 @@ _register(
     "pii_redaction_stats",
     _pii_stats,
     f"""
-WITH t AS (SELECT c_mktsegment, {_SQL_PII_TEXT} AS text FROM customer),
-c AS (SELECT c_mktsegment,
-             len(regexp_extract_all(text, '{_SQL_PII['email'][0]}')) AS ne,
-             len(regexp_extract_all(text, '{_SQL_PII['phone'][0]}')) AS np,
-             len(regexp_extract_all(text, '{_SQL_PII['ipv4'][0]}')) AS ni
-      FROM t)
+WITH c0 AS (SELECT c_mktsegment, {_SQL_PII_TEXT} AS text FROM customer),
+{_SQL_PII_CHAIN}
 SELECT c_mktsegment, count(*) AS n_docs,
-       sum(ne)::BIGINT AS total_email, sum(np)::BIGINT AS total_phone,
-       sum(ni)::BIGINT AS total_ipv4,
-       ROUND(sum(CASE WHEN ne > 0 OR np > 0 OR ni > 0 THEN 1 ELSE 0 END)::DOUBLE
-             / count(*), 6) AS frac_docs_with_pii
-FROM c GROUP BY c_mktsegment ORDER BY c_mktsegment
+       sum(n_email)::BIGINT AS total_email, sum(n_phone)::BIGINT AS total_phone,
+       sum(n_ipv4)::BIGINT AS total_ipv4,
+       ROUND(sum(CASE WHEN n_email > 0 OR n_phone > 0 OR n_ipv4 > 0
+                      THEN 1 ELSE 0 END)::DOUBLE / count(*), 6)
+         AS frac_docs_with_pii
+FROM c{len(_SQL_PII)} GROUP BY c_mktsegment ORDER BY c_mktsegment
 """,
 )
 

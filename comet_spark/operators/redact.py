@@ -26,16 +26,18 @@ from pyspark.sql import functions as F
 __all__ = ["PII_PATTERNS", "redact_pii", "redaction_stats"]
 
 # pattern, placeholder — identical semantics in Java regex and RE2
-# (no lookaround, no backrefs; \b works in both)
+# (no lookaround, no backrefs; \b works in both). ORDER MATTERS and is
+# part of the contract: categories apply most-specific-first, each over
+# the text as already redacted by the previous ones — ipv4 must precede
+# phone, or '192.168.10.25' is eaten as a phone-like digit run.
 PII_PATTERNS: dict[str, tuple[str, str]] = {
+    # IPv4 dotted quad (before phone: dotted quads ARE phone-like runs)
+    "ipv4": (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IPV4>"),
     # local@domain.tld — the common-case detector, ASCII mailboxes
     "email": (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
     # phone-like digit runs: 2+ groups of digits joined by -, ., or space,
-    # optionally +country; at least 7 digits total (TPC-H c_phone's
-    # 'CC-DDD-DDD-DDDD' shape matches)
+    # optionally +country; at least 7 digits total
     "phone": (r"\+?\d{1,4}([-. ]\d{2,4}){2,}", "<PHONE>"),
-    # IPv4 dotted quad
-    "ipv4": (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IPV4>"),
 }
 
 
@@ -51,23 +53,24 @@ def redact_pii(
     categories: list[str] | None = None,
 ) -> DataFrame:
     """Replace each PII category with its placeholder and add per-row
-    ``n_<category>`` match counts (counted BEFORE replacement, on the
-    original text, so categories don't eat each other's evidence).
-    ``out_col`` defaults to replacing ``text_col`` in place."""
-    cats = categories or list(PII_PATTERNS)
+    ``n_<category>`` match counts. Categories apply SEQUENTIALLY in
+    ``PII_PATTERNS`` order (most specific first) and each category's
+    count is measured on the text as redacted by the PREVIOUS categories
+    — so counts describe exactly what was replaced (an IPv4 redacted as
+    <IPV4> is never also counted as a phone). ``out_col`` defaults to
+    replacing ``text_col`` in place."""
+    cats = categories or [c for c in PII_PATTERNS]
     unknown = set(cats) - set(PII_PATTERNS)
     if unknown:
         raise ValueError(f"unknown PII categories {sorted(unknown)}")
+    cats = [c for c in PII_PATTERNS if c in cats]  # pin canonical order
     out = docs
-    src = F.col(text_col)
-    for cat in cats:
-        pattern, _ = PII_PATTERNS[cat]
-        out = out.withColumn(f"n_{cat}", _count(src, pattern))
-    red = src
+    cur = F.col(text_col)
     for cat in cats:
         pattern, token = PII_PATTERNS[cat]
-        red = F.regexp_replace(red, pattern, token)
-    return out.withColumn(out_col or text_col, red)
+        out = out.withColumn(f"n_{cat}", _count(cur, pattern))
+        cur = F.regexp_replace(cur, pattern, token)
+    return out.withColumn(out_col or text_col, cur)
 
 
 def redaction_stats(

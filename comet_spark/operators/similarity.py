@@ -48,6 +48,27 @@ __all__ = [
 _OUT_SCHEMA = "a_id bigint, b_id bigint, cos_sim double"
 
 
+def _round_half_up(a: np.ndarray, decimals: int) -> np.ndarray:
+    """Round like Spark's ROUND / DuckDB (HALF_UP, ties away from zero)
+    instead of numpy's default half-to-even — keeps the BLAS kernels'
+    boundary behavior aligned with the expression path and the SQL
+    oracles (a tie like 1/128 = 0.0078125 rounds to .007813 in both
+    engines; np.round would give .007812)."""
+    f = 10.0 ** decimals
+    return np.sign(a) * np.floor(np.abs(a) * f + 0.5) / f
+
+
+def _blas_cosine(a_mat: np.ndarray, b_mat: np.ndarray, round_to: int) -> np.ndarray:
+    """The ONE BLAS cosine block all Python kernels share: dot / norms,
+    clip to [-1, 1], HALF_UP round — the same DOUBLE math as the
+    Catalyst expression path."""
+    sims = (a_mat @ b_mat.T) / np.outer(
+        np.linalg.norm(a_mat, axis=1), np.linalg.norm(b_mat, axis=1)
+    )
+    np.clip(sims, -1.0, 1.0, out=sims)
+    return _round_half_up(sims, round_to)
+
+
 def cosine_pairs_expr(
     emb: DataFrame, *, id_col: str = "vec_id", vec_col: str = "embedding",
     min_sim: float = 0.4, round_to: int = 6,
@@ -73,19 +94,15 @@ def cosine_pairs_blocked(
     rows = emb.select(id_col, to_double_array(vec_col).alias("v")).collect()
     ids = np.array([r[0] for r in rows], dtype=np.int64)
     mat = np.array([r[1] for r in rows], dtype=np.float64)
-    nrm = np.linalg.norm(mat, axis=1)
-    bc = spark.sparkContext.broadcast((ids, mat, nrm))
+    bc = spark.sparkContext.broadcast((ids, mat))
 
     def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        b_ids, b_mat, b_nrm = bc.value
+        b_ids, b_mat = bc.value
         for pdf in batches:
             a_ids = pdf["id"].to_numpy(dtype=np.int64)
             a_mat = np.array(pdf["v"].tolist(), dtype=np.float64)
-            a_nrm = np.linalg.norm(a_mat, axis=1)
             # sim = clamp(dot/(|a||b|)) — same formula as the expr path
-            sims = (a_mat @ b_mat.T) / np.outer(a_nrm, b_nrm)
-            np.clip(sims, -1.0, 1.0, out=sims)
-            sims = np.round(sims, round_to)
+            sims = _blas_cosine(a_mat, b_mat, round_to)
             ai, bi = np.nonzero((sims >= min_sim) & (a_ids[:, None] < b_ids[None, :]))
             yield pd.DataFrame(
                 {"a_id": a_ids[ai], "b_id": b_ids[bi], "cos_sim": sims[ai, bi]}
@@ -156,11 +173,7 @@ def cosine_pairs_grid(
         b_ids = B["id"].to_numpy(dtype=np.int64)
         a_mat = np.array(A["v"].tolist(), dtype=np.float64)
         b_mat = np.array(B["v"].tolist(), dtype=np.float64)
-        sims = (a_mat @ b_mat.T) / np.outer(
-            np.linalg.norm(a_mat, axis=1), np.linalg.norm(b_mat, axis=1)
-        )
-        np.clip(sims, -1.0, 1.0, out=sims)
-        sims = np.round(sims, round_to)
+        sims = _blas_cosine(a_mat, b_mat, round_to)
         mask = sims >= min_sim
         if ci == cj:  # same block on both sides: emit each pair once
             mask &= a_ids[:, None] < b_ids[None, :]
@@ -403,13 +416,17 @@ def semantic_dedup_pairs(
         if len(ids) < 2:
             return pd.DataFrame({"a_id": [], "b_id": [], "cos_sim": []})
         mat = np.array(pdf["v"].tolist(), dtype=np.float64)
-        nrm = np.linalg.norm(mat, axis=1)
-        sims = (mat @ mat.T) / np.outer(nrm, nrm)
-        np.clip(sims, -1.0, 1.0, out=sims)
-        sims = np.round(sims, round_to)
+        sims = _blas_cosine(mat, mat, round_to)
         ai, bi = np.nonzero((sims >= min_sim) & (ids[:, None] < ids[None, :]))
         return pd.DataFrame(
             {"a_id": ids[ai], "b_id": ids[bi], "cos_sim": sims[ai, bi]}
         )
 
-    return e.groupBy("__c").applyInPandas(cluster_kernel, _OUT_SCHEMA)
+    # NULL-cluster rows are UNASSIGNED — excluded on both kernels (the
+    # expr equi-join drops them; filter explicitly here so the kernels
+    # agree): an unassigned row has no blocking key to dedup within
+    return (
+        e.filter(F.col("__c").isNotNull())
+        .groupBy("__c")
+        .applyInPandas(cluster_kernel, _OUT_SCHEMA)
+    )

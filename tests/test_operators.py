@@ -588,3 +588,18 @@ def test_redact_pii_unit(spark):
 
     with pytest.raises(ValueError, match="unknown PII"):
         redact_pii(df, categories=["ssn"])
+
+
+def test_redact_pii_ipv4_not_eaten_by_phone(spark):
+    """Category order is part of the contract: a dotted quad with
+    multi-digit octets IS a phone-shaped digit run, so ipv4 must apply
+    first — and sequential counting means the span is counted exactly
+    once, in the category whose placeholder appears in the output."""
+    from comet_spark.operators.redact import redact_pii
+
+    df = spark.createDataFrame(
+        [(1, "server at 192.168.10.25 responded")], "id bigint, text string"
+    )
+    r = redact_pii(df).collect()[0]
+    assert r["text"] == "server at <IPV4> responded"
+    assert r["n_ipv4"] == 1 and r["n_phone"] == 0 and r["n_email"] == 0
