@@ -26,18 +26,32 @@ from pyspark.sql import functions as F
 __all__ = ["PII_PATTERNS", "redact_pii", "redaction_stats"]
 
 # pattern, placeholder — identical semantics in Java regex and RE2
-# (no lookaround, no backrefs; \b works in both). ORDER MATTERS and is
-# part of the contract: categories apply most-specific-first, each over
-# the text as already redacted by the previous ones — ipv4 must precede
-# phone, or '192.168.10.25' is eaten as a phone-like digit run.
+# (no lookaround, no backrefs; \b and (?:...) work in both). ORDER
+# MATTERS and is part of the contract: categories apply
+# most-specific-first, each over the text as already redacted by the
+# previous ones — ipv4 must precede phone, or '192.168.10.25' is eaten
+# as a phone-like digit run.
 PII_PATTERNS: dict[str, tuple[str, str]] = {
     # IPv4 dotted quad (before phone: dotted quads ARE phone-like runs)
     "ipv4": (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IPV4>"),
     # local@domain.tld — the common-case detector, ASCII mailboxes
     "email": (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
-    # phone-like digit runs: 2+ groups of digits joined by -, ., or space,
-    # optionally +country; at least 7 digits total
-    "phone": (r"\+?\d{1,4}([-. ]\d{2,4}){2,}", "<PHONE>"),
+    # Phones as explicit shapes, not a generic digit run (a generic run
+    # eats ISO dates: 2026-08-14 is phone-shaped). Every branch needs
+    # >=7 digits total, and no branch matches a date layout
+    # (YYYY-MM-DD = 4-2-2, DD.MM.YYYY = 2-2-4, M.DD.YY = 1-2-2):
+    #   +CC then 3+ separated groups   (min 1+2+2+2 = 7 digits)
+    #   +CC NNN-NNNN                   (min 1+3+4 = 8)
+    #   (NNN) NNN-NNNN / NNN-NNN-NNNN  (10)
+    #   bare NNN-NNNN local            (7)
+    "phone": (
+        r"\+\d{1,4}(?:[-. ]\d{2,4}){3,}\b"
+        r"|\+\d{1,4}[-. ]\d{3}[-. ]\d{4}\b"
+        r"|\(\d{3}\)[-. ]?\d{3}[-. ]\d{4}\b"
+        r"|\b\d{3}[-. ]\d{3}[-. ]\d{4}\b"
+        r"|\b\d{3}[-. ]\d{4}\b",
+        "<PHONE>",
+    ),
 }
 
 

@@ -603,3 +603,35 @@ def test_redact_pii_ipv4_not_eaten_by_phone(spark):
     r = redact_pii(df).collect()[0]
     assert r["text"] == "server at <IPV4> responded"
     assert r["n_ipv4"] == 1 and r["n_phone"] == 0 and r["n_email"] == 0
+
+
+def test_redact_pii_dates_survive_phone_catches(spark):
+    """The phone category matches explicit phone SHAPES, never generic
+    digit runs: ISO / European dates and short runs below 7 digits must
+    survive unredacted, while the standard phone layouts are caught."""
+    from comet_spark.operators.redact import redact_pii
+
+    survive = [
+        "released on 2026-08-14 at noon",      # ISO date, 4-2-2
+        "geboren am 14.08.2026 in Wien",       # European date, 2-2-4
+        "version 1.23.45 shipped",             # 5 digits total
+        "score was 12-34 at half time",        # 4 digits total
+        "the 1914-1918 war",                   # year range, 4-4
+    ]
+    catch = [
+        "call +1-555-123-4567 now",            # +CC, 3 groups
+        "call +1 555-1234 now",                # +CC NNN-NNNN
+        "dial (555) 123-4567 today",           # parenthesized NANP
+        "dial 555-123-4567 today",             # bare NANP 10-digit
+        "local line 555-1234 works",           # 7-digit local
+        "intl +44 20 7946 0958 desk",          # +CC with 4 groups
+    ]
+    rows = [(i, t) for i, t in enumerate(survive + catch)]
+    df = spark.createDataFrame(rows, "id bigint, text string")
+    out = {r["id"]: r for r in redact_pii(df).collect()}
+    for i, t in enumerate(survive):
+        assert out[i]["text"] == t and out[i]["n_phone"] == 0, (t, out[i]["text"])
+    for j in range(len(survive), len(survive) + len(catch)):
+        assert "<PHONE>" in out[j]["text"] and out[j]["n_phone"] == 1, (
+            rows[j][1], out[j]["text"],
+        )
