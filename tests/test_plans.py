@@ -276,3 +276,26 @@ def test_knn_distance_not_in_join_condition(spark):
     for line in plan.splitlines():
         if "Join condition" in line:
             assert "aggregate(" not in line and "zip_with" not in line, line
+
+
+def test_docs_par_no_exchange_when_input_split(spark, tmp_path):
+    """The local-bench equalizer in _docs_par must be GATED on actual
+    scan parallelism: when the documents input already has >= cores
+    partitions (the cluster case — many files), no repartition Exchange
+    may be injected, so driver query plans are the 100 TB plans
+    verbatim. The single-file local corpus still gets fanned out."""
+    import __spark_entry__ as entry_mod
+
+    par = spark.sparkContext.defaultParallelism
+    docs = spark.read.parquet(f"{SF_DIR_SMALL}/documents.parquet")
+    sf_dir = str(tmp_path)
+    # many small files -> scan parallelism >= cores without any shuffle
+    docs.repartition(par).write.parquet(f"{sf_dir}/documents.parquet")
+
+    split = entry_mod._docs_par(spark, sf_dir)
+    assert split.rdd.getNumPartitions() >= par
+    assert "Exchange" not in _plan(split)
+
+    # the under-split local corpus (one file) still equalizes
+    local = entry_mod._docs_par(spark, SF_DIR_SMALL)
+    assert local.rdd.getNumPartitions() >= par
