@@ -271,7 +271,8 @@ def lsh_ann_topk(
     docs: DataFrame, qvec: list[float], *, k: int = 10,
     id_col: str = "id", vec_col: str = "vector", metric: str = "l2",
     n_planes: int = 60, bands: int = 4, band_bits: int = 4, seed: int = 42,
-    ef: int = 0, round_to: int = 6, artifacts_path: str | None = None,
+    ef: int = 0, n_probes: int = 0, round_to: int = 6,
+    artifacts_path: str | None = None,
 ) -> DataFrame:
     """HNSW-role approximate top-k (SURVEY.md A3): random-hyperplane LSH
     candidate generation + exact distance on candidates.
@@ -287,6 +288,16 @@ def lsh_ann_topk(
     reference tests HNSW's ef ladder, hnsw_index_search_test.go:992-1150
     and docs/INDEX.md:972-974). The plan is a pruned exact scan, so
     precision within the candidate set is 1.0.
+
+    ``n_probes > 0`` enables multi-probe LSH (Lv et al., VLDB 2007):
+    beyond the query's own band buckets, also probe the ``n_probes``
+    cheapest bit-flip neighbor buckets across all bands — ranked by the
+    summed squared hyperplane margins of the flipped bits, since a
+    near neighbor most likely lands across the boundaries the query
+    itself barely cleared. The probe set is computed driver-side from
+    the QUERY alone (≤ bands·2^band_bits buckets enumerated) and checked
+    inside the same signature kernel, so the doc-side plan is unchanged:
+    one scan, no shuffle, higher recall per plane budget.
     """
     from comet_spark.functions.vector import distance as dist_fn
 
@@ -295,13 +306,33 @@ def lsh_ann_topk(
     if bands * band_bits > n_planes:
         raise ValueError("bands * band_bits must be <= n_planes")
     q = np.asarray(qvec, dtype=np.float64)
-    qbits = (planes @ q) >= 0
+    proj = planes @ q
+    qbits = proj >= 0
     weights = 1 << np.arange(band_bits, dtype=np.int64)
     qsigs = [
         int(qbits[b * band_bits : (b + 1) * band_bits] @ weights)
         for b in range(bands)
     ]
     qfull = int(qbits @ (1 << np.arange(n_planes, dtype=np.int64)))
+
+    # per-band allowed bucket signatures: the query's own, plus (with
+    # multi-probe) the n_probes globally-cheapest bit-flip neighbors
+    allowed: dict[int, set[int]] = {b: {qsigs[b]} for b in range(bands)}
+    if n_probes > 0:
+        flips: list[tuple[float, int, int]] = []
+        for b in range(bands):
+            lo = b * band_bits
+            seg_bits = qbits[lo : lo + band_bits]
+            seg_marg = proj[lo : lo + band_bits]
+            for mask in range(1, 1 << band_bits):
+                idx = [i for i in range(band_bits) if (mask >> i) & 1]
+                cost = float(sum(seg_marg[i] * seg_marg[i] for i in idx))
+                flipped = seg_bits.copy()
+                flipped[idx] = ~flipped[idx]
+                flips.append((cost, b, int(flipped @ weights)))
+        flips.sort()
+        for _cost, b, sig in flips[:n_probes]:
+            allowed[b].add(sig)
 
     spark = docs.sparkSession
     bc = spark.sparkContext.broadcast(planes)
@@ -316,7 +347,9 @@ def lsh_ann_topk(
             hit = np.zeros(len(ids), dtype=bool)
             for b in range(bands):
                 seg = bits[:, b * band_bits : (b + 1) * band_bits]
-                hit |= (seg @ weights) == qsigs[b]
+                sigvals = seg @ weights
+                for s in allowed[b]:
+                    hit |= sigvals == s
             yield pd.DataFrame({"id": ids, "full_sig": full, "band_hit": hit})
 
     e = docs.select(
@@ -336,7 +369,10 @@ def lsh_ann_topk(
         key = (
             spark.sparkContext.applicationId,
             artifacts_path,
-            hash((tuple(float(x) for x in qvec), n_planes, bands, band_bits, seed)),
+            hash((
+                tuple(float(x) for x in qvec),
+                n_planes, bands, band_bits, seed, n_probes,
+            )),
         )
         if key not in _LSH_WRITTEN:
             sigs.write.mode("overwrite").parquet(f"{artifacts_path}/sigs.parquet")

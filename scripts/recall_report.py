@@ -115,6 +115,11 @@ def main() -> None:
             "LSH (HNSW-role)", f"60 planes, 4x4-bit bands, ef={ef}",
             lambda v, e=ef: lsh_ann_topk(emb, v, k=K, ef=e), 0.0,
         )
+    for npb in (8, 16, 32):
+        evaluate(
+            "LSH multi-probe", f"4x4-bit bands, ef=100, n_probes={npb}",
+            lambda v, p=npb: lsh_ann_topk(emb, v, k=K, ef=100, n_probes=p), 0.0,
+        )
 
     from comet_spark.operators.hnsw import DistributedHNSW, HNSWIndex
 

@@ -67,6 +67,26 @@ def test_lsh_ef_ladder_monotone(corpus, qvec, flat_ids):
     assert recalls[-1] == 10  # beam = corpus -> exact scan
 
 
+def test_lsh_multiprobe_ladder_monotone(corpus, qvec, flat_ids):
+    """Multi-probe LSH (Lv et al., VLDB'07): probing the cheapest
+    bit-flip neighbor buckets only ever ADDS candidates, so recall must
+    be monotone non-decreasing in n_probes; probing every bucket of
+    every band (bands * 2^band_bits) admits the whole corpus -> exact."""
+    gt = set(flat_ids)
+    recalls = []
+    for npb in (0, 8, 16, 4 * 16):
+        got = {
+            r["id"]
+            for r in lsh_ann_topk(
+                corpus.docs, qvec, k=10, ef=0, n_probes=npb
+            ).collect()
+        }
+        recalls.append(len(got & gt))
+    assert recalls == sorted(recalls)  # monotone non-decreasing
+    assert recalls[-1] == 10  # all buckets probed -> exact scan
+    assert recalls[2] > recalls[0]  # probing must actually buy recall
+
+
 def test_lsh_ann_topk_standalone(corpus, qvec, flat_ids):
     res = lsh_ann_topk(corpus.docs, qvec, k=10, ef=50)
     rows = res.collect()
