@@ -118,6 +118,7 @@ class DocumentStore:
         self.deletes_path = f"{path}/_deletes"
         self.lock_path = f"{path}/_lock"
         self._fs = _FS(spark, path)
+        self._legacy_deletes_checked = False
 
     def _lock(self, op: str) -> _writer_lock:
         return _writer_lock(self._fs, self.lock_path, op)
@@ -191,18 +192,76 @@ class DocumentStore:
             .parquet(self.data_path)
         )
 
+    def _migrate_legacy_deletes(self) -> None:
+        """One-time migration of pre-sequencing delete files: stamp their
+        missing ``upto`` with the store's CURRENT next-segment number.
+        Equivalent to +inf for every segment present now (the old delete
+        keeps hiding everything it hid), but — unlike +inf — a FUTURE
+        append of the same id is visible again, honoring the J6 contract
+        ('a later re-append of the same id is visible') on migrated
+        stores. Runs under the writer lock with the same write-aside
+        swap as compact(); crash mid-swap leaves either the old or the
+        migrated directory intact."""
+        with self._lock("migrate-deletes"):
+            upto = self._next_segment()
+            df = self.spark.read.option("mergeSchema", "true").parquet(
+                self.deletes_path
+            )
+            stamp = F.lit(upto).cast("bigint")
+            if "upto" in df.columns:
+                stamped = df.withColumn(
+                    "upto", F.coalesce(F.col("upto").cast("bigint"), stamp)
+                )
+            else:
+                stamped = df.withColumn("upto", stamp)
+            tmp = self.deletes_path + ".migrating"
+            old = self.deletes_path + ".old"
+            self._fs.delete(tmp)
+            self._fs.delete(old)
+            stamped.write.mode("overwrite").parquet(tmp)  # materialize first
+            if not self._fs.rename(self.deletes_path, old):
+                self._fs.delete(tmp)
+                raise OSError(f"migrate-deletes: could not move {self.deletes_path}")
+            if not self._fs.rename(tmp, self.deletes_path):
+                self._fs.rename(old, self.deletes_path)  # roll back
+                raise OSError(f"migrate-deletes: could not install {tmp}")
+            self._fs.delete(old)
+
     def _deletes(self) -> DataFrame | None:
-        if not any(
-            f.endswith(".parquet") or f.startswith("part-")
+        files = [
+            f
             for f in self._fs.listdir(self.deletes_path)
-        ):
+            if f.endswith(".parquet") or f.startswith("part-")
+        ]
+        if not files:
             return None
+        if not self._legacy_deletes_checked:
+            # per-file footer check (driver-only, no job): any file missing
+            # 'upto' was written by the pre-sequencing code and gets
+            # migrated once. If another writer holds the lock, fall back to
+            # the +inf reading for THIS scan and retry next read.
+            legacy = [
+                f
+                for f in files
+                if "upto"
+                not in self.spark.read.parquet(f"{self.deletes_path}/{f}").columns
+            ]
+            if legacy:
+                try:
+                    self._migrate_legacy_deletes()
+                except StoreLockedError:
+                    df = self.spark.read.option("mergeSchema", "true").parquet(
+                        self.deletes_path
+                    )
+                    if "upto" not in df.columns:
+                        df = df.withColumn("upto", F.lit(_SEQ_MAX))
+                    return df.withColumn(
+                        "upto", F.coalesce(F.col("upto"), F.lit(_SEQ_MAX))
+                    )
+            self._legacy_deletes_checked = True
         df = self.spark.read.option("mergeSchema", "true").parquet(self.deletes_path)
-        # backcompat: delete files written before sequencing carry no
-        # 'upto' — they predate every re-append, so they apply to all
-        # segments (watermark = +inf)
-        if "upto" not in df.columns:
-            df = df.withColumn("upto", F.lit(_SEQ_MAX))
+        # post-migration every file carries a non-null upto; the coalesce
+        # stays as a belt for delete files dropped in by external writers
         return df.withColumn("upto", F.coalesce(F.col("upto"), F.lit(_SEQ_MAX)))
 
     def read(self) -> DataFrame:

@@ -424,6 +424,31 @@ def test_store_pre_sequencing_delete_files_readable(spark, tmp_path):
     assert store.read().count() == 0
 
 
+def test_store_legacy_delete_migrated_allows_reappend(spark, tmp_path):
+    """The J6 contract ('a later re-append of the same id is visible')
+    must hold for MIGRATED stores too: a pre-sequencing delete file is
+    stamped on first read with the then-current next-segment watermark,
+    so it keeps hiding every segment present at migration time but a
+    NEW append resurrects the id (old +inf mapping made such deletes
+    permanent)."""
+    from comet_spark.storage.store import DocumentStore
+
+    store = DocumentStore(spark, str(tmp_path / "migstore"))
+    store.append(spark.createDataFrame([(1, "a"), (2, "b")], "id bigint, text string"))
+    spark.createDataFrame([(2,)], "id bigint").write.mode("append").parquet(
+        store.deletes_path
+    )
+    # first read migrates (and still hides id 2 in the existing segment)
+    assert {r["id"] for r in store.read().collect()} == {1}
+    # a FRESH instance sees the migrated file — no re-migration needed
+    again = DocumentStore(spark, str(tmp_path / "migstore"))
+    assert {r["id"] for r in again.read().collect()} == {1}
+    # re-append after the old delete: the id must come back
+    again.append(spark.createDataFrame([(2, "b2")], "id bigint, text string"))
+    got = {r["id"]: r["text"] for r in again.read().collect()}
+    assert got == {1: "a", 2: "b2"}
+
+
 def test_store_append_seq_col_deterministic(spark, tmp_path):
     """Caller-provided sequence column pins the intra-batch winner even
     across partition layouts (the monotonically_increasing_id default is
