@@ -69,6 +69,35 @@ class IVFIndex:
             docs, self.centroids, id_col=id_col, vec_col=vec_col, metric=self.metric
         )
 
+    def assign_inplace(self, docs: DataFrame, *, vec_col: str = "vector") -> DataFrame:
+        """Column-preserving assignment: adds ``cluster_id`` without
+        projecting away payload columns (scalar Arrow UDF over the
+        vector column) — what ``DocumentStore.compact(recluster=...)``
+        calls to re-assign the merged view mid-rewrite."""
+        from comet_spark.training.kmeans import assign_clusters_col
+
+        return assign_clusters_col(
+            docs, self.centroids, vec_col=vec_col, metric=self.metric
+        )
+
+    def refresh(
+        self, docs: DataFrame, *, id_col: str = "id", vec_col: str = "vector",
+        max_iter: int = 20,
+    ) -> "IVFIndex":
+        """Layout maintenance under ingest: retrain the centroids on the
+        CURRENT corpus (same nlist / metric) — the Spark twin of the
+        reference re-running ``Train()`` after the corpus drifts
+        (``ivf_index.go:206-235``). Assignments are write-once, so a
+        store growing via ``DocumentStore.append`` slowly invalidates
+        the trained centroids; pair the refreshed index with
+        ``DocumentStore.compact(recluster=index)`` to rewrite
+        ``cluster_id`` for every surviving row in the same pass that
+        merges segments."""
+        return IVFIndex.train(
+            docs, len(self.centroids), id_col=id_col, vec_col=vec_col,
+            metric=self.metric, max_iter=max_iter,
+        )
+
     def save(self, spark, path: str) -> None:
         """A8 sink for the model itself (the reference's WriteTo,
         ``flat_index.go:366-614`` family): centroids + metric as parquet —

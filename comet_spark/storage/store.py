@@ -296,7 +296,8 @@ class DocumentStore:
 
     def compact(
         self, *, zorder_by: list[str] | None = None, zorder_bits: int = 8,
-        zorder_files: int | None = None,
+        zorder_files: int | None = None, recluster=None,
+        recluster_vec_col: str = "vector",
     ) -> None:
         """Rewrite all segments into one, applying deletes (hard delete) and
         version dedup — the OPTIMIZE-style job (J4). Crash-safe ordering:
@@ -313,7 +314,21 @@ class DocumentStore:
         ``zorder_files`` caps the output file count (default ~1M rows per
         file) — without it, repartitionByRange would emit
         spark.sql.shuffle.partitions tiny files and re-fragment the
-        segment compaction just coalesced."""
+        segment compaction just coalesced.
+
+        ``recluster`` (ANN layout maintenance): any object with an
+        ``assign_inplace(df, vec_col=...)`` method adding a
+        ``cluster_id`` column while preserving every other column —
+        typically an :class:`IVFIndex` refreshed on the current corpus
+        (``IVFIndex.refresh``). The merged view is
+        re-assigned during the rewrite (stale ``cluster_id`` dropped
+        first), and — unless ``zorder_by`` overrides the layout — the
+        rewritten files are co-located and sorted by ``cluster_id``, so
+        parquet min/max stats keep nprobe pruning honest on a corpus
+        that drifted since training. Compaction is exactly when a
+        100 TB store pays this re-assignment: it is one extra projection
+        inside a rewrite that is already reading and writing every
+        surviving row."""
         with self._lock("compact"):
             applied_delete_files = self._fs.listdir(self.deletes_path)
             segs = self._segment_ids()
@@ -334,6 +349,17 @@ class DocumentStore:
             out = merged.withColumn("segment", F.lit(keep_seg)).withColumn(
                 "__seq", F.lit(0).cast("bigint")
             )
+            if recluster is not None:
+                if "cluster_id" in out.columns:  # stale train-time layout
+                    out = out.drop("cluster_id")
+                out = recluster.assign_inplace(out, vec_col=recluster_vec_col)
+                if not zorder_by:
+                    # co-locate + sort by the fresh assignment so parquet
+                    # min/max stats on cluster_id skip files under nprobe
+                    nf = zorder_files or max(1, -(-n_rows // 1_000_000))
+                    out = out.repartition(nf, "cluster_id").sortWithinPartitions(
+                        "cluster_id"
+                    )
             if zorder_by:
                 from comet_spark.operators.layout import zorder_key
 

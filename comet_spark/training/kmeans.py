@@ -360,3 +360,29 @@ def assign_clusters(
     return out.select(
         F.col("id").alias(id_col), F.col("v").alias(vec_col), "cluster_id"
     )
+
+
+def assign_clusters_col(
+    df: DataFrame,
+    centroids: np.ndarray,
+    *,
+    vec_col: str = "vector",
+    metric: str = "l2sq",
+) -> DataFrame:
+    """Like :func:`assign_clusters` but PRESERVES every input column:
+    ``cluster_id`` is added as a scalar Arrow-batched pandas UDF over the
+    vector column alone — the shape layout maintenance needs (re-assign
+    during a store rewrite without dropping payload columns or paying a
+    join-back shuffle)."""
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast(np.asarray(centroids, dtype=np.float64))
+
+    @F.pandas_udf("bigint")
+    def _cid(v: pd.Series) -> pd.Series:
+        cents = bc.value
+        if len(v) == 0:
+            return pd.Series([], dtype="int64")
+        mat = np.array(v.tolist(), dtype=np.float64)
+        return pd.Series(np.argmin(_dist_block(mat, cents, metric), axis=1))
+
+    return df.withColumn("cluster_id", _cid(to_double_array(vec_col)))

@@ -641,3 +641,66 @@ def test_store_append_delete_segment_numbering_under_lock(spark, tmp_path):
     ]
     assert segs == [0, 1, 2, 3]
     assert store._segment_ids() == [0, 1, 2, 3]
+
+
+def test_compact_recluster_refreshes_ivf_layout(spark, tmp_path):
+    """ANN layout maintenance under ingest (reference re-Train(),
+    ivf_index.go:206-235): a store that grew to 3x the trained corpus is
+    compacted with a refreshed IVFIndex — the rewrite re-assigns
+    cluster_id for every surviving row (payload columns preserved), and
+    nprobe recall over the merged view matches a fresh train on the
+    full corpus within tolerance."""
+    import numpy as np
+
+    from comet_spark.operators.ann import IVFIndex
+    from comet_spark.operators.knn import knn
+    from comet_spark.storage.store import DocumentStore
+    from tests.conftest import SF_DIR_SMALL
+
+    emb = spark.read.parquet(f"{SF_DIR_SMALL}/embeddings.parquet").select(
+        F.col("vec_id").alias("id"),
+        F.col("embedding").alias("vector"),
+        "label",
+    )
+    initial = emb.filter(F.col("id") % 3 == 0)
+    drift = emb.filter(F.col("id") % 3 != 0)  # 2x the trained corpus
+
+    ivf = IVFIndex.train(initial, 8)
+    store = DocumentStore(spark, str(tmp_path / "ivfstore"))
+    store.append(ivf.assign_inplace(initial))  # write-time assignment
+    store.append(drift)  # appended AFTER training: no/NULL cluster_id
+
+    refreshed = ivf.refresh(store.read())
+    store.compact(recluster=refreshed)
+
+    merged = store.read().cache()
+    assert "cluster_id" in merged.columns
+    assert "label" in merged.columns  # payload survived the re-assign
+    assert merged.count() == emb.count()
+    assert merged.filter(F.col("cluster_id").isNull()).count() == 0
+
+    # recall vs a from-scratch train+assign on the same full corpus
+    fresh = IVFIndex.train(emb, 8)
+    fresh_assigned = fresh.assign(emb)
+    qvecs = [
+        [float(x) for x in r["vector"]]
+        for r in emb.filter(F.col("id") < 5).collect()
+    ]
+    qdf = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(qvecs)], "qid bigint, qvec array<double>"
+    )
+    gt = {}
+    for r in knn(emb, qdf, k=10, metric="l2").collect():
+        gt.setdefault(r["qid"], set()).add(r["id"])
+
+    def recall(index, assigned):
+        hits = 0
+        for qid, v in enumerate(qvecs):
+            got = {r["id"] for r in index.search(assigned, v, k=10, nprobe=2).collect()}
+            hits += len(got & gt[qid])
+        return hits / (len(qvecs) * 10)
+
+    r_refreshed = recall(refreshed, merged)
+    r_fresh = recall(fresh, fresh_assigned)
+    assert r_refreshed >= r_fresh - 0.1, (r_refreshed, r_fresh)
+    merged.unpersist()
