@@ -23,6 +23,9 @@ __all__ = [
     "dedup_stream",
     "neardup_ingest",
     "neardup_ingest_stream",
+    "pin_eval_shingles",
+    "decontam_ingest",
+    "decontam_ingest_stream",
 ]
 
 
@@ -344,6 +347,93 @@ def neardup_ingest(
     return batch.join(
         kept_ids.withColumnRenamed("id", id_col), id_col, "left_semi"
     )
+
+
+def pin_eval_shingles(
+    eval_docs: DataFrame, path: str, *,
+    id_col: str = "doc_id", text_col: str = "text", n: int = 8,
+) -> None:
+    """Pin the eval/benchmark set's distinct word n-grams to parquet —
+    the restart-durable contamination filter ``decontam_ingest`` probes.
+    Run ONCE per benchmark suite (suites are MBs; the shingle table is
+    smaller still after distinct); every later micro-batch, across
+    restarts, checks against the same pinned set."""
+    from comet_spark.operators.dedup import shingles
+
+    shingles(eval_docs, id_col=id_col, text_col=text_col, n=n).select(
+        "shingle"
+    ).distinct().write.mode("overwrite").parquet(path)
+
+
+def decontam_ingest(
+    batch: DataFrame,
+    eval_shingles_path: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    mode: str = "drop",
+) -> DataFrame:
+    """Ingest-time benchmark decontamination (GPT-3 appendix C rule:
+    drop a train doc if ANY of its word n-grams occurs in the eval set) —
+    the streaming twin of the batch audit ``contamination.decontaminate``,
+    completing the ingest-guard trio with ``dedup_stream`` (exact) and
+    ``neardup_ingest`` (fuzzy).
+
+    The pinned eval shingle table (see :func:`pin_eval_shingles`) is
+    **broadcast** into a semi-join against the batch's shingles: the
+    batch side is scanned once and never shuffled for the join; map-side
+    hash probes discard nearly every row at n=8+ (collision rate ~0).
+    Unlike ``neardup_ingest`` there is no accumulating state — the eval
+    set is static — so restart durability is just the pinned parquet.
+
+    ``mode='drop'`` returns only clean rows; ``mode='flag'`` returns all
+    rows with an ``is_contaminated`` boolean, for pipelines that
+    quarantine instead of discard (per-source drop accounting stays with
+    the batch audit, which reports counts and fractions).
+    """
+    from comet_spark.operators.dedup import shingles
+
+    if mode not in ("drop", "flag"):
+        raise ValueError(f"mode must be 'drop' or 'flag', got {mode!r}")
+    spark = batch.sparkSession
+    ev = spark.read.parquet(eval_shingles_path)
+    sh = shingles(batch, id_col=id_col, text_col=text_col, n=n)
+    bad = (
+        sh.join(F.broadcast(ev), "shingle", "left_semi")
+        .select(F.col("id").alias(id_col))
+        .distinct()
+    )
+    if mode == "drop":
+        return batch.join(bad, id_col, "left_anti")
+    return batch.join(
+        bad.withColumn("is_contaminated", F.lit(True)), id_col, "left"
+    ).withColumn("is_contaminated", F.coalesce("is_contaminated", F.lit(False)))
+
+
+def decontam_ingest_stream(
+    stream: DataFrame,
+    eval_shingles_path: str,
+    out_path: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    checkpoint: str | None = None,
+) -> StreamingQuery:
+    """Streaming wrapper: each micro-batch passes through
+    :func:`decontam_ingest` (drop mode) and clean rows append to
+    ``out_path`` — continuously decontaminated ingestion."""
+
+    def upd(batch: DataFrame, batch_id: int) -> None:
+        decontam_ingest(
+            batch, eval_shingles_path, id_col=id_col, text_col=text_col, n=n
+        ).write.mode("append").parquet(out_path)
+
+    w = stream.writeStream.foreachBatch(upd).trigger(availableNow=True)
+    if checkpoint is not None:
+        w = w.option("checkpointLocation", checkpoint)
+    return w.start()
 
 
 def neardup_ingest_stream(

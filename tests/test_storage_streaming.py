@@ -704,3 +704,93 @@ def test_compact_recluster_refreshes_ivf_layout(spark, tmp_path):
     r_fresh = recall(fresh, fresh_assigned)
     assert r_refreshed >= r_fresh - 0.1, (r_refreshed, r_fresh)
     merged.unpersist()
+
+
+def test_decontam_ingest_drop_and_flag(spark, tmp_path):
+    """Ingest-time decontamination: a doc sharing any word n-gram with
+    the pinned eval set is dropped (or flagged), clean docs pass, and
+    the decision agrees with the batch audit on the same corpus."""
+    from comet_spark.operators.contamination import decontaminate
+    from comet_spark.streaming.ingest import decontam_ingest, pin_eval_shingles
+
+    ev_path = str(tmp_path / "eval_shingles")
+    eval_docs = spark.createDataFrame(
+        [(1000, "the quick brown fox jumps over the lazy dog")],
+        "doc_id bigint, text string",
+    )
+    pin_eval_shingles(eval_docs, ev_path, n=3)
+
+    batch = spark.createDataFrame(
+        [
+            (1, "we saw the quick brown fox in the field"),  # shares a 3-gram
+            (2, "completely unrelated training sentence here"),
+            (3, None),  # no shingles -> clean by construction
+        ],
+        "doc_id bigint, text string",
+    )
+    kept = decontam_ingest(batch, ev_path, n=3)
+    assert sorted(r["doc_id"] for r in kept.collect()) == [2, 3]
+
+    flagged = {
+        r["doc_id"]: r["is_contaminated"]
+        for r in decontam_ingest(batch, ev_path, n=3, mode="flag").collect()
+    }
+    assert flagged == {1: True, 2: False, 3: False}
+
+    # the ingest decision is the batch audit's "any shingle hit" rule
+    audit = {
+        r["id"]: r["n_contaminated"] > 0
+        for r in decontaminate(batch, eval_docs, n=3).collect()
+    }
+    for doc_id, contaminated in audit.items():
+        assert flagged[doc_id] == contaminated
+
+    import pytest
+
+    with pytest.raises(ValueError, match="drop"):
+        decontam_ingest(batch, ev_path, mode="quarantine")
+
+
+def test_decontam_ingest_stream_matches_batch(spark, tmp_path):
+    """Batch/stream parity: the same corpus streamed in micro-batches
+    through decontam_ingest_stream keeps exactly the docs the one-shot
+    batch call keeps (the eval set is static, so batch boundaries cannot
+    change any decision)."""
+    from comet_spark.streaming.ingest import (
+        decontam_ingest,
+        decontam_ingest_stream,
+        pin_eval_shingles,
+    )
+
+    ev_path = str(tmp_path / "ev_sh")
+    eval_docs = spark.createDataFrame(
+        [(1000, "alpha beta gamma delta epsilon zeta")], "doc_id bigint, text string"
+    )
+    pin_eval_shingles(eval_docs, ev_path, n=3)
+
+    rows = [
+        (1, "noise alpha beta gamma more noise"),   # contaminated
+        (2, "clean text one with words"),
+        (3, "delta epsilon zeta trailing tokens"),  # contaminated
+        (4, "another clean doc entirely"),
+    ]
+    corpus = spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    src_dir = str(tmp_path / "in")
+    corpus.filter(F.col("doc_id") <= 2).coalesce(1).write.mode("append").parquet(src_dir)
+    corpus.filter(F.col("doc_id") > 2).coalesce(1).write.mode("append").parquet(src_dir)
+
+    out_path = str(tmp_path / "out")
+    stream = spark.readStream.schema("doc_id bigint, text string").option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(src_dir)
+    q = decontam_ingest_stream(
+        stream, ev_path, out_path, n=3, checkpoint=str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+
+    streamed = sorted(r["doc_id"] for r in spark.read.parquet(out_path).collect())
+    batched = sorted(
+        r["doc_id"] for r in decontam_ingest(corpus, ev_path, n=3).collect()
+    )
+    assert streamed == batched == [2, 4]
