@@ -157,12 +157,42 @@ def has_non_ascii(df, text_col: str = "text") -> bool:
     return df.where(c.isNotNull() & c.rlike("[^\\x00-\\x7F]")).limit(1).count() > 0
 
 
+# Scripts whose UAX#29 segmentation the native tokenizer cannot
+# reproduce: Han and Hiragana segment char-by-char (WB999), and Katakana
+# runs don't join adjacent ALetter — while the native [\p{L}...]+ run
+# regex concatenates all of them. BMP Kana + Han blocks plus the
+# supplementary CJK extensions.
+IDEOGRAPHIC_RE = (
+    "[\\u3040-\\u30FF\\u3400-\\u4DBF\\u4E00-\\u9FFF\\uF900-\\uFAFF"
+    "\\x{20000}-\\x{2FA1F}]"
+)
+
+
+def has_ideographic(df, text_col: str = "text") -> bool:
+    """Corpus probe: any Han/Kana text? Where this fires, the native
+    tokenize's letter-run segmentation DISAGREES with UAX#29 (which
+    segments Han/Hiragana char-by-char per WB999), so an index built
+    natively would never match a query tokenized per spec — callers
+    (e.g. :class:`~comet_spark.operators.bm25.BM25`) switch both sides
+    to :func:`tokenize_unicode`. One native scan, early-exit."""
+    c = F.col(text_col)
+    return df.where(c.isNotNull() & c.rlike(IDEOGRAPHIC_RE)).limit(1).count() > 0
+
+
 def ensure_nfkc(df, text_col: str = "text"):
-    """Write-time NFKC normalization — makes the native tokenize
-    spec-complete on ANY corpus with zero per-query Python (reference
-    normalizes every string unconditionally at index build,
-    ``bm25_index.go:153-156``; same ingest-time pattern as its cosine
-    vector normalization, ``flat_index.go:179-187``).
+    """Write-time NFKC normalization (reference normalizes every string
+    unconditionally at index build, ``bm25_index.go:153-156``; same
+    ingest-time pattern as its cosine vector normalization,
+    ``flat_index.go:179-187``).
+
+    Scope: this closes the NFKC *normalization* gap only — after it, the
+    native tokenize agrees with the reference pipeline on scripts whose
+    UAX#29 segmentation is run-based. Segmentation approximations
+    remain: ideographic scripts (Han/Hiragana segment char-by-char per
+    WB999, Katakana doesn't join ALetter) and non-ASCII in-word joiners
+    still require :func:`tokenize_unicode`; probe with
+    :func:`has_ideographic` and route BOTH docs and queries through the
+    Arrow path when it fires (BM25 does exactly this).
 
     An all-ASCII corpus (NFKC = identity) passes through untouched — the
     plan gains no Python stage at all. Otherwise the text column is

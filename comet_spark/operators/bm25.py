@@ -73,11 +73,25 @@ class BM25:
         # build normalizes once, so scoring stays native on any corpus.
         # ASCII corpora pass through with zero added cost (one probe
         # scan); normalize=False opts out when the caller guarantees
-        # already-normalized input.
+        # already-normalized AND non-ideographic input.
+        tok_col = tokenize(text_col)
         if normalize:
-            docs = ensure_nfkc(docs, text_col)
+            from comet_spark.functions.text import has_ideographic, tokenize_unicode
+
+            if has_ideographic(docs, text_col):
+                # Han/Kana corpus: the native tokenizer emits whole
+                # letter runs while the QUERY tokenizer (tokenize_py =
+                # full UAX#29) segments Han/Hiragana char-by-char — index
+                # and query tokens must agree or every CJK query returns
+                # zero hits. Both sides therefore use the reference-exact
+                # Arrow path (which NFKC-normalizes internally, so
+                # ensure_nfkc is redundant here). One-time build cost,
+                # query plans unchanged.
+                tok_col = tokenize_unicode(text_col)
+            else:
+                docs = ensure_nfkc(docs, text_col)
         toks = docs.select(
-            F.col(id_col).alias("id"), F.explode(tokenize(text_col)).alias("term")
+            F.col(id_col).alias("id"), F.explode(tok_col).alias("term")
         )
         # tf per (doc, term); doc length per doc
         self.postings = toks.groupBy("id", "term").agg(F.count("*").alias("tf"))

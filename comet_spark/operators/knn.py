@@ -64,21 +64,28 @@ def knn(
         score = F.round(score, round_to)
 
     scored = d.crossJoin(F.broadcast(q)).select("qid", "id", score.alias("score"))
-    if threshold is not None and threshold > 0:
-        scored = scored.filter(F.col("score") <= threshold)
 
     # cosine of a zero vector is NULL (reference rejects zero vectors,
-    # distance.go:252-255). Do NOT pre-filter on score.isNotNull(): a
-    # filter directly over the join becomes part of the
+    # distance.go:252-255). Do NOT pre-filter on score.isNotNull() OR the
+    # threshold: ANY filter directly over the join becomes part of the
     # BroadcastNestedLoopJoin CONDITION, and the whole distance
     # expression is then evaluated TWICE per pair (once in the condition,
     # once in the projection — Catalyst doesn't CSE across them;
     # measured 2x on knn_batch100). Instead sort NULLs LAST so they
-    # never claim a top-k slot, and drop any stragglers after the rank
-    # cut (k rows per query, not N).
+    # never claim a top-k slot, and filter after the rank cut (k rows
+    # per query, not N). Post-cut thresholding is semantics-preserving
+    # because the threshold is monotone in the sort order: the k
+    # ascending survivors of the unfiltered scan, minus those above the
+    # threshold, ARE the top-k of the thresholded scan. The <= threshold
+    # predicate also subsumes isNotNull (NULL fails any comparison).
     order = [F.col("score").asc_nulls_last(), F.col("id").asc()]
     out = topk_per_group(scored, ["qid"], order, k)
-    return out.filter(F.col("score").isNotNull()).select("qid", "id", "score")
+    post = (
+        F.col("score") <= threshold
+        if threshold is not None and threshold > 0
+        else F.col("score").isNotNull()
+    )
+    return out.filter(post).select("qid", "id", "score")
 
 
 SCORE_AGGS = {

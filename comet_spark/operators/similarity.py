@@ -60,8 +60,16 @@ def _round_half_up(a: np.ndarray, decimals: int) -> np.ndarray:
 
 def _blas_cosine(a_mat: np.ndarray, b_mat: np.ndarray, round_to: int) -> np.ndarray:
     """The ONE BLAS cosine block all Python kernels share: dot / norms,
-    clip to [-1, 1], HALF_UP round — the same DOUBLE math as the
-    Catalyst expression path."""
+    clip to [-1, 1], HALF_UP round — matching the Catalyst expression
+    path's rounding MODE. Residual boundary divergence, by design:
+    Spark's ROUND on doubles rounds the value's shortest decimal
+    representation (BigDecimal.valueOf goes through Double.toString)
+    while this kernel rounds the scaled BINARY double — a value whose
+    printed form ends in '…5' but whose binary image sits just below
+    the .5 boundary (e.g. 0.5705875) rounds up in the expr path and
+    down here. Bit-identity with the expr kernel is NOT part of the
+    contract; callers needing it must rescore through the expression
+    path."""
     sims = (a_mat @ b_mat.T) / np.outer(
         np.linalg.norm(a_mat, axis=1), np.linalg.norm(b_mat, axis=1)
     )

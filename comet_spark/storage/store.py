@@ -22,8 +22,10 @@ Spark rendering:
   (mirroring the reference's storage lock,
   ``storage_provider.go:36-246``): append/delete/compact atomically
   create ``_lock``; a second concurrent writer fails fast instead of
-  corrupting the segment sequence. Concurrent writers that must both
-  succeed need a table format with a transaction log.
+  corrupting the segment sequence. The lock's atomicity — and therefore
+  the single-writer guarantee — holds on HDFS/local filesystems;
+  object stores (s3a://) lack atomic create-if-absent, so concurrent
+  writers there need a table format with a transaction log.
 - the *merged read view* (J5) is ``union_all(segments) → dedup by newest
   (segment, __seq) per id → hide rows older than their delete watermark``.
 - all filesystem operations go through the Hadoop FileSystem of the
@@ -73,8 +75,16 @@ class _FS:
             self.fs.delete(self._Path(path), True)
 
     def create_new(self, path: str) -> bool:
-        """Atomic create-if-absent (FileSystem.createNewFile) — the lock
-        primitive. Returns False when the file already exists."""
+        """Create-if-absent (FileSystem.createNewFile) — the lock
+        primitive. Returns False when the file already exists.
+
+        ATOMIC on HDFS and local filesystems only. Object stores have no
+        atomic create-if-absent (S3A emulates it with a HEAD-then-PUT
+        race), so on s3a:// two writers can both "acquire" the lock —
+        the store's single-writer guarantee holds only on filesystems
+        with atomic create; concurrent writers on an object store need a
+        table format with a transaction log (Delta/Iceberg-style)
+        instead of this marker file."""
         return bool(self.fs.createNewFile(self._Path(path)))
 
 

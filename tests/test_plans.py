@@ -269,13 +269,16 @@ def test_knn_distance_not_in_join_condition(spark):
     qdf = emb.filter(F.col("id") < 5).select(
         F.col("id").alias("qid"), F.col("vector").alias("qvec")
     )
-    plan = (
-        knn(emb, qdf, k=10, metric="l2")
-        ._jdf.queryExecution().executedPlan().toString()
-    )
-    for line in plan.splitlines():
-        if "Join condition" in line:
-            assert "aggregate(" not in line and "zip_with" not in line, line
+    for kwargs in ({}, {"threshold": 5.0}):  # r05: threshold path too —
+        # the pre-cut threshold filter folded into the join condition the
+        # same way the isNotNull pre-filter did
+        plan = (
+            knn(emb, qdf, k=10, metric="l2", **kwargs)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        for line in plan.splitlines():
+            if "Join condition" in line:
+                assert "aggregate(" not in line and "zip_with" not in line, line
 
 
 def test_docs_par_no_exchange_when_input_split(spark, tmp_path):

@@ -306,3 +306,36 @@ def test_bm25_default_normalizes_non_ascii_corpus(spark):
     assert got == want
     # all three fish-bearing docs score (ligature + fullwidth folded in)
     assert sorted(i for i, _ in got) == [0, 1, 2]
+
+
+def test_bm25_cjk_corpus_routes_both_sides_through_uax29(spark):
+    """A BM25 index built (normalize=True default) on an ideographic
+    corpus must MATCH CJK queries: the build probe detects Han/Kana and
+    tokenizes docs with the same full-UAX#29 pipeline the query side
+    uses (Han/Hiragana char-by-char per WB999), instead of the native
+    letter-run regex that would never intersect the query tokens."""
+    import pyspark.sql.functions as F
+
+    from comet_spark.functions.text import has_ideographic
+    from comet_spark.operators.bm25 import BM25
+
+    rows = [
+        (0, "東京タワーに行く"),          # Tokyo Tower (Han+Katakana+Hiragana)
+        (1, "大阪の天気は良い"),          # Osaka weather
+        (2, "plain english filler text"),
+    ]
+    docs = spark.createDataFrame(rows, "id bigint, text string")
+    assert has_ideographic(docs)
+    assert not has_ideographic(
+        spark.createDataFrame([(9, "ascii only")], "id bigint, text string")
+    )
+
+    ix = BM25(docs)
+    hits = ix.score("東京", k=3).collect()
+    assert hits and hits[0]["id"] == 0  # CJK query matches the CJK doc
+    # index tokens agree with the query tokenizer char-by-char rule
+    tokyo = {r["term"] for r in ix.postings.filter(F.col("id") == 0).collect()}
+    assert {"東", "京"} <= tokyo and "タワー" in tokyo  # Katakana run intact
+    # and the English doc still scores through the same index
+    eng = ix.score("english text", k=3).collect()
+    assert eng and eng[0]["id"] == 2
