@@ -2364,21 +2364,26 @@ _register("hnsw_multi_sum", _hnsw_multi_sum, _sql_knn_multi("sum(score)"))
 _DHNSW_CACHE: dict[tuple[str, str], object] = {}
 
 
-def _hnsw_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A3 option (c): per-partition HNSW sub-graphs built in mapInPandas
-    (no driver collect, no row cap — hnsw.py DistributedHNSW); search
-    walks every sub-graph in parallel and the union of beams feeds the
-    same semi-join exact-scoring plan as the driver graph. Oracle
-    replays exact scoring + ordering from the exported candidate
-    artifact (by-construction, like hnsw_ann_topk)."""
-    from comet_spark.operators.hnsw import DistributedHNSW, score_candidates
+def _dhnsw_index(spark: SparkSession, sf_dir: str):
+    """Memoized per-session DistributedHNSW over the embeddings corpus
+    (8 per-partition sub-graphs, deterministic seed) — shared by the
+    plain distributed-graph query and the hybrid-over-HNSW cell."""
+    from comet_spark.operators.hnsw import DistributedHNSW
 
     key = (_skey(spark), sf_dir)
     if key not in _DHNSW_CACHE:
         _DHNSW_CACHE[key] = DistributedHNSW.build(
             _emb_docs(spark, sf_dir), m=8, ef_construction=100, num_partitions=8
         )
-    ix: DistributedHNSW = _DHNSW_CACHE[key]
+    return _DHNSW_CACHE[key]
+
+
+def _dhnsw_export_candidates(spark: SparkSession, sf_dir: str) -> str:
+    """Memoized export of the ef=100 traversal beam for the pinned query
+    vector — the candidate artifact BOTH dhnsw oracles replay (traversal
+    is deterministic for a fixed graph + ef, so the hybrid query's
+    re-traversal produces the identical set)."""
+    ix = _dhnsw_index(spark, sf_dir)
     qvec = _hybrid_qvec(spark, sf_dir)
     art = f"{_art_dir(sf_dir)}/dhnsw"
     key2 = (_skey(spark), sf_dir, "dhnsw_cands")
@@ -2387,6 +2392,20 @@ def _hnsw_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
             "overwrite"
         ).parquet(f"{art}/candidates.parquet")
         _PROBE_WRITTEN.add(key2)
+    return art
+
+
+def _hnsw_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 option (c): per-partition HNSW sub-graphs built in mapInPandas
+    (no driver collect, no row cap — hnsw.py DistributedHNSW); search
+    walks every sub-graph in parallel and the union of beams feeds the
+    same semi-join exact-scoring plan as the driver graph. Oracle
+    replays exact scoring + ordering from the exported candidate
+    artifact (by-construction, like hnsw_ann_topk)."""
+    from comet_spark.operators.hnsw import score_candidates
+
+    qvec = _hybrid_qvec(spark, sf_dir)
+    art = _dhnsw_export_candidates(spark, sf_dir)
     # replay the exported candidates through the ONE shared scoring tail
     # (hnsw.score_candidates) — the memo only skips the traversal+export
     cand = spark.read.parquet(f"{art}/candidates.parquet")
@@ -2405,6 +2424,57 @@ q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = {QUERY_VEC
 e AS (SELECT e.vec_id, embedding::DOUBLE[] AS v FROM embeddings e JOIN c ON c.id = e.vec_id),
 d AS (SELECT vec_id, ROUND({_sql_l2('e.v', 'q.qv')}, 6) AS score FROM e, q)
 SELECT vec_id, score FROM d ORDER BY score, vec_id LIMIT {K}
+""",
+)
+
+
+def _hybrid_hnsw_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid fusion over the DISTRIBUTED GRAPH vector path — the final
+    cell of the hybrid × layout matrix (flat: hybrid_rrf, IVF-pruned:
+    hybrid_ivf_rrf, PQ-compressed: hybrid_adc_rrf, graph: here; the
+    reference wraps ANY index in hybrid search,
+    ``hybrid_search_index.go:326-365``): metadata prefilter → union-of-
+    beams HNSW candidates scored over the surviving docs → BM25 → RRF,
+    one builder chain via build_hnsw(distributed=True)'s shared search
+    surface. Oracle replays the exported traversal beam (deterministic
+    for a fixed graph + ef) filtered to the lang candidates, then the
+    exact L2 top-k + BM25 + RRF in SQL."""
+    ix = _dhnsw_index(spark, sf_dir)
+    _dhnsw_export_candidates(spark, sf_dir)
+    corpus = _hybrid_corpus(spark, sf_dir)
+    corpus._hnsw = ix
+    hs = (
+        corpus.hybrid_search()
+        .with_vector(_hybrid_qvec(spark, sf_dir))
+        .with_text(BM25_QUERY)
+        .with_metadata(Eq(Field("lang"), HYBRID_LANG))
+        .with_k(K)
+        .with_ef_search(100)
+        .with_fusion("rrf")
+    )
+    return hs.execute().select(F.col("id").alias("doc_id"), "score")
+
+
+_register(
+    "hybrid_hnsw_rrf",
+    _hybrid_hnsw_rrf,
+    f"""
+WITH c AS (SELECT id FROM read_parquet('{_ART01}/dhnsw/candidates.parquet/*.parquet')),
+q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = {QUERY_VEC_ID}),
+ev AS (SELECT e.vec_id AS id, e.embedding::DOUBLE[] AS v
+       FROM embeddings e JOIN c ON c.id = e.vec_id
+       JOIN documents d ON d.doc_id = e.vec_id WHERE d.lang = '{HYBRID_LANG}'),
+vd AS (SELECT ev.id, ROUND({_sql_l2('ev.v', 'q.qv')}, 6) AS score FROM ev, q),
+vres AS (SELECT id, score FROM vd ORDER BY score, id LIMIT {K}),
+{_sql_bm25_ctes().strip().rstrip(',')},
+{_sql_bm25_score(BM25_QUERY, cand_where=f"lang = '{HYBRID_LANG}'")},
+tres AS (SELECT id, ROUND(score, 6) AS score FROM sc ORDER BY score DESC, id LIMIT {K}),
+vrank AS (SELECT id, row_number() OVER (ORDER BY score ASC, id ASC) - 1 AS r FROM vres),
+trank AS (SELECT id, row_number() OVER (ORDER BY score DESC, id ASC) - 1 AS r FROM tres)
+SELECT coalesce(vrank.id, trank.id) AS doc_id,
+       ROUND(coalesce(1.0/(60.0 + vrank.r), 0) + coalesce(1.0/(60.0 + trank.r), 0), 6) AS score
+FROM vrank FULL OUTER JOIN trank ON vrank.id = trank.id
+ORDER BY score DESC, doc_id LIMIT {K}
 """,
 )
 

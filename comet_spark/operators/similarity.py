@@ -95,9 +95,24 @@ def cosine_pairs_expr(
 
 def cosine_pairs_blocked(
     emb: DataFrame, *, id_col: str = "vec_id", vec_col: str = "embedding",
-    min_sim: float = 0.4, round_to: int = 6,
+    min_sim: float = 0.4, round_to: int = 6, serving: bool = False,
 ) -> DataFrame:
-    """BLAS block-nested-loop all-pairs join (broadcast right side)."""
+    """BLAS block-nested-loop all-pairs join (broadcast right side).
+
+    SERVING-SCOPED, not a pipeline operator: the whole corpus is
+    collected to the driver and broadcast, so it is only valid for
+    corpora that fit one executor's memory (re-ranking a shortlist, test
+    fixtures). The scale paths own this job elsewhere —
+    :func:`cosine_pairs_grid` (distributed tiling, no collect) and
+    :func:`lsh_bucket_pairs` (banded pruning). ``serving=True`` is a
+    required acknowledgment of that scope; without it the call fails
+    fast instead of silently OOMing the driver at corpus scale."""
+    if not serving:
+        raise ValueError(
+            "cosine_pairs_blocked collects and broadcasts the whole corpus "
+            "— serving-scoped only. Pass serving=True for a driver-sized "
+            "corpus, or use cosine_pairs_grid / lsh_bucket_pairs at scale."
+        )
     spark = emb.sparkSession
     rows = emb.select(id_col, to_double_array(vec_col).alias("v")).collect()
     ids = np.array([r[0] for r in rows], dtype=np.int64)

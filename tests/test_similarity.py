@@ -25,13 +25,13 @@ def _pairs(df):
 
 def test_blocked_equals_expr(emb):
     exact = _pairs(cosine_pairs_expr(emb, min_sim=0.35))
-    fast = _pairs(cosine_pairs_blocked(emb, min_sim=0.35))
+    fast = _pairs(cosine_pairs_blocked(emb, min_sim=0.35, serving=True))
     assert fast == exact
     assert len(exact) > 0
 
 
 def test_lsh_subset_with_recall(emb):
-    exact = _pairs(cosine_pairs_blocked(emb, min_sim=0.35))
+    exact = _pairs(cosine_pairs_blocked(emb, min_sim=0.35, serving=True))
     lsh = _pairs(lsh_bucket_pairs(emb, min_sim=0.35, n_planes=16, bands=8))
     # verification step makes precision exact
     assert set(lsh) <= set(exact)
@@ -64,3 +64,13 @@ def test_semantic_dedup_kernels_agree(spark):
         for r in semantic_dedup_pairs(assigned, min_sim=0.3, kernel="expr").collect()
     }
     assert blas == expr and len(blas) > 0
+
+
+def test_blocked_kernel_requires_serving_ack(emb):
+    """The driver-collect kernel is serving-scoped: calling it without
+    the explicit serving=True acknowledgment must fail fast (the scale
+    paths are cosine_pairs_grid / lsh_bucket_pairs)."""
+    import pytest
+
+    with pytest.raises(ValueError, match="serving"):
+        cosine_pairs_blocked(emb, min_sim=0.35)
