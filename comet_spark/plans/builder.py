@@ -198,6 +198,7 @@ class VectorSearch:
     _reranker: Any = None
     nprobes: int = 0
     ef_search: int = 0
+    n_probes_lsh: int = 0
     adc: bool = False
     rescore: int = 0
 
@@ -221,6 +222,16 @@ class VectorSearch:
         """Route through the LSH ANN scan (the HNSW-role path); reference
         ``index_search.go:195-199`` WithEfSearch."""
         self.ef_search = ef
+        return self
+
+    def with_multi_probe(self, n: int) -> "VectorSearch":
+        """Multi-probe LSH (Lv et al., VLDB'07): when the ef path runs
+        WITHOUT an attached HNSW graph, also probe the ``n`` cheapest
+        bit-flip neighbor band buckets — recall per plane budget without
+        touching the plan shape (similarity.lsh_ann_topk n_probes).
+        Ignored by the graph and IVF paths, which have their own dials
+        (ef_search / nprobes)."""
+        self.n_probes_lsh = n
         return self
 
     def with_reranker(self, fn) -> "VectorSearch":
@@ -447,6 +458,7 @@ class VectorSearch:
                         part = lsh_ann_topk(
                             docs, qvec, k=self.k, id_col=c.id_col, vec_col=c.vec_col,
                             metric=c.metric, ef=self.ef_search,
+                            n_probes=self.n_probes_lsh,
                         )
                     per_parts.append(
                         part.select(F.lit(int(r["qid"])).alias("qid"), "id", "score")

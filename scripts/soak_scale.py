@@ -47,11 +47,34 @@ QUERIES = [
     "knn_batch100",
     "token_stats",
     "repetition_metrics",
+    # r05: the round-4 additions, absent from the first soak
+    "semantic_dedup_pairs",  # expected ~sum(|c|^2) growth within clusters
+    "pii_redaction",         # pure projection: should track row count ~10x
+    "hybrid_adc_rrf",        # prefilter -> ADC -> BM25 -> RRF chain
+    "bm25_batch50",          # 50-query batch over 10x postings
 ]
+
+
+def _generate_customer() -> None:
+    """10x customer (pii_redaction's input): replicate the sf0.1 table
+    with shifted keys — the synthesized PII text derives from c_custkey,
+    so shifted copies carry fresh (not identical) redaction work."""
+    if os.path.exists(os.path.join(SOAK_DIR, "customer.parquet")):
+        return
+    cust = pq.read_table(f"{SF01}/customer.parquet")
+    n = cust.num_rows
+    parts = []
+    for rep in range(10):
+        t = cust.to_pydict()
+        t["c_custkey"] = [k + rep * n for k in t["c_custkey"]]
+        parts.append(pa.table(t, schema=cust.schema))
+    pq.write_table(pa.concat_tables(parts), os.path.join(SOAK_DIR, "customer.parquet"))
+    print(f"wrote {10 * n} customers to {SOAK_DIR}")
 
 
 def generate() -> None:
     if os.path.exists(os.path.join(SOAK_DIR, "embeddings.parquet")):
+        _generate_customer()  # added in r05; older soak dirs lack it
         print(f"soak corpus already at {SOAK_DIR}")
         return
     os.makedirs(SOAK_DIR, exist_ok=True)
@@ -101,6 +124,7 @@ def generate() -> None:
         }
     )
     pq.write_table(emb, os.path.join(SOAK_DIR, "embeddings.parquet"))
+    _generate_customer()
     print(f"wrote {N_DOCS} docs / {N_VECS} vecs to {SOAK_DIR}")
 
 

@@ -191,3 +191,21 @@ def test_hybrid_with_ann_vector_side(corpus, qvec):
     )
     # fullprobe == flat identity survives the hybrid wrapper
     assert [tuple(r) for r in probed] == [tuple(r) for r in flat]
+
+
+def test_builder_multi_probe_knob(corpus, qvec, flat_ids):
+    """with_multi_probe routes n_probes into the LSH path: recall at the
+    same ef must be >= the single-probe builder result (supersets of
+    candidates), and the knob leaves the graph/IVF paths untouched."""
+    single = {
+        r["id"]
+        for r in corpus.vector_search().with_query(qvec).with_k(10)
+        .with_ef_search(50).execute().collect()
+    }
+    multi = {
+        r["id"]
+        for r in corpus.vector_search().with_query(qvec).with_k(10)
+        .with_ef_search(50).with_multi_probe(16).execute().collect()
+    }
+    gt = set(flat_ids)
+    assert len(multi & gt) >= len(single & gt)
