@@ -479,6 +479,40 @@ class DistributedHNSW:
             graphs = graphs.cache()
         return cls(graphs, m=m, metric=metric)
 
+    def add_batch(
+        self, new_docs: DataFrame, *, id_col: str = "id", vec_col: str = "vector",
+        ef_construction: int = 100, seed: int = 43,
+        num_partitions: int | None = None, cache: bool = True,
+    ) -> "DistributedHNSW":
+        """Incremental layout maintenance for a corpus growing via append
+        — the graph twin of ``IVFIndex.refresh`` (the reference simply
+        Add()s into its mutable in-memory graph, ``hnsw_index.go``; an
+        immutable distributed graph instead gains NEW sub-graphs):
+        builds sub-graphs over ONLY the new batch (cost ∝ batch size,
+        not corpus) and unions them into the graph table under fresh
+        partition ids. Search already unions every sub-graph's beam, so
+        the top-k containment argument is unchanged and new docs are
+        immediately searchable. Many small appends degrade only the
+        constant factor (more graph rows to deserialize per query) —
+        rebuild via :meth:`build` at compaction when the sub-graph count
+        drifts well past the original partitioning, exactly when
+        ``DocumentStore.compact(recluster=...)`` refreshes the IVF
+        layout."""
+        base = self.graphs.agg(F.max("part").alias("p")).first()["p"]
+        offset = int(base) + 1 if base is not None else 0
+        fresh = DistributedHNSW.build(
+            new_docs, id_col=id_col, vec_col=vec_col, m=self.m,
+            ef_construction=ef_construction, seed=seed, metric=self.metric,
+            num_partitions=num_partitions, cache=False,
+        )
+        shifted = fresh.graphs.withColumn(
+            "part", (F.col("part") + F.lit(offset)).cast("int")
+        )
+        merged = self.graphs.unionByName(shifted)
+        if cache:
+            merged = merged.cache()
+        return DistributedHNSW(merged, m=self.m, metric=self.metric)
+
     def save(self, path: str) -> None:
         """A8 sink: the graph table IS the format — one parquet row per
         sub-graph, plus a meta row so load() can't silently score with a

@@ -244,3 +244,31 @@ def test_dhnsw_builder_integration(emb, spark):
         .with_score_aggregation("sum").with_ef_search(n).execute().collect()
     )
     assert [tuple(r) for r in approx_multi] == [tuple(r) for r in exact_multi]
+
+
+def test_dhnsw_add_batch_incremental(emb, qvec, flat_top10, spark):
+    """Layout maintenance under ingest, graph path: build over half the
+    corpus, add_batch the other half — the new docs are immediately
+    searchable through the unioned sub-graphs and recall vs the flat
+    scan over the FULL corpus matches the from-scratch build's envelope.
+    The original index is untouched (immutable graph table)."""
+    from comet_spark.operators.hnsw import DistributedHNSW
+
+    first = emb.filter(F.col("id") % 2 == 0)
+    rest = emb.filter(F.col("id") % 2 == 1)
+    ix0 = DistributedHNSW.build(first, m=8, ef_construction=100, num_partitions=4)
+    n0 = ix0.graphs.count()
+    ix1 = ix0.add_batch(rest, num_partitions=4)
+
+    # fresh sub-graphs appended under fresh part ids; old index untouched
+    assert ix1.graphs.count() > n0
+    assert ix0.graphs.count() == n0
+    assert ix1.graphs.select("part").distinct().count() == ix1.graphs.count()
+    assert sum(r["n_rows"] for r in ix1.graphs.collect()) == emb.count()
+
+    got = {r["id"] for r in ix1.search(emb, qvec, k=10, ef_search=100).collect()}
+    gt = {r[0] for r in flat_top10}
+    assert len(got & gt) >= 9  # recall envelope holds across the union
+    # docs from the appended half are reachable (not just the seed half)
+    all_cand = {r["id"] for r in ix1.candidates(qvec, ef_search=200).collect()}
+    assert any(i % 2 == 1 for i in all_cand)
