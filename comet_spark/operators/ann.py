@@ -332,6 +332,48 @@ class PQIndex:
         e = docs.select(F.col(id_col).cast("bigint").alias("id"), to_double_array(vec_col).alias("v"))
         return e.mapInPandas(enc, "id bigint, codes array<smallint>")
 
+    def encode_inplace(self, docs: DataFrame, *, vec_col: str = "vector") -> DataFrame:
+        """Column-preserving encode: adds/replaces ``codes`` via a scalar
+        Arrow UDF over the vector column alone — the codes twin of
+        ``IVFIndex.assign_inplace``, for re-encoding a store's merged
+        view during ``DocumentStore.compact(recluster=...)`` without
+        dropping payload columns or paying a join-back shuffle."""
+        spark = docs.sparkSession
+        bc = spark.sparkContext.broadcast(self.codebooks)
+        m, dsub = self.m, self.dsub
+
+        @F.pandas_udf("array<smallint>")
+        def _codes(v: pd.Series) -> pd.Series:
+            books = bc.value
+            if len(v) == 0:
+                return pd.Series([], dtype=object)
+            mat = np.array(v.tolist(), dtype=np.float64)
+            codes = np.empty((len(mat), m), dtype=np.int16)
+            for sub in range(m):
+                seg = mat[:, sub * dsub : (sub + 1) * dsub]
+                codes[:, sub] = np.argmin(
+                    _pairwise_sq(seg, books[sub]), axis=1
+                ).astype(np.int16)
+            return pd.Series(list(codes))
+
+        return docs.withColumn("codes", _codes(to_double_array(vec_col)))
+
+    def refresh(
+        self, docs: DataFrame, *, id_col: str = "id", vec_col: str = "vector",
+        max_iter: int = 20,
+    ) -> "PQIndex":
+        """Retrain the codebooks on the CURRENT corpus (same M / Ksub) —
+        the PQ leg of layout maintenance under ingest (reference
+        re-Train, ``pq_index.go``); pair with
+        ``store.compact(recluster=refreshed_pq)`` to rewrite codes."""
+        import math
+
+        nbits = int(round(math.log2(self.ksub)))
+        return PQIndex.train(
+            docs, m=self.m, nbits=nbits, id_col=id_col, vec_col=vec_col,
+            max_iter=max_iter,
+        )
+
     def lut(self, qvec: np.ndarray) -> np.ndarray:
         """M×Ksub table of squared distances query-subvector → codebook
         centroid (``pq_index_search.go:242-264``)."""
@@ -481,6 +523,67 @@ class IVFPQIndex:
         codes = self.pq.encode(resid, id_col=id_col, vec_col="residual")
         return codes.join(
             assigned.select(F.col(id_col).alias("id"), "cluster_id"), "id"
+        )
+
+    def encode_inplace(self, docs: DataFrame, *, vec_col: str = "vector") -> DataFrame:
+        """Column-preserving encode: adds/replaces ``cluster_id`` AND
+        residual ``codes`` in ONE Arrow pass (assignment → residual →
+        per-subspace argmin inside a single struct-returning pandas UDF)
+        — what ``DocumentStore.compact(recluster=ivfpq)`` calls; the
+        fresh cluster_id then also drives the rewrite's file
+        co-location, so nprobe pruning AND the compressed codes stay
+        honest together on a drifted corpus."""
+        from comet_spark.training.kmeans import _dist_block
+
+        spark = docs.sparkSession
+        cents_bc = spark.sparkContext.broadcast(self.ivf.centroids)
+        books_bc = spark.sparkContext.broadcast(self.pq.codebooks)
+        m, dsub = self.pq.m, self.pq.dsub
+        metric = self.ivf.metric
+
+        @F.pandas_udf("struct<cluster_id: bigint, codes: array<smallint>>")
+        def _enc(v: pd.Series) -> pd.DataFrame:
+            cents = cents_bc.value
+            books = books_bc.value
+            if len(v) == 0:
+                return pd.DataFrame(
+                    {
+                        "cluster_id": pd.Series([], dtype="int64"),
+                        "codes": pd.Series([], dtype=object),
+                    }
+                )
+            mat = np.array(v.tolist(), dtype=np.float64)
+            cid = np.argmin(_dist_block(mat, cents, metric), axis=1)
+            resid = mat - cents[cid]
+            codes = np.empty((len(mat), m), dtype=np.int16)
+            for sub in range(m):
+                seg = resid[:, sub * dsub : (sub + 1) * dsub]
+                codes[:, sub] = np.argmin(
+                    _pairwise_sq(seg, books[sub]), axis=1
+                ).astype(np.int16)
+            return pd.DataFrame({"cluster_id": cid.astype("int64"), "codes": list(codes)})
+
+        tmp = docs.withColumn("__enc", _enc(to_double_array(vec_col)))
+        return (
+            tmp.withColumn("cluster_id", F.col("__enc.cluster_id"))
+            .withColumn("codes", F.col("__enc.codes"))
+            .drop("__enc")
+        )
+
+    def refresh(
+        self, docs: DataFrame, *, id_col: str = "id", vec_col: str = "vector",
+        max_iter: int = 20,
+    ) -> "IVFPQIndex":
+        """Retrain coarse centroids + residual codebooks on the CURRENT
+        corpus (same nlist / M / Ksub) — layout maintenance for the
+        compressed-domain path (reference re-Train,
+        ``ivfpq_index.go:164-341``)."""
+        import math
+
+        nbits = int(round(math.log2(self.pq.ksub)))
+        return IVFPQIndex.train(
+            docs, nlist=len(self.ivf.centroids), m=self.pq.m, nbits=nbits,
+            id_col=id_col, vec_col=vec_col, max_iter=max_iter,
         )
 
     def search(

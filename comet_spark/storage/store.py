@@ -327,10 +327,11 @@ class DocumentStore:
         segment compaction just coalesced.
 
         ``recluster`` (ANN layout maintenance): any object with an
-        ``assign_inplace(df, vec_col=...)`` method adding a
-        ``cluster_id`` column while preserving every other column —
-        typically an :class:`IVFIndex` refreshed on the current corpus
-        (``IVFIndex.refresh``). The merged view is
+        ``assign_inplace(df, vec_col=...)`` method (IVF: fresh
+        ``cluster_id``) or an ``encode_inplace(df, vec_col=...)`` method
+        (PQ: fresh ``codes``; IVFPQ: both), each preserving every other
+        column — typically an index refreshed on the current corpus via
+        its ``refresh`` method. The merged view is
         re-assigned during the rewrite (stale ``cluster_id`` dropped
         first), and — unless ``zorder_by`` overrides the layout — the
         rewritten files are co-located and sorted by ``cluster_id``, so
@@ -360,10 +361,14 @@ class DocumentStore:
                 "__seq", F.lit(0).cast("bigint")
             )
             if recluster is not None:
-                if "cluster_id" in out.columns:  # stale train-time layout
-                    out = out.drop("cluster_id")
-                out = recluster.assign_inplace(out, vec_col=recluster_vec_col)
-                if not zorder_by:
+                # assign_inplace (IVF: cluster_id) or encode_inplace
+                # (PQ: codes; IVFPQ: cluster_id + residual codes) — both
+                # withColumn-replace any stale same-named layout columns
+                hook = getattr(recluster, "assign_inplace", None) or getattr(
+                    recluster, "encode_inplace"
+                )
+                out = hook(out, vec_col=recluster_vec_col)
+                if not zorder_by and "cluster_id" in out.columns:
                     # co-locate + sort by the fresh assignment so parquet
                     # min/max stats on cluster_id skip files under nprobe
                     nf = zorder_files or max(1, -(-n_rows // 1_000_000))

@@ -265,3 +265,58 @@ def test_build_pq_rejects_non_l2_corpus(spark):
 
     with _pytest.raises(ValueError, match="L2 layout"):
         Corpus(emb, metric="cosine").build_pq()
+
+
+def test_pq_encode_inplace_matches_encode(spark, emb):
+    """Column-preserving encode must produce the SAME codes as the
+    (id, codes)-projecting encode, with payload columns intact."""
+    from comet_spark.operators.ann import PQIndex
+
+    pq = PQIndex.train(emb, m=4, nbits=4, max_iter=3)
+    via_encode = {r["id"]: list(r["codes"]) for r in pq.encode(emb).collect()}
+    inplace = pq.encode_inplace(emb).collect()
+    assert {r["id"]: list(r["codes"]) for r in inplace} == via_encode
+    assert all("vector" in r.asDict() for r in inplace)  # payload preserved
+
+
+def test_ivfpq_encode_inplace_matches_encode(spark, emb):
+    """The one-pass struct kernel (assign -> residual -> codes) must
+    agree with the multi-step encode on both cluster_id and codes."""
+    from comet_spark.operators.ann import IVFPQIndex
+
+    ix = IVFPQIndex.train(emb, nlist=4, m=4, nbits=4, max_iter=3)
+    multi = {
+        r["id"]: (r["cluster_id"], list(r["codes"]))
+        for r in ix.encode(emb).collect()
+    }
+    one = {
+        r["id"]: (r["cluster_id"], list(r["codes"]))
+        for r in ix.encode_inplace(emb).collect()
+    }
+    assert one == multi
+
+
+def test_compact_recluster_with_ivfpq_reencodes(spark, tmp_path, emb):
+    """compact(recluster=ivfpq) rewrites BOTH the coarse assignment and
+    the residual codes for the merged view; ADC search over the
+    compacted store matches search over a fresh encode of the same
+    corpus."""
+    from comet_spark.operators.ann import IVFPQIndex
+    from comet_spark.storage.store import DocumentStore
+
+    half_a = emb.filter(F.col("id") % 2 == 0)
+    half_b = emb.filter(F.col("id") % 2 == 1)
+    store = DocumentStore(spark, str(tmp_path / "pqstore"))
+    store.append(half_a)
+    store.append(half_b)
+
+    ix = IVFPQIndex.train(store.read(), nlist=4, m=4, nbits=4, max_iter=3)
+    store.compact(recluster=ix)
+    merged = store.read().cache()
+    assert {"cluster_id", "codes"} <= set(merged.columns)
+
+    qvec = [float(x) for x in emb.filter(F.col("id") == 0).first()["vector"]]
+    via_store = ix.search(merged, qvec, k=5, nprobe=4).collect()
+    fresh = ix.search(ix.encode(emb), qvec, k=5, nprobe=4).collect()
+    assert [tuple(r) for r in via_store] == [tuple(r) for r in fresh]
+    merged.unpersist()
