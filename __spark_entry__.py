@@ -3201,6 +3201,9 @@ SELECT a_id, b_id, jaccard FROM j WHERE jaccard >= {MIN_JACCARD}
 )
 
 
+_DOCS_NPART_CACHE: dict[tuple[str, str], int] = {}
+
+
 def _docs_par(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents with the scan fanned out to all cores WHEN the input
     itself can't provide the parallelism: the local corpus is ONE
@@ -3212,7 +3215,10 @@ def _docs_par(spark: SparkSession, sf_dir: str) -> DataFrame:
     local inputs."""
     docs = _t(spark, sf_dir, "documents")
     par = spark.sparkContext.defaultParallelism
-    if docs.rdd.getNumPartitions() < par:
+    key = (_skey(spark), sf_dir)
+    if key not in _DOCS_NPART_CACHE:  # driver-only file-split count; memoized
+        _DOCS_NPART_CACHE[key] = docs.rdd.getNumPartitions()
+    if _DOCS_NPART_CACHE[key] < par:
         docs = docs.repartition(par)
     return docs
 
