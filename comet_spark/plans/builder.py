@@ -300,7 +300,7 @@ class VectorSearch:
         c = self.corpus
         if self.adc:
             return self._execute_adc()
-        if self.nprobes > 0 or self.ef_search > 0:
+        if self.nprobes > 0 or self.ef_search > 0 or self.n_probes_lsh > 0:
             return self._execute_ann()
         per_query = knn(
             c.docs,
@@ -436,7 +436,11 @@ class VectorSearch:
             from comet_spark.operators.similarity import lsh_ann_topk
 
             docs = c.docs if self._prefilter is None else c.docs.filter(self._prefilter)
-            if c._hnsw is not None and len(qrows) > 1:
+            # the graph owns the leg only when a beam was requested: a
+            # multi-probe-only request (ef=0, n_probes>0) is an LSH
+            # request by contract, even with a graph attached
+            use_graph = c._hnsw is not None and self.ef_search > 0
+            if use_graph and len(qrows) > 1:
                 # true graph traversal, all queries scored in ONE job;
                 # prefilter applies at the distributed scoring step = the
                 # reference's post-filter-by-docIDs semantics
@@ -449,7 +453,7 @@ class VectorSearch:
                 per_parts = []
                 for r in qrows:
                     qvec = [float(x) for x in r["qvec"]]
-                    if c._hnsw is not None:
+                    if use_graph:
                         part = c._hnsw.search(
                             docs, qvec, k=self.k, ef_search=self.ef_search,
                             id_col=c.id_col, vec_col=c.vec_col,
@@ -549,6 +553,7 @@ class HybridSearch:
     fusion_args: dict[str, Any] = dc_field(default_factory=dict)
     nprobes: int = 0
     ef_search: int = 0
+    n_probes_lsh: int = 0
     adc: bool = False
     rescore: int = 0
 
@@ -565,6 +570,13 @@ class HybridSearch:
 
     def with_ef_search(self, ef: int) -> "HybridSearch":
         self.ef_search = ef
+        return self
+
+    def with_multi_probe(self, n: int) -> "HybridSearch":
+        """Multi-probe LSH on the hybrid's vector leg (see
+        VectorSearch.with_multi_probe); ignored when a graph or IVF
+        layout owns the leg."""
+        self.n_probes_lsh = n
         return self
 
     def with_adc(self, rescore: int = 0) -> "HybridSearch":
@@ -616,7 +628,8 @@ class HybridSearch:
         if self._vec is not None:
             vs = VectorSearch(
                 c, _queries=[self._vec], k=self.k, nprobes=self.nprobes,
-                ef_search=self.ef_search, adc=self.adc, rescore=self.rescore,
+                ef_search=self.ef_search, n_probes_lsh=self.n_probes_lsh,
+                adc=self.adc, rescore=self.rescore,
             )
             if pred is not None:
                 vs = vs.with_prefilter(pred)

@@ -209,3 +209,19 @@ def test_builder_multi_probe_knob(corpus, qvec, flat_ids):
     }
     gt = set(flat_ids)
     assert len(multi & gt) >= len(single & gt)
+
+
+def test_hybrid_multi_probe_passthrough(corpus, qvec, flat_ids):
+    """with_multi_probe flows through HybridSearch to the LSH vector
+    leg: with enough probes the leg reaches the exact flat top-k, so the
+    vector-only hybrid equals the flat hybrid result."""
+    flat = (
+        corpus.hybrid_search().with_vector(qvec).with_k(5)
+        .with_fusion("rrf").execute().collect()
+    )
+    probed = (
+        corpus.hybrid_search().with_vector(qvec).with_k(5)
+        .with_ef_search(0).with_multi_probe(4 * 16)  # every band bucket
+        .with_fusion("rrf").execute().collect()
+    )
+    assert [tuple(r) for r in probed] == [tuple(r) for r in flat]
