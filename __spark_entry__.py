@@ -4049,6 +4049,101 @@ WHERE bucket < CASE lang WHEN 'en' THEN 10 WHEN 'zh' THEN 60 ELSE {SAMPLE_DEFAUL
 )
 
 
+MIX_TEMP = 0.5  # n^0.5 = sqrt: correctly-rounded IEEE in every engine
+MIX_DENOM = 1_000_000
+MIX_SALT = "mix1"
+
+
+def _mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-smoothed mixture resampling (sampling.py:
+    mixture_rates — the mBERT/XLM-R p_s ∝ n_s^τ smoothing): per-lang
+    integer keep rates computed driver-side from one groupBy count,
+    applied as the same deterministic md5-bucket predicate as
+    stratified_sample (zero shuffles, full pushdown). The computed
+    rates are exported as an artifact so the oracle replays the exact
+    draw (by construction — the rate MATH is pinned by pytest)."""
+    from comet_spark.operators.sampling import hash_sample, mixture_rates
+
+    docs = _t(spark, sf_dir, "documents")
+    counts = {
+        r["lang"]: r["n"]
+        for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    rates = mixture_rates(
+        counts, temperature=MIX_TEMP,
+        target_total=sum(counts.values()) // 2, denom=MIX_DENOM,
+    )
+    key = (_skey(spark), sf_dir, "mixture_rates")
+    if key not in _PROBE_WRITTEN:
+        _write_rows(
+            spark, f"{_art_dir(sf_dir)}/mixture/rates.parquet",
+            [(s, int(r)) for s, r in sorted(rates.items())],
+            "lang string, rate bigint",
+        )
+        _PROBE_WRITTEN.add(key)
+    kept = hash_sample(
+        docs, id_col="doc_id", rates=rates, stratum_col="lang",
+        salt=MIX_SALT, denom=MIX_DENOM,
+    )
+    return kept.select("doc_id", "lang", "bucket")
+
+
+_register(
+    "mixture_sample_lang",
+    _mixture_sample,
+    f"""
+WITH r AS (SELECT lang, rate FROM read_parquet('{_ART01}/mixture/rates.parquet/*.parquet')),
+t AS (SELECT doc_id, d.lang,
+             ('0x' || substr(md5('{MIX_SALT}' || doc_id::VARCHAR), 1, 8))::BIGINT % {MIX_DENOM} AS bucket,
+             rate
+      FROM documents d JOIN r ON r.lang = d.lang)
+SELECT doc_id, lang, bucket FROM t WHERE bucket < rate
+""",
+)
+
+
+QUALITY_TOP_FRAC = 0.2
+
+
+def _quality_top_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-quantile selection (sampling.py:top_fraction_per_group —
+    the FineWeb-Edu 'keep the top X% by score per language' step): rank
+    docs per lang by uniq-token ratio (total order via the doc_id
+    tiebreaker), keep rank ≤ ceil(frac·group size). One shuffle on the
+    group key; reads the tokenize-once projection."""
+    from comet_spark.operators.sampling import top_fraction_per_group
+
+    docs = _docs_tok(spark, sf_dir)
+    toks = F.col("__toks")
+    n = F.size(toks).cast("bigint")
+    n_uniq = F.size(F.array_distinct(toks)).cast("bigint")
+    scored = docs.select(
+        "doc_id", "lang", n.alias("n_tokens"),
+        F.round(n_uniq.cast("double") / n, 6).alias("uniq_ratio"),
+    ).filter(F.col("n_tokens") > 0)
+    out = top_fraction_per_group(
+        scored, group_cols=["lang"],
+        order_cols=[F.col("uniq_ratio").desc(), F.col("doc_id").asc()],
+        frac=QUALITY_TOP_FRAC,
+    )
+    return out.select("doc_id", "lang", "uniq_ratio")
+
+
+_register(
+    "quality_top_frac",
+    _quality_top_frac,
+    f"""
+WITH t AS (SELECT doc_id, lang, {_SQL_TOKENIZE.format(col='text')} AS toks FROM documents),
+s AS (SELECT doc_id, lang, len(toks)::BIGINT AS n_tokens,
+             ROUND(len(list_distinct(toks))::DOUBLE / len(toks), 6) AS uniq_ratio
+      FROM t WHERE len(toks) > 0),
+r AS (SELECT *, row_number() OVER (PARTITION BY lang ORDER BY uniq_ratio DESC, doc_id) AS rn,
+             count(*) OVER (PARTITION BY lang) AS n FROM s)
+SELECT doc_id, lang, uniq_ratio FROM r WHERE rn <= ceil({QUALITY_TOP_FRAC} * n)
+""",
+)
+
+
 PACK_BUDGET = 256
 
 

@@ -27,7 +27,13 @@ from pyspark.sql import functions as F
 
 from comet_spark.operators.dedup import _tok
 
-__all__ = ["hash_bucket", "hash_sample", "pack_sequences"]
+__all__ = [
+    "hash_bucket",
+    "hash_sample",
+    "mixture_rates",
+    "top_fraction_per_group",
+    "pack_sequences",
+]
 
 
 def hash_bucket(id_col: Column, *, salt: str = "", denom: int = 100) -> Column:
@@ -76,6 +82,70 @@ def hash_sample(
     for value, r in sorted(rates.items()):
         rate = F.when(F.col(stratum_col) == value, F.lit(r)).otherwise(rate)
     return out.filter(F.col("bucket") < rate)
+
+
+def mixture_rates(
+    counts: dict[str, int], *, temperature: float = 0.5,
+    target_total: int, denom: int = 1_000_000,
+) -> dict[str, int]:
+    """Temperature-smoothed mixture rates (the multilingual-pretraining
+    standard, mBERT/XLM-R exponential smoothing: sample source s with
+    probability ∝ n_s^τ): integer per-source keep rates out of
+    ``denom``, sized so the expected kept total ≈ ``target_total``.
+    τ=1 keeps natural proportions, τ→0 equalizes sources; oversampled
+    heads are cut, undersampled tails are capped at ``denom`` (kept
+    whole — this operator never duplicates rows, so a tail that the
+    formula would UPsample is kept at rate 1 and the epoch multiplier
+    belongs to the training loader).
+
+    Driver-side math over the tiny per-source count table (one
+    ``groupBy(source).count()``); pair with :func:`hash_sample`
+    (``rates=..., denom=...``) for the deterministic zero-shuffle draw.
+    Iteration is in sorted-source order so the float sum — and thus
+    every rate — is reproducible run to run."""
+    import math
+
+    if not counts:
+        return {}
+    ps = {s: float(n) ** temperature for s, n in sorted(counts.items())}
+    z = sum(ps[s] for s in sorted(ps))
+    rates = {}
+    for s in sorted(counts):
+        n = counts[s]
+        target_s = target_total * (ps[s] / z)
+        rates[s] = min(denom, int(math.floor(denom * (target_s / n))))
+    return rates
+
+
+def top_fraction_per_group(
+    df: DataFrame,
+    *,
+    group_cols: list[str],
+    order_cols: list[Column],
+    frac: float,
+) -> DataFrame:
+    """Quality-quantile selection (the FineWeb-Edu-style 'keep the top
+    X% by score per language/source' step): rank rows within each group
+    by ``order_cols`` (include a unique tiebreaker — a partial order
+    makes the cut nondeterministic) and keep rank ≤ ceil(frac · group
+    size).
+
+    Scale shape: ONE shuffle on the group key; both windows share the
+    partitioning, and Spark's rank-limit pushdown cannot apply (the
+    limit depends on the group count) so the group's rows do colocate —
+    at 100 TB, group by (source, shard) rather than a handful of
+    giant language groups to keep partitions bounded, exactly like
+    ``pack_sequences``."""
+    if not 0.0 < frac <= 1.0:
+        raise ValueError(f"frac must be in (0, 1], got {frac}")
+    w = Window.partitionBy(*group_cols).orderBy(*order_cols)
+    wn = Window.partitionBy(*group_cols)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .withColumn("__n", F.count("*").over(wn))
+        .filter(F.col("__rn") <= F.ceil(F.lit(float(frac)) * F.col("__n")))
+        .drop("__rn", "__n")
+    )
 
 
 def pack_sequences(

@@ -635,3 +635,65 @@ def test_redact_pii_dates_survive_phone_catches(spark):
         assert "<PHONE>" in out[j]["text"] and out[j]["n_phone"] == 1, (
             rows[j][1], out[j]["text"],
         )
+
+
+def test_mixture_rates_math():
+    """Temperature smoothing: tau=1 keeps natural proportions, tau=0
+    equalizes, tails cap at denom (kept whole, never upsampled), and
+    iteration order cannot change the rates (sorted-source float sum)."""
+    from comet_spark.operators.sampling import mixture_rates
+
+    counts = {"en": 8000, "zh": 1500, "de": 500}
+    denom = 1_000_000
+
+    # tau=1: rate = target/total for every source (natural proportions)
+    r1 = mixture_rates(counts, temperature=1.0, target_total=5000, denom=denom)
+    assert all(v == denom // 2 for v in r1.values())
+
+    # tau=0: every source targets total/len(sources) -> tiny 'de' is
+    # capped at denom while the head is cut hard
+    r0 = mixture_rates(counts, temperature=0.0, target_total=3000, denom=denom)
+    assert r0["de"] == denom  # 1000 target > 500 docs -> kept whole
+    assert r0["en"] == denom // 8  # 1000/8000
+    # smoothing is monotone: lower tau always favors the tail
+    rhalf = mixture_rates(counts, temperature=0.5, target_total=3000, denom=denom)
+    assert r0["en"] < rhalf["en"] < mixture_rates(
+        counts, temperature=1.0, target_total=3000, denom=denom
+    )["en"]
+    assert rhalf == mixture_rates(
+        dict(reversed(list(counts.items()))), temperature=0.5,
+        target_total=3000, denom=denom,
+    )  # insertion order irrelevant
+    assert mixture_rates({}, temperature=0.5, target_total=10) == {}
+
+
+def test_top_fraction_per_group(spark):
+    """Rank-based quantile cut: exactly ceil(frac*n) survivors per group,
+    picked by the total order; frac=1 keeps everything; bad frac raises."""
+    import pytest
+
+    from comet_spark.operators.sampling import top_fraction_per_group
+
+    rows = [(i, "a" if i < 10 else "b", float(i % 7)) for i in range(15)]
+    df = spark.createDataFrame(rows, "id bigint, grp string, score double")
+    out = top_fraction_per_group(
+        df, group_cols=["grp"],
+        order_cols=[F.col("score").desc(), F.col("id").asc()], frac=0.3,
+    ).collect()
+    by_grp = {}
+    for r in out:
+        by_grp.setdefault(r["grp"], []).append((r["score"], r["id"]))
+    assert len(by_grp["a"]) == 3  # ceil(0.3*10)
+    assert len(by_grp["b"]) == 2  # ceil(0.3*5)
+    # group a's survivors are the 3 best under (score desc, id asc)
+    want_a = sorted(((float(i % 7), i) for i in range(10)),
+                    key=lambda t: (-t[0], t[1]))[:3]
+    assert sorted(by_grp["a"], key=lambda t: (-t[0], t[1])) == want_a
+
+    n_all = top_fraction_per_group(
+        df, group_cols=["grp"], order_cols=[F.col("id").asc()], frac=1.0
+    ).count()
+    assert n_all == 15
+    with pytest.raises(ValueError, match="frac"):
+        top_fraction_per_group(df, group_cols=["grp"],
+                               order_cols=[F.col("id")], frac=0.0)
