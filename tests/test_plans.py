@@ -302,3 +302,32 @@ def test_docs_par_no_exchange_when_input_split(spark, tmp_path):
     # the under-split local corpus (one file) still equalizes
     local = entry_mod._docs_par(spark, SF_DIR_SMALL)
     assert local.rdd.getNumPartitions() >= par
+
+
+def test_mixture_sample_is_pushdown_scan(spark):
+    """The mixture draw must stay a pure per-row predicate over the scan
+    (like hash_sample): no Exchange, no Python — the only heavier work
+    is the tiny driver-side groupBy count that sizes the rates."""
+    import __spark_entry__ as entry_mod
+
+    df = entry_mod.queries()["mixture_sample_lang"](spark, SF_DIR_SMALL)
+    plan = _plan(df)
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_quality_top_frac_single_shuffle(spark):
+    """Rank + group-count share ONE window partitioning: exactly one
+    shuffle on the group key feeds both."""
+    import __spark_entry__ as entry_mod
+
+    df = entry_mod.queries()["quality_top_frac"](spark, SF_DIR_SMALL)
+    plan = _plan(df)
+    # exactly one hash-partitioning exchange (the group key). The
+    # RoundRobin repartition is _docs_par's single-file local equalizer,
+    # gated off on a many-file corpus (test_docs_par_no_exchange_...).
+    n_hash = sum(
+        1 for line in plan.splitlines()
+        if "Exchange hashpartitioning" in line and "ReusedExchange" not in line
+    )
+    assert n_hash == 1, plan
