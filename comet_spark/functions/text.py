@@ -160,11 +160,17 @@ def has_non_ascii(df, text_col: str = "text") -> bool:
 # Scripts whose UAX#29 segmentation the native tokenizer cannot
 # reproduce: Han and Hiragana segment char-by-char (WB999), and Katakana
 # runs don't join adjacent ALetter — while the native [\p{L}...]+ run
-# regex concatenates all of them. BMP Kana + Han blocks plus the
-# supplementary CJK extensions.
+# regex concatenates all of them. The class is deliberately WIDE — the
+# whole U+2E80-9FFF CJK span (radicals, kanbun, punctuation, enclosed
+# letters, compatibility blocks, Kana) plus halfwidth Kana and the
+# supplementary extensions — because the probe runs on PRE-NFKC text
+# and NFKC can CREATE ideographic characters from compatibility forms
+# (halfwidth 'ｶ' U+FF76 → 'カ', '㈱' U+3231 → '(株)'): a false positive
+# only costs the Arrow tokenize path (correct, slower); a false
+# negative silently builds an index whose CJK tokens never match any
+# query.
 IDEOGRAPHIC_RE = (
-    "[\\u3040-\\u30FF\\u3400-\\u4DBF\\u4E00-\\u9FFF\\uF900-\\uFAFF"
-    "\\x{20000}-\\x{2FA1F}]"
+    "[\\u2E80-\\u9FFF\\uF900-\\uFAFF\\uFF65-\\uFF9F\\x{20000}-\\x{2FA1F}]"
 )
 
 

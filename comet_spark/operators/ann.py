@@ -321,12 +321,7 @@ class PQIndex:
                 mat = np.array(pdf["v"].tolist(), dtype=np.float64)
                 if len(mat) == 0:
                     continue
-                codes = np.empty((len(mat), m), dtype=np.int16)
-                for sub in range(m):
-                    seg = mat[:, sub * dsub : (sub + 1) * dsub]
-                    codes[:, sub] = np.argmin(
-                        _pairwise_sq(seg, books[sub]), axis=1
-                    ).astype(np.int16)
+                codes = _pq_encode_mat(books, mat, m, dsub)
                 yield pd.DataFrame({"id": pdf["id"], "codes": list(codes)})
 
         e = docs.select(F.col(id_col).cast("bigint").alias("id"), to_double_array(vec_col).alias("v"))
@@ -345,16 +340,16 @@ class PQIndex:
         @F.pandas_udf("array<smallint>")
         def _codes(v: pd.Series) -> pd.Series:
             books = bc.value
-            if len(v) == 0:
-                return pd.Series([], dtype=object)
-            mat = np.array(v.tolist(), dtype=np.float64)
-            codes = np.empty((len(mat), m), dtype=np.int16)
-            for sub in range(m):
-                seg = mat[:, sub * dsub : (sub + 1) * dsub]
-                codes[:, sub] = np.argmin(
-                    _pairwise_sq(seg, books[sub]), axis=1
-                ).astype(np.int16)
-            return pd.Series(list(codes))
+            out = pd.Series([None] * len(v), dtype=object)
+            # NULL vectors (mergeSchema'd stores) keep NULL codes instead
+            # of crashing the Arrow worker
+            mask = v.notna()
+            if mask.any():
+                mat = np.array(v[mask].tolist(), dtype=np.float64)
+                out[mask] = pd.Series(
+                    list(_pq_encode_mat(books, mat, m, dsub)), index=out[mask].index
+                )
+            return out
 
         return docs.withColumn("codes", _codes(to_double_array(vec_col)))
 
@@ -481,6 +476,19 @@ def _exact_rescore(
     return out.filter(F.col("score").isNotNull())
 
 
+def _pq_encode_mat(books: np.ndarray, mat: np.ndarray, m: int, dsub: int) -> np.ndarray:
+    """THE per-subspace argmin quantizer (one copy — encode,
+    encode_inplace, and the IVFPQ residual path all call it, so the
+    sub-quantization math cannot silently diverge)."""
+    codes = np.empty((len(mat), m), dtype=np.int16)
+    for sub in range(m):
+        seg = mat[:, sub * dsub : (sub + 1) * dsub]
+        codes[:, sub] = np.argmin(_pairwise_sq(seg, books[sub]), axis=1).astype(
+            np.int16
+        )
+    return codes
+
+
 def _pairwise_sq(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     return (
         (a * a).sum(axis=1)[:, None] - 2.0 * (a @ b.T) + (b * b).sum(axis=1)[None, :]
@@ -545,23 +553,24 @@ class IVFPQIndex:
         def _enc(v: pd.Series) -> pd.DataFrame:
             cents = cents_bc.value
             books = books_bc.value
-            if len(v) == 0:
-                return pd.DataFrame(
-                    {
-                        "cluster_id": pd.Series([], dtype="int64"),
-                        "codes": pd.Series([], dtype=object),
-                    }
+            out = pd.DataFrame(
+                {
+                    "cluster_id": pd.Series([None] * len(v), dtype="Int64"),
+                    "codes": pd.Series([None] * len(v), dtype=object),
+                }
+            )
+            # NULL vectors (mergeSchema'd stores) -> NULL layout columns
+            mask = v.notna().to_numpy()
+            if mask.any():
+                mat = np.array(v[mask].tolist(), dtype=np.float64)
+                cid = np.argmin(_dist_block(mat, cents, metric), axis=1)
+                resid = mat - cents[cid]
+                codes = _pq_encode_mat(books, resid, m, dsub)
+                out.loc[mask, "cluster_id"] = cid
+                out.loc[mask, "codes"] = pd.Series(
+                    list(codes), index=out.index[mask]
                 )
-            mat = np.array(v.tolist(), dtype=np.float64)
-            cid = np.argmin(_dist_block(mat, cents, metric), axis=1)
-            resid = mat - cents[cid]
-            codes = np.empty((len(mat), m), dtype=np.int16)
-            for sub in range(m):
-                seg = resid[:, sub * dsub : (sub + 1) * dsub]
-                codes[:, sub] = np.argmin(
-                    _pairwise_sq(seg, books[sub]), axis=1
-                ).astype(np.int16)
-            return pd.DataFrame({"cluster_id": cid.astype("int64"), "codes": list(codes)})
+            return out
 
         tmp = docs.withColumn("__enc", _enc(to_double_array(vec_col)))
         return (

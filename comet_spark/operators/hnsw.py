@@ -414,10 +414,15 @@ class DistributedHNSW:
     reference validates HNSW — recall-vs-flat + a monotone ef ladder
     (``hnsw_index_search_test.go:992-1150``)."""
 
-    def __init__(self, graphs: DataFrame, *, m: int, metric: str):
+    def __init__(self, graphs: DataFrame, *, m: int, metric: str,
+                 next_part: int | None = None):
         self.graphs = graphs
         self.m = m
         self.metric = metric
+        # upper bound on used sub-graph part ids; lazily computed for
+        # load()ed tables, tracked across add_batch so appends don't pay
+        # a max() job per call
+        self._next_part = next_part
 
     @classmethod
     def build(
@@ -477,7 +482,7 @@ class DistributedHNSW:
         graphs = e.mapInPandas(build_part, "part int, n_rows bigint, graph binary")
         if cache:
             graphs = graphs.cache()
-        return cls(graphs, m=m, metric=metric)
+        return cls(graphs, m=m, metric=metric, next_part=p)
 
     def add_batch(
         self, new_docs: DataFrame, *, id_col: str = "id", vec_col: str = "vector",
@@ -498,12 +503,15 @@ class DistributedHNSW:
         drifts well past the original partitioning, exactly when
         ``DocumentStore.compact(recluster=...)`` refreshes the IVF
         layout."""
-        base = self.graphs.agg(F.max("part").alias("p")).first()["p"]
-        offset = int(base) + 1 if base is not None else 0
+        if self._next_part is None:  # load()ed table: one tiny max() job
+            base = self.graphs.agg(F.max("part").alias("p")).first()["p"]
+            self._next_part = int(base) + 1 if base is not None else 0
+        offset = self._next_part
+        p = num_partitions or new_docs.sparkSession.sparkContext.defaultParallelism
         fresh = DistributedHNSW.build(
             new_docs, id_col=id_col, vec_col=vec_col, m=self.m,
             ef_construction=ef_construction, seed=seed, metric=self.metric,
-            num_partitions=num_partitions, cache=False,
+            num_partitions=p, cache=False,
         )
         shifted = fresh.graphs.withColumn(
             "part", (F.col("part") + F.lit(offset)).cast("int")
@@ -511,7 +519,22 @@ class DistributedHNSW:
         merged = self.graphs.unionByName(shifted)
         if cache:
             merged = merged.cache()
-        return DistributedHNSW(merged, m=self.m, metric=self.metric)
+            # materialize THROUGH the old cache, then release it: an
+            # ingest loop calling add_batch per batch would otherwise pin
+            # every intermediate union (O(N^2) blob copies) in executor
+            # storage. Unpersisting self.graphs after merged is
+            # materialized keeps this instance usable (recompute falls
+            # back to the merged child's data only for new queries on the
+            # superseded handle).
+            merged.count()
+            try:
+                if self.graphs.storageLevel.useMemory or self.graphs.storageLevel.useDisk:
+                    self.graphs.unpersist()
+            except Exception:
+                pass  # best-effort: a non-cached parent has nothing to drop
+        return DistributedHNSW(
+            merged, m=self.m, metric=self.metric, next_part=offset + p
+        )
 
     def save(self, path: str) -> None:
         """A8 sink: the graph table IS the format — one parquet row per

@@ -163,6 +163,10 @@ class DocumentStore:
         (an event time, an explicit version) — and ``__seq`` is taken
         from it directly (no shuffle, no global sort)."""
         with self._lock("append"):
+            # legacy delete files must be stamped BEFORE this append's
+            # segment number exists, so the new segment clears their
+            # watermark (re-append resurrects, J6)
+            self._migrate_legacy_deletes_locked()
             # segment number MUST be computed inside the lock: reading it
             # before would let two writers race to the same number (the
             # lock exists to protect exactly this sequence)
@@ -179,6 +183,7 @@ class DocumentStore:
         """Soft delete (J6), sequenced: hides versions in segments written
         BEFORE this call; a later re-append of the same id is visible."""
         with self._lock("delete"):
+            self._migrate_legacy_deletes_locked()
             # watermark computed inside the lock — a stale read would
             # nondeterministically include/exclude a concurrent segment
             upto = self._next_segment()
@@ -202,76 +207,74 @@ class DocumentStore:
             .parquet(self.data_path)
         )
 
-    def _migrate_legacy_deletes(self) -> None:
-        """One-time migration of pre-sequencing delete files: stamp their
-        missing ``upto`` with the store's CURRENT next-segment number.
-        Equivalent to +inf for every segment present now (the old delete
-        keeps hiding everything it hid), but — unlike +inf — a FUTURE
-        append of the same id is visible again, honoring the J6 contract
-        ('a later re-append of the same id is visible') on migrated
-        stores. Runs under the writer lock with the same write-aside
-        swap as compact(); crash mid-swap leaves either the old or the
-        migrated directory intact."""
-        with self._lock("migrate-deletes"):
-            upto = self._next_segment()
-            df = self.spark.read.option("mergeSchema", "true").parquet(
-                self.deletes_path
-            )
-            stamp = F.lit(upto).cast("bigint")
-            if "upto" in df.columns:
-                stamped = df.withColumn(
-                    "upto", F.coalesce(F.col("upto").cast("bigint"), stamp)
-                )
-            else:
-                stamped = df.withColumn("upto", stamp)
-            tmp = self.deletes_path + ".migrating"
-            old = self.deletes_path + ".old"
-            self._fs.delete(tmp)
-            self._fs.delete(old)
-            stamped.write.mode("overwrite").parquet(tmp)  # materialize first
-            if not self._fs.rename(self.deletes_path, old):
-                self._fs.delete(tmp)
-                raise OSError(f"migrate-deletes: could not move {self.deletes_path}")
-            if not self._fs.rename(tmp, self.deletes_path):
-                self._fs.rename(old, self.deletes_path)  # roll back
-                raise OSError(f"migrate-deletes: could not install {tmp}")
-            self._fs.delete(old)
-
-    def _deletes(self) -> DataFrame | None:
+    def _migrate_legacy_deletes_locked(self) -> None:
+        """One-time migration of pre-sequencing delete files, called from
+        the WRITE path with the writer lock already held (read() stays
+        strictly read-only — a reader without write access, or racing a
+        swap, must never be broken by migration): stamp missing ``upto``
+        with the store's CURRENT next-segment number. Equivalent to +inf
+        for every segment present now (the old delete keeps hiding
+        everything it hid), but — unlike +inf — the append about to land
+        (segment == that watermark) is visible again, honoring the J6
+        contract ('a later re-append of the same id is visible') on
+        migrated stores. Same write-aside swap as compact(); crash
+        mid-swap leaves either the old or the migrated directory
+        intact. One mergeSchema read + one tiny legacy probe job (the
+        deletes table is id-sized), no per-file footer loop."""
+        if self._legacy_deletes_checked:
+            return
         files = [
             f
             for f in self._fs.listdir(self.deletes_path)
             if f.endswith(".parquet") or f.startswith("part-")
         ]
         if not files:
-            return None
-        if not self._legacy_deletes_checked:
-            # per-file footer check (driver-only, no job): any file missing
-            # 'upto' was written by the pre-sequencing code and gets
-            # migrated once. If another writer holds the lock, fall back to
-            # the +inf reading for THIS scan and retry next read.
-            legacy = [
-                f
-                for f in files
-                if "upto"
-                not in self.spark.read.parquet(f"{self.deletes_path}/{f}").columns
-            ]
-            if legacy:
-                try:
-                    self._migrate_legacy_deletes()
-                except StoreLockedError:
-                    df = self.spark.read.option("mergeSchema", "true").parquet(
-                        self.deletes_path
-                    )
-                    if "upto" not in df.columns:
-                        df = df.withColumn("upto", F.lit(_SEQ_MAX))
-                    return df.withColumn(
-                        "upto", F.coalesce(F.col("upto"), F.lit(_SEQ_MAX))
-                    )
             self._legacy_deletes_checked = True
+            return
         df = self.spark.read.option("mergeSchema", "true").parquet(self.deletes_path)
-        # post-migration every file carries a non-null upto; the coalesce
-        # stays as a belt for delete files dropped in by external writers
+        legacy = "upto" not in df.columns or (
+            df.filter(F.col("upto").isNull()).limit(1).count() > 0
+        )
+        if not legacy:
+            self._legacy_deletes_checked = True
+            return
+        upto = self._next_segment()
+        stamp = F.lit(upto).cast("bigint")
+        if "upto" in df.columns:
+            stamped = df.withColumn(
+                "upto", F.coalesce(F.col("upto").cast("bigint"), stamp)
+            )
+        else:
+            stamped = df.withColumn("upto", stamp)
+        tmp = self.deletes_path + ".migrating"
+        old = self.deletes_path + ".old"
+        self._fs.delete(tmp)
+        self._fs.delete(old)
+        stamped.write.mode("overwrite").parquet(tmp)  # materialize first
+        if not self._fs.rename(self.deletes_path, old):
+            self._fs.delete(tmp)
+            raise OSError(f"migrate-deletes: could not move {self.deletes_path}")
+        if not self._fs.rename(tmp, self.deletes_path):
+            self._fs.rename(old, self.deletes_path)  # roll back
+            raise OSError(f"migrate-deletes: could not install {tmp}")
+        self._fs.delete(old)
+        self._legacy_deletes_checked = True
+
+    def _deletes(self) -> DataFrame | None:
+        if not any(
+            f.endswith(".parquet") or f.startswith("part-")
+            for f in self._fs.listdir(self.deletes_path)
+        ):
+            return None
+        df = self.spark.read.option("mergeSchema", "true").parquet(self.deletes_path)
+        # READ-ONLY legacy fallback: delete files written before
+        # sequencing (no/null 'upto') read as +inf — they keep hiding
+        # everything they hid. The write path migrates them (stamping a
+        # finite watermark) the next time any append/delete/compact runs,
+        # which is exactly when a finite watermark first MATTERS: only a
+        # new append can resurrect an id.
+        if "upto" not in df.columns:
+            df = df.withColumn("upto", F.lit(_SEQ_MAX))
         return df.withColumn("upto", F.coalesce(F.col("upto"), F.lit(_SEQ_MAX)))
 
     def read(self) -> DataFrame:

@@ -367,7 +367,7 @@ def pin_eval_shingles(
 
 def decontam_ingest(
     batch: DataFrame,
-    eval_shingles_path: str,
+    eval_shingles: str | DataFrame,
     *,
     id_col: str = "doc_id",
     text_col: str = "text",
@@ -397,7 +397,14 @@ def decontam_ingest(
     if mode not in ("drop", "flag"):
         raise ValueError(f"mode must be 'drop' or 'flag', got {mode!r}")
     spark = batch.sparkSession
-    ev = spark.read.parquet(eval_shingles_path)
+    # accept the pinned path OR an already-loaded shingle DataFrame —
+    # the stream wrapper loads once and reuses it across micro-batches
+    # instead of re-reading static data every batch
+    ev = (
+        eval_shingles
+        if isinstance(eval_shingles, DataFrame)
+        else spark.read.parquet(eval_shingles)
+    )
     sh = shingles(batch, id_col=id_col, text_col=text_col, n=n)
     bad = (
         sh.join(F.broadcast(ev), "shingle", "left_semi")
@@ -425,9 +432,13 @@ def decontam_ingest_stream(
     :func:`decontam_ingest` (drop mode) and clean rows append to
     ``out_path`` — continuously decontaminated ingestion."""
 
+    # the eval set is static by design: load it ONCE (cached — suites
+    # are MBs) and reuse the same DataFrame for every micro-batch
+    ev = stream.sparkSession.read.parquet(eval_shingles_path).cache()
+
     def upd(batch: DataFrame, batch_id: int) -> None:
         decontam_ingest(
-            batch, eval_shingles_path, id_col=id_col, text_col=text_col, n=n
+            batch, ev, id_col=id_col, text_col=text_col, n=n
         ).write.mode("append").parquet(out_path)
 
     w = stream.writeStream.foreachBatch(upd).trigger(availableNow=True)

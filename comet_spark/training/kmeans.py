@@ -380,9 +380,14 @@ def assign_clusters_col(
     @F.pandas_udf("bigint")
     def _cid(v: pd.Series) -> pd.Series:
         cents = bc.value
-        if len(v) == 0:
-            return pd.Series([], dtype="int64")
-        mat = np.array(v.tolist(), dtype=np.float64)
-        return pd.Series(np.argmin(_dist_block(mat, cents, metric), axis=1))
+        out = pd.Series([None] * len(v), dtype="Int64")
+        # NULL vectors (mergeSchema'd stores mix vector-less segments in)
+        # keep a NULL cluster_id instead of crashing the Arrow worker —
+        # the same posture as knn's isNotNull guard
+        mask = v.notna()
+        if mask.any():
+            mat = np.array(v[mask].tolist(), dtype=np.float64)
+            out[mask] = np.argmin(_dist_block(mat, cents, metric), axis=1)
+        return out
 
     return df.withColumn("cluster_id", _cid(to_double_array(vec_col)))

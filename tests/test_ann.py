@@ -320,3 +320,34 @@ def test_compact_recluster_with_ivfpq_reencodes(spark, tmp_path, emb):
     fresh = ix.search(ix.encode(emb), qvec, k=5, nprobe=4).collect()
     assert [tuple(r) for r in via_store] == [tuple(r) for r in fresh]
     merged.unpersist()
+
+
+def test_inplace_hooks_null_vector_safe(spark, emb):
+    """A merged store view can surface NULL vectors (mergeSchema mixes
+    vector-less segments in); the compaction hooks must yield NULL
+    layout columns for those rows, not crash the Arrow worker."""
+    from comet_spark.operators.ann import IVFIndex, IVFPQIndex, PQIndex
+
+    some = emb.limit(50)
+    with_null = some.unionByName(
+        spark.createDataFrame(
+            [(999999, None)], "id bigint, vector array<double>"
+        )
+    )
+    ivf = IVFIndex.train(some, 4, max_iter=3)
+    got = {r["id"]: r["cluster_id"] for r in ivf.assign_inplace(with_null).collect()}
+    assert got[999999] is None and sum(v is not None for v in got.values()) == 50
+
+    pq = PQIndex.train(some, m=4, nbits=4, max_iter=3)
+    pg = {r["id"]: r["codes"] for r in pq.encode_inplace(with_null).collect()}
+    assert pg[999999] is None and all(
+        pg[i] is not None for i in pg if i != 999999
+    )
+
+    ivfpq = IVFPQIndex.train(some, nlist=4, m=4, nbits=4, max_iter=3)
+    ig = {
+        r["id"]: (r["cluster_id"], r["codes"])
+        for r in ivfpq.encode_inplace(with_null).collect()
+    }
+    assert ig[999999] == (None, None)
+    assert all(c is not None and k is not None for i, (k, c) in ig.items() if i != 999999)

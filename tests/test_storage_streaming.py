@@ -426,11 +426,15 @@ def test_store_pre_sequencing_delete_files_readable(spark, tmp_path):
 
 def test_store_legacy_delete_migrated_allows_reappend(spark, tmp_path):
     """The J6 contract ('a later re-append of the same id is visible')
-    must hold for MIGRATED stores too: a pre-sequencing delete file is
-    stamped on first read with the then-current next-segment watermark,
-    so it keeps hiding every segment present at migration time but a
-    NEW append resurrects the id (old +inf mapping made such deletes
-    permanent)."""
+    must hold for MIGRATED stores too: the WRITE path stamps
+    pre-sequencing delete files with the then-current next-segment
+    watermark before its own segment lands, so the old delete keeps
+    hiding every pre-existing segment but the new append resurrects the
+    id (the old +inf mapping made such deletes permanent). read() stays
+    strictly read-only — a reader without write access sees the legacy
+    +inf fallback, which only ever matters once a new append exists."""
+    import pyspark.sql.functions as F
+
     from comet_spark.storage.store import DocumentStore
 
     store = DocumentStore(spark, str(tmp_path / "migstore"))
@@ -438,15 +442,20 @@ def test_store_legacy_delete_migrated_allows_reappend(spark, tmp_path):
     spark.createDataFrame([(2,)], "id bigint").write.mode("append").parquet(
         store.deletes_path
     )
-    # first read migrates (and still hides id 2 in the existing segment)
+    # reads do NOT migrate (read-only path): legacy file hides id 2
     assert {r["id"] for r in store.read().collect()} == {1}
-    # a FRESH instance sees the migrated file — no re-migration needed
+    raw = spark.read.option("mergeSchema", "true").parquet(store.deletes_path)
+    assert "upto" not in raw.columns  # untouched by the read
+
+    # re-append after the old delete: append migrates first, id comes back
     again = DocumentStore(spark, str(tmp_path / "migstore"))
-    assert {r["id"] for r in again.read().collect()} == {1}
-    # re-append after the old delete: the id must come back
     again.append(spark.createDataFrame([(2, "b2")], "id bigint, text string"))
     got = {r["id"]: r["text"] for r in again.read().collect()}
     assert got == {1: "a", 2: "b2"}
+    # the delete file now carries a finite watermark (migrated once)
+    mig = spark.read.parquet(store.deletes_path)
+    assert "upto" in mig.columns
+    assert mig.filter(F.col("upto").isNull()).count() == 0
 
 
 def test_store_append_seq_col_deterministic(spark, tmp_path):

@@ -330,6 +330,14 @@ def test_bm25_cjk_corpus_routes_both_sides_through_uax29(spark):
         spark.createDataFrame([(9, "ascii only")], "id bigint, text string")
     )
 
+    # NFKC-source forms must ALSO trip the probe: halfwidth Katakana and
+    # enclosed-CJK compatibility chars normalize INTO ideographic chars,
+    # so missing them re-creates the zero-hit bug on the native path
+    for s in ("ﾃｽﾄ halfwidth kana", "company ㈱ suffix"):
+        assert has_ideographic(
+            spark.createDataFrame([(0, s)], "id bigint, text string")
+        ), s
+
     ix = BM25(docs)
     hits = ix.score("東京", k=3).collect()
     assert hits and hits[0]["id"] == 0  # CJK query matches the CJK doc
