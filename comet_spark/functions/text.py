@@ -169,8 +169,15 @@ def has_non_ascii(df, text_col: str = "text") -> bool:
 # only costs the Arrow tokenize path (correct, slower); a false
 # negative silently builds an index whose CJK tokens never match any
 # query.
+# Ranges: CJK radicals/Kana/Han (minus Hangul Compatibility Jamo
+# U+3130-318F — jamo are ALetter under UAX#29, natively segmented
+# identically, and 'ㅋㅋ'-style chat text would otherwise pay the Arrow
+# path for nothing), compatibility ideographs, halfwidth Kana, Enclosed
+# Ideographic Supplement (🈚 U+1F21A NFKC→ 無), and the supplementary
+# planes through CJK Ext G/H.
 IDEOGRAPHIC_RE = (
-    "[\\u2E80-\\u9FFF\\uF900-\\uFAFF\\uFF65-\\uFF9F\\x{20000}-\\x{2FA1F}]"
+    "[\\u2E80-\\u312F\\u3190-\\u9FFF\\uF900-\\uFAFF\\uFF65-\\uFF9F"
+    "\\x{1F200}-\\x{1F2FF}\\x{20000}-\\x{3FFFD}]"
 )
 
 

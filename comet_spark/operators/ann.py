@@ -324,7 +324,10 @@ class PQIndex:
                 codes = _pq_encode_mat(books, mat, m, dsub)
                 yield pd.DataFrame({"id": pdf["id"], "codes": list(codes)})
 
-        e = docs.select(F.col(id_col).cast("bigint").alias("id"), to_double_array(vec_col).alias("v"))
+        e = docs.select(
+            F.col(id_col).cast("bigint").alias("id"),
+            to_double_array(vec_col).alias("v"),
+        ).filter(F.col("v").isNotNull())  # mergeSchema'd stores mix NULLs in
         return e.mapInPandas(enc, "id bigint, codes array<smallint>")
 
     def encode_inplace(self, docs: DataFrame, *, vec_col: str = "vector") -> DataFrame:

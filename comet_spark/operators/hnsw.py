@@ -488,6 +488,7 @@ class DistributedHNSW:
         self, new_docs: DataFrame, *, id_col: str = "id", vec_col: str = "vector",
         ef_construction: int = 100, seed: int = 43,
         num_partitions: int | None = None, cache: bool = True,
+        unpersist_old: bool = False,
     ) -> "DistributedHNSW":
         """Incremental layout maintenance for a corpus growing via append
         — the graph twin of ``IVFIndex.refresh`` (the reference simply
@@ -502,7 +503,9 @@ class DistributedHNSW:
         rebuild via :meth:`build` at compaction when the sub-graph count
         drifts well past the original partitioning, exactly when
         ``DocumentStore.compact(recluster=...)`` refreshes the IVF
-        layout."""
+        layout. Ingest loops that drop the old handle after each call
+        should pass ``unpersist_old=True`` to release the superseded
+        cache (see the inline note for why it is not the default)."""
         if self._next_part is None:  # load()ed table: one tiny max() job
             base = self.graphs.agg(F.max("part").alias("p")).first()["p"]
             self._next_part = int(base) + 1 if base is not None else 0
@@ -519,19 +522,22 @@ class DistributedHNSW:
         merged = self.graphs.unionByName(shifted)
         if cache:
             merged = merged.cache()
-            # materialize THROUGH the old cache, then release it: an
-            # ingest loop calling add_batch per batch would otherwise pin
-            # every intermediate union (O(N^2) blob copies) in executor
-            # storage. Unpersisting self.graphs after merged is
-            # materialized keeps this instance usable (recompute falls
-            # back to the merged child's data only for new queries on the
-            # superseded handle).
-            merged.count()
-            try:
-                if self.graphs.storageLevel.useMemory or self.graphs.storageLevel.useDisk:
-                    self.graphs.unpersist()
-            except Exception:
-                pass  # best-effort: a non-cached parent has nothing to drop
+            merged.count()  # materialize THROUGH the still-cached parent
+            if unpersist_old:
+                # opt-in for ingest loops that DROP the old handle after
+                # each call — without it, N appends pin every
+                # intermediate union (O(N^2) blob copies) in executor
+                # storage. NOT the default because unpersisting the
+                # receiver's cache silently degrades the superseded
+                # handle: its next use recomputes sub-graphs from the
+                # SOURCE, which is both expensive and wrong if the
+                # source was compacted/rewritten since build.
+                try:
+                    lvl = self.graphs.storageLevel
+                    if lvl.useMemory or lvl.useDisk:
+                        self.graphs.unpersist()
+                except Exception:
+                    pass  # best-effort: nothing cached to drop
         return DistributedHNSW(
             merged, m=self.m, metric=self.metric, next_part=offset + p
         )

@@ -217,10 +217,13 @@ class DocumentStore:
         everything it hid), but — unlike +inf — the append about to land
         (segment == that watermark) is visible again, honoring the J6
         contract ('a later re-append of the same id is visible') on
-        migrated stores. Same write-aside swap as compact(); crash
-        mid-swap leaves either the old or the migrated directory
-        intact. One mergeSchema read + one tiny legacy probe job (the
-        deletes table is id-sized), no per-file footer loop."""
+        migrated stores. Append-then-remove, never a directory swap:
+        stamped copies land as NEW files before any legacy file is
+        deleted, so lock-free concurrent readers always see every
+        delete (max-watermark merge makes the overlap idempotent) and a
+        crash at any point is safe. One mergeSchema read + one tiny
+        file-attribution job (the deletes table is id-sized), no
+        per-file footer loop."""
         if self._legacy_deletes_checked:
             return
         files = [
@@ -231,33 +234,50 @@ class DocumentStore:
         if not files:
             self._legacy_deletes_checked = True
             return
+        import posixpath
+
         df = self.spark.read.option("mergeSchema", "true").parquet(self.deletes_path)
-        legacy = "upto" not in df.columns or (
-            df.filter(F.col("upto").isNull()).limit(1).count() > 0
-        )
-        if not legacy:
-            self._legacy_deletes_checked = True
-            return
-        upto = self._next_segment()
-        stamp = F.lit(upto).cast("bigint")
+        tagged = df.withColumn("__f", F.input_file_name())
         if "upto" in df.columns:
-            stamped = df.withColumn(
-                "upto", F.coalesce(F.col("upto").cast("bigint"), stamp)
-            )
+            legacy_rows = tagged.filter(F.col("upto").isNull())
+            if legacy_rows.limit(1).count() == 0:
+                self._legacy_deletes_checked = True  # modern store
+                return
+            # keep = files that actually carry stamped rows. Removals are
+            # computed as listing-minus-keep rather than attributing
+            # legacy files by their rows: EMPTY parquet files produce no
+            # rows for input_file_name to tag, and leaving an empty
+            # old-schema file behind would re-trigger this migration on
+            # every fresh handle forever (row-less files carry no deletes,
+            # so dropping even an empty modern file loses nothing).
+            keep = {
+                posixpath.basename(r["__f"])
+                for r in tagged.filter(F.col("upto").isNotNull())
+                .select("__f").distinct().collect()
+            }
         else:
-            stamped = df.withColumn("upto", stamp)
-        tmp = self.deletes_path + ".migrating"
-        old = self.deletes_path + ".old"
-        self._fs.delete(tmp)
-        self._fs.delete(old)
-        stamped.write.mode("overwrite").parquet(tmp)  # materialize first
-        if not self._fs.rename(self.deletes_path, old):
-            self._fs.delete(tmp)
-            raise OSError(f"migrate-deletes: could not move {self.deletes_path}")
-        if not self._fs.rename(tmp, self.deletes_path):
-            self._fs.rename(old, self.deletes_path)  # roll back
-            raise OSError(f"migrate-deletes: could not install {tmp}")
-        self._fs.delete(old)
+            legacy_rows = tagged
+            keep = set()
+        # APPEND the stamped copies, THEN remove the superseded files —
+        # at no point does the deletes directory vanish or lose a delete
+        # (the two-rename swap compact() uses for the data dir would
+        # expose a no-deletes window to lock-free concurrent readers
+        # here, and a crash mid-swap would silently resurrect every
+        # deleted row). While both copies coexist, read() takes
+        # max(upto) per id = +inf — exactly the pre-migration semantics.
+        # A crash between append and the deletions leaves legacy files
+        # behind; the next write-path migration re-stamps them
+        # (duplicate delete rows are idempotent under the max-watermark
+        # merge).
+        stamp = F.lit(self._next_segment()).cast("bigint")
+        stamped = legacy_rows.select(
+            F.col(self.id_col), stamp.alias("upto")
+        ).localCheckpoint()  # sever lineage from the dir we append into
+        # (the established recacheByPath guard — see neardup_ingest)
+        stamped.write.mode("append").parquet(self.deletes_path)
+        for name in files:
+            if name not in keep:
+                self._fs.delete(f"{self.deletes_path}/{name}")
         self._legacy_deletes_checked = True
 
     def _deletes(self) -> DataFrame | None:

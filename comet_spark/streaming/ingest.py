@@ -444,7 +444,24 @@ def decontam_ingest_stream(
     w = stream.writeStream.foreachBatch(upd).trigger(availableNow=True)
     if checkpoint is not None:
         w = w.option("checkpointLocation", checkpoint)
-    return w.start()
+    q = w.start()
+
+    # release the cached eval table when the query terminates (availableNow
+    # drains and stops; long-running queries free it at stop()) — an app
+    # launching one stream per suite must not accumulate pinned caches
+    import threading
+
+    def _release() -> None:
+        try:
+            q.awaitTermination()
+        finally:
+            try:
+                ev.unpersist()
+            except Exception:
+                pass
+
+    threading.Thread(target=_release, daemon=True).start()
+    return q
 
 
 def neardup_ingest_stream(

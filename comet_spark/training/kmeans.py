@@ -355,7 +355,10 @@ def assign_clusters(
                 {"id": pdf["id"], "v": pdf["v"], "cluster_id": a.astype(np.int64)}
             )
 
-    e = df.select(F.col(id_col).alias("id"), to_double_array(vec_col).alias("v"))
+    e = df.select(
+        F.col(id_col).alias("id"), to_double_array(vec_col).alias("v")
+    ).filter(F.col("v").isNotNull())  # NULL vectors (mergeSchema) are dropped,
+    # not crashed on — the column-preserving twin keeps them with NULL ids
     out = e.mapInPandas(assign, "id bigint, v array<double>, cluster_id bigint")
     return out.select(
         F.col("id").alias(id_col), F.col("v").alias(vec_col), "cluster_id"
