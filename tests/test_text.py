@@ -333,10 +333,15 @@ def test_bm25_cjk_corpus_routes_both_sides_through_uax29(spark):
     # NFKC-source forms must ALSO trip the probe: halfwidth Katakana and
     # enclosed-CJK compatibility chars normalize INTO ideographic chars,
     # so missing them re-creates the zero-hit bug on the native path
-    for s in ("ﾃｽﾄ halfwidth kana", "company ㈱ suffix"):
+    for s in ("ﾃｽﾄ halfwidth kana", "company ㈱ suffix", "free \U0001F21A tax"):
         assert has_ideographic(
             spark.createDataFrame([(0, s)], "id bigint, text string")
         ), s
+    # Hangul Compatibility Jamo are ALetter (natively segmented the same
+    # way) — Korean chat text must NOT pay the Arrow path
+    assert not has_ideographic(
+        spark.createDataFrame([(0, "ㅋㅋ so funny")], "id bigint, text string")
+    )
 
     ix = BM25(docs)
     hits = ix.score("東京", k=3).collect()
