@@ -4637,6 +4637,36 @@ FROM documents WHERE doc_id % 3 = 0
 )
 
 
+RESIZE_W, RESIZE_H = 8, 6
+
+
+def _image_resize_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL decode → nearest-neighbor resize → PPM re-encode → re-decode
+    → pixel checksum (multimodal.image_resize + image_pixel_sum). The
+    sources are constant-color, so the resized pixel sum is EXACTLY
+    (r+g+b)·out_w·out_h — a closed form of the id that fails if header
+    parsing, the resample index map, stride/padding, channel order, or
+    the re-encode were wrong anywhere in the chain."""
+    from comet_spark.multimodal import image_pixel_sum, image_resize
+
+    resized = image_resize(
+        _media_real(spark, sf_dir), out_w=RESIZE_W, out_h=RESIZE_H
+    )
+    return image_pixel_sum(resized)
+
+
+_register(
+    "image_resize_audit",
+    _image_resize_audit,
+    f"""
+SELECT doc_id AS media_id, {RESIZE_W} AS width, {RESIZE_H} AS height,
+       ((doc_id % 256) + ((7 * doc_id) % 256) + ((13 * doc_id) % 256))
+         * {RESIZE_W} * {RESIZE_H} AS pix_sum
+FROM documents WHERE doc_id % 3 = 0
+""",
+)
+
+
 def _audio_real_durations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL WAV parse: duration from the data chunk's actual sample count
     (multimodal.decode_wav), closed-form oracle from the id."""

@@ -305,6 +305,86 @@ def image_features(
     return imgs.mapInPandas(extract, "media_id bigint, features array<double>")
 
 
+def image_resize(
+    media: DataFrame, *, out_w: int, out_h: int, decode_mode: str = "real"
+) -> DataFrame:
+    """Decode + nearest-neighbor resize images → (media_id, width,
+    height, payload BINARY) with the resized image re-encoded as PPM.
+
+    The resample is the standard center mapping src_i = floor((dst_i +
+    0.5) · src/dst) — pure integer-deterministic numpy, so every output
+    byte is a closed form of the input bytes (testable without any
+    imaging library). Only image rows enter the Python stage
+    (media_type pruning BEFORE the Arrow batch, like image_features);
+    real decode covers the PPM/BMP formats this environment can parse —
+    ``decode_mode='stub'`` is rejected because resizing fake bytes has
+    no meaning (unlike features, where stubs exercise the plumbing).
+    """
+    if decode_mode != "real":
+        raise NotImplementedError(
+            "image_resize operates on real pixels; only decode_mode='real' "
+            "(PPM/BMP) is supported in this environment"
+        )
+    if out_w <= 0 or out_h <= 0:
+        raise ValueError(f"target dims must be positive, got {out_w}x{out_h}")
+
+    def rz(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, ws, hs, payloads = [], [], [], []
+            for mid, data in zip(pdf["media_id"], pdf["payload"]):
+                img = decode_image(bytes(data))
+                h, w = img.shape[:2]
+                yi = np.minimum(
+                    ((np.arange(out_h) + 0.5) * h / out_h).astype(np.int64), h - 1
+                )
+                xi = np.minimum(
+                    ((np.arange(out_w) + 0.5) * w / out_w).astype(np.int64), w - 1
+                )
+                out = img[yi][:, xi]
+                ids.append(mid)
+                ws.append(out_w)
+                hs.append(out_h)
+                payloads.append(encode_ppm(out))
+            yield pd.DataFrame(
+                {"media_id": ids, "width": ws, "height": hs, "payload": payloads}
+            )
+
+    imgs = media.filter(F.col("media_type") == "image").select("media_id", "payload")
+    return imgs.mapInPandas(
+        rz, "media_id bigint, width int, height int, payload binary"
+    )
+
+
+def image_pixel_sum(imgs: DataFrame) -> DataFrame:
+    """Audit kernel: re-decode payloads and sum every pixel byte →
+    (media_id, width, height, pix_sum). The checksum-style end of an
+    image pipeline — on synthetic constant-color sources the sum is a
+    closed form of the id, so a SQL oracle can verify the whole
+    decode→resize→encode→decode chain arithmetically."""
+
+    def px(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            sums = []
+            ws, hs = [], []
+            for data in pdf["payload"]:
+                img = decode_image(bytes(data))
+                hs.append(img.shape[0])
+                ws.append(img.shape[1])
+                sums.append(int(img.astype(np.int64).sum()))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": ws,
+                    "height": hs,
+                    "pix_sum": sums,
+                }
+            )
+
+    return imgs.select("media_id", "payload").mapInPandas(
+        px, "media_id bigint, width int, height int, pix_sum bigint"
+    )
+
+
 def frame_sample(
     media: DataFrame, *, every_n: int = 30, decode_mode: str = "stub"
 ) -> DataFrame:

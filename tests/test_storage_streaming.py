@@ -803,3 +803,42 @@ def test_decontam_ingest_stream_matches_batch(spark, tmp_path):
         r["doc_id"] for r in decontam_ingest(corpus, ev_path, n=3).collect()
     )
     assert streamed == batched == [2, 4]
+
+
+def test_image_resize_nearest_neighbor_semantics(spark):
+    """Hand-checkable resample: a 4x2 image with distinct pixel values
+    downsized to 2x1 must pick the center-mapped pixels (floor((i+0.5)*
+    src/dst)); upscale repeats source pixels; stub mode is rejected."""
+    import numpy as np
+
+    from comet_spark.multimodal import (
+        decode_image,
+        encode_ppm,
+        image_resize,
+    )
+
+    # pixels: value = 10*x + y (distinct per position), shape (h=2, w=4)
+    img = np.zeros((2, 4, 3), dtype=np.uint8)
+    for y in range(2):
+        for x in range(4):
+            img[y, x] = 10 * x + y
+    media = spark.createDataFrame(
+        [(1, encode_ppm(img), "image"), (2, b"junk", "audio")],
+        "media_id bigint, payload binary, media_type string",
+    )
+
+    down = image_resize(media, out_w=2, out_h=1).collect()
+    assert len(down) == 1  # audio row pruned before Python
+    out = decode_image(bytes(down[0]["payload"]))
+    assert out.shape == (1, 2, 3)
+    # x indices: floor((0.5)*4/2)=1, floor((1.5)*4/2)=3; y: floor(0.5*2/1)=1
+    assert out[0, 0, 0] == 10 * 1 + 1 and out[0, 1, 0] == 10 * 3 + 1
+
+    up = decode_image(bytes(image_resize(media, out_w=8, out_h=2).collect()[0]["payload"]))
+    assert up.shape == (2, 8, 3)
+    assert (up[:, 0] == img[:, 0]).all() and (up[:, 7] == img[:, 3]).all()
+
+    with pytest.raises(NotImplementedError, match="real"):
+        image_resize(media, out_w=2, out_h=2, decode_mode="stub")
+    with pytest.raises(ValueError, match="positive"):
+        image_resize(media, out_w=0, out_h=2)
