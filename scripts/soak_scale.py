@@ -52,6 +52,12 @@ QUERIES = [
     "pii_redaction",         # pure projection: should track row count ~10x
     "hybrid_adc_rrf",        # prefilter -> ADC -> BM25 -> RRF chain
     "bm25_batch50",          # 50-query batch over 10x postings
+    # r05 round additions
+    "lsh_multiprobe_topk",   # multi-probe: same one-scan plan as lsh
+    "hybrid_hnsw_rrf",       # incl. the 10x distributed graph build
+    "mixture_sample_lang",   # pushdown predicate: ~linear in rows
+    "quality_top_frac",      # one hash shuffle on the group key
+    "image_resize_audit",    # per-row decode/resample kernel: ~linear
 ]
 
 
