@@ -556,6 +556,8 @@ class HybridSearch:
     n_probes_lsh: int = 0
     adc: bool = False
     rescore: int = 0
+    threshold: float | None = None
+    cutoff: int = -1
 
     def with_vector(self, vec: list[float]) -> "HybridSearch":
         self._vec = list(vec)
@@ -582,6 +584,21 @@ class HybridSearch:
     def with_adc(self, rescore: int = 0) -> "HybridSearch":
         self.adc = True
         self.rescore = rescore
+        return self
+
+    def with_threshold(self, t: float) -> "HybridSearch":
+        """Distance threshold, routed to the VECTOR leg exactly like the
+        reference hybrid (``hybrid_search_index.go:529`` applies
+        WithThreshold to the wrapped vector search, not to the fused
+        scores — fused RRF/weighted scores live on a different scale)."""
+        self.threshold = t
+        return self
+
+    def with_cutoff(self, c: int) -> "HybridSearch":
+        """Autocut on the VECTOR leg (reference
+        ``hybrid_search_index.go:520`` passes WithCutoff into the
+        wrapped vector search)."""
+        self.cutoff = c
         return self
 
     def with_text(self, text: str) -> "HybridSearch":
@@ -630,6 +647,7 @@ class HybridSearch:
                 c, _queries=[self._vec], k=self.k, nprobes=self.nprobes,
                 ef_search=self.ef_search, n_probes_lsh=self.n_probes_lsh,
                 adc=self.adc, rescore=self.rescore,
+                threshold=self.threshold, cutoff=self.cutoff,
             )
             if pred is not None:
                 vs = vs.with_prefilter(pred)

@@ -225,3 +225,30 @@ def test_hybrid_multi_probe_passthrough(corpus, qvec, flat_ids):
         .with_fusion("rrf").execute().collect()
     )
     assert [tuple(r) for r in probed] == [tuple(r) for r in flat]
+
+
+def test_hybrid_threshold_and_cutoff_route_to_vector_leg(corpus, qvec):
+    """Reference parity (hybrid_search_index.go:520,529): threshold and
+    autocut apply to the WRAPPED vector search, not the fused scores —
+    a vector-only hybrid must therefore equal the equivalent
+    VectorSearch with the same knobs."""
+    direct = (
+        corpus.vector_search().with_query(qvec).with_k(10)
+        .with_threshold(0.5).execute().collect()
+    )
+    via_hybrid = (
+        corpus.hybrid_search().with_vector(qvec).with_k(10)
+        .with_threshold(0.5).execute().collect()
+    )
+    assert [tuple(r) for r in via_hybrid] == [tuple(r) for r in direct]
+    assert all(r["score"] <= 0.5 for r in via_hybrid)
+
+    cut_direct = (
+        corpus.vector_search().with_query(qvec).with_k(10)
+        .with_cutoff(1).execute().collect()
+    )
+    cut_hybrid = (
+        corpus.hybrid_search().with_vector(qvec).with_k(10)
+        .with_cutoff(1).execute().collect()
+    )
+    assert [tuple(r) for r in cut_hybrid] == [tuple(r) for r in cut_direct]
