@@ -487,6 +487,7 @@ class TextSearch:
     _queries: list[str] = dc_field(default_factory=list)
     k: int = 10
     cutoff: int = -1
+    agg: str = "sum"
     _prefilter: Column | None = None
 
     def with_query(self, *texts: str) -> "TextSearch":
@@ -499,6 +500,13 @@ class TextSearch:
 
     def with_cutoff(self, c: int) -> "TextSearch":
         self.cutoff = c
+        return self
+
+    def with_score_aggregation(self, agg: str) -> "TextSearch":
+        """Cross-query aggregation for text batches (reference text
+        search takes the same WithScoreAggregation as vector,
+        ``index_search.go:141-279``)."""
+        self.agg = agg
         return self
 
     def with_prefilter(self, pred: Column) -> "TextSearch":
@@ -532,7 +540,7 @@ class TextSearch:
                 F.col("score").desc(), F.col("id").asc()
             )
         else:
-            out = knn_aggregate(per_query, k=self.k, agg="sum", ascending=False)
+            out = knn_aggregate(per_query, k=self.k, agg=self.agg, ascending=False)
         if self.cutoff != -1:
             out = autocut(out, cutoff=self.cutoff, ascending=False)
         return out
@@ -546,10 +554,10 @@ class HybridSearch:
     corpus: Corpus
     k: int = 10
     _vec: list[float] | None = None
-    _text: str | None = None
+    _texts: list[str] = dc_field(default_factory=list)
     _filters: list[Filter] = dc_field(default_factory=list)
     _groups: Where | None = None
-    fusion_kind: str = "weighted_sum"
+    fusion_kind: Any = "weighted_sum"
     fusion_args: dict[str, Any] = dc_field(default_factory=dict)
     nprobes: int = 0
     ef_search: int = 0
@@ -558,6 +566,7 @@ class HybridSearch:
     rescore: int = 0
     threshold: float | None = None
     cutoff: int = -1
+    agg: str = "sum"
 
     def with_vector(self, vec: list[float]) -> "HybridSearch":
         self._vec = list(vec)
@@ -601,8 +610,19 @@ class HybridSearch:
         self.cutoff = c
         return self
 
-    def with_text(self, text: str) -> "HybridSearch":
-        self._text = text
+    def with_text(self, *texts: str) -> "HybridSearch":
+        """Text leg; accepts a BATCH of query strings like the reference
+        (``hybrid_search_index.go:330-331`` WithText(queries ...string))
+        — multiple texts score in one batched BM25 job and aggregate
+        per ``with_score_aggregation``."""
+        self._texts.extend(texts)
+        return self
+
+    def with_score_aggregation(self, agg: str) -> "HybridSearch":
+        """Cross-query aggregation, routed to BOTH legs (the reference
+        passes WithScoreAggregation into the wrapped vector AND text
+        searches, ``hybrid_search_index.go:519,555``)."""
+        self.agg = agg
         return self
 
     def with_metadata(self, *filters: Filter) -> "HybridSearch":
@@ -617,8 +637,12 @@ class HybridSearch:
         self.k = k
         return self
 
-    def with_fusion(self, kind: str, **kwargs: Any) -> "HybridSearch":
-        if kind not in _FUSIONS:
+    def with_fusion(self, kind, **kwargs: Any) -> "HybridSearch":
+        """Fusion by registered kind, or a CUSTOM callable
+        ``fn(vec_df, txt_df, k=..., **kwargs) -> DataFrame`` — the K2
+        plugin surface (reference WithFusion accepts any strategy
+        implementing Combine, ``hybrid_search_index.go:358-361``)."""
+        if not callable(kind) and kind not in _FUSIONS:
             raise ValueError(f"unknown fusion {kind!r}; one of {sorted(_FUSIONS)}")
         self.fusion_kind = kind
         self.fusion_args = kwargs
@@ -647,19 +671,26 @@ class HybridSearch:
                 c, _queries=[self._vec], k=self.k, nprobes=self.nprobes,
                 ef_search=self.ef_search, n_probes_lsh=self.n_probes_lsh,
                 adc=self.adc, rescore=self.rescore,
-                threshold=self.threshold, cutoff=self.cutoff,
+                threshold=self.threshold, cutoff=self.cutoff, agg=self.agg,
             )
             if pred is not None:
                 vs = vs.with_prefilter(pred)
             vec_res = vs.execute()
-        if self._text is not None:
-            ts = TextSearch(c, _queries=[self._text], k=self.k)
+        if self._texts:
+            ts = TextSearch(
+                c, _queries=list(self._texts), k=self.k, cutoff=self.cutoff,
+                agg=self.agg,
+            )
             if pred is not None:
                 ts = ts.with_prefilter(pred)
             txt_res = ts.execute()
 
         if vec_res is not None and txt_res is not None:
-            fuse = _FUSIONS[self.fusion_kind]
+            fuse = (
+                self.fusion_kind
+                if callable(self.fusion_kind)
+                else _FUSIONS[self.fusion_kind]
+            )
             return fuse(vec_res, txt_res, k=self.k, **self.fusion_args)
         if vec_res is not None:
             return vec_res

@@ -252,3 +252,43 @@ def test_hybrid_threshold_and_cutoff_route_to_vector_leg(corpus, qvec):
         .with_cutoff(1).execute().collect()
     )
     assert [tuple(r) for r in cut_hybrid] == [tuple(r) for r in cut_direct]
+
+
+def test_hybrid_multi_text_and_custom_fusion(corpus, qvec, spark):
+    """Reference-interface parity: WithText accepts a query batch
+    (aggregated per with_score_aggregation), and WithFusion accepts a
+    custom strategy callable (the K2 plugin surface)."""
+    import pyspark.sql.functions as F
+
+    docs = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0], "spark joins tables fast"),
+            (2, [0.0, 1.0], "spark shuffles data"),
+            (3, [0.5, 0.5], "unrelated text entirely"),
+        ],
+        "id bigint, vector array<double>, text string",
+    )
+    c = Corpus(docs)
+
+    # multi-text: both queries hit doc 1/2; max-agg keeps the best score
+    multi = (
+        c.hybrid_search().with_text("spark joins", "spark shuffles")
+        .with_score_aggregation("max").with_k(3).execute().collect()
+    )
+    assert {r["id"] for r in multi} >= {1, 2}
+
+    # custom fusion callable: vector score only, text ignored
+    def vec_only(vec_df, txt_df, *, k):
+        return vec_df.orderBy(F.col("score").asc(), F.col("id").asc()).limit(k)
+
+    got = (
+        c.hybrid_search().with_vector([1.0, 0.0]).with_text("spark")
+        .with_fusion(vec_only).with_k(2).execute().collect()
+    )
+    direct = c.vector_search().with_query([1.0, 0.0]).with_k(2).execute().collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in direct]
+
+    import pytest
+
+    with pytest.raises(ValueError, match="unknown fusion"):
+        c.hybrid_search().with_fusion("borda")
