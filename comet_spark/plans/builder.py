@@ -485,6 +485,7 @@ class VectorSearch:
 class TextSearch:
     corpus: Corpus
     _queries: list[str] = dc_field(default_factory=list)
+    _node_ids: list[int] = dc_field(default_factory=list)
     k: int = 10
     cutoff: int = -1
     agg: str = "sum"
@@ -492,6 +493,16 @@ class TextSearch:
 
     def with_query(self, *texts: str) -> "TextSearch":
         self._queries.extend(texts)
+        return self
+
+    def with_node(self, *ids: int) -> "TextSearch":
+        """Text more-like-this: the STORED documents' text becomes the
+        queries (the reference reconstructs each query from the doc's
+        indexed tokens, ``bm25_index_search.go:230-260``; here the raw
+        text column is at hand and the identical tokenize pipeline
+        applies to it at scoring). Unknown ids fail loudly, matching
+        the reference's not-found error."""
+        self._node_ids.extend(int(i) for i in ids)
         return self
 
     def with_k(self, k: int) -> "TextSearch":
@@ -517,8 +528,20 @@ class TextSearch:
         from comet_spark.operators.bm25 import tokenize_py
 
         c = self.corpus
-        if not self._queries:
-            raise ValueError("text search needs with_query(...)")
+        queries = list(self._queries)
+        if self._node_ids:
+            found = {
+                r["id"]: r["t"]
+                for r in c.docs.filter(F.col(c.id_col).isin(self._node_ids))
+                .select(F.col(c.id_col).alias("id"), F.col(c.text_col).alias("t"))
+                .collect()
+            }
+            missing = [i for i in self._node_ids if i not in found]
+            if missing:
+                raise ValueError(f"node id(s) {missing} not found in corpus")
+            queries.extend(found[i] for i in self._node_ids)
+        if not queries:
+            raise ValueError("text search needs with_query(...) or with_node(...)")
         ids = None
         if self._prefilter is not None:
             ids = c.docs.filter(self._prefilter).select(F.col(c.id_col).alias("id"))
@@ -527,7 +550,7 @@ class TextSearch:
         # then cross-query sum aggregation descending (D4)
         spark = c.docs.sparkSession
         rows = []
-        for qid, q in enumerate(self._queries):
+        for qid, q in enumerate(queries):
             terms: dict[str, int] = {}
             for t in tokenize_py(q):
                 terms[t] = terms.get(t, 0) + 1
@@ -535,7 +558,7 @@ class TextSearch:
         qterms = spark.createDataFrame(rows, "qid bigint, term string, qtf double")
         per_query = c.bm25().score_batch(qterms, k=self.k, prefilter_ids=ids)
 
-        if len(self._queries) == 1:
+        if len(queries) == 1:
             out = per_query.select("id", "score").orderBy(
                 F.col("score").desc(), F.col("id").asc()
             )

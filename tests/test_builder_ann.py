@@ -292,3 +292,24 @@ def test_hybrid_multi_text_and_custom_fusion(corpus, qvec, spark):
 
     with pytest.raises(ValueError, match="unknown fusion"):
         c.hybrid_search().with_fusion("borda")
+
+
+def test_text_more_like_this_node(spark):
+    """TextSearch.with_node: the stored doc's text becomes the query
+    (reference bm25_index_search.go:230-260) — the node itself scores
+    highest, and unknown ids fail loudly."""
+    docs = spark.createDataFrame(
+        [
+            (1, "spark joins tables quickly today"),
+            (2, "spark joins tables quickly yesterday"),
+            (3, "entirely different content here"),
+        ],
+        "id bigint, text string",
+    )
+    c = Corpus(docs)
+    got = c.text_search().with_node(1).with_k(3).execute().collect()
+    assert got[0]["id"] == 1  # the source doc is its own best match
+    assert {r["id"] for r in got} >= {1, 2}  # near-twin ranks too
+
+    with pytest.raises(ValueError, match="not found"):
+        c.text_search().with_node(99).execute().collect()
