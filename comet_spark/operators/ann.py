@@ -264,7 +264,11 @@ class PQIndex:
         from comet_spark.training.kmeans import kmeans_train_grouped
 
         ksub = 2**nbits
-        e = docs.select(F.col(id_col).alias("id"), to_double_array(vec_col).alias("v"))
+        # NULL vectors (mergeSchema'd store views) dropped at ingestion,
+        # same guard as every scoring path
+        e = docs.select(
+            F.col(id_col).alias("id"), to_double_array(vec_col).alias("v")
+        ).filter(F.col("v").isNotNull())
         dim = len(e.select("v").first()[0])
         if dim % m != 0:
             raise ValueError(f"dim {dim} not divisible by M={m}")

@@ -506,6 +506,12 @@ class DistributedHNSW:
         layout. Ingest loops that drop the old handle after each call
         should pass ``unpersist_old=True`` to release the superseded
         cache (see the inline note for why it is not the default)."""
+        if unpersist_old and not cache:
+            raise ValueError(
+                "unpersist_old=True requires cache=True: without a cached "
+                "union to materialize through, dropping the parent cache "
+                "would force a full sub-graph rebuild on the next use"
+            )
         if self._next_part is None:  # load()ed table: one tiny max() job
             base = self.graphs.agg(F.max("part").alias("p")).first()["p"]
             self._next_part = int(base) + 1 if base is not None else 0

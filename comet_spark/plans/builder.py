@@ -627,9 +627,11 @@ class HybridSearch:
         return self
 
     def with_cutoff(self, c: int) -> "HybridSearch":
-        """Autocut on the VECTOR leg (reference
-        ``hybrid_search_index.go:520`` passes WithCutoff into the
-        wrapped vector search)."""
+        """Autocut on BOTH legs (the reference passes WithCutoff into
+        the wrapped vector AND text searches,
+        ``hybrid_search_index.go:520,556`` — each leg cuts its own
+        monotone score curve before fusion; fused scores are never
+        autocut, they live on a different scale)."""
         self.cutoff = c
         return self
 

@@ -263,8 +263,13 @@ class DocumentStore:
         # (the two-rename swap compact() uses for the data dir would
         # expose a no-deletes window to lock-free concurrent readers
         # here, and a crash mid-swap would silently resurrect every
-        # deleted row). While both copies coexist, read() takes
-        # max(upto) per id = +inf — exactly the pre-migration semantics.
+        # deleted row). A lock-free reader whose in-flight scan raced
+        # the removals can still fail LOUDLY (FileNotFound on the
+        # vanished file — same exposure as compact() rewriting data
+        # files under a reader) and retries correctly; what can never
+        # happen is a silent wrong answer. While both copies coexist,
+        # read() takes max(upto) per id = +inf — exactly the
+        # pre-migration semantics.
         # A crash between append and the deletions leaves legacy files
         # behind; the next write-path migration re-stamps them
         # (duplicate delete rows are idempotent under the max-watermark

@@ -453,7 +453,12 @@ def decontam_ingest_stream(
 
     def _release() -> None:
         try:
+            # a failing query raises StreamingQueryException here — the
+            # caller surfaces that through their own awaitTermination;
+            # this watcher only exists to free the cache afterwards
             q.awaitTermination()
+        except Exception:
+            pass
         finally:
             try:
                 ev.unpersist()

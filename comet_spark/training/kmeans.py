@@ -101,7 +101,14 @@ def kmeans_train(
 ) -> np.ndarray:
     """Train and return the k×d centroid matrix (float64)."""
     spark = df.sparkSession
-    e = df.select(F.col(id_col).alias("id"), to_double_array(vec_col).alias("v")).cache()
+    # NULL vectors (mergeSchema'd store views) are dropped at ingestion —
+    # the same guard every scoring path applies; training on NULL crashes
+    # the kernel and a NULL row carries no geometry to learn from
+    e = (
+        df.select(F.col(id_col).alias("id"), to_double_array(vec_col).alias("v"))
+        .filter(F.col("v").isNotNull())
+        .cache()
+    )
     n = e.count()
     if n == 0 or k <= 0:
         raise ValueError("kmeans needs rows and k > 0")
@@ -224,7 +231,7 @@ def kmeans_train_grouped(
     ~max_iter jobs instead of ~M·max_iter. Returns {group: k×d centroids}.
     """
     spark = df.sparkSession
-    e = df.select(
+    e = df.filter(F.col(vec_col).isNotNull()).select(
         F.col(group_col).cast("bigint").alias("g"),
         F.col(id_col).alias("id"),
         to_double_array(vec_col).alias("v"),
