@@ -143,3 +143,53 @@ def test_cms_matches_python_model(spark, values, probe):
     got = cms_estimate(counters, probes, d=2, w=16).first()["est_count"]
     assert got == cms_model(values, probe, 2, 16)
     assert got >= values.count(probe)  # one-sided error
+
+
+# -- mixture_rates (pure Python: cheap to fuzz hard) --------------------------
+
+mix_counts = st.dictionaries(
+    st.text(alphabet="abcdefgh", min_size=1, max_size=3),
+    st.integers(min_value=1, max_value=100_000),
+    min_size=1,
+    max_size=8,
+)
+
+
+@given(counts=mix_counts, tau=st.floats(0.0, 1.0), target_frac=st.floats(0.05, 1.5))
+@settings(max_examples=300, deadline=None)
+def test_mixture_rates_invariants(counts, tau, target_frac):
+    """Pure-math invariants of the temperature smoothing:
+    rates stay in [0, denom]; the EXPECTED kept total (sum of n_s*rate/denom)
+    never exceeds the target beyond the per-source cap effect and is within
+    len(sources) floor-roundings below min(target, achievable); tau=1 gives
+    every source the same rate (natural proportions); insertion order of the
+    counts dict never changes a rate."""
+    from comet_spark.operators.sampling import mixture_rates
+
+    denom = 1_000_000
+    total = sum(counts.values())
+    target = max(1, int(total * target_frac))
+    rates = mixture_rates(counts, temperature=tau, target_total=target, denom=denom)
+
+    assert set(rates) == set(counts)
+    assert all(0 <= r <= denom for r in rates.values())
+
+    expected_keep = sum(counts[s] * rates[s] / denom for s in counts)
+    # never over-sample the target by more than rounding slack; capped
+    # sources can only LOWER the expected total
+    assert expected_keep <= target + len(counts)
+    # floor-rounding loses < 1/denom of each source's mass
+    achievable = sum(
+        min(counts[s], target * (counts[s] ** tau) / sum(c ** tau for c in counts.values()))
+        for s in counts
+    )
+    assert expected_keep >= achievable - len(counts) * (1 + total / denom)
+
+    if tau == 1.0:
+        assert len({r for r in rates.values()}) == 1  # natural proportions
+
+    reordered = mixture_rates(
+        dict(reversed(list(counts.items()))), temperature=tau,
+        target_total=target, denom=denom,
+    )
+    assert reordered == rates
