@@ -186,7 +186,12 @@ def test_mixture_rates_invariants(counts, tau, target_frac):
     assert expected_keep >= achievable - len(counts) * (1 + total / denom)
 
     if tau == 1.0:
-        assert len({r for r in rates.values()}) == 1  # natural proportions
+        # natural proportions: every source targets the same keep
+        # fraction target/total. Float division makes per-source rates
+        # wobble by one integer step of denom (1 ppm) around it —
+        # e.g. 237*(1/237) = 0.999... floors differently than
+        # 237*(235/237)/235 — so equality holds within that step.
+        assert max(rates.values()) - min(rates.values()) <= 1
 
     reordered = mixture_rates(
         dict(reversed(list(counts.items()))), temperature=tau,
