@@ -390,11 +390,17 @@ class DocumentStore:
             )
             if recluster is not None:
                 # assign_inplace (IVF: cluster_id) or encode_inplace
-                # (PQ: codes; IVFPQ: cluster_id + residual codes) — both
-                # withColumn-replace any stale same-named layout columns
+                # (PQ: codes; IVFPQ: cluster_id + residual codes)
                 hook = getattr(recluster, "assign_inplace", None) or getattr(
                     recluster, "encode_inplace"
                 )
+                # a pre-existing cluster_id is a LAYOUT column owned by
+                # whatever index wrote it at ingest; a hook that does not
+                # regenerate it (a codes-only PQ refresh) must not let the
+                # rewrite co-locate/sort by — and persist — that stale
+                # assignment as if fresh. Drop it first: below,
+                # 'cluster_id' is in the columns iff THIS hook produced it.
+                out = out.drop("cluster_id")
                 out = hook(out, vec_col=recluster_vec_col)
                 if not zorder_by and "cluster_id" in out.columns:
                     # co-locate + sort by the fresh assignment so parquet

@@ -427,10 +427,14 @@ def decontam_ingest_stream(
     text_col: str = "text",
     n: int = 8,
     checkpoint: str | None = None,
+    trigger_available_now: bool = True,
 ) -> StreamingQuery:
     """Streaming wrapper: each micro-batch passes through
     :func:`decontam_ingest` (drop mode) and clean rows append to
-    ``out_path`` — continuously decontaminated ingestion."""
+    ``out_path``. By default (``trigger_available_now=True``, the same
+    knob as :func:`ingest_stream`) the query drains the files present at
+    start and stops — the batch-parity test shape; pass ``False`` for a
+    long-running query that keeps decontaminating files as they arrive."""
 
     # the eval set is static by design: load it ONCE (cached — suites
     # are MBs) and reuse the same DataFrame for every micro-batch
@@ -441,7 +445,9 @@ def decontam_ingest_stream(
             batch, ev, id_col=id_col, text_col=text_col, n=n
         ).write.mode("append").parquet(out_path)
 
-    w = stream.writeStream.foreachBatch(upd).trigger(availableNow=True)
+    w = stream.writeStream.foreachBatch(upd)
+    if trigger_available_now:
+        w = w.trigger(availableNow=True)
     if checkpoint is not None:
         w = w.option("checkpointLocation", checkpoint)
     q = w.start()

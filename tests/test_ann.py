@@ -296,6 +296,29 @@ def test_ivfpq_encode_inplace_matches_encode(spark, emb):
     assert one == multi
 
 
+def test_compact_recluster_codes_only_drops_stale_cluster_id(spark, tmp_path, emb):
+    """compact(recluster=PQIndex) is a codes-only refresh: a cluster_id
+    column written at ingest (by an earlier/unrelated assignment) must
+    NOT survive the rewrite — persisting it would let the rewrite
+    co-locate files by an assignment nobody refreshed, and readers would
+    trust it as current (ADVICE r05). The hook owns the layout columns:
+    after a codes-only compact the view carries fresh codes and no
+    cluster_id at all."""
+    from comet_spark.operators.ann import PQIndex
+    from comet_spark.storage.store import DocumentStore
+
+    some = emb.limit(200).withColumn("cluster_id", F.col("id") % 3)
+    store = DocumentStore(spark, str(tmp_path / "stale_cid"))
+    store.append(some)
+
+    pq = PQIndex.train(store.read(), m=4, nbits=4, max_iter=3)
+    store.compact(recluster=pq)
+    merged = store.read()
+    assert "cluster_id" not in merged.columns
+    fresh = {r["id"]: list(r["codes"]) for r in pq.encode(emb.limit(200)).collect()}
+    assert {r["id"]: list(r["codes"]) for r in merged.collect()} == fresh
+
+
 def test_compact_recluster_with_ivfpq_reencodes(spark, tmp_path, emb):
     """compact(recluster=ivfpq) rewrites BOTH the coarse assignment and
     the residual codes for the merged view; ADC search over the
