@@ -352,3 +352,55 @@ def test_bm25_cjk_corpus_routes_both_sides_through_uax29(spark):
     # and the English doc still scores through the same index
     eng = ix.score("english text", k=3).collect()
     assert eng and eng[0]["id"] == 2
+
+
+def test_bm25_mixed_corpus_routes_per_row(spark):
+    """A MIXED EN+JA corpus must not flip wholesale onto the Python
+    tokenizer (VERDICT r05): only rows that actually carry ideographic
+    text take the Arrow UAX#29 path; every other row — including
+    non-ASCII-but-non-CJK text — tokenizes natively. Correctness bar:
+    BOTH row classes' index tokens match tokenize_py (the query
+    tokenizer) exactly, so any query matches any doc class. Plan bar:
+    the Python stage feeds ONLY from the ideographic-filtered branch."""
+    from collections import Counter
+
+    import pyspark.sql.functions as F
+
+    from comet_spark.operators.bm25 import BM25, tokenize_py
+
+    rows = [
+        (0, "東京タワーに行く today"),     # CJK row (mixed within the row)
+        (1, "plain english filler text"),
+        (2, "crème brûlée ﬁnal recipe"),   # non-ASCII non-CJK + ligature
+        (3, "大阪の天気は良い"),
+        (4, "spark joins are fast fast"),
+    ]
+    docs = spark.createDataFrame(rows, "id bigint, text string")
+    ix = BM25(docs)
+
+    got: dict[int, Counter] = {}
+    for r in ix.postings.collect():
+        got.setdefault(r["id"], Counter())[r["term"]] = r["tf"]
+    want = {i: Counter(tokenize_py(t)) for i, t in rows if tokenize_py(t)}
+    assert got == want
+
+    # queries hit BOTH row classes through one index
+    assert ix.score("東京", k=2).collect()[0]["id"] == 0
+    assert ix.score("brûlée", k=2).collect()[0]["id"] == 2
+
+    # the Arrow TOKENIZE stage consumes the ideographic-filtered branch
+    # only: in the optimized plan the tokenize_unicode eval's child is
+    # the RLIKE route filter. The other union leg tokenizes natively —
+    # its only Python stage is the pre-existing write-time NFKC scalar
+    # pass (this corpus has non-ASCII non-CJK rows), itself gated by the
+    # negated route filter.
+    plan = ix.postings._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("_tokenize_unicode_fn") == 1
+    arrow_at = plan.index("_tokenize_unicode_fn")
+    assert plan.index("Union") < arrow_at  # the eval lives inside one leg
+    # the route filter is the eval's child: next Filter after it is the
+    # un-negated ideographic RLIKE
+    child = plan[arrow_at:].split("Filter", 2)[1]
+    assert "RLIKE" in child and "u2E80" in child and not child.lstrip().startswith("NOT")
+    # the native leg is behind the NEGATED route filter
+    assert "Filter NOT coalesce(RLIKE" in plan
