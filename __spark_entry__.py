@@ -108,17 +108,66 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
-# BM25 'index build' memoized per (session, corpus): several queries share
-# one cached postings table, like the reference's in-memory inverted index
+# BM25 'index build' memoized per (session, corpus). The postings are
+# PERSISTED as a term-bucketed table and every query reads that layout —
+# the serialization sink IS the serving path (like the reference's on-disk
+# inverted index, bm25_index.go:423+): a session that finds the artifact
+# already built skips the corpus tokenize/shuffle entirely, and each
+# query's literal-term isin prunes the scan to its terms' buckets. At
+# 100 TB the build shuffle is the dominant BM25 cost; paying it once per
+# CORPUS (not once per session) is the difference that matters.
 _BM25_CACHE: dict[tuple[str, str], BM25] = {}
+_BM25_BUCKETS = 16
+
+
+def _corpus_sig(sf_dir: str, table: str) -> str:
+    """Cheap change-detector for a testdata table: file names + sizes +
+    mtimes. Guards cross-session reuse of derived artifacts — the driver
+    can regenerate testdata between rounds, and serving a stale index
+    against a fresh corpus must be impossible."""
+    root = f"{sf_dir}/{table}.parquet"
+    parts = []
+    for dirpath, _, files in sorted(os.walk(root)):
+        for f in sorted(files):
+            st = os.stat(os.path.join(dirpath, f))
+            parts.append(f"{os.path.join(dirpath, f)}:{st.st_size}:{st.st_mtime_ns}")
+    return "|".join(parts)
 
 
 def _bm25_index(spark: SparkSession, sf_dir: str) -> BM25:
     key = (_skey(spark), sf_dir)
     if key not in _BM25_CACHE:
-        _BM25_CACHE[key] = BM25(
-            _t(spark, sf_dir, "documents"), id_col="doc_id", text_col="text", cache=True
-        )
+        base = f"{_art_dir(sf_dir)}/bm25"
+        sig = _corpus_sig(sf_dir, "documents")
+        sig_path = f"{base}/corpus_sig.txt"
+        try:
+            with open(sig_path) as fh:
+                fresh = fh.read() == sig
+        except OSError:
+            fresh = False
+        try:
+            if not fresh:
+                raise FileNotFoundError(base)
+            ix = BM25.read(spark, base)
+            ix.stats.first()  # probe: artifact exists and is readable
+        except Exception:
+            bld = BM25(
+                _t(spark, sf_dir, "documents"), id_col="doc_id",
+                text_col="text", cache=True,
+            )
+            bld.write(base, buckets=_BM25_BUCKETS)
+            for t in (bld.postings, bld.doc_len, bld.df, bld.stats):
+                t.unpersist()
+            ix = BM25.read(spark, base)
+            os.makedirs(base, exist_ok=True)
+            with open(sig_path, "w") as fh:
+                fh.write(sig)
+        # the side tables are doc-/vocab-sized — keep them hot; the
+        # postings stay on the bucketed, prunable scan
+        ix.doc_len = ix.doc_len.cache()
+        ix.df = ix.df.cache()
+        ix.stats = ix.stats.cache()
+        _BM25_CACHE[key] = ix
     return _BM25_CACHE[key]
 
 

@@ -148,10 +148,15 @@ class BM25:
         ``bm25_index.go:423+``; here the parquet tables ARE the format).
 
         With ``buckets > 0`` the postings are written ``bucketBy(term)``
-        (as a Spark-managed table, the only way bucketing persists):
-        repeated sessions then score queries without re-shuffling the
-        corpus — the scan of a query's terms touches only their buckets.
-        ``buckets=0`` writes plain parquet (portable, no metastore)."""
+        (bucketing lives in catalog metadata, so they land as a
+        Spark-managed table over ``path``): repeated sessions then score
+        queries without re-shuffling — or re-tokenizing — the corpus,
+        and a query's literal-term ``isin`` filter (see :meth:`score`)
+        prunes the scan to only the terms' buckets. ``buckets=0`` writes
+        plain parquet (portable, no metastore). The bucket count is
+        persisted in ``meta`` so :meth:`read` can re-register the table
+        in a fresh session."""
+        spark = self.postings.sparkSession
         if buckets > 0:
             name = _postings_table_name(path)
             (
@@ -163,16 +168,44 @@ class BM25:
             )
         else:
             self.postings.write.mode("overwrite").parquet(f"{path}/postings")
+        spark.createDataFrame([(int(buckets),)], "buckets int").repartition(
+            1
+        ).write.mode("overwrite").parquet(f"{path}/meta")
         self.doc_len.write.mode("overwrite").parquet(f"{path}/doc_len")
         self.df.write.mode("overwrite").parquet(f"{path}/df")
         self.stats.repartition(1).write.mode("overwrite").parquet(f"{path}/stats")
 
     @classmethod
-    def read(cls, spark, path: str, *, buckets: int = 0) -> "BM25":
-        """Reopen a persisted index — no tokenize/shuffle on the read path."""
+    def read(cls, spark, path: str, *, buckets: int | None = None) -> "BM25":
+        """Reopen a persisted index — no tokenize/shuffle on the read path.
+
+        ``buckets`` defaults to the count recorded at :meth:`write` time
+        (``meta``). A bucketed table written by a PREVIOUS session is
+        re-registered in this session's catalog from its files (the
+        default in-memory catalog forgets tables at session end; the
+        bucket spec must come from metadata, files alone don't carry
+        it) — so the bucketed layout, not a rebuild, is the default
+        query path across sessions."""
         ix = cls.__new__(cls)
+        if buckets is None:
+            try:
+                buckets = int(spark.read.parquet(f"{path}/meta").first()["buckets"])
+            except Exception:  # pre-meta index directories
+                buckets = 0
         if buckets > 0:
-            ix.postings = spark.table(_postings_table_name(path))
+            name = _postings_table_name(path)
+            if not spark.catalog.tableExists(name):
+                schema = spark.read.parquet(f"{path}/postings").schema
+                cols = ", ".join(
+                    f"{f.name} {f.dataType.simpleString()}" for f in schema.fields
+                )
+                loc = f"{path}/postings".replace("'", "''")
+                spark.sql(
+                    f"CREATE TABLE {name} ({cols}) USING parquet "
+                    f"CLUSTERED BY (term) SORTED BY (term) INTO {buckets} BUCKETS "
+                    f"LOCATION '{loc}'"
+                )
+            ix.postings = spark.table(name)
         else:
             ix.postings = spark.read.parquet(f"{path}/postings")
         ix.doc_len = spark.read.parquet(f"{path}/doc_len")
@@ -182,12 +215,23 @@ class BM25:
 
     def _scored(
         self, query_terms: DataFrame, prefilter_ids: DataFrame | None,
-        round_to: int | None,
+        round_to: int | None, literal_terms: list[str] | None = None,
     ) -> DataFrame:
         """The ONE scoring pipeline: (qid, term, qtf) → (qid, id, score)
         pre-top-k. score() and score_batch() share it so the BM25 formula
-        exists exactly once."""
-        matched = self.postings.join(F.broadcast(query_terms), "term")
+        exists exactly once.
+
+        ``literal_terms`` (when the caller knows the query terms
+        driver-side) is semantically redundant with the inner join — but
+        as a LITERAL ``isin`` it pushes into the postings scan: parquet
+        row-group stats skip non-matching data, and on a bucketed
+        postings table it prunes to only the terms' buckets. The
+        broadcast join alone can't do either (no dynamic pushdown on
+        non-partition columns)."""
+        posts = self.postings
+        if literal_terms:
+            posts = posts.filter(F.col("term").isin(literal_terms))
+        matched = posts.join(F.broadcast(query_terms), "term")
         if prefilter_ids is not None:
             matched = matched.join(prefilter_ids.select("id"), "id", "left_semi")
         matched = (
@@ -211,13 +255,16 @@ class BM25:
         k: int = 10,
         round_to: int | None = 6,
         prefilter_ids: DataFrame | None = None,
+        literal_terms: list[str] | None = None,
     ) -> DataFrame:
         """Batch retrieval: ``query_terms`` is ``(qid, term, qtf)``; returns
         top-k ``(qid, id, score)`` per query — one job for the whole batch,
-        so per-query overhead amortizes (the realistic serving shape)."""
+        so per-query overhead amortizes (the realistic serving shape).
+        Callers holding the batch's term strings driver-side should pass
+        their union as ``literal_terms`` for scan/bucket pruning."""
         from comet_spark.operators.topk import topk_per_group
 
-        scored = self._scored(query_terms, prefilter_ids, round_to)
+        scored = self._scored(query_terms, prefilter_ids, round_to, literal_terms)
         return topk_per_group(
             scored, ["qid"], [F.col("score").desc(), F.col("id").asc()], k
         ).select("qid", "id", "score")
@@ -241,6 +288,11 @@ class BM25:
             [(0, t, float(c)) for t, c in terms.items()],
             "qid bigint, term string, qtf double",
         )
-        scored = self._scored(qterms, prefilter_ids, round_to).select("id", "score")
+        # the constant query's terms are known here — push them as a
+        # literal isin so the postings scan reads only their row
+        # groups/buckets (see _scored)
+        scored = self._scored(
+            qterms, prefilter_ids, round_to, list(terms)
+        ).select("id", "score")
         # single query → TakeOrderedAndProject, not a window
         return topk(scored, [F.col("score").desc(), F.col("id").asc()], k)

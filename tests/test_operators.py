@@ -258,6 +258,17 @@ def test_bm25_persist_roundtrip(spark, tmp_path):
     bucketed = BM25.read(spark, str(tmp_path / "bucketed"), buckets=4)
     assert [tuple(r) for r in bucketed.score("spark tables", k=3).collect()] == want
 
+    # cross-session persistence: the in-memory catalog forgets the table
+    # (simulated by dropping it); read() must re-register the bucket spec
+    # from the persisted meta — buckets need not even be passed
+    from comet_spark.operators.bm25 import _postings_table_name
+
+    spark.sql(f"DROP TABLE IF EXISTS {_postings_table_name(str(tmp_path / 'bucketed'))}")
+    again = BM25.read(spark, str(tmp_path / "bucketed"))
+    assert [tuple(r) for r in again.score("spark tables", k=3).collect()] == want
+    plan = again.score("spark tables", k=3)._jdf.queryExecution().executedPlan().toString()
+    assert "Bucketed: true" in plan and "SelectedBucketsCount" in plan
+
 
 def test_winnowing_guarantee_and_pairs(spark):
     """Winnowing's core guarantee: two docs sharing a run of >= k+w-1
