@@ -2591,6 +2591,254 @@ SELECT vec_id, score FROM d ORDER BY score, vec_id LIMIT {K}
 )
 
 
+# ---------------------------------------------------------------------------
+# Layout maintenance, driver-provable (VERDICT r05 next-round #1/#2/#6):
+# the round-5 machinery — IVFIndex.refresh + DocumentStore.compact(
+# recluster=...), PQIndex.refresh/encode_inplace, DistributedHNSW.add_batch
+# — each replayed as a registry query whose DuckDB oracle reads the
+# POST-MAINTENANCE artifacts by construction (the same scheme that makes
+# ivf_knn_nprobe2 / hnsw_dist_topk hash-checkable). Every build is
+# memoized per session and REBUILT from scratch each session, so the
+# exported layout always matches the code that produced it.
+# ---------------------------------------------------------------------------
+_MAINT_CACHE: dict[tuple, object] = {}
+
+
+def _maint_ivf(spark: SparkSession, sf_dir: str):
+    """Drifted store → refreshed IVF → compact(recluster=refreshed) →
+    partition-pruned serving export. One third of the corpus is the
+    trained 'initial' state (write-time assignment, like any ingest);
+    the other two thirds append AFTER training — the drift that
+    invalidates the centroids. ``refresh`` retrains on the merged view
+    (reference re-Train(), ``ivf_index.go:206-235``) and compaction
+    rewrites every surviving row's ``cluster_id`` in the same pass that
+    merges segments; the refreshed index then exports the compacted
+    view as the ``partitionBy(cluster_id)`` serving layout (lists =
+    partitions, as in _ivf_trained)."""
+    key = (_skey(spark), sf_dir, "ivf")
+    if key not in _MAINT_CACHE:
+        import shutil
+
+        import numpy as np
+
+        from comet_spark.operators.ann import IVFIndex
+        from comet_spark.storage.store import DocumentStore
+
+        base = f"{_art_dir(sf_dir)}/maint"
+        emb = _emb_docs(spark, sf_dir).select(
+            "id", F.col("vector").cast("array<double>").alias("vector")
+        )
+        initial = emb.filter(F.col("id") % 3 == 0)
+        drift = emb.filter(F.col("id") % 3 != 0)  # 2x the trained corpus
+        ivf0 = IVFIndex.train(initial, 8, max_iter=10)
+        store_path = f"{base}/ivf_store"
+        shutil.rmtree(store_path, ignore_errors=True)
+        store = DocumentStore(spark, store_path)
+        store.append(ivf0.assign_inplace(initial))  # write-time assignment
+        store.append(drift)  # appended AFTER training: no cluster_id yet
+        refreshed = ivf0.refresh(store.read(), max_iter=10)
+        store.compact(recluster=refreshed)
+        refreshed.write(store.read(), f"{base}/ivf_layout.parquet")
+        layout = spark.read.parquet(f"{base}/ivf_layout.parquet")
+        qvec = _hybrid_qvec(spark, sf_dir)
+        _write_rows(
+            spark, f"{base}/ivf_probes_q2.parquet",
+            [(int(c),) for c in refreshed.probe_lists(np.asarray(qvec), 2)],
+            "cluster_id bigint",
+        )
+        _MAINT_CACHE[key] = (refreshed, layout)
+    return _MAINT_CACHE[key]
+
+
+def _ivf_recluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nprobe search over the POST-COMPACTION layout: the probed lists
+    are the refreshed assignment compaction just rewrote, so the
+    partition pruning this query's plan shows (test_plans) is honest on
+    the drifted corpus — round 5's maintenance machinery, now
+    hash-checked end to end."""
+    refreshed, layout = _maint_ivf(spark, sf_dir)
+    res = refreshed.search(layout, _hybrid_qvec(spark, sf_dir), k=K, nprobe=2)
+    return res.select(F.col("id").alias("vec_id"), "score")
+
+
+_register(
+    "ivf_recluster_knn",
+    _ivf_recluster,
+    f"""
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = {QUERY_VEC_ID}),
+a AS (SELECT id, vector, cluster_id
+      FROM read_parquet('{_ART01}/maint/ivf_layout.parquet/**/*.parquet', hive_partitioning=1)),
+p AS (SELECT cluster_id FROM read_parquet('{_ART01}/maint/ivf_probes_q2.parquet/*.parquet')),
+d AS (SELECT a.id AS vec_id, ROUND({_sql_l2('a.vector', 'q.qv')}, 6) AS score
+      FROM a JOIN p USING (cluster_id), q)
+SELECT vec_id, score FROM d ORDER BY score, vec_id LIMIT {K}
+""",
+)
+
+
+def _maint_pq(spark: SparkSession, sf_dir: str):
+    """Drifted store → refreshed PQ codebooks → compact(recluster=pq):
+    the codes-only maintenance twin. encode_inplace rewrites every
+    surviving row's ``codes`` against the CURRENT-corpus codebooks
+    during the merge rewrite (reference re-Train, ``pq_index.go``); the
+    compacted store's raw files — one segment, every id exactly once —
+    ARE the merged view, so the oracle replays ADC straight off them."""
+    key = (_skey(spark), sf_dir, "pq")
+    if key not in _MAINT_CACHE:
+        import shutil
+
+        import numpy as np
+
+        from comet_spark.operators.ann import PQIndex
+        from comet_spark.storage.store import DocumentStore
+
+        base = f"{_art_dir(sf_dir)}/maint"
+        emb = _emb_docs(spark, sf_dir).select(
+            "id", F.col("vector").cast("array<double>").alias("vector")
+        )
+        initial = emb.filter(F.col("id") % 3 == 0)
+        drift = emb.filter(F.col("id") % 3 != 0)
+        pq0 = PQIndex.train(initial, m=PQ_M, nbits=4, max_iter=5)
+        store_path = f"{base}/pq_store"
+        shutil.rmtree(store_path, ignore_errors=True)
+        store = DocumentStore(spark, store_path)
+        store.append(pq0.encode_inplace(initial))  # write-time codes
+        store.append(drift)  # post-training drift: no codes yet
+        refreshed = pq0.refresh(store.read(), max_iter=5)
+        store.compact(recluster=refreshed)  # re-encode every row
+        qvec = _hybrid_qvec(spark, sf_dir)
+        lut = refreshed.lut(np.asarray(qvec))
+        _write_rows(
+            spark, f"{base}/pq_lut_q.parquet",
+            [(s, c, float(lut[s][c])) for s in range(refreshed.m) for c in range(refreshed.ksub)],
+            "sub int, code int, dist double",
+        )
+        _MAINT_CACHE[key] = (refreshed, store)
+    return _MAINT_CACHE[key]
+
+
+def _pq_reencode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    refreshed, store = _maint_pq(spark, sf_dir)
+    codes = store.read().select("id", "codes")
+    res = refreshed.search(codes, _hybrid_qvec(spark, sf_dir), k=K)
+    return res.select(F.col("id").alias("vec_id"), "score")
+
+
+_register(
+    "pq_reencode_adc",
+    _pq_reencode,
+    f"""
+WITH c AS (SELECT id, codes FROM read_parquet('{_ART01}/maint/pq_store/data/**/*.parquet', hive_partitioning=1)),
+l AS (SELECT sub, code, dist FROM read_parquet('{_ART01}/maint/pq_lut_q.parquet/*.parquet')),
+d AS ({_sql_adc('c', 'l')})
+SELECT vec_id, score FROM d ORDER BY score, vec_id LIMIT {K}
+""",
+)
+
+
+def _maint_dhnsw(spark: SparkSession, sf_dir: str):
+    """Two-step distributed graph: base build over a third of the
+    corpus, ``add_batch`` of the remaining two thirds (fresh sub-graphs
+    under fresh part ids; cost ∝ batch, reference mutable-graph Add,
+    ``hnsw_index.go:493-552``). Search unions every sub-graph's beam, so
+    appended docs are immediately searchable — the candidate export
+    below proves it with a hash-checked top-k."""
+    key = (_skey(spark), sf_dir, "dhnsw_add")
+    if key not in _MAINT_CACHE:
+        from comet_spark.operators.hnsw import DistributedHNSW
+
+        emb = _emb_docs(spark, sf_dir)
+        base_ix = DistributedHNSW.build(
+            emb.filter(F.col("id") % 3 == 0), m=8, ef_construction=100,
+            num_partitions=8,
+        )
+        _MAINT_CACHE[key] = base_ix.add_batch(
+            emb.filter(F.col("id") % 3 != 0), num_partitions=8
+        )
+    return _MAINT_CACHE[key]
+
+
+def _hnsw_addbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact scoring + top-k over the GROWN graph's ef=100 beam —
+    deterministic for a fixed graph + ef, so the exported candidate set
+    is the oracle's replay surface (same scheme as hnsw_dist_topk)."""
+    from comet_spark.operators.hnsw import score_candidates
+
+    ix = _maint_dhnsw(spark, sf_dir)
+    qvec = _hybrid_qvec(spark, sf_dir)
+    art = f"{_art_dir(sf_dir)}/maint/dhnsw_add"
+    key2 = (_skey(spark), sf_dir, "dhnsw_add_cands")
+    if key2 not in _PROBE_WRITTEN:
+        ix.candidates(qvec, ef_search=100).distinct().repartition(1).write.mode(
+            "overwrite"
+        ).parquet(f"{art}/candidates.parquet")
+        _PROBE_WRITTEN.add(key2)
+    cand = spark.read.parquet(f"{art}/candidates.parquet")
+    res = score_candidates(_emb_docs(spark, sf_dir), cand, qvec, metric="l2", k=K)
+    return res.select(F.col("id").alias("vec_id"), "score")
+
+
+_register(
+    "hnsw_addbatch_topk",
+    _hnsw_addbatch,
+    f"""
+WITH c AS (SELECT id FROM read_parquet('{_ART01}/maint/dhnsw_add/candidates.parquet/*.parquet')),
+q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = {QUERY_VEC_ID}),
+e AS (SELECT e.vec_id, embedding::DOUBLE[] AS v FROM embeddings e JOIN c ON c.id = e.vec_id),
+d AS (SELECT vec_id, ROUND({_sql_l2('e.v', 'q.qv')}, 6) AS score FROM e, q)
+SELECT vec_id, score FROM d ORDER BY score, vec_id LIMIT {K}
+""",
+)
+
+
+def _hybrid_recluster_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid fusion whose VECTOR leg reads the post-compaction
+    partition-pruned layout (VERDICT r06 #6, maintenance × hybrid):
+    metadata prefilter → nprobe scan over the recluster-compacted
+    export → BM25 → RRF, one builder chain — exactly hybrid_ivf_rrf,
+    but against a layout that drifted 3x and was maintained, not the
+    as-trained corpus. PartitionFilters on the compacted table are
+    plan-asserted in test_plans."""
+    refreshed, layout = _maint_ivf(spark, sf_dir)
+    corpus = _hybrid_corpus(spark, sf_dir)
+    corpus._ivf, corpus._ivf_assigned = refreshed, layout
+    hs = (
+        corpus.hybrid_search()
+        .with_vector(_hybrid_qvec(spark, sf_dir))
+        .with_text(BM25_QUERY)
+        .with_metadata(Eq(Field("lang"), HYBRID_LANG))
+        .with_k(K)
+        .with_nprobes(2)
+        .with_fusion("rrf")
+    )
+    return hs.execute().select(F.col("id").alias("doc_id"), "score")
+
+
+_register(
+    "hybrid_recluster_rrf",
+    _hybrid_recluster_rrf,
+    f"""
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = {QUERY_VEC_ID}),
+a AS (SELECT id, vector, cluster_id
+      FROM read_parquet('{_ART01}/maint/ivf_layout.parquet/**/*.parquet', hive_partitioning=1)),
+p AS (SELECT cluster_id FROM read_parquet('{_ART01}/maint/ivf_probes_q2.parquet/*.parquet')),
+ev AS (SELECT a.id, a.vector AS v FROM a JOIN p USING (cluster_id)
+       JOIN documents d ON d.doc_id = a.id WHERE d.lang = '{HYBRID_LANG}'),
+vd AS (SELECT ev.id, ROUND({_sql_l2('ev.v', 'q.qv')}, 6) AS score FROM ev, q),
+vres AS (SELECT id, score FROM vd ORDER BY score, id LIMIT {K}),
+{_sql_bm25_ctes().strip().rstrip(',')},
+{_sql_bm25_score(BM25_QUERY, cand_where=f"lang = '{HYBRID_LANG}'")},
+tres AS (SELECT id, ROUND(score, 6) AS score FROM sc ORDER BY score DESC, id LIMIT {K}),
+vrank AS (SELECT id, row_number() OVER (ORDER BY score ASC, id ASC) - 1 AS r FROM vres),
+trank AS (SELECT id, row_number() OVER (ORDER BY score DESC, id ASC) - 1 AS r FROM tres)
+SELECT coalesce(vrank.id, trank.id) AS doc_id,
+       ROUND(coalesce(1.0/(60.0 + vrank.r), 0) + coalesce(1.0/(60.0 + trank.r), 0), 6) AS score
+FROM vrank FULL OUTER JOIN trank ON vrank.id = trank.id
+ORDER BY score DESC, doc_id LIMIT {K}
+""",
+)
+
+
 # E3 descending: autocut over a BM25 relevance curve (text scores sort
 # desc; the diff-curve algorithm runs on the descending sequence)
 def _autocut_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
