@@ -55,14 +55,20 @@ def main() -> None:
     total = sum(v for v in timings.values() if v == v and v != float("inf"))
     cold_total = sum(v for v in cold.values() if v == v)
 
+    # key order matters: the driver records only a TAIL of this line, so
+    # the per-query map (the bulky part) goes FIRST and every summary
+    # field — including the passes marker that says these are best-of-N
+    # minima, not single-pass wall times — goes LAST, where the tail
+    # always keeps it
     payload = {
-        "metric": "batch_query_suite_runtime",
-        "value": round(total, 3),
-        "unit": "sec",
         "queries": timings,
         "sf": sf,
         "passes": passes,
+        "timing": f"per-query min over {passes} passes",
         "cold_total": round(cold_total, 3),
+        "metric": "batch_query_suite_runtime",
+        "value": round(total, 3),
+        "unit": "sec",
     }
     print(json.dumps(payload))
     # the driver's BENCH record truncates to a tail of the stdout line, so

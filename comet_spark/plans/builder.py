@@ -501,7 +501,13 @@ class TextSearch:
         indexed tokens, ``bm25_index_search.go:230-260``; here the raw
         text column is at hand and the identical tokenize pipeline
         applies to it at scoring). Unknown ids fail loudly, matching
-        the reference's not-found error."""
+        the reference's not-found error.
+
+        execute() collects the NODE DOCS' text to the driver to tokenize
+        it as queries — bounded by the handful of ids passed here, never
+        by the corpus (the same per-id lookup the reference does
+        in-process); the corpus itself is only ever scanned
+        distributedly by the scoring join."""
         self._node_ids.extend(int(i) for i in ids)
         return self
 

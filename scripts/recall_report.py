@@ -110,16 +110,41 @@ def main() -> None:
             ivfpq_build,
         )
 
-    for ef in (0, 100, 200, 400):
-        evaluate(
-            "LSH (HNSW-role)", f"60 planes, 4x4-bit bands, ef={ef}",
-            lambda v, e=ef: lsh_ann_topk(emb, v, k=K, ef=e), 0.0,
+    # combined ef × n_probes grid (VERDICT r06 #8): the two knobs trade
+    # against each other — ef widens the Hamming-nearest padding, probes
+    # widen the bucket set — and serving wants the Pareto frontier, not
+    # two independent ladders. The ladder rows below are slices of it.
+    lsh_grid: dict[tuple[int, int], float] = {}
+
+    def lsh_eval(ef: int, npb: int) -> tuple[float, float]:
+        t0 = time.perf_counter()
+        hits = 0
+        for qid, v in qvecs.items():
+            got = {
+                r["id"]
+                for r in lsh_ann_topk(emb, v, k=K, ef=ef, n_probes=npb).collect()
+            }
+            hits += len(got & gt[qid])
+        rec = hits / (N_QUERIES * K)
+        lsh_grid[(ef, npb)] = rec
+        return (time.perf_counter() - t0) / N_QUERIES, rec
+
+    for ef in (0, 400):
+        per_q, rec = lsh_eval(ef, 0)
+        rows.append(
+            ("LSH (HNSW-role)", f"60 planes, 4x4-bit bands, ef={ef}", 0.0, per_q, rec)
         )
-    for npb in (8, 16, 32):
-        evaluate(
-            "LSH multi-probe", f"4x4-bit bands, ef=100, n_probes={npb}",
-            lambda v, p=npb: lsh_ann_topk(emb, v, k=K, ef=100, n_probes=p), 0.0,
-        )
+    for ef in (50, 100, 200):
+        for npb in (0, 8, 16, 32):
+            per_q, rec = lsh_eval(ef, npb)
+            if npb == 0 and ef in (100, 200):
+                rows.append(
+                    ("LSH (HNSW-role)", f"60 planes, 4x4-bit bands, ef={ef}", 0.0, per_q, rec)
+                )
+            if ef == 100 and npb > 0:
+                rows.append(
+                    ("LSH multi-probe", f"4x4-bit bands, ef=100, n_probes={npb}", 0.0, per_q, rec)
+                )
 
     from comet_spark.operators.hnsw import DistributedHNSW, HNSWIndex
 
@@ -202,6 +227,20 @@ def main() -> None:
         "ladder above shows 16 probes at ef=100 beating the ef=400 "
         "single-probe row. Builder knob: `with_multi_probe(n)`."
     )
+    lines.append("")
+    lines.append(
+        "**ef × n_probes grid** (recall@10; pick the cheapest cell that "
+        "meets your recall bar — ef widens the Hamming-nearest padding "
+        "scan, n_probes widens the bucket candidate set before it):"
+    )
+    lines.append("")
+    lines.append("| ef \\ n_probes | 0 (single) | 8 | 16 | 32 |")
+    lines.append("|---|---|---|---|---|")
+    for ef in (50, 100, 200):
+        cells = " | ".join(
+            f"{lsh_grid[(ef, npb)]:.2f}" for npb in (0, 8, 16, 32)
+        )
+        lines.append(f"| {ef} | {cells} |")
     lines.append("")
     lines.append(
         "**Auto-nprobe** (`IVFIndex.auto_nprobe`): IVF(PQ) recall is "

@@ -134,6 +134,42 @@ def generate() -> None:
     print(f"wrote {N_DOCS} docs / {N_VECS} vecs to {SOAK_DIR}")
 
 
+def _soak_compact(spark, sf_dir: str) -> dict:
+    """compact() vs compact(recluster=ivf) on identical two-segment
+    stores (VERDICT r06 #7): both rewrite every surviving row; the
+    recluster variant adds the assignment projection PLUS the
+    cluster_id co-location shuffle before the write. The refresh
+    training itself happens before the clock starts — the claim under
+    test is the REWRITE overhead, not the (separately priced) retrain."""
+    import shutil
+    import tempfile
+
+    import pyspark.sql.functions as F
+
+    from comet_spark.operators.ann import IVFIndex
+    from comet_spark.storage.store import DocumentStore
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        F.col("vec_id").alias("id"),
+        F.col("embedding").cast("array<double>").alias("vector"),
+    )
+    first = emb.filter(F.col("id") % 3 == 0)
+    rest = emb.filter(F.col("id") % 3 != 0)
+    ivf = IVFIndex.train(first, 8, max_iter=10)
+    out = {}
+    for mode in ("plain", "recluster"):
+        path = tempfile.mkdtemp(prefix="soak_compact_")
+        store = DocumentStore(spark, f"{path}/s")
+        store.append(first)
+        store.append(rest)
+        refreshed = ivf.refresh(store.read(), max_iter=10) if mode == "recluster" else None
+        t0 = time.perf_counter()
+        store.compact(recluster=refreshed)
+        out[mode] = {"sec": round(time.perf_counter() - t0, 2)}
+        shutil.rmtree(path, ignore_errors=True)
+    return out
+
+
 def main() -> None:
     generate()
 
@@ -152,9 +188,22 @@ def main() -> None:
             dt = round(time.perf_counter() - t0, 2)
             results.setdefault(name, {})[sf_label] = {"sec": dt, "rows": n}
             print(f"{sf_label:8s} {name:24s} {dt:8.2f}s  {n} rows", flush=True)
+        cmp = _soak_compact(spark, sf_dir)
+        results.setdefault("compact_vs_recluster", {})[sf_label] = cmp
+        print(
+            f"{sf_label:8s} compact plain {cmp['plain']['sec']}s vs "
+            f"recluster {cmp['recluster']['sec']}s", flush=True,
+        )
 
     print(f"\n{'query':26s} {'sf0.1':>8s} {'10x':>8s} {'ratio':>7s}")
     for name, r in results.items():
+        if name == "compact_vs_recluster":
+            for sc in ("sf0.1", "soak10x"):
+                p, rc = r[sc]["plain"]["sec"], r[sc]["recluster"]["sec"]
+                r[sc]["overhead"] = round(rc / p, 2) if p > 0 else float("inf")
+                print(f"compact+recluster {sc}: {p:.2f}s -> {rc:.2f}s "
+                      f"({r[sc]['overhead']}x of the plain rewrite)")
+            continue
         a, b = r["sf0.1"]["sec"], r["soak10x"]["sec"]
         ratio = round(b / a, 1) if a > 0 else float("inf")
         r["ratio"] = ratio
