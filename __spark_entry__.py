@@ -2791,6 +2791,82 @@ SELECT vec_id, score FROM d ORDER BY score, vec_id LIMIT {K}
 )
 
 
+def _maint_ivfpq(spark: SparkSession, sf_dir: str):
+    """Drifted store → refreshed IVFPQ → compact(recluster=ivfpq): the
+    FULL maintenance pass — encode_inplace rewrites coarse cluster_id
+    AND residual codes in one Arrow kernel during the merge rewrite, and
+    the fresh assignment (this hook produces it, so the stale-drop gate
+    lets it through) drives the compacted files' co-location, keeping
+    nprobe pruning honest together with the compressed codes (reference
+    re-Train, ``ivfpq_index.go:164-341``). Completes the maintenance ×
+    layout matrix: IVF (ivf_recluster_knn), PQ (pq_reencode_adc), graph
+    (hnsw_addbatch_topk), IVFPQ here."""
+    key = (_skey(spark), sf_dir, "ivfpq")
+    if key not in _MAINT_CACHE:
+        import shutil
+
+        import numpy as np
+
+        from comet_spark.operators.ann import IVFPQIndex
+        from comet_spark.storage.store import DocumentStore
+
+        base = f"{_art_dir(sf_dir)}/maint"
+        emb = _emb_docs(spark, sf_dir).select(
+            "id", F.col("vector").cast("array<double>").alias("vector")
+        )
+        initial = emb.filter(F.col("id") % 3 == 0)
+        drift = emb.filter(F.col("id") % 3 != 0)
+        ix0 = IVFPQIndex.train(initial, nlist=4, m=PQ_M, nbits=4, max_iter=5)
+        store_path = f"{base}/ivfpq_store"
+        shutil.rmtree(store_path, ignore_errors=True)
+        store = DocumentStore(spark, store_path)
+        store.append(ix0.encode_inplace(initial))  # write-time layout cols
+        store.append(drift)
+        refreshed = ix0.refresh(store.read(), max_iter=5)
+        store.compact(recluster=refreshed)
+        qvec = _hybrid_qvec(spark, sf_dir)
+        q = np.asarray(qvec, dtype=np.float64)
+        probed = refreshed.ivf.probe_lists(q, 2)
+        rows = []
+        for cid in probed:
+            lut = refreshed.pq.lut(q - refreshed.ivf.centroids[cid])
+            rows.extend(
+                (int(cid), s, c, float(lut[s][c]))
+                for s in range(refreshed.pq.m)
+                for c in range(refreshed.pq.ksub)
+            )
+        _write_rows(
+            spark, f"{base}/ivfpq_luts_q.parquet",
+            rows, "cluster_id bigint, sub int, code int, dist double",
+        )
+        _MAINT_CACHE[key] = (refreshed, store)
+    return _MAINT_CACHE[key]
+
+
+def _ivfpq_reencode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    refreshed, store = _maint_ivfpq(spark, sf_dir)
+    enc = store.read().select("id", "cluster_id", "codes")
+    res = refreshed.search(enc, _hybrid_qvec(spark, sf_dir), k=K, nprobe=2)
+    return res.select(F.col("id").alias("vec_id"), "score")
+
+
+# residual-ADC over the maintained layout, oracled like ivfpq_adc_knn:
+# per-probed-cluster LUTs join the COMPACTED STORE's files on
+# (cluster_id, sub, code) — only probed clusters have LUT rows, and the
+# cluster_id in those files is the refreshed assignment compact rewrote
+_register(
+    "ivfpq_reencode_adc",
+    _ivfpq_reencode,
+    f"""
+WITH c AS (SELECT id, cluster_id, codes
+           FROM read_parquet('{_ART01}/maint/ivfpq_store/data/**/*.parquet', hive_partitioning=1)),
+l AS (SELECT cluster_id, sub, code, dist FROM read_parquet('{_ART01}/maint/ivfpq_luts_q.parquet/*.parquet')),
+d AS ({_sql_adc('c', 'l', extra_on=' AND l{s}.cluster_id = c.cluster_id')})
+SELECT vec_id, score FROM d ORDER BY score, vec_id LIMIT {K}
+""",
+)
+
+
 def _hybrid_recluster_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid fusion whose VECTOR leg reads the post-compaction
     partition-pruned layout (VERDICT r06 #6, maintenance × hybrid):
