@@ -149,7 +149,11 @@ def _bm25_index(spark: SparkSession, sf_dir: str) -> BM25:
             if not fresh:
                 raise FileNotFoundError(base)
             ix = BM25.read(spark, base)
-            ix.stats.first()  # probe: artifact exists and is readable
+            # probe BOTH the stats and the postings table: a partially
+            # cleaned artifact (postings gone, side tables intact) must
+            # route into the rebuild branch, not fail every later query
+            ix.stats.first()
+            ix.postings.first()
         except Exception:
             bld = BM25(
                 _t(spark, sf_dir, "documents"), id_col="doc_id",
@@ -2604,6 +2608,35 @@ SELECT vec_id, score FROM d ORDER BY score, vec_id LIMIT {K}
 _MAINT_CACHE: dict[tuple, object] = {}
 
 
+def _drifted_store(spark: SparkSession, sf_dir: str, name: str, train, ingest, refresh):
+    """THE drift scaffold all maintenance queries share (one copy — the
+    oracles depend on the store-path convention and the 1/3-trained +
+    2/3-appended split, so the trio must not desynchronize): train on a
+    third of the corpus, ingest it WITH write-time layout columns,
+    append the other two thirds AFTER training (the drift), refresh the
+    index on the merged view, compact(recluster=refreshed). Returns
+    ``(refreshed, store)``; the store's compacted files at
+    ``.../maint/<name>_store/data`` are the oracle's replay surface."""
+    import shutil
+
+    from comet_spark.storage.store import DocumentStore
+
+    emb = _emb_docs(spark, sf_dir).select(
+        "id", F.col("vector").cast("array<double>").alias("vector")
+    )
+    initial = emb.filter(F.col("id") % 3 == 0)
+    drift = emb.filter(F.col("id") % 3 != 0)  # 2x the trained corpus
+    ix0 = train(initial)
+    store_path = f"{_art_dir(sf_dir)}/maint/{name}_store"
+    shutil.rmtree(store_path, ignore_errors=True)
+    store = DocumentStore(spark, store_path)
+    store.append(ingest(ix0, initial))  # write-time layout columns
+    store.append(drift)  # appended AFTER training: no layout columns yet
+    refreshed = refresh(ix0, store.read())
+    store.compact(recluster=refreshed)
+    return refreshed, store
+
+
 def _maint_ivf(spark: SparkSession, sf_dir: str):
     """Drifted store → refreshed IVF → compact(recluster=refreshed) →
     partition-pruned serving export. One third of the corpus is the
@@ -2617,27 +2650,17 @@ def _maint_ivf(spark: SparkSession, sf_dir: str):
     partitions, as in _ivf_trained)."""
     key = (_skey(spark), sf_dir, "ivf")
     if key not in _MAINT_CACHE:
-        import shutil
-
         import numpy as np
 
         from comet_spark.operators.ann import IVFIndex
-        from comet_spark.storage.store import DocumentStore
 
         base = f"{_art_dir(sf_dir)}/maint"
-        emb = _emb_docs(spark, sf_dir).select(
-            "id", F.col("vector").cast("array<double>").alias("vector")
+        refreshed, store = _drifted_store(
+            spark, sf_dir, "ivf",
+            train=lambda d: IVFIndex.train(d, 8, max_iter=10),
+            ingest=lambda ix, d: ix.assign_inplace(d),
+            refresh=lambda ix, view: ix.refresh(view, max_iter=10),
         )
-        initial = emb.filter(F.col("id") % 3 == 0)
-        drift = emb.filter(F.col("id") % 3 != 0)  # 2x the trained corpus
-        ivf0 = IVFIndex.train(initial, 8, max_iter=10)
-        store_path = f"{base}/ivf_store"
-        shutil.rmtree(store_path, ignore_errors=True)
-        store = DocumentStore(spark, store_path)
-        store.append(ivf0.assign_inplace(initial))  # write-time assignment
-        store.append(drift)  # appended AFTER training: no cluster_id yet
-        refreshed = ivf0.refresh(store.read(), max_iter=10)
-        store.compact(recluster=refreshed)
         refreshed.write(store.read(), f"{base}/ivf_layout.parquet")
         layout = spark.read.parquet(f"{base}/ivf_layout.parquet")
         qvec = _hybrid_qvec(spark, sf_dir)
@@ -2685,27 +2708,17 @@ def _maint_pq(spark: SparkSession, sf_dir: str):
     ARE the merged view, so the oracle replays ADC straight off them."""
     key = (_skey(spark), sf_dir, "pq")
     if key not in _MAINT_CACHE:
-        import shutil
-
         import numpy as np
 
         from comet_spark.operators.ann import PQIndex
-        from comet_spark.storage.store import DocumentStore
 
         base = f"{_art_dir(sf_dir)}/maint"
-        emb = _emb_docs(spark, sf_dir).select(
-            "id", F.col("vector").cast("array<double>").alias("vector")
+        refreshed, store = _drifted_store(
+            spark, sf_dir, "pq",
+            train=lambda d: PQIndex.train(d, m=PQ_M, nbits=4, max_iter=5),
+            ingest=lambda ix, d: ix.encode_inplace(d),
+            refresh=lambda ix, view: ix.refresh(view, max_iter=5),
         )
-        initial = emb.filter(F.col("id") % 3 == 0)
-        drift = emb.filter(F.col("id") % 3 != 0)
-        pq0 = PQIndex.train(initial, m=PQ_M, nbits=4, max_iter=5)
-        store_path = f"{base}/pq_store"
-        shutil.rmtree(store_path, ignore_errors=True)
-        store = DocumentStore(spark, store_path)
-        store.append(pq0.encode_inplace(initial))  # write-time codes
-        store.append(drift)  # post-training drift: no codes yet
-        refreshed = pq0.refresh(store.read(), max_iter=5)
-        store.compact(recluster=refreshed)  # re-encode every row
         qvec = _hybrid_qvec(spark, sf_dir)
         lut = refreshed.lut(np.asarray(qvec))
         _write_rows(
@@ -2803,27 +2816,17 @@ def _maint_ivfpq(spark: SparkSession, sf_dir: str):
     (hnsw_addbatch_topk), IVFPQ here."""
     key = (_skey(spark), sf_dir, "ivfpq")
     if key not in _MAINT_CACHE:
-        import shutil
-
         import numpy as np
 
         from comet_spark.operators.ann import IVFPQIndex
-        from comet_spark.storage.store import DocumentStore
 
         base = f"{_art_dir(sf_dir)}/maint"
-        emb = _emb_docs(spark, sf_dir).select(
-            "id", F.col("vector").cast("array<double>").alias("vector")
+        refreshed, store = _drifted_store(
+            spark, sf_dir, "ivfpq",
+            train=lambda d: IVFPQIndex.train(d, nlist=4, m=PQ_M, nbits=4, max_iter=5),
+            ingest=lambda ix, d: ix.encode_inplace(d),
+            refresh=lambda ix, view: ix.refresh(view, max_iter=5),
         )
-        initial = emb.filter(F.col("id") % 3 == 0)
-        drift = emb.filter(F.col("id") % 3 != 0)
-        ix0 = IVFPQIndex.train(initial, nlist=4, m=PQ_M, nbits=4, max_iter=5)
-        store_path = f"{base}/ivfpq_store"
-        shutil.rmtree(store_path, ignore_errors=True)
-        store = DocumentStore(spark, store_path)
-        store.append(ix0.encode_inplace(initial))  # write-time layout cols
-        store.append(drift)
-        refreshed = ix0.refresh(store.read(), max_iter=5)
-        store.compact(recluster=refreshed)
         qvec = _hybrid_qvec(spark, sf_dir)
         q = np.asarray(qvec, dtype=np.float64)
         probed = refreshed.ivf.probe_lists(q, 2)

@@ -192,6 +192,47 @@ def has_ideographic(df, text_col: str = "text") -> bool:
     return df.where(c.isNotNull() & c.rlike(IDEOGRAPHIC_RE)).limit(1).count() > 0
 
 
+# Everything the NATIVE pipeline cannot segment per UAX#29 — the per-row
+# route predicate for mixed corpora (BM25 sends matching rows through
+# tokenize_unicode, everything else stays native). Beyond the ideographic
+# scripts above:
+# - in-word joiners OUTSIDE the ASCII [:.',;] subset the native regex
+#   tags: MidLetter (U+00B7 ·, U+0387, U+05F4, U+2027, U+FE13, U+FE55,
+#   U+FF1A), MidNumLet (U+2018, U+2019 — the curly apostrophe in
+#   "l’étoile" — U+2024, U+FE52, U+FF07, U+FF0E), MidNum (U+037E,
+#   U+0589, U+060C, U+060D, U+066C, U+07F8, U+2044, U+FE10, U+FE14,
+#   U+FE50, U+FE54, U+FF0C, U+FF1B) — uax29.py holds the spec sets;
+# - ZWNJ/ZWJ (WB4 ignores format chars inside a word — Persian/Indic
+#   text carries ZWNJ routinely; the native class would break there) and
+#   NNBSP U+202F (ExtendNumLet);
+# - combining marks (\\p{M}): WB4 absorbs Extend into the run, but the
+#   native token class [\\p{L}\\p{N}\\p{Pc}] breaks at every Indic
+#   matra / Hebrew point / Arabic haraka. NFC composition hides most
+#   Latin/Greek/Cyrillic marks; scripts whose marks have no composed
+#   form route to the Arrow path — which is the correct segmentation.
+# Like IDEOGRAPHIC_RE, the class errs WIDE: it runs on pre-NFKC text and
+# a false positive only costs the (correct, slower) Arrow path.
+NONNATIVE_TOKEN_RE = (
+    IDEOGRAPHIC_RE[:-1]
+    + "\\u00B7\\u0387\\u05F4\\u2027\\uFE13\\uFE55\\uFF1A"
+    + "\\u2018\\u2019\\u2024\\uFE52\\uFF07\\uFF0E"
+    + "\\u037E\\u0589\\u060C\\u060D\\u066C\\u07F8\\u2044"
+    + "\\uFE10\\uFE14\\uFE50\\uFE54\\uFF0C\\uFF1B"
+    + "\\u200C\\u200D\\u202F"
+    + "]|\\p{M}"
+)
+
+
+def needs_unicode_tokenize(df, text_col: str = "text") -> bool:
+    """Corpus probe for :data:`NONNATIVE_TOKEN_RE` (superset of
+    :func:`has_ideographic`): does ANY row need the reference-exact
+    Arrow tokenizer? Gates the per-row routed index build — a corpus
+    where this is False (plain ASCII/Latin) keeps the single-branch
+    fully-native plan. One native scan, early-exit."""
+    c = F.col(text_col)
+    return df.where(c.isNotNull() & c.rlike(NONNATIVE_TOKEN_RE)).limit(1).count() > 0
+
+
 def ensure_nfkc(df, text_col: str = "text"):
     """Write-time NFKC normalization (reference normalizes every string
     unconditionally at index build, ``bm25_index.go:153-156``; same

@@ -28,7 +28,7 @@ import re
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from comet_spark.functions.text import ensure_nfkc, has_ideographic, tokenize
+from comet_spark.functions.text import ensure_nfkc, needs_unicode_tokenize, tokenize
 from comet_spark.functions.uax29 import tokenize_unicode_py
 from comet_spark.operators.topk import topk
 
@@ -74,40 +74,43 @@ class BM25:
         # ASCII corpora pass through with zero added cost (one probe
         # scan); normalize=False opts out when the caller guarantees
         # already-normalized AND non-ideographic input.
-        if normalize and has_ideographic(docs, text_col):
-            # Han/Kana rows: the native tokenizer emits whole letter
-            # runs while the QUERY tokenizer (tokenize_py = full UAX#29)
-            # segments Han/Hiragana char-by-char — index and query
-            # tokens must agree or every CJK query returns zero hits.
-            # Routing is PER ROW (the probe only decides whether this
-            # branch exists at all): rows carrying ideographic text take
-            # the reference-exact Arrow path (which NFKC-normalizes
+        if normalize and needs_unicode_tokenize(docs, text_col):
+            # Rows the native tokenizer cannot segment per UAX#29 —
+            # ideographic scripts (Han/Hiragana split char-by-char per
+            # WB999 while the native regex concatenates letter runs),
+            # non-ASCII in-word joiners (U+2019 in "l’étoile" is
+            # MidNumLet), ZWNJ/ZWJ, combining marks — must tokenize
+            # exactly like the QUERY side (tokenize_py = full UAX#29) or
+            # queries on those words return zero hits. Routing is PER
+            # ROW (the probe only decides whether this branch exists at
+            # all): rows matching NONNATIVE_TOKEN_RE take the
+            # reference-exact Arrow path (which NFKC-normalizes
             # internally), every other row stays on the native JVM
-            # pipeline — a 100 TB corpus that is 1% CJK pays the Python
-            # tokenizer on 1% of rows, not 100%. The route predicate
-            # runs on PRE-NFKC text, which is why IDEOGRAPHIC_RE also
-            # covers the compatibility forms NFKC folds INTO ideographs
-            # (see functions/text.py). The union costs a second scan of
-            # the corpus, but the native leg's filter is pushed to the
-            # scan and the Arrow leg reads only the ideographic rows.
+            # pipeline — a 100 TB corpus that is 1% CJK/Indic pays the
+            # Python tokenizer on 1% of rows, not 100%. The route
+            # predicate runs on PRE-NFKC text, which is why the class
+            # also covers the compatibility forms NFKC folds INTO its
+            # members (see functions/text.py). The union costs a second
+            # scan of the corpus, but the native leg's filter is pushed
+            # to the scan and the Arrow leg reads only its rows.
             from comet_spark.functions.text import (
-                IDEOGRAPHIC_RE,
+                NONNATIVE_TOKEN_RE,
                 tokenize_unicode,
             )
 
-            is_cjk = F.coalesce(
-                F.col(text_col).rlike(IDEOGRAPHIC_RE), F.lit(False)
+            is_nonnative = F.coalesce(
+                F.col(text_col).rlike(NONNATIVE_TOKEN_RE), F.lit(False)
             )
-            cjk_toks = docs.filter(is_cjk).select(
+            arrow_toks = docs.filter(is_nonnative).select(
                 F.col(id_col).alias("id"),
                 F.explode(tokenize_unicode(text_col)).alias("term"),
             )
-            rest = ensure_nfkc(docs.filter(~is_cjk), text_col)
+            rest = ensure_nfkc(docs.filter(~is_nonnative), text_col)
             rest_toks = rest.select(
                 F.col(id_col).alias("id"),
                 F.explode(tokenize(text_col)).alias("term"),
             )
-            toks = cjk_toks.unionByName(rest_toks)
+            toks = arrow_toks.unionByName(rest_toks)
         else:
             if normalize:
                 docs = ensure_nfkc(docs, text_col)

@@ -394,13 +394,17 @@ class DocumentStore:
                 hook = getattr(recluster, "assign_inplace", None) or getattr(
                     recluster, "encode_inplace"
                 )
-                # a pre-existing cluster_id is a LAYOUT column owned by
-                # whatever index wrote it at ingest; a hook that does not
-                # regenerate it (a codes-only PQ refresh) must not let the
-                # rewrite co-locate/sort by — and persist — that stale
-                # assignment as if fresh. Drop it first: below,
-                # 'cluster_id' is in the columns iff THIS hook produced it.
-                out = out.drop("cluster_id")
+                # pre-existing cluster_id / codes are LAYOUT columns owned
+                # by whatever index wrote them at ingest; a hook that does
+                # not regenerate one of them (a codes-only PQ refresh
+                # leaves cluster_id stale, an assignment-only IVF refresh
+                # leaves codes encoded against superseded codebooks) must
+                # not let the rewrite persist it as if fresh — or, for
+                # cluster_id, co-locate/sort by it. Drop both first:
+                # below, a layout column is present iff THIS hook produced
+                # it. (Consequence: these two names are reserved for the
+                # recluster machinery on any store that uses it.)
+                out = out.drop("cluster_id", "codes")
                 out = hook(out, vec_col=recluster_vec_col)
                 if not zorder_by and "cluster_id" in out.columns:
                     # co-locate + sort by the fresh assignment so parquet

@@ -129,22 +129,29 @@ def main() -> None:
         lsh_grid[(ef, npb)] = rec
         return (time.perf_counter() - t0) / N_QUERIES, rec
 
+    # evaluate everything first, then append the table rows ef-ascending
+    # (single-probe ladder 0→400, then the multi-probe rows) so the
+    # rendered ladder stays monotone in the knob
+    ladder_rows: dict[int, tuple] = {}
+    probe_rows: list[tuple] = []
     for ef in (0, 400):
         per_q, rec = lsh_eval(ef, 0)
-        rows.append(
-            ("LSH (HNSW-role)", f"60 planes, 4x4-bit bands, ef={ef}", 0.0, per_q, rec)
+        ladder_rows[ef] = (
+            "LSH (HNSW-role)", f"60 planes, 4x4-bit bands, ef={ef}", 0.0, per_q, rec
         )
     for ef in (50, 100, 200):
         for npb in (0, 8, 16, 32):
             per_q, rec = lsh_eval(ef, npb)
             if npb == 0 and ef in (100, 200):
-                rows.append(
-                    ("LSH (HNSW-role)", f"60 planes, 4x4-bit bands, ef={ef}", 0.0, per_q, rec)
+                ladder_rows[ef] = (
+                    "LSH (HNSW-role)", f"60 planes, 4x4-bit bands, ef={ef}", 0.0, per_q, rec
                 )
             if ef == 100 and npb > 0:
-                rows.append(
+                probe_rows.append(
                     ("LSH multi-probe", f"4x4-bit bands, ef=100, n_probes={npb}", 0.0, per_q, rec)
                 )
+    rows.extend(ladder_rows[ef] for ef in sorted(ladder_rows))
+    rows.extend(probe_rows)
 
     from comet_spark.operators.hnsw import DistributedHNSW, HNSWIndex
 

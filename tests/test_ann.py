@@ -319,6 +319,28 @@ def test_compact_recluster_codes_only_drops_stale_cluster_id(spark, tmp_path, em
     assert {r["id"]: list(r["codes"]) for r in merged.collect()} == fresh
 
 
+def test_compact_recluster_assignment_only_drops_stale_codes(spark, tmp_path, emb):
+    """The symmetric case: compact(recluster=IVFIndex) regenerates only
+    cluster_id — PQ codes written at ingest are encoded against
+    codebooks nobody refreshed and must NOT survive the rewrite (a later
+    ADC read would silently score with them)."""
+    from comet_spark.operators.ann import IVFIndex, PQIndex
+    from comet_spark.storage.store import DocumentStore
+
+    some = emb.limit(200)
+    pq = PQIndex.train(some, m=4, nbits=4, max_iter=3)
+    store = DocumentStore(spark, str(tmp_path / "stale_codes"))
+    store.append(pq.encode_inplace(some))  # ingest-time codes
+
+    ivf = IVFIndex.train(store.read(), 4, max_iter=3)
+    store.compact(recluster=ivf)
+    merged = store.read()
+    assert "codes" not in merged.columns
+    assert "cluster_id" in merged.columns
+    want = {r["id"]: r["cluster_id"] for r in ivf.assign(some).collect()}
+    assert {r["id"]: r["cluster_id"] for r in merged.collect()} == want
+
+
 def test_compact_recluster_with_ivfpq_reencodes(spark, tmp_path, emb):
     """compact(recluster=ivfpq) rewrites BOTH the coarse assignment and
     the residual codes for the merged view; ADC search over the

@@ -374,6 +374,7 @@ def test_bm25_mixed_corpus_routes_per_row(spark):
         (2, "crème brûlée ﬁnal recipe"),   # non-ASCII non-CJK + ligature
         (3, "大阪の天気は良い"),
         (4, "spark joins are fast fast"),
+        (5, "l’étoile du matin brille"),  # curly apostrophe: MidNumLet
     ]
     docs = spark.createDataFrame(rows, "id bigint, text string")
     ix = BM25(docs)
@@ -387,6 +388,12 @@ def test_bm25_mixed_corpus_routes_per_row(spark):
     # queries hit BOTH row classes through one index
     assert ix.score("東京", k=2).collect()[0]["id"] == 0
     assert ix.score("brûlée", k=2).collect()[0]["id"] == 2
+    # the U+2019 row must route to the Arrow leg (the native joiner set
+    # is ASCII-only): per spec "l’étoile" is ONE token, and the query
+    # tokenizer produces the same one — zero hits would mean the row
+    # tokenized natively (the r06 review regression)
+    hit = ix.score("l’étoile", k=2).collect()
+    assert hit and hit[0]["id"] == 5
 
     # the Arrow TOKENIZE stage consumes the ideographic-filtered branch
     # only: in the optimized plan the tokenize_unicode eval's child is
