@@ -250,6 +250,14 @@ def main() -> None:
         lines.append(f"| {ef} | {cells} |")
     lines.append("")
     lines.append(
+        f"Probes buy recall cheaper than ef on this fixture: n_probes=16 "
+        f"at ef=50 already reaches {lsh_grid[(50, 16)]:.2f}, while "
+        f"quadrupling ef alone (50→200, single-probe) only reaches "
+        f"{lsh_grid[(200, 0)]:.2f} — widen the bucket set before widening "
+        f"the Hamming padding."
+    )
+    lines.append("")
+    lines.append(
         "**Auto-nprobe** (`IVFIndex.auto_nprobe`): IVF(PQ) recall is "
         "probe-bound — the ladder above shows recall tracking the *scanned "
         "corpus fraction*, not the probe count, so under skewed list sizes "
