@@ -53,6 +53,10 @@ __all__ = [
     "nfkc",
     "ensure_nfkc",
     "has_non_ascii",
+    "has_ideographic",
+    "needs_unicode_tokenize",
+    "IDEOGRAPHIC_RE",
+    "NONNATIVE_TOKEN_RE",
     "token_count",
     "stopword_ratio",
     "STOPWORDS_EN",

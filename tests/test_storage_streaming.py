@@ -804,6 +804,34 @@ def test_decontam_ingest_stream_matches_batch(spark, tmp_path):
     )
     assert streamed == batched == [2, 4]
 
+    # trigger_available_now=False (ADVICE r05): a LONG-RUNNING query that
+    # keeps decontaminating — files written AFTER start are processed
+    # without a restart (availableNow would have drained and stopped)
+    import time
+
+    out2 = str(tmp_path / "out2")
+    q2 = decontam_ingest_stream(
+        spark.readStream.schema("doc_id bigint, text string").parquet(src_dir),
+        ev_path, out2, n=3, checkpoint=str(tmp_path / "ckpt2"),
+        trigger_available_now=False,
+    )
+    try:
+        corpus.withColumn("doc_id", F.col("doc_id") + 10).coalesce(1).write.mode(
+            "append"
+        ).parquet(src_dir)
+        deadline = time.time() + 120
+        seen: set[int] = set()
+        while time.time() < deadline and not {2, 4, 12, 14} <= seen:
+            q2.processAllAvailable()
+            try:
+                seen = {r["doc_id"] for r in spark.read.parquet(out2).collect()}
+            except Exception:
+                pass  # out2 not created yet
+        assert q2.isActive  # still running — continuous, not drain-and-stop
+        assert {2, 4, 12, 14} <= seen and not seen & {1, 3, 11, 13}
+    finally:
+        q2.stop()
+
 
 def test_image_resize_nearest_neighbor_semantics(spark):
     """Hand-checkable resample: a 4x2 image with distinct pixel values

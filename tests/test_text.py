@@ -395,6 +395,45 @@ def test_bm25_mixed_corpus_routes_per_row(spark):
     hit = ix.score("l’étoile", k=2).collect()
     assert hit and hit[0]["id"] == 5
 
+
+def test_bm25_routing_adversarial_scripts_match_query_tokenizer(spark):
+    """One index build over every script family the route predicate must
+    catch — the batch adversarial version of the per-row routing
+    guarantee: for EVERY row, index tokens == tokenize_py(text), so any
+    query formed from a document's own words matches it. Rows cover the
+    non-ASCII joiner classes (MidLetter ·, MidNumLet ’ and one-dot
+    leader, MidNum arabic comma), ZWNJ (Persian), combining marks
+    (Devanagari matras, Arabic harakat, Hebrew points), Katakana
+    halfwidth forms, enclosed-CJK NFKC sources, and plain
+    ASCII/Latin/Greek/Cyrillic controls that must stay native."""
+    from collections import Counter
+
+    from comet_spark.operators.bm25 import BM25, tokenize_py
+
+    rows = [
+        (0, "a·b mid·letter dot"),              # MidLetter U+00B7
+        (1, "don’t can’t won’t"),               # MidNumLet U+2019
+        (2, "U.S.A․ one․dot"),        # MidNumLet U+2024
+        (3, "١٢٣،٤٥٦ arabic comma"),       # MidNum U+060C + arabic digits
+        (4, "می‌خواهم zwnj persian"),      # ZWNJ inside a word
+        (5, "हिन्दी में पाठ"),                   # Devanagari with matras
+        (6, "עִבְרִית נקודות"),                  # Hebrew with points
+        (7, "ﾃﾞｼﾞﾀﾙ ﾒﾓ halfwidth"),             # halfwidth Katakana
+        (8, "company ㈱ enclosed"),             # NFKC → (株)
+        (9, "plain ascii control text"),
+        (10, "ελληνικά κείμενο"),               # Greek: native
+        (11, "русский текст"),                  # Cyrillic: native
+        (12, "café naïve résumé"),              # composed Latin: native
+    ]
+    docs = spark.createDataFrame(rows, "id bigint, text string")
+    ix = BM25(docs)
+    got: dict[int, Counter] = {}
+    for r in ix.postings.collect():
+        got.setdefault(r["id"], Counter())[r["term"]] = r["tf"]
+    for i, t in rows:
+        want = Counter(tokenize_py(t))
+        assert got.get(i, Counter()) == want, (i, t, got.get(i), want)
+
     # the Arrow TOKENIZE stage consumes the ideographic-filtered branch
     # only: in the optimized plan the tokenize_unicode eval's child is
     # the RLIKE route filter. The other union leg tokenizes natively —
