@@ -1,0 +1,102 @@
+"""Index lifecycle on a growing corpus — the maintenance loop a serving
+deployment runs, on the sf0.001 sample.
+
+A trained ANN layout is only as good as the corpus it was trained on.
+This demo walks the full loop:
+
+  1. train + ingest        (IVF on the initial corpus, write-time
+                            assignment into a DocumentStore segment)
+  2. drift                 (append 2x more docs AFTER training — their
+                            cluster_id is missing and the centroids no
+                            longer describe the corpus)
+  3. serve through drift   (the store's merged view still answers
+                            queries — recall degrades, availability
+                            doesn't)
+  4. refresh + compact     (retrain on the merged view; ONE rewrite
+                            merges segments, applies deletes, and
+                            re-assigns every surviving row; fresh
+                            cluster_id drives file co-location)
+  5. serve the maintained  (export the compacted view partitionBy
+     layout                 (cluster_id) — nprobe search prunes to the
+                            probed lists' files)
+  6. grow the graph        (DistributedHNSW.add_batch: cost ∝ batch,
+                            appended docs immediately searchable)
+
+Run: python examples/maintenance_pipeline.py
+"""
+
+import os
+import shutil
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import pyspark.sql.functions as F
+
+from comet_spark.operators.ann import IVFIndex
+from comet_spark.operators.hnsw import DistributedHNSW
+from comet_spark.session import get_spark
+from comet_spark.storage.store import DocumentStore
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+
+
+def main() -> None:
+    spark = get_spark("maintenance-pipeline")
+    spark.sparkContext.setLogLevel("ERROR")
+    work = tempfile.mkdtemp(prefix="comet_maint_")
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+        F.col("vec_id").alias("id"),
+        F.col("embedding").cast("array<double>").alias("vector"),
+    )
+    initial = emb.filter(F.col("id") % 3 == 0)
+    drift = emb.filter(F.col("id") % 3 != 0)
+    qvec = [float(x) for x in emb.first()["vector"]]
+
+    # 1. train + ingest with write-time assignment
+    ivf = IVFIndex.train(initial, nlist=8, max_iter=10)
+    store = DocumentStore(spark, f"{work}/store")
+    store.append(ivf.assign_inplace(initial))
+    print(f"trained on {initial.count()} docs, ingested as segment 0")
+
+    # 2. drift: the corpus doubles AFTER training
+    store.append(drift)
+    print(f"appended {drift.count()} post-training docs (no cluster_id)")
+
+    # 3. the store still serves — merged view over both segments
+    view = store.read()
+    print(f"merged view: {view.count()} docs, "
+          f"{view.filter(F.col('cluster_id').isNull()).count()} unassigned")
+
+    # 4. refresh the centroids on the CURRENT corpus and compact:
+    #    one rewrite = segment merge + hard delete + fresh assignment
+    refreshed = ivf.refresh(view, max_iter=10)
+    store.compact(recluster=refreshed)
+    view = store.read()
+    print(f"compacted: {store.segment_count()} segment, "
+          f"{view.filter(F.col('cluster_id').isNull()).count()} unassigned")
+
+    # 5. export the serving layout (lists = partitions) and search it —
+    #    the nprobe filter becomes partition pruning on disk
+    layout_path = f"{work}/layout.parquet"
+    refreshed.write(view, layout_path)
+    layout = spark.read.parquet(layout_path)
+    top = refreshed.search(layout, qvec, k=5, nprobe=2).collect()
+    print("nprobe=2 over the maintained layout:",
+          [(r["id"], r["score"]) for r in top])
+
+    # 6. the graph layout grows incrementally instead of recompacting
+    graph = DistributedHNSW.build(initial, m=8, ef_construction=100,
+                                  num_partitions=4)
+    graph = graph.add_batch(drift, num_partitions=4)
+    top_g = graph.search(emb, qvec, k=5, ef_search=100).collect()
+    print("grown graph top-5:", [(r["id"], r["score"]) for r in top_g])
+
+    shutil.rmtree(work, ignore_errors=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
