@@ -46,7 +46,14 @@ def main() -> None:
     spark = get_spark("maintenance-pipeline")
     spark.sparkContext.setLogLevel("ERROR")
     work = tempfile.mkdtemp(prefix="comet_maint_")
+    try:
+        _run(spark, work)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+        spark.stop()
 
+
+def _run(spark, work: str) -> None:
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
         F.col("vec_id").alias("id"),
         F.col("embedding").cast("array<double>").alias("vector"),
@@ -93,9 +100,6 @@ def main() -> None:
     graph = graph.add_batch(drift, num_partitions=4)
     top_g = graph.search(emb, qvec, k=5, ef_search=100).collect()
     print("grown graph top-5:", [(r["id"], r["score"]) for r in top_g])
-
-    shutil.rmtree(work, ignore_errors=True)
-    spark.stop()
 
 
 if __name__ == "__main__":

@@ -249,13 +249,25 @@ def main() -> None:
         )
         lines.append(f"| {ef} | {cells} |")
     lines.append("")
-    lines.append(
-        f"Probes buy recall cheaper than ef on this fixture: n_probes=16 "
-        f"at ef=50 already reaches {lsh_grid[(50, 16)]:.2f}, while "
-        f"quadrupling ef alone (50→200, single-probe) only reaches "
-        f"{lsh_grid[(200, 0)]:.2f} — widen the bucket set before widening "
-        f"the Hamming padding."
-    )
+    # derive the takeaway from THIS run's numbers — a different fixture
+    # or seed must not emit a claim its own grid contradicts
+    probes_win = lsh_grid[(50, 16)] > lsh_grid[(200, 0)]
+    if probes_win:
+        lines.append(
+            f"Probes buy recall cheaper than ef on this fixture: "
+            f"n_probes=16 at ef=50 already reaches "
+            f"{lsh_grid[(50, 16)]:.2f}, while quadrupling ef alone "
+            f"(50→200, single-probe) only reaches "
+            f"{lsh_grid[(200, 0)]:.2f} — widen the bucket set before "
+            f"widening the Hamming padding."
+        )
+    else:
+        lines.append(
+            f"On this fixture ef carries more recall than probes "
+            f"(ef=200 single-probe {lsh_grid[(200, 0)]:.2f} vs "
+            f"n_probes=16 at ef=50 {lsh_grid[(50, 16)]:.2f}) — read the "
+            f"grid for the Pareto frontier before fixing either knob."
+        )
     lines.append("")
     lines.append(
         "**Auto-nprobe** (`IVFIndex.auto_nprobe`): IVF(PQ) recall is "

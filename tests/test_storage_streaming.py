@@ -821,12 +821,14 @@ def test_decontam_ingest_stream_matches_batch(spark, tmp_path):
         ).parquet(src_dir)
         deadline = time.time() + 120
         seen: set[int] = set()
+        from pyspark.errors import AnalysisException
+
         while time.time() < deadline and not {2, 4, 12, 14} <= seen:
             q2.processAllAvailable()
             try:
                 seen = {r["doc_id"] for r in spark.read.parquet(out2).collect()}
-            except Exception:
-                pass  # out2 not created yet
+            except AnalysisException:
+                pass  # out2 not created yet; real read errors surface
         assert q2.isActive  # still running — continuous, not drain-and-stop
         assert {2, 4, 12, 14} <= seen and not seen & {1, 3, 11, 13}
     finally:

@@ -395,6 +395,23 @@ def test_bm25_mixed_corpus_routes_per_row(spark):
     hit = ix.score("l’étoile", k=2).collect()
     assert hit and hit[0]["id"] == 5
 
+    # the Arrow TOKENIZE stage consumes the route-filtered branch only:
+    # in the optimized plan the tokenize_unicode eval's child is the
+    # RLIKE route filter. The other union leg tokenizes natively — its
+    # only Python stage is the pre-existing write-time NFKC scalar pass
+    # (this corpus has non-ASCII non-CJK rows), itself gated by the
+    # negated route filter.
+    plan = ix.postings._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("_tokenize_unicode_fn") == 1
+    arrow_at = plan.index("_tokenize_unicode_fn")
+    assert plan.index("Union") < arrow_at  # the eval lives inside one leg
+    # the route filter is the eval's child: next Filter after it is the
+    # un-negated route-class RLIKE
+    child = plan[arrow_at:].split("Filter", 2)[1]
+    assert "RLIKE" in child and "u2E80" in child and not child.lstrip().startswith("NOT")
+    # the native leg is behind the NEGATED route filter
+    assert "Filter NOT coalesce(RLIKE" in plan
+
 
 def test_bm25_routing_adversarial_scripts_match_query_tokenizer(spark):
     """One index build over every script family the route predicate must
@@ -433,20 +450,3 @@ def test_bm25_routing_adversarial_scripts_match_query_tokenizer(spark):
     for i, t in rows:
         want = Counter(tokenize_py(t))
         assert got.get(i, Counter()) == want, (i, t, got.get(i), want)
-
-    # the Arrow TOKENIZE stage consumes the ideographic-filtered branch
-    # only: in the optimized plan the tokenize_unicode eval's child is
-    # the RLIKE route filter. The other union leg tokenizes natively —
-    # its only Python stage is the pre-existing write-time NFKC scalar
-    # pass (this corpus has non-ASCII non-CJK rows), itself gated by the
-    # negated route filter.
-    plan = ix.postings._jdf.queryExecution().optimizedPlan().toString()
-    assert plan.count("_tokenize_unicode_fn") == 1
-    arrow_at = plan.index("_tokenize_unicode_fn")
-    assert plan.index("Union") < arrow_at  # the eval lives inside one leg
-    # the route filter is the eval's child: next Filter after it is the
-    # un-negated ideographic RLIKE
-    child = plan[arrow_at:].split("Filter", 2)[1]
-    assert "RLIKE" in child and "u2E80" in child and not child.lstrip().startswith("NOT")
-    # the native leg is behind the NEGATED route filter
-    assert "Filter NOT coalesce(RLIKE" in plan
