@@ -2804,6 +2804,116 @@ SELECT vec_id, score FROM d ORDER BY score, vec_id LIMIT {K}
 )
 
 
+def _ivf_auto_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """auto_nprobe made hash-checkable: the probe count is chosen by
+    cumulative probed-list MASS (smallest nprobe scanning ≥ half the
+    corpus — RECALL.md: recall tracks scan fraction, not probe count,
+    under skewed lists), then the pruned scan runs exactly like
+    ivf_knn_nprobe2. The CHOSEN probe set exports as the oracle's
+    replay surface, so the driver hashes the whole decision, not just
+    the scan."""
+    import numpy as np
+
+    ivf, assigned = _ivf_trained(spark, sf_dir)
+    qvec = _hybrid_qvec(spark, sf_dir)
+    sizes = {
+        r["cluster_id"]: r["n"]
+        for r in assigned.groupBy("cluster_id").agg(F.count("*").alias("n")).collect()
+    }
+    n = ivf.auto_nprobe(np.asarray(qvec), sizes, target_scan_frac=0.5)
+    key = (_skey(spark), sf_dir, "probes_auto")
+    if key not in _PROBE_WRITTEN:
+        _write_rows(
+            spark, f"{_art_dir(sf_dir)}/ivf/probes_auto.parquet",
+            [(int(c),) for c in ivf.probe_lists(np.asarray(qvec), n)],
+            "cluster_id bigint",
+        )
+        _PROBE_WRITTEN.add(key)
+    res = ivf.search(assigned, qvec, k=K, nprobe=n)
+    return res.select(F.col("id").alias("vec_id"), "score")
+
+
+_register(
+    "ivf_auto_nprobe_knn",
+    _ivf_auto_nprobe,
+    f"""
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = {QUERY_VEC_ID}),
+a AS (SELECT id, vector, cluster_id
+      FROM read_parquet('{_ART01}/ivf/assigned.parquet/**/*.parquet', hive_partitioning=1)),
+p AS (SELECT cluster_id FROM read_parquet('{_ART01}/ivf/probes_auto.parquet/*.parquet')),
+d AS (SELECT a.id AS vec_id, ROUND({_sql_l2('a.vector', 'q.qv')}, 6) AS score
+      FROM a JOIN p USING (cluster_id), q)
+SELECT vec_id, score FROM d ORDER BY score, vec_id LIMIT {K}
+""",
+)
+
+
+def _hybrid_ivfpq_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid fusion over the IVFPQ leg — with_adc() + with_nprobes(n)
+    compose (VectorSearch routes the pair to the residual-ADC probed
+    scan), so the hybrid × layout matrix covers every trained index the
+    engine has: flat, IVF, PQ, IVFPQ (here), graph, plus the maintained
+    recluster layout. Oracle replays the 2-probe per-cluster LUTs over
+    the encoded artifact restricted to the lang candidates, then
+    BM25 + RRF — the residual-ADC twin of hybrid_adc_rrf."""
+    import numpy as np
+
+    _ivfpq_adc(spark, sf_dir)  # trained index + encoded artifact
+    ix, enc = _IVFPQ_CACHE[(_skey(spark), sf_dir)]
+    qvec = _hybrid_qvec(spark, sf_dir)
+    key = (_skey(spark), sf_dir, "ivfpq_luts_q2")
+    if key not in _PROBE_WRITTEN:
+        q = np.asarray(qvec, dtype=np.float64)
+        rows = []
+        for cid in ix.ivf.probe_lists(q, 2):
+            lut = ix.pq.lut(q - ix.ivf.centroids[cid])
+            rows.extend(
+                (int(cid), s, c, float(lut[s][c]))
+                for s in range(ix.pq.m)
+                for c in range(ix.pq.ksub)
+            )
+        _write_rows(
+            spark, f"{_art_dir(sf_dir)}/ivfpq/luts_q2.parquet",
+            rows, "cluster_id bigint, sub int, code int, dist double",
+        )
+        _PROBE_WRITTEN.add(key)
+    corpus = _hybrid_corpus(spark, sf_dir)
+    corpus._ivfpq, corpus._ivfpq_enc = ix, enc
+    hs = (
+        corpus.hybrid_search()
+        .with_vector(qvec)
+        .with_text(BM25_QUERY)
+        .with_metadata(Eq(Field("lang"), HYBRID_LANG))
+        .with_k(K)
+        .with_adc()
+        .with_nprobes(2)
+        .with_fusion("rrf")
+    )
+    return hs.execute().select(F.col("id").alias("doc_id"), "score")
+
+
+_register(
+    "hybrid_ivfpq_rrf",
+    _hybrid_ivfpq_rrf,
+    f"""
+WITH c AS (SELECT id, cluster_id, codes FROM read_parquet('{_ART01}/ivfpq/encoded.parquet/*.parquet')
+           WHERE id IN (SELECT doc_id FROM documents WHERE lang = '{HYBRID_LANG}')),
+l AS (SELECT cluster_id, sub, code, dist FROM read_parquet('{_ART01}/ivfpq/luts_q2.parquet/*.parquet')),
+adc AS ({_sql_adc('c', 'l', extra_on=' AND l{s}.cluster_id = c.cluster_id')}),
+vres AS (SELECT vec_id AS id, score FROM adc ORDER BY score, vec_id LIMIT {K}),
+{_sql_bm25_ctes().strip().rstrip(',')},
+{_sql_bm25_score(BM25_QUERY, cand_where=f"lang = '{HYBRID_LANG}'")},
+tres AS (SELECT id, ROUND(score, 6) AS score FROM sc ORDER BY score DESC, id LIMIT {K}),
+vrank AS (SELECT id, row_number() OVER (ORDER BY score ASC, id ASC) - 1 AS r FROM vres),
+trank AS (SELECT id, row_number() OVER (ORDER BY score DESC, id ASC) - 1 AS r FROM tres)
+SELECT coalesce(vrank.id, trank.id) AS doc_id,
+       ROUND(coalesce(1.0/(60.0 + vrank.r), 0) + coalesce(1.0/(60.0 + trank.r), 0), 6) AS score
+FROM vrank FULL OUTER JOIN trank ON vrank.id = trank.id
+ORDER BY score DESC, doc_id LIMIT {K}
+""",
+)
+
+
 def _maint_ivfpq(spark: SparkSession, sf_dir: str):
     """Drifted store → refreshed IVFPQ → compact(recluster=ivfpq): the
     FULL maintenance pass — encode_inplace rewrites coarse cluster_id
