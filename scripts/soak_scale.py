@@ -58,6 +58,11 @@ QUERIES = [
     "mixture_sample_lang",   # pushdown predicate: ~linear in rows
     "quality_top_frac",      # one hash shuffle on the group key
     "image_resize_audit",    # per-row decode/resample kernel: ~linear
+    # r06: the maintenance pipelines END TO END (train + drifted store +
+    # refresh + compact(recluster) + export + query) — growth tracks the
+    # train/rewrite cost, which is the point: maintenance is corpus-linear
+    "ivf_recluster_knn",
+    "hnsw_addbatch_topk",    # incl. the 10x base build + add_batch
 ]
 
 
