@@ -450,3 +450,42 @@ def test_bm25_routing_adversarial_scripts_match_query_tokenizer(spark):
     for i, t in rows:
         want = Counter(tokenize_py(t))
         assert got.get(i, Counter()) == want, (i, t, got.get(i), want)
+
+
+def test_bm25_routing_fuzz_mixed_scripts(spark):
+    """Seeded fuzz of the routed index build: 200 random strings drawn
+    from a pool mixing ASCII words, Latin accents, CJK, Kana, Devanagari
+    (marks), Persian+ZWNJ, non-ASCII joiners, digits with separators,
+    and punctuation — ONE build, then every row's index tokens must
+    equal tokenize_py(text). Catches interactions the curated
+    adversarial rows don't (joiners adjacent to marks, CJK glued to
+    Latin, tokens spanning pool pieces)."""
+    import random
+    from collections import Counter
+
+    from comet_spark.operators.bm25 import BM25, tokenize_py
+
+    rng = random.Random(20260814)
+    pool = [
+        "alpha", "beta42", "café", "l’étoile", "don’t", "a·b", "東京",
+        "タワー", "ひらがな", "हिन्दी", "می‌خواهم", "a:b", "x.y", "1,234",
+        "٣٤٥", "U.S.A", "naïve", "ﾃﾞｰﾀ", "㈱", "_under_", "éclair",
+        "!", "--", "", "werewolf", "ТЕКСТ", "ㅋㅋ",
+    ]
+    rows = []
+    for i in range(200):
+        n = rng.randint(1, 12)
+        # glue SOME pieces directly (no space) to fuzz cross-piece runs
+        parts = []
+        for j in range(n):
+            parts.append(rng.choice(pool))
+            parts.append("" if rng.random() < 0.2 else " ")
+        rows.append((i, "".join(parts).strip()))
+    docs = spark.createDataFrame(rows, "id bigint, text string")
+    ix = BM25(docs)
+    got: dict[int, Counter] = {}
+    for r in ix.postings.collect():
+        got.setdefault(r["id"], Counter())[r["term"]] = r["tf"]
+    for i, t in rows:
+        want = Counter(tokenize_py(t))
+        assert got.get(i, Counter()) == want, (i, repr(t), got.get(i), want)
