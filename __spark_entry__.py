@@ -2805,31 +2805,39 @@ SELECT vec_id, score FROM d ORDER BY score, vec_id LIMIT {K}
 
 
 def _ivf_auto_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """auto_nprobe made hash-checkable: the probe count is chosen by
-    cumulative probed-list MASS (smallest nprobe scanning ≥ half the
-    corpus — RECALL.md: recall tracks scan fraction, not probe count,
-    under skewed lists), then the pruned scan runs exactly like
+    """auto_nprobe made hash-checkable THROUGH the builder knob
+    (``with_auto_nprobe``): the probe count is chosen by cumulative
+    probed-list MASS (smallest nprobe scanning ≥ half the corpus —
+    RECALL.md: recall tracks scan fraction, not probe count, under
+    skewed lists), then the pruned scan runs exactly like
     ivf_knn_nprobe2. The CHOSEN probe set exports as the oracle's
     replay surface, so the driver hashes the whole decision, not just
     the scan."""
     import numpy as np
 
+    from comet_spark.plans.builder import Corpus
+
     ivf, assigned = _ivf_trained(spark, sf_dir)
     qvec = _hybrid_qvec(spark, sf_dir)
-    sizes = {
-        r["cluster_id"]: r["n"]
-        for r in assigned.groupBy("cluster_id").agg(F.count("*").alias("n")).collect()
-    }
-    n = ivf.auto_nprobe(np.asarray(qvec), sizes, target_scan_frac=0.5)
     key = (_skey(spark), sf_dir, "probes_auto")
     if key not in _PROBE_WRITTEN:
+        sizes = {
+            r["cluster_id"]: r["n"]
+            for r in assigned.groupBy("cluster_id").agg(F.count("*").alias("n")).collect()
+        }
+        n = ivf.auto_nprobe(np.asarray(qvec), sizes, target_scan_frac=0.5)
         _write_rows(
             spark, f"{_art_dir(sf_dir)}/ivf/probes_auto.parquet",
             [(int(c),) for c in ivf.probe_lists(np.asarray(qvec), n)],
             "cluster_id bigint",
         )
         _PROBE_WRITTEN.add(key)
-    res = ivf.search(assigned, qvec, k=K, nprobe=n)
+    c = Corpus(_emb_docs(spark, sf_dir))
+    c._ivf, c._ivf_assigned = ivf, assigned
+    res = (
+        c.vector_search().with_query(qvec).with_k(K)
+        .with_auto_nprobe(0.5).execute()
+    )
     return res.select(F.col("id").alias("vec_id"), "score")
 
 

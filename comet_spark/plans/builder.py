@@ -57,6 +57,20 @@ class Corpus:
     _pq_codes: DataFrame | None = None
     _ivfpq: Any = None
     _ivfpq_enc: DataFrame | None = None
+    _ivf_sizes: dict | None = None
+
+    def _ivf_list_sizes(self) -> dict:
+        """List masses for scan-fraction probing (``auto_nprobe``): one
+        ``groupBy(cluster_id).count()`` over the attached layout,
+        memoized — computed once per layout, reused by every query."""
+        if self._ivf_sizes is None:
+            self._ivf_sizes = {
+                r["cluster_id"]: r["n"]
+                for r in self._ivf_assigned.groupBy("cluster_id")
+                .agg(F.count("*").alias("n"))
+                .collect()
+            }
+        return self._ivf_sizes
 
     def bm25(self) -> BM25:
         if self._bm25 is None:
@@ -201,11 +215,28 @@ class VectorSearch:
     n_probes_lsh: int = 0
     adc: bool = False
     rescore: int = 0
+    auto_scan_frac: float = 0.0
+    auto_max_nprobe: int | None = None
 
     def with_nprobes(self, n: int) -> "VectorSearch":
         """IVF probing (requires ``corpus.build_ivf``); reference
         ``index_search.go:178-182`` WithNProbes."""
         self.nprobes = n
+        return self
+
+    def with_auto_nprobe(
+        self, target_scan_frac: float, max_nprobe: int | None = None
+    ) -> "VectorSearch":
+        """Scan-fraction-driven probing (``IVFIndex.auto_nprobe``): pick
+        the smallest nprobe whose cumulative probed-list MASS reaches the
+        target — recall tracks the scanned corpus fraction, not the probe
+        count, under skewed list sizes (RECALL.md ladder). List sizes
+        come from one memoized ``groupBy(cluster_id).count()`` on the
+        corpus. For a query batch, the largest per-query choice applies —
+        every query meets its target. An explicit ``with_nprobes`` wins
+        over this knob."""
+        self.auto_scan_frac = float(target_scan_frac)
+        self.auto_max_nprobe = max_nprobe
         return self
 
     def with_adc(self, rescore: int = 0) -> "VectorSearch":
@@ -300,7 +331,10 @@ class VectorSearch:
         c = self.corpus
         if self.adc:
             return self._execute_adc()
-        if self.nprobes > 0 or self.ef_search > 0 or self.n_probes_lsh > 0:
+        if (
+            self.nprobes > 0 or self.ef_search > 0 or self.n_probes_lsh > 0
+            or self.auto_scan_frac > 0
+        ):
             return self._execute_ann()
         per_query = knn(
             c.docs,
@@ -411,7 +445,24 @@ class VectorSearch:
         c = self.corpus
         qdf = self._query_df()
         qrows = qdf.collect()
-        if self.nprobes > 0:
+        nprobes = self.nprobes
+        if nprobes == 0 and self.auto_scan_frac > 0:
+            # scan-fraction-driven choice, per query; a batch takes the
+            # largest so EVERY query reaches its target mass
+            if c._ivf is None:
+                raise ValueError("with_auto_nprobe requires corpus.build_ivf(nlist)")
+            import numpy as np
+
+            sizes = c._ivf_list_sizes()
+            nprobes = max(
+                c._ivf.auto_nprobe(
+                    np.asarray([float(x) for x in r["qvec"]]), sizes,
+                    target_scan_frac=self.auto_scan_frac,
+                    max_nprobe=self.auto_max_nprobe,
+                )
+                for r in qrows
+            )
+        if nprobes > 0:
             if c._ivf is None:
                 raise ValueError("with_nprobes requires corpus.build_ivf(nlist)")
             docs = c._ivf_assigned
@@ -424,11 +475,11 @@ class VectorSearch:
             if len(qrows) == 1:
                 out = c._ivf.search(
                     docs, [float(x) for x in qrows[0]["qvec"]], k=self.k,
-                    nprobe=self.nprobes, id_col=c.id_col, vec_col=c.vec_col,
+                    nprobe=nprobes, id_col=c.id_col, vec_col=c.vec_col,
                 )
             else:
                 per_query = c._ivf.search_batch(
-                    docs, qdf, k=self.k, nprobe=self.nprobes,
+                    docs, qdf, k=self.k, nprobe=nprobes,
                     id_col=c.id_col, vec_col=c.vec_col,
                 )
                 out = knn_aggregate(per_query, k=self.k, agg=self.agg, ascending=True)
@@ -593,6 +644,8 @@ class HybridSearch:
     n_probes_lsh: int = 0
     adc: bool = False
     rescore: int = 0
+    auto_scan_frac: float = 0.0
+    auto_max_nprobe: int | None = None
     threshold: float | None = None
     cutoff: int = -1
     agg: str = "sum"
@@ -606,6 +659,15 @@ class HybridSearch:
         delegates to whatever index it wraps,
         ``hybrid_search_index.go:477-615``)."""
         self.nprobes = n
+        return self
+
+    def with_auto_nprobe(
+        self, target_scan_frac: float, max_nprobe: int | None = None
+    ) -> "HybridSearch":
+        """Scan-fraction-driven probing on the vector leg (see
+        VectorSearch.with_auto_nprobe)."""
+        self.auto_scan_frac = float(target_scan_frac)
+        self.auto_max_nprobe = max_nprobe
         return self
 
     def with_ef_search(self, ef: int) -> "HybridSearch":
@@ -702,6 +764,8 @@ class HybridSearch:
                 c, _queries=[self._vec], k=self.k, nprobes=self.nprobes,
                 ef_search=self.ef_search, n_probes_lsh=self.n_probes_lsh,
                 adc=self.adc, rescore=self.rescore,
+                auto_scan_frac=self.auto_scan_frac,
+                auto_max_nprobe=self.auto_max_nprobe,
                 threshold=self.threshold, cutoff=self.cutoff, agg=self.agg,
             )
             if pred is not None:

@@ -45,6 +45,46 @@ def test_nprobes_partial_recall(corpus, qvec, flat_ids):
     assert len(got & set(flat_ids)) >= 3
 
 
+def test_auto_nprobe_full_mass_equals_flat(corpus, qvec, flat_ids):
+    """with_auto_nprobe(1.0) must scan the whole corpus mass →
+    degenerates to the exact fullprobe scan."""
+    if corpus._ivf is None:
+        corpus.build_ivf(nlist=8)
+    res = (
+        corpus.vector_search().with_query(qvec).with_k(10)
+        .with_auto_nprobe(1.0).execute()
+    )
+    assert [r["id"] for r in res.collect()] == flat_ids
+
+
+def test_auto_nprobe_matches_manual_choice(corpus, qvec):
+    """The builder knob must make the SAME choice as calling
+    IVFIndex.auto_nprobe by hand with the memoized list sizes, and an
+    explicit with_nprobes must override it."""
+    import numpy as np
+
+    if corpus._ivf is None:
+        corpus.build_ivf(nlist=8)
+    sizes = corpus._ivf_list_sizes()
+    n = corpus._ivf.auto_nprobe(np.asarray(qvec), sizes, target_scan_frac=0.5)
+    auto = (
+        corpus.vector_search().with_query(qvec).with_k(10)
+        .with_auto_nprobe(0.5).execute()
+    )
+    manual = (
+        corpus.vector_search().with_query(qvec).with_k(10)
+        .with_nprobes(n).execute()
+    )
+    assert [tuple(r) for r in auto.collect()] == [tuple(r) for r in manual.collect()]
+    # explicit nprobes wins over the auto knob
+    override = (
+        corpus.vector_search().with_query(qvec).with_k(10)
+        .with_auto_nprobe(0.1).with_nprobes(8).execute()
+    )
+    full = corpus.vector_search().with_query(qvec).with_k(10).with_nprobes(8).execute()
+    assert [tuple(r) for r in override.collect()] == [tuple(r) for r in full.collect()]
+
+
 def test_ef_search_lsh_recall(corpus, qvec, flat_ids):
     res = corpus.vector_search().with_query(qvec).with_k(10).with_ef_search(100).execute()
     got = {r["id"] for r in res.collect()}
