@@ -2804,6 +2804,9 @@ SELECT vec_id, score FROM d ORDER BY score, vec_id LIMIT {K}
 )
 
 
+_AUTO_CORPUS: dict[tuple[str, str], object] = {}
+
+
 def _ivf_auto_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """auto_nprobe made hash-checkable THROUGH the builder knob
     (``with_auto_nprobe``): the probe count is chosen by cumulative
@@ -2815,25 +2818,29 @@ def _ivf_auto_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     the scan."""
     import numpy as np
 
-    from comet_spark.plans.builder import Corpus
-
     ivf, assigned = _ivf_trained(spark, sf_dir)
     qvec = _hybrid_qvec(spark, sf_dir)
+    # one Corpus per session so the list-size memo actually memoizes
+    # across bench passes (the knob's documented once-per-layout cost)
+    key0 = (_skey(spark), sf_dir)
+    if key0 not in _AUTO_CORPUS:
+        from comet_spark.plans.builder import Corpus
+
+        c = Corpus(_emb_docs(spark, sf_dir))
+        c._ivf, c._ivf_assigned = ivf, assigned
+        _AUTO_CORPUS[key0] = c
+    c = _AUTO_CORPUS[key0]
     key = (_skey(spark), sf_dir, "probes_auto")
     if key not in _PROBE_WRITTEN:
-        sizes = {
-            r["cluster_id"]: r["n"]
-            for r in assigned.groupBy("cluster_id").agg(F.count("*").alias("n")).collect()
-        }
-        n = ivf.auto_nprobe(np.asarray(qvec), sizes, target_scan_frac=0.5)
+        n = ivf.auto_nprobe(
+            np.asarray(qvec), c._ivf_list_sizes(), target_scan_frac=0.5
+        )
         _write_rows(
             spark, f"{_art_dir(sf_dir)}/ivf/probes_auto.parquet",
-            [(int(c),) for c in ivf.probe_lists(np.asarray(qvec), n)],
+            [(int(x),) for x in ivf.probe_lists(np.asarray(qvec), n)],
             "cluster_id bigint",
         )
         _PROBE_WRITTEN.add(key)
-    c = Corpus(_emb_docs(spark, sf_dir))
-    c._ivf, c._ivf_assigned = ivf, assigned
     res = (
         c.vector_search().with_query(qvec).with_k(K)
         .with_auto_nprobe(0.5).execute()

@@ -58,11 +58,13 @@ class Corpus:
     _ivfpq: Any = None
     _ivfpq_enc: DataFrame | None = None
     _ivf_sizes: dict | None = None
+    _ivfpq_sizes: dict | None = None
 
     def _ivf_list_sizes(self) -> dict:
         """List masses for scan-fraction probing (``auto_nprobe``): one
         ``groupBy(cluster_id).count()`` over the attached layout,
-        memoized — computed once per layout, reused by every query."""
+        memoized — computed once per layout (build_ivf invalidates),
+        reused by every query."""
         if self._ivf_sizes is None:
             self._ivf_sizes = {
                 r["cluster_id"]: r["n"]
@@ -71,6 +73,18 @@ class Corpus:
                 .collect()
             }
         return self._ivf_sizes
+
+    def _ivfpq_list_sizes(self) -> dict:
+        """The IVFPQ twin of :meth:`_ivf_list_sizes` (coarse lists of the
+        encoded table; build_ivfpq invalidates)."""
+        if self._ivfpq_sizes is None:
+            self._ivfpq_sizes = {
+                r["cluster_id"]: r["n"]
+                for r in self._ivfpq_enc.groupBy("cluster_id")
+                .agg(F.count("*").alias("n"))
+                .collect()
+            }
+        return self._ivfpq_sizes
 
     def bm25(self) -> BM25:
         if self._bm25 is None:
@@ -103,6 +117,7 @@ class Corpus:
         self._ivf_assigned = self._ivf.assign(
             self.docs, id_col=self.id_col, vec_col=self.vec_col
         ).cache()
+        self._ivf_sizes = None  # a new layout invalidates the mass memo
         return self
 
     def build_pq(
@@ -154,6 +169,7 @@ class Corpus:
         self._ivfpq_enc = self._ivfpq.encode(
             self.docs, id_col=self.id_col, vec_col=self.vec_col
         ).cache()
+        self._ivfpq_sizes = None  # a new layout invalidates the mass memo
         return self
 
     def build_hnsw(
@@ -199,6 +215,22 @@ class Corpus:
         return HybridSearch(self)
 
 
+def _check_auto_nprobe_args(target_scan_frac: float, max_nprobe: int | None) -> float:
+    """Shared validation for with_auto_nprobe: a fraction outside
+    (0, 1] or a non-positive cap would silently degenerate to a flat
+    scan / an unrelated index path — fail loudly at the knob instead."""
+    frac = float(target_scan_frac)
+    if not 0.0 < frac <= 1.0:
+        raise ValueError(
+            f"with_auto_nprobe: target_scan_frac must be in (0, 1], got {frac}"
+        )
+    if max_nprobe is not None and max_nprobe < 1:
+        raise ValueError(
+            f"with_auto_nprobe: max_nprobe must be >= 1, got {max_nprobe}"
+        )
+    return frac
+
+
 @dataclass
 class VectorSearch:
     corpus: Corpus
@@ -233,9 +265,10 @@ class VectorSearch:
         count, under skewed list sizes (RECALL.md ladder). List sizes
         come from one memoized ``groupBy(cluster_id).count()`` on the
         corpus. For a query batch, the largest per-query choice applies —
-        every query meets its target. An explicit ``with_nprobes`` wins
+        every query meets its target. Composes with ``with_adc()`` (the
+        IVFPQ probed residual scan); an explicit ``with_nprobes`` wins
         over this knob."""
-        self.auto_scan_frac = float(target_scan_frac)
+        self.auto_scan_frac = _check_auto_nprobe_args(target_scan_frac, max_nprobe)
         self.auto_max_nprobe = max_nprobe
         return self
 
@@ -356,13 +389,51 @@ class VectorSearch:
             out = self._reranker(out)
         return out
 
+    def _resolve_nprobes(self, qrows) -> int:
+        """Effective nprobe: an explicit with_nprobes wins; otherwise the
+        auto knob picks per query by cumulative probed-list mass and a
+        batch takes the largest so EVERY query reaches its target. On
+        the ADC path the coarse quantizer and masses come from the IVFPQ
+        layout (with_adc + auto composes like with_adc + with_nprobes);
+        the result is clamped to >= 1 so an auto choice can never fall
+        through to an unrelated index path."""
+        if self.nprobes > 0 or self.auto_scan_frac <= 0:
+            return self.nprobes
+        import numpy as np
+
+        c = self.corpus
+        if self.adc:
+            if c._ivfpq is None:
+                raise ValueError(
+                    "with_adc + with_auto_nprobe requires corpus.build_ivfpq(...)"
+                )
+            ivf, sizes = c._ivfpq.ivf, c._ivfpq_list_sizes()
+        else:
+            if c._ivf is None:
+                raise ValueError("with_auto_nprobe requires corpus.build_ivf(nlist)")
+            ivf, sizes = c._ivf, c._ivf_list_sizes()
+        if not qrows:  # empty batch: keep the IVF path, result is empty
+            return 1
+        return max(
+            1,
+            max(
+                ivf.auto_nprobe(
+                    np.asarray([float(x) for x in r["qvec"]]), sizes,
+                    target_scan_frac=self.auto_scan_frac,
+                    max_nprobe=self.auto_max_nprobe,
+                )
+                for r in qrows
+            ),
+        )
+
     def _execute_adc(self) -> DataFrame:
         """PQ / IVFPQ compressed-domain paths (per-query ADC scan, optional
         exact rescore, cross-query aggregation for batches)."""
         c = self.corpus
         qrows = self._query_df().collect()
         vectors = c.docs if self.rescore else None
-        if self.nprobes == 0 and not self.rescore and len(qrows) > 1:
+        nprobes = self._resolve_nprobes(qrows)
+        if nprobes == 0 and not self.rescore and len(qrows) > 1:
             # plain-PQ batch: ONE scan of the codes table for all queries
             # (PQIndex.search_batch) instead of one full ADC scan per query
             if c._pq is None:
@@ -388,7 +459,7 @@ class VectorSearch:
         per_parts = []
         for r in qrows:
             qvec = [float(x) for x in r["qvec"]]
-            if self.nprobes > 0:
+            if nprobes > 0:
                 if c._ivfpq is None:
                     raise ValueError(
                         "with_adc + with_nprobes requires corpus.build_ivfpq(...)"
@@ -402,7 +473,7 @@ class VectorSearch:
                         "id", "left_semi",
                     )
                 part = c._ivfpq.search(
-                    enc, qvec, k=self.k, nprobe=self.nprobes,
+                    enc, qvec, k=self.k, nprobe=nprobes,
                     rescore=self.rescore, vectors=vectors,
                     id_col=c.id_col, vec_col=c.vec_col,
                 )
@@ -445,23 +516,7 @@ class VectorSearch:
         c = self.corpus
         qdf = self._query_df()
         qrows = qdf.collect()
-        nprobes = self.nprobes
-        if nprobes == 0 and self.auto_scan_frac > 0:
-            # scan-fraction-driven choice, per query; a batch takes the
-            # largest so EVERY query reaches its target mass
-            if c._ivf is None:
-                raise ValueError("with_auto_nprobe requires corpus.build_ivf(nlist)")
-            import numpy as np
-
-            sizes = c._ivf_list_sizes()
-            nprobes = max(
-                c._ivf.auto_nprobe(
-                    np.asarray([float(x) for x in r["qvec"]]), sizes,
-                    target_scan_frac=self.auto_scan_frac,
-                    max_nprobe=self.auto_max_nprobe,
-                )
-                for r in qrows
-            )
+        nprobes = self._resolve_nprobes(qrows)
         if nprobes > 0:
             if c._ivf is None:
                 raise ValueError("with_nprobes requires corpus.build_ivf(nlist)")
@@ -666,7 +721,7 @@ class HybridSearch:
     ) -> "HybridSearch":
         """Scan-fraction-driven probing on the vector leg (see
         VectorSearch.with_auto_nprobe)."""
-        self.auto_scan_frac = float(target_scan_frac)
+        self.auto_scan_frac = _check_auto_nprobe_args(target_scan_frac, max_nprobe)
         self.auto_max_nprobe = max_nprobe
         return self
 

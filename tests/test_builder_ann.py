@@ -85,6 +85,48 @@ def test_auto_nprobe_matches_manual_choice(corpus, qvec):
     assert [tuple(r) for r in override.collect()] == [tuple(r) for r in full.collect()]
 
 
+def test_auto_nprobe_validation_and_adc_composition(corpus, qvec):
+    """Knob hygiene (r06 review): out-of-range fractions and caps fail
+    loudly at the knob; with_adc + with_auto_nprobe routes through the
+    IVFPQ coarse lists (same results as the equivalent manual nprobe),
+    and a rebuilt IVF layout invalidates the list-size memo."""
+    import numpy as np
+
+    import pytest as _pytest
+
+    vs = corpus.vector_search()
+    with _pytest.raises(ValueError, match="target_scan_frac"):
+        vs.with_auto_nprobe(0.0)
+    with _pytest.raises(ValueError, match="target_scan_frac"):
+        vs.with_auto_nprobe(1.5)
+    with _pytest.raises(ValueError, match="max_nprobe"):
+        vs.with_auto_nprobe(0.5, max_nprobe=0)
+
+    if corpus._ivfpq is None:
+        corpus.build_ivfpq(nlist=4, m=4, nbits=4, max_iter=3)
+    sizes = corpus._ivfpq_list_sizes()
+    n = corpus._ivfpq.ivf.auto_nprobe(np.asarray(qvec), sizes, target_scan_frac=0.5)
+    auto = (
+        corpus.vector_search().with_query(qvec).with_k(10)
+        .with_adc().with_auto_nprobe(0.5).execute()
+    )
+    manual = (
+        corpus.vector_search().with_query(qvec).with_k(10)
+        .with_adc().with_nprobes(n).execute()
+    )
+    assert [tuple(r) for r in auto.collect()] == [tuple(r) for r in manual.collect()]
+
+    # rebuilding the layout must invalidate the memoized masses
+    if corpus._ivf is None:
+        corpus.build_ivf(nlist=8)
+    corpus._ivf_list_sizes()
+    assert corpus._ivf_sizes is not None
+    corpus.build_ivf(nlist=4)
+    assert corpus._ivf_sizes is None
+    assert len(corpus._ivf_list_sizes()) <= 4
+    corpus.build_ivf(nlist=8)  # restore for sibling tests
+
+
 def test_ef_search_lsh_recall(corpus, qvec, flat_ids):
     res = corpus.vector_search().with_query(qvec).with_k(10).with_ef_search(100).execute()
     got = {r["id"] for r in res.collect()}
