@@ -191,7 +191,7 @@ class IVFIndex:
 
     def search_batch(
         self, assigned: DataFrame, queries: DataFrame, *, k: int = 10,
-        nprobe: int = 8, id_col: str = "id", vec_col: str = "vector",
+        nprobe: int | dict = 8, id_col: str = "id", vec_col: str = "vector",
         qid_col: str = "qid", qvec_col: str = "qvec", round_to: int | None = 6,
     ) -> DataFrame:
         """Batch probed search, ONE job for all queries → (qid, id, score).
@@ -201,7 +201,13 @@ class IVFIndex:
         against the cluster-partitioned docs restricts each query to its
         own lists, and per-query top-k uses rank-limit pushdown. Every
         query's pruning happens inside one distributed pass — the batch
-        twin of the reference's per-query nprobe loop."""
+        twin of the reference's per-query nprobe loop.
+
+        ``nprobe`` may be a ``{qid: n}`` dict for PER-QUERY probe depths
+        (what ``auto_nprobe`` produces for a batch): each query's probe
+        table rows carry exactly its own lists, so a skewed batch never
+        pays the deepest query's scan on every query. Missing qids
+        default to 1."""
         from comet_spark.functions.vector import distance
         from comet_spark.operators.topk import topk_per_group
 
@@ -214,7 +220,8 @@ class IVFIndex:
         for r in qrows:
             qv = [float(x) for x in r["qv"]]
             qvec_rows.append((r["qid"], qv))
-            for cid in self.probe_lists(np.asarray(qv), nprobe):
+            n_q = nprobe.get(r["qid"], 1) if isinstance(nprobe, dict) else nprobe
+            for cid in self.probe_lists(np.asarray(qv), n_q):
                 probe_rows.append((r["qid"], cid))
         probes = spark.createDataFrame(probe_rows, "qid bigint, cluster_id bigint")
         qvecs = spark.createDataFrame(qvec_rows, "qid bigint, qv array<double>")

@@ -389,16 +389,16 @@ class VectorSearch:
             out = self._reranker(out)
         return out
 
-    def _resolve_nprobes(self, qrows) -> int:
-        """Effective nprobe: an explicit with_nprobes wins; otherwise the
-        auto knob picks per query by cumulative probed-list mass and a
-        batch takes the largest so EVERY query reaches its target. On
-        the ADC path the coarse quantizer and masses come from the IVFPQ
-        layout (with_adc + auto composes like with_adc + with_nprobes);
-        the result is clamped to >= 1 so an auto choice can never fall
-        through to an unrelated index path."""
+    def _auto_nprobe_map(self, qrows) -> dict | None:
+        """Per-query probe depths ``{qid: n}`` from the auto knob, or
+        None when the knob is off / an explicit with_nprobes overrides.
+        Each query's choice covers its own cumulative probed-list mass;
+        on the ADC path the coarse quantizer and masses come from the
+        IVFPQ layout (with_adc + auto composes like with_adc +
+        with_nprobes). Every value is clamped to >= 1 so an auto choice
+        can never fall through to an unrelated index path."""
         if self.nprobes > 0 or self.auto_scan_frac <= 0:
-            return self.nprobes
+            return None
         import numpy as np
 
         c = self.corpus
@@ -412,19 +412,17 @@ class VectorSearch:
             if c._ivf is None:
                 raise ValueError("with_auto_nprobe requires corpus.build_ivf(nlist)")
             ivf, sizes = c._ivf, c._ivf_list_sizes()
-        if not qrows:  # empty batch: keep the IVF path, result is empty
-            return 1
-        return max(
-            1,
-            max(
+        return {
+            int(r["qid"]): max(
+                1,
                 ivf.auto_nprobe(
                     np.asarray([float(x) for x in r["qvec"]]), sizes,
                     target_scan_frac=self.auto_scan_frac,
                     max_nprobe=self.auto_max_nprobe,
-                )
-                for r in qrows
-            ),
-        )
+                ),
+            )
+            for r in qrows
+        }
 
     def _execute_adc(self) -> DataFrame:
         """PQ / IVFPQ compressed-domain paths (per-query ADC scan, optional
@@ -432,7 +430,11 @@ class VectorSearch:
         c = self.corpus
         qrows = self._query_df().collect()
         vectors = c.docs if self.rescore else None
-        nprobes = self._resolve_nprobes(qrows)
+        auto_map = self._auto_nprobe_map(qrows)
+        nprobes = (
+            self.nprobes if auto_map is None
+            else (max(auto_map.values()) if auto_map else 1)
+        )
         if nprobes == 0 and not self.rescore and len(qrows) > 1:
             # plain-PQ batch: ONE scan of the codes table for all queries
             # (PQIndex.search_batch) instead of one full ADC scan per query
@@ -473,7 +475,8 @@ class VectorSearch:
                         "id", "left_semi",
                     )
                 part = c._ivfpq.search(
-                    enc, qvec, k=self.k, nprobe=nprobes,
+                    enc, qvec, k=self.k,
+                    nprobe=auto_map.get(int(r["qid"]), 1) if auto_map else nprobes,
                     rescore=self.rescore, vectors=vectors,
                     id_col=c.id_col, vec_col=c.vec_col,
                 )
@@ -516,7 +519,11 @@ class VectorSearch:
         c = self.corpus
         qdf = self._query_df()
         qrows = qdf.collect()
-        nprobes = self._resolve_nprobes(qrows)
+        auto_map = self._auto_nprobe_map(qrows)
+        nprobes = (
+            self.nprobes if auto_map is None
+            else (max(auto_map.values()) if auto_map else 1)
+        )
         if nprobes > 0:
             if c._ivf is None:
                 raise ValueError("with_nprobes requires corpus.build_ivf(nlist)")
@@ -533,8 +540,11 @@ class VectorSearch:
                     nprobe=nprobes, id_col=c.id_col, vec_col=c.vec_col,
                 )
             else:
+                # an auto batch probes PER QUERY (each query joins only
+                # its own lists) — the max is just the path gate above
                 per_query = c._ivf.search_batch(
-                    docs, qdf, k=self.k, nprobe=nprobes,
+                    docs, qdf, k=self.k,
+                    nprobe=auto_map if auto_map else nprobes,
                     id_col=c.id_col, vec_col=c.vec_col,
                 )
                 out = knn_aggregate(per_query, k=self.k, agg=self.agg, ascending=True)

@@ -127,6 +127,56 @@ def test_auto_nprobe_validation_and_adc_composition(corpus, qvec):
     corpus.build_ivf(nlist=8)  # restore for sibling tests
 
 
+def test_auto_nprobe_batch_probes_per_query(corpus, spark):
+    """A batch with per-query probe depths (what the auto knob produces)
+    must equal running each query alone at ITS OWN depth — no query
+    pays another query's scan; and the builder's multi-query auto path
+    matches the manually aggregated per-query singles."""
+    import numpy as np
+
+    from comet_spark.operators.knn import knn_aggregate
+
+    if corpus._ivf is None:
+        corpus.build_ivf(nlist=8)
+    ivf, assigned = corpus._ivf, corpus._ivf_assigned
+    qvecs = {
+        int(r["id"]): [float(x) for x in r["vector"]]
+        for r in corpus.docs.filter(F.col("id") < 3).collect()
+    }
+    depth = {0: 1, 1: 3, 2: 8}
+    qdf = spark.createDataFrame(
+        [(i, v) for i, v in qvecs.items()], "qid bigint, qvec array<double>"
+    )
+    batch = {
+        (r["qid"], r["id"], r["score"])
+        for r in ivf.search_batch(assigned, qdf, k=5, nprobe=depth).collect()
+    }
+    singles = set()
+    for qid, v in qvecs.items():
+        for r in ivf.search(assigned, v, k=5, nprobe=depth[qid]).collect():
+            singles.add((qid, r["id"], r["score"]))
+    assert batch == singles
+
+    sizes = corpus._ivf_list_sizes()
+    auto = (
+        corpus.vector_search()
+        .with_query(*qvecs.values()).with_k(5)
+        .with_auto_nprobe(0.5).with_score_aggregation("sum").execute()
+    )
+    per_q = []
+    for qid, v in zip(range(len(qvecs)), qvecs.values()):
+        n = ivf.auto_nprobe(np.asarray(v), sizes, target_scan_frac=0.5)
+        per_q.append(
+            ivf.search(assigned, v, k=5, nprobe=n)
+            .select(F.lit(qid).alias("qid"), "id", "score")
+        )
+    u = per_q[0]
+    for p in per_q[1:]:
+        u = u.unionByName(p)
+    want = knn_aggregate(u, k=5, agg="sum", ascending=True)
+    assert [tuple(r) for r in auto.collect()] == [tuple(r) for r in want.collect()]
+
+
 def test_ef_search_lsh_recall(corpus, qvec, flat_ids):
     res = corpus.vector_search().with_query(qvec).with_k(10).with_ef_search(100).execute()
     got = {r["id"] for r in res.collect()}
