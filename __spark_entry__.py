@@ -124,13 +124,23 @@ def _corpus_sig(sf_dir: str, table: str) -> str:
     """Cheap change-detector for a testdata table: file names + sizes +
     mtimes. Guards cross-session reuse of derived artifacts — the driver
     can regenerate testdata between rounds, and serving a stale index
-    against a fresh corpus must be impossible."""
+    against a fresh corpus must be impossible. Handles BOTH layouts the
+    driver has shipped: a parquet DIRECTORY (walked) and a single
+    parquet FILE (os.walk on a non-directory yields nothing, which
+    would have made every signature '' and the guard vacuous). An empty
+    signature (missing table) never validates — callers treat '' as
+    stale."""
     root = f"{sf_dir}/{table}.parquet"
+    paths = []
+    if os.path.isdir(root):
+        for dirpath, _, files in sorted(os.walk(root)):
+            paths.extend(os.path.join(dirpath, f) for f in sorted(files))
+    elif os.path.exists(root):
+        paths.append(root)
     parts = []
-    for dirpath, _, files in sorted(os.walk(root)):
-        for f in sorted(files):
-            st = os.stat(os.path.join(dirpath, f))
-            parts.append(f"{os.path.join(dirpath, f)}:{st.st_size}:{st.st_mtime_ns}")
+    for p in paths:
+        st = os.stat(p)
+        parts.append(f"{p}:{st.st_size}:{st.st_mtime_ns}")
     return "|".join(parts)
 
 
@@ -141,8 +151,9 @@ def _bm25_index(spark: SparkSession, sf_dir: str) -> BM25:
         sig = _corpus_sig(sf_dir, "documents")
         sig_path = f"{base}/corpus_sig.txt"
         try:
+            # an empty signature (missing table) must never validate
             with open(sig_path) as fh:
-                fresh = fh.read() == sig
+                fresh = sig != "" and fh.read() == sig
         except OSError:
             fresh = False
         try:
@@ -2179,6 +2190,27 @@ ORDER BY score DESC, doc_id LIMIT {K}
 )
 
 
+def _write_cluster_luts(spark: SparkSession, ix, qvec, path: str, nprobe: int) -> None:
+    """THE per-probed-cluster residual-LUT export (one copy — the plain
+    IVFPQ, hybrid-IVFPQ, and maintenance queries all replay their
+    oracles from tables of this exact shape, so the export math must
+    not diverge between them): for each of the query's ``nprobe``
+    nearest coarse lists, the PQ LUT of the query's residual against
+    that centroid, as (cluster_id, sub, code, dist) rows."""
+    import numpy as np
+
+    q = np.asarray(qvec, dtype=np.float64)
+    rows = []
+    for cid in ix.ivf.probe_lists(q, nprobe):
+        lut = ix.pq.lut(q - ix.ivf.centroids[cid])
+        rows.extend(
+            (int(cid), s, c, float(lut[s][c]))
+            for s in range(ix.pq.m)
+            for c in range(ix.pq.ksub)
+        )
+    _write_rows(spark, path, rows, "cluster_id bigint, sub int, code int, dist double")
+
+
 def _ivfpq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
 
@@ -2197,19 +2229,8 @@ def _ivfpq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     qvec = _hybrid_qvec(spark, sf_dir)
     key2 = (_skey(spark), sf_dir, "ivfpq_luts_q")
     if key2 not in _PROBE_WRITTEN:
-        q = np.asarray(qvec, dtype=np.float64)
-        probed = ix.ivf.probe_lists(q, 4)
-        rows = []
-        for cid in probed:
-            lut = ix.pq.lut(q - ix.ivf.centroids[cid])
-            rows.extend(
-                (int(cid), s, c, float(lut[s][c]))
-                for s in range(ix.pq.m)
-                for c in range(ix.pq.ksub)
-            )
-        _write_rows(
-            spark, f"{_art_dir(sf_dir)}/ivfpq/luts_q.parquet",
-            rows, "cluster_id bigint, sub int, code int, dist double",
+        _write_cluster_luts(
+            spark, ix, qvec, f"{_art_dir(sf_dir)}/ivfpq/luts_q.parquet", nprobe=4
         )
         _PROBE_WRITTEN.add(key2)
     res = ix.search(enc, qvec, k=K, nprobe=4)
@@ -2871,25 +2892,13 @@ def _hybrid_ivfpq_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     recluster layout. Oracle replays the 2-probe per-cluster LUTs over
     the encoded artifact restricted to the lang candidates, then
     BM25 + RRF — the residual-ADC twin of hybrid_adc_rrf."""
-    import numpy as np
-
     _ivfpq_adc(spark, sf_dir)  # trained index + encoded artifact
     ix, enc = _IVFPQ_CACHE[(_skey(spark), sf_dir)]
     qvec = _hybrid_qvec(spark, sf_dir)
     key = (_skey(spark), sf_dir, "ivfpq_luts_q2")
     if key not in _PROBE_WRITTEN:
-        q = np.asarray(qvec, dtype=np.float64)
-        rows = []
-        for cid in ix.ivf.probe_lists(q, 2):
-            lut = ix.pq.lut(q - ix.ivf.centroids[cid])
-            rows.extend(
-                (int(cid), s, c, float(lut[s][c]))
-                for s in range(ix.pq.m)
-                for c in range(ix.pq.ksub)
-            )
-        _write_rows(
-            spark, f"{_art_dir(sf_dir)}/ivfpq/luts_q2.parquet",
-            rows, "cluster_id bigint, sub int, code int, dist double",
+        _write_cluster_luts(
+            spark, ix, qvec, f"{_art_dir(sf_dir)}/ivfpq/luts_q2.parquet", nprobe=2
         )
         _PROBE_WRITTEN.add(key)
     corpus = _hybrid_corpus(spark, sf_dir)
@@ -2941,8 +2950,6 @@ def _maint_ivfpq(spark: SparkSession, sf_dir: str):
     (hnsw_addbatch_topk), IVFPQ here."""
     key = (_skey(spark), sf_dir, "ivfpq")
     if key not in _MAINT_CACHE:
-        import numpy as np
-
         from comet_spark.operators.ann import IVFPQIndex
 
         base = f"{_art_dir(sf_dir)}/maint"
@@ -2952,20 +2959,9 @@ def _maint_ivfpq(spark: SparkSession, sf_dir: str):
             ingest=lambda ix, d: ix.encode_inplace(d),
             refresh=lambda ix, view: ix.refresh(view, max_iter=5),
         )
-        qvec = _hybrid_qvec(spark, sf_dir)
-        q = np.asarray(qvec, dtype=np.float64)
-        probed = refreshed.ivf.probe_lists(q, 2)
-        rows = []
-        for cid in probed:
-            lut = refreshed.pq.lut(q - refreshed.ivf.centroids[cid])
-            rows.extend(
-                (int(cid), s, c, float(lut[s][c]))
-                for s in range(refreshed.pq.m)
-                for c in range(refreshed.pq.ksub)
-            )
-        _write_rows(
-            spark, f"{base}/ivfpq_luts_q.parquet",
-            rows, "cluster_id bigint, sub int, code int, dist double",
+        _write_cluster_luts(
+            spark, refreshed, _hybrid_qvec(spark, sf_dir),
+            f"{base}/ivfpq_luts_q.parquet", nprobe=2,
         )
         _MAINT_CACHE[key] = (refreshed, store)
     return _MAINT_CACHE[key]

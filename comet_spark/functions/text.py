@@ -206,9 +206,17 @@ def has_ideographic(df, text_col: str = "text") -> bool:
 #   "l’étoile" — U+2024, U+FE52, U+FF07, U+FF0E), MidNum (U+037E,
 #   U+0589, U+060C, U+060D, U+066C, U+07F8, U+2044, U+FE10, U+FE14,
 #   U+FE50, U+FE54, U+FF0C, U+FF1B) — uax29.py holds the spec sets;
-# - ZWNJ/ZWJ (WB4 ignores format chars inside a word — Persian/Indic
-#   text carries ZWNJ routinely; the native class would break there) and
-#   NNBSP U+202F (ExtendNumLet);
+# - NNBSP U+202F (ExtendNumLet) and the supplementary Kana blocks
+#   (U+1B000-1B16F: archaic kana / hentaigana — uax29 classes them
+#   Katakana/Hiragana, the native letter-run regex concatenates them);
+# - the Hebrew letter block (U+0590-05FF): WB7a/7b/7c give ASCII ' and
+#   " Hebrew-specific joining (gershayim acronyms like צה"ל are ONE
+#   token; a trailing geresh stays attached) that the native joiner
+#   regex cannot express — any Hebrew row takes the Arrow path;
+# - format chars (\\p{Cf}): WB4 ignores them inside a word — soft
+#   hyphen U+00AD, bidi marks U+200E/200F/061C, word joiner U+2060,
+#   and ZWNJ/ZWJ (Persian/Indic text carries ZWNJ routinely) — while
+#   the native class would break the run there;
 # - combining marks (\\p{M}): WB4 absorbs Extend into the run, but the
 #   native token class [\\p{L}\\p{N}\\p{Pc}] breaks at every Indic
 #   matra / Hebrew point / Arabic haraka. NFC composition hides most
@@ -222,8 +230,8 @@ NONNATIVE_TOKEN_RE = (
     + "\\u2018\\u2019\\u2024\\uFE52\\uFF07\\uFF0E"
     + "\\u037E\\u0589\\u060C\\u060D\\u066C\\u07F8\\u2044"
     + "\\uFE10\\uFE14\\uFE50\\uFE54\\uFF0C\\uFF1B"
-    + "\\u200C\\u200D\\u202F"
-    + "]|\\p{M}"
+    + "\\u202F\\u0590-\\u05FF\\x{1B000}-\\x{1B16F}"
+    + "]|\\p{M}|\\p{Cf}"
 )
 
 

@@ -424,17 +424,22 @@ class VectorSearch:
             for r in qrows
         }
 
+    def _effective_nprobes(self, qrows) -> tuple[dict | None, int]:
+        """(auto_map, scalar): the per-query depths from the auto knob
+        (None when off/overridden) and the scalar the probed-path gate
+        and single-query calls use — the largest auto choice; 1 for an
+        empty auto batch (keeps the IVF path, result is empty)."""
+        m = self._auto_nprobe_map(qrows)
+        n = self.nprobes if m is None else (max(m.values()) if m else 1)
+        return m, n
+
     def _execute_adc(self) -> DataFrame:
         """PQ / IVFPQ compressed-domain paths (per-query ADC scan, optional
         exact rescore, cross-query aggregation for batches)."""
         c = self.corpus
         qrows = self._query_df().collect()
         vectors = c.docs if self.rescore else None
-        auto_map = self._auto_nprobe_map(qrows)
-        nprobes = (
-            self.nprobes if auto_map is None
-            else (max(auto_map.values()) if auto_map else 1)
-        )
+        auto_map, nprobes = self._effective_nprobes(qrows)
         if nprobes == 0 and not self.rescore and len(qrows) > 1:
             # plain-PQ batch: ONE scan of the codes table for all queries
             # (PQIndex.search_batch) instead of one full ADC scan per query
@@ -519,11 +524,7 @@ class VectorSearch:
         c = self.corpus
         qdf = self._query_df()
         qrows = qdf.collect()
-        auto_map = self._auto_nprobe_map(qrows)
-        nprobes = (
-            self.nprobes if auto_map is None
-            else (max(auto_map.values()) if auto_map else 1)
-        )
+        auto_map, nprobes = self._effective_nprobes(qrows)
         if nprobes > 0:
             if c._ivf is None:
                 raise ValueError("with_nprobes requires corpus.build_ivf(nlist)")

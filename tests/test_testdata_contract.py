@@ -69,3 +69,33 @@ def test_testdata_schema_contract(table):
             "— the driver changed the testdata physical type; audit every "
             "query consuming this column (see memory: driver-testdata-shifts)"
         )
+
+
+def test_corpus_sig_detects_change_on_single_file_tables(tmp_path):
+    """The BM25 artifact-reuse fingerprint must be non-empty for BOTH
+    testdata layouts — parquet directory AND single parquet file (the
+    shipped layout; os.walk on a non-directory yields nothing, which
+    once made every signature '' and the staleness guard vacuous) — and
+    must change when the file changes."""
+    import os
+
+    import __spark_entry__ as entry
+
+    live = entry._corpus_sig(SF_DIR_ORACLE, "documents")
+    assert live != ""
+
+    f = tmp_path / "documents.parquet"
+    f.write_bytes(b"one")
+    s1 = entry._corpus_sig(str(tmp_path), "documents")
+    assert s1 != ""
+    f.write_bytes(b"four!")
+    s2 = entry._corpus_sig(str(tmp_path), "documents")
+    assert s2 != s1  # size changed -> signature changed
+
+    d = tmp_path / "dirtable" / "documents.parquet"
+    os.makedirs(d)
+    (d / "part-0.parquet").write_bytes(b"a")
+    s3 = entry._corpus_sig(str(tmp_path / "dirtable"), "documents")
+    assert s3 != "" and "part-0" in s3  # directory layout walked
+
+    assert entry._corpus_sig(str(tmp_path), "missing_table") == ""

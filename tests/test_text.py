@@ -441,6 +441,13 @@ def test_bm25_routing_adversarial_scripts_match_query_tokenizer(spark):
         (10, "ελληνικά κείμενο"),               # Greek: native
         (11, "русский текст"),                  # Cyrillic: native
         (12, "café naïve résumé"),              # composed Latin: native
+        # r06 whole-round review: Cf / Hebrew-quote / kana-supplement
+        # gaps — each mis-tokenized natively before the class widened
+        (13, "foo­bar hyphenated"),        # soft hyphen (Cf)
+        (14, "ab‎cd bidi mark"),           # LRM (Cf)
+        (15, 'צה"ל גדול'),                      # gershayim acronym (WB7b/c)
+        (16, "ד' ראשון"),                       # trailing geresh (WB7a)
+        (17, "x\U0001B000y archaic"),           # Kana Supplement
     ]
     docs = spark.createDataFrame(rows, "id bigint, text string")
     ix = BM25(docs)
