@@ -224,6 +224,34 @@ def has_ideographic(df, text_col: str = "text") -> bool:
 #   form route to the Arrow path — which is the correct segmentation.
 # Like IDEOGRAPHIC_RE, the class errs WIDE: it runs on pre-NFKC text and
 # a false positive only costs the (correct, slower) Arrow path.
+#
+# _NFKC_MARK_SOURCES closes the last hole: characters that match NONE of
+# the above pre-NFKC but whose NFKC expansion CREATES a combining mark,
+# a non-native joiner, or a Hebrew letter — e.g. '½' → '1⁄2' (fraction
+# slash is MidNum), U+FB1D → yod+hiriq(Mn), Arabic presentation forms →
+# tatweel+haraka(Mn), Devanagari QA → ka+nukta(Mn). Exhaustively
+# GENERATED by scanning all of Unicode: for every cp, if NFKC(cp) != cp
+# and the expansion contains a category-M char, a listed joiner, or a
+# U+0590-05FF char, and cp itself is not already matched, include it
+# (175 codepoints, Unicode 15-era tables; regenerate with the same rule
+# if the runtime's unicodedata major-version changes).
+_NFKC_MARK_SOURCES = (
+    "\\u00A8\\u00AF\\u00B4\\u00B8\\u00BC-\\u00BE"
+    "\\u013F-\\u0140\\u02D8-\\u02DD\\u037A\\u0384-\\u0385"
+    "\\u0958-\\u095F\\u09DC-\\u09DD\\u09DF\\u0A33\\u0A36"
+    "\\u0A59-\\u0A5B\\u0A5E\\u0B5C-\\u0B5D\\u0E33\\u0EB3"
+    "\\u0F43\\u0F4D\\u0F52\\u0F57\\u0F5C\\u0F69\\u1FBD"
+    "\\u1FBF-\\u1FC1\\u1FCD-\\u1FCF\\u1FDD-\\u1FDF"
+    "\\u1FED-\\u1FEE\\u1FFD-\\u1FFE\\u2017\\u203E"
+    "\\u2135-\\u2138\\u2150-\\u215F\\u2189\\u2ADC\\uFB1D"
+    "\\uFB1F-\\uFB28\\uFB2A-\\uFB36\\uFB38-\\uFB3C\\uFB3E"
+    "\\uFB40-\\uFB41\\uFB43-\\uFB44\\uFB46-\\uFB4F"
+    "\\uFC5B-\\uFC63\\uFC90\\uFCD9\\uFCF2-\\uFCF4"
+    "\\uFD3C-\\uFD3D\\uFE49-\\uFE4C\\uFE70-\\uFE72\\uFE74"
+    "\\uFE76-\\uFE7F\\uFFE3\\x{1D15E}-\\x{1D164}"
+    "\\x{1D1BB}-\\x{1D1C0}"
+)
+
 NONNATIVE_TOKEN_RE = (
     IDEOGRAPHIC_RE[:-1]
     + "\\u00B7\\u0387\\u05F4\\u2027\\uFE13\\uFE55\\uFF1A"
@@ -231,6 +259,7 @@ NONNATIVE_TOKEN_RE = (
     + "\\u037E\\u0589\\u060C\\u060D\\u066C\\u07F8\\u2044"
     + "\\uFE10\\uFE14\\uFE50\\uFE54\\uFF0C\\uFF1B"
     + "\\u202F\\u0590-\\u05FF\\x{1B000}-\\x{1B16F}"
+    + _NFKC_MARK_SOURCES
     + "]|\\p{M}|\\p{Cf}"
 )
 

@@ -448,6 +448,13 @@ def test_bm25_routing_adversarial_scripts_match_query_tokenizer(spark):
         (15, 'צה"ל גדול'),                      # gershayim acronym (WB7b/c)
         (16, "ד' ראשון"),                       # trailing geresh (WB7a)
         (17, "x\U0001B000y archaic"),           # Kana Supplement
+        # NFKC-source rows (final r06 review): the char matches nothing
+        # pre-NFKC but its expansion creates a mark/joiner the native
+        # tokenizer then breaks on
+        (18, "½ cup sugar"),                    # ½ → 1⁄2 (MidNum U+2044)
+        (19, "יִדות presentation"),         # U+FB1D → yod+hiriq(Mn)
+        (20, "xﹷy medial fatha"),          # → tatweel+fatha(Mn)
+        (21, "क़ख़ nukta sources"),               # U+0958-59 → ka+nukta(Mn)
     ]
     docs = spark.createDataFrame(rows, "id bigint, text string")
     ix = BM25(docs)
