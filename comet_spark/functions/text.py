@@ -259,6 +259,17 @@ NONNATIVE_TOKEN_RE = (
     + "\\u037E\\u0589\\u060C\\u060D\\u066C\\u07F8\\u2044"
     + "\\uFE10\\uFE14\\uFE50\\uFE54\\uFF0C\\uFF1B"
     + "\\u202F\\u0590-\\u05FF\\x{1B000}-\\x{1B16F}"
+    # Line_Break=SA (complex-context) scripts — Thai/Lao, Myanmar,
+    # Khmer, Tai Le/New Tai Lue/Khmer Symbols, Tai Tham, Myanmar
+    # Ext-B/Cham/Myanmar Ext-A/Tai Viet, Ahom. UAX#29 excludes SA from
+    # ALetter, so these letters segment per WB999 (char by char, like
+    # Han) in the reference's data-table segmenter — while the native
+    # letter-run regex concatenates them. Block-level (digits included)
+    # per the err-WIDE rule: a Thai-digit-only row pays the Arrow path
+    # needlessly, but a mark-free Thai row can never silently build
+    # run-based postings that per-char queries would miss.
+    + "\\u0E00-\\u0EFF\\u1000-\\u109F\\u1780-\\u17FF\\u1950-\\u19FF"
+    + "\\u1A20-\\u1AAF\\uA9E0-\\uAADF\\x{11700}-\\x{1174F}"
     + _NFKC_MARK_SOURCES
     + "]|\\p{M}|\\p{Cf}"
 )

@@ -9,8 +9,10 @@ explicit small classes (MidLetter/MidNum/MidNumLet/quotes/newlines).
 
 Fidelity notes (documented approximations, all irrelevant to the ASCII
 corpora the driver ships):
-- ALetter is approximated as "alphabetic, not Hiragana/Katakana/Han":
-  ideographic scripts segment char-by-char per WB999, as in the spec.
+- ALetter is approximated as "alphabetic, not Hiragana/Katakana/Han and
+  not Line_Break=SA": ideographic AND complex-context scripts (Thai,
+  Lao, Myanmar, Khmer, Tai, Cham — ``_SA_RANGES``) segment char-by-char
+  per WB999, as in the spec's data tables.
 - WB3c (ZWJ × Extended_Pictographic) is implemented against the
   Extended_Pictographic ranges vendored below from the public Unicode
   emoji-data file (UTS #51 / emoji-data.txt, merged contiguous form —
@@ -69,6 +71,27 @@ _NON_ALETTER_RANGES = (
     (0x3040, 0x309F),                     # Hiragana
     (0x4E00, 0x9FFF), (0x3400, 0x4DBF),   # CJK ideographs
     (0xF900, 0xFAFF), (0x20000, 0x2FA1F),
+)
+
+# Line_Break = SA ("complex context") blocks: UAX#29 derives ALetter as
+# Alphabetic=Yes MINUS Ideographic/Kana MINUS Line_Break=Complex_Context,
+# so Thai/Lao/Myanmar/Khmer/Tai/Cham LETTERS have no Word_Break property
+# (→ OTHER) and segment per WB999 — char by char, combining vowels/tones
+# attached via WB4 — exactly what the reference's data-table segmenter
+# (clipperhouse/uax29, built from WordBreakProperty.txt) produces for
+# these scripts; real word segmentation there needs a dictionary, which
+# neither engine carries. Block-level ranges are safe: only alphabetic
+# code points reach the ALetter check (digits resolved to Numeric and
+# marks to Extend earlier), so the blocks' digits/marks/punctuation are
+# unaffected by being spanned here.
+_SA_RANGES = (
+    (0x0E00, 0x0EFF),    # Thai, Lao
+    (0x1000, 0x109F),    # Myanmar
+    (0x1780, 0x17FF),    # Khmer
+    (0x1950, 0x19FF),    # Tai Le, New Tai Lue, Khmer Symbols
+    (0x1A20, 0x1AAF),    # Tai Tham
+    (0xA9E0, 0xAADF),    # Myanmar Ext-B, Cham, Myanmar Ext-A, Tai Viet
+    (0x11700, 0x1174F),  # Ahom
 )
 
 # Extended_Pictographic (WB3c operand): merged ranges from the public
@@ -150,7 +173,11 @@ def wb_class(ch: str) -> int:
         return KATAKANA
     if 0x0590 <= cp <= 0x05FF and ch.isalpha():
         return HEBREW
-    if (ch.isalpha() or cat == "Nl") and not _in_ranges(cp, _NON_ALETTER_RANGES):
+    if (
+        (ch.isalpha() or cat == "Nl")
+        and not _in_ranges(cp, _NON_ALETTER_RANGES)
+        and not _in_ranges(cp, _SA_RANGES)
+    ):
         return ALETTER
     if cat == "Zs":
         return WSEGSPACE

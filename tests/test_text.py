@@ -52,6 +52,27 @@ def test_python_uax29_unicode():
     assert segments("a b!") == ["a", " ", "b", "!"]
 
 
+def test_python_uax29_sa_scripts_segment_per_wb999():
+    """Line_Break=SA (complex-context) scripts are NOT ALetter: the
+    spec's data tables give Thai/Lao/Khmer/Myanmar letters no Word_Break
+    property, so they segment char-by-char (WB999) with combining
+    vowels/tones attached via WB4 — matching the reference's
+    clipperhouse/uax29 segmenter, which carries no dictionary either."""
+    # mark-free Thai: every letter its own token (the routing-hole case)
+    assert tokenize_unicode_py("กบ") == ["ก", "บ"]
+    assert tokenize_unicode_py("ab กบ cd") == ["ab", "ก", "บ", "cd"]
+    # Thai vowel (Mn U+0E34) attaches to its base per WB4
+    assert tokenize_unicode_py("กิน") == ["กิ", "น"]
+    # Thai digits stay Numeric and join per WB8
+    assert tokenize_unicode_py("๑๒๓") == ["๑๒๓"]
+    # Lao / Khmer / Myanmar: char+marks units, never letter runs
+    assert tokenize_unicode_py("ລາວ") == ["ລ", "າ", "ວ"]  # U+0EB2 is Lo
+    assert tokenize_unicode_py("ខ្មែរ") == ["ខ្", "មែ", "រ"]
+    assert tokenize_unicode_py("မြန်မာ") == ["မြ", "န်", "မာ"]
+    # Latin glued to Thai still breaks at the script edge (WB999)
+    assert tokenize_unicode_py("xกy") == ["x", "ก", "y"]
+
+
 @pytest.fixture(scope="module")
 def _spark_tok(spark):
     def run(strings: list[str]) -> list[list[str]]:
@@ -455,6 +476,14 @@ def test_bm25_routing_adversarial_scripts_match_query_tokenizer(spark):
         (19, "יִדות presentation"),         # U+FB1D → yod+hiriq(Mn)
         (20, "xﹷy medial fatha"),          # → tatweel+fatha(Mn)
         (21, "क़ख़ nukta sources"),               # U+0958-59 → ka+nukta(Mn)
+        # Line_Break=SA scripts (r06 fix): letters segment per WB999 in
+        # the spec tables; mark-free rows are the ones only the SA block
+        # ranges can route (no \p{M}/\p{Cf} char to catch them)
+        (22, "กข markfree thai"),               # mark-free Thai
+        (23, "สวัสดีครับ thai"),                 # Thai with vowels/tones
+        (24, "ພາສາລາວ lao"),                    # Lao (spacing Lo vowels)
+        (25, "ខ្មែរ khmer"),                     # Khmer with coeng/vowel
+        (26, "မြန်မာ myanmar"),                  # Myanmar
     ]
     docs = spark.createDataFrame(rows, "id bigint, text string")
     ix = BM25(docs)
@@ -485,6 +514,7 @@ def test_bm25_routing_fuzz_mixed_scripts(spark):
         "タワー", "ひらがな", "हिन्दी", "می‌خواهم", "a:b", "x.y", "1,234",
         "٣٤٥", "U.S.A", "naïve", "ﾃﾞｰﾀ", "㈱", "_under_", "éclair",
         "!", "--", "", "werewolf", "ТЕКСТ", "ㅋㅋ",
+        "กข", "สวัสดี", "ລາວ", "ខ្មែរ",  # Line_Break=SA scripts (r06)
     ]
     rows = []
     for i in range(200):
