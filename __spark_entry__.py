@@ -240,12 +240,18 @@ _SQL_TOKENIZE = (
     "list_filter(list_transform(regexp_extract_all("
     "regexp_replace(regexp_replace(regexp_replace(regexp_replace("
     "lower({col}), "
-    "'(\\p{{L}})([:.''])(\\p{{L}})', '\\1" + _TOKEN_MARK + "\\2\\3', 'g'), "
-    "'(\\p{{L}})([:.''])(\\p{{L}})', '\\1" + _TOKEN_MARK + "\\2\\3', 'g'), "
-    "'(\\p{{N}})([.,;''])(\\p{{N}})', '\\1" + _TOKEN_MARK + "\\2\\3', 'g'), "
-    "'(\\p{{N}})([.,;''])(\\p{{N}})', '\\1" + _TOKEN_MARK + "\\2\\3', 'g'), "
-    "'[\\p{{L}}\\p{{N}}\\p{{Pc}}]+(" + _TOKEN_MARK
-    + "[:.'',;][\\p{{L}}\\p{{N}}\\p{{Pc}}]+)*', 0), "
+    "'(\\p{{L}}\\p{{M}}*)([:.''])(\\p{{M}}*\\p{{L}})', "
+    "'\\1" + _TOKEN_MARK + "\\2\\3', 'g'), "
+    "'(\\p{{L}}\\p{{M}}*)([:.''])(\\p{{M}}*\\p{{L}})', "
+    "'\\1" + _TOKEN_MARK + "\\2\\3', 'g'), "
+    "'(\\p{{N}}\\p{{M}}*)([.,;''])(\\p{{M}}*\\p{{N}})', "
+    "'\\1" + _TOKEN_MARK + "\\2\\3', 'g'), "
+    "'(\\p{{N}}\\p{{M}}*)([.,;''])(\\p{{M}}*\\p{{N}})', "
+    "'\\1" + _TOKEN_MARK + "\\2\\3', 'g'), "
+    "'[\\p{{L}}\\p{{N}}\\p{{Pc}}][\\p{{L}}\\p{{N}}\\p{{Pc}}\\p{{M}}]*("
+    + _TOKEN_MARK
+    + "[:.'',;]\\p{{M}}*[\\p{{L}}\\p{{N}}\\p{{Pc}}]"
+    "[\\p{{L}}\\p{{N}}\\p{{Pc}}\\p{{M}}]*)*', 0), "
     "t -> replace(t, '" + _TOKEN_MARK + "', '')), "
     "t -> regexp_matches(t, '[\\p{{L}}\\p{{N}}]'))"
 )

@@ -8,6 +8,10 @@ ideographic scripts:
 
 - words are runs of letters/digits/connector-punctuation
   (``\\p{L}\\p{N}\\p{Pc}`` — WB5/8/9/10/13a/13b: they concatenate freely),
+- combining marks (``\\p{M}`` — all Word_Break=Extend) are absorbed into
+  the run per WB4: they continue a token and may follow a joiner, but
+  never start one (Indic matras / Arabic harakat / decomposed Latin
+  therefore tokenize natively),
 - a single MidLetter/MidNumLet/quote (``: . '``) joins letter-runs
   (WB6/7), a single MidNum/MidNumLet/quote (``. , ; '``) joins digit-runs
   (WB11/12),
@@ -68,12 +72,19 @@ TOKEN_MARK = "\ue000"
 
 # UAX#29 ASCII-projection classes (see uax29.py for the full spec sets):
 # MidLetter ∪ MidNumLet ∪ Single_Quote between letters; MidNum ∪
-# MidNumLet ∪ Single_Quote between digits
-_L_JOIN = r"(\p{L})([:.'])(\p{L})"
-_N_JOIN = r"(\p{N})([.,;'])(\p{N})"
+# MidNumLet ∪ Single_Quote between digits. Combining marks (\p{M}) are
+# absorbed into the run exactly like the spec's WB4 (every \p{M} code
+# point is Word_Break=Extend — uax29.wb_class maps Mn/Mc/Me to EXTEND):
+# they may follow any token char or a joiner, but can never START a
+# token (a mark after a space attaches to the space segment per WB4 and
+# that segment is dropped as non-wordlike — same result both sides).
+_L_JOIN = r"(\p{L}\p{M}*)([:.'])(\p{M}*\p{L})"
+_N_JOIN = r"(\p{N}\p{M}*)([.,;'])(\p{M}*\p{N})"
 _JOIN_REPL = "$1" + TOKEN_MARK + "$2$3"
 _TOKEN_RE = (
-    r"[\p{L}\p{N}\p{Pc}]+(?:" + TOKEN_MARK + r"[:.',;][\p{L}\p{N}\p{Pc}]+)*"
+    r"[\p{L}\p{N}\p{Pc}][\p{L}\p{N}\p{Pc}\p{M}]*(?:"
+    + TOKEN_MARK
+    + r"[:.',;]\p{M}*[\p{L}\p{N}\p{Pc}][\p{L}\p{N}\p{Pc}\p{M}]*)*"
 )
 _WORDLIKE_RE = r"[\p{L}\p{N}]"
 
@@ -217,39 +228,38 @@ def has_ideographic(df, text_col: str = "text") -> bool:
 #   hyphen U+00AD, bidi marks U+200E/200F/061C, word joiner U+2060,
 #   and ZWNJ/ZWJ (Persian/Indic text carries ZWNJ routinely) — while
 #   the native class would break the run there;
-# - combining marks (\\p{M}): WB4 absorbs Extend into the run, but the
-#   native token class [\\p{L}\\p{N}\\p{Pc}] breaks at every Indic
-#   matra / Hebrew point / Arabic haraka. NFC composition hides most
-#   Latin/Greek/Cyrillic marks; scripts whose marks have no composed
-#   form route to the Arrow path — which is the correct segmentation.
+# - emoji skin-tone modifiers (U+1F3FB-FF): Word_Break=Extend like
+#   marks, but category Sk — outside the native \\p{M} absorption, so a
+#   modifier glued directly to a letter/digit would split the run
+#   natively while the spec absorbs it.
+# Combining marks (\\p{M}) are NOT a route reason: since every \\p{M}
+# code point is Word_Break=Extend, the native pipeline absorbs them
+# in-run (token class + joiner contexts) exactly like WB4 — Indic
+# matras, Arabic harakat, and decomposed Latin stay on the native leg
+# (parity-fuzzed against tokenize_unicode_py in tests/test_text.py).
+# Hebrew points would be absorbable too, but the block routes anyway
+# for its quote rules (WB7a/b/c).
 # Like IDEOGRAPHIC_RE, the class errs WIDE: it runs on pre-NFKC text and
 # a false positive only costs the (correct, slower) Arrow path.
 #
-# _NFKC_MARK_SOURCES closes the last hole: characters that match NONE of
-# the above pre-NFKC but whose NFKC expansion CREATES a combining mark,
-# a non-native joiner, or a Hebrew letter — e.g. '½' → '1⁄2' (fraction
-# slash is MidNum), U+FB1D → yod+hiriq(Mn), Arabic presentation forms →
-# tatweel+haraka(Mn), Devanagari QA → ka+nukta(Mn). Exhaustively
-# GENERATED by scanning all of Unicode: for every cp, if NFKC(cp) != cp
-# and the expansion contains a category-M char, a listed joiner, or a
-# U+0590-05FF char, and cp itself is not already matched, include it
-# (175 codepoints, Unicode 15-era tables; regenerate with the same rule
-# if the runtime's unicodedata major-version changes).
-_NFKC_MARK_SOURCES = (
-    "\\u00A8\\u00AF\\u00B4\\u00B8\\u00BC-\\u00BE"
-    "\\u013F-\\u0140\\u02D8-\\u02DD\\u037A\\u0384-\\u0385"
-    "\\u0958-\\u095F\\u09DC-\\u09DD\\u09DF\\u0A33\\u0A36"
-    "\\u0A59-\\u0A5B\\u0A5E\\u0B5C-\\u0B5D\\u0E33\\u0EB3"
-    "\\u0F43\\u0F4D\\u0F52\\u0F57\\u0F5C\\u0F69\\u1FBD"
-    "\\u1FBF-\\u1FC1\\u1FCD-\\u1FCF\\u1FDD-\\u1FDF"
-    "\\u1FED-\\u1FEE\\u1FFD-\\u1FFE\\u2017\\u203E"
-    "\\u2135-\\u2138\\u2150-\\u215F\\u2189\\u2ADC\\uFB1D"
-    "\\uFB1F-\\uFB28\\uFB2A-\\uFB36\\uFB38-\\uFB3C\\uFB3E"
-    "\\uFB40-\\uFB41\\uFB43-\\uFB44\\uFB46-\\uFB4F"
-    "\\uFC5B-\\uFC63\\uFC90\\uFCD9\\uFCF2-\\uFCF4"
-    "\\uFD3C-\\uFD3D\\uFE49-\\uFE4C\\uFE70-\\uFE72\\uFE74"
-    "\\uFE76-\\uFE7F\\uFFE3\\x{1D15E}-\\x{1D164}"
-    "\\x{1D1BB}-\\x{1D1C0}"
+# _NFKC_ROUTE_SOURCES closes the last hole: characters that match NONE
+# of the above pre-NFKC but whose NFKC expansion CREATES a route-class
+# character — e.g. '½' → '1⁄2' (fraction slash is MidNum), U+FB1D →
+# yod+hiriq (Hebrew block), 'Ŀ' U+013F → L+U+00B7 (MidLetter), U+2135 →
+# alef. Exhaustively GENERATED by scripts/gen_nfkc_route_sources.py: for
+# every cp, if NFKC(cp) != cp, cp is not already matched, and the
+# expansion contains a base-route-class char (ideographic/Hebrew/SA
+# blocks, non-ASCII joiners, NNBSP, Kana Supplement, skin tones, or any
+# Cf), include it. Expansions that only add combining marks (Arabic
+# presentation forms → haraka, Devanagari QA → ka+nukta) are natively
+# absorbed post-NFKC and no longer route. (96 codepoints, unicodedata
+# 14.0; regenerate if the runtime's Unicode tables change.)
+_NFKC_ROUTE_SOURCES = (
+    "\\u00BC-\\u00BE\\u013F-\\u0140\\u2135-\\u2138\\u2150-\\u215F\\u2189"
+    "\\u2329-\\u232A\\uFB1D\\uFB1F-\\uFB28\\uFB2A-\\uFB36\\uFB38-\\uFB3C"
+    "\\uFB3E\\uFB40-\\uFB41\\uFB43-\\uFB44\\uFB46-\\uFB4F\\uFE11-\\uFE12"
+    "\\uFE17-\\uFE18\\uFE39-\\uFE44\\uFE51\\uFE5D-\\uFE5E\\uFF61-\\uFF64"
+    "\\x{1F12A}"
 )
 
 NONNATIVE_TOKEN_RE = (
@@ -270,8 +280,9 @@ NONNATIVE_TOKEN_RE = (
     # run-based postings that per-char queries would miss.
     + "\\u0E00-\\u0EFF\\u1000-\\u109F\\u1780-\\u17FF\\u1950-\\u19FF"
     + "\\u1A20-\\u1AAF\\uA9E0-\\uAADF\\x{11700}-\\x{1174F}"
-    + _NFKC_MARK_SOURCES
-    + "]|\\p{M}|\\p{Cf}"
+    + "\\x{1F3FB}-\\x{1F3FF}"
+    + _NFKC_ROUTE_SOURCES
+    + "]|\\p{Cf}"
 )
 
 

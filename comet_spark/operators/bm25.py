@@ -79,15 +79,18 @@ class BM25:
             # ideographic scripts (Han/Hiragana split char-by-char per
             # WB999 while the native regex concatenates letter runs),
             # non-ASCII in-word joiners (U+2019 in "l’étoile" is
-            # MidNumLet), ZWNJ/ZWJ, combining marks — must tokenize
+            # MidNumLet), ZWNJ/ZWJ and other format chars — must tokenize
             # exactly like the QUERY side (tokenize_py = full UAX#29) or
             # queries on those words return zero hits. Routing is PER
             # ROW (the probe only decides whether this branch exists at
             # all): rows matching NONNATIVE_TOKEN_RE take the
             # reference-exact Arrow path (which NFKC-normalizes
             # internally), every other row stays on the native JVM
-            # pipeline — a 100 TB corpus that is 1% CJK/Indic pays the
-            # Python tokenizer on 1% of rows, not 100%. The route
+            # pipeline — a 100 TB corpus that is 1% CJK pays the
+            # Python tokenizer on 1% of rows, not 100% (combining marks
+            # are NOT a route reason: the native token class absorbs
+            # \p{M} per WB4, so Indic/Arabic mark-bearing rows stay
+            # native — tests/test_text.py mark-fuzzes the parity). The route
             # predicate runs on PRE-NFKC text, which is why the class
             # also covers the compatibility forms NFKC folds INTO its
             # members (see functions/text.py). The union costs a second

@@ -140,6 +140,57 @@ def test_duckdb_matches_python_fuzz():
         assert got == tokenize_unicode_py(s), repr(s)
 
 
+# Mark-heavy alphabet for the native \p{M}-absorption fuzz (r06+): the
+# native pipeline absorbs combining marks per WB4 instead of routing the
+# row to the Arrow leg. Generated strings are NFKC-normalized before
+# feeding the native side (its contract — ensure_nfkc runs at build
+# time), so composition (e.g. a+◌́ → á) is exercised rather than avoided.
+_MARK_ALPHABET = (
+    "abqx 019 .,;:'_"
+    "कखगािीुे्"      # Devanagari consonants + matras + virama (Mn/Mc)
+    "بتنًُِّ"  # Arabic letters + harakat (Mn)
+    "́̈"                  # combining acute / diaeresis
+)
+
+
+def test_native_matches_python_marks_fuzz(_spark_tok):
+    """Combining-mark text tokenizes NATIVELY and still agrees with the
+    spec tokenizer exactly — the parity proof behind dropping \\p{M}
+    from the route predicate."""
+    import random
+
+    rng = random.Random(37)
+    strings = [
+        unicodedata.normalize(
+            "NFKC",
+            "".join(rng.choice(_MARK_ALPHABET) for _ in range(rng.randrange(0, 40))),
+        )
+        for _ in range(400)
+    ]
+    got = _spark_tok(strings)
+    for s, g in zip(strings, got):
+        assert g == tokenize_unicode_py(s), repr(s)
+
+
+def test_duckdb_matches_python_marks_fuzz():
+    """DuckDB twin of the mark-absorption fuzz (the oracle SQL must stay
+    expression-for-expression in sync with the native pipeline)."""
+    import random
+
+    from __spark_entry__ import _SQL_TOKENIZE
+
+    rng = random.Random(39)
+    con = duckdb.connect()
+    for _ in range(400):
+        s = unicodedata.normalize(
+            "NFKC",
+            "".join(rng.choice(_MARK_ALPHABET) for _ in range(rng.randrange(0, 40))),
+        )
+        lit = "'" + s.replace("'", "''") + "'"
+        got = con.execute("SELECT " + _SQL_TOKENIZE.format(col=lit)).fetchone()[0]
+        assert got == tokenize_unicode_py(s), repr(s)
+
+
 def test_driver_corpus_is_nfkc_invariant_ascii(spark):
     """The native tokenize assumes NFKC-normalized input; assert the
     driver's documents corpus satisfies that (pure ASCII)."""
@@ -440,9 +491,10 @@ def test_bm25_routing_adversarial_scripts_match_query_tokenizer(spark):
     guarantee: for EVERY row, index tokens == tokenize_py(text), so any
     query formed from a document's own words matches it. Rows cover the
     non-ASCII joiner classes (MidLetter ·, MidNumLet ’ and one-dot
-    leader, MidNum arabic comma), ZWNJ (Persian), combining marks
-    (Devanagari matras, Arabic harakat, Hebrew points), Katakana
-    halfwidth forms, enclosed-CJK NFKC sources, and plain
+    leader, MidNum arabic comma), ZWNJ (Persian), mark-bearing scripts
+    (Devanagari matras and Arabic harakat — NATIVE since the \\p{M}
+    absorption; Hebrew points — routed for the block's quote rules),
+    Katakana halfwidth forms, enclosed-CJK NFKC sources, and plain
     ASCII/Latin/Greek/Cyrillic controls that must stay native."""
     from collections import Counter
 
@@ -469,9 +521,10 @@ def test_bm25_routing_adversarial_scripts_match_query_tokenizer(spark):
         (15, 'צה"ל גדול'),                      # gershayim acronym (WB7b/c)
         (16, "ד' ראשון"),                       # trailing geresh (WB7a)
         (17, "x\U0001B000y archaic"),           # Kana Supplement
-        # NFKC-source rows (final r06 review): the char matches nothing
-        # pre-NFKC but its expansion creates a mark/joiner the native
-        # tokenizer then breaks on
+        # NFKC-source rows: 18/19 still route (expansion creates a
+        # MidNum joiner / Hebrew letters); 20/21 expand to marks only
+        # and now tokenize NATIVELY via the \p{M} absorption — parity
+        # must hold either way
         (18, "½ cup sugar"),                    # ½ → 1⁄2 (MidNum U+2044)
         (19, "יִדות presentation"),         # U+FB1D → yod+hiriq(Mn)
         (20, "xﹷy medial fatha"),          # → tatweel+fatha(Mn)
@@ -495,6 +548,62 @@ def test_bm25_routing_adversarial_scripts_match_query_tokenizer(spark):
         assert got.get(i, Counter()) == want, (i, t, got.get(i), want)
 
 
+def test_bm25_mark_corpus_stays_native(spark):
+    """A corpus whose only non-ASCII content is combining-mark text
+    (Hindi matras, Arabic harakat, NFKC-sourced nukta forms, decomposed
+    Latin) must NOT route any row to the Arrow tokenizer — the native
+    \\p{M} absorption (WB4) handles it — while the index tokens still
+    match the query tokenizer exactly. This is the r06+ perf claim: a
+    100 TB Indic/Arabic corpus pays zero Python tokenization."""
+    from collections import Counter
+
+    from comet_spark.functions.text import needs_unicode_tokenize
+    from comet_spark.operators.bm25 import BM25, tokenize_py
+
+    rows = [
+        (0, "हिन्दी में पाठ लिखा"),
+        (1, "क़ख़ nukta forms"),          # precomposed U+0958/59 → NFKC marks
+        (2, "نصٌ عربيٌ مُشكول"),          # Arabic with harakat
+        (3, "plain ascii text"),
+        (4, "q́ẍ decomposed latin"),  # no precomposed forms
+    ]
+    docs = spark.createDataFrame(rows, "id bigint, text string")
+    assert not needs_unicode_tokenize(docs)  # no row routes
+    ix = BM25(docs)
+    plan = ix.postings._jdf.queryExecution().optimizedPlan().toString()
+    assert "_tokenize_unicode_fn" not in plan  # fully native build
+    got: dict[int, Counter] = {}
+    for r in ix.postings.collect():
+        got.setdefault(r["id"], Counter())[r["term"]] = r["tf"]
+    for i, t in rows:
+        assert got.get(i, Counter()) == Counter(tokenize_py(t)), (i, t)
+    assert ix.score("हिन्दी", k=2).collect()[0]["id"] == 0
+    assert ix.score("مُشكول", k=2).collect()[0]["id"] == 2
+
+
+def test_skin_tone_modifier_routes(spark):
+    """Emoji skin-tone modifiers (U+1F3FB-FF) are Word_Break=Extend but
+    category Sk — outside the native \\p{M} absorption — so a modifier
+    glued to a letter must route its row (per spec 'ok\U0001F3FBx' is
+    ONE token: the modifier absorbs into k per WB4, then k×x joins per
+    WB5)."""
+    from collections import Counter
+
+    from comet_spark.functions.text import needs_unicode_tokenize
+    from comet_spark.operators.bm25 import BM25, tokenize_py
+
+    rows = [(0, "ok\U0001F3FBx glued"), (1, "plain row")]
+    docs = spark.createDataFrame(rows, "id bigint, text string")
+    assert needs_unicode_tokenize(docs)
+    assert tokenize_py(rows[0][1]) == ["ok\U0001F3FBx", "glued"]
+    ix = BM25(docs)
+    got: dict[int, Counter] = {}
+    for r in ix.postings.collect():
+        got.setdefault(r["id"], Counter())[r["term"]] = r["tf"]
+    for i, t in rows:
+        assert got.get(i, Counter()) == Counter(tokenize_py(t)), (i, t)
+
+
 def test_bm25_routing_fuzz_mixed_scripts(spark):
     """Seeded fuzz of the routed index build: 200 random strings drawn
     from a pool mixing ASCII words, Latin accents, CJK, Kana, Devanagari
@@ -515,6 +624,9 @@ def test_bm25_routing_fuzz_mixed_scripts(spark):
         "٣٤٥", "U.S.A", "naïve", "ﾃﾞｰﾀ", "㈱", "_under_", "éclair",
         "!", "--", "", "werewolf", "ТЕКСТ", "ㅋㅋ",
         "กข", "สวัสดี", "ລາວ", "ខ្មែរ",  # Line_Break=SA scripts (r06)
+        # native \p{M} absorption (r06+): mark-bearing pieces that must
+        # stay native yet glue correctly against every other pool piece
+        "क़ि", "बिंदु", "بَت", "q́x", "ok\U0001F3FBx",
     ]
     rows = []
     for i in range(200):
