@@ -57,6 +57,64 @@ def tokenize_py(text: str) -> list[str]:
     return tokenize_unicode_py(text)
 
 
+def _token_table(
+    docs: DataFrame, id_col: str, text_col: str, normalize: bool
+) -> DataFrame:
+    """(id, term) exploded token table of a corpus — the shared front of
+    the index BUILD and the incremental APPEND paths, so the per-row
+    tokenizer routing exists exactly once."""
+    # write-time NFKC (reference bm25_index.go:153-156): the index
+    # build normalizes once, so scoring stays native on any corpus.
+    # ASCII corpora pass through with zero added cost (one probe
+    # scan); normalize=False opts out when the caller guarantees
+    # already-normalized AND non-ideographic input.
+    if normalize and needs_unicode_tokenize(docs, text_col):
+        # Rows the native tokenizer cannot segment per UAX#29 —
+        # ideographic scripts (Han/Hiragana split char-by-char per
+        # WB999 while the native regex concatenates letter runs),
+        # non-ASCII in-word joiners (U+2019 in "l’étoile" is
+        # MidNumLet), ZWNJ/ZWJ and other format chars — must tokenize
+        # exactly like the QUERY side (tokenize_py = full UAX#29) or
+        # queries on those words return zero hits. Routing is PER
+        # ROW (the probe only decides whether this branch exists at
+        # all): rows matching NONNATIVE_TOKEN_RE take the
+        # reference-exact Arrow path (which NFKC-normalizes
+        # internally), every other row stays on the native JVM
+        # pipeline — a 100 TB corpus that is 1% CJK pays the
+        # Python tokenizer on 1% of rows, not 100% (combining marks
+        # are NOT a route reason: the native token class absorbs
+        # \p{M} per WB4, so Indic/Arabic mark-bearing rows stay
+        # native — tests/test_text.py mark-fuzzes the parity). The route
+        # predicate runs on PRE-NFKC text, which is why the class
+        # also covers the compatibility forms NFKC folds INTO its
+        # members (see functions/text.py). The union costs a second
+        # scan of the corpus, but the native leg's filter is pushed
+        # to the scan and the Arrow leg reads only its rows.
+        from comet_spark.functions.text import (
+            NONNATIVE_TOKEN_RE,
+            tokenize_unicode,
+        )
+
+        is_nonnative = F.coalesce(
+            F.col(text_col).rlike(NONNATIVE_TOKEN_RE), F.lit(False)
+        )
+        arrow_toks = docs.filter(is_nonnative).select(
+            F.col(id_col).alias("id"),
+            F.explode(tokenize_unicode(text_col)).alias("term"),
+        )
+        rest = ensure_nfkc(docs.filter(~is_nonnative), text_col)
+        rest_toks = rest.select(
+            F.col(id_col).alias("id"),
+            F.explode(tokenize(text_col)).alias("term"),
+        )
+        return arrow_toks.unionByName(rest_toks)
+    if normalize:
+        docs = ensure_nfkc(docs, text_col)
+    return docs.select(
+        F.col(id_col).alias("id"), F.explode(tokenize(text_col)).alias("term")
+    )
+
+
 class BM25:
     """A BM25 'index' = three small derived DataFrames over a corpus.
 
@@ -69,57 +127,7 @@ class BM25:
         self, docs: DataFrame, *, id_col: str = "id", text_col: str = "text",
         cache: bool = False, normalize: bool = True,
     ):
-        # write-time NFKC (reference bm25_index.go:153-156): the index
-        # build normalizes once, so scoring stays native on any corpus.
-        # ASCII corpora pass through with zero added cost (one probe
-        # scan); normalize=False opts out when the caller guarantees
-        # already-normalized AND non-ideographic input.
-        if normalize and needs_unicode_tokenize(docs, text_col):
-            # Rows the native tokenizer cannot segment per UAX#29 —
-            # ideographic scripts (Han/Hiragana split char-by-char per
-            # WB999 while the native regex concatenates letter runs),
-            # non-ASCII in-word joiners (U+2019 in "l’étoile" is
-            # MidNumLet), ZWNJ/ZWJ and other format chars — must tokenize
-            # exactly like the QUERY side (tokenize_py = full UAX#29) or
-            # queries on those words return zero hits. Routing is PER
-            # ROW (the probe only decides whether this branch exists at
-            # all): rows matching NONNATIVE_TOKEN_RE take the
-            # reference-exact Arrow path (which NFKC-normalizes
-            # internally), every other row stays on the native JVM
-            # pipeline — a 100 TB corpus that is 1% CJK pays the
-            # Python tokenizer on 1% of rows, not 100% (combining marks
-            # are NOT a route reason: the native token class absorbs
-            # \p{M} per WB4, so Indic/Arabic mark-bearing rows stay
-            # native — tests/test_text.py mark-fuzzes the parity). The route
-            # predicate runs on PRE-NFKC text, which is why the class
-            # also covers the compatibility forms NFKC folds INTO its
-            # members (see functions/text.py). The union costs a second
-            # scan of the corpus, but the native leg's filter is pushed
-            # to the scan and the Arrow leg reads only its rows.
-            from comet_spark.functions.text import (
-                NONNATIVE_TOKEN_RE,
-                tokenize_unicode,
-            )
-
-            is_nonnative = F.coalesce(
-                F.col(text_col).rlike(NONNATIVE_TOKEN_RE), F.lit(False)
-            )
-            arrow_toks = docs.filter(is_nonnative).select(
-                F.col(id_col).alias("id"),
-                F.explode(tokenize_unicode(text_col)).alias("term"),
-            )
-            rest = ensure_nfkc(docs.filter(~is_nonnative), text_col)
-            rest_toks = rest.select(
-                F.col(id_col).alias("id"),
-                F.explode(tokenize(text_col)).alias("term"),
-            )
-            toks = arrow_toks.unionByName(rest_toks)
-        else:
-            if normalize:
-                docs = ensure_nfkc(docs, text_col)
-            toks = docs.select(
-                F.col(id_col).alias("id"), F.explode(tokenize(text_col)).alias("term")
-            )
+        toks = _token_table(docs, id_col, text_col, normalize)
         # tf per (doc, term); doc length per doc
         self.postings = toks.groupBy("id", "term").agg(F.count("*").alias("tf"))
         if cache:
@@ -133,12 +141,15 @@ class BM25:
         self.df = self.postings.groupBy("term").agg(F.count("*").alias("df"))
         # N counts every document (token-less docs have dl=0 and can never
         # match, but they participate in N/avgdl like the reference's
-        # numDocs/totalTokens counters, bm25_index.go:107-113)
+        # numDocs/totalTokens counters, bm25_index.go:107-113). total_dl
+        # (exact — dl is integral) rides along so :meth:`append` can merge
+        # per-segment stats without an avgdl rounding error.
         self.stats = docs.select(F.col(id_col).alias("id")).join(
             self.doc_len, "id", "left"
         ).agg(
             F.count("*").cast("double").alias("n_docs"),
             (F.sum(F.coalesce("dl", F.lit(0))) / F.count("*")).alias("avgdl"),
+            F.sum(F.coalesce("dl", F.lit(0))).cast("double").alias("total_dl"),
         )
         if cache:
             # the derived tables are doc- and vocabulary-sized — caching
@@ -211,13 +222,115 @@ class BM25:
                     f"CLUSTERED BY (term) SORTED BY (term) INTO {buckets} BUCKETS "
                     f"LOCATION '{loc}'"
                 )
+            else:
+                # pick up segment files appended outside this session's
+                # cached file listing
+                spark.catalog.refreshTable(name)
             ix.postings = spark.table(name)
         else:
             ix.postings = spark.read.parquet(f"{path}/postings")
         ix.doc_len = spark.read.parquet(f"{path}/doc_len")
         ix.df = spark.read.parquet(f"{path}/df")
         ix.stats = spark.read.parquet(f"{path}/stats")
+        # Incremental appends (:meth:`append`) leave one stats row per
+        # segment. The merge is exact: postings/doc_len concatenate (ids
+        # are disjoint by append's contract), df partials SUM per term,
+        # and avgdl recomputes from the integral total_dl — so an
+        # appended-then-reopened index is value-identical to a fresh
+        # full-corpus build. A single-segment index (the common case)
+        # keeps the plain single-row broadcast plan untouched.
+        segs = ix.stats.collect()  # one tiny row per segment
+        if len(segs) > 1:
+            ix.df = ix.df.groupBy("term").agg(F.sum("df").alias("df"))
+            n = float(sum(r["n_docs"] for r in segs))
+            tdl = float(sum(r["total_dl"] or 0.0 for r in segs))
+            ix.stats = spark.createDataFrame(
+                [(n, tdl / n if n else None, tdl)],
+                "n_docs double, avgdl double, total_dl double",
+            )
         return ix
+
+    @classmethod
+    def append(
+        cls,
+        spark,
+        path: str,
+        new_docs: DataFrame,
+        *,
+        id_col: str = "id",
+        text_col: str = "text",
+        normalize: bool = True,
+        check_disjoint: bool = True,
+    ) -> None:
+        """Incrementally extend a persisted index with NEW documents —
+        J-family index maintenance for the text side, matching the ANN
+        layouts' refresh/compact story. Only the appended batch is
+        tokenized; its postings/doc_len land as extra segment files and
+        df/stats gain one per-segment partial each. Nothing on disk is
+        read back or rewritten, so the maintenance cost is O(batch)
+        rather than the full-corpus re-tokenize + (id, term) shuffle a
+        rebuild pays — the same reason the reference mutates its
+        in-memory postings on Add (``bm25_index.go:99-140``) instead of
+        re-indexing. :meth:`read` merges segments exactly (see there),
+        so scores off an appended index equal a fresh full-corpus build.
+
+        On a bucketed index the new postings append INTO the bucket
+        layout (Spark shuffles the batch by the bucket hash), keeping
+        literal-term bucket pruning across segments; many small appends
+        accumulate files per bucket — re-:meth:`write` from a fresh
+        build to re-consolidate, exactly like store compaction.
+
+        ``check_disjoint=True`` verifies no appended id already exists
+        (one broadcast semi-join probe against doc_len — skips token-less
+        docs, which never enter doc_len); pass ``False`` on huge stores
+        when id freshness is guaranteed upstream (e.g. DocumentStore
+        sequencing). Upsert/delete semantics belong to the LSM merge
+        view (lsm_merge_bm25), not here. Like the reference's
+        single-writer index, the append is not concurrent-reader-safe:
+        open readers after it completes."""
+        try:
+            buckets = int(spark.read.parquet(f"{path}/meta").first()["buckets"])
+        except Exception:  # pre-meta index directories
+            buckets = 0
+        if "total_dl" not in spark.read.parquet(f"{path}/stats").columns:
+            raise ValueError(
+                "append(): index was written by a version without "
+                "per-segment stats (no total_dl column); rebuild it once "
+                "with BM25(...).write(path) before appending"
+            )
+        if check_disjoint:
+            old_ids = spark.read.parquet(f"{path}/doc_len").select("id")
+            dup = (
+                new_docs.select(F.col(id_col).alias("id"))
+                .join(old_ids, "id", "left_semi")
+                .limit(1)
+                .count()
+            )
+            if dup:
+                raise ValueError(
+                    "append(): batch contains ids already in the index; "
+                    "appended documents must be new (route upserts "
+                    "through the LSM merge view instead)"
+                )
+        seg = cls(new_docs, id_col=id_col, text_col=text_col, normalize=normalize)
+        if buckets > 0:
+            # mode=append honors (or, in a fresh session where the
+            # catalog forgot the table, re-creates) the bucket spec; the
+            # pre-existing files under path/postings stay table data
+            (
+                seg.postings.write.mode("append")
+                .option("path", f"{path}/postings")
+                .bucketBy(buckets, "term")
+                .sortBy("term")
+                .saveAsTable(_postings_table_name(path))
+            )
+        else:
+            seg.postings.write.mode("append").parquet(f"{path}/postings")
+        seg.doc_len.write.mode("append").parquet(f"{path}/doc_len")
+        seg.df.write.mode("append").parquet(f"{path}/df")
+        # stats LAST: a torn read shows stats lagging postings, never a
+        # phantom segment whose postings are missing
+        seg.stats.repartition(1).write.mode("append").parquet(f"{path}/stats")
 
     def _scored(
         self, query_terms: DataFrame, prefilter_ids: DataFrame | None,

@@ -270,6 +270,79 @@ def test_bm25_persist_roundtrip(spark, tmp_path):
     assert "Bucketed: true" in plan and "SelectedBucketsCount" in plan
 
 
+def test_bm25_append_matches_full_rebuild(spark, tmp_path):
+    """Incremental index maintenance (J-family, text side): append only
+    tokenizes the new batch, yet the reopened index — postings, df,
+    stats, and final scores — is value-identical to a fresh build over
+    the full corpus, on both the plain and the bucketed layout, across
+    multiple appended segments, and with token-less docs in either
+    half (they count toward N/avgdl but never match)."""
+    import pyspark.sql.functions as F
+
+    from comet_spark.operators.bm25 import BM25, _postings_table_name
+
+    rows = [
+        (1, "spark joins tables fast"), (2, "spark streams data"),
+        (3, ""), (4, "tables of data and data"),
+        (5, "fast spark scans"), (6, "joins of tables"),
+        (7, ""), (8, "data data data tables"),
+    ]
+    full = spark.createDataFrame(rows, "id bigint, text string")
+    base = full.filter(F.col("id") <= 4)
+    mid = full.filter((F.col("id") > 4) & (F.col("id") <= 6))
+    tail = full.filter(F.col("id") > 6)
+    fresh = BM25(full)
+    want_scores = [tuple(r) for r in fresh.score("spark tables data", k=0).collect()]
+    want_posts = {tuple(r) for r in fresh.postings.collect()}
+    want_df = {tuple(r) for r in fresh.df.collect()}
+    want_stats = fresh.stats.first()
+
+    for buckets in (0, 4):
+        path = str(tmp_path / f"ix{buckets}")
+        BM25(base).write(path, buckets=buckets)
+        BM25.append(spark, path, mid)
+        BM25.append(spark, path, tail)  # three segments total
+        back = BM25.read(spark, path)
+        assert {tuple(r) for r in back.postings.collect()} == want_posts
+        assert {tuple(r) for r in back.df.collect()} == want_df
+        got_stats = back.stats.first()
+        assert (got_stats["n_docs"], got_stats["avgdl"]) == (
+            want_stats["n_docs"], want_stats["avgdl"],
+        )
+        got = [tuple(r) for r in back.score("spark tables data", k=0).collect()]
+        assert got == want_scores, buckets
+
+    # bucket pruning survives appends AND a fresh-session reopen
+    bpath = str(tmp_path / "ix4")
+    spark.sql(f"DROP TABLE IF EXISTS {_postings_table_name(bpath)}")
+    again = BM25.read(spark, bpath)
+    assert [
+        tuple(r) for r in again.score("spark tables data", k=0).collect()
+    ] == want_scores
+    plan = (
+        again.score("spark", k=3)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Bucketed: true" in plan and "SelectedBucketsCount" in plan
+
+    # the disjointness guard: re-appending an existing id raises...
+    import pytest
+
+    with pytest.raises(ValueError, match="already in the index"):
+        BM25.append(spark, bpath, full.filter(F.col("id") == 5))
+    # ...and a pre-total_dl layout is refused with a rebuild hint
+    old = str(tmp_path / "old_layout")
+    BM25(base).write(old)
+    two_col = spark.read.parquet(f"{old}/stats").select("n_docs", "avgdl")
+    two_col.toPandas().to_parquet(f"{old}/stats/part-legacy.parquet")
+    import glob
+    import os
+
+    for f in glob.glob(f"{old}/stats/part-0*.parquet"):
+        os.remove(f)
+    with pytest.raises(ValueError, match="total_dl"):
+        BM25.append(spark, old, tail)
+
+
 def test_winnowing_guarantee_and_pairs(spark):
     """Winnowing's core guarantee: two docs sharing a run of >= k+w-1
     tokens share at least one fingerprint; unrelated docs share none;

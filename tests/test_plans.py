@@ -125,6 +125,31 @@ def test_bm25_bucketed_postings_default_path(spark):
     assert exchanges and all(e == "qid" for e in exchanges), exchanges
 
 
+def test_bm25_appended_postings_keep_pruned_plan(spark):
+    """bm25_append_score serves from a TWO-segment appended index
+    (BM25.append): the postings scan must stay bucketed + literal-term
+    pruned exactly like the single-segment path — growing the index must
+    not cost the query plan anything. Allowed exchanges: the final
+    (qid, id) aggregation, plus hashpartitioning(term) inside the
+    one-time, vocab-sized df-partial merge (it lives under the cached
+    broadcast subtree, never touches the corpus-sized postings)."""
+    import re
+
+    df = entry_mod.queries()["bm25_append_score"](spark, SF_DIR_SMALL)
+    plan = _plan(df)
+    scan = plan.split("FileScan parquet spark_catalog.default.bm25_postings")[1][:800]
+    assert "Bucketed: true" in scan
+    assert "In(term" in scan
+    assert re.search(r"SelectedBucketsCount: \d+ out of \d+", scan)
+    exchanges = re.findall(r"Exchange hashpartitioning\((\w+)", plan)
+    assert exchanges and set(exchanges) <= {"qid", "term"}, exchanges
+    assert "qid" in exchanges
+    # and the artifact really is the appended two-segment layout, not a
+    # rebuilt single-segment one
+    base = f"{entry_mod._art_dir(SF_DIR_SMALL)}/bm25_append"
+    assert spark.read.parquet(f"{base}/stats").count() == 2
+
+
 def test_simhash_neardup_no_cartesian(spark):
     """Pigeonhole banding must make the candidate join an EQUI-join on
     (seg, segval) — an all-pairs cartesian/BNLJ would be O(N²) at scale
