@@ -18,6 +18,8 @@ from comet_spark.storage.store import DocumentStore
 
 __all__ = [
     "stream_into_store",
+    "bm25_ingest",
+    "bm25_ingest_stream",
     "windowed_event_counts",
     "sessionize_stream",
     "dedup_stream",
@@ -49,6 +51,104 @@ def stream_into_store(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def bm25_ingest(
+    store: DocumentStore,
+    batch: DataFrame,
+    index_path: str,
+    *,
+    id_col: str = "id",
+    text_col: str = "text",
+    buckets: int = 16,
+    normalize: bool = True,
+) -> None:
+    """One ingest step that keeps the persisted BM25 index fresh: the
+    batch lands as a store segment AND as a postings segment
+    (:meth:`BM25.append` — only the batch is tokenized), so text search
+    serves the bucketed on-disk layout continuously instead of waiting
+    on a full rebuild. The first batch creates the index
+    (``BM25(...).write``); later ones append in O(batch). This is the
+    text-side twin of the ANN maintenance-under-ingest story
+    (``store.compact(recluster=...)``): the reference mutates its
+    in-memory postings on every Add (``bm25_index.go:99-140``) — here
+    the mutation is a segment append into the same bucket layout.
+
+    Append-only streams ONLY: ids must be fresh (the duplicate-id probe
+    fails fast otherwise). Upsert/delete streams should instead score
+    through the LSM merge view (lsm_merge_bm25), which resolves
+    newest-wins at read time — postings segments can't retract."""
+    from comet_spark.operators.bm25 import BM25
+
+    batch = batch.persist()  # both sinks scan the batch once each
+    try:
+        store.append(batch)
+        if _parquet_exists(batch.sparkSession, f"{index_path}/stats"):
+            BM25.append(
+                batch.sparkSession, index_path, batch,
+                id_col=id_col, text_col=text_col, normalize=normalize,
+            )
+        else:
+            BM25(
+                batch, id_col=id_col, text_col=text_col, normalize=normalize
+            ).write(index_path, buckets=buckets)
+    finally:
+        batch.unpersist()
+
+
+def bm25_ingest_stream(
+    stream: DataFrame,
+    store: DocumentStore,
+    index_path: str,
+    *,
+    checkpoint: str,
+    id_col: str = "id",
+    text_col: str = "text",
+    buckets: int = 16,
+    normalize: bool = True,
+    trigger_available_now: bool = True,
+) -> StreamingQuery:
+    """Streaming twin of :func:`bm25_ingest` — ``foreachBatch`` appends
+    one store segment + one postings segment per micro-batch. A
+    ``_ingest_batch`` marker (the highest fully-indexed batch_id,
+    written AFTER the index append) makes checkpoint-replayed batches
+    idempotent: Spark re-runs an uncommitted batch under the SAME
+    batch_id, and a marker at-or-above it proves both sinks already
+    landed. The marker is scoped to ONE checkpoint lineage — pointing a
+    fresh checkpoint at a partially-ingested source restarts batch
+    numbering and would skip new data under recycled ids; resume with
+    the original checkpoint (standard sink/checkpoint coupling), or
+    rebuild the index from ``store.read()`` when re-pointing. A crash
+    strictly inside BM25.append can tear the index (stats lagging
+    postings — detectable, see BM25.append); recover the same way."""
+
+    def write_batch(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        spark = batch.sparkSession
+        marker = f"{index_path}/_ingest_batch"
+        if _parquet_exists(spark, marker):
+            done = spark.read.parquet(marker).first()["batch_id"]
+            if batch_id <= done:
+                # fully processed before the crash (the marker is written
+                # last): both the store segment and the postings segment
+                # are already on disk — skip the replay entirely
+                return
+        bm25_ingest(
+            store, batch, index_path,
+            id_col=id_col, text_col=text_col,
+            buckets=buckets, normalize=normalize,
+        )
+        spark.createDataFrame(
+            [(int(batch_id),)], "batch_id bigint"
+        ).repartition(1).write.mode("overwrite").parquet(marker)
+
+    w = stream.writeStream.foreachBatch(write_batch).option(
+        "checkpointLocation", checkpoint
+    )
+    if trigger_available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()
 
 
 def sessionize_stream(

@@ -101,6 +101,24 @@ def _run(spark, work: str) -> None:
     top_g = graph.search(emb, qvec, k=5, ef_search=100).collect()
     print("grown graph top-5:", [(r["id"], r["score"]) for r in top_g])
 
+    # 7. the TEXT index has the same maintenance story: build once on
+    #    the initial corpus, then grow by O(batch) appends — postings
+    #    segments land inside the bucketed layout, scores stay exactly
+    #    equal to a full rebuild
+    from comet_spark.operators.bm25 import BM25
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i} spark maintenance text") for i in range(200)],
+        "id bigint, text string",
+    )
+    first, late = docs.filter(F.col("id") < 120), docs.filter(F.col("id") >= 120)
+    ix_path = f"{work}/bm25"
+    BM25(first).write(ix_path, buckets=8)
+    BM25.append(spark, ix_path, late)
+    live = BM25.read(spark, ix_path)
+    print("appended text index top-3:",
+          [(r["id"], r["score"]) for r in live.score("spark text", k=3).collect()])
+
 
 if __name__ == "__main__":
     main()

@@ -175,6 +175,37 @@ def _soak_compact(spark, sf_dir: str) -> dict:
     return out
 
 
+def _soak_bm25_append(spark, sf_dir: str) -> dict:
+    """BM25.append is O(batch), not O(corpus): appending the SAME
+    1000-doc batch onto a 10x-bigger persisted index should cost about
+    the same, while the full build+write grows with the corpus. The
+    append runs with the default duplicate-id probe on (its doc_len
+    semi-join is id-column-sized; the measured number prices the honest
+    default path)."""
+    import shutil
+    import tempfile
+
+    import pyspark.sql.functions as F
+
+    from comet_spark.operators.bm25 import BM25
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    path = tempfile.mkdtemp(prefix="soak_bm25_append_")
+    try:
+        t0 = time.perf_counter()
+        BM25(docs, id_col="doc_id", text_col="text").write(f"{path}/ix", buckets=16)
+        build = round(time.perf_counter() - t0, 2)
+        batch = docs.filter(F.col("doc_id") < 1000).withColumn(
+            "doc_id", F.col("doc_id") + F.lit(10_000_000)
+        )
+        t0 = time.perf_counter()
+        BM25.append(spark, f"{path}/ix", batch, id_col="doc_id", text_col="text")
+        append = round(time.perf_counter() - t0, 2)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+    return {"build": {"sec": build}, "append_1k": {"sec": append}}
+
+
 def main() -> None:
     generate()
 
@@ -199,6 +230,12 @@ def main() -> None:
             f"{sf_label:8s} compact plain {cmp['plain']['sec']}s vs "
             f"recluster {cmp['recluster']['sec']}s", flush=True,
         )
+        ap = _soak_bm25_append(spark, sf_dir)
+        results.setdefault("bm25_build_vs_append", {})[sf_label] = ap
+        print(
+            f"{sf_label:8s} bm25 build {ap['build']['sec']}s vs "
+            f"append(1k docs) {ap['append_1k']['sec']}s", flush=True,
+        )
 
     print(f"\n{'query':26s} {'sf0.1':>8s} {'10x':>8s} {'ratio':>7s}")
     for name, r in results.items():
@@ -208,6 +245,11 @@ def main() -> None:
                 r[sc]["overhead"] = round(rc / p, 2) if p > 0 else float("inf")
                 print(f"compact+recluster {sc}: {p:.2f}s -> {rc:.2f}s "
                       f"({r[sc]['overhead']}x of the plain rewrite)")
+            continue
+        if name == "bm25_build_vs_append":
+            for sc in ("sf0.1", "soak10x"):
+                b, a = r[sc]["build"]["sec"], r[sc]["append_1k"]["sec"]
+                print(f"bm25 {sc}: full build {b:.2f}s vs append(1k) {a:.2f}s")
             continue
         a, b = r["sf0.1"]["sec"], r["soak10x"]["sec"]
         ratio = round(b / a, 1) if a > 0 else float("inf")

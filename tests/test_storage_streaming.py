@@ -62,6 +62,56 @@ def test_streaming_ingest_into_segments(spark, store, tmp_path):
     assert sorted(r["id"] for r in store.read().collect()) == [1, 2, 3]
 
 
+def test_bm25_ingest_stream_keeps_index_fresh(spark, store, tmp_path):
+    """Streaming ingest with a LIVE text index: each micro-batch appends
+    a store segment AND a postings segment; after the stream drains, the
+    persisted index scores exactly like a fresh build over store.read()
+    — maintenance under ingest for the text side, with no rebuild."""
+    from comet_spark.operators.bm25 import BM25
+    from comet_spark.streaming.ingest import bm25_ingest_stream
+
+    src_dir = str(tmp_path / "incoming")
+    _batch(spark, [(1, "spark joins tables"), (2, "spark streams data")]).coalesce(
+        1
+    ).write.mode("append").parquet(src_dir)
+    _batch(spark, [(3, "tables of data"), (4, "fast spark scans")]).coalesce(
+        1
+    ).write.mode("append").parquet(src_dir)
+
+    ix_path = str(tmp_path / "bm25_live")
+    stream = (
+        spark.readStream.schema("id bigint, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
+    q = bm25_ingest_stream(
+        stream, store, ix_path, checkpoint=str(tmp_path / "ckpt"), buckets=4
+    )
+    q.awaitTermination(120)
+
+    assert store.segment_count() == 2
+    live = BM25.read(spark, ix_path)
+    fresh = BM25(store.read())
+    want = [tuple(r) for r in fresh.score("spark tables", k=0).collect()]
+    assert [tuple(r) for r in live.score("spark tables", k=0).collect()] == want
+    # two postings segments on disk — appended, not rebuilt
+    assert spark.read.parquet(f"{ix_path}/stats").count() == 2
+
+    # replayed batches are idempotent on the index side: a second run of
+    # the SAME drained source with a fresh checkpoint re-delivers both
+    # batches; the marker (batch_id high-water) must skip them
+    q2 = bm25_ingest_stream(
+        spark.readStream.schema("id bigint, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir),
+        store, ix_path, checkpoint=str(tmp_path / "ckpt2"), buckets=4,
+    )
+    q2.awaitTermination(120)
+    again = BM25.read(spark, ix_path)
+    assert [tuple(r) for r in again.score("spark tables", k=0).collect()] == want
+    assert spark.read.parquet(f"{ix_path}/stats").count() == 2
+
+
 def test_windowed_event_counts_batch_twin(spark):
     rows = [
         ("2024-01-01 00:10:00", "click"),
