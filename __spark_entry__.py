@@ -490,10 +490,13 @@ def _bm25_append_index(spark: SparkSession, sf_dir: str) -> BM25:
             ix.postings.first()
         except Exception:
             docs = _t(spark, sf_dir, "documents")
-            BM25(
+            bld = BM25(
                 docs.filter(F.col("doc_id") % 3 != 2),
-                id_col="doc_id", text_col="text",
-            ).write(base, buckets=_BM25_BUCKETS)
+                id_col="doc_id", text_col="text", cache=True,
+            )
+            bld.write(base, buckets=_BM25_BUCKETS)
+            for t in (bld.postings, bld.doc_len, bld.df, bld.stats):
+                t.unpersist()
             BM25.append(
                 spark, base, docs.filter(F.col("doc_id") % 3 == 2),
                 id_col="doc_id", text_col="text",

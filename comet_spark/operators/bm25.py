@@ -132,24 +132,28 @@ class BM25:
         self.postings = toks.groupBy("id", "term").agg(F.count("*").alias("tf"))
         if cache:
             self.postings = self.postings.cache()
-        # derive doc length FROM the postings (sum of tfs == token count),
+        # doc length derives FROM the postings (sum of tfs == token count),
         # not from the raw toks plan: with cache=True every downstream
         # consumer then reads the cached table instead of re-tokenizing
-        # and re-exploding the whole corpus per query
-        self.doc_len = self.postings.groupBy("id").agg(F.sum("tf").alias("dl"))
+        # and re-exploding the whole corpus per query. Token-less docs get
+        # an explicit dl=0 row — they can never match, but recording their
+        # ids makes doc_len the complete id ledger (append's duplicate-id
+        # probe reads it) and they participate in N/avgdl like the
+        # reference's numDocs/totalTokens counters (bm25_index.go:107-113).
+        dl_pos = self.postings.groupBy("id").agg(F.sum("tf").alias("dl"))
+        self.doc_len = (
+            docs.select(F.col(id_col).alias("id"))
+            .join(dl_pos, "id", "left")
+            .select("id", F.coalesce("dl", F.lit(0)).alias("dl"))
+        )
         # document frequency per term
         self.df = self.postings.groupBy("term").agg(F.count("*").alias("df"))
-        # N counts every document (token-less docs have dl=0 and can never
-        # match, but they participate in N/avgdl like the reference's
-        # numDocs/totalTokens counters, bm25_index.go:107-113). total_dl
-        # (exact — dl is integral) rides along so :meth:`append` can merge
-        # per-segment stats without an avgdl rounding error.
-        self.stats = docs.select(F.col(id_col).alias("id")).join(
-            self.doc_len, "id", "left"
-        ).agg(
+        # total_dl (exact — dl is integral) rides along so :meth:`append`
+        # can merge per-segment stats without an avgdl rounding error.
+        self.stats = self.doc_len.agg(
             F.count("*").cast("double").alias("n_docs"),
-            (F.sum(F.coalesce("dl", F.lit(0))) / F.count("*")).alias("avgdl"),
-            F.sum(F.coalesce("dl", F.lit(0))).cast("double").alias("total_dl"),
+            (F.sum("dl") / F.count("*")).alias("avgdl"),
+            F.sum("dl").cast("double").alias("total_dl"),
         )
         if cache:
             # the derived tables are doc- and vocabulary-sized — caching
@@ -281,13 +285,24 @@ class BM25:
         build to re-consolidate, exactly like store compaction.
 
         ``check_disjoint=True`` verifies no appended id already exists
-        (one broadcast semi-join probe against doc_len — skips token-less
-        docs, which never enter doc_len); pass ``False`` on huge stores
-        when id freshness is guaranteed upstream (e.g. DocumentStore
-        sequencing). Upsert/delete semantics belong to the LSM merge
-        view (lsm_merge_bm25), not here. Like the reference's
-        single-writer index, the append is not concurrent-reader-safe:
-        open readers after it completes."""
+        (one broadcast semi-join probe against doc_len, the index's
+        complete id ledger — token-less docs are recorded there with
+        dl=0); pass ``False`` on huge stores when id freshness is
+        guaranteed upstream (e.g. DocumentStore sequencing).
+        Upsert/delete semantics belong to the LSM merge view
+        (lsm_merge_bm25), not here.
+
+        Crash/concurrency contract: doc_len is written FIRST, so a retry
+        of a torn append always fail-fasts on the duplicate-id probe
+        instead of silently double-counting postings; stats is written
+        LAST as the segment's commit record. Between those, readers that
+        open mid-append may transiently score the batch's docs with
+        stale df/stats (bounded — previously indexed docs are
+        unaffected); like the reference's single-writer index, open
+        readers after the append completes, and recover a torn index by
+        rebuilding from the corpus (``BM25(...).write(path)``) or let
+        :func:`~comet_spark.streaming.ingest.bm25_ingest_stream`'s heal
+        path do it."""
         try:
             buckets = int(spark.read.parquet(f"{path}/meta").first()["buckets"])
         except Exception:  # pre-meta index directories
@@ -312,25 +327,41 @@ class BM25:
                     "appended documents must be new (route upserts "
                     "through the LSM merge view instead)"
                 )
-        seg = cls(new_docs, id_col=id_col, text_col=text_col, normalize=normalize)
-        if buckets > 0:
-            # mode=append honors (or, in a fresh session where the
-            # catalog forgot the table, re-creates) the bucket spec; the
-            # pre-existing files under path/postings stay table data
-            (
-                seg.postings.write.mode("append")
-                .option("path", f"{path}/postings")
-                .bucketBy(buckets, "term")
-                .sortBy("term")
-                .saveAsTable(_postings_table_name(path))
-            )
-        else:
-            seg.postings.write.mode("append").parquet(f"{path}/postings")
-        seg.doc_len.write.mode("append").parquet(f"{path}/doc_len")
-        seg.df.write.mode("append").parquet(f"{path}/df")
-        # stats LAST: a torn read shows stats lagging postings, never a
-        # phantom segment whose postings are missing
-        seg.stats.repartition(1).write.mode("append").parquet(f"{path}/stats")
+        # cache=True: doc_len/df/stats all derive from seg.postings — the
+        # cache keeps the batch's tokenize+aggregate to ONE evaluation
+        # across the four segment writes
+        seg = cls(
+            new_docs, id_col=id_col, text_col=text_col,
+            normalize=normalize, cache=True,
+        )
+        try:
+            # doc_len FIRST: it is the id ledger the duplicate-id probe
+            # reads, so any retry of a crash landing after this point
+            # fail-fasts instead of double-counting postings
+            seg.doc_len.write.mode("append").parquet(f"{path}/doc_len")
+            if buckets > 0:
+                # mode=append honors (or, in a fresh session where the
+                # catalog forgot the table, re-creates) the bucket spec;
+                # the pre-existing files under path/postings stay table
+                # data
+                (
+                    seg.postings.write.mode("append")
+                    .option("path", f"{path}/postings")
+                    .bucketBy(buckets, "term")
+                    .sortBy("term")
+                    .saveAsTable(_postings_table_name(path))
+                )
+            else:
+                seg.postings.write.mode("append").parquet(f"{path}/postings")
+            # df AFTER postings: a df partial without its postings would
+            # inflate idf for terms existing docs already carry; this way
+            # a torn state only under-scores the (unfinished) batch
+            seg.df.write.mode("append").parquet(f"{path}/df")
+            # stats LAST: the segment's commit record
+            seg.stats.repartition(1).write.mode("append").parquet(f"{path}/stats")
+        finally:
+            for t in (seg.postings, seg.doc_len, seg.df, seg.stats):
+                t.unpersist()
 
     def _scored(
         self, query_terms: DataFrame, prefilter_ids: DataFrame | None,

@@ -83,17 +83,52 @@ def bm25_ingest(
     batch = batch.persist()  # both sinks scan the batch once each
     try:
         store.append(batch)
-        if _parquet_exists(batch.sparkSession, f"{index_path}/stats"):
-            BM25.append(
-                batch.sparkSession, index_path, batch,
-                id_col=id_col, text_col=text_col, normalize=normalize,
-            )
-        else:
-            BM25(
-                batch, id_col=id_col, text_col=text_col, normalize=normalize
-            ).write(index_path, buckets=buckets)
+        _bm25_index_step(
+            batch, index_path,
+            id_col=id_col, text_col=text_col,
+            normalize=normalize, buckets=buckets,
+        )
     finally:
         batch.unpersist()
+
+
+def _bm25_index_step(
+    batch: DataFrame, index_path: str, *,
+    id_col: str, text_col: str, normalize: bool, buckets: int,
+) -> None:
+    """Index side of one ingest step: first batch creates the index,
+    later ones append in O(batch)."""
+    from comet_spark.operators.bm25 import BM25
+
+    if _parquet_exists(batch.sparkSession, f"{index_path}/stats"):
+        BM25.append(
+            batch.sparkSession, index_path, batch,
+            id_col=id_col, text_col=text_col, normalize=normalize,
+        )
+    else:
+        _bm25_full_write(
+            batch, index_path,
+            id_col=id_col, text_col=text_col,
+            normalize=normalize, buckets=buckets,
+        )
+
+
+def _bm25_full_write(
+    docs: DataFrame, index_path: str, *,
+    id_col: str, text_col: str, normalize: bool, buckets: int,
+) -> None:
+    """Build + persist a BM25 index with the cache-then-unpersist write
+    pattern (the four table writes share one tokenize/aggregate pass)."""
+    from comet_spark.operators.bm25 import BM25
+
+    bld = BM25(
+        docs, id_col=id_col, text_col=text_col, normalize=normalize, cache=True
+    )
+    try:
+        bld.write(index_path, buckets=buckets)
+    finally:
+        for t in (bld.postings, bld.doc_len, bld.df, bld.stats):
+            t.unpersist()
 
 
 def bm25_ingest_stream(
@@ -109,39 +144,78 @@ def bm25_ingest_stream(
     trigger_available_now: bool = True,
 ) -> StreamingQuery:
     """Streaming twin of :func:`bm25_ingest` — ``foreachBatch`` appends
-    one store segment + one postings segment per micro-batch. A
-    ``_ingest_batch`` marker (the highest fully-indexed batch_id,
-    written AFTER the index append) makes checkpoint-replayed batches
-    idempotent: Spark re-runs an uncommitted batch under the SAME
-    batch_id, and a marker at-or-above it proves both sinks already
-    landed. The marker is scoped to ONE checkpoint lineage — pointing a
-    fresh checkpoint at a partially-ingested source restarts batch
-    numbering and would skip new data under recycled ids; resume with
-    the original checkpoint (standard sink/checkpoint coupling), or
-    rebuild the index from ``store.read()`` when re-pointing. A crash
-    strictly inside BM25.append can tear the index (stats lagging
-    postings — detectable, see BM25.append); recover the same way."""
+    one store segment + one postings segment per micro-batch, with a
+    SELF-HEALING replay protocol around the index append (Spark re-runs
+    an uncommitted batch under the same batch_id after a crash):
+
+    - an append-only state log (``_ingest_state``: (batch_id, phase)
+      rows, never overwritten — no delete-then-write window) records
+      ``begin`` before the index append and ``done`` after it;
+    - a replayed batch whose ``done`` row exists is skipped entirely
+      (both sinks landed);
+    - a replayed batch with ``begin`` but no ``done`` means the previous
+      attempt crashed somewhere inside the index append and may have
+      torn it — the heal path re-appends the batch to the STORE (dup
+      segments are newest-wins-deduped at read), REBUILDS the index from
+      ``store.read()`` (the durable source of truth, so the rebuild is
+      correct regardless of where the tear happened), marks ``done`` and
+      moves on — the stream never wedges;
+    - the normal path appends the store segment BEFORE ``begin``, so the
+      heal path's store re-append covers the crash windows on either
+      side of it.
+
+    A mid-append crash therefore costs one full index rebuild on the
+    next start — rare, loud in the logs, and correct. The state log is
+    scoped to ONE checkpoint lineage: pointing a fresh checkpoint at a
+    partially-ingested source restarts batch numbering and would skip
+    new data under recycled ids; resume with the original checkpoint
+    (standard sink/checkpoint coupling), or delete ``_ingest_state`` and
+    rebuild the index when re-pointing."""
+
+    state_path = f"{index_path}/_ingest_state"
+
+    def _log(spark, batch_id: int, phase: str) -> None:
+        spark.createDataFrame(
+            [(int(batch_id), phase)], "batch_id bigint, phase string"
+        ).repartition(1).write.mode("append").parquet(state_path)
 
     def write_batch(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
             return
         spark = batch.sparkSession
-        marker = f"{index_path}/_ingest_batch"
-        if _parquet_exists(spark, marker):
-            done = spark.read.parquet(marker).first()["batch_id"]
-            if batch_id <= done:
-                # fully processed before the crash (the marker is written
-                # last): both the store segment and the postings segment
-                # are already on disk — skip the replay entirely
+        if _parquet_exists(spark, state_path):
+            rows = spark.read.parquet(state_path).collect()
+            phases = {r["batch_id"]: set() for r in rows}
+            for r in rows:
+                phases[r["batch_id"]].add(r["phase"])
+            got = phases.get(batch_id, set())
+            if "done" in got:
+                return  # fully processed before the crash
+            if "begin" in got:
+                # previous attempt crashed inside the index append and
+                # may have torn it. 'begin' is logged strictly AFTER the
+                # store append, so the batch is already durable in the
+                # store — rebuilding the index from store.read() is
+                # correct regardless of where the tear happened.
+                _bm25_full_write(
+                    store.read(), index_path,
+                    id_col=id_col, text_col=text_col,
+                    normalize=normalize, buckets=buckets,
+                )
+                _log(spark, batch_id, "done")
                 return
-        bm25_ingest(
-            store, batch, index_path,
-            id_col=id_col, text_col=text_col,
-            buckets=buckets, normalize=normalize,
-        )
-        spark.createDataFrame(
-            [(int(batch_id),)], "batch_id bigint"
-        ).repartition(1).write.mode("overwrite").parquet(marker)
+        batch = batch.persist()
+        try:
+            store.append(batch)
+            _log(spark, batch_id, "begin")
+            _bm25_index_step(
+                batch, index_path,
+                id_col=id_col, text_col=text_col,
+                normalize=normalize, buckets=buckets,
+            )
+        finally:
+            batch.unpersist()
+        _log(spark, batch_id, "done")
 
     w = stream.writeStream.foreachBatch(write_batch).option(
         "checkpointLocation", checkpoint

@@ -99,7 +99,7 @@ def test_bm25_ingest_stream_keeps_index_fresh(spark, store, tmp_path):
 
     # replayed batches are idempotent on the index side: a second run of
     # the SAME drained source with a fresh checkpoint re-delivers both
-    # batches; the marker (batch_id high-water) must skip them
+    # batches; their 'done' rows in the state log must skip them
     q2 = bm25_ingest_stream(
         spark.readStream.schema("id bigint, text string")
         .option("maxFilesPerTrigger", "1")
@@ -110,6 +110,51 @@ def test_bm25_ingest_stream_keeps_index_fresh(spark, store, tmp_path):
     again = BM25.read(spark, ix_path)
     assert [tuple(r) for r in again.score("spark tables", k=0).collect()] == want
     assert spark.read.parquet(f"{ix_path}/stats").count() == 2
+
+
+def test_bm25_ingest_stream_heals_torn_batch(spark, store, tmp_path):
+    """A replayed batch whose 'begin' was logged but never reached 'done'
+    means the previous attempt crashed somewhere inside the index append
+    — the heal path must rebuild the index from the STORE (which, by the
+    protocol's write order, already holds the batch) instead of wedging
+    on the duplicate-id probe forever."""
+    from comet_spark.operators.bm25 import BM25
+    from comet_spark.streaming.ingest import bm25_ingest_stream
+
+    batch_a = [(1, "spark joins tables"), (2, "spark streams data")]
+    batch_b = [(3, "tables of data"), (4, "fast spark scans")]
+    # torn state: the store durably has BOTH batches (store.append precedes
+    # the 'begin' log), the index only has A — the crash landed inside
+    # B's index append, after its 'begin' row
+    store.append(_batch(spark, batch_a))
+    store.append(_batch(spark, batch_b))
+    ix_path = str(tmp_path / "bm25_torn")
+    BM25(_batch(spark, batch_a)).write(ix_path, buckets=4)
+    spark.createDataFrame(
+        [(0, "begin")], "batch_id bigint, phase string"
+    ).repartition(1).write.mode("append").parquet(f"{ix_path}/_ingest_state")
+
+    # the replayed micro-batch re-delivers B as batch_id 0
+    src_dir = str(tmp_path / "replay_src")
+    _batch(spark, batch_b).coalesce(1).write.mode("append").parquet(src_dir)
+    q = bm25_ingest_stream(
+        spark.readStream.schema("id bigint, text string").parquet(src_dir),
+        store, ix_path, checkpoint=str(tmp_path / "ckpt_heal"), buckets=4,
+    )
+    q.awaitTermination(120)
+
+    healed = BM25.read(spark, ix_path)
+    fresh = BM25(store.read())
+    assert [tuple(r) for r in healed.score("spark tables", k=0).collect()] == [
+        tuple(r) for r in fresh.score("spark tables", k=0).collect()
+    ]
+    # rebuilt = single segment again; the state log closed batch 0
+    assert spark.read.parquet(f"{ix_path}/stats").count() == 1
+    log = {
+        (r["batch_id"], r["phase"])
+        for r in spark.read.parquet(f"{ix_path}/_ingest_state").collect()
+    }
+    assert (0, "done") in log
 
 
 def test_windowed_event_counts_batch_twin(spark):
