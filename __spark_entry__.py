@@ -525,6 +525,72 @@ _register(
 )
 
 
+# ★ J-family maintenance, text side, part 2: the appended index is then
+# COMPACTED (BM25.compact — postings segments consolidate back to one file
+# per bucket, df/stats partials collapse to the single-segment shape) with
+# NO re-tokenize; the oracle again scores the full corpus from scratch, so
+# equality proves the whole maintain-then-consolidate lifecycle: build →
+# append ×3 → compact is value-identical to a fresh build. Reference
+# analog: segment compaction, storage_compaction.go:19-114.
+_BM25_COMPACT_CACHE: dict[tuple[str, str], BM25] = {}
+
+
+def _bm25_compact_index(spark: SparkSession, sf_dir: str) -> BM25:
+    key = (_skey(spark), sf_dir)
+    if key not in _BM25_COMPACT_CACHE:
+        base = f"{_art_dir(sf_dir)}/bm25_compact"
+        sig = _corpus_sig(sf_dir, "documents")
+        sig_path = f"{base}/corpus_sig.txt"
+        try:
+            with open(sig_path) as fh:
+                fresh = sig != "" and fh.read() == sig
+        except OSError:
+            fresh = False
+        try:
+            if not fresh:
+                raise FileNotFoundError(base)
+            ix = BM25.read(spark, base)
+            ix.stats.first()
+            ix.postings.first()
+        except Exception:
+            docs = _t(spark, sf_dir, "documents")
+            bld = BM25(
+                docs.filter(F.col("doc_id") % 4 == 0),
+                id_col="doc_id", text_col="text", cache=True,
+            )
+            bld.write(base, buckets=_BM25_BUCKETS)
+            for t in (bld.postings, bld.doc_len, bld.df, bld.stats):
+                t.unpersist()
+            for m in (1, 2, 3):  # append x3, one quarter each
+                BM25.append(
+                    spark, base, docs.filter(F.col("doc_id") % 4 == m),
+                    id_col="doc_id", text_col="text",
+                )
+            BM25.compact(spark, base)
+            ix = BM25.read(spark, base)
+            os.makedirs(base, exist_ok=True)
+            with open(sig_path, "w") as fh:
+                fh.write(sig)
+        ix.doc_len = ix.doc_len.cache()
+        ix.df = ix.df.cache()
+        ix.stats = ix.stats.cache()
+        _BM25_COMPACT_CACHE[key] = ix
+    return _BM25_COMPACT_CACHE[key]
+
+
+def _bm25_compact_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bm = _bm25_compact_index(spark, sf_dir)
+    return bm.score(BM25_QUERY, k=K).select(F.col("id").alias("doc_id"), "score")
+
+
+_register(
+    "bm25_compact_score",
+    _bm25_compact_score,
+    f"WITH {_sql_bm25_ctes()}, {_sql_bm25_score(BM25_QUERY)} "
+    f"SELECT id AS doc_id, ROUND(score, 6) AS score FROM sc ORDER BY score DESC, id LIMIT {K}",
+)
+
+
 # batch text retrieval: 50 queries (first 8 tokens of docs 0..49) scored in
 # ONE job — the text-side twin of knn_batch100
 N_TEXT_QUERIES = 50

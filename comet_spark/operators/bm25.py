@@ -281,8 +281,9 @@ class BM25:
         On a bucketed index the new postings append INTO the bucket
         layout (Spark shuffles the batch by the bucket hash), keeping
         literal-term bucket pruning across segments; many small appends
-        accumulate files per bucket — re-:meth:`write` from a fresh
-        build to re-consolidate, exactly like store compaction.
+        accumulate files per bucket — :meth:`compact` re-consolidates
+        them in one index-sized rewrite (no re-tokenize), exactly like
+        store compaction.
 
         ``check_disjoint=True`` verifies no appended id already exists
         (one broadcast semi-join probe against doc_len, the index's
@@ -362,6 +363,141 @@ class BM25:
         finally:
             for t in (seg.postings, seg.doc_len, seg.df, seg.stats):
                 t.unpersist()
+
+    @classmethod
+    def compact(cls, spark, path: str, *, rows_per_file: int = 8_000_000) -> None:
+        """Consolidate an appended index IN PLACE — the text-side twin of
+        ``DocumentStore.compact`` (reference segment compaction,
+        ``storage_compaction.go:19-114`` merges the oldest segments and
+        swaps atomically). :meth:`append` accumulates one postings/
+        doc_len segment and one df/stats partial per batch; this rewrite
+        merges them back to the single-segment shape WITHOUT touching
+        the corpus: postings rows are disjoint by id across segments, so
+        consolidation is a file-level rewrite (one hash shuffle of the
+        index-sized postings back into the bucket layout — no
+        re-tokenize, no corpus scan), df partials collapse with a
+        vocabulary-sized ``groupBy(term).sum``, and the per-segment
+        stats rows fold into one exactly (integral ``total_dl``, the
+        same merge :meth:`read` applies lazily). Afterwards
+        :meth:`read`'s single-segment fast path re-engages (one stats
+        row, no df re-aggregation in the query plan) and literal-term
+        bucket pruning sees one file per bucket. Cost ∝ index size —
+        compare the full rebuild, which pays tokenize + an (id, term)
+        corpus shuffle first (measured in SCALE_SOAK.json).
+
+        Each table is value-identical before and after, so the swap
+        order across tables cannot produce a wrong reader state; per
+        table the rewrite lands in a side directory and installs via
+        move-aside-then-rename (a crash leaves either the old or the
+        new files, plus at worst a ``*.old``/``*.compacting`` leftover
+        a re-run cleans). Single-writer contract as :meth:`append`:
+        don't compact concurrently with an append, and open readers
+        after the swap. A torn index (a crashed append's doc_len
+        segment without its stats commit record) is refused up front —
+        rebuild from the corpus first, as :meth:`append` documents.
+
+        On a bucketed index the postings shuffle uses the bucket hash
+        (``repartition(buckets, term)`` IS Murmur3 pmod buckets), so
+        every bucket lands as exactly one task's single file; the
+        write-time bucket count remains the scale knob for how large
+        that file gets at 100 TB."""
+        from comet_spark.storage.store import _FS
+
+        fs = _FS(spark, path)
+        try:
+            buckets = int(spark.read.parquet(f"{path}/meta").first()["buckets"])
+        except Exception:  # pre-meta index directories
+            buckets = 0
+        stats_rows = spark.read.parquet(f"{path}/stats").collect()
+        if len(stats_rows) > 1 and any(
+            "total_dl" not in r.asDict() or r["total_dl"] is None for r in stats_rows
+        ):
+            raise ValueError(
+                "compact(): index carries pre-total_dl stats segments; "
+                "rebuild it once with BM25(...).write(path)"
+            )
+        n_docs = float(sum(r["n_docs"] for r in stats_rows))
+        n_dl = spark.read.parquet(f"{path}/doc_len").count()
+        if n_docs != float(n_dl):
+            raise ValueError(
+                f"compact(): stats ledger ({n_docs:.0f} docs) does not match "
+                f"doc_len ({n_dl} rows) — a previous append tore before its "
+                "stats commit record; rebuild with BM25(...).write(path)"
+            )
+
+        def _swap(sub: str, writer) -> None:
+            cur, tmp, old = (
+                f"{path}/{sub}", f"{path}/{sub}.compacting", f"{path}/{sub}.old",
+            )
+            fs.delete(tmp)
+            fs.delete(old)
+            writer(tmp)
+            if not fs.rename(cur, old):
+                fs.delete(tmp)
+                raise OSError(f"compact: could not move {cur} aside")
+            if not fs.rename(tmp, cur):
+                fs.rename(old, cur)  # roll back
+                raise OSError(f"compact: could not install {tmp}")
+            fs.delete(old)
+
+        nf = max(1, -(-n_dl // rows_per_file))
+        _swap(
+            "doc_len",
+            lambda t: spark.read.parquet(f"{path}/doc_len")
+            .coalesce(nf).write.mode("overwrite").parquet(t),
+        )
+        if buckets > 0:
+            # rewrite THROUGH a scratch external table (bucket metadata
+            # only exists on tables): the consolidated bucket files —
+            # their names carry the bucket id the reader keys on — then
+            # swap under the live table's unchanged location + spec
+            name = _postings_table_name(path)
+            tmp_name = f"{name}_compacting"
+
+            def _write_postings(t: str) -> None:
+                spark.sql(f"DROP TABLE IF EXISTS {tmp_name}")
+                (
+                    spark.read.parquet(f"{path}/postings")
+                    .repartition(buckets, "term")
+                    .write.mode("overwrite")
+                    .option("path", t)
+                    .bucketBy(buckets, "term")
+                    .sortBy("term")
+                    .saveAsTable(tmp_name)
+                )
+                spark.sql(f"DROP TABLE {tmp_name}")  # external: files stay
+
+            _swap("postings", _write_postings)
+            if spark.catalog.tableExists(name):
+                spark.catalog.refreshTable(name)  # new file listing
+        else:
+            _swap(
+                "postings",
+                lambda t: spark.read.parquet(f"{path}/postings")
+                .coalesce(nf).write.mode("overwrite").parquet(t),
+            )
+        _swap(
+            "df",
+            lambda t: spark.read.parquet(f"{path}/df")
+            .groupBy("term").agg(F.sum("df").alias("df"))
+            .coalesce(nf).write.mode("overwrite").parquet(t),
+        )
+        if len(stats_rows) > 1:
+            tdl = float(sum(r["total_dl"] for r in stats_rows))
+            merged = spark.createDataFrame(
+                [(n_docs, tdl / n_docs if n_docs else None, tdl)],
+                "n_docs double, avgdl double, total_dl double",
+            )
+        else:
+            # single segment: stats pass through unchanged (collected
+            # above — recreating from rows severs any read of the dir
+            # mid-swap and keeps whatever schema the index carries)
+            cur = spark.read.parquet(f"{path}/stats")
+            merged = spark.createDataFrame(stats_rows, cur.schema)
+        _swap(
+            "stats",
+            lambda t: merged.repartition(1).write.mode("overwrite").parquet(t),
+        )
 
     def _scored(
         self, query_terms: DataFrame, prefilter_ids: DataFrame | None,

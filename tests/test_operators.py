@@ -343,6 +343,90 @@ def test_bm25_append_matches_full_rebuild(spark, tmp_path):
         BM25.append(spark, old, tail)
 
 
+def test_bm25_compact_consolidates_segments(spark, tmp_path):
+    """Postings-segment compaction (VERDICT r06 #1): build + append ×3 →
+    compact. The compacted index must score value-identically, re-engage
+    read()'s single-segment fast path (ONE stats row, collapsed df
+    partials), consolidate to one file per bucket, and keep the bucketed
+    literal-term-pruned plan — all WITHOUT re-tokenizing the corpus."""
+    import glob
+
+    import pyspark.sql.functions as F
+    import pytest
+
+    from comet_spark.operators.bm25 import BM25, _postings_table_name
+
+    rows = [
+        (1, "spark joins tables fast"), (2, "spark streams data"),
+        (3, ""), (4, "tables of data and data"),
+        (5, "fast spark scans"), (6, "joins of tables"),
+        (7, ""), (8, "data data data tables"),
+    ]
+    full = spark.createDataFrame(rows, "id bigint, text string")
+    fresh = BM25(full)
+    want_scores = [tuple(r) for r in fresh.score("spark tables data", k=0).collect()]
+    want_posts = {tuple(r) for r in fresh.postings.collect()}
+    want_df = {tuple(r) for r in fresh.df.collect()}
+    want_stats = fresh.stats.first()
+
+    for buckets in (0, 4):
+        path = str(tmp_path / f"cix{buckets}")
+        BM25(full.filter(F.col("id") <= 2)).write(path, buckets=buckets)
+        for lo, hi in ((2, 4), (4, 6), (6, 8)):  # append x3
+            BM25.append(
+                spark, path, full.filter((F.col("id") > lo) & (F.col("id") <= hi))
+            )
+        assert spark.read.parquet(f"{path}/stats").count() == 4
+        BM25.compact(spark, path)
+
+        # single-segment shape again: one stats row, df already collapsed
+        assert spark.read.parquet(f"{path}/stats").count() == 1
+        raw_df = spark.read.parquet(f"{path}/df")
+        assert raw_df.groupBy("term").count().filter(F.col("count") > 1).count() == 0
+        assert {tuple(r) for r in raw_df.collect()} == want_df
+
+        back = BM25.read(spark, path)
+        assert {tuple(r) for r in back.postings.collect()} == want_posts
+        got_stats = back.stats.first()
+        assert (got_stats["n_docs"], got_stats["avgdl"], got_stats["total_dl"]) == (
+            want_stats["n_docs"], want_stats["avgdl"], want_stats["total_dl"],
+        )
+        got = [tuple(r) for r in back.score("spark tables data", k=0).collect()]
+        assert got == want_scores, buckets
+
+        if buckets:
+            # one consolidated file per (non-empty) bucket, and the plan
+            # keeps the bucketed literal-term pruning across a reopen
+            files = [
+                f for f in glob.glob(f"{path}/postings/*")
+                if not f.endswith("_SUCCESS") and ".crc" not in f
+            ]
+            assert len(files) <= buckets, files
+            spark.sql(f"DROP TABLE IF EXISTS {_postings_table_name(path)}")
+            again = BM25.read(spark, path)
+            plan = (
+                again.score("spark", k=3)
+                ._jdf.queryExecution().executedPlan().toString()
+            )
+            assert "Bucketed: true" in plan and "SelectedBucketsCount" in plan
+            # and the index still appends after compaction
+            BM25.append(
+                spark, path,
+                spark.createDataFrame([(9, "spark again")], "id bigint, text string"),
+            )
+            assert BM25.read(spark, path).doc_len.count() == 9
+
+    # a torn append (doc_len segment without its stats commit record)
+    # is refused — compact must not bake the tear into a clean shape
+    torn = str(tmp_path / "torn")
+    BM25(full.filter(F.col("id") <= 4)).write(torn)
+    spark.createDataFrame([(99, 3)], "id bigint, dl bigint").write.mode(
+        "append"
+    ).parquet(f"{torn}/doc_len")
+    with pytest.raises(ValueError, match="ledger"):
+        BM25.compact(spark, torn)
+
+
 def test_winnowing_guarantee_and_pairs(spark):
     """Winnowing's core guarantee: two docs sharing a run of >= k+w-1
     tokens share at least one fingerprint; unrelated docs share none;

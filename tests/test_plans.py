@@ -150,6 +150,37 @@ def test_bm25_appended_postings_keep_pruned_plan(spark):
     assert spark.read.parquet(f"{base}/stats").count() == 2
 
 
+def test_bm25_compacted_postings_regain_single_segment_plan(spark):
+    """bm25_compact_score serves from a build→append×3→COMPACTED index
+    (BM25.compact): the postings scan must be bucketed + literal-term
+    pruned, AND — unlike the appended layout — the single-segment fast
+    path must re-engage: df partials are collapsed on disk, so the only
+    Exchange left in the plan is the final (qid, id) aggregation, exactly
+    the fresh-build bm25_single shape. Compaction gives the plan back
+    what appending cost it."""
+    import re
+
+    df = entry_mod.queries()["bm25_compact_score"](spark, SF_DIR_SMALL)
+    plan = _plan(df)
+    scan = plan.split("FileScan parquet spark_catalog.default.bm25_postings")[1][:800]
+    assert "Bucketed: true" in scan
+    assert "In(term" in scan
+    assert re.search(r"SelectedBucketsCount: \d+ out of \d+", scan)
+    exchanges = re.findall(r"Exchange hashpartitioning\((\w+)", plan)
+    assert exchanges and all(e == "qid" for e in exchanges), exchanges
+    # and the artifact really is the compacted shape: ONE stats row, one
+    # consolidated file per bucket
+    base = f"{entry_mod._art_dir(SF_DIR_SMALL)}/bm25_compact"
+    assert spark.read.parquet(f"{base}/stats").count() == 1
+    import glob
+
+    files = [
+        f for f in glob.glob(f"{base}/postings/*")
+        if not f.endswith("_SUCCESS") and ".crc" not in f
+    ]
+    assert len(files) <= entry_mod._BM25_BUCKETS, files
+
+
 def test_simhash_neardup_no_cartesian(spark):
     """Pigeonhole banding must make the candidate join an EQUI-join on
     (seg, segval) — an all-pairs cartesian/BNLJ would be O(N²) at scale
