@@ -3129,6 +3129,56 @@ SELECT vec_id, score FROM d ORDER BY score, vec_id LIMIT {K}
 )
 
 
+def _hybrid_reencode_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid fusion over the MAINTAINED compressed layout (VERDICT r06
+    #4 — the last cell of the hybrid × maintenance matrix): the vector
+    leg runs probed residual-ADC straight off the ``ivfpq_store``
+    compacted files (drift → refresh → compact(recluster=ivfpq) rewrote
+    cluster_id AND residual codes in one pass), composed through the
+    SAME builder chain as hybrid_ivfpq_rrf — with_adc() + with_nprobes(2)
+    against the store-backed enc instead of the as-trained artifact.
+    Oracle: per-probed-cluster LUTs over the compacted store restricted
+    to the lang candidates, then BM25 + RRF."""
+    refreshed, store = _maint_ivfpq(spark, sf_dir)
+    corpus = _hybrid_corpus(spark, sf_dir)
+    corpus._ivfpq = refreshed
+    corpus._ivfpq_enc = store.read().select("id", "cluster_id", "codes")
+    hs = (
+        corpus.hybrid_search()
+        .with_vector(_hybrid_qvec(spark, sf_dir))
+        .with_text(BM25_QUERY)
+        .with_metadata(Eq(Field("lang"), HYBRID_LANG))
+        .with_k(K)
+        .with_adc()
+        .with_nprobes(2)
+        .with_fusion("rrf")
+    )
+    return hs.execute().select(F.col("id").alias("doc_id"), "score")
+
+
+_register(
+    "hybrid_reencode_rrf",
+    _hybrid_reencode_rrf,
+    f"""
+WITH c AS (SELECT id, cluster_id, codes
+           FROM read_parquet('{_ART01}/maint/ivfpq_store/data/**/*.parquet', hive_partitioning=1)
+           WHERE id IN (SELECT doc_id FROM documents WHERE lang = '{HYBRID_LANG}')),
+l AS (SELECT cluster_id, sub, code, dist FROM read_parquet('{_ART01}/maint/ivfpq_luts_q.parquet/*.parquet')),
+adc AS ({_sql_adc('c', 'l', extra_on=' AND l{s}.cluster_id = c.cluster_id')}),
+vres AS (SELECT vec_id AS id, score FROM adc ORDER BY score, vec_id LIMIT {K}),
+{_sql_bm25_ctes().strip().rstrip(',')},
+{_sql_bm25_score(BM25_QUERY, cand_where=f"lang = '{HYBRID_LANG}'")},
+tres AS (SELECT id, ROUND(score, 6) AS score FROM sc ORDER BY score DESC, id LIMIT {K}),
+vrank AS (SELECT id, row_number() OVER (ORDER BY score ASC, id ASC) - 1 AS r FROM vres),
+trank AS (SELECT id, row_number() OVER (ORDER BY score DESC, id ASC) - 1 AS r FROM tres)
+SELECT coalesce(vrank.id, trank.id) AS doc_id,
+       ROUND(coalesce(1.0/(60.0 + vrank.r), 0) + coalesce(1.0/(60.0 + trank.r), 0), 6) AS score
+FROM vrank FULL OUTER JOIN trank ON vrank.id = trank.id
+ORDER BY score DESC, doc_id LIMIT {K}
+""",
+)
+
+
 def _hybrid_recluster_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid fusion whose VECTOR leg reads the post-compaction
     partition-pruned layout (VERDICT r06 #6, maintenance × hybrid):

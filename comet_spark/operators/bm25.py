@@ -221,8 +221,13 @@ class BM25:
                     f"{f.name} {f.dataType.simpleString()}" for f in schema.fields
                 )
                 loc = f"{path}/postings".replace("'", "''")
+                # IF NOT EXISTS: two concurrent readers in one session can
+                # both pass the tableExists probe (TOCTOU) — the loser of
+                # the registration race must no-op, not throw. The spec
+                # both would register is identical (derived from the same
+                # persisted meta), so either winner serves both.
                 spark.sql(
-                    f"CREATE TABLE {name} ({cols}) USING parquet "
+                    f"CREATE TABLE IF NOT EXISTS {name} ({cols}) USING parquet "
                     f"CLUSTERED BY (term) SORTED BY (term) INTO {buckets} BUCKETS "
                     f"LOCATION '{loc}'"
                 )

@@ -264,10 +264,12 @@ class VectorSearch:
         target — recall tracks the scanned corpus fraction, not the probe
         count, under skewed list sizes (RECALL.md ladder). List sizes
         come from one memoized ``groupBy(cluster_id).count()`` on the
-        corpus. For a query batch, the largest per-query choice applies —
-        every query meets its target. Composes with ``with_adc()`` (the
-        IVFPQ probed residual scan); an explicit ``with_nprobes`` wins
-        over this knob."""
+        corpus. For a query batch, each query gets its OWN choice — the
+        per-query ``{qid: n}`` map feeds ``search_batch``, so every
+        query probes exactly the lists its target needs (the largest
+        value only gates the single-query scalar path). Composes with
+        ``with_adc()`` (the IVFPQ probed residual scan); an explicit
+        ``with_nprobes`` wins over this knob."""
         self.auto_scan_frac = _check_auto_nprobe_args(target_scan_frac, max_nprobe)
         self.auto_max_nprobe = max_nprobe
         return self

@@ -120,6 +120,17 @@ class _writer_lock:
 
 
 class DocumentStore:
+    """LSM-style parquet document store (see module docstring for the
+    architecture).
+
+    Reserved column names: ``segment`` and ``__seq`` (the store's own
+    sequencing), plus — on any store maintained via
+    ``compact(recluster=...)`` — the ANN layout columns ``cluster_id``
+    and ``codes``: compaction drops both before the recluster hook runs
+    so a column persists only if the hook regenerated it, unless the
+    caller opts a still-valid one out with ``keep_layout_cols`` (see
+    :meth:`compact`). Payload columns must not reuse these names."""
+
     def __init__(self, spark: SparkSession, path: str, id_col: str = "id"):
         self.spark = spark
         self.path = path
@@ -335,7 +346,7 @@ class DocumentStore:
     def compact(
         self, *, zorder_by: list[str] | None = None, zorder_bits: int = 8,
         zorder_files: int | None = None, recluster=None,
-        recluster_vec_col: str = "vector",
+        recluster_vec_col: str = "vector", keep_layout_cols: list[str] | None = None,
     ) -> None:
         """Rewrite all segments into one, applying deletes (hard delete) and
         version dedup — the OPTIMIZE-style job (J4). Crash-safe ordering:
@@ -367,7 +378,20 @@ class DocumentStore:
         that drifted since training. Compaction is exactly when a
         100 TB store pays this re-assignment: it is one extra projection
         inside a rewrite that is already reading and writing every
-        surviving row."""
+        surviving row.
+
+        ``cluster_id`` and ``codes`` are RESERVED layout columns on any
+        store that uses ``recluster`` (see the class docstring): both
+        are dropped before the hook runs, so a column survives the
+        rewrite only if THIS hook regenerated it — a codes-only PQ
+        refresh cannot persist a superseded ingest-time assignment as
+        if fresh, and vice versa. When two INDEPENDENT indexes share
+        the store (e.g. plain-PQ ``codes`` encoded against standalone
+        codebooks, plus an IVF ``cluster_id`` being refreshed here),
+        pass the still-valid column in ``keep_layout_cols`` to opt it
+        out of the drop — the caller is asserting this hook's refresh
+        does not supersede it (an IVF centroid refresh says nothing
+        about non-residual PQ codebooks)."""
         with self._lock("compact"):
             applied_delete_files = self._fs.listdir(self.deletes_path)
             segs = self._segment_ids()
@@ -402,9 +426,14 @@ class DocumentStore:
                 # not let the rewrite persist it as if fresh — or, for
                 # cluster_id, co-locate/sort by it. Drop both first:
                 # below, a layout column is present iff THIS hook produced
-                # it. (Consequence: these two names are reserved for the
-                # recluster machinery on any store that uses it.)
-                out = out.drop("cluster_id", "codes")
+                # it — unless the caller opted a column out via
+                # keep_layout_cols, asserting an independent index owns it
+                # and this refresh does not supersede it.
+                dropped = [
+                    c for c in ("cluster_id", "codes")
+                    if c not in (keep_layout_cols or [])
+                ]
+                out = out.drop(*dropped)
                 out = hook(out, vec_col=recluster_vec_col)
                 if not zorder_by and "cluster_id" in out.columns:
                     # co-locate + sort by the fresh assignment so parquet

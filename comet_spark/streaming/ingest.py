@@ -77,17 +77,46 @@ def bm25_ingest(
     Append-only streams ONLY: ids must be fresh (the duplicate-id probe
     fails fast otherwise). Upsert/delete streams should instead score
     through the LSM merge view (lsm_merge_bm25), which resolves
-    newest-wins at read time — postings segments can't retract."""
-    from comet_spark.operators.bm25 import BM25
+    newest-wins at read time — postings segments can't retract.
 
+    Crash recovery / replay: calling this again with the SAME batch
+    (e.g. a caller's own foreachBatch replaying after a crash that
+    landed anywhere past the index append) is safe — when the
+    duplicate-id probe fires, the index is probed (all batch ids
+    present + the stats ledger matching doc_len means the previous
+    append fully committed) and the call returns as a no-op; a
+    genuinely torn previous append instead rebuilds the index from
+    ``store.read()``, the durable source of truth. The replayed
+    ``store.append`` can leave one duplicate store segment (benign
+    under the newest-wins read; compaction removes it) — the streaming
+    variant's restart probe avoids even that. A torn FIRST write
+    (``stats`` unreadable) re-routes into the full build, which
+    overwrites the wreckage."""
     batch = batch.persist()  # both sinks scan the batch once each
     try:
         store.append(batch)
-        _bm25_index_step(
-            batch, index_path,
-            id_col=id_col, text_col=text_col,
-            normalize=normalize, buckets=buckets,
-        )
+        try:
+            _bm25_index_step(
+                batch, index_path,
+                id_col=id_col, text_col=text_col,
+                normalize=normalize, buckets=buckets,
+            )
+        except ValueError as e:
+            if "already in the index" not in str(e):
+                raise
+            state = _index_batch_state(
+                batch.sparkSession, index_path, batch, id_col
+            )
+            if state != "committed":
+                # a previous append tore mid-write — the store (which now
+                # durably holds this batch) is the truth; rebuild once
+                _bm25_full_write(
+                    store.read(), index_path,
+                    id_col=id_col, text_col=text_col,
+                    normalize=normalize, buckets=buckets,
+                )
+            # committed: a replayed batch whose index append already
+            # landed — nothing to do
     finally:
         batch.unpersist()
 
@@ -97,10 +126,14 @@ def _bm25_index_step(
     id_col: str, text_col: str, normalize: bool, buckets: int,
 ) -> None:
     """Index side of one ingest step: first batch creates the index,
-    later ones append in O(batch)."""
+    later ones append in O(batch). The route probe requires stats to be
+    READABLE with a row, not merely present — a torn first write (stats
+    directory exists but is empty/unreadable) must re-route into the
+    full build, which overwrites the wreckage, instead of wedging every
+    retry on the stats read inside append (ADVICE r06)."""
     from comet_spark.operators.bm25 import BM25
 
-    if _parquet_exists(batch.sparkSession, f"{index_path}/stats"):
+    if _stats_committed(batch.sparkSession, index_path):
         BM25.append(
             batch.sparkSession, index_path, batch,
             id_col=id_col, text_col=text_col, normalize=normalize,
@@ -111,6 +144,57 @@ def _bm25_index_step(
             id_col=id_col, text_col=text_col,
             normalize=normalize, buckets=buckets,
         )
+
+
+def _stats_committed(spark, index_path: str) -> bool:
+    """True iff the index's stats table is readable AND carries at least
+    one row — the first full write's commit signal."""
+    try:
+        return (
+            spark.read.parquet(f"{index_path}/stats").first() is not None
+        )
+    except Exception:
+        return False
+
+
+def _index_batch_state(spark, index_path: str, batch: DataFrame, id_col: str) -> str:
+    """Classify what a persisted BM25 index knows about ``batch`` — the
+    replay/crash probe behind both ingest variants:
+
+    - ``"committed"``: every batch id is in ``doc_len`` AND the stats
+      ledger matches it (``sum(stats.n_docs) == count(doc_len)``).
+      ``BM25.append`` writes doc_len first and stats last, so a
+      consistent ledger certifies the in-between postings/df segments
+      landed too — the batch's index append fully committed.
+    - ``"absent"``: no batch id present and the ledger is consistent —
+      the index is healthy and has never seen this batch.
+    - ``"torn"``: anything else (partial ids, ledger mismatch, an
+      unreadable doc_len segment) — some append tore mid-write and the
+      index needs a rebuild from the durable store.
+    - ``"no_index"``: stats unreadable/empty — nothing committed yet.
+
+    Cost: one stats collect + one count + one batch-sized semi-join
+    against doc_len (doc-count-sized, never the postings)."""
+    try:
+        stats_rows = spark.read.parquet(f"{index_path}/stats").collect()
+        if not stats_rows:
+            return "no_index"
+    except Exception:
+        return "no_index"
+    try:
+        dl = spark.read.parquet(f"{index_path}/doc_len")
+        n_dl = dl.count()
+        ids = batch.select(F.col(id_col).alias("id")).distinct()
+        n_batch = ids.count()
+        n_present = ids.join(dl, "id", "left_semi").count()
+    except Exception:
+        return "torn"
+    consistent = float(sum(r["n_docs"] for r in stats_rows)) == float(n_dl)
+    if consistent and n_present == n_batch:
+        return "committed"
+    if consistent and n_present == 0:
+        return "absent"
+    return "torn"
 
 
 def _bm25_full_write(
@@ -149,60 +233,169 @@ def bm25_ingest_stream(
     an uncommitted batch under the same batch_id after a crash):
 
     - an append-only state log (``_ingest_state``: (batch_id, phase)
-      rows, never overwritten — no delete-then-write window) records
-      ``begin`` before the index append and ``done`` after it;
+      rows) records ``begin`` strictly AFTER the store append and before
+      the index append, and ``done`` after the index append;
     - a replayed batch whose ``done`` row exists is skipped entirely
-      (both sinks landed);
-    - a replayed batch with ``begin`` but no ``done`` means the previous
-      attempt crashed somewhere inside the index append and may have
-      torn it — the heal path re-appends the batch to the STORE (dup
-      segments are newest-wins-deduped at read), REBUILDS the index from
-      ``store.read()`` (the durable source of truth, so the rebuild is
-      correct regardless of where the tear happened), marks ``done`` and
-      moves on — the stream never wedges;
-    - the normal path appends the store segment BEFORE ``begin``, so the
-      heal path's store re-append covers the crash windows on either
-      side of it.
+      (both sinks landed before the crash);
+    - a replayed batch with ``begin`` but no ``done`` crashed somewhere
+      around the index append; the batch is already durable in the
+      store, so the heal path only has to repair the INDEX — it never
+      re-appends to the store. It probes the index first
+      (:func:`_index_batch_state`): a *committed* batch (crash landed
+      between the index append and the ``done`` marker) just gets its
+      marker; an *absent* one (crash landed before any index write)
+      re-runs the O(batch) index append; only a genuinely *torn* append
+      costs the full rebuild from ``store.read()`` — rare, loud in the
+      logs, and correct;
+    - a replayed batch with NO state rows (the crash landed around the
+      store append — or the state log itself was lost/torn, which the
+      defensive read treats as empty) runs the same probe before
+      touching the store, and additionally checks whether the store's
+      LAST segment already carries the batch's ids: a fully-committed
+      batch is marked ``done`` without re-appending (no duplicate store
+      segment, no crash-loop on the duplicate-id probe), and a crash
+      between ``store.append`` and ``begin`` skips the store re-append
+      too. Only the FIRST non-empty batch after a (re)start can be a
+      replay, so these probes cost nothing in steady state.
 
-    A mid-append crash therefore costs one full index rebuild on the
-    next start — rare, loud in the logs, and correct. The state log is
+    The state log is read filtered to the current batch_id and is
+    COMPACTED (rewritten as its max-``done`` watermark row via a rename
+    swap) once it accumulates ~64 files, so a long-running stream's
+    per-batch driver scan stays O(1) instead of growing with the
+    stream's lifetime; Spark replays at most the latest uncommitted
+    batch, so older rows can never be consulted again. The log is
     scoped to ONE checkpoint lineage: pointing a fresh checkpoint at a
     partially-ingested source restarts batch numbering and would skip
     new data under recycled ids; resume with the original checkpoint
     (standard sink/checkpoint coupling), or delete ``_ingest_state`` and
     rebuild the index when re-pointing."""
+    from comet_spark.storage.store import _FS
 
     state_path = f"{index_path}/_ingest_state"
+    first = [True]  # only the first batch after a (re)start can be a replay
 
     def _log(spark, batch_id: int, phase: str) -> None:
         spark.createDataFrame(
             [(int(batch_id), phase)], "batch_id bigint, phase string"
         ).repartition(1).write.mode("append").parquet(state_path)
 
+    def _phases(spark, batch_id: int) -> set:
+        """Phases recorded for ``batch_id`` — filtered read (one tiny row
+        per file; only the current batch's rows are ever relevant). A
+        lost/torn log reads as empty: the index/store probes below are
+        the correctness backstop, so the defensive fallback can never
+        skip work that didn't happen."""
+        if not _parquet_exists(spark, state_path):
+            return set()
+        try:
+            rows = (
+                spark.read.parquet(state_path)
+                .filter(F.col("batch_id") == int(batch_id))
+                .collect()
+            )
+        except Exception:
+            return set()
+        return {r["phase"] for r in rows}
+
+    def _compact_state(spark) -> None:
+        """Collapse the append-only log to its max-'done' watermark row
+        (rename swap — the only writer is this foreachBatch, and index
+        readers never touch the log)."""
+        fs = _FS(spark, state_path)
+        names = [n for n in fs.listdir(state_path) if not n.startswith(".")]
+        if len(names) <= 64:
+            return
+        rows = spark.read.parquet(state_path).collect()
+        done = [r["batch_id"] for r in rows if r["phase"] == "done"]
+        if not done:
+            return
+        keep = [(int(max(done)), "done")] + [
+            (int(r["batch_id"]), r["phase"])
+            for r in rows
+            if r["batch_id"] > max(done)
+        ]
+        tmp, old = f"{state_path}.compacting", f"{state_path}.old"
+        fs.delete(tmp)
+        fs.delete(old)
+        spark.createDataFrame(
+            keep, "batch_id bigint, phase string"
+        ).repartition(1).write.mode("overwrite").parquet(tmp)
+        if fs.rename(state_path, old) and fs.rename(tmp, state_path):
+            fs.delete(old)
+        else:  # roll back; a crash here at worst loses the log (probed)
+            fs.rename(old, state_path)
+            fs.delete(tmp)
+
+    def _store_has_batch_as_last_segment(spark, batch: DataFrame) -> bool:
+        """True iff the store's newest segment already carries every id
+        of ``batch`` — i.e. the previous attempt's ``store.append``
+        landed. Reads one batch-sized segment directory, never the
+        whole store."""
+        try:
+            segs = store._segment_ids()
+            if not segs:
+                return False
+            last = spark.read.parquet(f"{store.data_path}/segment={segs[-1]}")
+            ids = batch.select(F.col(id_col).alias("id")).distinct()
+            missing = ids.join(
+                last.select(F.col(id_col).alias("id")), "id", "left_anti"
+            )
+            return missing.limit(1).count() == 0
+        except Exception:
+            return False
+
+    def _repair_index(spark, batch: DataFrame, batch_id: int, state: str) -> None:
+        """Index-side repair for a replayed batch that is already durable
+        in the store: append if the index never saw it, rebuild only on
+        a genuine tear."""
+        if state in ("torn", "no_index"):
+            # torn mid-append, or the index is unreadable outright (a
+            # batch-only rewrite could drop earlier batches' docs):
+            # rebuild from the merged store view, the durable truth
+            _bm25_full_write(
+                store.read(), index_path,
+                id_col=id_col, text_col=text_col,
+                normalize=normalize, buckets=buckets,
+            )
+        elif state == "absent":  # index healthy, batch unseen: O(batch) redo
+            _bm25_index_step(
+                batch, index_path,
+                id_col=id_col, text_col=text_col,
+                normalize=normalize, buckets=buckets,
+            )
+        _log(spark, batch_id, "done")
+
     def write_batch(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
             return
         spark = batch.sparkSession
-        if _parquet_exists(spark, state_path):
-            rows = spark.read.parquet(state_path).collect()
-            phases = {r["batch_id"]: set() for r in rows}
-            for r in rows:
-                phases[r["batch_id"]].add(r["phase"])
-            got = phases.get(batch_id, set())
-            if "done" in got:
-                return  # fully processed before the crash
-            if "begin" in got:
-                # previous attempt crashed inside the index append and
-                # may have torn it. 'begin' is logged strictly AFTER the
-                # store append, so the batch is already durable in the
-                # store — rebuilding the index from store.read() is
-                # correct regardless of where the tear happened.
-                _bm25_full_write(
-                    store.read(), index_path,
-                    id_col=id_col, text_col=text_col,
-                    normalize=normalize, buckets=buckets,
-                )
+        replay_possible, first[0] = first[0], False
+        got = _phases(spark, batch_id)
+        if "done" in got:
+            return  # fully processed before the crash
+        if "begin" in got:
+            # 'begin' is logged strictly AFTER the store append, so the
+            # batch is durable in the store — repair the index only
+            _repair_index(
+                spark, batch, batch_id,
+                _index_batch_state(spark, index_path, batch, id_col),
+            )
+            return
+        if replay_possible:
+            # no state rows, but this may still be a replay whose crash
+            # landed around the store append — or whose state log was
+            # lost. Probe before touching the store: a fully-committed
+            # batch must not land a duplicate segment or crash-loop on
+            # the duplicate-id probe.
+            state = _index_batch_state(spark, index_path, batch, id_col)
+            if state == "committed":
                 _log(spark, batch_id, "done")
+                return
+            in_store = _store_has_batch_as_last_segment(spark, batch)
+            if state == "torn" or in_store:
+                if not in_store:
+                    store.append(batch)  # make durable before the rebuild
+                _repair_index(spark, batch, batch_id, state)
                 return
         batch = batch.persist()
         try:
@@ -216,6 +409,7 @@ def bm25_ingest_stream(
         finally:
             batch.unpersist()
         _log(spark, batch_id, "done")
+        _compact_state(spark)
 
     w = stream.writeStream.foreachBatch(write_batch).option(
         "checkpointLocation", checkpoint

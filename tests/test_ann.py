@@ -341,6 +341,38 @@ def test_compact_recluster_assignment_only_drops_stale_codes(spark, tmp_path, em
     assert {r["id"]: r["cluster_id"] for r in merged.collect()} == want
 
 
+def test_compact_recluster_keep_layout_cols_opt_out(spark, tmp_path, emb):
+    """ADVICE r06: two INDEPENDENT indexes can share a store — plain-PQ
+    codes (standalone codebooks) plus an IVF assignment being refreshed.
+    An IVF centroid refresh does not supersede non-residual PQ codes, so
+    keep_layout_cols=['codes'] must carry them through the recluster
+    rewrite unchanged (the default drop would silently break the ADC
+    serving path until a re-encode)."""
+    from comet_spark.operators.ann import IVFIndex, PQIndex
+    from comet_spark.storage.store import DocumentStore
+
+    some = emb.limit(200)
+    pq = PQIndex.train(some, m=4, nbits=4, max_iter=3)
+    store = DocumentStore(spark, str(tmp_path / "keep_codes"))
+    store.append(pq.encode_inplace(some))  # ingest-time plain-PQ codes
+
+    ivf = IVFIndex.train(store.read(), 4, max_iter=3)
+    store.compact(recluster=ivf, keep_layout_cols=["codes"])
+    merged = store.read().cache()
+    # fresh assignment AND the still-valid codes both present
+    assert {"cluster_id", "codes"} <= set(merged.columns)
+    want_cid = {r["id"]: r["cluster_id"] for r in ivf.assign(some).collect()}
+    assert {r["id"]: r["cluster_id"] for r in merged.collect()} == want_cid
+    want_codes = {r["id"]: list(r["codes"]) for r in pq.encode(some).collect()}
+    assert {r["id"]: list(r["codes"]) for r in merged.collect()} == want_codes
+    # the ADC serving path over the kept codes still works
+    qvec = [float(x) for x in emb.filter(F.col("id") == 0).first()["vector"]]
+    via_store = pq.search(merged.select("id", "codes"), qvec, k=5).collect()
+    fresh = pq.search(pq.encode(some), qvec, k=5).collect()
+    assert [tuple(r) for r in via_store] == [tuple(r) for r in fresh]
+    merged.unpersist()
+
+
 def test_compact_recluster_with_ivfpq_reencodes(spark, tmp_path, emb):
     """compact(recluster=ivfpq) rewrites BOTH the coarse assignment and
     the residual codes for the merged view; ADC search over the

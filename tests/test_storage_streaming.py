@@ -114,10 +114,10 @@ def test_bm25_ingest_stream_keeps_index_fresh(spark, store, tmp_path):
 
 def test_bm25_ingest_stream_heals_torn_batch(spark, store, tmp_path):
     """A replayed batch whose 'begin' was logged but never reached 'done'
-    means the previous attempt crashed somewhere inside the index append
-    — the heal path must rebuild the index from the STORE (which, by the
-    protocol's write order, already holds the batch) instead of wedging
-    on the duplicate-id probe forever."""
+    means the previous attempt crashed somewhere around the index append.
+    Here the index never saw the batch (state 'absent'), so the heal is
+    the cheap O(batch) index append — NOT a full rebuild, and never a
+    wedge on the duplicate-id probe."""
     from comet_spark.operators.bm25 import BM25
     from comet_spark.streaming.ingest import bm25_ingest_stream
 
@@ -125,7 +125,7 @@ def test_bm25_ingest_stream_heals_torn_batch(spark, store, tmp_path):
     batch_b = [(3, "tables of data"), (4, "fast spark scans")]
     # torn state: the store durably has BOTH batches (store.append precedes
     # the 'begin' log), the index only has A — the crash landed inside
-    # B's index append, after its 'begin' row
+    # B's index append, after its 'begin' row, before any index write
     store.append(_batch(spark, batch_a))
     store.append(_batch(spark, batch_b))
     ix_path = str(tmp_path / "bm25_torn")
@@ -148,13 +148,171 @@ def test_bm25_ingest_stream_heals_torn_batch(spark, store, tmp_path):
     assert [tuple(r) for r in healed.score("spark tables", k=0).collect()] == [
         tuple(r) for r in fresh.score("spark tables", k=0).collect()
     ]
-    # rebuilt = single segment again; the state log closed batch 0
-    assert spark.read.parquet(f"{ix_path}/stats").count() == 1
+    # the index is healthy + the batch was absent -> appended (2 segments),
+    # no full rebuild, no duplicate store segment; batch 0 closed
+    assert spark.read.parquet(f"{ix_path}/stats").count() == 2
+    assert store.segment_count() == 2
     log = {
         (r["batch_id"], r["phase"])
         for r in spark.read.parquet(f"{ix_path}/_ingest_state").collect()
     }
     assert (0, "done") in log
+
+
+def test_bm25_ingest_stream_lost_done_marker_no_crash_loop(spark, store, tmp_path):
+    """Crash-injection (VERDICT r06 #2): the previous run fully committed
+    the batch to BOTH sinks but crashed before any state row landed (the
+    marker write is the last step; here the whole state log is deleted —
+    the strictly harder case). The replay must probe the index, see the
+    batch committed, write the marker and move on: NO duplicate store
+    segment, NO crash-loop on the duplicate-id probe, NO rebuild."""
+    from comet_spark.operators.bm25 import BM25
+    from comet_spark.streaming.ingest import bm25_ingest, bm25_ingest_stream
+
+    batch_a = [(1, "spark joins tables"), (2, "spark streams data")]
+    ix_path = str(tmp_path / "bm25_lost_marker")
+    # a fully successful ingest step: store segment + index both landed
+    bm25_ingest(store, _batch(spark, batch_a), ix_path, buckets=4)
+    assert store.segment_count() == 1
+    want = [
+        tuple(r)
+        for r in BM25.read(spark, ix_path).score("spark tables", k=0).collect()
+    ]
+    # ...but the crash beat every marker write (simulate: no state log)
+    import shutil
+
+    shutil.rmtree(f"{ix_path}/_ingest_state", ignore_errors=True)
+
+    src_dir = str(tmp_path / "replay_src")
+    _batch(spark, batch_a).coalesce(1).write.mode("append").parquet(src_dir)
+    q = bm25_ingest_stream(
+        spark.readStream.schema("id bigint, text string").parquet(src_dir),
+        store, ix_path, checkpoint=str(tmp_path / "ckpt_lost"), buckets=4,
+    )
+    q.awaitTermination(120)
+
+    assert store.segment_count() == 1  # no duplicate store segment
+    assert spark.read.parquet(f"{ix_path}/stats").count() == 1  # no rebuild
+    got = [
+        tuple(r)
+        for r in BM25.read(spark, ix_path).score("spark tables", k=0).collect()
+    ]
+    assert got == want
+    log = {
+        (r["batch_id"], r["phase"])
+        for r in spark.read.parquet(f"{ix_path}/_ingest_state").collect()
+    }
+    assert (0, "done") in log
+
+
+def test_bm25_ingest_stream_committed_begin_skips_rebuild(spark, store, tmp_path):
+    """Crash between the index append and the 'done' marker: 'begin'
+    exists, the index probe proves the batch committed — the heal writes
+    the marker only, preserving the appended two-segment index shape
+    (a rebuild would collapse it to one)."""
+    from comet_spark.operators.bm25 import BM25
+    from comet_spark.streaming.ingest import bm25_ingest_stream
+
+    batch_a = [(1, "spark joins tables"), (2, "spark streams data")]
+    batch_b = [(3, "tables of data"), (4, "fast spark scans")]
+    store.append(_batch(spark, batch_a))
+    store.append(_batch(spark, batch_b))
+    ix_path = str(tmp_path / "bm25_committed")
+    BM25(_batch(spark, batch_a)).write(ix_path, buckets=4)
+    BM25.append(spark, ix_path, _batch(spark, batch_b))
+    spark.createDataFrame(
+        [(0, "done"), (1, "begin")], "batch_id bigint, phase string"
+    ).repartition(1).write.mode("append").parquet(f"{ix_path}/_ingest_state")
+
+    src_dir = str(tmp_path / "replay_src2")
+    _batch(spark, batch_a).coalesce(1).write.mode("append").parquet(src_dir)
+    _batch(spark, batch_b).coalesce(1).write.mode("append").parquet(src_dir)
+    q = bm25_ingest_stream(
+        spark.readStream.schema("id bigint, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir),
+        store, ix_path, checkpoint=str(tmp_path / "ckpt_committed"), buckets=4,
+    )
+    q.awaitTermination(120)
+
+    assert store.segment_count() == 2            # no duplicate segment
+    assert spark.read.parquet(f"{ix_path}/stats").count() == 2  # no rebuild
+    fresh = BM25(store.read())
+    assert [
+        tuple(r)
+        for r in BM25.read(spark, ix_path).score("spark tables", k=0).collect()
+    ] == [tuple(r) for r in fresh.score("spark tables", k=0).collect()]
+    log = {
+        (r["batch_id"], r["phase"])
+        for r in spark.read.parquet(f"{ix_path}/_ingest_state").collect()
+    }
+    assert (1, "done") in log
+
+
+def test_bm25_ingest_stream_state_log_compacts(spark, store, tmp_path):
+    """ADVICE r06: the append-only state log must not grow without bound
+    on a long-running stream — once it accumulates ~64 files it is
+    collapsed to its max-'done' watermark row (Spark replays at most the
+    latest uncommitted batch, so older rows can never be consulted
+    again)."""
+    from comet_spark.streaming.ingest import bm25_ingest_stream
+
+    ix_path = str(tmp_path / "bm25_statelog")
+    state = f"{ix_path}/_ingest_state"
+    # seed a long-lived stream's accumulated log: 34 completed batches,
+    # one file per row (the shape 68 tiny appends leave behind)
+    rows = [(i, p) for i in range(1, 35) for p in ("begin", "done")]
+    seed = spark.createDataFrame(rows, "batch_id bigint, phase string").repartition(68)
+    seed.write.mode("append").parquet(state)
+    seed.write.mode("append").parquet(state)  # duplicate rows are harmless
+    import glob
+
+    assert len(glob.glob(f"{state}/part-*")) >= 64
+
+    src_dir = str(tmp_path / "state_src")
+    _batch(spark, [(100, "spark compacts logs")]).coalesce(1).write.mode(
+        "append"
+    ).parquet(src_dir)
+    q = bm25_ingest_stream(
+        spark.readStream.schema("id bigint, text string").parquet(src_dir),
+        store, ix_path, checkpoint=str(tmp_path / "ckpt_state"), buckets=4,
+    )
+    q.awaitTermination(120)
+
+    # collapsed to the single watermark row in O(1) files
+    got = [tuple(r) for r in spark.read.parquet(state).collect()]
+    assert got == [(34, "done")]
+    assert len(glob.glob(f"{state}/part-*")) <= 2
+
+
+def test_bm25_ingest_replay_is_idempotent_on_index(spark, store, tmp_path):
+    """Non-streaming bm25_ingest replayed with the SAME batch (a caller's
+    own foreachBatch retry after a crash that landed past the index
+    append): the duplicate-id probe fires, the committed probe recognizes
+    the batch, and the call is a no-op on the index — no crash-loop. The
+    replayed store.append leaves one documented duplicate segment, which
+    the newest-wins read hides and compaction removes."""
+    from comet_spark.operators.bm25 import BM25
+    from comet_spark.streaming.ingest import bm25_ingest
+
+    rows = [(1, "spark joins tables"), (2, "spark streams data")]
+    ix_path = str(tmp_path / "bm25_replay")
+    bm25_ingest(store, _batch(spark, rows), ix_path, buckets=4)
+    want = [
+        tuple(r)
+        for r in BM25.read(spark, ix_path).score("spark tables", k=0).collect()
+    ]
+    bm25_ingest(store, _batch(spark, rows), ix_path, buckets=4)  # replay
+    assert spark.read.parquet(f"{ix_path}/stats").count() == 1  # index no-op
+    got = [
+        tuple(r)
+        for r in BM25.read(spark, ix_path).score("spark tables", k=0).collect()
+    ]
+    assert got == want
+    assert store.segment_count() == 2  # documented duplicate segment
+    assert store.read().count() == 2   # hidden by newest-wins
+    store.compact()
+    assert store.segment_count() == 1
 
 
 def test_windowed_event_counts_batch_twin(spark):
