@@ -32,10 +32,17 @@ from comet_spark.functions.text import ensure_nfkc, needs_unicode_tokenize, toke
 from comet_spark.functions.uax29 import tokenize_unicode_py
 from comet_spark.operators.topk import topk
 
-__all__ = ["BM25", "K1", "B", "tokenize_py"]
+__all__ = ["BM25", "DuplicateIdsError", "K1", "B", "tokenize_py"]
 
 K1 = 1.2
 B = 0.75
+
+
+class DuplicateIdsError(ValueError):
+    """:meth:`BM25.append`'s duplicate-id probe fired: the batch carries
+    ids the index already has. A TYPED signal (not message text) so the
+    ingest replay protocol can distinguish 'this batch may be a replay'
+    from any other ValueError."""
 
 
 def _postings_table_name(path: str) -> str:
@@ -328,7 +335,7 @@ class BM25:
                 .count()
             )
             if dup:
-                raise ValueError(
+                raise DuplicateIdsError(
                     "append(): batch contains ids already in the index; "
                     "appended documents must be new (route upserts "
                     "through the LSM merge view instead)"

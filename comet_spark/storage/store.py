@@ -392,6 +392,14 @@ class DocumentStore:
         out of the drop — the caller is asserting this hook's refresh
         does not supersede it (an IVF centroid refresh says nothing
         about non-residual PQ codebooks)."""
+        bad = set(keep_layout_cols or []) - {"cluster_id", "codes"}
+        if bad:
+            # a typo here would silently drop the column the caller asked
+            # to preserve — fail loud instead
+            raise ValueError(
+                f"keep_layout_cols: {sorted(bad)} not in the reserved layout "
+                "set {'cluster_id', 'codes'}"
+            )
         with self._lock("compact"):
             applied_delete_files = self._fs.listdir(self.deletes_path)
             segs = self._segment_ids()

@@ -38,11 +38,20 @@ def stream_into_store(
     checkpoint: str,
     trigger_available_now: bool = True,
 ) -> StreamingQuery:
-    """foreachBatch → one immutable segment per micro-batch."""
+    """foreachBatch → one immutable segment per micro-batch. The stream
+    is the store's single writer; a hard crash mid-append leaves the
+    store's ``_lock`` marker behind, so the first batch after a
+    (re)start clears it — a marker present then can only belong to this
+    stream's crashed predecessor (don't point a second writer at the
+    store; that is already the store's contract)."""
+    first = [True]
 
     def write_batch(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
             return
+        if first[0]:
+            store.force_unlock()
+            first[0] = False
         store.append(batch)
 
     writer = stream.writeStream.foreachBatch(write_batch).option(
@@ -92,6 +101,8 @@ def bm25_ingest(
     variant's restart probe avoids even that. A torn FIRST write
     (``stats`` unreadable) re-routes into the full build, which
     overwrites the wreckage."""
+    from comet_spark.operators.bm25 import DuplicateIdsError
+
     batch = batch.persist()  # both sinks scan the batch once each
     try:
         store.append(batch)
@@ -101,22 +112,16 @@ def bm25_ingest(
                 id_col=id_col, text_col=text_col,
                 normalize=normalize, buckets=buckets,
             )
-        except ValueError as e:
-            if "already in the index" not in str(e):
-                raise
-            state = _index_batch_state(
-                batch.sparkSession, index_path, batch, id_col
+        except DuplicateIdsError:
+            # this batch may be a replay — classify and repair via the
+            # shared protocol (committed → no-op; torn → rebuild from
+            # the store, which durably holds the batch now)
+            _repair_index_from_store(
+                store, batch, index_path,
+                _index_batch_state(batch.sparkSession, index_path, batch, id_col),
+                id_col=id_col, text_col=text_col,
+                normalize=normalize, buckets=buckets,
             )
-            if state != "committed":
-                # a previous append tore mid-write — the store (which now
-                # durably holds this batch) is the truth; rebuild once
-                _bm25_full_write(
-                    store.read(), index_path,
-                    id_col=id_col, text_col=text_col,
-                    normalize=normalize, buckets=buckets,
-                )
-            # committed: a replayed batch whose index append already
-            # landed — nothing to do
     finally:
         batch.unpersist()
 
@@ -140,6 +145,31 @@ def _bm25_index_step(
         )
     else:
         _bm25_full_write(
+            batch, index_path,
+            id_col=id_col, text_col=text_col,
+            normalize=normalize, buckets=buckets,
+        )
+
+
+def _repair_index_from_store(
+    store: DocumentStore, batch: DataFrame, index_path: str, state: str, *,
+    id_col: str, text_col: str, normalize: bool, buckets: int,
+) -> None:
+    """THE index-side repair for a (possibly) replayed batch that is
+    already durable in the store — both ingest variants share it so the
+    replay protocol exists once: *committed* → nothing to do; *absent*
+    (index healthy, batch unseen) → re-run the O(batch) index append;
+    *torn* or *no_index* (the index is damaged, or unreadable outright —
+    a batch-only rewrite could drop earlier batches' docs) → rebuild
+    from ``store.read()``, the durable truth."""
+    if state in ("torn", "no_index"):
+        _bm25_full_write(
+            store.read(), index_path,
+            id_col=id_col, text_col=text_col,
+            normalize=normalize, buckets=buckets,
+        )
+    elif state == "absent":
+        _bm25_index_step(
             batch, index_path,
             id_col=id_col, text_col=text_col,
             normalize=normalize, buckets=buckets,
@@ -175,20 +205,28 @@ def _index_batch_state(spark, index_path: str, batch: DataFrame, id_col: str) ->
 
     Cost: one stats collect + one count + one batch-sized semi-join
     against doc_len (doc-count-sized, never the postings)."""
+    # batch-side evaluation stays OUTSIDE the try blocks: an error in the
+    # source dataframe must propagate (and fail/retry the micro-batch),
+    # not masquerade as an index tear and trigger a spurious rebuild
+    ids = batch.select(F.col(id_col).alias("id")).distinct().cache()
     try:
-        stats_rows = spark.read.parquet(f"{index_path}/stats").collect()
-        if not stats_rows:
-            return "no_index"
-    except Exception:
-        return "no_index"
-    try:
-        dl = spark.read.parquet(f"{index_path}/doc_len")
-        n_dl = dl.count()
-        ids = batch.select(F.col(id_col).alias("id")).distinct()
         n_batch = ids.count()
-        n_present = ids.join(dl, "id", "left_semi").count()
-    except Exception:
-        return "torn"
+        try:
+            stats_rows = spark.read.parquet(f"{index_path}/stats").collect()
+            if not stats_rows:
+                return "no_index"
+        except Exception:
+            return "no_index"
+        try:
+            dl = spark.read.parquet(f"{index_path}/doc_len")
+            n_dl = dl.count()
+            n_present = ids.join(dl, "id", "left_semi").count()
+        except Exception:
+            # the batch side is proven evaluable (counted above), so a
+            # failure here is the index's doc_len — unreadable = torn
+            return "torn"
+    finally:
+        ids.unpersist()
     consistent = float(sum(r["n_docs"] for r in stats_rows)) == float(n_dl)
     if consistent and n_present == n_batch:
         return "committed"
@@ -345,24 +383,13 @@ def bm25_ingest_stream(
             return False
 
     def _repair_index(spark, batch: DataFrame, batch_id: int, state: str) -> None:
-        """Index-side repair for a replayed batch that is already durable
-        in the store: append if the index never saw it, rebuild only on
-        a genuine tear."""
-        if state in ("torn", "no_index"):
-            # torn mid-append, or the index is unreadable outright (a
-            # batch-only rewrite could drop earlier batches' docs):
-            # rebuild from the merged store view, the durable truth
-            _bm25_full_write(
-                store.read(), index_path,
-                id_col=id_col, text_col=text_col,
-                normalize=normalize, buckets=buckets,
-            )
-        elif state == "absent":  # index healthy, batch unseen: O(batch) redo
-            _bm25_index_step(
-                batch, index_path,
-                id_col=id_col, text_col=text_col,
-                normalize=normalize, buckets=buckets,
-            )
+        """Shared repair (committed → marker only; absent → O(batch)
+        append; torn/unreadable → rebuild from the store) + the marker."""
+        _repair_index_from_store(
+            store, batch, index_path, state,
+            id_col=id_col, text_col=text_col,
+            normalize=normalize, buckets=buckets,
+        )
         _log(spark, batch_id, "done")
 
     def write_batch(batch: DataFrame, batch_id: int) -> None:
@@ -370,6 +397,13 @@ def bm25_ingest_stream(
             return
         spark = batch.sparkSession
         replay_possible, first[0] = first[0], False
+        if replay_possible:
+            # a hard crash mid-append leaves the store's _lock marker;
+            # this stream is the store's single writer (see the store
+            # contract), so a marker present at restart can only belong
+            # to our crashed predecessor — clear it or every replay
+            # would crash-loop on StoreLockedError
+            store.force_unlock()
         got = _phases(spark, batch_id)
         if "done" in got:
             return  # fully processed before the crash

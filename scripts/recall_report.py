@@ -74,6 +74,26 @@ def main() -> None:
             ivf_build,
         )
 
+    # auto-nprobe ladder (VERDICT r06 #8 stretch): the knob users actually
+    # set is target_scan_frac — map it to achieved recall so the knob can
+    # be chosen BY recall target. Per query the probe count differs (that
+    # is the point); the config column records the mean chosen nprobe.
+    list_sizes = {
+        r["cluster_id"]: r["count"]
+        for r in assigned.groupBy("cluster_id").count().collect()
+    }
+    for frac in (0.25, 0.5, 0.75):
+        chosen = {
+            tuple(v): ivf.auto_nprobe(v, list_sizes, target_scan_frac=frac)
+            for v in qvecs.values()
+        }
+        mean_np = sum(chosen.values()) / len(chosen)
+        evaluate(
+            "IVF auto-nprobe", f"nlist=16 scan_frac={frac} (mean nprobe {mean_np:.1f})",
+            lambda v, ch=chosen: ivf.search(assigned, v, k=K, nprobe=ch[tuple(v)]),
+            ivf_build,
+        )
+
     for nbits in (6, 8):
         t0 = time.perf_counter()
         pq = PQIndex.train(emb, m=8, nbits=nbits, max_iter=10)

@@ -243,18 +243,22 @@ def _soak_sa_script(spark, n_docs: int) -> dict:
     from comet_spark.functions.text import NONNATIVE_TOKEN_RE
     from comet_spark.operators.bm25 import BM25
 
-    rng = random.Random(1729)
-
-    def word(th: bool) -> str:
-        n = rng.randint(3, 8)
-        if th:
-            return "".join(
-                rng.choice(_THAI_CONS if i % 2 == 0 else _THAI_CONS + _THAI_VOWS)
-                for i in range(n)
-            )
-        return "".join(rng.choice("abcdefghijklmnopqrstuvwxyz") for _ in range(n))
-
     def corpus(th_frac: float):
+        # fresh identically-seeded RNG per corpus: both labels then make
+        # the SAME draw sequence (doc/word/char counts, route decisions),
+        # so only the alphabet differs and the throughput ratio is
+        # like-for-like (one rng.choice per character in either branch)
+        rng = random.Random(1729)
+
+        def word(th: bool) -> str:
+            n = rng.randint(3, 8)
+            if th:
+                return "".join(
+                    rng.choice(_THAI_CONS if i % 2 == 0 else _THAI_CONS + _THAI_VOWS)
+                    for i in range(n)
+                )
+            return "".join(rng.choice("abcdefghijklmnopqrstuvwxyz") for _ in range(n))
+
         rows = []
         for i in range(n_docs):
             th = rng.random() < th_frac

@@ -249,6 +249,102 @@ def test_bm25_ingest_stream_committed_begin_skips_rebuild(spark, store, tmp_path
     assert (1, "done") in log
 
 
+def test_bm25_ingest_stream_rebuilds_genuinely_torn_index(spark, store, tmp_path):
+    """Crash-injection for the rarest branch: the previous attempt's
+    index append TORE mid-write (the batch's doc_len segment landed but
+    its stats commit record did not — ledger mismatch), with 'begin'
+    logged. The heal must classify 'torn' and rebuild from store.read(),
+    leaving a consistent single-segment index."""
+    from comet_spark.operators.bm25 import BM25
+    from comet_spark.streaming.ingest import bm25_ingest_stream
+
+    batch_a = [(1, "spark joins tables"), (2, "spark streams data")]
+    batch_b = [(3, "tables of data"), (4, "fast spark scans")]
+    store.append(_batch(spark, batch_a))
+    store.append(_batch(spark, batch_b))
+    ix_path = str(tmp_path / "bm25_genuine_torn")
+    BM25(_batch(spark, batch_a)).write(ix_path, buckets=4)
+    # the tear: B's doc_len segment exists, nothing else of B does
+    spark.createDataFrame([(3, 3), (4, 3)], "id bigint, dl bigint").write.mode(
+        "append"
+    ).parquet(f"{ix_path}/doc_len")
+    spark.createDataFrame(
+        [(0, "begin")], "batch_id bigint, phase string"
+    ).repartition(1).write.mode("append").parquet(f"{ix_path}/_ingest_state")
+
+    src_dir = str(tmp_path / "torn_src")
+    _batch(spark, batch_b).coalesce(1).write.mode("append").parquet(src_dir)
+    q = bm25_ingest_stream(
+        spark.readStream.schema("id bigint, text string").parquet(src_dir),
+        store, ix_path, checkpoint=str(tmp_path / "ckpt_torn"), buckets=4,
+    )
+    q.awaitTermination(120)
+
+    healed = BM25.read(spark, ix_path)
+    fresh = BM25(store.read())
+    assert [tuple(r) for r in healed.score("spark tables", k=0).collect()] == [
+        tuple(r) for r in fresh.score("spark tables", k=0).collect()
+    ]
+    # rebuilt: one stats row, consistent ledger, no duplicate store segment
+    assert spark.read.parquet(f"{ix_path}/stats").count() == 1
+    assert spark.read.parquet(f"{ix_path}/doc_len").count() == 4
+    assert store.segment_count() == 2
+    log = {
+        (r["batch_id"], r["phase"])
+        for r in spark.read.parquet(f"{ix_path}/_ingest_state").collect()
+    }
+    assert (0, "done") in log
+
+
+def test_bm25_ingest_torn_index_rebuilds(spark, store, tmp_path):
+    """Non-streaming twin of the torn heal: a replayed bm25_ingest whose
+    previous index append tore (batch ids present but the stats ledger
+    mismatches) must rebuild from the store instead of wedging on the
+    duplicate-id probe."""
+    from comet_spark.operators.bm25 import BM25
+    from comet_spark.streaming.ingest import bm25_ingest
+
+    rows = [(1, "spark joins tables"), (2, "spark streams data")]
+    ix_path = str(tmp_path / "bm25_ingest_torn")
+    bm25_ingest(store, _batch(spark, rows), ix_path, buckets=4)
+    # injected tear: an orphan doc_len segment with no stats partial
+    spark.createDataFrame([(99, 3)], "id bigint, dl bigint").write.mode(
+        "append"
+    ).parquet(f"{ix_path}/doc_len")
+
+    bm25_ingest(store, _batch(spark, rows), ix_path, buckets=4)  # replay
+    # rebuilt from store.read(): orphan gone, ledger consistent again
+    assert spark.read.parquet(f"{ix_path}/doc_len").count() == 2
+    assert spark.read.parquet(f"{ix_path}/stats").count() == 1
+    fresh = BM25(store.read())
+    assert [
+        tuple(r)
+        for r in BM25.read(spark, ix_path).score("spark tables", k=0).collect()
+    ] == [tuple(r) for r in fresh.score("spark tables", k=0).collect()]
+
+
+def test_bm25_ingest_stream_clears_stale_writer_lock(spark, store, tmp_path):
+    """A hard crash mid-append leaves the store's _lock marker; the
+    restarted stream is the store's single writer, so it must clear the
+    stale marker on its first batch instead of crash-looping on
+    StoreLockedError."""
+    from comet_spark.streaming.ingest import bm25_ingest_stream
+
+    assert store._fs.create_new(store.lock_path)  # crashed predecessor
+    src_dir = str(tmp_path / "lock_src")
+    _batch(spark, [(1, "spark clears locks")]).coalesce(1).write.mode(
+        "append"
+    ).parquet(src_dir)
+    ix_path = str(tmp_path / "bm25_lock")
+    q = bm25_ingest_stream(
+        spark.readStream.schema("id bigint, text string").parquet(src_dir),
+        store, ix_path, checkpoint=str(tmp_path / "ckpt_lock"), buckets=4,
+    )
+    q.awaitTermination(120)
+    assert store.segment_count() == 1
+    assert not store._fs.exists(store.lock_path)
+
+
 def test_bm25_ingest_stream_state_log_compacts(spark, store, tmp_path):
     """ADVICE r06: the append-only state log must not grow without bound
     on a long-running stream — once it accumulates ~64 files it is
