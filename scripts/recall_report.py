@@ -296,9 +296,12 @@ def main() -> None:
         "a fixed nprobe over- or under-scans per query. `auto_nprobe` "
         "picks the smallest nprobe whose cumulative probed-list mass "
         "reaches a `target_scan_frac` (list sizes from one "
-        "`groupBy(cluster_id).count()`, computed once per layout). At "
-        "nlist=16 on this corpus, `target_scan_frac=0.5` lands nprobe 8 "
-        "(recall 0.78), `1.0` degenerates to fullprobe (exact)."
+        "`groupBy(cluster_id).count()`, computed once per layout); "
+        "batches get a per-query `{qid: n}` map. The *IVF auto-nprobe* "
+        "ladder rows above map `target_scan_frac` {0.25, 0.5, 0.75} to "
+        "achieved recall (each row's config notes the mean chosen "
+        "nprobe), so the knob can be set BY recall target; "
+        "`target_scan_frac=1.0` degenerates to the exact fullprobe."
     )
     lines.append("")
     lines.append(
