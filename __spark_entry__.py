@@ -166,6 +166,11 @@ def _bm25_index(spark: SparkSession, sf_dir: str) -> BM25:
             ix.stats.first()
             ix.postings.first()
         except Exception:
+            # a crashed previous build can leave the index writer-lock
+            # marker; this builder is the artifact dir's single writer,
+            # so a marker here is always stale — clear it before the
+            # rebuild instead of failing every query until a human does
+            BM25.force_unlock(spark, base)
             bld = BM25(
                 _t(spark, sf_dir, "documents"), id_col="doc_id",
                 text_col="text", cache=True,
@@ -489,6 +494,7 @@ def _bm25_append_index(spark: SparkSession, sf_dir: str) -> BM25:
             ix.stats.first()
             ix.postings.first()
         except Exception:
+            BM25.force_unlock(spark, base)  # stale lock from a crashed build
             docs = _t(spark, sf_dir, "documents")
             bld = BM25(
                 docs.filter(F.col("doc_id") % 3 != 2),
@@ -553,6 +559,7 @@ def _bm25_compact_index(spark: SparkSession, sf_dir: str) -> BM25:
             ix.stats.first()
             ix.postings.first()
         except Exception:
+            BM25.force_unlock(spark, base)  # stale lock from a crashed build
             docs = _t(spark, sf_dir, "documents")
             bld = BM25(
                 docs.filter(F.col("doc_id") % 4 == 0),

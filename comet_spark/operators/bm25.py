@@ -45,6 +45,21 @@ class DuplicateIdsError(ValueError):
     from any other ValueError."""
 
 
+def _index_writer_lock(spark, path: str, op: str):
+    """Single-writer enforcement for the persisted index's write paths
+    (write/append/compact), reusing the store's atomic lock-marker
+    primitive: two concurrent writers interleaving segment files would
+    corrupt the doc_len/stats ledger the replay probes certify against,
+    so the second writer fails fast (``StoreLockedError``) instead —
+    exactly the store's A9 discipline (reference storage lock,
+    ``storage_provider.go:36-246``). A crashed writer leaves the marker;
+    :meth:`BM25.force_unlock` clears it (``bm25_ingest_stream`` does so
+    automatically on restart — it IS the single writer)."""
+    from comet_spark.storage.store import _FS, _writer_lock
+
+    return _writer_lock(_FS(spark, path), f"{path}/_lock", op)
+
+
 def _postings_table_name(path: str) -> str:
     """Metastore table name for a bucketed postings path. The readable
     sanitized form is lossy ('/ix-1' and '/ix_1' collide), so a path hash
@@ -183,25 +198,37 @@ class BM25:
         prunes the scan to only the terms' buckets. ``buckets=0`` writes
         plain parquet (portable, no metastore). The bucket count is
         persisted in ``meta`` so :meth:`read` can re-register the table
-        in a fresh session."""
+        in a fresh session. Write paths are single-writer, ENFORCED by
+        the same lock marker as the DocumentStore (see
+        :func:`_index_writer_lock`)."""
         spark = self.postings.sparkSession
-        if buckets > 0:
-            name = _postings_table_name(path)
-            (
-                self.postings.write.mode("overwrite")
-                .option("path", f"{path}/postings")
-                .bucketBy(buckets, "term")
-                .sortBy("term")
-                .saveAsTable(name)
-            )
-        else:
-            self.postings.write.mode("overwrite").parquet(f"{path}/postings")
-        spark.createDataFrame([(int(buckets),)], "buckets int").repartition(
-            1
-        ).write.mode("overwrite").parquet(f"{path}/meta")
-        self.doc_len.write.mode("overwrite").parquet(f"{path}/doc_len")
-        self.df.write.mode("overwrite").parquet(f"{path}/df")
-        self.stats.repartition(1).write.mode("overwrite").parquet(f"{path}/stats")
+        with _index_writer_lock(spark, path, "write"):
+            if buckets > 0:
+                name = _postings_table_name(path)
+                (
+                    self.postings.write.mode("overwrite")
+                    .option("path", f"{path}/postings")
+                    .bucketBy(buckets, "term")
+                    .sortBy("term")
+                    .saveAsTable(name)
+                )
+            else:
+                self.postings.write.mode("overwrite").parquet(f"{path}/postings")
+            spark.createDataFrame([(int(buckets),)], "buckets int").repartition(
+                1
+            ).write.mode("overwrite").parquet(f"{path}/meta")
+            self.doc_len.write.mode("overwrite").parquet(f"{path}/doc_len")
+            self.df.write.mode("overwrite").parquet(f"{path}/df")
+            self.stats.repartition(1).write.mode("overwrite").parquet(f"{path}/stats")
+
+    @classmethod
+    def force_unlock(cls, spark, path: str) -> None:
+        """Remove a stale writer-lock marker left by a crashed
+        write/append/compact (same recovery contract as
+        ``DocumentStore.force_unlock`` — confirm no writer is live)."""
+        from comet_spark.storage.store import _FS
+
+        _FS(spark, path).delete(f"{path}/_lock")
 
     @classmethod
     def read(cls, spark, path: str, *, buckets: int | None = None) -> "BM25":
@@ -316,65 +343,71 @@ class BM25:
         rebuilding from the corpus (``BM25(...).write(path)``) or let
         :func:`~comet_spark.streaming.ingest.bm25_ingest_stream`'s heal
         path do it."""
-        try:
-            buckets = int(spark.read.parquet(f"{path}/meta").first()["buckets"])
-        except Exception:  # pre-meta index directories
-            buckets = 0
-        if "total_dl" not in spark.read.parquet(f"{path}/stats").columns:
-            raise ValueError(
-                "append(): index was written by a version without "
-                "per-segment stats (no total_dl column); rebuild it once "
-                "with BM25(...).write(path) before appending"
-            )
-        if check_disjoint:
-            old_ids = spark.read.parquet(f"{path}/doc_len").select("id")
-            dup = (
-                new_docs.select(F.col(id_col).alias("id"))
-                .join(old_ids, "id", "left_semi")
-                .limit(1)
-                .count()
-            )
-            if dup:
-                raise DuplicateIdsError(
-                    "append(): batch contains ids already in the index; "
-                    "appended documents must be new (route upserts "
-                    "through the LSM merge view instead)"
+        with _index_writer_lock(spark, path, "append"):
+            try:
+                buckets = int(spark.read.parquet(f"{path}/meta").first()["buckets"])
+            except Exception:  # pre-meta index directories
+                buckets = 0
+            if "total_dl" not in spark.read.parquet(f"{path}/stats").columns:
+                raise ValueError(
+                    "append(): index was written by a version without "
+                    "per-segment stats (no total_dl column); rebuild it once "
+                    "with BM25(...).write(path) before appending"
                 )
-        # cache=True: doc_len/df/stats all derive from seg.postings — the
-        # cache keeps the batch's tokenize+aggregate to ONE evaluation
-        # across the four segment writes
-        seg = cls(
-            new_docs, id_col=id_col, text_col=text_col,
-            normalize=normalize, cache=True,
-        )
-        try:
-            # doc_len FIRST: it is the id ledger the duplicate-id probe
-            # reads, so any retry of a crash landing after this point
-            # fail-fasts instead of double-counting postings
-            seg.doc_len.write.mode("append").parquet(f"{path}/doc_len")
-            if buckets > 0:
-                # mode=append honors (or, in a fresh session where the
-                # catalog forgot the table, re-creates) the bucket spec;
-                # the pre-existing files under path/postings stay table
-                # data
-                (
-                    seg.postings.write.mode("append")
-                    .option("path", f"{path}/postings")
-                    .bucketBy(buckets, "term")
-                    .sortBy("term")
-                    .saveAsTable(_postings_table_name(path))
+            if check_disjoint:
+                # inside the lock: the probe is a read-then-write on the
+                # id ledger, exactly what the lock serializes
+                old_ids = spark.read.parquet(f"{path}/doc_len").select("id")
+                dup = (
+                    new_docs.select(F.col(id_col).alias("id"))
+                    .join(old_ids, "id", "left_semi")
+                    .limit(1)
+                    .count()
                 )
-            else:
-                seg.postings.write.mode("append").parquet(f"{path}/postings")
-            # df AFTER postings: a df partial without its postings would
-            # inflate idf for terms existing docs already carry; this way
-            # a torn state only under-scores the (unfinished) batch
-            seg.df.write.mode("append").parquet(f"{path}/df")
-            # stats LAST: the segment's commit record
-            seg.stats.repartition(1).write.mode("append").parquet(f"{path}/stats")
-        finally:
-            for t in (seg.postings, seg.doc_len, seg.df, seg.stats):
-                t.unpersist()
+                if dup:
+                    raise DuplicateIdsError(
+                        "append(): batch contains ids already in the index; "
+                        "appended documents must be new (route upserts "
+                        "through the LSM merge view instead)"
+                    )
+            # cache=True: doc_len/df/stats all derive from seg.postings —
+            # the cache keeps the batch's tokenize+aggregate to ONE
+            # evaluation across the four segment writes
+            seg = cls(
+                new_docs, id_col=id_col, text_col=text_col,
+                normalize=normalize, cache=True,
+            )
+            try:
+                # doc_len FIRST: it is the id ledger the duplicate-id
+                # probe reads, so any retry of a crash landing after this
+                # point fail-fasts instead of double-counting postings
+                seg.doc_len.write.mode("append").parquet(f"{path}/doc_len")
+                if buckets > 0:
+                    # mode=append honors (or, in a fresh session where
+                    # the catalog forgot the table, re-creates) the
+                    # bucket spec; the pre-existing files under
+                    # path/postings stay table data
+                    (
+                        seg.postings.write.mode("append")
+                        .option("path", f"{path}/postings")
+                        .bucketBy(buckets, "term")
+                        .sortBy("term")
+                        .saveAsTable(_postings_table_name(path))
+                    )
+                else:
+                    seg.postings.write.mode("append").parquet(f"{path}/postings")
+                # df AFTER postings: a df partial without its postings
+                # would inflate idf for terms existing docs already
+                # carry; this way a torn state only under-scores the
+                # (unfinished) batch
+                seg.df.write.mode("append").parquet(f"{path}/df")
+                # stats LAST: the segment's commit record
+                seg.stats.repartition(1).write.mode("append").parquet(
+                    f"{path}/stats"
+                )
+            finally:
+                for t in (seg.postings, seg.doc_len, seg.df, seg.stats):
+                    t.unpersist()
 
     @classmethod
     def compact(cls, spark, path: str, *, rows_per_file: int = 8_000_000) -> None:
@@ -402,9 +435,9 @@ class BM25:
         table the rewrite lands in a side directory and installs via
         move-aside-then-rename (a crash leaves either the old or the
         new files, plus at worst a ``*.old``/``*.compacting`` leftover
-        a re-run cleans). Single-writer contract as :meth:`append`:
-        don't compact concurrently with an append, and open readers
-        after the swap. A torn index (a crashed append's doc_len
+        a re-run cleans). Single-writer, ENFORCED by the shared lock
+        marker (:func:`_index_writer_lock`); open readers after the
+        swap. A torn index (a crashed append's doc_len
         segment without its stats commit record) is refused up front —
         rebuild from the corpus first, as :meth:`append` documents.
 
@@ -416,100 +449,102 @@ class BM25:
         from comet_spark.storage.store import _FS
 
         fs = _FS(spark, path)
-        try:
-            buckets = int(spark.read.parquet(f"{path}/meta").first()["buckets"])
-        except Exception:  # pre-meta index directories
-            buckets = 0
-        stats_rows = spark.read.parquet(f"{path}/stats").collect()
-        if len(stats_rows) > 1 and any(
-            "total_dl" not in r.asDict() or r["total_dl"] is None for r in stats_rows
-        ):
-            raise ValueError(
-                "compact(): index carries pre-total_dl stats segments; "
-                "rebuild it once with BM25(...).write(path)"
-            )
-        n_docs = float(sum(r["n_docs"] for r in stats_rows))
-        n_dl = spark.read.parquet(f"{path}/doc_len").count()
-        if n_docs != float(n_dl):
-            raise ValueError(
-                f"compact(): stats ledger ({n_docs:.0f} docs) does not match "
-                f"doc_len ({n_dl} rows) — a previous append tore before its "
-                "stats commit record; rebuild with BM25(...).write(path)"
-            )
-
-        def _swap(sub: str, writer) -> None:
-            cur, tmp, old = (
-                f"{path}/{sub}", f"{path}/{sub}.compacting", f"{path}/{sub}.old",
-            )
-            fs.delete(tmp)
-            fs.delete(old)
-            writer(tmp)
-            if not fs.rename(cur, old):
-                fs.delete(tmp)
-                raise OSError(f"compact: could not move {cur} aside")
-            if not fs.rename(tmp, cur):
-                fs.rename(old, cur)  # roll back
-                raise OSError(f"compact: could not install {tmp}")
-            fs.delete(old)
-
-        nf = max(1, -(-n_dl // rows_per_file))
-        _swap(
-            "doc_len",
-            lambda t: spark.read.parquet(f"{path}/doc_len")
-            .coalesce(nf).write.mode("overwrite").parquet(t),
-        )
-        if buckets > 0:
-            # rewrite THROUGH a scratch external table (bucket metadata
-            # only exists on tables): the consolidated bucket files —
-            # their names carry the bucket id the reader keys on — then
-            # swap under the live table's unchanged location + spec
-            name = _postings_table_name(path)
-            tmp_name = f"{name}_compacting"
-
-            def _write_postings(t: str) -> None:
-                spark.sql(f"DROP TABLE IF EXISTS {tmp_name}")
-                (
-                    spark.read.parquet(f"{path}/postings")
-                    .repartition(buckets, "term")
-                    .write.mode("overwrite")
-                    .option("path", t)
-                    .bucketBy(buckets, "term")
-                    .sortBy("term")
-                    .saveAsTable(tmp_name)
+        with _index_writer_lock(spark, path, "compact"):
+            try:
+                buckets = int(spark.read.parquet(f"{path}/meta").first()["buckets"])
+            except Exception:  # pre-meta index directories
+                buckets = 0
+            stats_rows = spark.read.parquet(f"{path}/stats").collect()
+            if len(stats_rows) > 1 and any(
+                "total_dl" not in r.asDict() or r["total_dl"] is None for r in stats_rows
+            ):
+                raise ValueError(
+                    "compact(): index carries pre-total_dl stats segments; "
+                    "rebuild it once with BM25(...).write(path)"
                 )
-                spark.sql(f"DROP TABLE {tmp_name}")  # external: files stay
+            n_docs = float(sum(r["n_docs"] for r in stats_rows))
+            n_dl = spark.read.parquet(f"{path}/doc_len").count()
+            if n_docs != float(n_dl):
+                raise ValueError(
+                    f"compact(): stats ledger ({n_docs:.0f} docs) does not match "
+                    f"doc_len ({n_dl} rows) — a previous append tore before its "
+                    "stats commit record; rebuild with BM25(...).write(path)"
+                )
 
-            _swap("postings", _write_postings)
-            if spark.catalog.tableExists(name):
-                spark.catalog.refreshTable(name)  # new file listing
-        else:
+            def _swap(sub: str, writer) -> None:
+                cur, tmp, old = (
+                    f"{path}/{sub}", f"{path}/{sub}.compacting", f"{path}/{sub}.old",
+                )
+                fs.delete(tmp)
+                fs.delete(old)
+                writer(tmp)
+                if not fs.rename(cur, old):
+                    fs.delete(tmp)
+                    raise OSError(f"compact: could not move {cur} aside")
+                if not fs.rename(tmp, cur):
+                    fs.rename(old, cur)  # roll back
+                    raise OSError(f"compact: could not install {tmp}")
+                fs.delete(old)
+
+            nf = max(1, -(-n_dl // rows_per_file))
             _swap(
-                "postings",
-                lambda t: spark.read.parquet(f"{path}/postings")
+                "doc_len",
+                lambda t: spark.read.parquet(f"{path}/doc_len")
                 .coalesce(nf).write.mode("overwrite").parquet(t),
             )
-        _swap(
-            "df",
-            lambda t: spark.read.parquet(f"{path}/df")
-            .groupBy("term").agg(F.sum("df").alias("df"))
-            .coalesce(nf).write.mode("overwrite").parquet(t),
-        )
-        if len(stats_rows) > 1:
-            tdl = float(sum(r["total_dl"] for r in stats_rows))
-            merged = spark.createDataFrame(
-                [(n_docs, tdl / n_docs if n_docs else None, tdl)],
-                "n_docs double, avgdl double, total_dl double",
+            if buckets > 0:
+                # rewrite THROUGH a scratch external table (bucket metadata
+                # only exists on tables): the consolidated bucket files —
+                # their names carry the bucket id the reader keys on — then
+                # swap under the live table's unchanged location + spec
+                name = _postings_table_name(path)
+                tmp_name = f"{name}_compacting"
+
+                def _write_postings(t: str) -> None:
+                    spark.sql(f"DROP TABLE IF EXISTS {tmp_name}")
+                    (
+                        spark.read.parquet(f"{path}/postings")
+                        .repartition(buckets, "term")
+                        .write.mode("overwrite")
+                        .option("path", t)
+                        .bucketBy(buckets, "term")
+                        .sortBy("term")
+                        .saveAsTable(tmp_name)
+                    )
+                    spark.sql(f"DROP TABLE {tmp_name}")  # external: files stay
+
+                _swap("postings", _write_postings)
+                if spark.catalog.tableExists(name):
+                    spark.catalog.refreshTable(name)  # new file listing
+            else:
+                _swap(
+                    "postings",
+                    lambda t: spark.read.parquet(f"{path}/postings")
+                    .coalesce(nf).write.mode("overwrite").parquet(t),
+                )
+            _swap(
+                "df",
+                lambda t: spark.read.parquet(f"{path}/df")
+                .groupBy("term").agg(F.sum("df").alias("df"))
+                .coalesce(nf).write.mode("overwrite").parquet(t),
             )
-        else:
-            # single segment: stats pass through unchanged (collected
-            # above — recreating from rows severs any read of the dir
-            # mid-swap and keeps whatever schema the index carries)
-            cur = spark.read.parquet(f"{path}/stats")
-            merged = spark.createDataFrame(stats_rows, cur.schema)
-        _swap(
-            "stats",
-            lambda t: merged.repartition(1).write.mode("overwrite").parquet(t),
-        )
+            if len(stats_rows) > 1:
+                tdl = float(sum(r["total_dl"] for r in stats_rows))
+                merged = spark.createDataFrame(
+                    [(n_docs, tdl / n_docs if n_docs else None, tdl)],
+                    "n_docs double, avgdl double, total_dl double",
+                )
+            else:
+                # single segment: stats pass through unchanged (collected
+                # above — recreating from rows severs any read of the dir
+                # mid-swap and keeps whatever schema the index carries)
+                cur = spark.read.parquet(f"{path}/stats")
+                merged = spark.createDataFrame(stats_rows, cur.schema)
+            _swap(
+                "stats",
+                lambda t: merged.repartition(1).write.mode("overwrite").parquet(t),
+            )
+
 
     def _scored(
         self, query_terms: DataFrame, prefilter_ids: DataFrame | None,

@@ -43,7 +43,13 @@ def stream_into_store(
     store's ``_lock`` marker behind, so the first batch after a
     (re)start clears it — a marker present then can only belong to this
     stream's crashed predecessor (don't point a second writer at the
-    store; that is already the store's contract)."""
+    store; that is already the store's contract). A batch replayed
+    after a crash can land one duplicate segment — benign under the
+    newest-wins read and removed by compaction; it is NOT skipped via
+    an id probe because this stream legitimately carries upserts (same
+    ids, new payloads), which an id match cannot distinguish from a
+    replay. :func:`bm25_ingest_stream`, whose contract requires fresh
+    ids, does make that skip."""
     first = [True]
 
     def write_batch(batch: DataFrame, batch_id: int) -> None:
@@ -149,6 +155,27 @@ def _bm25_index_step(
             id_col=id_col, text_col=text_col,
             normalize=normalize, buckets=buckets,
         )
+
+
+def _newest_segment_has_batch(store: DocumentStore, batch: DataFrame, id_col: str) -> bool:
+    """True iff the store's NEWEST segment already carries every id of
+    ``batch`` — i.e. a previous (crashed) attempt's ``store.append``
+    landed and a replay must not write a duplicate segment. Reads one
+    batch-sized segment directory, never the whole store; any failure
+    reads as False (the replay then appends — a duplicate segment is
+    benign under the newest-wins read and removed by compaction)."""
+    try:
+        segs = store._segment_ids()
+        if not segs:
+            return False
+        last = store.spark.read.parquet(f"{store.data_path}/segment={segs[-1]}")
+        ids = batch.select(F.col(id_col).alias("id")).distinct()
+        missing = ids.join(
+            last.select(F.col(id_col).alias("id")), "id", "left_anti"
+        )
+        return missing.limit(1).count() == 0
+    except Exception:
+        return False
 
 
 def _repair_index_from_store(
@@ -364,24 +391,6 @@ def bm25_ingest_stream(
             fs.rename(old, state_path)
             fs.delete(tmp)
 
-    def _store_has_batch_as_last_segment(spark, batch: DataFrame) -> bool:
-        """True iff the store's newest segment already carries every id
-        of ``batch`` — i.e. the previous attempt's ``store.append``
-        landed. Reads one batch-sized segment directory, never the
-        whole store."""
-        try:
-            segs = store._segment_ids()
-            if not segs:
-                return False
-            last = spark.read.parquet(f"{store.data_path}/segment={segs[-1]}")
-            ids = batch.select(F.col(id_col).alias("id")).distinct()
-            missing = ids.join(
-                last.select(F.col(id_col).alias("id")), "id", "left_anti"
-            )
-            return missing.limit(1).count() == 0
-        except Exception:
-            return False
-
     def _repair_index(spark, batch: DataFrame, batch_id: int, state: str) -> None:
         """Shared repair (committed → marker only; absent → O(batch)
         append; torn/unreadable → rebuild from the store) + the marker."""
@@ -398,12 +407,15 @@ def bm25_ingest_stream(
         spark = batch.sparkSession
         replay_possible, first[0] = first[0], False
         if replay_possible:
-            # a hard crash mid-append leaves the store's _lock marker;
-            # this stream is the store's single writer (see the store
-            # contract), so a marker present at restart can only belong
-            # to our crashed predecessor — clear it or every replay
-            # would crash-loop on StoreLockedError
+            # a hard crash mid-append leaves the store's (and/or the
+            # index's) _lock marker; this stream is the single writer of
+            # BOTH (see their contracts), so a marker present at restart
+            # can only belong to our crashed predecessor — clear them or
+            # every replay would crash-loop on StoreLockedError
+            from comet_spark.operators.bm25 import BM25
+
             store.force_unlock()
+            BM25.force_unlock(spark, index_path)
         got = _phases(spark, batch_id)
         if "done" in got:
             return  # fully processed before the crash
@@ -425,11 +437,12 @@ def bm25_ingest_stream(
             if state == "committed":
                 _log(spark, batch_id, "done")
                 return
-            in_store = _store_has_batch_as_last_segment(spark, batch)
+            in_store = _newest_segment_has_batch(store, batch, id_col)
             if state == "torn" or in_store:
                 if not in_store:
                     store.append(batch)  # make durable before the rebuild
                 _repair_index(spark, batch, batch_id, state)
+                _compact_state(spark)
                 return
         batch = batch.persist()
         try:
@@ -679,9 +692,24 @@ def neardup_ingest(
     # no shingles, nothing to collide on) passes through unconditionally
     banded_ids = sigs.select("id").distinct().localCheckpoint()
 
-    # 1) drop docs colliding with HISTORY
+    # 1) drop docs colliding with HISTORY — excluding signatures written
+    # under the batch's OWN ids. An id identifies a document, so a doc
+    # can never be a near-duplicate of itself: without this exclusion a
+    # REPLAYED batch (crash after the signature append, before the
+    # caller's output landed) would collide with its own previous
+    # attempt's signatures and silently drop every doc — data loss, not
+    # dedup. With it, the whole operation is replay-idempotent: the
+    # recomputation sees the store exactly as the first attempt did (the
+    # other ids' rows are immutable), keeps the same survivors, and the
+    # re-appended signature rows are exact duplicates the semi-join
+    # collision probe is insensitive to. (Consequence: re-ingesting an
+    # EXISTING id is an update of that document, newest-wins territory —
+    # not a duplicate of itself.)
     if _parquet_exists(spark, sig_store_path):
-        seen = spark.read.parquet(sig_store_path)
+        batch_ids = batch.select(F.col(id_col).alias("id")).distinct()
+        seen = spark.read.parquet(sig_store_path).join(
+            F.broadcast(batch_ids), "id", "left_anti"
+        )
         hist_hits = (
             sigs.join(seen, ["band", "sig"], "left_semi").select("id").distinct()
         )
@@ -832,11 +860,19 @@ def decontam_ingest_stream(
     trigger_available_now: bool = True,
 ) -> StreamingQuery:
     """Streaming wrapper: each micro-batch passes through
-    :func:`decontam_ingest` (drop mode) and clean rows append to
-    ``out_path``. By default (``trigger_available_now=True``, the same
-    knob as :func:`ingest_stream`) the query drains the files present at
-    start and stops — the batch-parity test shape; pass ``False`` for a
-    long-running query that keeps decontaminating files as they arrive."""
+    :func:`decontam_ingest` (drop mode) and clean rows land under
+    ``out_path/batch=<id>``. By default (``trigger_available_now=True``,
+    the same knob as :func:`ingest_stream`) the query drains the files
+    present at start and stops — the batch-parity test shape; pass
+    ``False`` for a long-running query that keeps decontaminating files
+    as they arrive.
+
+    Replay-idempotent: the decision is a pure function of the static
+    eval set, and each batch OVERWRITES its own ``batch=<id>`` partition
+    directory — a batch replayed after a crash rewrites the identical
+    rows instead of appending duplicates. Readers
+    ``spark.read.parquet(out_path)`` as usual (the layout adds a
+    ``batch`` provenance column)."""
 
     # the eval set is static by design: load it ONCE (cached — suites
     # are MBs) and reuse the same DataFrame for every micro-batch
@@ -845,7 +881,7 @@ def decontam_ingest_stream(
     def upd(batch: DataFrame, batch_id: int) -> None:
         decontam_ingest(
             batch, ev, id_col=id_col, text_col=text_col, n=n
-        ).write.mode("append").parquet(out_path)
+        ).write.mode("overwrite").parquet(f"{out_path}/batch={int(batch_id)}")
 
     w = stream.writeStream.foreachBatch(upd)
     if trigger_available_now:
@@ -890,15 +926,24 @@ def neardup_ingest_stream(
     checkpoint: str | None = None,
 ) -> StreamingQuery:
     """Streaming wrapper: each micro-batch passes through
-    :func:`neardup_ingest` and survivors append to ``out_path`` —
-    continuous fuzzy-dedup'd ingestion."""
+    :func:`neardup_ingest` and survivors land under
+    ``out_path/batch=<id>`` — continuous fuzzy-dedup'd ingestion.
+
+    Replay-idempotent end to end: the dedup recomputation ignores the
+    batch's own previously-written signatures (see
+    :func:`neardup_ingest`), and each batch's survivors OVERWRITE their
+    own ``batch=<id>`` partition directory instead of appending — a
+    replayed batch rewrites the identical rows in place, never
+    duplicates them. Readers ``spark.read.parquet(out_path)`` as usual;
+    the hive-style layout surfaces the micro-batch id as a ``batch``
+    provenance column for free."""
 
     def upd(batch: DataFrame, batch_id: int) -> None:
         kept = neardup_ingest(
             batch, sig_store_path, id_col=id_col, text_col=text_col,
             n=n, n_hashes=n_hashes, bands=bands,
         )
-        kept.write.mode("append").parquet(out_path)
+        kept.write.mode("overwrite").parquet(f"{out_path}/batch={int(batch_id)}")
 
     w = stream.writeStream.foreachBatch(upd).trigger(availableNow=True)
     if checkpoint is not None:

@@ -343,6 +343,45 @@ def test_bm25_append_matches_full_rebuild(spark, tmp_path):
         BM25.append(spark, old, tail)
 
 
+def test_bm25_index_writer_lock(spark, tmp_path):
+    """The persisted index's write paths are single-writer, ENFORCED by
+    the store's lock-marker discipline (reference storage lock,
+    storage_provider.go:36-246): a concurrent write/append/compact fails
+    fast on the marker instead of interleaving segment files and
+    corrupting the doc_len/stats ledger; force_unlock clears a crashed
+    writer's marker."""
+    import pyspark.sql.functions as F
+    import pytest
+
+    from comet_spark.operators.bm25 import BM25
+    from comet_spark.storage.store import StoreLockedError, _FS
+
+    docs = spark.createDataFrame(
+        [(1, "spark joins tables"), (2, "spark streams data")],
+        "id bigint, text string",
+    )
+    path = str(tmp_path / "locked_ix")
+    BM25(docs).write(path, buckets=4)
+    # the lock releases after a successful write
+    fs = _FS(spark, path)
+    assert not fs.exists(f"{path}/_lock")
+
+    # simulate a concurrent writer holding the marker
+    assert fs.create_new(f"{path}/_lock")
+    more = spark.createDataFrame([(3, "tables of data")], "id bigint, text string")
+    with pytest.raises(StoreLockedError):
+        BM25.append(spark, path, more)
+    with pytest.raises(StoreLockedError):
+        BM25.compact(spark, path)
+    with pytest.raises(StoreLockedError):
+        BM25(docs).write(path, buckets=4)
+
+    BM25.force_unlock(spark, path)
+    BM25.append(spark, path, more)
+    assert BM25.read(spark, path).doc_len.count() == 3
+    assert not fs.exists(f"{path}/_lock")
+
+
 def test_bm25_compact_consolidates_segments(spark, tmp_path):
     """Postings-segment compaction (VERDICT r06 #1): build + append ×3 →
     compact. The compacted index must score value-identically, re-engage

@@ -913,6 +913,83 @@ def test_neardup_ingest_stream(spark, tmp_path):
     assert 2 not in kept  # fuzzy re-ingest dropped
 
 
+def test_neardup_ingest_replayed_batch_not_self_deduped(spark, tmp_path):
+    """Replay idempotency: a batch re-run against a signature store that
+    already holds ITS OWN signatures (crash after the sig append, before
+    the caller's output landed) must keep the same survivors — a doc is
+    never a near-duplicate of itself. Without the self-id exclusion the
+    replay would silently drop the whole batch."""
+    from comet_spark.streaming.ingest import neardup_ingest
+
+    store = str(tmp_path / "sigs_replay")
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (2, "wholly different content in this row entirely here now"),
+    ]
+    first = sorted(r["doc_id"] for r in neardup_ingest(_neardup_docs(spark, rows), store).collect())
+    assert first == [1, 2]
+    replay = sorted(r["doc_id"] for r in neardup_ingest(_neardup_docs(spark, rows), store).collect())
+    assert replay == [1, 2]  # not dropped as dups of themselves
+    # and a GENUINE near-dup under a fresh id still drops
+    kept = neardup_ingest(
+        _neardup_docs(spark, [(9, rows[0][1])]), store
+    ).collect()
+    assert kept == []
+
+
+def test_neardup_and_decontam_streams_replay_without_duplicates(spark, tmp_path):
+    """A re-delivered batch (fresh checkpoint, same source — the replay
+    shape) must not duplicate output rows: each batch overwrites its own
+    batch=<id> partition, so re-running the drained stream leaves the
+    output byte-identical."""
+    import pyspark.sql.functions as F
+
+    from comet_spark.streaming.ingest import (
+        decontam_ingest_stream,
+        neardup_ingest_stream,
+        pin_eval_shingles,
+    )
+
+    src = str(tmp_path / "rp_in")
+    _neardup_docs(
+        spark, [(1, "alpha beta gamma delta epsilon zeta eta theta")]
+    ).coalesce(1).write.mode("append").parquet(src)
+    _neardup_docs(
+        spark, [(2, "totally unrelated words in the second file here")]
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    nd_out = str(tmp_path / "rp_nd_out")
+    for ck in ("ck1", "ck2"):  # second run replays both batches
+        q = neardup_ingest_stream(
+            spark.readStream.schema("doc_id bigint, text string")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src),
+            str(tmp_path / "rp_sigs"), nd_out,
+            checkpoint=str(tmp_path / ck),
+        )
+        q.awaitTermination(120)
+        got = sorted(r["doc_id"] for r in spark.read.parquet(nd_out).collect())
+        assert got == [1, 2], ck  # no loss on replay, no duplicates
+    # provenance column from the batch=<id> layout
+    assert "batch" in spark.read.parquet(nd_out).columns
+
+    ev_path = str(tmp_path / "rp_ev")
+    pin_eval_shingles(
+        _neardup_docs(spark, [(100, "alpha beta gamma")]), ev_path, n=3
+    )
+    dc_out = str(tmp_path / "rp_dc_out")
+    for ck in ("dck1", "dck2"):
+        q = decontam_ingest_stream(
+            spark.readStream.schema("doc_id bigint, text string")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src),
+            ev_path, dc_out, n=3, checkpoint=str(tmp_path / ck),
+        )
+        q.awaitTermination(120)
+        got = sorted(r["doc_id"] for r in spark.read.parquet(dc_out).collect())
+        assert got == [2], ck  # doc 1 contaminated; no dup of doc 2 on replay
+
+
 def test_store_compact_zorder(spark, tmp_path):
     """OPTIMIZE ZORDER on compaction: results identical, and within each
     written file the Z-key range is bounded (files are clustered — the
