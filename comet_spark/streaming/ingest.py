@@ -106,7 +106,13 @@ def bm25_ingest(
     under the newest-wins read; compaction removes it) — the streaming
     variant's restart probe avoids even that. A torn FIRST write
     (``stats`` unreadable) re-routes into the full build, which
-    overwrites the wreckage."""
+    overwrites the wreckage. One caveat a HARD crash adds: a writer-lock
+    marker (the store's or the index's) left by the crashed attempt
+    makes the replay fail fast with ``StoreLockedError`` until
+    ``force_unlock`` clears it — the standard single-writer recovery
+    step for any store writer; the streaming variant performs it
+    automatically at restart because the stream provably owns both
+    lock domains."""
     from comet_spark.operators.bm25 import DuplicateIdsError
 
     batch = batch.persist()  # both sinks scan the batch once each
@@ -154,6 +160,29 @@ def _bm25_index_step(
             batch, index_path,
             id_col=id_col, text_col=text_col,
             normalize=normalize, buckets=buckets,
+        )
+
+
+def _reject_legacy_flat_output(spark, out_path: str) -> None:
+    """The batch-partitioned output streams refuse an ``out_path`` that
+    already holds FLAT parquet files (written by the pre-``batch=<id>``
+    version): mixing the two layouts breaks partition discovery for
+    every reader ('conflicting directory structures'). Checked once per
+    stream start; point the stream at a fresh directory, or move the
+    legacy files under a ``batch=-1/`` subdirectory to keep them."""
+    from comet_spark.storage.store import _FS
+
+    fs = _FS(spark, out_path)
+    flat = [
+        n for n in fs.listdir(out_path)
+        if (n.startswith("part-") or n.endswith(".parquet"))
+    ]
+    if flat:
+        raise ValueError(
+            f"{out_path} holds flat parquet files from the pre-partitioned "
+            "output layout; this stream now writes batch=<id> partition "
+            "directories and mixing the layouts breaks every reader. Use a "
+            "fresh out_path, or move the legacy files under batch=-1/."
         )
 
 
@@ -333,7 +362,14 @@ def bm25_ingest_stream(
     partially-ingested source restarts batch numbering and would skip
     new data under recycled ids; resume with the original checkpoint
     (standard sink/checkpoint coupling), or delete ``_ingest_state`` and
-    rebuild the index when re-pointing."""
+    rebuild the index when re-pointing.
+
+    Ownership contract: while this stream feeds an index, the stream IS
+    the single writer of both the store and the index — that is the
+    basis on which it clears their lock markers at restart. Run
+    out-of-band maintenance (``BM25.compact``, ``store.compact``) only
+    while the stream is stopped; a compactor live across a stream
+    restart would have its lock cleared and the enforcement voided."""
     from comet_spark.storage.store import _FS
 
     state_path = f"{index_path}/_ingest_state"
@@ -653,6 +689,7 @@ def neardup_ingest(
     n: int = 3,
     n_hashes: int = 16,
     bands: int = 4,
+    assume_replay: bool = False,
 ) -> DataFrame:
     """NEAR-duplicate dedup at ingest (the production shape: drop fuzzy
     re-crawls/re-posts as they arrive, before they cost storage): a
@@ -692,24 +729,26 @@ def neardup_ingest(
     # no shingles, nothing to collide on) passes through unconditionally
     banded_ids = sigs.select("id").distinct().localCheckpoint()
 
-    # 1) drop docs colliding with HISTORY — excluding signatures written
-    # under the batch's OWN ids. An id identifies a document, so a doc
-    # can never be a near-duplicate of itself: without this exclusion a
-    # REPLAYED batch (crash after the signature append, before the
-    # caller's output landed) would collide with its own previous
-    # attempt's signatures and silently drop every doc — data loss, not
-    # dedup. With it, the whole operation is replay-idempotent: the
-    # recomputation sees the store exactly as the first attempt did (the
-    # other ids' rows are immutable), keeps the same survivors, and the
-    # re-appended signature rows are exact duplicates the semi-join
-    # collision probe is insensitive to. (Consequence: re-ingesting an
-    # EXISTING id is an update of that document, newest-wins territory —
-    # not a duplicate of itself.)
+    # 1) drop docs colliding with HISTORY. With ``assume_replay=True``
+    # the probe excludes signatures written under the batch's OWN ids:
+    # an id identifies a document, so on a REPLAY (a retry of this very
+    # batch after a crash that landed past the signature append) the
+    # batch's previous-attempt signatures must not count as history —
+    # the batch would otherwise collide with itself and silently drop
+    # every doc. With the exclusion the recomputation sees the store
+    # exactly as the first attempt did (other ids' rows are immutable),
+    # keeps the same survivors, and re-appends byte-identical signature
+    # rows the semi-join probe is insensitive to. The flag is scoped to
+    # batches that CAN be replays (a caller's retry; the stream wrapper
+    # passes it for the first batch after a restart only) because the
+    # exclusion also waves through a same-id redelivery from an
+    # at-least-once source — on an ordinary batch that redelivery
+    # should dedup as before.
     if _parquet_exists(spark, sig_store_path):
-        batch_ids = batch.select(F.col(id_col).alias("id")).distinct()
-        seen = spark.read.parquet(sig_store_path).join(
-            F.broadcast(batch_ids), "id", "left_anti"
-        )
+        seen = spark.read.parquet(sig_store_path)
+        if assume_replay:
+            batch_ids = batch.select(F.col(id_col).alias("id")).distinct()
+            seen = seen.join(batch_ids, "id", "left_anti")
         hist_hits = (
             sigs.join(seen, ["band", "sig"], "left_semi").select("id").distinct()
         )
@@ -867,18 +906,25 @@ def decontam_ingest_stream(
     ``False`` for a long-running query that keeps decontaminating files
     as they arrive.
 
-    Replay-idempotent: the decision is a pure function of the static
-    eval set, and each batch OVERWRITES its own ``batch=<id>`` partition
-    directory — a batch replayed after a crash rewrites the identical
-    rows instead of appending duplicates. Readers
+    Replay-idempotent WITHIN one checkpoint lineage: the decision is a
+    pure function of the static eval set, and each batch OVERWRITES its
+    own ``batch=<id>`` partition directory — a batch replayed after a
+    crash rewrites the identical rows instead of appending duplicates.
+    A FRESH checkpoint restarts batch numbering (batches may regroup —
+    resume with the original checkpoint or a fresh ``out_path``); a
+    legacy flat-layout ``out_path`` is refused up front. Readers
     ``spark.read.parquet(out_path)`` as usual (the layout adds a
     ``batch`` provenance column)."""
 
     # the eval set is static by design: load it ONCE (cached — suites
     # are MBs) and reuse the same DataFrame for every micro-batch
     ev = stream.sparkSession.read.parquet(eval_shingles_path).cache()
+    first = [True]
 
     def upd(batch: DataFrame, batch_id: int) -> None:
+        if first[0]:
+            _reject_legacy_flat_output(batch.sparkSession, out_path)
+            first[0] = False
         decontam_ingest(
             batch, ev, id_col=id_col, text_col=text_col, n=n
         ).write.mode("overwrite").parquet(f"{out_path}/batch={int(batch_id)}")
@@ -929,19 +975,32 @@ def neardup_ingest_stream(
     :func:`neardup_ingest` and survivors land under
     ``out_path/batch=<id>`` — continuous fuzzy-dedup'd ingestion.
 
-    Replay-idempotent end to end: the dedup recomputation ignores the
-    batch's own previously-written signatures (see
-    :func:`neardup_ingest`), and each batch's survivors OVERWRITE their
-    own ``batch=<id>`` partition directory instead of appending — a
-    replayed batch rewrites the identical rows in place, never
-    duplicates them. Readers ``spark.read.parquet(out_path)`` as usual;
-    the hive-style layout surfaces the micro-batch id as a ``batch``
+    Replay-idempotent WITHIN one checkpoint lineage: only the first
+    batch after a (re)start can be a Spark replay, and for exactly that
+    batch the dedup recomputation ignores the batch's own
+    previously-written signatures (``assume_replay`` — see
+    :func:`neardup_ingest`; ordinary batches keep full same-id dedup),
+    while every batch's survivors OVERWRITE their own ``batch=<id>``
+    partition directory instead of appending — the replay rewrites the
+    identical rows in place, never duplicates them. Re-pointing a FRESH
+    checkpoint at a partially-processed source restarts batch numbering
+    and is NOT covered (batches may regroup under different ids,
+    leaving stale partitions) — resume with the original checkpoint, or
+    start a fresh ``out_path``; a legacy flat-layout ``out_path``
+    (written by the pre-partitioned version) is refused up front rather
+    than mixed. Readers ``spark.read.parquet(out_path)`` as usual; the
+    hive-style layout surfaces the micro-batch id as a ``batch``
     provenance column for free."""
+    first = [True]
 
     def upd(batch: DataFrame, batch_id: int) -> None:
+        replay_possible, first[0] = first[0], False
+        if replay_possible:
+            _reject_legacy_flat_output(batch.sparkSession, out_path)
         kept = neardup_ingest(
             batch, sig_store_path, id_col=id_col, text_col=text_col,
             n=n, n_hashes=n_hashes, bands=bands,
+            assume_replay=replay_possible,
         )
         kept.write.mode("overwrite").parquet(f"{out_path}/batch={int(batch_id)}")
 

@@ -119,6 +119,14 @@ def _run(spark, work: str) -> None:
     print("appended text index top-3:",
           [(r["id"], r["score"]) for r in live.score("spark text", k=3).collect()])
 
+    # 8. ...and the same compaction story: consolidate the accumulated
+    #    postings segments back to one file per bucket in an INDEX-sized
+    #    rewrite (no re-tokenize) — the text twin of store.compact()
+    BM25.compact(spark, ix_path)
+    compacted = BM25.read(spark, ix_path)
+    print("compacted text index top-3 (identical):",
+          [(r["id"], r["score"]) for r in compacted.score("spark text", k=3).collect()])
+
 
 if __name__ == "__main__":
     main()

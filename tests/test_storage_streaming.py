@@ -914,11 +914,12 @@ def test_neardup_ingest_stream(spark, tmp_path):
 
 
 def test_neardup_ingest_replayed_batch_not_self_deduped(spark, tmp_path):
-    """Replay idempotency: a batch re-run against a signature store that
-    already holds ITS OWN signatures (crash after the sig append, before
-    the caller's output landed) must keep the same survivors — a doc is
-    never a near-duplicate of itself. Without the self-id exclusion the
-    replay would silently drop the whole batch."""
+    """Replay idempotency: a batch re-run with assume_replay=True
+    against a signature store that already holds ITS OWN signatures
+    (crash after the sig append, before the caller's output landed) must
+    keep the same survivors — a doc is never a near-duplicate of
+    itself. WITHOUT the flag the same call keeps the old semantics: a
+    same-id redelivery in a later batch dedups against the store."""
     from comet_spark.streaming.ingest import neardup_ingest
 
     store = str(tmp_path / "sigs_replay")
@@ -928,22 +929,47 @@ def test_neardup_ingest_replayed_batch_not_self_deduped(spark, tmp_path):
     ]
     first = sorted(r["doc_id"] for r in neardup_ingest(_neardup_docs(spark, rows), store).collect())
     assert first == [1, 2]
-    replay = sorted(r["doc_id"] for r in neardup_ingest(_neardup_docs(spark, rows), store).collect())
+    replay = sorted(
+        r["doc_id"]
+        for r in neardup_ingest(
+            _neardup_docs(spark, rows), store, assume_replay=True
+        ).collect()
+    )
     assert replay == [1, 2]  # not dropped as dups of themselves
-    # and a GENUINE near-dup under a fresh id still drops
+    # an ordinary (non-replay) same-id redelivery still dedups...
+    redeliver = neardup_ingest(_neardup_docs(spark, rows), store).collect()
+    assert redeliver == []
+    # ...and a GENUINE near-dup under a fresh id still drops either way
     kept = neardup_ingest(
-        _neardup_docs(spark, [(9, rows[0][1])]), store
+        _neardup_docs(spark, [(9, rows[0][1])]), store, assume_replay=True
     ).collect()
     assert kept == []
 
 
-def test_neardup_and_decontam_streams_replay_without_duplicates(spark, tmp_path):
-    """A re-delivered batch (fresh checkpoint, same source — the replay
-    shape) must not duplicate output rows: each batch overwrites its own
-    batch=<id> partition, so re-running the drained stream leaves the
-    output byte-identical."""
-    import pyspark.sql.functions as F
+def _replay_latest_batch(spark, ckpt: str) -> None:
+    """Simulate the crash-replay shape: remove the checkpoint's LATEST
+    commit marker, so a restart with the SAME checkpoint re-runs that
+    micro-batch with its logged file set."""
+    import glob
+    import os
 
+    commits = sorted(
+        (f for f in glob.glob(f"{ckpt}/commits/*") if f.split("/")[-1].isdigit()),
+        key=lambda f: int(f.split("/")[-1]),
+    )
+    assert commits, ckpt
+    os.remove(commits[-1])
+    crc = f"{ckpt}/commits/.{commits[-1].split('/')[-1]}.crc"
+    if os.path.exists(crc):  # local checksum FS twin of the marker
+        os.remove(crc)
+
+
+def test_neardup_and_decontam_streams_replay_without_duplicates(spark, tmp_path):
+    """The crash-replay shape (same checkpoint, latest commit marker
+    lost): the restarted stream re-runs that micro-batch, and because
+    each batch overwrites its own batch=<id> partition — and the first
+    batch after restart runs the dedup with assume_replay — the output
+    ends byte-identical: no lost docs, no duplicates."""
     from comet_spark.streaming.ingest import (
         decontam_ingest_stream,
         neardup_ingest_stream,
@@ -958,18 +984,24 @@ def test_neardup_and_decontam_streams_replay_without_duplicates(spark, tmp_path)
         spark, [(2, "totally unrelated words in the second file here")]
     ).coalesce(1).write.mode("append").parquet(src)
 
-    nd_out = str(tmp_path / "rp_nd_out")
-    for ck in ("ck1", "ck2"):  # second run replays both batches
-        q = neardup_ingest_stream(
+    def nd_stream():
+        return neardup_ingest_stream(
             spark.readStream.schema("doc_id bigint, text string")
             .option("maxFilesPerTrigger", "1")
             .parquet(src),
             str(tmp_path / "rp_sigs"), nd_out,
-            checkpoint=str(tmp_path / ck),
+            checkpoint=str(tmp_path / "nd_ck"),
         )
-        q.awaitTermination(120)
-        got = sorted(r["doc_id"] for r in spark.read.parquet(nd_out).collect())
-        assert got == [1, 2], ck  # no loss on replay, no duplicates
+
+    nd_out = str(tmp_path / "rp_nd_out")
+    nd_stream().awaitTermination(120)
+    got = sorted(r["doc_id"] for r in spark.read.parquet(nd_out).collect())
+    assert got == [1, 2]
+    # crash-replay the latest batch (its sigs are already in the store)
+    _replay_latest_batch(spark, str(tmp_path / "nd_ck"))
+    nd_stream().awaitTermination(120)
+    got = sorted(r["doc_id"] for r in spark.read.parquet(nd_out).collect())
+    assert got == [1, 2]  # no loss on replay, no duplicates
     # provenance column from the batch=<id> layout
     assert "batch" in spark.read.parquet(nd_out).columns
 
@@ -978,16 +1010,35 @@ def test_neardup_and_decontam_streams_replay_without_duplicates(spark, tmp_path)
         _neardup_docs(spark, [(100, "alpha beta gamma")]), ev_path, n=3
     )
     dc_out = str(tmp_path / "rp_dc_out")
-    for ck in ("dck1", "dck2"):
-        q = decontam_ingest_stream(
+
+    def dc_stream():
+        return decontam_ingest_stream(
             spark.readStream.schema("doc_id bigint, text string")
             .option("maxFilesPerTrigger", "1")
             .parquet(src),
-            ev_path, dc_out, n=3, checkpoint=str(tmp_path / ck),
+            ev_path, dc_out, n=3, checkpoint=str(tmp_path / "dc_ck"),
         )
+
+    dc_stream().awaitTermination(120)
+    assert sorted(r["doc_id"] for r in spark.read.parquet(dc_out).collect()) == [2]
+    _replay_latest_batch(spark, str(tmp_path / "dc_ck"))
+    dc_stream().awaitTermination(120)
+    got = sorted(r["doc_id"] for r in spark.read.parquet(dc_out).collect())
+    assert got == [2]  # doc 1 contaminated; no dup of doc 2 on replay
+
+    # a legacy flat-layout out_path is refused up front, not mixed
+    import pytest
+    from pyspark.errors import StreamingQueryException
+
+    legacy = str(tmp_path / "legacy_out")
+    _neardup_docs(spark, [(7, "x y z")]).coalesce(1).write.parquet(legacy)
+    q = neardup_ingest_stream(
+        spark.readStream.schema("doc_id bigint, text string").parquet(src),
+        str(tmp_path / "rp_sigs2"), legacy,
+        checkpoint=str(tmp_path / "legacy_ck"),
+    )
+    with pytest.raises(StreamingQueryException, match="flat parquet"):
         q.awaitTermination(120)
-        got = sorted(r["doc_id"] for r in spark.read.parquet(dc_out).collect())
-        assert got == [2], ck  # doc 1 contaminated; no dup of doc 2 on replay
 
 
 def test_store_compact_zorder(spark, tmp_path):
