@@ -25,6 +25,7 @@ __all__ = [
     "dedup_stream",
     "neardup_ingest",
     "neardup_ingest_stream",
+    "compact_sig_store",
     "pin_eval_shingles",
     "decontam_ingest",
     "decontam_ingest_stream",
@@ -161,6 +162,47 @@ def _bm25_index_step(
             id_col=id_col, text_col=text_col,
             normalize=normalize, buckets=buckets,
         )
+
+
+def compact_sig_store(
+    spark, sig_store_path: str, *, min_files: int = 0,
+    rows_per_file: int = 8_000_000,
+) -> bool:
+    """Consolidate the near-dup signature store: every
+    :func:`neardup_ingest` batch appends one file set, and replays can
+    leave byte-duplicate rows — over a long stream the collision probe's
+    file listing grows without bound (the same growth vector as the
+    bm25 ingest state log). One ``distinct()`` rewrite collapses both,
+    installed with the move-aside-then-rename swap every other compactor
+    here uses (the row set is value-identical minus exact duplicates,
+    which the semi-join probe is insensitive to — any crash point leaves
+    a correct store). Single-writer: call it from the ingest owner, not
+    concurrently with a batch ( :func:`neardup_ingest_stream` does so
+    automatically past ~64 files). Returns True if a rewrite ran;
+    ``min_files`` short-circuits when the store is already small."""
+    from comet_spark.storage.store import _FS
+
+    fs = _FS(spark, sig_store_path)
+    if not _parquet_exists(spark, sig_store_path):
+        return False
+    names = [n for n in fs.listdir(sig_store_path) if not n.startswith(".")]
+    if len(names) <= min_files:
+        return False
+    df = spark.read.parquet(sig_store_path).distinct()
+    n = df.count()
+    tmp = f"{sig_store_path}.compacting"
+    old = f"{sig_store_path}.old"
+    fs.delete(tmp)
+    fs.delete(old)
+    df.coalesce(max(1, -(-n // rows_per_file))).write.mode("overwrite").parquet(tmp)
+    if not fs.rename(sig_store_path, old):
+        fs.delete(tmp)
+        raise OSError(f"compact_sig_store: could not move {sig_store_path} aside")
+    if not fs.rename(tmp, sig_store_path):
+        fs.rename(old, sig_store_path)  # roll back
+        raise OSError(f"compact_sig_store: could not install {tmp}")
+    fs.delete(old)
+    return True
 
 
 def _reject_legacy_flat_output(spark, out_path: str) -> None:
@@ -1003,6 +1045,9 @@ def neardup_ingest_stream(
             assume_replay=replay_possible,
         )
         kept.write.mode("overwrite").parquet(f"{out_path}/batch={int(batch_id)}")
+        # keep the store's file count bounded on a long-running stream
+        # (this foreachBatch is the store's single writer)
+        compact_sig_store(batch.sparkSession, sig_store_path, min_files=64)
 
     w = stream.writeStream.foreachBatch(upd).trigger(availableNow=True)
     if checkpoint is not None:

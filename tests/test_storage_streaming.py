@@ -1041,6 +1041,43 @@ def test_neardup_and_decontam_streams_replay_without_duplicates(spark, tmp_path)
         q.awaitTermination(120)
 
 
+def test_compact_sig_store_bounds_files_and_dedups(spark, tmp_path):
+    """The signature store's file count must not grow without bound on a
+    long stream: compact_sig_store collapses the per-batch appends (and
+    any replay-duplicated rows) into a few files, and collision behavior
+    is unchanged afterwards."""
+    import glob
+
+    from comet_spark.streaming.ingest import compact_sig_store, neardup_ingest
+
+    store = str(tmp_path / "sigs_c")
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    neardup_ingest(_neardup_docs(spark, [(1, base)]), store)
+    # simulate a long stream's accumulation: many tiny signature files
+    # from later batches, plus one replay's duplicate rows
+    rows = spark.read.parquet(store)
+    sch = {f.name: f.dataType.simpleString() for f in rows.schema.fields}
+    synth = spark.range(1000, 1200).selectExpr(
+        f"cast(pmod(id, 8) as {sch['band']}) as band",
+        f"cast(concat('zz', id) as {sch['sig']}) as sig",
+        f"cast(id as {sch['id']}) as id",
+    ).select(*rows.columns)
+    synth.repartition(80).write.mode("append").parquet(store)
+    rows.write.mode("append").parquet(store)  # replay-style duplicates
+    assert len(glob.glob(f"{store}/part-*")) > 64
+    n_distinct = spark.read.parquet(store).distinct().count()
+
+    assert compact_sig_store(spark, store, min_files=64)
+    files = glob.glob(f"{store}/part-*")
+    assert len(files) <= 2, files
+    got = [tuple(r) for r in spark.read.parquet(store).collect()]
+    assert len(got) == len(set(got)) == n_distinct  # dups collapsed
+    # collision behavior unchanged: the same content still drops
+    assert neardup_ingest(_neardup_docs(spark, [(9, base)]), store).count() == 0
+    # and below the threshold it is a no-op
+    assert not compact_sig_store(spark, store, min_files=64)
+
+
 def test_store_compact_zorder(spark, tmp_path):
     """OPTIMIZE ZORDER on compaction: results identical, and within each
     written file the Z-key range is bounded (files are clustered — the
