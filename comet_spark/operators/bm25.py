@@ -435,7 +435,9 @@ class BM25:
         table the rewrite lands in a side directory and installs via
         move-aside-then-rename (a crash leaves either the old or the
         new files, plus at worst a ``*.old``/``*.compacting`` leftover
-        a re-run cleans). Single-writer, ENFORCED by the shared lock
+        a re-run cleans — including the between-renames window where
+        the live directory is momentarily absent: a re-run first
+        restores ``*.old`` back into place before cleaning). Single-writer, ENFORCED by the shared lock
         marker (:func:`_index_writer_lock`); open readers after the
         swap. A torn index (a crashed append's doc_len
         segment without its stats commit record) is refused up front —
@@ -450,6 +452,27 @@ class BM25:
 
         fs = _FS(spark, path)
         with _index_writer_lock(spark, path, "compact"):
+
+            def _restore(sub: str) -> None:
+                # A previous compact crashed between its two renames — the
+                # ONLY state where the live dir is missing (``.old`` = the
+                # original, ``.compacting`` = that run's full rewrite).
+                # Restore the original BEFORE anything reads or cleans:
+                # the ledger checks below read stats/doc_len up front, and
+                # _swap's cleanup deletes tmp and old — without this, a
+                # re-run either wedges on the missing dir or (postings)
+                # destroys both surviving copies before its writer noticed
+                # the source was gone.
+                cur, old = f"{path}/{sub}", f"{path}/{sub}.old"
+                if not fs.exists(cur) and fs.exists(old):
+                    if not fs.rename(old, cur):
+                        raise OSError(
+                            f"compact: could not restore {old} from a "
+                            "previous crashed compact"
+                        )
+
+            for _sub in ("doc_len", "postings", "df", "stats"):
+                _restore(_sub)
             try:
                 buckets = int(spark.read.parquet(f"{path}/meta").first()["buckets"])
             except Exception:  # pre-meta index directories
@@ -475,6 +498,7 @@ class BM25:
                 cur, tmp, old = (
                     f"{path}/{sub}", f"{path}/{sub}.compacting", f"{path}/{sub}.old",
                 )
+                _restore(sub)  # idempotent backstop; the real pass ran at entry
                 fs.delete(tmp)
                 fs.delete(old)
                 writer(tmp)

@@ -148,6 +148,24 @@ class DocumentStore:
         """Remove a stale writer lock left by a crashed writer."""
         self._fs.delete(self.lock_path)
 
+    def _restore_crashed_compact_locked(self) -> None:
+        """Heal the one state :meth:`compact`'s two-rename swap can leave
+        behind: a crash between move-aside and install leaves ``data``
+        missing with the original rows in ``data.old`` (and that run's
+        rewrite in ``data.compacting``). Every write path runs this
+        under the lock before touching the segment sequence — without
+        it, an append on the crashed store would start a fresh
+        ``segment=0`` directory and silently orphan the original (a
+        later compact's cleanup would then delete it for good), and a
+        delete would stamp a wrong watermark. Readers keep failing
+        loudly (FileNotFoundError) until a write path heals."""
+        old = self.data_path + ".old"
+        if not self._fs.exists(self.data_path) and self._fs.exists(old):
+            if not self._fs.rename(old, self.data_path):
+                raise OSError(
+                    f"could not restore {old} left by a crashed compact"
+                )
+
     # -- write path ----------------------------------------------------------
 
     def _segment_ids(self) -> list[int]:
@@ -174,6 +192,7 @@ class DocumentStore:
         (an event time, an explicit version) — and ``__seq`` is taken
         from it directly (no shuffle, no global sort)."""
         with self._lock("append"):
+            self._restore_crashed_compact_locked()
             # legacy delete files must be stamped BEFORE this append's
             # segment number exists, so the new segment clears their
             # watermark (re-append resurrects, J6)
@@ -194,6 +213,7 @@ class DocumentStore:
         """Soft delete (J6), sequenced: hides versions in segments written
         BEFORE this call; a later re-append of the same id is visible."""
         with self._lock("delete"):
+            self._restore_crashed_compact_locked()
             self._migrate_legacy_deletes_locked()
             # watermark computed inside the lock — a stale read would
             # nondeterministically include/exclude a concurrent segment
@@ -351,8 +371,11 @@ class DocumentStore:
         """Rewrite all segments into one, applying deletes (hard delete) and
         version dedup — the OPTIMIZE-style job (J4). Crash-safe ordering:
         the old data directory is moved ASIDE before the compacted one
-        moves in, so no window exists where the store has no data; only
-        the delete files that were actually applied are removed.
+        moves in, so every crash state keeps a full copy on disk; a
+        crash in the between-renames window (live dir momentarily
+        absent) is healed by the next write path's
+        :meth:`_restore_crashed_compact_locked`. Only the delete files
+        that were actually applied are removed.
 
         ``zorder_by`` (OPTIMIZE ZORDER): cluster the rewritten segment by
         the Morton interleave of the named non-negative integer columns
@@ -401,6 +424,7 @@ class DocumentStore:
                 "set {'cluster_id', 'codes'}"
             )
         with self._lock("compact"):
+            self._restore_crashed_compact_locked()
             applied_delete_files = self._fs.listdir(self.deletes_path)
             segs = self._segment_ids()
             keep_seg = segs[-1] if segs else 0

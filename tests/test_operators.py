@@ -904,3 +904,48 @@ def test_top_fraction_per_group(spark):
     with pytest.raises(ValueError, match="frac"):
         top_fraction_per_group(df, group_cols=["grp"],
                                order_cols=[F.col("id")], frac=0.0)
+
+
+def test_bm25_compact_rerun_heals_between_renames_crash(spark, tmp_path):
+    """A compact crash between its two renames leaves a table's live dir
+    absent (original in *.old, that run's rewrite in *.compacting). A
+    re-run must RESTORE the original before its cleanup — without the
+    heal, the re-run's delete(tmp)+delete(old) destroy both surviving
+    copies before the writer notices the source is gone (for postings
+    that is unrecoverable), and the up-front ledger checks wedge on the
+    missing doc_len/stats dirs."""
+    import pyspark.sql.functions as F
+
+    from comet_spark.operators.bm25 import BM25, _postings_table_name
+    from comet_spark.storage.store import _FS
+
+    full = spark.createDataFrame(
+        [(1, "spark joins tables"), (2, "spark streams data"),
+         (3, "tables of data"), (4, "fast spark scans")],
+        "id bigint, text string",
+    )
+    want = [tuple(r) for r in BM25(full).score("spark tables", k=0).collect()]
+
+    for buckets in (0, 4):
+        path = str(tmp_path / f"crashix{buckets}")
+        BM25(full.filter(F.col("id") <= 2)).write(path, buckets=buckets)
+        BM25.append(spark, path, full.filter(F.col("id") > 2))
+
+        # crash states, one table at a time: doc_len (read by the re-run's
+        # ledger checks before any swap) and postings (the data-loss case)
+        fs = _FS(spark, path)
+        for sub in ("doc_len", "postings"):
+            assert fs.rename(f"{path}/{sub}", f"{path}/{sub}.old")
+            # a partially-written rewrite may also be present
+            spark.createDataFrame([(1,)], "x int").write.parquet(
+                f"{path}/{sub}.compacting"
+            )
+            BM25.compact(spark, path)  # re-run: heal, then compact
+            assert not fs.exists(f"{path}/{sub}.old")
+            assert not fs.exists(f"{path}/{sub}.compacting")
+
+        if buckets:
+            spark.sql(f"DROP TABLE IF EXISTS {_postings_table_name(path)}")
+        back = BM25.read(spark, path)
+        assert [tuple(r) for r in back.score("spark tables", k=0).collect()] == want
+        assert spark.read.parquet(f"{path}/stats").count() == 1

@@ -1386,3 +1386,45 @@ def test_image_resize_nearest_neighbor_semantics(spark):
         image_resize(media, out_w=2, out_h=2, decode_mode="stub")
     with pytest.raises(ValueError, match="positive"):
         image_resize(media, out_w=0, out_h=2)
+
+
+def test_store_write_paths_heal_crashed_compact_window(spark, tmp_path):
+    """compact()'s two-rename swap has a window where the live data dir
+    is momentarily absent (moved aside to data.old, the rewrite waiting
+    in data.compacting). A write path running on that crash state must
+    RESTORE the original before touching the segment sequence —
+    without the heal, append() would start a fresh segment=0 directory
+    and silently orphan every pre-crash row (and a later compact's
+    cleanup would delete the .old copy for good)."""
+    store = DocumentStore(spark, str(tmp_path / "crashed"))
+    store.append(_batch(spark, [(1, "a"), (2, "b")]))
+    store.append(_batch(spark, [(3, "c")]))
+
+    # simulate the between-renames crash: data moved aside, that run's
+    # (complete) rewrite still in the side dir, live dir missing
+    assert store._fs.rename(store.data_path, store.data_path + ".old")
+    _batch(spark, [(9, "stale rewrite")]).withColumn(
+        "segment", F.lit(0)
+    ).write.partitionBy("segment").parquet(store.data_path + ".compacting")
+    with pytest.raises(FileNotFoundError):
+        store.read()  # readers fail LOUDLY, never silently empty
+
+    # append on the crashed store heals first, then appends
+    store.append(_batch(spark, [(4, "d")]))
+    got = {r["id"] for r in store.read().collect()}
+    assert got == {1, 2, 3, 4}
+    # the stale rewrite was NOT installed; next compact cleans it up
+    store.compact()
+    assert not store._fs.exists(store.data_path + ".old")
+    assert not store._fs.exists(store.data_path + ".compacting")
+    assert {r["id"] for r in store.read().collect()} == {1, 2, 3, 4}
+
+    # compact() re-run on the same crash state also heals
+    assert store._fs.rename(store.data_path, store.data_path + ".old")
+    store.compact()
+    assert {r["id"] for r in store.read().collect()} == {1, 2, 3, 4}
+
+    # delete() heals too (its watermark derives from the segment listing)
+    assert store._fs.rename(store.data_path, store.data_path + ".old")
+    store.delete(spark.createDataFrame([(1,)], "id bigint"))
+    assert {r["id"] for r in store.read().collect()} == {2, 3, 4}
