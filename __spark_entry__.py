@@ -538,13 +538,20 @@ _register(
 # equality proves the whole maintain-then-consolidate lifecycle: build →
 # append ×3 → compact is value-identical to a fresh build. Reference
 # analog: segment compaction, storage_compaction.go:19-114.
-_BM25_COMPACT_CACHE: dict[tuple[str, str], BM25] = {}
+_BM25_COMPACT_CACHE: dict[tuple[str, str, str], BM25] = {}
 
 
-def _bm25_compact_index(spark: SparkSession, sf_dir: str) -> BM25:
-    key = (_skey(spark), sf_dir)
+def _bm25_compacted_index(
+    spark: SparkSession, sf_dir: str, subdir: str, mod: int, **compact_kw
+) -> BM25:
+    """Shared scaffold for the compaction ★s: build on residue 0 of
+    ``doc_id % mod``, append the other residues one batch each, then
+    ``BM25.compact(**compact_kw)`` — so the persisted artifact exercises
+    the whole maintain-then-consolidate lifecycle before any query
+    touches it."""
+    key = (_skey(spark), sf_dir, subdir)
     if key not in _BM25_COMPACT_CACHE:
-        base = f"{_art_dir(sf_dir)}/bm25_compact"
+        base = f"{_art_dir(sf_dir)}/{subdir}"
         sig = _corpus_sig(sf_dir, "documents")
         sig_path = f"{base}/corpus_sig.txt"
         try:
@@ -562,18 +569,18 @@ def _bm25_compact_index(spark: SparkSession, sf_dir: str) -> BM25:
             BM25.force_unlock(spark, base)  # stale lock from a crashed build
             docs = _t(spark, sf_dir, "documents")
             bld = BM25(
-                docs.filter(F.col("doc_id") % 4 == 0),
+                docs.filter(F.col("doc_id") % mod == 0),
                 id_col="doc_id", text_col="text", cache=True,
             )
             bld.write(base, buckets=_BM25_BUCKETS)
             for t in (bld.postings, bld.doc_len, bld.df, bld.stats):
                 t.unpersist()
-            for m in (1, 2, 3):  # append x3, one quarter each
+            for m in range(1, mod):
                 BM25.append(
-                    spark, base, docs.filter(F.col("doc_id") % 4 == m),
+                    spark, base, docs.filter(F.col("doc_id") % mod == m),
                     id_col="doc_id", text_col="text",
                 )
-            BM25.compact(spark, base)
+            BM25.compact(spark, base, **compact_kw)
             ix = BM25.read(spark, base)
             os.makedirs(base, exist_ok=True)
             with open(sig_path, "w") as fh:
@@ -586,7 +593,7 @@ def _bm25_compact_index(spark: SparkSession, sf_dir: str) -> BM25:
 
 
 def _bm25_compact_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    bm = _bm25_compact_index(spark, sf_dir)
+    bm = _bm25_compacted_index(spark, sf_dir, "bm25_compact", 4)
     return bm.score(BM25_QUERY, k=K).select(F.col("id").alias("doc_id"), "score")
 
 
@@ -594,6 +601,29 @@ _register(
     "bm25_compact_score",
     _bm25_compact_score,
     f"WITH {_sql_bm25_ctes()}, {_sql_bm25_score(BM25_QUERY)} "
+    f"SELECT id AS doc_id, ROUND(score, 6) AS score FROM sc ORDER BY score DESC, id LIMIT {K}",
+)
+
+
+# ★ J-family maintenance, text side, part 3: same lifecycle but the
+# consolidation is SIZE-TIERED (BM25.compact(tiered=True) — real LSM
+# levels: per bucket, only the small appended segment files merge and the
+# large base file moves across by rename, cost ∝ appended batches, not
+# index size). The oracle scores the full corpus from scratch; equality
+# proves tiered consolidation preserves exact scoring. A different
+# build/append split (fifths, not quarters) keeps the artifact
+# independent of bm25_compact_score's.
+def _bm25_tiered_compact_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bm = _bm25_compacted_index(
+        spark, sf_dir, "bm25_tiered_compact", 5, tiered=True
+    )
+    return bm.score(BM25_QUERY_2, k=K).select(F.col("id").alias("doc_id"), "score")
+
+
+_register(
+    "bm25_tiered_compact_score",
+    _bm25_tiered_compact_score,
+    f"WITH {_sql_bm25_ctes()}, {_sql_bm25_score(BM25_QUERY_2)} "
     f"SELECT id AS doc_id, ROUND(score, 6) AS score FROM sc ORDER BY score DESC, id LIMIT {K}",
 )
 

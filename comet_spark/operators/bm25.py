@@ -71,6 +71,146 @@ def _postings_table_name(path: str) -> str:
     return f"bm25_postings_{safe}_{hashlib.md5(path.encode()).hexdigest()[:8]}"
 
 
+def _heal_tiered_merges(fs, path: str) -> None:
+    """Finish (or abort) a size-tiered merge a crashed compact left behind
+    — journal-guided, so recovery is deterministic at every crash point.
+
+    The tiered protocol (see :meth:`BM25.compact`) journals the names of
+    the KEPT (large) files before mutating anything, then: moves the live
+    dir aside, renames each kept file from the aside dir into the merged
+    side dir, installs the side dir, cleans up. The journal tells this
+    heal exactly which state the crash hit:
+
+    - live dir present, aside absent → nothing was moved yet; the merged
+      side dir only duplicates still-live small files — ABORT (drop it).
+    - live dir absent → mid-move; COMPLETE: move any kept file still in
+      the aside dir, install the side dir, drop the aside dir.
+    - both present → crashed after install; drop the stale aside dir.
+
+    Without the journal, the plain ``*.old``-restore rule would put back
+    an aside dir already missing its moved kept files — data loss."""
+    import json
+
+    for sub in ("postings", "doc_len"):
+        cur = f"{path}/{sub}"
+        journal = f"{cur}.tiermove"
+        if not fs.exists(journal):
+            continue
+        kept = json.loads(fs.read_text(journal))["keep"]
+        tmp, old = f"{cur}.compacting", f"{cur}.old"
+        if fs.exists(cur) and not fs.exists(old):
+            fs.delete(tmp)
+        elif not fs.exists(cur):
+            if not fs.exists(tmp):
+                raise OSError(
+                    f"tiered compact recovery: {cur} and {tmp} both missing "
+                    f"with journal present — restore {old} manually"
+                )
+            for n in kept:
+                if fs.exists(f"{old}/{n}") and not fs.rename(
+                    f"{old}/{n}", f"{tmp}/{n}"
+                ):
+                    raise OSError(f"tiered compact recovery: could not move {n}")
+            if not fs.rename(tmp, cur):
+                raise OSError(f"tiered compact recovery: could not install {tmp}")
+            fs.delete(old)
+        else:
+            fs.delete(old)
+        fs.delete(journal)
+
+
+def _tiered_merge(
+    spark, fs, path: str, sub: str, buckets: int, rows_per_file: int
+) -> bool:
+    """Size-tiered file merge of ``{path}/{sub}`` — consolidate every
+    file EXCEPT the largest of its tier group (per bucket when
+    ``buckets > 0``, else per directory) and move the kept large files
+    across by RENAME, so the rewrite cost is proportional to the small
+    appended segments, not the whole table. Rows must be disjoint
+    across files (true for postings/doc_len — append's contract), since
+    the merge is pure file consolidation. Returns False when every
+    group already holds a single file (nothing to merge).
+
+    Crash safety: the kept-file names are journaled (atomic write)
+    BEFORE any mutation; every crash point is then either aborted or
+    completed deterministically by :func:`_heal_tiered_merges` — see
+    there. As with the full swap, the live dir is momentarily absent
+    mid-protocol: readers fail loudly, never silently wrong."""
+    import json
+
+    cur = f"{path}/{sub}"
+    files = [
+        (n, s) for n, s in fs.list_status(cur) if n.startswith("part-")
+    ]
+    groups: dict[int, list[tuple[str, int]]] = {}
+    if buckets > 0:
+        for n, s in files:
+            m = re.search(r"_(\d{5})\.c\d+", n)
+            if not m:
+                raise ValueError(
+                    f"tiered compact: {n} carries no bucket id — "
+                    f"{cur} is not a bucketed layout"
+                )
+            groups.setdefault(int(m.group(1)), []).append((n, s))
+    else:
+        groups[0] = files
+    kept, small = [], []
+    for g in groups.values():
+        g = sorted(g, key=lambda t: (-t[1], t[0]))
+        kept.append(g[0][0])
+        small.extend(n for n, _ in g[1:])
+    if not small:
+        return False
+    tmp, old, journal = f"{cur}.compacting", f"{cur}.old", f"{cur}.tiermove"
+    fs.delete(tmp)
+    fs.delete(old)
+    merged_src = spark.read.parquet(*[f"{cur}/{n}" for n in small])
+    if buckets > 0:
+        # through a scratch external table so the merged files land with
+        # proper bucket-id names (repartition by the bucket hash routes
+        # every row back to its own bucket — one file per touched bucket)
+        name = _postings_table_name(path)
+        tmp_name = f"{name}_tiering"
+        spark.sql(f"DROP TABLE IF EXISTS {tmp_name}")
+        (
+            merged_src.repartition(buckets, "term")
+            .write.mode("overwrite")
+            .option("path", tmp)
+            .bucketBy(buckets, "term")
+            .sortBy("term")
+            .saveAsTable(tmp_name)
+        )
+        spark.sql(f"DROP TABLE {tmp_name}")  # external: files stay
+    else:
+        n_rows = merged_src.count()
+        nf = max(1, -(-n_rows // rows_per_file))
+        merged_src.coalesce(nf).write.mode("overwrite").parquet(tmp)
+    clash = set(fs.listdir(tmp)) & set(kept)
+    if clash:  # write-UUID collision — effectively impossible, but the
+        fs.delete(tmp)  # rename-in below must never clobber a kept file
+        raise OSError(f"tiered compact: merged-file name collision {sorted(clash)}")
+    fs.write_text(journal, json.dumps({"keep": kept}))
+    if not fs.rename(cur, old):
+        fs.delete(tmp)
+        fs.delete(journal)
+        raise OSError(f"tiered compact: could not move {cur} aside")
+    # from here on, a crash is COMPLETED (not aborted) by the heal
+    for n in kept:
+        if not fs.rename(f"{old}/{n}", f"{tmp}/{n}"):
+            raise OSError(
+                f"tiered compact: could not move {n} — re-run compact to "
+                "complete the interrupted merge"
+            )
+    if not fs.rename(tmp, cur):
+        raise OSError(
+            f"tiered compact: could not install {tmp} — re-run compact to "
+            "complete the interrupted merge"
+        )
+    fs.delete(old)
+    fs.delete(journal)
+    return True
+
+
 def tokenize_py(text: str) -> list[str]:
     """Python twin of :func:`comet_spark.functions.text.tokenize` for
     constant query strings — the full reference pipeline (NFKC → lower →
@@ -203,6 +343,9 @@ class BM25:
         :func:`_index_writer_lock`)."""
         spark = self.postings.sparkSession
         with _index_writer_lock(spark, path, "write"):
+            from comet_spark.storage.store import _FS
+
+            _heal_tiered_merges(_FS(spark, path), path)
             if buckets > 0:
                 name = _postings_table_name(path)
                 (
@@ -344,6 +487,9 @@ class BM25:
         :func:`~comet_spark.streaming.ingest.bm25_ingest_stream`'s heal
         path do it."""
         with _index_writer_lock(spark, path, "append"):
+            from comet_spark.storage.store import _FS
+
+            _heal_tiered_merges(_FS(spark, path), path)
             try:
                 buckets = int(spark.read.parquet(f"{path}/meta").first()["buckets"])
             except Exception:  # pre-meta index directories
@@ -410,7 +556,10 @@ class BM25:
                     t.unpersist()
 
     @classmethod
-    def compact(cls, spark, path: str, *, rows_per_file: int = 8_000_000) -> None:
+    def compact(
+        cls, spark, path: str, *, rows_per_file: int = 8_000_000,
+        tiered: bool = False,
+    ) -> None:
         """Consolidate an appended index IN PLACE — the text-side twin of
         ``DocumentStore.compact`` (reference segment compaction,
         ``storage_compaction.go:19-114`` merges the oldest segments and
@@ -447,11 +596,31 @@ class BM25:
         (``repartition(buckets, term)`` IS Murmur3 pmod buckets), so
         every bucket lands as exactly one task's single file; the
         write-time bucket count remains the scale knob for how large
-        that file gets at 100 TB."""
+        that file gets at 100 TB.
+
+        ``tiered=True`` switches postings and doc_len to a SIZE-TIERED
+        merge (real LSM levels): per bucket (postings) or per directory
+        (doc_len), every file except the largest is merged and the kept
+        large base files move across by RENAME — so on a huge index
+        that absorbed a few small appends, the rewrite cost is
+        proportional to the appended segments, not the index
+        (measured in SCALE_SOAK.json). Valid because rows are disjoint
+        by id across segment files; df/stats still rewrite fully (their
+        partials overlap per term / fold to one row, and both are
+        vocabulary-/single-row-sized). Buckets then hold up to two
+        files (base + merged) instead of one; run a full compact
+        occasionally to restore the one-file-per-bucket shape. Crash
+        recovery is journal-guided (:func:`_heal_tiered_merges` — every
+        write path heals at entry): each crash point either aborts or
+        completes, never double-counts, and readers fail loudly during
+        the instant the directory swaps."""
         from comet_spark.storage.store import _FS
 
         fs = _FS(spark, path)
         with _index_writer_lock(spark, path, "compact"):
+            _heal_tiered_merges(fs, path)  # BEFORE the plain restore: the
+            # plain rule would put back an aside dir already missing its
+            # moved kept files
 
             def _restore(sub: str) -> None:
                 # A previous compact crashed between its two renames — the
@@ -510,7 +679,47 @@ class BM25:
                     raise OSError(f"compact: could not install {tmp}")
                 fs.delete(old)
 
+            def _finish_small_tables(nf: int) -> None:
+                # df partials OVERLAP per term (unlike the disjoint-by-id
+                # postings/doc_len rows) so their collapse is a semantic
+                # groupBy — but vocabulary-sized, cheap in every mode; the
+                # single merged stats row is what re-engages read()'s
+                # fast path.
+                _swap(
+                    "df",
+                    lambda t: spark.read.parquet(f"{path}/df")
+                    .groupBy("term").agg(F.sum("df").alias("df"))
+                    .coalesce(nf).write.mode("overwrite").parquet(t),
+                )
+                if len(stats_rows) > 1:
+                    tdl = float(sum(r["total_dl"] for r in stats_rows))
+                    merged = spark.createDataFrame(
+                        [(n_docs, tdl / n_docs if n_docs else None, tdl)],
+                        "n_docs double, avgdl double, total_dl double",
+                    )
+                else:
+                    # single segment: stats pass through unchanged
+                    # (collected above — recreating from rows severs any
+                    # read of the dir mid-swap and keeps whatever schema
+                    # the index carries)
+                    cur = spark.read.parquet(f"{path}/stats")
+                    merged = spark.createDataFrame(stats_rows, cur.schema)
+                _swap(
+                    "stats",
+                    lambda t: merged.repartition(1)
+                    .write.mode("overwrite").parquet(t),
+                )
+
             nf = max(1, -(-n_dl // rows_per_file))
+            if tiered:
+                _tiered_merge(spark, fs, path, "doc_len", 0, rows_per_file)
+                _tiered_merge(spark, fs, path, "postings", buckets, rows_per_file)
+                if buckets > 0 and spark.catalog.tableExists(
+                    _postings_table_name(path)
+                ):
+                    spark.catalog.refreshTable(_postings_table_name(path))
+                _finish_small_tables(nf)
+                return
             _swap(
                 "doc_len",
                 lambda t: spark.read.parquet(f"{path}/doc_len")
@@ -546,28 +755,7 @@ class BM25:
                     lambda t: spark.read.parquet(f"{path}/postings")
                     .coalesce(nf).write.mode("overwrite").parquet(t),
                 )
-            _swap(
-                "df",
-                lambda t: spark.read.parquet(f"{path}/df")
-                .groupBy("term").agg(F.sum("df").alias("df"))
-                .coalesce(nf).write.mode("overwrite").parquet(t),
-            )
-            if len(stats_rows) > 1:
-                tdl = float(sum(r["total_dl"] for r in stats_rows))
-                merged = spark.createDataFrame(
-                    [(n_docs, tdl / n_docs if n_docs else None, tdl)],
-                    "n_docs double, avgdl double, total_dl double",
-                )
-            else:
-                # single segment: stats pass through unchanged (collected
-                # above — recreating from rows severs any read of the dir
-                # mid-swap and keeps whatever schema the index carries)
-                cur = spark.read.parquet(f"{path}/stats")
-                merged = spark.createDataFrame(stats_rows, cur.schema)
-            _swap(
-                "stats",
-                lambda t: merged.repartition(1).write.mode("overwrite").parquet(t),
-            )
+            _finish_small_tables(nf)
 
 
     def _scored(

@@ -52,6 +52,7 @@ class _FS:
 
     def __init__(self, spark: SparkSession, path: str):
         jvm = spark.sparkContext._jvm
+        self._jvm = jvm
         self._Path = jvm.org.apache.hadoop.fs.Path
         self.fs = self._Path(path).getFileSystem(
             spark.sparkContext._jsc.hadoopConfiguration()
@@ -66,6 +67,40 @@ class _FS:
         return [
             st.getPath().getName() for st in self.fs.listStatus(self._Path(path))
         ]
+
+    def list_status(self, path: str) -> list[tuple[str, int]]:
+        """(name, size-in-bytes) per entry — size-tiered compaction picks
+        its merge set from these."""
+        if not self.exists(path):
+            return []
+        return [
+            (st.getPath().getName(), int(st.getLen()))
+            for st in self.fs.listStatus(self._Path(path))
+        ]
+
+    def write_text(self, path: str, text: str) -> None:
+        """Write a small text file ATOMICALLY (write side file, rename in):
+        journal/marker content must be all-or-nothing — a half-written
+        recovery journal is worse than none."""
+        tmp = path + ".tmp"
+        self.delete(tmp)
+        out = self.fs.create(self._Path(tmp), True)
+        try:
+            out.write(bytearray(text.encode("utf-8")))
+        finally:
+            out.close()
+        self.delete(path)
+        if not self.rename(tmp, path):
+            raise OSError(f"could not install {path}")
+
+    def read_text(self, path: str) -> str:
+        inp = self.fs.open(self._Path(path))
+        try:
+            return str(
+                self._jvm.org.apache.commons.io.IOUtils.toString(inp, "UTF-8")
+            )
+        finally:
+            inp.close()
 
     def rename(self, src: str, dst: str) -> bool:
         return bool(self.fs.rename(self._Path(src), self._Path(dst)))

@@ -362,6 +362,7 @@ def bm25_ingest_stream(
     buckets: int = 16,
     normalize: bool = True,
     trigger_available_now: bool = True,
+    state_compact_files: int = 64,
 ) -> StreamingQuery:
     """Streaming twin of :func:`bm25_ingest` — ``foreachBatch`` appends
     one store segment + one postings segment per micro-batch, with a
@@ -396,7 +397,9 @@ def bm25_ingest_stream(
 
     The state log is read filtered to the current batch_id and is
     COMPACTED (rewritten as its max-``done`` watermark row via a rename
-    swap) once it accumulates ~64 files, so a long-running stream's
+    swap) once it accumulates ``state_compact_files`` files (default
+    ~64 — lower it only if the per-batch listing ever matters before
+    then), so a long-running stream's
     per-batch driver scan stays O(1) instead of growing with the
     stream's lifetime; Spark replays at most the latest uncommitted
     batch, so older rows can never be consulted again. The log is
@@ -446,7 +449,7 @@ def bm25_ingest_stream(
         readers never touch the log)."""
         fs = _FS(spark, state_path)
         names = [n for n in fs.listdir(state_path) if not n.startswith(".")]
-        if len(names) <= 64:
+        if len(names) <= state_compact_files:
             return
         rows = spark.read.parquet(state_path).collect()
         done = [r["batch_id"] for r in rows if r["phase"] == "done"]

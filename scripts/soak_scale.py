@@ -212,12 +212,24 @@ def _soak_bm25_append(spark, sf_dir: str) -> dict:
         t0 = time.perf_counter()
         BM25.compact(spark, f"{path}/ix")
         compact = round(time.perf_counter() - t0, 2)
+        # tiered compact after ANOTHER small append: only the appended
+        # segment files merge, the consolidated base moves by rename —
+        # the claim is cost ∝ appended batch (flat across scales), vs
+        # the full compact's index-sized rewrite
+        batch2 = docs.filter(F.col("doc_id") < 1000).withColumn(
+            "doc_id", F.col("doc_id") + F.lit(20_000_000)
+        )
+        BM25.append(spark, f"{path}/ix", batch2, id_col="doc_id", text_col="text")
+        t0 = time.perf_counter()
+        BM25.compact(spark, f"{path}/ix", tiered=True)
+        tiered = round(time.perf_counter() - t0, 2)
     finally:
         shutil.rmtree(path, ignore_errors=True)
     return {
         "build": {"sec": build},
         "append_1k": {"sec": append},
         "compact": {"sec": compact},
+        "tiered_compact": {"sec": tiered},
     }
 
 
@@ -317,7 +329,8 @@ def main() -> None:
         print(
             f"{sf_label:8s} bm25 build {ap['build']['sec']}s vs "
             f"append(1k docs) {ap['append_1k']['sec']}s vs "
-            f"compact {ap['compact']['sec']}s", flush=True,
+            f"compact {ap['compact']['sec']}s vs "
+            f"tiered {ap['tiered_compact']['sec']}s", flush=True,
         )
         sa = _soak_sa_script(spark, 5_000 if sf_label == "sf0.1" else 50_000)
         results.setdefault("bm25_sa_script_build", {})[sf_label] = sa
@@ -341,9 +354,11 @@ def main() -> None:
             for sc in ("sf0.1", "soak10x"):
                 b, a = r[sc]["build"]["sec"], r[sc]["append_1k"]["sec"]
                 c = r[sc].get("compact", {}).get("sec")
+                tc = r[sc].get("tiered_compact", {}).get("sec")
                 print(
                     f"bm25 {sc}: full build {b:.2f}s vs append(1k) {a:.2f}s"
                     + (f" vs compact {c:.2f}s" if c is not None else "")
+                    + (f" vs tiered {tc:.2f}s" if tc is not None else "")
                 )
             continue
         if name == "bm25_sa_script_build":

@@ -949,3 +949,145 @@ def test_bm25_compact_rerun_heals_between_renames_crash(spark, tmp_path):
         back = BM25.read(spark, path)
         assert [tuple(r) for r in back.score("spark tables", k=0).collect()] == want
         assert spark.read.parquet(f"{path}/stats").count() == 1
+
+
+def test_bm25_tiered_compact_merges_small_segments_only(spark, tmp_path):
+    """Size-tiered compaction (LSM levels for the text index): per bucket,
+    every file except the largest merges and the big base file moves
+    across by RENAME — cost ∝ appended segments, not index size. The
+    base file must survive byte-identical (same name and size), buckets
+    hold at most two files, and scores/stats must equal a fresh
+    full-corpus build."""
+    import glob
+    import os
+    import re as _re
+
+    import pyspark.sql.functions as F
+
+    from comet_spark.operators.bm25 import BM25, _postings_table_name
+
+    rows = [(i, f"spark data tables term{i % 7} filler{i % 3}") for i in range(1, 41)]
+    full = spark.createDataFrame(rows, "id bigint, text string")
+    fresh = BM25(full)
+    want_scores = [tuple(r) for r in fresh.score("spark term1 data", k=0).collect()]
+    want_posts = {tuple(r) for r in fresh.postings.collect()}
+    want_stats = fresh.stats.first()
+
+    for buckets in (0, 4):
+        path = str(tmp_path / f"tix{buckets}")
+        BM25(full.filter(F.col("id") <= 30)).write(path, buckets=buckets)
+
+        def _sizes(p=path):
+            return {
+                os.path.basename(f): os.path.getsize(f)
+                for f in glob.glob(f"{p}/postings/part-*")
+            }
+
+        base_files = _sizes()
+        for lo, hi in ((30, 34), (34, 37), (37, 40)):
+            BM25.append(
+                spark, path, full.filter((F.col("id") > lo) & (F.col("id") <= hi))
+            )
+        BM25.compact(spark, path, tiered=True)
+
+        after = _sizes()
+        kept = set(base_files) & set(after)
+        if buckets:
+            # every bucket keeps its base file untouched...
+            assert len(kept) == len(base_files)
+            assert all(after[n] == base_files[n] for n in kept)
+            # ...plus at most one merged file per bucket
+            per_bucket: dict[str, int] = {}
+            for n in after:
+                b = _re.search(r"_(\d{5})\.c\d+", n).group(1)
+                per_bucket[b] = per_bucket.get(b, 0) + 1
+            assert max(per_bucket.values()) <= 2
+        else:
+            # unbucketed: the single largest base file survives
+            assert len(kept) >= 1
+            assert all(after[n] == base_files[n] for n in kept)
+            assert len(after) <= len(base_files) + 1
+
+        # single-segment shape: one stats row, df collapsed, exact values
+        assert spark.read.parquet(f"{path}/stats").count() == 1
+        raw_df = spark.read.parquet(f"{path}/df")
+        assert raw_df.groupBy("term").count().filter(F.col("count") > 1).count() == 0
+        if buckets:
+            spark.sql(f"DROP TABLE IF EXISTS {_postings_table_name(path)}")
+        back = BM25.read(spark, path)
+        assert {tuple(r) for r in back.postings.collect()} == want_posts
+        got_stats = back.stats.first()
+        assert (got_stats["n_docs"], got_stats["avgdl"], got_stats["total_dl"]) == (
+            want_stats["n_docs"], want_stats["avgdl"], want_stats["total_dl"],
+        )
+        got = [tuple(r) for r in back.score("spark term1 data", k=0).collect()]
+        assert got == want_scores, buckets
+        if buckets:
+            plan = (
+                back.score("spark", k=3)
+                ._jdf.queryExecution().executedPlan().toString()
+            )
+            assert "Bucketed: true" in plan and "SelectedBucketsCount" in plan
+
+
+def test_bm25_tiered_compact_crash_sweep(spark, tmp_path):
+    """Every crash point in the tiered-merge protocol heals: inject a
+    crash after the K-th filesystem rename of a tiered compact (journal
+    install, move-aside, each kept-file move, side-dir install, plus the
+    df/stats full swaps), for every K until a run completes — then
+    re-run compact and require scores, postings, and stats to equal the
+    fresh full-corpus build, with no leftover side dirs or journals."""
+    import pyspark.sql.functions as F
+
+    import comet_spark.storage.store as store_mod
+    from comet_spark.operators.bm25 import BM25, _postings_table_name
+
+    rows = [(i, f"spark data tables term{i % 5}") for i in range(1, 25)]
+    full = spark.createDataFrame(rows, "id bigint, text string")
+    fresh = BM25(full)
+    want_scores = [tuple(r) for r in fresh.score("spark term2 data", k=0).collect()]
+    want_posts = {tuple(r) for r in fresh.postings.collect()}
+
+    real_rename = store_mod._FS.rename
+    k = 0
+    completed_clean = False
+    while not completed_clean:
+        k += 1
+        assert k < 40, "crash sweep did not terminate"
+        path = str(tmp_path / f"sweep{k}")
+        BM25(full.filter(F.col("id") <= 18)).write(path, buckets=4)
+        BM25.append(spark, path, full.filter(F.col("id") > 18))
+
+        calls = {"n": 0}
+
+        def inject(self, src, dst, _k=k, _calls=calls):
+            ok = real_rename(self, src, dst)
+            _calls["n"] += 1
+            if _calls["n"] == _k:
+                raise RuntimeError("injected crash")
+            return ok
+
+        store_mod._FS.rename = inject
+        try:
+            BM25.compact(spark, path, tiered=True)
+            completed_clean = True  # K exceeded the protocol's renames
+        except RuntimeError:
+            pass
+        finally:
+            store_mod._FS.rename = real_rename
+
+        # heal + complete on re-run (every write path heals at entry)
+        BM25.compact(spark, path, tiered=True)
+        from comet_spark.storage.store import _FS
+
+        fs = _FS(spark, path)
+        for sub in ("postings", "doc_len", "df", "stats"):
+            assert not fs.exists(f"{path}/{sub}.old"), (k, sub)
+            assert not fs.exists(f"{path}/{sub}.compacting"), (k, sub)
+            assert not fs.exists(f"{path}/{sub}.tiermove"), (k, sub)
+        spark.sql(f"DROP TABLE IF EXISTS {_postings_table_name(path)}")
+        back = BM25.read(spark, path)
+        assert {tuple(r) for r in back.postings.collect()} == want_posts, k
+        got = [tuple(r) for r in back.score("spark term2 data", k=0).collect()]
+        assert got == want_scores, k
+        assert spark.read.parquet(f"{path}/stats").count() == 1, k
