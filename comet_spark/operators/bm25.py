@@ -72,51 +72,15 @@ def _postings_table_name(path: str) -> str:
 
 
 def _heal_tiered_merges(fs, path: str) -> None:
-    """Finish (or abort) a size-tiered merge a crashed compact left behind
-    — journal-guided, so recovery is deterministic at every crash point.
-
-    The tiered protocol (see :meth:`BM25.compact`) journals the names of
-    the KEPT (large) files before mutating anything, then: moves the live
-    dir aside, renames each kept file from the aside dir into the merged
-    side dir, installs the side dir, cleans up. The journal tells this
-    heal exactly which state the crash hit:
-
-    - live dir present, aside absent → nothing was moved yet; the merged
-      side dir only duplicates still-live small files — ABORT (drop it).
-    - live dir absent → mid-move; COMPLETE: move any kept file still in
-      the aside dir, install the side dir, drop the aside dir.
-    - both present → crashed after install; drop the stale aside dir.
-
-    Without the journal, the plain ``*.old``-restore rule would put back
-    an aside dir already missing its moved kept files — data loss."""
-    import json
+    """Finish (or abort) a size-tiered merge a crashed compact left
+    behind, for each of the index's file-tiered tables — the shared
+    journal-guided recovery (``storage.store._heal_tiered_swap``) run by
+    every write path BEFORE the plain ``*.old`` restore (which would put
+    back an aside dir already missing its moved kept files)."""
+    from comet_spark.storage.store import _heal_tiered_swap
 
     for sub in ("postings", "doc_len"):
-        cur = f"{path}/{sub}"
-        journal = f"{cur}.tiermove"
-        if not fs.exists(journal):
-            continue
-        kept = json.loads(fs.read_text(journal))["keep"]
-        tmp, old = f"{cur}.compacting", f"{cur}.old"
-        if fs.exists(cur) and not fs.exists(old):
-            fs.delete(tmp)
-        elif not fs.exists(cur):
-            if not fs.exists(tmp):
-                raise OSError(
-                    f"tiered compact recovery: {cur} and {tmp} both missing "
-                    f"with journal present — restore {old} manually"
-                )
-            for n in kept:
-                if fs.exists(f"{old}/{n}") and not fs.rename(
-                    f"{old}/{n}", f"{tmp}/{n}"
-                ):
-                    raise OSError(f"tiered compact recovery: could not move {n}")
-            if not fs.rename(tmp, cur):
-                raise OSError(f"tiered compact recovery: could not install {tmp}")
-            fs.delete(old)
-        else:
-            fs.delete(old)
-        fs.delete(journal)
+        _heal_tiered_swap(fs, f"{path}/{sub}")
 
 
 def _tiered_merge(
@@ -136,8 +100,6 @@ def _tiered_merge(
     completed deterministically by :func:`_heal_tiered_merges` — see
     there. As with the full swap, the live dir is momentarily absent
     mid-protocol: readers fail loudly, never silently wrong."""
-    import json
-
     cur = f"{path}/{sub}"
     files = [
         (n, s) for n, s in fs.list_status(cur) if n.startswith("part-")
@@ -161,53 +123,34 @@ def _tiered_merge(
         small.extend(n for n, _ in g[1:])
     if not small:
         return False
-    tmp, old, journal = f"{cur}.compacting", f"{cur}.old", f"{cur}.tiermove"
-    fs.delete(tmp)
-    fs.delete(old)
+    from comet_spark.storage.store import _tiered_swap
+
     merged_src = spark.read.parquet(*[f"{cur}/{n}" for n in small])
-    if buckets > 0:
-        # through a scratch external table so the merged files land with
-        # proper bucket-id names (repartition by the bucket hash routes
-        # every row back to its own bucket — one file per touched bucket)
-        name = _postings_table_name(path)
-        tmp_name = f"{name}_tiering"
-        spark.sql(f"DROP TABLE IF EXISTS {tmp_name}")
-        (
-            merged_src.repartition(buckets, "term")
-            .write.mode("overwrite")
-            .option("path", tmp)
-            .bucketBy(buckets, "term")
-            .sortBy("term")
-            .saveAsTable(tmp_name)
-        )
-        spark.sql(f"DROP TABLE {tmp_name}")  # external: files stay
-    else:
-        n_rows = merged_src.count()
-        nf = max(1, -(-n_rows // rows_per_file))
-        merged_src.coalesce(nf).write.mode("overwrite").parquet(tmp)
-    clash = set(fs.listdir(tmp)) & set(kept)
-    if clash:  # write-UUID collision — effectively impossible, but the
-        fs.delete(tmp)  # rename-in below must never clobber a kept file
-        raise OSError(f"tiered compact: merged-file name collision {sorted(clash)}")
-    fs.write_text(journal, json.dumps({"keep": kept}))
-    if not fs.rename(cur, old):
-        fs.delete(tmp)
-        fs.delete(journal)
-        raise OSError(f"tiered compact: could not move {cur} aside")
-    # from here on, a crash is COMPLETED (not aborted) by the heal
-    for n in kept:
-        if not fs.rename(f"{old}/{n}", f"{tmp}/{n}"):
-            raise OSError(
-                f"tiered compact: could not move {n} — re-run compact to "
-                "complete the interrupted merge"
+
+    def _write_side(tmp: str) -> None:
+        if buckets > 0:
+            # through a scratch external table so the merged files land
+            # with proper bucket-id names (repartition by the bucket hash
+            # routes every row back to its own bucket — one file per
+            # touched bucket)
+            name = _postings_table_name(path)
+            tmp_name = f"{name}_tiering"
+            spark.sql(f"DROP TABLE IF EXISTS {tmp_name}")
+            (
+                merged_src.repartition(buckets, "term")
+                .write.mode("overwrite")
+                .option("path", tmp)
+                .bucketBy(buckets, "term")
+                .sortBy("term")
+                .saveAsTable(tmp_name)
             )
-    if not fs.rename(tmp, cur):
-        raise OSError(
-            f"tiered compact: could not install {tmp} — re-run compact to "
-            "complete the interrupted merge"
-        )
-    fs.delete(old)
-    fs.delete(journal)
+            spark.sql(f"DROP TABLE {tmp_name}")  # external: files stay
+        else:
+            n_rows = merged_src.count()
+            nf = max(1, -(-n_rows // rows_per_file))
+            merged_src.coalesce(nf).write.mode("overwrite").parquet(tmp)
+
+    _tiered_swap(fs, cur, kept, _write_side)
     return True
 
 

@@ -78,6 +78,13 @@ class _FS:
             for st in self.fs.listStatus(self._Path(path))
         ]
 
+    def dir_size(self, path: str) -> int:
+        """Total bytes under a directory (recursive) — segment sizing for
+        the tiered merge policy."""
+        if not self.exists(path):
+            return 0
+        return int(self.fs.getContentSummary(self._Path(path)).getLength())
+
     def write_text(self, path: str, text: str) -> None:
         """Write a small text file ATOMICALLY (write side file, rename in):
         journal/marker content must be all-or-nothing — a half-written
@@ -154,6 +161,91 @@ class _writer_lock:
         return False
 
 
+def _tiered_swap(fs: _FS, cur: str, kept: list[str], write_side) -> None:
+    """Size-tiered swap of directory ``cur``: ``write_side(side_path)``
+    writes the merged replacement for the NON-kept entries into a side
+    directory, the ``kept`` entries (names directly under ``cur``) move
+    across by RENAME, and the side directory installs over ``cur`` — so
+    the rewrite cost is the merged small entries, never the kept bulk.
+
+    Crash safety: the kept names are journaled ATOMICALLY before any
+    mutation; :func:`_heal_tiered_swap` then either aborts or completes
+    every crash state deterministically. As with the full two-rename
+    swap, ``cur`` is momentarily absent mid-protocol: readers fail
+    loudly, never silently wrong. Callers hold their writer lock."""
+    import json
+
+    tmp, old, journal = cur + ".compacting", cur + ".old", cur + ".tiermove"
+    fs.delete(tmp)
+    fs.delete(old)
+    write_side(tmp)
+    clash = set(fs.listdir(tmp)) & set(kept)
+    if clash:  # write-UUID collision — effectively impossible, but the
+        fs.delete(tmp)  # rename-in below must never clobber a kept entry
+        raise OSError(f"tiered swap: merged-entry name collision {sorted(clash)}")
+    fs.write_text(journal, json.dumps({"keep": kept}))
+    if not fs.rename(cur, old):
+        fs.delete(tmp)
+        fs.delete(journal)
+        raise OSError(f"tiered swap: could not move {cur} aside")
+    # from here on, a crash is COMPLETED (not aborted) by the heal
+    for n in kept:
+        if not fs.rename(f"{old}/{n}", f"{tmp}/{n}"):
+            raise OSError(
+                f"tiered swap: could not move {n} — re-run compact to "
+                "complete the interrupted merge"
+            )
+    if not fs.rename(tmp, cur):
+        raise OSError(
+            f"tiered swap: could not install {tmp} — re-run compact to "
+            "complete the interrupted merge"
+        )
+    fs.delete(old)
+    fs.delete(journal)
+
+
+def _heal_tiered_swap(fs: _FS, cur: str) -> None:
+    """Finish (or abort) a :func:`_tiered_swap` a crash interrupted —
+    journal-guided, so recovery is deterministic at every crash point:
+
+    - ``cur`` present, ``.old`` absent → nothing was moved yet; the side
+      dir only duplicates still-live entries — ABORT (drop it).
+    - ``cur`` absent → mid-move; COMPLETE: move any kept entry still in
+      ``.old``, install the side dir, drop ``.old``.
+    - both present → crashed after install; drop the stale ``.old``.
+
+    Without the journal, the plain ``.old``-restore rule would put back
+    an aside dir already missing its moved kept entries — data loss.
+    Every write path of the owning structure must call this (under its
+    lock) BEFORE the plain restore."""
+    import json
+
+    journal = cur + ".tiermove"
+    if not fs.exists(journal):
+        return
+    kept = json.loads(fs.read_text(journal))["keep"]
+    tmp, old = cur + ".compacting", cur + ".old"
+    if fs.exists(cur) and not fs.exists(old):
+        fs.delete(tmp)
+    elif not fs.exists(cur):
+        if not fs.exists(tmp):
+            raise OSError(
+                f"tiered swap recovery: {cur} and {tmp} both missing "
+                f"with journal present — restore {old} manually"
+            )
+        for n in kept:
+            if fs.exists(f"{old}/{n}") and not fs.rename(
+                f"{old}/{n}", f"{tmp}/{n}"
+            ):
+                raise OSError(f"tiered swap recovery: could not move {n}")
+        if not fs.rename(tmp, cur):
+            raise OSError(f"tiered swap recovery: could not install {tmp}")
+        fs.delete(old)
+    else:
+        fs.delete(old)
+    fs.delete(journal)
+
+
 class DocumentStore:
     """LSM-style parquet document store (see module docstring for the
     architecture).
@@ -193,7 +285,12 @@ class DocumentStore:
         ``segment=0`` directory and silently orphan the original (a
         later compact's cleanup would then delete it for good), and a
         delete would stamp a wrong watermark. Readers keep failing
-        loudly (FileNotFoundError) until a write path heals."""
+        loudly (FileNotFoundError) until a write path heals.
+
+        A crashed TIERED compact heals first (journal-guided — the plain
+        restore rule below would put back an aside dir already missing
+        its moved kept segments)."""
+        _heal_tiered_swap(self._fs, self.data_path)
         old = self.data_path + ".old"
         if not self._fs.exists(self.data_path) and self._fs.exists(old):
             if not self._fs.rename(old, self.data_path):
@@ -368,10 +465,13 @@ class DocumentStore:
             df = df.withColumn("upto", F.lit(_SEQ_MAX))
         return df.withColumn("upto", F.coalesce(F.col("upto"), F.lit(_SEQ_MAX)))
 
-    def read(self) -> DataFrame:
-        """Merged view (J5): newest (segment, __seq) wins per id; the
-        survivor is hidden only if a delete watermark postdates it."""
-        df = self._segments()
+    def _merged_view(self, df: DataFrame) -> DataFrame:
+        """Newest-(segment, __seq)-wins per id + delete-watermark filter
+        over an arbitrary set of segments (keeps the ``segment`` column).
+        ``read()`` applies it to every segment; the tiered compact
+        applies it to just the small tail it merges — the filter
+        semantics are identical by construction because this IS the read
+        path's code."""
         if "__seq" not in df.columns:  # pre-__seq stores
             df = df.withColumn("__seq", F.lit(0))
         else:  # pre-__seq segments mixed in surface as nulls under mergeSchema
@@ -394,7 +494,12 @@ class DocumentStore:
                 )
                 .drop("__upto")
             )
-        return df.drop("segment")
+        return df
+
+    def read(self) -> DataFrame:
+        """Merged view (J5): newest (segment, __seq) wins per id; the
+        survivor is hidden only if a delete watermark postdates it."""
+        return self._merged_view(self._segments()).drop("segment")
 
     # -- maintenance ---------------------------------------------------------
 
@@ -402,6 +507,7 @@ class DocumentStore:
         self, *, zorder_by: list[str] | None = None, zorder_bits: int = 8,
         zorder_files: int | None = None, recluster=None,
         recluster_vec_col: str = "vector", keep_layout_cols: list[str] | None = None,
+        tiered: bool = False,
     ) -> None:
         """Rewrite all segments into one, applying deletes (hard delete) and
         version dedup — the OPTIMIZE-style job (J4). Crash-safe ordering:
@@ -449,7 +555,26 @@ class DocumentStore:
         pass the still-valid column in ``keep_layout_cols`` to opt it
         out of the drop — the caller is asserting this hook's refresh
         does not supersede it (an IVF centroid refresh says nothing
-        about non-residual PQ codebooks)."""
+        about non-residual PQ codebooks).
+
+        ``tiered=True`` (LSM size tiers): instead of rewriting every
+        segment, merge only the small tail — the contiguous run of
+        segments NEWER than the largest segment on disk (exactly what
+        appends accumulate after the last full compact) — into one
+        segment stamped with the tail's highest number; the big base
+        segments move across by RENAME. Newest-wins dedup and pending
+        delete watermarks are applied to the merged tail THROUGH the
+        read path's own code (:meth:`_merged_view`), but the delete
+        FILES are retained: they still gate ids in the untouched base
+        segments (the next full compact applies and removes them). The
+        tail must be contiguous-after-the-largest by construction — a
+        kept segment interleaved below merged ones would lose to rows
+        it originally beat. ``recluster``/``zorder_by`` apply to the
+        merged tail only (e.g. assign freshly-ingested rows into the
+        EXISTING layout — pass the as-trained index, not a refreshed
+        one, so tail and base agree); with fewer than two tail
+        segments this is a no-op. Crash recovery is journal-guided
+        (:func:`_tiered_swap`), healed by every write path at entry."""
         bad = set(keep_layout_cols or []) - {"cluster_id", "codes"}
         if bad:
             # a typo here would silently drop the column the caller asked
@@ -460,6 +585,14 @@ class DocumentStore:
             )
         with self._lock("compact"):
             self._restore_crashed_compact_locked()
+            if tiered:
+                self._compact_tiered_locked(
+                    zorder_by=zorder_by, zorder_bits=zorder_bits,
+                    zorder_files=zorder_files, recluster=recluster,
+                    recluster_vec_col=recluster_vec_col,
+                    keep_layout_cols=keep_layout_cols,
+                )
+                return
             applied_delete_files = self._fs.listdir(self.deletes_path)
             segs = self._segment_ids()
             keep_seg = segs[-1] if segs else 0
@@ -479,47 +612,12 @@ class DocumentStore:
             out = merged.withColumn("segment", F.lit(keep_seg)).withColumn(
                 "__seq", F.lit(0).cast("bigint")
             )
-            if recluster is not None:
-                # assign_inplace (IVF: cluster_id) or encode_inplace
-                # (PQ: codes; IVFPQ: cluster_id + residual codes)
-                hook = getattr(recluster, "assign_inplace", None) or getattr(
-                    recluster, "encode_inplace"
-                )
-                # pre-existing cluster_id / codes are LAYOUT columns owned
-                # by whatever index wrote them at ingest; a hook that does
-                # not regenerate one of them (a codes-only PQ refresh
-                # leaves cluster_id stale, an assignment-only IVF refresh
-                # leaves codes encoded against superseded codebooks) must
-                # not let the rewrite persist it as if fresh — or, for
-                # cluster_id, co-locate/sort by it. Drop both first:
-                # below, a layout column is present iff THIS hook produced
-                # it — unless the caller opted a column out via
-                # keep_layout_cols, asserting an independent index owns it
-                # and this refresh does not supersede it.
-                dropped = [
-                    c for c in ("cluster_id", "codes")
-                    if c not in (keep_layout_cols or [])
-                ]
-                out = out.drop(*dropped)
-                out = hook(out, vec_col=recluster_vec_col)
-                if not zorder_by and "cluster_id" in out.columns:
-                    # co-locate + sort by the fresh assignment so parquet
-                    # min/max stats on cluster_id skip files under nprobe
-                    nf = zorder_files or max(1, -(-n_rows // 1_000_000))
-                    out = out.repartition(nf, "cluster_id").sortWithinPartitions(
-                        "cluster_id"
-                    )
-            if zorder_by:
-                from comet_spark.operators.layout import zorder_key
-
-                zk = zorder_key([F.col(c) for c in zorder_by], bits=zorder_bits)
-                nf = zorder_files or max(1, -(-n_rows // 1_000_000))
-                out = (
-                    out.withColumn("__zk", zk)
-                    .repartitionByRange(nf, "__zk")
-                    .sortWithinPartitions("__zk")
-                    .drop("__zk")
-                )
+            out = self._layout_rewrite(
+                out, n_rows, zorder_by=zorder_by, zorder_bits=zorder_bits,
+                zorder_files=zorder_files, recluster=recluster,
+                recluster_vec_col=recluster_vec_col,
+                keep_layout_cols=keep_layout_cols,
+            )
             out.write.mode("overwrite").partitionBy("segment").parquet(tmp)
             merged.unpersist()
 
@@ -537,6 +635,111 @@ class DocumentStore:
             # this correct even if force_unlock raced)
             for name in applied_delete_files:
                 self._fs.delete(f"{self.deletes_path}/{name}")
+
+    def _layout_rewrite(
+        self, out: DataFrame, n_rows: int, *, zorder_by, zorder_bits,
+        zorder_files, recluster, recluster_vec_col, keep_layout_cols,
+    ) -> DataFrame:
+        """The compaction rewrite's layout hooks, shared by the full and
+        tiered paths (each passes the rows IT is rewriting)."""
+        if recluster is not None:
+            # assign_inplace (IVF: cluster_id) or encode_inplace
+            # (PQ: codes; IVFPQ: cluster_id + residual codes)
+            hook = getattr(recluster, "assign_inplace", None) or getattr(
+                recluster, "encode_inplace"
+            )
+            # pre-existing cluster_id / codes are LAYOUT columns owned
+            # by whatever index wrote them at ingest; a hook that does
+            # not regenerate one of them (a codes-only PQ refresh
+            # leaves cluster_id stale, an assignment-only IVF refresh
+            # leaves codes encoded against superseded codebooks) must
+            # not let the rewrite persist it as if fresh — or, for
+            # cluster_id, co-locate/sort by it. Drop both first:
+            # below, a layout column is present iff THIS hook produced
+            # it — unless the caller opted a column out via
+            # keep_layout_cols, asserting an independent index owns it
+            # and this refresh does not supersede it.
+            dropped = [
+                c for c in ("cluster_id", "codes")
+                if c not in (keep_layout_cols or [])
+            ]
+            out = out.drop(*dropped)
+            out = hook(out, vec_col=recluster_vec_col)
+            if not zorder_by and "cluster_id" in out.columns:
+                # co-locate + sort by the fresh assignment so parquet
+                # min/max stats on cluster_id skip files under nprobe
+                nf = zorder_files or max(1, -(-n_rows // 1_000_000))
+                out = out.repartition(nf, "cluster_id").sortWithinPartitions(
+                    "cluster_id"
+                )
+        if zorder_by:
+            from comet_spark.operators.layout import zorder_key
+
+            zk = zorder_key([F.col(c) for c in zorder_by], bits=zorder_bits)
+            nf = zorder_files or max(1, -(-n_rows // 1_000_000))
+            out = (
+                out.withColumn("__zk", zk)
+                .repartitionByRange(nf, "__zk")
+                .sortWithinPartitions("__zk")
+                .drop("__zk")
+            )
+        return out
+
+    def _compact_tiered_locked(
+        self, *, zorder_by, zorder_bits, zorder_files, recluster,
+        recluster_vec_col, keep_layout_cols,
+    ) -> None:
+        """The size-tiered merge (see :meth:`compact` ``tiered=True``).
+        Caller holds the lock and has healed crashed swaps."""
+        segs = self._segment_ids()
+        sizes = {
+            s: self._fs.dir_size(f"{self.data_path}/segment={s}") for s in segs
+        }
+        if not sizes:
+            return
+        # the boundary is the largest segment; on ties the LOWEST number
+        # wins so the mergeable tail is maximal
+        largest = max(segs, key=lambda s: (sizes[s], -s))
+        tail = [s for s in segs if s > largest]
+        if len(tail) < 2:
+            return  # nothing worth merging
+        subset = (
+            self.spark.read.option("basePath", self.data_path)
+            .option("mergeSchema", "true")
+            .parquet(*[f"{self.data_path}/segment={s}" for s in tail])
+        )
+        keep_seg = tail[-1]
+        out = (
+            self._merged_view(subset)
+            .withColumn("segment", F.lit(keep_seg))
+            .withColumn("__seq", F.lit(0).cast("bigint"))
+            .cache()
+        )
+        n_rows = out.count()  # materialize before touching sources
+        try:
+            if n_rows == 0:
+                # every tail row is superseded or delete-hidden. Skip the
+                # swap: writing an EMPTY merged segment would erase the
+                # tail's segment numbers from the listing, and a future
+                # append reusing one could be wrongly hidden by a pending
+                # delete watermark issued above it (tiered keeps delete
+                # files). The hidden rows cost storage until a full
+                # compact, which is also what removes the delete files.
+                return
+            out2 = self._layout_rewrite(
+                out, n_rows, zorder_by=zorder_by, zorder_bits=zorder_bits,
+                zorder_files=zorder_files, recluster=recluster,
+                recluster_vec_col=recluster_vec_col,
+                keep_layout_cols=keep_layout_cols,
+            )
+            kept_dirs = [f"segment={s}" for s in segs if s <= largest]
+
+            def _write_side(tmp: str) -> None:
+                out2.write.mode("overwrite").partitionBy("segment").parquet(tmp)
+
+            _tiered_swap(self._fs, self.data_path, kept_dirs, _write_side)
+        finally:
+            out.unpersist()
 
     def segment_count(self) -> int:
         return len(self._segment_ids())

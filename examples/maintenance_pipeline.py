@@ -127,6 +127,19 @@ def _run(spark, work: str) -> None:
     print("compacted text index top-3 (identical):",
           [(r["id"], r["score"]) for r in compacted.score("spark text", k=3).collect()])
 
+    # 9. on a HUGE index, skip even the index-sized rewrite: tiered
+    #    compaction merges only the small appended files per bucket and
+    #    RENAMES the consolidated base across — cost ∝ appends
+    more = spark.createDataFrame(
+        [(i, f"doc {i} late spark arrival") for i in range(200, 210)],
+        "id bigint, text string",
+    )
+    BM25.append(spark, ix_path, more)
+    BM25.compact(spark, ix_path, tiered=True)
+    tiered = BM25.read(spark, ix_path)
+    print("tiered-compacted text index top-3:",
+          [(r["id"], r["score"]) for r in tiered.score("spark text", k=3).collect()])
+
 
 if __name__ == "__main__":
     main()

@@ -166,15 +166,30 @@ def _soak_compact(spark, sf_dir: str) -> dict:
     rest = emb.filter(F.col("id") % 3 != 0)
     ivf = IVFIndex.train(first, 8, max_iter=10)
     out = {}
-    for mode in ("plain", "recluster"):
+    for mode in ("plain", "recluster", "tiered"):
         path = tempfile.mkdtemp(prefix="soak_compact_")
         store = DocumentStore(spark, f"{path}/s")
         store.append(first)
         store.append(rest)
-        refreshed = ivf.refresh(store.read(), max_iter=10) if mode == "recluster" else None
-        t0 = time.perf_counter()
-        store.compact(recluster=refreshed)
-        out[mode] = {"sec": round(time.perf_counter() - t0, 2)}
+        if mode == "tiered":
+            # the tiered policy merges the tail after the largest segment
+            # — give it one: two small appends behind the big base (the
+            # post-full-compact ingest shape), then merge ONLY those
+            store.compact()
+            small = emb.filter(F.col("id") % 3 == 1).limit(1000)
+            store.append(small.withColumn("id", F.col("id") + F.lit(10_000_000)))
+            store.append(small.withColumn("id", F.col("id") + F.lit(20_000_000)))
+            t0 = time.perf_counter()
+            store.compact(tiered=True)
+            out[mode] = {"sec": round(time.perf_counter() - t0, 2)}
+        else:
+            refreshed = (
+                ivf.refresh(store.read(), max_iter=10)
+                if mode == "recluster" else None
+            )
+            t0 = time.perf_counter()
+            store.compact(recluster=refreshed)
+            out[mode] = {"sec": round(time.perf_counter() - t0, 2)}
         shutil.rmtree(path, ignore_errors=True)
     return out
 
@@ -209,17 +224,51 @@ def _soak_bm25_append(spark, sf_dir: str) -> dict:
         # rewrite — the claim (VERDICT r06 #1) is that its cost tracks
         # the index, never the corpus tokenize the full build pays; the
         # honest comparison is compact vs the build on the same corpus
+        def _du(sub: str) -> int:
+            import os as _os
+
+            total = 0
+            for root, _dirs, files in _os.walk(f"{path}/ix/{sub}"):
+                total += sum(
+                    _os.path.getsize(_os.path.join(root, f))
+                    for f in files if f.startswith("part-")
+                )
+            return total
+
+        full_rewrites = _du("postings") + _du("doc_len")
         t0 = time.perf_counter()
         BM25.compact(spark, f"{path}/ix")
         compact = round(time.perf_counter() - t0, 2)
         # tiered compact after ANOTHER small append: only the appended
-        # segment files merge, the consolidated base moves by rename —
-        # the claim is cost ∝ appended batch (flat across scales), vs
-        # the full compact's index-sized rewrite
+        # segment files merge, the consolidated base moves by rename.
+        # At local scales BOTH compacts are fixed-overhead-bound (~10
+        # driver jobs around a ~1s shuffle), so wall-clock alone
+        # undersells the difference; bytes_rewritten is the
+        # overhead-independent scale signal — full rewrites the whole
+        # index, tiered only the appended batch, and the gap widens
+        # linearly with index size.
         batch2 = docs.filter(F.col("doc_id") < 1000).withColumn(
             "doc_id", F.col("doc_id") + F.lit(20_000_000)
         )
         BM25.append(spark, f"{path}/ix", batch2, id_col="doc_id", text_col="text")
+        import glob as _glob
+        import os as _os
+        import re as _re
+
+        # the tiered rewrite's data volume = every file except the
+        # largest of its bucket (mirrors _tiered_merge's policy)
+        by_bucket: dict[str, list[int]] = {}
+        for f in _glob.glob(f"{path}/ix/postings/part-*"):
+            b = _re.search(r"_(\d{5})\.c\d+", f).group(1)
+            by_bucket.setdefault(b, []).append(_os.path.getsize(f))
+        tiered_rewrites = sum(
+            sum(sorted(v)[:-1]) for v in by_bucket.values()
+        ) + sum(
+            sorted(
+                _os.path.getsize(f)
+                for f in _glob.glob(f"{path}/ix/doc_len/part-*")
+            )[:-1]
+        )
         t0 = time.perf_counter()
         BM25.compact(spark, f"{path}/ix", tiered=True)
         tiered = round(time.perf_counter() - t0, 2)
@@ -228,8 +277,8 @@ def _soak_bm25_append(spark, sf_dir: str) -> dict:
     return {
         "build": {"sec": build},
         "append_1k": {"sec": append},
-        "compact": {"sec": compact},
-        "tiered_compact": {"sec": tiered},
+        "compact": {"sec": compact, "bytes_rewritten": full_rewrites},
+        "tiered_compact": {"sec": tiered, "bytes_rewritten": tiered_rewrites},
     }
 
 
@@ -347,18 +396,26 @@ def main() -> None:
             for sc in ("sf0.1", "soak10x"):
                 p, rc = r[sc]["plain"]["sec"], r[sc]["recluster"]["sec"]
                 r[sc]["overhead"] = round(rc / p, 2) if p > 0 else float("inf")
+                tr = r[sc].get("tiered", {}).get("sec")
                 print(f"compact+recluster {sc}: {p:.2f}s -> {rc:.2f}s "
-                      f"({r[sc]['overhead']}x of the plain rewrite)")
+                      f"({r[sc]['overhead']}x of the plain rewrite)"
+                      + (f"; tiered tail merge {tr:.2f}s" if tr else ""))
             continue
         if name == "bm25_build_vs_append":
             for sc in ("sf0.1", "soak10x"):
                 b, a = r[sc]["build"]["sec"], r[sc]["append_1k"]["sec"]
                 c = r[sc].get("compact", {}).get("sec")
                 tc = r[sc].get("tiered_compact", {}).get("sec")
+                cb = r[sc].get("compact", {}).get("bytes_rewritten")
+                tb = r[sc].get("tiered_compact", {}).get("bytes_rewritten")
                 print(
                     f"bm25 {sc}: full build {b:.2f}s vs append(1k) {a:.2f}s"
                     + (f" vs compact {c:.2f}s" if c is not None else "")
                     + (f" vs tiered {tc:.2f}s" if tc is not None else "")
+                    + (
+                        f" | bytes rewritten {cb/1e6:.1f}MB vs {tb/1e6:.2f}MB"
+                        if cb is not None and tb is not None else ""
+                    )
                 )
             continue
         if name == "bm25_sa_script_build":

@@ -1428,3 +1428,147 @@ def test_store_write_paths_heal_crashed_compact_window(spark, tmp_path):
     assert store._fs.rename(store.data_path, store.data_path + ".old")
     store.delete(spark.createDataFrame([(1,)], "id bigint"))
     assert {r["id"] for r in store.read().collect()} == {2, 3, 4}
+
+
+def test_store_tiered_compact_merges_small_tail_only(spark, tmp_path):
+    """store.compact(tiered=True) — LSM size tiers: only the contiguous
+    run of small segments NEWER than the largest segment merges (newest
+    wins within the tail, pending deletes applied through the read
+    path's own code); the big base segment moves across by rename, its
+    files untouched; delete files are RETAINED (they still gate the
+    base)."""
+    import glob
+    import os
+
+    store = DocumentStore(spark, str(tmp_path / "tstore"))
+    base = spark.createDataFrame(
+        [(i, f"base {i}") for i in range(1, 101)], "id bigint, text string"
+    )
+    store.append(base)  # segment 0, the large base
+
+    def _base_files():
+        return {
+            os.path.basename(f): os.path.getsize(f)
+            for f in glob.glob(f"{store.data_path}/segment=0/part-*")
+        }
+
+    base_files = _base_files()
+    store.append(_batch(spark, [(1, "v2"), (200, "new")]))      # seg 1
+    store.append(_batch(spark, [(200, "new v2"), (201, "n2")]))  # seg 2
+    store.delete(spark.createDataFrame([(2,), (201,)], "id bigint"))  # upto 3
+    store.append(_batch(spark, [(201, "resurrected"), (202, "n3")]))  # seg 3
+    want = {(r["id"], r["text"]) for r in store.read().collect()}
+    assert (1, "v2") in want and (200, "new v2") in want
+    assert (201, "resurrected") in want  # re-append after delete wins
+    assert not any(i == 2 for i, _ in want)  # delete hides base row
+
+    store.compact(tiered=True)
+
+    # merged: segments 1-3 collapsed into 3; base untouched byte-for-byte
+    assert store._segment_ids() == [0, 3]
+    assert _base_files() == base_files
+    assert {(r["id"], r["text"]) for r in store.read().collect()} == want
+    # delete files retained (they still gate the base's id=2)...
+    assert any(
+        f.endswith(".parquet") or f.startswith("part-")
+        for f in store._fs.listdir(store.deletes_path)
+    )
+    # ...and the merged segment's rows escaped them correctly: 201's
+    # surviving version is the re-append, 2 stays hidden
+    assert not any(i == 2 for i, _ in {
+        (r["id"], r["text"]) for r in store.read().collect()
+    })
+
+    # appends continue; a later FULL compact applies + drops the deletes
+    store.append(_batch(spark, [(300, "after")]))
+    want2 = want | {(300, "after")}
+    assert {(r["id"], r["text"]) for r in store.read().collect()} == want2
+    store.compact()
+    assert {(r["id"], r["text"]) for r in store.read().collect()} == want2
+    assert not any(
+        f.endswith(".parquet") or f.startswith("part-")
+        for f in store._fs.listdir(store.deletes_path)
+    )
+
+    # policy: with a single small segment after the base, tiered no-ops
+    store.append(_batch(spark, [(400, "solo")]))
+    segs_before = store._segment_ids()
+    store.compact(tiered=True)
+    assert store._segment_ids() == segs_before
+
+
+def test_store_tiered_compact_crash_sweep(spark, tmp_path):
+    """Every rename crash point in the store's tiered swap heals: inject
+    a crash after the K-th rename, then require compact(tiered=True)
+    (which heals at entry) to converge to the correct merged view."""
+    import comet_spark.storage.store as store_mod
+
+    real_rename = store_mod._FS.rename
+    k = 0
+    completed_clean = False
+    while not completed_clean:
+        k += 1
+        assert k < 20, "crash sweep did not terminate"
+        store = DocumentStore(spark, str(tmp_path / f"tsweep{k}"))
+        store.append(
+            spark.createDataFrame(
+                [(i, f"base {i}") for i in range(1, 61)], "id bigint, text string"
+            )
+        )
+        store.append(_batch(spark, [(1, "v2"), (100, "new")]))
+        store.append(_batch(spark, [(101, "n2")]))
+        want = {(r["id"], r["text"]) for r in store.read().collect()}
+
+        calls = {"n": 0}
+
+        def inject(self, src, dst, _k=k, _calls=calls):
+            ok = real_rename(self, src, dst)
+            _calls["n"] += 1
+            if _calls["n"] == _k:
+                raise RuntimeError("injected crash")
+            return ok
+
+        store_mod._FS.rename = inject
+        try:
+            store.compact(tiered=True)
+            completed_clean = True
+        except RuntimeError:
+            pass
+        finally:
+            store_mod._FS.rename = real_rename
+
+        store.compact(tiered=True)  # heal + complete
+        assert store._segment_ids() == [0, 2], k
+        for suf in (".old", ".compacting", ".tiermove"):
+            assert not store._fs.exists(store.data_path + suf), (k, suf)
+        assert {(r["id"], r["text"]) for r in store.read().collect()} == want, k
+
+
+def test_store_tiered_compact_reclusters_tail_only(spark, tmp_path):
+    """recluster with tiered=True assigns layout columns to the merged
+    tail rows only — the base segment keeps its ingest-time layout
+    (pass the as-trained index so tail and base agree)."""
+
+    class FakeIndex:
+        def assign_inplace(self, df, vec_col="vector"):
+            return df.withColumn("cluster_id", (F.col("id") % 2).cast("int"))
+
+    store = DocumentStore(spark, str(tmp_path / "rstore"))
+    store.append(
+        spark.createDataFrame(
+            [(i, [float(i)], 9) for i in range(1, 41)],
+            "id bigint, vector array<float>, cluster_id int",
+        )
+    )
+    store.append(
+        spark.createDataFrame(
+            [(100, [1.0]), (101, [2.0])], "id bigint, vector array<float>"
+        )
+    )
+    store.append(
+        spark.createDataFrame([(102, [3.0])], "id bigint, vector array<float>")
+    )
+    store.compact(tiered=True, recluster=FakeIndex())
+    got = {r["id"]: r["cluster_id"] for r in store.read().collect()}
+    assert got[100] == 0 and got[101] == 1 and got[102] == 0  # tail assigned
+    assert got[1] == 9  # base keeps its ingest-time assignment
