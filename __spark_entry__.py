@@ -3812,6 +3812,75 @@ _register(
 )
 
 
+# ★ J4 size-tiered store maintenance: the store takes small appends after
+# a full compact (big base + contiguous tail), an UPDATE (a tail id
+# re-appended with a doubled vector — newest-wins across tail segments)
+# and a soft delete, then consolidates with compact(tiered=True): only
+# the tail rewrites (delete watermarks applied through the read path's
+# own merged view; tail ids %13 drop in the merge), the base moves by
+# RENAME, and the retained delete files keep hiding the base's %13 ids.
+# The oracle reconstructs the expected end state in pure SQL from the
+# raw embeddings table — equality proves the tiered rewrite preserves
+# exact LSM read semantics on every path (merged-tail drop, retained-
+# file hide, newest-wins update).
+_TIERED_STORE_CACHE: dict[tuple[str, str], object] = {}
+
+
+def _tiered_store(spark: SparkSession, sf_dir: str):
+    key = (_skey(spark), sf_dir)
+    if key not in _TIERED_STORE_CACHE:
+        import shutil
+
+        from comet_spark.storage.store import DocumentStore
+
+        emb = _emb_docs(spark, sf_dir).select(
+            "id", F.col("vector").cast("array<double>").alias("vector")
+        )
+        path = f"{_art_dir(sf_dir)}/maint/tiered_store"
+        shutil.rmtree(path, ignore_errors=True)
+        store = DocumentStore(spark, path)
+        store.append(emb.filter(F.col("id") % 3 != 2))  # the large base
+        store.compact()  # one consolidated base segment
+        tail1 = emb.filter((F.col("id") % 3 == 2) & (F.col("id") % 2 == 0))
+        store.append(tail1)
+        updates = tail1.filter(F.col("id") % 7 == 0).withColumn(
+            "vector", F.transform("vector", lambda x: x * F.lit(2.0))
+        )
+        tail2 = emb.filter(
+            (F.col("id") % 3 == 2) & (F.col("id") % 2 == 1)
+        ).unionByName(updates)
+        store.append(tail2)
+        store.delete(emb.filter(F.col("id") % 13 == 0).select("id"))
+        store.compact(tiered=True)
+        _TIERED_STORE_CACHE[key] = store
+    return _TIERED_STORE_CACHE[key]
+
+
+def _tiered_store_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    store = _tiered_store(spark, sf_dir)
+    res = knn(
+        store.read(), _emb_queries(spark, sf_dir, (QUERY_VEC_ID,)),
+        k=K, metric="l2",
+    )
+    return res.select(F.col("id").alias("vec_id"), "score")
+
+
+_register(
+    "tiered_store_knn",
+    _tiered_store_knn,
+    f"""
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = {QUERY_VEC_ID}),
+e AS (SELECT vec_id,
+             CASE WHEN vec_id % 3 = 2 AND vec_id % 2 = 0 AND vec_id % 7 = 0
+                  THEN list_transform(embedding::DOUBLE[], x -> x * 2)
+                  ELSE embedding::DOUBLE[] END AS v
+      FROM embeddings WHERE vec_id % 13 != 0),
+d AS (SELECT e.vec_id, ROUND({_sql_l2('e.v', 'q.qv')}, 6) AS score FROM e, q)
+SELECT vec_id, score FROM d ORDER BY score, vec_id LIMIT {K}
+""",
+)
+
+
 def _lsm_merge_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Read-path merge (storage.go:489-629): the same query runs over every
     segment (each segment has its own index → its own corpus stats), then
