@@ -363,6 +363,7 @@ def bm25_ingest_stream(
     normalize: bool = True,
     trigger_available_now: bool = True,
     state_compact_files: int = 64,
+    tiered_compact_every: int = 0,
 ) -> StreamingQuery:
     """Streaming twin of :func:`bm25_ingest` — ``foreachBatch`` appends
     one store segment + one postings segment per micro-batch, with a
@@ -414,7 +415,19 @@ def bm25_ingest_stream(
     basis on which it clears their lock markers at restart. Run
     out-of-band maintenance (``BM25.compact``, ``store.compact``) only
     while the stream is stopped; a compactor live across a stream
-    restart would have its lock cleared and the enforcement voided."""
+    restart would have its lock cleared and the enforcement voided.
+
+    Which is exactly why IN-stream maintenance is the right place:
+    ``tiered_compact_every=N`` runs a SIZE-TIERED compact of both the
+    index and the store after every Nth micro-batch (by batch id), so
+    file counts stay bounded under continuous ingest without ever
+    stopping the stream — each compact merges only the small appended
+    tail and renames the consolidated base across (cost ∝ the N batches
+    since the last one). It runs after the batch's ``done`` marker: a
+    crash mid-compact replays as an already-done batch (no re-append)
+    and the interrupted swap heals at the next write path's entry; the
+    compaction is simply retried at the next boundary. ``0`` (default)
+    disables it."""
     from comet_spark.storage.store import _FS
 
     state_path = f"{index_path}/_ingest_state"
@@ -538,6 +551,16 @@ def bm25_ingest_stream(
             batch.unpersist()
         _log(spark, batch_id, "done")
         _compact_state(spark)
+        if tiered_compact_every and (batch_id + 1) % tiered_compact_every == 0:
+            # AFTER the done marker: a crash mid-compact replays as an
+            # already-done batch and the torn swap heals on the next
+            # write path's entry — the compact just retries at the next
+            # boundary. The stream is the single writer, so taking the
+            # store/index locks here can never contend.
+            from comet_spark.operators.bm25 import BM25
+
+            BM25.compact(spark, index_path, tiered=True)
+            store.compact(tiered=True)
 
     w = stream.writeStream.foreachBatch(write_batch).option(
         "checkpointLocation", checkpoint

@@ -1572,3 +1572,48 @@ def test_store_tiered_compact_reclusters_tail_only(spark, tmp_path):
     got = {r["id"]: r["cluster_id"] for r in store.read().collect()}
     assert got[100] == 0 and got[101] == 1 and got[102] == 0  # tail assigned
     assert got[1] == 9  # base keeps its ingest-time assignment
+
+
+def test_bm25_ingest_stream_periodic_tiered_compact(spark, store, tmp_path):
+    """tiered_compact_every=N: the stream — the single writer, hence the
+    only safe compactor — size-tiers BOTH the index and the store after
+    every Nth micro-batch, bounding file growth under continuous ingest
+    without stopping. Scores must equal a fresh full-corpus build and
+    the index must come out in the single-stats-row shape."""
+    import glob
+
+    from comet_spark.operators.bm25 import BM25
+    from comet_spark.streaming.ingest import bm25_ingest_stream
+
+    src_dir = str(tmp_path / "ptc_src")
+    rows = [(i, f"spark stream doc term{i % 5}") for i in range(1, 41)]
+    for lo in (0, 10, 20, 30):  # four files -> four micro-batches
+        _batch(spark, rows[lo:lo + 10]).coalesce(1).write.mode("append").parquet(
+            src_dir
+        )
+    ix_path = str(tmp_path / "ptc_ix")
+    q = bm25_ingest_stream(
+        spark.readStream.schema("id bigint, text string")
+        .option("maxFilesPerTrigger", 1).parquet(src_dir),
+        store, ix_path, checkpoint=str(tmp_path / "ptc_ckpt"), buckets=4,
+        tiered_compact_every=2,
+    )
+    q.awaitTermination(180)
+
+    # the index equals a fresh full-corpus build...
+    fresh = BM25(_batch(spark, rows), cache=False)
+    want = [tuple(r) for r in fresh.score("spark term3", k=0).collect()]
+    live = BM25.read(spark, ix_path)
+    assert [tuple(r) for r in live.score("spark term3", k=0).collect()] == want
+    # ...in the consolidated shape: one stats row, bounded bucket files
+    assert spark.read.parquet(f"{ix_path}/stats").count() == 1
+    import re as _re
+
+    per_bucket: dict[str, int] = {}
+    for f in glob.glob(f"{ix_path}/postings/part-*"):
+        b = _re.search(r"_(\d{5})\.c\d+", f).group(1)
+        per_bucket[b] = per_bucket.get(b, 0) + 1
+    assert max(per_bucket.values()) <= 2
+    # the store consolidated too (4 appended segments -> tail merged)
+    assert store.segment_count() < 4
+    assert {r["id"] for r in store.read().collect()} == {i for i, _ in rows}
