@@ -83,17 +83,41 @@ def _heal_tiered_merges(fs, path: str) -> None:
         _heal_tiered_swap(fs, f"{path}/{sub}")
 
 
+def _heal_index_dirs(fs, path: str) -> None:
+    """EVERY index write path's entry heal, in the required order: the
+    journal-guided tiered recovery first, then the plain between-renames
+    restore (live dir absent, ``*.old`` present → rename back) for each
+    of the four tables. The plain restore must run on write/append too,
+    not just on a compact re-run: ``append`` RECREATES a missing table
+    directory on its mode-append write, so an append landing on a
+    crashed compact's df/stats window would rebuild those tables from
+    one batch — silently inflating idf for every pre-existing term —
+    and the next compact's ``.old`` cleanup would then delete the only
+    surviving copy of the original for good."""
+    _heal_tiered_merges(fs, path)
+    for sub in ("doc_len", "postings", "df", "stats"):
+        cur, old = f"{path}/{sub}", f"{path}/{sub}.old"
+        if not fs.exists(cur) and fs.exists(old):
+            if not fs.rename(old, cur):
+                raise OSError(
+                    f"could not restore {old} left by a crashed compact"
+                )
+
+
 def _tiered_merge(
     spark, fs, path: str, sub: str, buckets: int, rows_per_file: int
 ) -> bool:
-    """Size-tiered file merge of ``{path}/{sub}`` — consolidate every
-    file EXCEPT the largest of its tier group (per bucket when
-    ``buckets > 0``, else per directory) and move the kept large files
-    across by RENAME, so the rewrite cost is proportional to the small
-    appended segments, not the whole table. Rows must be disjoint
+    """Size-tiered file merge of ``{path}/{sub}``: within each tier
+    group (per bucket when ``buckets > 0``, else per directory), files
+    below the top size tier merge and the kept top-tier files move
+    across by RENAME (selection: ``storage.store._pick_tier_merge`` —
+    top tier = within 4× of the group's largest, so a multi-file base
+    is protected; a uniform group consolidates at the STCS
+    min-threshold), keeping the rewrite cost proportional to the small
+    appended segments, not the table. Rows must be disjoint
     across files (true for postings/doc_len — append's contract), since
-    the merge is pure file consolidation. Returns False when every
-    group already holds a single file (nothing to merge).
+    the merge is pure file consolidation. Returns False when no
+    group has anything to merge.
 
     Crash safety: the kept-file names are journaled (atomic write)
     BEFORE any mutation; every crash point is then either aborted or
@@ -116,11 +140,13 @@ def _tiered_merge(
             groups.setdefault(int(m.group(1)), []).append((n, s))
     else:
         groups[0] = files
+    from comet_spark.storage.store import _pick_tier_merge
+
     kept, small = [], []
     for g in groups.values():
-        g = sorted(g, key=lambda t: (-t[1], t[0]))
-        kept.append(g[0][0])
-        small.extend(n for n, _ in g[1:])
+        k, m = _pick_tier_merge(g)
+        kept.extend(k)
+        small.extend(m)
     if not small:
         return False
     from comet_spark.storage.store import _tiered_swap
@@ -288,7 +314,7 @@ class BM25:
         with _index_writer_lock(spark, path, "write"):
             from comet_spark.storage.store import _FS
 
-            _heal_tiered_merges(_FS(spark, path), path)
+            _heal_index_dirs(_FS(spark, path), path)
             if buckets > 0:
                 name = _postings_table_name(path)
                 (
@@ -432,7 +458,7 @@ class BM25:
         with _index_writer_lock(spark, path, "append"):
             from comet_spark.storage.store import _FS
 
-            _heal_tiered_merges(_FS(spark, path), path)
+            _heal_index_dirs(_FS(spark, path), path)
             try:
                 buckets = int(spark.read.parquet(f"{path}/meta").first()["buckets"])
             except Exception:  # pre-meta index directories
@@ -561,20 +587,13 @@ class BM25:
 
         fs = _FS(spark, path)
         with _index_writer_lock(spark, path, "compact"):
-            _heal_tiered_merges(fs, path)  # BEFORE the plain restore: the
-            # plain rule would put back an aside dir already missing its
-            # moved kept files
+            _heal_index_dirs(fs, path)
 
             def _restore(sub: str) -> None:
-                # A previous compact crashed between its two renames — the
-                # ONLY state where the live dir is missing (``.old`` = the
-                # original, ``.compacting`` = that run's full rewrite).
-                # Restore the original BEFORE anything reads or cleans:
-                # the ledger checks below read stats/doc_len up front, and
-                # _swap's cleanup deletes tmp and old — without this, a
-                # re-run either wedges on the missing dir or (postings)
-                # destroys both surviving copies before its writer noticed
-                # the source was gone.
+                # in-run backstop for the entry heal: a crash between two
+                # of THIS run's swaps leaves the just-crashed table in the
+                # between-renames state (``.old`` = original), and the
+                # cleanup below would otherwise destroy both copies
                 cur, old = f"{path}/{sub}", f"{path}/{sub}.old"
                 if not fs.exists(cur) and fs.exists(old):
                     if not fs.rename(old, cur):
@@ -583,8 +602,6 @@ class BM25:
                             "previous crashed compact"
                         )
 
-            for _sub in ("doc_len", "postings", "df", "stats"):
-                _restore(_sub)
             try:
                 buckets = int(spark.read.parquet(f"{path}/meta").first()["buckets"])
             except Exception:  # pre-meta index directories

@@ -204,6 +204,36 @@ def _tiered_swap(fs: _FS, cur: str, kept: list[str], write_side) -> None:
     fs.delete(journal)
 
 
+def _pick_tier_merge(
+    files: list[tuple[str, int]], *, ratio: int = 4, min_uniform: int = 4
+) -> tuple[list[str], list[str]]:
+    """Size-tier selection for one merge group: ``(kept, merged)``.
+
+    The TOP tier — every file within ``ratio``× of the group's largest —
+    is base data and moves by rename; everything below it merges (when
+    at least two such files exist; a lone straggler waits for company).
+    A UNIFORM group (every file top-tier, e.g. equal streaming batches
+    or a multi-file base) consolidates only once it accumulates
+    ``min_uniform`` files — the STCS min-threshold rule — so a
+    multi-file base produced by a full compact is never rewritten just
+    because one small append arrived. A merged output below the top
+    tier is re-merged with newer arrivals until it grows within
+    ``ratio``× of the largest and joins the base tier — per-boundary
+    rewrite is therefore bounded by ~largest/ratio, and each byte is
+    rewritten a bounded number of times before promotion, instead of
+    the whole table every time."""
+    if len(files) < 2:
+        return [n for n, _ in files], []
+    mx = max(s for _, s in files)
+    kept = [n for n, s in files if s >= mx / ratio]
+    small = [n for n, s in files if s < mx / ratio]
+    if len(small) >= 2:
+        return kept, small
+    if not small and len(kept) >= min_uniform:
+        return [], [n for n, _ in files]
+    return [n for n, _ in files], []
+
+
 def _heal_tiered_swap(fs: _FS, cur: str) -> None:
     """Finish (or abort) a :func:`_tiered_swap` a crash interrupted —
     journal-guided, so recovery is deterministic at every crash point:
@@ -559,17 +589,22 @@ class DocumentStore:
 
         ``tiered=True`` (LSM size tiers): instead of rewriting every
         segment, merge only the small tail — the contiguous run of
-        segments NEWER than the largest segment on disk (exactly what
-        appends accumulate after the last full compact) — into one
-        segment stamped with the tail's highest number; the big base
-        segments move across by RENAME. Newest-wins dedup and pending
+        segments newer than the last TOP-TIER segment (within 4× of the
+        largest on disk; exactly what appends accumulate after the last
+        full compact) — into one segment stamped with the tail's
+        highest number; the big base segments move across by RENAME. A
+        merged tail is re-merged with newer appends until it grows into
+        the top tier and joins the base, bounding per-boundary rewrite
+        by ~largest/4; a UNIFORM store (all segments comparable, e.g.
+        equal streaming batches) consolidates whole once it holds ≥4
+        segments (STCS min-threshold). Newest-wins dedup and pending
         delete watermarks are applied to the merged tail THROUGH the
         read path's own code (:meth:`_merged_view`), but the delete
         FILES are retained: they still gate ids in the untouched base
         segments (the next full compact applies and removes them). The
-        tail must be contiguous-after-the-largest by construction — a
-        kept segment interleaved below merged ones would lose to rows
-        it originally beat. ``recluster``/``zorder_by`` apply to the
+        suffix rule is load-bearing — a kept segment interleaved below
+        merged ones would lose newest-wins ties it originally won.
+        ``recluster``/``zorder_by`` apply to the
         merged tail only (e.g. assign freshly-ingested rows into the
         EXISTING layout — pass the as-trained index, not a refreshed
         one, so tail and base agree); with fewer than two tail
@@ -697,12 +732,25 @@ class DocumentStore:
         }
         if not sizes:
             return
-        # the boundary is the largest segment; on ties the LOWEST number
-        # wins so the mergeable tail is maximal
-        largest = max(segs, key=lambda s: (sizes[s], -s))
-        tail = [s for s in segs if s > largest]
+        # contiguity-safe tier selection: merge the suffix of segments
+        # strictly newer than the LAST top-tier segment (top tier =
+        # within 4x of the largest — a multi-file base is protected; a
+        # merged tail is re-merged with newer appends until it grows
+        # into the top tier and joins the base, bounding per-boundary
+        # rewrite by ~largest/4). The suffix rule is load-bearing: a
+        # kept segment interleaved below merged ones would lose
+        # newest-wins ties it originally won, so only a contiguous tail
+        # may merge. A UNIFORM store (every segment top-tier — equal
+        # streaming batches) consolidates whole at the STCS
+        # min-threshold of 4 segments.
+        mx = max(sizes.values())
+        top = [s for s in segs if sizes[s] >= mx / 4]
+        tail = [s for s in segs if s > max(top)]
         if len(tail) < 2:
-            return  # nothing worth merging
+            if len(top) == len(segs) and len(segs) >= 4:
+                tail = segs  # uniform: consolidate everything
+            else:
+                return  # nothing worth merging
         subset = (
             self.spark.read.option("basePath", self.data_path)
             .option("mergeSchema", "true")
@@ -732,7 +780,7 @@ class DocumentStore:
                 recluster_vec_col=recluster_vec_col,
                 keep_layout_cols=keep_layout_cols,
             )
-            kept_dirs = [f"segment={s}" for s in segs if s <= largest]
+            kept_dirs = [f"segment={s}" for s in segs if s not in tail]
 
             def _write_side(tmp: str) -> None:
                 out2.write.mode("overwrite").partitionBy("segment").parquet(tmp)

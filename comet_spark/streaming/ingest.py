@@ -148,9 +148,21 @@ def _bm25_index_step(
     READABLE with a row, not merely present — a torn first write (stats
     directory exists but is empty/unreadable) must re-route into the
     full build, which overwrites the wreckage, instead of wedging every
-    retry on the stats read inside append (ADVICE r06)."""
-    from comet_spark.operators.bm25 import BM25
+    retry on the stats read inside append (ADVICE r06).
 
+    The crashed-compact heal runs BEFORE the route probe: a compact
+    that died between a table swap's two renames (e.g. the in-stream
+    tiered compact's stats swap) leaves stats unreadable with the
+    original in ``stats.old`` — without healing first, the probe would
+    route this healthy-after-restore index into the full build, which
+    ``mode(overwrite)``s every table with BATCH-ONLY content and
+    silently drops all previously ingested documents from search. The
+    caller owns the index (single-writer contract), so healing outside
+    the lock here cannot race another writer."""
+    from comet_spark.operators.bm25 import BM25, _heal_index_dirs
+    from comet_spark.storage.store import _FS
+
+    _heal_index_dirs(_FS(batch.sparkSession, index_path), index_path)
     if _stats_committed(batch.sparkSession, index_path):
         BM25.append(
             batch.sparkSession, index_path, batch,
@@ -421,9 +433,13 @@ def bm25_ingest_stream(
     ``tiered_compact_every=N`` runs a SIZE-TIERED compact of both the
     index and the store after every Nth micro-batch (by batch id), so
     file counts stay bounded under continuous ingest without ever
-    stopping the stream — each compact merges only the small appended
-    tail and renames the consolidated base across (cost ∝ the N batches
-    since the last one). It runs after the batch's ``done`` marker: a
+    stopping the stream — each compact merges only the sub-top-tier
+    tail and renames the base across. A boundary's rewrite covers the
+    batches since the last PROMOTION, not the whole index: the merged
+    output is re-merged with newer batches until it grows within 4× of
+    the base and joins it (see ``_pick_tier_merge``), so per-boundary
+    cost is bounded by ~base/4 and each ingested byte is rewritten a
+    bounded number of times. It runs after the batch's ``done`` marker: a
     crash mid-compact replays as an already-done batch (no re-append)
     and the interrupted swap heals at the next write path's entry; the
     compaction is simply retried at the next boundary. ``0`` (default)
@@ -506,10 +522,16 @@ def bm25_ingest_stream(
             # BOTH (see their contracts), so a marker present at restart
             # can only belong to our crashed predecessor — clear them or
             # every replay would crash-loop on StoreLockedError
-            from comet_spark.operators.bm25 import BM25
+            from comet_spark.operators.bm25 import BM25, _heal_index_dirs
+            from comet_spark.storage.store import _FS
 
             store.force_unlock()
             BM25.force_unlock(spark, index_path)
+            # heal a crashed compact BEFORE the replay probes read
+            # doc_len/stats — a between-renames crash state would
+            # otherwise classify as no_index and pay a full rebuild
+            # (or worse: see _bm25_index_step's docstring)
+            _heal_index_dirs(_FS(spark, index_path), index_path)
         got = _phases(spark, batch_id)
         if "done" in got:
             return  # fully processed before the crash

@@ -255,19 +255,22 @@ def _soak_bm25_append(spark, sf_dir: str) -> dict:
         import os as _os
         import re as _re
 
-        # the tiered rewrite's data volume = every file except the
-        # largest of its bucket (mirrors _tiered_merge's policy)
-        by_bucket: dict[str, list[int]] = {}
+        from comet_spark.storage.store import _pick_tier_merge
+
+        # the tiered rewrite's data volume, computed with the REAL tier
+        # policy (sub-top-tier files per bucket / per dir)
+        by_bucket: dict[str, list[tuple[str, int]]] = {}
         for f in _glob.glob(f"{path}/ix/postings/part-*"):
             b = _re.search(r"_(\d{5})\.c\d+", f).group(1)
-            by_bucket.setdefault(b, []).append(_os.path.getsize(f))
+            by_bucket.setdefault(b, []).append((f, _os.path.getsize(f)))
+        dl = [
+            (f, _os.path.getsize(f))
+            for f in _glob.glob(f"{path}/ix/doc_len/part-*")
+        ]
         tiered_rewrites = sum(
-            sum(sorted(v)[:-1]) for v in by_bucket.values()
-        ) + sum(
-            sorted(
-                _os.path.getsize(f)
-                for f in _glob.glob(f"{path}/ix/doc_len/part-*")
-            )[:-1]
+            dict(grp)[n]
+            for grp in list(by_bucket.values()) + [dl]
+            for n in _pick_tier_merge(grp)[1]
         )
         t0 = time.perf_counter()
         BM25.compact(spark, f"{path}/ix", tiered=True)

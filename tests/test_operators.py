@@ -966,7 +966,12 @@ def test_bm25_tiered_compact_merges_small_segments_only(spark, tmp_path):
 
     from comet_spark.operators.bm25 import BM25, _postings_table_name
 
-    rows = [(i, f"spark data tables term{i % 7} filler{i % 3}") for i in range(1, 41)]
+    # the base must be genuinely top-tier (≥4x the append files) — at
+    # parquet's ~1KB file floor a tiny corpus cannot separate tiers
+    rows = [
+        (i, f"spark data tables term{i % 7} filler{i % 31} extra{i % 13}")
+        for i in range(1, 1031)
+    ]
     full = spark.createDataFrame(rows, "id bigint, text string")
     fresh = BM25(full)
     want_scores = [tuple(r) for r in fresh.score("spark term1 data", k=0).collect()]
@@ -975,7 +980,7 @@ def test_bm25_tiered_compact_merges_small_segments_only(spark, tmp_path):
 
     for buckets in (0, 4):
         path = str(tmp_path / f"tix{buckets}")
-        BM25(full.filter(F.col("id") <= 30)).write(path, buckets=buckets)
+        BM25(full.filter(F.col("id") <= 1000)).write(path, buckets=buckets)
 
         def _sizes(p=path):
             return {
@@ -984,7 +989,7 @@ def test_bm25_tiered_compact_merges_small_segments_only(spark, tmp_path):
             }
 
         base_files = _sizes()
-        for lo, hi in ((30, 34), (34, 37), (37, 40)):
+        for lo, hi in ((1000, 1010), (1010, 1020), (1020, 1030)):
             BM25.append(
                 spark, path, full.filter((F.col("id") > lo) & (F.col("id") <= hi))
             )
@@ -1042,7 +1047,11 @@ def test_bm25_tiered_compact_crash_sweep(spark, tmp_path):
     import comet_spark.storage.store as store_mod
     from comet_spark.operators.bm25 import BM25, _postings_table_name
 
-    rows = [(i, f"spark data tables term{i % 5}") for i in range(1, 25)]
+    # base must be top-tier vs the appends so the tiered merge actually
+    # runs (two sub-tier files per bucket)
+    rows = [
+        (i, f"spark data tables term{i % 5} pad{i % 29}") for i in range(1, 617)
+    ]
     full = spark.createDataFrame(rows, "id bigint, text string")
     fresh = BM25(full)
     want_scores = [tuple(r) for r in fresh.score("spark term2 data", k=0).collect()]
@@ -1055,8 +1064,12 @@ def test_bm25_tiered_compact_crash_sweep(spark, tmp_path):
         k += 1
         assert k < 40, "crash sweep did not terminate"
         path = str(tmp_path / f"sweep{k}")
-        BM25(full.filter(F.col("id") <= 18)).write(path, buckets=4)
-        BM25.append(spark, path, full.filter(F.col("id") > 18))
+        BM25(full.filter(F.col("id") <= 600)).write(path, buckets=4)
+        BM25.append(
+            spark, path,
+            full.filter((F.col("id") > 600) & (F.col("id") <= 608)),
+        )
+        BM25.append(spark, path, full.filter(F.col("id") > 608))
 
         calls = {"n": 0}
 

@@ -1442,9 +1442,10 @@ def test_store_tiered_compact_merges_small_tail_only(spark, tmp_path):
 
     store = DocumentStore(spark, str(tmp_path / "tstore"))
     base = spark.createDataFrame(
-        [(i, f"base {i}") for i in range(1, 101)], "id bigint, text string"
+        [(i, f"base {i} row with padding text {i % 97}") for i in range(1, 3001)],
+        "id bigint, text string",
     )
-    store.append(base)  # segment 0, the large base
+    store.append(base)  # segment 0, the large (top-tier) base
 
     def _base_files():
         return {
@@ -1480,8 +1481,8 @@ def test_store_tiered_compact_merges_small_tail_only(spark, tmp_path):
     })
 
     # appends continue; a later FULL compact applies + drops the deletes
-    store.append(_batch(spark, [(300, "after")]))
-    want2 = want | {(300, "after")}
+    store.append(_batch(spark, [(9300, "after")]))
+    want2 = want | {(9300, "after")}
     assert {(r["id"], r["text"]) for r in store.read().collect()} == want2
     store.compact()
     assert {(r["id"], r["text"]) for r in store.read().collect()} == want2
@@ -1491,7 +1492,7 @@ def test_store_tiered_compact_merges_small_tail_only(spark, tmp_path):
     )
 
     # policy: with a single small segment after the base, tiered no-ops
-    store.append(_batch(spark, [(400, "solo")]))
+    store.append(_batch(spark, [(9400, "solo")]))
     segs_before = store._segment_ids()
     store.compact(tiered=True)
     assert store._segment_ids() == segs_before
@@ -1512,11 +1513,12 @@ def test_store_tiered_compact_crash_sweep(spark, tmp_path):
         store = DocumentStore(spark, str(tmp_path / f"tsweep{k}"))
         store.append(
             spark.createDataFrame(
-                [(i, f"base {i}") for i in range(1, 61)], "id bigint, text string"
+                [(i, f"base {i} padded row text {i % 89}") for i in range(1, 2001)],
+                "id bigint, text string",
             )
         )
-        store.append(_batch(spark, [(1, "v2"), (100, "new")]))
-        store.append(_batch(spark, [(101, "n2")]))
+        store.append(_batch(spark, [(1, "v2"), (9100, "new")]))
+        store.append(_batch(spark, [(9101, "n2")]))
         want = {(r["id"], r["text"]) for r in store.read().collect()}
 
         calls = {"n": 0}
@@ -1556,21 +1558,22 @@ def test_store_tiered_compact_reclusters_tail_only(spark, tmp_path):
     store = DocumentStore(spark, str(tmp_path / "rstore"))
     store.append(
         spark.createDataFrame(
-            [(i, [float(i)], 9) for i in range(1, 41)],
+            [(i, [float(i)] * 8, 9) for i in range(1, 2001)],
             "id bigint, vector array<float>, cluster_id int",
         )
     )
     store.append(
         spark.createDataFrame(
-            [(100, [1.0]), (101, [2.0])], "id bigint, vector array<float>"
+            [(9100, [1.0] * 8), (9101, [2.0] * 8)],
+            "id bigint, vector array<float>",
         )
     )
     store.append(
-        spark.createDataFrame([(102, [3.0])], "id bigint, vector array<float>")
+        spark.createDataFrame([(9102, [3.0] * 8)], "id bigint, vector array<float>")
     )
     store.compact(tiered=True, recluster=FakeIndex())
     got = {r["id"]: r["cluster_id"] for r in store.read().collect()}
-    assert got[100] == 0 and got[101] == 1 and got[102] == 0  # tail assigned
+    assert got[9100] == 0 and got[9101] == 1 and got[9102] == 0  # tail assigned
     assert got[1] == 9  # base keeps its ingest-time assignment
 
 
@@ -1617,3 +1620,81 @@ def test_bm25_ingest_stream_periodic_tiered_compact(spark, store, tmp_path):
     # the store consolidated too (4 appended segments -> tail merged)
     assert store.segment_count() < 4
     assert {r["id"] for r in store.read().collect()} == {i for i, _ in rows}
+
+
+def test_bm25_ingest_stream_heals_crashed_compact_stats_swap(spark, store, tmp_path):
+    """Review regression: a hard crash inside a compact's STATS swap (a
+    plain two-rename table, no tiered journal) leaves stats unreadable
+    with the original in stats.old. The next micro-batch's route probe
+    must HEAL first — without it, _stats_committed() returns False and
+    the step full-writes the index with batch-only content, silently
+    dropping every previously ingested document from search."""
+    from comet_spark.operators.bm25 import BM25
+    from comet_spark.streaming.ingest import bm25_ingest_stream
+    from comet_spark.storage.store import _FS
+
+    src_dir = str(tmp_path / "hcs_src")
+    ix_path = str(tmp_path / "hcs_ix")
+    ckpt = str(tmp_path / "hcs_ckpt")
+    rows1 = [(i, f"spark crash doc {i}") for i in range(1, 21)]
+    _batch(spark, rows1).coalesce(1).write.mode("append").parquet(src_dir)
+    q = bm25_ingest_stream(
+        spark.readStream.schema("id bigint, text string").parquet(src_dir),
+        store, ix_path, checkpoint=ckpt, buckets=4,
+    )
+    q.awaitTermination(120)
+
+    # simulate the crash state a compact leaves between the stats swap's
+    # two renames: live stats gone, original aside, partial rewrite left
+    fs = _FS(spark, ix_path)
+    assert fs.rename(f"{ix_path}/stats", f"{ix_path}/stats.old")
+    spark.createDataFrame([(1,)], "x int").write.parquet(
+        f"{ix_path}/stats.compacting"
+    )
+
+    rows2 = [(i, f"spark heal doc {i}") for i in range(100, 110)]
+    _batch(spark, rows2).coalesce(1).write.mode("append").parquet(src_dir)
+    q = bm25_ingest_stream(
+        spark.readStream.schema("id bigint, text string").parquet(src_dir),
+        store, ix_path, checkpoint=ckpt, buckets=4,
+    )
+    q.awaitTermination(120)
+
+    # every previously ingested doc still scores — NOT a batch-only index
+    live = BM25.read(spark, ix_path)
+    assert live.doc_len.count() == 30
+    fresh = BM25(_batch(spark, rows1 + rows2))
+    want = [tuple(r) for r in fresh.score("spark crash", k=0).collect()]
+    got = [tuple(r) for r in live.score("spark crash", k=0).collect()]
+    assert got == want
+
+
+def test_bm25_append_heals_crashed_df_swap(spark, tmp_path):
+    """Review regression: BM25.append on a compact crashed between the
+    df swap's renames must restore df.old first — append only ever
+    mode-appends into df, so without the heal it would recreate a
+    batch-only df (inflated idf for every pre-existing term) and the
+    next compact's cleanup would delete the original for good."""
+    import pyspark.sql.functions as F
+
+    from comet_spark.operators.bm25 import BM25
+    from comet_spark.storage.store import _FS
+
+    full = spark.createDataFrame(
+        [(i, f"spark data tables term{i % 5}") for i in range(1, 41)],
+        "id bigint, text string",
+    )
+    want = [tuple(r) for r in BM25(full).score("spark tables", k=0).collect()]
+
+    path = str(tmp_path / "dfheal")
+    BM25(full.filter(F.col("id") <= 30)).write(path, buckets=4)
+    fs = _FS(spark, path)
+    assert fs.rename(f"{path}/df", f"{path}/df.old")  # crashed df swap
+
+    BM25.append(spark, path, full.filter(F.col("id") > 30))
+    back = BM25.read(spark, path)
+    assert [tuple(r) for r in back.score("spark tables", k=0).collect()] == want
+    # and a follow-up compact consolidates without destroying anything
+    BM25.compact(spark, path)
+    back = BM25.read(spark, path)
+    assert [tuple(r) for r in back.score("spark tables", k=0).collect()] == want
