@@ -318,7 +318,15 @@ class BM25:
             if buckets > 0:
                 name = _postings_table_name(path)
                 (
-                    self.postings.write.mode("overwrite")
+                    # route through the bucket hash first: bucketBy alone
+                    # writes one file per TASK per bucket (a 32-task build
+                    # fragments every bucket 32 ways); repartition(buckets,
+                    # term) IS the bucket function, so each bucket lands as
+                    # exactly one task's single sorted file — the same
+                    # shape compact produces, with the write-time bucket
+                    # count as the parallelism/file-size knob at scale
+                    self.postings.repartition(buckets, "term")
+                    .write.mode("overwrite")
                     .option("path", f"{path}/postings")
                     .bucketBy(buckets, "term")
                     .sortBy("term")
