@@ -3839,19 +3839,25 @@ def _tiered_store(spark: SparkSession, sf_dir: str):
         path = f"{_art_dir(sf_dir)}/maint/tiered_store"
         shutil.rmtree(path, ignore_errors=True)
         store = DocumentStore(spark, path)
-        store.append(emb.filter(F.col("id") % 3 != 2))  # the large base
+        # tails are TENTHS of the corpus vs a 4/5 base — decisively
+        # below the top-tier threshold (base/4) even with parquet
+        # per-file overhead, so the tiered merge deterministically runs
+        # (asserted below: a silent no-op would still pass the oracle,
+        # proving nothing about the rewrite)
+        store.append(emb.filter(F.col("id") % 5 != 4))  # the large base
         store.compact()  # one consolidated base segment
-        tail1 = emb.filter((F.col("id") % 3 == 2) & (F.col("id") % 2 == 0))
+        tail1 = emb.filter((F.col("id") % 5 == 4) & (F.col("id") % 2 == 0))
         store.append(tail1)
         updates = tail1.filter(F.col("id") % 7 == 0).withColumn(
             "vector", F.transform("vector", lambda x: x * F.lit(2.0))
         )
         tail2 = emb.filter(
-            (F.col("id") % 3 == 2) & (F.col("id") % 2 == 1)
+            (F.col("id") % 5 == 4) & (F.col("id") % 2 == 1)
         ).unionByName(updates)
         store.append(tail2)
         store.delete(emb.filter(F.col("id") % 13 == 0).select("id"))
         store.compact(tiered=True)
+        assert len(store._segment_ids()) == 2, "tiered merge did not run"
         _TIERED_STORE_CACHE[key] = store
     return _TIERED_STORE_CACHE[key]
 
@@ -3871,7 +3877,7 @@ _register(
     f"""
 WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = {QUERY_VEC_ID}),
 e AS (SELECT vec_id,
-             CASE WHEN vec_id % 3 = 2 AND vec_id % 2 = 0 AND vec_id % 7 = 0
+             CASE WHEN vec_id % 5 = 4 AND vec_id % 2 = 0 AND vec_id % 7 = 0
                   THEN list_transform(embedding::DOUBLE[], x -> x * 2)
                   ELSE embedding::DOUBLE[] END AS v
       FROM embeddings WHERE vec_id % 13 != 0),

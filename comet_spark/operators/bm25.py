@@ -102,6 +102,13 @@ def _heal_index_dirs(fs, path: str) -> None:
                 raise OSError(
                     f"could not restore {old} left by a crashed compact"
                 )
+        elif fs.exists(cur) and fs.exists(old):
+            # post-install crash leftover. Deleting it promptly matters
+            # beyond tidiness: a stale .old that lingered could later be
+            # "restored" over a table a full WRITE was mid-overwriting
+            # when it crashed — masking the tear and feeding ancient
+            # stats to the route probe instead of forcing the rebuild.
+            fs.delete(old)
 
 
 def _tiered_merge(
@@ -342,6 +349,21 @@ class BM25:
             self.stats.repartition(1).write.mode("overwrite").parquet(f"{path}/stats")
 
     @classmethod
+    def heal(cls, spark, path: str) -> None:
+        """Recover a crashed write/append/compact explicitly: finish or
+        abort any interrupted tiered merge (journal-guided) and restore
+        any table caught between a swap's two renames. Runs UNDER the
+        writer lock — the heal renames directories, and doing that
+        lock-free could interleave with a live compactor mid-swap
+        (resurrecting the aside dir it is about to install over). All
+        write paths heal implicitly; call this only to repair an index
+        ahead of read-only use."""
+        from comet_spark.storage.store import _FS
+
+        with _index_writer_lock(spark, path, "heal"):
+            _heal_index_dirs(_FS(spark, path), path)
+
+    @classmethod
     def force_unlock(cls, spark, path: str) -> None:
         """Remove a stale writer-lock marker left by a crashed
         write/append/compact (same recovery contract as
@@ -577,16 +599,22 @@ class BM25:
 
         ``tiered=True`` switches postings and doc_len to a SIZE-TIERED
         merge (real LSM levels): per bucket (postings) or per directory
-        (doc_len), every file except the largest is merged and the kept
-        large base files move across by RENAME — so on a huge index
-        that absorbed a few small appends, the rewrite cost is
-        proportional to the appended segments, not the index
-        (measured in SCALE_SOAK.json). Valid because rows are disjoint
-        by id across segment files; df/stats still rewrite fully (their
-        partials overlap per term / fold to one row, and both are
-        vocabulary-/single-row-sized). Buckets then hold up to two
-        files (base + merged) instead of one; run a full compact
-        occasionally to restore the one-file-per-bucket shape. Crash
+        (doc_len), files below the top size tier merge and the kept
+        top-tier files move across by RENAME (policy:
+        ``storage.store._pick_tier_merge`` — top tier = within 4× of
+        the group's largest, so a multi-file base is protected; a
+        uniform group consolidates at the STCS min-threshold; a merged
+        output re-merges with newer appends until it grows into the
+        top tier) — so on a huge index that absorbed small appends, the
+        per-call rewrite is bounded by ~base/4 and typically just the
+        appended segments (bytes measured in SCALE_SOAK.json). Valid
+        because rows are disjoint by id across segment files; df/stats
+        still rewrite fully (their partials overlap per term / fold to
+        one row, and both are vocabulary-/single-row-sized). Buckets
+        hold a small handful of files (base + promoted tiers + the
+        current merged output); promoted tiers accumulate ~one per
+        base/4 bytes appended, so schedule an occasional FULL compact
+        to restore the one-file-per-bucket shape. Crash
         recovery is journal-guided (:func:`_heal_tiered_merges` — every
         write path heals at entry): each crash point either aborts or
         completes, never double-counts, and readers fail loudly during

@@ -327,6 +327,11 @@ class DocumentStore:
                 raise OSError(
                     f"could not restore {old} left by a crashed compact"
                 )
+        elif self._fs.exists(self.data_path) and self._fs.exists(old):
+            # post-install crash leftover — remove promptly so a stale
+            # copy can never be "restored" over live data by a later
+            # heal after an unrelated crash
+            self._fs.delete(old)
 
     # -- write path ----------------------------------------------------------
 
@@ -732,25 +737,27 @@ class DocumentStore:
         }
         if not sizes:
             return
-        # contiguity-safe tier selection: merge the suffix of segments
-        # strictly newer than the LAST top-tier segment (top tier =
-        # within 4x of the largest — a multi-file base is protected; a
-        # merged tail is re-merged with newer appends until it grows
-        # into the top tier and joins the base, bounding per-boundary
-        # rewrite by ~largest/4). The suffix rule is load-bearing: a
-        # kept segment interleaved below merged ones would lose
-        # newest-wins ties it originally won, so only a contiguous tail
-        # may merge. A UNIFORM store (every segment top-tier — equal
-        # streaming batches) consolidates whole at the STCS
-        # min-threshold of 4 segments.
-        mx = max(sizes.values())
-        top = [s for s in segs if sizes[s] >= mx / 4]
-        tail = [s for s in segs if s > max(top)]
+        # contiguity-safe tier selection: the THRESHOLD decision is the
+        # shared policy (_pick_tier_merge — top tier protected, uniform
+        # stores consolidate whole at the STCS min-threshold), then the
+        # merge set is clamped to the contiguous suffix of segments
+        # newer than the last kept one. The suffix rule is
+        # load-bearing: a kept segment interleaved below merged ones
+        # would lose newest-wins ties it originally won — a sub-tier
+        # segment stranded between top-tier ones therefore stays until
+        # a full compact. A merged tail is re-merged with newer appends
+        # until it grows into the top tier and joins the base, bounding
+        # per-boundary rewrite by ~largest/4.
+        kept_segs, _merged = _pick_tier_merge(
+            [(str(s), sizes[s]) for s in segs]
+        )
+        if kept_segs:
+            last_kept = max(int(n) for n in kept_segs)
+            tail = [s for s in segs if s > last_kept]
+        else:
+            tail = list(segs)  # uniform store: consolidate everything
         if len(tail) < 2:
-            if len(top) == len(segs) and len(segs) >= 4:
-                tail = segs  # uniform: consolidate everything
-            else:
-                return  # nothing worth merging
+            return  # nothing worth merging
         subset = (
             self.spark.read.option("basePath", self.data_path)
             .option("mergeSchema", "true")

@@ -157,12 +157,14 @@ def _bm25_index_step(
     route this healthy-after-restore index into the full build, which
     ``mode(overwrite)``s every table with BATCH-ONLY content and
     silently drops all previously ingested documents from search. The
-    caller owns the index (single-writer contract), so healing outside
-    the lock here cannot race another writer."""
-    from comet_spark.operators.bm25 import BM25, _heal_index_dirs
-    from comet_spark.storage.store import _FS
+    heal takes the writer lock (``BM25.heal``): it renames directories,
+    and a lock-free rename could interleave with an out-of-band
+    compactor mid-swap; under the documented single-writer contract the
+    lock is uncontended, and a held lock fails fast exactly as any
+    write would."""
+    from comet_spark.operators.bm25 import BM25
 
-    _heal_index_dirs(_FS(batch.sparkSession, index_path), index_path)
+    BM25.heal(batch.sparkSession, index_path)
     if _stats_committed(batch.sparkSession, index_path):
         BM25.append(
             batch.sparkSession, index_path, batch,
@@ -432,9 +434,10 @@ def bm25_ingest_stream(
     Which is exactly why IN-stream maintenance is the right place:
     ``tiered_compact_every=N`` runs a SIZE-TIERED compact of both the
     index and the store after every Nth micro-batch (by batch id), so
-    file counts stay bounded under continuous ingest without ever
+    file counts stay low under continuous ingest without ever
     stopping the stream — each compact merges only the sub-top-tier
-    tail and renames the base across. A boundary's rewrite covers the
+    tail and renames the base across (promoted tiers accumulate ~one
+    per base/4 bytes ingested; an occasional full compact resets them). A boundary's rewrite covers the
     batches since the last PROMOTION, not the whole index: the merged
     output is re-merged with newer batches until it grows within 4× of
     the base and joins it (see ``_pick_tier_merge``), so per-boundary
@@ -522,16 +525,20 @@ def bm25_ingest_stream(
             # BOTH (see their contracts), so a marker present at restart
             # can only belong to our crashed predecessor — clear them or
             # every replay would crash-loop on StoreLockedError
-            from comet_spark.operators.bm25 import BM25, _heal_index_dirs
-            from comet_spark.storage.store import _FS
+            from comet_spark.operators.bm25 import BM25
 
             store.force_unlock()
             BM25.force_unlock(spark, index_path)
-            # heal a crashed compact BEFORE the replay probes read
-            # doc_len/stats — a between-renames crash state would
-            # otherwise classify as no_index and pay a full rebuild
-            # (or worse: see _bm25_index_step's docstring)
-            _heal_index_dirs(_FS(spark, index_path), index_path)
+            # heal crashed compacts BEFORE the replay probes: an index
+            # between-renames crash state would otherwise classify as
+            # no_index and pay a full rebuild (or worse: see
+            # _bm25_index_step's docstring), and a store crashed inside
+            # the in-stream tiered compact would stay unreadable
+            # forever if the replayed batch then short-circuits on its
+            # 'done' marker without ever writing to the store
+            BM25.heal(spark, index_path)
+            with store._lock("heal"):
+                store._restore_crashed_compact_locked()
         got = _phases(spark, batch_id)
         if "done" in got:
             return  # fully processed before the crash

@@ -172,16 +172,20 @@ def _soak_compact(spark, sf_dir: str) -> dict:
         store.append(first)
         store.append(rest)
         if mode == "tiered":
-            # the tiered policy merges the tail after the largest segment
-            # — give it one: two small appends behind the big base (the
-            # post-full-compact ingest shape), then merge ONLY those
+            # the tiered policy merges the sub-tier tail behind the big
+            # base (the post-full-compact ingest shape). The appends
+            # must be DECISIVELY sub-tier (<< base/4, parquet overhead
+            # included) or the measurement silently times a no-op —
+            # assert the merge actually ran.
             store.compact()
-            small = emb.filter(F.col("id") % 3 == 1).limit(1000)
+            small = emb.filter(F.col("id") % 3 == 1).limit(100)
             store.append(small.withColumn("id", F.col("id") + F.lit(10_000_000)))
             store.append(small.withColumn("id", F.col("id") + F.lit(20_000_000)))
+            n_before = store.segment_count()
             t0 = time.perf_counter()
             store.compact(tiered=True)
             out[mode] = {"sec": round(time.perf_counter() - t0, 2)}
+            assert store.segment_count() < n_before, "tiered merge did not run"
         else:
             refreshed = (
                 ivf.refresh(store.read(), max_iter=10)
