@@ -1104,3 +1104,27 @@ def test_bm25_tiered_compact_crash_sweep(spark, tmp_path):
         got = [tuple(r) for r in back.score("spark term2 data", k=0).collect()]
         assert got == want_scores, k
         assert spark.read.parquet(f"{path}/stats").count() == 1, k
+
+
+def test_bm25_heal_respects_writer_lock(spark, tmp_path):
+    """BM25.heal renames directories, so it must take the writer lock:
+    healing lock-free could interleave with a live compactor mid-swap
+    (resurrecting the aside dir it is about to install over). A held
+    marker fails fast, like any write."""
+    import pytest
+
+    from comet_spark.operators.bm25 import BM25
+    from comet_spark.storage.store import StoreLockedError, _FS
+
+    docs = spark.createDataFrame(
+        [(1, "spark locks heal")], "id bigint, text string"
+    )
+    path = str(tmp_path / "healix")
+    BM25(docs).write(path, buckets=4)
+    fs = _FS(spark, path)
+    assert fs.create_new(f"{path}/_lock")  # a live writer
+    with pytest.raises(StoreLockedError):
+        BM25.heal(spark, path)
+    BM25.force_unlock(spark, path)
+    BM25.heal(spark, path)  # no-op on a healthy index
+    assert BM25.read(spark, path).doc_len.count() == 1
