@@ -205,32 +205,40 @@ def _tiered_swap(fs: _FS, cur: str, kept: list[str], write_side) -> None:
 
 
 def _pick_tier_merge(
-    files: list[tuple[str, int]], *, ratio: int = 4, min_uniform: int = 4
+    files: list[tuple[str, int]], *, ratio: int = 4, min_uniform: int = 4,
+    consolidate_max_bytes: int = 64 << 20,
 ) -> tuple[list[str], list[str]]:
     """Size-tier selection for one merge group: ``(kept, merged)``.
 
     The TOP tier — every file within ``ratio``× of the group's largest —
     is base data and moves by rename; everything below it merges (when
     at least two such files exist; a lone straggler waits for company).
-    A UNIFORM group (every file top-tier, e.g. equal streaming batches
-    or a multi-file base) consolidates only once it accumulates
-    ``min_uniform`` files — the STCS min-threshold rule — so a
-    multi-file base produced by a full compact is never rewritten just
-    because one small append arrived. A merged output below the top
-    tier is re-merged with newer arrivals until it grows within
-    ``ratio``× of the largest and joins the base tier — per-boundary
-    rewrite is therefore bounded by ~largest/ratio, and each byte is
-    rewritten a bounded number of times before promotion, instead of
-    the whole table every time."""
+    A merged output below the top tier is re-merged with newer arrivals
+    until it grows within ``ratio``× of the largest and joins the base
+    tier, so per-boundary rewrite is bounded by ~largest/ratio.
+
+    Once ``min_uniform`` top-tier files accumulate (equal streaming
+    batches, or promoted merge outputs reaching the base — the STCS
+    min-threshold), the WHOLE group consolidates: that is the ladder's
+    epoch step, and because the threshold for promotion then doubles
+    with the new largest file, each byte is rewritten O(log) times over
+    the group's life. The epoch step is GUARDED by
+    ``consolidate_max_bytes``: files at or above it are already
+    target-sized output (e.g. a rows_per_file-capped table whose full
+    compact emits several equal files) — re-merging those would rewrite
+    the group on every call forever, splitting back into the same
+    files. Above the cap, only sub-tier files merge and top-tier files
+    simply accumulate as healthy, target-sized segments until a full
+    compact resets the count."""
     if len(files) < 2:
         return [n for n, _ in files], []
     mx = max(s for _, s in files)
     kept = [n for n, s in files if s >= mx / ratio]
     small = [n for n, s in files if s < mx / ratio]
+    if len(kept) >= min_uniform and mx < consolidate_max_bytes:
+        return [], [n for n, _ in files]  # epoch/uniform consolidation
     if len(small) >= 2:
         return kept, small
-    if not small and len(kept) >= min_uniform:
-        return [], [n for n, _ in files]
     return [n for n, _ in files], []
 
 

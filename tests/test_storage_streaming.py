@@ -1698,3 +1698,50 @@ def test_bm25_append_heals_crashed_df_swap(spark, tmp_path):
     BM25.compact(spark, path)
     back = BM25.read(spark, path)
     assert [tuple(r) for r in back.score("spark tables", k=0).collect()] == want
+
+
+def test_pick_tier_merge_policy_matrix():
+    """The tier policy as a pure function: top-tier protection, sub-tier
+    merging, straggler waiting, epoch consolidation below the byte cap,
+    and the capped-table guard (a rows_per_file-split table must not be
+    re-merged into itself on every call)."""
+    from comet_spark.storage.store import _pick_tier_merge
+
+    MB = 1 << 20
+    # base + small appends: merge the smalls, keep the base
+    kept, merged = _pick_tier_merge(
+        [("base", 40 * MB), ("a", 1 * MB), ("b", 1 * MB), ("c", 2 * MB)]
+    )
+    assert kept == ["base"] and sorted(merged) == ["a", "b", "c"]
+    # a lone sub-tier straggler waits for company
+    kept, merged = _pick_tier_merge([("base", 40 * MB), ("a", 1 * MB)])
+    assert merged == [] and sorted(kept) == ["a", "base"]
+    # multi-file base (all top-tier, under min_uniform) + one small: no
+    # full-group rewrite just because one append arrived
+    kept, merged = _pick_tier_merge(
+        [("b1", 10 * MB), ("b2", 10 * MB), ("b3", 11 * MB), ("a", 1 * MB)]
+    )
+    assert merged == []
+    # epoch consolidation: >= min_uniform top-tier files below the cap
+    # merge whole (equal streaming batches / promoted tiers joining base)
+    kept, merged = _pick_tier_merge(
+        [("m1", 4 * MB), ("m2", 4 * MB), ("m3", 5 * MB), ("m4", 4 * MB),
+         ("s", 1 * MB)]
+    )
+    assert kept == [] and len(merged) == 5
+    # capped-table guard: target-sized files (>= cap) never re-merge —
+    # a full compact's rows_per_file output would otherwise rewrite
+    # itself on every tiered call forever
+    kept, merged = _pick_tier_merge(
+        [("f1", 100 * MB), ("f2", 100 * MB), ("f3", 100 * MB), ("f4", 100 * MB)]
+    )
+    assert merged == [] and len(kept) == 4
+    # ...but their sub-tier appends still merge
+    kept, merged = _pick_tier_merge(
+        [("f1", 100 * MB), ("f2", 100 * MB), ("f3", 100 * MB),
+         ("f4", 100 * MB), ("a", 1 * MB), ("b", 1 * MB)]
+    )
+    assert sorted(merged) == ["a", "b"] and len(kept) == 4
+    # single file / empty: nothing to do
+    assert _pick_tier_merge([("one", MB)]) == (["one"], [])
+    assert _pick_tier_merge([]) == ([], [])
