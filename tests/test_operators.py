@@ -1128,3 +1128,59 @@ def test_bm25_heal_respects_writer_lock(spark, tmp_path):
     BM25.force_unlock(spark, path)
     BM25.heal(spark, path)  # no-op on a healthy index
     assert BM25.read(spark, path).doc_len.count() == 1
+
+
+def test_bm25_full_compact_crash_sweep(spark, tmp_path):
+    """Every rename crash point in the FULL BM25 compact (four plain
+    two-rename table swaps) heals on re-run — generalizes the targeted
+    doc_len/postings heal test to the whole protocol."""
+    import pyspark.sql.functions as F
+
+    import comet_spark.storage.store as store_mod
+    from comet_spark.operators.bm25 import BM25, _postings_table_name
+
+    full = spark.createDataFrame(
+        [(i, f"spark data tables term{i % 5}") for i in range(1, 25)],
+        "id bigint, text string",
+    )
+    want = [tuple(r) for r in BM25(full).score("spark term2", k=0).collect()]
+
+    real_rename = store_mod._FS.rename
+    k = 0
+    completed_clean = False
+    while not completed_clean:
+        k += 1
+        assert k < 16, "crash sweep did not terminate"
+        path = str(tmp_path / f"fullsweep{k}")
+        BM25(full.filter(F.col("id") <= 18)).write(path, buckets=4)
+        BM25.append(spark, path, full.filter(F.col("id") > 18))
+
+        calls = {"n": 0}
+
+        def inject(self, src, dst, _k=k, _calls=calls):
+            ok = real_rename(self, src, dst)
+            _calls["n"] += 1
+            if _calls["n"] == _k:
+                raise RuntimeError("injected crash")
+            return ok
+
+        store_mod._FS.rename = inject
+        try:
+            BM25.compact(spark, path)
+            completed_clean = True
+        except RuntimeError:
+            pass
+        finally:
+            store_mod._FS.rename = real_rename
+
+        BM25.compact(spark, path)  # heal + complete
+        from comet_spark.storage.store import _FS
+
+        fs = _FS(spark, path)
+        for sub in ("postings", "doc_len", "df", "stats"):
+            assert not fs.exists(f"{path}/{sub}.old"), (k, sub)
+            assert not fs.exists(f"{path}/{sub}.compacting"), (k, sub)
+        spark.sql(f"DROP TABLE IF EXISTS {_postings_table_name(path)}")
+        back = BM25.read(spark, path)
+        assert [tuple(r) for r in back.score("spark term2", k=0).collect()] == want, k
+        assert spark.read.parquet(f"{path}/stats").count() == 1, k

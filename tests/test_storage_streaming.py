@@ -1745,3 +1745,52 @@ def test_pick_tier_merge_policy_matrix():
     # single file / empty: nothing to do
     assert _pick_tier_merge([("one", MB)]) == (["one"], [])
     assert _pick_tier_merge([]) == ([], [])
+
+
+def test_store_full_compact_crash_sweep(spark, tmp_path):
+    """Every rename crash point in the FULL compact's two-rename swap
+    heals on re-run (the tiered path has its own sweep; this drives the
+    plain move-aside-then-install protocol the same way), including
+    with pending deletes applied mid-flight."""
+    import comet_spark.storage.store as store_mod
+
+    real_rename = store_mod._FS.rename
+    k = 0
+    completed_clean = False
+    while not completed_clean:
+        k += 1
+        assert k < 12, "crash sweep did not terminate"
+        store = DocumentStore(spark, str(tmp_path / f"fsweep{k}"))
+        store.append(_batch(spark, [(1, "a"), (2, "b"), (3, "c")]))
+        store.append(_batch(spark, [(2, "b2"), (4, "d")]))
+        store.delete(spark.createDataFrame([(3,)], "id bigint"))
+        want = {(r["id"], r["text"]) for r in store.read().collect()}
+        assert want == {(1, "a"), (2, "b2"), (4, "d")}
+
+        calls = {"n": 0}
+
+        def inject(self, src, dst, _k=k, _calls=calls):
+            ok = real_rename(self, src, dst)
+            _calls["n"] += 1
+            if _calls["n"] == _k:
+                raise RuntimeError("injected crash")
+            return ok
+
+        store_mod._FS.rename = inject
+        try:
+            store.compact()
+            completed_clean = True
+        except RuntimeError:
+            pass
+        finally:
+            store_mod._FS.rename = real_rename
+
+        store.compact()  # heal + complete
+        for suf in (".old", ".compacting"):
+            assert not store._fs.exists(store.data_path + suf), (k, suf)
+        assert {(r["id"], r["text"]) for r in store.read().collect()} == want, k
+        # deletes were applied and dropped by whichever compact finished
+        assert not any(
+            f.endswith(".parquet") or f.startswith("part-")
+            for f in store._fs.listdir(store.deletes_path)
+        ), k
