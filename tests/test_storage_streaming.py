@@ -1078,6 +1078,58 @@ def test_compact_sig_store_bounds_files_and_dedups(spark, tmp_path):
     assert not compact_sig_store(spark, store, min_files=64)
 
 
+def test_compact_sig_store_heals_stranded_swap(spark, tmp_path):
+    """Crash between compact_sig_store's two renames strands the store:
+    live dir absent, all dedup history in ``.old``. Both re-entry points
+    (the compactor itself and the next neardup_ingest batch) must
+    restore it — without the heal the collision probe sees no store and
+    silently re-admits historical near-duplicates (ADVICE r07)."""
+    from comet_spark.storage.store import _FS
+    from comet_spark.streaming.ingest import compact_sig_store, neardup_ingest
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+
+    # (a) neardup_ingest heals at entry
+    store = str(tmp_path / "sigs_h1")
+    neardup_ingest(_neardup_docs(spark, [(1, base)]), store)
+    fs = _FS(spark, store)
+    assert fs.rename(store, store + ".old")  # the crash window state
+    assert neardup_ingest(_neardup_docs(spark, [(9, base)]), store).count() == 0
+    assert fs.exists(store) and not fs.exists(store + ".old")
+
+    # (b) compact_sig_store heals at entry (then proceeds normally)
+    store2 = str(tmp_path / "sigs_h2")
+    neardup_ingest(_neardup_docs(spark, [(1, base)]), store2)
+    fs2 = _FS(spark, store2)
+    assert fs2.rename(store2, store2 + ".old")
+    assert not compact_sig_store(spark, store2, min_files=64)  # healed, tiny
+    assert fs2.exists(store2) and not fs2.exists(store2 + ".old")
+    assert neardup_ingest(_neardup_docs(spark, [(9, base)]), store2).count() == 0
+
+
+def test_compact_sig_store_writer_lock(spark, tmp_path):
+    """compact_sig_store enforces the single-writer rule via the shared
+    lock marker (sibling ``._lock``): a second writer fails fast with
+    StoreLockedError instead of silently renaming a concurrent rewrite
+    aside (ADVICE r07). The marker is released on exit."""
+    import pytest
+
+    from comet_spark.storage.store import _FS, StoreLockedError
+    from comet_spark.streaming.ingest import compact_sig_store, neardup_ingest
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    store = str(tmp_path / "sigs_lk")
+    neardup_ingest(_neardup_docs(spark, [(1, base)]), store)
+    fs = _FS(spark, store)
+    assert fs.create_new(store + "._lock")  # a live (or crashed) writer
+    with pytest.raises(StoreLockedError):
+        compact_sig_store(spark, store, min_files=0)
+    fs.delete(store + "._lock")
+    # lock-free call acquires and releases the marker
+    assert not compact_sig_store(spark, store, min_files=64)
+    assert not fs.exists(store + "._lock")
+
+
 def test_store_compact_zorder(spark, tmp_path):
     """OPTIMIZE ZORDER on compaction: results identical, and within each
     written file the Z-key range is bounded (files are clustered — the
