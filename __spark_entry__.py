@@ -628,6 +628,140 @@ _register(
 )
 
 
+# ★ J-family maintenance, text side, part 4: the index is built by the
+# STREAMING ingest protocol itself (bm25_ingest_stream — foreachBatch
+# through Spark's real checkpoint machinery over deterministic
+# micro-batches, one store segment + one O(batch) postings append each,
+# in-stream tiered compaction every 2nd batch) WITH one injected crash:
+# after the first drain, the latest batch's checkpoint commit marker AND
+# the index's state log are deleted, so the restarted stream replays
+# that batch through the full heal path (_index_batch_state probe →
+# committed → marker only). The oracle scores the full corpus from
+# scratch — equality proves the stream's append/heal/marker/compact
+# protocol produces the exact index a batch build would (reference
+# analog: search-after-flush, storage_test.go).
+_BM25_STREAM_CACHE: dict[tuple[str, str], BM25] = {}
+_STREAM_MOD = 4  # micro-batches per build
+
+
+def _lose_latest_commit(ckpt: str) -> None:
+    """The crash-replay shape: remove the checkpoint's LATEST commit
+    marker (and its checksum twin) so a restart with the same checkpoint
+    re-runs that micro-batch with its logged file set."""
+    import glob
+
+    commits = sorted(
+        (f for f in glob.glob(f"{ckpt}/commits/*") if f.split("/")[-1].isdigit()),
+        key=lambda f: int(f.split("/")[-1]),
+    )
+    if not commits:
+        raise RuntimeError(f"no commit markers under {ckpt}/commits")
+    os.remove(commits[-1])
+    crc = f"{ckpt}/commits/.{commits[-1].split('/')[-1]}.crc"
+    if os.path.exists(crc):
+        os.remove(crc)
+
+
+def _bm25_stream_index(spark: SparkSession, sf_dir: str) -> BM25:
+    key = (_skey(spark), sf_dir)
+    if key not in _BM25_STREAM_CACHE:
+        import shutil
+
+        from comet_spark.storage.store import DocumentStore
+        from comet_spark.streaming.ingest import bm25_ingest_stream
+
+        base = f"{_art_dir(sf_dir)}/bm25_stream"
+        index_path = f"{base}/index"
+        sig = _corpus_sig(sf_dir, "documents")
+        sig_path = f"{base}/corpus_sig.txt"
+        try:
+            with open(sig_path) as fh:
+                fresh = sig != "" and fh.read() == sig
+        except OSError:
+            fresh = False
+        try:
+            if not fresh:
+                raise FileNotFoundError(base)
+            ix = BM25.read(spark, index_path)
+            ix.stats.first()
+            ix.postings.first()
+        except Exception:
+            # full rebuild: the checkpoint, source files, store and index
+            # are one coupled lineage — remove them together
+            shutil.rmtree(base, ignore_errors=True)
+            os.makedirs(base, exist_ok=True)
+            src, ckpt = f"{base}/src", f"{base}/ckpt"
+            docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+            store = DocumentStore(spark, f"{base}/store", id_col="doc_id")
+
+            def _add_batches(residues) -> None:
+                # one part file per residue → one micro-batch per file
+                for m in residues:
+                    docs.filter(F.col("doc_id") % _STREAM_MOD == m).repartition(
+                        1
+                    ).write.mode("append").parquet(src)
+
+            def _drain() -> None:
+                q = bm25_ingest_stream(
+                    spark.readStream.schema("doc_id bigint, text string")
+                    .option("maxFilesPerTrigger", "1")
+                    .parquet(src),
+                    store, index_path, checkpoint=ckpt,
+                    id_col="doc_id", text_col="text", buckets=_BM25_BUCKETS,
+                    tiered_compact_every=2,
+                )
+                if not q.awaitTermination(600):
+                    q.stop()
+                    raise RuntimeError("bm25_stream artifact: stream did not drain")
+
+            _add_batches(range(2))
+            _drain()
+            # injected crash: latest commit marker lost AND the state log
+            # gone (the strictly harder lost-marker case) — the restart
+            # replays that batch through the index-probe heal
+            _lose_latest_commit(ckpt)
+            shutil.rmtree(f"{index_path}/_ingest_state", ignore_errors=True)
+            _add_batches(range(2, _STREAM_MOD))
+            _drain()
+            # non-vacuity: the replayed batch (id 1) must have gone
+            # through the probe heal (its fresh 'done' row is the heal's
+            # own write), and batch 0 must NOT have been re-delivered
+            # (its marker row died with the state log) — i.e. the final
+            # index carries batch 0's docs from BEFORE the crash
+            log = {
+                (int(r["batch_id"]), r["phase"])
+                for r in spark.read.parquet(
+                    f"{index_path}/_ingest_state"
+                ).collect()
+            }
+            if (1, "done") not in log or (0, "done") in log:
+                raise RuntimeError(
+                    f"bm25_stream artifact: replay heal did not engage: "
+                    f"{sorted(log)}"
+                )
+            ix = BM25.read(spark, index_path)
+            with open(sig_path, "w") as fh:
+                fh.write(sig)
+        ix.doc_len = ix.doc_len.cache()
+        ix.df = ix.df.cache()
+        ix.stats = ix.stats.cache()
+        _BM25_STREAM_CACHE[key] = ix
+    return _BM25_STREAM_CACHE[key]
+
+
+def _bm25_stream_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bm = _bm25_stream_index(spark, sf_dir)
+    return bm.score(BM25_QUERY, k=K).select(F.col("id").alias("doc_id"), "score")
+
+
+_register(
+    "bm25_stream_score",
+    _bm25_stream_score,
+    f"WITH {_sql_bm25_ctes()}, {_sql_bm25_score(BM25_QUERY)} "
+    f"SELECT id AS doc_id, ROUND(score, 6) AS score FROM sc ORDER BY score DESC, id LIMIT {K}",
+)
+
+
 # batch text retrieval: 50 queries (first 8 tokens of docs 0..49) scored in
 # ONE job — the text-side twin of knn_batch100
 N_TEXT_QUERIES = 50
