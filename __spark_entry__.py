@@ -396,16 +396,20 @@ GROUP BY vec_id ORDER BY score, vec_id LIMIT {K}
 # A6/D5/D6/H6/H7 — BM25
 # ---------------------------------------------------------------------------
 
-def _sql_bm25_ctes() -> str:
+def _sql_bm25_ctes(corpus_where: str = "TRUE") -> str:
+    """``corpus_where`` restricts the corpus the statistics are computed
+    over (used by the delete-lifecycle oracle: a soft-deleted doc must
+    vanish from df/n_docs/avgdl too, exactly as if it was never built)."""
     tok = _SQL_TOKENIZE.format(col="text")
+    w = corpus_where
     return f"""
-tok AS (SELECT doc_id AS id, unnest({tok}) AS term FROM documents),
+tok AS (SELECT doc_id AS id, unnest({tok}) AS term FROM documents WHERE {w}),
 tf AS (SELECT id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY id, term),
 dl AS (SELECT id, count(*)::DOUBLE AS dl FROM tok GROUP BY id),
 dft AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
-st AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n_docs,
-              (SELECT sum(coalesce(dl, 0)) FROM documents LEFT JOIN dl ON doc_id = id)
-              / (SELECT count(*) FROM documents) AS avgdl)
+st AS (SELECT (SELECT count(*) FROM documents WHERE {w})::DOUBLE AS n_docs,
+              (SELECT sum(coalesce(dl, 0)) FROM documents LEFT JOIN dl ON doc_id = id WHERE {w})
+              / (SELECT count(*) FROM documents WHERE {w}) AS avgdl)
 """
 
 
@@ -542,13 +546,16 @@ _BM25_COMPACT_CACHE: dict[tuple[str, str, str], BM25] = {}
 
 
 def _bm25_compacted_index(
-    spark: SparkSession, sf_dir: str, subdir: str, mod: int, **compact_kw
+    spark: SparkSession, sf_dir: str, subdir: str, mod: int,
+    delete_where: str | None = None, **compact_kw
 ) -> BM25:
     """Shared scaffold for the compaction ★s: build on residue 0 of
     ``doc_id % mod``, append the other residues one batch each, then
     ``BM25.compact(**compact_kw)`` — so the persisted artifact exercises
     the whole maintain-then-consolidate lifecycle before any query
-    touches it."""
+    touches it. ``delete_where`` soft-deletes a doc subset (a SQL
+    condition over doc_id) BEFORE the compact, so the compact runs under
+    a live delete vector."""
     key = (_skey(spark), sf_dir, subdir)
     if key not in _BM25_COMPACT_CACHE:
         base = f"{_art_dir(sf_dir)}/{subdir}"
@@ -580,7 +587,26 @@ def _bm25_compacted_index(
                     spark, base, docs.filter(F.col("doc_id") % mod == m),
                     id_col="doc_id", text_col="text",
                 )
+            if delete_where is not None:
+                n_del = BM25.delete(
+                    spark, base,
+                    docs.filter(delete_where).select("doc_id"),
+                    id_col="doc_id",
+                )
+                if not n_del:
+                    raise RuntimeError(
+                        f"{subdir} artifact: delete_where matched no docs — "
+                        "the delete lifecycle would be vacuous"
+                    )
             BM25.compact(spark, base, **compact_kw)
+            if delete_where is not None and compact_kw.get("tiered"):
+                # non-vacuity: the tiered compact must RETAIN the vector
+                # (the oracle equality below proves it is still applied)
+                if not os.path.exists(f"{base}/deletes"):
+                    raise RuntimeError(
+                        f"{subdir} artifact: tiered compact dropped the "
+                        "delete vector"
+                    )
             ix = BM25.read(spark, base)
             os.makedirs(base, exist_ok=True)
             with open(sig_path, "w") as fh:
@@ -624,6 +650,35 @@ _register(
     "bm25_tiered_compact_score",
     _bm25_tiered_compact_score,
     f"WITH {_sql_bm25_ctes()}, {_sql_bm25_score(BM25_QUERY_2)} "
+    f"SELECT id AS doc_id, ROUND(score, 6) AS score FROM sc ORDER BY score DESC, id LIMIT {K}",
+)
+
+
+# ★ J-family maintenance, text side, part 5 (J6's text twin): the tiered
+# consolidation runs UNDER A LIVE DELETE VECTOR — build thirds, append,
+# BM25.delete a 10% doc subset (spanning base and appended segments),
+# then compact(tiered=True), which retains the vector (asserted) while
+# merging/renaming postings+doc_len files around it. The oracle scores a
+# corpus that NEVER CONTAINED the deleted docs (corpus_where) — equality
+# proves the deletes stay exactly applied (results, per-term df,
+# n_docs/avgdl) across the tiered file surgery. Reference analog: soft
+# -delete skip B15 + segment merge, storage_compaction.go:19-114.
+_DELETE_WHERE = "doc_id % 10 = 7"
+_DELETE_KEEP_SQL = "doc_id % 10 <> 7"
+
+
+def _bm25_tiered_delete_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bm = _bm25_compacted_index(
+        spark, sf_dir, "bm25_tiered_delete", 3,
+        delete_where=_DELETE_WHERE, tiered=True,
+    )
+    return bm.score(BM25_QUERY, k=K).select(F.col("id").alias("doc_id"), "score")
+
+
+_register(
+    "bm25_tiered_delete_score",
+    _bm25_tiered_delete_score,
+    f"WITH {_sql_bm25_ctes(_DELETE_KEEP_SQL)}, {_sql_bm25_score(BM25_QUERY)} "
     f"SELECT id AS doc_id, ROUND(score, 6) AS score FROM sc ORDER BY score DESC, id LIMIT {K}",
 )
 

@@ -300,6 +300,9 @@ class BM25:
             self.doc_len = self.doc_len.cache()
             self.df = self.df.cache()
             self.stats = self.stats.cache()
+        # ids soft-deleted via :meth:`delete` (set by :meth:`read` when a
+        # persisted index carries a delete vector); None = nothing deleted
+        self.del_ids: DataFrame | None = None
 
     def write(self, path: str, *, buckets: int = 0) -> None:
         """Persist the index (A8 serialization sink for the text index —
@@ -425,12 +428,47 @@ class BM25:
         # full-corpus build. A single-segment index (the common case)
         # keeps the plain single-row broadcast plan untouched.
         segs = ix.stats.collect()  # one tiny row per segment
+        n = float(sum(r["n_docs"] for r in segs))
+        tdl = float(sum((r["total_dl"] if "total_dl" in r.asDict() else None) or 0.0 for r in segs))
         if len(segs) > 1:
             ix.df = ix.df.groupBy("term").agg(F.sum("df").alias("df"))
-            n = float(sum(r["n_docs"] for r in segs))
-            tdl = float(sum(r["total_dl"] or 0.0 for r in segs))
             ix.stats = spark.createDataFrame(
                 [(n, tdl / n if n else None, tdl)],
+                "n_docs double, avgdl double, total_dl double",
+            )
+        ix.del_ids = None
+        # Delete vector (:meth:`delete`): every correction derives from
+        # the vector's intersection with LIVE rows, so a vector entry
+        # whose rows were already physically dropped (by a full compact
+        # that crashed before clearing the vector) contributes exactly
+        # nothing — any crash state reads correctly.
+        try:
+            dels = spark.read.parquet(f"{path}/deletes").select("id").distinct()
+            hit = ix.doc_len.join(dels, "id", "left_semi").agg(
+                F.count("*").alias("n"), F.sum("dl").alias("s")
+            ).first()
+            n_del, dl_del = int(hit["n"]), float(hit["s"] or 0.0)
+        except Exception:  # no vector on disk
+            n_del = 0
+        if n_del:
+            if len(segs) > 1 and any(
+                "total_dl" not in r.asDict() or r["total_dl"] is None for r in segs
+            ):
+                raise ValueError(
+                    "read(): index carries a delete vector over pre-total_dl "
+                    "stats segments; rebuild it once with BM25(...).write(path)"
+                )
+            if len(segs) == 1 and tdl == 0.0 and n > 0:
+                # pre-total_dl single-segment stats: recover the exact
+                # total from avgdl*n (dl is integral, so this is exact up
+                # to the stored double — the same value write() derived it
+                # from)
+                tdl = float(segs[0]["avgdl"] or 0.0) * n
+            ix.del_ids = dels
+            ix.doc_len = ix.doc_len.join(F.broadcast(dels), "id", "left_anti")
+            n2, tdl2 = n - n_del, tdl - dl_del
+            ix.stats = spark.createDataFrame(
+                [(n2, tdl2 / n2 if n2 else None, tdl2)],
                 "n_docs double, avgdl double, total_dl double",
             )
         return ix
@@ -555,6 +593,67 @@ class BM25:
                     t.unpersist()
 
     @classmethod
+    def delete(cls, spark, path: str, ids, *, id_col: str = "id") -> int:
+        """Soft-delete documents from a persisted index (the text twin of
+        ``DocumentStore.delete`` / reference B15 soft-delete skip): the
+        ids append to a DELETE VECTOR at ``path/deletes``; nothing else
+        on disk changes. :meth:`read` applies the vector exactly — the
+        docs vanish from results AND from the corpus statistics (df per
+        query term, n_docs, avgdl), so a read-after-delete scores
+        byte-identically to an index built without those docs.
+
+        Every correction is derived from the vector's intersection with
+        LIVE rows (doc_len for n_docs/avgdl at read; the literal-pruned
+        postings scan for df at query time), never from numbers stored
+        at delete time — so the one write here is a single append of
+        independently-valid id rows: any torn/partial state is simply
+        "fewer deletes landed", and a vector entry whose rows a later
+        FULL compact already dropped contributes exactly nothing.
+        :meth:`compact` with ``tiered=False`` applies the vector
+        physically (drops the rows, recomputes df/stats from survivors,
+        clears the vector); ``tiered=True`` retains it, like the store's
+        tiered merge retains the base's delete files.
+
+        A deleted id stays in the id LEDGER (doc_len) until that full
+        compact, so re-appending it first raises ``DuplicateIdsError`` —
+        delete is a search-visibility operation, not a ledger removal
+        (route upserts through the LSM merge view, as :meth:`append`
+        documents). Returns the number of ids actually recorded (already
+        -deleted and never-indexed ids are skipped — idempotent).
+
+        ``ids``: a DataFrame carrying ``id_col``, or an iterable of ids.
+        """
+        from comet_spark.storage.store import _FS
+
+        if isinstance(ids, DataFrame):
+            ids_df = ids.select(F.col(id_col).alias("id"))
+        else:
+            ids_df = spark.createDataFrame([(int(i),) for i in ids], "id bigint")
+        with _index_writer_lock(spark, path, "delete"):
+            _heal_index_dirs(_FS(spark, path), path)
+            # scope to ids actually in the ledger and not already deleted:
+            # keeps the vector bounded and the return count meaningful
+            fresh = (
+                ids_df.distinct()
+                .join(
+                    spark.read.parquet(f"{path}/doc_len").select("id"),
+                    "id", "left_semi",
+                )
+            )
+            try:
+                fresh = fresh.join(
+                    spark.read.parquet(f"{path}/deletes").select("id"),
+                    "id", "left_anti",
+                )
+            except Exception:  # no vector yet
+                pass
+            fresh = fresh.localCheckpoint()  # sever before writing to a read path
+            n = fresh.count()
+            if n:
+                fresh.repartition(1).write.mode("append").parquet(f"{path}/deletes")
+            return int(n)
+
+    @classmethod
     def compact(
         cls, spark, path: str, *, rows_per_file: int = 8_000_000,
         tiered: bool = False,
@@ -675,12 +774,38 @@ class BM25:
                     raise OSError(f"compact: could not install {tmp}")
                 fs.delete(old)
 
-            def _finish_small_tables(nf: int) -> None:
+            def _finish_small_tables(nf: int, from_live: bool = False) -> None:
                 # df partials OVERLAP per term (unlike the disjoint-by-id
                 # postings/doc_len rows) so their collapse is a semantic
                 # groupBy — but vocabulary-sized, cheap in every mode; the
                 # single merged stats row is what re-engages read()'s
-                # fast path.
+                # fast path. ``from_live`` (the delete-applying full
+                # compact) recomputes BOTH tables exactly from the
+                # just-swapped survivor rows instead of folding the stale
+                # partials: df = postings count per term, stats from
+                # doc_len — no re-tokenize, and the on-disk ledger
+                # (stats.n_docs == doc_len rows) stays consistent.
+                if from_live:
+                    _swap(
+                        "df",
+                        lambda t: spark.read.parquet(f"{path}/postings")
+                        .groupBy("term").agg(F.count("*").alias("df"))
+                        .coalesce(nf).write.mode("overwrite").parquet(t),
+                    )
+                    r = spark.read.parquet(f"{path}/doc_len").agg(
+                        F.count("*").alias("n"), F.sum("dl").alias("s")
+                    ).first()
+                    n2, tdl2 = float(r["n"]), float(r["s"] or 0.0)
+                    merged = spark.createDataFrame(
+                        [(n2, tdl2 / n2 if n2 else None, tdl2)],
+                        "n_docs double, avgdl double, total_dl double",
+                    )
+                    _swap(
+                        "stats",
+                        lambda t: merged.repartition(1)
+                        .write.mode("overwrite").parquet(t),
+                    )
+                    return
                 _swap(
                     "df",
                     lambda t: spark.read.parquet(f"{path}/df")
@@ -708,6 +833,11 @@ class BM25:
 
             nf = max(1, -(-n_dl // rows_per_file))
             if tiered:
+                # the delete vector (if any) rides along untouched: tiered
+                # merges keep every row, so the read path's live-row-
+                # derived corrections stay exact, and the on-disk ledger
+                # (stats vs doc_len) stays consistent — the full compact
+                # below is what applies deletes physically
                 _tiered_merge(spark, fs, path, "doc_len", 0, rows_per_file)
                 _tiered_merge(spark, fs, path, "postings", buckets, rows_per_file)
                 if buckets > 0 and spark.catalog.tableExists(
@@ -716,9 +846,32 @@ class BM25:
                     spark.catalog.refreshTable(_postings_table_name(path))
                 _finish_small_tables(nf)
                 return
+            # full compact applies the delete vector physically (the
+            # hard-delete rewrite, store J6's text twin): survivors-only
+            # postings/doc_len, df/stats recomputed exactly from them, the
+            # vector cleared LAST — a crash before the clear leaves a
+            # vector whose rows are already gone, and every read-path
+            # correction derives from live rows, so it reads correctly.
+            dels = None
+            if fs.exists(f"{path}/deletes"):
+                try:
+                    d = spark.read.parquet(f"{path}/deletes").select(
+                        "id"
+                    ).distinct().localCheckpoint()
+                    if d.first() is not None:
+                        dels = d
+                except Exception:
+                    dels = None
+
+            def _survivors(sub: str):
+                t = spark.read.parquet(f"{path}/{sub}")
+                return t if dels is None else t.join(
+                    F.broadcast(dels), "id", "left_anti"
+                )
+
             _swap(
                 "doc_len",
-                lambda t: spark.read.parquet(f"{path}/doc_len")
+                lambda t: _survivors("doc_len")
                 .coalesce(nf).write.mode("overwrite").parquet(t),
             )
             if buckets > 0:
@@ -732,7 +885,7 @@ class BM25:
                 def _write_postings(t: str) -> None:
                     spark.sql(f"DROP TABLE IF EXISTS {tmp_name}")
                     (
-                        spark.read.parquet(f"{path}/postings")
+                        _survivors("postings")
                         .repartition(buckets, "term")
                         .write.mode("overwrite")
                         .option("path", t)
@@ -748,10 +901,12 @@ class BM25:
             else:
                 _swap(
                     "postings",
-                    lambda t: spark.read.parquet(f"{path}/postings")
+                    lambda t: _survivors("postings")
                     .coalesce(nf).write.mode("overwrite").parquet(t),
                 )
-            _finish_small_tables(nf)
+            _finish_small_tables(nf, from_live=dels is not None)
+            if dels is not None:
+                fs.delete(f"{path}/deletes")
 
 
     def _scored(
@@ -772,12 +927,36 @@ class BM25:
         posts = self.postings
         if literal_terms:
             posts = posts.filter(F.col("term").isin(literal_terms))
+        df_eff = self.df
+        del_ids = getattr(self, "del_ids", None)
+        if del_ids is not None:
+            # exact df correction for soft-deleted docs, derived from the
+            # SAME (literal-pruned) postings scan: df'(t) = df(t) minus the
+            # deleted docs that contained t. Deleted docs can't appear in
+            # results (doc_len is already anti-joined at read()), but they
+            # must also stop counting toward each term's document
+            # frequency — and n_docs/avgdl, corrected at read(). Deriving
+            # the correction from live postings rows (not a stored
+            # per-term ledger) keeps every crash state exact: rows a
+            # compact already dropped simply contribute nothing.
+            ddf = (
+                posts.join(F.broadcast(del_ids), "id", "left_semi")
+                .groupBy("term")
+                .agg(F.count("*").alias("__ddf"))
+            )
+            df_eff = (
+                self.df.join(ddf, "term", "left")
+                .select(
+                    "term",
+                    (F.col("df") - F.coalesce(F.col("__ddf"), F.lit(0))).alias("df"),
+                )
+            )
         matched = posts.join(F.broadcast(query_terms), "term")
         if prefilter_ids is not None:
             matched = matched.join(prefilter_ids.select("id"), "id", "left_semi")
         matched = (
             matched.join(self.doc_len, "id")
-            .join(F.broadcast(self.df), "term")
+            .join(F.broadcast(df_eff), "term")
             .crossJoin(F.broadcast(self.stats))
         )
         idf = F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)

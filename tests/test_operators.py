@@ -466,6 +466,107 @@ def test_bm25_compact_consolidates_segments(spark, tmp_path):
         BM25.compact(spark, torn)
 
 
+def test_bm25_delete_matches_rebuild_without_docs(spark, tmp_path):
+    """Soft delete (B15's text twin, VERDICT r07 #5): after BM25.delete
+    the reopened index scores byte-identically to a fresh build WITHOUT
+    the deleted docs — results, df per query term, and n_docs/avgdl all
+    corrected. The vector survives a tiered compact and is applied
+    physically (rows dropped, df/stats recomputed, vector cleared,
+    ledger consistent) by the full compact."""
+    import os
+
+    import pyspark.sql.functions as F
+    import pytest
+
+    from comet_spark.operators.bm25 import BM25, DuplicateIdsError
+
+    rows = [
+        (i, f"spark table join {'fast ' * (i % 3)}data row {i}")
+        for i in range(24)
+    ] + [(24, ""), (25, "")]  # token-less docs count toward N/avgdl
+    full = spark.createDataFrame(rows, "id bigint, text string")
+    deleted = [0, 7, 14, 21, 24]  # includes a token-less doc
+    survivors = full.filter(~F.col("id").isin(deleted))
+    want = [
+        tuple(r) for r in BM25(survivors).score("spark fast data", k=0).collect()
+    ]
+    want_stats = BM25(survivors).stats.first()
+
+    for buckets in (0, 4):
+        path = str(tmp_path / f"dix{buckets}")
+        BM25(full.filter(F.col("id") % 3 == 0)).write(path, buckets=buckets)
+        for m in (1, 2):
+            BM25.append(spark, path, full.filter(F.col("id") % 3 == m))
+        # recorded once; re-deletes and never-indexed ids are skipped
+        assert BM25.delete(spark, path, deleted) == len(deleted)
+        assert BM25.delete(spark, path, deleted) == 0
+        assert BM25.delete(spark, path, [999]) == 0
+
+        back = BM25.read(spark, path)
+        got = [tuple(r) for r in back.score("spark fast data", k=0).collect()]
+        assert got == want, buckets
+        st = back.stats.first()
+        assert (st["n_docs"], st["avgdl"], st["total_dl"]) == (
+            want_stats["n_docs"], want_stats["avgdl"], want_stats["total_dl"],
+        ), buckets
+
+        # tiered compact RETAINS the vector (like the store's tiered
+        # merge retains base delete files); scoring is unchanged
+        BM25.compact(spark, path, tiered=True)
+        assert os.path.exists(f"{path}/deletes")
+        got = [
+            tuple(r)
+            for r in BM25.read(spark, path).score("spark fast data", k=0).collect()
+        ]
+        assert got == want, buckets
+
+        # a deleted id stays in the ledger until the hard delete — the
+        # duplicate-id probe still fires
+        with pytest.raises(DuplicateIdsError):
+            BM25.append(
+                spark, path,
+                spark.createDataFrame([(7, "again")], "id bigint, text string"),
+            )
+
+        # full compact = the hard-delete rewrite: rows dropped, df/stats
+        # recomputed from survivors, vector cleared, scores unchanged
+        BM25.compact(spark, path)
+        assert not os.path.exists(f"{path}/deletes")
+        assert spark.read.parquet(f"{path}/doc_len").count() == 26 - len(deleted)
+        st_disk = spark.read.parquet(f"{path}/stats").first()
+        assert (st_disk["n_docs"], st_disk["total_dl"]) == (
+            want_stats["n_docs"], want_stats["total_dl"],
+        ), buckets
+        got = [
+            tuple(r)
+            for r in BM25.read(spark, path).score("spark fast data", k=0).collect()
+        ]
+        assert got == want, buckets
+        # ...and the id left the ledger: re-appending it now works
+        BM25.append(
+            spark, path,
+            spark.createDataFrame([(7, "spark reborn")], "id bigint, text string"),
+        )
+        assert BM25.read(spark, path).doc_len.count() == 26 - len(deleted) + 1
+
+    # crash window: a vector whose rows a full compact already dropped
+    # (crash before the clear) contributes exactly nothing
+    path = str(tmp_path / "dix0")
+    spark.createDataFrame([(0,), (14,)], "id bigint").write.mode(
+        "overwrite"
+    ).parquet(f"{path}/deletes")
+    back = BM25.read(spark, path)
+    assert back.del_ids is None  # no live rows -> treated as no deletes
+    # delete respects the writer lock like every other write path
+    from comet_spark.storage.store import StoreLockedError, _FS
+
+    fs = _FS(spark, path)
+    assert fs.create_new(f"{path}/_lock")
+    with pytest.raises(StoreLockedError):
+        BM25.delete(spark, path, [1])
+    fs.delete(f"{path}/_lock")
+
+
 def test_winnowing_guarantee_and_pairs(spark):
     """Winnowing's core guarantee: two docs sharing a run of >= k+w-1
     tokens share at least one fingerprint; unrelated docs share none;
