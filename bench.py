@@ -55,17 +55,54 @@ def main() -> None:
     total = sum(v for v in timings.values() if v == v and v != float("inf"))
     cold_total = sum(v for v in cold.values() if v == v)
 
+    # dedicated pinned measurement for the headline queries (the 5 most
+    # expensive in the suite): min-of-2 made the cross-round JSON key on
+    # the noisiest number in the suite (knn_batch100 swung 3× between
+    # rounds on byte-identical code — r07 postmortem). An N-pass min at
+    # the end of the run converges to the true serving floor, so the
+    # round-over-round ratio on unchanged code stays inside the measured
+    # ±9% host A/B band; the pass-0 'cold' twin (one-time costs + cold
+    # cache) is recorded separately instead of polluting the min.
+    pinned_names = [
+        "knn_batch100", "lsm_merge_bm25", "minhash_lsh_pairs",
+        "hybrid_ivfpq_rrf", "range_join_recent_orders",
+    ]
+    pinned_passes = int(os.environ.get("SPARK_GRAFT_PINNED_PASSES", "5"))
+    qmap = entry_mod.queries()
+    pinned: dict[str, dict[str, float | None]] = {}
+    for name in pinned_names:
+        fn = qmap.get(name)
+        if fn is None:
+            continue
+        best = float("inf")
+        for _ in range(pinned_passes):
+            t0 = time.perf_counter()
+            try:
+                fn(spark, sf_dir).collect()
+                best = min(best, time.perf_counter() - t0)
+            except Exception as ex:
+                print(f"FAIL pinned {name}: {ex}", file=sys.stderr)
+        pinned[name] = {
+            "cold": cold.get(name),
+            "warm_min": round(best, 3) if best != float("inf") else None,
+        }
+
     # key order matters: the driver records only a TAIL of this line, so
     # the per-query map (the bulky part) goes FIRST and every summary
     # field — including the passes marker that says these are best-of-N
-    # minima, not single-pass wall times — goes LAST, where the tail
-    # always keeps it
+    # minima, not single-pass wall times, and the pinned headline
+    # measurements — goes LAST, where the tail always keeps it
+    knn_pin = pinned.get("knn_batch100", {})
     payload = {
         "queries": timings,
         "sf": sf,
         "passes": passes,
         "timing": f"per-query min over {passes} passes",
         "cold_total": round(cold_total, 3),
+        "pinned_passes": pinned_passes,
+        "pinned": pinned,
+        "knn_batch100_cold": knn_pin.get("cold"),
+        "knn_batch100_warm": knn_pin.get("warm_min"),
         "metric": "batch_query_suite_runtime",
         "value": round(total, 3),
         "unit": "sec",
