@@ -115,22 +115,37 @@ def _tiered_merge(
     spark, fs, path: str, sub: str, buckets: int, rows_per_file: int
 ) -> bool:
     """Size-tiered file merge of ``{path}/{sub}``: within each tier
-    group (per bucket when ``buckets > 0``, else per directory), files
-    below the top size tier merge and the kept top-tier files move
-    across by RENAME (selection: ``storage.store._pick_tier_merge`` —
-    top tier = within 4× of the group's largest, so a multi-file base
-    is protected; a uniform group consolidates at the STCS
-    min-threshold), keeping the rewrite cost proportional to the small
-    appended segments, not the table. Rows must be disjoint
-    across files (true for postings/doc_len — append's contract), since
-    the merge is pure file consolidation. Returns False when no
-    group has anything to merge.
+    group (per bucket when ``buckets > 0``, else per directory), the
+    shared policy (``storage.store._pick_tier_merge``) selects zero or
+    more MERGE SETS — below the consolidation cap the familiar
+    small-tail merge / epoch consolidation, above it the absolute
+    size-class ladder (within-tier merging: each class that fills to
+    the STCS min-threshold merges into one output landing in the NEXT
+    class) — and the kept files move across by RENAME. Rewrite cost
+    stays proportional to the merged sets, never the table, with O(log)
+    write amplification and bounded file counts even on an index that
+    never takes a full compact. Rows must be disjoint across files
+    (true for postings/doc_len — append's contract), since the merge is
+    pure file consolidation. Returns False when no group has anything
+    to merge.
+
+    Each set lands as ONE file per bucket group (the promotion
+    invariant: a class merge's output must reach the next class, so it
+    is never split back by ``rows_per_file`` — file sizes stay bounded
+    by the policy's ``ladder_max_bytes`` terminal instead). Sets on the
+    same ladder rung across buckets share one scratch write — the
+    repartition by the bucket hash routes every bucket's rows to its
+    own single output file — so a pass costs O(#rungs) jobs, not
+    O(#buckets).
 
     Crash safety: the kept-file names are journaled (atomic write)
     BEFORE any mutation; every crash point is then either aborted or
     completed deterministically by :func:`_heal_tiered_merges` — see
-    there. As with the full swap, the live dir is momentarily absent
-    mid-protocol: readers fail loudly, never silently wrong."""
+    there. Multi-rung output writes all happen into the side dir before
+    the journal lands, so the multi-output pass inherits the same
+    abort-or-complete guarantee. As with the full swap, the live dir is
+    momentarily absent mid-protocol: readers fail loudly, never
+    silently wrong."""
     cur = f"{path}/{sub}"
     files = [
         (n, s) for n, s in fs.list_status(cur) if n.startswith("part-")
@@ -147,20 +162,31 @@ def _tiered_merge(
             groups.setdefault(int(m.group(1)), []).append((n, s))
     else:
         groups[0] = files
-    from comet_spark.storage.store import _pick_tier_merge
+    from comet_spark.storage.store import (
+        _pick_tier_merge,
+        _size_class,
+        _tiered_swap,
+    )
 
-    kept, small = [], []
+    kept, sets = [], []
     for g in groups.values():
         k, m = _pick_tier_merge(g)
         kept.extend(k)
-        small.extend(m)
-    if not small:
+        sets.extend(m)
+    if not sets:
         return False
-    from comet_spark.storage.store import _tiered_swap
+    # union the sets by ladder rung (tail = -1): one write per rung keeps
+    # per-bucket outputs separate per rung, which is exactly the grain the
+    # promotion invariant needs
+    sizes = dict(files)
+    by_rung: dict[int, list[str]] = {}
+    for s_files in sets:
+        rung = max(_size_class(sizes[n]) for n in s_files)
+        by_rung.setdefault(rung, []).extend(s_files)
+    scratch = f"{cur}.tierscratch"
+    fs.delete(scratch)  # stale leftover from a crashed pass
 
-    merged_src = spark.read.parquet(*[f"{cur}/{n}" for n in small])
-
-    def _write_side(tmp: str) -> None:
+    def _write_one(src, dst: str) -> None:
         if buckets > 0:
             # through a scratch external table so the merged files land
             # with proper bucket-id names (repartition by the bucket hash
@@ -170,18 +196,32 @@ def _tiered_merge(
             tmp_name = f"{name}_tiering"
             spark.sql(f"DROP TABLE IF EXISTS {tmp_name}")
             (
-                merged_src.repartition(buckets, "term")
+                src.repartition(buckets, "term")
                 .write.mode("overwrite")
-                .option("path", tmp)
+                .option("path", dst)
                 .bucketBy(buckets, "term")
                 .sortBy("term")
                 .saveAsTable(tmp_name)
             )
             spark.sql(f"DROP TABLE {tmp_name}")  # external: files stay
         else:
-            n_rows = merged_src.count()
-            nf = max(1, -(-n_rows // rows_per_file))
-            merged_src.coalesce(nf).write.mode("overwrite").parquet(tmp)
+            src.coalesce(1).write.mode("overwrite").parquet(dst)
+
+    def _write_side(tmp: str) -> None:
+        for i, rung in enumerate(sorted(by_rung)):
+            src = spark.read.parquet(*[f"{cur}/{n}" for n in by_rung[rung]])
+            if i == 0:
+                _write_one(src, tmp)
+                continue
+            fs.delete(scratch)
+            _write_one(src, scratch)
+            # distinct write UUIDs make the names collision-free in tmp
+            for n, _sz in fs.list_status(scratch):
+                if n.startswith("part-") and not fs.rename(
+                    f"{scratch}/{n}", f"{tmp}/{n}"
+                ):
+                    raise OSError(f"tiered merge: could not stage {n}")
+            fs.delete(scratch)
 
     _tiered_swap(fs, cur, kept, _write_side)
     return True
@@ -709,11 +749,15 @@ class BM25:
         appended segments (bytes measured in SCALE_SOAK.json). Valid
         because rows are disjoint by id across segment files; df/stats
         still rewrite fully (their partials overlap per term / fold to
-        one row, and both are vocabulary-/single-row-sized). Buckets
-        hold a small handful of files (base + promoted tiers + the
-        current merged output); promoted tiers accumulate ~one per
-        base/4 bytes appended, so schedule an occasional FULL compact
-        to restore the one-file-per-bucket shape. Crash
+        one row, and both are vocabulary-/single-row-sized). Above the
+        consolidation cap the policy switches to the absolute
+        size-class ladder (within-tier merging: each filled class
+        merges into one output PROMOTED to the next class; files at the
+        ladder terminal are left for a full compact), so buckets hold a
+        BOUNDED handful of files with O(log) write amplification even
+        if a full compact never runs (SCALE_SOAK.json tier_ladder_sim);
+        a full compact still restores the exact one-file-per-bucket
+        shape when wanted. Crash
         recovery is journal-guided (:func:`_heal_tiered_merges` — every
         write path heals at entry): each crash point either aborts or
         completes, never double-counts, and readers fail loudly during

@@ -204,42 +204,107 @@ def _tiered_swap(fs: _FS, cur: str, kept: list[str], write_side) -> None:
     fs.delete(journal)
 
 
+# shared size-tier constants (one source of truth for the policy function
+# AND the store's contiguous-run variant of it)
+_TIER_RATIO = 4
+_TIER_MIN_UNIFORM = 4  # STCS min-threshold; must be >= _TIER_RATIO for the
+#                        class-promotion invariant (_size_class docstring)
+_TIER_CAP = 64 << 20  # below: largest-relative tiers; above: absolute ladder
+_TIER_LADDER_MAX = 1 << 30  # at/above: terminal files, full compact only
+
+
+def _size_class(
+    size: int, *, ratio: int | None = None, cap: int | None = None
+) -> int:
+    """Absolute size class of an at-or-above-cap file: class ``c`` holds
+    sizes in ``[cap·ratio^c, cap·ratio^(c+1))`` — merging ``ratio`` files
+    of class ``c`` lands exactly in class ``c+1``, so a merge output can
+    never rejoin its inputs' class (the no-rewrite-forever invariant the
+    above-cap ladder rests on). Defaults resolve to the module tier
+    constants AT CALL TIME (tests drive the ladder with tiny files by
+    patching them)."""
+    import math
+
+    ratio = _TIER_RATIO if ratio is None else ratio
+    cap = _TIER_CAP if cap is None else cap
+    if size < cap:
+        return -1
+    return int(math.log(size / cap) // math.log(ratio))
+
+
 def _pick_tier_merge(
-    files: list[tuple[str, int]], *, ratio: int = 4, min_uniform: int = 4,
-    consolidate_max_bytes: int = 64 << 20,
-) -> tuple[list[str], list[str]]:
-    """Size-tier selection for one merge group: ``(kept, merged)``.
+    files: list[tuple[str, int]], *, ratio: int | None = None,
+    min_uniform: int | None = None,
+    consolidate_max_bytes: int | None = None,
+    ladder_max_bytes: int | None = None,
+) -> tuple[list[str], list[list[str]]]:
+    """Size-tier selection for one merge group: ``(kept, merge_sets)`` —
+    each set in ``merge_sets`` consolidates into its OWN output (one
+    file), so a single pass can emit several merged files.
 
-    The TOP tier — every file within ``ratio``× of the group's largest —
-    is base data and moves by rename; everything below it merges (when
-    at least two such files exist; a lone straggler waits for company).
-    A merged output below the top tier is re-merged with newer arrivals
+    BELOW ``consolidate_max_bytes`` (young group): the TOP tier — every
+    file within ``ratio``× of the group's largest — is base data and
+    moves by rename; everything below it merges as one set (when at
+    least two such files exist; a lone straggler waits for company). A
+    merged output below the top tier is re-merged with newer arrivals
     until it grows within ``ratio``× of the largest and joins the base
-    tier, so per-boundary rewrite is bounded by ~largest/ratio.
+    tier, so per-boundary rewrite is bounded by ~largest/ratio. Once
+    ``min_uniform`` top-tier files accumulate (equal streaming batches,
+    or promoted merge outputs reaching the base — the STCS
+    min-threshold), the WHOLE group consolidates: the ladder's epoch
+    step; the promotion threshold then grows with the new largest file,
+    so each byte is rewritten O(log) times over the group's life.
 
-    Once ``min_uniform`` top-tier files accumulate (equal streaming
-    batches, or promoted merge outputs reaching the base — the STCS
-    min-threshold), the WHOLE group consolidates: that is the ladder's
-    epoch step, and because the threshold for promotion then doubles
-    with the new largest file, each byte is rewritten O(log) times over
-    the group's life. The epoch step is GUARDED by
-    ``consolidate_max_bytes``: files at or above it are already
-    target-sized output (e.g. a rows_per_file-capped table whose full
-    compact emits several equal files) — re-merging those would rewrite
-    the group on every call forever, splitting back into the same
-    files. Above the cap, only sub-tier files merge and top-tier files
-    simply accumulate as healthy, target-sized segments until a full
-    compact resets the count."""
+    AT/ABOVE the cap the epoch step would be a rewrite-forever
+    pathology for a table whose full compact already emits several
+    target-sized files, so the group switches to an ABSOLUTE size-class
+    ladder (within-tier merging — VERDICT r07 #3): files below the cap
+    merge as the tail set (≥2), and each class (see :func:`_size_class`)
+    that accumulates ``min_uniform`` members merges into one output that
+    lands in the NEXT class — never back into its own, because
+    ``min_uniform >= ratio`` makes the output at least ``cap·ratio^(c+1)``
+    bytes. File counts stay bounded (≤ ``min_uniform-1`` per class + one
+    tail straggler) with O(log) write amplification and NO full compact
+    needed. Files at/above ``ladder_max_bytes`` are terminal: healthy
+    target-sized segments that only a full compact touches (keeps the
+    single-task merge write bounded)."""
+    ratio = _TIER_RATIO if ratio is None else ratio
+    min_uniform = _TIER_MIN_UNIFORM if min_uniform is None else min_uniform
+    cap = _TIER_CAP if consolidate_max_bytes is None else consolidate_max_bytes
+    ladder_max_bytes = (
+        _TIER_LADDER_MAX if ladder_max_bytes is None else ladder_max_bytes
+    )
     if len(files) < 2:
         return [n for n, _ in files], []
     mx = max(s for _, s in files)
-    kept = [n for n, s in files if s >= mx / ratio]
-    small = [n for n, s in files if s < mx / ratio]
-    if len(kept) >= min_uniform and mx < consolidate_max_bytes:
-        return [], [n for n, _ in files]  # epoch/uniform consolidation
-    if len(small) >= 2:
-        return kept, small
-    return [n for n, _ in files], []
+    if mx < cap:
+        kept = [n for n, s in files if s >= mx / ratio]
+        small = [n for n, s in files if s < mx / ratio]
+        if len(kept) >= min_uniform:
+            return [], [[n for n, _ in files]]  # epoch/uniform consolidation
+        if len(small) >= 2:
+            return kept, [small]
+        return [n for n, _ in files], []
+    kept, sets = [], []
+    classes: dict[int, list[str]] = {}
+    tail = []
+    for n, s in files:
+        if s >= ladder_max_bytes:
+            kept.append(n)  # terminal
+        elif s < cap:
+            tail.append(n)
+        else:
+            classes.setdefault(_size_class(s, ratio=ratio, cap=cap), []).append(n)
+    if len(tail) >= 2:
+        sets.append(tail)
+    else:
+        kept.extend(tail)
+    for c in sorted(classes):
+        if len(classes[c]) >= min_uniform:
+            sets.append(classes[c])
+        else:
+            kept.extend(classes[c])
+    return kept, sets
 
 
 def _heal_tiered_swap(fs: _FS, cur: str) -> None:
@@ -756,7 +821,7 @@ class DocumentStore:
         # a full compact. A merged tail is re-merged with newer appends
         # until it grows into the top tier and joins the base, bounding
         # per-boundary rewrite by ~largest/4.
-        kept_segs, _merged = _pick_tier_merge(
+        kept_segs, _sets = _pick_tier_merge(
             [(str(s), sizes[s]) for s in segs]
         )
         if kept_segs:
@@ -764,45 +829,93 @@ class DocumentStore:
             tail = [s for s in segs if s > last_kept]
         else:
             tail = list(segs)  # uniform store: consolidate everything
-        if len(tail) < 2:
+        # merge groups: the contiguous suffix (above) PLUS — within-tier
+        # merging, VERDICT r07 #3 — every maximal CONTIGUOUS run of
+        # same-size-class head segments (above the consolidation cap,
+        # below the ladder terminal) that reaches the STCS min-threshold.
+        # A contiguous run collapses into its own NEWEST segment id, so
+        # segment ordering (and with it every newest-wins tie and delete
+        # watermark comparison) is preserved: rows inside the run resolve
+        # through _merged_view at merge time, rows outside keep their
+        # relative position. Each run's merge output lands in the next
+        # size class (min_uniform ≥ ratio), so it can never re-merge with
+        # its inputs' class — head file counts stay bounded without a
+        # full compact, the same ladder the BM25 postings use.
+        groups: list[list[int]] = []
+        if len(tail) >= 2:
+            groups.append(tail)
+        head = [s for s in segs if s not in set(tail)]
+        run: list[int] = []
+        run_class: int | None = None
+
+        def _flush() -> None:
+            if run_class is not None and len(run) >= _TIER_MIN_UNIFORM:
+                groups.append(list(run))
+
+        for s in head:
+            c: int | None = _size_class(sizes[s])
+            if c < 0 or sizes[s] >= _TIER_LADDER_MAX:
+                c = None  # below-cap straggler or terminal: breaks the run
+            if c != run_class:
+                _flush()
+                run, run_class = [], c
+            if c is not None:
+                run.append(s)
+        _flush()
+        if not groups:
             return  # nothing worth merging
-        subset = (
-            self.spark.read.option("basePath", self.data_path)
-            .option("mergeSchema", "true")
-            .parquet(*[f"{self.data_path}/segment={s}" for s in tail])
-        )
-        keep_seg = tail[-1]
-        out = (
-            self._merged_view(subset)
-            .withColumn("segment", F.lit(keep_seg))
-            .withColumn("__seq", F.lit(0).cast("bigint"))
-            .cache()
-        )
-        n_rows = out.count()  # materialize before touching sources
+        outs, merged_segs, cached = [], [], []
         try:
-            if n_rows == 0:
-                # every tail row is superseded or delete-hidden. Skip the
-                # swap: writing an EMPTY merged segment would erase the
-                # tail's segment numbers from the listing, and a future
-                # append reusing one could be wrongly hidden by a pending
-                # delete watermark issued above it (tiered keeps delete
-                # files). The hidden rows cost storage until a full
-                # compact, which is also what removes the delete files.
+            for grp in groups:
+                subset = (
+                    self.spark.read.option("basePath", self.data_path)
+                    .option("mergeSchema", "true")
+                    .parquet(*[f"{self.data_path}/segment={s}" for s in grp])
+                )
+                out = (
+                    self._merged_view(subset)
+                    .withColumn("segment", F.lit(grp[-1]))
+                    .withColumn("__seq", F.lit(0).cast("bigint"))
+                    .cache()
+                )
+                cached.append(out)
+                n_rows = out.count()  # materialize before touching sources
+                if n_rows == 0:
+                    # every row is superseded or delete-hidden. Skip this
+                    # group: writing an EMPTY merged segment would erase
+                    # its segment numbers from the listing, and a future
+                    # append reusing one could be wrongly hidden by a
+                    # pending delete watermark issued above it (tiered
+                    # keeps delete files). The hidden rows cost storage
+                    # until a full compact, which is also what removes
+                    # the delete files.
+                    continue
+                outs.append(
+                    self._layout_rewrite(
+                        out, n_rows, zorder_by=zorder_by,
+                        zorder_bits=zorder_bits, zorder_files=zorder_files,
+                        recluster=recluster,
+                        recluster_vec_col=recluster_vec_col,
+                        keep_layout_cols=keep_layout_cols,
+                    )
+                )
+                merged_segs.extend(grp)
+            if not outs:
                 return
-            out2 = self._layout_rewrite(
-                out, n_rows, zorder_by=zorder_by, zorder_bits=zorder_bits,
-                zorder_files=zorder_files, recluster=recluster,
-                recluster_vec_col=recluster_vec_col,
-                keep_layout_cols=keep_layout_cols,
-            )
-            kept_dirs = [f"segment={s}" for s in segs if s not in tail]
+            union = outs[0]
+            for o in outs[1:]:
+                union = union.unionByName(o)
+            kept_dirs = [
+                f"segment={s}" for s in segs if s not in set(merged_segs)
+            ]
 
             def _write_side(tmp: str) -> None:
-                out2.write.mode("overwrite").partitionBy("segment").parquet(tmp)
+                union.write.mode("overwrite").partitionBy("segment").parquet(tmp)
 
             _tiered_swap(self._fs, self.data_path, kept_dirs, _write_side)
         finally:
-            out.unpersist()
+            for o in cached:
+                o.unpersist()
 
     def segment_count(self) -> int:
         return len(self._segment_ids())

@@ -456,8 +456,11 @@ def bm25_ingest_stream(
     index and the store after every Nth micro-batch (by batch id), so
     file counts stay low under continuous ingest without ever
     stopping the stream — each compact merges only the sub-top-tier
-    tail and renames the base across (promoted tiers accumulate ~one
-    per base/4 bytes ingested; an occasional full compact resets them). A boundary's rewrite covers the
+    tail and renames the base across (promoted tiers climb the absolute
+    size-class ladder above the consolidation cap — each filled class
+    merges into one output promoted to the next class — so file counts
+    stay BOUNDED with no full compact ever needed; one still restores
+    the exact single-file shape when wanted). A boundary's rewrite covers the
     batches since the last PROMOTION, not the whole index: the merged
     output is re-merged with newer batches until it grows within 4× of
     the base and joins it (see ``_pick_tier_merge``), so per-boundary

@@ -274,7 +274,8 @@ def _soak_bm25_append(spark, sf_dir: str) -> dict:
         tiered_rewrites = sum(
             dict(grp)[n]
             for grp in list(by_bucket.values()) + [dl]
-            for n in _pick_tier_merge(grp)[1]
+            for mset in _pick_tier_merge(grp)[1]
+            for n in mset
         )
         t0 = time.perf_counter()
         BM25.compact(spark, f"{path}/ix", tiered=True)
@@ -356,6 +357,60 @@ def _soak_sa_script(spark, n_docs: int) -> dict:
     return out
 
 
+def _soak_tier_ladder_sim(
+    appends: int = 10_000, batch_bytes: int = 4 << 20
+) -> dict:
+    """Pure-policy simulation of continued ingest with per-append tiered
+    compaction and NO full compact (VERDICT r07 #3 'Done' evidence): one
+    batch_bytes file lands per append, every merge set collapses into a
+    sum-sized file, and we track the file-count bound + total write
+    amplification. The real constants (64 MB cap, 1 GB ladder terminal)
+    apply — at 10k × 4 MB this ingests 40 GB, far past what a local
+    integration test can touch, which is exactly why the policy is a
+    pure function. The 'without_ladder' twin replays the r07 policy
+    (above-cap class sets never merge) to show the unbounded growth the
+    ladder removes."""
+    from comet_spark.storage.store import _pick_tier_merge
+
+    def run(ladder: bool, compact_every: int) -> dict:
+        nxt = 0
+        sizes: dict[str, int] = {}
+        rewritten = 0
+        max_files = 0
+        cap = 64 << 20
+        for i in range(appends):
+            sizes[f"f{(nxt := nxt + 1)}"] = batch_bytes
+            if (i + 1) % compact_every:
+                max_files = max(max_files, len(sizes))
+                continue
+            kept, sets = _pick_tier_merge(list(sizes.items()))
+            for s in sets:
+                if not ladder and all(sizes[n] >= cap for n in s):
+                    continue  # r07 behavior: above-cap sets never merge
+                total = sum(sizes.pop(n) for n in s)
+                sizes[f"f{(nxt := nxt + 1)}"] = total
+                rewritten += total
+            max_files = max(max_files, len(sizes))
+        return {
+            "max_files": max_files,
+            "final_files": len(sizes),
+            "write_amplification": round(
+                rewritten / (appends * batch_bytes), 2
+            ),
+        }
+
+    # compact_every=4 mirrors the in-stream tiered_compact_every usage;
+    # every=1 is the worst-case tail churn
+    out = {
+        "appends": appends,
+        "batch_mb": batch_bytes >> 20,
+        "every_4": run(True, 4),
+        "every_1": run(True, 1),
+        "final_files_without_ladder": run(False, 4)["final_files"],
+    }
+    return out
+
+
 def main() -> None:
     generate()
 
@@ -396,6 +451,17 @@ def main() -> None:
             f"({sa['thai90']['docs_per_sec']}/s, arrow_frac {sa['thai90']['arrow_frac']})",
             flush=True,
         )
+
+    lad = _soak_tier_ladder_sim()
+    results["tier_ladder_sim"] = lad
+    print(
+        f"ladder sim: {lad['appends']} appends x {lad['batch_mb']}MB, no full "
+        f"compact -> max {lad['every_4']['max_files']} files / write amp "
+        f"{lad['every_4']['write_amplification']}x at compact_every=4 "
+        f"(every=1: {lad['every_1']['max_files']} files, "
+        f"{lad['every_1']['write_amplification']}x; without the ladder: "
+        f"{lad['final_files_without_ladder']} files)", flush=True,
+    )
 
     print(f"\n{'query':26s} {'sf0.1':>8s} {'10x':>8s} {'ratio':>7s}")
     for name, r in results.items():

@@ -1007,6 +1007,122 @@ def test_top_fraction_per_group(spark):
                                order_cols=[F.col("id")], frac=0.0)
 
 
+def test_bm25_tiered_ladder_above_cap(spark, monkeypatch, tmp_path):
+    """Within-tier merging for the BM25 index (VERDICT r07 #3): above
+    the (patched-tiny) consolidation cap, each filled size class merges
+    into ONE promoted output per rung — multi-rung passes stage through
+    the scratch dir — and scoring stays byte-identical to a fresh build.
+    Expectations are computed from the REAL policy over the observed
+    file sizes, so the test is robust to parquet size drift."""
+    import glob
+    import os
+    import random
+    import re as _re
+
+    import comet_spark.storage.store as store_mod
+    from comet_spark.operators.bm25 import BM25
+    from comet_spark.storage.store import _pick_tier_merge
+
+    monkeypatch.setattr(store_mod, "_TIER_CAP", 1024)
+    monkeypatch.setattr(store_mod, "_TIER_LADDER_MAX", 1 << 18)
+
+    rng = random.Random(7)
+
+    def doc(i, n_terms):
+        filler = " ".join(
+            "t" + "".join(rng.choice("0123456789abcdef") for _ in range(8))
+            for _ in range(n_terms)
+        )
+        return (i, f"alpha beta {filler}")
+
+    big = [doc(i, 40) for i in range(100)]           # 5 batches of 20
+    small = [doc(100 + i, 40) for i in range(20)]    # 4 batches of 5
+    full = spark.createDataFrame(big + small, "id bigint, text string")
+    want = [tuple(r) for r in BM25(full).score("alpha beta", k=0).collect()]
+
+    # one postings file per append (instead of one per shuffle partition)
+    # so batch sizes translate into ladder classes deterministically
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "1")
+    try:
+        for buckets in (0, 4):
+            path = str(tmp_path / f"lad{buckets}")
+            BM25(full.filter("id < 20")).write(path, buckets=buckets)
+            for lo in range(20, 100, 20):            # 4 big appends
+                BM25.append(
+                    spark, path, full.filter(f"id >= {lo} and id < {lo+20}")
+                )
+            for lo in range(100, 120, 5):            # 4 small appends
+                BM25.append(
+                    spark, path, full.filter(f"id >= {lo} and id < {lo+5}")
+                )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+
+    for buckets in (0, 4):
+        path = str(tmp_path / f"lad{buckets}")
+
+        # expected outcome from the real policy over observed sizes
+        def plan(sub):
+            files = [
+                (os.path.basename(f), os.path.getsize(f))
+                for f in glob.glob(f"{path}/{sub}/part-*")
+            ]
+            groups = {}
+            if buckets and sub == "postings":
+                for n, s in files:
+                    b = _re.search(r"_(\d{5})\.c\d+", n).group(1)
+                    groups.setdefault(b, []).append((n, s))
+            else:
+                groups[0] = files
+            kept, sets = [], []
+            for g in groups.values():
+                k, m = _pick_tier_merge(g)
+                kept.extend(k)
+                sets.extend(m)
+            return kept, sets
+
+        kept_posts, sets_posts = plan("postings")
+        assert sets_posts, "scenario did not reach the ladder (vacuous)"
+        # at least one ABOVE-CAP class set (the point of the test)
+        sizes = {
+            os.path.basename(f): os.path.getsize(f)
+            for f in glob.glob(f"{path}/postings/part-*")
+        }
+        rungs = {
+            max(store_mod._size_class(sizes[n]) for n in s) for s in sets_posts
+        }
+        assert any(r >= 0 for r in rungs), rungs
+        if buckets == 0:
+            assert len(rungs) >= 2, rungs  # multi-rung: scratch staging runs
+
+        # a stale scratch dir from a "crashed" earlier pass is cleaned up
+        os.makedirs(f"{path}/postings.tierscratch", exist_ok=True)
+
+        BM25.compact(spark, path, tiered=True)
+
+        got_files = {
+            os.path.basename(f) for f in glob.glob(f"{path}/postings/part-*")
+        }
+        assert set(kept_posts) <= got_files
+        assert not any(n in got_files for s in sets_posts for n in s)
+        for suf in (".old", ".compacting", ".tiermove", ".tierscratch"):
+            assert not os.path.exists(f"{path}/postings{suf}"), suf
+        back = BM25.read(spark, path)
+        got = [tuple(r) for r in back.score("alpha beta", k=0).collect()]
+        assert got == want, buckets
+        # merged outputs PROMOTED: every new file's class exceeds the
+        # rung it merged (plain layout: exactly one output per rung)
+        if buckets == 0:
+            new = got_files - set(kept_posts)
+            assert len(new) == len(rungs), (new, rungs)
+            new_classes = sorted(
+                store_mod._size_class(os.path.getsize(f"{path}/postings/{n}"))
+                for n in new
+            )
+            assert new_classes > sorted(rungs), (new_classes, rungs)
+
+
 def test_bm25_compact_rerun_heals_between_renames_crash(spark, tmp_path):
     """A compact crash between its two renames leaves a table's live dir
     absent (original in *.old, that run's rewrite in *.compacting). A

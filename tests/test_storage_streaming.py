@@ -1598,6 +1598,148 @@ def test_store_tiered_compact_crash_sweep(spark, tmp_path):
         assert {(r["id"], r["text"]) for r in store.read().collect()} == want, k
 
 
+def _hex_rows(seed: int, ids, nchars: int):
+    """Deterministic incompressible payload rows (snappy can't shrink
+    random hex, so parquet sizes track nchars — the ladder tests steer
+    file sizes into specific classes with these)."""
+    import random
+
+    rng = random.Random(seed)
+    return [(i, "".join(rng.choice("0123456789abcdef") for _ in range(nchars)))
+            for i in ids]
+
+
+def _ladder_store(spark, monkeypatch, base_path):
+    """A store in the above-cap regime (constants patched tiny): terminal
+    base seg0, class-0 run seg1-4, class-1 separator seg5, class-0 run
+    seg6-9 rebuilt as part of the suffix, small tail seg10-11 — with a
+    cross-run overwrite and a pending delete."""
+    import comet_spark.storage.store as store_mod
+
+    monkeypatch.setattr(store_mod, "_TIER_CAP", 4096)
+    monkeypatch.setattr(store_mod, "_TIER_LADDER_MAX", 1 << 18)
+    store = DocumentStore(spark, base_path)
+
+    def add(seed, ids, nchars):
+        store.append(
+            spark.createDataFrame(
+                _hex_rows(seed, ids, nchars), "id bigint, text string"
+            ).coalesce(1)
+        )
+
+    add(0, range(10_000, 10_120), 3000)             # seg0 ~360KB terminal
+    for k in range(4):                               # seg1-4: class 0
+        add(k + 1, range(1000 + 40 * k, 1000 + 40 * (k + 1)), 220)
+    add(50, range(5000, 5060), 420)                  # seg5: class 1 separator
+    for k in range(4):                               # seg6-9: class 0
+        add(k + 6, range(2000 + 40 * k, 2000 + 40 * (k + 1)), 220)
+    store.append(_batch(spark, [(1000, "overwritten-new")]))   # seg10 small
+    store.append(_batch(spark, [(7777, "tail-new")]))          # seg11 small
+    store.delete(spark.createDataFrame([(1001,)], "id bigint"))
+    return store
+
+
+def test_store_tiered_ladder_above_cap(spark, monkeypatch, tmp_path):
+    """Within-tier merging (VERDICT r07 #3): above the consolidation cap,
+    contiguous same-size-class runs merge into their newest segment id —
+    multiple merged outputs in ONE pass — while terminals, separators
+    and ordering (newest-wins, pending deletes) are preserved. File
+    counts stay bounded with NO full compact."""
+    import comet_spark.storage.store as store_mod
+
+    store = _ladder_store(spark, monkeypatch, str(tmp_path / "lstore"))
+    sizes = {
+        s: store._fs.dir_size(f"{store.data_path}/segment={s}")
+        for s in store._segment_ids()
+    }
+    # the scenario really is in the intended classes (guards the test
+    # against parquet size drift making the assertions vacuous)
+    assert sizes[0] >= (1 << 18)
+    for s in (1, 2, 3, 4, 6, 7, 8, 9):
+        assert store_mod._size_class(sizes[s]) == 0, (s, sizes[s])
+    assert store_mod._size_class(sizes[5]) == 1, sizes[5]
+    assert sizes[10] < 4096 and sizes[11] < 4096
+    want = {(r["id"], r["text"]) for r in store.read().collect()}
+    assert (1000, "overwritten-new") in want and (1001,) not in {
+        (i,) for i, _ in want
+    }
+
+    store.compact(tiered=True)
+    # run(1-4) -> 4, kept separator 5, suffix(6..11) -> 11, terminal 0
+    assert store._segment_ids() == [0, 4, 5, 11]
+    assert {(r["id"], r["text"]) for r in store.read().collect()} == want
+    # deletes files are RETAINED (tiered contract) and still applied
+    assert any(
+        f.startswith("part-") or f.endswith(".parquet")
+        for f in store._fs.listdir(store.deletes_path)
+    )
+    # the merged run PROMOTED: one output at least a class above its inputs
+    merged_sz = store._fs.dir_size(f"{store.data_path}/segment=4")
+    assert store_mod._size_class(merged_sz) >= 1, merged_sz
+    # idempotent: nothing left to merge at this shape
+    segs_before = store._segment_ids()
+    store.compact(tiered=True)
+    assert store._segment_ids() == segs_before
+
+    # bounded under continued ingest with NO full compact: keep appending
+    # class-0-sized segments + periodic tiered compacts; segment count
+    # never exceeds a small constant ladder bound
+    max_segs = 0
+    for k in range(12):
+        store.append(
+            spark.createDataFrame(
+                _hex_rows(100 + k, range(50_000 + 40 * k, 50_000 + 40 * (k + 1)), 220),
+                "id bigint, text string",
+            ).coalesce(1)
+        )
+        store.compact(tiered=True)
+        max_segs = max(max_segs, len(store._segment_ids()))
+    # terminals(1) + per-class stragglers (<4 each over 3 rungs) + tail
+    assert max_segs <= 10, max_segs
+    assert {(r["id"], r["text"]) for r in store.read().collect()} >= want
+
+
+def test_store_tiered_ladder_crash_sweep(spark, monkeypatch, tmp_path):
+    """Every rename crash point of the MULTI-OUTPUT tiered swap (two
+    merged segments + two kept moves in one pass) heals: inject a crash
+    after the K-th rename, re-run compact(tiered=True), require the
+    exact merged view and no protocol leftovers."""
+    import comet_spark.storage.store as store_mod
+
+    real_rename = store_mod._FS.rename
+    k = 0
+    completed_clean = False
+    while not completed_clean:
+        k += 1
+        assert k < 40, "crash sweep did not terminate"
+        store = _ladder_store(spark, monkeypatch, str(tmp_path / f"lsw{k}"))
+        want = {(r["id"], r["text"]) for r in store.read().collect()}
+
+        calls = {"n": 0}
+
+        def inject(self, src, dst, _k=k, _calls=calls):
+            ok = real_rename(self, src, dst)
+            _calls["n"] += 1
+            if _calls["n"] == _k:
+                raise RuntimeError("injected crash")
+            return ok
+
+        store_mod._FS.rename = inject
+        try:
+            store.compact(tiered=True)
+            completed_clean = True
+        except RuntimeError:
+            pass
+        finally:
+            store_mod._FS.rename = real_rename
+
+        store.compact(tiered=True)  # heal + complete
+        assert store._segment_ids() == [0, 4, 5, 11], k
+        for suf in (".old", ".compacting", ".tiermove"):
+            assert not store._fs.exists(store.data_path + suf), (k, suf)
+        assert {(r["id"], r["text"]) for r in store.read().collect()} == want, k
+
+
 def test_store_tiered_compact_reclusters_tail_only(spark, tmp_path):
     """recluster with tiered=True assigns layout columns to the merged
     tail rows only — the base segment keeps its ingest-time layout
@@ -1755,45 +1897,85 @@ def test_bm25_append_heals_crashed_df_swap(spark, tmp_path):
 def test_pick_tier_merge_policy_matrix():
     """The tier policy as a pure function: top-tier protection, sub-tier
     merging, straggler waiting, epoch consolidation below the byte cap,
-    and the capped-table guard (a rows_per_file-split table must not be
-    re-merged into itself on every call)."""
-    from comet_spark.storage.store import _pick_tier_merge
+    and ABOVE the cap (r08, VERDICT r07 #3) the absolute size-class
+    ladder — within-tier merging with one output per filled class, never
+    re-merging a class into itself (the old rewrite-forever guard,
+    upgraded from 'never merge' to 'merge with promotion')."""
+    from comet_spark.storage.store import _pick_tier_merge, _size_class
 
     MB = 1 << 20
     # base + small appends: merge the smalls, keep the base
-    kept, merged = _pick_tier_merge(
+    kept, sets = _pick_tier_merge(
         [("base", 40 * MB), ("a", 1 * MB), ("b", 1 * MB), ("c", 2 * MB)]
     )
-    assert kept == ["base"] and sorted(merged) == ["a", "b", "c"]
+    assert kept == ["base"] and [sorted(s) for s in sets] == [["a", "b", "c"]]
     # a lone sub-tier straggler waits for company
-    kept, merged = _pick_tier_merge([("base", 40 * MB), ("a", 1 * MB)])
-    assert merged == [] and sorted(kept) == ["a", "base"]
+    kept, sets = _pick_tier_merge([("base", 40 * MB), ("a", 1 * MB)])
+    assert sets == [] and sorted(kept) == ["a", "base"]
     # multi-file base (all top-tier, under min_uniform) + one small: no
     # full-group rewrite just because one append arrived
-    kept, merged = _pick_tier_merge(
+    kept, sets = _pick_tier_merge(
         [("b1", 10 * MB), ("b2", 10 * MB), ("b3", 11 * MB), ("a", 1 * MB)]
     )
-    assert merged == []
+    assert sets == []
     # epoch consolidation: >= min_uniform top-tier files below the cap
     # merge whole (equal streaming batches / promoted tiers joining base)
-    kept, merged = _pick_tier_merge(
+    kept, sets = _pick_tier_merge(
         [("m1", 4 * MB), ("m2", 4 * MB), ("m3", 5 * MB), ("m4", 4 * MB),
          ("s", 1 * MB)]
     )
-    assert kept == [] and len(merged) == 5
-    # capped-table guard: target-sized files (>= cap) never re-merge —
-    # a full compact's rows_per_file output would otherwise rewrite
-    # itself on every tiered call forever
-    kept, merged = _pick_tier_merge(
+    assert kept == [] and len(sets) == 1 and len(sets[0]) == 5
+
+    # --- above the consolidation cap: the size-class ladder ---
+    # class arithmetic: [cap*4^c, cap*4^(c+1)) with cap=64MB
+    assert _size_class(63 * MB) == -1
+    assert _size_class(64 * MB) == 0 and _size_class(255 * MB) == 0
+    assert _size_class(256 * MB) == 1 and _size_class(1023 * MB) == 1
+    # a filled class (>= min_uniform members) merges into ONE output that
+    # lands in the NEXT class — a full compact's equal rows_per_file
+    # files consolidate once, then stop (no rewrite-forever)
+    kept, sets = _pick_tier_merge(
         [("f1", 100 * MB), ("f2", 100 * MB), ("f3", 100 * MB), ("f4", 100 * MB)]
     )
-    assert merged == [] and len(kept) == 4
-    # ...but their sub-tier appends still merge
-    kept, merged = _pick_tier_merge(
+    assert kept == [] and [sorted(s) for s in sets] == [["f1", "f2", "f3", "f4"]]
+    # the merged output (~400MB, class 1) + refilled class 0: only class 0
+    # merges — the promoted output waits for ITS class to fill
+    kept, sets = _pick_tier_merge(
+        [("p", 400 * MB), ("g1", 100 * MB), ("g2", 100 * MB),
+         ("g3", 100 * MB), ("g4", 100 * MB)]
+    )
+    assert kept == ["p"] and [sorted(s) for s in sets] == [
+        ["g1", "g2", "g3", "g4"]
+    ]
+    # an under-threshold class waits; the below-cap tail still merges
+    kept, sets = _pick_tier_merge(
         [("f1", 100 * MB), ("f2", 100 * MB), ("f3", 100 * MB),
          ("f4", 100 * MB), ("a", 1 * MB), ("b", 1 * MB)]
     )
-    assert sorted(merged) == ["a", "b"] and len(kept) == 4
+    assert [sorted(s) for s in sets] == [["a", "b"], ["f1", "f2", "f3", "f4"]]
+    kept, sets = _pick_tier_merge(
+        [("f1", 100 * MB), ("f2", 100 * MB), ("a", 1 * MB), ("b", 1 * MB)]
+    )
+    assert [sorted(s) for s in sets] == [["a", "b"]] and sorted(kept) == [
+        "f1", "f2"
+    ]
+    # two classes fill simultaneously -> two merge sets, one per class
+    kept, sets = _pick_tier_merge(
+        [("c0_%d" % i, 100 * MB) for i in range(4)]
+        + [("c1_%d" % i, 500 * MB) for i in range(4)]
+    )
+    assert kept == [] and [sorted(s) for s in sets] == [
+        ["c0_0", "c0_1", "c0_2", "c0_3"],
+        ["c1_0", "c1_1", "c1_2", "c1_3"],
+    ]
+    # terminal files (>= ladder max) are kept for the full compact only
+    GB = 1 << 30
+    kept, sets = _pick_tier_merge(
+        [("t1", 2 * GB), ("t2", 2 * GB), ("t3", 2 * GB), ("t4", 2 * GB),
+         ("a", 1 * MB), ("b", 1 * MB)]
+    )
+    assert sorted(kept) == ["t1", "t2", "t3", "t4"]
+    assert [sorted(s) for s in sets] == [["a", "b"]]
     # single file / empty: nothing to do
     assert _pick_tier_merge([("one", MB)]) == (["one"], [])
     assert _pick_tier_merge([]) == ([], [])
