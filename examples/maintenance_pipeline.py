@@ -140,6 +140,44 @@ def _run(spark, work: str) -> None:
     print("tiered-compacted text index top-3:",
           [(r["id"], r["score"]) for r in tiered.score("spark text", k=3).collect()])
 
+    # 10. documents leave the corpus too: BM25.delete soft-deletes by id
+    #     (results AND df/n_docs/avgdl corrected exactly at read); the
+    #     vector survives tiered compacts, and the next FULL compact is
+    #     the hard delete — rows dropped, stats recomputed, vector gone
+    BM25.delete(spark, ix_path, [0, 1, 2])
+    after_del = BM25.read(spark, ix_path)
+    print("after soft-delete top-3:",
+          [(r["id"], r["score"]) for r in after_del.score("spark text", k=3).collect()])
+    BM25.compact(spark, ix_path)  # hard delete
+    print("doc_len after hard delete:",
+          spark.read.parquet(f"{ix_path}/doc_len").count(), "docs")
+
+    # 11. the RECOMMENDED operational loop ties it together: stream the
+    #     corpus in and let the stream (the single writer) run the
+    #     size-tiered compact in-band every Nth micro-batch — file
+    #     counts stay bounded by the size-class ladder with O(log)
+    #     write amplification, and NO full compact is ever required
+    from comet_spark.streaming.ingest import bm25_ingest_stream
+
+    src = f"{work}/incoming"
+    for lo in (300, 320, 340, 360):
+        spark.createDataFrame(
+            [(i, f"streamed doc {i} spark text") for i in range(lo, lo + 20)],
+            "id bigint, text string",
+        ).repartition(1).write.mode("append").parquet(src)
+    live_store = DocumentStore(spark, f"{work}/stream_store")
+    stream_ix = f"{work}/stream_bm25"
+    q = bm25_ingest_stream(
+        spark.readStream.schema("id bigint, text string")
+        .option("maxFilesPerTrigger", "1").parquet(src),
+        live_store, stream_ix, checkpoint=f"{work}/ckpt",
+        buckets=8, tiered_compact_every=2,
+    )
+    q.awaitTermination(300)
+    streamed = BM25.read(spark, stream_ix)
+    print("stream-maintained index top-3:",
+          [(r["id"], r["score"]) for r in streamed.score("spark text", k=3).collect()])
+
 
 if __name__ == "__main__":
     main()
