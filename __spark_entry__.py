@@ -144,28 +144,52 @@ def _corpus_sig(sf_dir: str, table: str) -> str:
     return "|".join(parts)
 
 
+def _fresh_bm25_artifact(
+    spark: SparkSession, sf_dir: str, base: str, build_fn,
+    read_path: str | None = None,
+) -> BM25:
+    """Corpus-signature-gated build-once scaffold shared by EVERY BM25
+    artifact builder (plain, appended, compacted, deleted, stream-built):
+    reopen when the signature matches and the index probes healthy —
+    BOTH stats and postings, so a partially-cleaned artifact routes into
+    the rebuild, not into per-query failures — else run ``build_fn()``
+    (which owns its own cleanup: force_unlock / rmtree) and stamp the
+    signature LAST, so a crash mid-build re-routes the next session into
+    the rebuild. The doc-/vocab-sized side tables come back cached; the
+    postings stay on the bucketed, prunable scan."""
+    read_path = base if read_path is None else read_path
+    sig = _corpus_sig(sf_dir, "documents")
+    sig_path = f"{base}/corpus_sig.txt"
+    try:
+        # an empty signature (missing table) must never validate
+        with open(sig_path) as fh:
+            fresh = sig != "" and fh.read() == sig
+    except OSError:
+        fresh = False
+    try:
+        if not fresh:
+            raise FileNotFoundError(base)
+        ix = BM25.read(spark, read_path)
+        ix.stats.first()
+        ix.postings.first()
+    except Exception:
+        build_fn()
+        ix = BM25.read(spark, read_path)
+        os.makedirs(base, exist_ok=True)
+        with open(sig_path, "w") as fh:
+            fh.write(sig)
+    ix.doc_len = ix.doc_len.cache()
+    ix.df = ix.df.cache()
+    ix.stats = ix.stats.cache()
+    return ix
+
+
 def _bm25_index(spark: SparkSession, sf_dir: str) -> BM25:
     key = (_skey(spark), sf_dir)
     if key not in _BM25_CACHE:
         base = f"{_art_dir(sf_dir)}/bm25"
-        sig = _corpus_sig(sf_dir, "documents")
-        sig_path = f"{base}/corpus_sig.txt"
-        try:
-            # an empty signature (missing table) must never validate
-            with open(sig_path) as fh:
-                fresh = sig != "" and fh.read() == sig
-        except OSError:
-            fresh = False
-        try:
-            if not fresh:
-                raise FileNotFoundError(base)
-            ix = BM25.read(spark, base)
-            # probe BOTH the stats and the postings table: a partially
-            # cleaned artifact (postings gone, side tables intact) must
-            # route into the rebuild branch, not fail every later query
-            ix.stats.first()
-            ix.postings.first()
-        except Exception:
+
+        def build() -> None:
             # a crashed previous build can leave the index writer-lock
             # marker; this builder is the artifact dir's single writer,
             # so a marker here is always stale — clear it before the
@@ -178,16 +202,8 @@ def _bm25_index(spark: SparkSession, sf_dir: str) -> BM25:
             bld.write(base, buckets=_BM25_BUCKETS)
             for t in (bld.postings, bld.doc_len, bld.df, bld.stats):
                 t.unpersist()
-            ix = BM25.read(spark, base)
-            os.makedirs(base, exist_ok=True)
-            with open(sig_path, "w") as fh:
-                fh.write(sig)
-        # the side tables are doc-/vocab-sized — keep them hot; the
-        # postings stay on the bucketed, prunable scan
-        ix.doc_len = ix.doc_len.cache()
-        ix.df = ix.df.cache()
-        ix.stats = ix.stats.cache()
-        _BM25_CACHE[key] = ix
+
+        _BM25_CACHE[key] = _fresh_bm25_artifact(spark, sf_dir, base, build)
     return _BM25_CACHE[key]
 
 
@@ -484,20 +500,8 @@ def _bm25_append_index(spark: SparkSession, sf_dir: str) -> BM25:
     key = (_skey(spark), sf_dir)
     if key not in _BM25_APPEND_CACHE:
         base = f"{_art_dir(sf_dir)}/bm25_append"
-        sig = _corpus_sig(sf_dir, "documents")
-        sig_path = f"{base}/corpus_sig.txt"
-        try:
-            with open(sig_path) as fh:
-                fresh = sig != "" and fh.read() == sig
-        except OSError:
-            fresh = False
-        try:
-            if not fresh:
-                raise FileNotFoundError(base)
-            ix = BM25.read(spark, base)
-            ix.stats.first()
-            ix.postings.first()
-        except Exception:
+
+        def build() -> None:
             BM25.force_unlock(spark, base)  # stale lock from a crashed build
             docs = _t(spark, sf_dir, "documents")
             bld = BM25(
@@ -511,14 +515,8 @@ def _bm25_append_index(spark: SparkSession, sf_dir: str) -> BM25:
                 spark, base, docs.filter(F.col("doc_id") % 3 == 2),
                 id_col="doc_id", text_col="text",
             )
-            ix = BM25.read(spark, base)
-            os.makedirs(base, exist_ok=True)
-            with open(sig_path, "w") as fh:
-                fh.write(sig)
-        ix.doc_len = ix.doc_len.cache()
-        ix.df = ix.df.cache()
-        ix.stats = ix.stats.cache()
-        _BM25_APPEND_CACHE[key] = ix
+
+        _BM25_APPEND_CACHE[key] = _fresh_bm25_artifact(spark, sf_dir, base, build)
     return _BM25_APPEND_CACHE[key]
 
 
@@ -559,20 +557,8 @@ def _bm25_compacted_index(
     key = (_skey(spark), sf_dir, subdir)
     if key not in _BM25_COMPACT_CACHE:
         base = f"{_art_dir(sf_dir)}/{subdir}"
-        sig = _corpus_sig(sf_dir, "documents")
-        sig_path = f"{base}/corpus_sig.txt"
-        try:
-            with open(sig_path) as fh:
-                fresh = sig != "" and fh.read() == sig
-        except OSError:
-            fresh = False
-        try:
-            if not fresh:
-                raise FileNotFoundError(base)
-            ix = BM25.read(spark, base)
-            ix.stats.first()
-            ix.postings.first()
-        except Exception:
+
+        def build() -> None:
             BM25.force_unlock(spark, base)  # stale lock from a crashed build
             docs = _t(spark, sf_dir, "documents")
             bld = BM25(
@@ -607,14 +593,8 @@ def _bm25_compacted_index(
                         f"{subdir} artifact: tiered compact dropped the "
                         "delete vector"
                     )
-            ix = BM25.read(spark, base)
-            os.makedirs(base, exist_ok=True)
-            with open(sig_path, "w") as fh:
-                fh.write(sig)
-        ix.doc_len = ix.doc_len.cache()
-        ix.df = ix.df.cache()
-        ix.stats = ix.stats.cache()
-        _BM25_COMPACT_CACHE[key] = ix
+
+        _BM25_COMPACT_CACHE[key] = _fresh_bm25_artifact(spark, sf_dir, base, build)
     return _BM25_COMPACT_CACHE[key]
 
 
@@ -727,20 +707,8 @@ def _bm25_stream_index(spark: SparkSession, sf_dir: str) -> BM25:
 
         base = f"{_art_dir(sf_dir)}/bm25_stream"
         index_path = f"{base}/index"
-        sig = _corpus_sig(sf_dir, "documents")
-        sig_path = f"{base}/corpus_sig.txt"
-        try:
-            with open(sig_path) as fh:
-                fresh = sig != "" and fh.read() == sig
-        except OSError:
-            fresh = False
-        try:
-            if not fresh:
-                raise FileNotFoundError(base)
-            ix = BM25.read(spark, index_path)
-            ix.stats.first()
-            ix.postings.first()
-        except Exception:
+
+        def build() -> None:
             # full rebuild: the checkpoint, source files, store and index
             # are one coupled lineage — remove them together
             shutil.rmtree(base, ignore_errors=True)
@@ -794,13 +762,10 @@ def _bm25_stream_index(spark: SparkSession, sf_dir: str) -> BM25:
                     f"bm25_stream artifact: replay heal did not engage: "
                     f"{sorted(log)}"
                 )
-            ix = BM25.read(spark, index_path)
-            with open(sig_path, "w") as fh:
-                fh.write(sig)
-        ix.doc_len = ix.doc_len.cache()
-        ix.df = ix.df.cache()
-        ix.stats = ix.stats.cache()
-        _BM25_STREAM_CACHE[key] = ix
+
+        _BM25_STREAM_CACHE[key] = _fresh_bm25_artifact(
+            spark, sf_dir, base, build, read_path=index_path
+        )
     return _BM25_STREAM_CACHE[key]
 
 

@@ -112,7 +112,7 @@ def _heal_index_dirs(fs, path: str) -> None:
 
 
 def _tiered_merge(
-    spark, fs, path: str, sub: str, buckets: int, rows_per_file: int
+    spark, fs, path: str, sub: str, buckets: int
 ) -> bool:
     """Size-tiered file merge of ``{path}/{sub}``: within each tier
     group (per bucket when ``buckets > 0``, else per directory), the
@@ -468,49 +468,43 @@ class BM25:
         # full-corpus build. A single-segment index (the common case)
         # keeps the plain single-row broadcast plan untouched.
         segs = ix.stats.collect()  # one tiny row per segment
-        n = float(sum(r["n_docs"] for r in segs))
-        tdl = float(sum((r["total_dl"] if "total_dl" in r.asDict() else None) or 0.0 for r in segs))
         if len(segs) > 1:
             ix.df = ix.df.groupBy("term").agg(F.sum("df").alias("df"))
+            n = float(sum(r["n_docs"] for r in segs))
+            tdl = float(sum(r["total_dl"] or 0.0 for r in segs))
             ix.stats = spark.createDataFrame(
                 [(n, tdl / n if n else None, tdl)],
                 "n_docs double, avgdl double, total_dl double",
             )
         ix.del_ids = None
-        # Delete vector (:meth:`delete`): every correction derives from
-        # the vector's intersection with LIVE rows, so a vector entry
-        # whose rows were already physically dropped (by a full compact
-        # that crashed before clearing the vector) contributes exactly
-        # nothing — any crash state reads correctly.
-        try:
+        # Delete vector (:meth:`delete`): with a vector present, every
+        # delete-sensitive statistic derives LIVE from the current
+        # tables — n_docs/avgdl from the anti-joined doc_len here, each
+        # query term's df from the anti-joined (pruned) postings scan in
+        # _scored — never from stored aggregates ± vector-sized
+        # corrections. That makes ANY mix of applied/unapplied tables a
+        # crashed delete-applying compact leaves behind read correctly:
+        # for a table already rewritten to survivors the anti-join is
+        # simply a no-op. Only vector ABSENCE is tolerated below; a read
+        # error on an existing vector propagates loudly — silently
+        # dropping it would resurrect soft-deleted docs.
+        from comet_spark.storage.store import _FS
+
+        if _FS(spark, path).exists(f"{path}/deletes"):
             dels = spark.read.parquet(f"{path}/deletes").select("id").distinct()
-            hit = ix.doc_len.join(dels, "id", "left_semi").agg(
-                F.count("*").alias("n"), F.sum("dl").alias("s")
-            ).first()
-            n_del, dl_del = int(hit["n"]), float(hit["s"] or 0.0)
-        except Exception:  # no vector on disk
-            n_del = 0
-        if n_del:
-            if len(segs) > 1 and any(
-                "total_dl" not in r.asDict() or r["total_dl"] is None for r in segs
-            ):
-                raise ValueError(
-                    "read(): index carries a delete vector over pre-total_dl "
-                    "stats segments; rebuild it once with BM25(...).write(path)"
+            if dels.first() is not None:
+                ix.del_ids = dels
+                ix.doc_len = ix.doc_len.join(
+                    F.broadcast(dels), "id", "left_anti"
                 )
-            if len(segs) == 1 and tdl == 0.0 and n > 0:
-                # pre-total_dl single-segment stats: recover the exact
-                # total from avgdl*n (dl is integral, so this is exact up
-                # to the stored double — the same value write() derived it
-                # from)
-                tdl = float(segs[0]["avgdl"] or 0.0) * n
-            ix.del_ids = dels
-            ix.doc_len = ix.doc_len.join(F.broadcast(dels), "id", "left_anti")
-            n2, tdl2 = n - n_del, tdl - dl_del
-            ix.stats = spark.createDataFrame(
-                [(n2, tdl2 / n2 if n2 else None, tdl2)],
-                "n_docs double, avgdl double, total_dl double",
-            )
+                live = ix.doc_len.agg(
+                    F.count("*").alias("n"), F.sum("dl").alias("s")
+                ).first()
+                n2, tdl2 = float(live["n"]), float(live["s"] or 0.0)
+                ix.stats = spark.createDataFrame(
+                    [(n2, tdl2 / n2 if n2 else None, tdl2)],
+                    "n_docs double, avgdl double, total_dl double",
+                )
         return ix
 
     @classmethod
@@ -661,6 +655,13 @@ class BM25:
         documents). Returns the number of ids actually recorded (already
         -deleted and never-indexed ids are skipped — idempotent).
 
+        On an index fed by ``bm25_ingest_stream``, pair this with
+        ``DocumentStore.delete`` on the backing store (and call both
+        only while the stream is stopped — the single-writer contract):
+        the store is the rebuild source for a torn index, so a
+        BM25-only delete would be resurrected by a rebuild-from-store
+        heal.
+
         ``ids``: a DataFrame carrying ``id_col``, or an iterable of ids.
         """
         from comet_spark.storage.store import _FS
@@ -669,8 +670,9 @@ class BM25:
             ids_df = ids.select(F.col(id_col).alias("id"))
         else:
             ids_df = spark.createDataFrame([(int(i),) for i in ids], "id bigint")
+        fs = _FS(spark, path)
         with _index_writer_lock(spark, path, "delete"):
-            _heal_index_dirs(_FS(spark, path), path)
+            _heal_index_dirs(fs, path)
             # scope to ids actually in the ledger and not already deleted:
             # keeps the vector bounded and the return count meaningful
             fresh = (
@@ -680,13 +682,11 @@ class BM25:
                     "id", "left_semi",
                 )
             )
-            try:
+            if fs.exists(f"{path}/deletes"):  # absence tolerated, errors loud
                 fresh = fresh.join(
                     spark.read.parquet(f"{path}/deletes").select("id"),
                     "id", "left_anti",
                 )
-            except Exception:  # no vector yet
-                pass
             fresh = fresh.localCheckpoint()  # sever before writing to a read path
             n = fresh.count()
             if n:
@@ -793,9 +793,32 @@ class BM25:
                     "compact(): index carries pre-total_dl stats segments; "
                     "rebuild it once with BM25(...).write(path)"
                 )
+            # delete vector, loaded ONCE up front: the ledger check below
+            # must be vector-aware, and the full path applies it. Only
+            # ABSENCE is tolerated; a read error propagates loudly
+            # (silently skipping the vector would resurrect deleted docs
+            # in the compacted output).
+            dels = None
+            if fs.exists(f"{path}/deletes"):
+                d = spark.read.parquet(f"{path}/deletes").select(
+                    "id"
+                ).distinct().localCheckpoint()
+                if d.first() is not None:
+                    dels = d
+            n_vec = dels.count() if dels is not None else 0
             n_docs = float(sum(r["n_docs"] for r in stats_rows))
             n_dl = spark.read.parquet(f"{path}/doc_len").count()
-            if n_docs != float(n_dl):
+            # torn-append refusal, delete-aware: with a vector present a
+            # crashed delete-applying compact legitimately leaves doc_len
+            # already at survivor cardinality while the stats ledger (not
+            # yet rewritten) still counts the deleted docs — delete()
+            # records only ids present in doc_len, so that state shows
+            # exactly n_dl == n_docs - n_vec. A genuine torn append adds
+            # doc_len rows WITHOUT a stats record (n_dl > n_docs) and
+            # matches neither arm.
+            if n_docs != float(n_dl) and not (
+                n_vec and n_docs == float(n_dl + n_vec)
+            ):
                 raise ValueError(
                     f"compact(): stats ledger ({n_docs:.0f} docs) does not match "
                     f"doc_len ({n_dl} rows) — a previous append tore before its "
@@ -882,8 +905,8 @@ class BM25:
                 # derived corrections stay exact, and the on-disk ledger
                 # (stats vs doc_len) stays consistent — the full compact
                 # below is what applies deletes physically
-                _tiered_merge(spark, fs, path, "doc_len", 0, rows_per_file)
-                _tiered_merge(spark, fs, path, "postings", buckets, rows_per_file)
+                _tiered_merge(spark, fs, path, "doc_len", 0)
+                _tiered_merge(spark, fs, path, "postings", buckets)
                 if buckets > 0 and spark.catalog.tableExists(
                     _postings_table_name(path)
                 ):
@@ -892,20 +915,14 @@ class BM25:
                 return
             # full compact applies the delete vector physically (the
             # hard-delete rewrite, store J6's text twin): survivors-only
-            # postings/doc_len, df/stats recomputed exactly from them, the
-            # vector cleared LAST — a crash before the clear leaves a
-            # vector whose rows are already gone, and every read-path
-            # correction derives from live rows, so it reads correctly.
-            dels = None
-            if fs.exists(f"{path}/deletes"):
-                try:
-                    d = spark.read.parquet(f"{path}/deletes").select(
-                        "id"
-                    ).distinct().localCheckpoint()
-                    if d.first() is not None:
-                        dels = d
-                except Exception:
-                    dels = None
+            # postings/doc_len, df/stats recomputed exactly from them,
+            # the vector cleared LAST. Every intermediate crash state
+            # reads correctly because the read path derives all
+            # delete-sensitive statistics live (see read()/_scored), and
+            # a compact re-run converges: anti-joins over already-
+            # rewritten tables are no-ops, the ledger check above
+            # accepts the mixed cardinality, and the from_live recompute
+            # rebuilds df/stats from whatever survived.
 
             def _survivors(sub: str):
                 t = spark.read.parquet(f"{path}/{sub}")
@@ -974,27 +991,16 @@ class BM25:
         df_eff = self.df
         del_ids = getattr(self, "del_ids", None)
         if del_ids is not None:
-            # exact df correction for soft-deleted docs, derived from the
-            # SAME (literal-pruned) postings scan: df'(t) = df(t) minus the
-            # deleted docs that contained t. Deleted docs can't appear in
-            # results (doc_len is already anti-joined at read()), but they
-            # must also stop counting toward each term's document
-            # frequency — and n_docs/avgdl, corrected at read(). Deriving
-            # the correction from live postings rows (not a stored
-            # per-term ledger) keeps every crash state exact: rows a
-            # compact already dropped simply contribute nothing.
-            ddf = (
-                posts.join(F.broadcast(del_ids), "id", "left_semi")
-                .groupBy("term")
-                .agg(F.count("*").alias("__ddf"))
-            )
-            df_eff = (
-                self.df.join(ddf, "term", "left")
-                .select(
-                    "term",
-                    (F.col("df") - F.coalesce(F.col("__ddf"), F.lit(0))).alias("df"),
-                )
-            )
+            # soft deletes: drop deleted docs from the (literal-pruned)
+            # postings scan and derive each matched term's df LIVE from
+            # that same scan — not from the stored df table ± a
+            # correction. Live derivation is what keeps every crash
+            # state of the delete-applying compact exact: whether a
+            # table was already rewritten to survivors or not, the
+            # anti-join + recount land on the same numbers (read()
+            # applies the identical rule to doc_len/n_docs/avgdl).
+            posts = posts.join(F.broadcast(del_ids), "id", "left_anti")
+            df_eff = posts.groupBy("term").agg(F.count("*").alias("df"))
         matched = posts.join(F.broadcast(query_terms), "term")
         if prefilter_ids is not None:
             matched = matched.join(prefilter_ids.select("id"), "id", "left_semi")

@@ -223,13 +223,19 @@ def _size_class(
     above-cap ladder rests on). Defaults resolve to the module tier
     constants AT CALL TIME (tests drive the ladder with tiny files by
     patching them)."""
-    import math
-
     ratio = _TIER_RATIO if ratio is None else ratio
     cap = _TIER_CAP if cap is None else cap
     if size < cap:
         return -1
-    return int(math.log(size / cap) // math.log(ratio))
+    # integer ladder walk, NOT float logs: log-division misclassifies
+    # exact boundaries (e.g. cap·ratio³ lands in class 2), and a merge
+    # output of exactly cap·ratio^(c+1) bytes would then rejoin class c —
+    # the precise pathology the invariant above forbids
+    c, bound = 0, cap * ratio
+    while size >= bound:
+        c += 1
+        bound *= ratio
+    return c
 
 
 def _pick_tier_merge(
@@ -904,7 +910,11 @@ class DocumentStore:
                 return
             union = outs[0]
             for o in outs[1:]:
-                union = union.unionByName(o)
+                # allowMissingColumns: merge groups can straddle a schema
+                # evolution (an old-segment class run vs a new-segment
+                # tail) — absent columns null-fill, exactly like the
+                # mergeSchema read path the store already guarantees
+                union = union.unionByName(o, allowMissingColumns=True)
             kept_dirs = [
                 f"segment={s}" for s in segs if s not in set(merged_segs)
             ]

@@ -196,11 +196,17 @@ def compact_sig_store(
     would see no store and silently re-admit historical near-duplicates
     (ADVICE r07). Single-writer ENFORCED via the shared lock marker
     (sibling ``<store>._lock`` — inside the dir it would move aside with
-    the swap): an out-of-band call while the ingest stream's own
-    compactor runs fails fast with :class:`StoreLockedError` instead of
-    silently deleting a concurrent rewrite ( :func:`neardup_ingest_stream`
-    invokes it automatically past ~64 files). Returns True if a rewrite
-    ran; ``min_files`` short-circuits when the store is already small."""
+    the swap): a second concurrent compactor fails fast with
+    :class:`StoreLockedError` instead of silently deleting the other's
+    rewrite. Ownership contract (same as ``bm25_ingest_stream``'s): while
+    a :func:`neardup_ingest_stream` feeds this store, the STREAM is the
+    single writer — it invokes this compactor automatically past ~64
+    files and clears a stale lock at restart on the premise that any
+    marker can only be its own crashed predecessor's. Run an out-of-band
+    compact only while the stream is stopped; one live across a stream
+    restart would have its lock cleared and the enforcement voided.
+    Returns True if a rewrite ran; ``min_files`` short-circuits when the
+    store is already small."""
     from comet_spark.storage.store import _FS, _writer_lock
 
     fs = _FS(spark, sig_store_path)

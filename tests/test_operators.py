@@ -550,13 +550,19 @@ def test_bm25_delete_matches_rebuild_without_docs(spark, tmp_path):
         assert BM25.read(spark, path).doc_len.count() == 26 - len(deleted) + 1
 
     # crash window: a vector whose rows a full compact already dropped
-    # (crash before the clear) contributes exactly nothing
+    # (crash before the clear) contributes exactly nothing — the live-
+    # derived read lands on identical scores and stats
     path = str(tmp_path / "dix0")
+    before = BM25.read(spark, path)
+    want_now = [tuple(r) for r in before.score("spark fast data", k=0).collect()]
+    want_stats_now = before.stats.first()
     spark.createDataFrame([(0,), (14,)], "id bigint").write.mode(
         "overwrite"
     ).parquet(f"{path}/deletes")
     back = BM25.read(spark, path)
-    assert back.del_ids is None  # no live rows -> treated as no deletes
+    got = [tuple(r) for r in back.score("spark fast data", k=0).collect()]
+    assert got == want_now
+    assert tuple(back.stats.first()) == tuple(want_stats_now)
     # delete respects the writer lock like every other write path
     from comet_spark.storage.store import StoreLockedError, _FS
 
@@ -1401,3 +1407,87 @@ def test_bm25_full_compact_crash_sweep(spark, tmp_path):
         back = BM25.read(spark, path)
         assert [tuple(r) for r in back.score("spark term2", k=0).collect()] == want, k
         assert spark.read.parquet(f"{path}/stats").count() == 1, k
+
+
+def test_bm25_delete_compact_crash_sweep(spark, tmp_path):
+    """The DELETE-APPLYING full compact rewrites tables to different
+    cardinalities, so unlike the value-identical plain swaps, its
+    intermediate states MIX survivor and pre-delete tables. Every rename
+    crash point must (a) READ correctly — the live-derived corrections
+    land on the without-deleted-docs scores at every mix — and (b) pass
+    the vector-aware ledger check so the re-run CONVERGES (review r08
+    finding #1: the stale-stats read and the bricked re-run)."""
+    import pyspark.sql.functions as F
+
+    import comet_spark.storage.store as store_mod
+    from comet_spark.operators.bm25 import BM25, _postings_table_name
+
+    full = spark.createDataFrame(
+        [(i, f"spark data tables term{i % 5}") for i in range(1, 25)],
+        "id bigint, text string",
+    )
+    deleted = [2, 7, 12, 17, 22]
+    want = [
+        tuple(r)
+        for r in BM25(full.filter(~F.col("id").isin(deleted)))
+        .score("spark term2", k=0)
+        .collect()
+    ]
+
+    real_rename = store_mod._FS.rename
+    k = 0
+    completed_clean = False
+    while not completed_clean:
+        k += 1
+        assert k < 16, "crash sweep did not terminate"
+        path = str(tmp_path / f"delsweep{k}")
+        BM25(full.filter(F.col("id") <= 18)).write(path, buckets=4)
+        BM25.append(spark, path, full.filter(F.col("id") > 18))
+        assert BM25.delete(spark, path, deleted) == len(deleted)
+
+        calls = {"n": 0}
+
+        def inject(self, src, dst, _k=k, _calls=calls):
+            ok = real_rename(self, src, dst)
+            _calls["n"] += 1
+            if _calls["n"] == _k:
+                raise RuntimeError("injected crash")
+            return ok
+
+        store_mod._FS.rename = inject
+        try:
+            BM25.compact(spark, path)
+            completed_clean = True
+        except RuntimeError:
+            pass
+        finally:
+            store_mod._FS.rename = real_rename
+
+        # (a) the crashed MIXED state either fails LOUDLY (between a
+        # swap's two renames the live dir is absent — the documented
+        # reader contract) or reads the exact without-deleted scores;
+        # it must never read silently wrong
+        spark.sql(f"DROP TABLE IF EXISTS {_postings_table_name(path)}")
+        try:
+            mid = BM25.read(spark, path)
+            got_mid = [tuple(r) for r in mid.score("spark term2", k=0).collect()]
+        except Exception:
+            pass  # loud is fine; silent-wrong is what (a) forbids
+        else:
+            assert got_mid == want, (k, "mixed-state read")
+
+        # (b) the re-run converges instead of tripping the ledger check
+        BM25.compact(spark, path)
+        from comet_spark.storage.store import _FS
+
+        fs = _FS(spark, path)
+        for sub in ("postings", "doc_len", "df", "stats"):
+            assert not fs.exists(f"{path}/{sub}.old"), (k, sub)
+            assert not fs.exists(f"{path}/{sub}.compacting"), (k, sub)
+        assert not fs.exists(f"{path}/deletes"), k  # hard delete landed
+        spark.sql(f"DROP TABLE IF EXISTS {_postings_table_name(path)}")
+        back = BM25.read(spark, path)
+        assert [tuple(r) for r in back.score("spark term2", k=0).collect()] == want, k
+        assert spark.read.parquet(f"{path}/doc_len").count() == 24 - len(deleted), k
+        st = spark.read.parquet(f"{path}/stats").first()
+        assert st["n_docs"] == 24 - len(deleted), k
