@@ -500,6 +500,8 @@ def main() -> None:
                     f"arrow_frac {t['arrow_frac']})"
                 )
             continue
+        if "sf0.1" not in r or "soak10x" not in r:
+            continue  # scale-free rows (tier_ladder_sim) have no ratio
         a, b = r["sf0.1"]["sec"], r["soak10x"]["sec"]
         ratio = round(b / a, 1) if a > 0 else float("inf")
         r["ratio"] = ratio
