@@ -181,6 +181,34 @@ def test_bm25_compacted_postings_regain_single_segment_plan(spark):
     assert len(files) <= entry_mod._BM25_BUCKETS, files
 
 
+def test_bm25_delete_vector_keeps_pruned_plan(spark):
+    """bm25_tiered_delete_score serves under a LIVE delete vector: both
+    postings consumers — the match leg AND the live per-term df
+    recomputation (_scored's delete path) — must read the bucketed,
+    literal-term-pruned scan; the extra exchanges the delete path is
+    allowed are the vocab-sized df agg (term) and the anti-join's tiny
+    vector side, never a corpus-wide shuffle."""
+    import re
+
+    df = entry_mod.queries()["bm25_tiered_delete_score"](spark, SF_DIR_SMALL)
+    plan = _plan(df)
+    scans = plan.split("FileScan parquet spark_catalog.default.bm25_postings")
+    assert len(scans) >= 2  # match leg + live-df leg
+    for scan in scans[1:]:
+        scan = scan[:800]
+        assert "Bucketed: true" in scan
+        assert "In(term" in scan
+        assert re.search(r"SelectedBucketsCount: \d+ out of \d+", scan)
+    exchanges = re.findall(r"Exchange hashpartitioning\((\w+)", plan)
+    assert exchanges and set(exchanges) <= {"qid", "term", "id"}, exchanges
+    assert "qid" in exchanges
+    # the artifact really is the tiered shape with a RETAINED vector
+    base = f"{entry_mod._art_dir(SF_DIR_SMALL)}/bm25_tiered_delete"
+    import os
+
+    assert os.path.exists(f"{base}/deletes")
+
+
 def test_simhash_neardup_no_cartesian(spark):
     """Pigeonhole banding must make the candidate join an EQUI-join on
     (seg, segval) — an all-pairs cartesian/BNLJ would be O(N²) at scale
