@@ -628,10 +628,17 @@ class BM25:
 
     @classmethod
     def delete(cls, spark, path: str, ids, *, id_col: str = "id") -> int:
-        """Soft-delete documents from a persisted index (the text twin of
-        ``DocumentStore.delete`` / reference B15 soft-delete skip): the
-        ids append to a DELETE VECTOR at ``path/deletes``; nothing else
-        on disk changes. :meth:`read` applies the vector exactly — the
+        """Soft-delete documents from a persisted index — the reference's
+        ``BM25SearchIndex.Remove`` (``bm25_index.go:253-278``: mark in the
+        ``deletedDocs`` roaring bitmap, O(log n), physical removal
+        deferred to ``removeInternal``, ``bm25_index.go:282-321``, which
+        is what our full :meth:`compact` mirrors): the ids append to a
+        DELETE VECTOR at ``path/deletes``; nothing else on disk changes.
+        One deliberate strengthening over the reference: the reference's
+        soft state only filters RESULTS (numDocs/avgDocLen/df stay stale
+        until the hard remove), while here the read path corrects the
+        statistics exactly, so a soft-deleted index scores as if the docs
+        were never built. :meth:`read` applies the vector exactly — the
         docs vanish from results AND from the corpus statistics (df per
         query term, n_docs, avgdl), so a read-after-delete scores
         byte-identically to an index built without those docs.
