@@ -2328,6 +2328,55 @@ SELECT vec_id, score FROM d ORDER BY score, vec_id LIMIT {K}
 )
 
 
+# ★ soft-delete skip on the PRUNED ANN layout (J6 per-index delete,
+# reference TestIVFIndexSoftDeleteWithSearch, ivf_index_test.go:716 /
+# ivf_index.go:307-400): the exported partition-pruned layout is searched
+# with a delete vector — ids anti-joined into the probed candidates
+# BEFORE top-k, so deleted docs neither appear nor consume result slots,
+# while probe ranking stays delete-oblivious (centroids don't move on
+# delete, exactly like the reference's bitmap skip). The deleted set
+# includes the QUERY vector's own doc (vec_id 0 — the corpus top-1 at
+# every SF, so the skip is non-vacuous by construction): searching BY a
+# deleted doc's vector still works, the reference's
+# TestHNSWIndexSearchByDeletedNode shape. The oracle replays the same
+# probe-set artifact with the exclusion in SQL.
+_IVF_DELETE_WHERE_SPARK = "id % 7 = 0"  # string: module import stays Spark-free
+_IVF_DELETE_KEEP_SQL = "a.id % 7 <> 0"
+
+
+def _ivf_delete_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    ivf, assigned = _ivf_trained(spark, sf_dir)
+    qvec = _hybrid_qvec(spark, sf_dir)
+    key = (_skey(spark), sf_dir, "probes_q2")
+    if key not in _PROBE_WRITTEN:  # same artifact ivf_knn_nprobe2 uses —
+        probed = ivf.probe_lists(np.asarray(qvec), 2)  # first toucher writes
+        _write_rows(
+            spark, f"{_art_dir(sf_dir)}/ivf/probes_q2.parquet",
+            [(int(c),) for c in probed], "cluster_id bigint",
+        )
+        _PROBE_WRITTEN.add(key)
+    deleted = assigned.filter(_IVF_DELETE_WHERE_SPARK).select("id")
+    res = ivf.search(assigned, qvec, k=K, nprobe=2, exclude_ids=deleted)
+    return res.select(F.col("id").alias("vec_id"), "score")
+
+
+_register(
+    "ivf_delete_knn",
+    _ivf_delete_knn,
+    f"""
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = {QUERY_VEC_ID}),
+a AS (SELECT id, vector, cluster_id
+      FROM read_parquet('{_ART01}/ivf/assigned.parquet/**/*.parquet', hive_partitioning=1)),
+p AS (SELECT cluster_id FROM read_parquet('{_ART01}/ivf/probes_q2.parquet/*.parquet')),
+d AS (SELECT a.id AS vec_id, ROUND({_sql_l2('a.vector', 'q.qv')}, 6) AS score
+      FROM a JOIN p USING (cluster_id), q WHERE {_IVF_DELETE_KEEP_SQL})
+SELECT vec_id, score FROM d ORDER BY score, vec_id LIMIT {K}
+""",
+)
+
+
 _PQ_CACHE: dict[tuple[str, str], tuple] = {}
 _IVFPQ_CACHE: dict[tuple[str, str], tuple] = {}
 

@@ -170,13 +170,27 @@ class IVFIndex:
     def search(
         self, assigned: DataFrame, qvec: list[float], *, k: int = 10,
         nprobe: int = 8, id_col: str = "id", vec_col: str = "vector",
-        round_to: int | None = 6,
+        round_to: int | None = 6, exclude_ids: DataFrame | None = None,
     ) -> DataFrame:
-        """Exact distances over the probed lists only → ``(id, score)``."""
+        """Exact distances over the probed lists only → ``(id, score)``.
+
+        ``exclude_ids`` is the soft-delete skip (reference
+        ``ivf_index.go:307-400`` marks ids in a deleted bitmap and every
+        search drops them at collection): a tiny id table anti-joined
+        (broadcast) into the probed candidates BEFORE top-k, so deleted
+        docs neither appear nor consume result slots — the query-time
+        view of a layout whose store has seen deletes since export;
+        probe ranking stays delete-oblivious exactly like the
+        reference's (centroids don't move on delete)."""
         from comet_spark.functions.vector import distance
 
         probed = self.probe_lists(np.asarray(qvec), nprobe)
         cand = assigned.filter(F.col("cluster_id").isin(probed))
+        if exclude_ids is not None:
+            cand = cand.join(
+                F.broadcast(exclude_ids.select(F.col(id_col).alias(id_col))),
+                id_col, "left_anti",
+            )
         qlit = F.array(*[F.lit(float(x)) for x in qvec])
         score = distance(self.metric, to_double_array(vec_col), qlit)
         if round_to is not None:
@@ -410,13 +424,21 @@ class PQIndex:
         self, codes: DataFrame, qvec: list[float], *, k: int = 10, round_to: int | None = 6,
         rescore: int = 0, vectors: DataFrame | None = None,
         id_col: str = "id", vec_col: str = "vector", metric: str = "l2",
+        exclude_ids: DataFrame | None = None,
     ) -> DataFrame:
         """ADC top-k; with ``rescore=R > 0`` the ADC scan only selects an
         R-deep shortlist and the exact metric on ``vectors`` reranks it
         (ADC+R): compressed-domain pruning does the heavy scan, the exact
         pass touches R rows — recall ≈ P(true top-k ∈ ADC top-R), ~0.93 at
         R=100 on the synthetic corpus vs 0.43 for pure ADC. At 100 TB the
-        rescore is a broadcast semi-join of R ids — negligible."""
+        rescore is a broadcast semi-join of R ids — negligible.
+        ``exclude_ids``: soft-delete skip (reference ``pq_index.go:318+``)
+        — anti-joined before the shortlist/top-k so deleted docs neither
+        appear nor consume slots."""
+        if exclude_ids is not None:
+            codes = codes.join(
+                F.broadcast(exclude_ids.select("id")), "id", "left_anti"
+            )
         score = self.adc_score_col(self.lut(np.asarray(qvec)))
         if round_to is not None:
             score = F.round(score, round_to)
@@ -614,11 +636,15 @@ class IVFPQIndex:
         nprobe: int = 8, round_to: int | None = 6,
         rescore: int = 0, vectors: DataFrame | None = None,
         id_col: str = "id", vec_col: str = "vector", metric: str = "l2",
+        exclude_ids: DataFrame | None = None,
     ) -> DataFrame:
         """Residual ADC over the probed lists in ONE pruned scan: the
         per-cluster LUTs (nprobe × M × Ksub doubles) join in broadcast and
         the score is a native nested element_at sum — no per-cluster union
-        branches (SURVEY.md A5: 'join codes⨝cluster_luts')."""
+        branches (SURVEY.md A5: 'join codes⨝cluster_luts').
+        ``exclude_ids``: soft-delete skip (reference ``ivf_index.go:
+        307-400`` / ``pq_index.go:318+``) — anti-joined into the probed
+        scan before the shortlist/top-k."""
         q = np.asarray(qvec, dtype=np.float64)
         probed = self.ivf.probe_lists(q, nprobe)
         spark = encoded.sparkSession
@@ -642,8 +668,13 @@ class IVFPQIndex:
         score = F.sqrt(total)
         if round_to is not None:
             score = F.round(score, round_to)
+        cand = encoded.filter(F.col("cluster_id").isin(probed))
+        if exclude_ids is not None:
+            cand = cand.join(
+                F.broadcast(exclude_ids.select("id")), "id", "left_anti"
+            )
         out = (
-            encoded.filter(F.col("cluster_id").isin(probed))
+            cand
             .join(F.broadcast(luts), "cluster_id")
             .select(F.col("id"), score.alias("score"))
         )

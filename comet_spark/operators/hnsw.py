@@ -271,13 +271,27 @@ class HNSWIndex:
         self, docs: DataFrame, qvec: list[float], *, k: int = 10,
         ef_search: int = 50, id_col: str = "id", vec_col: str = "vector",
         round_to: int | None = 6, artifacts_path: str | None = None,
+        exclude_ids: DataFrame | None = None,
     ) -> DataFrame:
         """Graph candidates → DISTRIBUTED exact scoring + top-k (same plan
         shape as lsh_ann_topk: broadcast semi-join prunes the scan, the
-        cluster computes distances) → ``(id, score)``."""
+        cluster computes distances) → ``(id, score)``.
+
+        ``exclude_ids`` is the soft-delete skip, with the reference's
+        exact semantics (``hnsw_index.go:507-510``: deleted nodes stay in
+        the graph and keep ROUTING traversal — removing them would sever
+        paths — but are skipped when results are collected): the beam
+        walks the full graph, and the exclusion anti-joins the candidate
+        set before scoring. Raise ``ef_search`` by the expected deleted
+        fraction to keep k live results."""
         spark = docs.sparkSession
         cand_ids = self.search_candidates(qvec, ef_search=max(ef_search, k))
         cand = spark.createDataFrame([(int(c),) for c in cand_ids], "id bigint")
+        if exclude_ids is not None:
+            cand = cand.join(
+                F.broadcast(exclude_ids.select(F.col(id_col).alias("id"))),
+                "id", "left_anti",
+            )
         if artifacts_path is not None:
             # oracle-export: the candidate set as parquet → DuckDB replays
             # exact scoring + ordering over the same candidates
@@ -605,11 +619,20 @@ class DistributedHNSW:
         self, docs: DataFrame, qvec: list[float], *, k: int = 10,
         ef_search: int = 50, id_col: str = "id", vec_col: str = "vector",
         round_to: int | None = 6, artifacts_path: str | None = None,
+        exclude_ids: DataFrame | None = None,
     ) -> DataFrame:
         """Union-of-beams candidates → the SAME distributed exact-scoring
-        plan as :meth:`HNSWIndex.search` → ``(id, score)``."""
+        plan as :meth:`HNSWIndex.search` → ``(id, score)``.
+        ``exclude_ids``: soft-delete skip with HNSWIndex.search's
+        traversal-preserving semantics (deleted nodes still route the
+        per-partition beams; they drop at the candidate anti-join)."""
         spark = docs.sparkSession
         cand = self.candidates(qvec, ef_search=max(ef_search, k)).distinct()
+        if exclude_ids is not None:
+            cand = cand.join(
+                F.broadcast(exclude_ids.select(F.col(id_col).alias("id"))),
+                "id", "left_anti",
+            )
         if artifacts_path is not None:
             cand.repartition(1).write.mode("overwrite").parquet(
                 f"{artifacts_path}/candidates.parquet"

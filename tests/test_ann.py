@@ -428,3 +428,56 @@ def test_inplace_hooks_null_vector_safe(spark, emb):
     }
     assert ig[999999] == (None, None)
     assert all(c is not None and k is not None for i, (k, c) in ig.items() if i != 999999)
+
+
+def test_ivf_pq_ivfpq_soft_delete_skip(spark, emb, qvec, flat_top10):
+    """Soft-delete skip on every compressed/pruned layout (J6 per index;
+    reference TestIVFIndexSoftDeleteWithSearch, ivf_index_test.go:716):
+    exclude_ids drops deleted docs BEFORE top-k, so they neither appear
+    nor consume result slots — k live results come back, including when
+    the deleted set contains the query's own doc (id 0, the corpus
+    top-1). Probe ranking stays delete-oblivious like the reference's
+    bitmap skip."""
+    from comet_spark.operators.ann import IVFIndex, IVFPQIndex, PQIndex
+
+    top_ids = [r[0] for r in flat_top10]
+    deleted = spark.createDataFrame(
+        [(int(top_ids[0]),), (int(top_ids[1]),)], "id bigint"
+    )
+
+    ivf = IVFIndex.train(emb, 8)
+    assigned = ivf.assign(emb)
+    got = [
+        tuple(r)
+        for r in ivf.search(
+            assigned, qvec, k=10, nprobe=8, exclude_ids=deleted
+        ).collect()
+    ]
+    assert len(got) == 10
+    assert {g[0] for g in got}.isdisjoint({top_ids[0], top_ids[1]})
+    # fullprobe minus deleted == flat ranking with those docs never built
+    want = [t for t in flat_top10 if t[0] not in top_ids[:2]]
+    assert got[: len(want)] == want
+
+    pq = PQIndex.train(emb, m=8, nbits=4)
+    codes = pq.encode(emb)
+    got_pq = [
+        tuple(r)
+        for r in pq.search(
+            codes, qvec, k=10, rescore=50, vectors=emb, exclude_ids=deleted
+        ).collect()
+    ]
+    assert len(got_pq) == 10
+    assert {g[0] for g in got_pq}.isdisjoint({top_ids[0], top_ids[1]})
+
+    ivfpq = IVFPQIndex.train(emb, nlist=8, m=8, nbits=4)
+    enc = ivfpq.encode(ivfpq.ivf.assign(emb))
+    got_ivfpq = [
+        tuple(r)
+        for r in ivfpq.search(
+            enc, qvec, k=10, nprobe=8, rescore=50, vectors=emb,
+            exclude_ids=deleted,
+        ).collect()
+    ]
+    assert len(got_ivfpq) == 10
+    assert {g[0] for g in got_ivfpq}.isdisjoint({top_ids[0], top_ids[1]})

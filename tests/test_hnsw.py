@@ -272,3 +272,32 @@ def test_dhnsw_add_batch_incremental(emb, qvec, flat_top10, spark):
     # docs from the appended half are reachable (not just the seed half)
     all_cand = {r["id"] for r in ix1.candidates(qvec, ef_search=200).collect()}
     assert any(i % 2 == 1 for i in all_cand)
+
+
+def test_hnsw_soft_delete_skip(index, emb, qvec, flat_top10, spark):
+    """Reference HNSW delete semantics (hnsw_index.go:507-510 +
+    TestHNSWIndexSearchByDeletedNode / SearchAfterAllDeleted): deleted
+    nodes stay in the graph and keep routing traversal, but are skipped
+    at result collection — searching BY a deleted doc's own vector still
+    returns its live neighbors, and deleting every candidate returns
+    empty rather than erroring."""
+    top_ids = [r[0] for r in flat_top10]
+    # delete the query's own doc (the top-1) — search by its vector works
+    deleted = spark.createDataFrame([(int(top_ids[0]),)], "id bigint")
+    got = [
+        tuple(r)
+        for r in index.search(
+            emb, qvec, k=10, ef_search=100, exclude_ids=deleted
+        ).collect()
+    ]
+    assert len(got) == 10 and top_ids[0] not in {g[0] for g in got}
+    # recall against the ground truth with the deleted doc never built
+    want_ids = {t[0] for t in flat_top10 if t[0] != top_ids[0]}
+    assert len({g[0] for g in got} & want_ids) >= 8
+    # all candidates deleted -> empty result, no error
+    all_cand = index.search_candidates(qvec, ef_search=100)
+    every = spark.createDataFrame([(int(c),) for c in all_cand], "id bigint")
+    assert (
+        index.search(emb, qvec, k=10, ef_search=100, exclude_ids=every).count()
+        == 0
+    )
