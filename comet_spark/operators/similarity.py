@@ -296,6 +296,7 @@ def lsh_ann_topk(
     n_planes: int = 60, bands: int = 4, band_bits: int = 4, seed: int = 42,
     ef: int = 0, n_probes: int = 0, round_to: int = 6,
     artifacts_path: str | None = None,
+    exclude_ids: DataFrame | None = None,
 ) -> DataFrame:
     """HNSW-role approximate top-k (SURVEY.md A3): random-hyperplane LSH
     candidate generation + exact distance on candidates.
@@ -321,6 +322,10 @@ def lsh_ann_topk(
     the QUERY alone (≤ bands·2^band_bits buckets enumerated) and checked
     inside the same signature kernel, so the doc-side plan is unchanged:
     one scan, no shuffle, higher recall per plane budget.
+
+    ``exclude_ids``: soft-delete skip — anti-joined into the candidate
+    set before the exact rescore (the same per-layout delete contract
+    as IVF/PQ/IVFPQ/HNSW search).
     """
     from comet_spark.functions.vector import distance as dist_fn
 
@@ -416,6 +421,15 @@ def lsh_ann_topk(
         )
         cand = cand.union(near).distinct()
 
+    if exclude_ids is not None:
+        # soft-delete skip (same contract as the IVF/PQ/HNSW layouts):
+        # deleted docs drop from the candidate set before the exact
+        # rescore, after bucket/beam selection — they neither appear nor
+        # consume result slots
+        cand = cand.join(
+            F.broadcast(exclude_ids.select(F.col(id_col).alias("id"))),
+            "id", "left_anti",
+        )
     qlit = F.array(*[F.lit(float(x)) for x in qvec])
     score = dist_fn(metric, F.col("v"), qlit)
     if round_to is not None:

@@ -74,3 +74,34 @@ def test_blocked_kernel_requires_serving_ack(emb):
 
     with pytest.raises(ValueError, match="serving"):
         cosine_pairs_blocked(emb, min_sim=0.35)
+
+
+def test_lsh_ann_soft_delete_skip(spark):
+    """exclude_ids on the LSH ANN path: deleted docs (including the
+    query's own top-1) drop before the exact rescore and never consume
+    result slots — the same per-layout delete contract as IVF/PQ/HNSW."""
+    import pyspark.sql.functions as F
+
+    from comet_spark.operators.knn import knn
+    from comet_spark.operators.similarity import lsh_ann_topk
+    from tests.conftest import SF_DIR_SMALL
+
+    emb = (
+        spark.read.parquet(f"{SF_DIR_SMALL}/embeddings.parquet")
+        .select(F.col("vec_id").alias("id"), F.col("embedding").alias("vector"))
+    )
+    qvec = [float(x) for x in emb.filter(F.col("id") == 0).first()["vector"]]
+    base = [
+        r["id"]
+        for r in lsh_ann_topk(emb, qvec, k=10, ef=100, n_probes=16).collect()
+    ]
+    deleted = spark.createDataFrame([(int(base[0]),)], "id bigint")
+    got = lsh_ann_topk(
+        emb, qvec, k=10, ef=100, n_probes=16, exclude_ids=deleted
+    ).collect()
+    assert len(got) == 10
+    ids = [r["id"] for r in got]
+    assert base[0] not in ids
+    # the survivors are exactly the base ranking minus the deleted doc,
+    # extended by one candidate (exclusion happens pre-top-k)
+    assert ids[: len(base) - 1] == base[1:]
