@@ -198,3 +198,103 @@ def test_mixture_rates_invariants(counts, tau, target_frac):
         target_total=target, denom=denom,
     )
     assert reordered == rates
+
+
+@given(
+    sizes=st.lists(
+        st.integers(min_value=200, max_value=(8 << 30)), min_size=0, max_size=40
+    )
+)
+@settings(max_examples=300, deadline=None)
+def test_pick_tier_merge_invariants(sizes):
+    """The tier policy as algebra, for ARBITRARY file populations:
+    partition correctness (kept ∪ merge-sets == all files, disjoint),
+    every merge set has ≥2 members, above-cap class sets are
+    single-class with ≥ min_uniform members and produce outputs that
+    PROMOTE (sum lands in a strictly higher class — the no-rewrite-
+    forever invariant), and terminals are never selected."""
+    from comet_spark.storage.store import (
+        _TIER_CAP,
+        _TIER_LADDER_MAX,
+        _TIER_MIN_UNIFORM,
+        _pick_tier_merge,
+        _size_class,
+    )
+
+    files = [(f"f{i}", s) for i, s in enumerate(sizes)]
+    by_name = dict(files)
+    kept, sets = _pick_tier_merge(files)
+
+    flat = [n for s in sets for n in s]
+    assert sorted(kept + flat) == sorted(n for n, _ in files)
+    assert len(flat) == len(set(flat))
+    for s in sets:
+        assert len(s) >= 2
+    mx = max(sizes) if sizes else 0
+    if mx >= _TIER_CAP:  # ladder regime
+        for s in sets:
+            classes = {_size_class(by_name[n]) for n in s}
+            if classes == {-1}:
+                continue  # the below-cap tail set
+            # a class set: uniform, filled, and PROMOTING
+            assert len(classes) == 1
+            c = classes.pop()
+            assert len(s) >= _TIER_MIN_UNIFORM
+            assert _size_class(sum(by_name[n] for n in s)) > c
+        # terminals are never merged
+        for s in sets:
+            assert all(by_name[n] < _TIER_LADDER_MAX for n in s)
+
+
+@given(
+    batch=st.integers(min_value=1 << 20, max_value=64 << 20),
+    steps=st.integers(min_value=50, max_value=400),
+    every=st.integers(min_value=1, max_value=8),
+)
+@settings(max_examples=60, deadline=None)
+def test_tier_ladder_bounds_file_count(batch, steps, every):
+    """Continued ingest with periodic tiered compaction and NO full
+    compact keeps the file count bounded by the ladder's structural
+    limit: one tail straggler + (min_uniform-1) per occupied class +
+    terminals (which grow only with total bytes — subtracted here)."""
+    from comet_spark.storage.store import (
+        _TIER_LADDER_MAX,
+        _TIER_MIN_UNIFORM,
+        _pick_tier_merge,
+        _size_class,
+    )
+
+    sizes: dict[str, int] = {}
+    nxt = 0
+    for i in range(steps):
+        nxt += 1
+        sizes[f"f{nxt}"] = batch
+        if (i + 1) % every:
+            continue
+        _, sets = _pick_tier_merge(list(sizes.items()))
+        for s in sets:
+            total = sum(sizes.pop(n) for n in s)
+            nxt += 1
+            sizes[f"f{nxt}"] = total
+        n_terminal = sum(1 for v in sizes.values() if v >= _TIER_LADDER_MAX)
+        live = len(sizes) - n_terminal
+        # occupied classes ≤ log_4(ladder_max / min(batch,cap)) + tail
+        assert live <= (_TIER_MIN_UNIFORM - 1) * 16 + every, (
+            i, live, sorted(sizes.values())[-5:]
+        )
+    # and the end state is stable: a no-op pass stays a no-op
+    kept, sets = _pick_tier_merge(list(sizes.items()))
+    if sets:
+        for s in sets:
+            total = sum(sizes.pop(n) for n in s)
+            nxt += 1
+            sizes[f"f{nxt}"] = total
+        _, again = _pick_tier_merge(list(sizes.items()))
+        classes_prev = sorted(
+            _size_class(v) for v in sizes.values() if v < _TIER_LADDER_MAX
+        )
+        # after consuming every selected set, no class is still full
+        for s in again:
+            # only the tail may re-trigger (merged tail can pair with a
+            # newer straggler); class sets must be gone
+            assert {_size_class(sizes[n]) for n in s} == {-1}, classes_prev
