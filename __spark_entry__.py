@@ -2340,7 +2340,7 @@ SELECT vec_id, score FROM d ORDER BY score, vec_id LIMIT {K}
 # deleted doc's vector still works, the reference's
 # TestHNSWIndexSearchByDeletedNode shape. The oracle replays the same
 # probe-set artifact with the exclusion in SQL.
-_IVF_DELETE_WHERE_SPARK = "id % 7 = 0"  # string: module import stays Spark-free
+_IVF_DELETE_WHERE = "id % 7 = 0"  # string: module import stays Spark-free
 _IVF_DELETE_KEEP_SQL = "a.id % 7 <> 0"
 
 
@@ -2357,7 +2357,7 @@ def _ivf_delete_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
             [(int(c),) for c in probed], "cluster_id bigint",
         )
         _PROBE_WRITTEN.add(key)
-    deleted = assigned.filter(_IVF_DELETE_WHERE_SPARK).select("id")
+    deleted = assigned.filter(_IVF_DELETE_WHERE).select("id")
     res = ivf.search(assigned, qvec, k=K, nprobe=2, exclude_ids=deleted)
     return res.select(F.col("id").alias("vec_id"), "score")
 
