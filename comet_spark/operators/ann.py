@@ -176,7 +176,9 @@ class IVFIndex:
 
         ``exclude_ids`` is the soft-delete skip (reference
         ``ivf_index.go:307-400`` marks ids in a deleted bitmap and every
-        search drops them at collection): a tiny id table anti-joined
+        search drops them at collection): a DataFrame carrying
+        ``id_col`` — the uniform contract across every layout's search —
+        anti-joined
         (broadcast) into the probed candidates BEFORE top-k, so deleted
         docs neither appear nor consume result slots — the query-time
         view of a layout whose store has seen deletes since export;
@@ -433,11 +435,13 @@ class PQIndex:
         R=100 on the synthetic corpus vs 0.43 for pure ADC. At 100 TB the
         rescore is a broadcast semi-join of R ids — negligible.
         ``exclude_ids``: soft-delete skip (reference ``pq_index.go:318+``)
-        — anti-joined before the shortlist/top-k so deleted docs neither
-        appear nor consume slots."""
+        — a DataFrame carrying ``id_col``, anti-joined before the
+        shortlist/top-k so deleted docs neither appear nor consume
+        slots (the uniform per-layout contract)."""
         if exclude_ids is not None:
             codes = codes.join(
-                F.broadcast(exclude_ids.select("id")), "id", "left_anti"
+                F.broadcast(exclude_ids.select(F.col(id_col).alias("id"))),
+                "id", "left_anti",
             )
         score = self.adc_score_col(self.lut(np.asarray(qvec)))
         if round_to is not None:
@@ -643,8 +647,9 @@ class IVFPQIndex:
         the score is a native nested element_at sum — no per-cluster union
         branches (SURVEY.md A5: 'join codes⨝cluster_luts').
         ``exclude_ids``: soft-delete skip (reference ``ivf_index.go:
-        307-400`` / ``pq_index.go:318+``) — anti-joined into the probed
-        scan before the shortlist/top-k."""
+        307-400`` / ``pq_index.go:318+``) — a DataFrame carrying
+        ``id_col``, anti-joined into the probed scan before the
+        shortlist/top-k (the uniform per-layout contract)."""
         q = np.asarray(qvec, dtype=np.float64)
         probed = self.ivf.probe_lists(q, nprobe)
         spark = encoded.sparkSession
@@ -671,7 +676,8 @@ class IVFPQIndex:
         cand = encoded.filter(F.col("cluster_id").isin(probed))
         if exclude_ids is not None:
             cand = cand.join(
-                F.broadcast(exclude_ids.select("id")), "id", "left_anti"
+                F.broadcast(exclude_ids.select(F.col(id_col).alias("id"))),
+                "id", "left_anti",
             )
         out = (
             cand

@@ -71,6 +71,31 @@ def _postings_table_name(path: str) -> str:
     return f"bm25_postings_{safe}_{hashlib.md5(path.encode()).hexdigest()[:8]}"
 
 
+def _deletes_vector(spark, fs, path: str):
+    """The COMMITTED delete vector as a distinct-id DataFrame, or None.
+
+    Read from the explicit committed part-file list, not the directory:
+    a ``deletes`` dir with no committed part files — a first
+    :meth:`BM25.delete` whose write job crashed, or a full compact that
+    died midway through clearing the dir — IS the no-deletes state (no
+    delete row ever committed / every row's doc already dropped), and a
+    directory-level ``spark.read.parquet`` would refuse to infer a
+    schema from it, bricking every read/delete/compact with no heal
+    (review r08 #1). A read error on REAL committed files still
+    propagates loudly — silently dropping those would resurrect
+    soft-deleted docs."""
+    d = f"{path}/deletes"
+    parts = [
+        n for n, sz in fs.list_status(d)
+        if n.startswith("part-") and n.endswith(".parquet") and sz > 0
+    ]
+    if not parts:
+        return None
+    return spark.read.parquet(*[f"{d}/{n}" for n in parts]).select(
+        "id"
+    ).distinct()
+
+
 def _heal_tiered_merges(fs, path: str) -> None:
     """Finish (or abort) a size-tiered merge a crashed compact left
     behind, for each of the index's file-tiered tables — the shared
@@ -485,26 +510,26 @@ class BM25:
         # corrections. That makes ANY mix of applied/unapplied tables a
         # crashed delete-applying compact leaves behind read correctly:
         # for a table already rewritten to survivors the anti-join is
-        # simply a no-op. Only vector ABSENCE is tolerated below; a read
-        # error on an existing vector propagates loudly — silently
-        # dropping it would resurrect soft-deleted docs.
+        # simply a no-op. Only vector absence — including an uncommitted
+        # directory, which _deletes_vector reads as no-deletes — is
+        # tolerated; a read error on committed files propagates loudly:
+        # silently dropping the vector would resurrect soft-deleted docs.
         from comet_spark.storage.store import _FS
 
-        if _FS(spark, path).exists(f"{path}/deletes"):
-            dels = spark.read.parquet(f"{path}/deletes").select("id").distinct()
-            if dels.first() is not None:
-                ix.del_ids = dels
-                ix.doc_len = ix.doc_len.join(
-                    F.broadcast(dels), "id", "left_anti"
-                )
-                live = ix.doc_len.agg(
-                    F.count("*").alias("n"), F.sum("dl").alias("s")
-                ).first()
-                n2, tdl2 = float(live["n"]), float(live["s"] or 0.0)
-                ix.stats = spark.createDataFrame(
-                    [(n2, tdl2 / n2 if n2 else None, tdl2)],
-                    "n_docs double, avgdl double, total_dl double",
-                )
+        dels = _deletes_vector(spark, _FS(spark, path), path)
+        if dels is not None:
+            ix.del_ids = dels
+            ix.doc_len = ix.doc_len.join(
+                F.broadcast(dels), "id", "left_anti"
+            )
+            live = ix.doc_len.agg(
+                F.count("*").alias("n"), F.sum("dl").alias("s")
+            ).first()
+            n2, tdl2 = float(live["n"]), float(live["s"] or 0.0)
+            ix.stats = spark.createDataFrame(
+                [(n2, tdl2 / n2 if n2 else None, tdl2)],
+                "n_docs double, avgdl double, total_dl double",
+            )
         return ix
 
     @classmethod
@@ -689,11 +714,9 @@ class BM25:
                     "id", "left_semi",
                 )
             )
-            if fs.exists(f"{path}/deletes"):  # absence tolerated, errors loud
-                fresh = fresh.join(
-                    spark.read.parquet(f"{path}/deletes").select("id"),
-                    "id", "left_anti",
-                )
+            already = _deletes_vector(spark, fs, path)
+            if already is not None:  # uncommitted dir == no deletes yet
+                fresh = fresh.join(already, "id", "left_anti")
             fresh = fresh.localCheckpoint()  # sever before writing to a read path
             n = fresh.count()
             if n:
@@ -802,29 +825,37 @@ class BM25:
                 )
             # delete vector, loaded ONCE up front: the ledger check below
             # must be vector-aware, and the full path applies it. Only
-            # ABSENCE is tolerated; a read error propagates loudly
-            # (silently skipping the vector would resurrect deleted docs
-            # in the compacted output).
-            dels = None
-            if fs.exists(f"{path}/deletes"):
-                d = spark.read.parquet(f"{path}/deletes").select(
-                    "id"
-                ).distinct().localCheckpoint()
-                if d.first() is not None:
-                    dels = d
-            n_vec = dels.count() if dels is not None else 0
+            # absence (incl. an uncommitted dir) is tolerated; a read
+            # error on committed files propagates loudly (silently
+            # skipping the vector would resurrect deleted docs in the
+            # compacted output).
+            dels = _deletes_vector(spark, fs, path)
+            if dels is not None:
+                dels = dels.localCheckpoint()
+            doc_len_t = spark.read.parquet(f"{path}/doc_len")
             n_docs = float(sum(r["n_docs"] for r in stats_rows))
-            n_dl = spark.read.parquet(f"{path}/doc_len").count()
-            # torn-append refusal, delete-aware: with a vector present a
-            # crashed delete-applying compact legitimately leaves doc_len
-            # already at survivor cardinality while the stats ledger (not
-            # yet rewritten) still counts the deleted docs — delete()
-            # records only ids present in doc_len, so that state shows
-            # exactly n_dl == n_docs - n_vec. A genuine torn append adds
-            # doc_len rows WITHOUT a stats record (n_dl > n_docs) and
-            # matches neither arm.
+            n_dl = doc_len_t.count()
+            # DEAD vector entries — ids with no live doc_len row — are
+            # exactly the docs a crashed delete-applying compact already
+            # dropped (delete() only records live ids, so nothing else
+            # creates them; entries added by a LATER delete() are live and
+            # don't count).
+            n_dead = 0
+            if dels is not None:
+                n_dead = dels.count() - doc_len_t.join(
+                    F.broadcast(dels), "id", "left_semi"
+                ).count()
+            # torn-append refusal, delete-aware: a crashed delete-applying
+            # compact legitimately leaves doc_len already at survivor
+            # cardinality while the stats ledger (not yet rewritten) still
+            # counts the dropped docs — that state shows exactly
+            # n_dl == n_docs - n_dead, and stays recognizable even if
+            # delete() ran again in between (review r08 #2: the new ids
+            # are live, so they never inflate n_dead). A genuine torn
+            # append adds doc_len rows WITHOUT a stats record
+            # (n_dl > n_docs) and matches neither arm.
             if n_docs != float(n_dl) and not (
-                n_vec and n_docs == float(n_dl + n_vec)
+                n_dead and n_docs == float(n_dl + n_dead)
             ):
                 raise ValueError(
                     f"compact(): stats ledger ({n_docs:.0f} docs) does not match "
@@ -1007,7 +1038,18 @@ class BM25:
             # anti-join + recount land on the same numbers (read()
             # applies the identical rule to doc_len/n_docs/avgdl).
             posts = posts.join(F.broadcast(del_ids), "id", "left_anti")
-            df_eff = posts.groupBy("term").agg(F.count("*").alias("df"))
+            # df is only ever consumed for MATCHED terms — without a
+            # literal pushdown (generic score_batch) restrict the recount
+            # to the query's terms instead of aggregating the whole
+            # vocabulary (review r08 #3); the recount's cost is then the
+            # matched posting lists, the same order as the match leg.
+            df_src = posts
+            if not literal_terms:
+                df_src = posts.join(
+                    F.broadcast(query_terms.select("term").distinct()),
+                    "term", "left_semi",
+                )
+            df_eff = df_src.groupBy("term").agg(F.count("*").alias("df"))
         matched = posts.join(F.broadcast(query_terms), "term")
         if prefilter_ids is not None:
             matched = matched.join(prefilter_ids.select("id"), "id", "left_semi")

@@ -1409,6 +1409,107 @@ def test_bm25_full_compact_crash_sweep(spark, tmp_path):
         assert spark.read.parquet(f"{path}/stats").count() == 1, k
 
 
+def test_bm25_uncommitted_deletes_dir_reads_as_no_deletes(spark, tmp_path):
+    """A deletes dir with NO committed part files — a first delete()
+    whose write job crashed, or a compact that died mid-clear — is the
+    no-deletes state: read()/delete()/compact() must all keep working
+    instead of bricking on schema inference (review r08 #1)."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from comet_spark.operators.bm25 import BM25
+
+    full = spark.createDataFrame(
+        [(i, f"spark data tables term{i % 5}") for i in range(1, 13)],
+        "id bigint, text string",
+    )
+    want = [tuple(r) for r in BM25(full).score("spark term2", k=0).collect()]
+    path = str(tmp_path / "udel")
+    BM25(full).write(path, buckets=4)
+    os.makedirs(f"{path}/deletes", exist_ok=True)  # crashed-write remnant
+    open(f"{path}/deletes/_SUCCESS", "w").close()
+
+    back = BM25.read(spark, path)
+    assert back.del_ids is None
+    assert [tuple(r) for r in back.score("spark term2", k=0).collect()] == want
+    # delete() still works on top of the remnant dir...
+    assert BM25.delete(spark, path, [3]) == 1
+    got = [
+        tuple(r)
+        for r in BM25.read(spark, path).score("spark term2", k=0).collect()
+    ]
+    assert got == [
+        tuple(r)
+        for r in BM25(full.filter("id != 3")).score("spark term2", k=0).collect()
+    ]
+    # ...and compact() applies it
+    BM25.compact(spark, path)
+    assert not os.path.exists(f"{path}/deletes")
+    assert spark.read.parquet(f"{path}/doc_len").count() == 11
+
+
+def test_bm25_delete_between_crashed_compact_and_rerun(spark, tmp_path):
+    """delete() issued BETWEEN a crashed delete-applying compact and its
+    re-run must not wedge the ledger check (review r08 #2): dead vector
+    entries (no live doc_len row) account for the survivor/ledger gap,
+    while the fresh delete's ids are live and don't inflate it."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from comet_spark.operators.bm25 import BM25
+    from comet_spark.storage.store import _FS
+
+    full = spark.createDataFrame(
+        [(i, f"spark data tables term{i % 5}") for i in range(1, 25)],
+        "id bigint, text string",
+    )
+    first_del, second_del = [2, 7, 12], [5, 9]
+    path = str(tmp_path / "middel")
+    BM25(full.filter(F.col("id") <= 18)).write(path, buckets=4)
+    BM25.append(spark, path, full.filter(F.col("id") > 18))
+    assert BM25.delete(spark, path, first_del) == 3
+
+    # simulate the crash state: doc_len swapped to survivors, stats/df/
+    # postings stale, vector retained (exactly between the compact's
+    # doc_len swap and the rest)
+    fs = _FS(spark, path)
+    surv = (
+        spark.read.parquet(f"{path}/doc_len")
+        .join(spark.createDataFrame([(i,) for i in first_del], "id bigint"),
+              "id", "left_anti")
+        .localCheckpoint()
+    )
+    surv.write.mode("overwrite").parquet(f"{path}/doc_len.side")
+    fs.delete(f"{path}/doc_len")
+    assert fs.rename(f"{path}/doc_len.side", f"{path}/doc_len")
+
+    # a user deletes MORE docs before re-running the compact
+    assert BM25.delete(spark, path, second_del) == 2
+    # the mixed state still reads exactly (live-derived corrections)
+    want = [
+        tuple(r)
+        for r in BM25(full.filter(~F.col("id").isin(first_del + second_del)))
+        .score("spark term2", k=0)
+        .collect()
+    ]
+    got = [
+        tuple(r)
+        for r in BM25.read(spark, path).score("spark term2", k=0).collect()
+    ]
+    assert got == want
+    # and the compact re-run CONVERGES instead of refusing
+    BM25.compact(spark, path)
+    assert not os.path.exists(f"{path}/deletes")
+    assert spark.read.parquet(f"{path}/doc_len").count() == 24 - 5
+    got = [
+        tuple(r)
+        for r in BM25.read(spark, path).score("spark term2", k=0).collect()
+    ]
+    assert got == want
+
+
 def test_bm25_delete_compact_crash_sweep(spark, tmp_path):
     """The DELETE-APPLYING full compact rewrites tables to different
     cardinalities, so unlike the value-identical plain swaps, its
