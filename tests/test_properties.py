@@ -261,7 +261,6 @@ def test_tier_ladder_bounds_file_count(batch, steps, every):
         _TIER_LADDER_MAX,
         _TIER_MIN_UNIFORM,
         _pick_tier_merge,
-        _size_class,
     )
 
     sizes: dict[str, int] = {}
@@ -282,19 +281,20 @@ def test_tier_ladder_bounds_file_count(batch, steps, every):
         assert live <= (_TIER_MIN_UNIFORM - 1) * 16 + every, (
             i, live, sorted(sizes.values())[-5:]
         )
-    # and the end state is stable: a no-op pass stays a no-op
-    kept, sets = _pick_tier_merge(list(sizes.items()))
-    if sets:
+    # and the end state DRAINS: repeated passes terminate in O(#rungs)
+    # steps (consuming a class's set may legitimately fill the NEXT class
+    # — cascading promotion — but each cascade strictly climbs the
+    # ladder, so it cannot loop; a rewrite-forever bug would exceed the
+    # bound)
+    for _ in range(12):
+        _, sets = _pick_tier_merge(list(sizes.items()))
+        if not sets:
+            break
         for s in sets:
             total = sum(sizes.pop(n) for n in s)
             nxt += 1
             sizes[f"f{nxt}"] = total
-        _, again = _pick_tier_merge(list(sizes.items()))
-        classes_prev = sorted(
-            _size_class(v) for v in sizes.values() if v < _TIER_LADDER_MAX
+    else:
+        raise AssertionError(
+            f"ladder did not drain: {sorted(sizes.values())[-8:]}"
         )
-        # after consuming every selected set, no class is still full
-        for s in again:
-            # only the tail may re-trigger (merged tail can pair with a
-            # newer straggler); class sets must be gone
-            assert {_size_class(sizes[n]) for n in s} == {-1}, classes_prev
