@@ -682,7 +682,12 @@ _STREAM_MOD = 4  # micro-batches per build
 def _lose_latest_commit(ckpt: str) -> None:
     """The crash-replay shape: remove the checkpoint's LATEST commit
     marker (and its checksum twin) so a restart with the same checkpoint
-    re-runs that micro-batch with its logged file set."""
+    re-runs that micro-batch with its logged file set.
+
+    LOCAL-FS ONLY (``glob``/``os.remove`` on a POSIX checkpoint dir) —
+    fine for the oracle artifact builds here, which always run against a
+    local checkpoint, but NOT a reusable crash-test utility for object
+    storage, where the checkpoint's commit/rename semantics differ."""
     import glob
 
     commits = sorted(
@@ -710,7 +715,10 @@ def _bm25_stream_index(spark: SparkSession, sf_dir: str) -> BM25:
 
         def build() -> None:
             # full rebuild: the checkpoint, source files, store and index
-            # are one coupled lineage — remove them together
+            # are one coupled lineage — remove them together. This whole
+            # builder (shutil/os on the checkpoint + _lose_latest_commit)
+            # assumes a POSIX-local checkpoint dir — always true for the
+            # oracle artifacts, not a portable object-storage harness.
             shutil.rmtree(base, ignore_errors=True)
             os.makedirs(base, exist_ok=True)
             src, ckpt = f"{base}/src", f"{base}/ckpt"

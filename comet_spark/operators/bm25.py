@@ -705,15 +705,18 @@ class BM25:
         fs = _FS(spark, path)
         with _index_writer_lock(spark, path, "delete"):
             _heal_index_dirs(fs, path)
+            ledger = spark.read.parquet(f"{path}/doc_len").select("id")
+            # normalize to the LEDGER's id type before anything is written:
+            # a DataFrame call with int32 ids followed by an iterable call
+            # (bigint) would otherwise leave mixed-schema part files under
+            # path/deletes, which the vector's single-schema read then
+            # fails on forever (ADVICE r08) — one vector, one schema
+            ids_df = ids_df.select(
+                F.col("id").cast(ledger.schema["id"].dataType).alias("id")
+            )
             # scope to ids actually in the ledger and not already deleted:
             # keeps the vector bounded and the return count meaningful
-            fresh = (
-                ids_df.distinct()
-                .join(
-                    spark.read.parquet(f"{path}/doc_len").select("id"),
-                    "id", "left_semi",
-                )
-            )
+            fresh = ids_df.distinct().join(ledger, "id", "left_semi")
             already = _deletes_vector(spark, fs, path)
             if already is not None:  # uncommitted dir == no deletes yet
                 fresh = fresh.join(already, "id", "left_anti")

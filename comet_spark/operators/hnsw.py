@@ -51,6 +51,20 @@ __all__ = ["HNSWIndex", "DistributedHNSW"]
 MAX_LEVEL_CAP = 16
 
 
+def _inflated_ef(ef_search: int, k: int, exclude_ids: DataFrame | None) -> int:
+    """Beam width for a search that must yield k LIVE results: the base
+    ``max(ef_search, k)``, plus the exclusion set's cardinality when a
+    soft-delete skip is in play — a fixed-size beam anti-joined after
+    traversal would otherwise return fewer than k survivors on a
+    heavily-deleted index (ADVICE r08). The count is one job over the
+    delete vector, which is broadcast-small by the exclude contract; a
+    beam wider than the graph simply degenerates to scanning it."""
+    ef = max(int(ef_search), int(k))
+    if exclude_ids is not None:
+        ef += int(exclude_ids.count())
+    return ef
+
+
 class HNSWIndex:
     def __init__(
         self, ids: np.ndarray, mat: np.ndarray, *, m: int = 8,
@@ -282,10 +296,16 @@ class HNSWIndex:
         the graph and keep ROUTING traversal — removing them would sever
         paths — but are skipped when results are collected): the beam
         walks the full graph, and the exclusion anti-joins the candidate
-        set before scoring. Raise ``ef_search`` by the expected deleted
-        fraction to keep k live results."""
+        set before scoring. The beam AUTO-INFLATES by the exclusion's
+        cardinality (like the rescore shortlist), so a heavily-deleted
+        index still surfaces k live results instead of silently
+        returning fewer (ADVICE r08) — in the worst case every beam slot
+        is a deleted node and the inflation restores exactly the lost
+        capacity."""
         spark = docs.sparkSession
-        cand_ids = self.search_candidates(qvec, ef_search=max(ef_search, k))
+        cand_ids = self.search_candidates(
+            qvec, ef_search=_inflated_ef(ef_search, k, exclude_ids)
+        )
         cand = spark.createDataFrame([(int(c),) for c in cand_ids], "id bigint")
         if exclude_ids is not None:
             cand = cand.join(
@@ -625,9 +645,13 @@ class DistributedHNSW:
         plan as :meth:`HNSWIndex.search` → ``(id, score)``.
         ``exclude_ids``: soft-delete skip with HNSWIndex.search's
         traversal-preserving semantics (deleted nodes still route the
-        per-partition beams; they drop at the candidate anti-join)."""
+        per-partition beams; they drop at the candidate anti-join), and
+        the same exclusion-count beam inflation so heavy deletion can't
+        silently shrink the live result set below k."""
         spark = docs.sparkSession
-        cand = self.candidates(qvec, ef_search=max(ef_search, k)).distinct()
+        cand = self.candidates(
+            qvec, ef_search=_inflated_ef(ef_search, k, exclude_ids)
+        ).distinct()
         if exclude_ids is not None:
             cand = cand.join(
                 F.broadcast(exclude_ids.select(F.col(id_col).alias("id"))),

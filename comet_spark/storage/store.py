@@ -269,11 +269,24 @@ def _pick_tier_merge(
     that accumulates ``min_uniform`` members merges into one output that
     lands in the NEXT class — never back into its own, because
     ``min_uniform >= ratio`` makes the output at least ``cap·ratio^(c+1)``
-    bytes. File counts stay bounded (≤ ``min_uniform-1`` per class + one
-    tail straggler) with O(log) write amplification and NO full compact
-    needed. Files at/above ``ladder_max_bytes`` are terminal: healthy
-    target-sized segments that only a full compact touches (keeps the
-    single-task merge write bounded)."""
+    INPUT bytes. File counts stay bounded (≤ ``min_uniform-1`` per class
+    + one tail straggler) with O(log) write amplification and NO full
+    compact needed. Files at/above ``ladder_max_bytes`` are terminal:
+    healthy target-sized segments that only a full compact touches
+    (keeps the single-task merge write bounded).
+
+    The promotion invariant is proven on SUMS of input sizes; the
+    amplification bound additionally assumes output bytes ≈ input bytes.
+    A merged parquet that RE-ENCODES below ``cap·ratio^(c+1)`` (better
+    compression, or store head-runs dropping superseded rows) lands back
+    in its inputs' class and re-merges when that class refills — safe
+    (each re-merge needs ``min_uniform-1`` FRESH same-class files, so
+    there is no rewrite loop and file counts stay bounded), but the
+    re-encode factor multiplies into the O(log) write-amplification
+    constant (ADVICE r08). The policy is a pure function of observed
+    sizes — it carries no per-file provenance — so the bound is stated
+    with that assumption rather than patched with remembered input
+    sums."""
     ratio = _TIER_RATIO if ratio is None else ratio
     min_uniform = _TIER_MIN_UNIFORM if min_uniform is None else min_uniform
     cap = _TIER_CAP if consolidate_max_bytes is None else consolidate_max_bytes

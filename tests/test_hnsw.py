@@ -294,9 +294,20 @@ def test_hnsw_soft_delete_skip(index, emb, qvec, flat_top10, spark):
     # recall against the ground truth with the deleted doc never built
     want_ids = {t[0] for t in flat_top10 if t[0] != top_ids[0]}
     assert len({g[0] for g in got} & want_ids) >= 8
-    # all candidates deleted -> empty result, no error
-    all_cand = index.search_candidates(qvec, ef_search=100)
-    every = spark.createDataFrame([(int(c),) for c in all_cand], "id bigint")
+    # deleting the whole UNINFLATED beam no longer empties the result:
+    # the beam auto-inflates by the exclusion count (ADVICE r08), so the
+    # search surfaces the next-nearest LIVE docs instead of silently
+    # returning fewer than k
+    base_cand = index.search_candidates(qvec, ef_search=100)
+    beam_del = spark.createDataFrame(
+        [(int(c),) for c in base_cand], "id bigint"
+    )
+    live = index.search(emb, qvec, k=10, ef_search=100, exclude_ids=beam_del)
+    live_ids = {r["id"] for r in live.collect()}
+    assert len(live_ids) == 10 and not (live_ids & {int(c) for c in base_cand})
+    # every doc deleted -> empty result, no error (reference
+    # TestHNSWIndexSearchAfterAllDeleted)
+    every = emb.select("id")
     assert (
         index.search(emb, qvec, k=10, ef_search=100, exclude_ids=every).count()
         == 0

@@ -573,6 +573,38 @@ def test_bm25_delete_matches_rebuild_without_docs(spark, tmp_path):
     fs.delete(f"{path}/_lock")
 
 
+def test_bm25_delete_vector_schema_uniform_across_id_types(spark, tmp_path):
+    """ADVICE r08: a DataFrame delete with a NARROWER id type followed by
+    an iterable delete (bigint) must not leave mixed-schema part files
+    under path/deletes — every write normalizes to the LEDGER's id type,
+    so the vector always reads with one schema and later deletes/reads/
+    compacts keep working."""
+    import pyspark.sql.functions as F
+
+    from comet_spark.operators.bm25 import BM25
+
+    docs = spark.createDataFrame(
+        [(i, f"spark data row {i} {'dup ' * (i % 2)}") for i in range(12)],
+        "id bigint, text string",
+    )
+    path = str(tmp_path / "mixids")
+    BM25(docs).write(path)
+    # int32-typed DataFrame ids, then an iterable (int64) — the r08 bug
+    # shape that used to strand the vector with two parquet schemas
+    assert BM25.delete(
+        spark, path,
+        spark.createDataFrame([(3,)], "id int").select(F.col("id")),
+    ) == 1
+    assert BM25.delete(spark, path, [7]) == 1
+    vec = spark.read.parquet(f"{path}/deletes")
+    assert vec.schema["id"].dataType.simpleString() == "bigint"
+    assert {r["id"] for r in vec.collect()} == {3, 7}
+    # the read path applies both deletes; full compact clears the vector
+    assert BM25.read(spark, path).doc_len.count() == 10
+    BM25.compact(spark, path)
+    assert spark.read.parquet(f"{path}/doc_len").count() == 10
+
+
 def test_winnowing_guarantee_and_pairs(spark):
     """Winnowing's core guarantee: two docs sharing a run of >= k+w-1
     tokens share at least one fingerprint; unrelated docs share none;
