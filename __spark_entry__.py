@@ -974,6 +974,73 @@ ORDER BY score DESC, doc_id LIMIT {K}
 )
 
 
+# ★ hybrid × delete (VERDICT r08 #4): RRF fusion where BOTH legs read
+# deleted state — the vector leg is the IVF probed scan with the delete
+# set anti-joined via ``exclude_ids`` (the ivf_delete_knn machinery), and
+# the text leg scores a DELETE-VECTORED BM25 index (the
+# bm25_tiered_delete machinery, built fresh here with this query's own
+# delete set). Both legs drop the SAME docs: ``doc_id % 10 = 7`` plus the
+# query's own doc (vec_id 0, the probed scan's exact top-1 — so the
+# vector-leg exclusion is non-vacuous by construction at every SF, the
+# ivf_delete_knn argument). The fused ranks shift when both legs drop
+# the same docs — the composition the individually-proved pieces don't
+# cover. Oracle: both legs replayed with the keep predicate (the probed
+# artifact scan excluded in SQL; the BM25 stats computed over a corpus
+# that never contained the deleted docs), then the exact RRF fold.
+_HYB_DELETE_WHERE = f"doc_id % 10 = 7 OR doc_id = {QUERY_VEC_ID}"
+_HYB_DELETE_KEEP_SQL = f"doc_id % 10 <> 7 AND doc_id <> {QUERY_VEC_ID}"
+
+
+def _hybrid_delete_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    ivf, assigned = _ivf_trained(spark, sf_dir)
+    qvec = _hybrid_qvec(spark, sf_dir)
+    key = (_skey(spark), sf_dir, "probes_q2")
+    if key not in _PROBE_WRITTEN:  # shared artifact — first toucher writes
+        probed = ivf.probe_lists(np.asarray(qvec), 2)
+        _write_rows(
+            spark, f"{_art_dir(sf_dir)}/ivf/probes_q2.parquet",
+            [(int(c),) for c in probed], "cluster_id bigint",
+        )
+        _PROBE_WRITTEN.add(key)
+    deleted = assigned.filter(
+        f"id % 10 = 7 OR id = {QUERY_VEC_ID}"
+    ).select("id")
+    vec_res = ivf.search(assigned, qvec, k=K, nprobe=2, exclude_ids=deleted)
+    bm = _bm25_compacted_index(
+        spark, sf_dir, "bm25_hyb_delete", 3,
+        delete_where=_HYB_DELETE_WHERE, tiered=True,
+    )
+    txt_res = bm.score(BM25_QUERY, k=K)
+    return rrf(vec_res, txt_res, k=K).select(F.col("id").alias("doc_id"), "score")
+
+
+_register(
+    "hybrid_delete_rrf",
+    _hybrid_delete_rrf,
+    f"""
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = {QUERY_VEC_ID}),
+a AS (SELECT id, vector, cluster_id
+      FROM read_parquet('{_ART01}/ivf/assigned.parquet/**/*.parquet', hive_partitioning=1)),
+p AS (SELECT cluster_id FROM read_parquet('{_ART01}/ivf/probes_q2.parquet/*.parquet')),
+vd AS (SELECT a.id, ROUND({_sql_l2('a.vector', 'q.qv')}, 6) AS score
+       FROM a JOIN p USING (cluster_id), q
+       WHERE a.id % 10 <> 7 AND a.id <> {QUERY_VEC_ID}),
+vres AS (SELECT id, score FROM vd ORDER BY score, id LIMIT {K}),
+{_sql_bm25_ctes(_HYB_DELETE_KEEP_SQL).strip().rstrip(',')},
+{_sql_bm25_score(BM25_QUERY).strip().rstrip(',')},
+tres AS (SELECT id, ROUND(score, 6) AS score FROM sc ORDER BY score DESC, id LIMIT {K}),
+vrank AS (SELECT id, row_number() OVER (ORDER BY score ASC, id ASC) - 1 AS r FROM vres),
+trank AS (SELECT id, row_number() OVER (ORDER BY score DESC, id ASC) - 1 AS r FROM tres)
+SELECT coalesce(vrank.id, trank.id) AS doc_id,
+       ROUND(coalesce(1.0/(60.0 + vrank.r), 0) + coalesce(1.0/(60.0 + trank.r), 0), 6) AS score
+FROM vrank FULL OUTER JOIN trank ON vrank.id = trank.id
+ORDER BY score DESC, doc_id LIMIT {K}
+""",
+)
+
+
 _register(
     "hybrid_weighted",
     _mk_hybrid("weighted_sum", vector_weight=1.0, text_weight=0.5),
@@ -2449,6 +2516,50 @@ SELECT vec_id, score FROM d ORDER BY score, vec_id LIMIT {K}
 )
 
 
+# ★ soft-delete skip on the COMPRESSED layout (delete × compression,
+# VERDICT r08 #2 — B15/J6 on the ADC path, reference ``pq_index.go:318+``
+# bitmap skip): the exported codes table is searched with a delete vector
+# anti-joined into the candidates BEFORE top-k, so deleted docs neither
+# appear nor consume result slots while the compressed-domain scan stays
+# delete-oblivious. The deleted set includes vec_id 0 — the query's own
+# doc, whose ADC distance is the pure quantization floor — and the build
+# ASSERTS (once per session/corpus) that the exclusion intersects the
+# undeleted ADC top-k, so the skip can't pass vacuously at any SF. The
+# oracle replays the same LUT-join scan with the exclusion predicate.
+_PQ_DELETE_WHERE = "id % 7 = 0"  # string: module import stays Spark-free
+_PQ_DELETE_KEEP_SQL = "vec_id % 7 <> 0"
+
+
+def _pq_delete_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _pq_adc(spark, sf_dir)  # trained index + codes/LUT artifacts
+    pq, codes = _PQ_CACHE[(_skey(spark), sf_dir)]
+    qvec = _hybrid_qvec(spark, sf_dir)
+    key = (_skey(spark), sf_dir, "pq_delete_nonvacuous")
+    if key not in _PROBE_WRITTEN:
+        undeleted_top = pq.search(codes, qvec, k=K).collect()
+        if not any(r["id"] % 7 == 0 for r in undeleted_top):
+            raise RuntimeError(
+                "pq_delete_adc: no deleted id in the undeleted ADC top-k — "
+                "the soft-delete skip would be vacuous"
+            )
+        _PROBE_WRITTEN.add(key)
+    deleted = codes.filter(_PQ_DELETE_WHERE).select("id")
+    res = pq.search(codes, qvec, k=K, exclude_ids=deleted)
+    return res.select(F.col("id").alias("vec_id"), "score")
+
+
+_register(
+    "pq_delete_adc",
+    _pq_delete_adc,
+    f"""
+WITH c AS (SELECT id, codes FROM read_parquet('{_ART01}/pq/codes.parquet/*.parquet')),
+l AS (SELECT sub, code, dist FROM read_parquet('{_ART01}/pq/lut_q.parquet/*.parquet')),
+d AS ({_sql_adc('c', 'l')})
+SELECT vec_id, score FROM d WHERE {_PQ_DELETE_KEEP_SQL} ORDER BY score, vec_id LIMIT {K}
+""",
+)
+
+
 PQ_RESCORE = 100
 
 
@@ -2473,6 +2584,62 @@ WITH c AS (SELECT id, codes FROM read_parquet('{_ART01}/pq/codes.parquet/*.parqu
 l AS (SELECT sub, code, dist FROM read_parquet('{_ART01}/pq/lut_q.parquet/*.parquet')),
 adc AS ({_sql_adc('c', 'l')}),
 short AS (SELECT vec_id FROM adc ORDER BY score, vec_id LIMIT {PQ_RESCORE}),
+q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = {QUERY_VEC_ID}),
+e AS (SELECT e.vec_id, embedding::DOUBLE[] AS v FROM embeddings e JOIN short USING (vec_id)),
+d AS (SELECT vec_id, ROUND({_sql_l2('e.v', 'q.qv')}, 6) AS score FROM e, q)
+SELECT vec_id, score FROM d ORDER BY score, vec_id LIMIT {K}
+""",
+)
+
+
+# ★ K1 reranker hook through the builder (reference Reranker option,
+# ``index_search.go:50-60`` + ``reranker_test.go:9-61``): a VectorSearch
+# over the PQ layout runs the compressed-domain ADC scan for a
+# SHORTLIST-deep candidate list, then ``with_reranker`` applies the
+# documented Rerank use-case — exact rescore of the candidates by their
+# STORED vectors — as the post-search hook (runs on ≤ shortlist rows).
+# The oracle replays the same two stages from the exported artifacts:
+# LUT-join shortlist, then exact L2 over the embeddings. Distinct from
+# pq_adc_rescore on purpose: that query exercises PQIndex.search's fused
+# rescore; this one exercises the BUILDER's pluggable hook surface.
+RERANK_SHORTLIST = 30
+
+
+def _reranker_adc_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from comet_spark.operators.ann import _exact_rescore
+
+    _pq_adc(spark, sf_dir)  # trained PQ + codes/LUT artifacts
+    pq, codes = _PQ_CACHE[(_skey(spark), sf_dir)]
+    emb = _emb_docs(spark, sf_dir)
+    qvec = _hybrid_qvec(spark, sf_dir)
+
+    def rr(short: DataFrame) -> DataFrame:
+        return _exact_rescore(
+            emb, short.select("id"), qvec, k=K,
+            id_col="id", vec_col="vector", metric="l2", round_to=6,
+        )
+
+    corpus = Corpus(emb, metric="l2")
+    corpus._pq, corpus._pq_codes = pq, codes
+    out = (
+        corpus.vector_search()
+        .with_query(qvec)
+        .with_adc()
+        .with_k(RERANK_SHORTLIST)
+        .with_reranker(rr)
+        .execute()
+    )
+    return out.select(F.col("id").alias("vec_id"), "score")
+
+
+_register(
+    "reranker_adc_rescore",
+    _reranker_adc_rescore,
+    f"""
+WITH c AS (SELECT id, codes FROM read_parquet('{_ART01}/pq/codes.parquet/*.parquet')),
+l AS (SELECT sub, code, dist FROM read_parquet('{_ART01}/pq/lut_q.parquet/*.parquet')),
+adc AS ({_sql_adc('c', 'l')}),
+short AS (SELECT vec_id FROM adc ORDER BY score, vec_id LIMIT {RERANK_SHORTLIST}),
 q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = {QUERY_VEC_ID}),
 e AS (SELECT e.vec_id, embedding::DOUBLE[] AS v FROM embeddings e JOIN short USING (vec_id)),
 d AS (SELECT vec_id, ROUND({_sql_l2('e.v', 'q.qv')}, 6) AS score FROM e, q)
