@@ -4526,6 +4526,333 @@ SELECT a_id, b_id, jaccard FROM j WHERE jaccard >= {MIN_JACCARD}
 """,
 )
 
+
+# ★ the near-dup INGEST STREAM under the oracle gate (VERDICT r08 #1 —
+# the last major subsystem whose output the hash gate had never touched):
+# the admitted corpus is built by ``neardup_ingest_stream`` itself over
+# deterministic micro-batches (``doc_id % 4``, one source file each,
+# maxFilesPerTrigger=1, foreachBatch through Spark's real checkpoint
+# machinery, survivors landing under ``out/batch=<id>``) WITH one
+# injected crash: after the first drain the latest commit marker is
+# deleted AND the signature store is COMPACTED (``compact_sig_store`` —
+# the stream is stopped, so the out-of-band compact is inside the
+# ownership contract), so the restart replays that batch through the
+# ``assume_replay`` path against the rewritten store. The oracle
+# recomputes the arrival-order greedy admission from scratch in SQL —
+# per batch: drop docs colliding with previously-ADMITTED docs' band
+# signatures, then the within-batch greedy (iterated "min of every
+# bucket wins, bucket-mates drop" rounds, unrolled; sig-less docs pass
+# unconditionally) — so equality proves the stream's restart + replay
+# + store-compaction protocol changes NO admission decision vs a batch
+# run of the same corpus in the same order (reference analog: dedup-by-
+# max-score across the LSM read path, ``storage_merge.go:13-38``).
+_NEARDUP_MOD = 4  # micro-batches per build
+_NEARDUP_GREEDY_ROUNDS = 4  # SQL unroll depth (measured: 1 round at sf0.01)
+_NEARDUP_STREAM_BUILT: set[tuple[str, str]] = {*()}
+
+
+def _neardup_stream_admitted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = f"{_art_dir(sf_dir)}/neardup_stream"
+    out = f"{base}/out"
+    key = (_skey(spark), sf_dir)
+    if key not in _NEARDUP_STREAM_BUILT:
+        sig = _corpus_sig(sf_dir, "documents")
+        sig_path = f"{base}/corpus_sig.txt"
+        try:
+            with open(sig_path) as fh:
+                fresh = sig != "" and fh.read() == sig
+            if fresh:
+                spark.read.parquet(out).first()  # artifact probes healthy
+        except Exception:
+            fresh = False
+        if not fresh:
+            _build_neardup_stream_artifact(spark, sf_dir, base)
+            with open(sig_path, "w") as fh:
+                fh.write(sig)
+        _NEARDUP_STREAM_BUILT.add(key)
+    return spark.read.parquet(out).select(
+        F.col("batch").cast("bigint").alias("batch"), "doc_id"
+    )
+
+
+def _build_neardup_stream_artifact(
+    spark: SparkSession, sf_dir: str, base: str
+) -> None:
+    """POSIX-local oracle-artifact harness (same contract as the
+    bm25_stream builder: glob/shutil on a local checkpoint dir)."""
+    import glob
+    import shutil
+
+    from comet_spark.streaming.ingest import (
+        compact_sig_store,
+        neardup_ingest_stream,
+    )
+
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(base, exist_ok=True)
+    src, ckpt = f"{base}/src", f"{base}/ckpt"
+    sigs, out = f"{base}/sigs", f"{base}/out"
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def _add_batches(residues) -> None:
+        for mth in residues:  # one part file per residue → one micro-batch
+            docs.filter(F.col("doc_id") % _NEARDUP_MOD == mth).repartition(
+                1
+            ).write.mode("append").parquet(src)
+
+    def _drain() -> None:
+        q = neardup_ingest_stream(
+            spark.readStream.schema("doc_id bigint, text string")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src),
+            sigs, out, id_col="doc_id", text_col="text",
+            n=NGRAM_N, n_hashes=N_HASHES, bands=LSH_BANDS,
+            checkpoint=ckpt,
+        )
+        if not q.awaitTermination(600):
+            q.stop()
+            raise RuntimeError("neardup_stream artifact: stream did not drain")
+
+    _add_batches(range(2))
+    _drain()
+    before = set(glob.glob(f"{out}/batch=1/*"))
+    # injected crash + sig-store compaction between the drains: the
+    # restarted stream replays batch 1 (assume_replay) against the
+    # COMPACTED store — both the replay heal and the compaction are
+    # under the oracle equality below
+    _lose_latest_commit(ckpt)
+    if not compact_sig_store(spark, sigs, min_files=0):
+        raise RuntimeError(
+            "neardup_stream artifact: sig-store compact was a no-op — "
+            "the compaction leg would be vacuous"
+        )
+    _add_batches(range(2, _NEARDUP_MOD))
+    _drain()
+    # non-vacuity: the replay must have actually re-run batch 1 (its
+    # partition is OVERWRITTEN with fresh part files on replay) ...
+    after = set(glob.glob(f"{out}/batch=1/*"))
+    if not before or before == after:
+        raise RuntimeError(
+            "neardup_stream artifact: batch 1 was not replayed — the "
+            "injected crash did not engage"
+        )
+    # ... and the dedup must actually drop documents
+    n_admitted = spark.read.parquet(out).count()
+    n_docs = docs.count()
+    if not n_admitted < n_docs:
+        raise RuntimeError(
+            f"neardup_stream artifact: {n_admitted}/{n_docs} admitted — "
+            "no near-duplicates dropped, the dedup would be vacuous"
+        )
+
+
+def _sql_neardup_stream() -> str:
+    """Generated oracle: the arrival-order greedy admission, unrolled —
+    batches by ``doc_id % _NEARDUP_MOD`` in order, history = band sigs of
+    previously-admitted docs, within-batch greedy iterated
+    ``_NEARDUP_GREEDY_ROUNDS`` times (converges in 1 on this corpus; a
+    too-shallow unroll under-admits and fails the hash gate loudly)."""
+    rpb = N_HASHES // LSH_BANDS
+    # every multiply-referenced CTE is MATERIALIZED: the unrolled rounds
+    # reference their predecessor several times each, and letting the
+    # planner INLINE them re-expands the whole shingle→minhash pipeline
+    # exponentially (observed as fd exhaustion re-opening the parquet)
+    parts = [
+        _SQL_SHINGLES.strip().rstrip(","),
+        "h AS (SELECT id, (('0x' || substr(md5(shingle), 1, 8))::BIGINT"
+        " % 2147483647) AS h FROM sh)",
+        _sql_minhash_coeffs(),
+        "mh AS (SELECT id, i, min((a * h + b) % 2147483647) AS mh"
+        " FROM h CROSS JOIN co GROUP BY id, i)",
+        f"bsig AS MATERIALIZED (SELECT id, i // {rpb} AS band,"
+        " md5(string_agg(mh::VARCHAR, ',' ORDER BY i)) AS sig"
+        f" FROM mh GROUP BY id, i // {rpb})",
+        "nosig AS MATERIALIZED (SELECT doc_id AS id FROM documents"
+        " WHERE doc_id NOT IN (SELECT DISTINCT id FROM bsig))",
+    ]
+    admitted = []
+    for b in range(_NEARDUP_MOD):
+        parts.append(
+            f"b{b} AS MATERIALIZED (SELECT id, band, sig FROM bsig"
+            f" WHERE id % {_NEARDUP_MOD} = {b})"
+        )
+        if b == 0:
+            parts.append(f"f{b} AS (SELECT * FROM b{b})")
+        else:
+            hist = " UNION ALL ".join(
+                f"SELECT band, sig FROM bsig WHERE id IN (SELECT id FROM kept{p})"
+                for p in range(b)
+            )
+            parts.append(f"hist{b} AS MATERIALIZED ({hist})")
+            parts.append(
+                f"f{b} AS (SELECT * FROM b{b} WHERE id NOT IN"
+                f" (SELECT DISTINCT x.id FROM b{b} x JOIN hist{b} USING (band, sig)))"
+            )
+        parts.append(f"c{b}_0 AS MATERIALIZED (SELECT * FROM f{b})")
+        for r in range(_NEARDUP_GREEDY_ROUNDS):
+            c, nxt = f"c{b}_{r}", f"c{b}_{r + 1}"
+            parts.extend(
+                [
+                    f"g{b}_{r} AS (SELECT band, sig, min(id) AS mn FROM {c} GROUP BY band, sig)",
+                    f"dom{b}_{r} AS (SELECT DISTINCT x.id FROM {c} x"
+                    f" JOIN g{b}_{r} g USING (band, sig) WHERE x.id > g.mn)",
+                    f"win{b}_{r} AS MATERIALIZED (SELECT DISTINCT id FROM {c}"
+                    f" WHERE id NOT IN (SELECT id FROM dom{b}_{r}))",
+                    f"hit{b}_{r} AS (SELECT DISTINCT band, sig FROM {c}"
+                    f" WHERE id IN (SELECT id FROM win{b}_{r}))",
+                    f"dec{b}_{r} AS (SELECT DISTINCT x.id FROM {c} x"
+                    f" JOIN hit{b}_{r} USING (band, sig))",
+                    f"{nxt} AS MATERIALIZED (SELECT * FROM {c}"
+                    f" WHERE id NOT IN (SELECT id FROM dec{b}_{r}))",
+                ]
+            )
+        wins = " UNION ".join(
+            f"SELECT id FROM win{b}_{r}" for r in range(_NEARDUP_GREEDY_ROUNDS)
+        )
+        parts.append(f"kept{b} AS MATERIALIZED ({wins})")
+        parts.append(
+            f"adm{b} AS (SELECT id FROM kept{b}"
+            f" UNION SELECT id FROM nosig WHERE id % {_NEARDUP_MOD} = {b})"
+        )
+        admitted.append(f"SELECT id FROM adm{b}")
+    union = " UNION ALL ".join(admitted)
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"\nSELECT (id % {_NEARDUP_MOD}) AS batch, id AS doc_id FROM ({union})"
+    )
+
+
+_register("neardup_stream_admitted", _neardup_stream_admitted, _sql_neardup_stream())
+
+
+# ★ the decontamination INGEST STREAM under the oracle gate (the
+# neardup_stream recipe applied to the trio's other member): the clean
+# corpus is built by ``decontam_ingest_stream`` itself — eval docs
+# (``doc_id % 10 = 0``) pinned once as a word-8-gram shingle table
+# (``pin_eval_shingles``), train docs streamed in 3 micro-batches
+# (``doc_id % 3``) through the real checkpoint machinery, clean rows
+# landing under ``out/batch=<id>`` — WITH one injected crash after the
+# first drain, so the restart replays batch 1 (pure-function decision +
+# partition overwrite = the documented replay idempotency, here actually
+# driven and hashed). The oracle recomputes the GPT-3 appendix-C rule
+# from scratch in SQL: a train doc is dropped iff ANY of its 8-gram
+# shingles occurs in the eval set.
+_DECONTAM_EVAL_MOD = 10  # eval split for THIS query (decontam_ngram uses 53)
+_DECONTAM_TRAIN_MOD = 3  # micro-batches per build
+_DECONTAM_NGRAM = 8  # the GPT-3 rule / decontam_ingest default
+_DECONTAM_STREAM_BUILT: set[tuple[str, str]] = {*()}
+
+
+def _decontam_stream_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = f"{_art_dir(sf_dir)}/decontam_stream"
+    out = f"{base}/out"
+    key = (_skey(spark), sf_dir)
+    if key not in _DECONTAM_STREAM_BUILT:
+        sig = _corpus_sig(sf_dir, "documents")
+        sig_path = f"{base}/corpus_sig.txt"
+        try:
+            with open(sig_path) as fh:
+                fresh = sig != "" and fh.read() == sig
+            if fresh:
+                spark.read.parquet(out).first()  # artifact probes healthy
+        except Exception:
+            fresh = False
+        if not fresh:
+            _build_decontam_stream_artifact(spark, sf_dir, base)
+            with open(sig_path, "w") as fh:
+                fh.write(sig)
+        _DECONTAM_STREAM_BUILT.add(key)
+    return spark.read.parquet(out).select(
+        F.col("batch").cast("bigint").alias("batch"), "doc_id"
+    )
+
+
+def _build_decontam_stream_artifact(
+    spark: SparkSession, sf_dir: str, base: str
+) -> None:
+    """POSIX-local oracle-artifact harness (same contract as the
+    bm25/neardup stream builders)."""
+    import glob
+    import shutil
+
+    from comet_spark.streaming.ingest import (
+        decontam_ingest_stream,
+        pin_eval_shingles,
+    )
+
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(base, exist_ok=True)
+    src, ckpt = f"{base}/src", f"{base}/ckpt"
+    ev, out = f"{base}/eval_shingles", f"{base}/out"
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    is_eval = F.col("doc_id") % _DECONTAM_EVAL_MOD == 0
+    pin_eval_shingles(
+        docs.filter(is_eval), ev,
+        id_col="doc_id", text_col="text", n=_DECONTAM_NGRAM,
+    )
+    train = docs.filter(~is_eval)
+
+    def _add_batches(residues) -> None:
+        for mth in residues:  # one part file per residue → one micro-batch
+            train.filter(F.col("doc_id") % _DECONTAM_TRAIN_MOD == mth).repartition(
+                1
+            ).write.mode("append").parquet(src)
+
+    def _drain() -> None:
+        q = decontam_ingest_stream(
+            spark.readStream.schema("doc_id bigint, text string")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src),
+            ev, out, id_col="doc_id", text_col="text", n=_DECONTAM_NGRAM,
+            checkpoint=ckpt,
+        )
+        if not q.awaitTermination(600):
+            q.stop()
+            raise RuntimeError("decontam_stream artifact: stream did not drain")
+
+    _add_batches(range(2))
+    _drain()
+    before = set(glob.glob(f"{out}/batch=1/*"))
+    _lose_latest_commit(ckpt)  # injected crash → batch 1 replays
+    _add_batches(range(2, _DECONTAM_TRAIN_MOD))
+    _drain()
+    after = set(glob.glob(f"{out}/batch=1/*"))
+    if not before or before == after:
+        raise RuntimeError(
+            "decontam_stream artifact: batch 1 was not replayed — the "
+            "injected crash did not engage"
+        )
+    n_clean = spark.read.parquet(out).count()
+    n_train = train.count()
+    if not n_clean < n_train:
+        raise RuntimeError(
+            f"decontam_stream artifact: {n_clean}/{n_train} clean — no "
+            "contaminated docs dropped, the filter would be vacuous"
+        )
+
+
+def _sql_decontam_stream() -> str:
+    n = _DECONTAM_NGRAM
+    tok = _SQL_TOKENIZE.format(col="text")
+    return f"""
+WITH tok8 AS (SELECT doc_id AS id, {tok} AS toks FROM documents),
+sh8 AS MATERIALIZED (SELECT * FROM (SELECT DISTINCT id,
+           unnest(list_transform(range(1, greatest(len(toks)-{n - 1}, 1)+1),
+                  i -> array_to_string(toks[i:i+{n - 1}], ' '))) AS shingle
+      FROM tok8) WHERE shingle != ''),
+ev AS MATERIALIZED (SELECT DISTINCT shingle FROM sh8 WHERE id % {_DECONTAM_EVAL_MOD} = 0),
+bad AS (SELECT DISTINCT id FROM sh8 JOIN ev USING (shingle)
+        WHERE id % {_DECONTAM_EVAL_MOD} <> 0)
+SELECT (doc_id % {_DECONTAM_TRAIN_MOD}) AS batch, doc_id
+FROM documents
+WHERE doc_id % {_DECONTAM_EVAL_MOD} <> 0
+  AND doc_id NOT IN (SELECT id FROM bad)
+"""
+
+
+_register("decontam_stream_clean", _decontam_stream_clean, _sql_decontam_stream())
+
+
 def _minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from comet_spark.operators.dedup import minhash_signatures
 
