@@ -773,7 +773,15 @@ class DocumentStore:
         zorder_files, recluster, recluster_vec_col, keep_layout_cols,
     ) -> DataFrame:
         """The compaction rewrite's layout hooks, shared by the full and
-        tiered paths (each passes the rows IT is rewriting)."""
+        tiered paths (each passes the rows IT is rewriting). EVERY branch
+        bounds the output file count: when neither zorder nor a cluster
+        hook repartitions, the default branch bin-packs to ~1M rows per
+        file — without it the write inherits the merged view's shuffle
+        partitioning (pinned by the pre-write cache, so AQE cannot
+        coalesce it) and a KB-sized merged segment lands as hundreds of
+        near-empty part files, re-fragmenting exactly what the compact
+        consolidated (caught by the real-file ladder soak, r09)."""
+        repartitioned = False
         if recluster is not None:
             # assign_inplace (IVF: cluster_id) or encode_inplace
             # (PQ: codes; IVFPQ: cluster_id + residual codes)
@@ -804,6 +812,7 @@ class DocumentStore:
                 out = out.repartition(nf, "cluster_id").sortWithinPartitions(
                     "cluster_id"
                 )
+                repartitioned = True
         if zorder_by:
             from comet_spark.operators.layout import zorder_key
 
@@ -815,6 +824,13 @@ class DocumentStore:
                 .sortWithinPartitions("__zk")
                 .drop("__zk")
             )
+            repartitioned = True
+        if not repartitioned:
+            # plain rewrite: round-robin bin-pack to the target file
+            # count — the standard OPTIMIZE shape (one extra shuffle of
+            # rows the compact already reads and writes)
+            nf = zorder_files or max(1, -(-n_rows // 1_000_000))
+            out = out.repartition(nf)
         return out
 
     def _compact_tiered_locked(

@@ -411,6 +411,94 @@ def _soak_tier_ladder_sim(
     return out
 
 
+def _soak_tier_ladder_real(
+    spark, appends: int = 300, compact_every: int = 4
+) -> dict:
+    """REAL-file ladder soak (VERDICT r08 #3): drive the above-cap
+    size-class ladder through ACTUAL DocumentStore segment writes +
+    in-loop tiered compacts with patched tiny constants (the same
+    patching the integration tests use) — max/final file counts,
+    ingested bytes, and bytes_rewritten all come from
+    ``os.path.getsize`` on real part files, never the policy function.
+    ``tier_ladder_sim`` stays as the 40 GB-scale pure-policy twin; this
+    row is the evidence that the real merge machinery (contiguous-run
+    selection, rename swaps, newest-wins re-reads) reproduces the sim's
+    boundedness on disk. Kept segments move across each swap by RENAME
+    (identical relative path), so a file that appears after a compact
+    under a path absent before it is a merge OUTPUT by construction —
+    that is what ``bytes_rewritten`` sums."""
+    import glob
+    import shutil
+    import tempfile
+
+    import pyspark.sql.functions as F
+
+    from comet_spark.storage import store as store_mod
+    from comet_spark.storage.store import DocumentStore
+
+    path = tempfile.mkdtemp(prefix="soak_ladder_real_")
+    saved = (store_mod._TIER_CAP, store_mod._TIER_LADDER_MAX)
+    # tiny constants: ~10 KB batches climb the whole ladder (below-cap
+    # tail -> 16 KB cap -> 4x classes -> 256 KB terminal) within a few
+    # hundred appends
+    store_mod._TIER_CAP, store_mod._TIER_LADDER_MAX = 16 << 10, 256 << 10
+    try:
+        st = DocumentStore(spark, path, id_col="id")
+
+        def snapshot() -> dict[str, int]:
+            return {
+                f: os.path.getsize(f)
+                for f in glob.glob(f"{path}/data/segment=*/part-*")
+            }
+
+        ingested = rewritten = max_files = 0
+        t0 = time.perf_counter()
+        cur: dict[str, int] = {}
+        for i in range(appends):
+            batch = (
+                spark.range(i * 1000, i * 1000 + 150)
+                .select(
+                    F.col("id"),
+                    F.sha2(F.col("id").cast("string"), 512).alias("text"),
+                )
+                .repartition(1)
+            )
+            st.append(batch)
+            after = snapshot()
+            ingested += sum(sz for f, sz in after.items() if f not in cur)
+            cur = after
+            if (i + 1) % compact_every == 0:
+                st.compact(tiered=True)
+                after = snapshot()
+                rewritten += sum(sz for f, sz in after.items() if f not in cur)
+                cur = after
+            max_files = max(max_files, len(cur))
+        wall = round(time.perf_counter() - t0, 1)
+        terminal = sum(1 for sz in cur.values() if sz >= store_mod._TIER_LADDER_MAX)
+        out = {
+            "appends": appends,
+            "compact_every": compact_every,
+            "cap_kb": store_mod._TIER_CAP >> 10,
+            "ladder_max_kb": store_mod._TIER_LADDER_MAX >> 10,
+            "ingested_mb": round(ingested / 1e6, 2),
+            "bytes_rewritten_mb": round(rewritten / 1e6, 2),
+            "write_amplification": round(rewritten / ingested, 2) if ingested else 0,
+            "max_files": max_files,
+            "final_files": len(cur),
+            "terminal_files": terminal,
+            "sec": wall,
+        }
+        # the boundedness claims, asserted on the REAL files: the count
+        # never grows with the append count, and the ladder actually
+        # promoted segments all the way to terminals
+        assert max_files < appends // 4, out
+        assert terminal >= 1, out
+        return out
+    finally:
+        store_mod._TIER_CAP, store_mod._TIER_LADDER_MAX = saved
+        shutil.rmtree(path, ignore_errors=True)
+
+
 def main() -> None:
     generate()
 
@@ -451,6 +539,16 @@ def main() -> None:
             f"({sa['thai90']['docs_per_sec']}/s, arrow_frac {sa['thai90']['arrow_frac']})",
             flush=True,
         )
+
+    real = _soak_tier_ladder_real(spark)
+    results["tier_ladder_real"] = real
+    print(
+        f"ladder real: {real['appends']} appends "
+        f"({real['ingested_mb']}MB real files) -> max {real['max_files']} / "
+        f"final {real['final_files']} files ({real['terminal_files']} "
+        f"terminal), rewrote {real['bytes_rewritten_mb']}MB "
+        f"({real['write_amplification']}x) in {real['sec']}s", flush=True,
+    )
 
     lad = _soak_tier_ladder_sim()
     results["tier_ladder_sim"] = lad
