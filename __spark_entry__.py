@@ -4504,17 +4504,30 @@ def _sql_minhash_coeffs() -> str:
     return f"co AS (SELECT * FROM (VALUES {vals}) AS _co(i, a, b))"
 
 
+def _sql_minhash_bsig(materialized: bool = False) -> str:
+    """The shingle-hash → minhash-minima → band-signature CTE chain
+    (``h``/``co``/``mh``/``bsig``), shared by the minhash_lsh_pairs and
+    neardup_stream oracles so the hash scheme lives in ONE SQL fragment
+    (its Spark twin: dedup.minhash_band_signatures). ``materialized``
+    pins ``bsig`` for oracles that reference it many times — the
+    planner would otherwise INLINE it per reference and re-expand the
+    whole pipeline exponentially."""
+    mat = " MATERIALIZED" if materialized else ""
+    rpb = N_HASHES // LSH_BANDS
+    return f"""h AS (SELECT id, (('0x' || substr(md5(shingle), 1, 8))::BIGINT % 2147483647) AS h FROM sh),
+{_sql_minhash_coeffs()},
+mh AS (SELECT id, i, min((a * h + b) % 2147483647) AS mh FROM h CROSS JOIN co GROUP BY id, i),
+bsig AS{mat} (SELECT id, i // {rpb} AS band,
+                md5(string_agg(mh::VARCHAR, ',' ORDER BY i)) AS sig
+         FROM mh GROUP BY id, i // {rpb})"""
+
+
 _register(
     "minhash_lsh_pairs",
     _minhash_lsh,
     f"""
 WITH {_SQL_SHINGLES},
-h AS (SELECT id, (('0x' || substr(md5(shingle), 1, 8))::BIGINT % 2147483647) AS h FROM sh),
-{_sql_minhash_coeffs()},
-mh AS (SELECT id, i, min((a * h + b) % 2147483647) AS mh FROM h CROSS JOIN co GROUP BY id, i),
-bsig AS (SELECT id, i // {N_HASHES // LSH_BANDS} AS band,
-                md5(string_agg(mh::VARCHAR, ',' ORDER BY i)) AS sig
-         FROM mh GROUP BY id, i // {N_HASHES // LSH_BANDS}),
+{_sql_minhash_bsig()},
 cand AS (SELECT DISTINCT a.id AS a_id, b.id AS b_id
          FROM bsig a JOIN bsig b ON a.band = b.band AND a.sig = b.sig AND a.id < b.id),
 inter AS (SELECT c.a_id, c.b_id, count(*) AS c
@@ -4548,14 +4561,21 @@ SELECT a_id, b_id, jaccard FROM j WHERE jaccard >= {MIN_JACCARD}
 # max-score across the LSM read path, ``storage_merge.go:13-38``).
 _NEARDUP_MOD = 4  # micro-batches per build
 _NEARDUP_GREEDY_ROUNDS = 4  # SQL unroll depth (measured: 1 round at sf0.01)
-_NEARDUP_STREAM_BUILT: set[tuple[str, str]] = {*()}
+_STREAM_ART_BUILT: set[tuple[str, str, str]] = {*()}
 
 
-def _neardup_stream_admitted(spark: SparkSession, sf_dir: str) -> DataFrame:
-    base = f"{_art_dir(sf_dir)}/neardup_stream"
-    out = f"{base}/out"
-    key = (_skey(spark), sf_dir)
-    if key not in _NEARDUP_STREAM_BUILT:
+def _fresh_stream_artifact(
+    spark: SparkSession, sf_dir: str, base: str, out: str, build_fn
+) -> DataFrame:
+    """Corpus-signature-gated build-once scaffold shared by the
+    STREAM-BUILT dedup/decontam artifacts — the ``_fresh_bm25_artifact``
+    pattern with a parquet output table instead of a BM25 index: reopen
+    when the signature matches and ``out`` probes readable, else run
+    ``build_fn()`` (which owns its cleanup: rmtree the lineage) and
+    stamp the signature LAST, so a crash mid-build re-routes the next
+    session into the rebuild. Returns the (batch, doc_id) result."""
+    key = (_skey(spark), sf_dir, base)
+    if key not in _STREAM_ART_BUILT:
         sig = _corpus_sig(sf_dir, "documents")
         sig_path = f"{base}/corpus_sig.txt"
         try:
@@ -4566,12 +4586,20 @@ def _neardup_stream_admitted(spark: SparkSession, sf_dir: str) -> DataFrame:
         except Exception:
             fresh = False
         if not fresh:
-            _build_neardup_stream_artifact(spark, sf_dir, base)
+            build_fn()
             with open(sig_path, "w") as fh:
                 fh.write(sig)
-        _NEARDUP_STREAM_BUILT.add(key)
+        _STREAM_ART_BUILT.add(key)
     return spark.read.parquet(out).select(
         F.col("batch").cast("bigint").alias("batch"), "doc_id"
+    )
+
+
+def _neardup_stream_admitted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = f"{_art_dir(sf_dir)}/neardup_stream"
+    return _fresh_stream_artifact(
+        spark, sf_dir, base, f"{base}/out",
+        lambda: _build_neardup_stream_artifact(spark, sf_dir, base),
     )
 
 
@@ -4652,21 +4680,13 @@ def _sql_neardup_stream() -> str:
     previously-admitted docs, within-batch greedy iterated
     ``_NEARDUP_GREEDY_ROUNDS`` times (converges in 1 on this corpus; a
     too-shallow unroll under-admits and fails the hash gate loudly)."""
-    rpb = N_HASHES // LSH_BANDS
     # every multiply-referenced CTE is MATERIALIZED: the unrolled rounds
     # reference their predecessor several times each, and letting the
     # planner INLINE them re-expands the whole shingle→minhash pipeline
     # exponentially (observed as fd exhaustion re-opening the parquet)
     parts = [
         _SQL_SHINGLES.strip().rstrip(","),
-        "h AS (SELECT id, (('0x' || substr(md5(shingle), 1, 8))::BIGINT"
-        " % 2147483647) AS h FROM sh)",
-        _sql_minhash_coeffs(),
-        "mh AS (SELECT id, i, min((a * h + b) % 2147483647) AS mh"
-        " FROM h CROSS JOIN co GROUP BY id, i)",
-        f"bsig AS MATERIALIZED (SELECT id, i // {rpb} AS band,"
-        " md5(string_agg(mh::VARCHAR, ',' ORDER BY i)) AS sig"
-        f" FROM mh GROUP BY id, i // {rpb})",
+        _sql_minhash_bsig(materialized=True),
         "nosig AS MATERIALIZED (SELECT doc_id AS id FROM documents"
         " WHERE doc_id NOT IN (SELECT DISTINCT id FROM bsig))",
     ]
@@ -4740,30 +4760,11 @@ _register("neardup_stream_admitted", _neardup_stream_admitted, _sql_neardup_stre
 _DECONTAM_EVAL_MOD = 10  # eval split for THIS query (decontam_ngram uses 53)
 _DECONTAM_TRAIN_MOD = 3  # micro-batches per build
 _DECONTAM_NGRAM = 8  # the GPT-3 rule / decontam_ingest default
-_DECONTAM_STREAM_BUILT: set[tuple[str, str]] = {*()}
-
-
 def _decontam_stream_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = f"{_art_dir(sf_dir)}/decontam_stream"
-    out = f"{base}/out"
-    key = (_skey(spark), sf_dir)
-    if key not in _DECONTAM_STREAM_BUILT:
-        sig = _corpus_sig(sf_dir, "documents")
-        sig_path = f"{base}/corpus_sig.txt"
-        try:
-            with open(sig_path) as fh:
-                fresh = sig != "" and fh.read() == sig
-            if fresh:
-                spark.read.parquet(out).first()  # artifact probes healthy
-        except Exception:
-            fresh = False
-        if not fresh:
-            _build_decontam_stream_artifact(spark, sf_dir, base)
-            with open(sig_path, "w") as fh:
-                fh.write(sig)
-        _DECONTAM_STREAM_BUILT.add(key)
-    return spark.read.parquet(out).select(
-        F.col("batch").cast("bigint").alias("batch"), "doc_id"
+    return _fresh_stream_artifact(
+        spark, sf_dir, base, f"{base}/out",
+        lambda: _build_decontam_stream_artifact(spark, sf_dir, base),
     )
 
 

@@ -710,10 +710,26 @@ class BM25:
             # a DataFrame call with int32 ids followed by an iterable call
             # (bigint) would otherwise leave mixed-schema part files under
             # path/deletes, which the vector's single-schema read then
-            # fails on forever (ADVICE r08) — one vector, one schema
+            # fails on forever (ADVICE r08) — one vector, one schema.
+            # try_cast + the null-check below: an id OUTSIDE the ledger
+            # type's range must fail LOUDLY — a plain cast would wrap it
+            # (non-ANSI) or throw mid-join (ANSI); wrapped, it silently
+            # deletes a DIFFERENT, real document
+            ledger_t = ledger.schema["id"].dataType
             ids_df = ids_df.select(
-                F.col("id").cast(ledger.schema["id"].dataType).alias("id")
+                F.col("id").alias("__orig"),
+                F.col("id").try_cast(ledger_t).alias("id"),
             )
+            bad = ids_df.filter(
+                F.col("id").isNull() & F.col("__orig").isNotNull()
+            ).limit(1).collect()
+            if bad:
+                raise ValueError(
+                    f"delete: id {bad[0]['__orig']!r} does not fit the "
+                    f"index's id type {ledger_t.simpleString()} — it cannot "
+                    "name any indexed document"
+                )
+            ids_df = ids_df.select("id")
             # scope to ids actually in the ledger and not already deleted:
             # keeps the vector bounded and the return count meaningful
             fresh = ids_df.distinct().join(ledger, "id", "left_semi")

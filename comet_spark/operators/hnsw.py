@@ -51,17 +51,28 @@ __all__ = ["HNSWIndex", "DistributedHNSW"]
 MAX_LEVEL_CAP = 16
 
 
-def _inflated_ef(ef_search: int, k: int, exclude_ids: DataFrame | None) -> int:
+def _inflated_ef(
+    ef_search: int, k: int, exclude_ids: DataFrame | None,
+    cap: int | None = None,
+) -> int:
     """Beam width for a search that must yield k LIVE results: the base
     ``max(ef_search, k)``, plus the exclusion set's cardinality when a
     soft-delete skip is in play — a fixed-size beam anti-joined after
     traversal would otherwise return fewer than k survivors on a
-    heavily-deleted index (ADVICE r08). The count is one job over the
-    delete vector, which is broadcast-small by the exclude contract; a
-    beam wider than the graph simply degenerates to scanning it."""
+    heavily-deleted index (ADVICE r08). The count is one extra job over
+    the delete vector (broadcast-small by the exclude contract; its
+    lineage evaluates again at the anti-join — tiny by the same
+    contract). ``cap`` clamps the result to the graph's node count: a
+    store-scale delete vector mostly NOT in this index must not request
+    a beam (and driver-side heap) far past "scan everything" — the
+    driver path passes ``len(self.ids)``; the distributed path passes
+    no cap because each sub-graph's traversal is naturally bounded by
+    its own node count."""
     ef = max(int(ef_search), int(k))
     if exclude_ids is not None:
         ef += int(exclude_ids.count())
+    if cap is not None:
+        ef = min(ef, max(int(cap), int(k)))
     return ef
 
 
@@ -304,7 +315,8 @@ class HNSWIndex:
         capacity."""
         spark = docs.sparkSession
         cand_ids = self.search_candidates(
-            qvec, ef_search=_inflated_ef(ef_search, k, exclude_ids)
+            qvec,
+            ef_search=_inflated_ef(ef_search, k, exclude_ids, cap=len(self.ids)),
         )
         cand = spark.createDataFrame([(int(c),) for c in cand_ids], "id bigint")
         if exclude_ids is not None:

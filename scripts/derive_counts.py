@@ -28,8 +28,15 @@ def main() -> None:
         [sys.executable, "-m", "pytest", "tests/", "--collect-only", "-q"],
         cwd=ROOT, capture_output=True, text=True,
     )
-    tail = [ln for ln in out.stdout.strip().splitlines() if ln.strip()][-1]
-    print(f"tests: {tail}")
+    lines = [ln for ln in out.stdout.strip().splitlines() if ln.strip()]
+    if out.returncode != 0 or not lines:
+        # a broken collection must never masquerade as an authoritative
+        # count — that IS the drift this script exists to prevent
+        sys.exit(
+            f"pytest --collect-only failed (rc={out.returncode}):\n"
+            + out.stdout[-2000:] + out.stderr[-2000:]
+        )
+    print(f"tests: {lines[-1]}")
 
 
 if __name__ == "__main__":

@@ -605,6 +605,39 @@ def test_bm25_delete_vector_schema_uniform_across_id_types(spark, tmp_path):
     assert spark.read.parquet(f"{path}/doc_len").count() == 10
 
 
+def test_bm25_delete_out_of_range_id_fails_loudly(spark, tmp_path):
+    """The id-type normalization must not let a value outside the
+    ledger type's range WRAP into a real document's id (a plain
+    non-ANSI cast would): it raises instead, and records nothing."""
+    from comet_spark.operators.bm25 import BM25
+
+    docs = spark.createDataFrame(
+        [(i, f"spark data row {i}") for i in range(8)], "id int, text string"
+    )
+    path = str(tmp_path / "wrapids")
+    BM25(docs).write(path)
+    with pytest.raises(ValueError, match="does not fit"):
+        BM25.delete(spark, path, [2**32 + 5])  # would wrap to id 5
+    # nothing recorded: doc 5 still live, no delete vector materialized
+    assert BM25.read(spark, path).doc_len.count() == 8
+
+
+def test_hnsw_inflated_ef_cap():
+    """Beam inflation under exclude_ids clamps to the graph size (driver
+    path): a store-scale delete vector mostly absent from this index
+    must not request a beam far past scan-everything."""
+    from unittest.mock import Mock
+
+    from comet_spark.operators.hnsw import _inflated_ef
+
+    excl = Mock()
+    excl.count.return_value = 300_000
+    assert _inflated_ef(50, 10, None) == 50
+    assert _inflated_ef(50, 10, excl) == 300_050  # uncapped path
+    assert _inflated_ef(50, 10, excl, cap=128) == 128
+    assert _inflated_ef(50, 200, excl, cap=128) == 200  # never below k
+
+
 def test_winnowing_guarantee_and_pairs(spark):
     """Winnowing's core guarantee: two docs sharing a run of >= k+w-1
     tokens share at least one fingerprint; unrelated docs share none;
