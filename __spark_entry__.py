@@ -4603,12 +4603,67 @@ def _neardup_stream_admitted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _drive_stream_with_crash(
+    spark: SparkSession, *, name: str, rows: DataFrame, mod: int,
+    src: str, ckpt: str, out: str, start_stream, between_drains=None,
+) -> None:
+    """Shared drive-crash-replay harness for the parquet-out stream-built
+    oracle artifacts (neardup/decontam; the bm25 builder keeps its own
+    variant — its crash also deletes the index's state log and its
+    non-vacuity probe reads that log, not an output partition). Feeds
+    ``rows`` as one part file per ``doc_id % mod`` residue (one
+    micro-batch each under maxFilesPerTrigger=1), drains through the
+    REAL checkpoint machinery, injects a crash after the first drain
+    (``_lose_latest_commit`` + the caller's ``between_drains`` leg),
+    feeds the rest and drains again, then asserts NON-VACUOUSLY that
+    batch 1 was replayed (its ``out/batch=1`` partition rewrote with
+    fresh part files) and that the operator actually dropped rows.
+    POSIX-local like ``_lose_latest_commit`` itself."""
+    import glob
+
+    def _add_batches(residues) -> None:
+        for mth in residues:  # one part file per residue → one micro-batch
+            rows.filter(F.col("doc_id") % mod == mth).repartition(
+                1
+            ).write.mode("append").parquet(src)
+
+    def _drain() -> None:
+        q = start_stream()
+        if not q.awaitTermination(600):
+            q.stop()
+            raise RuntimeError(f"{name} artifact: stream did not drain")
+
+    _add_batches(range(2))
+    _drain()
+    before = set(glob.glob(f"{out}/batch=1/*"))
+    _lose_latest_commit(ckpt)  # injected crash → batch 1 replays
+    if between_drains is not None:
+        between_drains()
+    _add_batches(range(2, mod))
+    _drain()
+    # non-vacuity: the replay must have actually re-run batch 1 (its
+    # partition is OVERWRITTEN with fresh part files on replay) ...
+    after = set(glob.glob(f"{out}/batch=1/*"))
+    if not before or before == after:
+        raise RuntimeError(
+            f"{name} artifact: batch 1 was not replayed — the injected "
+            "crash did not engage"
+        )
+    # ... and the operator must actually drop rows
+    n_kept = spark.read.parquet(out).count()
+    n_in = rows.count()
+    if not n_kept < n_in:
+        raise RuntimeError(
+            f"{name} artifact: {n_kept}/{n_in} kept — nothing dropped, "
+            "the operator would be vacuous"
+        )
+
+
 def _build_neardup_stream_artifact(
     spark: SparkSession, sf_dir: str, base: str
 ) -> None:
     """POSIX-local oracle-artifact harness (same contract as the
     bm25_stream builder: glob/shutil on a local checkpoint dir)."""
-    import glob
     import shutil
 
     from comet_spark.streaming.ingest import (
@@ -4622,14 +4677,8 @@ def _build_neardup_stream_artifact(
     sigs, out = f"{base}/sigs", f"{base}/out"
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
 
-    def _add_batches(residues) -> None:
-        for mth in residues:  # one part file per residue → one micro-batch
-            docs.filter(F.col("doc_id") % _NEARDUP_MOD == mth).repartition(
-                1
-            ).write.mode("append").parquet(src)
-
-    def _drain() -> None:
-        q = neardup_ingest_stream(
+    def _start():
+        return neardup_ingest_stream(
             spark.readStream.schema("doc_id bigint, text string")
             .option("maxFilesPerTrigger", "1")
             .parquet(src),
@@ -4637,41 +4686,22 @@ def _build_neardup_stream_artifact(
             n=NGRAM_N, n_hashes=N_HASHES, bands=LSH_BANDS,
             checkpoint=ckpt,
         )
-        if not q.awaitTermination(600):
-            q.stop()
-            raise RuntimeError("neardup_stream artifact: stream did not drain")
 
-    _add_batches(range(2))
-    _drain()
-    before = set(glob.glob(f"{out}/batch=1/*"))
-    # injected crash + sig-store compaction between the drains: the
-    # restarted stream replays batch 1 (assume_replay) against the
-    # COMPACTED store — both the replay heal and the compaction are
-    # under the oracle equality below
-    _lose_latest_commit(ckpt)
-    if not compact_sig_store(spark, sigs, min_files=0):
-        raise RuntimeError(
-            "neardup_stream artifact: sig-store compact was a no-op — "
-            "the compaction leg would be vacuous"
-        )
-    _add_batches(range(2, _NEARDUP_MOD))
-    _drain()
-    # non-vacuity: the replay must have actually re-run batch 1 (its
-    # partition is OVERWRITTEN with fresh part files on replay) ...
-    after = set(glob.glob(f"{out}/batch=1/*"))
-    if not before or before == after:
-        raise RuntimeError(
-            "neardup_stream artifact: batch 1 was not replayed — the "
-            "injected crash did not engage"
-        )
-    # ... and the dedup must actually drop documents
-    n_admitted = spark.read.parquet(out).count()
-    n_docs = docs.count()
-    if not n_admitted < n_docs:
-        raise RuntimeError(
-            f"neardup_stream artifact: {n_admitted}/{n_docs} admitted — "
-            "no near-duplicates dropped, the dedup would be vacuous"
-        )
+    def _compact_sigs() -> None:
+        # sig-store compaction between the drains: the restarted stream
+        # replays batch 1 (assume_replay) against the COMPACTED store —
+        # both the replay heal and the compaction are under the oracle
+        if not compact_sig_store(spark, sigs, min_files=0):
+            raise RuntimeError(
+                "neardup_stream artifact: sig-store compact was a no-op "
+                "— the compaction leg would be vacuous"
+            )
+
+    _drive_stream_with_crash(
+        spark, name="neardup_stream", rows=docs, mod=_NEARDUP_MOD,
+        src=src, ckpt=ckpt, out=out, start_stream=_start,
+        between_drains=_compact_sigs,
+    )
 
 
 def _sql_neardup_stream() -> str:
@@ -4773,7 +4803,6 @@ def _build_decontam_stream_artifact(
 ) -> None:
     """POSIX-local oracle-artifact harness (same contract as the
     bm25/neardup stream builders)."""
-    import glob
     import shutil
 
     from comet_spark.streaming.ingest import (
@@ -4793,43 +4822,19 @@ def _build_decontam_stream_artifact(
     )
     train = docs.filter(~is_eval)
 
-    def _add_batches(residues) -> None:
-        for mth in residues:  # one part file per residue → one micro-batch
-            train.filter(F.col("doc_id") % _DECONTAM_TRAIN_MOD == mth).repartition(
-                1
-            ).write.mode("append").parquet(src)
-
-    def _drain() -> None:
-        q = decontam_ingest_stream(
+    def _start():
+        return decontam_ingest_stream(
             spark.readStream.schema("doc_id bigint, text string")
             .option("maxFilesPerTrigger", "1")
             .parquet(src),
             ev, out, id_col="doc_id", text_col="text", n=_DECONTAM_NGRAM,
             checkpoint=ckpt,
         )
-        if not q.awaitTermination(600):
-            q.stop()
-            raise RuntimeError("decontam_stream artifact: stream did not drain")
 
-    _add_batches(range(2))
-    _drain()
-    before = set(glob.glob(f"{out}/batch=1/*"))
-    _lose_latest_commit(ckpt)  # injected crash → batch 1 replays
-    _add_batches(range(2, _DECONTAM_TRAIN_MOD))
-    _drain()
-    after = set(glob.glob(f"{out}/batch=1/*"))
-    if not before or before == after:
-        raise RuntimeError(
-            "decontam_stream artifact: batch 1 was not replayed — the "
-            "injected crash did not engage"
-        )
-    n_clean = spark.read.parquet(out).count()
-    n_train = train.count()
-    if not n_clean < n_train:
-        raise RuntimeError(
-            f"decontam_stream artifact: {n_clean}/{n_train} clean — no "
-            "contaminated docs dropped, the filter would be vacuous"
-        )
+    _drive_stream_with_crash(
+        spark, name="decontam_stream", rows=train, mod=_DECONTAM_TRAIN_MOD,
+        src=src, ckpt=ckpt, out=out, start_stream=_start,
+    )
 
 
 def _sql_decontam_stream() -> str:

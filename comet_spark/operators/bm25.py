@@ -711,23 +711,33 @@ class BM25:
             # (bigint) would otherwise leave mixed-schema part files under
             # path/deletes, which the vector's single-schema read then
             # fails on forever (ADVICE r08) — one vector, one schema.
-            # try_cast + the null-check below: an id OUTSIDE the ledger
-            # type's range must fail LOUDLY — a plain cast would wrap it
-            # (non-ANSI) or throw mid-join (ANSI); wrapped, it silently
-            # deletes a DIFFERENT, real document
+            # try_cast + the exactness check below: an id the ledger type
+            # cannot represent EXACTLY must fail LOUDLY — a plain cast
+            # would wrap an out-of-range value (non-ANSI) or throw
+            # mid-join (ANSI), and try_cast alone silently TRUNCATES a
+            # fractional one (try_cast(5.7 AS bigint) = 5); either way a
+            # DIFFERENT, real document would be deleted. The round-trip
+            # back to the input's own type catches both: overflow →
+            # NULL, truncation → value mismatch.
             ledger_t = ledger.schema["id"].dataType
+            orig_t = ids_df.schema["id"].dataType
             ids_df = ids_df.select(
                 F.col("id").alias("__orig"),
                 F.col("id").try_cast(ledger_t).alias("id"),
             )
             bad = ids_df.filter(
-                F.col("id").isNull() & F.col("__orig").isNotNull()
+                (F.col("id").isNull() & F.col("__orig").isNotNull())
+                | (
+                    F.col("id").isNotNull()
+                    & (F.col("id").try_cast(orig_t) != F.col("__orig"))
+                )
             ).limit(1).collect()
             if bad:
                 raise ValueError(
-                    f"delete: id {bad[0]['__orig']!r} does not fit the "
-                    f"index's id type {ledger_t.simpleString()} — it cannot "
-                    "name any indexed document"
+                    f"delete: id {bad[0]['__orig']!r} is not exactly "
+                    f"representable as the index's id type "
+                    f"{ledger_t.simpleString()} — it cannot name any "
+                    "indexed document"
                 )
             ids_df = ids_df.select("id")
             # scope to ids actually in the ledger and not already deleted:

@@ -616,10 +616,21 @@ def test_bm25_delete_out_of_range_id_fails_loudly(spark, tmp_path):
     )
     path = str(tmp_path / "wrapids")
     BM25(docs).write(path)
-    with pytest.raises(ValueError, match="does not fit"):
+    with pytest.raises(ValueError, match="not exactly representable"):
         BM25.delete(spark, path, [2**32 + 5])  # would wrap to id 5
-    # nothing recorded: doc 5 still live, no delete vector materialized
-    assert BM25.read(spark, path).doc_len.count() == 8
+    # fractional ids (e.g. round-tripped through CSV/JSON as floats)
+    # must not TRUNCATE onto a real doc: try_cast(5.7 AS int) = 5
+    with pytest.raises(ValueError, match="not exactly representable"):
+        BM25.delete(
+            spark, path,
+            spark.createDataFrame([(5.7,)], "id double"),
+        )
+    # an exactly-representable float id is fine (5.0 → 5)
+    assert BM25.delete(
+        spark, path, spark.createDataFrame([(5.0,)], "id double")
+    ) == 1
+    # nothing else recorded: only doc 5 deleted, 7 live docs remain
+    assert BM25.read(spark, path).doc_len.count() == 7
 
 
 def test_hnsw_inflated_ef_cap():
