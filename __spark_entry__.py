@@ -4573,7 +4573,8 @@ def _fresh_stream_artifact(
     when the signature matches and ``out`` probes readable, else run
     ``build_fn()`` (which owns its cleanup: rmtree the lineage) and
     stamp the signature LAST, so a crash mid-build re-routes the next
-    session into the rebuild. Returns the (batch, doc_id) result."""
+    session into the rebuild. Returns the raw artifact read (callers
+    apply their own select — partition col ``batch`` is discoverable)."""
     key = (_skey(spark), sf_dir, base)
     if key not in _STREAM_ART_BUILT:
         sig = _corpus_sig(sf_dir, "documents")
@@ -4590,40 +4591,49 @@ def _fresh_stream_artifact(
             with open(sig_path, "w") as fh:
                 fh.write(sig)
         _STREAM_ART_BUILT.add(key)
-    return spark.read.parquet(out).select(
-        F.col("batch").cast("bigint").alias("batch"), "doc_id"
-    )
+    return spark.read.parquet(out)
+
+
+def _batch_docid(df: DataFrame) -> DataFrame:
+    return df.select(F.col("batch").cast("bigint").alias("batch"), "doc_id")
 
 
 def _neardup_stream_admitted(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = f"{_art_dir(sf_dir)}/neardup_stream"
-    return _fresh_stream_artifact(
+    return _batch_docid(_fresh_stream_artifact(
         spark, sf_dir, base, f"{base}/out",
         lambda: _build_neardup_stream_artifact(spark, sf_dir, base),
-    )
+    ))
 
 
 def _drive_stream_with_crash(
-    spark: SparkSession, *, name: str, rows: DataFrame, mod: int,
-    src: str, ckpt: str, out: str, start_stream, between_drains=None,
+    spark: SparkSession, *, name: str, rows: DataFrame, n_batches: int,
+    src: str, ckpt: str, out: str, start_stream, batch_filter=None,
+    between_drains=None, check_output=None,
 ) -> None:
     """Shared drive-crash-replay harness for the parquet-out stream-built
-    oracle artifacts (neardup/decontam; the bm25 builder keeps its own
-    variant — its crash also deletes the index's state log and its
-    non-vacuity probe reads that log, not an output partition). Feeds
-    ``rows`` as one part file per ``doc_id % mod`` residue (one
-    micro-batch each under maxFilesPerTrigger=1), drains through the
-    REAL checkpoint machinery, injects a crash after the first drain
-    (``_lose_latest_commit`` + the caller's ``between_drains`` leg),
-    feeds the rest and drains again, then asserts NON-VACUOUSLY that
-    batch 1 was replayed (its ``out/batch=1`` partition rewrote with
-    fresh part files) and that the operator actually dropped rows.
-    POSIX-local like ``_lose_latest_commit`` itself."""
+    oracle artifacts (neardup/decontam/sessionize; the bm25 builder keeps
+    its own variant — its crash also deletes the index's state log and
+    its non-vacuity probe reads that log, not an output partition). Feeds
+    ``rows`` as one part file per micro-batch — ``batch_filter(i)``
+    selects batch i's rows, default ``doc_id % n_batches == i`` — drains
+    through the REAL checkpoint machinery, injects a crash after the
+    first drain (``_lose_latest_commit`` + the caller's
+    ``between_drains`` leg), feeds the rest and drains again, then
+    asserts NON-VACUOUSLY that batch 1 was replayed (its ``out/batch=1``
+    partition rewrote with fresh part files) and that the operator did
+    real work: the default check asserts rows were dropped;
+    ``check_output(out_df)`` replaces it for operators whose output is
+    not a kept-subset of the input. POSIX-local like
+    ``_lose_latest_commit`` itself."""
     import glob
 
-    def _add_batches(residues) -> None:
-        for mth in residues:  # one part file per residue → one micro-batch
-            rows.filter(F.col("doc_id") % mod == mth).repartition(
+    if batch_filter is None:
+        batch_filter = lambda i: F.col("doc_id") % n_batches == i  # noqa: E731
+
+    def _add_batches(idxs) -> None:
+        for i in idxs:  # one part file per batch predicate → one micro-batch
+            rows.filter(batch_filter(i)).repartition(
                 1
             ).write.mode("append").parquet(src)
 
@@ -4639,7 +4649,7 @@ def _drive_stream_with_crash(
     _lose_latest_commit(ckpt)  # injected crash → batch 1 replays
     if between_drains is not None:
         between_drains()
-    _add_batches(range(2, mod))
+    _add_batches(range(2, n_batches))
     _drain()
     # non-vacuity: the replay must have actually re-run batch 1 (its
     # partition is OVERWRITTEN with fresh part files on replay) ...
@@ -4649,7 +4659,10 @@ def _drive_stream_with_crash(
             f"{name} artifact: batch 1 was not replayed — the injected "
             "crash did not engage"
         )
-    # ... and the operator must actually drop rows
+    # ... and the operator must have done real work
+    if check_output is not None:
+        check_output(spark.read.parquet(out))
+        return
     n_kept = spark.read.parquet(out).count()
     n_in = rows.count()
     if not n_kept < n_in:
@@ -4698,7 +4711,7 @@ def _build_neardup_stream_artifact(
             )
 
     _drive_stream_with_crash(
-        spark, name="neardup_stream", rows=docs, mod=_NEARDUP_MOD,
+        spark, name="neardup_stream", rows=docs, n_batches=_NEARDUP_MOD,
         src=src, ckpt=ckpt, out=out, start_stream=_start,
         between_drains=_compact_sigs,
     )
@@ -4792,10 +4805,10 @@ _DECONTAM_TRAIN_MOD = 3  # micro-batches per build
 _DECONTAM_NGRAM = 8  # the GPT-3 rule / decontam_ingest default
 def _decontam_stream_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = f"{_art_dir(sf_dir)}/decontam_stream"
-    return _fresh_stream_artifact(
+    return _batch_docid(_fresh_stream_artifact(
         spark, sf_dir, base, f"{base}/out",
         lambda: _build_decontam_stream_artifact(spark, sf_dir, base),
-    )
+    ))
 
 
 def _build_decontam_stream_artifact(
@@ -4832,7 +4845,7 @@ def _build_decontam_stream_artifact(
         )
 
     _drive_stream_with_crash(
-        spark, name="decontam_stream", rows=train, mod=_DECONTAM_TRAIN_MOD,
+        spark, name="decontam_stream", rows=train, n_batches=_DECONTAM_TRAIN_MOD,
         src=src, ckpt=ckpt, out=out, start_stream=_start,
     )
 
@@ -4857,6 +4870,138 @@ WHERE doc_id % {_DECONTAM_EVAL_MOD} <> 0
 
 
 _register("decontam_stream_clean", _decontam_stream_clean, _sql_decontam_stream())
+
+
+# ★ the STATEFUL streaming operator under the oracle gate (the last
+# streaming surface that was test-only): closed gap-sessions are
+# produced by ``sessionize_stream`` itself — applyInPandasWithState,
+# per-user open-session state carried across micro-batches through
+# Spark's REAL state store — over time-range micro-batches of the
+# events table (ts-ordered ranges = in-order per-user arrival, the
+# sessionizer's contract), WITH one injected crash after the first
+# drain, so the restarted query replays batch 1 against the state
+# store's RESTORED version (the state-versioning contract, here
+# actually driven and hashed). The oracle recomputes gap
+# sessionization from scratch in SQL and drops each user's LAST
+# session — exactly the set a NoTimeout stream can never emit. The
+# closed-session SET is batch-split-independent (every non-final
+# session is closed by SOME later event, whichever batch it arrives
+# in), so equality proves the state handoff, the replay, and the
+# session arithmetic all at once.
+_SESS_BATCHES = 3  # time-range micro-batches per build
+_SESS_GAP_US = 30 * 60 * 1_000_000
+
+
+def _sessionize_stream_closed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = f"{_art_dir(sf_dir)}/sessionize_stream"
+    return _fresh_stream_artifact(
+        spark, sf_dir, base, f"{base}/out",
+        lambda: _build_sessionize_stream_artifact(spark, sf_dir, base),
+    ).select("user_id", "session_start_us", "session_end_us", "n_events")
+
+
+def _build_sessionize_stream_artifact(
+    spark: SparkSession, sf_dir: str, base: str
+) -> None:
+    """POSIX-local oracle-artifact harness (same contract as the other
+    stream builders)."""
+    import shutil
+
+    from comet_spark.streaming.ingest import sessionize_stream
+
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(base, exist_ok=True)
+    src, ckpt, out = f"{base}/src", f"{base}/ckpt", f"{base}/out"
+    # epoch MICROS (the sessionizer's internal unit); `ts div 1000`
+    # floors the int64-nanos contract column exactly like the oracle's
+    # epoch_ns(ts) // 1000
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.expr("ts div 1000").alias("tus")
+    )
+    lo, hi = ev.agg(F.min("tus"), F.max("tus")).first()
+    span = int(hi) - int(lo) + 1
+    edges = [int(lo) + span * i // _SESS_BATCHES for i in range(_SESS_BATCHES + 1)]
+
+    def _sink(df: DataFrame, bid: int) -> None:
+        # replay overwrites its own partition — idempotent by STATE
+        # versioning: the replayed batch reloads the state version it
+        # first started from, so it re-emits byte-identical rows
+        df.select(
+            "user_id",
+            F.unix_micros("session_start").alias("session_start_us"),
+            F.unix_micros("session_end").alias("session_end_us"),
+            "n_events",
+        ).write.mode("overwrite").parquet(f"{out}/batch={int(bid)}")
+
+    def _start():
+        sess = sessionize_stream(
+            spark.readStream.schema("user_id bigint, tus bigint")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+            .select("user_id", F.timestamp_micros(F.col("tus")).alias("ts")),
+            ts_col="ts", user_col="user_id", gap_minutes=30,
+        )
+        return (
+            sess.writeStream.foreachBatch(_sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    def _check(out_df: DataFrame) -> None:
+        # non-vacuity: state must actually CARRY across micro-batches —
+        # some session emitted by a later batch must have started before
+        # that batch's first possible event (the open session survived
+        # the state handoff; closed-within-own-batch sessions don't
+        # prove that)
+        carried = out_df.filter(
+            (F.col("batch") >= 1) & (F.col("session_start_us") < edges[1])
+        ).count()
+        if not carried:
+            raise RuntimeError(
+                "sessionize_stream artifact: no session crossed a "
+                "micro-batch boundary — the stateful handoff would be "
+                "vacuous"
+            )
+
+    _drive_stream_with_crash(
+        spark, name="sessionize_stream", rows=ev, n_batches=_SESS_BATCHES,
+        src=src, ckpt=ckpt, out=out, start_stream=_start,
+        batch_filter=lambda i: (F.col("tus") >= edges[i])
+        & (F.col("tus") < edges[i + 1]),
+        check_output=_check,
+    )
+
+
+def _sql_sessionize_stream() -> str:
+    """Generated oracle: gap-sessionize the whole events table in SQL
+    (30-min strict gap on floored epoch-micros — the stream's own
+    units), then drop each user's LAST session: a NoTimeout stream only
+    emits a session when a LATER event closes it, so the final open
+    session per user is never emitted, whatever the micro-batch split."""
+    return f"""
+WITH e AS (SELECT user_id, epoch_ns(ts) // 1000 AS tus FROM events),
+g AS (SELECT user_id, tus,
+             CASE WHEN lag(tus) OVER w IS NULL
+                       OR tus - lag(tus) OVER w > {_SESS_GAP_US}
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus)),
+s AS (SELECT user_id, tus, sum(new_sess) OVER (PARTITION BY user_id ORDER BY tus
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM g),
+sess AS (SELECT user_id, sid, min(tus) AS session_start_us,
+                max(tus) AS session_end_us, count(*) AS n_events
+         FROM s GROUP BY user_id, sid),
+last AS (SELECT user_id, max(sid) AS mx FROM sess GROUP BY user_id)
+SELECT sess.user_id, session_start_us, session_end_us, n_events
+FROM sess JOIN last ON sess.user_id = last.user_id AND sess.sid < last.mx
+"""
+
+
+_register(
+    "sessionize_stream_closed", _sessionize_stream_closed,
+    _sql_sessionize_stream(),
+)
 
 
 def _minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
