@@ -4620,12 +4620,14 @@ def _drive_stream_with_crash(
     through the REAL checkpoint machinery, injects a crash after the
     first drain (``_lose_latest_commit`` + the caller's
     ``between_drains`` leg), feeds the rest and drains again, then
-    asserts NON-VACUOUSLY that batch 1 was replayed (its ``out/batch=1``
-    partition rewrote with fresh part files) and that the operator did
-    real work: the default check asserts rows were dropped;
-    ``check_output(out_df)`` replaces it for operators whose output is
-    not a kept-subset of the input. POSIX-local like
-    ``_lose_latest_commit`` itself."""
+    asserts NON-VACUOUSLY that the crashed batch was replayed (its
+    ``out/batch=N`` partition rewrote with fresh part files — N is the
+    first drain's LATEST batch, the one whose commit marker the crash
+    deletes; under a watermark that can be a no-data flush batch, not
+    the last file batch) and that the operator did real work: the
+    default check asserts rows were dropped; ``check_output(out_df)``
+    replaces it for operators whose output is not a kept-subset of the
+    input. POSIX-local like ``_lose_latest_commit`` itself."""
     import glob
 
     if batch_filter is None:
@@ -4645,19 +4647,23 @@ def _drive_stream_with_crash(
 
     _add_batches(range(2))
     _drain()
-    before = set(glob.glob(f"{out}/batch=1/*"))
-    _lose_latest_commit(ckpt)  # injected crash → batch 1 replays
+    crash_dirs = glob.glob(f"{out}/batch=*")
+    if not crash_dirs:
+        raise RuntimeError(f"{name} artifact: first drain emitted nothing")
+    crash_dir = max(crash_dirs, key=lambda d: int(d.rsplit("=", 1)[1]))
+    before = set(glob.glob(f"{crash_dir}/*"))
+    _lose_latest_commit(ckpt)  # injected crash → that batch replays
     if between_drains is not None:
         between_drains()
     _add_batches(range(2, n_batches))
     _drain()
-    # non-vacuity: the replay must have actually re-run batch 1 (its
-    # partition is OVERWRITTEN with fresh part files on replay) ...
-    after = set(glob.glob(f"{out}/batch=1/*"))
+    # non-vacuity: the replay must have actually re-run the crashed
+    # batch (its partition is OVERWRITTEN with fresh part files) ...
+    after = set(glob.glob(f"{crash_dir}/*"))
     if not before or before == after:
         raise RuntimeError(
-            f"{name} artifact: batch 1 was not replayed — the injected "
-            "crash did not engage"
+            f"{name} artifact: {os.path.basename(crash_dir)} was not "
+            "replayed — the injected crash did not engage"
         )
     # ... and the operator must have done real work
     if check_output is not None:
@@ -4931,7 +4937,7 @@ def _build_sessionize_stream_artifact(
             F.unix_micros("session_start").alias("session_start_us"),
             F.unix_micros("session_end").alias("session_end_us"),
             "n_events",
-        ).write.mode("overwrite").parquet(f"{out}/batch={int(bid)}")
+        ).coalesce(1).write.mode("overwrite").parquet(f"{out}/batch={int(bid)}")
 
     def _start():
         sess = sessionize_stream(
@@ -5001,6 +5007,129 @@ FROM sess JOIN last ON sess.user_id = last.user_id AND sess.sid < last.mx
 _register(
     "sessionize_stream_closed", _sessionize_stream_closed,
     _sql_sessionize_stream(),
+)
+
+
+# ★ WATERMARK semantics under the oracle gate: hourly tumbling-window
+# event counts are produced by ``windowed_event_counts`` itself in
+# APPEND mode — a window row is emitted exactly once, when the
+# event-time watermark (max event time − 2 h, checkpointed state)
+# passes its end — over time-range micro-batches WITH one injected
+# crash after the first drain (the replayed batch re-finalizes the
+# same windows against the RESTORED watermark, so its partition
+# overwrite is byte-identical). The oracle recomputes the counts from
+# scratch in SQL and keeps exactly the windows the final watermark
+# closed: window_end ≤ max(ts) − 2 h. Equality proves the watermark
+# arithmetic, the append-mode finalization, and the replay all at
+# once; the held-back tail (windows after the final watermark) is
+# asserted non-empty so the gate can't pass on "emitted everything".
+_WINCOUNT_BATCHES = 3
+_WIN_US = 3_600 * 1_000_000  # 1 h window
+_WM_US = 2 * 3_600 * 1_000_000  # 2 h watermark delay
+
+
+def _wincount_stream_final(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = f"{_art_dir(sf_dir)}/wincount_stream"
+    return _fresh_stream_artifact(
+        spark, sf_dir, base, f"{base}/out",
+        lambda: _build_wincount_stream_artifact(spark, sf_dir, base),
+    ).select("window_start_us", "event_type", "n_events")
+
+
+def _build_wincount_stream_artifact(
+    spark: SparkSession, sf_dir: str, base: str
+) -> None:
+    """POSIX-local oracle-artifact harness (same contract as the other
+    stream builders)."""
+    import shutil
+
+    from comet_spark.streaming.ingest import windowed_event_counts
+
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(base, exist_ok=True)
+    src, ckpt, out = f"{base}/src", f"{base}/ckpt", f"{base}/out"
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", F.expr("ts div 1000").alias("tus")
+    )
+    lo, hi = ev.agg(F.min("tus"), F.max("tus")).first()
+    span = int(hi) - int(lo) + 1
+    edges = [
+        int(lo) + span * i // _WINCOUNT_BATCHES
+        for i in range(_WINCOUNT_BATCHES + 1)
+    ]
+
+    def _sink(df: DataFrame, bid: int) -> None:
+        # append-mode batch df = the windows THIS batch finalized;
+        # replay re-finalizes the same set against the restored
+        # watermark — partition overwrite is idempotent
+        df.select(
+            F.unix_micros("window_start").alias("window_start_us"),
+            "event_type",
+            "n_events",
+        ).coalesce(1).write.mode("overwrite").parquet(f"{out}/batch={int(bid)}")
+
+    def _start():
+        agg = windowed_event_counts(
+            spark.readStream.schema("event_type string, tus bigint")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+            .select("event_type", F.timestamp_micros(F.col("tus")).alias("ts")),
+            ts_col="ts", key_col="event_type",
+            window="1 hour", watermark="2 hours",
+        )
+        return (
+            agg.writeStream.foreachBatch(_sink)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    def _check(out_df: DataFrame) -> None:
+        # non-vacuity: the final watermark must have HELD BACK the tail
+        # — emitting every window would make the append-mode gate
+        # indistinguishable from a complete-mode recount
+        n_emitted = out_df.count()
+        n_total = (
+            ev.groupBy(
+                (F.col("tus") - F.col("tus") % _WIN_US).alias("ws"),
+                "event_type",
+            ).count().count()
+        )
+        if not 0 < n_emitted < n_total:
+            raise RuntimeError(
+                f"wincount_stream artifact: {n_emitted}/{n_total} windows "
+                "emitted — the watermark held back nothing, the append "
+                "gate would be vacuous"
+            )
+
+    _drive_stream_with_crash(
+        spark, name="wincount_stream", rows=ev, n_batches=_WINCOUNT_BATCHES,
+        src=src, ckpt=ckpt, out=out, start_stream=_start,
+        batch_filter=lambda i: (F.col("tus") >= edges[i])
+        & (F.col("tus") < edges[i + 1]),
+        check_output=_check,
+    )
+
+
+def _sql_wincount_stream() -> str:
+    """Generated oracle: hourly counts per event_type over the whole
+    events table, restricted to the windows the FINAL watermark closed
+    (window_end ≤ max event time − 2 h — Spark finalizes an append-mode
+    window when the watermark reaches its end)."""
+    return f"""
+WITH e AS (SELECT epoch_ns(ts) // 1000 AS tus, event_type FROM events),
+mx AS (SELECT max(tus) AS m FROM e)
+SELECT (tus // {_WIN_US}) * {_WIN_US} AS window_start_us, event_type,
+       count(*) AS n_events
+FROM e, mx
+GROUP BY 1, 2, m
+HAVING (tus // {_WIN_US}) * {_WIN_US} + {_WIN_US} <= m - {_WM_US}
+"""
+
+
+_register(
+    "wincount_stream_final", _wincount_stream_final, _sql_wincount_stream()
 )
 
 
