@@ -5133,6 +5133,107 @@ _register(
 )
 
 
+# ★ the streaming SKETCH state under the oracle gate: the per-event-type
+# distinct-user HLL register table is accumulated by ``hll_stream``
+# itself (foreachBatch: per-batch partial registers max-merge into the
+# persistent state parquet) over 3 micro-batches WITH one injected
+# crash after the first drain — the replayed batch RE-merges its
+# partial into a state that already contains it, so the gate proves the
+# sketch's replay story is ALGEBRAIC idempotence (max-merge), not state
+# rollback: there is no versioned state store here, just the register
+# table, and re-delivery must not change it. The oracle recomputes the
+# registers over the whole corpus in SQL (the hll_distinct_terms
+# md5-register shape); equality = merge-of-parts == sketch-of-whole,
+# under crash-re-delivery. Replay non-vacuity: the deleted commit
+# marker must be RE-created by the second run (Spark only writes it
+# after re-executing the batch).
+_HLL_STREAM_BATCHES = 3
+
+
+def _hll_stream_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = f"{_art_dir(sf_dir)}/hll_stream"
+    return _fresh_stream_artifact(
+        spark, sf_dir, base, f"{base}/state",
+        lambda: _build_hll_stream_artifact(spark, sf_dir, base),
+    ).select("event_type", "bucket", "mj")
+
+
+def _build_hll_stream_artifact(
+    spark: SparkSession, sf_dir: str, base: str
+) -> None:
+    """POSIX-local oracle-artifact harness (same contract as the other
+    stream builders; replay is proved by marker re-creation because the
+    output is ONE merged state table, not batch partitions)."""
+    import shutil
+
+    from comet_spark.streaming.ingest import hll_stream
+
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(base, exist_ok=True)
+    src, ckpt, state = f"{base}/src", f"{base}/ckpt", f"{base}/state"
+    # the value column must be the DECIMAL STRING: _hash32 md5s the
+    # column's bytes, and the oracle md5s user_id::VARCHAR
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "event_type", F.col("user_id").cast("string").alias("uid")
+    )
+
+    def _add_batches(idxs) -> None:
+        for i in idxs:
+            ev.filter(F.col("event_id") % _HLL_STREAM_BATCHES == i).repartition(
+                1
+            ).write.mode("append").parquet(src)
+
+    def _drain() -> None:
+        q = hll_stream(
+            spark.readStream.schema("event_id bigint, event_type string, uid string")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src),
+            ["event_type"], "uid", state, b=6, checkpoint=ckpt,
+        )
+        if not q.awaitTermination(600):
+            q.stop()
+            raise RuntimeError("hll_stream artifact: stream did not drain")
+
+    _add_batches(range(2))
+    _drain()
+    if spark.read.parquet(state).count() == 0:
+        raise RuntimeError("hll_stream artifact: no registers after drain 1")
+    _lose_latest_commit(ckpt)  # injected crash → latest batch re-delivers
+    marker = f"{ckpt}/commits/1"
+    if os.path.exists(marker):
+        raise RuntimeError("hll_stream artifact: commit marker not deleted")
+    _add_batches(range(2, _HLL_STREAM_BATCHES))
+    _drain()
+    # non-vacuity: the marker can only reappear AFTER the batch re-ran —
+    # the re-delivered partial merged into a state that already held it,
+    # so oracle equality below proves max-merge idempotence
+    if not os.path.exists(marker):
+        raise RuntimeError(
+            "hll_stream artifact: commit 1 was not re-created — the "
+            "injected crash did not engage"
+        )
+
+
+def _sql_hll_stream() -> str:
+    """Generated oracle: the md5-register HLL state over the whole
+    events table (the hll_distinct_terms register shape, value =
+    user_id as its decimal string)."""
+    return """
+WITH h AS (SELECT event_type,
+                  ('0x' || substr(md5(user_id::VARCHAR), 1, 8))::BIGINT AS h
+           FROM events),
+r AS (SELECT event_type, h & 63 AS bucket,
+             CASE WHEN (h >> 6) = 0 THEN 27
+                  ELSE 27 - length(bin(h >> 6)) END AS rho
+      FROM h)
+SELECT event_type, bucket, max(rho) AS mj
+FROM r GROUP BY event_type, bucket
+"""
+
+
+_register("hll_stream_users", _hll_stream_users, _sql_hll_stream())
+
+
 def _minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from comet_spark.operators.dedup import minhash_signatures
 
