@@ -4565,19 +4565,23 @@ _STREAM_ART_BUILT: set[tuple[str, str, str]] = {*()}
 
 
 def _fresh_stream_artifact(
-    spark: SparkSession, sf_dir: str, base: str, out: str, build_fn
+    spark: SparkSession, sf_dir: str, base: str, out: str, build_fn,
+    *, table: str = "documents",
 ) -> DataFrame:
     """Corpus-signature-gated build-once scaffold shared by the
-    STREAM-BUILT dedup/decontam artifacts — the ``_fresh_bm25_artifact``
-    pattern with a parquet output table instead of a BM25 index: reopen
-    when the signature matches and ``out`` probes readable, else run
+    STREAM-BUILT artifacts — the ``_fresh_bm25_artifact`` pattern with a
+    parquet output table instead of a BM25 index: reopen when the
+    signature matches and ``out`` probes readable, else run
     ``build_fn()`` (which owns its cleanup: rmtree the lineage) and
     stamp the signature LAST, so a crash mid-build re-routes the next
-    session into the rebuild. Returns the raw artifact read (callers
-    apply their own select — partition col ``batch`` is discoverable)."""
+    session into the rebuild. ``table`` is the SOURCE table the
+    signature must cover (events-derived artifacts pass "events" — a
+    regenerated fixture must never serve a stale artifact). Returns the
+    raw artifact read (callers apply their own select — partition col
+    ``batch`` is discoverable)."""
     key = (_skey(spark), sf_dir, base)
     if key not in _STREAM_ART_BUILT:
-        sig = _corpus_sig(sf_dir, "documents")
+        sig = _corpus_sig(sf_dir, table)
         sig_path = f"{base}/corpus_sig.txt"
         try:
             with open(sig_path) as fh:
@@ -4903,6 +4907,7 @@ def _sessionize_stream_closed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _fresh_stream_artifact(
         spark, sf_dir, base, f"{base}/out",
         lambda: _build_sessionize_stream_artifact(spark, sf_dir, base),
+        table="events",
     ).select("user_id", "session_start_us", "session_end_us", "n_events")
 
 
@@ -4945,7 +4950,9 @@ def _build_sessionize_stream_artifact(
             .option("maxFilesPerTrigger", "1")
             .parquet(src)
             .select("user_id", F.timestamp_micros(F.col("tus")).alias("ts")),
-            ts_col="ts", user_col="user_id", gap_minutes=30,
+            ts_col="ts", user_col="user_id",
+            gap_minutes=_SESS_GAP_US // 60_000_000,  # ONE constant drives
+            # both the stream and the SQL oracle — they must never drift
         )
         return (
             sess.writeStream.foreachBatch(_sink)
@@ -5033,6 +5040,7 @@ def _wincount_stream_final(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _fresh_stream_artifact(
         spark, sf_dir, base, f"{base}/out",
         lambda: _build_wincount_stream_artifact(spark, sf_dir, base),
+        table="events",
     ).select("window_start_us", "event_type", "n_events")
 
 
@@ -5075,7 +5083,10 @@ def _build_wincount_stream_artifact(
             .parquet(src)
             .select("event_type", F.timestamp_micros(F.col("tus")).alias("ts")),
             ts_col="ts", key_col="event_type",
-            window="1 hour", watermark="2 hours",
+            # ONE constant drives both the stream and the SQL oracle —
+            # they must never drift
+            window=f"{_WIN_US // 1_000_000} seconds",
+            watermark=f"{_WM_US // 1_000_000} seconds",
         )
         return (
             agg.writeStream.foreachBatch(_sink)
@@ -5155,6 +5166,7 @@ def _hll_stream_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _fresh_stream_artifact(
         spark, sf_dir, base, f"{base}/state",
         lambda: _build_hll_stream_artifact(spark, sf_dir, base),
+        table="events",
     ).select("event_type", "bucket", "mj")
 
 

@@ -717,21 +717,26 @@ class BM25:
             # mid-join (ANSI), and try_cast alone silently TRUNCATES a
             # fractional one (try_cast(5.7 AS bigint) = 5); either way a
             # DIFFERENT, real document would be deleted. The round-trip
-            # back to the input's own type catches both: overflow →
-            # NULL, truncation → value mismatch.
+            # back to the input's own type catches the truncation —
+            # applied ONLY to fractional/decimal inputs: for strings the
+            # forward try_cast is already exact-or-NULL ('5.7' → NULL,
+            # '05' → 5), and a representation round-trip would wrongly
+            # reject non-canonical spellings of valid ids ('05', ' 5').
+            from pyspark.sql.types import FractionalType
+
             ledger_t = ledger.schema["id"].dataType
             orig_t = ids_df.schema["id"].dataType
             ids_df = ids_df.select(
                 F.col("id").alias("__orig"),
                 F.col("id").try_cast(ledger_t).alias("id"),
             )
-            bad = ids_df.filter(
-                (F.col("id").isNull() & F.col("__orig").isNotNull())
-                | (
+            bad_cond = F.col("id").isNull() & F.col("__orig").isNotNull()
+            if isinstance(orig_t, FractionalType):  # float/double/decimal
+                bad_cond = bad_cond | (
                     F.col("id").isNotNull()
                     & (F.col("id").try_cast(orig_t) != F.col("__orig"))
                 )
-            ).limit(1).collect()
+            bad = ids_df.filter(bad_cond).limit(1).collect()
             if bad:
                 raise ValueError(
                     f"delete: id {bad[0]['__orig']!r} is not exactly "

@@ -629,8 +629,20 @@ def test_bm25_delete_out_of_range_id_fails_loudly(spark, tmp_path):
     assert BM25.delete(
         spark, path, spark.createDataFrame([(5.0,)], "id double")
     ) == 1
-    # nothing else recorded: only doc 5 deleted, 7 live docs remain
-    assert BM25.read(spark, path).doc_len.count() == 7
+    # a NON-CANONICAL but exact string spelling names its doc: the
+    # exactness check must not reject '06' (string forward-cast is
+    # already exact-or-NULL, so no representation round-trip applies)
+    assert BM25.delete(
+        spark, path, spark.createDataFrame([("06",)], "id string")
+    ) == 1
+    # a fractional STRING is exact-or-NULL, so it fails via the
+    # forward cast, still loudly
+    with pytest.raises(ValueError, match="not exactly representable"):
+        BM25.delete(
+            spark, path, spark.createDataFrame([("3.7",)], "id string")
+        )
+    # only docs 5 and 6 deleted, 6 live docs remain
+    assert BM25.read(spark, path).doc_len.count() == 6
 
 
 def test_hnsw_inflated_ef_cap():
