@@ -5246,6 +5246,120 @@ FROM r GROUP BY event_type, bucket
 _register("hll_stream_users", _hll_stream_users, _sql_hll_stream())
 
 
+# ★ the store's own streaming ingest under the oracle gate:
+# ``stream_into_store`` appends one immutable segment per micro-batch
+# and — by documented design — does NOT id-probe replays (its stream
+# legitimately carries upserts, which an id match cannot distinguish
+# from a redelivery), so a crash-replayed batch lands ONE duplicate
+# segment that the newest-(segment,__seq)-wins read must hide. This
+# query drives exactly that claim: 3 micro-batches (doc_id % 3), an
+# injected crash after the first drain (the replay appends the
+# duplicate — asserted structurally: residue-1 ids live in exactly two
+# segments), and batch 2 carrying BOTH new docs AND upserts (every
+# residue-0 doc re-sent with ``text || ' v2'``). Oracle = the corpus
+# with the upserts applied; equality proves the duplicate segment is
+# invisible and the upserts won — the reference's merge-on-read story
+# (storage_merge.go) under an actual crash.
+_STORE_STREAM_MOD = 3
+
+
+def _store_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = f"{_art_dir(sf_dir)}/store_stream"
+    return _fresh_stream_artifact(
+        spark, sf_dir, base, f"{base}/out",
+        lambda: _build_store_stream_artifact(spark, sf_dir, base),
+    ).select("doc_id", "text_md5")
+
+
+def _build_store_stream_artifact(
+    spark: SparkSession, sf_dir: str, base: str
+) -> None:
+    """POSIX-local oracle-artifact harness (same contract as the other
+    stream builders; the upsert leg makes this drive its own batch
+    construction instead of _drive_stream_with_crash's uniform feed)."""
+    import shutil
+
+    from comet_spark.storage.store import DocumentStore
+    from comet_spark.streaming.ingest import stream_into_store
+
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(base, exist_ok=True)
+    src, ckpt, out = f"{base}/src", f"{base}/ckpt", f"{base}/out"
+    store_path = f"{base}/store"
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def _add(df: DataFrame) -> None:
+        df.repartition(1).write.mode("append").parquet(src)
+
+    def _drain() -> None:
+        q = stream_into_store(
+            spark.readStream.schema("doc_id bigint, text string")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src),
+            DocumentStore(spark, store_path, id_col="doc_id"),
+            checkpoint=ckpt,
+        )
+        if not q.awaitTermination(600):
+            q.stop()
+            raise RuntimeError("store_stream artifact: stream did not drain")
+
+    for i in range(2):
+        _add(docs.filter(F.col("doc_id") % _STORE_STREAM_MOD == i))
+    _drain()
+    _lose_latest_commit(ckpt)  # injected crash → batch 1 re-appends
+    # batch 2: the remaining residue AND an upsert of every residue-0
+    # doc (same ids, new payloads — the case the id-probe skip would
+    # misclassify, which is WHY this stream doesn't have one)
+    _add(
+        docs.filter(F.col("doc_id") % _STORE_STREAM_MOD == 2).unionByName(
+            docs.filter(F.col("doc_id") % _STORE_STREAM_MOD == 0).select(
+                "doc_id", F.concat(F.col("text"), F.lit(" v2")).alias("text")
+            )
+        )
+    )
+    _drain()
+    store = DocumentStore(spark, store_path, id_col="doc_id")
+    # non-vacuity 1: the replay actually landed its duplicate segment —
+    # residue-1 ids (no upsert leg) must live in exactly TWO segments
+    n_seg_r1 = (
+        store._segments()
+        .filter(F.col("doc_id") % _STORE_STREAM_MOD == 1)
+        .select("segment").distinct().count()
+    )
+    if n_seg_r1 != 2:
+        raise RuntimeError(
+            f"store_stream artifact: residue-1 ids span {n_seg_r1} "
+            "segments (want 2) — the crash-replay duplicate did not land"
+        )
+    merged = store.read()
+    # non-vacuity 2: every surviving residue-0 doc carries the upsert
+    stale = merged.filter(
+        (F.col("doc_id") % _STORE_STREAM_MOD == 0)
+        & ~F.coalesce(F.col("text"), F.lit("")).endswith(" v2")
+        & F.col("text").isNotNull()
+    ).count()
+    if stale:
+        raise RuntimeError(
+            f"store_stream artifact: {stale} residue-0 docs still serve "
+            "the pre-upsert payload — newest-wins did not apply"
+        )
+    merged.select(
+        "doc_id", F.md5(F.col("text").cast("binary")).alias("text_md5")
+    ).coalesce(1).write.mode("overwrite").parquet(out)
+
+
+_register(
+    "store_stream_upsert",
+    _store_stream_upsert,
+    f"""
+SELECT doc_id,
+       md5(CASE WHEN doc_id % {_STORE_STREAM_MOD} = 0 THEN text || ' v2'
+                ELSE text END) AS text_md5
+FROM documents
+""",
+)
+
+
 def _minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from comet_spark.operators.dedup import minhash_signatures
 
