@@ -5320,16 +5320,14 @@ def _build_store_stream_artifact(
     _drain()
     store = DocumentStore(spark, store_path, id_col="doc_id")
     # non-vacuity 1: the replay actually landed its duplicate segment —
-    # residue-1 ids (no upsert leg) must live in exactly TWO segments
-    n_seg_r1 = (
-        store._segments()
-        .filter(F.col("doc_id") % _STORE_STREAM_MOD == 1)
-        .select("segment").distinct().count()
-    )
-    if n_seg_r1 != 2:
+    # 3 fed micro-batches must have left FOUR segments (order-robust:
+    # whichever batch the deleted latest commit belonged to, only a
+    # re-execution can append the extra segment)
+    n_seg = store._segments().select("segment").distinct().count()
+    if n_seg != 4:
         raise RuntimeError(
-            f"store_stream artifact: residue-1 ids span {n_seg_r1} "
-            "segments (want 2) — the crash-replay duplicate did not land"
+            f"store_stream artifact: {n_seg} segments for 3 fed batches "
+            "(want 4) — the crash-replay duplicate did not land"
         )
     merged = store.read()
     # non-vacuity 2: every surviving residue-0 doc carries the upsert
