@@ -5358,6 +5358,111 @@ FROM documents
 )
 
 
+# ★ the streaming COUNT sketch under the oracle gate — the anti-twin
+# of hll_stream_users: CMS merges by ADDITION, which is NOT
+# idempotent, so `cms_stream` must survive a crash-replay by per-batch
+# partition overwrite (each partial lands in its own batch=<id> dir)
+# plus an LSM-style base_upto=<k> compaction watermark, not by algebra.
+# The drive injects one crash after the first drain AND crosses the
+# in-stream compaction boundary (compact_every=2 absorbs the committed
+# parts at batch 2), so the gate covers: the replay rewriting its
+# partition with identical values, compaction shadowing absorbed parts
+# the instant the new base lands, and the reader's max-upto rule.
+# Oracle = the whole-corpus d×w counter table in SQL (the
+# cms_term_counts shape, value = user_id as its decimal string); any
+# double-count, lost batch, or mis-shadowed dir shifts a counter and
+# fails the hash.
+_CMS_STREAM_BATCHES = 3
+
+
+def _cms_stream_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = f"{_art_dir(sf_dir)}/cms_stream"
+    return _fresh_stream_artifact(
+        spark, sf_dir, base, f"{base}/out",
+        lambda: _build_cms_stream_artifact(spark, sf_dir, base),
+        table="events",
+    ).select("i", "bucket", "c")
+
+
+def _build_cms_stream_artifact(
+    spark: SparkSession, sf_dir: str, base: str
+) -> None:
+    """POSIX-local oracle-artifact harness (same contract as the other
+    stream builders; drives its own feed because the state dir mixes
+    batch=<id> parts with base_upto=<k> bases — not one parquet
+    layout)."""
+    import shutil
+
+    from comet_spark.streaming.ingest import cms_stream, cms_stream_counters
+
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(base, exist_ok=True)
+    src, ckpt, state, out = (
+        f"{base}/src", f"{base}/ckpt", f"{base}/state", f"{base}/out"
+    )
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", F.col("user_id").cast("string").alias("uid")
+    )
+
+    def _add_batches(idxs) -> None:
+        for i in idxs:
+            ev.filter(F.col("event_id") % _CMS_STREAM_BATCHES == i).repartition(
+                1
+            ).write.mode("append").parquet(src)
+
+    def _drain() -> None:
+        q = cms_stream(
+            spark.readStream.schema("event_id bigint, uid string")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src),
+            "uid", state, d=CMS_D, w=CMS_W, checkpoint=ckpt,
+            compact_every=2,  # batch 2 absorbs the committed parts 0,1
+        )
+        if not q.awaitTermination(600):
+            q.stop()
+            raise RuntimeError("cms_stream artifact: stream did not drain")
+
+    _add_batches(range(2))
+    _drain()
+    marker = f"{ckpt}/commits/1"
+    _lose_latest_commit(ckpt)  # injected crash → batch 1 re-delivers
+    _add_batches(range(2, _CMS_STREAM_BATCHES))
+    _drain()
+    # non-vacuity 1: the deleted marker re-created = batch 1 re-ran (its
+    # partition overwrite must not have added its counts twice)
+    if not os.path.exists(marker):
+        raise RuntimeError(
+            "cms_stream artifact: commit 1 was not re-created — the "
+            "injected crash did not engage"
+        )
+    # non-vacuity 2: the in-stream compaction actually ran and shadowed
+    # the absorbed parts (base_upto=1 present, batch=0/1 dirs gone)
+    names = {n for n in os.listdir(state)}
+    if "base_upto=1" not in names or {"batch=0", "batch=1"} & names:
+        raise RuntimeError(
+            f"cms_stream artifact: compaction state unexpected: {sorted(names)}"
+        )
+    cms_stream_counters(spark, state).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(out)
+
+
+def _sql_cms_stream() -> str:
+    """Generated oracle: the whole-corpus d×w CMS counter table (the
+    cms_term_counts register shape, value = user_id::VARCHAR)."""
+    return f"""
+WITH {_sql_cms_coeffs()},
+h AS (SELECT ('0x' || substr(md5(user_id::VARCHAR), 1, 8))::BIGINT AS h
+      FROM events)
+SELECT i, ((a * h + b) % 2147483647) % {CMS_W} AS bucket, count(*) AS c
+FROM h CROSS JOIN co
+GROUP BY 1, 2
+"""
+
+
+_register("cms_stream_counts", _cms_stream_counts, _sql_cms_stream())
+
+
 def _minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from comet_spark.operators.dedup import minhash_signatures
 

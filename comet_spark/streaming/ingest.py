@@ -29,6 +29,9 @@ __all__ = [
     "pin_eval_shingles",
     "decontam_ingest",
     "decontam_ingest_stream",
+    "hll_stream",
+    "cms_stream",
+    "cms_stream_counters",
 ]
 
 
@@ -811,6 +814,124 @@ def hll_stream(
     if checkpoint is not None:
         w = w.option("checkpointLocation", checkpoint)
     return w.start()
+
+
+def cms_stream(
+    stream: DataFrame,
+    value_col: str,
+    state_path: str,
+    *,
+    d: int = 4,
+    w: int = 256,
+    checkpoint: str | None = None,
+    compact_every: int | None = 16,
+):
+    """Continuous frequency counting over a stream (count-min sketch).
+
+    CMS partials merge by ADDITION (``sketch.cms_merge``) — unlike
+    :func:`hll_stream`'s max, addition is NOT idempotent, so an
+    hll_stream-style accumulate-in-place would DOUBLE-COUNT a
+    crash-replayed micro-batch. Each batch's d×w partial counter table
+    therefore lands as an OVERWRITE of its own ``batch=<id>`` directory
+    under ``state_path`` (the same per-batch-partition idempotency the
+    near-dup/decontam streams use): a re-delivery rewrites identical
+    values instead of adding them twice. Read the live counters at any
+    time with :func:`cms_stream_counters` (sum across parts), and point
+    estimates with ``sketch.cms_estimate`` over that.
+
+    ``compact_every`` bounds the part count on long streams with an
+    LSM-style watermark: at batch N (every ``compact_every`` batches)
+    all parts with id < N — which are COMMITTED and can never replay;
+    only the in-flight batch can — are summed into a fresh
+    ``base_upto=<N-1>`` directory, and the absorbed parts + older bases
+    are deleted. Readers take the MAX-upto base and ignore any part
+    with id ≤ that watermark, so every crash point (base written but
+    parts not yet deleted; old base lingering; compaction replayed) is
+    a no-op for the counts — leftover absorbed dirs are shadowed, and
+    the re-run's absorb set is empty. State is ≤ d×w rows per live dir.
+    """
+    from comet_spark.operators.sketch import cms_sketch
+    from comet_spark.storage.store import _FS
+
+    def upd(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        bid = int(batch_id)
+        part = cms_sketch(batch.select(value_col), value_col, d=d, w=w)
+        part.coalesce(1).write.mode("overwrite").parquet(
+            f"{state_path}/batch={bid}"
+        )
+        if compact_every and bid > 0 and bid % compact_every == 0:
+            _cms_compact(spark, state_path, upto=bid - 1)
+
+    wq = stream.writeStream.foreachBatch(upd).trigger(availableNow=True)
+    if checkpoint is not None:
+        wq = wq.option("checkpointLocation", checkpoint)
+    return wq.start()
+
+
+def _cms_state_dirs(fs, state_path: str) -> tuple[int, list[int], list[int]]:
+    """(max base watermark or -1, live part ids, stale base watermarks)."""
+    names = [n.rsplit("/", 1)[-1] for n in fs.listdir(state_path)]
+    bases = sorted(
+        int(n.split("=", 1)[1]) for n in names if n.startswith("base_upto=")
+    )
+    upto = bases[-1] if bases else -1
+    parts = sorted(
+        int(n.split("=", 1)[1]) for n in names if n.startswith("batch=")
+    )
+    return upto, [p for p in parts if p > upto], bases[:-1] + [
+        p for p in parts if p <= upto
+    ]
+
+
+def _cms_compact(spark, state_path: str, *, upto: int) -> None:
+    """Absorb committed parts into ``base_upto=<upto>``: write the new
+    base FIRST (readers shadow the absorbed dirs the instant it lands),
+    then delete the absorbed parts and superseded bases — pure cleanup,
+    crash-safe at every point because the reader's max-upto rule never
+    counts a shadowed dir."""
+    from comet_spark.operators.sketch import cms_merge
+    from comet_spark.storage.store import _FS
+
+    fs = _FS(spark, state_path)
+    old_upto, live, _stale = _cms_state_dirs(fs, state_path)
+    absorb = [p for p in live if p <= upto]
+    if absorb and upto > old_upto:
+        dfs = [spark.read.parquet(f"{state_path}/batch={p}") for p in absorb]
+        if old_upto >= 0:
+            dfs.append(spark.read.parquet(f"{state_path}/base_upto={old_upto}"))
+        merged = cms_merge(*dfs) if len(dfs) > 1 else dfs[0]
+        merged.localCheckpoint().coalesce(1).write.mode("overwrite").parquet(
+            f"{state_path}/base_upto={upto}"
+        )
+    # cleanup: everything now shadowed by the max-upto base
+    _u, _live, stale = _cms_state_dirs(fs, state_path)
+    for p in stale:
+        fs.delete(f"{state_path}/batch={p}")
+    for b in sorted(
+        int(n.rsplit("/", 1)[-1].split("=", 1)[1])
+        for n in fs.listdir(state_path)
+        if n.rsplit("/", 1)[-1].startswith("base_upto=")
+    )[:-1]:
+        fs.delete(f"{state_path}/base_upto={b}")
+
+
+def cms_stream_counters(spark, state_path: str) -> DataFrame:
+    """The stream's LIVE counter table ``(i, bucket, c)``: the max-upto
+    base plus every part above its watermark, summed per cell — the
+    exact sketch a batch build over the same rows would produce."""
+    from comet_spark.operators.sketch import cms_merge
+    from comet_spark.storage.store import _FS
+
+    fs = _FS(spark, state_path)
+    upto, live, _stale = _cms_state_dirs(fs, state_path)
+    dfs = []
+    if upto >= 0:
+        dfs.append(spark.read.parquet(f"{state_path}/base_upto={upto}"))
+    dfs += [spark.read.parquet(f"{state_path}/batch={p}") for p in live]
+    if not dfs:
+        raise FileNotFoundError(f"no CMS state under {state_path}")
+    return cms_merge(*dfs) if len(dfs) > 1 else dfs[0]
 
 
 def neardup_ingest(

@@ -641,6 +641,57 @@ def test_streaming_hll_state_matches_batch_sketch(spark, tmp_path):
     assert est_stream == est_batch
 
 
+def test_cms_stream_matches_batch_and_compacts(spark, tmp_path):
+    """cms_stream's live counters after consuming the stream equal the
+    single-pass batch sketch (addition merge across per-batch parts +
+    the compacted base), and the compaction watermark shadows absorbed
+    parts: after compact_every=2 fires at batch 2, parts 0/1 are gone
+    and base_upto=1 holds their sums."""
+    import os
+
+    from comet_spark.operators.sketch import cms_sketch
+    from comet_spark.streaming.ingest import cms_stream, cms_stream_counters
+
+    src_dir = str(tmp_path / "cms_in")
+    rows = [(i, f"u{i % 23}") for i in range(300)]
+    df = spark.createDataFrame(rows, "id bigint, v string")
+    for m in range(3):  # three files → three micro-batches
+        df.filter(F.col("id") % 3 == m).coalesce(1).write.mode(
+            "append"
+        ).parquet(src_dir)
+
+    state = str(tmp_path / "cms_state")
+    q = cms_stream(
+        spark.readStream.schema("id bigint, v string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir),
+        "v", state, checkpoint=str(tmp_path / "ckpt_cms"), compact_every=2,
+    )
+    assert q.awaitTermination(120)
+
+    names = set(os.listdir(state))
+    assert "base_upto=1" in names and not {"batch=0", "batch=1"} & names
+    got = {
+        (r["i"], r["bucket"]): r["c"]
+        for r in cms_stream_counters(spark, state).collect()
+    }
+    want = {
+        (r["i"], r["bucket"]): r["c"] for r in cms_sketch(df, "v").collect()
+    }
+    assert got == want
+    # a re-delivered batch must not double-count: rewriting batch=2's
+    # partition (what a crash-replay does) leaves the counters unchanged
+    part2 = cms_sketch(
+        df.filter(F.col("id") % 3 == 2).select("v"), "v"
+    )
+    part2.coalesce(1).write.mode("overwrite").parquet(f"{state}/batch=2")
+    got2 = {
+        (r["i"], r["bucket"]): r["c"]
+        for r in cms_stream_counters(spark, state).collect()
+    }
+    assert got2 == want
+
+
 def test_hll_stream_state_errors_propagate(spark, tmp_path):
     """Only a MISSING state path may fall back to a fresh sketch; a
     corrupt state file must raise so the micro-batch retries instead of
