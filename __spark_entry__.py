@@ -4610,6 +4610,36 @@ def _neardup_stream_admitted(spark: SparkSession, sf_dir: str) -> DataFrame:
     ))
 
 
+class _scoped_shuffle_partitions:
+    """Scope ``spark.sql.shuffle.partitions`` down for a one-time LOCAL
+    artifact drive: per-micro-batch state-store commits and tiny
+    per-batch aggregations pay a fixed cost PER PARTITION, so the
+    session default of 200 multiplies pure overhead into every trigger
+    (the stateful-shuffle knob SCALE.md documents — at cluster scale
+    you size it to the key cardinality; these drives' key spaces are
+    thousands of rows). Restored on exit so the driver's session is
+    untouched for every other query. Values are partition-count
+    invariant — this changes build time, never content."""
+
+    _KEY = "spark.sql.shuffle.partitions"
+
+    def __init__(self, spark: SparkSession, n: int = 32):
+        self.spark, self.n = spark, n
+
+    def __enter__(self):
+        try:
+            self.old = self.spark.conf.get(self._KEY)
+        except Exception:
+            self.old = None
+        self.spark.conf.set(self._KEY, str(self.n))
+
+    def __exit__(self, *exc):
+        if self.old is None:
+            self.spark.conf.unset(self._KEY)
+        else:
+            self.spark.conf.set(self._KEY, self.old)
+
+
 def _drive_stream_with_crash(
     spark: SparkSession, *, name: str, rows: DataFrame, n_batches: int,
     src: str, ckpt: str, out: str, start_stream, batch_filter=None,
@@ -4649,18 +4679,19 @@ def _drive_stream_with_crash(
             q.stop()
             raise RuntimeError(f"{name} artifact: stream did not drain")
 
-    _add_batches(range(2))
-    _drain()
-    crash_dirs = glob.glob(f"{out}/batch=*")
-    if not crash_dirs:
-        raise RuntimeError(f"{name} artifact: first drain emitted nothing")
-    crash_dir = max(crash_dirs, key=lambda d: int(d.rsplit("=", 1)[1]))
-    before = set(glob.glob(f"{crash_dir}/*"))
-    _lose_latest_commit(ckpt)  # injected crash → that batch replays
-    if between_drains is not None:
-        between_drains()
-    _add_batches(range(2, n_batches))
-    _drain()
+    with _scoped_shuffle_partitions(spark):
+        _add_batches(range(2))
+        _drain()
+        crash_dirs = glob.glob(f"{out}/batch=*")
+        if not crash_dirs:
+            raise RuntimeError(f"{name} artifact: first drain emitted nothing")
+        crash_dir = max(crash_dirs, key=lambda d: int(d.rsplit("=", 1)[1]))
+        before = set(glob.glob(f"{crash_dir}/*"))
+        _lose_latest_commit(ckpt)  # injected crash → that batch replays
+        if between_drains is not None:
+            between_drains()
+        _add_batches(range(2, n_batches))
+        _drain()
     # non-vacuity: the replay must have actually re-run the crashed
     # batch (its partition is OVERWRITTEN with fresh part files) ...
     after = set(glob.glob(f"{crash_dir}/*"))
@@ -5206,16 +5237,17 @@ def _build_hll_stream_artifact(
             q.stop()
             raise RuntimeError("hll_stream artifact: stream did not drain")
 
-    _add_batches(range(2))
-    _drain()
-    if spark.read.parquet(state).count() == 0:
-        raise RuntimeError("hll_stream artifact: no registers after drain 1")
-    _lose_latest_commit(ckpt)  # injected crash → latest batch re-delivers
-    marker = f"{ckpt}/commits/1"
-    if os.path.exists(marker):
-        raise RuntimeError("hll_stream artifact: commit marker not deleted")
-    _add_batches(range(2, _HLL_STREAM_BATCHES))
-    _drain()
+    with _scoped_shuffle_partitions(spark):
+        _add_batches(range(2))
+        _drain()
+        if spark.read.parquet(state).count() == 0:
+            raise RuntimeError("hll_stream artifact: no registers after drain 1")
+        _lose_latest_commit(ckpt)  # injected crash → latest batch re-delivers
+        marker = f"{ckpt}/commits/1"
+        if os.path.exists(marker):
+            raise RuntimeError("hll_stream artifact: commit marker not deleted")
+        _add_batches(range(2, _HLL_STREAM_BATCHES))
+        _drain()
     # non-vacuity: the marker can only reappear AFTER the batch re-ran —
     # the re-delivered partial merged into a state that already held it,
     # so oracle equality below proves max-merge idempotence
@@ -5303,21 +5335,24 @@ def _build_store_stream_artifact(
             q.stop()
             raise RuntimeError("store_stream artifact: stream did not drain")
 
-    for i in range(2):
-        _add(docs.filter(F.col("doc_id") % _STORE_STREAM_MOD == i))
-    _drain()
-    _lose_latest_commit(ckpt)  # injected crash → batch 1 re-appends
-    # batch 2: the remaining residue AND an upsert of every residue-0
-    # doc (same ids, new payloads — the case the id-probe skip would
-    # misclassify, which is WHY this stream doesn't have one)
-    _add(
-        docs.filter(F.col("doc_id") % _STORE_STREAM_MOD == 2).unionByName(
-            docs.filter(F.col("doc_id") % _STORE_STREAM_MOD == 0).select(
-                "doc_id", F.concat(F.col("text"), F.lit(" v2")).alias("text")
+    with _scoped_shuffle_partitions(spark):
+        for i in range(2):
+            _add(docs.filter(F.col("doc_id") % _STORE_STREAM_MOD == i))
+        _drain()
+        _lose_latest_commit(ckpt)  # injected crash → batch 1 re-appends
+        # batch 2: the remaining residue AND an upsert of every
+        # residue-0 doc (same ids, new payloads — the case the id-probe
+        # skip would misclassify, which is WHY this stream doesn't have
+        # one)
+        _add(
+            docs.filter(F.col("doc_id") % _STORE_STREAM_MOD == 2).unionByName(
+                docs.filter(F.col("doc_id") % _STORE_STREAM_MOD == 0).select(
+                    "doc_id",
+                    F.concat(F.col("text"), F.lit(" v2")).alias("text"),
+                )
             )
         )
-    )
-    _drain()
+        _drain()
     store = DocumentStore(spark, store_path, id_col="doc_id")
     # non-vacuity 1: the replay actually landed its duplicate segment —
     # 3 fed micro-batches must have left FOUR segments (order-robust:
@@ -5422,12 +5457,13 @@ def _build_cms_stream_artifact(
             q.stop()
             raise RuntimeError("cms_stream artifact: stream did not drain")
 
-    _add_batches(range(2))
-    _drain()
-    marker = f"{ckpt}/commits/1"
-    _lose_latest_commit(ckpt)  # injected crash → batch 1 re-delivers
-    _add_batches(range(2, _CMS_STREAM_BATCHES))
-    _drain()
+    with _scoped_shuffle_partitions(spark):
+        _add_batches(range(2))
+        _drain()
+        marker = f"{ckpt}/commits/1"
+        _lose_latest_commit(ckpt)  # injected crash → batch 1 re-delivers
+        _add_batches(range(2, _CMS_STREAM_BATCHES))
+        _drain()
     # non-vacuity 1: the deleted marker re-created = batch 1 re-ran (its
     # partition overwrite must not have added its counts twice)
     if not os.path.exists(marker):
