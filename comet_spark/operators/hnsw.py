@@ -53,7 +53,7 @@ MAX_LEVEL_CAP = 16
 
 def _inflated_ef(
     ef_search: int, k: int, exclude_ids: DataFrame | None,
-    cap: int | None = None,
+    cap: int | None = None, exclude_count: int | None = None,
 ) -> int:
     """Beam width for a search that must yield k LIVE results: the base
     ``max(ef_search, k)``, plus the exclusion set's cardinality when a
@@ -62,15 +62,19 @@ def _inflated_ef(
     heavily-deleted index (ADVICE r08). The count is one extra job over
     the delete vector (broadcast-small by the exclude contract; its
     lineage evaluates again at the anti-join — tiny by the same
-    contract). ``cap`` clamps the result to the graph's node count: a
-    store-scale delete vector mostly NOT in this index must not request
-    a beam (and driver-side heap) far past "scan everything" — the
-    driver path passes ``len(self.ids)``; the distributed path passes
-    no cap because each sub-graph's traversal is naturally bounded by
-    its own node count."""
+    contract); callers that reuse one exclusion set across many queries
+    pass ``exclude_count`` to pay that job once (ADVICE r09). ``cap``
+    clamps the result to the graph's node count: a store-scale delete
+    vector mostly NOT in this index must not request a beam (and
+    driver-side heap) far past "scan everything" — the driver path
+    passes ``len(self.ids)``; the distributed path clamps per sub-graph
+    inside the traversal task (each sub-graph caps the beam at its own
+    node count, the same rule applied where the size is known)."""
     ef = max(int(ef_search), int(k))
     if exclude_ids is not None:
-        ef += int(exclude_ids.count())
+        ef += int(
+            exclude_count if exclude_count is not None else exclude_ids.count()
+        )
     if cap is not None:
         ef = min(ef, max(int(cap), int(k)))
     return ef
@@ -296,11 +300,13 @@ class HNSWIndex:
         self, docs: DataFrame, qvec: list[float], *, k: int = 10,
         ef_search: int = 50, id_col: str = "id", vec_col: str = "vector",
         round_to: int | None = 6, artifacts_path: str | None = None,
-        exclude_ids: DataFrame | None = None,
+        exclude_ids: DataFrame | None = None, exclude_count: int | None = None,
     ) -> DataFrame:
         """Graph candidates → DISTRIBUTED exact scoring + top-k (same plan
         shape as lsh_ann_topk: broadcast semi-join prunes the scan, the
-        cluster computes distances) → ``(id, score)``.
+        cluster computes distances) → ``(id, score)``. ``exclude_count``:
+        precomputed exclusion cardinality — pass it when one exclusion
+        DataFrame serves many queries to skip the per-query count job.
 
         ``exclude_ids`` is the soft-delete skip, with the reference's
         exact semantics (``hnsw_index.go:507-510``: deleted nodes stay in
@@ -316,7 +322,10 @@ class HNSWIndex:
         spark = docs.sparkSession
         cand_ids = self.search_candidates(
             qvec,
-            ef_search=_inflated_ef(ef_search, k, exclude_ids, cap=len(self.ids)),
+            ef_search=_inflated_ef(
+                ef_search, k, exclude_ids, cap=len(self.ids),
+                exclude_count=exclude_count,
+            ),
         )
         cand = spark.createDataFrame([(int(c),) for c in cand_ids], "id bigint")
         if exclude_ids is not None:
@@ -634,8 +643,14 @@ class DistributedHNSW:
                 ids: list[int] = []
                 for blob in pdf["graph"]:
                     g = _subgraph_from_blob(bytes(blob))
+                    # clamp the beam to THIS sub-graph's node count —
+                    # a delete-inflated ef (mostly absent from this
+                    # sub-graph) must not heap-walk past "scan
+                    # everything here" (ADVICE r09; the per-partition
+                    # twin of the driver path's len(self.ids) cap)
+                    g_ef = min(ef, max(len(g.ids), 1))
                     for qid, qv in qs:
-                        got = g.search_candidates(qv, ef_search=ef)
+                        got = g.search_candidates(qv, ef_search=g_ef)
                         qids.extend([qid] * len(got))
                         ids.extend(got)
                 yield pd.DataFrame(
@@ -651,18 +666,27 @@ class DistributedHNSW:
         self, docs: DataFrame, qvec: list[float], *, k: int = 10,
         ef_search: int = 50, id_col: str = "id", vec_col: str = "vector",
         round_to: int | None = 6, artifacts_path: str | None = None,
-        exclude_ids: DataFrame | None = None,
+        exclude_ids: DataFrame | None = None, exclude_count: int | None = None,
     ) -> DataFrame:
         """Union-of-beams candidates → the SAME distributed exact-scoring
         plan as :meth:`HNSWIndex.search` → ``(id, score)``.
         ``exclude_ids``: soft-delete skip with HNSWIndex.search's
         traversal-preserving semantics (deleted nodes still route the
         per-partition beams; they drop at the candidate anti-join), and
-        the same exclusion-count beam inflation so heavy deletion can't
-        silently shrink the live result set below k."""
+        the same exclusion-count beam inflation — clamped inside each
+        traversal task to that sub-graph's node count — so heavy
+        deletion can't silently shrink the live result set below k while
+        a store-scale delete vector can't blow up any one beam. Pass
+        ``exclude_count`` when the same exclusion DataFrame serves many
+        queries: it skips the per-query count job (the anti-join still
+        evaluates the exclusion's lineage once — broadcast-small by the
+        exclude contract)."""
         spark = docs.sparkSession
         cand = self.candidates(
-            qvec, ef_search=_inflated_ef(ef_search, k, exclude_ids)
+            qvec,
+            ef_search=_inflated_ef(
+                ef_search, k, exclude_ids, exclude_count=exclude_count
+            ),
         ).distinct()
         if exclude_ids is not None:
             cand = cand.join(

@@ -312,3 +312,31 @@ def test_hnsw_soft_delete_skip(index, emb, qvec, flat_top10, spark):
         index.search(emb, qvec, k=10, ef_search=100, exclude_ids=every).count()
         == 0
     )
+
+
+def test_dhnsw_store_scale_exclusion_capped(dindex, emb, qvec, spark):
+    """A store-scale delete vector mostly ABSENT from this index must not
+    inflate any per-partition beam past its own sub-graph (ADVICE r09:
+    the clamp lives inside the traversal task), and a precomputed
+    ``exclude_count`` must skip the per-query count job while returning
+    the same results. Deleting the whole uninflated beam still yields k
+    live docs."""
+    beam = {r["id"] for r in dindex.candidates(qvec, ef_search=10).collect()}
+    # exclusion = the live beam PLUS a large range of ids not in the
+    # index at all (the store-scale part of the vector)
+    absent = [(int(10_000_000 + i),) for i in range(5_000)]
+    excl = spark.createDataFrame(
+        [(int(i),) for i in beam] + absent, "id bigint"
+    )
+    got = dindex.search(
+        emb, qvec, k=10, ef_search=10, exclude_ids=excl
+    )
+    got_ids = {r["id"] for r in got.collect()}
+    assert len(got_ids) == 10 and not (got_ids & beam)
+    # same call with the count precomputed — identical results, no
+    # count() job needed on the exclusion
+    got2 = dindex.search(
+        emb, qvec, k=10, ef_search=10, exclude_ids=excl,
+        exclude_count=len(beam) + len(absent),
+    )
+    assert {r["id"] for r in got2.collect()} == got_ids
