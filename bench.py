@@ -55,6 +55,33 @@ def main() -> None:
     total = sum(v for v in timings.values() if v == v and v != float("inf"))
     cold_total = sum(v for v in cold.values() if v == v)
 
+    # cross-round comparable total (VERDICT r09): the suite `value` grows
+    # with every registered query, so diffing it across rounds conflates
+    # registry growth with regressions. `frozen_r09_total` is the warm-min
+    # sum over the FROZEN r09 registry (bench_frozen_r09.json, 147 names,
+    # never appended to) — comparable round-over-round regardless of how
+    # many queries later rounds add. Absent file → field omitted.
+    frozen_total = None
+    try:
+        with open(
+            os.path.join(
+                os.path.dirname(os.path.abspath(__file__)),
+                "bench_frozen_r09.json",
+            )
+        ) as fh:
+            frozen_names = json.load(fh)["queries"]
+        frozen_total = round(
+            sum(
+                v
+                for n in frozen_names
+                if (v := timings.get(n, float("nan"))) == v
+                and v != float("inf")
+            ),
+            3,
+        )
+    except OSError:
+        pass
+
     # dedicated pinned measurement for the headline queries (the 5 most
     # expensive in the suite): min-of-2 made the cross-round JSON key on
     # the noisiest number in the suite (knn_batch100 swung 3× between
@@ -103,6 +130,7 @@ def main() -> None:
         "pinned": pinned,
         "knn_batch100_cold": knn_pin.get("cold"),
         "knn_batch100_warm": knn_pin.get("warm_min"),
+        "frozen_r09_total": frozen_total,
         "metric": "batch_query_suite_runtime",
         "value": round(total, 3),
         "unit": "sec",
