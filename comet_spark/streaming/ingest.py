@@ -41,6 +41,8 @@ def stream_into_store(
     *,
     checkpoint: str,
     trigger_available_now: bool = True,
+    op_col: str | None = None,
+    delete_value: str = "delete",
 ) -> StreamingQuery:
     """foreachBatch → one immutable segment per micro-batch. The stream
     is the store's single writer; a hard crash mid-append leaves the
@@ -53,7 +55,23 @@ def stream_into_store(
     an id probe because this stream legitimately carries upserts (same
     ids, new payloads), which an id match cannot distinguish from a
     replay. :func:`bm25_ingest_stream`, whose contract requires fresh
-    ids, does make that skip."""
+    ids, does make that skip.
+
+    ``op_col`` closes the CRUD × streaming matrix (reference ``Remove``
+    rides the same write path as Add/Update, ``storage.go``): when set,
+    rows whose ``op_col`` equals ``delete_value`` are DELETE MARKERS —
+    only their id is read — and every other row (any other value or
+    NULL) is an insert/upsert. Per micro-batch the upserts land as one
+    segment FIRST, then the markers apply as one sequenced soft delete
+    (:meth:`DocumentStore.delete`): a batch carrying both an upsert and
+    a delete of the same id deletes it (delete wins within a batch),
+    while a LATER batch's re-append resurrects it — the store's
+    segment-watermark rule, unchanged. Crash replay stays safe by the
+    same sequencing: the replayed batch re-appends a duplicate segment
+    and re-issues its delete with a fresh (higher) watermark, which
+    covers the duplicate too; with availableNow/sequential triggers no
+    later batch can run before the replay, so the re-stamped watermark
+    never hides rows a later batch appended."""
     first = [True]
 
     def write_batch(batch: DataFrame, batch_id: int) -> None:
@@ -62,7 +80,20 @@ def stream_into_store(
         if first[0]:
             store.force_unlock()
             first[0] = False
-        store.append(batch)
+        if op_col is None:
+            store.append(batch)
+            return
+        batch = batch.persist()  # both splits scan the batch once each
+        try:
+            is_del = F.col(op_col) == F.lit(delete_value)
+            ups = batch.filter(~F.coalesce(is_del, F.lit(False))).drop(op_col)
+            dels = batch.filter(is_del).select(store.id_col)
+            if not ups.isEmpty():
+                store.append(ups)
+            if not dels.isEmpty():
+                store.delete(dels)
+        finally:
+            batch.unpersist()
 
     writer = stream.writeStream.foreachBatch(write_batch).option(
         "checkpointLocation", checkpoint
@@ -869,32 +900,61 @@ def cms_stream(
     return wq.start()
 
 
-def _cms_state_dirs(fs, state_path: str) -> tuple[int, list[int], list[int]]:
-    """(max base watermark or -1, live part ids, stale base watermarks)."""
+def _cms_state_dirs(
+    fs, state_path: str
+) -> tuple[int, list[int], list[int], list[int], list[int]]:
+    """``(watermark, live parts, shadowed parts, stale bases, torn bases)``.
+
+    The watermark is the max ``base_upto=<k>`` whose parquet job
+    COMMITTED (``_SUCCESS`` marker present). A base directory without
+    the marker is TORN — created by a compaction that crashed mid-write
+    — and must never be honored: treating it as the watermark would
+    make the replayed compaction's merge a no-op (``upto == old_upto``)
+    while the cleanup deletes the absorbed ``batch=<id>`` parts,
+    permanently losing their counts (ADVICE r09). Torn bases are
+    returned separately so the compactor can drop them; ignoring them
+    here already makes the replayed merge re-absorb correctly.
+
+    Shadowed parts (``batch=<id>`` with id ≤ watermark) and stale bases
+    (committed bases below the watermark) are returned as SEPARATE
+    lists — each is deleted under its own directory prefix (ADVICE
+    r09: the old conflated list deleted stale bases at the batch=
+    path, a silent no-op only by accident)."""
     names = [n.rsplit("/", 1)[-1] for n in fs.listdir(state_path)]
-    bases = sorted(
+    all_bases = sorted(
         int(n.split("=", 1)[1]) for n in names if n.startswith("base_upto=")
     )
-    upto = bases[-1] if bases else -1
+    committed = [
+        b for b in all_bases
+        if fs.exists(f"{state_path}/base_upto={b}/_SUCCESS")
+    ]
+    torn = [b for b in all_bases if b not in committed]
+    upto = committed[-1] if committed else -1
     parts = sorted(
         int(n.split("=", 1)[1]) for n in names if n.startswith("batch=")
     )
-    return upto, [p for p in parts if p > upto], bases[:-1] + [
-        p for p in parts if p <= upto
-    ]
+    return (
+        upto,
+        [p for p in parts if p > upto],
+        [p for p in parts if p <= upto],
+        committed[:-1],
+        torn,
+    )
 
 
 def _cms_compact(spark, state_path: str, *, upto: int) -> None:
     """Absorb committed parts into ``base_upto=<upto>``: write the new
-    base FIRST (readers shadow the absorbed dirs the instant it lands),
-    then delete the absorbed parts and superseded bases — pure cleanup,
-    crash-safe at every point because the reader's max-upto rule never
-    counts a shadowed dir."""
+    base FIRST (readers shadow the absorbed dirs the instant its
+    ``_SUCCESS`` marker lands — a torn base is ignored by
+    :func:`_cms_state_dirs`, so the replayed compaction re-merges), then
+    delete the absorbed parts, superseded bases, and torn bases — pure
+    cleanup, crash-safe at every point because the reader's
+    committed-max-upto rule never counts a shadowed or torn dir."""
     from comet_spark.operators.sketch import cms_merge
     from comet_spark.storage.store import _FS
 
     fs = _FS(spark, state_path)
-    old_upto, live, _stale = _cms_state_dirs(fs, state_path)
+    old_upto, live, _shadowed, _stale, _torn = _cms_state_dirs(fs, state_path)
     absorb = [p for p in live if p <= upto]
     if absorb and upto > old_upto:
         dfs = [spark.read.parquet(f"{state_path}/batch={p}") for p in absorb]
@@ -904,34 +964,74 @@ def _cms_compact(spark, state_path: str, *, upto: int) -> None:
         merged.localCheckpoint().coalesce(1).write.mode("overwrite").parquet(
             f"{state_path}/base_upto={upto}"
         )
-    # cleanup: everything now shadowed by the max-upto base
-    _u, _live, stale = _cms_state_dirs(fs, state_path)
-    for p in stale:
+        if not fs.exists(f"{state_path}/base_upto={upto}/_SUCCESS"):
+            # the torn-base gate above keys on the job-commit marker; a
+            # cluster with marksuccessfuljobs=false would classify every
+            # base as torn and delete it right back — fail loudly (counts
+            # are still safe in the un-deleted parts) instead of
+            # treadmilling
+            raise RuntimeError(
+                "cms compaction requires _SUCCESS job-commit markers "
+                "(mapreduce.fileoutputcommitter.marksuccessfuljobs) — "
+                f"base_upto={upto} landed without one"
+            )
+    # cleanup: everything now shadowed by the committed max-upto base,
+    # each category under its own prefix
+    _u, _live, shadowed, stale, torn = _cms_state_dirs(fs, state_path)
+    for p in shadowed:
         fs.delete(f"{state_path}/batch={p}")
-    for b in sorted(
-        int(n.rsplit("/", 1)[-1].split("=", 1)[1])
-        for n in fs.listdir(state_path)
-        if n.rsplit("/", 1)[-1].startswith("base_upto=")
-    )[:-1]:
+    for b in stale + torn:
         fs.delete(f"{state_path}/base_upto={b}")
 
 
 def cms_stream_counters(spark, state_path: str) -> DataFrame:
-    """The stream's LIVE counter table ``(i, bucket, c)``: the max-upto
-    base plus every part above its watermark, summed per cell — the
-    exact sketch a batch build over the same rows would produce."""
+    """The stream's LIVE counter table ``(i, bucket, c)``: the committed
+    max-upto base plus every part above its watermark, summed per cell —
+    the exact sketch a batch build over the same rows would produce.
+
+    Readable at any time, including concurrently with the stream: an
+    in-stream compaction can delete an absorbed ``batch=<id>`` dir
+    between this reader's listing and its scan, failing the read
+    transiently (never wrongly — the counts are already in the new
+    base). The result is therefore MATERIALIZED here (localCheckpoint,
+    d×w rows) and the list-and-read retried once on that race: the
+    committed-max-upto rule makes the second attempt consistent, because
+    the base the compactor wrote before any delete shadows everything it
+    absorbed (ADVICE r09)."""
     from comet_spark.operators.sketch import cms_merge
     from comet_spark.storage.store import _FS
 
     fs = _FS(spark, state_path)
-    upto, live, _stale = _cms_state_dirs(fs, state_path)
-    dfs = []
-    if upto >= 0:
-        dfs.append(spark.read.parquet(f"{state_path}/base_upto={upto}"))
-    dfs += [spark.read.parquet(f"{state_path}/batch={p}") for p in live]
-    if not dfs:
-        raise FileNotFoundError(f"no CMS state under {state_path}")
-    return cms_merge(*dfs) if len(dfs) > 1 else dfs[0]
+    last_err: Exception | None = None
+    for _attempt in range(2):
+        upto, live, _sh, _st, _torn = _cms_state_dirs(fs, state_path)
+        try:
+            dfs = []
+            if upto >= 0:
+                dfs.append(
+                    spark.read.parquet(f"{state_path}/base_upto={upto}")
+                )
+            dfs += [
+                spark.read.parquet(f"{state_path}/batch={p}") for p in live
+            ]
+            if not dfs:
+                raise FileNotFoundError(f"no CMS state under {state_path}")
+            merged = cms_merge(*dfs) if len(dfs) > 1 else dfs[0]
+            # materialize inside the retry window: a dir deleted AFTER
+            # spark.read resolved it would otherwise fail at the
+            # caller's first action, outside any retry
+            return merged.localCheckpoint()
+        except FileNotFoundError:
+            raise  # genuinely empty state — not the compactor race
+        except Exception as e:  # noqa: BLE001 — classified below
+            msg = f"{type(e).__name__}: {e}"
+            if "FileNotFound" not in msg and "PATH_NOT_FOUND" not in msg:
+                raise
+            last_err = e
+    raise RuntimeError(
+        f"CMS state under {state_path} unreadable after retry — a "
+        "compactor raced both attempts or the state is damaged"
+    ) from last_err
 
 
 def neardup_ingest(

@@ -2079,3 +2079,87 @@ def test_store_full_compact_crash_sweep(spark, tmp_path):
             f.endswith(".parquet") or f.startswith("part-")
             for f in store._fs.listdir(store.deletes_path)
         ), k
+
+
+def test_cms_torn_base_ignored_and_remerged(spark, tmp_path):
+    """Crash safety of the CMS compaction watermark (ADVICE r09): a
+    compaction that died mid-write of ``base_upto=<k>`` leaves a TORN
+    directory (no ``_SUCCESS`` job-commit marker). Readers and the
+    replayed compaction must ignore it — the old behavior honored it as
+    the watermark, skipped the replayed merge (upto == old_upto), and
+    the cleanup then deleted the absorbed ``batch=<id>`` parts,
+    permanently losing their counts."""
+    import os
+
+    from comet_spark.operators.sketch import cms_sketch
+    from comet_spark.streaming.ingest import _cms_compact, cms_stream_counters
+
+    rows = [(i, f"u{i % 23}") for i in range(300)]
+    df = spark.createDataFrame(rows, "id bigint, v string")
+    state = str(tmp_path / "cms_state")
+    for m in range(3):
+        cms_sketch(df.filter(F.col("id") % 3 == m).select("v"), "v").coalesce(
+            1
+        ).write.mode("overwrite").parquet(f"{state}/batch={m}")
+    want = {(r["i"], r["bucket"]): r["c"] for r in cms_sketch(df, "v").collect()}
+
+    # crash mid-write of the first compaction: the base directory was
+    # created but the parquet job never committed (_SUCCESS absent, no
+    # data files yet), and the absorbed parts were not deleted
+    os.makedirs(f"{state}/base_upto=1")
+    got = {
+        (r["i"], r["bucket"]): r["c"]
+        for r in cms_stream_counters(spark, state).collect()
+    }
+    assert got == want  # readers never count a torn base
+
+    _cms_compact(spark, state, upto=1)  # the replayed compaction
+    names = set(os.listdir(state))
+    assert "base_upto=1" in names and not {"batch=0", "batch=1"} & names
+    assert os.path.exists(f"{state}/base_upto=1/_SUCCESS")  # committed now
+    got2 = {
+        (r["i"], r["bucket"]): r["c"]
+        for r in cms_stream_counters(spark, state).collect()
+    }
+    assert got2 == want  # re-merge absorbed the parts losslessly
+
+
+def test_stream_into_store_delete_markers(spark, store, tmp_path):
+    """CRUD × streaming (reference Remove rides the same write path as
+    Add, storage.go): with ``op_col``, delete-marker rows apply as one
+    sequenced soft delete AFTER the batch's upserts land — a batch
+    deleting an id it also upserts deletes it, and a LATER batch's
+    re-append resurrects it (the store's watermark rule, unchanged)."""
+    src_dir = str(tmp_path / "incoming")
+
+    def _feed(rows):
+        spark.createDataFrame(
+            rows, "id bigint, text string, op string"
+        ).coalesce(1).write.mode("append").parquet(src_dir)
+
+    # batch 0: inserts 1..4
+    _feed([(1, "a", None), (2, "b", None), (3, "c", None), (4, "d", None)])
+    # batch 1: delete 2 and 3, upsert 4, AND both upsert-and-delete 1
+    # (delete wins within a batch)
+    _feed([
+        (2, None, "delete"), (3, None, "delete"),
+        (4, "d2", None), (1, "a2", None), (1, None, "delete"),
+    ])
+    # batch 2: re-append 3 (resurrects past its delete watermark)
+    _feed([(3, "c3", None)])
+
+    stream = (
+        spark.readStream.schema("id bigint, text string, op string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
+    q = stream_into_store(
+        stream, store, checkpoint=str(tmp_path / "ckpt"), op_col="op"
+    )
+    assert q.awaitTermination(120)
+
+    got = {r["id"]: r["text"] for r in store.read().collect()}
+    assert got == {3: "c3", 4: "d2"}
+    # compaction hard-deletes without changing the view
+    store.compact()
+    assert {r["id"]: r["text"] for r in store.read().collect()} == got
