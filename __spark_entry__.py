@@ -4634,10 +4634,15 @@ class _scoped_shuffle_partitions:
         self.spark.conf.set(self._KEY, str(self.n))
 
     def __exit__(self, *exc):
-        if self.old is None:
-            self.spark.conf.unset(self._KEY)
-        else:
-            self.spark.conf.set(self._KEY, self.old)
+        # unset FIRST: conf.get on entry returns the EFFECTIVE default
+        # ("200") even when the user never set the key, so a plain
+        # set(old) would pin an explicit value over the unset state —
+        # re-set only if the session's default differs from what we saw
+        # (i.e. the user really had overridden it)
+        c = self.spark.conf
+        c.unset(self._KEY)
+        if self.old is not None and c.get(self._KEY) != self.old:
+            c.set(self._KEY, self.old)
 
 
 def _drive_stream_with_crash(
@@ -5389,6 +5394,362 @@ SELECT doc_id,
        md5(CASE WHEN doc_id % {_STORE_STREAM_MOD} = 0 THEN text || ' v2'
                 ELSE text END) AS text_md5
 FROM documents
+""",
+)
+
+
+# ★ DELETES VIA THE STREAM (VERDICT r09 #2 — closes the CRUD ×
+# streaming matrix): the reference's Remove rides the same write path
+# as Add/Update (``storage.go``); here delete markers ride micro-batches
+# through ``stream_into_store(op_col="op")`` — per batch the upserts
+# land as one segment, then the markers apply as ONE sequenced soft
+# delete (DocumentStore.delete's watermark rule). The drive: batch 0
+# inserts residues {0,1} (mod 4), batch 1 carries DELETE markers for
+# every residue-0 doc PLUS residue-2 inserts — and the injected crash
+# replays exactly THIS batch, so the delete is re-issued at a fresh
+# watermark over the replay's duplicate segment — batch 2 inserts
+# residue 3 and RE-APPENDS half the deleted ids (doc_id % 8 = 0) with a
+# new payload, which must RESURRECT them past their delete watermark.
+# Oracle = the corpus minus the permanently-deleted ids (doc_id % 8 =
+# 4) with the resurrection payloads applied. Equality proves: markers
+# delete ids that were LIVE in an earlier segment, the crash-replayed
+# delete hides the replay's own duplicate rows, and re-append-after-
+# delete stays visible — the store's J6 sequencing, driven end-to-end
+# over the stream.
+_STORE_DELETE_MOD = 4
+
+
+def _store_stream_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = f"{_art_dir(sf_dir)}/store_stream_delete"
+    return _fresh_stream_artifact(
+        spark, sf_dir, base, f"{base}/out",
+        lambda: _build_store_stream_delete_artifact(spark, sf_dir, base),
+    ).select("doc_id", "text_md5")
+
+
+def _build_store_stream_delete_artifact(
+    spark: SparkSession, sf_dir: str, base: str
+) -> None:
+    """POSIX-local oracle-artifact harness (same contract as the other
+    stream builders; drives its own batch construction — each batch
+    mixes ops, not a uniform residue feed)."""
+    import shutil
+
+    from comet_spark.storage.store import DocumentStore
+    from comet_spark.streaming.ingest import stream_into_store
+
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(base, exist_ok=True)
+    src, ckpt, out = f"{base}/src", f"{base}/ckpt", f"{base}/out"
+    store_path = f"{base}/store"
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    res = lambda m: F.col("doc_id") % _STORE_DELETE_MOD == m  # noqa: E731
+
+    def _ins(df: DataFrame) -> DataFrame:
+        return df.select(
+            "doc_id", "text", F.lit(None).cast("string").alias("op")
+        )
+
+    def _add(df: DataFrame) -> None:
+        df.repartition(1).write.mode("append").parquet(src)
+
+    def _drain() -> None:
+        q = stream_into_store(
+            spark.readStream.schema("doc_id bigint, text string, op string")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src),
+            DocumentStore(spark, store_path, id_col="doc_id"),
+            checkpoint=ckpt, op_col="op",
+        )
+        if not q.awaitTermination(600):
+            q.stop()
+            raise RuntimeError(
+                "store_stream_delete artifact: stream did not drain"
+            )
+
+    with _scoped_shuffle_partitions(spark):
+        _add(_ins(docs.filter(res(0) | res(1))))  # batch 0: inserts
+        # batch 1: delete markers for residue 0 + residue-2 inserts —
+        # the latest commit of the first drain, i.e. the batch the
+        # injected crash replays
+        _add(
+            docs.filter(res(0)).select(
+                "doc_id",
+                F.lit(None).cast("string").alias("text"),
+                F.lit("delete").alias("op"),
+            ).unionByName(_ins(docs.filter(res(2))))
+        )
+        _drain()
+        _lose_latest_commit(ckpt)  # → the delete-carrying batch replays
+        # batch 2: residue-3 inserts + resurrection re-appends (half the
+        # deleted set, new payload — must be visible past the watermark)
+        _add(
+            _ins(docs.filter(res(3))).unionByName(
+                docs.filter(F.col("doc_id") % 8 == 0).select(
+                    "doc_id",
+                    F.concat(F.col("text"), F.lit(" v2")).alias("text"),
+                    F.lit(None).cast("string").alias("op"),
+                )
+            )
+        )
+        _drain()
+    store = DocumentStore(spark, store_path, id_col="doc_id")
+    # non-vacuity 1: the replay landed its duplicate segment — 3 fed
+    # micro-batches must have left FOUR segments
+    n_seg = store._segments().select("segment").distinct().count()
+    if n_seg != 4:
+        raise RuntimeError(
+            f"store_stream_delete artifact: {n_seg} segments for 3 fed "
+            "batches (want 4) — the crash-replay duplicate did not land"
+        )
+    # non-vacuity 2: the replayed batch RE-ISSUED its delete — the
+    # deletes table holds exactly two marker sets for the residue-0 ids
+    n_res0 = docs.filter(res(0)).count()
+    n_del_rows = spark.read.parquet(store.deletes_path).count()
+    if n_res0 == 0 or n_del_rows != 2 * n_res0:
+        raise RuntimeError(
+            f"store_stream_delete artifact: {n_del_rows} delete rows for "
+            f"{n_res0} marked ids (want 2x) — the delete replay did not "
+            "engage"
+        )
+    merged = store.read()
+    # non-vacuity 3: deletion and resurrection both really happened —
+    # the permanently-deleted residue is gone (it WAS live in segment
+    # 0), and every resurrected id serves the re-append payload
+    n_gone = merged.filter(F.col("doc_id") % 8 == 4).count()
+    stale = merged.filter(
+        (F.col("doc_id") % 8 == 0)
+        & ~F.coalesce(F.col("text"), F.lit("")).endswith(" v2")
+    ).count()
+    n_res8 = docs.filter(F.col("doc_id") % 8 == 4).count()
+    if n_res8 == 0 or n_gone or stale:
+        raise RuntimeError(
+            f"store_stream_delete artifact: gone={n_gone} stale={stale} "
+            f"marked={n_res8} — delete/resurrect did not engage"
+        )
+    merged.select(
+        "doc_id", F.md5(F.col("text").cast("binary")).alias("text_md5")
+    ).coalesce(1).write.mode("overwrite").parquet(out)
+
+
+_register(
+    "store_stream_delete",
+    _store_stream_delete,
+    """
+SELECT doc_id,
+       md5(CASE WHEN doc_id % 8 = 0 THEN text || ' v2'
+                ELSE text END) AS text_md5
+FROM documents
+WHERE doc_id % 8 <> 4
+""",
+)
+
+
+# ★ STREAM-BUILT ANN INDEX under the oracle gate (VERDICT r09 #1 — the
+# vector twin of bm25_stream_score, the last modality × streaming
+# cell): vectors stream into a DocumentStore through Spark's real
+# checkpoint machinery (one segment per micro-batch, vec_id % 3) WITH
+# an injected crash after the first drain AND an upsert leg (batch 2
+# re-sends every residue-0 vector NEGATED — elementwise -x, exact in
+# IEEE, so a missed upsert shifts real distances), then IVF TRAINS on
+# the stream-grown merged view and exports the partition-pruned serving
+# layout + centroids + probe set. The reference ingests vectors and
+# text through the same memtable→segment path and asserts
+# search-after-flush on both modalities (storage.go:233-250,
+# storage_test.go); this gate proves the full stream → newest-wins
+# merge → train → layout → pruned-search pipeline: the oracle takes
+# (id, cluster_id) from the exported layout but the VECTORS from the
+# source table with the upsert rule re-applied in SQL, so a lost batch,
+# an un-hidden crash duplicate, or a stale pre-upsert vector all shift
+# the hashed top-k. The builder additionally asserts full-corpus
+# equality (ids exactly once, every vector == the upsert-applied
+# source), so the gate is not just top-k-deep.
+_IVF_STREAM_MOD = 3
+_IVF_STREAM_CACHE: dict[tuple[str, str], tuple] = {}
+
+
+def _ivf_stream(spark: SparkSession, sf_dir: str):
+    """(IVFIndex over the stream-grown corpus, serving layout) — the
+    layout/centroids/probes artifacts reopen across sessions via the
+    corpus-signature gate; the index object rebuilds from the persisted
+    centroids (parquet double round-trip is exact, so the recomputed
+    probe set equals the exported one)."""
+    import numpy as np
+
+    from comet_spark.operators.ann import IVFIndex
+
+    key = (_skey(spark), sf_dir)
+    if key not in _IVF_STREAM_CACHE:
+        base = f"{_art_dir(sf_dir)}/ivf_stream"
+        layout = _fresh_stream_artifact(
+            spark, sf_dir, base, f"{base}/layout.parquet",
+            lambda: _build_ivf_stream_artifact(spark, sf_dir, base),
+            table="embeddings",
+        )
+        cents = sorted(
+            spark.read.parquet(f"{base}/centroids.parquet").collect(),
+            key=lambda r: r["cluster_id"],
+        )
+        ivf = IVFIndex(np.array([r["centroid"] for r in cents]))
+        _IVF_STREAM_CACHE[key] = (ivf, layout)
+    return _IVF_STREAM_CACHE[key]
+
+
+def _build_ivf_stream_artifact(
+    spark: SparkSession, sf_dir: str, base: str
+) -> None:
+    """POSIX-local oracle-artifact harness (same contract as the other
+    stream builders)."""
+    import shutil
+
+    import numpy as np
+
+    from comet_spark.operators.ann import IVFIndex
+    from comet_spark.storage.store import DocumentStore
+    from comet_spark.streaming.ingest import stream_into_store
+
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(base, exist_ok=True)
+    src, ckpt, store_path = f"{base}/src", f"{base}/ckpt", f"{base}/store"
+    emb = _t(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("id"),
+        F.col("embedding").cast("array<double>").alias("vector"),
+    )
+    res = lambda m: F.col("id") % _IVF_STREAM_MOD == m  # noqa: E731
+    negated = F.transform("vector", lambda x: -x).alias("vector")
+
+    def _add(df: DataFrame) -> None:
+        df.repartition(1).write.mode("append").parquet(src)
+
+    def _drain() -> None:
+        q = stream_into_store(
+            spark.readStream.schema("id bigint, vector array<double>")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src),
+            DocumentStore(spark, store_path, id_col="id"),
+            checkpoint=ckpt,
+        )
+        if not q.awaitTermination(600):
+            q.stop()
+            raise RuntimeError("ivf_stream artifact: stream did not drain")
+
+    with _scoped_shuffle_partitions(spark):
+        for i in range(2):
+            _add(emb.filter(res(i)))
+        _drain()
+        _lose_latest_commit(ckpt)  # injected crash → batch 1 re-appends
+        # batch 2: the remaining residue AND the upsert leg — every
+        # residue-0 vector re-sent negated (same ids, new payloads)
+        _add(emb.filter(res(2)).unionByName(emb.filter(res(0)).select("id", negated)))
+        _drain()
+    store = DocumentStore(spark, store_path, id_col="id")
+    # non-vacuity 1: the replay landed its duplicate segment
+    n_seg = store._segments().select("segment").distinct().count()
+    if n_seg != 4:
+        raise RuntimeError(
+            f"ivf_stream artifact: {n_seg} segments for 3 fed batches "
+            "(want 4) — the crash-replay duplicate did not land"
+        )
+    merged = store.read()
+    # non-vacuity 2: the merged corpus IS the upsert-applied source —
+    # every id exactly once, every vector byte-equal (parquet double
+    # round-trip and negation are both exact)
+    expect = emb.select(
+        "id", F.when(res(0), F.transform("vector", lambda x: -x))
+        .otherwise(F.col("vector")).alias("vector"),
+    )
+    n_src, n_merged = expect.count(), merged.count()
+    n_match = merged.join(expect, ["id", "vector"]).count()
+    if not (n_src == n_merged == n_match and n_src > 0):
+        raise RuntimeError(
+            f"ivf_stream artifact: corpus drifted from source "
+            f"(src={n_src} merged={n_merged} matched={n_match})"
+        )
+    # train on the stream-grown corpus; export the pruned serving layout
+    ivf = IVFIndex.train(merged, 8)
+    ivf.write(ivf.assign(merged), f"{base}/layout.parquet")
+    _write_rows(
+        spark, f"{base}/centroids.parquet",
+        [(int(i), [float(x) for x in c]) for i, c in enumerate(ivf.centroids)],
+        "cluster_id bigint, centroid array<double>",
+    )
+    qvec = _hybrid_qvec(spark, sf_dir)
+    _write_rows(
+        spark, f"{base}/probes_q2.parquet",
+        [(int(c),) for c in ivf.probe_lists(np.asarray(qvec), 2)],
+        "cluster_id bigint",
+    )
+
+
+def _ivf_stream_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ivf, layout = _ivf_stream(spark, sf_dir)
+    res = ivf.search(layout, _hybrid_qvec(spark, sf_dir), k=K, nprobe=2)
+    return res.select(F.col("id").alias("vec_id"), "score")
+
+
+_register(
+    "ivf_stream_knn",
+    _ivf_stream_knn,
+    f"""
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = {QUERY_VEC_ID}),
+a AS (SELECT id, cluster_id
+      FROM read_parquet('{_ART01}/ivf_stream/layout.parquet/**/*.parquet', hive_partitioning=1)),
+e AS (SELECT vec_id AS id,
+             CASE WHEN vec_id % {_IVF_STREAM_MOD} = 0
+                  THEN list_transform(embedding::DOUBLE[], x -> -x)
+                  ELSE embedding::DOUBLE[] END AS v
+      FROM embeddings),
+p AS (SELECT cluster_id FROM read_parquet('{_ART01}/ivf_stream/probes_q2.parquet/*.parquet')),
+d AS (SELECT a.id AS vec_id, ROUND({_sql_l2('e.v', 'q.qv')}, 6) AS score
+      FROM a JOIN p USING (cluster_id) JOIN e USING (id), q)
+SELECT vec_id, score FROM d ORDER BY score, vec_id LIMIT {K}
+""",
+)
+
+
+# ★ HYBRID OVER STREAM-BUILT STATE (VERDICT r09 #6): RRF fusion where
+# the VECTOR leg reads the stream-grown IVF layout (ivf_stream_knn's
+# artifact — crash-replayed store, upserts applied, trained post-hoc)
+# and the TEXT leg scores the STREAM-BUILT BM25 index
+# (bm25_stream_score's artifact — crash-replayed postings with in-stream
+# tiered compacts). The two independently-proved streaming stories fused
+# under one gate; both artifacts stay signature-gated by their own
+# source tables. Oracle = the stream-IVF pruned scan (upsert rule
+# re-applied to source vectors) + the whole-corpus BM25 SQL, folded by
+# the exact RRF arithmetic.
+def _hybrid_stream_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ivf, layout = _ivf_stream(spark, sf_dir)
+    vec_res = ivf.search(layout, _hybrid_qvec(spark, sf_dir), k=K, nprobe=2)
+    bm = _bm25_stream_index(spark, sf_dir)
+    txt_res = bm.score(BM25_QUERY, k=K)
+    return rrf(vec_res, txt_res, k=K).select(F.col("id").alias("doc_id"), "score")
+
+
+_register(
+    "hybrid_stream_rrf",
+    _hybrid_stream_rrf,
+    f"""
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = {QUERY_VEC_ID}),
+a AS (SELECT id, cluster_id
+      FROM read_parquet('{_ART01}/ivf_stream/layout.parquet/**/*.parquet', hive_partitioning=1)),
+e AS (SELECT vec_id AS id,
+             CASE WHEN vec_id % {_IVF_STREAM_MOD} = 0
+                  THEN list_transform(embedding::DOUBLE[], x -> -x)
+                  ELSE embedding::DOUBLE[] END AS v
+      FROM embeddings),
+p AS (SELECT cluster_id FROM read_parquet('{_ART01}/ivf_stream/probes_q2.parquet/*.parquet')),
+vd AS (SELECT a.id AS vec_id, ROUND({_sql_l2('e.v', 'q.qv')}, 6) AS score
+       FROM a JOIN p USING (cluster_id) JOIN e USING (id), q),
+vres AS (SELECT vec_id AS id, score FROM vd ORDER BY score, vec_id LIMIT {K}),
+{_sql_bm25_ctes().strip().rstrip(',')},
+{_sql_bm25_score(BM25_QUERY).strip().rstrip(',')},
+tres AS (SELECT id, ROUND(score, 6) AS score FROM sc ORDER BY score DESC, id LIMIT {K}),
+vrank AS (SELECT id, row_number() OVER (ORDER BY score ASC, id ASC) - 1 AS r FROM vres),
+trank AS (SELECT id, row_number() OVER (ORDER BY score DESC, id ASC) - 1 AS r FROM tres)
+SELECT coalesce(vrank.id, trank.id) AS doc_id,
+       ROUND(coalesce(1.0/(60.0 + vrank.r), 0) + coalesce(1.0/(60.0 + trank.r), 0), 6) AS score
+FROM vrank FULL OUTER JOIN trank ON vrank.id = trank.id
+ORDER BY score DESC, doc_id LIMIT {K}
 """,
 )
 
