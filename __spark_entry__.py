@@ -5053,6 +5053,167 @@ _register(
 )
 
 
+# ★ IDLE-TIMEOUT sessionization under the oracle gate (VERDICT r09 #3 —
+# the production shape the NoTimeout gate deliberately lacks): the same
+# stateful operator run under ``EventTimeTimeout`` + a 2 h watermark,
+# so an idle session EMITS (and its state row EVICTS — bounded state
+# under users who disappear) once the event-time watermark strictly
+# passes ``last_event + gap``. Driven over ts-ordered time-range
+# micro-batches with the same injected crash (the replayed batch can be
+# the no-data timeout-flush batch — the wincount pitfall, handled by
+# the shared harness). Oracle = FULL SQL gap-sessionization (no
+# last-session drop) restricted by the exact firing rule Spark applies:
+# emitted iff closed by a later event OR
+# ``floor(last_us/1000) + gap_ms < floor(max_us/1000) − delay_ms``
+# (watermarks are tracked in whole milliseconds; firing is strict —
+# both pinned by test_sessionize_stream_idle_timeout). Equality proves
+# the timeout arming, the state eviction, the watermark arithmetic, and
+# the crash replay all at once; the harness asserts a session was
+# emitted by TIMEOUT (not just by a successor event) and that the
+# watermark held at least one open session back.
+_SESS_TO_DELAY_US = 2 * 3_600 * 1_000_000  # 2 h idle-close watermark
+
+
+def _sessionize_stream_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = f"{_art_dir(sf_dir)}/sessionize_stream_to"
+    return _fresh_stream_artifact(
+        spark, sf_dir, base, f"{base}/out",
+        lambda: _build_sessionize_timeout_artifact(spark, sf_dir, base),
+        table="events",
+    ).select("user_id", "session_start_us", "session_end_us", "n_events")
+
+
+def _build_sessionize_timeout_artifact(
+    spark: SparkSession, sf_dir: str, base: str
+) -> None:
+    """POSIX-local oracle-artifact harness (same contract as the other
+    stream builders)."""
+    import shutil
+
+    from comet_spark.streaming.ingest import sessionize_stream
+
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(base, exist_ok=True)
+    src, ckpt, out = f"{base}/src", f"{base}/ckpt", f"{base}/out"
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.expr("ts div 1000").alias("tus")
+    )
+    lo, hi = ev.agg(F.min("tus"), F.max("tus")).first()
+    span = int(hi) - int(lo) + 1
+    edges = [int(lo) + span * i // _SESS_BATCHES for i in range(_SESS_BATCHES + 1)]
+
+    def _sink(df: DataFrame, bid: int) -> None:
+        # replay overwrites its own partition — idempotent by state
+        # versioning (the replayed batch re-fires the same timeouts
+        # against the restored state-store version)
+        df.select(
+            "user_id",
+            F.unix_micros("session_start").alias("session_start_us"),
+            F.unix_micros("session_end").alias("session_end_us"),
+            "n_events",
+        ).coalesce(1).write.mode("overwrite").parquet(f"{out}/batch={int(bid)}")
+
+    def _start():
+        sess = sessionize_stream(
+            spark.readStream.schema("user_id bigint, tus bigint")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+            .select("user_id", F.timestamp_micros(F.col("tus")).alias("ts")),
+            ts_col="ts", user_col="user_id",
+            gap_minutes=_SESS_GAP_US // 60_000_000,
+            idle_close_watermark=f"{_SESS_TO_DELAY_US // 1_000_000} seconds",
+        )
+        return (
+            sess.writeStream.foreachBatch(_sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    def _check(out_df: DataFrame) -> None:
+        # the NoTimeout gate's emitted set = all non-final sessions; a
+        # TIMEOUT emission is any emitted session that is its user's
+        # FINAL one. Recompute each user's final-session horizon from
+        # the source and require: ≥1 final session emitted (timeout
+        # fired) and ≥1 final session absent (watermark held it back).
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("user_id").orderBy(F.col("tus").desc())
+        runs = ev.withColumn("rk", F.row_number().over(w))
+        last_ev = runs.filter(F.col("rk") == 1).select(
+            "user_id", F.col("tus").alias("last_us")
+        )
+        # a final session's end == the user's max event time
+        finals = out_df.join(
+            last_ev,
+            (out_df.user_id == last_ev.user_id)
+            & (out_df.session_end_us == last_ev.last_us),
+        )
+        n_fired = finals.count()
+        n_held = last_ev.count() - n_fired
+        if not (n_fired > 0 and n_held > 0):
+            raise RuntimeError(
+                f"sessionize_timeout artifact: fired={n_fired} "
+                f"held={n_held} — the timeout leg or the watermark "
+                "hold-back would be vacuous"
+            )
+        # and state must still carry across micro-batches
+        carried = out_df.filter(
+            (F.col("batch") >= 1) & (F.col("session_start_us") < edges[1])
+        ).count()
+        if not carried:
+            raise RuntimeError(
+                "sessionize_timeout artifact: no session crossed a "
+                "micro-batch boundary — the stateful handoff would be "
+                "vacuous"
+            )
+
+    _drive_stream_with_crash(
+        spark, name="sessionize_timeout", rows=ev, n_batches=_SESS_BATCHES,
+        src=src, ckpt=ckpt, out=out, start_stream=_start,
+        batch_filter=lambda i: (F.col("tus") >= edges[i])
+        & (F.col("tus") < edges[i + 1]),
+        check_output=_check,
+    )
+
+
+def _sql_sessionize_timeout() -> str:
+    """Generated oracle: FULL gap-sessionization (no last-session drop),
+    restricted by the timeout firing rule — a session is emitted iff a
+    later same-user event closed it (sid < the user's max sid) or the
+    final event-time watermark strictly passed its idle horizon:
+    ``floor(end_us/1000) + gap_ms < floor(max_us/1000) − delay_ms``
+    (Spark tracks watermarks in whole ms and fires strictly)."""
+    gap_ms = _SESS_GAP_US // 1000
+    delay_ms = _SESS_TO_DELAY_US // 1000
+    return f"""
+WITH e AS (SELECT user_id, epoch_ns(ts) // 1000 AS tus FROM events),
+g AS (SELECT user_id, tus,
+             CASE WHEN lag(tus) OVER w IS NULL
+                       OR tus - lag(tus) OVER w > {_SESS_GAP_US}
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus)),
+s AS (SELECT user_id, tus, sum(new_sess) OVER (PARTITION BY user_id ORDER BY tus
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM g),
+sess AS (SELECT user_id, sid, min(tus) AS session_start_us,
+                max(tus) AS session_end_us, count(*) AS n_events
+         FROM s GROUP BY user_id, sid),
+last AS (SELECT user_id, max(sid) AS mx FROM sess GROUP BY user_id),
+wm AS (SELECT (max(tus) // 1000) - {delay_ms} AS w FROM e)
+SELECT sess.user_id, session_start_us, session_end_us, n_events
+FROM sess JOIN last ON sess.user_id = last.user_id, wm
+WHERE sess.sid < last.mx
+   OR (session_end_us // 1000) + {gap_ms} < wm.w
+"""
+
+
+_register(
+    "sessionize_stream_timeout", _sessionize_stream_timeout,
+    _sql_sessionize_timeout(),
+)
+
+
 # ★ WATERMARK semantics under the oracle gate: hourly tumbling-window
 # event counts are produced by ``windowed_event_counts`` itself in
 # APPEND mode — a window row is emitted exactly once, when the

@@ -675,18 +675,60 @@ def sessionize_stream(
     ts_col: str = "ts",
     user_col: str = "user_id",
     gap_minutes: int = 30,
+    idle_close_watermark: str | None = None,
 ) -> DataFrame:
     """Custom stateful streaming operator via ``applyInPandasWithState``:
     gap-based sessions per user; emits a row per CLOSED session, keeps the
     open session in group state across micro-batches. This is the
     Spark-native home for operators the reference would hand-roll
-    (SURVEY.md §2.J notes comet has no event-time/state machinery)."""
+    (SURVEY.md §2.J notes comet has no event-time/state machinery).
+
+    By default (``idle_close_watermark=None``, NoTimeout) a session closes
+    only when a LATER event of the same user arrives more than the gap
+    after it — each user's final session is never emitted, and state for
+    a user who stops arriving lives forever. The production shape passes
+    ``idle_close_watermark`` (a delay string, e.g. ``"2 hours"``): the
+    input gets ``withWatermark(ts_col, delay)`` and the operator runs
+    under ``EventTimeTimeout``, with each update arming a timeout at
+    ``last_event + gap`` — when the event-time watermark passes that, the
+    idle session EMITS and its state is EVICTED (bounded state under
+    users who disappear, the requirement on an unbounded-user firehose).
+
+    Emission rule with timeouts, exactly (for oracles and tests): a
+    session is emitted iff a later same-user event closed it, OR
+    ``floor(last_us/1000) + gap_ms < watermark_ms`` where ``watermark_ms
+    = floor(max_event_us/1000) - delay_ms`` over all events — Spark
+    tracks event-time watermarks in whole milliseconds and fires a
+    timeout when the watermark strictly exceeds the armed timestamp.
+
+    Ordering contract (both modes): per-user event arrival must be
+    in-order across micro-batches (within a batch this fn sorts). Under
+    timeouts the watermark makes that safe by construction for any feed
+    that is globally ts-ordered across batches: an event that could
+    re-open an already-timed-out session would have to be at least the
+    delay older than the feed's frontier, which an ordered feed never
+    produces."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     gap_us = gap_minutes * 60 * 1_000_000
+    gap_ms = gap_minutes * 60 * 1_000
 
     def fn(key, pdfs, state: GroupState):
+        if idle_close_watermark is not None and state.hasTimedOut:
+            # the watermark passed last_event + gap with no new events:
+            # the open session is closed by idleness — emit and evict
+            start, last, count = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    user_col: [key[0]],
+                    "session_start": pd.to_datetime([start], unit="us"),
+                    "session_end": pd.to_datetime([last], unit="us"),
+                    "n_events": [count],
+                }
+            )
+            return
         parts = [pdf for pdf in pdfs if len(pdf)]
         if not parts:
             return
@@ -713,6 +755,12 @@ def sessionize_stream(
             else:
                 last, count = t, count + 1
         state.update((start, last, count))
+        if idle_close_watermark is not None:
+            # arm the idle close: fires when the watermark passes the
+            # open session's gap horizon. Always > the current watermark
+            # because `last` comes from an event this batch accepted
+            # (late rows below the watermark never reach this fn).
+            state.setTimeoutTimestamp(last // 1000 + gap_ms)
         if closed:
             yield pd.DataFrame(
                 {
@@ -726,13 +774,18 @@ def sessionize_stream(
     # the key column keeps ITS OWN type — hardcoding bigint would crash
     # the first micro-batch for string user ids
     user_type = events.schema[user_col].dataType.simpleString()
+    if idle_close_watermark is not None:
+        events = events.withWatermark(ts_col, idle_close_watermark)
+        timeout = GroupStateTimeout.EventTimeTimeout
+    else:
+        timeout = GroupStateTimeout.NoTimeout
     return events.groupBy(user_col).applyInPandasWithState(
         fn,
         outputStructType=f"{user_col} {user_type}, session_start timestamp, "
         "session_end timestamp, n_events bigint",
         stateStructType="start bigint, last bigint, count bigint",
         outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=timeout,
     )
 
 

@@ -2163,3 +2163,64 @@ def test_stream_into_store_delete_markers(spark, store, tmp_path):
     # compaction hard-deletes without changing the view
     store.compact()
     assert {r["id"]: r["text"] for r in store.read().collect()} == got
+
+
+def test_sessionize_stream_idle_timeout(spark, tmp_path):
+    """EventTimeTimeout mode: an idle session EMITS (and its state
+    evicts) once the event-time watermark strictly passes
+    last_event + gap; sessions still inside the horizon stay open, and
+    event-closed sessions emit as before. gap=1min, delay=2min,
+    max ts=300s -> watermark 180s: A(last 30s, horizon 90s) times out,
+    C's first session closes by event, C's second (horizon 260s) and
+    B (horizon 360s) hold."""
+    from comet_spark.streaming.ingest import sessionize_stream
+
+    US = 1_000_000
+    B0 = 1_700_000_000 * US  # realistic epoch base: the initial watermark
+    # is 0 ms, and rows at/below the watermark are dropped as late
+    rows = [
+        ("A", B0), ("A", B0 + 30 * US),
+        ("C", B0), ("C", B0 + 200 * US),
+        ("D", B0 + 120 * US),  # horizon 180s == final watermark exactly:
+        # pins the STRICT `<` firing rule (held back, not emitted)
+        ("B", B0 + 300 * US),
+    ]
+    src = str(tmp_path / "sess_in")
+    df = spark.createDataFrame(rows, "user_id string, tus bigint")
+    for lo, hi in ((0, 100), (100, 301)):  # ts-ordered micro-batches
+        df.filter(
+            (F.col("tus") >= B0 + lo * US) & (F.col("tus") < B0 + hi * US)
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema("user_id string, tus bigint")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .select("user_id", F.timestamp_micros("tus").alias("ts"))
+    )
+    sess = sessionize_stream(
+        stream, ts_col="ts", user_col="user_id",
+        gap_minutes=1, idle_close_watermark="2 minutes",
+    )
+    q = (
+        sess.select(
+            "user_id",
+            F.unix_micros("session_start").alias("s"),
+            F.unix_micros("session_end").alias("e"),
+            "n_events",
+        )
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("sess_timeout")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt_sess_to"))
+        .start()
+    )
+    assert q.awaitTermination(120)
+    got = {
+        tuple(r) for r in spark.sql("select * from sess_timeout").collect()
+    }
+    assert got == {
+        ("A", B0, B0 + 30 * US, 2),  # idle-closed by timeout
+        ("C", B0, B0, 1),            # closed by C's own later event
+    }
