@@ -5848,11 +5848,14 @@ def _ivf_stream_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select(F.col("id").alias("vec_id"), "score")
 
 
-_register(
-    "ivf_stream_knn",
-    _ivf_stream_knn,
-    f"""
-WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = {QUERY_VEC_ID}),
+def _sql_ivf_stream_ctes() -> str:
+    """Shared oracle CTEs for the stream-built IVF layout: cluster
+    assignments from the exported layout, VECTORS from the source table
+    with the upsert rule re-applied, distances over the probed lists
+    (both ivf_stream_knn and hybrid_stream_rrf's vector leg — one copy,
+    so the two gates' oracles can never desynchronize)."""
+    return f"""
+q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = {QUERY_VEC_ID}),
 a AS (SELECT id, cluster_id
       FROM read_parquet('{_ART01}/ivf_stream/layout.parquet/**/*.parquet', hive_partitioning=1)),
 e AS (SELECT vec_id AS id,
@@ -5861,9 +5864,17 @@ e AS (SELECT vec_id AS id,
                   ELSE embedding::DOUBLE[] END AS v
       FROM embeddings),
 p AS (SELECT cluster_id FROM read_parquet('{_ART01}/ivf_stream/probes_q2.parquet/*.parquet')),
-d AS (SELECT a.id AS vec_id, ROUND({_sql_l2('e.v', 'q.qv')}, 6) AS score
-      FROM a JOIN p USING (cluster_id) JOIN e USING (id), q)
-SELECT vec_id, score FROM d ORDER BY score, vec_id LIMIT {K}
+vd AS (SELECT a.id AS vec_id, ROUND({_sql_l2('e.v', 'q.qv')}, 6) AS score
+       FROM a JOIN p USING (cluster_id) JOIN e USING (id), q)
+"""
+
+
+_register(
+    "ivf_stream_knn",
+    _ivf_stream_knn,
+    f"""
+WITH {_sql_ivf_stream_ctes().strip()}
+SELECT vec_id, score FROM vd ORDER BY score, vec_id LIMIT {K}
 """,
 )
 
@@ -5890,17 +5901,7 @@ _register(
     "hybrid_stream_rrf",
     _hybrid_stream_rrf,
     f"""
-WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = {QUERY_VEC_ID}),
-a AS (SELECT id, cluster_id
-      FROM read_parquet('{_ART01}/ivf_stream/layout.parquet/**/*.parquet', hive_partitioning=1)),
-e AS (SELECT vec_id AS id,
-             CASE WHEN vec_id % {_IVF_STREAM_MOD} = 0
-                  THEN list_transform(embedding::DOUBLE[], x -> -x)
-                  ELSE embedding::DOUBLE[] END AS v
-      FROM embeddings),
-p AS (SELECT cluster_id FROM read_parquet('{_ART01}/ivf_stream/probes_q2.parquet/*.parquet')),
-vd AS (SELECT a.id AS vec_id, ROUND({_sql_l2('e.v', 'q.qv')}, 6) AS score
-       FROM a JOIN p USING (cluster_id) JOIN e USING (id), q),
+WITH {_sql_ivf_stream_ctes().strip()},
 vres AS (SELECT vec_id AS id, score FROM vd ORDER BY score, vec_id LIMIT {K}),
 {_sql_bm25_ctes().strip().rstrip(',')},
 {_sql_bm25_score(BM25_QUERY).strip().rstrip(',')},

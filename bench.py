@@ -60,8 +60,12 @@ def main() -> None:
     # registry growth with regressions. `frozen_r09_total` is the warm-min
     # sum over the FROZEN r09 registry (bench_frozen_r09.json, 147 names,
     # never appended to) — comparable round-over-round regardless of how
-    # many queries later rounds add. Absent file → field omitted.
-    frozen_total = None
+    # many queries later rounds add. `frozen_r09_n` says how many of the
+    # frozen names actually summed: a failed/renamed frozen query would
+    # otherwise silently SHRINK the total and read as a speedup. A broken
+    # frozen file must never cost the run its output line (null fields +
+    # stderr note instead).
+    frozen_total = frozen_n = None
     try:
         with open(
             os.path.join(
@@ -70,17 +74,21 @@ def main() -> None:
             )
         ) as fh:
             frozen_names = json.load(fh)["queries"]
-        frozen_total = round(
-            sum(
-                v
-                for n in frozen_names
-                if (v := timings.get(n, float("nan"))) == v
-                and v != float("inf")
-            ),
-            3,
-        )
-    except OSError:
-        pass
+        ok = [
+            v
+            for n in frozen_names
+            if (v := timings.get(n, float("nan"))) == v and v != float("inf")
+        ]
+        frozen_total, frozen_n = round(sum(ok), 3), len(ok)
+        if frozen_n != len(frozen_names):
+            print(
+                f"WARN frozen subset: only {frozen_n}/{len(frozen_names)} "
+                "frozen queries produced a timing — frozen_r09_total is "
+                "NOT comparable this run",
+                file=sys.stderr,
+            )
+    except Exception as ex:  # noqa: BLE001 — never lose the bench line
+        print(f"WARN frozen subset unreadable: {ex}", file=sys.stderr)
 
     # dedicated pinned measurement for the headline queries (the 5 most
     # expensive in the suite): min-of-2 made the cross-round JSON key on
@@ -131,6 +139,7 @@ def main() -> None:
         "knn_batch100_cold": knn_pin.get("cold"),
         "knn_batch100_warm": knn_pin.get("warm_min"),
         "frozen_r09_total": frozen_total,
+        "frozen_r09_n": frozen_n,
         "metric": "batch_query_suite_runtime",
         "value": round(total, 3),
         "unit": "sec",

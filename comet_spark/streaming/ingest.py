@@ -60,8 +60,10 @@ def stream_into_store(
     ``op_col`` closes the CRUD × streaming matrix (reference ``Remove``
     rides the same write path as Add/Update, ``storage.go``): when set,
     rows whose ``op_col`` equals ``delete_value`` are DELETE MARKERS —
-    only their id is read — and every other row (any other value or
-    NULL) is an insert/upsert. Per micro-batch the upserts land as one
+    only their id is read — NULL ``op_col`` rows are inserts/upserts,
+    and any OTHER value fails the micro-batch loudly (a typo'd marker
+    appended as data would shadow the live document with its NULL
+    payload under newest-wins — destruction, not a skip). Per micro-batch the upserts land as one
     segment FIRST, then the markers apply as one sequenced soft delete
     (:meth:`DocumentStore.delete`): a batch carrying both an upsert and
     a delete of the same id deletes it (delete wins within a batch),
@@ -83,11 +85,30 @@ def stream_into_store(
         if op_col is None:
             store.append(batch)
             return
-        batch = batch.persist()  # both splits scan the batch once each
+        batch = batch.persist()  # all splits scan the batch once each
         try:
-            is_del = F.col(op_col) == F.lit(delete_value)
-            ups = batch.filter(~F.coalesce(is_del, F.lit(False))).drop(op_col)
-            dels = batch.filter(is_del).select(store.id_col)
+            # an unrecognized non-null op (op='DELETE', a typo) must fail
+            # LOUDLY: treating it as an upsert would append its
+            # NULL-payload marker row, which then SHADOWS the live
+            # document under newest-wins — data destruction, not a skip.
+            # The probe short-circuits at the first bad row.
+            bad = batch.filter(
+                F.col(op_col).isNotNull()
+                & (F.col(op_col) != F.lit(delete_value))
+            )
+            bad_row = bad.limit(1).collect()
+            if bad_row:
+                raise ValueError(
+                    f"stream_into_store: unrecognized {op_col}="
+                    f"{bad_row[0][op_col]!r} (expected NULL/upsert or "
+                    f"{delete_value!r}) — failing the micro-batch rather "
+                    "than appending a marker row as data"
+                )
+            # post-probe, op is NULL (upsert) or delete_value — exactly
+            ups = batch.filter(F.col(op_col).isNull()).drop(op_col)
+            dels = batch.filter(
+                F.col(op_col) == F.lit(delete_value)
+            ).select(store.id_col)
             if not ups.isEmpty():
                 store.append(ups)
             if not dels.isEmpty():

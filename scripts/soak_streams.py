@@ -35,10 +35,13 @@ SF01 = "/root/testdata/sf0.1"
 STREAM_GATES = [
     # query name -> artifact dir name under .artifacts/ann/<sf>/
     ("sessionize_stream_closed", "sessionize_stream"),
+    ("sessionize_stream_timeout", "sessionize_stream_to"),
     ("wincount_stream_final", "wincount_stream"),
     ("hll_stream_users", "hll_stream"),
     ("cms_stream_counts", "cms_stream"),
     ("store_stream_upsert", "store_stream"),
+    ("store_stream_delete", "store_stream_delete"),
+    ("ivf_stream_knn", "ivf_stream"),
 ]
 
 
@@ -65,6 +68,12 @@ def generate_events() -> None:
 
 def main() -> None:
     generate_events()
+    # the store/IVF stream gates feed off documents/embeddings — the 10x
+    # twins of those tables are owned by soak_scale's generator
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import soak_scale
+
+    soak_scale.generate()
 
     from comet_spark.session import get_spark
 
@@ -78,9 +87,13 @@ def main() -> None:
         art_root = f"{entry._art_dir(sf_dir)}"
         for name, art in STREAM_GATES:
             # force the FULL drive (feed + crash + replay + asserts),
-            # not a cached-artifact reopen — the build IS the soak
+            # not a cached-artifact reopen — the build IS the soak.
+            # Every per-session cache layered over the artifact must
+            # clear with it: a stale _IVF_STREAM_CACHE entry would serve
+            # a layout DataFrame pointing at the just-deleted directory.
             shutil.rmtree(f"{art_root}/{art}", ignore_errors=True)
             entry._STREAM_ART_BUILT.clear()
+            entry._IVF_STREAM_CACHE.clear()
             t0 = time.perf_counter()
             n = len(qs[name](spark, sf_dir).collect())
             dt = round(time.perf_counter() - t0, 2)
