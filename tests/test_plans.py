@@ -449,3 +449,17 @@ def test_quality_top_frac_single_shuffle(spark):
         if "Exchange hashpartitioning" in line and "ReusedExchange" not in line
     )
     assert n_hash == 1, plan
+
+
+def test_ivf_stream_layout_partition_pruning(spark):
+    """The STREAM-BUILT IVF layout (r10) must serve exactly like the
+    batch-built one: both the plain pruned query and the hybrid's
+    vector leg scan the exported partitionBy(cluster_id) layout with
+    the probe set as PartitionFilters — the stream provenance changes
+    nothing about the serving plan."""
+    for name in ("ivf_stream_knn", "hybrid_stream_rrf"):
+        df = entry_mod.queries()[name](spark, SF_DIR_SMALL)
+        plan = _plan(df)
+        assert "ivf_stream/layout.parquet" in plan, name
+        pf = plan.split("layout.parquet", 1)[1].split("PartitionFilters:", 1)[1][:200]
+        assert "cluster_id" in pf and "IN" in pf.upper(), (name, pf)
