@@ -5916,6 +5916,116 @@ ORDER BY score DESC, doc_id LIMIT {K}
 )
 
 
+# ★ EXACT dedup on the stream under the oracle gate — the last
+# streaming operator that was pytest-only: ``dedup_stream``
+# (dropDuplicatesWithinWatermark on the content hash, the
+# bounded-state exact-dedup a continuous 100 TB ingest needs) driven
+# over micro-batches WITH an injected crash. The corpus has no exact
+# duplicate texts at any SF, so the feed adds a synthetic RE-CRAWL leg
+# (every doc_id % 5 = 0 doc re-ingested under a fresh id with the SAME
+# text in the LAST batch) — cross-batch duplicates exist by
+# construction, and the recrawls of residue-{0,1} docs arrive batches
+# AFTER their originals, so dropping them proves the dedup state
+# CARRIES across micro-batches and survives the crash-replay (the
+# replayed batch reloads its state-store version and re-emits an
+# identical first-seen set). Emitted = each hash's first-seen batch
+# only; oracle = the distinct content hashes of the corpus (the
+# recrawl adds none). Null-text docs are excluded from the feed: their
+# whole-row fallback hash embeds the synthetic id, which would make
+# the recrawl leg emit rather than dedup.
+_DEDUP_STREAM_BATCHES = 3
+
+
+def _dedup_stream_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = f"{_art_dir(sf_dir)}/dedup_stream"
+    return _fresh_stream_artifact(
+        spark, sf_dir, base, f"{base}/out",
+        lambda: _build_dedup_stream_artifact(spark, sf_dir, base),
+    ).select("content_hash")
+
+
+def _build_dedup_stream_artifact(
+    spark: SparkSession, sf_dir: str, base: str
+) -> None:
+    """POSIX-local oracle-artifact harness (same contract as the other
+    stream builders)."""
+    import shutil
+
+    from comet_spark.streaming.ingest import dedup_stream
+
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(base, exist_ok=True)
+    src, ckpt, out = f"{base}/src", f"{base}/ckpt", f"{base}/out"
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text").filter(
+        F.col("text").isNotNull()
+    )
+    # batch tag b: originals split by residue; the recrawl leg (same
+    # text, fresh id — what a re-post/re-crawl looks like) rides the
+    # LAST batch so residue-{0,1} duplicates cross batch boundaries
+    feed = docs.select(
+        "doc_id", "text", (F.col("doc_id") % _DEDUP_STREAM_BATCHES).alias("b")
+    ).unionByName(
+        docs.filter(F.col("doc_id") % 5 == 0).select(
+            (F.col("doc_id") + 10_000_000).alias("doc_id"), "text",
+            F.lit(_DEDUP_STREAM_BATCHES - 1).alias("b"),
+        )
+    )
+    n_cross = docs.filter(
+        (F.col("doc_id") % 5 == 0)
+        & (F.col("doc_id") % _DEDUP_STREAM_BATCHES != _DEDUP_STREAM_BATCHES - 1)
+    ).count()
+    if not n_cross:
+        raise RuntimeError(
+            "dedup_stream artifact: no recrawl crosses a batch boundary "
+            "— the cross-batch dedup leg would be vacuous"
+        )
+
+    def _sink(df: DataFrame, bid: int) -> None:
+        # append-mode: the batch df is exactly the hashes FIRST SEEN
+        # this batch; a replayed batch reloads its state-store version
+        # and re-emits the identical set — partition overwrite is
+        # idempotent
+        df.select("content_hash").coalesce(1).write.mode("overwrite").parquet(
+            f"{out}/batch={int(bid)}"
+        )
+
+    def _start():
+        deduped = dedup_stream(
+            spark.readStream.schema("doc_id bigint, text string, b bigint")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+            # constant event time: the watermark never evicts dedup
+            # state mid-drive, so the emitted set is exactly
+            # first-seen-per-hash (TTL behavior is dedup_stream's unit
+            # tests' concern; this gate pins the dedup decisions)
+            .withColumn("ts", F.timestamp_micros(F.lit(1_700_000_000_000_000))),
+            text_col="text", ts_col="ts", watermark="1 hour",
+        )
+        return (
+            deduped.writeStream.foreachBatch(_sink)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    _drive_stream_with_crash(
+        spark, name="dedup_stream", rows=feed,
+        n_batches=_DEDUP_STREAM_BATCHES, src=src, ckpt=ckpt, out=out,
+        start_stream=_start, batch_filter=lambda i: F.col("b") == i,
+    )
+
+
+_register(
+    "dedup_stream_hashes",
+    _dedup_stream_hashes,
+    """
+SELECT DISTINCT md5(text) AS content_hash
+FROM documents WHERE text IS NOT NULL
+""",
+)
+
+
 # ★ the streaming COUNT sketch under the oracle gate — the anti-twin
 # of hll_stream_users: CMS merges by ADDITION, which is NOT
 # idempotent, so `cms_stream` must survive a crash-replay by per-batch
