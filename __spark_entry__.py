@@ -790,6 +790,142 @@ _register(
 )
 
 
+# ★ TEXT-INDEX DELETES VIA THE STREAM (r10 — the text twin of
+# store_stream_delete, reference Remove on the shared write path,
+# bm25_index.go:253-278): delete markers ride bm25_ingest_stream's
+# micro-batches through `op_col` — per batch the inserts run the full
+# state-log protocol, then the markers apply as DocumentStore.delete +
+# BM25.delete, both idempotent, re-run at the tail of EVERY replay
+# path. The drive: residues {0,1} insert, batch 2 carries residue-2
+# inserts PLUS markers for already-indexed residue-{0,1} docs, and the
+# injected crash (lost commit AND state log deleted — the hard case)
+# replays exactly that mixed batch: the restart must classify the
+# insert side committed via the index probe AND re-apply the deletes
+# as a structural no-op (asserted: the vector holds the marker set
+# exactly ONCE). Batch 3 inserts more docs after the deletes, and
+# in-stream tiered compacts (every 2 batches) retain the vector.
+# Oracle = BM25 over the corpus MINUS the deleted docs — equality
+# proves the read-path corrections (results, per-term df, n_docs,
+# avgdl) hold on a stream-built, crash-replayed, in-stream-compacted,
+# delete-vectored index.
+_BM25_DELSTREAM_WHERE = "doc_id % 4 < 2 AND doc_id % 7 = 1"
+_BM25_DELSTREAM_KEEP_SQL = "NOT (doc_id % 4 < 2 AND doc_id % 7 = 1)"
+_BM25_DELSTREAM_CACHE: dict[tuple[str, str], BM25] = {}
+
+
+def _bm25_delstream_index(spark: SparkSession, sf_dir: str) -> BM25:
+    key = (_skey(spark), sf_dir)
+    if key not in _BM25_DELSTREAM_CACHE:
+        import shutil
+
+        from comet_spark.storage.store import DocumentStore
+        from comet_spark.streaming.ingest import bm25_ingest_stream
+
+        base = f"{_art_dir(sf_dir)}/bm25_delstream"
+        index_path = f"{base}/index"
+
+        def build() -> None:
+            # POSIX-local oracle-artifact harness (same contract as the
+            # other stream builders)
+            shutil.rmtree(base, ignore_errors=True)
+            os.makedirs(base, exist_ok=True)
+            src, ckpt = f"{base}/src", f"{base}/ckpt"
+            docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+            store = DocumentStore(spark, f"{base}/store", id_col="doc_id")
+
+            def _ins(df: DataFrame) -> DataFrame:
+                return df.select(
+                    "doc_id", "text", F.lit(None).cast("string").alias("op")
+                )
+
+            def _add(df: DataFrame) -> None:
+                df.repartition(1).write.mode("append").parquet(src)
+
+            def _drain() -> None:
+                q = bm25_ingest_stream(
+                    spark.readStream
+                    .schema("doc_id bigint, text string, op string")
+                    .option("maxFilesPerTrigger", "1")
+                    .parquet(src),
+                    store, index_path, checkpoint=ckpt,
+                    id_col="doc_id", text_col="text", buckets=_BM25_BUCKETS,
+                    tiered_compact_every=2, op_col="op",
+                )
+                if not q.awaitTermination(600):
+                    q.stop()
+                    raise RuntimeError(
+                        "bm25_delstream artifact: stream did not drain"
+                    )
+
+            for m in range(2):
+                _add(_ins(docs.filter(F.col("doc_id") % _STREAM_MOD == m)))
+            dels = docs.filter(_BM25_DELSTREAM_WHERE)
+            n_del = dels.count()
+            if not n_del:
+                raise RuntimeError(
+                    "bm25_delstream artifact: empty delete set — the "
+                    "delete leg would be vacuous"
+                )
+            # batch 2: fresh inserts + the delete markers, one micro-batch
+            _add(
+                _ins(docs.filter(F.col("doc_id") % _STREAM_MOD == 2))
+                .unionByName(dels.select(
+                    "doc_id",
+                    F.lit(None).cast("string").alias("text"),
+                    F.lit("delete").alias("op"),
+                ))
+            )
+            _drain()
+            # injected crash: the latest commit is the DELETE-carrying
+            # batch 2; with the state log gone (the strictly harder
+            # lost-marker case) the restart must classify batch 2's
+            # insert side committed via the index probe and re-apply
+            # its deletes as a no-op
+            _lose_latest_commit(ckpt)
+            shutil.rmtree(f"{index_path}/_ingest_state", ignore_errors=True)
+            _add(_ins(docs.filter(F.col("doc_id") % _STREAM_MOD == 3)))
+            _drain()
+            log = {
+                (int(r["batch_id"]), r["phase"])
+                for r in spark.read.parquet(
+                    f"{index_path}/_ingest_state"
+                ).collect()
+            }
+            if (2, "done") not in log or (1, "done") in log:
+                raise RuntimeError(
+                    f"bm25_delstream artifact: replay heal did not "
+                    f"engage: {sorted(log)}"
+                )
+            # replay idempotence is STRUCTURAL: the re-applied deletes
+            # must have added nothing — the vector holds the marker set
+            # exactly once
+            n_vec = spark.read.parquet(f"{index_path}/deletes").count()
+            if n_vec != n_del:
+                raise RuntimeError(
+                    f"bm25_delstream artifact: {n_vec} vector rows for "
+                    f"{n_del} markers — the delete replay was not "
+                    "idempotent"
+                )
+
+        _BM25_DELSTREAM_CACHE[key] = _fresh_bm25_artifact(
+            spark, sf_dir, base, build, read_path=index_path
+        )
+    return _BM25_DELSTREAM_CACHE[key]
+
+
+def _bm25_stream_delete_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bm = _bm25_delstream_index(spark, sf_dir)
+    return bm.score(BM25_QUERY, k=K).select(F.col("id").alias("doc_id"), "score")
+
+
+_register(
+    "bm25_stream_delete_score",
+    _bm25_stream_delete_score,
+    f"WITH {_sql_bm25_ctes(_BM25_DELSTREAM_KEEP_SQL)}, {_sql_bm25_score(BM25_QUERY)} "
+    f"SELECT id AS doc_id, ROUND(score, 6) AS score FROM sc ORDER BY score DESC, id LIMIT {K}",
+)
+
+
 # batch text retrieval: 50 queries (first 8 tokens of docs 0..49) scored in
 # ONE job — the text-side twin of knn_batch100
 N_TEXT_QUERIES = 50

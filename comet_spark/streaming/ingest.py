@@ -459,6 +459,8 @@ def bm25_ingest_stream(
     trigger_available_now: bool = True,
     state_compact_files: int = 64,
     tiered_compact_every: int = 0,
+    op_col: str | None = None,
+    delete_value: str = "delete",
 ) -> StreamingQuery:
     """Streaming twin of :func:`bm25_ingest` — ``foreachBatch`` appends
     one store segment + one postings segment per micro-batch, with a
@@ -530,7 +532,26 @@ def bm25_ingest_stream(
     crash mid-compact replays as an already-done batch (no re-append)
     and the interrupted swap heals at the next write path's entry; the
     compaction is simply retried at the next boundary. ``0`` (default)
-    disables it."""
+    disables it.
+
+    ``op_col`` lets DELETE MARKERS ride the same stream (the reference's
+    ``Remove`` shares the text index's write path,
+    ``bm25_index.go:253-278``): rows with ``op_col == delete_value``
+    name previously-indexed ids (only the id is read); NULL ``op_col``
+    rows are inserts; any other value fails the micro-batch loudly.
+    Per batch the inserts run the full state-log protocol above, then
+    the markers apply as ``DocumentStore.delete`` + ``BM25.delete`` —
+    BOTH idempotent (the store's delete re-issues at a monotone
+    watermark; the index skips ids already in its vector), so the
+    deletes simply RE-APPLY at the end of every replay path instead of
+    joining the state machine: a crash at any point between the
+    ``done`` marker and the last delete write is healed by the replay
+    re-running them. Within one batch deletes win over inserts of the
+    same id (applied after). The insert contract is unchanged — ids
+    must be FRESH, and a deleted id stays in the index ledger until a
+    full compact, so re-inserting it later still fails fast (route
+    upserts/resurrections through the LSM merge view); deletes of
+    never-indexed ids are skipped, not errors."""
     from comet_spark.storage.store import _FS
 
     state_path = f"{index_path}/_ingest_state"
@@ -605,10 +626,48 @@ def bm25_ingest_stream(
         )
         _log(spark, batch_id, "done")
 
+    def _apply_deletes(spark, dels: DataFrame | None) -> None:
+        """Idempotent delete application — the tail of EVERY execution
+        path of a delete-carrying batch (fresh run and all replay
+        branches): the store first (it is the rebuild source a torn
+        index heals from, so a rebuild already excludes these docs),
+        then the index vector. Re-running writes nothing new:
+        BM25.delete skips ids already in its vector, and the store's
+        re-issued watermark covers at most this batch's own replayed
+        segment."""
+        if dels is None:
+            return
+        from comet_spark.operators.bm25 import BM25
+
+        store.delete(dels)
+        BM25.delete(spark, index_path, dels, id_col=id_col)
+
     def write_batch(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
             return
         spark = batch.sparkSession
+        dels: DataFrame | None = None
+        if op_col is not None:
+            # same loud-rejection contract as stream_into_store: a
+            # typo'd marker appended as data would poison the index
+            bad = (
+                batch.filter(
+                    F.col(op_col).isNotNull()
+                    & (F.col(op_col) != F.lit(delete_value))
+                ).limit(1).collect()
+            )
+            if bad:
+                raise ValueError(
+                    f"bm25_ingest_stream: unrecognized {op_col}="
+                    f"{bad[0][op_col]!r} (expected NULL/insert or "
+                    f"{delete_value!r})"
+                )
+            dels = batch.filter(
+                F.col(op_col) == F.lit(delete_value)
+            ).select(id_col)
+            if dels.isEmpty():
+                dels = None
+            batch = batch.filter(F.col(op_col).isNull()).drop(op_col)
         replay_possible, first[0] = first[0], False
         if replay_possible:
             # a hard crash mid-append leaves the store's (and/or the
@@ -630,9 +689,18 @@ def bm25_ingest_stream(
             BM25.heal(spark, index_path)
             with store._lock("heal"):
                 store._restore_crashed_compact_locked()
+        if op_col is not None and batch.isEmpty():
+            # all-deletes batch: no insert side, so no state rows — a
+            # replay simply re-applies (idempotent), nothing to probe
+            _apply_deletes(spark, dels)
+            return
         got = _phases(spark, batch_id)
         if "done" in got:
-            return  # fully processed before the crash
+            # insert side fully processed before the crash; the crash
+            # can still have landed between 'done' and the deletes —
+            # re-apply (idempotent)
+            _apply_deletes(spark, dels)
+            return
         if "begin" in got:
             # 'begin' is logged strictly AFTER the store append, so the
             # batch is durable in the store — repair the index only
@@ -640,6 +708,7 @@ def bm25_ingest_stream(
                 spark, batch, batch_id,
                 _index_batch_state(spark, index_path, batch, id_col),
             )
+            _apply_deletes(spark, dels)
             return
         if replay_possible:
             # no state rows, but this may still be a replay whose crash
@@ -650,12 +719,14 @@ def bm25_ingest_stream(
             state = _index_batch_state(spark, index_path, batch, id_col)
             if state == "committed":
                 _log(spark, batch_id, "done")
+                _apply_deletes(spark, dels)
                 return
             in_store = _newest_segment_has_batch(store, batch, id_col)
             if state == "torn" or in_store:
                 if not in_store:
                     store.append(batch)  # make durable before the rebuild
                 _repair_index(spark, batch, batch_id, state)
+                _apply_deletes(spark, dels)
                 _compact_state(spark)
                 return
         batch = batch.persist()
@@ -670,6 +741,7 @@ def bm25_ingest_stream(
         finally:
             batch.unpersist()
         _log(spark, batch_id, "done")
+        _apply_deletes(spark, dels)
         _compact_state(spark)
         if tiered_compact_every and (batch_id + 1) % tiered_compact_every == 0:
             # AFTER the done marker: a crash mid-compact replays as an

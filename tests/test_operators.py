@@ -1368,6 +1368,19 @@ def test_bm25_tiered_compact_crash_sweep(spark, tmp_path):
     want_scores = [tuple(r) for r in fresh.score("spark term2 data", k=0).collect()]
     want_posts = {tuple(r) for r in fresh.postings.collect()}
 
+    # the pre-compact state is deterministic, so build it ONCE and copy
+    # the directory per crash point — same coverage, a fraction of the
+    # Spark jobs (the per-k build dominated the suite's runtime, r10)
+    import shutil
+
+    seed = str(tmp_path / "sweep_seed")
+    BM25(full.filter(F.col("id") <= 600)).write(seed, buckets=4)
+    BM25.append(
+        spark, seed,
+        full.filter((F.col("id") > 600) & (F.col("id") <= 608)),
+    )
+    BM25.append(spark, seed, full.filter(F.col("id") > 608))
+
     real_rename = store_mod._FS.rename
     k = 0
     completed_clean = False
@@ -1375,12 +1388,7 @@ def test_bm25_tiered_compact_crash_sweep(spark, tmp_path):
         k += 1
         assert k < 40, "crash sweep did not terminate"
         path = str(tmp_path / f"sweep{k}")
-        BM25(full.filter(F.col("id") <= 600)).write(path, buckets=4)
-        BM25.append(
-            spark, path,
-            full.filter((F.col("id") > 600) & (F.col("id") <= 608)),
-        )
-        BM25.append(spark, path, full.filter(F.col("id") > 608))
+        shutil.copytree(seed, path)
 
         calls = {"n": 0}
 
@@ -1456,6 +1464,13 @@ def test_bm25_full_compact_crash_sweep(spark, tmp_path):
     )
     want = [tuple(r) for r in BM25(full).score("spark term2", k=0).collect()]
 
+    # build-once, copy-per-crash-point (see the tiered sweep's note)
+    import shutil
+
+    seed = str(tmp_path / "fullsweep_seed")
+    BM25(full.filter(F.col("id") <= 18)).write(seed, buckets=4)
+    BM25.append(spark, seed, full.filter(F.col("id") > 18))
+
     real_rename = store_mod._FS.rename
     k = 0
     completed_clean = False
@@ -1463,8 +1478,7 @@ def test_bm25_full_compact_crash_sweep(spark, tmp_path):
         k += 1
         assert k < 16, "crash sweep did not terminate"
         path = str(tmp_path / f"fullsweep{k}")
-        BM25(full.filter(F.col("id") <= 18)).write(path, buckets=4)
-        BM25.append(spark, path, full.filter(F.col("id") > 18))
+        shutil.copytree(seed, path)
 
         calls = {"n": 0}
 
@@ -1623,6 +1637,14 @@ def test_bm25_delete_compact_crash_sweep(spark, tmp_path):
         .collect()
     ]
 
+    # build-once, copy-per-crash-point (see the tiered sweep's note)
+    import shutil
+
+    seed = str(tmp_path / "delsweep_seed")
+    BM25(full.filter(F.col("id") <= 18)).write(seed, buckets=4)
+    BM25.append(spark, seed, full.filter(F.col("id") > 18))
+    assert BM25.delete(spark, seed, deleted) == len(deleted)
+
     real_rename = store_mod._FS.rename
     k = 0
     completed_clean = False
@@ -1630,9 +1652,7 @@ def test_bm25_delete_compact_crash_sweep(spark, tmp_path):
         k += 1
         assert k < 16, "crash sweep did not terminate"
         path = str(tmp_path / f"delsweep{k}")
-        BM25(full.filter(F.col("id") <= 18)).write(path, buckets=4)
-        BM25.append(spark, path, full.filter(F.col("id") > 18))
-        assert BM25.delete(spark, path, deleted) == len(deleted)
+        shutil.copytree(seed, path)
 
         calls = {"n": 0}
 

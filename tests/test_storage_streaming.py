@@ -1755,7 +1755,17 @@ def test_store_tiered_ladder_crash_sweep(spark, monkeypatch, tmp_path):
     merged segments + two kept moves in one pass) heals: inject a crash
     after the K-th rename, re-run compact(tiered=True), require the
     exact merged view and no protocol leftovers."""
+    import shutil
+
     import comet_spark.storage.store as store_mod
+
+    # the 12-segment pre-compact store is deterministic — build it ONCE
+    # and copy the directory per crash point (the per-k rebuild was the
+    # single slowest test in the suite, r10); the tier-constant patches
+    # from _ladder_store stay active for every copy's compacts
+    seed_path = str(tmp_path / "lsw_seed")
+    seed = _ladder_store(spark, monkeypatch, seed_path)
+    want = {(r["id"], r["text"]) for r in seed.read().collect()}
 
     real_rename = store_mod._FS.rename
     k = 0
@@ -1763,8 +1773,9 @@ def test_store_tiered_ladder_crash_sweep(spark, monkeypatch, tmp_path):
     while not completed_clean:
         k += 1
         assert k < 40, "crash sweep did not terminate"
-        store = _ladder_store(spark, monkeypatch, str(tmp_path / f"lsw{k}"))
-        want = {(r["id"], r["text"]) for r in store.read().collect()}
+        path = str(tmp_path / f"lsw{k}")
+        shutil.copytree(seed_path, path)
+        store = DocumentStore(spark, path)
 
         calls = {"n": 0}
 
@@ -2224,3 +2235,45 @@ def test_sessionize_stream_idle_timeout(spark, tmp_path):
         ("A", B0, B0 + 30 * US, 2),  # idle-closed by timeout
         ("C", B0, B0, 1),            # closed by C's own later event
     }
+
+
+def test_bm25_ingest_stream_delete_markers(spark, store, tmp_path):
+    """Delete markers riding bm25_ingest_stream (op_col): the final
+    index scores exactly like a fresh build over the corpus minus the
+    deleted docs (read-path corrections: results, df, n_docs, avgdl),
+    the store hides them too, and a delete of a never-indexed id is
+    skipped, not an error."""
+    from comet_spark.operators.bm25 import BM25
+    from comet_spark.streaming.ingest import bm25_ingest_stream
+
+    src_dir = str(tmp_path / "incoming")
+
+    def _feed(rows):
+        spark.createDataFrame(
+            rows, "id bigint, text string, op string"
+        ).coalesce(1).write.mode("append").parquet(src_dir)
+
+    _feed([(1, "spark joins tables", None), (2, "spark streams data", None)])
+    # batch 1: new inserts + delete doc 2 + delete a never-indexed id
+    _feed([
+        (3, "tables of data", None), (4, "fast spark scans", None),
+        (2, None, "delete"), (999, None, "delete"),
+    ])
+    _feed([(5, "spark scans tables fast", None)])
+
+    ix_path = str(tmp_path / "bm25_del_live")
+    q = bm25_ingest_stream(
+        spark.readStream.schema("id bigint, text string, op string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir),
+        store, ix_path, checkpoint=str(tmp_path / "ckpt"), op_col="op",
+    )
+    assert q.awaitTermination(120)
+
+    assert sorted(r["id"] for r in store.read().collect()) == [1, 3, 4, 5]
+    live = BM25.read(spark, ix_path)
+    want_ix = BM25(store.read(), id_col="id", text_col="text")
+    got = [tuple(r) for r in live.score("spark tables", k=10).collect()]
+    want = [tuple(r) for r in want_ix.score("spark tables", k=10).collect()]
+    assert got == want and len(got) > 0
+    assert all(r[0] != 2 for r in got)
