@@ -702,6 +702,48 @@ def _lose_latest_commit(ckpt: str) -> None:
         os.remove(crc)
 
 
+def _drive_bm25_stream_crash(
+    spark: SparkSession, *, src: str, ckpt: str, index_path: str,
+    drain, feed_before: list, feed_after: list, replayed_bid: int,
+) -> None:
+    """Shared crash-drive for the bm25 stream-built artifacts (the
+    insert-only and the delete-marker builders — one copy, so the
+    crash-injection and log-assert pattern cannot diverge): feed the
+    first file batches (one part file each → one micro-batch each),
+    drain through the REAL checkpoint machinery, inject the HARD crash
+    (latest commit marker lost AND the index's state log deleted), feed
+    the rest, drain again, then assert NON-VACUOUSLY that the replay
+    heal engaged: the replayed batch's fresh ``done`` row is the heal's
+    own write, and the PRIOR batch's rows died with the log — its
+    absence proves nothing before the crashed batch was re-delivered.
+    Shuffle partitions are scoped down for the drive (per-trigger
+    overhead is per-partition; these key spaces are tiny; values are
+    partition-invariant). POSIX-local like ``_lose_latest_commit``."""
+    import shutil
+
+    def _add(df: DataFrame) -> None:
+        df.repartition(1).write.mode("append").parquet(src)
+
+    with _scoped_shuffle_partitions(spark):
+        for df in feed_before:
+            _add(df)
+        drain()
+        _lose_latest_commit(ckpt)
+        shutil.rmtree(f"{index_path}/_ingest_state", ignore_errors=True)
+        for df in feed_after:
+            _add(df)
+        drain()
+    log = {
+        (int(r["batch_id"]), r["phase"])
+        for r in spark.read.parquet(f"{index_path}/_ingest_state").collect()
+    }
+    if (replayed_bid, "done") not in log or (replayed_bid - 1, "done") in log:
+        raise RuntimeError(
+            f"bm25 stream artifact at {index_path}: replay heal did not "
+            f"engage: {sorted(log)}"
+        )
+
+
 def _bm25_stream_index(spark: SparkSession, sf_dir: str) -> BM25:
     key = (_skey(spark), sf_dir)
     if key not in _BM25_STREAM_CACHE:
@@ -725,13 +767,6 @@ def _bm25_stream_index(spark: SparkSession, sf_dir: str) -> BM25:
             docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
             store = DocumentStore(spark, f"{base}/store", id_col="doc_id")
 
-            def _add_batches(residues) -> None:
-                # one part file per residue → one micro-batch per file
-                for m in residues:
-                    docs.filter(F.col("doc_id") % _STREAM_MOD == m).repartition(
-                        1
-                    ).write.mode("append").parquet(src)
-
             def _drain() -> None:
                 q = bm25_ingest_stream(
                     spark.readStream.schema("doc_id bigint, text string")
@@ -745,31 +780,17 @@ def _bm25_stream_index(spark: SparkSession, sf_dir: str) -> BM25:
                     q.stop()
                     raise RuntimeError("bm25_stream artifact: stream did not drain")
 
-            _add_batches(range(2))
-            _drain()
-            # injected crash: latest commit marker lost AND the state log
-            # gone (the strictly harder lost-marker case) — the restart
-            # replays that batch through the index-probe heal
-            _lose_latest_commit(ckpt)
-            shutil.rmtree(f"{index_path}/_ingest_state", ignore_errors=True)
-            _add_batches(range(2, _STREAM_MOD))
-            _drain()
-            # non-vacuity: the replayed batch (id 1) must have gone
-            # through the probe heal (its fresh 'done' row is the heal's
-            # own write), and batch 0 must NOT have been re-delivered
-            # (its marker row died with the state log) — i.e. the final
-            # index carries batch 0's docs from BEFORE the crash
-            log = {
-                (int(r["batch_id"]), r["phase"])
-                for r in spark.read.parquet(
-                    f"{index_path}/_ingest_state"
-                ).collect()
-            }
-            if (1, "done") not in log or (0, "done") in log:
-                raise RuntimeError(
-                    f"bm25_stream artifact: replay heal did not engage: "
-                    f"{sorted(log)}"
-                )
+            res = lambda m: docs.filter(F.col("doc_id") % _STREAM_MOD == m)  # noqa: E731
+            # crash after batches {0,1}: batch 1 replays through the
+            # index-probe heal; the final index must carry batch 0's
+            # docs from BEFORE the crash
+            _drive_bm25_stream_crash(
+                spark, src=src, ckpt=ckpt, index_path=index_path,
+                drain=_drain,
+                feed_before=[res(m) for m in range(2)],
+                feed_after=[res(m) for m in range(2, _STREAM_MOD)],
+                replayed_bid=1,
+            )
 
         _BM25_STREAM_CACHE[key] = _fresh_bm25_artifact(
             spark, sf_dir, base, build, read_path=index_path
@@ -838,9 +859,6 @@ def _bm25_delstream_index(spark: SparkSession, sf_dir: str) -> BM25:
                     "doc_id", "text", F.lit(None).cast("string").alias("op")
                 )
 
-            def _add(df: DataFrame) -> None:
-                df.repartition(1).write.mode("append").parquet(src)
-
             def _drain() -> None:
                 q = bm25_ingest_stream(
                     spark.readStream
@@ -857,8 +875,6 @@ def _bm25_delstream_index(spark: SparkSession, sf_dir: str) -> BM25:
                         "bm25_delstream artifact: stream did not drain"
                     )
 
-            for m in range(2):
-                _add(_ins(docs.filter(F.col("doc_id") % _STREAM_MOD == m)))
             dels = docs.filter(_BM25_DELSTREAM_WHERE)
             n_del = dels.count()
             if not n_del:
@@ -866,36 +882,28 @@ def _bm25_delstream_index(spark: SparkSession, sf_dir: str) -> BM25:
                     "bm25_delstream artifact: empty delete set — the "
                     "delete leg would be vacuous"
                 )
-            # batch 2: fresh inserts + the delete markers, one micro-batch
-            _add(
-                _ins(docs.filter(F.col("doc_id") % _STREAM_MOD == 2))
-                .unionByName(dels.select(
-                    "doc_id",
-                    F.lit(None).cast("string").alias("text"),
-                    F.lit("delete").alias("op"),
-                ))
+            res = lambda m: _ins(  # noqa: E731
+                docs.filter(F.col("doc_id") % _STREAM_MOD == m)
             )
-            _drain()
-            # injected crash: the latest commit is the DELETE-carrying
-            # batch 2; with the state log gone (the strictly harder
-            # lost-marker case) the restart must classify batch 2's
-            # insert side committed via the index probe and re-apply
-            # its deletes as a no-op
-            _lose_latest_commit(ckpt)
-            shutil.rmtree(f"{index_path}/_ingest_state", ignore_errors=True)
-            _add(_ins(docs.filter(F.col("doc_id") % _STREAM_MOD == 3)))
-            _drain()
-            log = {
-                (int(r["batch_id"]), r["phase"])
-                for r in spark.read.parquet(
-                    f"{index_path}/_ingest_state"
-                ).collect()
-            }
-            if (2, "done") not in log or (1, "done") in log:
-                raise RuntimeError(
-                    f"bm25_delstream artifact: replay heal did not "
-                    f"engage: {sorted(log)}"
-                )
+            # crash after batches {0,1,2}: the latest commit is the
+            # DELETE-carrying batch 2 (fresh inserts + markers in one
+            # micro-batch) — with the state log gone the restart must
+            # classify its insert side committed via the index probe
+            # and re-apply its deletes as a no-op
+            _drive_bm25_stream_crash(
+                spark, src=src, ckpt=ckpt, index_path=index_path,
+                drain=_drain,
+                feed_before=[
+                    res(0), res(1),
+                    res(2).unionByName(dels.select(
+                        "doc_id",
+                        F.lit(None).cast("string").alias("text"),
+                        F.lit("delete").alias("op"),
+                    )),
+                ],
+                feed_after=[res(3)],
+                replayed_bid=2,
+            )
             # replay idempotence is STRUCTURAL: the re-applied deletes
             # must have added nothing — the vector holds the marker set
             # exactly once

@@ -87,32 +87,36 @@ def stream_into_store(
             return
         batch = batch.persist()  # all splits scan the batch once each
         try:
-            # an unrecognized non-null op (op='DELETE', a typo) must fail
-            # LOUDLY: treating it as an upsert would append its
-            # NULL-payload marker row, which then SHADOWS the live
-            # document under newest-wins — data destruction, not a skip.
-            # The probe short-circuits at the first bad row.
-            bad = batch.filter(
-                F.col(op_col).isNotNull()
-                & (F.col(op_col) != F.lit(delete_value))
+            # an unrecognized non-null op (op='DELETE', a typo, or a
+            # whole mistyped column whose comparison to delete_value is
+            # NULL) must fail LOUDLY: treating it as an upsert would
+            # append its NULL-payload marker row, which then SHADOWS the
+            # live document under newest-wins — data destruction, not a
+            # skip. The three predicates PARTITION the batch exactly —
+            # NULL op → upsert, op = delete_value (a true match, never a
+            # null comparison) → delete, anything else → bad — counted
+            # in ONE scan.
+            is_del = F.coalesce(
+                F.col(op_col) == F.lit(delete_value), F.lit(False)
             )
-            bad_row = bad.limit(1).collect()
-            if bad_row:
+            is_bad = F.col(op_col).isNotNull() & ~is_del
+            probe = batch.agg(
+                F.count(F.when(is_bad, 1)).alias("n_bad"),
+                F.max(F.when(is_bad, F.col(op_col).cast("string"))).alias("bad_val"),
+                F.count(F.when(is_del, 1)).alias("n_del"),
+                F.count(F.when(F.col(op_col).isNull(), 1)).alias("n_ups"),
+            ).first()
+            if probe["n_bad"]:
                 raise ValueError(
                     f"stream_into_store: unrecognized {op_col}="
-                    f"{bad_row[0][op_col]!r} (expected NULL/upsert or "
+                    f"{probe['bad_val']!r} (expected NULL/upsert or "
                     f"{delete_value!r}) — failing the micro-batch rather "
                     "than appending a marker row as data"
                 )
-            # post-probe, op is NULL (upsert) or delete_value — exactly
-            ups = batch.filter(F.col(op_col).isNull()).drop(op_col)
-            dels = batch.filter(
-                F.col(op_col) == F.lit(delete_value)
-            ).select(store.id_col)
-            if not ups.isEmpty():
-                store.append(ups)
-            if not dels.isEmpty():
-                store.delete(dels)
+            if probe["n_ups"]:
+                store.append(batch.filter(F.col(op_col).isNull()).drop(op_col))
+            if probe["n_del"]:
+                store.delete(batch.filter(is_del).select(store.id_col))
         finally:
             batch.unpersist()
 
@@ -648,26 +652,34 @@ def bm25_ingest_stream(
         spark = batch.sparkSession
         dels: DataFrame | None = None
         if op_col is not None:
-            # same loud-rejection contract as stream_into_store: a
-            # typo'd marker appended as data would poison the index
-            bad = (
-                batch.filter(
-                    F.col(op_col).isNotNull()
-                    & (F.col(op_col) != F.lit(delete_value))
-                ).limit(1).collect()
+            # same loud-rejection contract as stream_into_store (and the
+            # same exhaustive three-way partition — NULL / true-match /
+            # everything-else, so a mistyped column whose comparison is
+            # NULL fails instead of silently dropping rows), counted in
+            # ONE scan: a typo'd marker appended as data would poison
+            # the index
+            is_del = F.coalesce(
+                F.col(op_col) == F.lit(delete_value), F.lit(False)
             )
-            if bad:
+            is_bad = F.col(op_col).isNotNull() & ~is_del
+            probe = batch.agg(
+                F.count(F.when(is_bad, 1)).alias("n_bad"),
+                F.max(F.when(is_bad, F.col(op_col).cast("string"))).alias("bad_val"),
+                F.count(F.when(is_del, 1)).alias("n_del"),
+                F.count(F.when(F.col(op_col).isNull(), 1)).alias("n_ups"),
+            ).first()
+            if probe["n_bad"]:
                 raise ValueError(
                     f"bm25_ingest_stream: unrecognized {op_col}="
-                    f"{bad[0][op_col]!r} (expected NULL/insert or "
+                    f"{probe['bad_val']!r} (expected NULL/insert or "
                     f"{delete_value!r})"
                 )
-            dels = batch.filter(
-                F.col(op_col) == F.lit(delete_value)
-            ).select(id_col)
-            if dels.isEmpty():
-                dels = None
+            if probe["n_del"]:
+                dels = batch.filter(is_del).select(id_col)
             batch = batch.filter(F.col(op_col).isNull()).drop(op_col)
+            ups_empty = not probe["n_ups"]
+        else:
+            ups_empty = False
         replay_possible, first[0] = first[0], False
         if replay_possible:
             # a hard crash mid-append leaves the store's (and/or the
@@ -689,7 +701,7 @@ def bm25_ingest_stream(
             BM25.heal(spark, index_path)
             with store._lock("heal"):
                 store._restore_crashed_compact_locked()
-        if op_col is not None and batch.isEmpty():
+        if ups_empty:
             # all-deletes batch: no insert side, so no state rows — a
             # replay simply re-applies (idempotent), nothing to probe
             _apply_deletes(spark, dels)

@@ -53,6 +53,7 @@ def generate_events() -> None:
     if os.path.exists(out):
         print(f"10x events already at {out}")
         return
+    os.makedirs(SOAK_DIR, exist_ok=True)
     ev = pq.read_table(f"{SF01}/events.parquet")
     n = ev.num_rows
     n_users = 1 + max(ev.column("user_id").to_pylist())

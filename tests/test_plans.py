@@ -461,5 +461,8 @@ def test_ivf_stream_layout_partition_pruning(spark):
         df = entry_mod.queries()[name](spark, SF_DIR_SMALL)
         plan = _plan(df)
         assert "ivf_stream/layout.parquet" in plan, name
-        pf = plan.split("layout.parquet", 1)[1].split("PartitionFilters:", 1)[1][:200]
+        after_scan = plan.split("layout.parquet", 1)[1]
+        # a readable assert, not an IndexError, when pruning regresses
+        assert "PartitionFilters:" in after_scan, (name, plan)
+        pf = after_scan.split("PartitionFilters:", 1)[1][:200]
         assert "cluster_id" in pf and "IN" in pf.upper(), (name, pf)

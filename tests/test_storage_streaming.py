@@ -2277,3 +2277,25 @@ def test_bm25_ingest_stream_delete_markers(spark, store, tmp_path):
     want = [tuple(r) for r in want_ix.score("spark tables", k=10).collect()]
     assert got == want and len(got) > 0
     assert all(r[0] != 2 for r in got)
+
+
+def test_stream_into_store_rejects_unknown_op(spark, tmp_path):
+    """An unrecognized non-null op value must FAIL the micro-batch
+    loudly — treated as an upsert, the NULL-payload marker row would
+    shadow the live document under newest-wins (review r10)."""
+    from comet_spark.storage.store import DocumentStore
+
+    src_dir = str(tmp_path / "incoming")
+    spark.createDataFrame(
+        [(1, "a", None), (2, None, "DELETE")],  # case mismatch = typo
+        "id bigint, text string, op string",
+    ).coalesce(1).write.mode("append").parquet(src_dir)
+    q = stream_into_store(
+        spark.readStream.schema("id bigint, text string, op string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir),
+        DocumentStore(spark, str(tmp_path / "store2")),
+        checkpoint=str(tmp_path / "ckpt2"), op_col="op",
+    )
+    with pytest.raises(Exception, match="unrecognized op"):
+        q.awaitTermination(120)
