@@ -178,6 +178,37 @@ def _run(spark, work: str) -> None:
     print("stream-maintained index top-3:",
           [(r["id"], r["score"]) for r in streamed.score("spark text", k=3).collect()])
 
+    # 12. DELETES ride the same stream (r10): with op_col, marker rows
+    #     (op='delete', only the id read) apply after each batch's
+    #     inserts as DocumentStore.delete + BM25.delete — idempotent, so
+    #     crash replays just re-apply them. Insert rows keep op NULL;
+    #     any other value fails the micro-batch loudly. One stream, one
+    #     checkpoint lineage, full CRUD (minus upsert-by-id, which the
+    #     postings layout can't retract — route that through the LSM
+    #     merge view).
+    crud_src = f"{work}/crud_incoming"
+    spark.createDataFrame(
+        [(500 + i, f"crud doc {i} spark text", None) for i in range(8)],
+        "id bigint, text string, op string",
+    ).repartition(1).write.mode("append").parquet(crud_src)
+    spark.createDataFrame(
+        [(510, "late doc spark text", None), (500, None, "delete"),
+         (501, None, "delete")],
+        "id bigint, text string, op string",
+    ).repartition(1).write.mode("append").parquet(crud_src)
+    crud_store = DocumentStore(spark, f"{work}/crud_store")
+    crud_ix = f"{work}/crud_bm25"
+    q = bm25_ingest_stream(
+        spark.readStream.schema("id bigint, text string, op string")
+        .option("maxFilesPerTrigger", "1").parquet(crud_src),
+        crud_store, crud_ix, checkpoint=f"{work}/ckpt_crud",
+        buckets=8, op_col="op",
+    )
+    q.awaitTermination(300)
+    after_crud = BM25.read(spark, crud_ix)
+    print("after streamed deletes (500/501 gone):",
+          sorted(r["id"] for r in after_crud.score("spark text", k=20).collect()))
+
 
 if __name__ == "__main__":
     main()
