@@ -675,7 +675,11 @@ def bm25_ingest_stream(
                     f"{delete_value!r})"
                 )
             if probe["n_del"]:
-                dels = batch.filter(is_del).select(id_col)
+                # materialize the marker ids once (tiny id rows):
+                # _apply_deletes feeds them to BOTH store.delete and
+                # BM25.delete, and a lineage would re-scan the source
+                # per consumer (review r10)
+                dels = batch.filter(is_del).select(id_col).localCheckpoint()
             batch = batch.filter(F.col(op_col).isNull()).drop(op_col)
             ups_empty = not probe["n_ups"]
         else:
