@@ -412,20 +412,23 @@ GROUP BY vec_id ORDER BY score, vec_id LIMIT {K}
 # A6/D5/D6/H6/H7 — BM25
 # ---------------------------------------------------------------------------
 
-def _sql_bm25_ctes(corpus_where: str = "TRUE") -> str:
+def _sql_bm25_ctes(corpus_where: str = "TRUE", table: str = "documents") -> str:
     """``corpus_where`` restricts the corpus the statistics are computed
     over (used by the delete-lifecycle oracle: a soft-deleted doc must
-    vanish from df/n_docs/avgdl too, exactly as if it was never built)."""
+    vanish from df/n_docs/avgdl too, exactly as if it was never built);
+    ``table`` swaps the source relation (a CTE that rewrites payloads —
+    the stream-CRUD merge oracle scores a corpus with upsert-modified
+    text, not the raw documents view)."""
     tok = _SQL_TOKENIZE.format(col="text")
-    w = corpus_where
+    w, t = corpus_where, table
     return f"""
-tok AS (SELECT doc_id AS id, unnest({tok}) AS term FROM documents WHERE {w}),
+tok AS (SELECT doc_id AS id, unnest({tok}) AS term FROM {t} WHERE {w}),
 tf AS (SELECT id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY id, term),
 dl AS (SELECT id, count(*)::DOUBLE AS dl FROM tok GROUP BY id),
 dft AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
-st AS (SELECT (SELECT count(*) FROM documents WHERE {w})::DOUBLE AS n_docs,
-              (SELECT sum(coalesce(dl, 0)) FROM documents LEFT JOIN dl ON doc_id = id WHERE {w})
-              / (SELECT count(*) FROM documents WHERE {w}) AS avgdl)
+st AS (SELECT (SELECT count(*) FROM {t} WHERE {w})::DOUBLE AS n_docs,
+              (SELECT sum(coalesce(dl, 0)) FROM {t} LEFT JOIN dl ON doc_id = id WHERE {w})
+              / (SELECT count(*) FROM {t} WHERE {w}) AS avgdl)
 """
 
 
@@ -5846,6 +5849,65 @@ SELECT doc_id,
                 ELSE text END) AS text_md5
 FROM documents
 WHERE doc_id % 8 <> 4
+""",
+)
+
+
+# ★ TEXT SEARCH OVER THE STREAM-CRUD'D STORE via the LSM merge view:
+# the postings index documents "route upserts/resurrections through the
+# merge view" — this gate HASHES that route. It reopens
+# store_stream_delete's artifact store (crash-replayed duplicate
+# segment, upserts, a sequenced delete, resurrections past the
+# watermark), builds BM25 over ``store.read()`` — the newest-wins +
+# delete-watermark merged view — and scores. Oracle = BM25 SQL over the
+# CRUD-final corpus (permanently-deleted residue gone, resurrection
+# payloads applied — the ' v2' suffix changes tf/dl AND the corpus
+# stats, so a stale pre-upsert row or an unapplied delete shifts every
+# score). Equality proves the reference's merge-on-read text story
+# (storage.go:489-629) composes with streamed CRUD end-to-end.
+def _crud_store(spark: SparkSession, sf_dir: str):
+    """The store_stream_delete artifact's STORE, with a self-heal: the
+    signature gate probes the ``out`` table, so a partially-cleaned
+    artifact (store gone, out intact) routes into one rebuild instead
+    of failing every query."""
+    from comet_spark.storage.store import DocumentStore
+
+    base = f"{_art_dir(sf_dir)}/store_stream_delete"
+    for attempt in (0, 1):
+        _store_stream_delete(spark, sf_dir)  # signature-gated build/reopen
+        store = DocumentStore(spark, f"{base}/store", id_col="doc_id")
+        try:
+            store._segments()
+            return store
+        except FileNotFoundError:
+            if attempt:
+                raise
+            import shutil
+
+            shutil.rmtree(base, ignore_errors=True)
+            _STREAM_ART_BUILT.discard((_skey(spark), sf_dir, base))
+
+
+def _bm25_crud_merge_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    store = _crud_store(spark, sf_dir)
+    # normalize=False: per-call merged-view index would pay the NFKC
+    # write-time probe each execution; the driver corpus is
+    # ASCII-asserted (tests/test_text.py) and the ' v2' suffix is ASCII
+    bm = BM25(store.read(), id_col="doc_id", text_col="text", normalize=False)
+    return bm.score(BM25_QUERY, k=K).select(F.col("id").alias("doc_id"), "score")
+
+
+_register(
+    "bm25_crud_merge_score",
+    _bm25_crud_merge_score,
+    f"""
+WITH dmod AS (SELECT doc_id,
+                     CASE WHEN doc_id % 8 = 0 THEN text || ' v2'
+                          ELSE text END AS text
+              FROM documents WHERE doc_id % 8 <> 4),
+{_sql_bm25_ctes(table="dmod").strip().rstrip(',')},
+{_sql_bm25_score(BM25_QUERY).strip().rstrip(',')}
+SELECT id AS doc_id, ROUND(score, 6) AS score FROM sc ORDER BY score DESC, id LIMIT {K}
 """,
 )
 
