@@ -5739,8 +5739,13 @@ def _store_stream_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, sf_dir, base, f"{base}/out",
         lambda: _build_store_stream_delete_artifact(spark, sf_dir, base),
         # bm25_crud_merge_score serves from the sibling STORE, so its
-        # health gates freshness too (a store-only cleanup must rebuild)
-        probe_paths=[f"{base}/store/data"],
+        # health gates freshness too (a store-only cleanup must rebuild).
+        # _deletes is probed as well: the builder always issues delete
+        # markers, so a healthy artifact MUST have the dir — without the
+        # probe a deletes-only cleanup would serve the store with every
+        # deletion un-applied (ADVICE r10: _FS.listdir returns [] for a
+        # missing path, so read() silently skips the delete anti-join)
+        probe_paths=[f"{base}/store/data", f"{base}/store/_deletes"],
     ).select("doc_id", "text_md5")
 
 
@@ -5837,6 +5842,10 @@ def _build_store_stream_delete_artifact(
     stale = merged.filter(
         (F.col("doc_id") % 8 == 0)
         & ~F.coalesce(F.col("text"), F.lit("")).endswith(" v2")
+        # NULL-text source docs resurrect with concat(text,' v2') = NULL
+        # — not stale, just a NULL payload (ADVICE r10: without this a
+        # fixture regen with NULL texts spuriously fails the build)
+        & F.col("text").isNotNull()
     ).count()
     n_res8 = docs.filter(F.col("doc_id") % 8 == 4).count()
     if n_res8 == 0 or n_gone or stale:

@@ -81,10 +81,14 @@ def main() -> None:
         ]
         frozen_total, frozen_n = round(sum(ok), 3), len(ok)
         if frozen_n != len(frozen_names):
+            # a dropped/failed frozen query must read as INCOMPARABLE in
+            # the JSON itself, not as a speedup — keep frozen_r09_n so
+            # the miss is diagnosable (ADVICE r10)
+            frozen_total = None
             print(
                 f"WARN frozen subset: only {frozen_n}/{len(frozen_names)} "
-                "frozen queries produced a timing — frozen_r09_total is "
-                "NOT comparable this run",
+                "frozen queries produced a timing — frozen_r09_total "
+                "nulled (NOT comparable this run)",
                 file=sys.stderr,
             )
     except Exception as ex:  # noqa: BLE001 — never lose the bench line

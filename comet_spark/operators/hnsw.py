@@ -72,6 +72,15 @@ def _inflated_ef(
     node count, the same rule applied where the size is known)."""
     ef = max(int(ef_search), int(k))
     if exclude_ids is not None:
+        if exclude_count is not None and int(exclude_count) < 0:
+            # INVARIANT: exclude_count must be >= the true cardinality of
+            # exclude_ids — an UNDERSTATED count silently reintroduces the
+            # below-k live-result shrinkage this inflation exists to
+            # prevent (degrades recall with no error; ADVICE r08/r10).
+            # Negative is the one understatement detectable for free.
+            raise ValueError(
+                f"exclude_count must be >= 0, got {exclude_count}"
+            )
         ef += int(
             exclude_count if exclude_count is not None else exclude_ids.count()
         )

@@ -659,6 +659,11 @@ def test_hnsw_inflated_ef_cap():
     assert _inflated_ef(50, 10, excl) == 300_050  # uncapped path
     assert _inflated_ef(50, 10, excl, cap=128) == 128
     assert _inflated_ef(50, 200, excl, cap=128) == 200  # never below k
+    # precomputed count bypasses the job; a NEGATIVE count is the one
+    # detectable understatement (ADVICE r10) — loud, not degraded recall
+    assert _inflated_ef(50, 10, excl, exclude_count=7) == 57
+    with pytest.raises(ValueError, match="exclude_count"):
+        _inflated_ef(50, 10, excl, exclude_count=-1)
 
 
 def test_winnowing_guarantee_and_pairs(spark):

@@ -2299,3 +2299,43 @@ def test_stream_into_store_rejects_unknown_op(spark, tmp_path):
     )
     with pytest.raises(Exception, match="unrecognized op"):
         q.awaitTermination(120)
+
+
+def test_fresh_stream_artifact_probe_paths_route_rebuild(spark, tmp_path):
+    """A partially-cleaned artifact — a ``probe_paths`` component gone
+    while ``out`` is intact — must route into ONE rebuild, not serve.
+    The load-bearing case is the CRUD store's ``_deletes`` dir (ADVICE
+    r10): _FS.listdir returns [] for a missing path, so without the
+    probe the store would silently serve with every deletion
+    un-applied."""
+    import os
+    import shutil
+
+    import __spark_entry__ as entry_mod
+
+    base = str(tmp_path / "art")
+    out, probe = f"{base}/out", f"{base}/store/_deletes"
+    builds = []
+
+    def build():
+        shutil.rmtree(base, ignore_errors=True)
+        os.makedirs(base, exist_ok=True)
+        spark.range(3).repartition(1).write.mode("overwrite").parquet(out)
+        spark.range(1).repartition(1).write.mode("overwrite").parquet(probe)
+        builds.append(1)
+
+    sf_dir = "/root/testdata/sf0.001"
+    key = (entry_mod._skey(spark), sf_dir, base)
+
+    def call():
+        entry_mod._STREAM_ART_BUILT.discard(key)  # fresh-session view
+        return entry_mod._fresh_stream_artifact(
+            spark, sf_dir, base, out, build, probe_paths=[probe]
+        )
+
+    assert call().count() == 3 and builds == [1]
+    call()  # healthy artifact reopens without a rebuild
+    assert builds == [1]
+    shutil.rmtree(probe)  # the partial cleanup: probe gone, out intact
+    call()
+    assert builds == [1, 1], "missing probe component must force rebuild"
