@@ -6301,6 +6301,189 @@ SELECT * FROM mid UNION ALL SELECT * FROM fin
 )
 
 
+# ★ METADATA THROUGH THE STREAM (VERDICT r10 #6 — the last
+# modality × CRUD cell): metadata columns (lang, n_chars) ride
+# ``stream_into_store(op_col=...)`` upserts alongside the payload, and
+# a FilterGroups query (§2.B DSL) runs against the CRUD-final merged
+# view. The reference stores metadata on the same write path as
+# vectors/text (``storage.go`` Add carries the full document; the
+# metadata index sees every mutation) — here batch 2's upsert leg
+# REWRITES two metadata fields (lang → 'zz', a value absent from the
+# source corpus; n_chars + 10000) so filter membership exists ONLY via
+# newest-wins over the upsert segment, batch 1's delete markers remove
+# residue-0 docs (their metadata must not match anything), and the
+# injected crash replays the delete-carrying batch. Oracle = the
+# FilterGroups predicate in SQL over the CASE-transformed corpus.
+_META_CRUD_MOD = 4
+_META_CRUD_NC_BUMP = 10_000
+
+
+def _meta_crud_pred():
+    return Where(
+        Eq(Field("lang"), "zz"),
+        Gt(NumField("n_chars", quantize=False), _META_CRUD_NC_BUMP + 250),
+    ).Or(
+        Eq(Field("lang"), "en"),
+        Between(NumField("n_chars", quantize=False), 100, 300),
+    )
+
+
+def _meta_crud_stream_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from comet_spark.storage.store import DocumentStore
+
+    base = f"{_art_dir(sf_dir)}/meta_crud_stream"
+    _fresh_stream_artifact(
+        spark, sf_dir, base, f"{base}/out",
+        lambda: _build_meta_crud_stream_artifact(spark, sf_dir, base),
+        probe_paths=[f"{base}/store/data", f"{base}/store/_deletes"],
+    )
+    store = DocumentStore(spark, f"{base}/store", id_col="doc_id")
+    # the filter is served LIVE over the merged view — the read path,
+    # not an artifact replay, is what the oracle hashes
+    return store.read().filter(_meta_crud_pred().expr()).select(
+        "doc_id", "lang", "n_chars"
+    )
+
+
+def _build_meta_crud_stream_artifact(
+    spark: SparkSession, sf_dir: str, base: str
+) -> None:
+    """POSIX-local oracle-artifact harness (same contract as the other
+    stream builders; the store is the serving component, ``out`` is the
+    freshness probe's snapshot)."""
+    import shutil
+
+    from comet_spark.storage.store import DocumentStore
+    from comet_spark.streaming.ingest import stream_into_store
+
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(base, exist_ok=True)
+    src, ckpt, store_path = f"{base}/src", f"{base}/ckpt", f"{base}/store"
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "n_chars"
+    )
+    if docs.filter(F.col("lang") == "zz").count():
+        raise RuntimeError(
+            "meta_crud_stream artifact: source corpus already has "
+            "lang='zz' — the upsert leg would be indistinguishable"
+        )
+    res = lambda m: F.col("doc_id") % _META_CRUD_MOD == m  # noqa: E731
+
+    def _ins(df: DataFrame) -> DataFrame:
+        return df.select(
+            "doc_id", "text", "lang", "n_chars",
+            F.lit(None).cast("string").alias("op"),
+        )
+
+    def _add(df: DataFrame) -> None:
+        df.repartition(1).write.mode("append").parquet(src)
+
+    def _drain() -> None:
+        q = stream_into_store(
+            spark.readStream.schema(
+                "doc_id bigint, text string, lang string, "
+                "n_chars bigint, op string"
+            )
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src),
+            DocumentStore(spark, store_path, id_col="doc_id"),
+            checkpoint=ckpt, op_col="op",
+        )
+        if not q.awaitTermination(600):
+            q.stop()
+            raise RuntimeError("meta_crud_stream artifact: stream did not drain")
+
+    with _scoped_shuffle_partitions(spark):
+        _add(_ins(docs.filter(res(0) | res(1))))
+        # batch 1: DELETE markers for residue-0 + residue-2 inserts —
+        # the injected crash replays THIS batch (delete re-issued at a
+        # fresh watermark over the replay's duplicate segment)
+        _add(
+            docs.filter(res(0)).select(
+                "doc_id",
+                F.lit(None).cast("string").alias("text"),
+                F.lit(None).cast("string").alias("lang"),
+                F.lit(None).cast("bigint").alias("n_chars"),
+                F.lit("delete").alias("op"),
+            ).unionByName(_ins(docs.filter(res(2))))
+        )
+        _drain()
+        _lose_latest_commit(ckpt)  # → the delete-carrying batch replays
+        # batch 2: residue-3 inserts + the METADATA upsert leg (same
+        # ids, text unchanged, lang/n_chars rewritten)
+        _add(
+            _ins(docs.filter(res(3))).unionByName(
+                _ins(
+                    docs.filter(F.col("doc_id") % 8 == 1).select(
+                        "doc_id", "text", F.lit("zz").alias("lang"),
+                        (F.col("n_chars") + _META_CRUD_NC_BUMP).alias("n_chars"),
+                    )
+                )
+            )
+        )
+        _drain()
+    store = DocumentStore(spark, store_path, id_col="doc_id")
+    # non-vacuity 1: the replay landed its duplicate segment
+    n_seg = store._segments().select("segment").distinct().count()
+    if n_seg != 4:
+        raise RuntimeError(
+            f"meta_crud_stream artifact: {n_seg} segments for 3 fed "
+            "batches (want 4) — the crash-replay duplicate did not land"
+        )
+    # non-vacuity 2: the replayed batch re-issued its delete
+    n_res0 = docs.filter(res(0)).count()
+    n_del_rows = spark.read.parquet(store.deletes_path).count()
+    if n_res0 == 0 or n_del_rows != 2 * n_res0:
+        raise RuntimeError(
+            f"meta_crud_stream artifact: {n_del_rows} delete rows for "
+            f"{n_res0} marked ids (want 2x) — the delete replay did not "
+            "engage"
+        )
+    # non-vacuity 3: the merged view IS the CRUD-final corpus — every
+    # surviving id exactly once with the upsert-applied metadata
+    expect = docs.filter(~res(0)).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 8 == 1, F.lit("zz"))
+        .otherwise(F.col("lang")).alias("lang"),
+        F.when(
+            F.col("doc_id") % 8 == 1, F.col("n_chars") + _META_CRUD_NC_BUMP
+        ).otherwise(F.col("n_chars")).alias("n_chars"),
+    )
+    merged = store.read().select("doc_id", "lang", "n_chars")
+    n_exp, n_merged = expect.count(), merged.count()
+    n_match = merged.join(expect, ["doc_id", "lang", "n_chars"]).count()
+    if not (0 < n_exp == n_merged == n_match):
+        raise RuntimeError(
+            f"meta_crud_stream artifact: merged metadata drifted "
+            f"(expect={n_exp} merged={n_merged} matched={n_match})"
+        )
+    # non-vacuity 4: the filter's 'zz' arm is non-empty — membership
+    # that exists ONLY because the upsert rewrote the metadata
+    hit = store.read().filter(_meta_crud_pred().expr())
+    if hit.filter(F.col("lang") == "zz").count() == 0:
+        raise RuntimeError(
+            "meta_crud_stream artifact: no upserted row matches the "
+            "filter — the metadata-upsert arm would be vacuous"
+        )
+    merged.repartition(1).write.mode("overwrite").parquet(f"{base}/out")
+
+
+_register(
+    "meta_crud_stream_filter",
+    _meta_crud_stream_filter,
+    f"""
+WITH dm AS (SELECT doc_id,
+                   CASE WHEN doc_id % 8 = 1 THEN 'zz' ELSE lang END AS lang,
+                   CASE WHEN doc_id % 8 = 1 THEN n_chars + {_META_CRUD_NC_BUMP}
+                        ELSE n_chars END AS n_chars
+            FROM documents WHERE doc_id % {_META_CRUD_MOD} <> 0)
+SELECT doc_id, lang, n_chars FROM dm
+WHERE (lang = 'zz' AND n_chars > {_META_CRUD_NC_BUMP + 250})
+   OR (lang = 'en' AND n_chars BETWEEN 100 AND 300)
+""",
+)
+
+
 # ★ EXACT dedup on the stream under the oracle gate — the last
 # streaming operator that was pytest-only: ``dedup_stream``
 # (dropDuplicatesWithinWatermark on the content hash, the
