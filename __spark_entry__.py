@@ -6484,6 +6484,183 @@ WHERE (lang = 'zz' AND n_chars > {_META_CRUD_NC_BUMP + 250})
 )
 
 
+# ★ STREAM-WIRED ANN MAINTENANCE (VERDICT r10 #3): ``ivf_stream_knn``
+# trains AFTER the drain; this gate drives the maintenance INSIDE
+# ``foreachBatch`` (``ivf_ingest_stream``) — the index stays serveable
+# as segments flush, the reference's always-searchable persistent index
+# (``storage.go:233-250``; ``ivf_index.go:206-235`` Train-on-drift).
+# Batch 0 boots the first version, batches append _SUCCESS-committed
+# tail partitions, batch 2 REFRESHES (retrain on data-fed-so-far →
+# versioned full layout → atomic CURRENT pointer swap) — and the
+# injected crash lands exactly BETWEEN that layout swap and the
+# checkpoint commit, so the restart replays the refresh batch itself:
+# the retrain over the newest-wins merged view (which hides the
+# replay's duplicate store segment) must converge to byte-identical
+# centroids and a re-swap that no reader can observe. The builder
+# asserts the swap preceded the crash, the replay REWROTE the full
+# layout, the centroids converged exactly, and the final serving view
+# (full_v2 + tail batch=3) holds every fed id exactly once; a MID-READ
+# between the drains queries the pointer-committed view (search-while-
+# streaming on the maintained index). Oracle = the pruned scan over
+# the two exported serving components with vectors from the source.
+_IVF_LIVE_MOD = 4
+_IVF_LIVE_REFRESH_AT = 2
+_IVF_LIVE_CACHE: dict[tuple[str, str], tuple] = {}
+
+
+def _ivf_live(spark: SparkSession, sf_dir: str):
+    from comet_spark.streaming.ingest import ivf_serving_view
+
+    key = (_skey(spark), sf_dir)
+    if key not in _IVF_LIVE_CACHE:
+        base = f"{_art_dir(sf_dir)}/ivf_live"
+        _fresh_stream_artifact(
+            spark, sf_dir, base,
+            f"{base}/index/full_v{_IVF_LIVE_REFRESH_AT}/layout.parquet",
+            lambda: _build_ivf_live_artifact(spark, sf_dir, base),
+            table="embeddings",
+            probe_paths=[f"{base}/index/tail/batch={_IVF_LIVE_MOD - 1}"],
+        )
+        _IVF_LIVE_CACHE[key] = ivf_serving_view(spark, f"{base}/index")
+    return _IVF_LIVE_CACHE[key]
+
+
+def _build_ivf_live_artifact(
+    spark: SparkSession, sf_dir: str, base: str
+) -> None:
+    """POSIX-local oracle-artifact harness (same contract as the other
+    stream builders)."""
+    import glob
+    import shutil
+
+    import numpy as np
+
+    from comet_spark.storage.store import DocumentStore
+    from comet_spark.streaming.ingest import ivf_ingest_stream, ivf_serving_view
+
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(base, exist_ok=True)
+    src, ckpt = f"{base}/src", f"{base}/ckpt"
+    store_path, index_base = f"{base}/store", f"{base}/index"
+    emb = _t(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("id"),
+        F.col("embedding").cast("array<double>").alias("vector"),
+    )
+    res = lambda m: F.col("id") % _IVF_LIVE_MOD == m  # noqa: E731
+
+    def _add(df: DataFrame) -> None:
+        df.repartition(1).write.mode("append").parquet(src)
+
+    def _drain() -> None:
+        q = ivf_ingest_stream(
+            spark.readStream.schema("id bigint, vector array<double>")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src),
+            DocumentStore(spark, store_path, id_col="id"),
+            index_base, checkpoint=ckpt, nlist=8,
+            refresh_every=_IVF_LIVE_REFRESH_AT,
+        )
+        if not q.awaitTermination(600):
+            q.stop()
+            raise RuntimeError("ivf_live artifact: stream did not drain")
+
+    def _serving_ids(layout: DataFrame) -> DataFrame:
+        return layout.select("id")
+
+    with _scoped_shuffle_partitions(spark):
+        for i in range(3):
+            _add(emb.filter(res(i)))
+        _drain()  # batch 0 boots v0, batch 1 tails, batch 2 REFRESHES → v2
+        full2 = f"{index_base}/full_v{_IVF_LIVE_REFRESH_AT}"
+        with open(f"{index_base}/CURRENT") as fh:
+            cur = int(fh.read().strip())
+        if cur != _IVF_LIVE_REFRESH_AT:
+            raise RuntimeError(
+                f"ivf_live artifact: CURRENT={cur} after first drain "
+                f"(want {_IVF_LIVE_REFRESH_AT}) — the layout swap did not "
+                "precede the crash"
+            )
+        before_files = set(glob.glob(f"{full2}/layout.parquet/*/*.parquet"))
+        ivf_mid, layout_mid = ivf_serving_view(spark, index_base)
+        cents_mid = np.array(ivf_mid.centroids)
+        # mid-read non-vacuity: the pointer-committed view holds exactly
+        # the fed residues {0,1,2}, each id once
+        fed = emb.filter(res(0) | res(1) | res(2)).select("id")
+        n_fed, n_mid = fed.count(), _serving_ids(layout_mid).count()
+        n_match = _serving_ids(layout_mid).join(fed, "id").count()
+        if not (0 < n_fed == n_mid == n_match):
+            raise RuntimeError(
+                f"ivf_live artifact: mid serving view drifted "
+                f"(fed={n_fed} mid={n_mid} matched={n_match})"
+            )
+        _lose_latest_commit(ckpt)  # crash BETWEEN swap and commit
+        _add(emb.filter(res(3)))
+        _drain()  # batch 2 replays (re-refresh, re-swap), batch 3 tails
+    # the replay REWROTE the full layout (fresh part files) ...
+    after_files = set(glob.glob(f"{full2}/layout.parquet/*/*.parquet"))
+    if not before_files or before_files == after_files:
+        raise RuntimeError(
+            "ivf_live artifact: full_v2 layout was not rewritten — the "
+            "injected crash did not engage the refresh replay"
+        )
+    # ... and the retrain over the deduped merged view CONVERGED: the
+    # re-swapped centroids are byte-identical to the pre-crash ones
+    ivf, layout = ivf_serving_view(spark, index_base)
+    if not np.array_equal(np.array(ivf.centroids), cents_mid):
+        raise RuntimeError(
+            "ivf_live artifact: replayed refresh diverged — centroids "
+            "changed across the crash-replay"
+        )
+    # final serving view = every fed id exactly once (tail batch=3
+    # joined the view; the duplicate store segment stayed hidden)
+    n_src, n_srv = emb.count(), _serving_ids(layout).count()
+    n_match = _serving_ids(layout).join(emb.select("id"), "id").count()
+    if not (0 < n_src == n_srv == n_match):
+        raise RuntimeError(
+            f"ivf_live artifact: final serving view drifted "
+            f"(src={n_src} serving={n_srv} matched={n_match})"
+        )
+    n_seg = DocumentStore(spark, store_path, id_col="id")._segments().select(
+        "segment"
+    ).distinct().count()
+    if n_seg != 5:
+        raise RuntimeError(
+            f"ivf_live artifact: {n_seg} segments for 4 fed batches "
+            "(want 5) — the crash-replay duplicate did not land"
+        )
+    qvec = _hybrid_qvec(spark, sf_dir)
+    _write_rows(
+        spark, f"{base}/probes_q2.parquet",
+        [(int(c),) for c in ivf.probe_lists(np.asarray(qvec), 2)],
+        "cluster_id bigint",
+    )
+
+
+def _ivf_live_refresh_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ivf, layout = _ivf_live(spark, sf_dir)
+    res = ivf.search(layout, _hybrid_qvec(spark, sf_dir), k=K, nprobe=2)
+    return res.select(F.col("id").alias("vec_id"), "score")
+
+
+_register(
+    "ivf_live_refresh_knn",
+    _ivf_live_refresh_knn,
+    f"""
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = {QUERY_VEC_ID}),
+a AS (SELECT id, cluster_id
+      FROM read_parquet('{_ART01}/ivf_live/index/full_v{_IVF_LIVE_REFRESH_AT}/layout.parquet/**/*.parquet', hive_partitioning=1)
+      UNION ALL
+      SELECT id, cluster_id
+      FROM read_parquet('{_ART01}/ivf_live/index/tail/batch={_IVF_LIVE_MOD - 1}/**/*.parquet', hive_partitioning=1)),
+e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+p AS (SELECT cluster_id FROM read_parquet('{_ART01}/ivf_live/probes_q2.parquet/*.parquet')),
+vd AS (SELECT a.id AS vec_id, ROUND({_sql_l2('e.v', 'q.qv')}, 6) AS score
+       FROM a JOIN p USING (cluster_id) JOIN e USING (id), q)
+SELECT vec_id, score FROM vd ORDER BY score, vec_id LIMIT {K}
+""",
+)
+
+
 # ★ EXACT dedup on the stream under the oracle gate — the last
 # streaming operator that was pytest-only: ``dedup_stream``
 # (dropDuplicatesWithinWatermark on the content hash, the

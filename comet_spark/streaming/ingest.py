@@ -18,6 +18,8 @@ from comet_spark.storage.store import DocumentStore
 
 __all__ = [
     "stream_into_store",
+    "ivf_ingest_stream",
+    "ivf_serving_view",
     "bm25_ingest",
     "bm25_ingest_stream",
     "windowed_event_counts",
@@ -126,6 +128,152 @@ def stream_into_store(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def _ivf_current(fs, index_base: str) -> int | None:
+    """The committed serving version, or None before the first train.
+    ``CURRENT`` is written atomically (side file + rename), so it can
+    never be read torn — only present-and-complete or absent."""
+    path = f"{index_base}/CURRENT"
+    if not fs.exists(path):
+        return None
+    return int(fs.read_text(path).strip())
+
+
+def ivf_ingest_stream(
+    stream: DataFrame,
+    store: DocumentStore,
+    index_base: str,
+    *,
+    checkpoint: str,
+    nlist: int = 8,
+    refresh_every: int = 0,
+    id_col: str = "id",
+    vec_col: str = "vector",
+    metric: str = "l2",
+    trigger_available_now: bool = True,
+) -> StreamingQuery:
+    """STREAM-WIRED ANN maintenance: the vector twin of
+    :func:`bm25_ingest_stream` — the IVF serving layout stays searchable
+    as segments flush, the reference's always-searchable persistent
+    index (``storage.go:233-250``: Add lands in the memtable and is
+    immediately visible to Search; ``ivf_index.go:206-235`` re-runs
+    Train when the corpus drifts). Per micro-batch, ``foreachBatch``:
+
+    1. appends the batch as one store segment (the durable corpus);
+    2. on the FIRST batch ever (no ``CURRENT`` pointer) — or every
+       ``refresh_every`` batches when set — RETRAINS the centroids on
+       the store's newest-wins merged view (data-fed-so-far), writes the
+       full re-assigned layout + centroids under a VERSIONED directory
+       ``full_v{batch_id}``, and atomically swaps the ``CURRENT``
+       pointer (side-file + rename) to it;
+    3. otherwise assigns ONLY the batch's vectors with the current
+       centroids and overwrites its own tail partition
+       ``tail/batch={batch_id}`` (partitioned by ``cluster_id``).
+
+    Readers (:func:`ivf_serving_view`) serve ``full_v{CURRENT}`` plus
+    the ``_SUCCESS``-committed tail batches NEWER than ``CURRENT`` —
+    every component is partition-pruned by ``cluster_id``, so serving
+    cost matches the batch-built layout.
+
+    Crash/replay convergence, by construction (Spark replays at most
+    the latest uncommitted batch, under the same batch_id):
+    - a replayed TAIL batch re-appends a duplicate store segment
+      (hidden by newest-wins) and OVERWRITES its own ``tail/batch=N``
+      dir — idempotent, and a torn tail dir (no ``_SUCCESS``) is
+      excluded from serving until the replay rewrites it;
+    - a replayed REFRESH batch retrains on the merged view — which
+      dedups the replay's duplicate segment, so the corpus is
+      IDENTICAL, the (deterministic) training converges to the same
+      centroids, the rewrite lands in the same ``full_v{N}`` dir, and
+      the pointer re-swap is a no-op. A crash BETWEEN the layout swap
+      and the checkpoint commit therefore heals with no reader-visible
+      wobble: readers saw the new version before the crash and see the
+      byte-identical rewrite after it.
+
+    Contract: ids must be FRESH per batch (the reference's Add); route
+    upsert/delete streams through the merged-view retrain path
+    (``stream_into_store`` + post-drain ``IVFIndex.train``) or pair
+    reads with ``exclude_ids``. Like every store stream, this stream is
+    the single writer of the store and the index base."""
+    from comet_spark.operators.ann import IVFIndex
+    from comet_spark.storage.store import _FS
+
+    first = [True]
+
+    def write_batch(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        spark = batch.sparkSession
+        fs = _FS(spark, index_base)
+        if first[0]:
+            store.force_unlock()
+            first[0] = False
+        store.append(batch)
+        cur = _ivf_current(fs, index_base)
+        if cur is None or (
+            refresh_every and batch_id > 0 and batch_id % refresh_every == 0
+        ):
+            merged = store.read()
+            ivf = IVFIndex.train(
+                merged, nlist, id_col=id_col, vec_col=vec_col, metric=metric
+            )
+            full = f"{index_base}/full_v{batch_id}"
+            ivf.write(
+                ivf.assign(merged, id_col=id_col, vec_col=vec_col),
+                f"{full}/layout.parquet",
+            )
+            ivf.save(spark, full)
+            fs.write_text(f"{index_base}/CURRENT", str(batch_id))
+        else:
+            ivf = IVFIndex.load(spark, f"{index_base}/full_v{cur}")
+            ivf.assign(batch, id_col=id_col, vec_col=vec_col).repartition(
+                "cluster_id"
+            ).write.mode("overwrite").partitionBy("cluster_id").parquet(
+                f"{index_base}/tail/batch={batch_id}"
+            )
+
+    writer = stream.writeStream.foreachBatch(write_batch).option(
+        "checkpointLocation", checkpoint
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def ivf_serving_view(spark, index_base: str):
+    """(IVFIndex, layout DataFrame) over the stream-maintained index:
+    ``full_v{CURRENT}`` plus every ``_SUCCESS``-committed tail batch
+    NEWER than ``CURRENT``. Tail dirs without ``_SUCCESS`` are torn
+    mid-write leftovers the stream will overwrite on replay — serving
+    them would read half a batch. Every component is a parquet read
+    partitioned by ``cluster_id``, so an ``isin(probes)`` filter prunes
+    each via PartitionFilters."""
+    from comet_spark.operators.ann import IVFIndex
+    from comet_spark.storage.store import _FS
+
+    fs = _FS(spark, index_base)
+    cur = _ivf_current(fs, index_base)
+    if cur is None:
+        raise FileNotFoundError(
+            f"ivf_serving_view: no CURRENT pointer under {index_base} — "
+            "the stream has not committed a serving version yet"
+        )
+    ivf = IVFIndex.load(spark, f"{index_base}/full_v{cur}")
+    layout = spark.read.parquet(f"{index_base}/full_v{cur}/layout.parquet")
+    tail_root = f"{index_base}/tail"
+    live = sorted(
+        n for n in fs.listdir(tail_root)
+        if n.startswith("batch=")
+        and int(n.split("=", 1)[1]) > cur
+        and fs.exists(f"{tail_root}/{n}/_SUCCESS")
+    )
+    if live:
+        tail = spark.read.option("basePath", tail_root).parquet(
+            *[f"{tail_root}/{n}" for n in live]
+        )
+        layout = layout.unionByName(tail.select(layout.columns))
+    return ivf, layout
 
 
 def bm25_ingest(

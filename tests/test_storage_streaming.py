@@ -2339,3 +2339,43 @@ def test_fresh_stream_artifact_probe_paths_route_rebuild(spark, tmp_path):
     shutil.rmtree(probe)  # the partial cleanup: probe gone, out intact
     call()
     assert builds == [1, 1], "missing probe component must force rebuild"
+
+
+def test_ivf_serving_view_gates_torn_tail_dirs(spark, tmp_path):
+    """The serving view unions full_v{CURRENT} with tail batches NEWER
+    than CURRENT — but only _SUCCESS-committed ones: a torn tail dir
+    (crash mid-write, no _SUCCESS) must be EXCLUDED until the stream's
+    replay rewrites it, and stale tail batches at-or-below CURRENT are
+    already folded into the full layout."""
+    import os
+
+    from comet_spark.operators.ann import IVFIndex
+    from comet_spark.streaming.ingest import ivf_serving_view
+
+    base = str(tmp_path / "index")
+    with pytest.raises(FileNotFoundError, match="CURRENT"):
+        ivf_serving_view(spark, base)
+
+    vecs = [(i, [float(i), float(i % 3)]) for i in range(12)]
+    df = spark.createDataFrame(vecs, "id bigint, vector array<double>")
+    ivf = IVFIndex.train(df, 2)
+    full = f"{base}/full_v2"
+    ivf.write(ivf.assign(df.filter("id < 6")), f"{full}/layout.parquet")
+    ivf.save(spark, full)
+    os.makedirs(base, exist_ok=True)
+    with open(f"{base}/CURRENT", "w") as fh:
+        fh.write("2")
+
+    def tail(bid, pred):
+        ivf.assign(df.filter(pred)).repartition("cluster_id").write.mode(
+            "overwrite"
+        ).partitionBy("cluster_id").parquet(f"{base}/tail/batch={bid}")
+
+    tail(1, "id >= 6 and id < 8")   # stale: folded into full_v2 already
+    tail(3, "id >= 6 and id < 9")   # committed, newer than CURRENT
+    tail(4, "id >= 9")              # newer, then torn: drop _SUCCESS
+    os.remove(f"{base}/tail/batch=4/_SUCCESS")
+
+    _, layout = ivf_serving_view(spark, base)
+    got = sorted(r["id"] for r in layout.select("id").collect())
+    assert got == list(range(9)), got  # full(0-5) + batch3(6-8); 4 torn
