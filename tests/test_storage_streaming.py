@@ -2379,3 +2379,31 @@ def test_ivf_serving_view_gates_torn_tail_dirs(spark, tmp_path):
     _, layout = ivf_serving_view(spark, base)
     got = sorted(r["id"] for r in layout.select("id").collect())
     assert got == list(range(9)), got  # full(0-5) + batch3(6-8); 4 torn
+
+
+def test_store_reader_vs_compact_swap_race_fails_loud_then_rereads(
+    spark, store
+):
+    """The reader-vs-compaction race (VERDICT r10 #2): a DataFrame held
+    over ``store.read()`` resolves its parquet file listing at plan
+    time; ``compact()`` (full or tiered — same two-rename swap)
+    replaces those files. Executing the STALE plan afterwards must fail
+    LOUDLY (FAILED_READ_FILE / FileNotFound — never a silent partial or
+    empty answer), and a fresh ``store.read()`` — which re-lists — must
+    serve the exact compacted corpus. This is the store's documented
+    reader contract (SCALE.md): loud-fail-then-reread, the same
+    exposure model the deletes migration states inline; retries are
+    correct because every swap is all-or-nothing (journal-healed), so a
+    re-listed reader can never observe half a compact."""
+    for i in range(3):
+        store.append(
+            _batch(spark, [(i * 10 + j, f"v{i}") for j in range(5)])
+        )
+    held = store.read()
+    assert held.count() == 15  # plan resolved against pre-compact files
+    store.compact()
+    with pytest.raises(Exception, match="(?i)file.*(not exist|notfound)"):
+        held.collect()
+    fresh = store.read()
+    got = sorted(r["id"] for r in fresh.collect())
+    assert got == sorted(i * 10 + j for i in range(3) for j in range(5))
