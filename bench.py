@@ -105,6 +105,11 @@ def main() -> None:
     pinned_names = [
         "knn_batch100", "lsm_merge_bm25", "minhash_lsh_pairs",
         "hybrid_ivfpq_rrf", "range_join_recent_orders",
+        # r11 watch item (VERDICT r10 "What's wrong" #3): read 1.45× in
+        # the judge's same-host A/B with no code change on its path —
+        # pinned for one round to get an N=5 warm floor; if the ratio
+        # reproduces same-host, profile the delete-leg broadcasts
+        "hybrid_delete_rrf",
     ]
     pinned_passes = int(os.environ.get("SPARK_GRAFT_PINNED_PASSES", "5"))
     qmap = entry_mod.queries()

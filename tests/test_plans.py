@@ -466,3 +466,34 @@ def test_ivf_stream_layout_partition_pruning(spark):
         assert "PartitionFilters:" in after_scan, (name, plan)
         pf = after_scan.split("PartitionFilters:", 1)[1][:200]
         assert "cluster_id" in pf and "IN" in pf.upper(), (name, pf)
+
+
+def test_ivf_live_serving_view_partition_pruning(spark):
+    """The stream-MAINTAINED serving view (r11: full_v{CURRENT} ∪
+    committed tail batches) must prune every component by cluster_id:
+    the probe set lands as PartitionFilters on BOTH the full layout
+    scan and the tail scan — maintenance-under-ingest changes nothing
+    about the serving plan."""
+    df = entry_mod.queries()["ivf_live_refresh_knn"](spark, SF_DIR_SMALL)
+    plan = _plan(df)
+    assert "ivf_live/index" in plan, plan
+    scans = [
+        seg for seg in plan.split("Location:")[1:]
+        if "ivf_live/index" in seg.splitlines()[0]
+    ]
+    assert len(scans) >= 2, plan  # full layout + at least one tail batch
+    for seg in scans:
+        assert "PartitionFilters:" in seg, (seg[:400],)
+        pf = seg.split("PartitionFilters:", 1)[1][:200]
+        assert "cluster_id" in pf and "IN" in pf.upper(), pf
+
+
+def test_store_live_read_final_phase_is_codegen_topk(spark):
+    """store_live_read_knn's 'final' phase is served LIVE off the
+    merged view: the plan must keep the flat-scan shape — rank-limit
+    pushdown (partial WindowGroupLimit before the exchange) for the
+    top-k, distance in codegen, no Python anywhere."""
+    df = entry_mod.queries()["store_live_read_knn"](spark, SF_DIR_SMALL)
+    plan = _plan(df)
+    assert "WindowGroupLimit" in plan and ", Partial" in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
