@@ -146,7 +146,7 @@ def _corpus_sig(sf_dir: str, table: str) -> str:
 
 def _fresh_bm25_artifact(
     spark: SparkSession, sf_dir: str, base: str, build_fn,
-    read_path: str | None = None,
+    read_path: str | None = None, probe_paths: list[str] | None = None,
 ) -> BM25:
     """Corpus-signature-gated build-once scaffold shared by EVERY BM25
     artifact builder (plain, appended, compacted, deleted, stream-built):
@@ -172,6 +172,11 @@ def _fresh_bm25_artifact(
         ix = BM25.read(spark, read_path)
         ix.stats.first()
         ix.postings.first()
+        # sibling components the caller serves from (e.g. a mid-stream
+        # snapshot) gate freshness too — a partially-cleaned artifact
+        # routes into one rebuild, not per-query failures
+        for p in probe_paths or []:
+            spark.read.parquet(p).first()
     except Exception:
         build_fn()
         ix = BM25.read(spark, read_path)
@@ -708,6 +713,7 @@ def _lose_latest_commit(ckpt: str) -> None:
 def _drive_bm25_stream_crash(
     spark: SparkSession, *, src: str, ckpt: str, index_path: str,
     drain, feed_before: list, feed_after: list, replayed_bid: int,
+    between_drains=None,
 ) -> None:
     """Shared crash-drive for the bm25 stream-built artifacts (the
     insert-only and the delete-marker builders — one copy, so the
@@ -733,6 +739,10 @@ def _drive_bm25_stream_crash(
         drain()
         _lose_latest_commit(ckpt)
         shutil.rmtree(f"{index_path}/_ingest_state", ignore_errors=True)
+        if between_drains is not None:
+            # the caller's mid-stream leg runs AFTER the injected crash:
+            # a reader here sees the post-crash, pre-replay index state
+            between_drains()
         for df in feed_after:
             _add(df)
         drain()
@@ -811,6 +821,123 @@ _register(
     _bm25_stream_score,
     f"WITH {_sql_bm25_ctes()}, {_sql_bm25_score(BM25_QUERY)} "
     f"SELECT id AS doc_id, ROUND(score, 6) AS score FROM sc ORDER BY score DESC, id LIMIT {K}",
+)
+
+
+# ★ SEARCH WHILE STREAMING, TEXT MODALITY (r11 — the text twin of
+# store_live_read_knn; reference: `hybrid_search_index` under
+# concurrent Add in the `-race` suite, readers fan out over segments
+# while the writer flushes, storage.go:489-629): BM25 is scored over
+# the STREAM-BUILT index BETWEEN the drains — after the injected hard
+# crash (lost commit + state log deleted), so the mid-read serves the
+# post-crash, pre-replay index whose latest batch committed its
+# postings but not its checkpoint. The mid answer is captured during
+# the drive; the oracle recomputes it as BM25 SQL over data-fed-so-far
+# (residues {0,1} of doc_id % 4) with the per-subset statistics
+# (df/n_docs/avgdl over the fed corpus ONLY — a reader that mixed in
+# unfed docs' stats would shift every score). 'final' is scored LIVE
+# off the finished index at query time.
+_BM25_LIVE_CACHE: dict[tuple[str, str], BM25] = {}
+
+
+def _bm25_live_index(spark: SparkSession, sf_dir: str) -> BM25:
+    key = (_skey(spark), sf_dir)
+    if key not in _BM25_LIVE_CACHE:
+        import shutil
+
+        from comet_spark.storage.store import DocumentStore
+        from comet_spark.streaming.ingest import bm25_ingest_stream
+
+        base = f"{_art_dir(sf_dir)}/bm25_live"
+        index_path = f"{base}/index"
+
+        def build() -> None:
+            # POSIX-local oracle-artifact harness (same contract as the
+            # other stream builders)
+            shutil.rmtree(base, ignore_errors=True)
+            os.makedirs(base, exist_ok=True)
+            src, ckpt = f"{base}/src", f"{base}/ckpt"
+            docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+            store = DocumentStore(spark, f"{base}/store", id_col="doc_id")
+
+            def _drain() -> None:
+                q = bm25_ingest_stream(
+                    spark.readStream.schema("doc_id bigint, text string")
+                    .option("maxFilesPerTrigger", "1")
+                    .parquet(src),
+                    store, index_path, checkpoint=ckpt,
+                    id_col="doc_id", text_col="text", buckets=_BM25_BUCKETS,
+                    tiered_compact_every=2,
+                )
+                if not q.awaitTermination(600):
+                    q.stop()
+                    raise RuntimeError(
+                        "bm25_live artifact: stream did not drain"
+                    )
+
+            res = lambda m: docs.filter(F.col("doc_id") % _STREAM_MOD == m)  # noqa: E731
+
+            def _mid_read() -> None:
+                # THE MID-STREAM READ: score the live index between the
+                # drains; it must hold exactly the fed residues {0,1}
+                bm = BM25.read(spark, index_path)
+                n_fed = docs.filter(F.col("doc_id") % _STREAM_MOD <= 1).count()
+                n_idx = bm.doc_len.count()
+                if not (0 < n_idx == n_fed < docs.count()):
+                    raise RuntimeError(
+                        f"bm25_live artifact: mid-read index holds "
+                        f"{n_idx} docs (fed {n_fed}) — not mid-stream"
+                    )
+                bm.score(BM25_QUERY, k=K).select(
+                    F.lit("mid").alias("phase"),
+                    F.col("id").alias("doc_id"), "score",
+                ).repartition(1).write.mode("overwrite").parquet(
+                    f"{base}/mid.parquet"
+                )
+
+            _drive_bm25_stream_crash(
+                spark, src=src, ckpt=ckpt, index_path=index_path,
+                drain=_drain,
+                feed_before=[res(m) for m in range(2)],
+                feed_after=[res(m) for m in range(2, _STREAM_MOD)],
+                replayed_bid=1, between_drains=_mid_read,
+            )
+
+        _BM25_LIVE_CACHE[key] = _fresh_bm25_artifact(
+            spark, sf_dir, base, build, read_path=index_path,
+            probe_paths=[f"{base}/mid.parquet"],
+        )
+    return _BM25_LIVE_CACHE[key]
+
+
+def _bm25_live_read_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bm = _bm25_live_index(spark, sf_dir)
+    base = f"{_art_dir(sf_dir)}/bm25_live"
+    mid = spark.read.parquet(f"{base}/mid.parquet").select(
+        "phase", "doc_id", "score"
+    )
+    fin = bm.score(BM25_QUERY, k=K).select(
+        F.lit("final").alias("phase"), F.col("id").alias("doc_id"), "score"
+    )
+    return mid.unionByName(fin)
+
+
+_register(
+    "bm25_live_read_score",
+    _bm25_live_read_score,
+    f"""
+SELECT * FROM (
+  WITH {_sql_bm25_ctes(f"doc_id % {_STREAM_MOD} <= 1").strip().rstrip(',')},
+  {_sql_bm25_score(BM25_QUERY).strip().rstrip(',')}
+  SELECT 'mid' AS phase, id AS doc_id, ROUND(score, 6) AS score FROM sc
+  ORDER BY score DESC, id LIMIT {K})
+UNION ALL
+SELECT * FROM (
+  WITH {_sql_bm25_ctes().strip().rstrip(',')},
+  {_sql_bm25_score(BM25_QUERY).strip().rstrip(',')}
+  SELECT 'final' AS phase, id AS doc_id, ROUND(score, 6) AS score FROM sc
+  ORDER BY score DESC, id LIMIT {K})
+""",
 )
 
 
