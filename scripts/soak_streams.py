@@ -42,6 +42,12 @@ STREAM_GATES = [
     ("store_stream_upsert", "store_stream"),
     ("store_stream_delete", "store_stream_delete"),
     ("ivf_stream_knn", "ivf_stream"),
+    # r11: search-while-streaming (both modalities), stream-wired ANN
+    # maintenance, metadata CRUD via the stream
+    ("store_live_read_knn", "store_live_read"),
+    ("bm25_live_read_score", "bm25_live"),
+    ("ivf_live_refresh_knn", "ivf_live"),
+    ("meta_crud_stream_filter", "meta_crud_stream"),
 ]
 
 
@@ -95,6 +101,9 @@ def main() -> None:
             shutil.rmtree(f"{art_root}/{art}", ignore_errors=True)
             entry._STREAM_ART_BUILT.clear()
             entry._IVF_STREAM_CACHE.clear()
+            entry._IVF_LIVE_CACHE.clear()
+            entry._BM25_LIVE_CACHE.clear()
+            entry._CRUD_BM25_CACHE.clear()
             t0 = time.perf_counter()
             n = len(qs[name](spark, sf_dir).collect())
             dt = round(time.perf_counter() - t0, 2)
