@@ -4841,6 +4841,7 @@ _STREAM_ART_BUILT: set[tuple[str, str, str]] = {*()}
 def _fresh_stream_artifact(
     spark: SparkSession, sf_dir: str, base: str, out: str, build_fn,
     *, table: str = "documents", probe_paths: list[str] | None = None,
+    probe_files: list[str] | None = None,
 ) -> DataFrame:
     """Corpus-signature-gated build-once scaffold shared by the
     STREAM-BUILT artifacts — the ``_fresh_bm25_artifact`` pattern with a
@@ -4854,8 +4855,10 @@ def _fresh_stream_artifact(
     ``probe_paths``: additional parquet components the caller serves
     from (e.g. the CRUD gate's sibling STORE) — a partially-cleaned
     artifact (component gone, ``out`` intact) must route into the
-    rebuild, not into per-query failures. Returns the raw artifact read
-    (callers apply their own select — partition col ``batch`` is
+    rebuild, not into per-query failures. ``probe_files``: non-parquet
+    components checked by plain existence (version markers — these
+    artifacts are POSIX-local by contract). Returns the raw artifact
+    read (callers apply their own select — partition col ``batch`` is
     discoverable)."""
     key = (_skey(spark), sf_dir, base)
     if key not in _STREAM_ART_BUILT:
@@ -4868,6 +4871,9 @@ def _fresh_stream_artifact(
                 spark.read.parquet(out).first()  # artifact probes healthy
                 for p in probe_paths or []:
                     spark.read.parquet(p).first()
+                for p in probe_files or []:
+                    if not os.path.exists(p):
+                        raise FileNotFoundError(p)
         except Exception:
             fresh = False
         if not fresh:
@@ -6618,18 +6624,21 @@ WHERE (lang = 'zz' AND n_chars > {_META_CRUD_NC_BUMP + 250})
 # (``storage.go:233-250``; ``ivf_index.go:206-235`` Train-on-drift).
 # Batch 0 boots the first version, batches append _SUCCESS-committed
 # tail partitions, batch 2 REFRESHES (retrain on data-fed-so-far →
-# versioned full layout → atomic CURRENT pointer swap) — and the
-# injected crash lands exactly BETWEEN that layout swap and the
-# checkpoint commit, so the restart replays the refresh batch itself:
-# the retrain over the newest-wins merged view (which hides the
-# replay's duplicate store segment) must converge to byte-identical
-# centroids and a re-swap that no reader can observe. The builder
-# asserts the swap preceded the crash, the replay REWROTE the full
-# layout, the centroids converged exactly, and the final serving view
-# (full_v2 + tail batch=3) holds every fed id exactly once; a MID-READ
-# between the drains queries the pointer-committed view (search-while-
-# streaming on the maintained index). Oracle = the pruned scan over
-# the two exported serving components with vectors from the source.
+# versioned full layout → atomic version-marker commit) — and the
+# injected crash lands exactly BETWEEN that commit and the checkpoint
+# commit, so the restart re-delivers the refresh batch: the marker is
+# its done-record, so the replay must SKIP — a committed version dir
+# is immutable once a reader can be pointed at it (an in-place rewrite
+# 'converging to the same bytes' still passes through an empty dir
+# under a concurrent reader). The builder asserts the version commit
+# preceded the crash, the layout file set is BYTE-IDENTICAL across the
+# replay, the skip journal proves the batch was re-delivered, the
+# centroids are unchanged, no duplicate segment landed (the marker
+# proves the append committed), and the final serving view (full_v2 +
+# tail batch=3) holds every fed id exactly once; a MID-READ between
+# the drains queries the committed view (search-while-streaming on the
+# maintained index). Oracle = the pruned scan over the two exported
+# serving components with vectors from the source.
 _IVF_LIVE_MOD = 4
 _IVF_LIVE_REFRESH_AT = 2
 _IVF_LIVE_CACHE: dict[tuple[str, str], tuple] = {}
@@ -6641,12 +6650,22 @@ def _ivf_live(spark: SparkSession, sf_dir: str):
     key = (_skey(spark), sf_dir)
     if key not in _IVF_LIVE_CACHE:
         base = f"{_art_dir(sf_dir)}/ivf_live"
+        full = f"{base}/index/full_v{_IVF_LIVE_REFRESH_AT}"
         _fresh_stream_artifact(
-            spark, sf_dir, base,
-            f"{base}/index/full_v{_IVF_LIVE_REFRESH_AT}/layout.parquet",
+            spark, sf_dir, base, f"{full}/layout.parquet",
             lambda: _build_ivf_live_artifact(spark, sf_dir, base),
             table="embeddings",
-            probe_paths=[f"{base}/index/tail/batch={_IVF_LIVE_MOD - 1}"],
+            # EVERY component the serving path and the oracle read
+            # (review r11): a partial cleanup of any one must route
+            # into the rebuild, not per-query failures
+            probe_paths=[
+                f"{full}/centroids.parquet", f"{full}/meta.parquet",
+                f"{base}/index/tail/batch={_IVF_LIVE_MOD - 1}",
+                f"{base}/probes_q2.parquet",
+            ],
+            probe_files=[
+                f"{base}/index/_versions/{_IVF_LIVE_REFRESH_AT}",
+            ],
         )
         _IVF_LIVE_CACHE[key] = ivf_serving_view(spark, f"{base}/index")
     return _IVF_LIVE_CACHE[key]
@@ -6699,8 +6718,10 @@ def _build_ivf_live_artifact(
             _add(emb.filter(res(i)))
         _drain()  # batch 0 boots v0, batch 1 tails, batch 2 REFRESHES → v2
         full2 = f"{index_base}/full_v{_IVF_LIVE_REFRESH_AT}"
-        with open(f"{index_base}/CURRENT") as fh:
-            cur = int(fh.read().strip())
+        from comet_spark.storage.store import _FS
+        from comet_spark.streaming.ingest import _ivf_current
+
+        cur = _ivf_current(_FS(spark, index_base), index_base)
         if cur != _IVF_LIVE_REFRESH_AT:
             raise RuntimeError(
                 f"ivf_live artifact: CURRENT={cur} after first drain "
@@ -6722,24 +6743,33 @@ def _build_ivf_live_artifact(
             )
         _lose_latest_commit(ckpt)  # crash BETWEEN swap and commit
         _add(emb.filter(res(3)))
-        _drain()  # batch 2 replays (re-refresh, re-swap), batch 3 tails
-    # the replay REWROTE the full layout (fresh part files) ...
+        _drain()  # batch 2 replays → SKIPS (marker = done), batch 3 tails
+    # the replayed refresh must have SKIPPED, not rewritten: a committed
+    # version dir is immutable from the moment a reader can be pointed
+    # at it (an in-place rewrite — even one converging to the same
+    # bytes — passes through an empty directory under a concurrent
+    # reader). Byte-identical file set = the reader-safety property.
     after_files = set(glob.glob(f"{full2}/layout.parquet/*/*.parquet"))
-    if not before_files or before_files == after_files:
+    if not before_files or before_files != after_files:
         raise RuntimeError(
-            "ivf_live artifact: full_v2 layout was not rewritten — the "
-            "injected crash did not engage the refresh replay"
+            "ivf_live artifact: full_v2 layout changed across the "
+            "crash-replay — the committed version dir was mutated"
         )
-    # ... and the retrain over the deduped merged view CONVERGED: the
-    # re-swapped centroids are byte-identical to the pre-crash ones
+    # ... and the replay ENGAGED: the skip journal records that batch 2
+    # was re-delivered and recognized as committed
+    if not os.path.exists(f"{index_base}/_skips/{_IVF_LIVE_REFRESH_AT}"):
+        raise RuntimeError(
+            "ivf_live artifact: no skip journal for the refresh batch — "
+            "the injected crash did not engage the replay"
+        )
     ivf, layout = ivf_serving_view(spark, index_base)
     if not np.array_equal(np.array(ivf.centroids), cents_mid):
         raise RuntimeError(
-            "ivf_live artifact: replayed refresh diverged — centroids "
-            "changed across the crash-replay"
+            "ivf_live artifact: centroids changed across the crash-"
+            "replay — the skipped refresh was not a true no-op"
         )
     # final serving view = every fed id exactly once (tail batch=3
-    # joined the view; the duplicate store segment stayed hidden)
+    # joined the view)
     n_src, n_srv = emb.count(), _serving_ids(layout).count()
     n_match = _serving_ids(layout).join(emb.select("id"), "id").count()
     if not (0 < n_src == n_srv == n_match):
@@ -6747,13 +6777,15 @@ def _build_ivf_live_artifact(
             f"ivf_live artifact: final serving view drifted "
             f"(src={n_src} serving={n_srv} matched={n_match})"
         )
+    # 4 segments for 4 fed batches: the skip rule means the replayed
+    # refresh does NOT re-append (its marker proves the append landed)
     n_seg = DocumentStore(spark, store_path, id_col="id")._segments().select(
         "segment"
     ).distinct().count()
-    if n_seg != 5:
+    if n_seg != 4:
         raise RuntimeError(
             f"ivf_live artifact: {n_seg} segments for 4 fed batches "
-            "(want 5) — the crash-replay duplicate did not land"
+            "(want 4) — the committed-refresh skip did not hold"
         )
     qvec = _hybrid_qvec(spark, sf_dir)
     _write_rows(

@@ -95,7 +95,8 @@ def main() -> None:
         print(f"WARN frozen subset unreadable: {ex}", file=sys.stderr)
 
     # dedicated pinned measurement for the headline queries (the 5 most
-    # expensive in the suite): min-of-2 made the cross-round JSON key on
+    # expensive in the suite, plus any round's drift-watch pins — see
+    # the per-name comments below): min-of-2 made the cross-round JSON key on
     # the noisiest number in the suite (knn_batch100 swung 3× between
     # rounds on byte-identical code — r07 postmortem). An N-pass min at
     # the end of the run converges to the true serving floor, so the

@@ -131,13 +131,20 @@ def stream_into_store(
 
 
 def _ivf_current(fs, index_base: str) -> int | None:
-    """The committed serving version, or None before the first train.
-    ``CURRENT`` is written atomically (side file + rename), so it can
-    never be read torn — only present-and-complete or absent."""
-    path = f"{index_base}/CURRENT"
-    if not fs.exists(path):
-        return None
-    return int(fs.read_text(path).strip())
+    """The committed serving version = the MAX marker under
+    ``_versions/``, or None before the first train commits. Version
+    commits are marker-FILE creations (monotone, never deleted, max
+    wins) rather than a rewritten pointer file: a pointer rewrite —
+    even an 'atomic' side-file + rename — passes through a
+    deleted-before-renamed window where a concurrent reader finds no
+    pointer at all and misdiagnoses a long-serving index as never
+    committed (review r11). Marker creation has no such window, and a
+    marker's presence doubles as the refresh batch's done-record for
+    crash-replay skip."""
+    vers = [
+        int(n) for n in fs.listdir(f"{index_base}/_versions") if n.isdigit()
+    ]
+    return max(vers) if vers else None
 
 
 def ivf_ingest_stream(
@@ -161,20 +168,22 @@ def ivf_ingest_stream(
     Train when the corpus drifts). Per micro-batch, ``foreachBatch``:
 
     1. appends the batch as one store segment (the durable corpus);
-    2. on the FIRST batch ever (no ``CURRENT`` pointer) — or every
+    2. on the FIRST batch ever (no committed version yet) — or every
        ``refresh_every`` batches when set — RETRAINS the centroids on
        the store's newest-wins merged view (data-fed-so-far), writes the
        full re-assigned layout + centroids under a VERSIONED directory
-       ``full_v{batch_id}``, and atomically swaps the ``CURRENT``
-       pointer (side-file + rename) to it;
+       ``full_v{batch_id}``, and COMMITS it by creating the version
+       marker ``_versions/{batch_id}`` (atomic create, never deleted —
+       the max marker is the serving version; see :func:`_ivf_current`
+       for why markers beat a rewritten pointer file);
     3. otherwise assigns ONLY the batch's vectors with the current
        centroids and overwrites its own tail partition
        ``tail/batch={batch_id}`` (partitioned by ``cluster_id``).
 
-    Readers (:func:`ivf_serving_view`) serve ``full_v{CURRENT}`` plus
-    the ``_SUCCESS``-committed tail batches NEWER than ``CURRENT`` —
-    every component is partition-pruned by ``cluster_id``, so serving
-    cost matches the batch-built layout.
+    Readers (:func:`ivf_serving_view`) serve the max committed version
+    plus the ``_SUCCESS``-committed tail batches NEWER than it — every
+    component is partition-pruned by ``cluster_id``, so serving cost
+    matches the batch-built layout.
 
     Crash/replay convergence, by construction (Spark replays at most
     the latest uncommitted batch, under the same batch_id):
@@ -182,14 +191,20 @@ def ivf_ingest_stream(
       (hidden by newest-wins) and OVERWRITES its own ``tail/batch=N``
       dir — idempotent, and a torn tail dir (no ``_SUCCESS``) is
       excluded from serving until the replay rewrites it;
-    - a replayed REFRESH batch retrains on the merged view — which
-      dedups the replay's duplicate segment, so the corpus is
-      IDENTICAL, the (deterministic) training converges to the same
-      centroids, the rewrite lands in the same ``full_v{N}`` dir, and
-      the pointer re-swap is a no-op. A crash BETWEEN the layout swap
-      and the checkpoint commit therefore heals with no reader-visible
-      wobble: readers saw the new version before the crash and see the
-      byte-identical rewrite after it.
+    - a replayed REFRESH batch whose version marker exists is SKIPPED
+      ENTIRELY (the marker is written LAST, so its presence proves the
+      store append, the full layout, and the centroids all landed —
+      the same done-marker rule as ``bm25_ingest_stream``'s state
+      log). A version directory is therefore IMMUTABLE from the moment
+      a reader can be pointed at it: a crash BETWEEN the layout swap
+      and the checkpoint commit heals with literally no writes, so a
+      concurrent reader can never observe a half-rewritten referenced
+      layout (review r11 — an in-place overwrite 'converging to the
+      same bytes' still passes through an empty directory). Only an
+      UNREFERENCED version dir (crash before its marker) is ever
+      rewritten, and no reader can be pointed at it. Each skip is
+      journaled under ``_skips/`` for observability (and the gate's
+      non-vacuity assert).
 
     Contract: ids must be FRESH per batch (the reference's Add); route
     upsert/delete streams through the merged-view retrain path
@@ -209,6 +224,15 @@ def ivf_ingest_stream(
         if first[0]:
             store.force_unlock()
             first[0] = False
+        if fs.exists(f"{index_base}/_versions/{batch_id}"):
+            # replay of a fully-committed refresh batch (the marker is
+            # written last): skip EVERYTHING — re-appending would land a
+            # pointless duplicate segment, and rewriting the layout
+            # would mutate a version directory readers are already
+            # pointed at. Journal the skip (atomic create) so the
+            # crash-replay is observable.
+            fs.write_text(f"{index_base}/_skips/{batch_id}", "replayed")
+            return
         store.append(batch)
         cur = _ivf_current(fs, index_base)
         if cur is None or (
@@ -224,7 +248,9 @@ def ivf_ingest_stream(
                 f"{full}/layout.parquet",
             )
             ivf.save(spark, full)
-            fs.write_text(f"{index_base}/CURRENT", str(batch_id))
+            # the version COMMIT: marker creation is the swap (no
+            # pointer file is ever rewritten — see _ivf_current)
+            fs.write_text(f"{index_base}/_versions/{batch_id}", "committed")
         else:
             ivf = IVFIndex.load(spark, f"{index_base}/full_v{cur}")
             ivf.assign(batch, id_col=id_col, vec_col=vec_col).repartition(
@@ -243,12 +269,14 @@ def ivf_ingest_stream(
 
 def ivf_serving_view(spark, index_base: str):
     """(IVFIndex, layout DataFrame) over the stream-maintained index:
-    ``full_v{CURRENT}`` plus every ``_SUCCESS``-committed tail batch
-    NEWER than ``CURRENT``. Tail dirs without ``_SUCCESS`` are torn
-    mid-write leftovers the stream will overwrite on replay — serving
-    them would read half a batch. Every component is a parquet read
-    partitioned by ``cluster_id``, so an ``isin(probes)`` filter prunes
-    each via PartitionFilters."""
+    the max committed version's full layout plus every
+    ``_SUCCESS``-committed tail batch NEWER than it. Tail dirs without
+    ``_SUCCESS`` are torn mid-write leftovers the stream will overwrite
+    on replay — serving them would read half a batch. A committed
+    version dir is immutable (replays of its batch skip), so this view
+    is safe to build concurrently with the stream. Every component is a
+    parquet read partitioned by ``cluster_id``, so an ``isin(probes)``
+    filter prunes each via PartitionFilters."""
     from comet_spark.operators.ann import IVFIndex
     from comet_spark.storage.store import _FS
 
@@ -256,8 +284,8 @@ def ivf_serving_view(spark, index_base: str):
     cur = _ivf_current(fs, index_base)
     if cur is None:
         raise FileNotFoundError(
-            f"ivf_serving_view: no CURRENT pointer under {index_base} — "
-            "the stream has not committed a serving version yet"
+            f"ivf_serving_view: no committed version under {index_base} "
+            "— the stream has not committed a serving version yet"
         )
     ivf = IVFIndex.load(spark, f"{index_base}/full_v{cur}")
     layout = spark.read.parquet(f"{index_base}/full_v{cur}/layout.parquet")

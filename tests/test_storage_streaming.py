@@ -2353,7 +2353,7 @@ def test_ivf_serving_view_gates_torn_tail_dirs(spark, tmp_path):
     from comet_spark.streaming.ingest import ivf_serving_view
 
     base = str(tmp_path / "index")
-    with pytest.raises(FileNotFoundError, match="CURRENT"):
+    with pytest.raises(FileNotFoundError, match="committed version"):
         ivf_serving_view(spark, base)
 
     vecs = [(i, [float(i), float(i % 3)]) for i in range(12)]
@@ -2362,9 +2362,9 @@ def test_ivf_serving_view_gates_torn_tail_dirs(spark, tmp_path):
     full = f"{base}/full_v2"
     ivf.write(ivf.assign(df.filter("id < 6")), f"{full}/layout.parquet")
     ivf.save(spark, full)
-    os.makedirs(base, exist_ok=True)
-    with open(f"{base}/CURRENT", "w") as fh:
-        fh.write("2")
+    os.makedirs(f"{base}/_versions", exist_ok=True)
+    with open(f"{base}/_versions/2", "w") as fh:
+        fh.write("committed")
 
     def tail(bid, pred):
         ivf.assign(df.filter(pred)).repartition("cluster_id").write.mode(
