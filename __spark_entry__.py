@@ -6665,6 +6665,10 @@ def _ivf_live(spark: SparkSession, sf_dir: str):
             ],
             probe_files=[
                 f"{base}/index/_versions/{_IVF_LIVE_REFRESH_AT}",
+                # the serving view requires the tail's _SUCCESS (a
+                # parquet probe passes without it — review r11 pass 2):
+                # losing just that file must rebuild, not serve shrunken
+                f"{base}/index/tail/batch={_IVF_LIVE_MOD - 1}/_SUCCESS",
             ],
         )
         _IVF_LIVE_CACHE[key] = ivf_serving_view(spark, f"{base}/index")

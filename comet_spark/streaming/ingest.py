@@ -215,6 +215,12 @@ def ivf_ingest_stream(
     from comet_spark.storage.store import _FS
 
     first = [True]
+    # single-writer closure cache: the stream IS the only writer of
+    # index_base, so the committed version only changes when THIS
+    # closure commits one — reloading centroids (two parquet reads + a
+    # driver collect) per tail batch would pay fixed per-trigger cost
+    # for state the closure wrote itself (review r11)
+    cache: dict = {"cur": None, "ivf": None}
 
     def write_batch(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
@@ -229,12 +235,15 @@ def ivf_ingest_stream(
             # written last): skip EVERYTHING — re-appending would land a
             # pointless duplicate segment, and rewriting the layout
             # would mutate a version directory readers are already
-            # pointed at. Journal the skip (atomic create) so the
+            # pointed at. Journal the skip (atomic create-if-absent; a
+            # second replay finds it already journaled) so the
             # crash-replay is observable.
-            fs.write_text(f"{index_base}/_skips/{batch_id}", "replayed")
+            fs.create_new(f"{index_base}/_skips/{batch_id}")
             return
         store.append(batch)
-        cur = _ivf_current(fs, index_base)
+        cur = cache["cur"]
+        if cur is None:
+            cur = cache["cur"] = _ivf_current(fs, index_base)
         if cur is None or (
             refresh_every and batch_id > 0 and batch_id % refresh_every == 0
         ):
@@ -248,11 +257,22 @@ def ivf_ingest_stream(
                 f"{full}/layout.parquet",
             )
             ivf.save(spark, full)
-            # the version COMMIT: marker creation is the swap (no
-            # pointer file is ever rewritten — see _ivf_current)
-            fs.write_text(f"{index_base}/_versions/{batch_id}", "committed")
+            # the version COMMIT: atomic CREATE of the marker — never a
+            # pointer rewrite (see _ivf_current). create_new also
+            # enforces create-once: a pre-existing marker would have
+            # taken the skip branch above, so False here means another
+            # writer violated the single-writer contract — fail loud.
+            if not fs.create_new(f"{index_base}/_versions/{batch_id}"):
+                raise RuntimeError(
+                    f"ivf_ingest_stream: version marker {batch_id} "
+                    f"already exists under {index_base} — a second "
+                    "writer is committing versions"
+                )
+            cache["cur"], cache["ivf"] = batch_id, ivf
         else:
-            ivf = IVFIndex.load(spark, f"{index_base}/full_v{cur}")
+            if cache["ivf"] is None:
+                cache["ivf"] = IVFIndex.load(spark, f"{index_base}/full_v{cur}")
+            ivf = cache["ivf"]
             ivf.assign(batch, id_col=id_col, vec_col=vec_col).repartition(
                 "cluster_id"
             ).write.mode("overwrite").partitionBy("cluster_id").parquet(
@@ -273,8 +293,13 @@ def ivf_serving_view(spark, index_base: str):
     ``_SUCCESS``-committed tail batch NEWER than it. Tail dirs without
     ``_SUCCESS`` are torn mid-write leftovers the stream will overwrite
     on replay — serving them would read half a batch. A committed
-    version dir is immutable (replays of its batch skip), so this view
-    is safe to build concurrently with the stream. Every component is a
+    version dir is immutable (replays of its batch skip), so the FULL
+    component never wobbles under a concurrent stream; a TAIL dir being
+    overwritten by a crash replay, however, can race an in-flight view
+    build or execution to a LOUD failure (FileNotFound / empty-dir
+    schema inference) — the store-wide loud-fail-then-reread contract
+    (SCALE.md): retry by rebuilding the view, which is then correct
+    because the rewrite re-lands ``_SUCCESS`` last. Every component is a
     parquet read partitioned by ``cluster_id``, so an ``isin(probes)``
     filter prunes each via PartitionFilters."""
     from comet_spark.operators.ann import IVFIndex
