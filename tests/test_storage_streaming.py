@@ -2407,3 +2407,25 @@ def test_store_reader_vs_compact_swap_race_fails_loud_then_rereads(
     fresh = store.read()
     got = sorted(r["id"] for r in fresh.collect())
     assert got == sorted(i * 10 + j for i in range(3) for j in range(5))
+
+
+def test_store_reader_vs_tiered_compact_swap_race_fails_loud(spark, tmp_path):
+    """Tiered twin of the reader-vs-compaction race: compact(tiered=True)
+    merges the small tail behind the largest segment through the same
+    journaled rename-swap, so a plan held across it must ALSO fail
+    loudly (stale file listing) — never serve a silent partial merge —
+    and a fresh read() serves the exact corpus."""
+    store = DocumentStore(spark, str(tmp_path / "store"))
+    # one larger base + a small tail the tiered policy will merge
+    store.append(_batch(spark, [(j, "base") for j in range(200)]))
+    for i in range(1, 4):
+        store.append(_batch(spark, [(200 + i, f"tail{i}")]))
+    held = store.read()
+    assert held.count() == 203
+    n_before = store.segment_count()
+    store.compact(tiered=True)
+    assert store.segment_count() < n_before  # the tail really merged
+    with pytest.raises(Exception, match="(?i)file.*(not exist|notfound)"):
+        held.collect()
+    got = sorted(r["id"] for r in store.read().collect())
+    assert got == list(range(200)) + [201, 202, 203]
