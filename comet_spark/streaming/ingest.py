@@ -210,7 +210,17 @@ def ivf_ingest_stream(
     upsert/delete streams through the merged-view retrain path
     (``stream_into_store`` + post-drain ``IVFIndex.train``) or pair
     reads with ``exclude_ids``. Like every store stream, this stream is
-    the single writer of the store and the index base."""
+    the single writer of the store and the index base. The index base
+    is scoped to ONE checkpoint lineage (the same sink/checkpoint
+    coupling ``bm25_ingest_stream`` documents): pointing a FRESH
+    checkpoint at an existing index restarts batch numbering, and a
+    recycled batch_id would hit a stale version marker (data silently
+    skipped) or land a tail numbered below the committed version
+    (written but never served) — the first batch after a (re)start
+    fails fast when its id is below the committed version; the one
+    undetectable recycled id (batch 0 against a boot-only index) is
+    covered by the contract: resume with the original checkpoint, or
+    delete the index base and store together when re-pointing."""
     from comet_spark.operators.ann import IVFIndex
     from comet_spark.storage.store import _FS
 
@@ -230,6 +240,20 @@ def ivf_ingest_stream(
         if first[0]:
             store.force_unlock()
             first[0] = False
+            boot_cur = _ivf_current(fs, index_base)
+            if boot_cur is not None and batch_id < boot_cur:
+                # only a FRESH checkpoint pointed at an existing index
+                # can deliver a batch below the committed version (a
+                # legit resume's first batch is the latest ever run ≥
+                # every marker) — recycled ids would silently skip or
+                # strand data, so fail before touching anything
+                raise RuntimeError(
+                    f"ivf_ingest_stream: batch {batch_id} is below the "
+                    f"committed version {boot_cur} under {index_base} — "
+                    "a fresh checkpoint was pointed at an existing "
+                    "index; resume with the original checkpoint, or "
+                    "delete the index base and store to re-ingest"
+                )
         if fs.exists(f"{index_base}/_versions/{batch_id}"):
             # replay of a fully-committed refresh batch (the marker is
             # written last): skip EVERYTHING — re-appending would land a
@@ -247,6 +271,16 @@ def ivf_ingest_stream(
         if cur is None or (
             refresh_every and batch_id > 0 and batch_id % refresh_every == 0
         ):
+            # second-writer TRIPWIRE (post-hoc by nature — single-writer
+            # is the caller's contract, not something two uncoordinated
+            # writers can enforce): check before mutating to shrink the
+            # window, and again at commit below
+            if fs.exists(f"{index_base}/_versions/{batch_id}"):
+                raise RuntimeError(
+                    f"ivf_ingest_stream: version marker {batch_id} "
+                    f"appeared under {index_base} — a second writer is "
+                    "committing versions"
+                )
             merged = store.read()
             ivf = IVFIndex.train(
                 merged, nlist, id_col=id_col, vec_col=vec_col, metric=metric
@@ -258,10 +292,11 @@ def ivf_ingest_stream(
             )
             ivf.save(spark, full)
             # the version COMMIT: atomic CREATE of the marker — never a
-            # pointer rewrite (see _ivf_current). create_new also
-            # enforces create-once: a pre-existing marker would have
-            # taken the skip branch above, so False here means another
-            # writer violated the single-writer contract — fail loud.
+            # pointer rewrite (see _ivf_current). create_new is also
+            # the tripwire's second leg: False means another writer
+            # committed this version since the check above — the layout
+            # may already be damaged, but the stream dies loudly here
+            # instead of serving it.
             if not fs.create_new(f"{index_base}/_versions/{batch_id}"):
                 raise RuntimeError(
                     f"ivf_ingest_stream: version marker {batch_id} "

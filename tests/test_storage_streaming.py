@@ -2429,3 +2429,45 @@ def test_store_reader_vs_tiered_compact_swap_race_fails_loud(spark, tmp_path):
         held.collect()
     got = sorted(r["id"] for r in store.read().collect())
     assert got == list(range(200)) + [201, 202, 203]
+
+
+def test_ivf_ingest_stream_rejects_fresh_checkpoint_on_existing_index(
+    spark, tmp_path
+):
+    """The index base is scoped to ONE checkpoint lineage: a fresh
+    checkpoint restarts batch numbering, and a recycled batch_id would
+    hit a stale version marker (batch silently skipped — data loss) or
+    land a tail below the committed version (never served). The first
+    batch after a (re)start must fail FAST when its id is below the
+    committed version (review r11 pass 3)."""
+    import os
+
+    from comet_spark.storage.store import DocumentStore
+    from comet_spark.streaming.ingest import ivf_ingest_stream
+
+    src = str(tmp_path / "src")
+    index_base = str(tmp_path / "index")
+
+    def feed(lo, hi):
+        spark.createDataFrame(
+            [(i, [float(i), float(i % 3)]) for i in range(lo, hi)],
+            "id bigint, vector array<double>",
+        ).repartition(1).write.mode("append").parquet(src)
+
+    def drain(ckpt):
+        q = ivf_ingest_stream(
+            spark.readStream.schema("id bigint, vector array<double>")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src),
+            DocumentStore(spark, str(tmp_path / "store"), id_col="id"),
+            index_base, checkpoint=ckpt, nlist=2, refresh_every=2,
+        )
+        q.awaitTermination(300)
+
+    for b in range(3):  # batches 0,1,2 → boot v0, tail, refresh v2
+        feed(b * 10, b * 10 + 8)
+    drain(str(tmp_path / "ckpt1"))
+    assert os.path.exists(f"{index_base}/_versions/2")
+    feed(30, 38)  # new data — a fresh checkpoint sees it as batch 0
+    with pytest.raises(Exception, match="fresh checkpoint"):
+        drain(str(tmp_path / "ckpt2"))
