@@ -6805,11 +6805,16 @@ def _ivf_live_refresh_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select(F.col("id").alias("vec_id"), "score")
 
 
-_register(
-    "ivf_live_refresh_knn",
-    _ivf_live_refresh_knn,
-    f"""
-WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = {QUERY_VEC_ID}),
+def _sql_ivf_live_ctes() -> str:
+    """Shared oracle CTEs for the stream-MAINTAINED serving view:
+    cluster assignments from BOTH exported components (the committed
+    full version ∪ the newer tail), vectors from the source (this feed
+    is append-only fresh ids), distances over the probed lists — one
+    copy for ivf_live_refresh_knn and hybrid_live_rrf's vector leg, so
+    the two gates' oracles can never desynchronize (the
+    _sql_ivf_stream_ctes pattern)."""
+    return f"""
+q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = {QUERY_VEC_ID}),
 a AS (SELECT id, cluster_id
       FROM read_parquet('{_ART01}/ivf_live/index/full_v{_IVF_LIVE_REFRESH_AT}/layout.parquet/**/*.parquet', hive_partitioning=1)
       UNION ALL
@@ -6819,7 +6824,53 @@ e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
 p AS (SELECT cluster_id FROM read_parquet('{_ART01}/ivf_live/probes_q2.parquet/*.parquet')),
 vd AS (SELECT a.id AS vec_id, ROUND({_sql_l2('e.v', 'q.qv')}, 6) AS score
        FROM a JOIN p USING (cluster_id) JOIN e USING (id), q)
+"""
+
+
+_register(
+    "ivf_live_refresh_knn",
+    _ivf_live_refresh_knn,
+    f"""
+WITH {_sql_ivf_live_ctes().strip()}
 SELECT vec_id, score FROM vd ORDER BY score, vec_id LIMIT {K}
+""",
+)
+
+
+# ★ HYBRID OVER LIVE-MAINTAINED STATE (r11 — the hybrid ×
+# maintenance-under-ingest cell, the live twin of hybrid_stream_rrf):
+# RRF fusion where the VECTOR leg searches the stream-MAINTAINED IVF
+# serving view (ivf_live's artifact — versioned refresh inside
+# foreachBatch, marker commits, skip-replayed crash) and the TEXT leg
+# scores the stream-built index bm25_live_read_score reads (crash-
+# replayed postings, in-stream compacts, mid-drain read proven). The
+# reference serves hybrid_search_index continuously under Add — this
+# is that serving shape over state whose EVERY maintenance step
+# already sits under its own oracle gate. Oracle = the live-IVF pruned
+# scan + the whole-corpus BM25 SQL folded by the exact RRF arithmetic.
+def _hybrid_live_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ivf, layout = _ivf_live(spark, sf_dir)
+    vec_res = ivf.search(layout, _hybrid_qvec(spark, sf_dir), k=K, nprobe=2)
+    bm = _bm25_live_index(spark, sf_dir)
+    txt_res = bm.score(BM25_QUERY, k=K)
+    return rrf(vec_res, txt_res, k=K).select(F.col("id").alias("doc_id"), "score")
+
+
+_register(
+    "hybrid_live_rrf",
+    _hybrid_live_rrf,
+    f"""
+WITH {_sql_ivf_live_ctes().strip()},
+vres AS (SELECT vec_id AS id, score FROM vd ORDER BY score, vec_id LIMIT {K}),
+{_sql_bm25_ctes().strip().rstrip(',')},
+{_sql_bm25_score(BM25_QUERY).strip().rstrip(',')},
+tres AS (SELECT id, ROUND(score, 6) AS score FROM sc ORDER BY score DESC, id LIMIT {K}),
+vrank AS (SELECT id, row_number() OVER (ORDER BY score ASC, id ASC) - 1 AS r FROM vres),
+trank AS (SELECT id, row_number() OVER (ORDER BY score DESC, id ASC) - 1 AS r FROM tres)
+SELECT coalesce(vrank.id, trank.id) AS doc_id,
+       ROUND(coalesce(1.0/(60.0 + vrank.r), 0) + coalesce(1.0/(60.0 + trank.r), 0), 6) AS score
+FROM vrank FULL OUTER JOIN trank ON vrank.id = trank.id
+ORDER BY score DESC, doc_id LIMIT {K}
 """,
 )
 
