@@ -2471,3 +2471,66 @@ def test_ivf_ingest_stream_rejects_fresh_checkpoint_on_existing_index(
     feed(30, 38)  # new data — a fresh checkpoint sees it as batch 0
     with pytest.raises(Exception, match="fresh checkpoint"):
         drain(str(tmp_path / "ckpt2"))
+
+
+def test_ivf_ingest_stream_replays_uncommitted_refresh(spark, tmp_path):
+    """The OTHER refresh crash window: the crash lands BETWEEN the full
+    layout write and the version-marker commit (simulated by deleting
+    the marker along with the checkpoint commit). The version dir is
+    UNREFERENCED — no reader can be pointed at it — so the replay must
+    RE-RUN the refresh: re-append (duplicate segment, newest-wins
+    hidden), rewrite the version dir, and commit the marker. Serving
+    afterwards holds every fed id exactly once. (The marker-present
+    window — replay must SKIP, dir immutable — is gated by the
+    ivf_live_refresh_knn oracle artifact.)"""
+    import glob
+    import os
+
+    from comet_spark.storage.store import DocumentStore
+    from comet_spark.streaming.ingest import ivf_ingest_stream, ivf_serving_view
+
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+    index_base = str(tmp_path / "index")
+    store = DocumentStore(spark, str(tmp_path / "store"), id_col="id")
+
+    def feed(lo, hi):
+        spark.createDataFrame(
+            [(i, [float(i), float(i % 5)]) for i in range(lo, hi)],
+            "id bigint, vector array<double>",
+        ).repartition(1).write.mode("append").parquet(src)
+
+    def drain():
+        q = ivf_ingest_stream(
+            spark.readStream.schema("id bigint, vector array<double>")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src),
+            store, index_base, checkpoint=ckpt, nlist=2, refresh_every=2,
+        )
+        assert q.awaitTermination(300)
+
+    for b in range(3):  # boot v0, tail 1, refresh v2
+        feed(b * 10, b * 10 + 8)
+    drain()
+    marker = f"{index_base}/_versions/2"
+    assert os.path.exists(marker)
+    before = set(glob.glob(f"{index_base}/full_v2/layout.parquet/*/*.parquet"))
+    # the injected crash: marker never landed, checkpoint commit lost
+    # (_lose_latest_commit also removes the .crc twin — a stale checksum
+    # would poison the replay's rewrite of the same commit file)
+    from __spark_entry__ import _lose_latest_commit
+
+    os.remove(marker)
+    _lose_latest_commit(ckpt)
+    feed(30, 38)  # batch 3
+    drain()  # replay batch 2: re-refresh the UNREFERENCED dir, re-commit
+    assert os.path.exists(marker)
+    after = set(glob.glob(f"{index_base}/full_v2/layout.parquet/*/*.parquet"))
+    assert before and before != after, "unreferenced version dir must be rewritten"
+    # no skip journal: this replay did real work
+    assert not os.path.exists(f"{index_base}/_skips/2")
+    # the re-appended duplicate segment exists and is hidden by the merge
+    assert store.segment_count() == 5
+    _, layout = ivf_serving_view(spark, index_base)
+    got = sorted(r["id"] for r in layout.select("id").collect())
+    want = sorted(i for b in range(4) for i in range(b * 10, b * 10 + 8))
+    assert got == want
