@@ -6875,6 +6875,181 @@ ORDER BY score DESC, doc_id LIMIT {K}
 )
 
 
+# ★ STREAM-WIRED GRAPH MAINTENANCE (r11 — the HNSW twin of
+# ivf_live_refresh_knn; reference mutable-graph Add,
+# hnsw_index.go:493-552, where new docs are searchable the moment Add
+# returns): ``hnsw_ingest_stream`` builds DistributedHNSW sub-graphs
+# over ONLY each micro-batch inside foreachBatch (cost ∝ batch) and
+# commits them as a _SUCCESS-gated per-batch graph partition — no
+# refresh step exists because graph growth is append-only and search
+# unions every sub-graph's beam. The injected crash replays the
+# graph-carrying batch: the rebuild is deterministic (seeded, hash-
+# partitioned, id-insertion order), the dir overwrite is idempotent,
+# and a MID-READ between the drains proves the 2-batch graph serves
+# exactly data-fed-so-far. Oracle = exported candidate set (the
+# deterministic ef-beam union) replayed as an exact L2 scan in SQL —
+# the hnsw_dist_topk scheme over stream-grown state.
+_HNSW_LIVE_MOD = 4
+_HNSW_LIVE_CACHE: dict[tuple[str, str], object] = {}
+
+
+def _hnsw_live(spark: SparkSession, sf_dir: str):
+    from comet_spark.streaming.ingest import hnsw_serving_view
+
+    key = (_skey(spark), sf_dir)
+    if key not in _HNSW_LIVE_CACHE:
+        base = f"{_art_dir(sf_dir)}/hnsw_live"
+        parts = f"{base}/graphs/parts"
+        _fresh_stream_artifact(
+            spark, sf_dir, base, f"{base}/graphs/meta.parquet",
+            lambda: _build_hnsw_live_artifact(spark, sf_dir, base),
+            table="embeddings",
+            probe_paths=[
+                f"{parts}/batch={i}" for i in range(_HNSW_LIVE_MOD)
+            ],
+            probe_files=[
+                f"{parts}/batch={i}/_SUCCESS" for i in range(_HNSW_LIVE_MOD)
+            ],
+        )
+        ix = hnsw_serving_view(spark, f"{base}/graphs")
+        ix.graphs = ix.graphs.cache()
+        _HNSW_LIVE_CACHE[key] = ix
+    return _HNSW_LIVE_CACHE[key]
+
+
+def _build_hnsw_live_artifact(
+    spark: SparkSession, sf_dir: str, base: str
+) -> None:
+    """POSIX-local oracle-artifact harness (same contract as the other
+    stream builders)."""
+    import glob
+    import shutil
+
+    from comet_spark.storage.store import DocumentStore
+    from comet_spark.streaming.ingest import hnsw_ingest_stream, hnsw_serving_view
+
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(base, exist_ok=True)
+    src, ckpt = f"{base}/src", f"{base}/ckpt"
+    store_path, graph_base = f"{base}/store", f"{base}/graphs"
+    emb = _t(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("id"),
+        F.col("embedding").cast("array<double>").alias("vector"),
+    )
+    res = lambda m: F.col("id") % _HNSW_LIVE_MOD == m  # noqa: E731
+
+    def _add(df: DataFrame) -> None:
+        df.repartition(1).write.mode("append").parquet(src)
+
+    def _drain() -> None:
+        q = hnsw_ingest_stream(
+            spark.readStream.schema("id bigint, vector array<double>")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src),
+            DocumentStore(spark, store_path, id_col="id"),
+            graph_base, checkpoint=ckpt, m=8, parts_per_batch=4,
+        )
+        if not q.awaitTermination(600):
+            q.stop()
+            raise RuntimeError("hnsw_live artifact: stream did not drain")
+
+    qvec = _hybrid_qvec(spark, sf_dir)
+    with _scoped_shuffle_partitions(spark):
+        for i in range(2):
+            _add(emb.filter(res(i)))
+        _drain()
+        before = set(glob.glob(f"{graph_base}/parts/batch=1/*.parquet"))
+        _lose_latest_commit(ckpt)  # injected crash → batch 1 replays
+        # MID-READ: the 2-batch graph must serve exactly data-fed-so-far
+        mid_ix = hnsw_serving_view(spark, graph_base)
+        fed = emb.filter(res(0) | res(1)).select("id")
+        mid_cand = mid_ix.candidates(qvec, ef_search=100).distinct()
+        n_cand = mid_cand.count()
+        n_outside = mid_cand.join(fed, "id", "left_anti").count()
+        if not (n_cand > 0 and n_outside == 0):
+            raise RuntimeError(
+                f"hnsw_live artifact: mid-read beam returned {n_cand} "
+                f"candidates with {n_outside} outside data-fed-so-far"
+            )
+        for i in (2, 3):
+            _add(emb.filter(res(i)))
+        _drain()  # batch 1 replays (dir overwrite), then 2, 3
+    after = set(glob.glob(f"{graph_base}/parts/batch=1/*.parquet"))
+    if not before or before == after:
+        raise RuntimeError(
+            "hnsw_live artifact: batch=1 graph dir was not rewritten — "
+            "the injected crash did not engage the replay"
+        )
+    # every batch committed its sub-graphs; the store holds the crash
+    # duplicate (5 segments for 4 fed batches)
+    for i in range(_HNSW_LIVE_MOD):
+        if not os.path.exists(f"{graph_base}/parts/batch={i}/_SUCCESS"):
+            raise RuntimeError(
+                f"hnsw_live artifact: graph batch={i} is not committed"
+            )
+    n_seg = DocumentStore(spark, store_path, id_col="id")._segments().select(
+        "segment"
+    ).distinct().count()
+    if n_seg != 5:
+        raise RuntimeError(
+            f"hnsw_live artifact: {n_seg} segments for 4 fed batches "
+            "(want 5) — the crash-replay duplicate did not land"
+        )
+    # the final beam reaches every batch's sub-graphs (each residue
+    # class contributes candidates) and stays inside the corpus
+    ix = hnsw_serving_view(spark, graph_base)
+    cand = ix.candidates(qvec, ef_search=100).distinct()
+    reach = cand.select(
+        (F.col("id") % _HNSW_LIVE_MOD).alias("r")
+    ).distinct().count()
+    n_outside = cand.join(emb.select("id"), "id", "left_anti").count()
+    if not (reach == _HNSW_LIVE_MOD and n_outside == 0):
+        raise RuntimeError(
+            f"hnsw_live artifact: beam reaches {reach}/{_HNSW_LIVE_MOD} "
+            f"batches with {n_outside} ids outside the corpus"
+        )
+
+
+def _hnsw_live_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact scoring + top-k over the stream-grown graph's ef=100 beam —
+    deterministic for a fixed graph + ef, so the exported candidate set
+    is the oracle's replay surface (same scheme as hnsw_dist_topk /
+    hnsw_addbatch_topk)."""
+    from comet_spark.operators.hnsw import score_candidates
+
+    ix = _hnsw_live(spark, sf_dir)
+    qvec = _hybrid_qvec(spark, sf_dir)
+    art = f"{_art_dir(sf_dir)}/hnsw_live"
+    key2 = (_skey(spark), sf_dir, "hnsw_live_cands")
+    if key2 not in _PROBE_WRITTEN:
+        ix.candidates(qvec, ef_search=100).distinct().repartition(1).write.mode(
+            "overwrite"
+        ).parquet(f"{art}/candidates.parquet")
+        _PROBE_WRITTEN.add(key2)
+    cand = spark.read.parquet(f"{art}/candidates.parquet")
+    res = score_candidates(
+        _t(spark, sf_dir, "embeddings").select(
+            F.col("vec_id").alias("id"),
+            F.col("embedding").cast("array<double>").alias("vector"),
+        ),
+        cand, qvec, metric="l2", k=K,
+    )
+    return res.select(F.col("id").alias("vec_id"), "score")
+
+
+_register(
+    "hnsw_live_topk",
+    _hnsw_live_topk,
+    f"""
+WITH c AS (SELECT id FROM read_parquet('{_ART01}/hnsw_live/candidates.parquet/*.parquet')),
+q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = {QUERY_VEC_ID}),
+e AS (SELECT e.vec_id, embedding::DOUBLE[] AS v FROM embeddings e JOIN c ON c.id = e.vec_id),
+d AS (SELECT vec_id, ROUND({_sql_l2('e.v', 'q.qv')}, 6) AS score FROM e, q)
+SELECT vec_id, score FROM d ORDER BY score, vec_id LIMIT {K}
+""",
+)
+
+
 # ★ EXACT dedup on the stream under the oracle gate — the last
 # streaming operator that was pytest-only: ``dedup_stream``
 # (dropDuplicatesWithinWatermark on the content hash, the

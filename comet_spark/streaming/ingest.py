@@ -20,6 +20,8 @@ __all__ = [
     "stream_into_store",
     "ivf_ingest_stream",
     "ivf_serving_view",
+    "hnsw_ingest_stream",
+    "hnsw_serving_view",
     "bm25_ingest",
     "bm25_ingest_stream",
     "windowed_event_counts",
@@ -362,6 +364,130 @@ def ivf_serving_view(spark, index_base: str):
         )
         layout = layout.unionByName(tail.select(layout.columns))
     return ivf, layout
+
+
+def hnsw_ingest_stream(
+    stream: DataFrame,
+    store: DocumentStore,
+    graph_base: str,
+    *,
+    checkpoint: str,
+    m: int = 8,
+    ef_construction: int = 100,
+    seed: int = 43,
+    parts_per_batch: int = 4,
+    metric: str = "l2",
+    id_col: str = "id",
+    vec_col: str = "vector",
+    trigger_available_now: bool = True,
+) -> StreamingQuery:
+    """Stream-wired GRAPH maintenance — the HNSW twin of
+    :func:`ivf_ingest_stream` and the Spark shape of the reference's
+    mutable-graph ``Add`` (``hnsw_index.go:493-552``: new docs join the
+    in-memory graph and are immediately searchable). An immutable
+    distributed graph instead GAINS sub-graphs: per micro-batch,
+    ``foreachBatch`` appends the batch as one store segment and builds
+    :class:`DistributedHNSW` sub-graphs over ONLY the batch (cost ∝
+    batch size), overwriting its own graph partition
+    ``parts/batch={batch_id}``. Search unions every sub-graph's beam
+    (the top-k containment argument is per-sub-graph, so batch-shaped
+    slices preserve it), which means a batch is searchable the moment
+    its dir commits — no refresh step, no version pointer: graph growth
+    is append-only, and the sub-graph count is bounded by the batch
+    count (rebuild via ``DistributedHNSW.build`` at compaction when
+    that drifts, exactly like the batch path).
+
+    Crash/replay: a replayed batch re-appends a duplicate store segment
+    (newest-wins-hidden) and OVERWRITES its own graph dir — idempotent
+    (builds are seeded + hash-partitioned, so the rebuilt sub-graphs
+    walk identically); a torn dir (no ``_SUCCESS``) is excluded from
+    serving until the replay rewrites it. ``part`` ids may collide
+    across batch dirs — search never reads ``part`` (each row's blob is
+    walked independently); only ``add_batch`` needs unique ids, and
+    this stream never calls it. Same checkpoint-lineage contract as
+    ``ivf_ingest_stream``: the first batch after a (re)start fails fast
+    if its id is below an already-written graph batch (a fresh
+    checkpoint would overwrite other batches' sub-graphs with its own
+    recycled ids)."""
+    from comet_spark.operators.hnsw import DistributedHNSW
+    from comet_spark.storage.store import _FS
+
+    first = [True]
+
+    def write_batch(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        spark = batch.sparkSession
+        fs = _FS(spark, graph_base)
+        if first[0]:
+            store.force_unlock()
+            first[0] = False
+            existing = [
+                int(n.split("=", 1)[1])
+                for n in fs.listdir(f"{graph_base}/parts")
+                if n.startswith("batch=")
+            ]
+            if existing and batch_id < max(existing):
+                raise RuntimeError(
+                    f"hnsw_ingest_stream: batch {batch_id} is below the "
+                    f"newest graph batch {max(existing)} under "
+                    f"{graph_base} — a fresh checkpoint was pointed at "
+                    "an existing graph; resume with the original "
+                    "checkpoint, or delete the graph base and store to "
+                    "re-ingest"
+                )
+        store.append(batch)
+        if not fs.exists(f"{graph_base}/meta.parquet/_SUCCESS"):
+            spark.createDataFrame(
+                [(m, metric)], "m int, metric string"
+            ).repartition(1).write.mode("overwrite").parquet(
+                f"{graph_base}/meta.parquet"
+            )
+        fresh = DistributedHNSW.build(
+            batch, id_col=id_col, vec_col=vec_col, m=m,
+            ef_construction=ef_construction, seed=seed, metric=metric,
+            num_partitions=parts_per_batch, cache=False,
+        )
+        fresh.graphs.write.mode("overwrite").parquet(
+            f"{graph_base}/parts/batch={batch_id}"
+        )
+
+    writer = stream.writeStream.foreachBatch(write_batch).option(
+        "checkpointLocation", checkpoint
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def hnsw_serving_view(spark, graph_base: str):
+    """:class:`DistributedHNSW` over every ``_SUCCESS``-committed graph
+    batch dir — torn dirs (crash mid-write) are excluded until the
+    stream's replay rewrites them, same rule as the IVF tails. The
+    graph table is the union of per-batch sub-graph rows; search walks
+    each row's blob independently, so the union IS the serving
+    structure, no merge step."""
+    from comet_spark.operators.hnsw import DistributedHNSW
+    from comet_spark.storage.store import _FS
+
+    fs = _FS(spark, graph_base)
+    meta = spark.read.parquet(f"{graph_base}/meta.parquet").first()
+    parts_root = f"{graph_base}/parts"
+    live = sorted(
+        (n for n in fs.listdir(parts_root)
+         if n.startswith("batch=")
+         and fs.exists(f"{parts_root}/{n}/_SUCCESS")),
+        key=lambda n: int(n.split("=", 1)[1]),
+    )
+    if not live:
+        raise FileNotFoundError(
+            f"hnsw_serving_view: no committed graph batches under "
+            f"{graph_base} — the stream has not flushed a batch yet"
+        )
+    graphs = spark.read.option("basePath", parts_root).parquet(
+        *[f"{parts_root}/{n}" for n in live]
+    ).drop("batch")
+    return DistributedHNSW(graphs, m=int(meta["m"]), metric=meta["metric"])
 
 
 def bm25_ingest(

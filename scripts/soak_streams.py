@@ -48,6 +48,7 @@ STREAM_GATES = [
     ("bm25_live_read_score", "bm25_live"),
     ("ivf_live_refresh_knn", "ivf_live"),
     ("meta_crud_stream_filter", "meta_crud_stream"),
+    ("hnsw_live_topk", "hnsw_live"),
 ]
 
 
@@ -103,6 +104,7 @@ def main() -> None:
             entry._IVF_STREAM_CACHE.clear()
             entry._IVF_LIVE_CACHE.clear()
             entry._BM25_LIVE_CACHE.clear()
+            entry._HNSW_LIVE_CACHE.clear()
             entry._CRUD_BM25_CACHE.clear()
             t0 = time.perf_counter()
             n = len(qs[name](spark, sf_dir).collect())
