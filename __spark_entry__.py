@@ -4888,6 +4888,32 @@ def _batch_docid(df: DataFrame) -> DataFrame:
     return df.select(F.col("batch").cast("bigint").alias("batch"), "doc_id")
 
 
+def _feed_drain(spark: SparkSession, src: str, start_stream, name: str):
+    """(add, drain) pair shared by the live-stream artifact builders —
+    one part file per ``add`` call → one micro-batch per trigger, and a
+    drain that fails loudly on a hung stream (review r11: the skeleton
+    was copy-pasted per builder; a timeout/ordering fix must land once)."""
+    def _add(df: DataFrame) -> None:
+        df.repartition(1).write.mode("append").parquet(src)
+
+    def _drain() -> None:
+        q = start_stream()
+        if not q.awaitTermination(600):
+            q.stop()
+            raise RuntimeError(f"{name} artifact: stream did not drain")
+
+    return _add, _drain
+
+
+def _emb_vec_stream(spark: SparkSession, src: str) -> DataFrame:
+    """The vector-feed readStream every embeddings-fed builder uses."""
+    return (
+        spark.readStream.schema("id bigint, vector array<double>")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+
+
 def _neardup_stream_admitted(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = f"{_art_dir(sf_dir)}/neardup_stream"
     return _batch_docid(_fresh_stream_artifact(
@@ -6333,21 +6359,15 @@ def _build_store_live_read_artifact(
     qdf = spark.createDataFrame(
         [(0, _hybrid_qvec(spark, sf_dir))], "qid bigint, qvec array<double>"
     )
-
-    def _add(df: DataFrame) -> None:
-        df.repartition(1).write.mode("append").parquet(src)
-
-    def _drain() -> None:
-        q = stream_into_store(
-            spark.readStream.schema("id bigint, vector array<double>")
-            .option("maxFilesPerTrigger", "1")
-            .parquet(src),
+    _add, _drain = _feed_drain(
+        spark, src,
+        lambda: stream_into_store(
+            _emb_vec_stream(spark, src),
             DocumentStore(spark, store_path, id_col="id"),
             checkpoint=ckpt,
-        )
-        if not q.awaitTermination(600):
-            q.stop()
-            raise RuntimeError("store_live_read artifact: stream did not drain")
+        ),
+        "store_live_read",
+    )
 
     with _scoped_shuffle_partitions(spark):
         _add(emb.filter(res(0)))
@@ -6697,22 +6717,16 @@ def _build_ivf_live_artifact(
         F.col("embedding").cast("array<double>").alias("vector"),
     )
     res = lambda m: F.col("id") % _IVF_LIVE_MOD == m  # noqa: E731
-
-    def _add(df: DataFrame) -> None:
-        df.repartition(1).write.mode("append").parquet(src)
-
-    def _drain() -> None:
-        q = ivf_ingest_stream(
-            spark.readStream.schema("id bigint, vector array<double>")
-            .option("maxFilesPerTrigger", "1")
-            .parquet(src),
+    _add, _drain = _feed_drain(
+        spark, src,
+        lambda: ivf_ingest_stream(
+            _emb_vec_stream(spark, src),
             DocumentStore(spark, store_path, id_col="id"),
             index_base, checkpoint=ckpt, nlist=8,
             refresh_every=_IVF_LIVE_REFRESH_AT,
-        )
-        if not q.awaitTermination(600):
-            q.stop()
-            raise RuntimeError("ivf_live artifact: stream did not drain")
+        ),
+        "ivf_live",
+    )
 
     def _serving_ids(layout: DataFrame) -> DataFrame:
         return layout.select("id")
@@ -6937,21 +6951,15 @@ def _build_hnsw_live_artifact(
         F.col("embedding").cast("array<double>").alias("vector"),
     )
     res = lambda m: F.col("id") % _HNSW_LIVE_MOD == m  # noqa: E731
-
-    def _add(df: DataFrame) -> None:
-        df.repartition(1).write.mode("append").parquet(src)
-
-    def _drain() -> None:
-        q = hnsw_ingest_stream(
-            spark.readStream.schema("id bigint, vector array<double>")
-            .option("maxFilesPerTrigger", "1")
-            .parquet(src),
+    _add, _drain = _feed_drain(
+        spark, src,
+        lambda: hnsw_ingest_stream(
+            _emb_vec_stream(spark, src),
             DocumentStore(spark, store_path, id_col="id"),
             graph_base, checkpoint=ckpt, m=8, parts_per_batch=4,
-        )
-        if not q.awaitTermination(600):
-            q.stop()
-            raise RuntimeError("hnsw_live artifact: stream did not drain")
+        ),
+        "hnsw_live",
+    )
 
     qvec = _hybrid_qvec(spark, sf_dir)
     with _scoped_shuffle_partitions(spark):

@@ -235,27 +235,45 @@ def ivf_ingest_stream(
     cache: dict = {"cur": None, "ivf": None}
 
     def write_batch(batch: DataFrame, batch_id: int) -> None:
-        if batch.isEmpty():
-            return
         spark = batch.sparkSession
         fs = _FS(spark, index_base)
+        # the lineage guard runs BEFORE the isEmpty early-return: empty
+        # batches still commit and advance batch numbering, so leading
+        # zero-row feeds could otherwise walk a fresh checkpoint's ids
+        # past the threshold undetected (review r11 pass 4)
         if first[0]:
             store.force_unlock()
             first[0] = False
+            # the newest state this index has EVER written — committed
+            # version or tail batch, whichever is higher: under the
+            # refresh_every=0 default the committed version stays 0
+            # forever while tails grow, and a version-only guard would
+            # let a fresh checkpoint's recycled batch 0 hit the marker
+            # skip (data silently dropped) and its batches 1..N
+            # overwrite SERVED tail dirs (review r11 pass 4)
             boot_cur = _ivf_current(fs, index_base)
-            if boot_cur is not None and batch_id < boot_cur:
+            tails = [
+                int(n.split("=", 1)[1])
+                for n in fs.listdir(f"{index_base}/tail")
+                if n.startswith("batch=")
+            ]
+            newest = max(
+                [boot_cur if boot_cur is not None else -1] + tails
+            )
+            if batch_id < newest:
                 # only a FRESH checkpoint pointed at an existing index
-                # can deliver a batch below the committed version (a
-                # legit resume's first batch is the latest ever run ≥
-                # every marker) — recycled ids would silently skip or
-                # strand data, so fail before touching anything
+                # can deliver a batch below the newest ever written (a
+                # legit resume's first batch is the latest ever run)
                 raise RuntimeError(
                     f"ivf_ingest_stream: batch {batch_id} is below the "
-                    f"committed version {boot_cur} under {index_base} — "
-                    "a fresh checkpoint was pointed at an existing "
+                    f"newest written batch {newest} under {index_base} "
+                    "— a fresh checkpoint was pointed at an existing "
                     "index; resume with the original checkpoint, or "
                     "delete the index base and store to re-ingest"
                 )
+            cache["cur"] = boot_cur  # seed — no second _versions listing
+        if batch.isEmpty():
+            return
         if fs.exists(f"{index_base}/_versions/{batch_id}"):
             # replay of a fully-committed refresh batch (the marker is
             # written last): skip EVERYTHING — re-appending would land a
@@ -415,10 +433,10 @@ def hnsw_ingest_stream(
     first = [True]
 
     def write_batch(batch: DataFrame, batch_id: int) -> None:
-        if batch.isEmpty():
-            return
         spark = batch.sparkSession
         fs = _FS(spark, graph_base)
+        # lineage guard BEFORE the isEmpty return — leading zero-row
+        # feeds still advance batch numbering (review r11 pass 4)
         if first[0]:
             store.force_unlock()
             first[0] = False
@@ -436,6 +454,8 @@ def hnsw_ingest_stream(
                     "checkpoint, or delete the graph base and store to "
                     "re-ingest"
                 )
+        if batch.isEmpty():
+            return
         store.append(batch)
         if not fs.exists(f"{graph_base}/meta.parquet/_SUCCESS"):
             spark.createDataFrame(
@@ -471,7 +491,6 @@ def hnsw_serving_view(spark, graph_base: str):
     from comet_spark.storage.store import _FS
 
     fs = _FS(spark, graph_base)
-    meta = spark.read.parquet(f"{graph_base}/meta.parquet").first()
     parts_root = f"{graph_base}/parts"
     live = sorted(
         (n for n in fs.listdir(parts_root)
@@ -479,11 +498,16 @@ def hnsw_serving_view(spark, graph_base: str):
          and fs.exists(f"{parts_root}/{n}/_SUCCESS")),
         key=lambda n: int(n.split("=", 1)[1]),
     )
-    if not live:
+    # the batch check and meta _SUCCESS gate run BEFORE any parquet
+    # read: a crash mid-meta-write (torn dir, no graph batches yet)
+    # must fail with THIS deliberate error, not an opaque
+    # schema-inference failure (review r11 pass 4)
+    if not live or not fs.exists(f"{graph_base}/meta.parquet/_SUCCESS"):
         raise FileNotFoundError(
             f"hnsw_serving_view: no committed graph batches under "
             f"{graph_base} — the stream has not flushed a batch yet"
         )
+    meta = spark.read.parquet(f"{graph_base}/meta.parquet").first()
     graphs = spark.read.option("basePath", parts_root).parquet(
         *[f"{parts_root}/{n}" for n in live]
     ).drop("batch")

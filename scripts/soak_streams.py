@@ -104,6 +104,15 @@ def main() -> None:
             entry._IVF_STREAM_CACHE.clear()
             entry._IVF_LIVE_CACHE.clear()
             entry._BM25_LIVE_CACHE.clear()
+            # unpersist superseded graph blobs BEFORE dropping the
+            # handle — each soak iteration re-caches a fresh serving
+            # view; without this, N iterations pin N blob-table copies
+            # in executor storage until LRU pressure evicts them
+            for ix in entry._HNSW_LIVE_CACHE.values():
+                try:
+                    ix.graphs.unpersist()
+                except Exception:
+                    pass
             entry._HNSW_LIVE_CACHE.clear()
             entry._CRUD_BM25_CACHE.clear()
             t0 = time.perf_counter()

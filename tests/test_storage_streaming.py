@@ -2462,7 +2462,7 @@ def test_ivf_ingest_stream_rejects_fresh_checkpoint_on_existing_index(
             DocumentStore(spark, str(tmp_path / "store"), id_col="id"),
             index_base, checkpoint=ckpt, nlist=2, refresh_every=2,
         )
-        q.awaitTermination(300)
+        assert q.awaitTermination(300)
 
     for b in range(3):  # batches 0,1,2 → boot v0, tail, refresh v2
         feed(b * 10, b * 10 + 8)
