@@ -2534,3 +2534,45 @@ def test_ivf_ingest_stream_replays_uncommitted_refresh(spark, tmp_path):
     got = sorted(r["id"] for r in layout.select("id").collect())
     want = sorted(i for b in range(4) for i in range(b * 10, b * 10 + 8))
     assert got == want
+
+
+def test_ivf_ingest_stream_guard_covers_tail_only_growth(spark, tmp_path):
+    """Under the refresh_every=0 DEFAULT the committed version stays at
+    the boot batch forever while tails grow — the lineage guard must
+    compare against the newest batch EVER WRITTEN (version OR tail), or
+    a fresh checkpoint's recycled batch 0 hits the boot marker's skip
+    branch (data silently dropped) and its later batches overwrite
+    SERVED tail dirs (review r11 pass 4)."""
+    import os
+
+    from comet_spark.storage.store import DocumentStore
+    from comet_spark.streaming.ingest import ivf_ingest_stream
+
+    src = str(tmp_path / "src")
+    index_base = str(tmp_path / "index")
+
+    def feed(lo, hi):
+        spark.createDataFrame(
+            [(i, [float(i), float(i % 3)]) for i in range(lo, hi)],
+            "id bigint, vector array<double>",
+        ).repartition(1).write.mode("append").parquet(src)
+
+    def drain(ckpt):
+        q = ivf_ingest_stream(
+            spark.readStream.schema("id bigint, vector array<double>")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src),
+            DocumentStore(spark, str(tmp_path / "store"), id_col="id"),
+            index_base, checkpoint=ckpt, nlist=2,  # refresh_every=0
+        )
+        assert q.awaitTermination(300)
+
+    for b in range(3):  # boot v0, then tails 1 and 2 — version stays 0
+        feed(b * 10, b * 10 + 8)
+    drain(str(tmp_path / "ckpt1"))
+    assert os.path.exists(f"{index_base}/_versions/0")
+    assert not os.path.exists(f"{index_base}/_versions/2")
+    assert os.path.exists(f"{index_base}/tail/batch=2/_SUCCESS")
+    feed(30, 38)
+    with pytest.raises(Exception, match="fresh checkpoint"):
+        drain(str(tmp_path / "ckpt2"))
