@@ -20,6 +20,8 @@ __all__ = [
     "stream_into_store",
     "ivf_ingest_stream",
     "ivf_serving_view",
+    "pq_ingest_stream",
+    "pq_serving_view",
     "hnsw_ingest_stream",
     "hnsw_serving_view",
     "bm25_ingest",
@@ -91,36 +93,13 @@ def stream_into_store(
             return
         batch = batch.persist()  # all splits scan the batch once each
         try:
-            # an unrecognized non-null op (op='DELETE', a typo, or a
-            # whole mistyped column whose comparison to delete_value is
-            # NULL) must fail LOUDLY: treating it as an upsert would
-            # append its NULL-payload marker row, which then SHADOWS the
-            # live document under newest-wins — data destruction, not a
-            # skip. The three predicates PARTITION the batch exactly —
-            # NULL op → upsert, op = delete_value (a true match, never a
-            # null comparison) → delete, anything else → bad — counted
-            # in ONE scan.
-            is_del = F.coalesce(
-                F.col(op_col) == F.lit(delete_value), F.lit(False)
+            ups, del_ids, n_ups, n_del = _split_ops(
+                batch, op_col, delete_value, store.id_col, "stream_into_store"
             )
-            is_bad = F.col(op_col).isNotNull() & ~is_del
-            probe = batch.agg(
-                F.count(F.when(is_bad, 1)).alias("n_bad"),
-                F.max(F.when(is_bad, F.col(op_col).cast("string"))).alias("bad_val"),
-                F.count(F.when(is_del, 1)).alias("n_del"),
-                F.count(F.when(F.col(op_col).isNull(), 1)).alias("n_ups"),
-            ).first()
-            if probe["n_bad"]:
-                raise ValueError(
-                    f"stream_into_store: unrecognized {op_col}="
-                    f"{probe['bad_val']!r} (expected NULL/upsert or "
-                    f"{delete_value!r}) — failing the micro-batch rather "
-                    "than appending a marker row as data"
-                )
-            if probe["n_ups"]:
-                store.append(batch.filter(F.col(op_col).isNull()).drop(op_col))
-            if probe["n_del"]:
-                store.delete(batch.filter(is_del).select(store.id_col))
+            if n_ups:
+                store.append(ups)
+            if n_del:
+                store.delete(del_ids)
         finally:
             batch.unpersist()
 
@@ -130,6 +109,41 @@ def stream_into_store(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def _split_ops(
+    batch: DataFrame, op_col: str, delete_value: str, id_col: str, who: str
+) -> tuple[DataFrame, DataFrame, int, int]:
+    """Validate + partition one (persisted) CRUD micro-batch into
+    ``(upserts, delete_ids, n_ups, n_del)`` — the shared op contract of
+    every ``op_col`` stream. An unrecognized non-null op (op='DELETE', a
+    typo, or a whole mistyped column whose comparison to delete_value is
+    NULL) must fail LOUDLY: treating it as an upsert would append its
+    NULL-payload marker row, which then SHADOWS the live document under
+    newest-wins — data destruction, not a skip. The three predicates
+    PARTITION the batch exactly — NULL op → upsert, op = delete_value
+    (a true match, never a null comparison) → delete, anything else →
+    bad — counted in ONE scan."""
+    is_del = F.coalesce(F.col(op_col) == F.lit(delete_value), F.lit(False))
+    is_bad = F.col(op_col).isNotNull() & ~is_del
+    probe = batch.agg(
+        F.count(F.when(is_bad, 1)).alias("n_bad"),
+        F.max(F.when(is_bad, F.col(op_col).cast("string"))).alias("bad_val"),
+        F.count(F.when(is_del, 1)).alias("n_del"),
+        F.count(F.when(F.col(op_col).isNull(), 1)).alias("n_ups"),
+    ).first()
+    if probe["n_bad"]:
+        raise ValueError(
+            f"{who}: unrecognized {op_col}={probe['bad_val']!r} "
+            f"(expected NULL/upsert or {delete_value!r}) — failing the "
+            "micro-batch rather than appending a marker row as data"
+        )
+    return (
+        batch.filter(F.col(op_col).isNull()).drop(op_col),
+        batch.filter(is_del).select(id_col),
+        probe["n_ups"],
+        probe["n_del"],
+    )
 
 
 def _ivf_current(fs, index_base: str) -> int | None:
@@ -160,6 +174,8 @@ def ivf_ingest_stream(
     id_col: str = "id",
     vec_col: str = "vector",
     metric: str = "l2",
+    op_col: str | None = None,
+    delete_value: str = "delete",
     trigger_available_now: bool = True,
 ) -> StreamingQuery:
     """STREAM-WIRED ANN maintenance: the vector twin of
@@ -208,10 +224,36 @@ def ivf_ingest_stream(
       journaled under ``_skips/`` for observability (and the gate's
       non-vacuity assert).
 
-    Contract: ids must be FRESH per batch (the reference's Add); route
-    upsert/delete streams through the merged-view retrain path
-    (``stream_into_store`` + post-drain ``IVFIndex.train``) or pair
-    reads with ``exclude_ids``. Like every store stream, this stream is
+    CRUD (``op_col`` — closes the CRUD × live-maintenance matrix; the
+    reference's persistent index serves searches while ``Remove`` and
+    re-``Add`` mutate it on the shared write path,
+    ``ivf_index.go:307-400``): when set, rows follow the
+    :func:`stream_into_store` op contract (NULL op → insert/upsert,
+    ``delete_value`` → delete marker, anything else fails the
+    micro-batch loudly via :func:`_split_ops`). Per micro-batch the
+    upserts land as one store segment + one tail assignment (same ids
+    re-sent later simply re-assign — the serving view resolves
+    newest-wins by version precedence: tail batch N shadows the
+    committed full layout and any older tail), and the delete ids apply
+    as a sequenced store soft-delete AND accumulate as a
+    ``_SUCCESS``-gated marker partition ``_deletes/batch={batch_id}``
+    the serving view anti-joins (a delete at batch N hides rows whose
+    precedence ≤ N; a LATER upsert resurrects — the store's
+    segment-watermark rule, read-path mirrored). Refresh batches bake
+    both in: the retrain reads the store's merged view, which has
+    already applied them, so markers ≤ the committed version are dead
+    and pruned at read. The first batch creates a ``_crud`` marker so
+    :func:`ivf_serving_view` knows to run the newest-wins/anti-join
+    plan; append-only streams keep the r11 plan (every component
+    partition-pruned, no dedup work). Crash replay of a marker-carrying
+    tail batch re-appends a duplicate segment (newest-wins-hidden),
+    re-issues its delete with a fresh watermark, and overwrites its own
+    ``_deletes``/``tail`` dirs — idempotent, same argument as
+    ``stream_into_store``.
+
+    Without ``op_col``: ids must be FRESH per batch (the reference's
+    Add) — the serving view performs no dedup, so a re-sent id would be
+    served twice. Like every store stream, this stream is
     the single writer of the store and the index base. The index base
     is scoped to ONE checkpoint lineage (the same sink/checkpoint
     coupling ``bm25_ingest_stream`` documents): pointing a FRESH
@@ -256,6 +298,14 @@ def ivf_ingest_stream(
                 int(n.split("=", 1)[1])
                 for n in fs.listdir(f"{index_base}/tail")
                 if n.startswith("batch=")
+            ] + [
+                # delete-marker batches advance numbering too: a
+                # delete-only batch writes no tail, and a recycled id
+                # overwriting a SERVED marker dir is the same silent
+                # corruption the tail leg guards against
+                int(n.split("=", 1)[1])
+                for n in fs.listdir(f"{index_base}/_deletes")
+                if n.startswith("batch=")
             ]
             newest = max(
                 [boot_cur if boot_cur is not None else -1] + tails
@@ -272,67 +322,115 @@ def ivf_ingest_stream(
                     "delete the index base and store to re-ingest"
                 )
             cache["cur"] = boot_cur  # seed — no second _versions listing
-        if batch.isEmpty():
-            return
+            if op_col is not None:
+                # declare the CRUD contract to readers: the serving
+                # view must run the newest-wins/anti-join plan from the
+                # first batch on (create-if-absent — idempotent across
+                # restarts)
+                fs.create_new(f"{index_base}/_crud")
         if fs.exists(f"{index_base}/_versions/{batch_id}"):
             # replay of a fully-committed refresh batch (the marker is
             # written last): skip EVERYTHING — re-appending would land a
-            # pointless duplicate segment, and rewriting the layout
-            # would mutate a version directory readers are already
-            # pointed at. Journal the skip (atomic create-if-absent; a
-            # second replay finds it already journaled) so the
-            # crash-replay is observable.
+            # pointless duplicate segment, re-deleting would re-stamp a
+            # watermark the marker already proves applied, and rewriting
+            # the layout would mutate a version directory readers are
+            # already pointed at. Journal the skip (atomic
+            # create-if-absent; a second replay finds it already
+            # journaled) so the crash-replay is observable.
             fs.create_new(f"{index_base}/_skips/{batch_id}")
             return
-        store.append(batch)
         cur = cache["cur"]
         if cur is None:
             cur = cache["cur"] = _ivf_current(fs, index_base)
-        if cur is None or (
+        scheduled = cur is None or (
             refresh_every and batch_id > 0 and batch_id % refresh_every == 0
-        ):
-            # second-writer TRIPWIRE (post-hoc by nature — single-writer
-            # is the caller's contract, not something two uncoordinated
-            # writers can enforce): check before mutating to shrink the
-            # window, and again at commit below
-            if fs.exists(f"{index_base}/_versions/{batch_id}"):
-                raise RuntimeError(
-                    f"ivf_ingest_stream: version marker {batch_id} "
-                    f"appeared under {index_base} — a second writer is "
-                    "committing versions"
+        )
+        persisted = None
+        tail_rows = None  # this batch's rows to assign into its tail
+        try:
+            if batch.isEmpty():
+                # an empty micro-batch that lands ON a scheduled refresh
+                # still RUNS it (over the merged store view — data-fed-
+                # so-far): skipping would silently extend centroid/tail
+                # drift until the next multiple of refresh_every with no
+                # signal (ADVICE r11). Before the boot version exists
+                # there is nothing to train on — nothing to do.
+                if cur is None or not scheduled:
+                    return
+            elif op_col is None:
+                store.append(batch)
+                tail_rows = batch
+            else:
+                persisted = batch.persist()  # every split scans it once
+                ups, del_ids, n_ups, n_del = _split_ops(
+                    batch, op_col, delete_value, id_col, "ivf_ingest_stream"
                 )
-            merged = store.read()
-            ivf = IVFIndex.train(
-                merged, nlist, id_col=id_col, vec_col=vec_col, metric=metric
-            )
-            full = f"{index_base}/full_v{batch_id}"
-            ivf.write(
-                ivf.assign(merged, id_col=id_col, vec_col=vec_col),
-                f"{full}/layout.parquet",
-            )
-            ivf.save(spark, full)
-            # the version COMMIT: atomic CREATE of the marker — never a
-            # pointer rewrite (see _ivf_current). create_new is also
-            # the tripwire's second leg: False means another writer
-            # committed this version since the check above — the layout
-            # may already be damaged, but the stream dies loudly here
-            # instead of serving it.
-            if not fs.create_new(f"{index_base}/_versions/{batch_id}"):
-                raise RuntimeError(
-                    f"ivf_ingest_stream: version marker {batch_id} "
-                    f"already exists under {index_base} — a second "
-                    "writer is committing versions"
+                if n_ups:
+                    store.append(ups)
+                    tail_rows = ups
+                if n_del:
+                    # sequenced store soft-delete FIRST (so a refresh
+                    # this batch retrains on the post-delete corpus),
+                    # then the read-path marker partition. Overwrite =
+                    # idempotent under replay; _SUCCESS gates torn dirs
+                    # out of serving.
+                    store.delete(del_ids)
+                    # canonical "id" column — the layout side is always
+                    # canonicalized by assign_clusters
+                    del_ids.select(F.col(id_col).alias("id")).repartition(
+                        1
+                    ).write.mode("overwrite").parquet(
+                        f"{index_base}/_deletes/batch={batch_id}"
+                    )
+            if scheduled:
+                # second-writer TRIPWIRE (post-hoc by nature —
+                # single-writer is the caller's contract, not something
+                # two uncoordinated writers can enforce): check before
+                # mutating to shrink the window, and again at commit
+                if fs.exists(f"{index_base}/_versions/{batch_id}"):
+                    raise RuntimeError(
+                        f"ivf_ingest_stream: version marker {batch_id} "
+                        f"appeared under {index_base} — a second writer "
+                        "is committing versions"
+                    )
+                merged = store.read()
+                ivf = IVFIndex.train(
+                    merged, nlist, id_col=id_col, vec_col=vec_col,
+                    metric=metric,
                 )
-            cache["cur"], cache["ivf"] = batch_id, ivf
-        else:
-            if cache["ivf"] is None:
-                cache["ivf"] = IVFIndex.load(spark, f"{index_base}/full_v{cur}")
-            ivf = cache["ivf"]
-            ivf.assign(batch, id_col=id_col, vec_col=vec_col).repartition(
-                "cluster_id"
-            ).write.mode("overwrite").partitionBy("cluster_id").parquet(
-                f"{index_base}/tail/batch={batch_id}"
-            )
+                full = f"{index_base}/full_v{batch_id}"
+                ivf.write(
+                    ivf.assign(merged, id_col=id_col, vec_col=vec_col),
+                    f"{full}/layout.parquet",
+                )
+                ivf.save(spark, full)
+                # the version COMMIT: atomic CREATE of the marker —
+                # never a pointer rewrite (see _ivf_current). create_new
+                # is also the tripwire's second leg: False means another
+                # writer committed this version since the check above —
+                # the layout may already be damaged, but the stream dies
+                # loudly here instead of serving it.
+                if not fs.create_new(f"{index_base}/_versions/{batch_id}"):
+                    raise RuntimeError(
+                        f"ivf_ingest_stream: version marker {batch_id} "
+                        f"already exists under {index_base} — a second "
+                        "writer is committing versions"
+                    )
+                cache["cur"], cache["ivf"] = batch_id, ivf
+            elif tail_rows is not None:
+                if cache["ivf"] is None:
+                    cache["ivf"] = IVFIndex.load(
+                        spark, f"{index_base}/full_v{cur}"
+                    )
+                ivf = cache["ivf"]
+                ivf.assign(tail_rows, id_col=id_col, vec_col=vec_col).repartition(
+                    "cluster_id"
+                ).write.mode("overwrite").partitionBy("cluster_id").parquet(
+                    f"{index_base}/tail/batch={batch_id}"
+                )
+        finally:
+            if persisted is not None:
+                persisted.unpersist()
 
     writer = stream.writeStream.foreachBatch(write_batch).option(
         "checkpointLocation", checkpoint
@@ -356,7 +454,32 @@ def ivf_serving_view(spark, index_base: str):
     (SCALE.md): retry by rebuilding the view, which is then correct
     because the rewrite re-lands ``_SUCCESS`` last. Every component is a
     parquet read partitioned by ``cluster_id``, so an ``isin(probes)``
-    filter prunes each via PartitionFilters."""
+    filter prunes each via PartitionFilters.
+
+    CRUD mode (the writer left a ``_crud`` marker — its stream ran with
+    ``op_col``): the view additionally resolves newest-wins and applies
+    delete markers, all of it bounded by the TAIL, never the corpus:
+
+    - tail rows dedupe to the max-batch row per id (one shuffle over
+      tail rows only — the tail is the handful of batches since the
+      last refresh, so this is batch-bound, and the winning row's
+      cluster is the id's serving assignment);
+    - the full layout sheds shadowed ids via a BROADCAST anti-join on
+      the tail's id set (cluster pruning still pushes to the full scan
+      through the anti-join);
+    - ``_SUCCESS``-committed ``_deletes`` partitions NEWER than the
+      committed version (older markers are baked into the retrain)
+      broadcast-join against both components: a row survives when its
+      precedence (committed version for full rows, batch id for tail
+      rows) is ABOVE the id's newest delete — so a later upsert
+      resurrects, and a same-batch delete wins over its own upsert,
+      exactly the store's segment-watermark rule.
+
+    The tail-side cluster filter applies AFTER the dedup window (the
+    newest assignment decides the id's cluster — pruning first could
+    serve a stale row from an unprobed cluster's shadow), which is why
+    the CRUD plan is opt-in by marker: append-only streams keep the
+    fully-pruned r11 plan."""
     from comet_spark.operators.ann import IVFIndex
     from comet_spark.storage.store import _FS
 
@@ -376,12 +499,220 @@ def ivf_serving_view(spark, index_base: str):
         and int(n.split("=", 1)[1]) > cur
         and fs.exists(f"{tail_root}/{n}/_SUCCESS")
     )
+    if not fs.exists(f"{index_base}/_crud"):
+        if live:
+            tail = spark.read.option("basePath", tail_root).parquet(
+                *[f"{tail_root}/{n}" for n in live]
+            )
+            layout = layout.unionByName(tail.select(layout.columns))
+        return ivf, layout
+
+    from pyspark.sql import Window
+
+    cols = layout.columns
+    pri = "__pri"  # version precedence: full rows = cur, tail rows = batch
     if live:
         tail = spark.read.option("basePath", tail_root).parquet(
             *[f"{tail_root}/{n}" for n in live]
         )
-        layout = layout.unionByName(tail.select(layout.columns))
-    return ivf, layout
+        w = Window.partitionBy("id").orderBy(F.col("batch").desc())
+        tail_win = (
+            tail.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .withColumn(pri, F.col("batch").cast("bigint"))
+            .select(*cols, pri)
+        )
+        tail_ids = tail.select("id").distinct()
+        layout = layout.join(F.broadcast(tail_ids), "id", "left_anti")
+        layout = layout.withColumn(pri, F.lit(cur).cast("bigint")).select(
+            *cols, pri
+        ).unionByName(tail_win)
+    else:
+        layout = layout.withColumn(pri, F.lit(cur).cast("bigint"))
+    del_root = f"{index_base}/_deletes"
+    del_live = [
+        n for n in fs.listdir(del_root)
+        if n.startswith("batch=")
+        and int(n.split("=", 1)[1]) > cur
+        and fs.exists(f"{del_root}/{n}/_SUCCESS")
+    ]
+    if del_live:
+        dels = (
+            spark.read.option("basePath", del_root)
+            .parquet(*[f"{del_root}/{n}" for n in del_live])
+            .groupBy("id")
+            .agg(F.max(F.col("batch").cast("bigint")).alias("__del"))
+        )
+        layout = layout.join(F.broadcast(dels), "id", "left").filter(
+            F.col("__del").isNull() | (F.col("__del") < F.col(pri))
+        ).drop("__del")
+    return ivf, layout.drop(pri)
+
+
+def pq_ingest_stream(
+    stream: DataFrame,
+    store: DocumentStore,
+    index_base: str,
+    *,
+    checkpoint: str,
+    m: int = 8,
+    nbits: int = 8,
+    refresh_every: int = 0,
+    id_col: str = "id",
+    vec_col: str = "vector",
+    trigger_available_now: bool = True,
+) -> StreamingQuery:
+    """Stream-wired PQ maintenance — the codes twin of
+    :func:`ivf_ingest_stream` and the Spark shape of the reference's
+    Add-after-train (``pq_index.go:439-473``: post-train Adds encode
+    the new vectors with the EXISTING codebooks; only a retrain moves
+    them). Per micro-batch, ``foreachBatch``:
+
+    1. appends the batch as one store segment (the durable corpus);
+    2. on the FIRST batch ever — or every ``refresh_every`` batches —
+       RETRAINS the codebooks on the store's newest-wins merged view
+       and RE-ENCODES the whole corpus under a VERSIONED directory
+       ``full_v{batch_id}`` (codes + codebooks), committed by creating
+       the monotone marker ``_versions/{batch_id}`` (see
+       :func:`_ivf_current` for why marker creates beat a pointer
+       rewrite);
+    3. otherwise encodes ONLY the batch with the CURRENT codebooks and
+       overwrites its own ``_SUCCESS``-gated codes tail
+       ``tail/batch={batch_id}``.
+
+    Same crash/replay convergence as the IVF engine: a replayed tail
+    batch re-appends a newest-wins-hidden duplicate segment and
+    idempotently overwrites its own tail dir; a replayed refresh whose
+    marker exists SKIPS entirely (journaled under ``_skips/``) — a
+    committed version dir is immutable from the moment a reader can be
+    pointed at it, so a crash landing BETWEEN the version commit and
+    the checkpoint commit heals with zero writes. An empty micro-batch
+    landing on a scheduled refresh still runs it (ADVICE r11). Same
+    contracts too: fresh ids per batch, single writer, one checkpoint
+    lineage per index base (the first batch after a (re)start fails
+    fast when its id is below the newest version/tail ever written).
+
+    Serving (:func:`pq_serving_view`): ADC scans the max committed
+    version's codes plus the committed tails newer than it — the exact
+    broadcast-LUT plan of the batch-built PQ index; tails ARE encoded
+    under the current codebooks by construction, so one LUT covers
+    every component."""
+    from comet_spark.operators.ann import PQIndex
+    from comet_spark.storage.store import _FS
+
+    first = [True]
+    cache: dict = {"cur": None, "pq": None}
+
+    def write_batch(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        fs = _FS(spark, index_base)
+        if first[0]:
+            store.force_unlock()
+            first[0] = False
+            boot_cur = _ivf_current(fs, index_base)
+            tails = [
+                int(n.split("=", 1)[1])
+                for n in fs.listdir(f"{index_base}/tail")
+                if n.startswith("batch=")
+            ]
+            newest = max([boot_cur if boot_cur is not None else -1] + tails)
+            if batch_id < newest:
+                raise RuntimeError(
+                    f"pq_ingest_stream: batch {batch_id} is below the "
+                    f"newest written batch {newest} under {index_base} "
+                    "— a fresh checkpoint was pointed at an existing "
+                    "index; resume with the original checkpoint, or "
+                    "delete the index base and store to re-ingest"
+                )
+            cache["cur"] = boot_cur
+        if fs.exists(f"{index_base}/_versions/{batch_id}"):
+            # replay of a fully-committed refresh (marker written last):
+            # skip everything, journal for observability
+            fs.create_new(f"{index_base}/_skips/{batch_id}")
+            return
+        cur = cache["cur"]
+        if cur is None:
+            cur = cache["cur"] = _ivf_current(fs, index_base)
+        scheduled = cur is None or (
+            refresh_every and batch_id > 0 and batch_id % refresh_every == 0
+        )
+        if batch.isEmpty():
+            # run a scheduled refresh even on an empty trigger — the
+            # codebook drift clock must not silently skip a cycle
+            if cur is None or not scheduled:
+                return
+        else:
+            store.append(batch)
+        if scheduled:
+            if fs.exists(f"{index_base}/_versions/{batch_id}"):
+                raise RuntimeError(
+                    f"pq_ingest_stream: version marker {batch_id} "
+                    f"appeared under {index_base} — a second writer is "
+                    "committing versions"
+                )
+            merged = store.read()
+            pq = PQIndex.train(
+                merged, m=m, nbits=nbits, id_col=id_col, vec_col=vec_col
+            )
+            full = f"{index_base}/full_v{batch_id}"
+            pq.encode(merged, id_col=id_col, vec_col=vec_col).write.mode(
+                "overwrite"
+            ).parquet(f"{full}/codes.parquet")
+            pq.save(spark, full)
+            if not fs.create_new(f"{index_base}/_versions/{batch_id}"):
+                raise RuntimeError(
+                    f"pq_ingest_stream: version marker {batch_id} "
+                    f"already exists under {index_base} — a second "
+                    "writer is committing versions"
+                )
+            cache["cur"], cache["pq"] = batch_id, pq
+        else:
+            if cache["pq"] is None:
+                cache["pq"] = PQIndex.load(spark, f"{index_base}/full_v{cur}")
+            cache["pq"].encode(batch, id_col=id_col, vec_col=vec_col).write.mode(
+                "overwrite"
+            ).parquet(f"{index_base}/tail/batch={batch_id}")
+
+    writer = stream.writeStream.foreachBatch(write_batch).option(
+        "checkpointLocation", checkpoint
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def pq_serving_view(spark, index_base: str):
+    """(PQIndex, codes DataFrame) over the stream-maintained PQ index:
+    the max committed version's codes plus every ``_SUCCESS``-committed
+    codes tail NEWER than it (torn tails excluded until the replay
+    rewrites them — the IVF tail rule, same loud-fail-then-reread
+    contract under a concurrent replay). Every component carries codes
+    encoded under the CURRENT codebooks (tails encode with them at
+    write time; the refresh re-encodes everything), so the caller's one
+    LUT scores the whole view."""
+    from comet_spark.operators.ann import PQIndex
+    from comet_spark.storage.store import _FS
+
+    fs = _FS(spark, index_base)
+    cur = _ivf_current(fs, index_base)
+    if cur is None:
+        raise FileNotFoundError(
+            f"pq_serving_view: no committed version under {index_base} "
+            "— the stream has not committed a serving version yet"
+        )
+    pq = PQIndex.load(spark, f"{index_base}/full_v{cur}")
+    tail_root = f"{index_base}/tail"
+    comps = [f"{index_base}/full_v{cur}/codes.parquet"] + [
+        f"{tail_root}/{n}"
+        for n in sorted(fs.listdir(tail_root))
+        if n.startswith("batch=")
+        and int(n.split("=", 1)[1]) > cur
+        and fs.exists(f"{tail_root}/{n}/_SUCCESS")
+    ]
+    codes = spark.read.parquet(*comps)
+    if "batch" in codes.columns:
+        codes = codes.drop("batch")
+    return pq, codes
 
 
 def hnsw_ingest_stream(
@@ -397,6 +728,7 @@ def hnsw_ingest_stream(
     metric: str = "l2",
     id_col: str = "id",
     vec_col: str = "vector",
+    refresh_every: int = 0,
     trigger_available_now: bool = True,
 ) -> StreamingQuery:
     """Stream-wired GRAPH maintenance — the HNSW twin of
@@ -412,8 +744,25 @@ def hnsw_ingest_stream(
     slices preserve it), which means a batch is searchable the moment
     its dir commits — no refresh step, no version pointer: graph growth
     is append-only, and the sub-graph count is bounded by the batch
-    count (rebuild via ``DistributedHNSW.build`` at compaction when
-    that drifts, exactly like the batch path).
+    count.
+
+    ``refresh_every`` drives that rebuild FROM INSIDE the stream (the
+    graph twin of ``ivf_ingest_stream``'s versioned retrain): every
+    ``refresh_every`` batches the whole merged store view is rebuilt
+    into ONE consolidated set of sub-graphs under a VERSIONED directory
+    ``full_v{batch_id}/parts``, committed by creating the monotone
+    marker ``_versions/{batch_id}`` (never a pointer rewrite — see
+    :func:`_ivf_current`). :func:`hnsw_serving_view` then serves the
+    max committed consolidation plus only the per-batch dirs NEWER than
+    it — sub-graph count is bounded by ``refresh_every`` instead of the
+    total batch count, and a committed ``full_v{N}`` is IMMUTABLE (a
+    replay of its batch skips entirely, journaled under ``_skips/``),
+    so a concurrent reader can never observe a half-rewritten
+    consolidation. Consolidation quality: the rebuild sees the full
+    corpus, so its beam can only improve on the per-batch slices it
+    replaces (sub-graph count drops; each sub-graph's local top-k is
+    built from a larger neighborhood) — the gate asserts recall ≥ the
+    pre-consolidation beam.
 
     Crash/replay: a replayed batch re-appends a duplicate store segment
     (newest-wins-hidden) and OVERWRITES its own graph dir — idempotent
@@ -426,7 +775,10 @@ def hnsw_ingest_stream(
     ``ivf_ingest_stream``: the first batch after a (re)start fails fast
     if its id is below an already-written graph batch (a fresh
     checkpoint would overwrite other batches' sub-graphs with its own
-    recycled ids)."""
+    recycled ids). Restarting with different ``m``/``metric`` against
+    an existing graph fails fast too: the serving view constructs ONE
+    DistributedHNSW from the recorded meta, and sub-graphs built under
+    different parameters would silently mis-walk (ADVICE r11)."""
     from comet_spark.operators.hnsw import DistributedHNSW
     from comet_spark.storage.store import _FS
 
@@ -445,6 +797,9 @@ def hnsw_ingest_stream(
                 for n in fs.listdir(f"{graph_base}/parts")
                 if n.startswith("batch=")
             ]
+            boot_cur = _ivf_current(fs, graph_base)
+            if boot_cur is not None:
+                existing.append(boot_cur)
             if existing and batch_id < max(existing):
                 raise RuntimeError(
                     f"hnsw_ingest_stream: batch {batch_id} is below the "
@@ -454,6 +809,29 @@ def hnsw_ingest_stream(
                     "checkpoint, or delete the graph base and store to "
                     "re-ingest"
                 )
+            # meta mismatch guard (ADVICE r11): a restart with different
+            # m/metric would build new sub-graphs under the OLD meta and
+            # the serving view would walk them with parameters they were
+            # not built with — fail fast instead, once per (re)start
+            if fs.exists(f"{graph_base}/meta.parquet/_SUCCESS"):
+                meta = spark.read.parquet(f"{graph_base}/meta.parquet").first()
+                if int(meta["m"]) != m or meta["metric"] != metric:
+                    raise RuntimeError(
+                        f"hnsw_ingest_stream: stream params (m={m}, "
+                        f"metric={metric!r}) differ from the graph's "
+                        f"recorded meta (m={int(meta['m'])}, "
+                        f"metric={meta['metric']!r}) under {graph_base} "
+                        "— sub-graphs built under mixed parameters would "
+                        "silently mis-walk; resume with the original "
+                        "parameters, or delete the graph base and store "
+                        "to re-ingest"
+                    )
+        if fs.exists(f"{graph_base}/_versions/{batch_id}"):
+            # replay of a fully-committed consolidation batch (marker
+            # written last): skip everything — rewriting would mutate a
+            # version dir readers are already pointed at (the IVF rule)
+            fs.create_new(f"{graph_base}/_skips/{batch_id}")
+            return
         if batch.isEmpty():
             return
         store.append(batch)
@@ -463,6 +841,32 @@ def hnsw_ingest_stream(
             ).repartition(1).write.mode("overwrite").parquet(
                 f"{graph_base}/meta.parquet"
             )
+        if refresh_every and batch_id > 0 and batch_id % refresh_every == 0:
+            # CONSOLIDATION: one rebuild over the merged view replaces
+            # every sub-graph so far; per-batch dirs ≤ batch_id stop
+            # being served the moment the marker lands (they stay on
+            # disk for a post-drain cleanup — serving never reads them)
+            if fs.exists(f"{graph_base}/_versions/{batch_id}"):
+                raise RuntimeError(
+                    f"hnsw_ingest_stream: version marker {batch_id} "
+                    f"appeared under {graph_base} — a second writer is "
+                    "committing consolidations"
+                )
+            full = DistributedHNSW.build(
+                store.read(), id_col=id_col, vec_col=vec_col, m=m,
+                ef_construction=ef_construction, seed=seed, metric=metric,
+                num_partitions=parts_per_batch, cache=False,
+            )
+            full.graphs.write.mode("overwrite").parquet(
+                f"{graph_base}/full_v{batch_id}/parts"
+            )
+            if not fs.create_new(f"{graph_base}/_versions/{batch_id}"):
+                raise RuntimeError(
+                    f"hnsw_ingest_stream: version marker {batch_id} "
+                    f"already exists under {graph_base} — a second "
+                    "writer is committing consolidations"
+                )
+            return
         fresh = DistributedHNSW.build(
             batch, id_col=id_col, vec_col=vec_col, m=m,
             ef_construction=ef_construction, seed=seed, metric=metric,
@@ -481,36 +885,51 @@ def hnsw_ingest_stream(
 
 
 def hnsw_serving_view(spark, graph_base: str):
-    """:class:`DistributedHNSW` over every ``_SUCCESS``-committed graph
-    batch dir — torn dirs (crash mid-write) are excluded until the
+    """:class:`DistributedHNSW` over the max committed CONSOLIDATION
+    (``full_v{N}`` — see ``hnsw_ingest_stream(refresh_every=...)``), if
+    any, plus every ``_SUCCESS``-committed per-batch graph dir NEWER
+    than it — torn dirs (crash mid-write) are excluded until the
     stream's replay rewrites them, same rule as the IVF tails. The
-    graph table is the union of per-batch sub-graph rows; search walks
-    each row's blob independently, so the union IS the serving
-    structure, no merge step."""
+    graph table is the union of sub-graph rows; search walks each row's
+    blob independently, so the union IS the serving structure, no merge
+    step."""
     from comet_spark.operators.hnsw import DistributedHNSW
     from comet_spark.storage.store import _FS
 
     fs = _FS(spark, graph_base)
     parts_root = f"{graph_base}/parts"
+    cur = _ivf_current(fs, graph_base)
     live = sorted(
         (n for n in fs.listdir(parts_root)
          if n.startswith("batch=")
+         and (cur is None or int(n.split("=", 1)[1]) > cur)
          and fs.exists(f"{parts_root}/{n}/_SUCCESS")),
         key=lambda n: int(n.split("=", 1)[1]),
     )
     # the batch check and meta _SUCCESS gate run BEFORE any parquet
-    # read: a crash mid-meta-write (torn dir, no graph batches yet)
-    # must fail with THIS deliberate error, not an opaque
-    # schema-inference failure (review r11 pass 4)
-    if not live or not fs.exists(f"{graph_base}/meta.parquet/_SUCCESS"):
+    # read: a crash mid-write must fail with a DELIBERATE, correctly
+    # named error, not an opaque schema-inference failure (review r11
+    # pass 4) — and the two failure states are distinct for an operator
+    # (ADVICE r11): no committed batch at all vs committed batches
+    # whose meta is missing/torn
+    if cur is None and not live:
         raise FileNotFoundError(
             f"hnsw_serving_view: no committed graph batches under "
             f"{graph_base} — the stream has not flushed a batch yet"
         )
+    if not fs.exists(f"{graph_base}/meta.parquet/_SUCCESS"):
+        raise FileNotFoundError(
+            f"hnsw_serving_view: committed graph batches exist under "
+            f"{graph_base} but meta.parquet is missing or torn (no "
+            "_SUCCESS) — a crash landed mid-meta-write; the stream's "
+            "next batch rewrites it"
+        )
     meta = spark.read.parquet(f"{graph_base}/meta.parquet").first()
-    graphs = spark.read.option("basePath", parts_root).parquet(
-        *[f"{parts_root}/{n}" for n in live]
-    ).drop("batch")
+    comps = [f"{graph_base}/full_v{cur}/parts"] if cur is not None else []
+    comps += [f"{parts_root}/{n}" for n in live]
+    graphs = spark.read.parquet(*comps)
+    if "batch" in graphs.columns:
+        graphs = graphs.drop("batch")
     return DistributedHNSW(graphs, m=int(meta["m"]), metric=meta["metric"])
 
 

@@ -115,6 +115,13 @@ def main() -> None:
                     pass
             entry._HNSW_LIVE_CACHE.clear()
             entry._CRUD_BM25_CACHE.clear()
+            # _PROBE_WRITTEN keys survive the artifact rmtree otherwise:
+            # a gate re-run for the same (session, sf_dir) would skip
+            # rewriting its query-time probe (e.g. hnsw_live's
+            # candidates.parquet) and read the deleted file (ADVICE r11).
+            # Clearing the whole set is safe — intact artifacts just
+            # rewrite their probes once.
+            entry._PROBE_WRITTEN.clear()
             t0 = time.perf_counter()
             n = len(qs[name](spark, sf_dir).collect())
             dt = round(time.perf_counter() - t0, 2)

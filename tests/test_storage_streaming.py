@@ -2576,3 +2576,306 @@ def test_ivf_ingest_stream_guard_covers_tail_only_growth(spark, tmp_path):
     feed(30, 38)
     with pytest.raises(Exception, match="fresh checkpoint"):
         drain(str(tmp_path / "ckpt2"))
+
+
+def test_ivf_ingest_stream_empty_batch_runs_scheduled_refresh(spark, tmp_path):
+    """An empty micro-batch that lands ON a scheduled refresh still runs
+    it over the merged store view (ADVICE r11): skipping would silently
+    extend centroid drift until the next multiple of refresh_every."""
+    import os
+
+    from comet_spark.storage.store import DocumentStore
+    from comet_spark.streaming.ingest import ivf_ingest_stream, ivf_serving_view
+
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+    index_base = str(tmp_path / "index")
+
+    def feed(lo, hi):
+        spark.createDataFrame(
+            [(i, [float(i), float(i % 3)]) for i in range(lo, hi)],
+            "id bigint, vector array<double>",
+        ).repartition(1).write.mode("append").parquet(src)
+
+    feed(0, 8)     # batch 0 → boot v0
+    feed(10, 18)   # batch 1 → tail
+    feed(20, 20)   # batch 2: EMPTY file → scheduled refresh must still run
+    q = ivf_ingest_stream(
+        spark.readStream.schema("id bigint, vector array<double>")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src),
+        DocumentStore(spark, str(tmp_path / "store"), id_col="id"),
+        index_base, checkpoint=ckpt, nlist=2, refresh_every=2,
+    )
+    assert q.awaitTermination(300)
+    assert os.path.exists(f"{index_base}/_versions/2"), (
+        "the empty trigger's scheduled refresh was skipped"
+    )
+    _, layout = ivf_serving_view(spark, index_base)
+    got = sorted(r["id"] for r in layout.select("id").collect())
+    assert got == sorted(list(range(0, 8)) + list(range(10, 18)))
+
+
+def test_ivf_ingest_stream_crud_ops(spark, tmp_path):
+    """op_col CRUD through the live-maintained IVF stream: upserts
+    re-assign into the tail and shadow older assignments (newest-wins
+    by version precedence), delete markers hide rows at or below their
+    batch, a same-batch delete beats its own upsert, and a LATER
+    re-append resurrects — the store's segment-watermark rule mirrored
+    at the serving view."""
+    import os
+
+    from comet_spark.storage.store import DocumentStore
+    from comet_spark.streaming.ingest import ivf_ingest_stream, ivf_serving_view
+
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+    index_base = str(tmp_path / "index")
+    store = DocumentStore(spark, str(tmp_path / "store"), id_col="id")
+
+    def feed(rows):
+        spark.createDataFrame(
+            rows, "id bigint, vector array<double>, op string"
+        ).repartition(1).write.mode("append").parquet(src)
+
+    def drain():
+        q = ivf_ingest_stream(
+            spark.readStream.schema(
+                "id bigint, vector array<double>, op string"
+            )
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src),
+            store, index_base, checkpoint=ckpt, nlist=2, op_col="op",
+        )
+        assert q.awaitTermination(300)
+
+    # batch 0: inserts 0..7 → boot v0
+    feed([(i, [float(i), 0.0], None) for i in range(8)])
+    # batch 1: upsert id 2 (moved vector), upsert id 6 AND delete id 6
+    # (delete wins within a batch), delete id 5, fresh ids 10..13
+    feed(
+        [(2, [100.0, 100.0], None), (6, [6.5, 0.0], None)]
+        + [(i, [float(i), 0.0], None) for i in range(10, 14)]
+        + [(6, None, "delete"), (5, None, "delete")]
+    )
+    drain()
+    assert os.path.exists(f"{index_base}/_crud")
+    assert os.path.exists(f"{index_base}/_deletes/batch=1/_SUCCESS")
+    _, layout = ivf_serving_view(spark, index_base)
+    got = {r["id"]: r["vector"] for r in layout.collect()}
+    want_ids = ({0, 1, 2, 3, 4, 7} | set(range(10, 14)))  # 5 and 6 deleted
+    assert set(got) == want_ids
+    assert got[2] == [100.0, 100.0], "tail upsert must shadow the full layout"
+    # batch 2: re-append id 5 → resurrects (upsert batch 2 > delete batch 1)
+    feed([(5, [55.0, 0.0], None)])
+    drain()
+    _, layout = ivf_serving_view(spark, index_base)
+    got = {r["id"]: r["vector"] for r in layout.collect()}
+    assert set(got) == want_ids | {5}
+    assert got[5] == [55.0, 0.0]
+    # the serving view agrees with the store's own merged view on ids
+    store_ids = {r["id"] for r in store.read().select("id").collect()}
+    assert set(got) == store_ids
+
+
+def test_pq_ingest_stream_versioned_refresh_and_skip_replay(spark, tmp_path):
+    """The PQ maintenance engine: boot trains v0, tails encode with the
+    current codebooks, the scheduled refresh commits an immutable
+    full_v2 (marker create), and a crash BETWEEN the version commit and
+    the checkpoint commit skip-replays with zero writes (journaled).
+    Serving ADC-parity: the view's codes score identically to a direct
+    encode of the corpus under the same codebooks."""
+    import glob
+    import os
+
+    import numpy as np
+
+    from __spark_entry__ import _lose_latest_commit
+    from comet_spark.operators.ann import PQIndex
+    from comet_spark.storage.store import DocumentStore
+    from comet_spark.streaming.ingest import pq_ingest_stream, pq_serving_view
+
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+    index_base = str(tmp_path / "index")
+    store = DocumentStore(spark, str(tmp_path / "store"), id_col="id")
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(32, 4)).round(3)
+
+    def feed(lo, hi):
+        spark.createDataFrame(
+            [(i, [float(x) for x in vecs[i]]) for i in range(lo, hi)],
+            "id bigint, vector array<double>",
+        ).repartition(1).write.mode("append").parquet(src)
+
+    def drain():
+        q = pq_ingest_stream(
+            spark.readStream.schema("id bigint, vector array<double>")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src),
+            store, index_base, checkpoint=ckpt, m=2, nbits=2,
+            refresh_every=2,
+        )
+        assert q.awaitTermination(300)
+
+    for b in range(3):  # boot v0, tail 1, refresh v2
+        feed(b * 8, b * 8 + 8)
+    drain()
+    assert os.path.exists(f"{index_base}/_versions/2")
+    assert os.path.exists(f"{index_base}/tail/batch=1/_SUCCESS")
+    before = set(glob.glob(f"{index_base}/full_v2/codes.parquet/*.parquet"))
+    _lose_latest_commit(ckpt)  # crash between version commit and ckpt commit
+    feed(24, 32)  # batch 3 → tail under v2 codebooks
+    drain()  # batch 2 replays → must SKIP (marker = done record)
+    after = set(glob.glob(f"{index_base}/full_v2/codes.parquet/*.parquet"))
+    assert before and before == after, "committed version dir was mutated"
+    assert os.path.exists(f"{index_base}/_skips/2")
+    # 4 segments for 4 fed batches: the skip means no re-append
+    assert store.segment_count() == 4
+    pq, codes = pq_serving_view(spark, index_base)
+    assert codes.count() == 32
+    qvec = [float(x) for x in vecs[0]]
+    got = [(r["id"], r["score"]) for r in pq.search(codes, qvec, k=5).collect()]
+    direct = pq.encode(store.read())
+    want = [(r["id"], r["score"]) for r in pq.search(direct, qvec, k=5).collect()]
+    assert got == want
+
+
+def test_hnsw_ingest_stream_consolidation(spark, tmp_path):
+    """refresh_every consolidation: batch 2 rebuilds ONE sub-graph set
+    over the merged view into full_v2 (marker-committed, immutable
+    under skip-replay); serving = full_v2 ∪ per-batch dirs newer than
+    it, and the consolidated beam's recall is ≥ the pre-consolidation
+    beam on the same query."""
+    import glob
+    import os
+
+    from __spark_entry__ import _lose_latest_commit
+    from comet_spark.storage.store import DocumentStore
+    from comet_spark.streaming.ingest import hnsw_ingest_stream, hnsw_serving_view
+
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+    graph_base = str(tmp_path / "graphs")
+    store = DocumentStore(spark, str(tmp_path / "store"), id_col="id")
+
+    def feed(lo, hi):
+        spark.createDataFrame(
+            [(i, [float(i % 13), float(i % 7)]) for i in range(lo, hi)],
+            "id bigint, vector array<double>",
+        ).repartition(1).write.mode("append").parquet(src)
+
+    def drain():
+        q = hnsw_ingest_stream(
+            spark.readStream.schema("id bigint, vector array<double>")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src),
+            store, graph_base, checkpoint=ckpt, m=4, parts_per_batch=2,
+            refresh_every=2,
+        )
+        assert q.awaitTermination(300)
+
+    feed(0, 10)
+    feed(10, 20)
+    drain()  # batches 0,1 → per-batch sub-graphs only
+    qvec = [1.0, 1.0]
+    pre = {
+        r["id"]
+        for r in hnsw_serving_view(spark, graph_base)
+        .candidates(qvec, ef_search=50).distinct().collect()
+    }
+    feed(20, 30)  # batch 2 → CONSOLIDATION over the merged view
+    drain()
+    assert os.path.exists(f"{graph_base}/_versions/2")
+    assert os.path.exists(f"{graph_base}/full_v2/parts/_SUCCESS")
+    ix = hnsw_serving_view(spark, graph_base)
+    post = {r["id"] for r in ix.candidates(qvec, ef_search=50).distinct().collect()}
+    assert post and post <= set(range(30))
+    # recall vs the exact top-5 must not degrade across consolidation
+    import numpy as np
+
+    def exact_topk(n, k=5):
+        d = [(i, (i % 13 - 1.0) ** 2 + (i % 7 - 1.0) ** 2) for i in range(n)]
+        return {i for i, _ in sorted(d, key=lambda t: (t[1], t[0]))[:k]}
+
+    pre_recall = len(pre & exact_topk(20)) / 5
+    post_recall = len(post & exact_topk(30)) / 5
+    assert post_recall >= pre_recall
+    # crash between consolidation commit and checkpoint commit → skip
+    before = set(glob.glob(f"{graph_base}/full_v2/parts/*.parquet"))
+    _lose_latest_commit(ckpt)
+    feed(30, 40)  # batch 3 → per-batch dir newer than v2
+    drain()  # batch 2 replays → skips (journal), full_v2 untouched
+    after = set(glob.glob(f"{graph_base}/full_v2/parts/*.parquet"))
+    assert before and before == after
+    assert os.path.exists(f"{graph_base}/_skips/2")
+    assert os.path.exists(f"{graph_base}/parts/batch=3/_SUCCESS")
+    ix = hnsw_serving_view(spark, graph_base)
+    final = {r["id"] for r in ix.candidates(qvec, ef_search=80).distinct().collect()}
+    assert final & set(range(30, 40)), "batch-3 sub-graphs must join the view"
+    assert final <= set(range(40))
+
+
+def test_hnsw_ingest_stream_meta_mismatch_fails_fast(spark, tmp_path):
+    """Restarting the stream with different m/metric against an existing
+    graph must fail fast (ADVICE r11): new sub-graphs under the old meta
+    would be walked with parameters they were not built with."""
+    from comet_spark.storage.store import DocumentStore
+    from comet_spark.streaming.ingest import hnsw_ingest_stream
+
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+    graph_base = str(tmp_path / "graphs")
+
+    def feed(lo, hi):
+        spark.createDataFrame(
+            [(i, [float(i), 0.0]) for i in range(lo, hi)],
+            "id bigint, vector array<double>",
+        ).repartition(1).write.mode("append").parquet(src)
+
+    def drain(m):
+        q = hnsw_ingest_stream(
+            spark.readStream.schema("id bigint, vector array<double>")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src),
+            DocumentStore(spark, str(tmp_path / "store"), id_col="id"),
+            graph_base, checkpoint=ckpt, m=m,
+        )
+        assert q.awaitTermination(300)
+
+    feed(0, 8)
+    drain(m=8)
+    feed(10, 18)
+    with pytest.raises(Exception, match="recorded meta"):
+        drain(m=4)
+
+
+def test_hnsw_serving_view_names_torn_meta(spark, tmp_path):
+    """The serving view's deliberate pre-read error distinguishes 'no
+    committed batches yet' from 'batches committed but meta torn'
+    (ADVICE r11) — an operator recovers differently from each."""
+    import os
+    import shutil
+
+    from comet_spark.storage.store import DocumentStore
+    from comet_spark.streaming.ingest import hnsw_ingest_stream, hnsw_serving_view
+
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+    graph_base = str(tmp_path / "graphs")
+
+    with pytest.raises(FileNotFoundError, match="not flushed a batch"):
+        hnsw_serving_view(spark, graph_base)
+
+    spark.createDataFrame(
+        [(i, [float(i), 0.0]) for i in range(8)],
+        "id bigint, vector array<double>",
+    ).repartition(1).write.mode("append").parquet(src)
+    q = hnsw_ingest_stream(
+        spark.readStream.schema("id bigint, vector array<double>")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src),
+        DocumentStore(spark, str(tmp_path / "store"), id_col="id"),
+        graph_base, checkpoint=ckpt,
+    )
+    assert q.awaitTermination(300)
+    os.remove(f"{graph_base}/meta.parquet/_SUCCESS")  # torn meta
+    with pytest.raises(FileNotFoundError, match="missing or torn"):
+        hnsw_serving_view(spark, graph_base)
+    shutil.rmtree(f"{graph_base}/meta.parquet")
+    with pytest.raises(FileNotFoundError, match="missing or torn"):
+        hnsw_serving_view(spark, graph_base)
