@@ -144,6 +144,20 @@ def _corpus_sig(sf_dir: str, table: str) -> str:
     return "|".join(parts)
 
 
+def _live_cache_key(
+    spark: SparkSession, sf_dir: str, table: str
+) -> tuple[str, str, str]:
+    """Memo key for per-session caches layered OVER a corpus-signature-
+    gated artifact: (session, sf_dir, corpus fingerprint). Keying by the
+    fingerprint the scaffold itself validates means a mid-session
+    testdata regen rebuilds the artifact AND drops the memoized serving
+    view in the same breath — without it the scaffold would rebuild but
+    the cache would keep serving the stale view, breaking the
+    scaffold's own staleness promise (VERDICT r11). _corpus_sig is a
+    stat() walk over one parquet table — microseconds, per query."""
+    return (_skey(spark), sf_dir, _corpus_sig(sf_dir, table))
+
+
 def _fresh_bm25_artifact(
     spark: SparkSession, sf_dir: str, base: str, build_fn,
     read_path: str | None = None, probe_paths: list[str] | None = None,
@@ -837,11 +851,11 @@ _register(
 # (df/n_docs/avgdl over the fed corpus ONLY — a reader that mixed in
 # unfed docs' stats would shift every score). 'final' is scored LIVE
 # off the finished index at query time.
-_BM25_LIVE_CACHE: dict[tuple[str, str], BM25] = {}
+_BM25_LIVE_CACHE: dict[tuple[str, str, str], BM25] = {}
 
 
 def _bm25_live_index(spark: SparkSession, sf_dir: str) -> BM25:
-    key = (_skey(spark), sf_dir)
+    key = _live_cache_key(spark, sf_dir, "documents")
     if key not in _BM25_LIVE_CACHE:
         import shutil
 
@@ -4860,9 +4874,13 @@ def _fresh_stream_artifact(
     artifacts are POSIX-local by contract). Returns the raw artifact
     read (callers apply their own select — partition col ``batch`` is
     discoverable)."""
-    key = (_skey(spark), sf_dir, base)
+    # the corpus fingerprint is part of the once-per-session key: a
+    # mid-session fixture regen must re-enter the sig check and rebuild
+    # (the cross-session sig file alone can't catch it — the set would
+    # short-circuit first; VERDICT r11)
+    sig = _corpus_sig(sf_dir, table)
+    key = (_skey(spark), sf_dir, base, sig)
     if key not in _STREAM_ART_BUILT:
-        sig = _corpus_sig(sf_dir, table)
         sig_path = f"{base}/corpus_sig.txt"
         try:
             with open(sig_path) as fh:
@@ -6042,13 +6060,13 @@ WHERE doc_id % 8 <> 4
 # stats, so a stale pre-upsert row or an unapplied delete shifts every
 # score). Equality proves the reference's merge-on-read text story
 # (storage.go:489-629) composes with streamed CRUD end-to-end.
-_CRUD_BM25_CACHE: dict[tuple[str, str], BM25] = {}
+_CRUD_BM25_CACHE: dict[tuple[str, str, str], BM25] = {}
 
 
 def _bm25_crud_merge_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     from comet_spark.storage.store import DocumentStore
 
-    key = (_skey(spark), sf_dir)
+    key = _live_cache_key(spark, sf_dir, "documents")
     if key not in _CRUD_BM25_CACHE:
         base = f"{_art_dir(sf_dir)}/store_stream_delete"
         # the artifact scaffold's probe_paths covers the sibling store:
@@ -6102,7 +6120,7 @@ SELECT id AS doc_id, ROUND(score, 6) AS score FROM sc ORDER BY score DESC, id LI
 # equality (ids exactly once, every vector == the upsert-applied
 # source), so the gate is not just top-k-deep.
 _IVF_STREAM_MOD = 3
-_IVF_STREAM_CACHE: dict[tuple[str, str], tuple] = {}
+_IVF_STREAM_CACHE: dict[tuple[str, str, str], tuple] = {}
 
 
 def _ivf_stream(spark: SparkSession, sf_dir: str):
@@ -6115,7 +6133,7 @@ def _ivf_stream(spark: SparkSession, sf_dir: str):
 
     from comet_spark.operators.ann import IVFIndex
 
-    key = (_skey(spark), sf_dir)
+    key = _live_cache_key(spark, sf_dir, "embeddings")
     if key not in _IVF_STREAM_CACHE:
         base = f"{_art_dir(sf_dir)}/ivf_stream"
         layout = _fresh_stream_artifact(
@@ -6661,13 +6679,13 @@ WHERE (lang = 'zz' AND n_chars > {_META_CRUD_NC_BUMP + 250})
 # serving components with vectors from the source.
 _IVF_LIVE_MOD = 4
 _IVF_LIVE_REFRESH_AT = 2
-_IVF_LIVE_CACHE: dict[tuple[str, str], tuple] = {}
+_IVF_LIVE_CACHE: dict[tuple[str, str, str], tuple] = {}
 
 
 def _ivf_live(spark: SparkSession, sf_dir: str):
     from comet_spark.streaming.ingest import ivf_serving_view
 
-    key = (_skey(spark), sf_dir)
+    key = _live_cache_key(spark, sf_dir, "embeddings")
     if key not in _IVF_LIVE_CACHE:
         base = f"{_art_dir(sf_dir)}/ivf_live"
         full = f"{base}/index/full_v{_IVF_LIVE_REFRESH_AT}"
@@ -6904,13 +6922,13 @@ ORDER BY score DESC, doc_id LIMIT {K}
 # deterministic ef-beam union) replayed as an exact L2 scan in SQL —
 # the hnsw_dist_topk scheme over stream-grown state.
 _HNSW_LIVE_MOD = 4
-_HNSW_LIVE_CACHE: dict[tuple[str, str], object] = {}
+_HNSW_LIVE_CACHE: dict[tuple[str, str, str], object] = {}
 
 
 def _hnsw_live(spark: SparkSession, sf_dir: str):
     from comet_spark.streaming.ingest import hnsw_serving_view
 
-    key = (_skey(spark), sf_dir)
+    key = _live_cache_key(spark, sf_dir, "embeddings")
     if key not in _HNSW_LIVE_CACHE:
         base = f"{_art_dir(sf_dir)}/hnsw_live"
         parts = f"{base}/graphs/parts"

@@ -560,6 +560,7 @@ def pq_ingest_stream(
     refresh_every: int = 0,
     id_col: str = "id",
     vec_col: str = "vector",
+    max_iter: int = 20,
     trigger_available_now: bool = True,
 ) -> StreamingQuery:
     """Stream-wired PQ maintenance — the codes twin of
@@ -652,7 +653,8 @@ def pq_ingest_stream(
                 )
             merged = store.read()
             pq = PQIndex.train(
-                merged, m=m, nbits=nbits, id_col=id_col, vec_col=vec_col
+                merged, m=m, nbits=nbits, id_col=id_col, vec_col=vec_col,
+                max_iter=max_iter,
             )
             full = f"{index_base}/full_v{batch_id}"
             pq.encode(merged, id_col=id_col, vec_col=vec_col).write.mode(

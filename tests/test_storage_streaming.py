@@ -2325,7 +2325,10 @@ def test_fresh_stream_artifact_probe_paths_route_rebuild(spark, tmp_path):
         builds.append(1)
 
     sf_dir = "/root/testdata/sf0.001"
-    key = (entry_mod._skey(spark), sf_dir, base)
+    key = (
+        entry_mod._skey(spark), sf_dir, base,
+        entry_mod._corpus_sig(sf_dir, "documents"),
+    )
 
     def call():
         entry_mod._STREAM_ART_BUILT.discard(key)  # fresh-session view
@@ -2879,3 +2882,52 @@ def test_hnsw_serving_view_names_torn_meta(spark, tmp_path):
     shutil.rmtree(f"{graph_base}/meta.parquet")
     with pytest.raises(FileNotFoundError, match="missing or torn"):
         hnsw_serving_view(spark, graph_base)
+
+
+def test_live_cache_key_tracks_corpus_fingerprint(spark, tmp_path):
+    """The per-session caches layered over the corpus-signature-gated
+    stream artifacts key by the SAME fingerprint the scaffold validates
+    (VERDICT r11): regenerating the fixture mid-session must rebuild the
+    artifact AND drop the memoized serving view in one step — without
+    the fingerprint in the key, the scaffold rebuilds but the cache
+    keeps serving the stale view."""
+    import os
+    import shutil
+
+    import __spark_entry__ as entry_mod
+
+    sf_dir = str(tmp_path / "sfX")
+    os.makedirs(sf_dir)
+    shutil.copy(
+        "/root/testdata/sf0.001/embeddings.parquet",
+        f"{sf_dir}/embeddings.parquet",
+    )
+    art = entry_mod._art_dir(sf_dir)
+    try:
+        k1 = entry_mod._live_cache_key(spark, sf_dir, "embeddings")
+        served1 = entry_mod._ivf_stream(spark, sf_dir)
+        assert k1 in entry_mod._IVF_STREAM_CACHE
+        with open(f"{art}/ivf_stream/corpus_sig.txt") as fh:
+            sig1 = fh.read()
+        # the regen: same bytes, fresh mtime — _corpus_sig must move
+        st = os.stat(f"{sf_dir}/embeddings.parquet")
+        os.utime(
+            f"{sf_dir}/embeddings.parquet",
+            ns=(st.st_atime_ns, st.st_mtime_ns + 1_000_000),
+        )
+        k2 = entry_mod._live_cache_key(spark, sf_dir, "embeddings")
+        assert k2 != k1, "fingerprint did not move with the fixture"
+        served2 = entry_mod._ivf_stream(spark, sf_dir)
+        assert k2 in entry_mod._IVF_STREAM_CACHE
+        with open(f"{art}/ivf_stream/corpus_sig.txt") as fh:
+            sig2 = fh.read()
+        assert sig2 != sig1, "scaffold did not rebuild on the regen"
+        assert served2 is not served1, "stale serving view was reused"
+    finally:
+        shutil.rmtree(art, ignore_errors=True)
+        for cache in (entry_mod._IVF_STREAM_CACHE,):
+            for k in [k for k in cache if k[1] == sf_dir]:
+                del cache[k]
+        entry_mod._STREAM_ART_BUILT.difference_update(
+            {k for k in entry_mod._STREAM_ART_BUILT if k[1] == sf_dir}
+        )
