@@ -7076,6 +7076,732 @@ SELECT vec_id, score FROM d ORDER BY score, vec_id LIMIT {K}
 )
 
 
+# ★ CRUD THROUGH THE LIVE-MAINTAINED ANN STREAM (r12 — the last
+# composition cell: CRUD ∘ maintenance ∘ live read; reference
+# ``ivf_index.go:307-400``, where Remove and re-Add mutate a SERVING
+# persistent index on the shared write path while searches run). The
+# SAME ``ivf_ingest_stream`` that maintains the versioned serving
+# layout carries the mutations (``op_col``), and every CRUD × refresh
+# cell lands in one feed:
+#
+# - batch 1 rides an UPSERT leg (residue-0 ids divisible by 3 re-sent
+#   NEGATED — their tail assignment shadows the boot layout v0);
+# - batch 2 carries DELETE WAVE 1 (ids ≡ 7 mod 10) and is the
+#   scheduled REFRESH: the retrain reads the store AFTER the deletes
+#   apply, so full_v2 bakes the upserts in and the wave-1 ids out
+#   (markers ≤ the committed version are dead at read — asserted);
+# - batch 3 (the MARKER batch, which the injected crash replays) does
+#   all three live mutations at once: residue-3 inserts, a SECOND
+#   upsert wave (ids ≡ 1 mod 9 in full_v2, re-sent at 5× — these
+#   shadow the committed layout in the SERVED final state, so the
+#   query's own read path exercises newest-wins), the RESURRECTION of
+#   the smallest wave-1 id (3× its original vector — a later re-append
+#   beats an older baked delete), and DELETE WAVE 2: the exact
+#   undeleted top-3 of the query over the would-be final corpus — in
+#   the undeleted top-k BY CONSTRUCTION, so the read-path anti-join
+#   can never pass vacuously.
+#
+# The mid-drain read happens in the post-crash pre-replay state
+# (landed segment + tail + marker partition, lost checkpoint commit —
+# the reference's memtable-visible-to-Search state) and must serve the
+# transformed corpus minus both waves plus the resurrect EXACTLY; the
+# replay drain must converge to the same corpus while REWRITING the
+# tail and marker dirs (idempotence, asserted file-level) and leaving
+# full_v2 byte-identical. Oracle = newest-wins (QUALIFY max-precedence
+# per id) over the exported components (full_v2 ∪ tail 3), anti-joined
+# with the exported live markers, vectors from the CASE-transformed
+# source.
+_IVF_CRUD_MOD = 4
+_IVF_CRUD_REFRESH_AT = 2
+_IVF_CRUD_CACHE: dict[tuple[str, str, str], tuple] = {}
+# the transform legs, as SQL so the oracle re-derives them from source
+_IVF_CRUD_UPS_SQL = "vec_id % 4 = 0 AND vec_id % 3 = 0"  # negated @ b1
+_IVF_CRUD_D1_SQL = "vec_id % 10 = 7 AND vec_id % 4 < 3"  # baked delete
+_IVF_CRUD_W_SQL = (  # 5× upsert wave @ b3 (full_v2 survivors only)
+    "vec_id % 9 = 1 AND vec_id % 4 < 3 AND vec_id % 10 <> 7"
+)
+# the resurrected id: MIN of delete wave 1 — static given the corpus
+_IVF_CRUD_RS_SQL = (
+    f"(SELECT MIN(vec_id) FROM embeddings WHERE {_IVF_CRUD_D1_SQL})"
+)
+
+
+def _ivf_crud_live(spark: SparkSession, sf_dir: str):
+    from comet_spark.streaming.ingest import ivf_serving_view
+
+    key = _live_cache_key(spark, sf_dir, "embeddings")
+    if key not in _IVF_CRUD_CACHE:
+        base = f"{_art_dir(sf_dir)}/ivf_crud"
+        full = f"{base}/index/full_v{_IVF_CRUD_REFRESH_AT}"
+        _fresh_stream_artifact(
+            spark, sf_dir, base, f"{full}/layout.parquet",
+            lambda: _build_ivf_crud_artifact(spark, sf_dir, base),
+            table="embeddings",
+            # EVERY component the serving path and the oracle read
+            probe_paths=[
+                f"{full}/centroids.parquet", f"{full}/meta.parquet",
+                f"{base}/index/tail/batch=3",
+                f"{base}/index/_deletes/batch=3",
+                f"{base}/probes_q2.parquet",
+            ],
+            probe_files=[
+                f"{base}/index/_versions/{_IVF_CRUD_REFRESH_AT}",
+                # the CRUD plan is opt-in by this marker: losing just it
+                # would silently serve with deletes un-applied
+                f"{base}/index/_crud",
+                f"{base}/index/tail/batch=3/_SUCCESS",
+                f"{base}/index/_deletes/batch=3/_SUCCESS",
+            ],
+        )
+        _IVF_CRUD_CACHE[key] = ivf_serving_view(spark, f"{base}/index")
+    return _IVF_CRUD_CACHE[key]
+
+
+def _ivf_crud_txf(emb: DataFrame, r1: int) -> DataFrame:
+    """The CASE-transformed corpus (upserts + resurrect applied, deletes
+    NOT) — the vector source both the builder's asserts and the oracle
+    agree on. Branch order mirrors the SQL exactly; the three legs are
+    mutually exclusive by arithmetic (W excludes %10==7 and %9==1
+    excludes %3==0), so order is belt-and-braces."""
+    ups = (F.col("id") % 4 == 0) & (F.col("id") % 3 == 0)
+    w = (
+        (F.col("id") % 9 == 1)
+        & (F.col("id") % 4 < 3)
+        & (F.col("id") % 10 != 7)
+    )
+    return emb.select(
+        "id",
+        F.when(F.col("id") == r1, F.transform("vector", lambda x: x * F.lit(3.0)))
+        .when(w, F.transform("vector", lambda x: x * F.lit(5.0)))
+        .when(ups, F.transform("vector", lambda x: -x))
+        .otherwise(F.col("vector"))
+        .alias("vector"),
+    )
+
+
+def _build_ivf_crud_artifact(
+    spark: SparkSession, sf_dir: str, base: str
+) -> None:
+    """POSIX-local oracle-artifact harness (same contract as the other
+    stream builders)."""
+    import glob
+    import shutil
+
+    import numpy as np
+
+    from comet_spark.functions.vector import distance
+    from comet_spark.storage.store import DocumentStore, _FS
+    from comet_spark.streaming.ingest import (
+        _ivf_current,
+        ivf_ingest_stream,
+        ivf_serving_view,
+    )
+
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(base, exist_ok=True)
+    src, ckpt = f"{base}/src", f"{base}/ckpt"
+    store_path, index_base = f"{base}/store", f"{base}/index"
+    emb = _t(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("id"),
+        F.col("embedding").cast("array<double>").alias("vector"),
+    )
+    res = lambda m: F.col("id") % _IVF_CRUD_MOD == m  # noqa: E731
+    ups_pred = res(0) & (F.col("id") % 3 == 0)  # _IVF_CRUD_UPS_SQL
+    d1_pred = (F.col("id") % 10 == 7) & (F.col("id") % 4 < 3)
+    w_pred = (
+        (F.col("id") % 9 == 1)
+        & (F.col("id") % 4 < 3)
+        & (F.col("id") % 10 != 7)
+    )
+    negated = F.transform("vector", lambda x: -x).alias("vector")
+    times5 = F.transform("vector", lambda x: x * F.lit(5.0)).alias("vector")
+    times3 = F.transform("vector", lambda x: x * F.lit(3.0)).alias("vector")
+    op_null = F.lit(None).cast("string").alias("op")
+    mark = F.lit("delete").alias("op")
+    novec = F.lit(None).cast("array<double>").alias("vector")
+    store = DocumentStore(spark, store_path, id_col="id")
+    _add, _drain = _feed_drain(
+        spark, src,
+        lambda: ivf_ingest_stream(
+            spark.readStream.schema(
+                "id bigint, vector array<double>, op string"
+            )
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src),
+            store, index_base, checkpoint=ckpt, nlist=8,
+            refresh_every=_IVF_CRUD_REFRESH_AT, op_col="op",
+        ),
+        "ivf_crud",
+    )
+    r1 = emb.filter(d1_pred).agg(F.min("id")).first()[0]  # wave-1 min
+    if r1 is None:
+        raise RuntimeError("ivf_crud artifact: delete wave 1 is empty")
+    r1 = int(r1)
+    txf = _ivf_crud_txf(emb, r1)
+    # undeleted-final corpus: wave 1 baked out (except the resurrect);
+    # D2 (the LIVE wave) is the query's exact top-3 of it, minus r1
+    undeleted = txf.filter(~d1_pred | (F.col("id") == r1))
+    qvec = _hybrid_qvec(spark, sf_dir)
+    qlit = F.array(*[F.lit(float(x)) for x in qvec])
+    D2 = [
+        int(r["id"])
+        for r in undeleted.filter(F.col("id") != r1)
+        .select("id", distance("l2", F.col("vector"), qlit).alias("d"))
+        .orderBy("d", "id").limit(3).collect()
+    ]
+    final_exp = undeleted.filter(~F.col("id").isin(D2))
+
+    with _scoped_shuffle_partitions(spark):
+        _add(emb.filter(res(0)).select("id", "vector", op_null))
+        _add(  # batch 1: residue-1 inserts + the NEGATED upsert leg
+            emb.filter(res(1)).select("id", "vector", op_null).unionByName(
+                emb.filter(ups_pred).select("id", negated, op_null)
+            )
+        )
+        _add(  # batch 2 (the REFRESH): residue-2 inserts + delete wave 1
+            emb.filter(res(2)).select("id", "vector", op_null).unionByName(
+                emb.filter(d1_pred).select("id", novec, mark)
+            )
+        )
+        _add(  # batch 3 (the MARKER batch): inserts + 5× wave +
+            # resurrect + LIVE delete wave 2, one micro-batch
+            emb.filter(res(3)).select("id", "vector", op_null)
+            .unionByName(emb.filter(w_pred).select("id", times5, op_null))
+            .unionByName(
+                emb.filter(F.col("id") == r1).select("id", times3, op_null)
+            )
+            .unionByName(
+                spark.createDataFrame(
+                    [(i, None, "delete") for i in D2],
+                    "id bigint, vector array<double>, op string",
+                )
+            )
+        )
+        _drain()  # b0 boots v0, b1 tails, b2 refreshes → v2, b3 tails
+        fs = _FS(spark, index_base)
+        cur = _ivf_current(fs, index_base)
+        if cur != _IVF_CRUD_REFRESH_AT:
+            raise RuntimeError(
+                f"ivf_crud artifact: CURRENT={cur} after the drain "
+                f"(want {_IVF_CRUD_REFRESH_AT})"
+            )
+        # the refresh BAKED the CRUD state: wave-1 ids out of full_v2,
+        # the negated upserts in (vector-exact)
+        full2 = f"{index_base}/full_v{_IVF_CRUD_REFRESH_AT}"
+        baked = spark.read.parquet(f"{full2}/layout.parquet")
+        n_d1 = baked.join(emb.filter(d1_pred).select("id"), "id").count()
+        n_ups = emb.filter(ups_pred).count()
+        n_ups_baked = baked.join(
+            emb.filter(ups_pred).select("id", negated), ["id", "vector"]
+        ).count()
+        if not (n_d1 == 0 and 0 < n_ups == n_ups_baked):
+            raise RuntimeError(
+                f"ivf_crud artifact: refresh did not bake the CRUD state "
+                f"(wave-1 leftovers={n_d1}, upserts {n_ups_baked}/{n_ups})"
+            )
+        _lose_latest_commit(ckpt)  # crash → the MARKER batch will replay
+        before_del = set(glob.glob(f"{index_base}/_deletes/batch=3/*.parquet"))
+        before_tail = set(
+            glob.glob(f"{index_base}/tail/batch=3/*/*.parquet")
+        )
+        before_full = set(glob.glob(f"{full2}/layout.parquet/*/*.parquet"))
+        # MID-READ (post-crash pre-replay — landed tail + markers, lost
+        # checkpoint commit): the served corpus must equal final_exp
+        _, layout_mid = ivf_serving_view(spark, index_base)
+        n_exp, n_mid = final_exp.count(), layout_mid.count()
+        n_match = layout_mid.select("id", "vector").join(
+            final_exp, ["id", "vector"]
+        ).count()
+        if not (0 < n_exp == n_mid == n_match):
+            raise RuntimeError(
+                f"ivf_crud artifact: mid serving view drifted "
+                f"(expect={n_exp} mid={n_mid} matched={n_match})"
+            )
+        # non-vacuity, each leg: the 5× wave is SERVED from the tail
+        # (newest-wins over the committed layout), the resurrect is
+        # alive, wave 2 is gone
+        n_w = emb.filter(w_pred).count()
+        n_w_srv = layout_mid.join(
+            emb.filter(w_pred).select("id", times5), ["id", "vector"]
+        ).count()
+        n_r1 = layout_mid.filter(F.col("id") == r1).count()
+        n_d2 = layout_mid.filter(F.col("id").isin(D2)).count()
+        if not (0 < n_w == n_w_srv and n_r1 == 1 and n_d2 == 0):
+            raise RuntimeError(
+                f"ivf_crud artifact: mid-read legs wrong (wave "
+                f"{n_w_srv}/{n_w}, resurrect={n_r1}, live-deleted={n_d2})"
+            )
+        _drain()  # NO new data: the pure replay of the marker batch
+    after_del = set(glob.glob(f"{index_base}/_deletes/batch=3/*.parquet"))
+    after_tail = set(glob.glob(f"{index_base}/tail/batch=3/*/*.parquet"))
+    after_full = set(glob.glob(f"{full2}/layout.parquet/*/*.parquet"))
+    if not before_del or before_del == after_del:
+        raise RuntimeError(
+            "ivf_crud artifact: _deletes/batch=3 was not rewritten — "
+            "the injected crash did not engage the marker-batch replay"
+        )
+    if not before_tail or before_tail == after_tail:
+        raise RuntimeError(
+            "ivf_crud artifact: tail/batch=3 was not rewritten — the "
+            "replay must redo the tail assignment"
+        )
+    if not before_full or before_full != after_full:
+        raise RuntimeError(
+            "ivf_crud artifact: full_v2 changed across the crash-replay "
+            "— the committed version dir was mutated"
+        )
+    if os.path.exists(f"{index_base}/_skips/3"):
+        raise RuntimeError(
+            "ivf_crud artifact: the tail replay was skipped — it must "
+            "re-run (only committed refresh batches skip)"
+        )
+    # replay CONVERGENCE: the rewritten state serves the same corpus
+    ivf, layout = ivf_serving_view(spark, index_base)
+    n_srv = layout.count()
+    n_match = layout.select("id", "vector").join(
+        final_exp, ["id", "vector"]
+    ).count()
+    if not (n_srv == n_match == n_exp):
+        raise RuntimeError(
+            f"ivf_crud artifact: post-replay serving view drifted "
+            f"(expect={n_exp} serving={n_srv} matched={n_match})"
+        )
+    # the store's own merged view agrees — stream-applied CRUD is the
+    # same state through both read paths
+    n_store = store.read().select("id", "vector").join(
+        final_exp, ["id", "vector"]
+    ).count()
+    if n_store != n_exp:
+        raise RuntimeError(
+            f"ivf_crud artifact: store merged view ({n_store}) disagrees "
+            f"with the serving view ({n_exp})"
+        )
+    # 5 segments: batches 0-3 + batch 3's replay duplicate
+    n_seg = store._segments().select("segment").distinct().count()
+    if n_seg != 5:
+        raise RuntimeError(
+            f"ivf_crud artifact: {n_seg} segments (want 5) — the replay "
+            "duplicate did not land"
+        )
+    _write_rows(
+        spark, f"{base}/probes_q2.parquet",
+        [(int(c),) for c in ivf.probe_lists(np.asarray(qvec), 2)],
+        "cluster_id bigint",
+    )
+
+
+def _ivf_crud_live_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ivf, layout = _ivf_crud_live(spark, sf_dir)
+    res = ivf.search(layout, _hybrid_qvec(spark, sf_dir), k=K, nprobe=2)
+    return res.select(F.col("id").alias("vec_id"), "score")
+
+
+_register(
+    "ivf_crud_live_knn",
+    _ivf_crud_live_knn,
+    f"""
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = {QUERY_VEC_ID}),
+f AS (SELECT id, cluster_id, CAST({_IVF_CRUD_REFRESH_AT} AS BIGINT) AS pri
+      FROM read_parquet('{_ART01}/ivf_crud/index/full_v{_IVF_CRUD_REFRESH_AT}/layout.parquet/**/*.parquet', hive_partitioning=1)),
+t3 AS (SELECT id, cluster_id, CAST(3 AS BIGINT) AS pri
+       FROM read_parquet('{_ART01}/ivf_crud/index/tail/batch=3/**/*.parquet', hive_partitioning=1)),
+win AS (SELECT id, cluster_id, pri
+        FROM (SELECT * FROM f UNION ALL SELECT * FROM t3)
+        QUALIFY row_number() OVER (PARTITION BY id ORDER BY pri DESC) = 1),
+dd AS (SELECT id, CAST(3 AS BIGINT) AS db
+       FROM read_parquet('{_ART01}/ivf_crud/index/_deletes/batch=3/*.parquet')),
+alive AS (SELECT win.id, win.cluster_id FROM win LEFT JOIN dd USING (id)
+          WHERE dd.db IS NULL OR dd.db < win.pri),
+e AS (SELECT vec_id AS id,
+        CASE WHEN vec_id = {_IVF_CRUD_RS_SQL} THEN list_transform(embedding::DOUBLE[], x -> x * 3.0)
+             WHEN {_IVF_CRUD_W_SQL} THEN list_transform(embedding::DOUBLE[], x -> x * 5.0)
+             WHEN {_IVF_CRUD_UPS_SQL} THEN list_transform(embedding::DOUBLE[], x -> -x)
+             ELSE embedding::DOUBLE[] END AS v
+      FROM embeddings),
+p AS (SELECT cluster_id FROM read_parquet('{_ART01}/ivf_crud/probes_q2.parquet/*.parquet')),
+vd AS (SELECT a.id AS vec_id, ROUND({_sql_l2('e.v', 'q.qv')}, 6) AS score
+       FROM alive a JOIN p USING (cluster_id) JOIN e USING (id), q)
+SELECT vec_id, score FROM vd ORDER BY score, vec_id LIMIT {K}
+""",
+)
+
+
+# ★ STREAM-WIRED PQ MAINTENANCE (r12 — the codes twin of
+# ivf_live_refresh_knn; reference Add-after-train,
+# ``pq_index.go:439-473``: post-train Adds are encoded with the
+# EXISTING codebooks, only a retrain moves them): ``pq_ingest_stream``
+# encodes each micro-batch with the current codebooks into a
+# _SUCCESS-gated codes tail, and the scheduled refresh retrains +
+# re-encodes the whole corpus under an immutable marker-committed
+# full_v{N}. The injected crash lands BETWEEN the version commit and
+# the checkpoint commit: the replay must SKIP (journaled), leaving the
+# committed codes byte-identical and the codebooks unchanged. Oracle =
+# the exported-LUT ADC replay (the pq_adc_knn scheme) over the serving
+# view's two components (full_v2 codes ∪ the newer tail).
+_PQ_LIVE_MOD = 4
+_PQ_LIVE_REFRESH_AT = 2
+_PQ_LIVE_CACHE: dict[tuple[str, str, str], tuple] = {}
+
+
+def _pq_live(spark: SparkSession, sf_dir: str):
+    from comet_spark.streaming.ingest import pq_serving_view
+
+    key = _live_cache_key(spark, sf_dir, "embeddings")
+    if key not in _PQ_LIVE_CACHE:
+        base = f"{_art_dir(sf_dir)}/pq_live"
+        full = f"{base}/index/full_v{_PQ_LIVE_REFRESH_AT}"
+        _fresh_stream_artifact(
+            spark, sf_dir, base, f"{full}/codes.parquet",
+            lambda: _build_pq_live_artifact(spark, sf_dir, base),
+            table="embeddings",
+            probe_paths=[
+                f"{full}/codebooks.parquet",
+                f"{base}/index/tail/batch={_PQ_LIVE_MOD - 1}",
+                f"{base}/lut_q.parquet",
+            ],
+            probe_files=[
+                f"{base}/index/_versions/{_PQ_LIVE_REFRESH_AT}",
+                f"{base}/index/tail/batch={_PQ_LIVE_MOD - 1}/_SUCCESS",
+            ],
+        )
+        _PQ_LIVE_CACHE[key] = pq_serving_view(spark, f"{base}/index")
+    return _PQ_LIVE_CACHE[key]
+
+
+def _build_pq_live_artifact(
+    spark: SparkSession, sf_dir: str, base: str
+) -> None:
+    """POSIX-local oracle-artifact harness (same contract as the other
+    stream builders)."""
+    import glob
+    import shutil
+
+    import numpy as np
+
+    from comet_spark.storage.store import DocumentStore, _FS
+    from comet_spark.streaming.ingest import (
+        _ivf_current,
+        pq_ingest_stream,
+        pq_serving_view,
+    )
+
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(base, exist_ok=True)
+    src, ckpt = f"{base}/src", f"{base}/ckpt"
+    store_path, index_base = f"{base}/store", f"{base}/index"
+    emb = _t(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("id"),
+        F.col("embedding").cast("array<double>").alias("vector"),
+    )
+    res = lambda m: F.col("id") % _PQ_LIVE_MOD == m  # noqa: E731
+    store = DocumentStore(spark, store_path, id_col="id")
+    _add, _drain = _feed_drain(
+        spark, src,
+        lambda: pq_ingest_stream(
+            _emb_vec_stream(spark, src),
+            store, index_base, checkpoint=ckpt, m=PQ_M, nbits=4,
+            refresh_every=_PQ_LIVE_REFRESH_AT, max_iter=5,
+        ),
+        "pq_live",
+    )
+    with _scoped_shuffle_partitions(spark):
+        for i in range(3):
+            _add(emb.filter(res(i)))
+        _drain()  # b0 boots v0, b1 tails codes, b2 REFRESHES → v2
+        fs = _FS(spark, index_base)
+        cur = _ivf_current(fs, index_base)
+        if cur != _PQ_LIVE_REFRESH_AT:
+            raise RuntimeError(
+                f"pq_live artifact: CURRENT={cur} after first drain "
+                f"(want {_PQ_LIVE_REFRESH_AT})"
+            )
+        full2 = f"{index_base}/full_v{_PQ_LIVE_REFRESH_AT}"
+        before = set(glob.glob(f"{full2}/codes.parquet/*.parquet"))
+        # MID-READ: the committed view holds exactly the fed residues
+        pq_mid, codes_mid = pq_serving_view(spark, index_base)
+        books_mid = np.array(pq_mid.codebooks)
+        fed = emb.filter(res(0) | res(1) | res(2)).select("id")
+        n_fed, n_mid = fed.count(), codes_mid.count()
+        n_match = codes_mid.join(fed, "id").count()
+        if not (0 < n_fed == n_mid == n_match):
+            raise RuntimeError(
+                f"pq_live artifact: mid serving view drifted "
+                f"(fed={n_fed} mid={n_mid} matched={n_match})"
+            )
+        _lose_latest_commit(ckpt)  # crash BETWEEN version and ckpt commit
+        _add(emb.filter(res(3)))
+        _drain()  # b2 replays → SKIPS (marker = done), b3 tails
+    after = set(glob.glob(f"{full2}/codes.parquet/*.parquet"))
+    if not before or before != after:
+        raise RuntimeError(
+            "pq_live artifact: full_v2 codes changed across the "
+            "crash-replay — the committed version dir was mutated"
+        )
+    if not os.path.exists(f"{index_base}/_skips/{_PQ_LIVE_REFRESH_AT}"):
+        raise RuntimeError(
+            "pq_live artifact: no skip journal for the refresh batch — "
+            "the injected crash did not engage the replay"
+        )
+    pq, codes = pq_serving_view(spark, index_base)
+    if not np.array_equal(np.array(pq.codebooks), books_mid):
+        raise RuntimeError(
+            "pq_live artifact: codebooks changed across the crash-replay "
+            "— the skipped refresh was not a true no-op"
+        )
+    # final serving view = every fed id exactly once (tail batch=3
+    # encoded with the v2 codebooks joined the view)
+    n_src, n_srv = emb.count(), codes.count()
+    n_match = codes.join(emb.select("id"), "id").count()
+    if not (0 < n_src == n_srv == n_match):
+        raise RuntimeError(
+            f"pq_live artifact: final serving view drifted "
+            f"(src={n_src} serving={n_srv} matched={n_match})"
+        )
+    # 4 segments for 4 fed batches: the committed-refresh skip held
+    n_seg = store._segments().select("segment").distinct().count()
+    if n_seg != 4:
+        raise RuntimeError(
+            f"pq_live artifact: {n_seg} segments for 4 fed batches "
+            "(want 4) — the committed-refresh skip did not hold"
+        )
+    qvec = _hybrid_qvec(spark, sf_dir)
+    lut = pq.lut(np.asarray(qvec))
+    _write_rows(
+        spark, f"{base}/lut_q.parquet",
+        [(s, c, float(lut[s][c])) for s in range(pq.m) for c in range(pq.ksub)],
+        "sub int, code int, dist double",
+    )
+
+
+def _pq_live_adc_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pq, codes = _pq_live(spark, sf_dir)
+    res = pq.search(codes, _hybrid_qvec(spark, sf_dir), k=K)
+    return res.select(F.col("id").alias("vec_id"), "score")
+
+
+_register(
+    "pq_live_adc_knn",
+    _pq_live_adc_knn,
+    f"""
+WITH c AS (SELECT id, codes FROM read_parquet('{_ART01}/pq_live/index/full_v{_PQ_LIVE_REFRESH_AT}/codes.parquet/*.parquet')
+           UNION ALL
+           SELECT id, codes FROM read_parquet('{_ART01}/pq_live/index/tail/batch={_PQ_LIVE_MOD - 1}/*.parquet')),
+l AS (SELECT sub, code, dist FROM read_parquet('{_ART01}/pq_live/lut_q.parquet/*.parquet')),
+d AS ({_sql_adc('c', 'l')})
+SELECT vec_id, score FROM d ORDER BY score, vec_id LIMIT {K}
+""",
+)
+
+
+# ★ HNSW LIVE CONSOLIDATION (r12 — closes the sub-graph growth loose
+# end the r11 gate documented: hnsw_ingest_stream's per-batch
+# sub-graphs grow with batch count; reference rebuild-on-compaction).
+# ``refresh_every`` now drives a consolidation INSIDE foreachBatch:
+# batch 2 rebuilds ONE sub-graph set over the merged store view into a
+# marker-committed immutable full_v2 (the IVF version protocol), and
+# the serving view walks full_v2 ∪ per-batch dirs NEWER than it only.
+# The injected crash lands between the consolidation commit and the
+# checkpoint commit — the replay must SKIP (journaled), full_v2 byte-
+# identical. The builder asserts the consolidated beam's recall vs the
+# exact top-K is ≥ the pre-consolidation beam's on the same query
+# (deterministic: seeded builds on a fixed corpus). Oracle = the
+# exported candidate set replayed as an exact L2 scan (the
+# hnsw_live_topk scheme over consolidated state).
+_HNSW_COMPACT_MOD = 4
+_HNSW_COMPACT_REFRESH_AT = 2
+_HNSW_COMPACT_CACHE: dict[tuple[str, str, str], object] = {}
+
+
+def _hnsw_compact(spark: SparkSession, sf_dir: str):
+    from comet_spark.streaming.ingest import hnsw_serving_view
+
+    key = _live_cache_key(spark, sf_dir, "embeddings")
+    if key not in _HNSW_COMPACT_CACHE:
+        base = f"{_art_dir(sf_dir)}/hnsw_compact"
+        graphs = f"{base}/graphs"
+        _fresh_stream_artifact(
+            spark, sf_dir, base, f"{graphs}/meta.parquet",
+            lambda: _build_hnsw_compact_artifact(spark, sf_dir, base),
+            table="embeddings",
+            probe_paths=[
+                f"{graphs}/full_v{_HNSW_COMPACT_REFRESH_AT}/parts",
+                f"{graphs}/parts/batch={_HNSW_COMPACT_MOD - 1}",
+            ],
+            probe_files=[
+                f"{graphs}/_versions/{_HNSW_COMPACT_REFRESH_AT}",
+                f"{graphs}/full_v{_HNSW_COMPACT_REFRESH_AT}/parts/_SUCCESS",
+                f"{graphs}/parts/batch={_HNSW_COMPACT_MOD - 1}/_SUCCESS",
+            ],
+        )
+        ix = hnsw_serving_view(spark, graphs)
+        ix.graphs = ix.graphs.cache()
+        _HNSW_COMPACT_CACHE[key] = ix
+    return _HNSW_COMPACT_CACHE[key]
+
+
+def _build_hnsw_compact_artifact(
+    spark: SparkSession, sf_dir: str, base: str
+) -> None:
+    """POSIX-local oracle-artifact harness (same contract as the other
+    stream builders)."""
+    import glob
+    import shutil
+
+    from comet_spark.functions.vector import distance
+    from comet_spark.storage.store import DocumentStore
+    from comet_spark.streaming.ingest import hnsw_ingest_stream, hnsw_serving_view
+
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(base, exist_ok=True)
+    src, ckpt = f"{base}/src", f"{base}/ckpt"
+    store_path, graph_base = f"{base}/store", f"{base}/graphs"
+    emb = _t(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("id"),
+        F.col("embedding").cast("array<double>").alias("vector"),
+    )
+    res = lambda m: F.col("id") % _HNSW_COMPACT_MOD == m  # noqa: E731
+    store = DocumentStore(spark, store_path, id_col="id")
+    _add, _drain = _feed_drain(
+        spark, src,
+        lambda: hnsw_ingest_stream(
+            _emb_vec_stream(spark, src),
+            store, graph_base, checkpoint=ckpt, m=8, parts_per_batch=4,
+            refresh_every=_HNSW_COMPACT_REFRESH_AT,
+        ),
+        "hnsw_compact",
+    )
+    qvec = _hybrid_qvec(spark, sf_dir)
+    qlit = F.array(*[F.lit(float(x)) for x in qvec])
+
+    def _recall(beam_ids: set, corpus: DataFrame) -> float:
+        top = {
+            r["id"]
+            for r in corpus.select(
+                "id", distance("l2", F.col("vector"), qlit).alias("d")
+            ).orderBy("d", "id").limit(K).collect()
+        }
+        return len(beam_ids & top) / len(top)
+
+    with _scoped_shuffle_partitions(spark):
+        for i in range(2):
+            _add(emb.filter(res(i)))
+        _drain()  # batches 0,1 → per-batch sub-graphs only
+        pre_ix = hnsw_serving_view(spark, graph_base)
+        pre_beam = {
+            r["id"]
+            for r in pre_ix.candidates(qvec, ef_search=100).distinct().collect()
+        }
+        pre_recall = _recall(pre_beam, emb.filter(res(0) | res(1)))
+        _add(emb.filter(res(2)))
+        _drain()  # batch 2 → CONSOLIDATION over the merged view → v2
+        full2 = f"{graph_base}/full_v{_HNSW_COMPACT_REFRESH_AT}"
+        if not os.path.exists(
+            f"{graph_base}/_versions/{_HNSW_COMPACT_REFRESH_AT}"
+        ):
+            raise RuntimeError(
+                "hnsw_compact artifact: consolidation marker missing "
+                "after the refresh batch"
+            )
+        before = set(glob.glob(f"{full2}/parts/*.parquet"))
+        _lose_latest_commit(ckpt)  # crash between commit and ckpt commit
+        # MID-READ in the post-crash pre-replay state: the consolidated
+        # graph serves exactly data-fed-so-far
+        mid_ix = hnsw_serving_view(spark, graph_base)
+        mid_beam = {
+            r["id"]
+            for r in mid_ix.candidates(qvec, ef_search=100).distinct().collect()
+        }
+        fed = {
+            r["id"] for r in emb.filter(res(0) | res(1) | res(2)).select("id").collect()
+        }
+        if not (mid_beam and mid_beam <= fed):
+            raise RuntimeError(
+                f"hnsw_compact artifact: mid-read beam has "
+                f"{len(mid_beam - fed)} ids outside data-fed-so-far"
+            )
+        mid_recall = _recall(mid_beam, emb.filter(res(0) | res(1) | res(2)))
+        if mid_recall < pre_recall:
+            raise RuntimeError(
+                f"hnsw_compact artifact: consolidation degraded beam "
+                f"recall ({pre_recall:.2f} → {mid_recall:.2f})"
+            )
+        _add(emb.filter(res(3)))
+        _drain()  # batch 2 replays → SKIPS; batch 3 → per-batch dir
+    after = set(glob.glob(f"{full2}/parts/*.parquet"))
+    if not before or before != after:
+        raise RuntimeError(
+            "hnsw_compact artifact: full_v2 parts changed across the "
+            "crash-replay — the committed consolidation was mutated"
+        )
+    if not os.path.exists(f"{graph_base}/_skips/{_HNSW_COMPACT_REFRESH_AT}"):
+        raise RuntimeError(
+            "hnsw_compact artifact: no skip journal for the "
+            "consolidation batch — the injected crash did not engage"
+        )
+    # the view is BOUNDED by consolidation: exactly full_v2's sub-graphs
+    # plus ONE newer batch dir — per-batch dirs 0..2 are no longer read
+    ix = hnsw_serving_view(spark, graph_base)
+    n_sub = ix.graphs.count()
+    n_full = spark.read.parquet(f"{full2}/parts").count()
+    n_tail = spark.read.parquet(
+        f"{graph_base}/parts/batch={_HNSW_COMPACT_MOD - 1}"
+    ).count()
+    if n_sub != n_full + n_tail:
+        raise RuntimeError(
+            f"hnsw_compact artifact: serving view has {n_sub} sub-graphs "
+            f"(want {n_full}+{n_tail}) — stale per-batch dirs leaked in"
+        )
+    cand = ix.candidates(qvec, ef_search=100).distinct()
+    n_outside = cand.join(emb.select("id"), "id", "left_anti").count()
+    reach = cand.select(
+        (F.col("id") % _HNSW_COMPACT_MOD).alias("r")
+    ).distinct().count()
+    if not (n_outside == 0 and reach == _HNSW_COMPACT_MOD):
+        raise RuntimeError(
+            f"hnsw_compact artifact: beam reaches {reach}/"
+            f"{_HNSW_COMPACT_MOD} residues with {n_outside} outside ids"
+        )
+
+
+def _hnsw_live_compact_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact scoring + top-k over the CONSOLIDATED graph's ef=100 beam —
+    deterministic for a fixed graph + ef, so the exported candidate set
+    is the oracle's replay surface (the hnsw_live_topk scheme)."""
+    from comet_spark.operators.hnsw import score_candidates
+
+    ix = _hnsw_compact(spark, sf_dir)
+    qvec = _hybrid_qvec(spark, sf_dir)
+    art = f"{_art_dir(sf_dir)}/hnsw_compact"
+    key2 = (_skey(spark), sf_dir, "hnsw_compact_cands")
+    if key2 not in _PROBE_WRITTEN:
+        ix.candidates(qvec, ef_search=100).distinct().repartition(1).write.mode(
+            "overwrite"
+        ).parquet(f"{art}/candidates.parquet")
+        _PROBE_WRITTEN.add(key2)
+    cand = spark.read.parquet(f"{art}/candidates.parquet")
+    res = score_candidates(
+        _t(spark, sf_dir, "embeddings").select(
+            F.col("vec_id").alias("id"),
+            F.col("embedding").cast("array<double>").alias("vector"),
+        ),
+        cand, qvec, metric="l2", k=K,
+    )
+    return res.select(F.col("id").alias("vec_id"), "score")
+
+
+_register(
+    "hnsw_live_compact_topk",
+    _hnsw_live_compact_topk,
+    f"""
+WITH c AS (SELECT id FROM read_parquet('{_ART01}/hnsw_compact/candidates.parquet/*.parquet')),
+q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = {QUERY_VEC_ID}),
+e AS (SELECT e.vec_id, embedding::DOUBLE[] AS v FROM embeddings e JOIN c ON c.id = e.vec_id),
+d AS (SELECT vec_id, ROUND({_sql_l2('e.v', 'q.qv')}, 6) AS score FROM e, q)
+SELECT vec_id, score FROM d ORDER BY score, vec_id LIMIT {K}
+""",
+)
+
+
 # ★ EXACT dedup on the stream under the oracle gate — the last
 # streaming operator that was pytest-only: ``dedup_stream``
 # (dropDuplicatesWithinWatermark on the content hash, the
