@@ -497,3 +497,49 @@ def test_store_live_read_final_phase_is_codegen_topk(spark):
     plan = _plan(df)
     assert "WindowGroupLimit" in plan and ", Partial" in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
+def test_ivf_crud_serving_view_plan(spark):
+    """The CRUD serving view (r12) keeps the scale shape: the probe
+    filter still reaches the committed full layout as PartitionFilters
+    (it pushes through the delete left-join and the tail-id anti-join),
+    the tail side's newest-wins window is the only unpruned component
+    (bounded by the tail, never the corpus), every shuffle-side join
+    input is broadcast, and nothing falls back to Python."""
+    df = entry_mod.queries()["ivf_crud_live_knn"](spark, SF_DIR_SMALL)
+    plan = _plan(df)
+    assert "ivf_crud/index" in plan, plan
+    full_scans = [  # path may be tail-truncated in the tree string
+        seg for seg in plan.split("Location:")[1:]
+        if "ivf_crud/index/full_v" in seg.splitlines()[0]
+    ]
+    assert full_scans, plan
+    for seg in full_scans:
+        assert "PartitionFilters:" in seg, (seg[:400],)
+        pf = seg.split("PartitionFilters:", 1)[1][:200]
+        assert "cluster_id" in pf and "IN" in pf.upper(), pf
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_pq_live_serving_plan_is_codegen_adc(spark):
+    """pq_live_adc_knn serves the stream-maintained codes with the SAME
+    broadcast-LUT ADC shape as the batch-built pq_adc_knn: the LUT is
+    literal arrays folded in codegen — no Python, top-k via
+    TakeOrderedAndProject over both components."""
+    df = entry_mod.queries()["pq_live_adc_knn"](spark, SF_DIR_SMALL)
+    plan = _plan(df)
+    assert "pq_live/index" in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_hnsw_compact_topk_plan_is_codegen(spark):
+    """hnsw_live_compact_topk's serving phase (exact scoring over the
+    exported beam) stays JVM-side: broadcast candidate join + codegen
+    distance + TakeOrderedAndProject, no Python."""
+    df = entry_mod.queries()["hnsw_live_compact_topk"](spark, SF_DIR_SMALL)
+    plan = _plan(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, plan
