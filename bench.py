@@ -106,11 +106,13 @@ def main() -> None:
     pinned_names = [
         "knn_batch100", "lsm_merge_bm25", "minhash_lsh_pairs",
         "hybrid_ivfpq_rrf", "range_join_recent_orders",
-        # r11 watch item (VERDICT r10 "What's wrong" #3): read 1.45× in
-        # the judge's same-host A/B with no code change on its path —
-        # pinned for one round to get an N=5 warm floor; if the ratio
-        # reproduces same-host, profile the delete-leg broadcasts
-        "hybrid_delete_rrf",
+        # r12 watch item (VERDICT r11 "What's wrong" #1): tiered_store_knn
+        # read 2.4× in the r11 driver bench with no code change on its
+        # path — pinned for one round to get an N=5 warm floor; if ≥2×
+        # reproduces same-host, profile the tiered-ladder read path.
+        # (hybrid_delete_rrf rotated OUT: its r10 watch resolved as cache
+        # noise — pinned floor 0.973 s vs the 1.98 s single reading.)
+        "tiered_store_knn",
     ]
     pinned_passes = int(os.environ.get("SPARK_GRAFT_PINNED_PASSES", "5"))
     qmap = entry_mod.queries()
