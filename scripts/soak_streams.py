@@ -49,6 +49,11 @@ STREAM_GATES = [
     ("ivf_live_refresh_knn", "ivf_live"),
     ("meta_crud_stream_filter", "meta_crud_stream"),
     ("hnsw_live_topk", "hnsw_live"),
+    # r12: CRUD through the live-maintained IVF stream, PQ codebook
+    # maintenance, HNSW consolidation
+    ("ivf_crud_live_knn", "ivf_crud"),
+    ("pq_live_adc_knn", "pq_live"),
+    ("hnsw_live_compact_topk", "hnsw_compact"),
 ]
 
 
@@ -103,17 +108,20 @@ def main() -> None:
             entry._STREAM_ART_BUILT.clear()
             entry._IVF_STREAM_CACHE.clear()
             entry._IVF_LIVE_CACHE.clear()
+            entry._IVF_CRUD_CACHE.clear()
+            entry._PQ_LIVE_CACHE.clear()
             entry._BM25_LIVE_CACHE.clear()
             # unpersist superseded graph blobs BEFORE dropping the
             # handle — each soak iteration re-caches a fresh serving
             # view; without this, N iterations pin N blob-table copies
             # in executor storage until LRU pressure evicts them
-            for ix in entry._HNSW_LIVE_CACHE.values():
-                try:
-                    ix.graphs.unpersist()
-                except Exception:
-                    pass
-            entry._HNSW_LIVE_CACHE.clear()
+            for cache in (entry._HNSW_LIVE_CACHE, entry._HNSW_COMPACT_CACHE):
+                for ix in cache.values():
+                    try:
+                        ix.graphs.unpersist()
+                    except Exception:
+                        pass
+                cache.clear()
             entry._CRUD_BM25_CACHE.clear()
             # _PROBE_WRITTEN keys survive the artifact rmtree otherwise:
             # a gate re-run for the same (session, sf_dir) would skip
