@@ -158,6 +158,31 @@ def _live_cache_key(
     return (_skey(spark), sf_dir, _corpus_sig(sf_dir, table))
 
 
+def _evict_superseded(cache: dict, key: tuple, unpersist=None) -> None:
+    """Drop cache entries the fingerprint in ``key`` supersedes — same
+    (session, sf_dir), different corpus sig (a mid-session fixture
+    regen). Without this every regen strands the old entry forever; for
+    caches whose values pin executor storage (.cache()'d graph blobs,
+    BM25 side tables) ``unpersist(value)`` releases it (review r12 —
+    the same leak the soak loop already handles for its iterations)."""
+    for k in [k for k in cache if k[:2] == key[:2] and k != key]:
+        val = cache.pop(k)
+        if unpersist is not None:
+            try:
+                unpersist(val)
+            except Exception:  # noqa: BLE001 — eviction is best-effort
+                pass
+
+
+def _unpersist_graphs(ix) -> None:
+    ix.graphs.unpersist()
+
+
+def _unpersist_bm25(bm) -> None:
+    for t in (bm.doc_len, bm.df, bm.stats):
+        t.unpersist()
+
+
 def _fresh_bm25_artifact(
     spark: SparkSession, sf_dir: str, base: str, build_fn,
     read_path: str | None = None, probe_paths: list[str] | None = None,
@@ -857,6 +882,7 @@ _BM25_LIVE_CACHE: dict[tuple[str, str, str], BM25] = {}
 def _bm25_live_index(spark: SparkSession, sf_dir: str) -> BM25:
     key = _live_cache_key(spark, sf_dir, "documents")
     if key not in _BM25_LIVE_CACHE:
+        _evict_superseded(_BM25_LIVE_CACHE, key, _unpersist_bm25)
         import shutil
 
         from comet_spark.storage.store import DocumentStore
@@ -6063,11 +6089,12 @@ WHERE doc_id % 8 <> 4
 _CRUD_BM25_CACHE: dict[tuple[str, str, str], BM25] = {}
 
 
-def _bm25_crud_merge_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _bm25_crud_index(spark: SparkSession, sf_dir: str) -> BM25:
     from comet_spark.storage.store import DocumentStore
 
     key = _live_cache_key(spark, sf_dir, "documents")
     if key not in _CRUD_BM25_CACHE:
+        _evict_superseded(_CRUD_BM25_CACHE, key, _unpersist_bm25)
         base = f"{_art_dir(sf_dir)}/store_stream_delete"
         # the artifact scaffold's probe_paths covers the sibling store:
         # a partially-cleaned artifact routes into one rebuild here
@@ -6081,7 +6108,11 @@ def _bm25_crud_merge_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             store.read(), id_col="doc_id", text_col="text",
             normalize=False, cache=True,
         )
-    bm = _CRUD_BM25_CACHE[key]
+    return _CRUD_BM25_CACHE[key]
+
+
+def _bm25_crud_merge_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bm = _bm25_crud_index(spark, sf_dir)
     return bm.score(BM25_QUERY, k=K).select(F.col("id").alias("doc_id"), "score")
 
 
@@ -6135,6 +6166,7 @@ def _ivf_stream(spark: SparkSession, sf_dir: str):
 
     key = _live_cache_key(spark, sf_dir, "embeddings")
     if key not in _IVF_STREAM_CACHE:
+        _evict_superseded(_IVF_STREAM_CACHE, key)
         base = f"{_art_dir(sf_dir)}/ivf_stream"
         layout = _fresh_stream_artifact(
             spark, sf_dir, base, f"{base}/layout.parquet",
@@ -6687,6 +6719,7 @@ def _ivf_live(spark: SparkSession, sf_dir: str):
 
     key = _live_cache_key(spark, sf_dir, "embeddings")
     if key not in _IVF_LIVE_CACHE:
+        _evict_superseded(_IVF_LIVE_CACHE, key)
         base = f"{_art_dir(sf_dir)}/ivf_live"
         full = f"{base}/index/full_v{_IVF_LIVE_REFRESH_AT}"
         _fresh_stream_artifact(
@@ -6930,6 +6963,7 @@ def _hnsw_live(spark: SparkSession, sf_dir: str):
 
     key = _live_cache_key(spark, sf_dir, "embeddings")
     if key not in _HNSW_LIVE_CACHE:
+        _evict_superseded(_HNSW_LIVE_CACHE, key, _unpersist_graphs)
         base = f"{_art_dir(sf_dir)}/hnsw_live"
         parts = f"{base}/graphs/parts"
         _fresh_stream_artifact(
@@ -7046,7 +7080,10 @@ def _hnsw_live_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ix = _hnsw_live(spark, sf_dir)
     qvec = _hybrid_qvec(spark, sf_dir)
     art = f"{_art_dir(sf_dir)}/hnsw_live"
-    key2 = (_skey(spark), sf_dir, "hnsw_live_cands")
+    # fingerprinted like the serving-view cache: a mid-session regen
+    # rmtree's the artifact (candidates.parquet included) — a sig-less
+    # key would skip the rewrite and read the deleted path (review r12)
+    key2 = _live_cache_key(spark, sf_dir, "embeddings") + ("hnsw_live_cands",)
     if key2 not in _PROBE_WRITTEN:
         ix.candidates(qvec, ef_search=100).distinct().repartition(1).write.mode(
             "overwrite"
@@ -7131,6 +7168,7 @@ def _ivf_crud_live(spark: SparkSession, sf_dir: str):
 
     key = _live_cache_key(spark, sf_dir, "embeddings")
     if key not in _IVF_CRUD_CACHE:
+        _evict_superseded(_IVF_CRUD_CACHE, key)
         base = f"{_art_dir(sf_dir)}/ivf_crud"
         full = f"{base}/index/full_v{_IVF_CRUD_REFRESH_AT}"
         _fresh_stream_artifact(
@@ -7396,11 +7434,16 @@ def _ivf_crud_live_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select(F.col("id").alias("vec_id"), "score")
 
 
-_register(
-    "ivf_crud_live_knn",
-    _ivf_crud_live_knn,
-    f"""
-WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = {QUERY_VEC_ID}),
+def _sql_ivf_crud_ctes() -> str:
+    """Shared oracle CTEs for the CRUD-maintained serving view:
+    newest-wins (QUALIFY max-precedence per id) over the exported
+    components (full_v2 ∪ tail 3), the exported live delete markers
+    anti-joined by precedence, vectors from the CASE-transformed
+    source. One copy for ivf_crud_live_knn and hybrid_crud_live_rrf's
+    vector leg, so the two gates' oracles can never desynchronize (the
+    _sql_ivf_live_ctes pattern)."""
+    return f"""
+q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = {QUERY_VEC_ID}),
 f AS (SELECT id, cluster_id, CAST({_IVF_CRUD_REFRESH_AT} AS BIGINT) AS pri
       FROM read_parquet('{_ART01}/ivf_crud/index/full_v{_IVF_CRUD_REFRESH_AT}/layout.parquet/**/*.parquet', hive_partitioning=1)),
 t3 AS (SELECT id, cluster_id, CAST(3 AS BIGINT) AS pri
@@ -7421,7 +7464,57 @@ e AS (SELECT vec_id AS id,
 p AS (SELECT cluster_id FROM read_parquet('{_ART01}/ivf_crud/probes_q2.parquet/*.parquet')),
 vd AS (SELECT a.id AS vec_id, ROUND({_sql_l2('e.v', 'q.qv')}, 6) AS score
        FROM alive a JOIN p USING (cluster_id) JOIN e USING (id), q)
+"""
+
+
+_register(
+    "ivf_crud_live_knn",
+    _ivf_crud_live_knn,
+    f"""
+WITH {_sql_ivf_crud_ctes().strip()}
 SELECT vec_id, score FROM vd ORDER BY score, vec_id LIMIT {K}
+""",
+)
+
+
+# ★ HYBRID OVER DOUBLY-CRUD'D STATE (r12 — the CRUD × CRUD fusion
+# cell): RRF where the VECTOR leg searches the CRUD-maintained IVF
+# serving view (ivf_crud's artifact — upsert waves, baked + live
+# delete waves, resurrection, marker-batch crash replay) and the TEXT
+# leg scores the CRUD'd store's newest-wins merged view (the
+# bm25_crud_merge_score state — streamed upserts, a sequenced delete,
+# resurrections past the watermark, a crash-replayed duplicate
+# segment). The reference serves hybrid_search_index continuously
+# while Remove/re-Add mutate BOTH underlying indexes; this is that
+# serving shape with every mutation on each leg already under its own
+# oracle gate. Oracle = the shared CRUD-IVF CTEs + the CRUD-corpus
+# BM25 SQL folded by the exact RRF arithmetic.
+def _hybrid_crud_live_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ivf, layout = _ivf_crud_live(spark, sf_dir)
+    vec_res = ivf.search(layout, _hybrid_qvec(spark, sf_dir), k=K, nprobe=2)
+    txt_res = _bm25_crud_index(spark, sf_dir).score(BM25_QUERY, k=K)
+    return rrf(vec_res, txt_res, k=K).select(F.col("id").alias("doc_id"), "score")
+
+
+_register(
+    "hybrid_crud_live_rrf",
+    _hybrid_crud_live_rrf,
+    f"""
+WITH {_sql_ivf_crud_ctes().strip()},
+vres AS (SELECT vec_id AS id, score FROM vd ORDER BY score, vec_id LIMIT {K}),
+dmod AS (SELECT doc_id,
+                CASE WHEN doc_id % 8 = 0 THEN text || ' v2'
+                     ELSE text END AS text
+         FROM documents WHERE doc_id % 8 <> 4),
+{_sql_bm25_ctes(table="dmod").strip().rstrip(',')},
+{_sql_bm25_score(BM25_QUERY).strip().rstrip(',')},
+tres AS (SELECT id, ROUND(score, 6) AS score FROM sc ORDER BY score DESC, id LIMIT {K}),
+vrank AS (SELECT id, row_number() OVER (ORDER BY score ASC, id ASC) - 1 AS r FROM vres),
+trank AS (SELECT id, row_number() OVER (ORDER BY score DESC, id ASC) - 1 AS r FROM tres)
+SELECT coalesce(vrank.id, trank.id) AS doc_id,
+       ROUND(coalesce(1.0/(60.0 + vrank.r), 0) + coalesce(1.0/(60.0 + trank.r), 0), 6) AS score
+FROM vrank FULL OUTER JOIN trank ON vrank.id = trank.id
+ORDER BY score DESC, doc_id LIMIT {K}
 """,
 )
 
@@ -7448,6 +7541,7 @@ def _pq_live(spark: SparkSession, sf_dir: str):
 
     key = _live_cache_key(spark, sf_dir, "embeddings")
     if key not in _PQ_LIVE_CACHE:
+        _evict_superseded(_PQ_LIVE_CACHE, key)
         base = f"{_art_dir(sf_dir)}/pq_live"
         full = f"{base}/index/full_v{_PQ_LIVE_REFRESH_AT}"
         _fresh_stream_artifact(
@@ -7617,6 +7711,7 @@ def _hnsw_compact(spark: SparkSession, sf_dir: str):
 
     key = _live_cache_key(spark, sf_dir, "embeddings")
     if key not in _HNSW_COMPACT_CACHE:
+        _evict_superseded(_HNSW_COMPACT_CACHE, key, _unpersist_graphs)
         base = f"{_art_dir(sf_dir)}/hnsw_compact"
         graphs = f"{base}/graphs"
         _fresh_stream_artifact(
@@ -7772,7 +7867,7 @@ def _hnsw_live_compact_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ix = _hnsw_compact(spark, sf_dir)
     qvec = _hybrid_qvec(spark, sf_dir)
     art = f"{_art_dir(sf_dir)}/hnsw_compact"
-    key2 = (_skey(spark), sf_dir, "hnsw_compact_cands")
+    key2 = _live_cache_key(spark, sf_dir, "embeddings") + ("hnsw_compact_cands",)
     if key2 not in _PROBE_WRITTEN:
         ix.candidates(qvec, ef_search=100).distinct().repartition(1).write.mode(
             "overwrite"

@@ -113,6 +113,12 @@ def main() -> None:
         # (hybrid_delete_rrf rotated OUT: its r10 watch resolved as cache
         # noise — pinned floor 0.973 s vs the 1.98 s single reading.)
         "tiered_store_knn",
+        # r12 review: re-deriving the r10/r11 driver tails shows the
+        # median common ratio was 1.078 with EIGHT queries beyond the
+        # 1.22 p90 envelope, not one — simhash_neardup_pairs carried the
+        # largest absolute delta (1.253 → 1.743 s) and joins the pin to
+        # get a floor; the rest moved < 0.2 s absolute.
+        "simhash_neardup_pairs",
     ]
     pinned_passes = int(os.environ.get("SPARK_GRAFT_PINNED_PASSES", "5"))
     qmap = entry_mod.queries()

@@ -22,6 +22,7 @@ __all__ = [
     "ivf_serving_view",
     "pq_ingest_stream",
     "pq_serving_view",
+    "gc_index_versions",
     "hnsw_ingest_stream",
     "hnsw_serving_view",
     "bm25_ingest",
@@ -163,6 +164,75 @@ def _ivf_current(fs, index_base: str) -> int | None:
     return max(vers) if vers else None
 
 
+def _lineage_guard(fs, base: str, batch_id: int, who: str, subdirs) -> int | None:
+    """Fresh-checkpoint fail-fast shared by the THREE versioned
+    maintenance engines (review r12: the protocol lived three times and
+    had already diverged — fixes must land once): compare the restart's
+    first batch id against the newest state EVER written — the max
+    committed version marker or any batch-numbered dir under
+    ``subdirs`` (tails, graph parts, delete markers). Only a FRESH
+    checkpoint pointed at an existing index can deliver a batch below
+    that (a legit resume's first batch is the latest ever run); letting
+    it through would hit a stale version marker (data silently skipped)
+    or overwrite SERVED batch dirs with recycled ids. Returns the
+    committed version so the caller can seed its closure cache without
+    a second ``_versions`` listing."""
+    boot_cur = _ivf_current(fs, base)
+    batches = [boot_cur if boot_cur is not None else -1]
+    for d in subdirs:
+        batches += [
+            int(n.split("=", 1)[1])
+            for n in fs.listdir(f"{base}/{d}")
+            if n.startswith("batch=")
+        ]
+    newest = max(batches)
+    if batch_id < newest:
+        raise RuntimeError(
+            f"{who}: batch {batch_id} is below the newest written batch "
+            f"{newest} under {base} — a fresh checkpoint was pointed at "
+            "an existing index; resume with the original checkpoint, or "
+            "delete the index base and store to re-ingest"
+        )
+    return boot_cur
+
+
+def _skip_if_committed(fs, base: str, batch_id: int) -> bool:
+    """The committed-version replay skip, shared: the marker is written
+    LAST, so its presence proves the whole refresh landed — re-running
+    would mutate a version directory readers are already pointed at
+    (and re-append a pointless duplicate segment). Journals the skip
+    (atomic create-if-absent) so the crash-replay is observable."""
+    if fs.exists(f"{base}/_versions/{batch_id}"):
+        fs.create_new(f"{base}/_skips/{batch_id}")
+        return True
+    return False
+
+
+def _version_tripwire(fs, base: str, batch_id: int, who: str) -> None:
+    """Second-writer tripwire, pre-mutation leg (post-hoc by nature —
+    single-writer is the caller's contract): checked before the refresh
+    mutates anything to shrink the damage window; the commit itself
+    (:func:`_commit_version`) is the second leg."""
+    if fs.exists(f"{base}/_versions/{batch_id}"):
+        raise RuntimeError(
+            f"{who}: version marker {batch_id} appeared under {base} — "
+            "a second writer is committing versions"
+        )
+
+
+def _commit_version(fs, base: str, batch_id: int, who: str) -> None:
+    """The version COMMIT: atomic CREATE of the monotone marker — never
+    a pointer rewrite (see :func:`_ivf_current`). create_new returning
+    False is the tripwire's second leg: another writer committed this
+    version since the pre-check — the layout may already be damaged,
+    but the stream dies loudly here instead of serving it."""
+    if not fs.create_new(f"{base}/_versions/{batch_id}"):
+        raise RuntimeError(
+            f"{who}: version marker {batch_id} already exists under "
+            f"{base} — a second writer is committing versions"
+        )
+
+
 def ivf_ingest_stream(
     stream: DataFrame,
     store: DocumentStore,
@@ -286,58 +356,25 @@ def ivf_ingest_stream(
         if first[0]:
             store.force_unlock()
             first[0] = False
-            # the newest state this index has EVER written — committed
-            # version or tail batch, whichever is higher: under the
-            # refresh_every=0 default the committed version stays 0
-            # forever while tails grow, and a version-only guard would
-            # let a fresh checkpoint's recycled batch 0 hit the marker
-            # skip (data silently dropped) and its batches 1..N
-            # overwrite SERVED tail dirs (review r11 pass 4)
-            boot_cur = _ivf_current(fs, index_base)
-            tails = [
-                int(n.split("=", 1)[1])
-                for n in fs.listdir(f"{index_base}/tail")
-                if n.startswith("batch=")
-            ] + [
-                # delete-marker batches advance numbering too: a
-                # delete-only batch writes no tail, and a recycled id
-                # overwriting a SERVED marker dir is the same silent
-                # corruption the tail leg guards against
-                int(n.split("=", 1)[1])
-                for n in fs.listdir(f"{index_base}/_deletes")
-                if n.startswith("batch=")
-            ]
-            newest = max(
-                [boot_cur if boot_cur is not None else -1] + tails
+            # tails AND delete-marker batches advance numbering (a
+            # delete-only batch writes no tail; under refresh_every=0
+            # the version stays 0 forever while tails grow — review
+            # r11 pass 4); seed the closure cache from the guard's
+            # listing, no second _versions scan
+            cache["cur"] = _lineage_guard(
+                fs, index_base, batch_id, "ivf_ingest_stream",
+                ("tail", "_deletes"),
             )
-            if batch_id < newest:
-                # only a FRESH checkpoint pointed at an existing index
-                # can deliver a batch below the newest ever written (a
-                # legit resume's first batch is the latest ever run)
-                raise RuntimeError(
-                    f"ivf_ingest_stream: batch {batch_id} is below the "
-                    f"newest written batch {newest} under {index_base} "
-                    "— a fresh checkpoint was pointed at an existing "
-                    "index; resume with the original checkpoint, or "
-                    "delete the index base and store to re-ingest"
-                )
-            cache["cur"] = boot_cur  # seed — no second _versions listing
             if op_col is not None:
                 # declare the CRUD contract to readers: the serving
                 # view must run the newest-wins/anti-join plan from the
                 # first batch on (create-if-absent — idempotent across
                 # restarts)
                 fs.create_new(f"{index_base}/_crud")
-        if fs.exists(f"{index_base}/_versions/{batch_id}"):
-            # replay of a fully-committed refresh batch (the marker is
-            # written last): skip EVERYTHING — re-appending would land a
-            # pointless duplicate segment, re-deleting would re-stamp a
-            # watermark the marker already proves applied, and rewriting
-            # the layout would mutate a version directory readers are
-            # already pointed at. Journal the skip (atomic
-            # create-if-absent; a second replay finds it already
-            # journaled) so the crash-replay is observable.
-            fs.create_new(f"{index_base}/_skips/{batch_id}")
+        if _skip_if_committed(fs, index_base, batch_id):
+            # a replayed refresh skips EVERYTHING: re-appending would
+            # land a pointless duplicate segment, re-deleting would
+            # re-stamp a watermark the marker already proves applied
             return
         cur = cache["cur"]
         if cur is None:
@@ -383,16 +420,9 @@ def ivf_ingest_stream(
                         f"{index_base}/_deletes/batch={batch_id}"
                     )
             if scheduled:
-                # second-writer TRIPWIRE (post-hoc by nature —
-                # single-writer is the caller's contract, not something
-                # two uncoordinated writers can enforce): check before
-                # mutating to shrink the window, and again at commit
-                if fs.exists(f"{index_base}/_versions/{batch_id}"):
-                    raise RuntimeError(
-                        f"ivf_ingest_stream: version marker {batch_id} "
-                        f"appeared under {index_base} — a second writer "
-                        "is committing versions"
-                    )
+                _version_tripwire(
+                    fs, index_base, batch_id, "ivf_ingest_stream"
+                )
                 merged = store.read()
                 ivf = IVFIndex.train(
                     merged, nlist, id_col=id_col, vec_col=vec_col,
@@ -404,18 +434,7 @@ def ivf_ingest_stream(
                     f"{full}/layout.parquet",
                 )
                 ivf.save(spark, full)
-                # the version COMMIT: atomic CREATE of the marker —
-                # never a pointer rewrite (see _ivf_current). create_new
-                # is also the tripwire's second leg: False means another
-                # writer committed this version since the check above —
-                # the layout may already be damaged, but the stream dies
-                # loudly here instead of serving it.
-                if not fs.create_new(f"{index_base}/_versions/{batch_id}"):
-                    raise RuntimeError(
-                        f"ivf_ingest_stream: version marker {batch_id} "
-                        f"already exists under {index_base} — a second "
-                        "writer is committing versions"
-                    )
+                _commit_version(fs, index_base, batch_id, "ivf_ingest_stream")
                 cache["cur"], cache["ivf"] = batch_id, ivf
             elif tail_rows is not None:
                 if cache["ivf"] is None:
@@ -473,7 +492,12 @@ def ivf_serving_view(spark, index_base: str):
       precedence (committed version for full rows, batch id for tail
       rows) is ABOVE the id's newest delete — so a later upsert
       resurrects, and a same-batch delete wins over its own upsert,
-      exactly the store's segment-watermark rule.
+      exactly the store's segment-watermark rule. A TORN ``_deletes``
+      partition (no ``_SUCCESS`` — crash mid-write or a replay
+      rewriting it) fails the view LOUDLY instead of being excluded
+      like a torn tail: dropping a tail serves an older consistent
+      state, dropping deletes while the same batch's tail is committed
+      would resurrect deleted rows — never-existed state (review r12).
 
     The tail-side cluster filter applies AFTER the dedup window (the
     newest assignment decides the id's cluster — pruning first could
@@ -530,12 +554,29 @@ def ivf_serving_view(spark, index_base: str):
     else:
         layout = layout.withColumn(pri, F.lit(cur).cast("bigint"))
     del_root = f"{index_base}/_deletes"
-    del_live = [
+    del_all = [
         n for n in fs.listdir(del_root)
-        if n.startswith("batch=")
-        and int(n.split("=", 1)[1]) > cur
-        and fs.exists(f"{del_root}/{n}/_SUCCESS")
+        if n.startswith("batch=") and int(n.split("=", 1)[1]) > cur
     ]
+    del_live = [
+        n for n in del_all if fs.exists(f"{del_root}/{n}/_SUCCESS")
+    ]
+    if len(del_live) != len(del_all):
+        # a torn _deletes partition must fail LOUDLY, never be excluded
+        # like a torn tail: excluding a tail serves an OLDER consistent
+        # state, but excluding deletes while the same batch's tail is
+        # committed RESURRECTS deleted rows — a state that never
+        # existed (review r12: the crash-replay rewrites _deletes with
+        # its _SUCCESS briefly absent while the original run's tail is
+        # still committed). Same reread contract as every swap race:
+        # rebuild the view once the replay re-lands _SUCCESS.
+        torn = sorted(set(del_all) - set(del_live))
+        raise FileNotFoundError(
+            f"ivf_serving_view: delete partition(s) {torn} under "
+            f"{del_root} are torn (crash mid-write or a replay in "
+            "flight) — serving without them would resurrect deleted "
+            "rows; reread after the stream's replay commits"
+        )
     if del_live:
         dels = (
             spark.read.option("basePath", del_root)
@@ -610,26 +651,10 @@ def pq_ingest_stream(
         if first[0]:
             store.force_unlock()
             first[0] = False
-            boot_cur = _ivf_current(fs, index_base)
-            tails = [
-                int(n.split("=", 1)[1])
-                for n in fs.listdir(f"{index_base}/tail")
-                if n.startswith("batch=")
-            ]
-            newest = max([boot_cur if boot_cur is not None else -1] + tails)
-            if batch_id < newest:
-                raise RuntimeError(
-                    f"pq_ingest_stream: batch {batch_id} is below the "
-                    f"newest written batch {newest} under {index_base} "
-                    "— a fresh checkpoint was pointed at an existing "
-                    "index; resume with the original checkpoint, or "
-                    "delete the index base and store to re-ingest"
-                )
-            cache["cur"] = boot_cur
-        if fs.exists(f"{index_base}/_versions/{batch_id}"):
-            # replay of a fully-committed refresh (marker written last):
-            # skip everything, journal for observability
-            fs.create_new(f"{index_base}/_skips/{batch_id}")
+            cache["cur"] = _lineage_guard(
+                fs, index_base, batch_id, "pq_ingest_stream", ("tail",)
+            )
+        if _skip_if_committed(fs, index_base, batch_id):
             return
         cur = cache["cur"]
         if cur is None:
@@ -645,12 +670,7 @@ def pq_ingest_stream(
         else:
             store.append(batch)
         if scheduled:
-            if fs.exists(f"{index_base}/_versions/{batch_id}"):
-                raise RuntimeError(
-                    f"pq_ingest_stream: version marker {batch_id} "
-                    f"appeared under {index_base} — a second writer is "
-                    "committing versions"
-                )
+            _version_tripwire(fs, index_base, batch_id, "pq_ingest_stream")
             merged = store.read()
             pq = PQIndex.train(
                 merged, m=m, nbits=nbits, id_col=id_col, vec_col=vec_col,
@@ -661,12 +681,7 @@ def pq_ingest_stream(
                 "overwrite"
             ).parquet(f"{full}/codes.parquet")
             pq.save(spark, full)
-            if not fs.create_new(f"{index_base}/_versions/{batch_id}"):
-                raise RuntimeError(
-                    f"pq_ingest_stream: version marker {batch_id} "
-                    f"already exists under {index_base} — a second "
-                    "writer is committing versions"
-                )
+            _commit_version(fs, index_base, batch_id, "pq_ingest_stream")
             cache["cur"], cache["pq"] = batch_id, pq
         else:
             if cache["pq"] is None:
@@ -717,6 +732,44 @@ def pq_serving_view(spark, index_base: str):
     return pq, codes
 
 
+def gc_index_versions(spark, base: str, *, subdirs=("tail",)) -> list[str]:
+    """Out-of-band GC for a versioned maintenance base (IVF/PQ/HNSW):
+    delete state the committed version SUPERSEDES — older ``full_v{n}``
+    dirs (serving always reads the max marker), batch-numbered dirs
+    ≤ the committed version under ``subdirs`` (tails/graph parts are
+    baked into the refresh; ``_deletes`` markers ≤ it are baked into
+    the retrain). Version MARKERS and the ``_skips`` journal are never
+    deleted: the monotone max-wins contract
+    (:func:`_ivf_current`) and the lineage guard both depend on the
+    full marker history. Returns the removed paths.
+
+    Contract (same as out-of-band store compaction): run only while
+    the stream is STOPPED — a reader holding a plan across the GC hits
+    the documented loud-fail-then-reread; the stream itself must not
+    be mid-batch (a tail being written for the current trigger is
+    never ≤ the committed version, so the rule is belt-and-braces, but
+    the single-writer contract stands). Without GC the dead state is
+    only a disk cost, never a correctness one — committed dirs are
+    immutable and unread once superseded."""
+    from comet_spark.storage.store import _FS
+
+    fs = _FS(spark, base)
+    cur = _ivf_current(fs, base)
+    if cur is None:
+        return []
+    removed = []
+    for n in fs.listdir(base):
+        if n.startswith("full_v") and n[6:].isdigit() and int(n[6:]) < cur:
+            removed.append(f"{base}/{n}")
+    for d in subdirs + ("_deletes",):
+        for n in fs.listdir(f"{base}/{d}"):
+            if n.startswith("batch=") and int(n.split("=", 1)[1]) <= cur:
+                removed.append(f"{base}/{d}/{n}")
+    for p in removed:
+        fs.delete(p)
+    return removed
+
+
 def hnsw_ingest_stream(
     stream: DataFrame,
     store: DocumentStore,
@@ -760,7 +813,9 @@ def hnsw_ingest_stream(
     total batch count, and a committed ``full_v{N}`` is IMMUTABLE (a
     replay of its batch skips entirely, journaled under ``_skips/``),
     so a concurrent reader can never observe a half-rewritten
-    consolidation. Consolidation quality: the rebuild sees the full
+    consolidation. An empty trigger landing on a scheduled
+    consolidation still runs it (the ADVICE-r11 empty-refresh rule).
+    Consolidation quality: the rebuild sees the full
     corpus, so its beam can only improve on the per-batch slices it
     replaces (sub-graph count drops; each sub-graph's local top-k is
     built from a larger neighborhood) — the gate asserts recall ≥ the
@@ -794,23 +849,9 @@ def hnsw_ingest_stream(
         if first[0]:
             store.force_unlock()
             first[0] = False
-            existing = [
-                int(n.split("=", 1)[1])
-                for n in fs.listdir(f"{graph_base}/parts")
-                if n.startswith("batch=")
-            ]
-            boot_cur = _ivf_current(fs, graph_base)
-            if boot_cur is not None:
-                existing.append(boot_cur)
-            if existing and batch_id < max(existing):
-                raise RuntimeError(
-                    f"hnsw_ingest_stream: batch {batch_id} is below the "
-                    f"newest graph batch {max(existing)} under "
-                    f"{graph_base} — a fresh checkpoint was pointed at "
-                    "an existing graph; resume with the original "
-                    "checkpoint, or delete the graph base and store to "
-                    "re-ingest"
-                )
+            _lineage_guard(
+                fs, graph_base, batch_id, "hnsw_ingest_stream", ("parts",)
+            )
             # meta mismatch guard (ADVICE r11): a restart with different
             # m/metric would build new sub-graphs under the OLD meta and
             # the serving view would walk them with parameters they were
@@ -828,32 +869,34 @@ def hnsw_ingest_stream(
                         "parameters, or delete the graph base and store "
                         "to re-ingest"
                     )
-        if fs.exists(f"{graph_base}/_versions/{batch_id}"):
-            # replay of a fully-committed consolidation batch (marker
-            # written last): skip everything — rewriting would mutate a
-            # version dir readers are already pointed at (the IVF rule)
-            fs.create_new(f"{graph_base}/_skips/{batch_id}")
+        if _skip_if_committed(fs, graph_base, batch_id):
             return
+        scheduled = bool(
+            refresh_every and batch_id > 0 and batch_id % refresh_every == 0
+        )
         if batch.isEmpty():
-            return
-        store.append(batch)
-        if not fs.exists(f"{graph_base}/meta.parquet/_SUCCESS"):
-            spark.createDataFrame(
-                [(m, metric)], "m int, metric string"
-            ).repartition(1).write.mode("overwrite").parquet(
-                f"{graph_base}/meta.parquet"
-            )
-        if refresh_every and batch_id > 0 and batch_id % refresh_every == 0:
+            # an empty trigger landing ON a scheduled consolidation
+            # still runs it (the ADVICE-r11 empty-refresh rule, applied
+            # to the graph engine too — review r12); before any data
+            # landed there is nothing to consolidate
+            if not scheduled or not store._fs.exists(store.data_path):
+                return
+        else:
+            store.append(batch)
+            if not fs.exists(f"{graph_base}/meta.parquet/_SUCCESS"):
+                spark.createDataFrame(
+                    [(m, metric)], "m int, metric string"
+                ).repartition(1).write.mode("overwrite").parquet(
+                    f"{graph_base}/meta.parquet"
+                )
+        if scheduled:
             # CONSOLIDATION: one rebuild over the merged view replaces
             # every sub-graph so far; per-batch dirs ≤ batch_id stop
             # being served the moment the marker lands (they stay on
             # disk for a post-drain cleanup — serving never reads them)
-            if fs.exists(f"{graph_base}/_versions/{batch_id}"):
-                raise RuntimeError(
-                    f"hnsw_ingest_stream: version marker {batch_id} "
-                    f"appeared under {graph_base} — a second writer is "
-                    "committing consolidations"
-                )
+            _version_tripwire(
+                fs, graph_base, batch_id, "hnsw_ingest_stream"
+            )
             full = DistributedHNSW.build(
                 store.read(), id_col=id_col, vec_col=vec_col, m=m,
                 ef_construction=ef_construction, seed=seed, metric=metric,
@@ -862,12 +905,9 @@ def hnsw_ingest_stream(
             full.graphs.write.mode("overwrite").parquet(
                 f"{graph_base}/full_v{batch_id}/parts"
             )
-            if not fs.create_new(f"{graph_base}/_versions/{batch_id}"):
-                raise RuntimeError(
-                    f"hnsw_ingest_stream: version marker {batch_id} "
-                    f"already exists under {graph_base} — a second "
-                    "writer is committing consolidations"
-                )
+            _commit_version(
+                fs, graph_base, batch_id, "hnsw_ingest_stream"
+            )
             return
         fresh = DistributedHNSW.build(
             batch, id_col=id_col, vec_col=vec_col, m=m,

@@ -3045,3 +3045,152 @@ def test_concurrent_reader_loud_fail_or_consistent_during_drain(spark, tmp_path)
     assert {r["id"] for r in store.read().select("id").collect()} == all_ids
     _, layout = ivf_serving_view(spark, index_base)
     assert {r["id"] for r in layout.select("id").collect()} == all_ids
+
+
+def test_ivf_serving_view_torn_deletes_fail_loud(spark, tmp_path):
+    """A torn ``_deletes`` partition must fail the CRUD serving view
+    LOUDLY (review r12): excluding a torn TAIL serves an older
+    consistent state, but excluding torn DELETES while the same batch's
+    tail is committed RESURRECTS deleted rows — a state that never
+    existed. The window is real: the crash-replay rewrites
+    ``_deletes/batch=N`` (``_SUCCESS`` briefly absent) while the
+    original run's tail is still committed."""
+    import os
+
+    from comet_spark.storage.store import DocumentStore
+    from comet_spark.streaming.ingest import ivf_ingest_stream, ivf_serving_view
+
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+    index_base = str(tmp_path / "index")
+
+    def feed(rows):
+        spark.createDataFrame(
+            rows, "id bigint, vector array<double>, op string"
+        ).repartition(1).write.mode("append").parquet(src)
+
+    feed([(i, [float(i), 0.0], None) for i in range(8)])
+    feed(
+        [(i, [float(i), 0.0], None) for i in range(10, 14)]
+        + [(5, None, "delete")]
+    )
+    q = ivf_ingest_stream(
+        spark.readStream.schema("id bigint, vector array<double>, op string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src),
+        DocumentStore(spark, str(tmp_path / "store"), id_col="id"),
+        index_base, checkpoint=ckpt, nlist=2, op_col="op",
+    )
+    assert q.awaitTermination(300)
+    _, layout = ivf_serving_view(spark, index_base)  # healthy: serves
+    assert 5 not in {r["id"] for r in layout.select("id").collect()}
+    os.remove(f"{index_base}/_deletes/batch=1/_SUCCESS")  # the torn window
+    with pytest.raises(FileNotFoundError, match="resurrect"):
+        ivf_serving_view(spark, index_base)
+
+
+def test_hnsw_ingest_stream_empty_batch_runs_scheduled_consolidation(
+    spark, tmp_path
+):
+    """An empty trigger landing ON a scheduled consolidation still runs
+    it (review r12 — the ADVICE-r11 empty-refresh rule applied to the
+    graph engine): skipping would let per-batch sub-graph dirs keep
+    accumulating past the refresh_every bound with no signal."""
+    import os
+
+    from comet_spark.storage.store import DocumentStore
+    from comet_spark.streaming.ingest import hnsw_ingest_stream, hnsw_serving_view
+
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+    graph_base = str(tmp_path / "graphs")
+
+    def feed(lo, hi):
+        spark.createDataFrame(
+            [(i, [float(i % 11), float(i % 3)]) for i in range(lo, hi)],
+            "id bigint, vector array<double>",
+        ).repartition(1).write.mode("append").parquet(src)
+
+    feed(0, 10)
+    feed(10, 20)
+    feed(20, 20)  # batch 2: EMPTY file on the consolidation schedule
+    q = hnsw_ingest_stream(
+        spark.readStream.schema("id bigint, vector array<double>")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src),
+        DocumentStore(spark, str(tmp_path / "store"), id_col="id"),
+        graph_base, checkpoint=ckpt, m=4, parts_per_batch=2,
+        refresh_every=2,
+    )
+    assert q.awaitTermination(300)
+    assert os.path.exists(f"{graph_base}/_versions/2"), (
+        "the empty trigger's scheduled consolidation was skipped"
+    )
+    ix = hnsw_serving_view(spark, graph_base)
+    beam = {r["id"] for r in ix.candidates([1.0, 1.0], ef_search=50).distinct().collect()}
+    assert beam and beam <= set(range(20))
+
+
+def test_gc_index_versions_removes_only_superseded_state(spark, tmp_path):
+    """Out-of-band GC (r12): dead state — older full_v dirs, tails and
+    delete markers at-or-below the committed version — is removed;
+    LIVE state (newer tails/markers), the version markers, and the
+    served corpus are untouched, and the stream resumes cleanly on the
+    same checkpoint afterwards."""
+    import os
+
+    from comet_spark.storage.store import DocumentStore
+    from comet_spark.streaming.ingest import (
+        gc_index_versions,
+        ivf_ingest_stream,
+        ivf_serving_view,
+    )
+
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+    index_base = str(tmp_path / "index")
+    store = DocumentStore(spark, str(tmp_path / "store"), id_col="id")
+
+    def feed(rows):
+        spark.createDataFrame(
+            rows, "id bigint, vector array<double>, op string"
+        ).repartition(1).write.mode("append").parquet(src)
+
+    def drain():
+        q = ivf_ingest_stream(
+            spark.readStream.schema(
+                "id bigint, vector array<double>, op string"
+            )
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src),
+            store, index_base, checkpoint=ckpt, nlist=2,
+            refresh_every=2, op_col="op",
+        )
+        assert q.awaitTermination(300)
+
+    feed([(i, [float(i), 0.0], None) for i in range(8)])       # b0 → v0
+    feed([(i, [float(i), 0.0], None) for i in range(10, 14)])  # b1 tail
+    feed([(i, [float(i), 0.0], None) for i in range(20, 24)])  # b2 → v2
+    feed(  # b3: tail + a LIVE delete marker (> v2, must survive GC)
+        [(i, [float(i), 0.0], None) for i in range(30, 34)]
+        + [(3, None, "delete")]
+    )
+    drain()
+    before = {
+        (r["id"], tuple(r["vector"]))
+        for r in ivf_serving_view(spark, index_base)[1].collect()
+    }
+    removed = gc_index_versions(spark, index_base)
+    names = {os.path.basename(p) for p in removed}
+    assert names == {"full_v0", "batch=1"}, removed  # superseded only
+    assert os.path.exists(f"{index_base}/_versions/0")  # markers stay
+    assert os.path.exists(f"{index_base}/tail/batch=3")  # live tail stays
+    assert os.path.exists(f"{index_base}/_deletes/batch=3")
+    after = {
+        (r["id"], tuple(r["vector"]))
+        for r in ivf_serving_view(spark, index_base)[1].collect()
+    }
+    assert after == before and any(i == 30 for i, _ in after)
+    assert not any(i == 3 for i, _ in after)  # live delete still applied
+    feed([(i, [float(i), 0.0], None) for i in range(40, 44)])  # b4 → v4
+    drain()  # resume on the same checkpoint post-GC
+    got = {r["id"] for r in ivf_serving_view(spark, index_base)[1].collect()}
+    assert got == (set(range(8)) | set(range(10, 14)) | set(range(20, 24))
+                   | set(range(30, 34)) | set(range(40, 44))) - {3}
