@@ -179,7 +179,9 @@ def _unpersist_graphs(ix) -> None:
 
 
 def _unpersist_bm25(bm) -> None:
-    for t in (bm.doc_len, bm.df, bm.stats):
+    # postings included: it is the corpus-sized table — omitting it
+    # would leave the largest block pinned (review r12 pass 2)
+    for t in (bm.postings, bm.doc_len, bm.df, bm.stats):
         t.unpersist()
 
 

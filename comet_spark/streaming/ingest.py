@@ -113,7 +113,8 @@ def stream_into_store(
 
 
 def _split_ops(
-    batch: DataFrame, op_col: str, delete_value: str, id_col: str, who: str
+    batch: DataFrame, op_col: str, delete_value: str, id_col: str, who: str,
+    *, forbid_dup_upserts: bool = False,
 ) -> tuple[DataFrame, DataFrame, int, int]:
     """Validate + partition one (persisted) CRUD micro-batch into
     ``(upserts, delete_ids, n_ups, n_del)`` — the shared op contract of
@@ -132,12 +133,27 @@ def _split_ops(
         F.max(F.when(is_bad, F.col(op_col).cast("string"))).alias("bad_val"),
         F.count(F.when(is_del, 1)).alias("n_del"),
         F.count(F.when(F.col(op_col).isNull(), 1)).alias("n_ups"),
+        F.countDistinct(
+            F.when(F.col(op_col).isNull(), F.col(id_col))
+        ).alias("n_ups_ids"),
     ).first()
     if probe["n_bad"]:
         raise ValueError(
             f"{who}: unrecognized {op_col}={probe['bad_val']!r} "
             f"(expected NULL/upsert or {delete_value!r}) — failing the "
             "micro-batch rather than appending a marker row as data"
+        )
+    if forbid_dup_upserts and probe["n_ups"] != probe["n_ups_ids"]:
+        # a micro-batch is an UNORDERED set: two upserts of the same id
+        # in one batch have no defined winner, and the store's __seq
+        # tiebreak is partition-arbitrary — a serving view resolving by
+        # batch precedence could disagree with store.read() (review r12
+        # pass 2). stream_into_store tolerates it (its merged view IS
+        # the __seq order, documented); the index engines fail fast.
+        raise ValueError(
+            f"{who}: {probe['n_ups'] - probe['n_ups_ids']} duplicate "
+            "upsert id(s) within one micro-batch — an unordered batch "
+            "has no defined winner; send one upsert per id per batch"
         )
     return (
         batch.filter(F.col(op_col).isNull()).drop(op_col),
@@ -400,7 +416,8 @@ def ivf_ingest_stream(
             else:
                 persisted = batch.persist()  # every split scans it once
                 ups, del_ids, n_ups, n_del = _split_ops(
-                    batch, op_col, delete_value, id_col, "ivf_ingest_stream"
+                    batch, op_col, delete_value, id_col,
+                    "ivf_ingest_stream", forbid_dup_upserts=True,
                 )
                 if n_ups:
                     store.append(ups)
@@ -413,10 +430,17 @@ def ivf_ingest_stream(
                     # out of serving.
                     store.delete(del_ids)
                     # canonical "id" column — the layout side is always
-                    # canonicalized by assign_clusters
-                    del_ids.select(F.col(id_col).alias("id")).repartition(
-                        1
-                    ).write.mode("overwrite").parquet(
+                    # canonicalized by assign_clusters. ``with_tail``
+                    # records whether this batch ALSO carries upserts:
+                    # the marker partition commits BEFORE the tail dir,
+                    # and a crash in between would otherwise serve the
+                    # batch's deletes without its upserts — a mixed
+                    # state no batch boundary ever held; the flag lets
+                    # the serving view detect exactly that window and
+                    # fail loudly (review r12 pass 2).
+                    del_ids.select(F.col(id_col).alias("id")).withColumn(
+                        "with_tail", F.lit(bool(n_ups))
+                    ).repartition(1).write.mode("overwrite").parquet(
                         f"{index_base}/_deletes/batch={batch_id}"
                     )
             if scheduled:
@@ -578,11 +602,35 @@ def ivf_serving_view(spark, index_base: str):
             "rows; reread after the stream's replay commits"
         )
     if del_live:
-        dels = (
-            spark.read.option("basePath", del_root)
-            .parquet(*[f"{del_root}/{n}" for n in del_live])
-            .groupBy("id")
-            .agg(F.max(F.col("batch").cast("bigint")).alias("__del"))
+        dels_raw = spark.read.option("basePath", del_root).parquet(
+            *[f"{del_root}/{n}" for n in del_live]
+        )
+        if "with_tail" in dels_raw.columns:
+            # the deletes-committed / tail-absent window (review r12
+            # pass 2): the marker partition commits BEFORE its batch's
+            # tail, so a crash in between leaves committed deletes
+            # whose sibling upserts never landed — serving would apply
+            # the batch's deletes without its upserts, a state no
+            # batch boundary ever held. Markers record whether a tail
+            # is expected; fail loudly until the replay lands it.
+            live_tails = {int(n.split("=", 1)[1]) for n in live}
+            missing = sorted(
+                int(r["batch"])
+                for r in dels_raw.filter(F.col("with_tail"))
+                .select("batch").distinct().collect()
+                if int(r["batch"]) not in live_tails
+            )
+            if missing:
+                raise FileNotFoundError(
+                    f"ivf_serving_view: delete batch(es) {missing} under "
+                    f"{del_root} committed with upserts whose tail dir "
+                    "has not landed (crash between the marker and tail "
+                    "writes, or a replay in flight) — serving would "
+                    "apply deletes without their sibling upserts; "
+                    "reread after the stream's replay commits"
+                )
+        dels = dels_raw.groupBy("id").agg(
+            F.max(F.col("batch").cast("bigint")).alias("__del")
         )
         layout = layout.join(F.broadcast(dels), "id", "left").filter(
             F.col("__del").isNull() | (F.col("__del") < F.col(pri))
@@ -761,7 +809,10 @@ def gc_index_versions(spark, base: str, *, subdirs=("tail",)) -> list[str]:
     for n in fs.listdir(base):
         if n.startswith("full_v") and n[6:].isdigit() and int(n[6:]) < cur:
             removed.append(f"{base}/{n}")
-    for d in subdirs + ("_deletes",):
+    # _deletes exists only on CRUD IVF bases; listdir on a missing dir
+    # is [] so probing it everywhere is harmless. tuple() accepts list
+    # callers (review r12 pass 2).
+    for d in (*tuple(subdirs), "_deletes"):
         for n in fs.listdir(f"{base}/{d}"):
             if n.startswith("batch=") and int(n.split("=", 1)[1]) <= cur:
                 removed.append(f"{base}/{d}/{n}")
@@ -784,6 +835,7 @@ def hnsw_ingest_stream(
     id_col: str = "id",
     vec_col: str = "vector",
     refresh_every: int = 0,
+    consolidate_rows_per_part: int = 200_000,
     trigger_available_now: bool = True,
 ) -> StreamingQuery:
     """Stream-wired GRAPH maintenance — the HNSW twin of
@@ -897,10 +949,22 @@ def hnsw_ingest_stream(
             _version_tripwire(
                 fs, graph_base, batch_id, "hnsw_ingest_stream"
             )
+            merged = store.read()
+            # the consolidation input is CORPUS-sized, not batch-sized:
+            # parts_per_batch is a per-micro-batch knob, and each build
+            # task materializes its whole partition — scale the
+            # partition count so per-task memory stays bounded as the
+            # corpus grows (review r12 pass 2). Deterministic: the
+            # count is a property of the merged view.
+            n_rows = merged.count()
+            n_parts = max(
+                parts_per_batch,
+                -(-n_rows // max(1, consolidate_rows_per_part)),
+            )
             full = DistributedHNSW.build(
-                store.read(), id_col=id_col, vec_col=vec_col, m=m,
+                merged, id_col=id_col, vec_col=vec_col, m=m,
                 ef_construction=ef_construction, seed=seed, metric=metric,
-                num_partitions=parts_per_batch, cache=False,
+                num_partitions=n_parts, cache=False,
             )
             full.graphs.write.mode("overwrite").parquet(
                 f"{graph_base}/full_v{batch_id}/parts"

@@ -3194,3 +3194,71 @@ def test_gc_index_versions_removes_only_superseded_state(spark, tmp_path):
     got = {r["id"] for r in ivf_serving_view(spark, index_base)[1].collect()}
     assert got == (set(range(8)) | set(range(10, 14)) | set(range(20, 24))
                    | set(range(30, 34)) | set(range(40, 44))) - {3}
+
+
+def test_ivf_serving_view_deletes_without_sibling_tail_fail_loud(
+    spark, tmp_path
+):
+    """The opposite crash window from the torn-deletes case (review r12
+    pass 2): the marker partition commits BEFORE its batch's tail, so a
+    crash in between leaves committed deletes whose sibling upserts
+    never landed — serving would apply the batch's deletes without its
+    upserts, a state no batch boundary ever held. Markers record
+    with_tail; the view fails loudly until the replay lands the tail."""
+    import shutil
+
+    from comet_spark.storage.store import DocumentStore
+    from comet_spark.streaming.ingest import ivf_ingest_stream, ivf_serving_view
+
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+    index_base = str(tmp_path / "index")
+
+    def feed(rows):
+        spark.createDataFrame(
+            rows, "id bigint, vector array<double>, op string"
+        ).repartition(1).write.mode("append").parquet(src)
+
+    feed([(i, [float(i), 0.0], None) for i in range(8)])
+    feed(  # batch 1: upserts AND a delete — with_tail=True markers
+        [(i, [float(i), 0.0], None) for i in range(10, 14)]
+        + [(5, None, "delete")]
+    )
+    q = ivf_ingest_stream(
+        spark.readStream.schema("id bigint, vector array<double>, op string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src),
+        DocumentStore(spark, str(tmp_path / "store"), id_col="id"),
+        index_base, checkpoint=ckpt, nlist=2, op_col="op",
+    )
+    assert q.awaitTermination(300)
+    ivf_serving_view(spark, index_base)  # healthy
+    shutil.rmtree(f"{index_base}/tail/batch=1")  # crash-before-tail state
+    with pytest.raises(FileNotFoundError, match="sibling upserts"):
+        ivf_serving_view(spark, index_base)
+
+
+def test_ivf_ingest_stream_rejects_duplicate_upsert_ids_in_batch(
+    spark, tmp_path
+):
+    """Two upserts of the same id in ONE micro-batch have no defined
+    winner (an unordered set; the store's __seq tiebreak is
+    partition-arbitrary, so the serving view could disagree with
+    store.read()) — the index engine fails the batch fast (review r12
+    pass 2)."""
+    from comet_spark.storage.store import DocumentStore
+    from comet_spark.streaming.ingest import ivf_ingest_stream
+
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+    spark.createDataFrame(
+        [(7, [1.0, 0.0], None), (7, [2.0, 0.0], None), (8, [3.0, 0.0], None)],
+        "id bigint, vector array<double>, op string",
+    ).repartition(1).write.mode("append").parquet(src)
+    q = ivf_ingest_stream(
+        spark.readStream.schema("id bigint, vector array<double>, op string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src),
+        DocumentStore(spark, str(tmp_path / "store"), id_col="id"),
+        str(tmp_path / "index"), checkpoint=ckpt, nlist=2, op_col="op",
+    )
+    with pytest.raises(Exception, match="duplicate upsert"):
+        assert q.awaitTermination(300)
