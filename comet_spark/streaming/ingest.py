@@ -136,12 +136,22 @@ def _split_ops(
         F.countDistinct(
             F.when(F.col(op_col).isNull(), F.col(id_col))
         ).alias("n_ups_ids"),
+        F.count(F.when(F.col(id_col).isNull(), 1)).alias("n_null_ids"),
     ).first()
     if probe["n_bad"]:
         raise ValueError(
             f"{who}: unrecognized {op_col}={probe['bad_val']!r} "
             f"(expected NULL/upsert or {delete_value!r}) — failing the "
             "micro-batch rather than appending a marker row as data"
+        )
+    if probe["n_null_ids"]:
+        # a NULL id is malformed in every op: a NULL-id upsert would
+        # land as an unaddressable document, a NULL-id delete matches
+        # nothing, and countDistinct skips NULLs so the dup check below
+        # would misreport it as a duplicate (review r12 pass 3)
+        raise ValueError(
+            f"{who}: {probe['n_null_ids']} row(s) with NULL {id_col} — "
+            "every op must carry an id; failing the micro-batch"
         )
     if forbid_dup_upserts and probe["n_ups"] != probe["n_ups_ids"]:
         # a micro-batch is an UNORDERED set: two upserts of the same id
@@ -424,25 +434,34 @@ def ivf_ingest_stream(
                     tail_rows = ups
                 if n_del:
                     # sequenced store soft-delete FIRST (so a refresh
-                    # this batch retrains on the post-delete corpus),
-                    # then the read-path marker partition. Overwrite =
-                    # idempotent under replay; _SUCCESS gates torn dirs
-                    # out of serving.
+                    # this batch retrains on the post-delete corpus)
                     store.delete(del_ids)
-                    # canonical "id" column — the layout side is always
-                    # canonicalized by assign_clusters. ``with_tail``
-                    # records whether this batch ALSO carries upserts:
-                    # the marker partition commits BEFORE the tail dir,
-                    # and a crash in between would otherwise serve the
-                    # batch's deletes without its upserts — a mixed
-                    # state no batch boundary ever held; the flag lets
-                    # the serving view detect exactly that window and
-                    # fail loudly (review r12 pass 2).
-                    del_ids.select(F.col(id_col).alias("id")).withColumn(
-                        "with_tail", F.lit(bool(n_ups))
-                    ).repartition(1).write.mode("overwrite").parquet(
-                        f"{index_base}/_deletes/batch={batch_id}"
-                    )
+                    if not scheduled:
+                        # the read-path marker partition — written ONLY
+                        # on tail batches: a scheduled batch's deletes
+                        # are baked by this trigger's retrain, and its
+                        # marker would say with_tail=True for a tail
+                        # that never lands, hard-failing every serving
+                        # read for the whole retrain window (review r12
+                        # pass 3). Skipping it keeps pre-commit readers
+                        # on the consistent pre-batch state; the version
+                        # commit swings them to the baked one. Overwrite
+                        # = idempotent under replay; _SUCCESS gates torn
+                        # dirs out of serving. Canonical "id" column —
+                        # the layout side is canonicalized by
+                        # assign_clusters. ``with_tail`` records whether
+                        # this batch ALSO carries upserts: the marker
+                        # commits BEFORE the tail dir, and a crash in
+                        # between would otherwise serve the batch's
+                        # deletes without its upserts — a mixed state no
+                        # batch boundary ever held; the serving view
+                        # fails loudly on that window (review r12
+                        # pass 2).
+                        del_ids.select(F.col(id_col).alias("id")).withColumn(
+                            "with_tail", F.lit(bool(n_ups))
+                        ).repartition(1).write.mode("overwrite").parquet(
+                            f"{index_base}/_deletes/batch={batch_id}"
+                        )
             if scheduled:
                 _version_tripwire(
                     fs, index_base, batch_id, "ivf_ingest_stream"
@@ -501,20 +520,26 @@ def ivf_serving_view(spark, index_base: str):
 
     CRUD mode (the writer left a ``_crud`` marker — its stream ran with
     ``op_col``): the view additionally resolves newest-wins and applies
-    delete markers, all of it bounded by the TAIL, never the corpus:
+    delete markers, all of it bounded by the TAIL, never the corpus —
+    which is why a CRUD stream should run with ``refresh_every > 0``:
+    the refresh is what bakes tails and markers into the full layout
+    and keeps the tail the "handful of batches" this plan is sized for
+    (under ``refresh_every=0`` the tail grows with every batch and
+    these joins degrade gracefully to shuffles, but the window shuffle
+    then covers the whole post-boot corpus):
 
     - tail rows dedupe to the max-batch row per id (one shuffle over
-      tail rows only — the tail is the handful of batches since the
-      last refresh, so this is batch-bound, and the winning row's
-      cluster is the id's serving assignment);
-    - the full layout sheds shadowed ids via a BROADCAST anti-join on
-      the tail's id set (cluster pruning still pushes to the full scan
-      through the anti-join);
+      tail rows only, and the winning row's cluster is the id's
+      serving assignment);
+    - the full layout sheds shadowed ids via an anti-join on the tail's
+      id set — size-based broadcast, no forced hint (cluster pruning
+      still pushes to the full scan through the anti-join);
     - ``_SUCCESS``-committed ``_deletes`` partitions NEWER than the
       committed version (older markers are baked into the retrain)
       broadcast-join against both components: a row survives when its
       precedence (committed version for full rows, batch id for tail
-      rows) is ABOVE the id's newest delete — so a later upsert
+      rows) is ABOVE the id's newest delete (size-based broadcast,
+      markers are id-sized) — so a later upsert
       resurrects, and a same-batch delete wins over its own upsert,
       exactly the store's segment-watermark rule. A TORN ``_deletes``
       partition (no ``_SUCCESS`` — crash mid-write or a replay
@@ -571,7 +596,12 @@ def ivf_serving_view(spark, index_base: str):
             .select(*cols, pri)
         )
         tail_ids = tail.select("id").distinct()
-        layout = layout.join(F.broadcast(tail_ids), "id", "left_anti")
+        # no broadcast HINT: a hint overrides autoBroadcastJoinThreshold
+        # unconditionally, and under refresh_every=0 the tail grows with
+        # every batch — Catalyst/AQE picks broadcast while the id set is
+        # small (the refreshed steady state) and degrades to a shuffle
+        # join instead of an OOM when it is not (review r12 pass 3)
+        layout = layout.join(tail_ids, "id", "left_anti")
         layout = layout.withColumn(pri, F.lit(cur).cast("bigint")).select(
             *cols, pri
         ).unionByName(tail_win)
@@ -632,7 +662,7 @@ def ivf_serving_view(spark, index_base: str):
         dels = dels_raw.groupBy("id").agg(
             F.max(F.col("batch").cast("bigint")).alias("__del")
         )
-        layout = layout.join(F.broadcast(dels), "id", "left").filter(
+        layout = layout.join(dels, "id", "left").filter(
             F.col("__del").isNull() | (F.col("__del") < F.col(pri))
         ).drop("__del")
     return ivf, layout.drop(pri)
@@ -780,13 +810,16 @@ def pq_serving_view(spark, index_base: str):
     return pq, codes
 
 
-def gc_index_versions(spark, base: str, *, subdirs=("tail",)) -> list[str]:
+def gc_index_versions(
+    spark, base: str, *, subdirs=("tail", "parts")
+) -> list[str]:
     """Out-of-band GC for a versioned maintenance base (IVF/PQ/HNSW):
     delete state the committed version SUPERSEDES — older ``full_v{n}``
     dirs (serving always reads the max marker), batch-numbered dirs
-    ≤ the committed version under ``subdirs`` (tails/graph parts are
-    baked into the refresh; ``_deletes`` markers ≤ it are baked into
-    the retrain). Version MARKERS and the ``_skips`` journal are never
+    ≤ the committed version under ``subdirs`` (the default covers all
+    three engines: IVF/PQ tails and HNSW graph parts; missing subdirs
+    list as empty), and ``_deletes`` markers ≤ it (baked into the
+    retrain). Version MARKERS and the ``_skips`` journal are never
     deleted: the monotone max-wins contract
     (:func:`_ivf_current`) and the lineage guard both depend on the
     full marker history. Returns the removed paths.

@@ -110,6 +110,15 @@ def main() -> None:
             entry._IVF_LIVE_CACHE.clear()
             entry._IVF_CRUD_CACHE.clear()
             entry._PQ_LIVE_CACHE.clear()
+            # BM25 caches hold cache=True tables (postings is
+            # corpus-sized) — unpersist before dropping the handle,
+            # same rule as the graph blobs below (review r12 pass 3)
+            for cache in (entry._BM25_LIVE_CACHE, entry._CRUD_BM25_CACHE):
+                for bm in cache.values():
+                    try:
+                        entry._unpersist_bm25(bm)
+                    except Exception:
+                        pass
             entry._BM25_LIVE_CACHE.clear()
             # unpersist superseded graph blobs BEFORE dropping the
             # handle — each soak iteration re-caches a fresh serving

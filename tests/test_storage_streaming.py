@@ -3262,3 +3262,117 @@ def test_ivf_ingest_stream_rejects_duplicate_upsert_ids_in_batch(
     )
     with pytest.raises(Exception, match="duplicate upsert"):
         assert q.awaitTermination(300)
+
+
+def test_ivf_ingest_stream_scheduled_batch_skips_delete_marker(spark, tmp_path):
+    """A scheduled refresh batch carrying deletes does NOT write a
+    _deletes marker (review r12 pass 3): its retrain bakes the deletes,
+    and a with_tail=True marker for a tail that never lands would
+    hard-fail every serving read for the whole retrain window."""
+    import os
+
+    from comet_spark.storage.store import DocumentStore
+    from comet_spark.streaming.ingest import ivf_ingest_stream, ivf_serving_view
+
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+    index_base = str(tmp_path / "index")
+
+    def feed(rows):
+        spark.createDataFrame(
+            rows, "id bigint, vector array<double>, op string"
+        ).repartition(1).write.mode("append").parquet(src)
+
+    feed([(i, [float(i), 0.0], None) for i in range(8)])        # b0 → v0
+    feed([(i, [float(i), 0.0], None) for i in range(10, 14)])   # b1 tail
+    feed(  # b2 = scheduled REFRESH with upserts AND deletes
+        [(i, [float(i), 0.0], None) for i in range(20, 24)]
+        + [(5, None, "delete")]
+    )
+    q = ivf_ingest_stream(
+        spark.readStream.schema("id bigint, vector array<double>, op string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src),
+        DocumentStore(spark, str(tmp_path / "store"), id_col="id"),
+        index_base, checkpoint=ckpt, nlist=2, refresh_every=2, op_col="op",
+    )
+    assert q.awaitTermination(300)
+    assert os.path.exists(f"{index_base}/_versions/2")
+    assert not os.path.exists(f"{index_base}/_deletes/batch=2"), (
+        "scheduled batch wrote a delete marker its retrain already baked"
+    )
+    got = {r["id"] for r in ivf_serving_view(spark, index_base)[1].collect()}
+    assert got == (set(range(8)) | set(range(10, 14)) | set(range(20, 24))) - {5}
+
+
+def test_split_ops_rejects_null_ids(spark, tmp_path):
+    """A NULL id is malformed in every op — an upsert would land an
+    unaddressable document, a delete matches nothing — and must fail
+    the micro-batch with an accurate message, not a misleading
+    duplicate-id one (review r12 pass 3)."""
+    from comet_spark.storage.store import DocumentStore
+    from comet_spark.streaming.ingest import ivf_ingest_stream
+
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+    spark.createDataFrame(
+        [(None, [1.0, 0.0], None), (8, [3.0, 0.0], None)],
+        "id bigint, vector array<double>, op string",
+    ).repartition(1).write.mode("append").parquet(src)
+    q = ivf_ingest_stream(
+        spark.readStream.schema("id bigint, vector array<double>, op string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src),
+        DocumentStore(spark, str(tmp_path / "store"), id_col="id"),
+        str(tmp_path / "index"), checkpoint=ckpt, nlist=2, op_col="op",
+    )
+    with pytest.raises(Exception, match="NULL id"):
+        assert q.awaitTermination(300)
+
+
+def test_gc_index_versions_default_covers_hnsw_parts(spark, tmp_path):
+    """gc's default subdirs covers the graph engine too (review r12
+    pass 3): per-batch parts dirs at-or-below the committed
+    consolidation are removed, newer ones and the consolidation stay,
+    and the serving beam is unchanged."""
+    import os
+
+    from comet_spark.storage.store import DocumentStore
+    from comet_spark.streaming.ingest import (
+        gc_index_versions,
+        hnsw_ingest_stream,
+        hnsw_serving_view,
+    )
+
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+    graph_base = str(tmp_path / "graphs")
+
+    def feed(lo, hi):
+        spark.createDataFrame(
+            [(i, [float(i % 13), float(i % 7)]) for i in range(lo, hi)],
+            "id bigint, vector array<double>",
+        ).repartition(1).write.mode("append").parquet(src)
+
+    for b in range(4):  # b0,b1 parts; b2 consolidation → v2; b3 parts
+        feed(b * 10, b * 10 + 10)
+    q = hnsw_ingest_stream(
+        spark.readStream.schema("id bigint, vector array<double>")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src),
+        DocumentStore(spark, str(tmp_path / "store"), id_col="id"),
+        graph_base, checkpoint=ckpt, m=4, parts_per_batch=2, refresh_every=2,
+    )
+    assert q.awaitTermination(300)
+    before = {
+        r["id"]
+        for r in hnsw_serving_view(spark, graph_base)
+        .candidates([1.0, 1.0], ef_search=80).distinct().collect()
+    }
+    removed = {os.path.basename(p) for p in gc_index_versions(spark, graph_base)}
+    assert removed == {"batch=0", "batch=1"}, removed
+    assert os.path.exists(f"{graph_base}/full_v2/parts/_SUCCESS")
+    assert os.path.exists(f"{graph_base}/parts/batch=3/_SUCCESS")
+    after = {
+        r["id"]
+        for r in hnsw_serving_view(spark, graph_base)
+        .candidates([1.0, 1.0], ef_search=80).distinct().collect()
+    }
+    assert after == before
