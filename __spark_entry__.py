@@ -7360,9 +7360,14 @@ def _build_ivf_crud_artifact(
         # non-vacuity, each leg: the 5× wave is SERVED from the tail
         # (newest-wins over the committed layout), the resurrect is
         # alive, wave 2 is gone
-        n_w = emb.filter(w_pred).count()
+        # the live wave D2 may legitimately include W ids (that IS the
+        # within-batch delete-wins case) — the expectation is the ALIVE
+        # wave, or a regenerated corpus whose top-3 catches a 5× vector
+        # would false-fail a healthy build (review r12 pass 4)
+        w_alive = emb.filter(w_pred).filter(~F.col("id").isin(D2))
+        n_w = w_alive.count()
         n_w_srv = layout_mid.join(
-            emb.filter(w_pred).select("id", times5), ["id", "vector"]
+            w_alive.select("id", times5), ["id", "vector"]
         ).count()
         n_r1 = layout_mid.filter(F.col("id") == r1).count()
         n_d2 = layout_mid.filter(F.col("id").isin(D2)).count()
@@ -7375,10 +7380,15 @@ def _build_ivf_crud_artifact(
     after_del = set(glob.glob(f"{index_base}/_deletes/batch=3/*.parquet"))
     after_tail = set(glob.glob(f"{index_base}/tail/batch=3/*/*.parquet"))
     after_full = set(glob.glob(f"{full2}/layout.parquet/*/*.parquet"))
-    if not before_del or before_del == after_del:
+    if not before_del or before_del != after_del:
+        # the marker partition is SKIP-IF-COMMITTED on replay (its
+        # content is a pure function of the batch; an overwrite would
+        # pass through a dir-absent window that silently un-applies the
+        # deletes under a concurrent reader — review r12 pass 4), so
+        # byte-identical across the replay IS the property
         raise RuntimeError(
-            "ivf_crud artifact: _deletes/batch=3 was not rewritten — "
-            "the injected crash did not engage the marker-batch replay"
+            "ivf_crud artifact: _deletes/batch=3 changed across the "
+            "crash-replay — the committed marker partition was rewritten"
         )
     if not before_tail or before_tail == after_tail:
         raise RuntimeError(
@@ -7408,13 +7418,18 @@ def _build_ivf_crud_artifact(
         )
     # the store's own merged view agrees — stream-applied CRUD is the
     # same state through both read paths
-    n_store = store.read().select("id", "vector").join(
+    store_rows = store.read().select("id", "vector")
+    n_store, n_store_match = store_rows.count(), store_rows.join(
         final_exp, ["id", "vector"]
     ).count()
-    if n_store != n_exp:
+    # BIDIRECTIONAL: the join alone would miss extra surviving store
+    # rows (e.g. a delete applied to the markers but lost on the store
+    # path) — review r12 pass 4
+    if not (n_store == n_store_match == n_exp):
         raise RuntimeError(
-            f"ivf_crud artifact: store merged view ({n_store}) disagrees "
-            f"with the serving view ({n_exp})"
+            f"ivf_crud artifact: store merged view (rows={n_store}, "
+            f"matched={n_store_match}) disagrees with the serving view "
+            f"({n_exp})"
         )
     # 5 segments: batches 0-3 + batch 3's replay duplicate
     n_seg = store._segments().select("segment").distinct().count()

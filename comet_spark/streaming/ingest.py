@@ -128,16 +128,22 @@ def _split_ops(
     bad — counted in ONE scan."""
     is_del = F.coalesce(F.col(op_col) == F.lit(delete_value), F.lit(False))
     is_bad = F.col(op_col).isNotNull() & ~is_del
-    probe = batch.agg(
+    aggs = [
         F.count(F.when(is_bad, 1)).alias("n_bad"),
         F.max(F.when(is_bad, F.col(op_col).cast("string"))).alias("bad_val"),
         F.count(F.when(is_del, 1)).alias("n_del"),
         F.count(F.when(F.col(op_col).isNull(), 1)).alias("n_ups"),
-        F.countDistinct(
-            F.when(F.col(op_col).isNull(), F.col(id_col))
-        ).alias("n_ups_ids"),
         F.count(F.when(F.col(id_col).isNull(), 1)).alias("n_null_ids"),
-    ).first()
+    ]
+    if forbid_dup_upserts:
+        # a distinct hash-agg per row — only paid by callers that
+        # enforce the check (review r12 pass 4)
+        aggs.append(
+            F.countDistinct(
+                F.when(F.col(op_col).isNull(), F.col(id_col))
+            ).alias("n_ups_ids")
+        )
+    probe = batch.agg(*aggs).first()
     if probe["n_bad"]:
         raise ValueError(
             f"{who}: unrecognized {op_col}={probe['bad_val']!r} "
@@ -170,6 +176,28 @@ def _split_ops(
         batch.filter(is_del).select(id_col),
         probe["n_ups"],
         probe["n_del"],
+    )
+
+
+def _live_batches(fs, root: str, cur: int | None) -> list[str]:
+    """Committed (``_SUCCESS``-gated) batch-numbered dirs under ``root``
+    NEWER than the committed version ``cur`` — the shared reader-side
+    listing of every serving view (review r12 pass 4: the listing lived
+    three times, the same diverge hazard the writer-side
+    :func:`_lineage_guard` extraction fixed). Torn dirs (no
+    ``_SUCCESS``) are excluded: the stream's replay rewrites them, and
+    components where exclusion would CHANGE semantics rather than serve
+    an older consistent state (the IVF delete markers) run their own
+    loud-fail check on top of this listing."""
+    return sorted(
+        (
+            n
+            for n in fs.listdir(root)
+            if n.startswith("batch=")
+            and (cur is None or int(n.split("=", 1)[1]) > cur)
+            and fs.exists(f"{root}/{n}/_SUCCESS")
+        ),
+        key=lambda n: int(n.split("=", 1)[1]),
     )
 
 
@@ -410,6 +438,7 @@ def ivf_ingest_stream(
         )
         persisted = None
         tail_rows = None  # this batch's rows to assign into its tail
+        n_ups, n_del, del_ids = 0, 0, None
         try:
             if batch.isEmpty():
                 # an empty micro-batch that lands ON a scheduled refresh
@@ -436,32 +465,43 @@ def ivf_ingest_stream(
                     # sequenced store soft-delete FIRST (so a refresh
                     # this batch retrains on the post-delete corpus)
                     store.delete(del_ids)
-                    if not scheduled:
-                        # the read-path marker partition — written ONLY
-                        # on tail batches: a scheduled batch's deletes
-                        # are baked by this trigger's retrain, and its
-                        # marker would say with_tail=True for a tail
-                        # that never lands, hard-failing every serving
-                        # read for the whole retrain window (review r12
-                        # pass 3). Skipping it keeps pre-commit readers
-                        # on the consistent pre-batch state; the version
-                        # commit swings them to the baked one. Overwrite
-                        # = idempotent under replay; _SUCCESS gates torn
-                        # dirs out of serving. Canonical "id" column —
-                        # the layout side is canonicalized by
-                        # assign_clusters. ``with_tail`` records whether
-                        # this batch ALSO carries upserts: the marker
-                        # commits BEFORE the tail dir, and a crash in
-                        # between would otherwise serve the batch's
-                        # deletes without its upserts — a mixed state no
-                        # batch boundary ever held; the serving view
-                        # fails loudly on that window (review r12
-                        # pass 2).
-                        del_ids.select(F.col(id_col).alias("id")).withColumn(
-                            "with_tail", F.lit(bool(n_ups))
-                        ).repartition(1).write.mode("overwrite").parquet(
-                            f"{index_base}/_deletes/batch={batch_id}"
-                        )
+            if scheduled and (
+                not store._fs.exists(store.data_path)
+                or store.read().isEmpty()
+            ):
+                # deletes can EMPTY the corpus: a scheduled retrain on
+                # zero rows would die — and the replay would die
+                # identically, a permanent crash loop (review r12
+                # pass 4). Demote to a tail batch, journaled so the
+                # missed cycle is observable; serving keeps the old
+                # version, whose rows the live markers already hide.
+                if cur is None:
+                    return  # nothing ever landed — boot at the next data
+                fs.create_new(f"{index_base}/_skips/empty_refresh_{batch_id}")
+                scheduled = False
+            if not scheduled and n_del:
+                # the read-path marker partition — TAIL batches only: a
+                # scheduled batch's deletes are baked by its retrain,
+                # and a with_tail=True marker for a tail that never
+                # lands would hard-fail serving for the whole retrain
+                # window (review r12 pass 3). Written BEFORE the tail
+                # dir, and ``with_tail`` records whether sibling
+                # upserts exist, so the serving view can fail loudly on
+                # the crash-between-the-two-writes window (pass 2).
+                # SKIP-IF-COMMITTED, never overwrite: a replay's
+                # overwrite passes through a dir-absent window where a
+                # concurrent reader sees no marker at all — neither
+                # torn-dir check can fire — while the original run's
+                # tail is still committed, silently un-applying the
+                # deletes (pass 4). The marker content is a pure
+                # function of the batch, so present-and-committed is a
+                # done-record. Canonical "id" column — the layout side
+                # is canonicalized by assign_clusters.
+                marker = f"{index_base}/_deletes/batch={batch_id}"
+                if not fs.exists(f"{marker}/_SUCCESS"):
+                    del_ids.select(F.col(id_col).alias("id")).withColumn(
+                        "with_tail", F.lit(bool(n_ups))
+                    ).repartition(1).write.mode("overwrite").parquet(marker)
             if scheduled:
                 _version_tripwire(
                     fs, index_base, batch_id, "ivf_ingest_stream"
@@ -566,12 +606,7 @@ def ivf_serving_view(spark, index_base: str):
     ivf = IVFIndex.load(spark, f"{index_base}/full_v{cur}")
     layout = spark.read.parquet(f"{index_base}/full_v{cur}/layout.parquet")
     tail_root = f"{index_base}/tail"
-    live = sorted(
-        n for n in fs.listdir(tail_root)
-        if n.startswith("batch=")
-        and int(n.split("=", 1)[1]) > cur
-        and fs.exists(f"{tail_root}/{n}/_SUCCESS")
-    )
+    live = _live_batches(fs, tail_root, cur)
     if not fs.exists(f"{index_base}/_crud"):
         if live:
             tail = spark.read.option("basePath", tail_root).parquet(
@@ -798,11 +833,7 @@ def pq_serving_view(spark, index_base: str):
     pq = PQIndex.load(spark, f"{index_base}/full_v{cur}")
     tail_root = f"{index_base}/tail"
     comps = [f"{index_base}/full_v{cur}/codes.parquet"] + [
-        f"{tail_root}/{n}"
-        for n in sorted(fs.listdir(tail_root))
-        if n.startswith("batch=")
-        and int(n.split("=", 1)[1]) > cur
-        and fs.exists(f"{tail_root}/{n}/_SUCCESS")
+        f"{tail_root}/{n}" for n in _live_batches(fs, tail_root, cur)
     ]
     codes = spark.read.parquet(*comps)
     if "batch" in codes.columns:
@@ -1038,13 +1069,7 @@ def hnsw_serving_view(spark, graph_base: str):
     fs = _FS(spark, graph_base)
     parts_root = f"{graph_base}/parts"
     cur = _ivf_current(fs, graph_base)
-    live = sorted(
-        (n for n in fs.listdir(parts_root)
-         if n.startswith("batch=")
-         and (cur is None or int(n.split("=", 1)[1]) > cur)
-         and fs.exists(f"{parts_root}/{n}/_SUCCESS")),
-        key=lambda n: int(n.split("=", 1)[1]),
-    )
+    live = _live_batches(fs, parts_root, cur)
     # the batch check and meta _SUCCESS gate run BEFORE any parquet
     # read: a crash mid-write must fail with a DELIBERATE, correctly
     # named error, not an opaque schema-inference failure (review r11
