@@ -2680,7 +2680,10 @@ _register(
 )
 
 
-_PROBE_WRITTEN: set[tuple[str, str, str]] = {*()}
+# keys are (session, sf_dir, name) — plus the corpus fingerprint as a
+# 4th element for probes layered over fingerprint-gated stream
+# artifacts (hnsw_live/hnsw_compact candidates)
+_PROBE_WRITTEN: set[tuple[str, ...]] = {*()}
 
 
 def _ivf_nprobe2(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7072,24 +7075,28 @@ def _build_hnsw_live_artifact(
         )
 
 
-def _hnsw_live_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact scoring + top-k over the stream-grown graph's ef=100 beam —
-    deterministic for a fixed graph + ef, so the exported candidate set
-    is the oracle's replay surface (same scheme as hnsw_dist_topk /
-    hnsw_addbatch_topk)."""
+def _hnsw_export_topk(
+    spark: SparkSession, sf_dir: str, ix, art_name: str
+) -> DataFrame:
+    """Export-candidates-then-exact-score, shared by the stream-grown
+    graph gates (hnsw_live_topk / hnsw_live_compact_topk — review r12
+    pass 5: the block lived twice, so a probe-protocol fix had to land
+    twice): the ef=100 beam is deterministic for a fixed graph, so the
+    exported candidate set is the oracle's replay surface. The probe
+    key carries the corpus fingerprint — a mid-session regen rmtree's
+    the artifact (candidates.parquet included), and a sig-less key
+    would skip the rewrite and read the deleted path."""
     from comet_spark.operators.hnsw import score_candidates
 
-    ix = _hnsw_live(spark, sf_dir)
     qvec = _hybrid_qvec(spark, sf_dir)
-    art = f"{_art_dir(sf_dir)}/hnsw_live"
-    # fingerprinted like the serving-view cache: a mid-session regen
-    # rmtree's the artifact (candidates.parquet included) — a sig-less
-    # key would skip the rewrite and read the deleted path (review r12)
-    key2 = _live_cache_key(spark, sf_dir, "embeddings") + ("hnsw_live_cands",)
+    art = f"{_art_dir(sf_dir)}/{art_name}"
+    key2 = _live_cache_key(spark, sf_dir, "embeddings") + (
+        f"{art_name}_cands",
+    )
     if key2 not in _PROBE_WRITTEN:
-        ix.candidates(qvec, ef_search=100).distinct().repartition(1).write.mode(
-            "overwrite"
-        ).parquet(f"{art}/candidates.parquet")
+        ix.candidates(qvec, ef_search=100).distinct().repartition(
+            1
+        ).write.mode("overwrite").parquet(f"{art}/candidates.parquet")
         _PROBE_WRITTEN.add(key2)
     cand = spark.read.parquet(f"{art}/candidates.parquet")
     res = score_candidates(
@@ -7100,6 +7107,12 @@ def _hnsw_live_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand, qvec, metric="l2", k=K,
     )
     return res.select(F.col("id").alias("vec_id"), "score")
+
+
+def _hnsw_live_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact scoring + top-k over the stream-grown graph's ef=100 beam
+    (same scheme as hnsw_dist_topk / hnsw_addbatch_topk)."""
+    return _hnsw_export_topk(spark, sf_dir, _hnsw_live(spark, sf_dir), "hnsw_live")
 
 
 _register(
@@ -7876,29 +7889,12 @@ def _build_hnsw_compact_artifact(
 
 
 def _hnsw_live_compact_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact scoring + top-k over the CONSOLIDATED graph's ef=100 beam —
-    deterministic for a fixed graph + ef, so the exported candidate set
-    is the oracle's replay surface (the hnsw_live_topk scheme)."""
-    from comet_spark.operators.hnsw import score_candidates
-
-    ix = _hnsw_compact(spark, sf_dir)
-    qvec = _hybrid_qvec(spark, sf_dir)
-    art = f"{_art_dir(sf_dir)}/hnsw_compact"
-    key2 = _live_cache_key(spark, sf_dir, "embeddings") + ("hnsw_compact_cands",)
-    if key2 not in _PROBE_WRITTEN:
-        ix.candidates(qvec, ef_search=100).distinct().repartition(1).write.mode(
-            "overwrite"
-        ).parquet(f"{art}/candidates.parquet")
-        _PROBE_WRITTEN.add(key2)
-    cand = spark.read.parquet(f"{art}/candidates.parquet")
-    res = score_candidates(
-        _t(spark, sf_dir, "embeddings").select(
-            F.col("vec_id").alias("id"),
-            F.col("embedding").cast("array<double>").alias("vector"),
-        ),
-        cand, qvec, metric="l2", k=K,
+    """Exact scoring + top-k over the CONSOLIDATED graph's ef=100 beam
+    (the hnsw_live_topk scheme over marker-committed consolidated
+    state)."""
+    return _hnsw_export_topk(
+        spark, sf_dir, _hnsw_compact(spark, sf_dir), "hnsw_compact"
     )
-    return res.select(F.col("id").alias("vec_id"), "score")
 
 
 _register(

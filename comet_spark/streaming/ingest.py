@@ -422,8 +422,27 @@ def ivf_ingest_stream(
             if op_col is not None:
                 # declare the CRUD contract to readers: the serving
                 # view must run the newest-wins/anti-join plan from the
-                # first batch on (create-if-absent — idempotent across
-                # restarts)
+                # first batch on. The id column name rides along in
+                # _crud_meta — assign_clusters PRESERVES id_col (it is
+                # not canonicalized to "id"; review r12 pass 5), so the
+                # view must window/join on the stream's actual column.
+                # Meta BEFORE marker: a reader that sees the marker
+                # always finds the meta. Create-once + mismatch guard —
+                # restarting with a different id_col would desync the
+                # layout from the markers.
+                meta = f"{index_base}/_crud_meta"
+                if fs.exists(meta):
+                    prev = fs.read_text(meta)
+                    if prev != id_col:
+                        raise RuntimeError(
+                            f"ivf_ingest_stream: id_col={id_col!r} "
+                            f"differs from the index's recorded "
+                            f"{prev!r} under {index_base} — resume "
+                            "with the original id_col, or delete the "
+                            "index base and store to re-ingest"
+                        )
+                else:
+                    fs.write_text(meta, id_col)
                 fs.create_new(f"{index_base}/_crud")
         if _skip_if_committed(fs, index_base, batch_id):
             # a replayed refresh skips EVERYTHING: re-appending would
@@ -465,7 +484,10 @@ def ivf_ingest_stream(
                     # sequenced store soft-delete FIRST (so a refresh
                     # this batch retrains on the post-delete corpus)
                     store.delete(del_ids)
-            if scheduled and (
+            if scheduled and op_col is not None and (
+                # only delete-carrying streams can empty the corpus —
+                # append-only refreshes skip the extra merged-view job
+                # (review r12 pass 5)
                 not store._fs.exists(store.data_path)
                 or store.read().isEmpty()
             ):
@@ -495,11 +517,12 @@ def ivf_ingest_stream(
                 # tail is still committed, silently un-applying the
                 # deletes (pass 4). The marker content is a pure
                 # function of the batch, so present-and-committed is a
-                # done-record. Canonical "id" column — the layout side
-                # is canonicalized by assign_clusters.
+                # done-record. The id column keeps the stream's
+                # id_col name — the same name the layout carries
+                # (assign_clusters preserves it) and _crud_meta records.
                 marker = f"{index_base}/_deletes/batch={batch_id}"
                 if not fs.exists(f"{marker}/_SUCCESS"):
-                    del_ids.select(F.col(id_col).alias("id")).withColumn(
+                    del_ids.select(id_col).withColumn(
                         "with_tail", F.lit(bool(n_ups))
                     ).repartition(1).write.mode("overwrite").parquet(marker)
             if scheduled:
@@ -617,26 +640,35 @@ def ivf_serving_view(spark, index_base: str):
 
     from pyspark.sql import Window
 
+    # the stream's id column, recorded by the writer — assign_clusters
+    # PRESERVES id_col, so windowing/joining on a hardcoded "id" would
+    # crash every non-default-id CRUD view (review r12 pass 5); "id" is
+    # the pre-meta default for artifacts written before the meta existed
+    idc = (
+        fs.read_text(f"{index_base}/_crud_meta")
+        if fs.exists(f"{index_base}/_crud_meta")
+        else "id"
+    )
     cols = layout.columns
     pri = "__pri"  # version precedence: full rows = cur, tail rows = batch
     if live:
         tail = spark.read.option("basePath", tail_root).parquet(
             *[f"{tail_root}/{n}" for n in live]
         )
-        w = Window.partitionBy("id").orderBy(F.col("batch").desc())
+        w = Window.partitionBy(idc).orderBy(F.col("batch").desc())
         tail_win = (
             tail.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") == 1)
             .withColumn(pri, F.col("batch").cast("bigint"))
             .select(*cols, pri)
         )
-        tail_ids = tail.select("id").distinct()
+        tail_ids = tail.select(idc).distinct()
         # no broadcast HINT: a hint overrides autoBroadcastJoinThreshold
         # unconditionally, and under refresh_every=0 the tail grows with
         # every batch — Catalyst/AQE picks broadcast while the id set is
         # small (the refreshed steady state) and degrades to a shuffle
         # join instead of an OOM when it is not (review r12 pass 3)
-        layout = layout.join(tail_ids, "id", "left_anti")
+        layout = layout.join(tail_ids, idc, "left_anti")
         layout = layout.withColumn(pri, F.lit(cur).cast("bigint")).select(
             *cols, pri
         ).unionByName(tail_win)
@@ -647,9 +679,9 @@ def ivf_serving_view(spark, index_base: str):
         n for n in fs.listdir(del_root)
         if n.startswith("batch=") and int(n.split("=", 1)[1]) > cur
     ]
-    del_live = [
-        n for n in del_all if fs.exists(f"{del_root}/{n}/_SUCCESS")
-    ]
+    # the _SUCCESS-gated subset comes from the shared listing (review
+    # r12 pass 5); del_all keeps the torn superset for the loud-fail
+    del_live = _live_batches(fs, del_root, cur)
     if len(del_live) != len(del_all):
         # a torn _deletes partition must fail LOUDLY, never be excluded
         # like a torn tail: excluding a tail serves an OLDER consistent
@@ -694,10 +726,10 @@ def ivf_serving_view(spark, index_base: str):
                     "apply deletes without their sibling upserts; "
                     "reread after the stream's replay commits"
                 )
-        dels = dels_raw.groupBy("id").agg(
+        dels = dels_raw.groupBy(idc).agg(
             F.max(F.col("batch").cast("bigint")).alias("__del")
         )
-        layout = layout.join(dels, "id", "left").filter(
+        layout = layout.join(dels, idc, "left").filter(
             F.col("__del").isNull() | (F.col("__del") < F.col(pri))
         ).drop("__del")
     return ivf, layout.drop(pri)
@@ -775,12 +807,17 @@ def pq_ingest_stream(
         scheduled = cur is None or (
             refresh_every and batch_id > 0 and batch_id % refresh_every == 0
         )
+        persisted = None
         if batch.isEmpty():
             # run a scheduled refresh even on an empty trigger — the
             # codebook drift clock must not silently skip a cycle
             if cur is None or not scheduled:
                 return
         else:
+            if not scheduled:
+                # tail batches scan the source twice (append + encode)
+                # — persist like the IVF CRUD path (review r12 pass 5)
+                persisted = batch.persist()
             store.append(batch)
         if scheduled:
             _version_tripwire(fs, index_base, batch_id, "pq_ingest_stream")
@@ -797,11 +834,19 @@ def pq_ingest_stream(
             _commit_version(fs, index_base, batch_id, "pq_ingest_stream")
             cache["cur"], cache["pq"] = batch_id, pq
         else:
-            if cache["pq"] is None:
-                cache["pq"] = PQIndex.load(spark, f"{index_base}/full_v{cur}")
-            cache["pq"].encode(batch, id_col=id_col, vec_col=vec_col).write.mode(
-                "overwrite"
-            ).parquet(f"{index_base}/tail/batch={batch_id}")
+            try:
+                if cache["pq"] is None:
+                    cache["pq"] = PQIndex.load(
+                        spark, f"{index_base}/full_v{cur}"
+                    )
+                cache["pq"].encode(
+                    batch, id_col=id_col, vec_col=vec_col
+                ).write.mode("overwrite").parquet(
+                    f"{index_base}/tail/batch={batch_id}"
+                )
+            finally:
+                if persisted is not None:
+                    persisted.unpersist()
 
     writer = stream.writeStream.foreachBatch(write_batch).option(
         "checkpointLocation", checkpoint

@@ -3376,3 +3376,52 @@ def test_gc_index_versions_default_covers_hnsw_parts(spark, tmp_path):
         .candidates([1.0, 1.0], ef_search=80).distinct().collect()
     }
     assert after == before
+
+
+def test_ivf_crud_stream_with_custom_id_col(spark, tmp_path):
+    """assign_clusters PRESERVES id_col (it is not canonicalized), so
+    the CRUD serving view must window/join on the stream's actual id
+    column, recorded in _crud_meta (review r12 pass 5). End-to-end with
+    id_col='doc_id': upsert shadowing, a live delete, and a restart
+    with a different id_col failing fast."""
+    import os
+
+    from comet_spark.storage.store import DocumentStore
+    from comet_spark.streaming.ingest import ivf_ingest_stream, ivf_serving_view
+
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+    index_base = str(tmp_path / "index")
+    store = DocumentStore(spark, str(tmp_path / "store"), id_col="doc_id")
+
+    def feed(rows):
+        spark.createDataFrame(
+            rows, "doc_id bigint, vector array<double>, op string"
+        ).repartition(1).write.mode("append").parquet(src)
+
+    def drain(id_col="doc_id"):
+        q = ivf_ingest_stream(
+            spark.readStream.schema(
+                "doc_id bigint, vector array<double>, op string"
+            )
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src),
+            store, index_base, checkpoint=ckpt, nlist=2,
+            op_col="op", id_col=id_col,
+        )
+        assert q.awaitTermination(300)
+
+    feed([(i, [float(i), 0.0], None) for i in range(8)])
+    feed(  # tail: upsert doc 2, delete doc 5, fresh docs
+        [(2, [100.0, 100.0], None)]
+        + [(i, [float(i), 0.0], None) for i in range(10, 13)]
+        + [(5, None, "delete")]
+    )
+    drain()
+    assert os.path.exists(f"{index_base}/_crud_meta")
+    _, layout = ivf_serving_view(spark, index_base)
+    got = {r["doc_id"]: r["vector"] for r in layout.collect()}
+    assert set(got) == {0, 1, 2, 3, 4, 6, 7, 10, 11, 12}
+    assert got[2] == [100.0, 100.0]
+    feed([(20, [20.0, 0.0], None)])
+    with pytest.raises(Exception, match="recorded"):
+        drain(id_col="id")  # restart with a different id_col fails fast
