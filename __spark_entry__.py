@@ -7732,7 +7732,16 @@ SELECT vec_id, score FROM d ORDER BY score, vec_id LIMIT {K}
 # exported candidate set replayed as an exact L2 scan (the
 # hnsw_live_topk scheme over consolidated state).
 _HNSW_COMPACT_MOD = 4
-_HNSW_COMPACT_REFRESH_AT = 2
+# the consolidation fires on an EMPTY scheduled trigger (batch 3 — the
+# ADVICE-r11 empty-refresh rule under its own gate), so the pre- and
+# post-consolidation beams compare against the SAME corpus/ground truth
+_HNSW_COMPACT_REFRESH_AT = 3
+# consolidated sub-graphs are capped at the recall-compare ef: a beam
+# with ef >= sub-graph size walks the whole (connected) sub-graph, so
+# the consolidated recall is structurally >= the per-batch one on the
+# same corpus — the >= assert cannot false-fail on a regenerated
+# fixture (review r12 pass 6)
+_HNSW_COMPACT_EF = 100
 _HNSW_COMPACT_CACHE: dict[tuple[str, str, str], object] = {}
 
 
@@ -7750,12 +7759,12 @@ def _hnsw_compact(spark: SparkSession, sf_dir: str):
             table="embeddings",
             probe_paths=[
                 f"{graphs}/full_v{_HNSW_COMPACT_REFRESH_AT}/parts",
-                f"{graphs}/parts/batch={_HNSW_COMPACT_MOD - 1}",
+                f"{graphs}/parts/batch=4",
             ],
             probe_files=[
                 f"{graphs}/_versions/{_HNSW_COMPACT_REFRESH_AT}",
                 f"{graphs}/full_v{_HNSW_COMPACT_REFRESH_AT}/parts/_SUCCESS",
-                f"{graphs}/parts/batch={_HNSW_COMPACT_MOD - 1}/_SUCCESS",
+                f"{graphs}/parts/batch=4/_SUCCESS",
             ],
         )
         ix = hnsw_serving_view(spark, graphs)
@@ -7792,6 +7801,7 @@ def _build_hnsw_compact_artifact(
             _emb_vec_stream(spark, src),
             store, graph_base, checkpoint=ckpt, m=8, parts_per_batch=4,
             refresh_every=_HNSW_COMPACT_REFRESH_AT,
+            consolidate_rows_per_part=_HNSW_COMPACT_EF,
         ),
         "hnsw_compact",
     )
@@ -7808,54 +7818,63 @@ def _build_hnsw_compact_artifact(
         return len(beam_ids & top) / len(top)
 
     with _scoped_shuffle_partitions(spark):
-        for i in range(2):
+        for i in range(3):
             _add(emb.filter(res(i)))
-        _drain()  # batches 0,1 → per-batch sub-graphs only
+        _drain()  # batches 0-2 → per-batch sub-graphs only
+        fed3 = emb.filter(res(0) | res(1) | res(2))
         pre_ix = hnsw_serving_view(spark, graph_base)
         pre_beam = {
             r["id"]
-            for r in pre_ix.candidates(qvec, ef_search=100).distinct().collect()
+            for r in pre_ix.candidates(
+                qvec, ef_search=_HNSW_COMPACT_EF
+            ).distinct().collect()
         }
-        pre_recall = _recall(pre_beam, emb.filter(res(0) | res(1)))
-        _add(emb.filter(res(2)))
-        _drain()  # batch 2 → CONSOLIDATION over the merged view → v2
-        full2 = f"{graph_base}/full_v{_HNSW_COMPACT_REFRESH_AT}"
+        pre_recall = _recall(pre_beam, fed3)
+        # batch 3: an EMPTY trigger ON the consolidation schedule — the
+        # rebuild covers exactly the corpus the pre-beam saw, so the
+        # recall comparison below is same-ground-truth
+        _add(emb.filter(res(0)).limit(0))
+        _drain()
+        full3 = f"{graph_base}/full_v{_HNSW_COMPACT_REFRESH_AT}"
         if not os.path.exists(
             f"{graph_base}/_versions/{_HNSW_COMPACT_REFRESH_AT}"
         ):
             raise RuntimeError(
                 "hnsw_compact artifact: consolidation marker missing "
-                "after the refresh batch"
+                "after the empty scheduled trigger"
             )
-        before = set(glob.glob(f"{full2}/parts/*.parquet"))
+        before = set(glob.glob(f"{full3}/parts/*.parquet"))
         _lose_latest_commit(ckpt)  # crash between commit and ckpt commit
         # MID-READ in the post-crash pre-replay state: the consolidated
-        # graph serves exactly data-fed-so-far
+        # graph serves exactly data-fed-so-far, and its beam recall on
+        # the SAME corpus is ≥ the per-batch beams' — structurally: the
+        # consolidated sub-graphs are ef-capped, so the beam walks each
+        # whole sub-graph
         mid_ix = hnsw_serving_view(spark, graph_base)
         mid_beam = {
             r["id"]
-            for r in mid_ix.candidates(qvec, ef_search=100).distinct().collect()
+            for r in mid_ix.candidates(
+                qvec, ef_search=_HNSW_COMPACT_EF
+            ).distinct().collect()
         }
-        fed = {
-            r["id"] for r in emb.filter(res(0) | res(1) | res(2)).select("id").collect()
-        }
+        fed = {r["id"] for r in fed3.select("id").collect()}
         if not (mid_beam and mid_beam <= fed):
             raise RuntimeError(
                 f"hnsw_compact artifact: mid-read beam has "
                 f"{len(mid_beam - fed)} ids outside data-fed-so-far"
             )
-        mid_recall = _recall(mid_beam, emb.filter(res(0) | res(1) | res(2)))
+        mid_recall = _recall(mid_beam, fed3)
         if mid_recall < pre_recall:
             raise RuntimeError(
                 f"hnsw_compact artifact: consolidation degraded beam "
                 f"recall ({pre_recall:.2f} → {mid_recall:.2f})"
             )
         _add(emb.filter(res(3)))
-        _drain()  # batch 2 replays → SKIPS; batch 3 → per-batch dir
-    after = set(glob.glob(f"{full2}/parts/*.parquet"))
+        _drain()  # batch 3 replays → SKIPS; batch 4 → per-batch dir
+    after = set(glob.glob(f"{full3}/parts/*.parquet"))
     if not before or before != after:
         raise RuntimeError(
-            "hnsw_compact artifact: full_v2 parts changed across the "
+            "hnsw_compact artifact: full_v3 parts changed across the "
             "crash-replay — the committed consolidation was mutated"
         )
     if not os.path.exists(f"{graph_base}/_skips/{_HNSW_COMPACT_REFRESH_AT}"):
@@ -7863,20 +7882,18 @@ def _build_hnsw_compact_artifact(
             "hnsw_compact artifact: no skip journal for the "
             "consolidation batch — the injected crash did not engage"
         )
-    # the view is BOUNDED by consolidation: exactly full_v2's sub-graphs
+    # the view is BOUNDED by consolidation: exactly full_v3's sub-graphs
     # plus ONE newer batch dir — per-batch dirs 0..2 are no longer read
     ix = hnsw_serving_view(spark, graph_base)
     n_sub = ix.graphs.count()
-    n_full = spark.read.parquet(f"{full2}/parts").count()
-    n_tail = spark.read.parquet(
-        f"{graph_base}/parts/batch={_HNSW_COMPACT_MOD - 1}"
-    ).count()
+    n_full = spark.read.parquet(f"{full3}/parts").count()
+    n_tail = spark.read.parquet(f"{graph_base}/parts/batch=4").count()
     if n_sub != n_full + n_tail:
         raise RuntimeError(
             f"hnsw_compact artifact: serving view has {n_sub} sub-graphs "
             f"(want {n_full}+{n_tail}) — stale per-batch dirs leaked in"
         )
-    cand = ix.candidates(qvec, ef_search=100).distinct()
+    cand = ix.candidates(qvec, ef_search=_HNSW_COMPACT_EF).distinct()
     n_outside = cand.join(emb.select("id"), "id", "left_anti").count()
     reach = cand.select(
         (F.col("id") % _HNSW_COMPACT_MOD).alias("r")

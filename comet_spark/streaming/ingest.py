@@ -484,23 +484,25 @@ def ivf_ingest_stream(
                     # sequenced store soft-delete FIRST (so a refresh
                     # this batch retrains on the post-delete corpus)
                     store.delete(del_ids)
-            if scheduled and op_col is not None and (
-                # only delete-carrying streams can empty the corpus —
-                # append-only refreshes skip the extra merged-view job
-                # (review r12 pass 5)
-                not store._fs.exists(store.data_path)
-                or store.read().isEmpty()
-            ):
+            if scheduled and op_col is not None and (n_del or not n_ups):
                 # deletes can EMPTY the corpus: a scheduled retrain on
                 # zero rows would die — and the replay would die
                 # identically, a permanent crash loop (review r12
                 # pass 4). Demote to a tail batch, journaled so the
                 # missed cycle is observable; serving keeps the old
                 # version, whose rows the live markers already hide.
-                if cur is None:
-                    return  # nothing ever landed — boot at the next data
-                fs.create_new(f"{index_base}/_skips/empty_refresh_{batch_id}")
-                scheduled = False
+                # The merged-view emptiness job runs ONLY when the
+                # corpus COULD be empty — a batch whose upserts landed
+                # with no deletes proves it is not (pass 6).
+                if not store._fs.exists(store.data_path) or (
+                    store.read().isEmpty()
+                ):
+                    if cur is None:
+                        return  # nothing ever landed — boot at next data
+                    fs.create_new(
+                        f"{index_base}/_skips/empty_refresh_{batch_id}"
+                    )
+                    scheduled = False
             if not scheduled and n_del:
                 # the read-path marker partition — TAIL batches only: a
                 # scheduled batch's deletes are baked by its retrain,
@@ -813,28 +815,32 @@ def pq_ingest_stream(
             # codebook drift clock must not silently skip a cycle
             if cur is None or not scheduled:
                 return
-        else:
-            if not scheduled:
-                # tail batches scan the source twice (append + encode)
-                # — persist like the IVF CRUD path (review r12 pass 5)
-                persisted = batch.persist()
-            store.append(batch)
-        if scheduled:
-            _version_tripwire(fs, index_base, batch_id, "pq_ingest_stream")
-            merged = store.read()
-            pq = PQIndex.train(
-                merged, m=m, nbits=nbits, id_col=id_col, vec_col=vec_col,
-                max_iter=max_iter,
-            )
-            full = f"{index_base}/full_v{batch_id}"
-            pq.encode(merged, id_col=id_col, vec_col=vec_col).write.mode(
-                "overwrite"
-            ).parquet(f"{full}/codes.parquet")
-            pq.save(spark, full)
-            _commit_version(fs, index_base, batch_id, "pq_ingest_stream")
-            cache["cur"], cache["pq"] = batch_id, pq
-        else:
-            try:
+        elif not scheduled:
+            # tail batches scan the source twice (append + encode) —
+            # persist like the IVF CRUD path (review r12 pass 5); the
+            # unpersist wraps BOTH scans (pass 6: an append failure
+            # must not leak the cached batch)
+            persisted = batch.persist()
+        try:
+            if not batch.isEmpty():
+                store.append(batch)
+            if scheduled:
+                _version_tripwire(
+                    fs, index_base, batch_id, "pq_ingest_stream"
+                )
+                merged = store.read()
+                pq = PQIndex.train(
+                    merged, m=m, nbits=nbits, id_col=id_col,
+                    vec_col=vec_col, max_iter=max_iter,
+                )
+                full = f"{index_base}/full_v{batch_id}"
+                pq.encode(merged, id_col=id_col, vec_col=vec_col).write.mode(
+                    "overwrite"
+                ).parquet(f"{full}/codes.parquet")
+                pq.save(spark, full)
+                _commit_version(fs, index_base, batch_id, "pq_ingest_stream")
+                cache["cur"], cache["pq"] = batch_id, pq
+            else:
                 if cache["pq"] is None:
                     cache["pq"] = PQIndex.load(
                         spark, f"{index_base}/full_v{cur}"
@@ -844,9 +850,9 @@ def pq_ingest_stream(
                 ).write.mode("overwrite").parquet(
                     f"{index_base}/tail/batch={batch_id}"
                 )
-            finally:
-                if persisted is not None:
-                    persisted.unpersist()
+        finally:
+            if persisted is not None:
+                persisted.unpersist()
 
     writer = stream.writeStream.foreachBatch(write_batch).option(
         "checkpointLocation", checkpoint
