@@ -70,7 +70,13 @@ def stream_into_store(
     only their id is read — NULL ``op_col`` rows are inserts/upserts,
     and any OTHER value fails the micro-batch loudly (a typo'd marker
     appended as data would shadow the live document with its NULL
-    payload under newest-wins — destruction, not a skip). Per micro-batch the upserts land as one
+    payload under newest-wins — destruction, not a skip). BEHAVIOR
+    CHANGE (r12, via the shared :func:`_split_ops` contract): a
+    micro-batch containing NULL-id rows now fails the WHOLE batch
+    loudly — previously a NULL-id upsert was appended as an
+    unaddressable row and a NULL-id delete was a harmless no-op; a
+    producer relying on that tolerance must filter NULL ids before the
+    sink (no in-tree producer did). Per micro-batch the upserts land as one
     segment FIRST, then the markers apply as one sequenced soft delete
     (:meth:`DocumentStore.delete`): a batch carrying both an upsert and
     a delete of the same id deletes it (delete wins within a batch),
@@ -115,6 +121,7 @@ def stream_into_store(
 def _split_ops(
     batch: DataFrame, op_col: str, delete_value: str, id_col: str, who: str,
     *, forbid_dup_upserts: bool = False,
+    reject_null_payload_col: str | None = None,
 ) -> tuple[DataFrame, DataFrame, int, int]:
     """Validate + partition one (persisted) CRUD micro-batch into
     ``(upserts, delete_ids, n_ups, n_del)`` — the shared op contract of
@@ -125,7 +132,19 @@ def _split_ops(
     newest-wins — data destruction, not a skip. The three predicates
     PARTITION the batch exactly — NULL op → upsert, op = delete_value
     (a true match, never a null comparison) → delete, anything else →
-    bad — counted in ONE scan."""
+    bad — counted in ONE scan.
+
+    ``reject_null_payload_col`` (the vector engines pass their
+    ``vec_col``, ADVICE r12): an UPSERT whose payload column is NULL is
+    as destructive as a typo'd op — it would append to the store as the
+    id's newest version while the index's assign/encode step silently
+    drops it (NULL vectors don't cluster), leaving the serving view
+    stuck on the stale pre-upsert vector while ``store.read()`` serves
+    the NULL row, and after the next retrain the id vanishes from the
+    layout but stays live in the store. Fail the micro-batch loudly
+    instead, mirroring the NULL-id check. Delete markers legitimately
+    carry a NULL payload (only their id is read), so the check covers
+    upsert rows only."""
     is_del = F.coalesce(F.col(op_col) == F.lit(delete_value), F.lit(False))
     is_bad = F.col(op_col).isNotNull() & ~is_del
     aggs = [
@@ -135,6 +154,16 @@ def _split_ops(
         F.count(F.when(F.col(op_col).isNull(), 1)).alias("n_ups"),
         F.count(F.when(F.col(id_col).isNull(), 1)).alias("n_null_ids"),
     ]
+    if reject_null_payload_col is not None:
+        aggs.append(
+            F.count(
+                F.when(
+                    F.col(op_col).isNull()
+                    & F.col(reject_null_payload_col).isNull(),
+                    1,
+                )
+            ).alias("n_null_payload")
+        )
     if forbid_dup_upserts:
         # a distinct hash-agg per row — only paid by callers that
         # enforce the check (review r12 pass 4)
@@ -158,6 +187,17 @@ def _split_ops(
         raise ValueError(
             f"{who}: {probe['n_null_ids']} row(s) with NULL {id_col} — "
             "every op must carry an id; failing the micro-batch"
+        )
+    if reject_null_payload_col is not None and probe["n_null_payload"]:
+        # an upsert with a NULL payload passes validation, lands in the
+        # store as the id's newest version, then silently drops out of
+        # the index assign/encode step — a store/serving divergence the
+        # serving view can never detect (ADVICE r12)
+        raise ValueError(
+            f"{who}: {probe['n_null_payload']} upsert row(s) with NULL "
+            f"{reject_null_payload_col} — a NULL-payload upsert would "
+            "shadow the id's live document in the store while the index "
+            "silently drops it; failing the micro-batch"
         )
     if forbid_dup_upserts and probe["n_ups"] != probe["n_ups_ids"]:
         # a micro-batch is an UNORDERED set: two upserts of the same id
@@ -285,6 +325,79 @@ def _commit_version(fs, base: str, batch_id: int, who: str) -> None:
             f"{who}: version marker {batch_id} already exists under "
             f"{base} — a second writer is committing versions"
         )
+
+
+def _crud_boot(fs, index_base: str, id_col: str, who: str) -> None:
+    """First-batch CRUD declaration, shared by the CRUD-capable
+    engines: record the stream's id column in ``_crud_meta`` (the
+    serving view must window/join on the stream's actual column —
+    assign/encode PRESERVE id_col) and create the ``_crud`` marker that
+    opts the serving view into the newest-wins/anti-join plan. Meta
+    BEFORE marker: a reader that sees the marker always finds the meta.
+    Create-once + mismatch guard — restarting with a different id_col
+    would desync the layout from the markers."""
+    meta = f"{index_base}/_crud_meta"
+    if fs.exists(meta):
+        prev = fs.read_text(meta)
+        if prev != id_col:
+            raise RuntimeError(
+                f"{who}: id_col={id_col!r} differs from the index's "
+                f"recorded {prev!r} under {index_base} — resume with "
+                "the original id_col, or delete the index base and "
+                "store to re-ingest"
+            )
+    else:
+        fs.write_text(meta, id_col)
+    fs.create_new(f"{index_base}/_crud")
+
+
+def _write_delete_marker(
+    fs, index_base: str, batch_id: int, del_ids: DataFrame, id_col: str,
+    with_tail: bool,
+) -> None:
+    """The read-path delete-marker partition, shared by the CRUD
+    engines — TAIL batches only (a scheduled batch's deletes are baked
+    by its retrain, and a with_tail=True marker for a tail that never
+    lands would hard-fail serving for the whole retrain window — review
+    r12 pass 3). Written BEFORE the tail dir, and ``with_tail`` records
+    whether sibling upserts exist, so the serving view can fail loudly
+    on the crash-between-the-two-writes window (pass 2).
+    SKIP-IF-COMMITTED, never overwrite: a replay's overwrite passes
+    through a dir-absent window where a concurrent reader sees no
+    marker at all — neither torn-dir check can fire — while the
+    original run's tail is still committed, silently un-applying the
+    deletes (pass 4). The marker content is a pure function of the
+    batch, so present-and-committed is a done-record. The id column
+    keeps the stream's id_col name — the same name the layout carries
+    and ``_crud_meta`` records."""
+    marker = f"{index_base}/_deletes/batch={batch_id}"
+    if not fs.exists(f"{marker}/_SUCCESS"):
+        del_ids.select(id_col).withColumn(
+            "with_tail", F.lit(bool(with_tail))
+        ).repartition(1).write.mode("overwrite").parquet(marker)
+
+
+def _demote_if_emptied(
+    fs, store: DocumentStore, index_base: str, batch_id: int, cur,
+    n_ups: int, n_del: int,
+) -> bool:
+    """Deletes can EMPTY the corpus: a scheduled retrain on zero rows
+    would die — and the replay would die identically, a permanent crash
+    loop (review r12 pass 4). Returns True when the scheduled refresh
+    must DEMOTE to a tail batch, journaled so the missed cycle is
+    observable; serving keeps the old version, whose rows the live
+    markers already hide. The merged-view emptiness job runs ONLY when
+    the corpus COULD be empty — a batch whose upserts landed with no
+    deletes proves it is not (pass 6). A ``True`` with ``cur is None``
+    means nothing ever landed — boot at next data (the caller returns
+    without scheduling)."""
+    if not (n_del or not n_ups):
+        return False
+    if store._fs.exists(store.data_path) and not store.read().isEmpty():
+        return False
+    if cur is not None:
+        fs.create_new(f"{index_base}/_skips/empty_refresh_{batch_id}")
+    return True
 
 
 def ivf_ingest_stream(
@@ -420,30 +533,9 @@ def ivf_ingest_stream(
                 ("tail", "_deletes"),
             )
             if op_col is not None:
-                # declare the CRUD contract to readers: the serving
-                # view must run the newest-wins/anti-join plan from the
-                # first batch on. The id column name rides along in
-                # _crud_meta — assign_clusters PRESERVES id_col (it is
-                # not canonicalized to "id"; review r12 pass 5), so the
-                # view must window/join on the stream's actual column.
-                # Meta BEFORE marker: a reader that sees the marker
-                # always finds the meta. Create-once + mismatch guard —
-                # restarting with a different id_col would desync the
-                # layout from the markers.
-                meta = f"{index_base}/_crud_meta"
-                if fs.exists(meta):
-                    prev = fs.read_text(meta)
-                    if prev != id_col:
-                        raise RuntimeError(
-                            f"ivf_ingest_stream: id_col={id_col!r} "
-                            f"differs from the index's recorded "
-                            f"{prev!r} under {index_base} — resume "
-                            "with the original id_col, or delete the "
-                            "index base and store to re-ingest"
-                        )
-                else:
-                    fs.write_text(meta, id_col)
-                fs.create_new(f"{index_base}/_crud")
+                # declare the CRUD contract to readers (shared boot:
+                # _crud_meta create/check, then the _crud marker)
+                _crud_boot(fs, index_base, id_col, "ivf_ingest_stream")
         if _skip_if_committed(fs, index_base, batch_id):
             # a replayed refresh skips EVERYTHING: re-appending would
             # land a pointless duplicate segment, re-deleting would
@@ -476,6 +568,7 @@ def ivf_ingest_stream(
                 ups, del_ids, n_ups, n_del = _split_ops(
                     batch, op_col, delete_value, id_col,
                     "ivf_ingest_stream", forbid_dup_upserts=True,
+                    reject_null_payload_col=vec_col,
                 )
                 if n_ups:
                     store.append(ups)
@@ -484,49 +577,16 @@ def ivf_ingest_stream(
                     # sequenced store soft-delete FIRST (so a refresh
                     # this batch retrains on the post-delete corpus)
                     store.delete(del_ids)
-            if scheduled and op_col is not None and (n_del or not n_ups):
-                # deletes can EMPTY the corpus: a scheduled retrain on
-                # zero rows would die — and the replay would die
-                # identically, a permanent crash loop (review r12
-                # pass 4). Demote to a tail batch, journaled so the
-                # missed cycle is observable; serving keeps the old
-                # version, whose rows the live markers already hide.
-                # The merged-view emptiness job runs ONLY when the
-                # corpus COULD be empty — a batch whose upserts landed
-                # with no deletes proves it is not (pass 6).
-                if not store._fs.exists(store.data_path) or (
-                    store.read().isEmpty()
-                ):
-                    if cur is None:
-                        return  # nothing ever landed — boot at next data
-                    fs.create_new(
-                        f"{index_base}/_skips/empty_refresh_{batch_id}"
-                    )
-                    scheduled = False
+            if scheduled and op_col is not None and _demote_if_emptied(
+                fs, store, index_base, batch_id, cur, n_ups, n_del
+            ):
+                if cur is None:
+                    return  # nothing ever landed — boot at next data
+                scheduled = False
             if not scheduled and n_del:
-                # the read-path marker partition — TAIL batches only: a
-                # scheduled batch's deletes are baked by its retrain,
-                # and a with_tail=True marker for a tail that never
-                # lands would hard-fail serving for the whole retrain
-                # window (review r12 pass 3). Written BEFORE the tail
-                # dir, and ``with_tail`` records whether sibling
-                # upserts exist, so the serving view can fail loudly on
-                # the crash-between-the-two-writes window (pass 2).
-                # SKIP-IF-COMMITTED, never overwrite: a replay's
-                # overwrite passes through a dir-absent window where a
-                # concurrent reader sees no marker at all — neither
-                # torn-dir check can fire — while the original run's
-                # tail is still committed, silently un-applying the
-                # deletes (pass 4). The marker content is a pure
-                # function of the batch, so present-and-committed is a
-                # done-record. The id column keeps the stream's
-                # id_col name — the same name the layout carries
-                # (assign_clusters preserves it) and _crud_meta records.
-                marker = f"{index_base}/_deletes/batch={batch_id}"
-                if not fs.exists(f"{marker}/_SUCCESS"):
-                    del_ids.select(id_col).withColumn(
-                        "with_tail", F.lit(bool(n_ups))
-                    ).repartition(1).write.mode("overwrite").parquet(marker)
+                _write_delete_marker(
+                    fs, index_base, batch_id, del_ids, id_col, bool(n_ups)
+                )
             if scheduled:
                 _version_tripwire(
                     fs, index_base, batch_id, "ivf_ingest_stream"
@@ -630,6 +690,24 @@ def ivf_serving_view(spark, index_base: str):
         )
     ivf = IVFIndex.load(spark, f"{index_base}/full_v{cur}")
     layout = spark.read.parquet(f"{index_base}/full_v{cur}/layout.parquet")
+    return ivf, _crud_resolved_view(
+        spark, fs, index_base, layout, cur, who="ivf_serving_view"
+    )
+
+
+def _crud_resolved_view(
+    spark, fs, index_base: str, full: DataFrame, cur: int, *, who: str
+) -> DataFrame:
+    """THE CRUD read plan, shared by every versioned serving view
+    (IVF layouts, PQ codes — one copy so the views can never diverge,
+    the reader-side twin of the writer's shared version protocol):
+    the committed ``full`` component ∪ the ``_SUCCESS``-committed tail
+    batches newer than ``cur``, resolved newest-wins with
+    precedence-ordered delete markers when the writer left a ``_crud``
+    marker. Non-CRUD bases get the plain pruned union. All dedup work
+    is bounded by the TAIL, never the corpus — see
+    :func:`ivf_serving_view`'s contract docs for the full semantics and
+    crash-window story."""
     tail_root = f"{index_base}/tail"
     live = _live_batches(fs, tail_root, cur)
     if not fs.exists(f"{index_base}/_crud"):
@@ -637,8 +715,8 @@ def ivf_serving_view(spark, index_base: str):
             tail = spark.read.option("basePath", tail_root).parquet(
                 *[f"{tail_root}/{n}" for n in live]
             )
-            layout = layout.unionByName(tail.select(layout.columns))
-        return ivf, layout
+            full = full.unionByName(tail.select(full.columns))
+        return full
 
     from pyspark.sql import Window
 
@@ -651,7 +729,7 @@ def ivf_serving_view(spark, index_base: str):
         if fs.exists(f"{index_base}/_crud_meta")
         else "id"
     )
-    cols = layout.columns
+    cols = full.columns
     pri = "__pri"  # version precedence: full rows = cur, tail rows = batch
     if live:
         tail = spark.read.option("basePath", tail_root).parquet(
@@ -670,12 +748,12 @@ def ivf_serving_view(spark, index_base: str):
         # every batch — Catalyst/AQE picks broadcast while the id set is
         # small (the refreshed steady state) and degrades to a shuffle
         # join instead of an OOM when it is not (review r12 pass 3)
-        layout = layout.join(tail_ids, idc, "left_anti")
-        layout = layout.withColumn(pri, F.lit(cur).cast("bigint")).select(
+        full = full.join(tail_ids, idc, "left_anti")
+        full = full.withColumn(pri, F.lit(cur).cast("bigint")).select(
             *cols, pri
         ).unionByName(tail_win)
     else:
-        layout = layout.withColumn(pri, F.lit(cur).cast("bigint"))
+        full = full.withColumn(pri, F.lit(cur).cast("bigint"))
     del_root = f"{index_base}/_deletes"
     del_all = [
         n for n in fs.listdir(del_root)
@@ -695,7 +773,7 @@ def ivf_serving_view(spark, index_base: str):
         # rebuild the view once the replay re-lands _SUCCESS.
         torn = sorted(set(del_all) - set(del_live))
         raise FileNotFoundError(
-            f"ivf_serving_view: delete partition(s) {torn} under "
+            f"{who}: delete partition(s) {torn} under "
             f"{del_root} are torn (crash mid-write or a replay in "
             "flight) — serving without them would resurrect deleted "
             "rows; reread after the stream's replay commits"
@@ -721,7 +799,7 @@ def ivf_serving_view(spark, index_base: str):
             )
             if missing:
                 raise FileNotFoundError(
-                    f"ivf_serving_view: delete batch(es) {missing} under "
+                    f"{who}: delete batch(es) {missing} under "
                     f"{del_root} committed with upserts whose tail dir "
                     "has not landed (crash between the marker and tail "
                     "writes, or a replay in flight) — serving would "
@@ -731,10 +809,10 @@ def ivf_serving_view(spark, index_base: str):
         dels = dels_raw.groupBy(idc).agg(
             F.max(F.col("batch").cast("bigint")).alias("__del")
         )
-        layout = layout.join(dels, idc, "left").filter(
+        full = full.join(dels, idc, "left").filter(
             F.col("__del").isNull() | (F.col("__del") < F.col(pri))
         ).drop("__del")
-    return ivf, layout.drop(pri)
+    return full.drop(pri)
 
 
 def pq_ingest_stream(
@@ -810,7 +888,11 @@ def pq_ingest_stream(
             refresh_every and batch_id > 0 and batch_id % refresh_every == 0
         )
         persisted = None
-        if batch.isEmpty():
+        # ONE isEmpty evaluation — each is a separate Spark job re-reading
+        # the source, and the second ran on the non-persisted DataFrame
+        # for scheduled batches (ADVICE r12)
+        empty = batch.isEmpty()
+        if empty:
             # run a scheduled refresh even on an empty trigger — the
             # codebook drift clock must not silently skip a cycle
             if cur is None or not scheduled:
@@ -822,7 +904,7 @@ def pq_ingest_stream(
             # must not leak the cached batch)
             persisted = batch.persist()
         try:
-            if not batch.isEmpty():
+            if not empty:
                 store.append(batch)
             if scheduled:
                 _version_tripwire(
@@ -1064,6 +1146,17 @@ def hnsw_ingest_stream(
             _version_tripwire(
                 fs, graph_base, batch_id, "hnsw_ingest_stream"
             )
+            # a torn meta (crash mid-meta-write) would otherwise stay
+            # torn across empty triggers and scheduled batches — only a
+            # data-carrying batch rewrites it — leaving serving down
+            # indefinitely even though committed graph state exists
+            # (ADVICE r12); m/metric are in hand, rewrite it here too
+            if not fs.exists(f"{graph_base}/meta.parquet/_SUCCESS"):
+                spark.createDataFrame(
+                    [(m, metric)], "m int, metric string"
+                ).repartition(1).write.mode("overwrite").parquet(
+                    f"{graph_base}/meta.parquet"
+                )
             merged = store.read()
             # the consolidation input is CORPUS-sized, not batch-sized:
             # parts_per_batch is a per-micro-batch knob, and each build
@@ -1137,7 +1230,8 @@ def hnsw_serving_view(spark, graph_base: str):
             f"hnsw_serving_view: committed graph batches exist under "
             f"{graph_base} but meta.parquet is missing or torn (no "
             "_SUCCESS) — a crash landed mid-meta-write; the stream's "
-            "next batch rewrites it"
+            "next data-carrying or scheduled-consolidation batch "
+            "rewrites it"
         )
     meta = spark.read.parquet(f"{graph_base}/meta.parquet").first()
     comps = [f"{graph_base}/full_v{cur}/parts"] if cur is not None else []

@@ -3328,6 +3328,99 @@ def test_split_ops_rejects_null_ids(spark, tmp_path):
         assert q.awaitTermination(300)
 
 
+def test_split_ops_rejects_null_vector_upsert(spark, tmp_path):
+    """A NULL-vector UPSERT must fail the micro-batch loudly (ADVICE
+    r12): it would land in the store as the id's newest version while
+    assign_clusters silently drops it — the serving view keeps the
+    stale pre-upsert vector, store.read() serves the NULL row, and the
+    next retrain loses the id from the layout while it stays live in
+    the store. Delete markers legitimately carry NULL vectors and must
+    still pass."""
+    from comet_spark.storage.store import DocumentStore
+    from comet_spark.streaming.ingest import ivf_ingest_stream, ivf_serving_view
+
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+    index_base = str(tmp_path / "index")
+    store = DocumentStore(spark, str(tmp_path / "store"), id_col="id")
+
+    def feed(rows):
+        spark.createDataFrame(
+            rows, "id bigint, vector array<double>, op string"
+        ).repartition(1).write.mode("append").parquet(src)
+
+    def drain():
+        return ivf_ingest_stream(
+            spark.readStream.schema("id bigint, vector array<double>, op string")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src),
+            store, index_base, checkpoint=ckpt, nlist=2, op_col="op",
+        )
+
+    # NULL-vector DELETE markers are legal — boot + a marker-carrying
+    # tail batch drain clean
+    feed([(i, [float(i), 0.0], None) for i in range(8)])
+    feed([(10, [10.0, 0.0], None), (5, None, "delete")])
+    assert drain().awaitTermination(300)
+    assert {r["id"] for r in ivf_serving_view(spark, index_base)[1].collect()} == (
+        set(range(8)) | {10}
+    ) - {5}
+    # a NULL-vector UPSERT fails the whole micro-batch loudly
+    feed([(3, None, None), (11, [11.0, 0.0], None)])
+    q = drain()
+    with pytest.raises(Exception, match="NULL-payload upsert|NULL vector"):
+        assert q.awaitTermination(300)
+    # nothing from the failed batch landed: id 11 absent, id 3 original
+    got = {r["id"]: r["vector"] for r in store.read().collect()}
+    assert 11 not in got and got[3] == [3.0, 0.0]
+
+
+def test_hnsw_consolidation_rewrites_torn_meta(spark, tmp_path):
+    """meta.parquet is only (re)written on a data-carrying batch — a
+    mid-meta-write crash followed by empty triggers and scheduled
+    consolidations would leave serving down indefinitely even though
+    committed graph state exists (ADVICE r12). The consolidation branch
+    now rewrites a torn meta (m/metric are in hand)."""
+    import os
+
+    from comet_spark.storage.store import DocumentStore
+    from comet_spark.streaming.ingest import hnsw_ingest_stream, hnsw_serving_view
+
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+    graph_base = str(tmp_path / "graphs")
+    store = DocumentStore(spark, str(tmp_path / "store"), id_col="id")
+
+    def feed(rows):
+        spark.createDataFrame(
+            rows, "id bigint, vector array<double>"
+        ).repartition(1).write.mode("append").parquet(src)
+
+    def drain():
+        q = hnsw_ingest_stream(
+            spark.readStream.schema("id bigint, vector array<double>")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src),
+            store, graph_base, checkpoint=ckpt, m=4, parts_per_batch=2,
+            refresh_every=2,
+        )
+        assert q.awaitTermination(300)
+
+    feed([(i, [float(i % 13), float(i % 7)]) for i in range(10)])
+    feed([(i, [float(i % 13), float(i % 7)]) for i in range(10, 20)])
+    drain()  # b0 parts, b1 parts
+    # simulate the mid-meta-write crash: torn meta (no _SUCCESS)
+    os.remove(f"{graph_base}/meta.parquet/_SUCCESS")
+    with pytest.raises(FileNotFoundError, match="meta.parquet is missing"):
+        hnsw_serving_view(spark, graph_base)
+    # an EMPTY scheduled-consolidation trigger must heal it
+    feed([])  # empty part file → empty batch 2 = the consolidation
+    drain()
+    assert os.path.exists(f"{graph_base}/meta.parquet/_SUCCESS")
+    assert os.path.exists(f"{graph_base}/_versions/2")
+    ix = hnsw_serving_view(spark, graph_base)
+    beam = {r["id"] for r in ix.candidates([1.0, 1.0], ef_search=40).collect()}
+    assert beam and beam <= set(range(20))
+
+
 def test_gc_index_versions_default_covers_hnsw_parts(spark, tmp_path):
     """gc's default subdirs covers the graph engine too (review r12
     pass 3): per-batch parts dirs at-or-below the committed
