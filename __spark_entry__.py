@@ -7717,6 +7717,330 @@ SELECT vec_id, score FROM d ORDER BY score, vec_id LIMIT {K}
 )
 
 
+# ★ CRUD THROUGH THE LIVE PQ MAINTENANCE STREAM (r13 directive #1 —
+# the codes engine is the one compressed layout a 100 TB deployment
+# actually serves; reference Remove works on PQ, ``pq_index.go:318+``):
+# ``pq_ingest_stream(op_col=...)`` carries upserts (tail RE-ENCODE with
+# the current codebooks, newest-wins by version precedence) and delete
+# markers (``_deletes/batch=N``, ``_SUCCESS``-gated, skip-if-committed,
+# anti-joined by precedence through the SHARED _crud_resolved_view —
+# one read plan for IVF layouts and PQ codes). The feed drives every
+# CRUD × refresh cell: a negated upsert wave baked by the scheduled
+# retrain (b2 re-trains codebooks on the post-CRUD merged view and
+# re-encodes), a baked delete wave, a 5× upsert wave + resurrection +
+# a LIVE delete wave that is the ADC query's exact undeleted top-3
+# (non-vacuous BY CONSTRUCTION — computed from the v2 codebooks, so
+# dropping the markers would serve exactly those three ids first), all
+# in the marker batch the injected crash replays. Oracle = newest-wins
+# QUALIFY over the exported components (full_v2 codes ∪ tail 3),
+# precedence anti-join on the exported markers, exported-LUT ADC.
+_PQ_CRUD_MOD = 4
+_PQ_CRUD_REFRESH_AT = 2
+_PQ_CRUD_CACHE: dict[tuple[str, str, str], tuple] = {}
+
+
+def _pq_crud_live(spark: SparkSession, sf_dir: str):
+    from comet_spark.streaming.ingest import pq_serving_view
+
+    key = _live_cache_key(spark, sf_dir, "embeddings")
+    if key not in _PQ_CRUD_CACHE:
+        _evict_superseded(_PQ_CRUD_CACHE, key)
+        base = f"{_art_dir(sf_dir)}/pq_crud"
+        full = f"{base}/index/full_v{_PQ_CRUD_REFRESH_AT}"
+        _fresh_stream_artifact(
+            spark, sf_dir, base, f"{full}/codes.parquet",
+            lambda: _build_pq_crud_artifact(spark, sf_dir, base),
+            table="embeddings",
+            # EVERY component the serving path and the oracle read
+            probe_paths=[
+                f"{full}/codebooks.parquet",
+                f"{base}/index/tail/batch=3",
+                f"{base}/index/_deletes/batch=3",
+                f"{base}/lut_q.parquet",
+            ],
+            probe_files=[
+                f"{base}/index/_versions/{_PQ_CRUD_REFRESH_AT}",
+                # the CRUD plan is opt-in by this marker: losing just it
+                # would silently serve with deletes un-applied
+                f"{base}/index/_crud",
+                f"{base}/index/tail/batch=3/_SUCCESS",
+                f"{base}/index/_deletes/batch=3/_SUCCESS",
+            ],
+        )
+        _PQ_CRUD_CACHE[key] = pq_serving_view(spark, f"{base}/index")
+    return _PQ_CRUD_CACHE[key]
+
+
+def _build_pq_crud_artifact(
+    spark: SparkSession, sf_dir: str, base: str
+) -> None:
+    """POSIX-local oracle-artifact harness (same contract as the other
+    stream builders). The feed is the _ivf_crud recipe re-run through
+    the codes engine, with one structural change: the LIVE delete wave
+    D2 is the ADC top-3 under the v2 CODEBOOKS, which exist only after
+    the refresh commits — so the drive is staged (drain b0-b2, compute
+    D2 from the committed books, feed the marker batch, drain, crash,
+    replay-drain) instead of one feed."""
+    import glob
+    import shutil
+
+    import numpy as np
+
+    from comet_spark.operators.ann import PQIndex
+    from comet_spark.storage.store import DocumentStore, _FS
+    from comet_spark.streaming.ingest import (
+        _ivf_current,
+        pq_ingest_stream,
+        pq_serving_view,
+    )
+
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(base, exist_ok=True)
+    src, ckpt = f"{base}/src", f"{base}/ckpt"
+    store_path, index_base = f"{base}/store", f"{base}/index"
+    emb = _t(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("id"),
+        F.col("embedding").cast("array<double>").alias("vector"),
+    )
+    res = lambda m: F.col("id") % _PQ_CRUD_MOD == m  # noqa: E731
+    ups_pred = res(0) & (F.col("id") % 3 == 0)  # _IVF_CRUD_UPS_SQL shape
+    d1_pred = (F.col("id") % 10 == 7) & (F.col("id") % 4 < 3)
+    w_pred = (
+        (F.col("id") % 9 == 1)
+        & (F.col("id") % 4 < 3)
+        & (F.col("id") % 10 != 7)
+    )
+    negated = F.transform("vector", lambda x: -x).alias("vector")
+    times5 = F.transform("vector", lambda x: x * F.lit(5.0)).alias("vector")
+    times3 = F.transform("vector", lambda x: x * F.lit(3.0)).alias("vector")
+    op_null = F.lit(None).cast("string").alias("op")
+    mark = F.lit("delete").alias("op")
+    novec = F.lit(None).cast("array<double>").alias("vector")
+    store = DocumentStore(spark, store_path, id_col="id")
+    _add, _drain = _feed_drain(
+        spark, src,
+        lambda: pq_ingest_stream(
+            spark.readStream.schema(
+                "id bigint, vector array<double>, op string"
+            )
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src),
+            store, index_base, checkpoint=ckpt, m=PQ_M, nbits=4,
+            refresh_every=_PQ_CRUD_REFRESH_AT, max_iter=5, op_col="op",
+        ),
+        "pq_crud",
+    )
+    r1 = emb.filter(d1_pred).agg(F.min("id")).first()[0]  # wave-1 min
+    if r1 is None:
+        raise RuntimeError("pq_crud artifact: delete wave 1 is empty")
+    r1 = int(r1)
+    txf = _ivf_crud_txf(emb, r1)  # the shared CASE-transformed corpus
+    undeleted = txf.filter(~d1_pred | (F.col("id") == r1))
+    qvec = _hybrid_qvec(spark, sf_dir)
+
+    with _scoped_shuffle_partitions(spark):
+        _add(emb.filter(res(0)).select("id", "vector", op_null))
+        _add(  # batch 1: residue-1 inserts + the NEGATED upsert leg
+            emb.filter(res(1)).select("id", "vector", op_null).unionByName(
+                emb.filter(ups_pred).select("id", negated, op_null)
+            )
+        )
+        _add(  # batch 2 (the REFRESH): residue-2 inserts + delete wave 1
+            emb.filter(res(2)).select("id", "vector", op_null).unionByName(
+                emb.filter(d1_pred).select("id", novec, mark)
+            )
+        )
+        _drain()  # b0 boots v0, b1 tails, b2 refreshes → v2
+        fs = _FS(spark, index_base)
+        cur = _ivf_current(fs, index_base)
+        if cur != _PQ_CRUD_REFRESH_AT:
+            raise RuntimeError(
+                f"pq_crud artifact: CURRENT={cur} after first drain "
+                f"(want {_PQ_CRUD_REFRESH_AT})"
+            )
+        full2 = f"{index_base}/full_v{_PQ_CRUD_REFRESH_AT}"
+        pq2 = PQIndex.load(spark, full2)
+        baked = spark.read.parquet(f"{full2}/codes.parquet")
+        # the refresh BAKED the CRUD state: wave-1 ids out of full_v2,
+        # the negated upserts in (codes-exact — the codebooks were
+        # re-trained on the post-CRUD merged view)
+        n_d1 = baked.join(emb.filter(d1_pred).select("id"), "id").count()
+        n_ups = emb.filter(ups_pred).count()
+        n_ups_baked = baked.join(
+            pq2.encode(emb.filter(ups_pred).select("id", negated)),
+            ["id", "codes"],
+        ).count()
+        if not (n_d1 == 0 and 0 < n_ups == n_ups_baked):
+            raise RuntimeError(
+                f"pq_crud artifact: refresh did not bake the CRUD state "
+                f"(wave-1 leftovers={n_d1}, upserts {n_ups_baked}/{n_ups})"
+            )
+        # the FINAL alive corpus' codes are exactly encode(txf) under
+        # the v2 books (b3 upserts re-encode; everything else is the
+        # baked full_v2 row) — so the ADC top-3 of the undeleted state
+        # is computable NOW, and becomes the live delete wave: the
+        # query's exact undeleted top-3, non-vacuous by construction
+        enc_undel = pq2.encode(undeleted).persist()
+        D2 = [
+            int(r["id"])
+            for r in pq2.search(
+                enc_undel.filter(F.col("id") != r1), qvec, k=3
+            ).collect()
+        ]
+        final_codes_exp = enc_undel.filter(~F.col("id").isin(D2))
+        exp_top = [
+            (int(r["id"]), float(r["score"]))
+            for r in pq2.search(final_codes_exp, qvec, k=K).collect()
+        ]
+        _add(  # batch 3 (the MARKER batch): inserts + 5× wave +
+            # resurrect + LIVE delete wave D2, one micro-batch
+            emb.filter(res(3)).select("id", "vector", op_null)
+            .unionByName(emb.filter(w_pred).select("id", times5, op_null))
+            .unionByName(
+                emb.filter(F.col("id") == r1).select("id", times3, op_null)
+            )
+            .unionByName(
+                spark.createDataFrame(
+                    [(i, None, "delete") for i in D2],
+                    "id bigint, vector array<double>, op string",
+                )
+            )
+        )
+        _drain()  # b3 tails + markers
+        before_del = set(glob.glob(f"{index_base}/_deletes/batch=3/*.parquet"))
+        before_tail = set(glob.glob(f"{index_base}/tail/batch=3/*.parquet"))
+        before_full = set(glob.glob(f"{full2}/codes.parquet/*.parquet"))
+        _lose_latest_commit(ckpt)  # crash → the MARKER batch will replay
+        # MID-READ (post-crash pre-replay — landed tail + markers, lost
+        # checkpoint commit): the served codes equal the expected final
+        pq_mid, codes_mid = pq_serving_view(spark, index_base)
+        n_exp, n_mid = final_codes_exp.count(), codes_mid.count()
+        n_match = codes_mid.join(final_codes_exp, ["id", "codes"]).count()
+        if not (0 < n_exp == n_mid == n_match):
+            raise RuntimeError(
+                f"pq_crud artifact: mid serving view drifted "
+                f"(expect={n_exp} mid={n_mid} matched={n_match})"
+            )
+        # non-vacuity, each leg: the 5× wave is SERVED from the tail
+        # (newest-wins codes over the committed full_v2), the resurrect
+        # is alive, the live wave D2 — the undeleted top-3 — is gone,
+        # and the mid search returns exactly the expected post-delete
+        # top-K (D2 may include W ids: that IS within-batch delete-wins)
+        w_alive = emb.filter(w_pred).filter(~F.col("id").isin(D2))
+        n_w = w_alive.count()
+        n_w_srv = codes_mid.join(
+            pq2.encode(w_alive.select("id", times5)), ["id", "codes"]
+        ).count()
+        n_r1 = codes_mid.filter(F.col("id") == r1).count()
+        n_d2 = codes_mid.filter(F.col("id").isin(D2)).count()
+        mid_top = [
+            (int(r["id"]), float(r["score"]))
+            for r in pq_mid.search(codes_mid, qvec, k=K).collect()
+        ]
+        if not (
+            0 < n_w == n_w_srv and n_r1 == 1 and n_d2 == 0
+            and len(D2) == 3 and mid_top == exp_top
+        ):
+            raise RuntimeError(
+                f"pq_crud artifact: mid-read legs wrong (wave "
+                f"{n_w_srv}/{n_w}, resurrect={n_r1}, live-deleted={n_d2}, "
+                f"topk_match={mid_top == exp_top})"
+            )
+        enc_undel.unpersist()
+        _drain()  # NO new data: the pure replay of the marker batch
+    after_del = set(glob.glob(f"{index_base}/_deletes/batch=3/*.parquet"))
+    after_tail = set(glob.glob(f"{index_base}/tail/batch=3/*.parquet"))
+    after_full = set(glob.glob(f"{full2}/codes.parquet/*.parquet"))
+    if not before_del or before_del != after_del:
+        # skip-if-committed: byte-identical across the replay IS the
+        # property (an overwrite would pass through a dir-absent window
+        # that silently un-applies the deletes under a concurrent reader)
+        raise RuntimeError(
+            "pq_crud artifact: _deletes/batch=3 changed across the "
+            "crash-replay — the committed marker partition was rewritten"
+        )
+    if not before_tail or before_tail == after_tail:
+        raise RuntimeError(
+            "pq_crud artifact: tail/batch=3 was not rewritten — the "
+            "replay must redo the tail encode"
+        )
+    if not before_full or before_full != after_full:
+        raise RuntimeError(
+            "pq_crud artifact: full_v2 codes changed across the "
+            "crash-replay — the committed version dir was mutated"
+        )
+    if os.path.exists(f"{index_base}/_skips/3"):
+        raise RuntimeError(
+            "pq_crud artifact: the tail replay was skipped — it must "
+            "re-run (only committed refresh batches skip)"
+        )
+    # replay CONVERGENCE: the rewritten state serves the same codes
+    pq, codes = pq_serving_view(spark, index_base)
+    n_srv = codes.count()
+    n_match = codes.join(pq.encode(undeleted).filter(
+        ~F.col("id").isin(D2)
+    ), ["id", "codes"]).count()
+    if not (n_srv == n_match == n_exp):
+        raise RuntimeError(
+            f"pq_crud artifact: post-replay serving view drifted "
+            f"(expect={n_exp} serving={n_srv} matched={n_match})"
+        )
+    # the store's own merged view agrees BIDIRECTIONALLY on vectors —
+    # stream-applied CRUD is the same state through both read paths
+    final_exp = undeleted.filter(~F.col("id").isin(D2))
+    store_rows = store.read().select("id", "vector")
+    n_store, n_store_match = store_rows.count(), store_rows.join(
+        final_exp, ["id", "vector"]
+    ).count()
+    if not (n_store == n_store_match == n_exp):
+        raise RuntimeError(
+            f"pq_crud artifact: store merged view (rows={n_store}, "
+            f"matched={n_store_match}) disagrees with the serving view "
+            f"({n_exp})"
+        )
+    # 5 segments: batches 0-3 + batch 3's replay duplicate
+    n_seg = store._segments().select("segment").distinct().count()
+    if n_seg != 5:
+        raise RuntimeError(
+            f"pq_crud artifact: {n_seg} segments (want 5) — the replay "
+            "duplicate did not land"
+        )
+    lut = pq.lut(np.asarray(qvec))
+    _write_rows(
+        spark, f"{base}/lut_q.parquet",
+        [(s, c, float(lut[s][c])) for s in range(pq.m) for c in range(pq.ksub)],
+        "sub int, code int, dist double",
+    )
+
+
+def _pq_crud_live_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pq, codes = _pq_crud_live(spark, sf_dir)
+    res = pq.search(codes, _hybrid_qvec(spark, sf_dir), k=K)
+    return res.select(F.col("id").alias("vec_id"), "score")
+
+
+_register(
+    "pq_crud_live_adc",
+    _pq_crud_live_adc,
+    f"""
+WITH f AS (SELECT id, codes, CAST({_PQ_CRUD_REFRESH_AT} AS BIGINT) AS pri
+           FROM read_parquet('{_ART01}/pq_crud/index/full_v{_PQ_CRUD_REFRESH_AT}/codes.parquet/*.parquet')),
+t3 AS (SELECT id, codes, CAST(3 AS BIGINT) AS pri
+       FROM read_parquet('{_ART01}/pq_crud/index/tail/batch=3/*.parquet')),
+win AS (SELECT id, codes, pri
+        FROM (SELECT * FROM f UNION ALL SELECT * FROM t3)
+        QUALIFY row_number() OVER (PARTITION BY id ORDER BY pri DESC) = 1),
+dd AS (SELECT id, CAST(3 AS BIGINT) AS db
+       FROM read_parquet('{_ART01}/pq_crud/index/_deletes/batch=3/*.parquet')),
+c AS (SELECT win.id, win.codes FROM win LEFT JOIN dd USING (id)
+      WHERE dd.db IS NULL OR dd.db < win.pri),
+l AS (SELECT sub, code, dist FROM read_parquet('{_ART01}/pq_crud/lut_q.parquet/*.parquet')),
+d AS ({_sql_adc('c', 'l')})
+SELECT vec_id, score FROM d ORDER BY score, vec_id LIMIT {K}
+""",
+)
+
+
 # ★ HNSW LIVE CONSOLIDATION (r12 — closes the sub-graph growth loose
 # end the r11 gate documented: hnsw_ingest_stream's per-batch
 # sub-graphs grow with batch count; reference rebuild-on-compaction).

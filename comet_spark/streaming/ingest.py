@@ -827,6 +827,8 @@ def pq_ingest_stream(
     id_col: str = "id",
     vec_col: str = "vector",
     max_iter: int = 20,
+    op_col: str | None = None,
+    delete_value: str = "delete",
     trigger_available_now: bool = True,
 ) -> StreamingQuery:
     """Stream-wired PQ maintenance — the codes twin of
@@ -855,15 +857,45 @@ def pq_ingest_stream(
     pointed at it, so a crash landing BETWEEN the version commit and
     the checkpoint commit heals with zero writes. An empty micro-batch
     landing on a scheduled refresh still runs it (ADVICE r11). Same
-    contracts too: fresh ids per batch, single writer, one checkpoint
-    lineage per index base (the first batch after a (re)start fails
-    fast when its id is below the newest version/tail ever written).
+    contracts too: fresh ids per batch (append-only mode), single
+    writer, one checkpoint lineage per index base (the first batch
+    after a (re)start fails fast when its id is below the newest
+    version/tail ever written).
+
+    CRUD (``op_col`` — the reference's ``Remove``/re-``Add`` mutate the
+    PQ index on the shared write path, ``pq_index.go:318+``; r13 grows
+    the codes engine onto the :func:`ivf_ingest_stream` protocol): rows
+    follow the shared :func:`_split_ops` op contract (NULL op →
+    insert/upsert, ``delete_value`` → delete marker — anything else, a
+    NULL id, a NULL-vector upsert, or a within-batch duplicate upsert
+    id fails the micro-batch loudly). Per micro-batch the upserts land
+    as one store segment + one codes tail ENCODED WITH THE CURRENT
+    CODEBOOKS (a re-sent id simply re-encodes; the serving view
+    resolves newest-wins by version precedence), and the delete ids
+    apply as a sequenced store soft-delete AND accumulate as a
+    ``_SUCCESS``-gated ``_deletes/batch={batch_id}`` marker partition
+    the serving view anti-joins by precedence (delete at batch N hides
+    rows with precedence ≤ N; a later upsert resurrects; a same-batch
+    delete beats its own upsert). The scheduled retrain reads the
+    store's merged view — deletes and upserts already applied — so it
+    BAKES the CRUD state into ``full_v{N}``'s codes and codebooks, and
+    markers ≤ the committed version are dead and pruned at read. Crash
+    replay of a marker-carrying tail batch re-appends a newest-wins-
+    hidden duplicate segment, re-issues its delete at a fresh
+    watermark, leaves the committed marker partition byte-identical
+    (skip-if-committed), and overwrites its own codes tail —
+    idempotent, the IVF CRUD argument verbatim. A retrain scheduled
+    onto a corpus EMPTIED by deletes demotes to a journaled tail batch
+    (:func:`_demote_if_emptied`).
 
     Serving (:func:`pq_serving_view`): ADC scans the max committed
     version's codes plus the committed tails newer than it — the exact
     broadcast-LUT plan of the batch-built PQ index; tails ARE encoded
     under the current codebooks by construction, so one LUT covers
-    every component."""
+    every component. CRUD streams opt the view into the shared
+    newest-wins/anti-join plan (:func:`_crud_resolved_view`) via the
+    ``_crud`` marker — all dedup work tail-bounded, so run CRUD with
+    ``refresh_every > 0`` to keep the tail a handful of batches."""
     from comet_spark.operators.ann import PQIndex
     from comet_spark.storage.store import _FS
 
@@ -877,8 +909,11 @@ def pq_ingest_stream(
             store.force_unlock()
             first[0] = False
             cache["cur"] = _lineage_guard(
-                fs, index_base, batch_id, "pq_ingest_stream", ("tail",)
+                fs, index_base, batch_id, "pq_ingest_stream",
+                ("tail", "_deletes"),
             )
+            if op_col is not None:
+                _crud_boot(fs, index_base, id_col, "pq_ingest_stream")
         if _skip_if_committed(fs, index_base, batch_id):
             return
         cur = cache["cur"]
@@ -888,6 +923,8 @@ def pq_ingest_stream(
             refresh_every and batch_id > 0 and batch_id % refresh_every == 0
         )
         persisted = None
+        tail_rows = None  # this batch's rows to encode into its tail
+        n_ups, n_del, del_ids = 0, 0, None
         # ONE isEmpty evaluation — each is a separate Spark job re-reading
         # the source, and the second ran on the non-persisted DataFrame
         # for scheduled batches (ADVICE r12)
@@ -897,15 +934,41 @@ def pq_ingest_stream(
             # codebook drift clock must not silently skip a cycle
             if cur is None or not scheduled:
                 return
-        elif not scheduled:
-            # tail batches scan the source twice (append + encode) —
-            # persist like the IVF CRUD path (review r12 pass 5); the
-            # unpersist wraps BOTH scans (pass 6: an append failure
-            # must not leak the cached batch)
+        elif not scheduled or op_col is not None:
+            # tail batches scan the source twice (append + encode), and
+            # CRUD batches add the _split_ops probe — persist so every
+            # split scans the batch once (review r12 pass 5); the
+            # unpersist wraps ALL scans (pass 6: an append failure must
+            # not leak the cached batch)
             persisted = batch.persist()
         try:
             if not empty:
-                store.append(batch)
+                if op_col is None:
+                    store.append(batch)
+                    tail_rows = batch
+                else:
+                    ups, del_ids, n_ups, n_del = _split_ops(
+                        batch, op_col, delete_value, id_col,
+                        "pq_ingest_stream", forbid_dup_upserts=True,
+                        reject_null_payload_col=vec_col,
+                    )
+                    if n_ups:
+                        store.append(ups)
+                        tail_rows = ups
+                    if n_del:
+                        # sequenced store soft-delete FIRST (a refresh
+                        # this batch retrains on the post-delete corpus)
+                        store.delete(del_ids)
+            if scheduled and op_col is not None and _demote_if_emptied(
+                fs, store, index_base, batch_id, cur, n_ups, n_del
+            ):
+                if cur is None:
+                    return  # nothing ever landed — boot at next data
+                scheduled = False
+            if not scheduled and n_del:
+                _write_delete_marker(
+                    fs, index_base, batch_id, del_ids, id_col, bool(n_ups)
+                )
             if scheduled:
                 _version_tripwire(
                     fs, index_base, batch_id, "pq_ingest_stream"
@@ -922,13 +985,13 @@ def pq_ingest_stream(
                 pq.save(spark, full)
                 _commit_version(fs, index_base, batch_id, "pq_ingest_stream")
                 cache["cur"], cache["pq"] = batch_id, pq
-            else:
+            elif tail_rows is not None:
                 if cache["pq"] is None:
                     cache["pq"] = PQIndex.load(
                         spark, f"{index_base}/full_v{cur}"
                     )
                 cache["pq"].encode(
-                    batch, id_col=id_col, vec_col=vec_col
+                    tail_rows, id_col=id_col, vec_col=vec_col
                 ).write.mode("overwrite").parquet(
                     f"{index_base}/tail/batch={batch_id}"
                 )
@@ -952,7 +1015,10 @@ def pq_serving_view(spark, index_base: str):
     contract under a concurrent replay). Every component carries codes
     encoded under the CURRENT codebooks (tails encode with them at
     write time; the refresh re-encodes everything), so the caller's one
-    LUT scores the whole view."""
+    LUT scores the whole view. CRUD bases (the writer left a ``_crud``
+    marker) resolve through the shared newest-wins/anti-join plan
+    (:func:`_crud_resolved_view`) — tail-bounded dedup, precedence-
+    ordered delete markers, the IVF CRUD semantics verbatim."""
     from comet_spark.operators.ann import PQIndex
     from comet_spark.storage.store import _FS
 
@@ -964,11 +1030,10 @@ def pq_serving_view(spark, index_base: str):
             "— the stream has not committed a serving version yet"
         )
     pq = PQIndex.load(spark, f"{index_base}/full_v{cur}")
-    tail_root = f"{index_base}/tail"
-    comps = [f"{index_base}/full_v{cur}/codes.parquet"] + [
-        f"{tail_root}/{n}" for n in _live_batches(fs, tail_root, cur)
-    ]
-    codes = spark.read.parquet(*comps)
+    codes = spark.read.parquet(f"{index_base}/full_v{cur}/codes.parquet")
+    codes = _crud_resolved_view(
+        spark, fs, index_base, codes, cur, who="pq_serving_view"
+    )
     if "batch" in codes.columns:
         codes = codes.drop("batch")
     return pq, codes

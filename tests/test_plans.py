@@ -534,6 +534,25 @@ def test_pq_live_serving_plan_is_codegen_adc(spark):
     assert "TakeOrderedAndProject" in plan, plan
 
 
+def test_pq_crud_serving_plan_is_codegen_adc(spark):
+    """pq_crud_live_adc (r13) keeps the broadcast-LUT ADC codegen shape
+    through the CRUD joins: the LUT folds as literal arrays in codegen
+    (no Python anywhere), the newest-wins window and delete anti-join
+    are bounded by the TAIL (the full codes side only sheds shadowed
+    ids via the tail-id anti-join), and top-k stays
+    TakeOrderedAndProject."""
+    df = entry_mod.queries()["pq_crud_live_adc"](spark, SF_DIR_SMALL)
+    plan = _plan(df)
+    assert "pq_crud/index" in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    # the corpus-sized component (full codes) must never be the window
+    # input: the only Window in the plan partitions over tail rows
+    win_segs = plan.split("Window")[1:]
+    assert win_segs, plan
+    assert not any("full_v" in seg[:2000] for seg in win_segs[:1]), plan
+
+
 def test_hnsw_compact_topk_plan_is_codegen(spark):
     """hnsw_live_compact_topk's serving phase (exact scoring over the
     exported beam) stays JVM-side: broadcast candidate join + codegen

@@ -2741,6 +2741,134 @@ def test_pq_ingest_stream_versioned_refresh_and_skip_replay(spark, tmp_path):
     assert got == want
 
 
+def test_pq_ingest_stream_crud_ops(spark, tmp_path):
+    """op_col CRUD through the live-maintained PQ stream (r13 — the
+    codes twin of test_ivf_ingest_stream_crud_ops): upserts re-encode
+    into the tail and shadow older codes (newest-wins by version
+    precedence), delete markers hide rows at or below their batch, a
+    same-batch delete beats its own upsert, a LATER re-append
+    resurrects, and the serving codes stay exactly the current-codebook
+    encode of the store's merged view."""
+    import os
+
+    from comet_spark.storage.store import DocumentStore
+    from comet_spark.streaming.ingest import pq_ingest_stream, pq_serving_view
+
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+    index_base = str(tmp_path / "index")
+    store = DocumentStore(spark, str(tmp_path / "store"), id_col="id")
+
+    def feed(rows):
+        spark.createDataFrame(
+            rows, "id bigint, vector array<double>, op string"
+        ).repartition(1).write.mode("append").parquet(src)
+
+    def drain():
+        q = pq_ingest_stream(
+            spark.readStream.schema(
+                "id bigint, vector array<double>, op string"
+            )
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src),
+            store, index_base, checkpoint=ckpt, m=2, nbits=2, op_col="op",
+        )
+        assert q.awaitTermination(300)
+
+    # batch 0: inserts 0..7 → boot v0
+    feed([(i, [float(i), float(i) / 2, 0.0, 1.0], None) for i in range(8)])
+    # batch 1: upsert id 2 (moved vector), upsert id 6 AND delete id 6
+    # (delete wins within a batch), delete id 5, fresh ids 10..13
+    feed(
+        [(2, [100.0, 100.0, 0.0, 1.0], None), (6, [6.5, 0.0, 0.0, 1.0], None)]
+        + [(i, [float(i), 0.0, 0.0, 1.0], None) for i in range(10, 14)]
+        + [(6, None, "delete"), (5, None, "delete")]
+    )
+    drain()
+    assert os.path.exists(f"{index_base}/_crud")
+    assert os.path.exists(f"{index_base}/_deletes/batch=1/_SUCCESS")
+    pq, codes = pq_serving_view(spark, index_base)
+    got = {r["id"] for r in codes.select("id").collect()}
+    want_ids = ({0, 1, 2, 3, 4, 7} | set(range(10, 14)))  # 5 and 6 deleted
+    assert got == want_ids
+    # the serving codes ARE the current-codebook encode of the merged
+    # view (newest-wins, deletes applied) — upsert shadowing included
+    direct = {
+        (r["id"], tuple(r["codes"]))
+        for r in pq.encode(store.read()).collect()
+    }
+    served = {(r["id"], tuple(r["codes"])) for r in codes.collect()}
+    assert served == direct
+    # batch 2: re-append id 5 → resurrects (upsert batch 2 > delete batch 1)
+    feed([(5, [55.0, 0.0, 0.0, 1.0], None)])
+    drain()
+    _, codes = pq_serving_view(spark, index_base)
+    assert {r["id"] for r in codes.select("id").collect()} == want_ids | {5}
+    # a NULL-vector upsert fails the PQ CRUD batch loudly too
+    feed([(3, None, None)])
+    q = pq_ingest_stream(
+        spark.readStream.schema("id bigint, vector array<double>, op string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src),
+        store, index_base, checkpoint=ckpt, m=2, nbits=2, op_col="op",
+    )
+    with pytest.raises(Exception, match="NULL-payload upsert"):
+        assert q.awaitTermination(300)
+
+
+def test_pq_crud_refresh_bakes_markers(spark, tmp_path):
+    """A scheduled PQ retrain under CRUD bakes tails and markers into
+    full_v{N} (codes + codebooks re-trained on the post-CRUD merged
+    view); a scheduled batch's own deletes are baked by its retrain —
+    no marker partition is written for it — and the view prunes markers
+    ≤ the committed version."""
+    import os
+
+    from comet_spark.storage.store import DocumentStore
+    from comet_spark.streaming.ingest import pq_ingest_stream, pq_serving_view
+
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+    index_base = str(tmp_path / "index")
+    store = DocumentStore(spark, str(tmp_path / "store"), id_col="id")
+
+    def feed(rows):
+        spark.createDataFrame(
+            rows, "id bigint, vector array<double>, op string"
+        ).repartition(1).write.mode("append").parquet(src)
+
+    feed([(i, [float(i), 0.0, 1.0, 0.0], None) for i in range(8)])     # b0 → v0
+    feed(  # b1 tail: a delete marker + fresh inserts
+        [(i, [float(i), 0.0, 1.0, 0.0], None) for i in range(10, 14)]
+        + [(7, None, "delete")]
+    )
+    feed(  # b2 = scheduled REFRESH with upserts AND deletes
+        [(2, [200.0, 0.0, 1.0, 0.0], None)]
+        + [(i, [float(i), 0.0, 1.0, 0.0], None) for i in range(20, 24)]
+        + [(5, None, "delete")]
+    )
+    q = pq_ingest_stream(
+        spark.readStream.schema("id bigint, vector array<double>, op string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src),
+        store, index_base, checkpoint=ckpt, m=2, nbits=2,
+        refresh_every=2, op_col="op",
+    )
+    assert q.awaitTermination(300)
+    assert os.path.exists(f"{index_base}/_versions/2")
+    assert os.path.exists(f"{index_base}/_deletes/batch=1/_SUCCESS")
+    assert not os.path.exists(f"{index_base}/_deletes/batch=2"), (
+        "scheduled batch wrote a delete marker its retrain already baked"
+    )
+    pq, codes = pq_serving_view(spark, index_base)
+    got = {r["id"] for r in codes.select("id").collect()}
+    assert got == (set(range(8)) | set(range(10, 14)) | set(range(20, 24))) - {5, 7}
+    # the baked codes equal a direct encode of the merged view
+    direct = {
+        (r["id"], tuple(r["codes"]))
+        for r in pq.encode(store.read()).collect()
+    }
+    assert {(r["id"], tuple(r["codes"])) for r in codes.collect()} == direct
+
+
 def test_hnsw_ingest_stream_consolidation(spark, tmp_path):
     """refresh_every consolidation: batch 2 rebuilds ONE sub-graph set
     over the merged view into full_v2 (marker-committed, immutable
