@@ -8251,6 +8251,326 @@ SELECT vec_id, score FROM d ORDER BY score, vec_id LIMIT {K}
 )
 
 
+# ★ CRUD THROUGH THE LIVE GRAPH STREAM (r13 directive #2 — reference
+# ``hnsw_index.go:305-431`` removes nodes with graph repair, and
+# deleted nodes still ROUTE traversal, ``hnsw_index.go:507-510``):
+# ``hnsw_ingest_stream(op_col=...)`` lands upserts as per-batch
+# sub-graphs that SHADOW older beams at the scored output (the exact
+# rescore semi-joins the beam against the store's newest-wins merged
+# view, so an upserted id scores with its NEWEST vector whichever
+# sub-graph surfaced it) and deletes as the store's sequenced
+# soft-delete — exclusion applied AFTER the beam, the reference's
+# exact semantics. The scheduled consolidation (b3) BAKES the CRUD
+# state out of the graph (builder-asserted by node count: deleted rows
+# leave entirely). The LIVE delete wave D2 is the exact undeleted
+# top-3 — non-vacuous by construction: its baked nodes STILL ROUTE
+# (builder asserts D2 ⊆ the beam) while the served top-k excludes
+# them, which is precisely 'a deleted id was in the undeleted top-k'.
+# The injected crash replays the b4 marker batch: sub-graph dir
+# rewritten, consolidation byte-identical, store converged. Oracle =
+# exact L2 over (exported beam ∩ the CASE-transformed alive corpus).
+_HNSW_CRUD_MOD = 4
+_HNSW_CRUD_REFRESH_AT = 3
+_HNSW_CRUD_EF = 100
+_HNSW_CRUD_CACHE: dict[tuple[str, str, str], object] = {}
+
+
+def _hnsw_crud(spark: SparkSession, sf_dir: str):
+    """(serving graph, alive store view) over the CRUD'd stream
+    artifact — the graph carries stale/deleted nodes by design; the
+    store's merged view is the single alive/newest authority the
+    rescore joins against."""
+    from comet_spark.storage.store import DocumentStore
+    from comet_spark.streaming.ingest import hnsw_serving_view
+
+    key = _live_cache_key(spark, sf_dir, "embeddings")
+    if key not in _HNSW_CRUD_CACHE:
+        _evict_superseded(_HNSW_CRUD_CACHE, key, lambda t: _unpersist_graphs(t[0]))
+        base = f"{_art_dir(sf_dir)}/hnsw_crud"
+        graphs = f"{base}/graphs"
+        _fresh_stream_artifact(
+            spark, sf_dir, base, f"{graphs}/meta.parquet",
+            lambda: _build_hnsw_crud_artifact(spark, sf_dir, base),
+            table="embeddings",
+            # the STORE is a serving component here (alive + newest
+            # vectors) — probe it like meta_crud_stream does
+            probe_paths=[
+                f"{graphs}/full_v{_HNSW_CRUD_REFRESH_AT}/parts",
+                f"{graphs}/parts/batch=4",
+                f"{base}/store/data", f"{base}/store/_deletes",
+                f"{base}/d2.parquet",
+            ],
+            probe_files=[
+                f"{graphs}/_versions/{_HNSW_CRUD_REFRESH_AT}",
+                f"{graphs}/full_v{_HNSW_CRUD_REFRESH_AT}/parts/_SUCCESS",
+                f"{graphs}/parts/batch=4/_SUCCESS",
+            ],
+        )
+        ix = hnsw_serving_view(spark, graphs)
+        ix.graphs = ix.graphs.cache()
+        store = DocumentStore(spark, f"{base}/store", id_col="id")
+        _HNSW_CRUD_CACHE[key] = (ix, store)
+    return _HNSW_CRUD_CACHE[key]
+
+
+def _build_hnsw_crud_artifact(
+    spark: SparkSession, sf_dir: str, base: str
+) -> None:
+    """POSIX-local oracle-artifact harness (same contract as the other
+    stream builders)."""
+    import glob
+    import shutil
+
+    from comet_spark.functions.vector import distance
+    from comet_spark.operators.hnsw import DistributedHNSW, score_candidates
+    from comet_spark.storage.store import DocumentStore, _FS
+    from comet_spark.streaming.ingest import hnsw_ingest_stream, hnsw_serving_view
+
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(base, exist_ok=True)
+    src, ckpt = f"{base}/src", f"{base}/ckpt"
+    store_path, graph_base = f"{base}/store", f"{base}/graphs"
+    emb = _t(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("id"),
+        F.col("embedding").cast("array<double>").alias("vector"),
+    )
+    res = lambda m: F.col("id") % _HNSW_CRUD_MOD == m  # noqa: E731
+    ups_pred = res(0) & (F.col("id") % 3 == 0)  # _IVF_CRUD_UPS_SQL shape
+    d1_pred = (F.col("id") % 10 == 7) & (F.col("id") % 4 < 3)
+    w_pred = (
+        (F.col("id") % 9 == 1)
+        & (F.col("id") % 4 < 3)
+        & (F.col("id") % 10 != 7)
+    )
+    negated = F.transform("vector", lambda x: -x).alias("vector")
+    times5 = F.transform("vector", lambda x: x * F.lit(5.0)).alias("vector")
+    times3 = F.transform("vector", lambda x: x * F.lit(3.0)).alias("vector")
+    op_null = F.lit(None).cast("string").alias("op")
+    mark = F.lit("delete").alias("op")
+    novec = F.lit(None).cast("array<double>").alias("vector")
+    store = DocumentStore(spark, store_path, id_col="id")
+    _add, _drain = _feed_drain(
+        spark, src,
+        lambda: hnsw_ingest_stream(
+            spark.readStream.schema(
+                "id bigint, vector array<double>, op string"
+            )
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src),
+            store, graph_base, checkpoint=ckpt, m=8, parts_per_batch=4,
+            refresh_every=_HNSW_CRUD_REFRESH_AT,
+            consolidate_rows_per_part=_HNSW_CRUD_EF, op_col="op",
+        ),
+        "hnsw_crud",
+    )
+    r1 = emb.filter(d1_pred).agg(F.min("id")).first()[0]  # wave-1 min
+    if r1 is None:
+        raise RuntimeError("hnsw_crud artifact: delete wave 1 is empty")
+    r1 = int(r1)
+    txf = _ivf_crud_txf(emb, r1)  # the shared CASE-transformed corpus
+    undeleted = txf.filter(~d1_pred | (F.col("id") == r1))
+    qvec = _hybrid_qvec(spark, sf_dir)
+    qlit = F.array(*[F.lit(float(x)) for x in qvec])
+    D2 = [
+        int(r["id"])
+        for r in undeleted.filter(F.col("id") != r1)
+        .select("id", distance("l2", F.col("vector"), qlit).alias("d"))
+        .orderBy("d", "id").limit(3).collect()
+    ]
+    final_exp = undeleted.filter(~F.col("id").isin(D2))
+    exp_top = [
+        (int(r["id"]), float(r["score"]))
+        for r in final_exp.select(
+            "id", F.round(
+                distance("l2", F.col("vector"), qlit), 6
+            ).alias("score")
+        ).orderBy("score", "id").limit(K).collect()
+    ]
+
+    with _scoped_shuffle_partitions(spark):
+        _add(emb.filter(res(0)).select("id", "vector", op_null))
+        _add(  # batch 1: residue-1 inserts + the NEGATED upsert leg
+            emb.filter(res(1)).select("id", "vector", op_null).unionByName(
+                emb.filter(ups_pred).select("id", negated, op_null)
+            )
+        )
+        _add(  # batch 2: residue-2 inserts + delete wave 1
+            emb.filter(res(2)).select("id", "vector", op_null).unionByName(
+                emb.filter(d1_pred).select("id", novec, mark)
+            )
+        )
+        _add(emb.filter(res(3)).select("id", "vector", op_null))  # b3 = CONSOLIDATION
+        _add(  # batch 4 (the LIVE wave): 5× wave + resurrect + delete
+            # wave D2 — the exact undeleted top-3 — one micro-batch
+            emb.filter(w_pred).select("id", times5, op_null)
+            .unionByName(
+                emb.filter(F.col("id") == r1).select("id", times3, op_null)
+            )
+            .unionByName(
+                spark.createDataFrame(
+                    [(i, None, "delete") for i in D2],
+                    "id bigint, vector array<double>, op string",
+                )
+            )
+        )
+        _drain()  # b0-b2 parts, b3 consolidates → v3, b4 parts + deletes
+        fs = _FS(spark, graph_base)
+        if not fs.exists(f"{graph_base}/_versions/{_HNSW_CRUD_REFRESH_AT}"):
+            raise RuntimeError(
+                "hnsw_crud artifact: consolidation marker missing after "
+                "the drain"
+            )
+        full3 = f"{graph_base}/full_v{_HNSW_CRUD_REFRESH_AT}"
+        # the consolidation BAKED the CRUD state: node count over the
+        # full_v3 sub-graphs == the post-CRUD corpus at b3 (all four
+        # residues in, wave 1 out, r1 not yet resurrected) — deleted
+        # rows leave the graph entirely, they can no longer route
+        n_baked = spark.read.parquet(f"{full3}/parts").agg(
+            F.sum("n_rows")
+        ).first()[0]
+        n_b3 = emb.count() - emb.filter(d1_pred).count()
+        if n_baked != n_b3:
+            raise RuntimeError(
+                f"hnsw_crud artifact: consolidation holds {n_baked} nodes "
+                f"(want {n_b3}) — the CRUD state was not baked"
+            )
+        before_parts = set(glob.glob(f"{graph_base}/parts/batch=4/*.parquet"))
+        before_full = set(glob.glob(f"{full3}/parts/*.parquet"))
+        _lose_latest_commit(ckpt)  # crash → the LIVE wave batch replays
+        # MID-READ (post-crash pre-replay): deleted ids STILL ROUTE —
+        # D2's baked nodes surface in the beam — while the served top-k
+        # excludes them and scores upserts with their NEWEST vectors
+        ix_mid = hnsw_serving_view(spark, graph_base)
+        cand_mid = ix_mid.candidates(qvec, ef_search=_HNSW_CRUD_EF).distinct()
+        beam_ids = {int(r["id"]) for r in cand_mid.collect()}
+        if not set(D2) <= beam_ids:
+            raise RuntimeError(
+                f"hnsw_crud artifact: live-deleted top-3 {D2} not all in "
+                f"the beam — deleted nodes must still route "
+                f"(missing={sorted(set(D2) - beam_ids)})"
+            )
+        store_mid = store.read()
+        mid_top = [
+            (int(r["id"]), float(r["score"]))
+            for r in score_candidates(
+                store_mid, cand_mid, qvec, metric="l2", k=K
+            ).collect()
+        ]
+        if any(i in D2 for i, _ in mid_top):
+            raise RuntimeError(
+                "hnsw_crud artifact: a live-deleted id was SERVED — the "
+                "rescore semi-join did not exclude it"
+            )
+        # beam recall floor vs the exact undeleted-final top-K: the
+        # ef-capped consolidated sub-graphs walk whole, so the beam
+        # covers the corpus structurally — but keep a floor, not
+        # equality, against sub-graph disconnection on a regen
+        hits = len({i for i, _ in mid_top} & {i for i, _ in exp_top})
+        if hits < int(0.9 * K):
+            raise RuntimeError(
+                f"hnsw_crud artifact: beam recall {hits}/{K} below floor "
+                "on the undeleted-final top-K"
+            )
+        # the store agrees BIDIRECTIONALLY with the CASE corpus (this
+        # is what lets the oracle take vectors from SQL)
+        n_exp = final_exp.count()
+        n_store = store_mid.select("id", "vector").count()
+        n_match = store_mid.select("id", "vector").join(
+            final_exp, ["id", "vector"]
+        ).count()
+        if not (0 < n_exp == n_store == n_match):
+            raise RuntimeError(
+                f"hnsw_crud artifact: store merged view (rows={n_store}, "
+                f"matched={n_match}) disagrees with the CASE corpus "
+                f"({n_exp})"
+            )
+        _drain()  # NO new data: the pure replay of the live-wave batch
+    after_parts = set(glob.glob(f"{graph_base}/parts/batch=4/*.parquet"))
+    after_full = set(glob.glob(f"{full3}/parts/*.parquet"))
+    if not before_parts or before_parts == after_parts:
+        raise RuntimeError(
+            "hnsw_crud artifact: parts/batch=4 was not rewritten — the "
+            "replay must redo the sub-graph build"
+        )
+    if not before_full or before_full != after_full:
+        raise RuntimeError(
+            "hnsw_crud artifact: full_v3 parts changed across the "
+            "crash-replay — the committed consolidation was mutated"
+        )
+    if os.path.exists(f"{graph_base}/_skips/4"):
+        raise RuntimeError(
+            "hnsw_crud artifact: the live-wave replay was skipped — it "
+            "must re-run (only committed consolidation batches skip)"
+        )
+    # replay CONVERGENCE: same served top-k, same store state
+    ix = hnsw_serving_view(spark, graph_base)
+    cand = ix.candidates(qvec, ef_search=_HNSW_CRUD_EF).distinct()
+    post_top = [
+        (int(r["id"]), float(r["score"]))
+        for r in score_candidates(
+            store.read(), cand, qvec, metric="l2", k=K
+        ).collect()
+    ]
+    if post_top != mid_top:
+        raise RuntimeError(
+            "hnsw_crud artifact: post-replay top-k drifted from the "
+            "mid-read"
+        )
+    # 6 segments: batches 0-4 + batch 4's replay duplicate
+    n_seg = store._segments().select("segment").distinct().count()
+    if n_seg != 6:
+        raise RuntimeError(
+            f"hnsw_crud artifact: {n_seg} segments (want 6) — the replay "
+            "duplicate did not land"
+        )
+    _write_rows(
+        spark, f"{base}/d2.parquet", [(int(i),) for i in D2], "id bigint"
+    )
+
+
+def _hnsw_crud_live_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE beam over the CRUD'd graph (stale/deleted nodes routing),
+    exact rescore against the store's newest-wins merged view — the
+    candidate set exports per session for the oracle's replay (the
+    _hnsw_export_topk scheme with the STORE as the vector authority)."""
+    from comet_spark.operators.hnsw import score_candidates
+
+    ix, store = _hnsw_crud(spark, sf_dir)
+    qvec = _hybrid_qvec(spark, sf_dir)
+    art = f"{_art_dir(sf_dir)}/hnsw_crud"
+    key2 = _live_cache_key(spark, sf_dir, "embeddings") + ("hnsw_crud_cands",)
+    if key2 not in _PROBE_WRITTEN:
+        ix.candidates(qvec, ef_search=_HNSW_CRUD_EF).distinct().repartition(
+            1
+        ).write.mode("overwrite").parquet(f"{art}/candidates.parquet")
+        _PROBE_WRITTEN.add(key2)
+    cand = spark.read.parquet(f"{art}/candidates.parquet")
+    res = score_candidates(store.read(), cand, qvec, metric="l2", k=K)
+    return res.select(F.col("id").alias("vec_id"), "score")
+
+
+_register(
+    "hnsw_crud_live_topk",
+    _hnsw_crud_live_topk,
+    f"""
+WITH c AS (SELECT id FROM read_parquet('{_ART01}/hnsw_crud/candidates.parquet/*.parquet')),
+d2 AS (SELECT id FROM read_parquet('{_ART01}/hnsw_crud/d2.parquet/*.parquet')),
+q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = {QUERY_VEC_ID}),
+e AS (SELECT vec_id AS id,
+        CASE WHEN vec_id = {_IVF_CRUD_RS_SQL} THEN list_transform(embedding::DOUBLE[], x -> x * 3.0)
+             WHEN {_IVF_CRUD_W_SQL} THEN list_transform(embedding::DOUBLE[], x -> x * 5.0)
+             WHEN {_IVF_CRUD_UPS_SQL} THEN list_transform(embedding::DOUBLE[], x -> -x)
+             ELSE embedding::DOUBLE[] END AS v
+      FROM embeddings
+      WHERE NOT ({_IVF_CRUD_D1_SQL}) OR vec_id = {_IVF_CRUD_RS_SQL}),
+alive AS (SELECT e.id, e.v FROM e LEFT JOIN d2 USING (id) WHERE d2.id IS NULL),
+vd AS (SELECT a.id AS vec_id, ROUND({_sql_l2('a.v', 'q.qv')}, 6) AS score
+       FROM alive a JOIN c USING (id), q)
+SELECT vec_id, score FROM vd ORDER BY score, vec_id LIMIT {K}
+""",
+)
+
+
 # ★ EXACT dedup on the stream under the oracle gate — the last
 # streaming operator that was pytest-only: ``dedup_stream``
 # (dropDuplicatesWithinWatermark on the content hash, the

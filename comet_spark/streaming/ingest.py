@@ -1098,6 +1098,8 @@ def hnsw_ingest_stream(
     vec_col: str = "vector",
     refresh_every: int = 0,
     consolidate_rows_per_part: int = 200_000,
+    op_col: str | None = None,
+    delete_value: str = "delete",
     trigger_available_now: bool = True,
 ) -> StreamingQuery:
     """Stream-wired GRAPH maintenance — the HNSW twin of
@@ -1149,7 +1151,36 @@ def hnsw_ingest_stream(
     recycled ids). Restarting with different ``m``/``metric`` against
     an existing graph fails fast too: the serving view constructs ONE
     DistributedHNSW from the recorded meta, and sub-graphs built under
-    different parameters would silently mis-walk (ADVICE r11)."""
+    different parameters would silently mis-walk (ADVICE r11).
+
+    CRUD (``op_col`` — r13, the graph cell of the reference's shared
+    write path: ``hnsw_index.go:305-431`` removes nodes with graph
+    repair, and deleted nodes still ROUTE traversal,
+    ``hnsw_index.go:507-510``): rows follow the shared
+    :func:`_split_ops` contract (NULL op → insert/upsert,
+    ``delete_value`` → delete marker; a NULL id, NULL-vector upsert,
+    typo'd op, or within-batch duplicate upsert id fails the
+    micro-batch loudly). Per micro-batch the upserts land as one store
+    segment + one per-batch sub-graph set (an upsert's NEW vector joins
+    the graph; the old sub-graph keeps the stale node), and the delete
+    ids apply as ONE sequenced store soft-delete — no ``_deletes``
+    marker partitions here: the graph is a CANDIDATE structure, not the
+    value store, so deletes and upsert-shadowing resolve at the serving
+    tail, where :func:`comet_spark.operators.hnsw.score_candidates`'s
+    exact rescore semi-joins the beam against the store's newest-wins
+    merged view — deleted ids drop out (absent from the view), upserted
+    ids score with their NEWEST vector whichever sub-graph surfaced
+    them. That IS the reference's semantics: stale/deleted nodes keep
+    routing traversal until a rebuild; exclusion applies to RESULTS.
+    Size the beam for the exclusions (``_inflated_ef``) when the
+    deleted fraction is material. The scheduled consolidation reads the
+    merged view — CRUD already applied — so it BAKES deletes and
+    upserts out of the graph entirely; a consolidation scheduled onto a
+    corpus EMPTIED by deletes demotes to a journaled no-op batch.
+    Crash replay: the replayed batch re-appends a newest-wins-hidden
+    duplicate segment, re-issues its delete at a fresh watermark, and
+    overwrites its own sub-graph dir — idempotent, the IVF CRUD
+    argument with the store as the single delete authority."""
     from comet_spark.operators.hnsw import DistributedHNSW
     from comet_spark.storage.store import _FS
 
@@ -1188,6 +1219,9 @@ def hnsw_ingest_stream(
         scheduled = bool(
             refresh_every and batch_id > 0 and batch_id % refresh_every == 0
         )
+        persisted = None
+        gb_rows = None  # this batch's rows to build sub-graphs over
+        n_ups, n_del = 0, 0
         if batch.isEmpty():
             # an empty trigger landing ON a scheduled consolidation
             # still runs it (the ADVICE-r11 empty-refresh rule, applied
@@ -1196,64 +1230,104 @@ def hnsw_ingest_stream(
             if not scheduled or not store._fs.exists(store.data_path):
                 return
         else:
-            store.append(batch)
+            if op_col is None:
+                store.append(batch)
+                gb_rows = batch
+            else:
+                persisted = batch.persist()  # every split scans it once
+                ups, del_ids, n_ups, n_del = _split_ops(
+                    batch, op_col, delete_value, id_col,
+                    "hnsw_ingest_stream", forbid_dup_upserts=True,
+                    reject_null_payload_col=vec_col,
+                )
+                if n_ups:
+                    store.append(ups)
+                    gb_rows = ups
+                if n_del:
+                    # sequenced store soft-delete — the store is the
+                    # single delete authority for the graph engine (a
+                    # consolidation this batch rebuilds the post-delete
+                    # corpus; serving's rescore semi-join applies it
+                    # everywhere else)
+                    store.delete(del_ids)
             if not fs.exists(f"{graph_base}/meta.parquet/_SUCCESS"):
                 spark.createDataFrame(
                     [(m, metric)], "m int, metric string"
                 ).repartition(1).write.mode("overwrite").parquet(
                     f"{graph_base}/meta.parquet"
                 )
-        if scheduled:
-            # CONSOLIDATION: one rebuild over the merged view replaces
-            # every sub-graph so far; per-batch dirs ≤ batch_id stop
-            # being served the moment the marker lands (they stay on
-            # disk for a post-drain cleanup — serving never reads them)
-            _version_tripwire(
-                fs, graph_base, batch_id, "hnsw_ingest_stream"
-            )
-            # a torn meta (crash mid-meta-write) would otherwise stay
-            # torn across empty triggers and scheduled batches — only a
-            # data-carrying batch rewrites it — leaving serving down
-            # indefinitely even though committed graph state exists
-            # (ADVICE r12); m/metric are in hand, rewrite it here too
-            if not fs.exists(f"{graph_base}/meta.parquet/_SUCCESS"):
-                spark.createDataFrame(
-                    [(m, metric)], "m int, metric string"
-                ).repartition(1).write.mode("overwrite").parquet(
-                    f"{graph_base}/meta.parquet"
+        try:
+            if scheduled and op_col is not None and _demote_if_emptied(
+                fs, store, graph_base, batch_id,
+                _ivf_current(fs, graph_base), n_ups, n_del,
+            ):
+                # deletes emptied the corpus (or nothing ever landed):
+                # consolidating zero rows would crash-loop the replay —
+                # journaled no-op; serving keeps the old state, whose
+                # dead rows the rescore semi-join already hides
+                scheduled = False
+            if scheduled:
+                # CONSOLIDATION: one rebuild over the merged view
+                # replaces every sub-graph so far; per-batch dirs
+                # ≤ batch_id stop being served the moment the marker
+                # lands (they stay on disk for a post-drain cleanup —
+                # serving never reads them)
+                _version_tripwire(
+                    fs, graph_base, batch_id, "hnsw_ingest_stream"
                 )
-            merged = store.read()
-            # the consolidation input is CORPUS-sized, not batch-sized:
-            # parts_per_batch is a per-micro-batch knob, and each build
-            # task materializes its whole partition — scale the
-            # partition count so per-task memory stays bounded as the
-            # corpus grows (review r12 pass 2). Deterministic: the
-            # count is a property of the merged view.
-            n_rows = merged.count()
-            n_parts = max(
-                parts_per_batch,
-                -(-n_rows // max(1, consolidate_rows_per_part)),
-            )
-            full = DistributedHNSW.build(
-                merged, id_col=id_col, vec_col=vec_col, m=m,
+                # a torn meta (crash mid-meta-write) would otherwise
+                # stay torn across empty triggers and scheduled batches
+                # — only a data-carrying batch rewrites it — leaving
+                # serving down indefinitely even though committed graph
+                # state exists (ADVICE r12); m/metric are in hand,
+                # rewrite it here too
+                if not fs.exists(f"{graph_base}/meta.parquet/_SUCCESS"):
+                    spark.createDataFrame(
+                        [(m, metric)], "m int, metric string"
+                    ).repartition(1).write.mode("overwrite").parquet(
+                        f"{graph_base}/meta.parquet"
+                    )
+                merged = store.read()
+                # the consolidation input is CORPUS-sized, not
+                # batch-sized: parts_per_batch is a per-micro-batch
+                # knob, and each build task materializes its whole
+                # partition — scale the partition count so per-task
+                # memory stays bounded as the corpus grows (review r12
+                # pass 2). Deterministic: the count is a property of
+                # the merged view.
+                n_rows = merged.count()
+                n_parts = max(
+                    parts_per_batch,
+                    -(-n_rows // max(1, consolidate_rows_per_part)),
+                )
+                full = DistributedHNSW.build(
+                    merged, id_col=id_col, vec_col=vec_col, m=m,
+                    ef_construction=ef_construction, seed=seed,
+                    metric=metric, num_partitions=n_parts, cache=False,
+                )
+                full.graphs.write.mode("overwrite").parquet(
+                    f"{graph_base}/full_v{batch_id}/parts"
+                )
+                _commit_version(
+                    fs, graph_base, batch_id, "hnsw_ingest_stream"
+                )
+                return
+            if gb_rows is None:
+                # a delete-only CRUD batch: the store soft-delete IS
+                # the whole write — batch numbering advanced, nothing
+                # to build
+                return
+            fresh = DistributedHNSW.build(
+                gb_rows, id_col=id_col, vec_col=vec_col, m=m,
                 ef_construction=ef_construction, seed=seed, metric=metric,
-                num_partitions=n_parts, cache=False,
+                num_partitions=parts_per_batch, cache=False,
             )
-            full.graphs.write.mode("overwrite").parquet(
-                f"{graph_base}/full_v{batch_id}/parts"
+            fresh.graphs.write.mode("overwrite").parquet(
+                f"{graph_base}/parts/batch={batch_id}"
             )
-            _commit_version(
-                fs, graph_base, batch_id, "hnsw_ingest_stream"
-            )
-            return
-        fresh = DistributedHNSW.build(
-            batch, id_col=id_col, vec_col=vec_col, m=m,
-            ef_construction=ef_construction, seed=seed, metric=metric,
-            num_partitions=parts_per_batch, cache=False,
-        )
-        fresh.graphs.write.mode("overwrite").parquet(
-            f"{graph_base}/parts/batch={batch_id}"
-        )
+        finally:
+            if persisted is not None:
+                persisted.unpersist()
 
     writer = stream.writeStream.foreachBatch(write_batch).option(
         "checkpointLocation", checkpoint

@@ -553,6 +553,20 @@ def test_pq_crud_serving_plan_is_codegen_adc(spark):
     assert not any("full_v" in seg[:2000] for seg in win_segs[:1]), plan
 
 
+def test_hnsw_crud_topk_plan_is_codegen(spark):
+    """hnsw_crud_live_topk's serving tail (exact rescore of the beam
+    against the store's newest-wins merged view) stays JVM-side: the
+    alive/newest resolution is the store's window + anti-join, the
+    candidate semi-join broadcasts, distance is codegen, top-k is
+    TakeOrderedAndProject — no Python. (The beam itself is the Arrow
+    graph-walk path, priced per ef, not per corpus.)"""
+    df = entry_mod.queries()["hnsw_crud_live_topk"](spark, SF_DIR_SMALL)
+    plan = _plan(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, plan
+
+
 def test_hnsw_compact_topk_plan_is_codegen(spark):
     """hnsw_live_compact_topk's serving phase (exact scoring over the
     exported beam) stays JVM-side: broadcast candidate join + codegen

@@ -2869,6 +2869,91 @@ def test_pq_crud_refresh_bakes_markers(spark, tmp_path):
     assert {(r["id"], tuple(r["codes"])) for r in codes.collect()} == direct
 
 
+def test_hnsw_ingest_stream_crud_ops(spark, tmp_path):
+    """op_col CRUD through the live-grown graph (r13): upserts join the
+    graph as per-batch sub-graphs (the stale node keeps ROUTING
+    traversal — reference hnsw_index.go:507-510), deletes apply as the
+    store's sequenced soft-delete, and the serving tail's exact-rescore
+    semi-join against the merged view excludes deleted ids and scores
+    upserted ids with their NEWEST vector; a consolidation BAKES the
+    CRUD state out of the graph; a retrain onto an emptied corpus
+    demotes instead of crash-looping."""
+    import os
+
+    from comet_spark.operators.hnsw import score_candidates
+    from comet_spark.storage.store import DocumentStore
+    from comet_spark.streaming.ingest import hnsw_ingest_stream, hnsw_serving_view
+
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+    graph_base = str(tmp_path / "graphs")
+    store = DocumentStore(spark, str(tmp_path / "store"), id_col="id")
+
+    def feed(rows):
+        spark.createDataFrame(
+            rows, "id bigint, vector array<double>, op string"
+        ).repartition(1).write.mode("append").parquet(src)
+
+    def drain(refresh_every=0):
+        q = hnsw_ingest_stream(
+            spark.readStream.schema(
+                "id bigint, vector array<double>, op string"
+            )
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src),
+            store, graph_base, checkpoint=ckpt, m=4, parts_per_batch=2,
+            refresh_every=refresh_every, op_col="op",
+        )
+        assert q.awaitTermination(300)
+
+    def served_topk(k=4, ef=60):
+        ix = hnsw_serving_view(spark, graph_base)
+        cand = ix.candidates([0.0, 0.0], ef_search=ef).distinct()
+        return {
+            r["id"]: r["score"]
+            for r in score_candidates(
+                store.read(), cand, [0.0, 0.0], metric="l2", k=k
+            ).collect()
+        }
+
+    # batch 0: inserts 0..7 on a line; batch 1: upsert id 1 FAR away,
+    # upsert id 6 AND delete id 6 (delete wins in-batch), delete id 2
+    feed([(i, [float(i), 0.0], None) for i in range(8)])
+    feed(
+        [(1, [100.0, 100.0], None), (6, [0.5, 0.5], None)]
+        + [(6, None, "delete"), (2, None, "delete")]
+    )
+    drain()
+    got = served_topk()
+    # nearest to origin among alive newest state: 0, 3, 4, 5 (1 moved
+    # away, 2 and 6 deleted) — the stale node for 1 still ROUTES but
+    # must not appear with its old vector
+    assert set(got) == {0, 3, 4, 5}, got
+    # batch 2: delete-only batch (no sub-graph write), resurrect check
+    feed([(2, [0.25, 0.0], None), (5, None, "delete")])
+    drain()
+    got = served_topk()
+    assert set(got) == {2, 0, 3, 4}, got  # 2 resurrected nearest
+    assert not os.path.exists(f"{graph_base}/parts/batch=3")
+    # batch 3 = consolidation (refresh_every=3 hits batch 3): bakes the
+    # CRUD state into full_v3 — stale/deleted nodes leave the graph
+    feed([])
+    drain(refresh_every=3)
+    assert os.path.exists(f"{graph_base}/_versions/3")
+    ix = hnsw_serving_view(spark, graph_base)
+    beam_all = {
+        r["id"] for r in ix.candidates([0.0, 0.0], ef_search=200).collect()
+    }
+    assert beam_all == {0, 1, 2, 3, 4, 7}, beam_all  # 5, 6 baked out
+    assert served_topk() == got  # serving unchanged by the bake
+    # a consolidation onto an emptied corpus demotes, not crash-loops
+    feed([(i, None, "delete") for i in [0, 1, 2, 3, 4, 7]])
+    feed([])  # batch 5
+    feed([])  # batch 6 = scheduled (refresh_every=3) on an empty corpus
+    drain(refresh_every=3)
+    assert os.path.exists(f"{graph_base}/_skips/empty_refresh_6")
+    assert store.read().isEmpty()
+
+
 def test_hnsw_ingest_stream_consolidation(spark, tmp_path):
     """refresh_every consolidation: batch 2 rebuilds ONE sub-graph set
     over the merged view into full_v2 (marker-committed, immutable
