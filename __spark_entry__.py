@@ -129,7 +129,13 @@ def _corpus_sig(sf_dir: str, table: str) -> str:
     parquet FILE (os.walk on a non-directory yields nothing, which
     would have made every signature '' and the guard vacuous). An empty
     signature (missing table) never validates — callers treat '' as
-    stale."""
+    stale. ``table`` may name several tables joined with '+'
+    (``"documents+embeddings"`` for artifacts derived from both — the
+    unified doc stream): any missing member voids the WHOLE signature,
+    so a partial regen still re-routes into the rebuild."""
+    if "+" in table:
+        subs = [_corpus_sig(sf_dir, t) for t in table.split("+")]
+        return "" if any(s == "" for s in subs) else "||".join(subs)
     root = f"{sf_dir}/{table}.parquet"
     paths = []
     if os.path.isdir(root):
@@ -8567,6 +8573,428 @@ alive AS (SELECT e.id, e.v FROM e LEFT JOIN d2 USING (id) WHERE d2.id IS NULL),
 vd AS (SELECT a.id AS vec_id, ROUND({_sql_l2('a.v', 'q.qv')}, 6) AS score
        FROM alive a JOIN c USING (id), q)
 SELECT vec_id, score FROM vd ORDER BY score, vec_id LIMIT {K}
+""",
+)
+
+
+# ★ THE UNIFIED HYBRID DOCUMENT STREAM (r13 directive #3 — the
+# reference's unit of ingest is ONE document carrying (vector, text,
+# metadata) under one ID, added atomically: index.go:103-139 fans a
+# single Add into the vector index, the text index, and storage,
+# storage.go:233-250): doc_ingest_stream drives ONE feed
+# (id, vector, text, lang, op) through ONE checkpoint into ONE store +
+# the versioned IVF layout; doc_serving_views derives the three
+# modality surfaces from that one commit history. An upsert moves a
+# document's vector AND text in the same micro-batch (the ' v2'/' v3'
+# suffixes shift tokenization while the vector negates/scales — both
+# legs' rankings move together or the oracle catches the split), a
+# delete vanishes from all three views at once, and the injected crash
+# replays the marker batch through EVERY sink idempotently (store
+# segment duplicate hidden, delete re-issued, marker skip-if-committed,
+# tail rewritten, full_v2 untouched). Served MID-DRAIN: metadata
+# prefilter (lang) → IVF-pruned vector leg + merged-view BM25 text leg
+# → RRF. Oracle = the CASE-transformed corpus on BOTH modalities: the
+# vector leg replays newest-wins/anti-join over the exported layout
+# components with the live markers, the text leg folds the full BM25
+# arithmetic over the alive CASE corpus, RRF folds both.
+_DOC_STREAM_MOD = 4
+_DOC_STREAM_REFRESH_AT = 2
+_DOC_STREAM_CACHE: dict[tuple[str, str, str], tuple] = {}
+# wave predicates over doc ids, as SQL (the _IVF_CRUD_* shapes with
+# the documents id column)
+_DOC_UPS_SQL = "d.doc_id % 4 = 0 AND d.doc_id % 3 = 0"
+_DOC_D1_SQL = "d.doc_id % 10 = 7 AND d.doc_id % 4 < 3"
+_DOC_W_SQL = "d.doc_id % 9 = 1 AND d.doc_id % 4 < 3 AND d.doc_id % 10 <> 7"
+_DOC_RS_SQL = (
+    "(SELECT MIN(doc_id) FROM documents "
+    "WHERE doc_id % 10 = 7 AND doc_id % 4 < 3)"
+)
+
+
+def _doc_stream_views(spark: SparkSession, sf_dir: str):
+    from comet_spark.storage.store import DocumentStore
+    from comet_spark.streaming.ingest import doc_serving_views
+
+    key = _live_cache_key(spark, sf_dir, "documents+embeddings")
+    if key not in _DOC_STREAM_CACHE:
+        _evict_superseded(
+            _DOC_STREAM_CACHE, key, lambda t: _unpersist_bm25(t[2])
+        )
+        base = f"{_art_dir(sf_dir)}/doc_stream"
+        full = f"{base}/index/full_v{_DOC_STREAM_REFRESH_AT}"
+        _fresh_stream_artifact(
+            spark, sf_dir, base, f"{full}/layout.parquet",
+            lambda: _build_doc_stream_artifact(spark, sf_dir, base),
+            table="documents+embeddings",
+            # EVERY component the three serving views and the oracle read
+            probe_paths=[
+                f"{full}/centroids.parquet", f"{full}/meta.parquet",
+                f"{base}/index/tail/batch=3",
+                f"{base}/index/_deletes/batch=3",
+                f"{base}/probes_q2.parquet",
+                f"{base}/store/data", f"{base}/store/_deletes",
+            ],
+            probe_files=[
+                f"{base}/index/_versions/{_DOC_STREAM_REFRESH_AT}",
+                f"{base}/index/_crud",
+                f"{base}/index/tail/batch=3/_SUCCESS",
+                f"{base}/index/_deletes/batch=3/_SUCCESS",
+            ],
+        )
+        store = DocumentStore(spark, f"{base}/store", id_col="id")
+        # normalize=False: the driver corpus is ASCII-asserted and the
+        # ' v2'/' v3' suffixes are ASCII (the bm25_crud precedent);
+        # cache=True pays the merged-view tokenize once per session
+        _DOC_STREAM_CACHE[key] = doc_serving_views(
+            spark, store, f"{base}/index", normalize=False
+        )
+    return _DOC_STREAM_CACHE[key]
+
+
+def _doc_stream_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The unified-document source: documents ⨝ embeddings under one
+    id (1:1 by the testdata contract — builder-checked)."""
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    return docs.join(emb, docs["doc_id"] == emb["vec_id"]).select(
+        docs["doc_id"].alias("id"),
+        emb["embedding"].cast("array<double>").alias("vector"),
+        docs["text"],
+        docs["lang"],
+    )
+
+
+def _build_doc_stream_artifact(
+    spark: SparkSession, sf_dir: str, base: str
+) -> None:
+    """POSIX-local oracle-artifact harness (same contract as the other
+    stream builders)."""
+    import glob
+    import shutil
+
+    import numpy as np
+
+    from comet_spark.functions.vector import distance
+    from comet_spark.storage.store import DocumentStore, _FS
+    from comet_spark.streaming.ingest import (
+        _ivf_current,
+        doc_ingest_stream,
+        doc_serving_views,
+    )
+
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(base, exist_ok=True)
+    src, ckpt = f"{base}/src", f"{base}/ckpt"
+    store_path, index_base = f"{base}/store", f"{base}/index"
+    corpus = _doc_stream_feed(spark, sf_dir)
+    n_docs = _t(spark, sf_dir, "documents").count()
+    if corpus.count() != n_docs:
+        raise RuntimeError(
+            "doc_stream artifact: documents ⨝ embeddings is not 1:1 — "
+            "the unified feed would drop documents"
+        )
+    res = lambda m: F.col("id") % _DOC_STREAM_MOD == m  # noqa: E731
+    ups_pred = res(0) & (F.col("id") % 3 == 0)
+    d1_pred = (F.col("id") % 10 == 7) & (F.col("id") % 4 < 3)
+    w_pred = (
+        (F.col("id") % 9 == 1)
+        & (F.col("id") % 4 < 3)
+        & (F.col("id") % 10 != 7)
+    )
+    negated = F.transform("vector", lambda x: -x).alias("vector")
+    times5 = F.transform("vector", lambda x: x * F.lit(5.0)).alias("vector")
+    times3 = F.transform("vector", lambda x: x * F.lit(3.0)).alias("vector")
+    t_v2 = F.concat(F.col("text"), F.lit(" v2")).alias("text")
+    t_v3 = F.concat(F.col("text"), F.lit(" v3")).alias("text")
+    op_null = F.lit(None).cast("string").alias("op")
+    mark = F.lit("delete").alias("op")
+    store = DocumentStore(spark, store_path, id_col="id")
+    _add, _drain = _feed_drain(
+        spark, src,
+        lambda: doc_ingest_stream(
+            spark.readStream.schema(
+                "id bigint, vector array<double>, text string, "
+                "lang string, op string"
+            )
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src),
+            store, index_base, checkpoint=ckpt, nlist=8,
+            refresh_every=_DOC_STREAM_REFRESH_AT, op_col="op",
+        ),
+        "doc_stream",
+    )
+    r1 = corpus.filter(d1_pred).agg(F.min("id")).first()[0]
+    if r1 is None:
+        raise RuntimeError("doc_stream artifact: delete wave 1 is empty")
+    r1 = int(r1)
+    # the CASE-transformed corpus on BOTH modalities (branch order
+    # mirrors the SQL; legs mutually exclusive by arithmetic)
+    txf = corpus.select(
+        "id",
+        F.when(F.col("id") == r1, F.transform("vector", lambda x: x * F.lit(3.0)))
+        .when(w_pred, F.transform("vector", lambda x: x * F.lit(5.0)))
+        .when(ups_pred, F.transform("vector", lambda x: -x))
+        .otherwise(F.col("vector"))
+        .alias("vector"),
+        F.when(F.col("id") == r1, F.concat(F.col("text"), F.lit(" v3")))
+        .when(w_pred, F.concat(F.col("text"), F.lit(" v3")))
+        .when(ups_pred, F.concat(F.col("text"), F.lit(" v2")))
+        .otherwise(F.col("text"))
+        .alias("text"),
+        "lang",
+    )
+    undeleted = txf.filter(~d1_pred | (F.col("id") == r1))
+    qvec = _hybrid_qvec(spark, sf_dir)
+    qlit = F.array(*[F.lit(float(x)) for x in qvec])
+    D2 = [
+        int(r["id"])
+        for r in undeleted.filter(F.col("id") != r1)
+        .select("id", distance("l2", F.col("vector"), qlit).alias("d"))
+        .orderBy("d", "id").limit(3).collect()
+    ]
+    final_exp = undeleted.filter(~F.col("id").isin(D2))
+    sel = lambda df: df.select("id", "vector", "text", "lang")  # noqa: E731
+
+    with _scoped_shuffle_partitions(spark):
+        _add(sel(corpus.filter(res(0))).withColumn("op", op_null))
+        _add(  # batch 1: residue-1 inserts + the upsert wave — vector
+            # NEGATED and text ' v2' suffixed, one document, one op
+            sel(corpus.filter(res(1))).withColumn("op", op_null).unionByName(
+                corpus.filter(ups_pred).select(
+                    "id", negated, t_v2, "lang"
+                ).withColumn("op", op_null)
+            )
+        )
+        _add(  # batch 2 (the REFRESH): residue-2 inserts + delete wave 1
+            sel(corpus.filter(res(2))).withColumn("op", op_null).unionByName(
+                corpus.filter(d1_pred).select(
+                    "id",
+                    F.lit(None).cast("array<double>").alias("vector"),
+                    F.lit(None).cast("string").alias("text"),
+                    F.lit(None).cast("string").alias("lang"),
+                ).withColumn("op", mark)
+            )
+        )
+        _add(  # batch 3 (the MARKER batch): inserts + the ' v3' 5× wave
+            # + resurrect + LIVE delete wave D2, one micro-batch
+            sel(corpus.filter(res(3))).withColumn("op", op_null)
+            .unionByName(
+                corpus.filter(w_pred).select("id", times5, t_v3, "lang")
+                .withColumn("op", op_null)
+            )
+            .unionByName(
+                corpus.filter(F.col("id") == r1).select(
+                    "id", times3, t_v3, "lang"
+                ).withColumn("op", op_null)
+            )
+            .unionByName(
+                spark.createDataFrame(
+                    [(i, None, None, None, "delete") for i in D2],
+                    "id bigint, vector array<double>, text string, "
+                    "lang string, op string",
+                )
+            )
+        )
+        _drain()  # b0 boots v0, b1 tails, b2 refreshes → v2, b3 tails
+        fs = _FS(spark, index_base)
+        cur = _ivf_current(fs, index_base)
+        if cur != _DOC_STREAM_REFRESH_AT:
+            raise RuntimeError(
+                f"doc_stream artifact: CURRENT={cur} after the drain "
+                f"(want {_DOC_STREAM_REFRESH_AT})"
+            )
+        full2 = f"{index_base}/full_v{_DOC_STREAM_REFRESH_AT}"
+        baked = spark.read.parquet(f"{full2}/layout.parquet")
+        # the refresh BAKED the CRUD state into the layout, which must
+        # carry ONLY the vector modality (id, vector, cluster_id)
+        if set(baked.columns) != {"id", "vector", "cluster_id"}:
+            raise RuntimeError(
+                f"doc_stream artifact: layout columns {baked.columns} — "
+                "the index side must project to (id, vector)"
+            )
+        n_d1 = baked.join(corpus.filter(d1_pred).select("id"), "id").count()
+        n_ups = corpus.filter(ups_pred).count()
+        n_ups_baked = baked.join(
+            corpus.filter(ups_pred).select("id", negated), ["id", "vector"]
+        ).count()
+        if not (n_d1 == 0 and 0 < n_ups == n_ups_baked):
+            raise RuntimeError(
+                f"doc_stream artifact: refresh did not bake the CRUD "
+                f"state (wave-1 leftovers={n_d1}, upserts "
+                f"{n_ups_baked}/{n_ups})"
+            )
+        before_del = set(glob.glob(f"{index_base}/_deletes/batch=3/*.parquet"))
+        before_tail = set(glob.glob(f"{index_base}/tail/batch=3/*/*.parquet"))
+        before_full = set(glob.glob(f"{full2}/layout.parquet/*/*.parquet"))
+        _lose_latest_commit(ckpt)  # crash → the MARKER batch will replay
+        # MID-READ (post-crash pre-replay): ALL THREE VIEWS serve the
+        # same final document state
+        ivf, layout, bm, docs = doc_serving_views(
+            spark, store, index_base, normalize=False
+        )
+        n_exp = final_exp.count()
+        n_docs_srv = docs.select("id", "vector", "text", "lang").count()
+        n_match = docs.select("id", "vector", "text", "lang").join(
+            final_exp, ["id", "vector", "text", "lang"]
+        ).count()
+        if not (0 < n_exp == n_docs_srv == n_match):
+            raise RuntimeError(
+                f"doc_stream artifact: merged doc view drifted "
+                f"(expect={n_exp} served={n_docs_srv} matched={n_match}) "
+                "— an upsert split its modalities or a delete leaked"
+            )
+        n_lay = layout.count()
+        n_lay_match = layout.select("id", "vector").join(
+            final_exp.select("id", "vector"), ["id", "vector"]
+        ).count()
+        if not (n_lay == n_lay_match == n_exp):
+            raise RuntimeError(
+                f"doc_stream artifact: vector layout drifted "
+                f"(expect={n_exp} layout={n_lay} matched={n_lay_match})"
+            )
+        # text-leg non-vacuity: the upsert suffixes are REAL tokens in
+        # the merged view — ' v3' hits exactly the alive b3 upserts,
+        # ' v2' exactly the (disjoint) b1 upserts
+        v3_ids = {int(r["id"]) for r in bm.score("v3", k=n_exp).collect()}
+        w_alive = {
+            int(r["id"])
+            for r in corpus.filter(w_pred).filter(
+                ~F.col("id").isin(D2)
+            ).select("id").collect()
+        } | {r1}
+        v2_ids = {int(r["id"]) for r in bm.score("v2", k=n_exp).collect()}
+        ups_ids = {
+            int(r["id"])
+            for r in corpus.filter(ups_pred).filter(
+                ~F.col("id").isin(D2)
+            ).select("id").collect()
+        }
+        if not (v3_ids == w_alive and v2_ids == ups_ids and v3_ids and v2_ids):
+            raise RuntimeError(
+                f"doc_stream artifact: text upserts not served "
+                f"(v3 {len(v3_ids)}/{len(w_alive)}, "
+                f"v2 {len(v2_ids)}/{len(ups_ids)})"
+            )
+        # vector-leg non-vacuity: the live wave D2 is the undeleted
+        # top-3 and is gone; the resurrect is alive in every view
+        n_d2 = layout.filter(F.col("id").isin(D2)).count()
+        n_r1 = docs.filter(F.col("id") == r1).count()
+        if not (len(D2) == 3 and n_d2 == 0 and n_r1 == 1):
+            raise RuntimeError(
+                f"doc_stream artifact: live legs wrong "
+                f"(live-deleted={n_d2}, resurrect={n_r1})"
+            )
+        _drain()  # NO new data: the pure replay of the marker batch
+    after_del = set(glob.glob(f"{index_base}/_deletes/batch=3/*.parquet"))
+    after_tail = set(glob.glob(f"{index_base}/tail/batch=3/*/*.parquet"))
+    after_full = set(glob.glob(f"{full2}/layout.parquet/*/*.parquet"))
+    if not before_del or before_del != after_del:
+        raise RuntimeError(
+            "doc_stream artifact: _deletes/batch=3 changed across the "
+            "crash-replay — the committed marker partition was rewritten"
+        )
+    if not before_tail or before_tail == after_tail:
+        raise RuntimeError(
+            "doc_stream artifact: tail/batch=3 was not rewritten — the "
+            "replay must redo the tail assignment"
+        )
+    if not before_full or before_full != after_full:
+        raise RuntimeError(
+            "doc_stream artifact: full_v2 changed across the "
+            "crash-replay — the committed version dir was mutated"
+        )
+    if os.path.exists(f"{index_base}/_skips/3"):
+        raise RuntimeError(
+            "doc_stream artifact: the tail replay was skipped — it must "
+            "re-run (only committed refresh batches skip)"
+        )
+    # replay CONVERGENCE through every sink: the store serves the same
+    # document state, with one duplicate segment from the replay
+    store_rows = store.read().select("id", "vector", "text", "lang")
+    n_store, n_store_match = store_rows.count(), store_rows.join(
+        final_exp, ["id", "vector", "text", "lang"]
+    ).count()
+    if not (n_store == n_store_match == n_exp):
+        raise RuntimeError(
+            f"doc_stream artifact: post-replay store view "
+            f"(rows={n_store}, matched={n_store_match}) disagrees with "
+            f"the expected corpus ({n_exp})"
+        )
+    n_seg = store._segments().select("segment").distinct().count()
+    if n_seg != 5:
+        raise RuntimeError(
+            f"doc_stream artifact: {n_seg} segments (want 5) — the "
+            "replay duplicate did not land"
+        )
+    from comet_spark.streaming.ingest import ivf_serving_view
+
+    ivf, _ = ivf_serving_view(spark, index_base)
+    _write_rows(
+        spark, f"{base}/probes_q2.parquet",
+        [(int(c),) for c in ivf.probe_lists(np.asarray(qvec), 2)],
+        "cluster_id bigint",
+    )
+
+
+def _hybrid_doc_stream_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata prefilter → IVF-pruned vector leg + merged-view BM25
+    text leg → RRF, all three surfaces served off the ONE document
+    stream's committed state."""
+    ivf, layout, bm, docs = _doc_stream_views(spark, sf_dir)
+    qvec = _hybrid_qvec(spark, sf_dir)
+    cand_ids = docs.filter(F.col("lang") == HYBRID_LANG).select("id")
+    vres = ivf.search(
+        layout.join(cand_ids, "id", "left_semi"), qvec, k=K, nprobe=2
+    )
+    tres = bm.score(BM25_QUERY, k=K, prefilter_ids=cand_ids)
+    return rrf(vres, tres, k=K).select(F.col("id").alias("doc_id"), "score")
+
+
+_register(
+    "hybrid_doc_stream_rrf",
+    _hybrid_doc_stream_rrf,
+    f"""
+WITH dd AS (SELECT id, CAST(3 AS BIGINT) AS db
+            FROM read_parquet('{_ART01}/doc_stream/index/_deletes/batch=3/*.parquet')),
+dmod AS (SELECT d.doc_id,
+                CASE WHEN d.doc_id = {_DOC_RS_SQL} THEN d.text || ' v3'
+                     WHEN {_DOC_W_SQL} THEN d.text || ' v3'
+                     WHEN {_DOC_UPS_SQL} THEN d.text || ' v2'
+                     ELSE d.text END AS text
+         FROM documents d LEFT JOIN dd ON d.doc_id = dd.id
+         WHERE (NOT ({_DOC_D1_SQL}) OR d.doc_id = {_DOC_RS_SQL})
+           AND dd.id IS NULL),
+{_sql_bm25_ctes(table="dmod").strip().rstrip(',')},
+{_sql_bm25_score(BM25_QUERY, cand_where=f"lang = '{HYBRID_LANG}'").strip().rstrip(',')},
+tres AS (SELECT id, ROUND(score, 6) AS score FROM sc ORDER BY score DESC, id LIMIT {K}),
+q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = {QUERY_VEC_ID}),
+f AS (SELECT id, cluster_id, CAST({_DOC_STREAM_REFRESH_AT} AS BIGINT) AS pri
+      FROM read_parquet('{_ART01}/doc_stream/index/full_v{_DOC_STREAM_REFRESH_AT}/layout.parquet/**/*.parquet', hive_partitioning=1)),
+t3 AS (SELECT id, cluster_id, CAST(3 AS BIGINT) AS pri
+       FROM read_parquet('{_ART01}/doc_stream/index/tail/batch=3/**/*.parquet', hive_partitioning=1)),
+win AS (SELECT id, cluster_id, pri
+        FROM (SELECT * FROM f UNION ALL SELECT * FROM t3)
+        QUALIFY row_number() OVER (PARTITION BY id ORDER BY pri DESC) = 1),
+alive AS (SELECT win.id, win.cluster_id FROM win LEFT JOIN dd ON win.id = dd.id
+          WHERE dd.db IS NULL OR dd.db < win.pri),
+e AS (SELECT d.doc_id AS id,
+        CASE WHEN d.doc_id = {_DOC_RS_SQL} THEN list_transform(em.embedding::DOUBLE[], x -> x * 3.0)
+             WHEN {_DOC_W_SQL} THEN list_transform(em.embedding::DOUBLE[], x -> x * 5.0)
+             WHEN {_DOC_UPS_SQL} THEN list_transform(em.embedding::DOUBLE[], x -> -x)
+             ELSE em.embedding::DOUBLE[] END AS v,
+        d.lang
+      FROM documents d JOIN embeddings em ON d.doc_id = em.vec_id),
+p AS (SELECT cluster_id FROM read_parquet('{_ART01}/doc_stream/probes_q2.parquet/*.parquet')),
+vd AS (SELECT a.id, ROUND({_sql_l2('e.v', 'q.qv')}, 6) AS score
+       FROM alive a JOIN p USING (cluster_id) JOIN e USING (id), q
+       WHERE e.lang = '{HYBRID_LANG}'),
+vres AS (SELECT id, score FROM vd ORDER BY score, id LIMIT {K}),
+vrank AS (SELECT id, row_number() OVER (ORDER BY score ASC, id ASC) - 1 AS r FROM vres),
+trank AS (SELECT id, row_number() OVER (ORDER BY score DESC, id ASC) - 1 AS r FROM tres)
+SELECT coalesce(vrank.id, trank.id) AS doc_id,
+       ROUND(coalesce(1.0/(60.0 + vrank.r), 0) + coalesce(1.0/(60.0 + trank.r), 0), 6) AS score
+FROM vrank FULL OUTER JOIN trank ON vrank.id = trank.id
+ORDER BY score DESC, doc_id LIMIT {K}
 """,
 )
 

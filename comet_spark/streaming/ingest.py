@@ -20,6 +20,8 @@ __all__ = [
     "stream_into_store",
     "ivf_ingest_stream",
     "ivf_serving_view",
+    "doc_ingest_stream",
+    "doc_serving_views",
     "pq_ingest_stream",
     "pq_serving_view",
     "gc_index_versions",
@@ -591,7 +593,11 @@ def ivf_ingest_stream(
                 _version_tripwire(
                     fs, index_base, batch_id, "ivf_ingest_stream"
                 )
-                merged = store.read()
+                # index-side writes PROJECT to (id, vector): the store
+                # row may be a whole document (doc_ingest_stream feeds
+                # vector + text + metadata under one id) — the layout
+                # must not duplicate the non-vector modalities
+                merged = store.read().select(id_col, vec_col)
                 ivf = IVFIndex.train(
                     merged, nlist, id_col=id_col, vec_col=vec_col,
                     metric=metric,
@@ -610,7 +616,10 @@ def ivf_ingest_stream(
                         spark, f"{index_base}/full_v{cur}"
                     )
                 ivf = cache["ivf"]
-                ivf.assign(tail_rows, id_col=id_col, vec_col=vec_col).repartition(
+                ivf.assign(
+                    tail_rows.select(id_col, vec_col),
+                    id_col=id_col, vec_col=vec_col,
+                ).repartition(
                     "cluster_id"
                 ).write.mode("overwrite").partitionBy("cluster_id").parquet(
                     f"{index_base}/tail/batch={batch_id}"
@@ -813,6 +822,97 @@ def _crud_resolved_view(
             F.col("__del").isNull() | (F.col("__del") < F.col(pri))
         ).drop("__del")
     return full.drop(pri)
+
+
+def doc_ingest_stream(
+    stream: DataFrame,
+    store: DocumentStore,
+    index_base: str,
+    *,
+    checkpoint: str,
+    nlist: int = 8,
+    refresh_every: int = 0,
+    id_col: str = "id",
+    vec_col: str = "vector",
+    metric: str = "l2",
+    op_col: str | None = None,
+    delete_value: str = "delete",
+    trigger_available_now: bool = True,
+) -> StreamingQuery:
+    """THE UNIFIED DOCUMENT STREAM (r13 — the reference's unit of
+    ingest: ONE document carrying (vector, text, metadata…) added
+    atomically under one ID, ``index.go:103-139`` fanning a single
+    ``Add`` into the vector index, the text index, and storage,
+    ``storage.go:233-250``): one feed ``(id, vector, text, meta…, op)``
+    drives ONE store plus the versioned IVF serving layout per
+    micro-batch, under ONE checkpoint.
+
+    This is :func:`ivf_ingest_stream` applied to whole documents — a
+    deliberate identity, not a shortcut: the store append already
+    carries the FULL row (every modality lands atomically in one
+    segment under one id, with one sequenced soft-delete for the
+    batch's markers), and the index-side writes project to
+    ``(id, vector)``, so the only modality needing separate maintained
+    state — the trained/assigned vector layout — is the only one that
+    gets any. The text and metadata serving legs are VIEWS over the
+    store's newest-wins merged read (:func:`doc_serving_views`): Spark-
+    first, the one durable corpus IS the text/metadata index, resolved
+    at read exactly like the audited ``lsm_merge_bm25`` /
+    ``bm25_crud_merge_score`` / ``meta_crud_stream_filter`` paths —
+    which is also what makes the commit story batch-level all-or-skip:
+    a replayed committed REFRESH batch skips every sink at once (the
+    version marker, written last, covers the store segment, the
+    layout, and therefore every view derived from them); a replayed
+    tail batch re-runs every sink idempotently (duplicate segment
+    hidden by newest-wins, delete re-issued at a fresh watermark,
+    marker partition skip-if-committed, tail dir overwritten). There
+    is no crash point at which the vector leg serves a batch the text
+    leg has not seen or vice versa — both derive from the same
+    store-segment commit plus marker state.
+
+    Scale note (100 TB): the BM25 leg tokenizes the merged view at
+    serving-view construction (epoch-cached) — the production path for
+    heavy text traffic is the persisted bucketed postings layout
+    maintained by ``bm25_ingest_stream``/``BM25.compact`` on the same
+    refresh cadence; this stream keeps the text modality CRUD-exact
+    instead, because postings segments cannot retract an upsert.
+
+    Every document must carry a vector (NULL-vector upserts fail the
+    micro-batch loudly — the shared ``_split_ops`` contract); text and
+    metadata columns ride along untyped by this writer."""
+    return ivf_ingest_stream(
+        stream, store, index_base, checkpoint=checkpoint, nlist=nlist,
+        refresh_every=refresh_every, id_col=id_col, vec_col=vec_col,
+        metric=metric, op_col=op_col, delete_value=delete_value,
+        trigger_available_now=trigger_available_now,
+    )
+
+
+def doc_serving_views(
+    spark, store: DocumentStore, index_base: str, *,
+    text_col: str = "text", normalize: bool = True, cache: bool = True,
+):
+    """The three modality views over ONE document stream's state —
+    ``(ivf, layout, bm25, docs)``: the versioned tail-bounded CRUD
+    vector layout (:func:`ivf_serving_view`), a BM25 scorer over the
+    store's newest-wins merged view (global corpus statistics,
+    delete-corrected by construction — deleted rows are simply absent),
+    and the merged document view itself for metadata prefilters /
+    projections. One store, one commit history, three serving
+    surfaces — the reference's hybrid_search_index read side.
+    ``cache`` keeps the BM25 side tables (postings/df/doc_len/stats)
+    persisted for repeat queries; unpersist them when the epoch rolls
+    (the serving views are a snapshot of committed state — rebuild
+    after each drain, exactly like every other serving view here)."""
+    from comet_spark.operators.bm25 import BM25
+
+    ivf, layout = ivf_serving_view(spark, index_base)
+    docs = store.read()
+    bm = BM25(
+        docs, id_col=store.id_col, text_col=text_col,
+        normalize=normalize, cache=cache,
+    )
+    return ivf, layout, bm, docs
 
 
 def pq_ingest_stream(

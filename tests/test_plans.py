@@ -522,6 +522,27 @@ def test_ivf_crud_serving_view_plan(spark):
     assert "TakeOrderedAndProject" in plan, plan
 
 
+def test_doc_stream_hybrid_plan(spark):
+    """hybrid_doc_stream_rrf (r13): the vector leg's cluster pruning
+    still reaches the committed full layout as PartitionFilters THROUGH
+    the metadata-prefilter semi-join and the CRUD joins, and the whole
+    fused plan (IVF leg + merged-view BM25 leg + RRF) keeps every
+    expression JVM-side — no Python anywhere."""
+    df = entry_mod.queries()["hybrid_doc_stream_rrf"](spark, SF_DIR_SMALL)
+    plan = _plan(df)
+    assert "doc_stream/index" in plan, plan
+    full_scans = [
+        seg for seg in plan.split("Location:")[1:]
+        if "doc_stream/index/full_v" in seg.splitlines()[0]
+    ]
+    assert full_scans, plan
+    for seg in full_scans:
+        assert "PartitionFilters:" in seg, (seg[:400],)
+        pf = seg.split("PartitionFilters:", 1)[1][:200]
+        assert "cluster_id" in pf and "IN" in pf.upper(), pf
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
 def test_pq_live_serving_plan_is_codegen_adc(spark):
     """pq_live_adc_knn serves the stream-maintained codes with the SAME
     broadcast-LUT ADC shape as the batch-built pq_adc_knn: the LUT is

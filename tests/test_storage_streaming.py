@@ -3517,6 +3517,74 @@ def test_ivf_ingest_stream_scheduled_batch_skips_delete_marker(spark, tmp_path):
     assert got == (set(range(8)) | set(range(10, 14)) | set(range(20, 24))) - {5}
 
 
+def test_doc_ingest_stream_three_views_one_feed(spark, tmp_path):
+    """The unified document stream (r13): ONE feed (id, vector, text,
+    lang, op) drives one store + the IVF layout; the three serving
+    views (vector / text / metadata) derive from the same committed
+    state — an upsert changes BOTH its vector and text atomically, a
+    delete vanishes from all three, and the index layout never carries
+    the non-vector modalities."""
+    from comet_spark.storage.store import DocumentStore
+    from comet_spark.streaming.ingest import doc_ingest_stream, doc_serving_views
+
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+    index_base = str(tmp_path / "index")
+    store = DocumentStore(spark, str(tmp_path / "store"), id_col="id")
+    schema = "id bigint, vector array<double>, text string, lang string, op string"
+
+    def feed(rows):
+        spark.createDataFrame(rows, schema).repartition(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    def drain():
+        q = doc_ingest_stream(
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src),
+            store, index_base, checkpoint=ckpt, nlist=2, refresh_every=2,
+            op_col="op",
+        )
+        assert q.awaitTermination(300)
+
+    feed([  # batch 0 → boot v0
+        (i, [float(i), 0.0], f"alpha doc {i}", "en" if i % 2 else "fr", None)
+        for i in range(8)
+    ])
+    feed(  # batch 1: upsert doc 2 (vector AND text move together),
+        # delete doc 5, fresh docs
+        [(2, [100.0, 100.0], "beta doc 2 v2", "fr", None),
+         (10, [10.0, 0.0], "alpha doc 10", "en", None),
+         (5, None, None, None, "delete")]
+    )
+    drain()
+    ivf, layout, bm, docs = doc_serving_views(
+        spark, store, index_base, normalize=False
+    )
+    # vector view: doc 5 gone, doc 2 at its new vector, layout projects
+    # to (id, vector, cluster_id) — no text/lang duplication
+    got = {r["id"]: r["vector"] for r in layout.collect()}
+    assert set(got) == {0, 1, 2, 3, 4, 6, 7, 10}
+    assert got[2] == [100.0, 100.0]
+    assert set(layout.columns) == {"id", "vector", "cluster_id"}
+    # text view: 'beta' only matches the upserted doc; deleted doc 5
+    # scores nowhere
+    tres = {r["id"] for r in bm.score("beta", k=5).collect()}
+    assert tres == {2}
+    assert not {r["id"] for r in bm.score("alpha", k=20).collect()} & {5}
+    # metadata view: the upsert moved doc 2 to lang=fr atomically
+    langs = {r["id"]: r["lang"] for r in docs.collect()}
+    assert langs[2] == "fr" and 5 not in langs
+    # one more batch: the scheduled refresh (batch 2) bakes it all in
+    feed([(11, [11.0, 0.0], "alpha doc 11", "en", None)])
+    drain()
+    ivf2, layout2, bm2, docs2 = doc_serving_views(
+        spark, store, index_base, normalize=False
+    )
+    assert {r["id"] for r in layout2.collect()} == set(got) | {11}
+    assert {r["id"] for r in bm2.score("beta", k=5).collect()} == {2}
+
+
 def test_split_ops_rejects_null_ids(spark, tmp_path):
     """A NULL id is malformed in every op — an upsert would land an
     unaddressable document, a delete matches nothing — and must fail
