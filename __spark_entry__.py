@@ -7723,6 +7723,189 @@ SELECT vec_id, score FROM d ORDER BY score, vec_id LIMIT {K}
 )
 
 
+# ★ IVFPQ LIVE MAINTENANCE (r13 directive #5 — the residual
+# composition the reference maintains as one unit, ``ivfpq_index.go:
+# 164-260``: a centroid retrain forces a residual re-encode):
+# ``ivfpq_ingest_stream`` runs the shared codes-engine protocol with
+# BOTH levels versioned together — tails encode (cluster_id + residual
+# codes) with the CURRENT centroids+codebooks, the scheduled refresh
+# retrains coarse + residual codebooks and re-encodes the corpus into
+# an immutable marker-committed full_v{N}. The injected crash lands
+# between the version commit and the checkpoint commit: the replay
+# must SKIP (journaled), leaving codes byte-identical and BOTH model
+# levels unchanged. Oracle = the per-cluster-LUT residual ADC replayed
+# from exported artifacts over the serving union (full_v2 ∪ tail 3) —
+# probing implicit (only probed clusters have LUT rows): the
+# ivfpq_adc_knn scheme replayed against live-maintained state.
+_IVFPQ_LIVE_MOD = 4
+_IVFPQ_LIVE_REFRESH_AT = 2
+_IVFPQ_LIVE_CACHE: dict[tuple[str, str, str], tuple] = {}
+
+
+def _ivfpq_live(spark: SparkSession, sf_dir: str):
+    from comet_spark.streaming.ingest import ivfpq_serving_view
+
+    key = _live_cache_key(spark, sf_dir, "embeddings")
+    if key not in _IVFPQ_LIVE_CACHE:
+        _evict_superseded(_IVFPQ_LIVE_CACHE, key)
+        base = f"{_art_dir(sf_dir)}/ivfpq_live"
+        full = f"{base}/index/full_v{_IVFPQ_LIVE_REFRESH_AT}"
+        _fresh_stream_artifact(
+            spark, sf_dir, base, f"{full}/codes.parquet",
+            lambda: _build_ivfpq_live_artifact(spark, sf_dir, base),
+            table="embeddings",
+            probe_paths=[
+                f"{full}/ivf/centroids.parquet",
+                f"{full}/pq/codebooks.parquet",
+                f"{base}/index/tail/batch={_IVFPQ_LIVE_MOD - 1}",
+                f"{base}/luts_q.parquet",
+            ],
+            probe_files=[
+                f"{base}/index/_versions/{_IVFPQ_LIVE_REFRESH_AT}",
+                f"{base}/index/tail/batch={_IVFPQ_LIVE_MOD - 1}/_SUCCESS",
+            ],
+        )
+        _IVFPQ_LIVE_CACHE[key] = ivfpq_serving_view(spark, f"{base}/index")
+    return _IVFPQ_LIVE_CACHE[key]
+
+
+def _build_ivfpq_live_artifact(
+    spark: SparkSession, sf_dir: str, base: str
+) -> None:
+    """POSIX-local oracle-artifact harness (same contract as the other
+    stream builders — the _build_pq_live_artifact drive with the
+    residual engine and a BOTH-LEVELS-unchanged replay assert)."""
+    import glob
+    import shutil
+
+    import numpy as np
+
+    from comet_spark.storage.store import DocumentStore, _FS
+    from comet_spark.streaming.ingest import (
+        _ivf_current,
+        ivfpq_ingest_stream,
+        ivfpq_serving_view,
+    )
+
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(base, exist_ok=True)
+    src, ckpt = f"{base}/src", f"{base}/ckpt"
+    store_path, index_base = f"{base}/store", f"{base}/index"
+    emb = _t(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("id"),
+        F.col("embedding").cast("array<double>").alias("vector"),
+    )
+    res = lambda m: F.col("id") % _IVFPQ_LIVE_MOD == m  # noqa: E731
+    store = DocumentStore(spark, store_path, id_col="id")
+    _add, _drain = _feed_drain(
+        spark, src,
+        lambda: ivfpq_ingest_stream(
+            _emb_vec_stream(spark, src),
+            store, index_base, checkpoint=ckpt, nlist=4, m=PQ_M, nbits=4,
+            refresh_every=_IVFPQ_LIVE_REFRESH_AT, max_iter=5,
+        ),
+        "ivfpq_live",
+    )
+    with _scoped_shuffle_partitions(spark):
+        for i in range(3):
+            _add(emb.filter(res(i)))
+        _drain()  # b0 boots v0, b1 tails codes, b2 REFRESHES → v2
+        fs = _FS(spark, index_base)
+        cur = _ivf_current(fs, index_base)
+        if cur != _IVFPQ_LIVE_REFRESH_AT:
+            raise RuntimeError(
+                f"ivfpq_live artifact: CURRENT={cur} after first drain "
+                f"(want {_IVFPQ_LIVE_REFRESH_AT})"
+            )
+        full2 = f"{index_base}/full_v{_IVFPQ_LIVE_REFRESH_AT}"
+        before = set(glob.glob(f"{full2}/codes.parquet/*.parquet"))
+        # MID-READ: the committed view holds exactly the fed residues,
+        # cluster-assigned
+        ix_mid, codes_mid = ivfpq_serving_view(spark, index_base)
+        cents_mid = np.array(ix_mid.ivf.centroids)
+        books_mid = np.array(ix_mid.pq.codebooks)
+        fed = emb.filter(res(0) | res(1) | res(2)).select("id")
+        n_fed, n_mid = fed.count(), codes_mid.count()
+        n_match = codes_mid.join(fed, "id").count()
+        if not (0 < n_fed == n_mid == n_match):
+            raise RuntimeError(
+                f"ivfpq_live artifact: mid serving view drifted "
+                f"(fed={n_fed} mid={n_mid} matched={n_match})"
+            )
+        _lose_latest_commit(ckpt)  # crash BETWEEN version and ckpt commit
+        _add(emb.filter(res(3)))
+        _drain()  # b2 replays → SKIPS (marker = done), b3 tails
+    after = set(glob.glob(f"{full2}/codes.parquet/*.parquet"))
+    if not before or before != after:
+        raise RuntimeError(
+            "ivfpq_live artifact: full_v2 codes changed across the "
+            "crash-replay — the committed version dir was mutated"
+        )
+    if not os.path.exists(f"{index_base}/_skips/{_IVFPQ_LIVE_REFRESH_AT}"):
+        raise RuntimeError(
+            "ivfpq_live artifact: no skip journal for the refresh batch "
+            "— the injected crash did not engage the replay"
+        )
+    ix, codes = ivfpq_serving_view(spark, index_base)
+    if not (
+        np.array_equal(np.array(ix.ivf.centroids), cents_mid)
+        and np.array_equal(np.array(ix.pq.codebooks), books_mid)
+    ):
+        raise RuntimeError(
+            "ivfpq_live artifact: a model level changed across the "
+            "crash-replay — the skipped refresh was not a true no-op"
+        )
+    # final serving view = every fed id exactly once, and the codes ARE
+    # the both-levels-current encode of the merged corpus (tail batch 3
+    # encoded under the v2 centroids+codebooks)
+    n_src, n_srv = emb.count(), codes.count()
+    n_match = codes.join(emb.select("id"), "id").count()
+    if not (0 < n_src == n_srv == n_match):
+        raise RuntimeError(
+            f"ivfpq_live artifact: final serving view drifted "
+            f"(src={n_src} serving={n_srv} matched={n_match})"
+        )
+    n_enc_match = codes.join(
+        ix.encode(store.read()), ["id", "cluster_id", "codes"]
+    ).count()
+    if n_enc_match != n_src:
+        raise RuntimeError(
+            f"ivfpq_live artifact: serving codes diverge from the "
+            f"direct encode ({n_enc_match}/{n_src}) — a tail was "
+            "encoded under stale model state"
+        )
+    n_seg = store._segments().select("segment").distinct().count()
+    if n_seg != 4:
+        raise RuntimeError(
+            f"ivfpq_live artifact: {n_seg} segments for 4 fed batches "
+            "(want 4) — the committed-refresh skip did not hold"
+        )
+    _write_cluster_luts(
+        spark, ix, _hybrid_qvec(spark, sf_dir),
+        f"{base}/luts_q.parquet", nprobe=2,
+    )
+
+
+def _ivfpq_live_adc_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ix, codes = _ivfpq_live(spark, sf_dir)
+    res = ix.search(codes, _hybrid_qvec(spark, sf_dir), k=K, nprobe=2)
+    return res.select(F.col("id").alias("vec_id"), "score")
+
+
+_register(
+    "ivfpq_live_adc_knn",
+    _ivfpq_live_adc_knn,
+    f"""
+WITH c AS (SELECT id, cluster_id, codes FROM read_parquet('{_ART01}/ivfpq_live/index/full_v{_IVFPQ_LIVE_REFRESH_AT}/codes.parquet/*.parquet')
+           UNION ALL
+           SELECT id, cluster_id, codes FROM read_parquet('{_ART01}/ivfpq_live/index/tail/batch={_IVFPQ_LIVE_MOD - 1}/*.parquet')),
+l AS (SELECT cluster_id, sub, code, dist FROM read_parquet('{_ART01}/ivfpq_live/luts_q.parquet/*.parquet')),
+d AS ({_sql_adc('c', 'l', extra_on=' AND l{s}.cluster_id = c.cluster_id')})
+SELECT vec_id, score FROM d ORDER BY score, vec_id LIMIT {K}
+""",
+)
+
+
 # ★ CRUD THROUGH THE LIVE PQ MAINTENANCE STREAM (r13 directive #1 —
 # the codes engine is the one compressed layout a 100 TB deployment
 # actually serves; reference Remove works on PQ, ``pq_index.go:318+``):

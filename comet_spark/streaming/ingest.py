@@ -24,6 +24,8 @@ __all__ = [
     "doc_serving_views",
     "pq_ingest_stream",
     "pq_serving_view",
+    "ivfpq_ingest_stream",
+    "ivfpq_serving_view",
     "gc_index_versions",
     "hnsw_ingest_stream",
     "hnsw_serving_view",
@@ -997,10 +999,107 @@ def pq_ingest_stream(
     ``_crud`` marker — all dedup work tail-bounded, so run CRUD with
     ``refresh_every > 0`` to keep the tail a handful of batches."""
     from comet_spark.operators.ann import PQIndex
+
+    return _codes_engine_stream(
+        stream, store, index_base, checkpoint=checkpoint,
+        who="pq_ingest_stream",
+        train_fn=lambda merged: PQIndex.train(
+            merged, m=m, nbits=nbits, id_col=id_col, vec_col=vec_col,
+            max_iter=max_iter,
+        ),
+        load_fn=lambda spark, path: PQIndex.load(spark, path),
+        encode_fn=lambda model, rows: model.encode(
+            rows, id_col=id_col, vec_col=vec_col
+        ),
+        refresh_every=refresh_every, id_col=id_col, vec_col=vec_col,
+        op_col=op_col, delete_value=delete_value,
+        trigger_available_now=trigger_available_now,
+    )
+
+
+def ivfpq_ingest_stream(
+    stream: DataFrame,
+    store: DocumentStore,
+    index_base: str,
+    *,
+    checkpoint: str,
+    nlist: int = 8,
+    m: int = 8,
+    nbits: int = 8,
+    refresh_every: int = 0,
+    id_col: str = "id",
+    vec_col: str = "vector",
+    max_iter: int = 20,
+    op_col: str | None = None,
+    delete_value: str = "delete",
+    trigger_available_now: bool = True,
+) -> StreamingQuery:
+    """Stream-wired IVFPQ maintenance — the RESIDUAL composition the
+    reference maintains as one unit (``ivfpq_index.go:164-260``: a
+    centroid retrain forces a residual re-encode, because codes are
+    quantized residuals v − centroid[cluster]). Runs the shared codes-
+    engine protocol (:func:`_codes_engine_stream` — the PQ twin with
+    the coarse layer composed in): per micro-batch the tail encodes
+    with the CURRENT centroids AND codebooks into a ``_SUCCESS``-gated
+    ``tail/batch={id}`` carrying ``(id, cluster_id, codes)`` — so
+    serving stays cluster-pruned end to end — and the scheduled
+    refresh retrains BOTH levels over the merged view and re-encodes
+    the whole corpus into an immutable marker-committed ``full_v{N}``
+    (coarse centroids + codebooks + codes move together: re-encoding
+    tails under old centroids against new codebooks would silently
+    corrupt every ADC score, which is exactly why the version is one
+    atomic commit). Same crash/replay convergence, CRUD op contract,
+    demote-on-emptied-corpus, and single-writer/lineage rules as
+    :func:`pq_ingest_stream`. Serving: :func:`ivfpq_serving_view` —
+    per-cluster LUT ADC over the pruned component union."""
+    from comet_spark.operators.ann import IVFPQIndex
+
+    return _codes_engine_stream(
+        stream, store, index_base, checkpoint=checkpoint,
+        who="ivfpq_ingest_stream",
+        train_fn=lambda merged: IVFPQIndex.train(
+            merged, nlist=nlist, m=m, nbits=nbits, id_col=id_col,
+            vec_col=vec_col, max_iter=max_iter,
+        ),
+        load_fn=lambda spark, path: IVFPQIndex.load(spark, path),
+        encode_fn=lambda model, rows: model.encode(
+            rows, id_col=id_col, vec_col=vec_col
+        ),
+        refresh_every=refresh_every, id_col=id_col, vec_col=vec_col,
+        op_col=op_col, delete_value=delete_value,
+        trigger_available_now=trigger_available_now,
+    )
+
+
+def _codes_engine_stream(
+    stream: DataFrame,
+    store: DocumentStore,
+    index_base: str,
+    *,
+    checkpoint: str,
+    who: str,
+    train_fn,
+    load_fn,
+    encode_fn,
+    refresh_every: int,
+    id_col: str,
+    vec_col: str,
+    op_col: str | None,
+    delete_value: str,
+    trigger_available_now: bool,
+) -> StreamingQuery:
+    """THE codes-engine write protocol, shared by :func:`pq_ingest_stream`
+    and :func:`ivfpq_ingest_stream` (one body so a crash-window or CRUD
+    fix can never land in one compressed engine and miss the other —
+    the writer-side twin of :func:`_crud_resolved_view`). ``train_fn``
+    retrains the model on the merged view, ``encode_fn`` encodes rows
+    under a model, ``load_fn`` reopens the committed model; everything
+    else — version markers, skip-if-committed replay, delete markers,
+    demote-on-emptied-corpus, persist scoping — is engine-invariant."""
     from comet_spark.storage.store import _FS
 
     first = [True]
-    cache: dict = {"cur": None, "pq": None}
+    cache: dict = {"cur": None, "model": None}
 
     def write_batch(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
@@ -1009,11 +1108,10 @@ def pq_ingest_stream(
             store.force_unlock()
             first[0] = False
             cache["cur"] = _lineage_guard(
-                fs, index_base, batch_id, "pq_ingest_stream",
-                ("tail", "_deletes"),
+                fs, index_base, batch_id, who, ("tail", "_deletes")
             )
             if op_col is not None:
-                _crud_boot(fs, index_base, id_col, "pq_ingest_stream")
+                _crud_boot(fs, index_base, id_col, who)
         if _skip_if_committed(fs, index_base, batch_id):
             return
         cur = cache["cur"]
@@ -1048,8 +1146,8 @@ def pq_ingest_stream(
                     tail_rows = batch
                 else:
                     ups, del_ids, n_ups, n_del = _split_ops(
-                        batch, op_col, delete_value, id_col,
-                        "pq_ingest_stream", forbid_dup_upserts=True,
+                        batch, op_col, delete_value, id_col, who,
+                        forbid_dup_upserts=True,
                         reject_null_payload_col=vec_col,
                     )
                     if n_ups:
@@ -1070,31 +1168,24 @@ def pq_ingest_stream(
                     fs, index_base, batch_id, del_ids, id_col, bool(n_ups)
                 )
             if scheduled:
-                _version_tripwire(
-                    fs, index_base, batch_id, "pq_ingest_stream"
-                )
+                _version_tripwire(fs, index_base, batch_id, who)
                 merged = store.read()
-                pq = PQIndex.train(
-                    merged, m=m, nbits=nbits, id_col=id_col,
-                    vec_col=vec_col, max_iter=max_iter,
-                )
+                model = train_fn(merged)
                 full = f"{index_base}/full_v{batch_id}"
-                pq.encode(merged, id_col=id_col, vec_col=vec_col).write.mode(
-                    "overwrite"
-                ).parquet(f"{full}/codes.parquet")
-                pq.save(spark, full)
-                _commit_version(fs, index_base, batch_id, "pq_ingest_stream")
-                cache["cur"], cache["pq"] = batch_id, pq
+                encode_fn(model, merged).write.mode("overwrite").parquet(
+                    f"{full}/codes.parquet"
+                )
+                model.save(spark, full)
+                _commit_version(fs, index_base, batch_id, who)
+                cache["cur"], cache["model"] = batch_id, model
             elif tail_rows is not None:
-                if cache["pq"] is None:
-                    cache["pq"] = PQIndex.load(
+                if cache["model"] is None:
+                    cache["model"] = load_fn(
                         spark, f"{index_base}/full_v{cur}"
                     )
-                cache["pq"].encode(
-                    tail_rows, id_col=id_col, vec_col=vec_col
-                ).write.mode("overwrite").parquet(
-                    f"{index_base}/tail/batch={batch_id}"
-                )
+                encode_fn(cache["model"], tail_rows).write.mode(
+                    "overwrite"
+                ).parquet(f"{index_base}/tail/batch={batch_id}")
         finally:
             if persisted is not None:
                 persisted.unpersist()
@@ -1137,6 +1228,36 @@ def pq_serving_view(spark, index_base: str):
     if "batch" in codes.columns:
         codes = codes.drop("batch")
     return pq, codes
+
+
+def ivfpq_serving_view(spark, index_base: str):
+    """(IVFPQIndex, encoded DataFrame) over the stream-maintained
+    residual index: the max committed version's ``(id, cluster_id,
+    codes)`` plus every ``_SUCCESS``-committed tail NEWER than it —
+    all encoded under the CURRENT centroids + codebooks by
+    construction (:func:`ivfpq_ingest_stream` re-encodes everything on
+    refresh), so one per-cluster-LUT ADC covers the union, still
+    cluster-pruned. CRUD bases resolve through the shared
+    newest-wins/anti-join plan (:func:`_crud_resolved_view`) — the PQ
+    serving rules verbatim."""
+    from comet_spark.operators.ann import IVFPQIndex
+    from comet_spark.storage.store import _FS
+
+    fs = _FS(spark, index_base)
+    cur = _ivf_current(fs, index_base)
+    if cur is None:
+        raise FileNotFoundError(
+            f"ivfpq_serving_view: no committed version under {index_base}"
+            " — the stream has not committed a serving version yet"
+        )
+    ix = IVFPQIndex.load(spark, f"{index_base}/full_v{cur}")
+    codes = spark.read.parquet(f"{index_base}/full_v{cur}/codes.parquet")
+    codes = _crud_resolved_view(
+        spark, fs, index_base, codes, cur, who="ivfpq_serving_view"
+    )
+    if "batch" in codes.columns:
+        codes = codes.drop("batch")
+    return ix, codes
 
 
 def gc_index_versions(

@@ -555,6 +555,30 @@ def test_pq_live_serving_plan_is_codegen_adc(spark):
     assert "TakeOrderedAndProject" in plan, plan
 
 
+def test_ivfpq_live_serving_plan_is_pruned_codegen_adc(spark):
+    """ivfpq_live_adc_knn (r13) serves the stream-maintained residual
+    codes with the batch-built IVFPQ shape: cluster-pruned scan of both
+    components (the cluster_id isin(probes) filter reaches the parquet
+    scans), per-cluster LUTs broadcast, nested element_at score in
+    codegen — no Python, top-k via TakeOrderedAndProject."""
+    df = entry_mod.queries()["ivfpq_live_adc_knn"](spark, SF_DIR_SMALL)
+    plan = _plan(df)
+    assert "ivfpq_live/index" in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    # the probe filter prunes the codes scans (pushed, not post-join)
+    scans = [
+        seg for seg in plan.split("Location:")[1:]
+        if "ivfpq_live/index" in seg.splitlines()[0]
+    ]
+    assert scans, plan
+    assert any(
+        "cluster_id" in seg.split("PushedFilters:", 1)[1][:200]
+        for seg in scans if "PushedFilters:" in seg
+    ), plan
+
+
 def test_pq_crud_serving_plan_is_codegen_adc(spark):
     """pq_crud_live_adc (r13) keeps the broadcast-LUT ADC codegen shape
     through the CRUD joins: the LUT folds as literal arrays in codegen

@@ -2869,6 +2869,94 @@ def test_pq_crud_refresh_bakes_markers(spark, tmp_path):
     assert {(r["id"], tuple(r["codes"])) for r in codes.collect()} == direct
 
 
+def test_ivfpq_ingest_stream_versioned_refresh_and_crud(spark, tmp_path):
+    """The residual codes engine (r13 — the shared _codes_engine_stream
+    protocol instantiated with IVFPQIndex): tails encode (cluster_id +
+    residual codes) with the CURRENT centroids+codebooks, the scheduled
+    refresh retrains BOTH levels and re-encodes into an immutable
+    marker-committed full_v{N}, a crash between the version commit and
+    the checkpoint commit skip-replays with zero writes, and CRUD
+    upserts/deletes resolve through the shared serving view — ADC
+    parity against a direct encode of the merged corpus throughout."""
+    import glob
+    import os
+
+    from __spark_entry__ import _lose_latest_commit
+    from comet_spark.storage.store import DocumentStore
+    from comet_spark.streaming.ingest import (
+        ivfpq_ingest_stream,
+        ivfpq_serving_view,
+    )
+
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+    index_base = str(tmp_path / "index")
+    store = DocumentStore(spark, str(tmp_path / "store"), id_col="id")
+
+    def feed(rows):
+        spark.createDataFrame(
+            rows, "id bigint, vector array<double>, op string"
+        ).repartition(1).write.mode("append").parquet(src)
+
+    def drain():
+        q = ivfpq_ingest_stream(
+            spark.readStream.schema("id bigint, vector array<double>, op string")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src),
+            store, index_base, checkpoint=ckpt, nlist=2, m=2, nbits=2,
+            refresh_every=2, max_iter=5, op_col="op",
+        )
+        assert q.awaitTermination(300)
+
+    vec = lambda i: [float(i % 7), float(i % 5), float(i % 3), 1.0]  # noqa: E731
+    feed([(i, vec(i), None) for i in range(8)])           # b0 → boot v0
+    feed(  # b1 tail: upsert id 2, delete id 5, fresh ids
+        [(2, [9.0, 9.0, 9.0, 9.0], None)]
+        + [(i, vec(i), None) for i in range(10, 14)]
+        + [(5, None, "delete")]
+    )
+    feed([(i, vec(i), None) for i in range(20, 24)])      # b2 = REFRESH → v2
+    drain()
+    assert os.path.exists(f"{index_base}/_versions/2")
+    assert os.path.exists(f"{index_base}/_deletes/batch=1/_SUCCESS")
+    ix, codes = ivfpq_serving_view(spark, index_base)
+    assert set(codes.columns) == {"id", "cluster_id", "codes"}
+    want_ids = (set(range(8)) | set(range(10, 14)) | set(range(20, 24))) - {5}
+    assert {r["id"] for r in codes.select("id").collect()} == want_ids
+    # serving == direct encode of the merged view (both levels current)
+    direct = {
+        (r["id"], r["cluster_id"], tuple(r["codes"]))
+        for r in ix.encode(store.read()).collect()
+    }
+    served = {
+        (r["id"], r["cluster_id"], tuple(r["codes"])) for r in codes.collect()
+    }
+    assert served == direct
+    # crash between version commit and checkpoint commit → skip-replay
+    before = set(glob.glob(f"{index_base}/full_v2/codes.parquet/*.parquet"))
+    _lose_latest_commit(ckpt)
+    feed([(i, vec(i), None) for i in range(30, 34)])      # b3 tail under v2
+    drain()
+    after = set(glob.glob(f"{index_base}/full_v2/codes.parquet/*.parquet"))
+    assert before and before == after, "committed version dir was mutated"
+    assert os.path.exists(f"{index_base}/_skips/2")
+    ix, codes = ivfpq_serving_view(spark, index_base)
+    assert {r["id"] for r in codes.select("id").collect()} == (
+        want_ids | set(range(30, 34))
+    )
+    # cluster-pruned ADC over the union matches the direct encode
+    got = [
+        (r["id"], r["score"])
+        for r in ix.search(codes, vec(0), k=5, nprobe=2).collect()
+    ]
+    want = [
+        (r["id"], r["score"])
+        for r in ix.search(
+            ix.encode(store.read()), vec(0), k=5, nprobe=2
+        ).collect()
+    ]
+    assert got == want
+
+
 def test_hnsw_ingest_stream_crud_ops(spark, tmp_path):
     """op_col CRUD through the live-grown graph (r13): upserts join the
     graph as per-batch sub-graphs (the stale node keeps ROUTING
