@@ -7694,6 +7694,32 @@ def _build_pq_live_artifact(
             f"pq_live artifact: {n_seg} segments for 4 fed batches "
             "(want 4) — the committed-refresh skip did not hold"
         )
+    # GC IN THE GATE LIFECYCLE (r13 directive #6): collect the
+    # superseded maintenance state post-drain, BEFORE the serving read
+    # the oracle replays — the gate then proves post-GC serving parity,
+    # not just removed-path sets. Non-vacuous: the boot version and the
+    # pre-refresh tail must actually go; the serving components
+    # (full_v2, tail 3, markers, _skips) must all survive.
+    from comet_spark.streaming.ingest import gc_index_versions
+
+    removed = {
+        os.path.relpath(p, index_base)
+        for p in gc_index_versions(spark, index_base)
+    }
+    if removed != {"full_v0", "tail/batch=1"}:
+        raise RuntimeError(
+            f"pq_live artifact: gc removed {sorted(removed)} (want "
+            "full_v0 + tail/batch=1) — superseded state not collected "
+            "or a live component deleted"
+        )
+    pq, codes = pq_serving_view(spark, index_base)
+    if codes.count() != n_src or not os.path.exists(
+        f"{index_base}/_skips/{_PQ_LIVE_REFRESH_AT}"
+    ):
+        raise RuntimeError(
+            "pq_live artifact: serving changed after gc — a component "
+            "a reader needs was deleted"
+        )
     qvec = _hybrid_qvec(spark, sf_dir)
     lut = pq.lut(np.asarray(qvec))
     _write_rows(
@@ -9109,7 +9135,37 @@ def _build_doc_stream_artifact(
             f"doc_stream artifact: {n_seg} segments (want 5) — the "
             "replay duplicate did not land"
         )
-    from comet_spark.streaming.ingest import ivf_serving_view
+    # GC IN THE GATE LIFECYCLE (r13 directive #6), on a CRUD base: the
+    # boot version and pre-refresh tail go; the serving components —
+    # full_v2, tail 3, and CRITICALLY the live _deletes/batch=3 marker
+    # (> the committed version) — must survive, and the post-GC views
+    # are what the oracle replays, so a marker wrongly collected would
+    # resurrect D2 straight into a driver hash mismatch.
+    from comet_spark.streaming.ingest import gc_index_versions, ivf_serving_view
+
+    removed = {
+        os.path.relpath(p, index_base)
+        for p in gc_index_versions(spark, index_base)
+    }
+    if removed != {"full_v0", "tail/batch=1"}:
+        raise RuntimeError(
+            f"doc_stream artifact: gc removed {sorted(removed)} (want "
+            "full_v0 + tail/batch=1) — superseded state not collected "
+            "or a live component deleted"
+        )
+    if not os.path.exists(f"{index_base}/_deletes/batch=3/_SUCCESS"):
+        raise RuntimeError(
+            "doc_stream artifact: gc deleted the LIVE delete marker — "
+            "serving would resurrect the live-deleted top-3"
+        )
+    _, layout_gc, _, docs_gc = doc_serving_views(
+        spark, store, index_base, normalize=False
+    )
+    if layout_gc.count() != n_exp or docs_gc.count() != n_exp:
+        raise RuntimeError(
+            "doc_stream artifact: serving changed after gc — a "
+            "component a reader needs was deleted"
+        )
 
     ivf, _ = ivf_serving_view(spark, index_base)
     _write_rows(
