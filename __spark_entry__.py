@@ -8256,6 +8256,301 @@ SELECT vec_id, score FROM d ORDER BY score, vec_id LIMIT {K}
 )
 
 
+# ★ CRUD THROUGH THE LIVE IVFPQ STREAM (r13 — the fourth and last
+# vector engine in the CRUD × live-maintenance matrix; the reference's
+# Remove/re-Add ride the shared write path on the residual index too,
+# ``ivfpq_index.go:164-341``): the shared _codes_engine_stream CRUD
+# protocol instantiated with both model levels — upserts RE-ASSIGN and
+# re-encode into the tail (a moved vector can change clusters; the
+# newest-wins row carries its new cluster_id so pruning stays honest),
+# the scheduled retrain re-trains coarse + residual codebooks on the
+# post-CRUD merged view and bakes markers, and the live delete wave D2
+# is the PRUNED residual-ADC query's exact undeleted top-3 under the
+# v2 model (staged drive, the pq_crud recipe). Oracle = newest-wins
+# QUALIFY over (full_v2 ∪ tail 3) carrying (id, cluster_id, codes),
+# precedence anti-join on the exported markers, per-cluster-LUT ADC.
+_IVFPQ_CRUD_MOD = 4
+_IVFPQ_CRUD_REFRESH_AT = 2
+_IVFPQ_CRUD_CACHE: dict[tuple[str, str, str], tuple] = {}
+
+
+def _ivfpq_crud_live(spark: SparkSession, sf_dir: str):
+    from comet_spark.streaming.ingest import ivfpq_serving_view
+
+    key = _live_cache_key(spark, sf_dir, "embeddings")
+    if key not in _IVFPQ_CRUD_CACHE:
+        _evict_superseded(_IVFPQ_CRUD_CACHE, key)
+        base = f"{_art_dir(sf_dir)}/ivfpq_crud"
+        full = f"{base}/index/full_v{_IVFPQ_CRUD_REFRESH_AT}"
+        _fresh_stream_artifact(
+            spark, sf_dir, base, f"{full}/codes.parquet",
+            lambda: _build_ivfpq_crud_artifact(spark, sf_dir, base),
+            table="embeddings",
+            probe_paths=[
+                f"{full}/ivf/centroids.parquet",
+                f"{full}/pq/codebooks.parquet",
+                f"{base}/index/tail/batch=3",
+                f"{base}/index/_deletes/batch=3",
+                f"{base}/luts_q.parquet",
+            ],
+            probe_files=[
+                f"{base}/index/_versions/{_IVFPQ_CRUD_REFRESH_AT}",
+                f"{base}/index/_crud",
+                f"{base}/index/tail/batch=3/_SUCCESS",
+                f"{base}/index/_deletes/batch=3/_SUCCESS",
+            ],
+        )
+        _IVFPQ_CRUD_CACHE[key] = ivfpq_serving_view(spark, f"{base}/index")
+    return _IVFPQ_CRUD_CACHE[key]
+
+
+def _build_ivfpq_crud_artifact(
+    spark: SparkSession, sf_dir: str, base: str
+) -> None:
+    """POSIX-local oracle-artifact harness — the _build_pq_crud_artifact
+    staged drive with the residual engine: D2 needs the v2
+    centroids+codebooks, so the marker batch is fed only after the
+    refresh commits."""
+    import glob
+    import shutil
+
+    from comet_spark.operators.ann import IVFPQIndex
+    from comet_spark.storage.store import DocumentStore, _FS
+    from comet_spark.streaming.ingest import (
+        _ivf_current,
+        ivfpq_ingest_stream,
+        ivfpq_serving_view,
+    )
+
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(base, exist_ok=True)
+    src, ckpt = f"{base}/src", f"{base}/ckpt"
+    store_path, index_base = f"{base}/store", f"{base}/index"
+    emb = _t(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("id"),
+        F.col("embedding").cast("array<double>").alias("vector"),
+    )
+    res = lambda m: F.col("id") % _IVFPQ_CRUD_MOD == m  # noqa: E731
+    ups_pred = res(0) & (F.col("id") % 3 == 0)
+    d1_pred = (F.col("id") % 10 == 7) & (F.col("id") % 4 < 3)
+    w_pred = (
+        (F.col("id") % 9 == 1)
+        & (F.col("id") % 4 < 3)
+        & (F.col("id") % 10 != 7)
+    )
+    negated = F.transform("vector", lambda x: -x).alias("vector")
+    times5 = F.transform("vector", lambda x: x * F.lit(5.0)).alias("vector")
+    times3 = F.transform("vector", lambda x: x * F.lit(3.0)).alias("vector")
+    op_null = F.lit(None).cast("string").alias("op")
+    mark = F.lit("delete").alias("op")
+    novec = F.lit(None).cast("array<double>").alias("vector")
+    store = DocumentStore(spark, store_path, id_col="id")
+    _add, _drain = _feed_drain(
+        spark, src,
+        lambda: ivfpq_ingest_stream(
+            spark.readStream.schema(
+                "id bigint, vector array<double>, op string"
+            )
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src),
+            store, index_base, checkpoint=ckpt, nlist=4, m=PQ_M, nbits=4,
+            refresh_every=_IVFPQ_CRUD_REFRESH_AT, max_iter=5, op_col="op",
+        ),
+        "ivfpq_crud",
+    )
+    r1 = emb.filter(d1_pred).agg(F.min("id")).first()[0]
+    if r1 is None:
+        raise RuntimeError("ivfpq_crud artifact: delete wave 1 is empty")
+    r1 = int(r1)
+    txf = _ivf_crud_txf(emb, r1)
+    undeleted = txf.filter(~d1_pred | (F.col("id") == r1))
+    qvec = _hybrid_qvec(spark, sf_dir)
+
+    with _scoped_shuffle_partitions(spark):
+        _add(emb.filter(res(0)).select("id", "vector", op_null))
+        _add(
+            emb.filter(res(1)).select("id", "vector", op_null).unionByName(
+                emb.filter(ups_pred).select("id", negated, op_null)
+            )
+        )
+        _add(
+            emb.filter(res(2)).select("id", "vector", op_null).unionByName(
+                emb.filter(d1_pred).select("id", novec, mark)
+            )
+        )
+        _drain()  # b0 boots v0, b1 tails, b2 refreshes → v2
+        fs = _FS(spark, index_base)
+        cur = _ivf_current(fs, index_base)
+        if cur != _IVFPQ_CRUD_REFRESH_AT:
+            raise RuntimeError(
+                f"ivfpq_crud artifact: CURRENT={cur} after first drain "
+                f"(want {_IVFPQ_CRUD_REFRESH_AT})"
+            )
+        full2 = f"{index_base}/full_v{_IVFPQ_CRUD_REFRESH_AT}"
+        ix2 = IVFPQIndex.load(spark, full2)
+        baked = spark.read.parquet(f"{full2}/codes.parquet")
+        n_d1 = baked.join(emb.filter(d1_pred).select("id"), "id").count()
+        n_ups = emb.filter(ups_pred).count()
+        n_ups_baked = baked.join(
+            ix2.encode(emb.filter(ups_pred).select("id", negated)),
+            ["id", "cluster_id", "codes"],
+        ).count()
+        if not (n_d1 == 0 and 0 < n_ups == n_ups_baked):
+            raise RuntimeError(
+                f"ivfpq_crud artifact: refresh did not bake the CRUD "
+                f"state (wave-1 leftovers={n_d1}, upserts "
+                f"{n_ups_baked}/{n_ups})"
+            )
+        # the live delete wave: the PRUNED residual-ADC query's exact
+        # undeleted top-3 under the v2 model — non-vacuous by
+        # construction (dropping the markers serves exactly these first)
+        enc_undel = ix2.encode(undeleted).persist()
+        D2 = [
+            int(r["id"])
+            for r in ix2.search(
+                enc_undel.filter(F.col("id") != r1), qvec, k=3, nprobe=2
+            ).collect()
+        ]
+        final_codes_exp = enc_undel.filter(~F.col("id").isin(D2))
+        exp_top = [
+            (int(r["id"]), float(r["score"]))
+            for r in ix2.search(final_codes_exp, qvec, k=K, nprobe=2).collect()
+        ]
+        _add(
+            emb.filter(res(3)).select("id", "vector", op_null)
+            .unionByName(emb.filter(w_pred).select("id", times5, op_null))
+            .unionByName(
+                emb.filter(F.col("id") == r1).select("id", times3, op_null)
+            )
+            .unionByName(
+                spark.createDataFrame(
+                    [(i, None, "delete") for i in D2],
+                    "id bigint, vector array<double>, op string",
+                )
+            )
+        )
+        _drain()  # b3 tails + markers
+        before_del = set(glob.glob(f"{index_base}/_deletes/batch=3/*.parquet"))
+        before_tail = set(glob.glob(f"{index_base}/tail/batch=3/*.parquet"))
+        before_full = set(glob.glob(f"{full2}/codes.parquet/*.parquet"))
+        _lose_latest_commit(ckpt)  # crash → the MARKER batch will replay
+        # MID-READ: the served codes equal the expected final — id,
+        # CLUSTER (upserts may have moved lists), and codes all exact
+        ix_mid, codes_mid = ivfpq_serving_view(spark, index_base)
+        n_exp, n_mid = final_codes_exp.count(), codes_mid.count()
+        n_match = codes_mid.join(
+            final_codes_exp, ["id", "cluster_id", "codes"]
+        ).count()
+        if not (0 < n_exp == n_mid == n_match):
+            raise RuntimeError(
+                f"ivfpq_crud artifact: mid serving view drifted "
+                f"(expect={n_exp} mid={n_mid} matched={n_match})"
+            )
+        w_alive = emb.filter(w_pred).filter(~F.col("id").isin(D2))
+        n_w = w_alive.count()
+        n_w_srv = codes_mid.join(
+            ix2.encode(w_alive.select("id", times5)),
+            ["id", "cluster_id", "codes"],
+        ).count()
+        n_r1 = codes_mid.filter(F.col("id") == r1).count()
+        n_d2 = codes_mid.filter(F.col("id").isin(D2)).count()
+        mid_top = [
+            (int(r["id"]), float(r["score"]))
+            for r in ix_mid.search(codes_mid, qvec, k=K, nprobe=2).collect()
+        ]
+        if not (
+            0 < n_w == n_w_srv and n_r1 == 1 and n_d2 == 0
+            and len(D2) == 3 and mid_top == exp_top
+        ):
+            raise RuntimeError(
+                f"ivfpq_crud artifact: mid-read legs wrong (wave "
+                f"{n_w_srv}/{n_w}, resurrect={n_r1}, live-deleted={n_d2}, "
+                f"topk_match={mid_top == exp_top})"
+            )
+        enc_undel.unpersist()
+        _drain()  # NO new data: the pure replay of the marker batch
+    after_del = set(glob.glob(f"{index_base}/_deletes/batch=3/*.parquet"))
+    after_tail = set(glob.glob(f"{index_base}/tail/batch=3/*.parquet"))
+    after_full = set(glob.glob(f"{full2}/codes.parquet/*.parquet"))
+    if not before_del or before_del != after_del:
+        raise RuntimeError(
+            "ivfpq_crud artifact: _deletes/batch=3 changed across the "
+            "crash-replay — the committed marker partition was rewritten"
+        )
+    if not before_tail or before_tail == after_tail:
+        raise RuntimeError(
+            "ivfpq_crud artifact: tail/batch=3 was not rewritten — the "
+            "replay must redo the tail encode"
+        )
+    if not before_full or before_full != after_full:
+        raise RuntimeError(
+            "ivfpq_crud artifact: full_v2 codes changed across the "
+            "crash-replay — the committed version dir was mutated"
+        )
+    if os.path.exists(f"{index_base}/_skips/3"):
+        raise RuntimeError(
+            "ivfpq_crud artifact: the tail replay was skipped — it must "
+            "re-run (only committed refresh batches skip)"
+        )
+    ix, codes = ivfpq_serving_view(spark, index_base)
+    n_srv = codes.count()
+    n_match = codes.join(
+        ix.encode(undeleted).filter(~F.col("id").isin(D2)),
+        ["id", "cluster_id", "codes"],
+    ).count()
+    if not (n_srv == n_match == n_exp):
+        raise RuntimeError(
+            f"ivfpq_crud artifact: post-replay serving view drifted "
+            f"(expect={n_exp} serving={n_srv} matched={n_match})"
+        )
+    final_exp = undeleted.filter(~F.col("id").isin(D2))
+    store_rows = store.read().select("id", "vector")
+    n_store, n_store_match = store_rows.count(), store_rows.join(
+        final_exp, ["id", "vector"]
+    ).count()
+    if not (n_store == n_store_match == n_exp):
+        raise RuntimeError(
+            f"ivfpq_crud artifact: store merged view (rows={n_store}, "
+            f"matched={n_store_match}) disagrees with the serving view "
+            f"({n_exp})"
+        )
+    n_seg = store._segments().select("segment").distinct().count()
+    if n_seg != 5:
+        raise RuntimeError(
+            f"ivfpq_crud artifact: {n_seg} segments (want 5) — the "
+            "replay duplicate did not land"
+        )
+    _write_cluster_luts(spark, ix, qvec, f"{base}/luts_q.parquet", nprobe=2)
+
+
+def _ivfpq_crud_live_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ix, codes = _ivfpq_crud_live(spark, sf_dir)
+    res = ix.search(codes, _hybrid_qvec(spark, sf_dir), k=K, nprobe=2)
+    return res.select(F.col("id").alias("vec_id"), "score")
+
+
+_register(
+    "ivfpq_crud_live_adc",
+    _ivfpq_crud_live_adc,
+    f"""
+WITH f AS (SELECT id, cluster_id, codes, CAST({_IVFPQ_CRUD_REFRESH_AT} AS BIGINT) AS pri
+           FROM read_parquet('{_ART01}/ivfpq_crud/index/full_v{_IVFPQ_CRUD_REFRESH_AT}/codes.parquet/*.parquet')),
+t3 AS (SELECT id, cluster_id, codes, CAST(3 AS BIGINT) AS pri
+       FROM read_parquet('{_ART01}/ivfpq_crud/index/tail/batch=3/*.parquet')),
+win AS (SELECT id, cluster_id, codes, pri
+        FROM (SELECT * FROM f UNION ALL SELECT * FROM t3)
+        QUALIFY row_number() OVER (PARTITION BY id ORDER BY pri DESC) = 1),
+dd AS (SELECT id, CAST(3 AS BIGINT) AS db
+       FROM read_parquet('{_ART01}/ivfpq_crud/index/_deletes/batch=3/*.parquet')),
+c AS (SELECT win.id, win.cluster_id, win.codes FROM win LEFT JOIN dd USING (id)
+      WHERE dd.db IS NULL OR dd.db < win.pri),
+l AS (SELECT cluster_id, sub, code, dist FROM read_parquet('{_ART01}/ivfpq_crud/luts_q.parquet/*.parquet')),
+d AS ({_sql_adc('c', 'l', extra_on=' AND l{s}.cluster_id = c.cluster_id')})
+SELECT vec_id, score FROM d ORDER BY score, vec_id LIMIT {K}
+""",
+)
+
+
 # ★ HNSW LIVE CONSOLIDATION (r12 — closes the sub-graph growth loose
 # end the r11 gate documented: hnsw_ingest_stream's per-batch
 # sub-graphs grow with batch count; reference rebuild-on-compaction).
