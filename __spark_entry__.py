@@ -7082,13 +7082,19 @@ def _build_hnsw_live_artifact(
 
 
 def _hnsw_export_topk(
-    spark: SparkSession, sf_dir: str, ix, art_name: str
+    spark: SparkSession, sf_dir: str, ix, art_name: str,
+    *, vectors: DataFrame | None = None,
 ) -> DataFrame:
     """Export-candidates-then-exact-score, shared by the stream-grown
-    graph gates (hnsw_live_topk / hnsw_live_compact_topk — review r12
-    pass 5: the block lived twice, so a probe-protocol fix had to land
-    twice): the ef=100 beam is deterministic for a fixed graph, so the
-    exported candidate set is the oracle's replay surface. The probe
+    graph gates (hnsw_live_topk / hnsw_live_compact_topk /
+    hnsw_crud_live_topk — review r12 pass 5 and r13 pass 1: the block
+    lived twice, then was re-inlined a third time; a probe-protocol
+    fix must land once): the ef=100 beam is deterministic for a fixed
+    graph, so the exported candidate set is the oracle's replay
+    surface. ``vectors`` swaps the exact-scoring authority — the
+    source embeddings by default, the CRUD'd store's newest-wins
+    merged view for the CRUD gate (deleted ids then drop out of the
+    semi-join, upserted ids score with their newest vector). The probe
     key carries the corpus fingerprint — a mid-session regen rmtree's
     the artifact (candidates.parquet included), and a sig-less key
     would skip the rewrite and read the deleted path."""
@@ -7105,13 +7111,12 @@ def _hnsw_export_topk(
         ).write.mode("overwrite").parquet(f"{art}/candidates.parquet")
         _PROBE_WRITTEN.add(key2)
     cand = spark.read.parquet(f"{art}/candidates.parquet")
-    res = score_candidates(
-        _t(spark, sf_dir, "embeddings").select(
+    if vectors is None:
+        vectors = _t(spark, sf_dir, "embeddings").select(
             F.col("vec_id").alias("id"),
             F.col("embedding").cast("array<double>").alias("vector"),
-        ),
-        cand, qvec, metric="l2", k=K,
-    )
+        )
+    res = score_candidates(vectors, cand, qvec, metric="l2", k=K)
     return res.select(F.col("id").alias("vec_id"), "score")
 
 
@@ -7169,7 +7174,6 @@ SELECT vec_id, score FROM d ORDER BY score, vec_id LIMIT {K}
 # per id) over the exported components (full_v2 ∪ tail 3), anti-joined
 # with the exported live markers, vectors from the CASE-transformed
 # source.
-_IVF_CRUD_MOD = 4
 _IVF_CRUD_REFRESH_AT = 2
 _IVF_CRUD_CACHE: dict[tuple[str, str, str], tuple] = {}
 # the transform legs, as SQL so the oracle re-derives them from source
@@ -7214,6 +7218,39 @@ def _ivf_crud_live(spark: SparkSession, sf_dir: str):
         )
         _IVF_CRUD_CACHE[key] = ivf_serving_view(spark, f"{base}/index")
     return _IVF_CRUD_CACHE[key]
+
+
+def _crud_wave_algebra(corpus: DataFrame):
+    """The shared CRUD-wave algebra of the five CRUD gate builders
+    (ivf_crud / pq_crud / ivfpq_crud / hnsw_crud / doc_stream — review
+    r13 pass 1: the predicate/literal/r1 block lived five times and
+    had to stay byte-synchronized with the _IVF_CRUD_*_SQL constants):
+    the mod-4 residue factory, the three wave predicates (mutually
+    exclusive by arithmetic — see :func:`_ivf_crud_txf`), the
+    vector-transform and op literals, and the r1 probe (MIN id of
+    delete wave 1; None when the wave is empty — caller fails loudly).
+    Mod 4 is a fixed invariant: the SQL predicate constants hardcode
+    it, so it is not a knob."""
+    res = lambda m: F.col("id") % 4 == m  # noqa: E731
+    preds = {
+        "ups": res(0) & (F.col("id") % 3 == 0),  # _IVF_CRUD_UPS_SQL
+        "d1": (F.col("id") % 10 == 7) & (F.col("id") % 4 < 3),
+        "w": (
+            (F.col("id") % 9 == 1)
+            & (F.col("id") % 4 < 3)
+            & (F.col("id") % 10 != 7)
+        ),
+    }
+    lits = {
+        "negated": F.transform("vector", lambda x: -x).alias("vector"),
+        "times5": F.transform("vector", lambda x: x * F.lit(5.0)).alias("vector"),
+        "times3": F.transform("vector", lambda x: x * F.lit(3.0)).alias("vector"),
+        "op_null": F.lit(None).cast("string").alias("op"),
+        "mark": F.lit("delete").alias("op"),
+        "novec": F.lit(None).cast("array<double>").alias("vector"),
+    }
+    r1 = corpus.filter(preds["d1"]).agg(F.min("id")).first()[0]
+    return res, preds, lits, (int(r1) if r1 is not None else None)
 
 
 def _ivf_crud_txf(emb: DataFrame, r1: int) -> DataFrame:
@@ -7264,20 +7301,12 @@ def _build_ivf_crud_artifact(
         F.col("vec_id").alias("id"),
         F.col("embedding").cast("array<double>").alias("vector"),
     )
-    res = lambda m: F.col("id") % _IVF_CRUD_MOD == m  # noqa: E731
-    ups_pred = res(0) & (F.col("id") % 3 == 0)  # _IVF_CRUD_UPS_SQL
-    d1_pred = (F.col("id") % 10 == 7) & (F.col("id") % 4 < 3)
-    w_pred = (
-        (F.col("id") % 9 == 1)
-        & (F.col("id") % 4 < 3)
-        & (F.col("id") % 10 != 7)
-    )
-    negated = F.transform("vector", lambda x: -x).alias("vector")
-    times5 = F.transform("vector", lambda x: x * F.lit(5.0)).alias("vector")
-    times3 = F.transform("vector", lambda x: x * F.lit(3.0)).alias("vector")
-    op_null = F.lit(None).cast("string").alias("op")
-    mark = F.lit("delete").alias("op")
-    novec = F.lit(None).cast("array<double>").alias("vector")
+    res, P, L, r1 = _crud_wave_algebra(emb)
+    if r1 is None:
+        raise RuntimeError("ivf_crud artifact: delete wave 1 is empty")
+    ups_pred, d1_pred, w_pred = P["ups"], P["d1"], P["w"]
+    negated, times5, times3 = L["negated"], L["times5"], L["times3"]
+    op_null, mark, novec = L["op_null"], L["mark"], L["novec"]
     store = DocumentStore(spark, store_path, id_col="id")
     _add, _drain = _feed_drain(
         spark, src,
@@ -7292,10 +7321,6 @@ def _build_ivf_crud_artifact(
         ),
         "ivf_crud",
     )
-    r1 = emb.filter(d1_pred).agg(F.min("id")).first()[0]  # wave-1 min
-    if r1 is None:
-        raise RuntimeError("ivf_crud artifact: delete wave 1 is empty")
-    r1 = int(r1)
     txf = _ivf_crud_txf(emb, r1)
     # undeleted-final corpus: wave 1 baked out (except the resurrect);
     # D2 (the LIVE wave) is the query's exact top-3 of it, minus r1
@@ -7949,7 +7974,6 @@ SELECT vec_id, score FROM d ORDER BY score, vec_id LIMIT {K}
 # in the marker batch the injected crash replays. Oracle = newest-wins
 # QUALIFY over the exported components (full_v2 codes ∪ tail 3),
 # precedence anti-join on the exported markers, exported-LUT ADC.
-_PQ_CRUD_MOD = 4
 _PQ_CRUD_REFRESH_AT = 2
 _PQ_CRUD_CACHE: dict[tuple[str, str, str], tuple] = {}
 
@@ -8017,20 +8041,12 @@ def _build_pq_crud_artifact(
         F.col("vec_id").alias("id"),
         F.col("embedding").cast("array<double>").alias("vector"),
     )
-    res = lambda m: F.col("id") % _PQ_CRUD_MOD == m  # noqa: E731
-    ups_pred = res(0) & (F.col("id") % 3 == 0)  # _IVF_CRUD_UPS_SQL shape
-    d1_pred = (F.col("id") % 10 == 7) & (F.col("id") % 4 < 3)
-    w_pred = (
-        (F.col("id") % 9 == 1)
-        & (F.col("id") % 4 < 3)
-        & (F.col("id") % 10 != 7)
-    )
-    negated = F.transform("vector", lambda x: -x).alias("vector")
-    times5 = F.transform("vector", lambda x: x * F.lit(5.0)).alias("vector")
-    times3 = F.transform("vector", lambda x: x * F.lit(3.0)).alias("vector")
-    op_null = F.lit(None).cast("string").alias("op")
-    mark = F.lit("delete").alias("op")
-    novec = F.lit(None).cast("array<double>").alias("vector")
+    res, P, L, r1 = _crud_wave_algebra(emb)
+    if r1 is None:
+        raise RuntimeError("pq_crud artifact: delete wave 1 is empty")
+    ups_pred, d1_pred, w_pred = P["ups"], P["d1"], P["w"]
+    negated, times5, times3 = L["negated"], L["times5"], L["times3"]
+    op_null, mark, novec = L["op_null"], L["mark"], L["novec"]
     store = DocumentStore(spark, store_path, id_col="id")
     _add, _drain = _feed_drain(
         spark, src,
@@ -8045,10 +8061,6 @@ def _build_pq_crud_artifact(
         ),
         "pq_crud",
     )
-    r1 = emb.filter(d1_pred).agg(F.min("id")).first()[0]  # wave-1 min
-    if r1 is None:
-        raise RuntimeError("pq_crud artifact: delete wave 1 is empty")
-    r1 = int(r1)
     txf = _ivf_crud_txf(emb, r1)  # the shared CASE-transformed corpus
     undeleted = txf.filter(~d1_pred | (F.col("id") == r1))
     qvec = _hybrid_qvec(spark, sf_dir)
@@ -8269,7 +8281,6 @@ SELECT vec_id, score FROM d ORDER BY score, vec_id LIMIT {K}
 # v2 model (staged drive, the pq_crud recipe). Oracle = newest-wins
 # QUALIFY over (full_v2 ∪ tail 3) carrying (id, cluster_id, codes),
 # precedence anti-join on the exported markers, per-cluster-LUT ADC.
-_IVFPQ_CRUD_MOD = 4
 _IVFPQ_CRUD_REFRESH_AT = 2
 _IVFPQ_CRUD_CACHE: dict[tuple[str, str, str], tuple] = {}
 
@@ -8330,20 +8341,12 @@ def _build_ivfpq_crud_artifact(
         F.col("vec_id").alias("id"),
         F.col("embedding").cast("array<double>").alias("vector"),
     )
-    res = lambda m: F.col("id") % _IVFPQ_CRUD_MOD == m  # noqa: E731
-    ups_pred = res(0) & (F.col("id") % 3 == 0)
-    d1_pred = (F.col("id") % 10 == 7) & (F.col("id") % 4 < 3)
-    w_pred = (
-        (F.col("id") % 9 == 1)
-        & (F.col("id") % 4 < 3)
-        & (F.col("id") % 10 != 7)
-    )
-    negated = F.transform("vector", lambda x: -x).alias("vector")
-    times5 = F.transform("vector", lambda x: x * F.lit(5.0)).alias("vector")
-    times3 = F.transform("vector", lambda x: x * F.lit(3.0)).alias("vector")
-    op_null = F.lit(None).cast("string").alias("op")
-    mark = F.lit("delete").alias("op")
-    novec = F.lit(None).cast("array<double>").alias("vector")
+    res, P, L, r1 = _crud_wave_algebra(emb)
+    if r1 is None:
+        raise RuntimeError("ivfpq_crud artifact: delete wave 1 is empty")
+    ups_pred, d1_pred, w_pred = P["ups"], P["d1"], P["w"]
+    negated, times5, times3 = L["negated"], L["times5"], L["times3"]
+    op_null, mark, novec = L["op_null"], L["mark"], L["novec"]
     store = DocumentStore(spark, store_path, id_col="id")
     _add, _drain = _feed_drain(
         spark, src,
@@ -8358,10 +8361,6 @@ def _build_ivfpq_crud_artifact(
         ),
         "ivfpq_crud",
     )
-    r1 = emb.filter(d1_pred).agg(F.min("id")).first()[0]
-    if r1 is None:
-        raise RuntimeError("ivfpq_crud artifact: delete wave 1 is empty")
-    r1 = int(r1)
     txf = _ivf_crud_txf(emb, r1)
     undeleted = txf.filter(~d1_pred | (F.col("id") == r1))
     qvec = _hybrid_qvec(spark, sf_dir)
@@ -8779,7 +8778,6 @@ SELECT vec_id, score FROM d ORDER BY score, vec_id LIMIT {K}
 # The injected crash replays the b4 marker batch: sub-graph dir
 # rewritten, consolidation byte-identical, store converged. Oracle =
 # exact L2 over (exported beam ∩ the CASE-transformed alive corpus).
-_HNSW_CRUD_MOD = 4
 _HNSW_CRUD_REFRESH_AT = 3
 _HNSW_CRUD_EF = 100
 _HNSW_CRUD_CACHE: dict[tuple[str, str, str], object] = {}
@@ -8844,20 +8842,12 @@ def _build_hnsw_crud_artifact(
         F.col("vec_id").alias("id"),
         F.col("embedding").cast("array<double>").alias("vector"),
     )
-    res = lambda m: F.col("id") % _HNSW_CRUD_MOD == m  # noqa: E731
-    ups_pred = res(0) & (F.col("id") % 3 == 0)  # _IVF_CRUD_UPS_SQL shape
-    d1_pred = (F.col("id") % 10 == 7) & (F.col("id") % 4 < 3)
-    w_pred = (
-        (F.col("id") % 9 == 1)
-        & (F.col("id") % 4 < 3)
-        & (F.col("id") % 10 != 7)
-    )
-    negated = F.transform("vector", lambda x: -x).alias("vector")
-    times5 = F.transform("vector", lambda x: x * F.lit(5.0)).alias("vector")
-    times3 = F.transform("vector", lambda x: x * F.lit(3.0)).alias("vector")
-    op_null = F.lit(None).cast("string").alias("op")
-    mark = F.lit("delete").alias("op")
-    novec = F.lit(None).cast("array<double>").alias("vector")
+    res, P, L, r1 = _crud_wave_algebra(emb)
+    if r1 is None:
+        raise RuntimeError("hnsw_crud artifact: delete wave 1 is empty")
+    ups_pred, d1_pred, w_pred = P["ups"], P["d1"], P["w"]
+    negated, times5, times3 = L["negated"], L["times5"], L["times3"]
+    op_null, mark, novec = L["op_null"], L["mark"], L["novec"]
     store = DocumentStore(spark, store_path, id_col="id")
     _add, _drain = _feed_drain(
         spark, src,
@@ -8873,10 +8863,6 @@ def _build_hnsw_crud_artifact(
         ),
         "hnsw_crud",
     )
-    r1 = emb.filter(d1_pred).agg(F.min("id")).first()[0]  # wave-1 min
-    if r1 is None:
-        raise RuntimeError("hnsw_crud artifact: delete wave 1 is empty")
-    r1 = int(r1)
     txf = _ivf_crud_txf(emb, r1)  # the shared CASE-transformed corpus
     undeleted = txf.filter(~d1_pred | (F.col("id") == r1))
     qvec = _hybrid_qvec(spark, sf_dir)
@@ -9041,22 +9027,12 @@ def _build_hnsw_crud_artifact(
 def _hnsw_crud_live_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LIVE beam over the CRUD'd graph (stale/deleted nodes routing),
     exact rescore against the store's newest-wins merged view — the
-    candidate set exports per session for the oracle's replay (the
-    _hnsw_export_topk scheme with the STORE as the vector authority)."""
-    from comet_spark.operators.hnsw import score_candidates
-
+    shared _hnsw_export_topk protocol with the STORE as the vector
+    authority (ef 100 == _HNSW_CRUD_EF, the builder's beam)."""
     ix, store = _hnsw_crud(spark, sf_dir)
-    qvec = _hybrid_qvec(spark, sf_dir)
-    art = f"{_art_dir(sf_dir)}/hnsw_crud"
-    key2 = _live_cache_key(spark, sf_dir, "embeddings") + ("hnsw_crud_cands",)
-    if key2 not in _PROBE_WRITTEN:
-        ix.candidates(qvec, ef_search=_HNSW_CRUD_EF).distinct().repartition(
-            1
-        ).write.mode("overwrite").parquet(f"{art}/candidates.parquet")
-        _PROBE_WRITTEN.add(key2)
-    cand = spark.read.parquet(f"{art}/candidates.parquet")
-    res = score_candidates(store.read(), cand, qvec, metric="l2", k=K)
-    return res.select(F.col("id").alias("vec_id"), "score")
+    return _hnsw_export_topk(
+        spark, sf_dir, ix, "hnsw_crud", vectors=store.read()
+    )
 
 
 _register(
@@ -9101,7 +9077,6 @@ SELECT vec_id, score FROM vd ORDER BY score, vec_id LIMIT {K}
 # vector leg replays newest-wins/anti-join over the exported layout
 # components with the live markers, the text leg folds the full BM25
 # arithmetic over the alive CASE corpus, RRF folds both.
-_DOC_STREAM_MOD = 4
 _DOC_STREAM_REFRESH_AT = 2
 _DOC_STREAM_CACHE: dict[tuple[str, str, str], tuple] = {}
 # wave predicates over doc ids, as SQL (the _IVF_CRUD_* shapes with
@@ -9197,21 +9172,14 @@ def _build_doc_stream_artifact(
             "doc_stream artifact: documents ⨝ embeddings is not 1:1 — "
             "the unified feed would drop documents"
         )
-    res = lambda m: F.col("id") % _DOC_STREAM_MOD == m  # noqa: E731
-    ups_pred = res(0) & (F.col("id") % 3 == 0)
-    d1_pred = (F.col("id") % 10 == 7) & (F.col("id") % 4 < 3)
-    w_pred = (
-        (F.col("id") % 9 == 1)
-        & (F.col("id") % 4 < 3)
-        & (F.col("id") % 10 != 7)
-    )
-    negated = F.transform("vector", lambda x: -x).alias("vector")
-    times5 = F.transform("vector", lambda x: x * F.lit(5.0)).alias("vector")
-    times3 = F.transform("vector", lambda x: x * F.lit(3.0)).alias("vector")
+    res, P, L, r1 = _crud_wave_algebra(corpus)
+    if r1 is None:
+        raise RuntimeError("doc_stream artifact: delete wave 1 is empty")
+    ups_pred, d1_pred, w_pred = P["ups"], P["d1"], P["w"]
+    negated, times5, times3 = L["negated"], L["times5"], L["times3"]
+    op_null, mark = L["op_null"], L["mark"]
     t_v2 = F.concat(F.col("text"), F.lit(" v2")).alias("text")
     t_v3 = F.concat(F.col("text"), F.lit(" v3")).alias("text")
-    op_null = F.lit(None).cast("string").alias("op")
-    mark = F.lit("delete").alias("op")
     store = DocumentStore(spark, store_path, id_col="id")
     _add, _drain = _feed_drain(
         spark, src,
@@ -9227,10 +9195,6 @@ def _build_doc_stream_artifact(
         ),
         "doc_stream",
     )
-    r1 = corpus.filter(d1_pred).agg(F.min("id")).first()[0]
-    if r1 is None:
-        raise RuntimeError("doc_stream artifact: delete wave 1 is empty")
-    r1 = int(r1)
     # the CASE-transformed corpus on BOTH modalities (branch order
     # mirrors the SQL; legs mutually exclusive by arithmetic)
     txf = corpus.select(

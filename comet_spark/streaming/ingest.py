@@ -333,9 +333,12 @@ def _commit_version(fs, base: str, batch_id: int, who: str) -> None:
 
 def _crud_boot(fs, index_base: str, id_col: str, who: str) -> None:
     """First-batch CRUD declaration, shared by the CRUD-capable
-    engines: record the stream's id column in ``_crud_meta`` (the
-    serving view must window/join on the stream's actual column —
-    assign/encode PRESERVE id_col) and create the ``_crud`` marker that
+    engines: record the LAYOUT's id column in ``_crud_meta`` — the
+    name the serving view must window/join on. That is the stream's
+    id_col for the IVF engine (assign_clusters PRESERVES it) but the
+    canonical ``id`` for the codes engines (PQ/IVFPQ encode renames to
+    bigint ``id`` — review r13 pass 1) — and create the ``_crud``
+    marker that
     opts the serving view into the newest-wins/anti-join plan. Meta
     BEFORE marker: a reader that sees the marker always finds the meta.
     Create-once + mismatch guard — restarting with a different id_col
@@ -383,7 +386,7 @@ def _write_delete_marker(
 
 def _demote_if_emptied(
     fs, store: DocumentStore, index_base: str, batch_id: int, cur,
-    n_ups: int, n_del: int,
+    n_ups: int, n_del: int, *, journal: bool | None = None,
 ) -> bool:
     """Deletes can EMPTY the corpus: a scheduled retrain on zero rows
     would die — and the replay would die identically, a permanent crash
@@ -394,12 +397,16 @@ def _demote_if_emptied(
     the corpus COULD be empty — a batch whose upserts landed with no
     deletes proves it is not (pass 6). A ``True`` with ``cur is None``
     means nothing ever landed — boot at next data (the caller returns
-    without scheduling)."""
+    without scheduling). ``journal`` overrides the journal-or-not
+    default (``cur is not None``) for engines whose served state is not
+    version-gated: the HNSW stream serves per-batch sub-graphs BEFORE
+    any consolidation commits, so a pre-first-consolidation demote must
+    still journal the missed cycle (review r13 pass 1)."""
     if not (n_del or not n_ups):
         return False
     if store._fs.exists(store.data_path) and not store.read().isEmpty():
         return False
-    if cur is not None:
+    if journal if journal is not None else cur is not None:
         fs.create_new(f"{index_base}/_skips/empty_refresh_{batch_id}")
     return True
 
@@ -1102,6 +1109,8 @@ def _codes_engine_stream(
     cache: dict = {"cur": None, "model": None}
 
     def write_batch(batch: DataFrame, batch_id: int) -> None:
+        from pyspark.sql.types import IntegralType
+
         spark = batch.sparkSession
         fs = _FS(spark, index_base)
         if first[0]:
@@ -1110,8 +1119,26 @@ def _codes_engine_stream(
             cache["cur"] = _lineage_guard(
                 fs, index_base, batch_id, who, ("tail", "_deletes")
             )
+            # the codes layouts CANONICALIZE the id: PQIndex.encode /
+            # IVFPQIndex.encode emit ``id`` cast to bigint whatever the
+            # stream's id_col is called (unlike the IVF engine, whose
+            # assign PRESERVES id_col) — so (a) a non-integral id_col
+            # would silently NULL every id under the cast: fail fast;
+            # (b) CRUD metadata and delete markers are recorded under
+            # the canonical ``id`` the codes actually carry, or the
+            # serving view's newest-wins window would reference a
+            # column the codes DataFrames do not have (review r13
+            # pass 1 — a non-default-id CRUD view was unserveable)
+            if not isinstance(batch.schema[id_col].dataType, IntegralType):
+                raise TypeError(
+                    f"{who}: id_col {id_col!r} has type "
+                    f"{batch.schema[id_col].dataType.simpleString()} — the "
+                    "codes layout canonicalizes ids to bigint 'id', and a "
+                    "non-integral id would NULL under the cast; use an "
+                    "integral id column"
+                )
             if op_col is not None:
-                _crud_boot(fs, index_base, id_col, who)
+                _crud_boot(fs, index_base, "id", who)
         if _skip_if_committed(fs, index_base, batch_id):
             return
         cur = cache["cur"]
@@ -1164,8 +1191,14 @@ def _codes_engine_stream(
                     return  # nothing ever landed — boot at next data
                 scheduled = False
             if not scheduled and n_del:
+                # markers under the canonical bigint ``id`` the codes
+                # carry (see the boot-time canonicalization note)
                 _write_delete_marker(
-                    fs, index_base, batch_id, del_ids, id_col, bool(n_ups)
+                    fs, index_base, batch_id,
+                    del_ids.select(
+                        F.col(id_col).cast("bigint").alias("id")
+                    ),
+                    "id", bool(n_ups),
                 )
             if scheduled:
                 _version_tripwire(fs, index_base, batch_id, who)
@@ -1222,12 +1255,11 @@ def pq_serving_view(spark, index_base: str):
         )
     pq = PQIndex.load(spark, f"{index_base}/full_v{cur}")
     codes = spark.read.parquet(f"{index_base}/full_v{cur}/codes.parquet")
-    codes = _crud_resolved_view(
+    # both _crud_resolved_view branches project to full.columns, so the
+    # tail's batch partition column can never leak (review r13 pass 1)
+    return pq, _crud_resolved_view(
         spark, fs, index_base, codes, cur, who="pq_serving_view"
     )
-    if "batch" in codes.columns:
-        codes = codes.drop("batch")
-    return pq, codes
 
 
 def ivfpq_serving_view(spark, index_base: str):
@@ -1252,12 +1284,11 @@ def ivfpq_serving_view(spark, index_base: str):
         )
     ix = IVFPQIndex.load(spark, f"{index_base}/full_v{cur}")
     codes = spark.read.parquet(f"{index_base}/full_v{cur}/codes.parquet")
-    codes = _crud_resolved_view(
+    # both _crud_resolved_view branches project to full.columns — the
+    # batch partition column cannot leak (review r13 pass 1)
+    return ix, _crud_resolved_view(
         spark, fs, index_base, codes, cur, who="ivfpq_serving_view"
     )
-    if "batch" in codes.columns:
-        codes = codes.drop("batch")
-    return ix, codes
 
 
 def gc_index_versions(
@@ -1478,15 +1509,25 @@ def hnsw_ingest_stream(
                     f"{graph_base}/meta.parquet"
                 )
         try:
-            if scheduled and op_col is not None and _demote_if_emptied(
-                fs, store, graph_base, batch_id,
-                _ivf_current(fs, graph_base), n_ups, n_del,
-            ):
-                # deletes emptied the corpus (or nothing ever landed):
-                # consolidating zero rows would crash-loop the replay —
-                # journaled no-op; serving keeps the old state, whose
-                # dead rows the rescore semi-join already hides
-                scheduled = False
+            if scheduled and op_col is not None:
+                # the graph engine serves per-batch sub-graphs before
+                # any consolidation commits, so the demote journals
+                # whenever ANY served state exists — committed version
+                # OR committed parts (review r13 pass 1)
+                cur_g = _ivf_current(fs, graph_base)
+                served = cur_g is not None or bool(
+                    _live_batches(fs, f"{graph_base}/parts", None)
+                )
+                if _demote_if_emptied(
+                    fs, store, graph_base, batch_id, cur_g, n_ups, n_del,
+                    journal=served,
+                ):
+                    # deletes emptied the corpus (or nothing ever
+                    # landed): consolidating zero rows would crash-loop
+                    # the replay — journaled no-op; serving keeps the
+                    # old state, whose dead rows the rescore semi-join
+                    # already hides
+                    scheduled = False
             if scheduled:
                 # CONSOLIDATION: one rebuild over the merged view
                 # replaces every sub-graph so far; per-batch dirs

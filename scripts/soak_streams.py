@@ -54,6 +54,17 @@ STREAM_GATES = [
     ("ivf_crud_live_knn", "ivf_crud"),
     ("pq_live_adc_knn", "pq_live"),
     ("hnsw_live_compact_topk", "hnsw_compact"),
+    # r13: CRUD through the remaining vector engines + IVFPQ live
+    # maintenance. hybrid_doc_stream_rrf is deliberately absent: its
+    # builder enforces the testdata 1:1 documents⨝embeddings contract
+    # (load-bearing for the text-leg oracle) and the soak corpus is
+    # 50k docs / 20k vectors by design; its engine is ivf_ingest_stream
+    # + the merged-view BM25 scorer, both already soaked via
+    # ivf_crud_live_knn and the bm25 rows.
+    ("pq_crud_live_adc", "pq_crud"),
+    ("ivfpq_live_adc_knn", "ivfpq_live"),
+    ("ivfpq_crud_live_adc", "ivfpq_crud"),
+    ("hnsw_crud_live_topk", "hnsw_crud"),
 ]
 
 
@@ -110,6 +121,25 @@ def main() -> None:
             entry._IVF_LIVE_CACHE.clear()
             entry._IVF_CRUD_CACHE.clear()
             entry._PQ_LIVE_CACHE.clear()
+            entry._PQ_CRUD_CACHE.clear()
+            entry._IVFPQ_LIVE_CACHE.clear()
+            entry._IVFPQ_CRUD_CACHE.clear()
+            # _HNSW_CRUD_CACHE values are (ix, store) — unpersist the
+            # cached graph blobs before dropping the handle
+            for ix, _store in entry._HNSW_CRUD_CACHE.values():
+                try:
+                    ix.graphs.unpersist()
+                except Exception:
+                    pass
+            entry._HNSW_CRUD_CACHE.clear()
+            # _DOC_STREAM_CACHE values are (ivf, layout, bm, docs) —
+            # the BM25 member pins cache=True side tables
+            for _ivf, _lay, bm, _docs in entry._DOC_STREAM_CACHE.values():
+                try:
+                    entry._unpersist_bm25(bm)
+                except Exception:
+                    pass
+            entry._DOC_STREAM_CACHE.clear()
             # BM25 caches hold cache=True tables (postings is
             # corpus-sized) — unpersist before dropping the handle,
             # same rule as the graph blobs below (review r12 pass 3)

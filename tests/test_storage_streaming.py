@@ -2957,6 +2957,112 @@ def test_ivfpq_ingest_stream_versioned_refresh_and_crud(spark, tmp_path):
     assert got == want
 
 
+def test_pq_crud_stream_with_custom_id_col(spark, tmp_path):
+    """The codes layouts CANONICALIZE ids (PQIndex.encode renames to
+    bigint 'id' — unlike IVF's assign, which preserves id_col), so a
+    CRUD stream with id_col='doc_id' must record the canonical name in
+    _crud_meta and write markers under it, or the serving view windows
+    on a column the codes don't have (review r13 pass 1 — the view was
+    unserveable). Also: a non-integral id_col fails fast instead of
+    NULLing every id under the cast."""
+    from comet_spark.storage.store import DocumentStore
+    from comet_spark.streaming.ingest import pq_ingest_stream, pq_serving_view
+
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+    index_base = str(tmp_path / "index")
+    store = DocumentStore(spark, str(tmp_path / "store"), id_col="doc_id")
+
+    def feed(rows):
+        spark.createDataFrame(
+            rows, "doc_id bigint, vector array<double>, op string"
+        ).repartition(1).write.mode("append").parquet(src)
+
+    def drain():
+        q = pq_ingest_stream(
+            spark.readStream.schema(
+                "doc_id bigint, vector array<double>, op string"
+            )
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src),
+            store, index_base, checkpoint=ckpt, m=2, nbits=2,
+            op_col="op", id_col="doc_id",
+        )
+        assert q.awaitTermination(300)
+
+    feed([(i, [float(i), 0.0, 1.0, 0.0], None) for i in range(8)])
+    feed(  # tail: upsert doc 2, delete doc 5, fresh docs
+        [(2, [100.0, 100.0, 0.0, 1.0], None)]
+        + [(i, [float(i), 0.0, 1.0, 0.0], None) for i in range(10, 13)]
+        + [(5, None, "delete")]
+    )
+    drain()
+    with open(f"{index_base}/_crud_meta") as fh:
+        assert fh.read() == "id"  # canonical, not the stream's doc_id
+    pq, codes = pq_serving_view(spark, index_base)
+    got = {r["id"] for r in codes.select("id").collect()}
+    assert got == ({0, 1, 2, 3, 4, 6, 7} | {10, 11, 12})
+    # the upsert shadows: codes for id 2 equal the new vector's encode
+    # (encode canonicalizes doc_id → bigint id, same as the stream)
+    direct = {
+        (r["id"], tuple(r["codes"]))
+        for r in pq.encode(store.read(), id_col="doc_id").collect()
+    }
+    assert {(r["id"], tuple(r["codes"])) for r in codes.collect()} == direct
+    # a non-integral id_col fails fast at boot
+    src2, ckpt2 = str(tmp_path / "src2"), str(tmp_path / "ckpt2")
+    spark.createDataFrame(
+        [("a", [1.0, 0.0, 0.0, 0.0], None)],
+        "doc_id string, vector array<double>, op string",
+    ).repartition(1).write.mode("append").parquet(src2)
+    q = pq_ingest_stream(
+        spark.readStream.schema("doc_id string, vector array<double>, op string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src2),
+        DocumentStore(spark, str(tmp_path / "store2"), id_col="doc_id"),
+        str(tmp_path / "index2"), checkpoint=ckpt2, m=2, nbits=2,
+        op_col="op", id_col="doc_id",
+    )
+    with pytest.raises(Exception, match="integral|canonicalizes"):
+        assert q.awaitTermination(300)
+
+
+def test_hnsw_crud_demote_journals_before_first_consolidation(spark, tmp_path):
+    """The graph engine serves per-batch sub-graphs BEFORE any
+    consolidation commits, so a scheduled consolidation demoted by an
+    emptied corpus must journal the missed cycle even when no version
+    exists yet (review r13 pass 1 — cur=None is not 'nothing served'
+    for HNSW)."""
+    import os
+
+    from comet_spark.storage.store import DocumentStore
+    from comet_spark.streaming.ingest import hnsw_ingest_stream
+
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+    graph_base = str(tmp_path / "graphs")
+    store = DocumentStore(spark, str(tmp_path / "store"), id_col="id")
+
+    def feed(rows):
+        spark.createDataFrame(
+            rows, "id bigint, vector array<double>, op string"
+        ).repartition(1).write.mode("append").parquet(src)
+
+    feed([(i, [float(i), 0.0], None) for i in range(6)])   # b0 parts
+    feed([(i, None, "delete") for i in range(6)])          # b1 empties
+    feed([])                                               # b2 scheduled
+    q = hnsw_ingest_stream(
+        spark.readStream.schema("id bigint, vector array<double>, op string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src),
+        store, graph_base, checkpoint=ckpt, m=4, parts_per_batch=2,
+        refresh_every=2, op_col="op",
+    )
+    assert q.awaitTermination(300)
+    assert os.path.exists(f"{graph_base}/_skips/empty_refresh_2"), (
+        "pre-first-consolidation demote must journal — parts/batch=0 serves"
+    )
+    assert not os.path.exists(f"{graph_base}/_versions/2")
+
+
 def test_hnsw_ingest_stream_crud_ops(spark, tmp_path):
     """op_col CRUD through the live-grown graph (r13): upserts join the
     graph as per-batch sub-graphs (the stale node keeps ROUTING
