@@ -7083,7 +7083,7 @@ def _build_hnsw_live_artifact(
 
 def _hnsw_export_topk(
     spark: SparkSession, sf_dir: str, ix, art_name: str,
-    *, vectors: DataFrame | None = None,
+    *, vectors: DataFrame | None = None, ef_search: int = 100,
 ) -> DataFrame:
     """Export-candidates-then-exact-score, shared by the stream-grown
     graph gates (hnsw_live_topk / hnsw_live_compact_topk /
@@ -7106,7 +7106,7 @@ def _hnsw_export_topk(
         f"{art_name}_cands",
     )
     if key2 not in _PROBE_WRITTEN:
-        ix.candidates(qvec, ef_search=100).distinct().repartition(
+        ix.candidates(qvec, ef_search=ef_search).distinct().repartition(
             1
         ).write.mode("overwrite").parquet(f"{art}/candidates.parquet")
         _PROBE_WRITTEN.add(key2)
@@ -7220,7 +7220,7 @@ def _ivf_crud_live(spark: SparkSession, sf_dir: str):
     return _IVF_CRUD_CACHE[key]
 
 
-def _crud_wave_algebra(corpus: DataFrame):
+def _crud_wave_algebra(corpus: DataFrame, who: str):
     """The shared CRUD-wave algebra of the five CRUD gate builders
     (ivf_crud / pq_crud / ivfpq_crud / hnsw_crud / doc_stream — review
     r13 pass 1: the predicate/literal/r1 block lived five times and
@@ -7228,9 +7228,9 @@ def _crud_wave_algebra(corpus: DataFrame):
     the mod-4 residue factory, the three wave predicates (mutually
     exclusive by arithmetic — see :func:`_ivf_crud_txf`), the
     vector-transform and op literals, and the r1 probe (MIN id of
-    delete wave 1; None when the wave is empty — caller fails loudly).
-    Mod 4 is a fixed invariant: the SQL predicate constants hardcode
-    it, so it is not a knob."""
+    delete wave 1; raises loudly here — once — when the wave is
+    empty). Mod 4 is a fixed invariant: the SQL predicate constants
+    hardcode it, so it is not a knob."""
     res = lambda m: F.col("id") % 4 == m  # noqa: E731
     preds = {
         "ups": res(0) & (F.col("id") % 3 == 0),  # _IVF_CRUD_UPS_SQL
@@ -7250,7 +7250,9 @@ def _crud_wave_algebra(corpus: DataFrame):
         "novec": F.lit(None).cast("array<double>").alias("vector"),
     }
     r1 = corpus.filter(preds["d1"]).agg(F.min("id")).first()[0]
-    return res, preds, lits, (int(r1) if r1 is not None else None)
+    if r1 is None:
+        raise RuntimeError(f"{who} artifact: delete wave 1 is empty")
+    return res, preds, lits, int(r1)
 
 
 def _ivf_crud_txf(emb: DataFrame, r1: int) -> DataFrame:
@@ -7301,9 +7303,7 @@ def _build_ivf_crud_artifact(
         F.col("vec_id").alias("id"),
         F.col("embedding").cast("array<double>").alias("vector"),
     )
-    res, P, L, r1 = _crud_wave_algebra(emb)
-    if r1 is None:
-        raise RuntimeError("ivf_crud artifact: delete wave 1 is empty")
+    res, P, L, r1 = _crud_wave_algebra(emb, "ivf_crud")
     ups_pred, d1_pred, w_pred = P["ups"], P["d1"], P["w"]
     negated, times5, times3 = L["negated"], L["times5"], L["times3"]
     op_null, mark, novec = L["op_null"], L["mark"], L["novec"]
@@ -8041,9 +8041,7 @@ def _build_pq_crud_artifact(
         F.col("vec_id").alias("id"),
         F.col("embedding").cast("array<double>").alias("vector"),
     )
-    res, P, L, r1 = _crud_wave_algebra(emb)
-    if r1 is None:
-        raise RuntimeError("pq_crud artifact: delete wave 1 is empty")
+    res, P, L, r1 = _crud_wave_algebra(emb, "pq_crud")
     ups_pred, d1_pred, w_pred = P["ups"], P["d1"], P["w"]
     negated, times5, times3 = L["negated"], L["times5"], L["times3"]
     op_null, mark, novec = L["op_null"], L["mark"], L["novec"]
@@ -8341,9 +8339,7 @@ def _build_ivfpq_crud_artifact(
         F.col("vec_id").alias("id"),
         F.col("embedding").cast("array<double>").alias("vector"),
     )
-    res, P, L, r1 = _crud_wave_algebra(emb)
-    if r1 is None:
-        raise RuntimeError("ivfpq_crud artifact: delete wave 1 is empty")
+    res, P, L, r1 = _crud_wave_algebra(emb, "ivfpq_crud")
     ups_pred, d1_pred, w_pred = P["ups"], P["d1"], P["w"]
     negated, times5, times3 = L["negated"], L["times5"], L["times3"]
     op_null, mark, novec = L["op_null"], L["mark"], L["novec"]
@@ -8739,11 +8735,12 @@ def _build_hnsw_compact_artifact(
 
 
 def _hnsw_live_compact_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact scoring + top-k over the CONSOLIDATED graph's ef=100 beam
-    (the hnsw_live_topk scheme over marker-committed consolidated
-    state)."""
+    """Exact scoring + top-k over the CONSOLIDATED graph's beam (the
+    hnsw_live_topk scheme over marker-committed consolidated state; ef
+    threaded from the same constant the builder's asserts use)."""
     return _hnsw_export_topk(
-        spark, sf_dir, _hnsw_compact(spark, sf_dir), "hnsw_compact"
+        spark, sf_dir, _hnsw_compact(spark, sf_dir), "hnsw_compact",
+        ef_search=_HNSW_COMPACT_EF,
     )
 
 
@@ -8842,9 +8839,7 @@ def _build_hnsw_crud_artifact(
         F.col("vec_id").alias("id"),
         F.col("embedding").cast("array<double>").alias("vector"),
     )
-    res, P, L, r1 = _crud_wave_algebra(emb)
-    if r1 is None:
-        raise RuntimeError("hnsw_crud artifact: delete wave 1 is empty")
+    res, P, L, r1 = _crud_wave_algebra(emb, "hnsw_crud")
     ups_pred, d1_pred, w_pred = P["ups"], P["d1"], P["w"]
     negated, times5, times3 = L["negated"], L["times5"], L["times3"]
     op_null, mark, novec = L["op_null"], L["mark"], L["novec"]
@@ -9028,10 +9023,11 @@ def _hnsw_crud_live_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LIVE beam over the CRUD'd graph (stale/deleted nodes routing),
     exact rescore against the store's newest-wins merged view — the
     shared _hnsw_export_topk protocol with the STORE as the vector
-    authority (ef 100 == _HNSW_CRUD_EF, the builder's beam)."""
+    authority and the SAME ef the builder's asserts verified."""
     ix, store = _hnsw_crud(spark, sf_dir)
     return _hnsw_export_topk(
-        spark, sf_dir, ix, "hnsw_crud", vectors=store.read()
+        spark, sf_dir, ix, "hnsw_crud", vectors=store.read(),
+        ef_search=_HNSW_CRUD_EF,
     )
 
 
@@ -9172,9 +9168,7 @@ def _build_doc_stream_artifact(
             "doc_stream artifact: documents ⨝ embeddings is not 1:1 — "
             "the unified feed would drop documents"
         )
-    res, P, L, r1 = _crud_wave_algebra(corpus)
-    if r1 is None:
-        raise RuntimeError("doc_stream artifact: delete wave 1 is empty")
+    res, P, L, r1 = _crud_wave_algebra(corpus, "doc_stream")
     ups_pred, d1_pred, w_pred = P["ups"], P["d1"], P["w"]
     negated, times5, times3 = L["negated"], L["times5"], L["times3"]
     op_null, mark = L["op_null"], L["mark"]

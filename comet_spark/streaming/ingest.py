@@ -338,7 +338,8 @@ def _crud_boot(fs, index_base: str, id_col: str, who: str) -> None:
     id_col for the IVF engine (assign_clusters PRESERVES it) but the
     canonical ``id`` for the codes engines (PQ/IVFPQ encode renames to
     bigint ``id`` — review r13 pass 1) — and create the ``_crud``
-    marker (via the shared :func:`_record_once`) that
+    marker (an atomic ``create_new``; only the meta files go through
+    :func:`_record_once`) that
     opts the serving view into the newest-wins/anti-join plan. Meta
     BEFORE marker: a reader that sees the marker always finds the meta.
     Create-once + mismatch guard — restarting with a different id_col
@@ -417,7 +418,9 @@ def _demote_if_emptied(
         return False
     if store._fs.exists(store.data_path) and not store.read().isEmpty():
         return False
-    if journal if journal is not None else cur is not None:
+    if journal is None:
+        journal = cur is not None
+    if journal:
         fs.create_new(f"{index_base}/_skips/empty_refresh_{batch_id}")
     return True
 
@@ -1534,7 +1537,12 @@ def hnsw_ingest_stream(
                     ).repartition(1).write.mode("overwrite").parquet(
                         f"{graph_base}/meta.parquet"
                     )
-            if scheduled and op_col is not None:
+            # the corpus COULD be empty only when the batch deleted or
+            # carried nothing — gate the FS listings on that cheap
+            # check first (review r13 pass 3: the common scheduled
+            # batch with upserts and no deletes paid a _versions plus
+            # parts listing for a journal flag that was never used)
+            if scheduled and op_col is not None and (n_del or not n_ups):
                 # the graph engine serves per-batch sub-graphs before
                 # any consolidation commits, so the demote journals
                 # whenever ANY served state exists — committed version

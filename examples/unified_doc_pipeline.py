@@ -72,7 +72,7 @@ def main() -> None:
             spark.readStream.schema(SCHEMA)
             .option("maxFilesPerTrigger", "1").parquet(src),
             store, index_base, checkpoint=ckpt, nlist=8,
-            refresh_every=2, op_col="op",
+            refresh_every=4, op_col="op",
         )
         assert q.awaitTermination(600)
 
@@ -97,7 +97,9 @@ def main() -> None:
     drain()
     serve("after boot")
 
-    print("2. CRUD batch: upsert doc 0's text AND vector together, delete doc 4")
+    print("2. CRUD batch 2 (OFF the refresh cadence): upsert doc 0's text")
+    print("   AND vector together, delete doc 4 — served from the tail +")
+    print("   marker plan, nothing baked yet")
     feed(
         corpus.filter(F.col("id") == 0).select(
             "id",
@@ -110,6 +112,9 @@ def main() -> None:
     )
     drain()
     serve("after CRUD")
+    assert os.path.exists(f"{index_base}/_deletes/batch=2/_SUCCESS"), (
+        "the live delete serves via the marker partition pre-bake"
+    )
     ivf, layout, bm, view = doc_serving_views(
         spark, store, index_base, normalize=False, cache=False
     )
@@ -119,10 +124,12 @@ def main() -> None:
     assert v2 == {0}, "the upserted text serves from the text view"
     print("  doc 4 gone from every view; doc 0's new text + vector serve")
 
-    print("3. scheduled refresh bakes it; serving is identical")
+    print("3. batches 3-4: more inserts; batch 4 = the scheduled refresh,")
+    print("   which bakes the tails AND the delete marker into full_v4")
     feed(corpus.filter(F.col("id") % 4 == 2).withColumn("op", op_null))
     feed(corpus.filter(F.col("id") % 4 == 3).withColumn("op", op_null))
-    drain()  # batch 4 = the refresh: retrain bakes tails + markers
+    drain()
+    assert os.path.exists(f"{index_base}/_versions/4")
     serve("after refresh")
 
     shutil.rmtree(work, ignore_errors=True)
