@@ -9081,8 +9081,11 @@ _DOC_UPS_SQL = "d.doc_id % 4 = 0 AND d.doc_id % 3 = 0"
 _DOC_D1_SQL = "d.doc_id % 10 = 7 AND d.doc_id % 4 < 3"
 _DOC_W_SQL = "d.doc_id % 9 = 1 AND d.doc_id % 4 < 3 AND d.doc_id % 10 <> 7"
 _DOC_RS_SQL = (
-    "(SELECT MIN(doc_id) FROM documents "
-    "WHERE doc_id % 10 = 7 AND doc_id % 4 < 3)"
+    # MIN over the UNIFIED corpus (docs that have an embedding) — at
+    # sf<=0.01 coverage is total so the join is a no-op; at larger SFs
+    # the feed (and so r1) ranges over the embedded subset only
+    "(SELECT MIN(doc_id) FROM documents JOIN embeddings "
+    "ON doc_id = vec_id WHERE doc_id % 10 = 7 AND doc_id % 4 < 3)"
 )
 
 
@@ -9127,8 +9130,12 @@ def _doc_stream_views(spark: SparkSession, sf_dir: str):
 
 
 def _doc_stream_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The unified-document source: documents ⨝ embeddings under one
-    id (1:1 by the testdata contract — builder-checked)."""
+    """The unified-document source: the documents that HAVE an
+    embedding, joined under one id. At sf<=0.01 every document has one
+    (the join is 1:1 over documents); at sf0.1 embeddings cover a
+    subset, so the unified feed is that subset — the builder checks
+    the join is exactly 1:1 over EMBEDDINGS (no fan-out, none
+    dropped), and the oracle restricts its corpus identically."""
     docs = _t(spark, sf_dir, "documents")
     emb = _t(spark, sf_dir, "embeddings")
     return docs.join(emb, docs["doc_id"] == emb["vec_id"]).select(
@@ -9162,11 +9169,16 @@ def _build_doc_stream_artifact(
     src, ckpt = f"{base}/src", f"{base}/ckpt"
     store_path, index_base = f"{base}/store", f"{base}/index"
     corpus = _doc_stream_feed(spark, sf_dir)
-    n_docs = _t(spark, sf_dir, "documents").count()
-    if corpus.count() != n_docs:
+    n_emb = _t(spark, sf_dir, "embeddings").count()
+    n_corpus = corpus.count()
+    if not (
+        0 < n_corpus == n_emb
+        == corpus.select("id").distinct().count()
+    ):
         raise RuntimeError(
-            "doc_stream artifact: documents ⨝ embeddings is not 1:1 — "
-            "the unified feed would drop documents"
+            "doc_stream artifact: documents ⨝ embeddings is not 1:1 "
+            f"over embeddings (corpus={n_corpus}, embeddings={n_emb}) — "
+            "an embedding was dropped or a doc_id matched twice"
         )
     res, P, L, r1 = _crud_wave_algebra(corpus, "doc_stream")
     ups_pred, d1_pred, w_pred = P["ups"], P["d1"], P["w"]
@@ -9455,7 +9467,8 @@ dmod AS (SELECT d.doc_id,
                      ELSE d.text END AS text
          FROM documents d LEFT JOIN dd ON d.doc_id = dd.id
          WHERE (NOT ({_DOC_D1_SQL}) OR d.doc_id = {_DOC_RS_SQL})
-           AND dd.id IS NULL),
+           AND dd.id IS NULL
+           AND d.doc_id IN (SELECT vec_id FROM embeddings)),
 {_sql_bm25_ctes(table="dmod").strip().rstrip(',')},
 {_sql_bm25_score(BM25_QUERY, cand_where=f"lang = '{HYBRID_LANG}'").strip().rstrip(',')},
 tres AS (SELECT id, ROUND(score, 6) AS score FROM sc ORDER BY score DESC, id LIMIT {K}),

@@ -144,8 +144,17 @@ def main() -> None:
     # minima, not single-pass wall times, and the pinned headline
     # measurements — goes LAST, where the tail always keeps it
     knn_pin = pinned.get("knn_batch100", {})
+    # a query that failed every pass leaves inf in `timings`;
+    # json.dumps would print a bare `Infinity`, which is NOT valid JSON
+    # and would cost the run its one parseable output line — emit null
+    # for that query instead (the name stays present, the failure is
+    # already on stderr)
+    safe_timings = {
+        n: (v if v == v and v != float("inf") else None)
+        for n, v in timings.items()
+    }
     payload = {
-        "queries": timings,
+        "queries": safe_timings,
         "sf": sf,
         "passes": passes,
         "timing": f"per-query min over {passes} passes",
@@ -167,8 +176,9 @@ def main() -> None:
     # artifact next to the repo root
     try:
         out = os.environ.get("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
+        safe_cold = {n: (v if v == v else None) for n, v in cold.items()}
         with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), out), "w") as fh:
-            json.dump({**payload, "cold": cold}, fh, indent=1, sort_keys=True)
+            json.dump({**payload, "cold": safe_cold}, fh, indent=1, sort_keys=True)
     except OSError:
         pass  # a read-only checkout must not fail the bench
     spark.stop()
