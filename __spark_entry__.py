@@ -1182,14 +1182,23 @@ def _hybrid_corpus(spark: SparkSession, sf_dir: str) -> Corpus:
     return Corpus(_HYB_DOCS_CACHE[key], metric="l2", _bm25=_bm25_index(spark, sf_dir))
 
 
+_QVEC_CACHE: dict[tuple[str, str], list[float]] = {}
+
+
 def _hybrid_qvec(spark: SparkSession, sf_dir: str) -> list[float]:
-    row = (
-        _t(spark, sf_dir, "embeddings")
-        .filter(F.col("vec_id") == QUERY_VEC_ID)
-        .select("embedding")
-        .head()
-    )
-    return [float(x) for x in row[0]]
+    # memoized per (session, sf_dir): ~20 hybrid queries each paid a
+    # separate .head() Spark job for the SAME immutable testdata row
+    # (optimization guide §1.2 — don't recompute what you throw away)
+    key = (_skey(spark), sf_dir)
+    if key not in _QVEC_CACHE:
+        row = (
+            _t(spark, sf_dir, "embeddings")
+            .filter(F.col("vec_id") == QUERY_VEC_ID)
+            .select("embedding")
+            .head()
+        )
+        _QVEC_CACHE[key] = [float(x) for x in row[0]]
+    return list(_QVEC_CACHE[key])
 
 
 def _mk_hybrid(kind: str, **kwargs) -> Callable[[SparkSession, str], DataFrame]:

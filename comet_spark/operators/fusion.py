@@ -7,9 +7,17 @@ Reference strategies (``fusion.go``): weighted sum (full-outer + coalesce,
 results always sort descending (``hybrid_search_index.go:604-607``).
 
 Inputs are the per-modality top-k result DataFrames ``(id, score)`` — tiny
-(≤ k rows each) — so every join here is a broadcast join on the scale path.
+(≤ k rows each, unique ids per leg by construction).
 Rank assignment uses a deterministic total order (score, then id), unlike
 the reference's map-iteration-order ties.
+
+Physical shape: the union-of-ids combine is a ``unionByName`` + one hash
+aggregation, NOT a full-outer join — Spark cannot broadcast a full-outer
+join, so the join form paid two exchanges plus two sorts (SortMergeJoin)
+for two ≤k-row inputs; the union form pays a single exchange with
+map-side partial aggregation. Float-identical: IEEE addition/extremes of
+the two per-leg contributions are commutative, and a single-leg id sums
+to its own contribution exactly as ``coalesce(x, 0) + 0`` did.
 """
 
 from __future__ import annotations
@@ -40,11 +48,11 @@ def weighted_sum(
     round_to: int | None = 6,
 ) -> DataFrame:
     """score = w_v·vec_score + w_t·txt_score over the union of ids."""
-    v = vec.select("id", (F.col("score") * vector_weight).alias("vs"))
-    t = txt.select("id", (F.col("score") * text_weight).alias("ts"))
-    out = v.join(t, "id", "full_outer").select(
-        "id", (F.coalesce("vs", F.lit(0.0)) + F.coalesce("ts", F.lit(0.0))).alias("score")
-    )
+    # coalesce keeps the old full-outer semantics for a NULL leg score
+    # (it contributed 0, it did not null the fused sum)
+    v = vec.select("id", F.coalesce(F.col("score") * vector_weight, F.lit(0.0)).alias("score"))
+    t = txt.select("id", F.coalesce(F.col("score") * text_weight, F.lit(0.0)).alias("score"))
+    out = v.unionByName(t).groupBy("id").agg(F.sum("score").alias("score"))
     return _finish(out, k, round_to)
 
 
@@ -66,27 +74,31 @@ def rrf(
 ) -> DataFrame:
     """Reciprocal-rank fusion; vector ranks ascend by distance, text ranks
     descend by relevance (``fusion.go:174-200``)."""
-    v = _ranked(vec, ascending=True).select("id", (1.0 / (rrf_k + F.col("rank"))).alias("vs"))
-    t = _ranked(txt, ascending=False).select("id", (1.0 / (rrf_k + F.col("rank"))).alias("ts"))
-    out = v.join(t, "id", "full_outer").select(
-        "id", (F.coalesce("vs", F.lit(0.0)) + F.coalesce("ts", F.lit(0.0))).alias("score")
-    )
+    v = _ranked(vec, ascending=True).select("id", (1.0 / (rrf_k + F.col("rank"))).alias("score"))
+    t = _ranked(txt, ascending=False).select("id", (1.0 / (rrf_k + F.col("rank"))).alias("score"))
+    out = v.unionByName(t).groupBy("id").agg(F.sum("score").alias("score"))
     return _finish(out, k, round_to)
 
 
 def fuse_max(vec: DataFrame, txt: DataFrame, *, k: int = 10, round_to: int | None = 6) -> DataFrame:
     """Max score across modalities, union of ids (``fusion.go:245-270``)."""
-    v = vec.select("id", F.col("score").alias("vs"))
-    t = txt.select("id", F.col("score").alias("ts"))
-    out = v.join(t, "id", "full_outer").select(
-        "id", F.greatest(F.coalesce("vs", "ts"), F.coalesce("ts", "vs")).alias("score")
+    out = (
+        vec.select("id", "score")
+        .unionByName(txt.select("id", "score"))
+        .groupBy("id")
+        .agg(F.max("score").alias("score"))
     )
     return _finish(out, k, round_to)
 
 
 def fuse_min(vec: DataFrame, txt: DataFrame, *, k: int = 10, round_to: int | None = 6) -> DataFrame:
     """Min score, docs present in BOTH modalities only (``fusion.go:291-306``)."""
-    v = vec.select("id", F.col("score").alias("vs"))
-    t = txt.select("id", F.col("score").alias("ts"))
-    out = v.join(t, "id", "inner").select("id", F.least("vs", "ts").alias("score"))
+    out = (
+        vec.select("id", "score")
+        .unionByName(txt.select("id", "score"))
+        .groupBy("id")
+        .agg(F.min("score").alias("score"), F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") == 2)  # present in BOTH legs (legs are unique-id)
+        .drop("__n")
+    )
     return _finish(out, k, round_to)
