@@ -84,14 +84,26 @@ def _register(name: str, fn: Callable[[SparkSession, str], DataFrame], sql: str 
     _REGISTRY[name] = (fn, sql)
 
 
+# base-table PLAN memoization (r13 optimization): `spark.read.parquet`
+# costs ~90 ms of driver-side analysis (footer schema read + FileIndex
+# build) on EVERY call, and a bench pass issues ~2-3 table reads per
+# query × 169 queries — tens of seconds of pure plan-build. The memo
+# stores the lazy DataFrame (a PLAN, never data or results; every
+# execution still scans the parquet), keyed by the corpus fingerprint
+# so a regenerated fixture gets a fresh read — stricter than the
+# session-keyed data caches below.
+_T_CACHE: dict[tuple[str, str, str, str], DataFrame] = {}
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         # Contract for every events consumer below: `ts` is int64 epoch
         # NANOS. Driver testdata has shipped the column both as
         # TIMESTAMP(NANOS) (needs nanosAsLong to land as long) and as
         # TIMESTAMP(MICROS) (normalized after the read, below). Both
-        # confs are runtime-settable; checked per read (cheap) rather
-        # than memoized. Session timezone is pinned to UTC because
+        # confs are runtime-settable; checked per call (cheap) rather
+        # than memoized — the timezone matters at EXECUTION time, not
+        # just at plan time. Session timezone is pinned to UTC because
         # Spark's NTZ→instant conversion goes through the SESSION zone
         # (to_utc_timestamp can't bypass it: its NTZ input is first
         # implicitly cast via the session zone) — with UTC the epoch
@@ -100,12 +112,15 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         if spark.conf.get("spark.sql.session.timeZone") != "UTC":
             spark.conf.set("spark.sql.session.timeZone", "UTC")
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and not isinstance(df.schema["ts"].dataType, T.LongType):
-        df = df.withColumn(
-            "ts", F.unix_micros(F.col("ts").cast("timestamp")) * F.lit(1000)
-        )
-    return df
+    key = (_skey(spark), sf_dir, name, _corpus_sig(sf_dir, name))
+    if key not in _T_CACHE:
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if name == "events" and not isinstance(df.schema["ts"].dataType, T.LongType):
+            df = df.withColumn(
+                "ts", F.unix_micros(F.col("ts").cast("timestamp")) * F.lit(1000)
+            )
+        _T_CACHE[key] = df
+    return _T_CACHE[key]
 
 
 # BM25 'index build' memoized per (session, corpus). The postings are
