@@ -123,6 +123,28 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return _T_CACHE[key]
 
 
+# memoized partition counts for _fanout's gate (the count is a
+# driver-only file-split probe; asking the RDD each call would rebuild
+# the physical plan)
+_NPART_CACHE: dict[tuple[str, str, str], int] = {}
+
+
+def _fanout(spark: SparkSession, df: DataFrame, key: tuple[str, str]) -> DataFrame:
+    """Gated equalizer for under-split LOCAL scans (the `_docs_par`
+    pattern, generalized): the local fixtures are ONE parquet file each
+    = one input split, so explode/aggregate/probe stages over them run
+    on a single core while the rest idle. When the scan provides fewer
+    partitions than cores, fan out with one tiny round-robin exchange;
+    on a cluster corpus (many files >= cores) the gate never fires and
+    the shipped plan is the 100 TB plan verbatim. ``key`` names the
+    (table, sf_dir) the count is memoized under."""
+    par = spark.sparkContext.defaultParallelism
+    k = (_skey(spark),) + key
+    if k not in _NPART_CACHE:
+        _NPART_CACHE[k] = df.rdd.getNumPartitions()
+    return df.repartition(par) if _NPART_CACHE[k] < par else df
+
+
 # BM25 'index build' memoized per (session, corpus). The postings are
 # PERSISTED as a term-bucketed table and every query reads that layout —
 # the serialization sink IS the serving path (like the reference's on-disk
@@ -1714,13 +1736,8 @@ def _knn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     # is sub-task-sized and whose latency is task overhead), but the
     # batch shape evaluates |Q|×|corpus| interpreted HOF folds (~25.6M
     # element ops at sf0.1), which serialized on one core (measured
-    # 2.34 s → 1.0 s with the fanout). The exchange moves only the
-    # tiny cached corpus, and the gate keeps cluster scans (many files
-    # >= cores) untouched — the shipped shape is the 100 TB shape.
-    docs = _emb_docs(spark, sf_dir)
-    par = spark.sparkContext.defaultParallelism
-    if docs.rdd.getNumPartitions() < par:
-        docs = docs.repartition(par)
+    # 2.34 s → 1.0 s with the fanout).
+    docs = _fanout(spark, _emb_docs(spark, sf_dir), ("emb_cache", sf_dir))
     return knn(docs, qs, k=K, metric="l2").select(
         "qid", F.col("id").alias("vec_id"), "score"
     )
@@ -10068,12 +10085,12 @@ FROM s GROUP BY id
 
 def _repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher repetition family beyond top-1-token (quality.py): top
-    bigram/trigram fraction + duplicate-5gram fraction, all three
-    n-levels exploded from ONE scan into one tagged gram table."""
+    bigram/trigram fraction + duplicate-5gram fraction, each n-level
+    computed by an in-row sorted-run fold (zero shuffles)."""
     from comet_spark.operators.quality import repetition_metrics
 
     # tokens come pre-materialized from the session cache (fanned out to
-    # all cores), so the 3-level gram explode starts from cached arrays
+    # all cores), so the per-row gram folds start from cached arrays
     out = repetition_metrics(_docs_tok(spark, sf_dir), tokens_col="__toks")
     return out.select(
         F.col("id").alias("doc_id"), "top_bigram_frac", "top_trigram_frac",
@@ -10816,12 +10833,16 @@ RANGE_DAYS = 7
 
 
 def _range_join_recent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _t(spark, sf_dir, "events").select(
+    # both inputs are single-file local scans: without the gated fanout
+    # the ×7 explode + partial aggregation (1.05M rows at sf0.1) and the
+    # 100k-row hash-probe side each ran on ONE core (guide §2.5 input
+    # skew; measured 1.67 s → 0.9 s with the fanout)
+    ev = _fanout(spark, _t(spark, sf_dir, "events"), ("events", sf_dir)).select(
         "event_id",
         "user_id",
         (F.col("ts") / F.lit(86_400_000_000_000)).cast("bigint").alias("event_day"),
     )
-    orders = _t(spark, sf_dir, "orders").select(
+    orders = _fanout(spark, _t(spark, sf_dir, "orders"), ("orders", sf_dir)).select(
         "o_custkey",
         F.datediff(
             F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")

@@ -52,44 +52,68 @@ def repetition_metrics(
     Docs shorter than n yield one truncated gram (same convention as
     ``dedup.shingles``).
 
-    Spark shape: ALL three n-levels explode from one scan into one
-    tagged (id, n, gram) table — a single shuffle for the gram counts
-    and a second tiny one per doc; no per-n pass over the corpus. At
-    100 TB this is the same two-shuffle budget as the top-token rule.
+    Spark shape: every metric is per-document, so NO shuffle is
+    fundamentally required — each n-level's gram array is sorted
+    in-row and a single left fold over the sorted array yields the max
+    run length (= the top gram's count) and the distinct count in one
+    pass. Counts are integers, so the ratios are bit-identical to the
+    explode → groupBy formulation this replaced (r13 optimization:
+    that shape shuffled the gram table three times — per-gram counts,
+    per-n rollup, per-id pivot — for metrics that never cross rows).
+    At 100 TB this is a pure map over the corpus.
     """
     toks = _tok(text_col, tokens_col)
     base = docs.select(F.col(id_col).alias("id"), toks.alias("toks")).filter(
         F.size("toks") > 0
     )
 
-    def grams(n: int):
-        g = F.transform(
-            F.sequence(F.lit(1), F.greatest(F.size("toks") - (n - 1), F.lit(1))),
-            lambda i: F.concat_ws(" ", F.slice("toks", i, n)),
+    zero = F.lit(0).cast("bigint")
+    one = F.lit(1).cast("bigint")
+
+    def stats(n: int):
+        """(top gram count, distinct grams, total grams) for word
+        n-grams, computed in-row: sort the gram array, then fold —
+        a run of equal values in the sorted array IS one gram's
+        occurrence list, so max-run == max per-gram count and the
+        number of run starts == the distinct count."""
+        g = F.array_sort(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.size("toks") - (n - 1), F.lit(1))),
+                lambda i: F.concat_ws(" ", F.slice("toks", i, n)),
+            )
         )
-        return F.transform(
-            g, lambda s: F.struct(F.lit(n).alias("n"), s.alias("gram"))
+        acc0 = F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            zero.alias("run"),
+            zero.alias("top"),
+            zero.alias("dis"),
         )
 
-    tagged = base.select(
-        "id", F.explode(F.flatten(F.array(grams(2), grams(3), grams(5)))).alias("t")
-    ).select("id", F.col("t.n").alias("n"), F.col("t.gram").alias("gram"))
-    per_gram = tagged.groupBy("id", "n", "gram").agg(F.count("*").alias("c"))
-    per_n = per_gram.groupBy("id", "n").agg(
-        F.max("c").alias("top_c"),
-        F.sum("c").alias("tot"),
-        F.count("*").alias("dis"),
-    )
+        def step(acc, x):
+            # grams are non-null; x == NULL prev is NULL → otherwise()
+            run = F.when(x == acc["prev"], acc["run"] + one).otherwise(one)
+            return F.struct(
+                x.alias("prev"),
+                run.alias("run"),
+                F.greatest(acc["top"], run).alias("top"),
+                (
+                    acc["dis"] + F.when(x == acc["prev"], zero).otherwise(one)
+                ).alias("dis"),
+            )
 
-    def pick(n: int, expr):
-        return F.max(F.when(F.col("n") == n, expr))
+        st = F.aggregate(g, acc0, step)
+        return st["top"], st["dis"], F.size(g).cast("bigint")
 
-    top = F.col("top_c").cast("double") / F.col("tot")
-    dup = (F.col("tot") - F.col("dis")).cast("double") / F.col("tot")
-    return per_n.groupBy("id").agg(
-        F.round(pick(2, top), round_to).alias("top_bigram_frac"),
-        F.round(pick(3, top), round_to).alias("top_trigram_frac"),
-        F.round(pick(5, dup), round_to).alias("dup_5gram_frac"),
+    top2, _, tot2 = stats(2)
+    top3, _, tot3 = stats(3)
+    _, dis5, tot5 = stats(5)
+    return base.select(
+        "id",
+        F.round(top2.cast("double") / tot2, round_to).alias("top_bigram_frac"),
+        F.round(top3.cast("double") / tot3, round_to).alias("top_trigram_frac"),
+        F.round((tot5 - dis5).cast("double") / tot5, round_to).alias(
+            "dup_5gram_frac"
+        ),
     )
 
 

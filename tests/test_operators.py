@@ -863,6 +863,48 @@ def test_repetition_metrics_hand_fixture(spark):
     assert got[2]["dup_5gram_frac"] == 0.75  # 4 occurrences, 1 distinct
 
 
+def test_repetition_metrics_fold_matches_python_model(spark):
+    """r13 optimization changed the internals (explode → groupBy gram
+    counts replaced by an in-row sorted-run fold): pin value-identity
+    against an independent Python model on adversarial docs — heavy
+    runs, all-distinct, shorter-than-n (truncated-gram convention),
+    single-token."""
+    import random
+    from collections import Counter
+
+    from comet_spark.operators.quality import repetition_metrics
+
+    rng = random.Random(13)
+    vocab = ["a", "b", "c", "dd", "e1"]
+    texts = ["a", "a a", "b c d", "x y z w v u t s r q"]
+    texts += [
+        " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 30)))
+        for _ in range(60)
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id bigint, text string"
+    )
+
+    def model(toks, n):
+        grams = [
+            " ".join(toks[i : i + n])
+            for i in range(max(len(toks) - n + 1, 1))
+        ]
+        c = Counter(grams)
+        tot = len(grams)
+        return max(c.values()) / tot, (tot - len(c)) / tot
+
+    got = {r["id"]: r for r in repetition_metrics(docs).collect()}
+    for i, t in enumerate(texts):
+        toks = t.split()
+        top2, _ = model(toks, 2)
+        top3, _ = model(toks, 3)
+        _, dup5 = model(toks, 5)
+        assert got[i]["top_bigram_frac"] == round(top2, 6), (i, t)
+        assert got[i]["top_trigram_frac"] == round(top3, 6), (i, t)
+        assert got[i]["dup_5gram_frac"] == round(dup5, 6), (i, t)
+
+
 def test_cms_one_sided_and_tight_for_heavy_hitters(spark):
     """CMS estimates never undercount, and with w >> distinct values the
     estimate is exact."""
