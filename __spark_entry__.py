@@ -4876,6 +4876,23 @@ def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _SHINGLES_CACHE[key]
 
 
+# per-doc shingle SETS (one array per doc, same strings as the exploded
+# table above), shared by the minhash family's in-row signature and
+# set-intersection verify paths (r13)
+_SHINGLE_SETS_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _doc_shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from comet_spark.operators.dedup import shingle_sets
+
+    key = (_skey(spark), sf_dir)
+    if key not in _SHINGLE_SETS_CACHE:
+        _SHINGLE_SETS_CACHE[key] = shingle_sets(
+            _docs_tok(spark, sf_dir), tokens_col="__toks", n=NGRAM_N
+        ).cache()
+    return _SHINGLE_SETS_CACHE[key]
+
+
 EVAL_MOD = 53  # eval/benchmark set = docs with doc_id % EVAL_MOD == 0
 
 
@@ -4927,10 +4944,12 @@ ORDER BY doc_id
 def _minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from comet_spark.operators.dedup import minhash_lsh_pairs
 
+    # sets_df (r13): in-row signatures + set-intersection verify — the
+    # only shuffles left are the band self-join and candidate distinct
     return minhash_lsh_pairs(
         _docs_par(spark, sf_dir),
         n=NGRAM_N, n_hashes=N_HASHES, bands=LSH_BANDS, min_jaccard=MIN_JACCARD,
-        shingles_df=_doc_shingles(spark, sf_dir),
+        sets_df=_doc_shingle_sets(spark, sf_dir),
     )
 
 
@@ -9837,7 +9856,7 @@ def _minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     sig = minhash_signatures(
         _docs_par(spark, sf_dir), n=NGRAM_N, n_hashes=N_HASHES,
-        shingles_df=_doc_shingles(spark, sf_dir),
+        sets_df=_doc_shingle_sets(spark, sf_dir),
     )
     return sig.select(F.col("id").alias("doc_id"), "i", "mh")
 

@@ -28,6 +28,8 @@ __all__ = [
     "MINHASH_P",
     "minhash_coeffs",
     "shingles",
+    "shingle_array",
+    "shingle_sets",
     "ngram_jaccard_pairs",
     "minhash_signatures",
     "minhash_band_signatures",
@@ -87,6 +89,54 @@ def shingles(
     )
 
 
+def shingle_array(toks: Column, n: int) -> Column:
+    """Distinct word n-gram shingles of a token-array column, in-row —
+    the set-valued twin of :func:`shingles` (same truncation and
+    empty-string conventions, identical shingle strings; only the
+    representation differs: one array per doc instead of exploded
+    rows). The r13 minhash path computes signatures from these arrays
+    entirely inside the row, so the corpus is never exploded or
+    shuffled for signature generation."""
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    return F.array_distinct(F.filter(grams, lambda s: s != F.lit("")))
+
+
+def shingle_sets(
+    docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text",
+    n: int = 3, tokens_col: str | None = None,
+) -> DataFrame:
+    """→ (id, sh_set): each doc's distinct shingle set as an array.
+    Docs with zero shingles yield NO row (matching :func:`shingles`'
+    exploded table, where such docs simply have no rows)."""
+    return docs.select(
+        F.col(id_col).alias("id"),
+        shingle_array(_tok(text_col, tokens_col), n).alias("sh_set"),
+    ).filter(F.size("sh_set") > 0)
+
+
+def _minhash_wide(sets: DataFrame, n_hashes: int) -> DataFrame:
+    """(id, sh_set) → (id, mh0..mh{n-1}), all in-row: hash each shingle
+    once (a projected column, so the md5 pass runs once per row, not per
+    hash function), then one ``array_min`` per universal-hash function.
+    Integer-exact twin of the exploded groupBy formulation."""
+    hs = sets.select(
+        "id",
+        F.transform("sh_set", lambda s: _hash32(s) % MINHASH_P).alias("__h"),
+    )
+    return hs.select(
+        "id",
+        *[
+            F.array_min(
+                F.transform("__h", lambda x: (F.lit(a) * x + F.lit(b)) % MINHASH_P)
+            ).alias(f"mh{i}")
+            for i, (a, b) in enumerate(minhash_coeffs(n_hashes))
+        ],
+    )
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text",
     n: int = 3, min_jaccard: float = 0.3, round_to: int = 6,
@@ -137,20 +187,32 @@ def ngram_jaccard_pairs(
 def minhash_signatures(
     docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text",
     n: int = 3, n_hashes: int = 16, shingles_df: DataFrame | None = None,
-    tokens_col: str | None = None,
+    tokens_col: str | None = None, sets_df: DataFrame | None = None,
 ) -> DataFrame:
-    """→ (id, i, mh): minhash value per doc per hash function."""
-    sh = shingles_df if shingles_df is not None else shingles(
-        docs, id_col=id_col, text_col=text_col, n=n, tokens_col=tokens_col
-    )
-    h = sh.select("id", (_hash32(F.col("shingle")) % MINHASH_P).alias("h"))
-    # all n_hashes minima in ONE aggregation (no n_hashes× row blowup;
-    # map-side combine applies), then unpivot the wide row to (id, i, mh)
-    aggs = [
-        F.min((F.lit(a) * F.col("h") + F.lit(b)) % MINHASH_P).alias(f"mh{i}")
-        for i, (a, b) in enumerate(minhash_coeffs(n_hashes))
-    ]
-    wide = h.groupBy("id").agg(*aggs)
+    """→ (id, i, mh): minhash value per doc per hash function.
+
+    Default (r13): fully IN-ROW — per-doc shingle sets, one hash pass,
+    ``n_hashes`` array-minima, no explode and no shuffle at all (the
+    textbook per-document signature computation; integer-exact twin of
+    the exploded groupBy it replaced). ``sets_df`` reuses a cached
+    (id, sh_set) table; ``shingles_df`` (a cached EXPLODED table) keeps
+    the aggregation formulation for callers that only have that shape."""
+    if shingles_df is not None:
+        h = shingles_df.select(
+            "id", (_hash32(F.col("shingle")) % MINHASH_P).alias("h")
+        )
+        # all n_hashes minima in ONE aggregation (no n_hashes× row
+        # blowup; map-side combine applies)
+        aggs = [
+            F.min((F.lit(a) * F.col("h") + F.lit(b)) % MINHASH_P).alias(f"mh{i}")
+            for i, (a, b) in enumerate(minhash_coeffs(n_hashes))
+        ]
+        wide = h.groupBy("id").agg(*aggs)
+    else:
+        sets = sets_df if sets_df is not None else shingle_sets(
+            docs, id_col=id_col, text_col=text_col, n=n, tokens_col=tokens_col
+        )
+        wide = _minhash_wide(sets, n_hashes)
     stack = ", ".join(f"{i}, mh{i}" for i in range(n_hashes))
     return wide.selectExpr("id", f"stack({n_hashes}, {stack}) AS (i, mh)")
 
@@ -159,29 +221,61 @@ def minhash_band_signatures(
     docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text",
     n: int = 3, n_hashes: int = 16, bands: int = 4,
     shingles_df: DataFrame | None = None, tokens_col: str | None = None,
+    sets_df: DataFrame | None = None,
 ) -> DataFrame:
     """→ (id, band, sig): md5 band signature over the ordered minhash
     values of each band — the LSH bucketing key. Shared by the batch
     pair-mining path (:func:`minhash_lsh_pairs`) and the incremental
-    ingest-dedup path (streaming/ingest.py neardup_ingest)."""
+    ingest-dedup path (streaming/ingest.py neardup_ingest).
+
+    Default (r13): signatures AND band digests are computed in-row
+    (``_minhash_wide`` + per-band ``md5(concat_ws(','))`` over the same
+    i-ordered value strings the collect_list formulation produced —
+    byte-identical digests), so a per-micro-batch signature pass costs
+    zero shuffles. ``shingles_df`` keeps the exploded-aggregation path."""
     if bands <= 0 or n_hashes % bands != 0:
         raise ValueError(f"bands ({bands}) must evenly divide n_hashes ({n_hashes})")
     rows_per_band = n_hashes // bands
-    sig = minhash_signatures(
-        docs, id_col=id_col, text_col=text_col, n=n, n_hashes=n_hashes,
-        shingles_df=shingles_df, tokens_col=tokens_col,
+    if shingles_df is not None:
+        sig = minhash_signatures(
+            docs, id_col=id_col, text_col=text_col, n=n, n_hashes=n_hashes,
+            shingles_df=shingles_df, tokens_col=tokens_col,
+        )
+        banded = sig.withColumn("band", (F.col("i") / rows_per_band).cast("int"))
+        return banded.groupBy("id", "band").agg(
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("i", "mh"))),
+                        lambda s: s["mh"].cast("string"),
+                    ),
+                ).cast("binary")
+            ).alias("sig")
+        )
+    sets = sets_df if sets_df is not None else shingle_sets(
+        docs, id_col=id_col, text_col=text_col, n=n, tokens_col=tokens_col
     )
-    banded = sig.withColumn("band", (F.col("i") / rows_per_band).cast("int"))
-    return banded.groupBy("id", "band").agg(
-        F.md5(
-            F.concat_ws(
-                ",",
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("i", "mh"))),
-                    lambda s: s["mh"].cast("string"),
-                ),
-            ).cast("binary")
-        ).alias("sig")
+    wide = _minhash_wide(sets, n_hashes)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).cast("int").alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.col(f"mh{b * rows_per_band + j}").cast("string")
+                            for j in range(rows_per_band)
+                        ],
+                    ).cast("binary")
+                ).alias("sig"),
+            )
+            for b in range(bands)
+        ]
+    )
+    return wide.select("id", F.explode(band_structs).alias("__bs")).select(
+        "id", F.col("__bs.band").alias("band"), F.col("__bs.sig").alias("sig")
     )
 
 
@@ -191,11 +285,20 @@ def minhash_lsh_pairs(
     min_jaccard: float = 0.3, round_to: int = 6,
     shingles_df: DataFrame | None = None,
     tokens_col: str | None = None,
+    sets_df: DataFrame | None = None,
 ) -> DataFrame:
     """LSH banding → candidates → exact-jaccard verification.
 
     With 4 bands × 4 rows a pair at jaccard j collides with prob
-    1 − (1 − j⁴)⁴ (≈ 0.93 at j = 0.7, ≈ 0.03 at j = 0.2)."""
+    1 − (1 − j⁴)⁴ (≈ 0.93 at j = 0.7, ≈ 0.03 at j = 0.2).
+
+    Default (r13): signatures come from the in-row path and the exact
+    verification joins the candidate pairs to per-doc shingle SETS —
+    ``size(array_intersect(sa, sb))`` replaces the candidate×shingle
+    explode join, so the only shuffles left are the band self-join and
+    the candidate distinct. Integer-exact: the intersection size, set
+    sizes, and jaccard operands are the same integers the exploded
+    formulation produced. ``shingles_df`` keeps the exploded path."""
     if bands <= 0 or n_hashes % bands != 0:
         # a runt band (e.g. 16 hashes / 3 bands -> one single-hash band)
         # collides with probability j instead of j^rows — the S-curve
@@ -204,22 +307,30 @@ def minhash_lsh_pairs(
         raise ValueError(
             f"bands ({bands}) must evenly divide n_hashes ({n_hashes})"
         )
-    # the shingle table feeds both signature generation and the exact
-    # verification — compute once, cache across the two passes (or reuse
-    # a caller-cached ``shingles_df``, whose lifecycle the caller owns).
-    # The internal cache lives until the returned plan is garbage-
-    # collected or the session's cache is cleared; callers looping over
-    # many corpora should spark.catalog.clearCache() between iterations
-    sh = (
-        shingles_df
-        if shingles_df is not None
-        else shingles(
-            docs, id_col=id_col, text_col=text_col, n=n, tokens_col=tokens_col
-        ).cache()
+    if shingles_df is not None:
+        # exploded-table path (caller owns the cached shingle table)
+        bsig = minhash_band_signatures(
+            docs, id_col=id_col, text_col=text_col, n=n, n_hashes=n_hashes,
+            bands=bands, shingles_df=shingles_df,
+        )
+        a = bsig.select(F.col("band").alias("ba"), F.col("sig").alias("sa"), F.col("id").alias("a_id"))
+        b = bsig.select(F.col("band").alias("bb"), F.col("sig").alias("sb"), F.col("id").alias("b_id"))
+        cand = (
+            a.join(b, (F.col("ba") == F.col("bb")) & (F.col("sa") == F.col("sb")) & (F.col("a_id") < F.col("b_id")))
+            .select("a_id", "b_id")
+            .distinct()
+        )
+        return ngram_jaccard_pairs(
+            docs, id_col=id_col, text_col=text_col, n=n,
+            min_jaccard=min_jaccard, round_to=round_to, candidates=cand,
+            shingles_df=shingles_df,
+        )
+    sets = sets_df if sets_df is not None else shingle_sets(
+        docs, id_col=id_col, text_col=text_col, n=n, tokens_col=tokens_col
     )
     bsig = minhash_band_signatures(
         docs, id_col=id_col, text_col=text_col, n=n, n_hashes=n_hashes,
-        bands=bands, shingles_df=sh,
+        bands=bands, sets_df=sets,
     )
     a = bsig.select(F.col("band").alias("ba"), F.col("sig").alias("sa"), F.col("id").alias("a_id"))
     b = bsig.select(F.col("band").alias("bb"), F.col("sig").alias("sb"), F.col("id").alias("b_id"))
@@ -228,11 +339,23 @@ def minhash_lsh_pairs(
         .select("a_id", "b_id")
         .distinct()
     )
-    return ngram_jaccard_pairs(
-        docs, id_col=id_col, text_col=text_col, n=n,
-        min_jaccard=min_jaccard, round_to=round_to, candidates=cand,
-        shingles_df=sh,
+    pairs = cand.join(
+        sets.select(F.col("id").alias("a_id"), F.col("sh_set").alias("__sa")), "a_id"
+    ).join(
+        sets.select(F.col("id").alias("b_id"), F.col("sh_set").alias("__sb")), "b_id"
     )
+    c = F.size(F.array_intersect("__sa", "__sb"))
+    jac = c.cast("double") / (F.size("__sa") + F.size("__sb") - c)
+    out = (
+        pairs.select(
+            "a_id", "b_id", c.alias("__c"), F.round(jac, round_to).alias("jaccard")
+        )
+        # the exploded formulation only ever emitted pairs sharing ≥1
+        # shingle (inner join); keep that row set exactly
+        .filter(F.col("__c") > 0)
+        .drop("__c")
+    )
+    return out.filter(F.col("jaccard") >= min_jaccard)
 
 
 def simhash_fingerprints(

@@ -60,3 +60,49 @@ def test_pack_sequences_null_text_counts_zero(spark):
     assert all(r["bin"] is not None for r in rows)
     assert sum(r["total_tokens"] for r in rows) == 5
     assert sum(r["n_docs"] for r in rows) == 3
+
+
+def test_minhash_inrow_matches_exploded_formulation(spark):
+    """r13: the default (in-row) minhash path — shingle sets, per-row
+    signature minima, in-row band digests, set-intersection verify —
+    must produce EXACTLY the rows of the original exploded-shingle
+    groupBy formulation (still reachable via ``shingles_df``): same
+    signature integers, same md5 band digests, same verified pairs.
+    Corpus exercises duplicates, near-duplicates, short (<n tokens) and
+    empty docs."""
+    from comet_spark.operators.dedup import (
+        minhash_band_signatures, minhash_signatures, shingle_sets,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy cat"),
+            (3, "the quick brown fox jumps over the lazy dog"),
+            (4, "completely different text about spark optimization"),
+            (5, "tiny"),
+            (6, "!!!"),
+        ],
+        "doc_id bigint, text string",
+    )
+    sh = shingles(docs).cache()
+    sets = shingle_sets(docs)
+
+    sig_old = minhash_signatures(docs, shingles_df=sh)
+    sig_new = minhash_signatures(docs, sets_df=sets)
+    assert sorted(map(tuple, sig_old.collect())) == sorted(
+        map(tuple, sig_new.collect())
+    )
+
+    band_old = minhash_band_signatures(docs, shingles_df=sh)
+    band_new = minhash_band_signatures(docs, sets_df=sets)
+    assert sorted(map(tuple, band_old.collect())) == sorted(
+        map(tuple, band_new.collect())
+    )
+
+    pairs_old = minhash_lsh_pairs(docs, min_jaccard=0.0, shingles_df=sh)
+    pairs_new = minhash_lsh_pairs(docs, min_jaccard=0.0, sets_df=sets)
+    ro = sorted(map(tuple, pairs_old.collect()))
+    rn = sorted(map(tuple, pairs_new.collect()))
+    assert ro == rn
+    assert (1, 3, 1.0) in [(a, b, j) for a, b, j in rn]
