@@ -44,6 +44,7 @@ def knn(
     threshold: float | None = None,
     prefilter: Column | None = None,
     round_to: int | None = 6,
+    single_query: bool = False,
 ) -> DataFrame:
     """Per-query exact top-k: returns ``(qid, id, score)``.
 
@@ -51,6 +52,10 @@ def knn(
     (reference ``flat_index_search.go:267-271``). ``prefilter`` is the
     candidate predicate (metadata prefilter / document-ID filter, reference
     ``document_filter.go``) evaluated on ``docs`` before any distance math.
+    ``single_query`` is a caller hint that ``queries`` holds exactly ONE
+    row: the per-qid window top-k (partial/final WindowGroupLimit around
+    an Exchange) collapses to a global ``TakeOrderedAndProject`` — same
+    rows, one fewer shuffle (the qid partitioning is a constant).
     """
     if prefilter is not None:
         docs = docs.filter(prefilter)
@@ -79,7 +84,11 @@ def knn(
     # threshold, ARE the top-k of the thresholded scan. The <= threshold
     # predicate also subsumes isNotNull (NULL fails any comparison).
     order = [F.col("score").asc_nulls_last(), F.col("id").asc()]
-    out = topk_per_group(scored, ["qid"], order, k)
+    out = (
+        topk(scored, order, k)
+        if single_query
+        else topk_per_group(scored, ["qid"], order, k)
+    )
     post = (
         F.col("score") <= threshold
         if threshold is not None and threshold > 0

@@ -24,6 +24,7 @@ from comet_spark.operators.autocut import autocut
 from comet_spark.operators.bm25 import BM25
 from comet_spark.operators.knn import knn, knn_aggregate
 from comet_spark.operators.metadata import Filter, Group, Where
+from comet_spark.operators.topk import topk
 
 __all__ = ["Corpus", "VectorSearch", "TextSearch", "HybridSearch"]
 
@@ -371,6 +372,13 @@ class VectorSearch:
             or self.auto_scan_frac > 0
         ):
             return self._execute_ann()
+        # r13: a one-query batch needs neither the per-qid window top-k
+        # nor the cross-query groupBy — the aggregate of a single row is
+        # the row (sum/max/mean; scores are already round(…, 6) and
+        # round is idempotent), and per-query ids are unique, so both
+        # shuffles collapse into one TakeOrderedAndProject. Exact same
+        # rows; the count agg (score := 1.0) keeps the general path.
+        single = len(self._queries) == 1 and not self._node_ids
         per_query = knn(
             c.docs,
             self._query_df(),
@@ -380,8 +388,16 @@ class VectorSearch:
             vec_col=c.vec_col,
             threshold=self.threshold,
             prefilter=self._prefilter,
+            single_query=single,
         )
-        out = knn_aggregate(per_query, k=self.k, agg=self.agg, ascending=True)
+        if single and self.agg in ("sum", "max", "mean"):
+            out = topk(
+                per_query.select("id", "score"),
+                [F.col("score").asc(), F.col("id").asc()],
+                self.k,
+            )
+        else:
+            out = knn_aggregate(per_query, k=self.k, agg=self.agg, ascending=True)
         return self._finish(out)
 
     def _finish(self, out: DataFrame) -> DataFrame:
@@ -674,20 +690,25 @@ class TextSearch:
         # all queries scored in ONE batched job (per-query top-k inside),
         # then cross-query sum aggregation descending (D4)
         spark = c.docs.sparkSession
-        rows = []
-        for qid, q in enumerate(queries):
-            terms: dict[str, int] = {}
-            for t in tokenize_py(q):
-                terms[t] = terms.get(t, 0) + 1
-            rows.extend((qid, t, float(n)) for t, n in terms.items())
-        qterms = spark.createDataFrame(rows, "qid bigint, term string, qtf double")
-        per_query = c.bm25().score_batch(qterms, k=self.k, prefilter_ids=ids)
-
         if len(queries) == 1:
-            out = per_query.select("id", "score").orderBy(
-                F.col("score").desc(), F.col("id").asc()
-            )
+            # r13: the one-query batch is exactly BM25.score — which
+            # takes the TakeOrderedAndProject top-k path (no per-qid
+            # window shuffle, no full range-partitioned sort) and pushes
+            # the query's literal terms into the postings scan. Same
+            # rows: score() builds the identical term table and the
+            # batch's per-query top-k for one query IS the global top-k.
+            out = c.bm25().score(queries[0], k=self.k, prefilter_ids=ids)
         else:
+            rows = []
+            for qid, q in enumerate(queries):
+                terms: dict[str, int] = {}
+                for t in tokenize_py(q):
+                    terms[t] = terms.get(t, 0) + 1
+                rows.extend((qid, t, float(n)) for t, n in terms.items())
+            qterms = spark.createDataFrame(
+                rows, "qid bigint, term string, qtf double"
+            )
+            per_query = c.bm25().score_batch(qterms, k=self.k, prefilter_ids=ids)
             out = knn_aggregate(per_query, k=self.k, agg=self.agg, ascending=False)
         if self.cutoff != -1:
             out = autocut(out, cutoff=self.cutoff, ascending=False)
