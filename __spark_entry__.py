@@ -80,8 +80,62 @@ def _skey(spark: SparkSession) -> str:
     return spark.sparkContext.applicationId
 
 
+# query PLAN memoization (r13 optimization, guide §5 — the driver should
+# do almost no per-execution work): building a registered query's
+# DataFrame costs 0.05-0.5 s of driver-side work (py4j roundtrips + one
+# eager analyzer run per transform; ~95-node plans for the hybrids), paid
+# on EVERY bench pass for a plan that is a pure function of
+# (session, sf_dir, corpus). The memo stores the ANALYZED LOGICAL PLAN
+# only and re-wraps it in a FRESH Dataset per call
+# (Dataset.ofRows → new QueryExecution), so every execution re-optimizes,
+# re-plans and recomputes from the parquet inputs — shuffles and scans
+# all re-run (verified: re-collecting the SAME DataFrame object reuses
+# AQE's materialized stages at ~0.13 s, while a fresh ofRows wrap of the
+# memoized plan runs the full ~1 s computation). This is prepared-
+# statement reuse, not result caching. Keyed by the full base-table
+# corpus fingerprint (same staleness contract as _T_CACHE): a
+# regenerated fixture re-routes into a fresh build, which also re-runs
+# the builder's own gates and asserts for the new corpus. First call in
+# a session builds normally (paying any artifact-build / conf-set side
+# effects, which are themselves session-memoized by their builders).
+_PLAN_MEMO: dict[tuple[str, str, str, str], object] = {}
+_SIG_ALL_TABLES: str | None = None
+
+
+def _all_tables_sig(sf_dir: str) -> str:
+    global _SIG_ALL_TABLES
+    if _SIG_ALL_TABLES is None:
+        from comet_spark.session import TABLES
+
+        _SIG_ALL_TABLES = "+".join(TABLES)
+    return _corpus_sig(sf_dir, _SIG_ALL_TABLES)
+
+
+def _plan_memoized(
+    name: str, fn: Callable[[SparkSession, str], DataFrame]
+) -> Callable[[SparkSession, str], DataFrame]:
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        sig = _all_tables_sig(sf_dir)
+        if sig == "":  # missing table ⇒ staleness guard is vacuous: never memoize
+            return fn(spark, sf_dir)
+        key = (_skey(spark), sf_dir, name, sig)
+        jplan = _PLAN_MEMO.get(key)
+        if jplan is None:
+            df = fn(spark, sf_dir)
+            _PLAN_MEMO[key] = df._jdf.queryExecution().analyzed()
+            return df
+        jdf = spark._jvm.org.apache.spark.sql.classic.Dataset.ofRows(
+            spark._jsparkSession, jplan
+        )
+        return DataFrame(jdf, spark)
+
+    wrapped.__name__ = f"plan_memo_{name}"
+    wrapped.__wrapped__ = fn
+    return wrapped
+
+
 def _register(name: str, fn: Callable[[SparkSession, str], DataFrame], sql: str | None) -> None:
-    _REGISTRY[name] = (fn, sql)
+    _REGISTRY[name] = (_plan_memoized(name, fn), sql)
 
 
 # base-table PLAN memoization (r13 optimization): `spark.read.parquet`
