@@ -4432,23 +4432,22 @@ def _hll_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct terms do two sources share? |A∩B| by inclusion–exclusion
     over mergeable registers — no join of the raw token streams — with
     the exact intersection alongside to show the realized error."""
-    from comet_spark.operators.sketch import hll_registers, hll_set_estimates
+    from comet_spark.operators.sketch import hll_set_estimates_exact
 
     docs = _docs_tok(spark, sf_dir)
 
-    def terms(src: str) -> DataFrame:
-        return docs.filter(F.col("source") == src).select(
-            F.explode("__toks").alias("term")
-        )
-
-    ra = hll_registers(terms(HLL_SRC_A), [], "term")
-    rb = hll_registers(terms(HLL_SRC_B), [], "term")
-    est = hll_set_estimates(ra, rb)
-    exact = (
-        terms(HLL_SRC_A).distinct().intersect(terms(HLL_SRC_B).distinct())
-        .agg(F.count("*").alias("exact_intersect"))
+    # r13: the composite formulation (hll_registers×2 + hll_set_estimates
+    # + distinct∩distinct) re-exploded the cached token table 5+ times
+    # for one output row; the one-pass operator computes the same values
+    # from a single linear plan (equivalence proof in its docstring).
+    tok = docs.filter(F.col("source").isin(HLL_SRC_A, HLL_SRC_B)).select(
+        F.explode("__toks").alias("term"),
+        (F.col("source") == HLL_SRC_A).cast("int").alias("in_a"),
+        (F.col("source") == HLL_SRC_B).cast("int").alias("in_b"),
     )
-    return est.crossJoin(exact)
+    return hll_set_estimates_exact(
+        tok, "term", F.col("in_a"), F.col("in_b")
+    ).select("est_a", "est_b", "est_union", "est_intersect", "exact_intersect")
 
 
 def _sql_hll_est_expr(regsrc: str) -> str:

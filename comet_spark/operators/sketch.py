@@ -36,6 +36,7 @@ __all__ = [
     "hll_registers",
     "hll_estimate",
     "hll_merge",
+    "hll_set_estimates_exact",
     "cms_sketch",
     "cms_estimate",
     "cms_merge",
@@ -53,6 +54,21 @@ def _check_b(b: int) -> None:
         raise ValueError(f"hll b must be in [3, 16], got {b}")
 
 
+def _bucket_rho(value: Column, b: int) -> tuple[Column, Column]:
+    """The (bucket, rho) pair for one hashed value — shared by
+    :func:`hll_registers` and the one-pass set-report so the two can
+    never drift."""
+    m = 1 << b
+    w_bits = 32 - b
+    h = _hash32(value)
+    bucket = h.bitwiseAND(m - 1)
+    w = F.shiftright(h, b)
+    rho = F.when(w == 0, F.lit(w_bits + 1)).otherwise(
+        F.lit(w_bits + 1) - F.length(F.bin(w))
+    )
+    return bucket, rho
+
+
 def hll_registers(
     df: DataFrame, group_cols: list[str], value_col: str, *, b: int = 6
 ) -> DataFrame:
@@ -61,14 +77,7 @@ def hll_registers(
     size. This is what executors emit, streams checkpoint, and
     :func:`hll_merge` combines."""
     _check_b(b)
-    m = 1 << b
-    w_bits = 32 - b
-    h = _hash32(F.col(value_col))
-    bucket = h.bitwiseAND(m - 1)
-    w = F.shiftright(h, b)
-    rho = F.when(w == 0, F.lit(w_bits + 1)).otherwise(
-        F.lit(w_bits + 1) - F.length(F.bin(w))
-    )
+    bucket, rho = _bucket_rho(F.col(value_col), b)
     return (
         df.select(*group_cols, bucket.alias("bucket"), rho.alias("rho"))
         .groupBy(*group_cols, "bucket")
@@ -234,4 +243,105 @@ def hll_set_estimates(
         F.round(F.col("est_a") + F.col("est_b") - F.col("est_union"), round_to).alias(
             "est_intersect"
         ),
+    )
+
+
+def hll_set_estimates_exact(
+    df: DataFrame,
+    value_col: str,
+    flag_a: Column,
+    flag_b: Column,
+    *,
+    b: int = 6,
+    round_to: int = 6,
+) -> DataFrame:
+    """One-PASS twin of ``hll_registers``×2 + :func:`hll_set_estimates`
+    + an exact ``distinct∩distinct`` count, for the case where both
+    sides come from one flagged stream: ``(value, flag_a, flag_b)`` rows
+    (duplicates fine) → one row ``(est_a, est_b, est_union,
+    est_intersect, exact_intersect)``.
+
+    The composite formulation branches the input stream 5+ ways (two
+    register passes, the union merge re-reading both, the exact
+    intersect re-reading both) and Spark recomputes each branch —
+    column pruning specializes the consumers' aggregates so not even
+    ReuseExchange can deduplicate them. This plan is LINEAR: one
+    groupBy(value) membership pass (the only full-stream shuffle), one
+    ≤2^b-row bucket aggregation, one global fold.
+
+    Value-exact equivalence with the composite, leg by leg:
+    - registers: rho/bucket are functions of the value (shared
+      ``_bucket_rho``) and ``max(rho)`` is multiplicity-insensitive, so
+      max over flagged distinct values == max over the raw stream;
+      ``count(mj_side)`` counts buckets with ≥1 flagged value == the
+      side's register-row count.
+    - union: per-bucket ``greatest(mja, mjb)`` (null-skipping) == the
+      merge's ``max`` over the unioned register rows, present exactly
+      for buckets either side populates.
+    - estimates: the register sum is EXACT integer arithmetic (Σ
+      2^(30−mj)), so summation order is irrelevant; the float
+      expressions below are copied from :func:`hll_estimate` verbatim.
+    - exact intersect: membership is distinct by value, so summing
+      per-bucket both-flag counts == ``count(distinct∩distinct)``.
+    - degenerate inputs: the composite returns ZERO rows when either
+      side is empty (its estimate leg vanishes before the cross join);
+      the ``nb > 0`` guard reproduces that.
+    """
+    _check_b(b)
+    m = 1 << b
+    membership = df.groupBy(value_col).agg(
+        F.max(flag_a).alias("__a"), F.max(flag_b).alias("__b")
+    )
+    bucket, rho = _bucket_rho(F.col(value_col), b)
+    both = (F.col("__a") == 1) & (F.col("__b") == 1)
+    per_bucket = (
+        membership.select(bucket.alias("bucket"), rho.alias("rho"), "__a", "__b")
+        .groupBy("bucket")
+        .agg(
+            F.max(F.when(F.col("__a") == 1, F.col("rho"))).alias("mja"),
+            F.max(F.when(F.col("__b") == 1, F.col("rho"))).alias("mjb"),
+            F.sum(both.cast("int")).alias("nboth"),
+        )
+    )
+
+    def s_nb(mj_sql: str, name: str) -> list[Column]:
+        s = F.sum(F.expr(f"shiftleft(cast(1 as bigint), {_SHIFT} - ({mj_sql}))"))
+        return [s.alias(f"s_{name}"), F.count(F.expr(mj_sql)).alias(f"nb_{name}")]
+
+    row = per_bucket.agg(
+        *s_nb("mja", "a"),
+        *s_nb("mjb", "b"),
+        *s_nb("greatest(mja, mjb)", "u"),
+        F.sum("nboth").alias("__exact"),
+    )
+
+    # float expressions below mirror hll_estimate verbatim
+    two30 = float(1 << _SHIFT)
+    alpha = F.lit(0.7213) / (F.lit(1.0) + F.lit(1.079) / F.lit(float(m)))
+
+    def est(name: str) -> Column:
+        s_hit, nb = F.col(f"s_{name}"), F.col(f"nb_{name}")
+        s_total = (s_hit + (F.lit(m) - nb) * F.lit(1 << _SHIFT)).cast("double")
+        e_raw = alpha * m * m * two30 / s_total
+        v = F.lit(m) - nb
+        e = F.when(
+            (e_raw <= 2.5 * m) & (v > 0), F.lit(float(m)) * F.log(F.lit(float(m)) / v)
+        ).otherwise(e_raw)
+        return F.round(e, round_to)
+
+    out = (
+        row.where((F.col("nb_a") > 0) & (F.col("nb_b") > 0))
+        .select(
+            est("a").alias("est_a"),
+            est("b").alias("est_b"),
+            est("u").alias("est_union"),
+            F.col("__exact").alias("exact_intersect"),
+        )
+    )
+    return out.select(
+        "est_a", "est_b", "est_union",
+        F.round(F.col("est_a") + F.col("est_b") - F.col("est_union"), round_to).alias(
+            "est_intersect"
+        ),
+        "exact_intersect",
     )

@@ -845,6 +845,51 @@ def test_hll_distinct_tracks_exact_within_error(spark):
     assert got == got_d
 
 
+def test_hll_set_estimates_exact_matches_composite(spark):
+    """r13 optimization: the one-pass set report must be VALUE-exact
+    against the composite it replaced (hll_registers×2 +
+    hll_set_estimates + distinct∩distinct count) — overlapping,
+    disjoint, duplicate-heavy, and empty-side inputs, including the
+    composite's zero-row degenerate behavior."""
+    from pyspark.sql import functions as F
+
+    from comet_spark.operators.sketch import (
+        hll_registers,
+        hll_set_estimates,
+        hll_set_estimates_exact,
+    )
+
+    cases = {
+        "overlap": [(f"t{i}", i < 60, i >= 40) for i in range(100)],
+        "disjoint": [(f"t{i}", i < 50, i >= 50) for i in range(100)],
+        "dups": [(f"t{i % 7}", True, i % 2 == 0) for i in range(200)],
+        "a_empty": [(f"t{i}", False, True) for i in range(30)],
+        "identical": [(f"t{i}", True, True) for i in range(80)],
+    }
+    for name, rows in cases.items():
+        df = spark.createDataFrame(rows, "v string, fa boolean, fb boolean").select(
+            "v", F.col("fa").cast("int").alias("fa"), F.col("fb").cast("int").alias("fb")
+        )
+        ra = hll_registers(df.filter("fa = 1").select("v"), [], "v")
+        rb = hll_registers(df.filter("fb = 1").select("v"), [], "v")
+        exact = (
+            df.filter("fa = 1").select("v").distinct()
+            .intersect(df.filter("fb = 1").select("v").distinct())
+            .agg(F.count("*").alias("exact_intersect"))
+        )
+        want = [
+            tuple(r)
+            for r in hll_set_estimates(ra, rb).crossJoin(exact).collect()
+        ]
+        got = [
+            tuple(r)
+            for r in hll_set_estimates_exact(
+                df, "v", F.col("fa"), F.col("fb")
+            ).collect()
+        ]
+        assert got == want, (name, got, want)
+
+
 def test_repetition_metrics_hand_fixture(spark):
     """doc 1: 'a b a b a b' -> bigrams [ab,ba,ab,ba,ab] top 3/5; trigrams
     [aba,bab,aba,bab] top 2/4; 5grams [ababa, babab] dup 0.
