@@ -183,7 +183,12 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 _NPART_CACHE: dict[tuple[str, str, str], int] = {}
 
 
-def _fanout(spark: SparkSession, df: DataFrame, key: tuple[str, str]) -> DataFrame:
+def _fanout(
+    spark: SparkSession,
+    df: DataFrame,
+    key: tuple[str, str],
+    by: tuple[str, ...] | None = None,
+) -> DataFrame:
     """Gated equalizer for under-split LOCAL scans (the `_docs_par`
     pattern, generalized): the local fixtures are ONE parquet file each
     = one input split, so explode/aggregate/probe stages over them run
@@ -191,12 +196,16 @@ def _fanout(spark: SparkSession, df: DataFrame, key: tuple[str, str]) -> DataFra
     partitions than cores, fan out with one tiny round-robin exchange;
     on a cluster corpus (many files >= cores) the gate never fires and
     the shipped plan is the 100 TB plan verbatim. ``key`` names the
-    (table, sf_dir) the count is memoized under."""
+    (table, sf_dir) the count is memoized under. ``by`` hash-partitions
+    on those columns instead of round-robin so a downstream aggregation
+    keyed on a superset of them can reuse the exchange."""
     par = spark.sparkContext.defaultParallelism
     k = (_skey(spark),) + key
     if k not in _NPART_CACHE:
         _NPART_CACHE[k] = df.rdd.getNumPartitions()
-    return df.repartition(par) if _NPART_CACHE[k] < par else df
+    if _NPART_CACHE[k] >= par:
+        return df
+    return df.repartition(par, *by) if by else df.repartition(par)
 
 
 # BM25 'index build' memoized per (session, corpus). The postings are
@@ -10963,38 +10972,47 @@ RANGE_DAYS = 7
 
 
 def _range_join_recent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # both inputs are single-file local scans: without the gated fanout
-    # the ×7 explode + partial aggregation (1.05M rows at sf0.1) and the
-    # 100k-row hash-probe side each ran on ONE core (guide §2.5 input
-    # skew; measured 1.67 s → 0.9 s with the fanout)
-    ev = _fanout(spark, _t(spark, sf_dir, "events"), ("events", sf_dir)).select(
+    # an order placed on day d is "recent" for event days d..d+6; count
+    # per event. The previous plan exploded ORDERS ×7 into 1.05M
+    # day-bucket rows, aggregated them (a full-table shuffle with almost
+    # no map-side combine — (custkey, day) keys are nearly unique), and
+    # joined the result — a 5-wave serial chain. Orders project to two
+    # ints, so join them RAW and explode the EVENT side's 7 probe days
+    # in-map instead: each probe day matched against (custkey,
+    # order_day) directly, count(matches) per event. The event fanout
+    # hash-partitions on event_id so the per-event count reuses that
+    # exchange — the ×7 blowup collapses 7:1 in the map-side combine
+    # and never crosses the wire.
+    ev = _fanout(
+        spark, _t(spark, sf_dir, "events"), ("events", sf_dir), by=("event_id",)
+    ).select(
         "event_id",
         "user_id",
         (F.col("ts") / F.lit(86_400_000_000_000)).cast("bigint").alias("event_day"),
     )
-    orders = _fanout(spark, _t(spark, sf_dir, "orders"), ("orders", sf_dir)).select(
+    orders = _t(spark, sf_dir, "orders").select(
         "o_custkey",
         F.datediff(
             F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")
         ).cast("bigint").alias("order_day"),
     )
-    # explode each order into the RANGE_DAYS day-buckets it is "recent" for
-    buckets = orders.select(
-        "o_custkey",
-        F.explode(
-            F.sequence(F.col("order_day"), F.col("order_day") + (RANGE_DAYS - 1))
-        ).alias("day"),
-    ).groupBy("o_custkey", "day").agg(F.count("*").alias("n_recent_orders"))
-    out = ev.join(
-        buckets,
-        (ev["user_id"] == buckets["o_custkey"]) & (ev["event_day"] == buckets["day"]),
-        "left",
-    )
-    return out.select(
+    probe = ev.select(
         "event_id",
         "user_id",
         "event_day",
-        F.coalesce("n_recent_orders", F.lit(0)).alias("n_recent_orders"),
+        F.explode(
+            F.sequence(F.col("event_day") - (RANGE_DAYS - 1), F.col("event_day"))
+        ).alias("day"),
+    )
+    out = probe.join(
+        orders,
+        (probe["user_id"] == orders["o_custkey"]) & (probe["day"] == orders["order_day"]),
+        "left",
+    )
+    # count(o_custkey) skips the null rows unmatched probe days produce,
+    # so a no-order event counts 0 — same value coalesce(n, 0) gave
+    return out.groupBy("event_id", "user_id", "event_day").agg(
+        F.count("o_custkey").alias("n_recent_orders")
     )
 
 
