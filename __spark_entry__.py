@@ -2377,24 +2377,28 @@ LARGE_ORDER_QTY = 250
 
 def _large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q18 shape — HAVING over a fact-side pre-aggregation picks
-    the ~1% largest orders, then joins back to orders/customer. The
-    qualifying-key set is small → broadcast semi join into the
-    re-aggregation; orders never shuffles on a big key."""
+    the ~1% largest orders. r13: the pre-aggregation ALREADY holds each
+    qualifying order's quantity sum, so the semi-join back into the
+    fact and the re-aggregation (a second full lineitem pass) computed
+    a value we had — join the filtered aggregate straight to the
+    orders/customer dims instead. One fact shuffle total; the grouping
+    re-keyed per (order, customer) exactly the per-order sum anyway
+    (l_orderkey → one o_orderkey → one customer)."""
     li = _t(spark, sf_dir, "lineitem")
     big = (
         li.groupBy("l_orderkey")
         .agg(F.sum("l_quantity").alias("s"))
         .filter(F.col("s") > LARGE_ORDER_QTY)
-        .select("l_orderkey")
     )
     o = _t(spark, sf_dir, "orders")
     cust = _t(spark, sf_dir, "customer")
     return (
-        li.join(F.broadcast(big), "l_orderkey", "left_semi")
-        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        big.join(o, big["l_orderkey"] == o["o_orderkey"])
         .join(cust, o["o_custkey"] == cust["c_custkey"])
-        .groupBy("c_custkey", "c_name", "o_orderkey", "o_totalprice")
-        .agg(F.round(F.sum("l_quantity"), 6).alias("total_qty"))
+        .select(
+            "c_custkey", "c_name", "o_orderkey", "o_totalprice",
+            F.round(F.col("s"), 6).alias("total_qty"),
+        )
         .orderBy(F.desc("o_totalprice"), "o_orderkey")
         .limit(20)
     )
@@ -4340,14 +4344,14 @@ def _hll_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     both engines compute the SAME md5-register sketch, so the
     approximate answer itself hash-matches — alongside the exact count
     and the realized relative error."""
-    from comet_spark.operators.sketch import hll_distinct
+    from comet_spark.operators.sketch import hll_distinct_exact
 
     docs = _docs_tok(spark, sf_dir)
     tok = docs.select("source", F.explode("__toks").alias("term"))
-    est = hll_distinct(tok, ["source"], "term", b=6)
-    exact = tok.groupBy("source").agg(F.countDistinct("term").alias("exact_distinct"))
+    # r13: one-pass register + exact fold (operator docstring has the
+    # leg-by-leg equivalence) instead of two token passes + a join
     return (
-        est.join(exact, "source")
+        hll_distinct_exact(tok, ["source"], "term", b=6)
         .select(
             "source",
             "est_distinct",
@@ -4507,6 +4511,11 @@ def _cms_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _docs_tok(spark, sf_dir)
     tok = docs.select(F.explode("__toks").alias("term"))
+    # r13 note: a fused variant (one groupBy(term) pass feeding a
+    # weighted sketch + the exact counts) was measured SLOWER in a
+    # same-session A/B (1.69 vs 2.02 s min) — the term aggregate is
+    # computed once per consumer while both original passes shuffle
+    # almost nothing (1024 cells / 8 probe terms) — kept as-is.
     counters = cms_sketch(tok, "term", d=CMS_D, w=CMS_W)
     probes = spark.createDataFrame([(t,) for t in CMS_PROBES], "term string")
     est = cms_estimate(counters, probes, d=CMS_D, w=CMS_W)

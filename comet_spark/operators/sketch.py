@@ -33,6 +33,7 @@ from comet_spark.operators.dedup import _hash32
 
 __all__ = [
     "hll_distinct",
+    "hll_distinct_exact",
     "hll_registers",
     "hll_estimate",
     "hll_merge",
@@ -138,6 +139,65 @@ def hll_distinct(
         group_cols,
         b=b,
         round_to=round_to,
+    )
+
+
+def hll_distinct_exact(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    *,
+    b: int = 6,
+    round_to: int = 6,
+) -> DataFrame:
+    """One-pass twin of :func:`hll_distinct` + an exact
+    ``count(DISTINCT value)`` per group → ``(*group_cols, est_distinct,
+    exact_distinct)``.
+
+    The composite ran TWO full passes over the stream (register build,
+    countDistinct) and joined the one-row-per-group results. This plan
+    is linear: one groupBy(group, value) distinct pass (the only
+    full-stream shuffle — and the md5 register hash is then computed
+    once per distinct value, not once per occurrence), one
+    ≤2^b-rows-per-group bucket aggregation carrying the per-bucket
+    distinct-value count alongside ``max(rho)``, one per-group fold
+    summing both. Value-exact leg by leg: ``max(rho)`` is
+    multiplicity-insensitive, so registers over distinct values equal
+    registers over the raw stream; the float estimate below is
+    :func:`hll_estimate`'s expression verbatim (the register sum is
+    exact integer arithmetic, so summation order is irrelevant); the
+    buckets partition the distinct set, so per-bucket counts sum to the
+    exact distinct count.
+    """
+    _check_b(b)
+    m = 1 << b
+    vals = df.select(*group_cols, value_col).distinct()
+    bucket, rho = _bucket_rho(F.col(value_col), b)
+    per_bucket = (
+        vals.select(*group_cols, bucket.alias("bucket"), rho.alias("rho"))
+        .groupBy(*group_cols, "bucket")
+        .agg(F.max("rho").alias("mj"), F.count("*").alias("nv"))
+    )
+    s = per_bucket.groupBy(*group_cols).agg(
+        F.sum(F.expr(f"shiftleft(cast(1 as bigint), {_SHIFT} - mj)")).alias("s_hit"),
+        F.count("*").alias("nb"),
+        F.sum("nv").alias("exact_distinct"),
+    )
+    # float expressions below mirror hll_estimate verbatim
+    two30 = float(1 << _SHIFT)
+    alpha = F.lit(0.7213) / (F.lit(1.0) + F.lit(1.079) / F.lit(float(m)))
+    s_total = (F.col("s_hit") + (F.lit(m) - F.col("nb")) * F.lit(1 << _SHIFT)).cast(
+        "double"
+    )
+    e_raw = alpha * m * m * two30 / s_total
+    v = F.lit(m) - F.col("nb")  # zero registers
+    est = F.when(
+        (e_raw <= 2.5 * m) & (v > 0), F.lit(float(m)) * F.log(F.lit(float(m)) / v)
+    ).otherwise(e_raw)
+    return s.select(
+        *group_cols,
+        F.round(est, round_to).alias("est_distinct"),
+        "exact_distinct",
     )
 
 

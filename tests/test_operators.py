@@ -890,6 +890,30 @@ def test_hll_set_estimates_exact_matches_composite(spark):
         assert got == want, (name, got, want)
 
 
+def test_hll_distinct_exact_matches_composite(spark):
+    """r13 optimization: the one-pass per-group register+exact fold must
+    be VALUE-exact against the composite it replaced (hll_distinct +
+    countDistinct + join) — multiple groups, duplicate-heavy streams,
+    and a group with a single value."""
+    from pyspark.sql import functions as F
+
+    from comet_spark.operators.sketch import hll_distinct, hll_distinct_exact
+
+    rows = (
+        [("g1", f"item{i}") for i in range(500)]
+        + [("g2", f"item{i % 20}") for i in range(400)]
+        + [("g3", "only")] * 7
+    )
+    df = spark.createDataFrame(rows, "g string, v string")
+    est = hll_distinct(df, ["g"], "v")
+    exact = df.groupBy("g").agg(F.countDistinct("v").alias("exact_distinct"))
+    want = sorted(
+        tuple(r) for r in est.join(exact, "g").collect()
+    )
+    got = sorted(tuple(r) for r in hll_distinct_exact(df, ["g"], "v").collect())
+    assert got == want
+
+
 def test_repetition_metrics_hand_fixture(spark):
     """doc 1: 'a b a b a b' -> bigrams [ab,ba,ab,ba,ab] top 3/5; trigrams
     [aba,bab,aba,bab] top 2/4; 5grams [ababa, babab] dup 0.
