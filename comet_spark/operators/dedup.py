@@ -332,11 +332,31 @@ def minhash_lsh_pairs(
         docs, id_col=id_col, text_col=text_col, n=n, n_hashes=n_hashes,
         bands=bands, sets_df=sets,
     )
-    a = bsig.select(F.col("band").alias("ba"), F.col("sig").alias("sa"), F.col("id").alias("a_id"))
-    b = bsig.select(F.col("band").alias("bb"), F.col("sig").alias("sb"), F.col("id").alias("b_id"))
+    # r13: bucket expansion instead of a band-table self-join — the
+    # self-join derived the in-row signature pipeline TWICE (identical
+    # subplans don't reuse across join sides) and shuffled the band
+    # table once per side. One groupBy(band, sig) ships it once. The
+    # expansion is two-step (posexplode the bucket, then explode each
+    # member's i<j tail) so per-row memory stays O(bucket), never
+    # O(bucket²) — a degenerate bucket (mass duplicates collide on all
+    # bands) streams its pairs as rows exactly like the join did.
+    # Sorted ids ⇒ a_id < b_id; one row per shared band, deduped by the
+    # same distinct. NOT applied to simhash_neardup_pairs: its
+    # pigeonhole buckets on the dup-heavy corpus are large (83k
+    # surviving pairs), and the measured expansion was catastrophically
+    # slower there — the self-join streams those pairs instead.
+    ids = F.array_sort(F.col("ids"))
     cand = (
-        a.join(b, (F.col("ba") == F.col("bb")) & (F.col("sa") == F.col("sb")) & (F.col("a_id") < F.col("b_id")))
-        .select("a_id", "b_id")
+        bsig.groupBy("band", "sig")
+        .agg(F.collect_list("id").alias("ids"))
+        .filter(F.size("ids") > 1)
+        .select(F.posexplode(ids).alias("i", "a_id"), ids.alias("__ids"))
+        .select(
+            "a_id",
+            F.explode(
+                F.slice(F.col("__ids"), F.col("i") + F.lit(2), F.size("__ids"))
+            ).alias("b_id"),
+        )
         .distinct()
     )
     pairs = cand.join(
