@@ -4984,6 +4984,11 @@ def _decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
         tr, ev, n=NGRAM_N,
         train_shingles=sh.filter(F.col("id") % EVAL_MOD != 0),
         eval_shingles=sh.filter(F.col("id") % EVAL_MOD == 0),
+        # r13: per-doc totals come in-row from the cached sets table
+        # instead of re-aggregating the exploded one (identical counts)
+        train_sets=_doc_shingle_sets(spark, sf_dir).filter(
+            F.col("id") % EVAL_MOD != 0
+        ),
     )
     return out.select(
         F.col("id").alias("doc_id"), "n_shingles", "n_contaminated",

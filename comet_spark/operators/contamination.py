@@ -39,6 +39,7 @@ def decontaminate(
     round_to: int = 6,
     train_shingles: DataFrame | None = None,
     eval_shingles: DataFrame | None = None,
+    train_sets: DataFrame | None = None,
 ) -> DataFrame:
     """Per-train-doc contamination audit against an eval set.
 
@@ -48,8 +49,11 @@ def decontaminate(
 
     ``train_shingles``/``eval_shingles`` let a caller that already holds
     a cached ``(id, shingle)`` table (e.g. filtered views of one corpus-
-    wide shingle cache) skip re-shingling; the caller owns their
-    lifecycle.
+    wide shingle cache) skip re-shingling; ``train_sets`` a cached
+    per-doc ``(id, sh_set)`` table, from which the per-doc totals come
+    in-row instead of aggregating the exploded table (same distinct
+    shingles, so ``size(sh_set)`` is the identical count). The caller
+    owns their lifecycle.
     """
     # the train shingle table feeds both the per-doc totals and the
     # hit counting — compute once, cache across the two passes (same
@@ -64,7 +68,11 @@ def decontaminate(
         if eval_shingles is not None
         else shingles(eval_docs, id_col=id_col, text_col=text_col, n=n)
     ).select(F.col("id").alias("eval_id"), "shingle")
-    totals = tr.groupBy("id").agg(F.count("*").alias("n_shingles"))
+    totals = (
+        train_sets.select("id", F.size("sh_set").cast("bigint").alias("n_shingles"))
+        if train_sets is not None
+        else tr.groupBy("id").agg(F.count("*").alias("n_shingles"))
+    )
     hits = (
         tr.join(F.broadcast(ev), "shingle")
         .groupBy("id")

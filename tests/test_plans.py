@@ -345,12 +345,17 @@ def test_supplier_cnt_anti_join_broadcasts(spark):
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
 
 
-def test_large_orders_semi_join_prunes_fact(spark):
-    """Q18 shape: the HAVING key set joins back as a broadcast semi join
-    on lineitem — the fact table is filtered before the wide join."""
+def test_large_orders_single_fact_pass(spark):
+    """Q18 shape (r13): the HAVING pre-aggregation already holds each
+    qualifying order's sum, so lineitem is scanned ONCE — no semi-join
+    back into the fact, no second aggregation pass over it."""
     df = entry_mod.queries()["large_orders"](spark, SF_DIR_SMALL)
     plan = _plan(df)
-    assert "LeftSemi" in plan
+    assert "LeftSemi" not in plan
+    li_scans = [
+        s for s in plan.split("FileScan parquet") if "lineitem" in s[:400]
+    ]
+    assert len(li_scans) == 1, plan
 
 
 def test_cheapest_supplier_window_decorrelation(spark):
