@@ -124,6 +124,17 @@ def _plan_memoized(
             df = fn(spark, sf_dir)
             _PLAN_MEMO[key] = df._jdf.queryExecution().analyzed()
             return df
+        # the two runtime confs _t() asserts (nanosAsLong at scan time,
+        # session timezone at NTZ→instant conversion) matter at
+        # EXECUTION time, and on this memo-hit path fn — and thus _t —
+        # never runs; re-assert them here so a mid-session conf reset
+        # cannot make a memoized events plan execute under the wrong
+        # zone (ADVICE r13). Two conf reads ≈ microseconds vs the plan
+        # build this path saves.
+        if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        if spark.conf.get("spark.sql.session.timeZone") != "UTC":
+            spark.conf.set("spark.sql.session.timeZone", "UTC")
         jdf = spark._jvm.org.apache.spark.sql.classic.Dataset.ofRows(
             spark._jsparkSession, jplan
         )
@@ -280,6 +291,65 @@ def _evict_superseded(cache: dict, key: tuple, unpersist=None) -> None:
                 pass
 
 
+# --- ANN artifact build-once scaffold (r14, VERDICT r13 #4) ---------------
+# The BM25 index already pays its corpus-wide build once per CORPUS
+# (signature-stamped artifact, _fresh_bm25_artifact); the trained ANN
+# models (IVF centroids, PQ/IVFPQ codebooks, the maintenance stores) were
+# still retrained every SESSION — 2-10 s of k-means + encode + write per
+# family on the driver's cold pass. Training is deterministic (seedless
+# uniform-spacing k-means init over id order), and the on-disk artifacts
+# are the single source of truth both engines replay, so reopening a
+# signature-fresh artifact is value-identical to rebuilding it. The stamp
+# is written LAST, so a crash mid-build re-routes the next session into
+# the rebuild; probing a reader keeps a partially-cleaned artifact from
+# turning into per-query failures.
+
+
+def _ann_sig_fresh(sf_dir: str, base: str, table: str = "embeddings") -> bool:
+    sig = _corpus_sig(sf_dir, table)
+    try:
+        with open(f"{base}/corpus_sig.txt") as fh:
+            return sig != "" and fh.read() == sig
+    except OSError:
+        return False
+
+
+def _ann_sig_stamp(sf_dir: str, base: str, table: str = "embeddings") -> None:
+    sig = _corpus_sig(sf_dir, table)
+    if sig == "":  # missing table must never stamp a valid artifact
+        return
+    os.makedirs(base, exist_ok=True)
+    with open(f"{base}/corpus_sig.txt", "w") as fh:
+        fh.write(sig)
+
+
+def _probe_export_done(
+    spark: SparkSession, sf_dir: str, path: str, table: str = "embeddings"
+) -> bool:
+    """True when a lazily-written probe/LUT export at ``path`` is already
+    on disk for THIS corpus — its own .sig stamp (written after the
+    parquet) matches and the parquet reads. Such exports are pure
+    functions of (trained model, pinned query vector), both derived from
+    ``table``, so a fresh stamp means the bytes are already right."""
+    sig = _corpus_sig(sf_dir, table)
+    try:
+        with open(f"{path}.sig") as fh:
+            if sig == "" or fh.read() != sig:
+                return False
+        spark.read.parquet(path).first()
+        return True
+    except Exception:
+        return False
+
+
+def _probe_export_stamp(sf_dir: str, path: str, table: str = "embeddings") -> None:
+    sig = _corpus_sig(sf_dir, table)
+    if sig == "":
+        return
+    with open(f"{path}.sig", "w") as fh:
+        fh.write(sig)
+
+
 def _unpersist_graphs(ix) -> None:
     ix.graphs.unpersist()
 
@@ -337,8 +407,13 @@ def _fresh_bm25_artifact(
 
 
 def _bm25_index(spark: SparkSession, sf_dir: str) -> BM25:
-    key = (_skey(spark), sf_dir)
+    # r14: keyed on the corpus fingerprint (the _live_cache_key
+    # convention, VERDICT r13 #6) — a mid-session testdata regen must
+    # re-route into _fresh_bm25_artifact's rebuild instead of serving
+    # the previous corpus's cached side tables
+    key = _live_cache_key(spark, sf_dir, "documents")
     if key not in _BM25_CACHE:
+        _evict_superseded(_BM25_CACHE, key, _unpersist_bm25)
         base = f"{_art_dir(sf_dir)}/bm25"
 
         def build() -> None:
@@ -360,13 +435,15 @@ def _bm25_index(spark: SparkSession, sf_dir: str) -> BM25:
 
 
 # the vector corpus is cached once per session like the reference's
-# in-memory index (flat_index.go holds vectors in RAM); ~40 queries share it
-_EMB_CACHE: dict[tuple[str, str], DataFrame] = {}
+# in-memory index (flat_index.go holds vectors in RAM); ~40 queries share
+# it; fingerprint-keyed so a mid-session regen drops the stale cache (r14)
+_EMB_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 
 
 def _emb_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    key = (_skey(spark), sf_dir)
+    key = _live_cache_key(spark, sf_dir, "embeddings")
     if key not in _EMB_CACHE:
+        _evict_superseded(_EMB_CACHE, key, lambda df: df.unpersist())
         _EMB_CACHE[key] = (
             _t(spark, sf_dir, "embeddings")
             .select(F.col("vec_id").alias("id"), F.col("embedding").alias("vector"), "label")
@@ -445,11 +522,15 @@ d AS (SELECT e.vec_id, ROUND({_SQL_METRIC[metric]('e.v', 'q.qv')}, 6) AS score F
 
 def _mk_knn(metric: str) -> Callable[[SparkSession, str], DataFrame]:
     def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # r14: the pinned query vector is driver-held (memoized once per
+        # session) — the literal path drops the one-row broadcast cross
+        # join AND the per-qid window pair from every serving call
         res = knn(
             _emb_docs(spark, sf_dir),
-            _emb_queries(spark, sf_dir, (QUERY_VEC_ID,)),
+            None,
             k=K,
             metric=metric,
+            literal_query=_hybrid_qvec(spark, sf_dir),
         )
         return res.select(F.col("id").alias("vec_id"), "score")
 
@@ -469,10 +550,11 @@ for _metric in ("l2", "l2sq", "cosine"):
 def _range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     res = knn(
         _emb_docs(spark, sf_dir),
-        _emb_queries(spark, sf_dir, (QUERY_VEC_ID,)),
+        None,
         k=0,
         metric="l2",
         threshold=RANGE_THRESHOLD,
+        literal_query=_hybrid_qvec(spark, sf_dir),
     )
     return res.select(F.col("id").alias("vec_id"), "score")
 
@@ -523,10 +605,11 @@ _register("knn_multi_max", _mk_knn_multi("max"), _sql_knn_multi("max(score)"))
 def _knn_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     res = knn(
         _emb_docs(spark, sf_dir),
-        _emb_queries(spark, sf_dir, (QUERY_VEC_ID,)),
+        None,
         k=K,
         metric="l2",
         prefilter=F.col("label").isin(list(PREFILTER_LABELS)),
+        literal_query=_hybrid_qvec(spark, sf_dir),
     )
     return res.select(F.col("id").alias("vec_id"), "score")
 
@@ -1262,12 +1345,13 @@ WHERE rn <= {K}
 # the docs⋈embeddings hybrid corpus is cached once per (session, corpus):
 # every hybrid query shares one materialized join instead of re-joining
 # per call (the reference's facade holds one in-memory index the same way)
-_HYB_DOCS_CACHE: dict[tuple[str, str], DataFrame] = {}
+_HYB_DOCS_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 
 
 def _hybrid_corpus(spark: SparkSession, sf_dir: str) -> Corpus:
-    key = (_skey(spark), sf_dir)
+    key = _live_cache_key(spark, sf_dir, "documents+embeddings")
     if key not in _HYB_DOCS_CACHE:
+        _evict_superseded(_HYB_DOCS_CACHE, key, lambda df: df.unpersist())
         docs = _t(spark, sf_dir, "documents")
         emb = _t(spark, sf_dir, "embeddings")
         _HYB_DOCS_CACHE[key] = docs.join(
@@ -1282,15 +1366,18 @@ def _hybrid_corpus(spark: SparkSession, sf_dir: str) -> Corpus:
     return Corpus(_HYB_DOCS_CACHE[key], metric="l2", _bm25=_bm25_index(spark, sf_dir))
 
 
-_QVEC_CACHE: dict[tuple[str, str], list[float]] = {}
+_QVEC_CACHE: dict[tuple[str, str, str], list[float]] = {}
 
 
 def _hybrid_qvec(spark: SparkSession, sf_dir: str) -> list[float]:
-    # memoized per (session, sf_dir): ~20 hybrid queries each paid a
-    # separate .head() Spark job for the SAME immutable testdata row
-    # (optimization guide §1.2 — don't recompute what you throw away)
-    key = (_skey(spark), sf_dir)
+    # memoized per (session, corpus fingerprint): ~20 hybrid queries each
+    # paid a separate .head() Spark job for the SAME immutable testdata
+    # row (optimization guide §1.2 — don't recompute what you throw
+    # away); the fingerprint key (r14, VERDICT r13 #6) drops the vector
+    # when a mid-session regen replaces the embeddings table
+    key = _live_cache_key(spark, sf_dir, "embeddings")
     if key not in _QVEC_CACHE:
+        _evict_superseded(_QVEC_CACHE, key)
         row = (
             _t(spark, sf_dir, "embeddings")
             .filter(F.col("vec_id") == QUERY_VEC_ID)
@@ -1361,8 +1448,8 @@ def _hybrid_ivf_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (_skey(spark), sf_dir, "probes_q2")
     if key not in _PROBE_WRITTEN:
         probed = ivf.probe_lists(np.asarray(qvec), 2)
-        _write_rows(
-            spark, f"{_art_dir(sf_dir)}/ivf/probes_q2.parquet",
+        _write_rows_once(
+            spark, sf_dir, f"{_art_dir(sf_dir)}/ivf/probes_q2.parquet",
             [(int(c),) for c in probed], "cluster_id bigint",
         )
         _PROBE_WRITTEN.add(key)
@@ -1430,8 +1517,8 @@ def _hybrid_delete_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (_skey(spark), sf_dir, "probes_q2")
     if key not in _PROBE_WRITTEN:  # shared artifact — first toucher writes
         probed = ivf.probe_lists(np.asarray(qvec), 2)
-        _write_rows(
-            spark, f"{_art_dir(sf_dir)}/ivf/probes_q2.parquet",
+        _write_rows_once(
+            spark, sf_dir, f"{_art_dir(sf_dir)}/ivf/probes_q2.parquet",
             [(int(c),) for c in probed], "cluster_id bigint",
         )
         _PROBE_WRITTEN.add(key)
@@ -1747,9 +1834,10 @@ _register(
 def _autocut_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     res = knn(
         _emb_docs(spark, sf_dir),
-        _emb_queries(spark, sf_dir, (QUERY_VEC_ID,)),
+        None,
         k=50,
         metric="l2",
+        literal_query=_hybrid_qvec(spark, sf_dir),
     ).select(F.col("id"), "score")
     cut = autocut(res, cutoff=1, ascending=True)
     return cut.select(F.col("id").alias("vec_id"), "score")
@@ -1825,13 +1913,14 @@ def _knn_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     from comet_spark.operators.topk import topk_per_group
 
     docs = _emb_docs(spark, sf_dir)
-    q = _emb_queries(spark, sf_dir, (QUERY_VEC_ID,))
     from comet_spark.functions.vector import l2, to_double_array
 
-    scored = docs.crossJoin(F.broadcast(q.select(to_double_array("qvec").alias("qv")))).select(
+    # r14: literal query vector — no one-row broadcast cross join
+    qv = F.array(*[F.lit(float(x)) for x in _hybrid_qvec(spark, sf_dir)])
+    scored = docs.select(
         "label",
         F.col("id"),
-        F.round(l2(to_double_array("vector"), F.col("qv")), 6).alias("score"),
+        F.round(l2(to_double_array("vector"), qv), 6).alias("score"),
     )
     res = topk_per_group(scored, ["label"], [F.col("score").asc(), F.col("id").asc()], 3)
     return res.select("label", F.col("id").alias("vec_id"), "score")
@@ -1937,8 +2026,8 @@ def _knn_f16_storage(spark: SparkSession, sf_dir: str) -> DataFrame:
             float(v)
             for v in np.asarray(qvec, dtype=np.float64).astype(np.float16).astype(np.float64)
         ]
-        _write_rows(
-            spark, f"{_art_dir(sf_dir)}/sq_float16/q16.parquet",
+        _write_rows_once(
+            spark, sf_dir, f"{_art_dir(sf_dir)}/sq_float16/q16.parquet",
             [(q16,)], "qv array<double>",
         )
         _PROBE_WRITTEN.add(key)
@@ -2767,25 +2856,62 @@ def _write_rows(spark: SparkSession, path: str, rows: list, schema: str) -> None
     spark.createDataFrame(rows, schema).repartition(1).write.mode("overwrite").parquet(path)
 
 
+def _write_rows_once(
+    spark: SparkSession, sf_dir: str, path: str, rows: list, schema: str,
+    table: str = "embeddings",
+) -> None:
+    """Corpus-gated twin of :func:`_write_rows` for the lazy probe/LUT
+    exports: the rows are a deterministic function of artifacts derived
+    from ``table``, so when a .sig-stamped copy for this corpus is
+    already on disk the write job is skipped (r14 cold-path work,
+    VERDICT r13 #4). The stamp is written after the parquet — a crash
+    between the two re-routes the next session into the rewrite."""
+    if _probe_export_done(spark, sf_dir, path, table):
+        return
+    _write_rows(spark, path, rows, schema)
+    _probe_export_stamp(sf_dir, path, table)
+
+
 def _ivf_trained(spark: SparkSession, sf_dir: str):
+    import numpy as np
+
     from comet_spark.operators.ann import IVFIndex
 
-    key = (_skey(spark), sf_dir)
+    key = _live_cache_key(spark, sf_dir, "embeddings")
     if key not in _IVF_CACHE:
-        emb = _emb_docs(spark, sf_dir).select("id", "vector").cache()
-        ivf = IVFIndex.train(emb, 8)
+        _evict_superseded(_IVF_CACHE, key)
         base = f"{_art_dir(sf_dir)}/ivf"
-        # the disk layout IS the operator at scale: lists are parquet
-        # partitions, nprobe filter = partition pruning (no other list's
-        # files are read) — asserted on the executed plan in test_plans.py
-        ivf.write(ivf.assign(emb), f"{base}/assigned.parquet")
-        _write_rows(
-            spark, f"{base}/centroids.parquet",
-            [(int(i), [float(x) for x in c]) for i, c in enumerate(ivf.centroids)],
-            "cluster_id bigint, centroid array<double>",
-        )
-        emb.unpersist()
-        assigned = spark.read.parquet(f"{base}/assigned.parquet")
+        ivf = None
+        if _ann_sig_fresh(sf_dir, base):
+            # signature-fresh artifact: reopen instead of retraining —
+            # the centroids/assignment on disk ARE what the oracle
+            # replays, and training is deterministic, so this is the
+            # build-once convention BM25 already uses (guide §6)
+            try:
+                rows = sorted(
+                    spark.read.parquet(f"{base}/centroids.parquet").collect(),
+                    key=lambda r: r["cluster_id"],
+                )
+                ivf = IVFIndex(np.array([r["centroid"] for r in rows]))
+                assigned = spark.read.parquet(f"{base}/assigned.parquet")
+                assigned.first()
+            except Exception:
+                ivf = None
+        if ivf is None:
+            emb = _emb_docs(spark, sf_dir).select("id", "vector").cache()
+            ivf = IVFIndex.train(emb, 8)
+            # the disk layout IS the operator at scale: lists are parquet
+            # partitions, nprobe filter = partition pruning (no other list's
+            # files are read) — asserted on the executed plan in test_plans.py
+            ivf.write(ivf.assign(emb), f"{base}/assigned.parquet")
+            _write_rows(
+                spark, f"{base}/centroids.parquet",
+                [(int(i), [float(x) for x in c]) for i, c in enumerate(ivf.centroids)],
+                "cluster_id bigint, centroid array<double>",
+            )
+            emb.unpersist()
+            assigned = spark.read.parquet(f"{base}/assigned.parquet")
+            _ann_sig_stamp(sf_dir, base)
         _IVF_CACHE[key] = (ivf, assigned)
     return _IVF_CACHE[key]
 
@@ -2821,8 +2947,8 @@ def _ivf_nprobe2(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (_skey(spark), sf_dir, "probes_q2")
     if key not in _PROBE_WRITTEN:
         probed = ivf.probe_lists(np.asarray(qvec), 2)
-        _write_rows(
-            spark, f"{_art_dir(sf_dir)}/ivf/probes_q2.parquet",
+        _write_rows_once(
+            spark, sf_dir, f"{_art_dir(sf_dir)}/ivf/probes_q2.parquet",
             [(int(c),) for c in probed], "cluster_id bigint",
         )
         _PROBE_WRITTEN.add(key)
@@ -2873,8 +2999,8 @@ def _ivf_delete_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (_skey(spark), sf_dir, "probes_q2")
     if key not in _PROBE_WRITTEN:  # same artifact ivf_knn_nprobe2 uses —
         probed = ivf.probe_lists(np.asarray(qvec), 2)  # first toucher writes
-        _write_rows(
-            spark, f"{_art_dir(sf_dir)}/ivf/probes_q2.parquet",
+        _write_rows_once(
+            spark, sf_dir, f"{_art_dir(sf_dir)}/ivf/probes_q2.parquet",
             [(int(c),) for c in probed], "cluster_id bigint",
         )
         _PROBE_WRITTEN.add(key)
@@ -2918,28 +3044,50 @@ def _sql_adc(codes_tbl: str, lut_tbl: str, extra_on: str = "") -> str:
     )
 
 
+def _pq_trained(spark: SparkSession, sf_dir: str):
+    """Trained PQ + encoded codes, built once per CORPUS (r14): the
+    codebooks persist next to the codes artifact (`model/`, new files the
+    oracles never read) so a signature-fresh session reopens instead of
+    re-running k-means + the encode pass — deterministic train makes the
+    two paths value-identical, and the codes the oracle replays are the
+    same on-disk bytes either way."""
+    from comet_spark.operators.ann import PQIndex
+
+    key = _live_cache_key(spark, sf_dir, "embeddings")
+    if key not in _PQ_CACHE:
+        _evict_superseded(_PQ_CACHE, key)
+        base = f"{_art_dir(sf_dir)}/pq"
+        pq = None
+        if _ann_sig_fresh(sf_dir, base):
+            try:
+                pq = PQIndex.load(spark, f"{base}/model")
+                codes = spark.read.parquet(f"{base}/codes.parquet")
+                codes.first()
+            except Exception:
+                pq = None
+        if pq is None:
+            emb = _emb_docs(spark, sf_dir).select("id", "vector").cache()
+            pq = PQIndex.train(emb, m=PQ_M, nbits=4, max_iter=5)
+            codes = pq.encode(emb)
+            codes.write.mode("overwrite").parquet(f"{base}/codes.parquet")
+            emb.unpersist()
+            codes = spark.read.parquet(f"{base}/codes.parquet")
+            pq.save(spark, f"{base}/model")
+            _ann_sig_stamp(sf_dir, base)
+        _PQ_CACHE[key] = (pq, codes)
+    return _PQ_CACHE[key]
+
+
 def _pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
 
-    from comet_spark.operators.ann import PQIndex
-
-    key = (_skey(spark), sf_dir)
-    if key not in _PQ_CACHE:
-        emb = _emb_docs(spark, sf_dir).select("id", "vector").cache()
-        pq = PQIndex.train(emb, m=PQ_M, nbits=4, max_iter=5)
-        base = f"{_art_dir(sf_dir)}/pq"
-        codes = pq.encode(emb)
-        codes.write.mode("overwrite").parquet(f"{base}/codes.parquet")
-        emb.unpersist()
-        codes = spark.read.parquet(f"{base}/codes.parquet")
-        _PQ_CACHE[key] = (pq, codes)
-    pq, codes = _PQ_CACHE[key]
+    pq, codes = _pq_trained(spark, sf_dir)
     qvec = _hybrid_qvec(spark, sf_dir)
     key2 = (_skey(spark), sf_dir, "pq_lut_q")
     if key2 not in _PROBE_WRITTEN:
         lut = pq.lut(np.asarray(qvec))
-        _write_rows(
-            spark, f"{_art_dir(sf_dir)}/pq/lut_q.parquet",
+        _write_rows_once(
+            spark, sf_dir, f"{_art_dir(sf_dir)}/pq/lut_q.parquet",
             [(s, c, float(lut[s][c])) for s in range(pq.m) for c in range(pq.ksub)],
             "sub int, code int, dist double",
         )
@@ -2978,7 +3126,7 @@ _PQ_DELETE_KEEP_SQL = "vec_id % 7 <> 0"
 
 def _pq_delete_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     _pq_adc(spark, sf_dir)  # trained index + codes/LUT artifacts
-    pq, codes = _PQ_CACHE[(_skey(spark), sf_dir)]
+    pq, codes = _pq_trained(spark, sf_dir)
     qvec = _hybrid_qvec(spark, sf_dir)
     key = (_skey(spark), sf_dir, "pq_delete_nonvacuous")
     if key not in _PROBE_WRITTEN:
@@ -3014,7 +3162,7 @@ def _pq_adc_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact metric reranks it (the standard recall fix for PQ distortion —
     recall@10 0.93 vs 0.43 pure-ADC on this corpus, RECALL.md)."""
     _pq_adc(spark, sf_dir)  # ensures the trained index + artifacts exist
-    pq, codes = _PQ_CACHE[(_skey(spark), sf_dir)]
+    pq, codes = _pq_trained(spark, sf_dir)
     res = pq.search(
         codes, _hybrid_qvec(spark, sf_dir), k=K,
         rescore=PQ_RESCORE, vectors=_emb_docs(spark, sf_dir),
@@ -3055,7 +3203,7 @@ def _reranker_adc_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
     from comet_spark.operators.ann import _exact_rescore
 
     _pq_adc(spark, sf_dir)  # trained PQ + codes/LUT artifacts
-    pq, codes = _PQ_CACHE[(_skey(spark), sf_dir)]
+    pq, codes = _pq_trained(spark, sf_dir)
     emb = _emb_docs(spark, sf_dir)
     qvec = _hybrid_qvec(spark, sf_dir)
 
@@ -3104,7 +3252,7 @@ def _pq_adc_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
 
     _pq_adc(spark, sf_dir)  # trained index + codes artifact
-    pq, codes = _PQ_CACHE[(_skey(spark), sf_dir)]
+    pq, codes = _pq_trained(spark, sf_dir)
     qs = _emb_queries(spark, sf_dir, tuple(range(N_PQ_BATCH)))
     key = (_skey(spark), sf_dir, "pq_luts_batch")
     if key not in _PROBE_WRITTEN:
@@ -3116,8 +3264,8 @@ def _pq_adc_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
                 for s in range(pq.m)
                 for c in range(pq.ksub)
             )
-        _write_rows(
-            spark, f"{_art_dir(sf_dir)}/pq/luts_batch.parquet",
+        _write_rows_once(
+            spark, sf_dir, f"{_art_dir(sf_dir)}/pq/luts_batch.parquet",
             rows, "qid bigint, sub int, code int, dist double",
         )
         _PROBE_WRITTEN.add(key)
@@ -3152,7 +3300,7 @@ def _hybrid_adc_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     (same by-construction scheme as pq_adc_knn) over the same lang
     candidates."""
     _pq_adc(spark, sf_dir)  # trained PQ + codes + lut_q artifacts
-    pq, codes = _PQ_CACHE[(_skey(spark), sf_dir)]
+    pq, codes = _pq_trained(spark, sf_dir)
     corpus = _hybrid_corpus(spark, sf_dir)
     corpus._pq, corpus._pq_codes = pq, codes
     hs = (
@@ -3189,15 +3337,25 @@ ORDER BY score DESC, doc_id LIMIT {K}
 )
 
 
-def _write_cluster_luts(spark: SparkSession, ix, qvec, path: str, nprobe: int) -> None:
+def _write_cluster_luts(
+    spark: SparkSession, ix, qvec, path: str, nprobe: int,
+    sf_dir: str | None = None,
+) -> None:
     """THE per-probed-cluster residual-LUT export (one copy — the plain
     IVFPQ, hybrid-IVFPQ, and maintenance queries all replay their
     oracles from tables of this exact shape, so the export math must
     not diverge between them): for each of the query's ``nprobe``
     nearest coarse lists, the PQ LUT of the query's residual against
-    that centroid, as (cluster_id, sub, code, dist) rows."""
+    that centroid, as (cluster_id, sub, code, dist) rows.
+
+    With ``sf_dir`` the export is corpus-gated (r14): a .sig-stamped
+    fresh copy on disk skips the write job — the rows are a
+    deterministic function of the (corpus-gated) trained model and the
+    pinned query vector."""
     import numpy as np
 
+    if sf_dir is not None and _probe_export_done(spark, sf_dir, path):
+        return
     q = np.asarray(qvec, dtype=np.float64)
     rows = []
     for cid in ix.ivf.probe_lists(q, nprobe):
@@ -3208,28 +3366,51 @@ def _write_cluster_luts(spark: SparkSession, ix, qvec, path: str, nprobe: int) -
             for c in range(ix.pq.ksub)
         )
     _write_rows(spark, path, rows, "cluster_id bigint, sub int, code int, dist double")
+    if sf_dir is not None:
+        _probe_export_stamp(sf_dir, path)
+
+
+def _ivfpq_trained(spark: SparkSession, sf_dir: str):
+    """Trained IVFPQ + encoded artifact, built once per CORPUS (r14) —
+    same reopen convention as :func:`_pq_trained` (coarse centroids +
+    residual codebooks persist under `model/`; the encoded table the
+    oracles replay is untouched)."""
+    from comet_spark.operators.ann import IVFPQIndex
+
+    key = _live_cache_key(spark, sf_dir, "embeddings")
+    if key not in _IVFPQ_CACHE:
+        _evict_superseded(_IVFPQ_CACHE, key)
+        base = f"{_art_dir(sf_dir)}/ivfpq"
+        ix = None
+        if _ann_sig_fresh(sf_dir, base):
+            try:
+                ix = IVFPQIndex.load(spark, f"{base}/model")
+                enc = spark.read.parquet(f"{base}/encoded.parquet")
+                enc.first()
+            except Exception:
+                ix = None
+        if ix is None:
+            emb = _emb_docs(spark, sf_dir).select("id", "vector").cache()
+            ix = IVFPQIndex.train(emb, nlist=4, m=PQ_M, nbits=4, max_iter=5)
+            ix.encode(emb).write.mode("overwrite").parquet(f"{base}/encoded.parquet")
+            emb.unpersist()
+            enc = spark.read.parquet(f"{base}/encoded.parquet")
+            ix.save(spark, f"{base}/model")
+            _ann_sig_stamp(sf_dir, base)
+        _IVFPQ_CACHE[key] = (ix, enc)
+    return _IVFPQ_CACHE[key]
 
 
 def _ivfpq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
 
-    from comet_spark.operators.ann import IVFPQIndex
-
-    key = (_skey(spark), sf_dir)
-    if key not in _IVFPQ_CACHE:
-        emb = _emb_docs(spark, sf_dir).select("id", "vector").cache()
-        ix = IVFPQIndex.train(emb, nlist=4, m=PQ_M, nbits=4, max_iter=5)
-        base = f"{_art_dir(sf_dir)}/ivfpq"
-        ix.encode(emb).write.mode("overwrite").parquet(f"{base}/encoded.parquet")
-        emb.unpersist()
-        enc = spark.read.parquet(f"{base}/encoded.parquet")
-        _IVFPQ_CACHE[key] = (ix, enc)
-    ix, enc = _IVFPQ_CACHE[key]
+    ix, enc = _ivfpq_trained(spark, sf_dir)
     qvec = _hybrid_qvec(spark, sf_dir)
     key2 = (_skey(spark), sf_dir, "ivfpq_luts_q")
     if key2 not in _PROBE_WRITTEN:
         _write_cluster_luts(
-            spark, ix, qvec, f"{_art_dir(sf_dir)}/ivfpq/luts_q.parquet", nprobe=4
+            spark, ix, qvec, f"{_art_dir(sf_dir)}/ivfpq/luts_q.parquet", nprobe=4,
+            sf_dir=sf_dir,
         )
         _PROBE_WRITTEN.add(key2)
     res = ix.search(enc, qvec, k=K, nprobe=4)
@@ -3256,7 +3437,7 @@ def _ivfpq_adc_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
     residual-ADC over the probed lists picks an R-deep shortlist, exact L2
     reranks — same plan shape as pq_adc_rescore but list-pruned."""
     _ivfpq_adc(spark, sf_dir)  # ensures trained index + LUT artifacts exist
-    ix, enc = _IVFPQ_CACHE[(_skey(spark), sf_dir)]
+    ix, enc = _ivfpq_trained(spark, sf_dir)
     res = ix.search(
         enc, _hybrid_qvec(spark, sf_dir), k=K, nprobe=4,
         rescore=PQ_RESCORE, vectors=_emb_docs(spark, sf_dir),
@@ -3318,8 +3499,8 @@ def _ivf_batch_nprobe2(spark: SparkSession, sf_dir: str) -> DataFrame:
         for r in qs.select("qid", "qvec").collect():
             qv = np.asarray([float(x) for x in r["qvec"]])
             rows.extend((int(r["qid"]), int(c)) for c in ivf.probe_lists(qv, 2))
-        _write_rows(
-            spark, f"{_art_dir(sf_dir)}/ivf/probes_batch2.parquet",
+        _write_rows_once(
+            spark, sf_dir, f"{_art_dir(sf_dir)}/ivf/probes_batch2.parquet",
             rows, "qid bigint, cluster_id bigint",
         )
         _PROBE_WRITTEN.add(key)
@@ -3668,27 +3849,49 @@ def _maint_ivf(spark: SparkSession, sf_dir: str):
     merges segments; the refreshed index then exports the compacted
     view as the ``partitionBy(cluster_id)`` serving layout (lists =
     partitions, as in _ivf_trained)."""
-    key = (_skey(spark), sf_dir, "ivf")
+    key = _live_cache_key(spark, sf_dir, "embeddings") + ("ivf",)
     if key not in _MAINT_CACHE:
         import numpy as np
 
         from comet_spark.operators.ann import IVFIndex
 
+        # no _evict_superseded here: _MAINT_CACHE holds one entry PER
+        # MAINT NAME under the same (session, sf_dir) — the generic
+        # eviction would drop the sibling layouts. A regen just strands
+        # the old entry (no executor storage pinned; bounded by regens).
         base = f"{_art_dir(sf_dir)}/maint"
-        refreshed, store = _drifted_store(
-            spark, sf_dir, "ivf",
-            train=lambda d: IVFIndex.train(d, 8, max_iter=10),
-            ingest=lambda ix, d: ix.assign_inplace(d),
-            refresh=lambda ix, view: ix.refresh(view, max_iter=10),
-        )
-        refreshed.write(store.read(), f"{base}/ivf_layout.parquet")
-        layout = spark.read.parquet(f"{base}/ivf_layout.parquet")
-        qvec = _hybrid_qvec(spark, sf_dir)
-        _write_rows(
-            spark, f"{base}/ivf_probes_q2.parquet",
-            [(int(c),) for c in refreshed.probe_lists(np.asarray(qvec), 2)],
-            "cluster_id bigint",
-        )
+        # build-once per corpus (r14, VERDICT r13 #4): the whole
+        # drift→refresh→compact pass is deterministic, its outputs
+        # (compacted layout, probes) are the oracle's replay surface on
+        # disk, and the refreshed model persists alongside — a
+        # signature-fresh session reopens all three instead of re-running
+        # the maintenance scaffold.
+        refreshed = None
+        if _ann_sig_fresh(sf_dir, f"{base}/ivf_model"):
+            try:
+                refreshed = IVFIndex.load(spark, f"{base}/ivf_model")
+                layout = spark.read.parquet(f"{base}/ivf_layout.parquet")
+                layout.first()
+                spark.read.parquet(f"{base}/ivf_probes_q2.parquet").first()
+            except Exception:
+                refreshed = None
+        if refreshed is None:
+            refreshed, store = _drifted_store(
+                spark, sf_dir, "ivf",
+                train=lambda d: IVFIndex.train(d, 8, max_iter=10),
+                ingest=lambda ix, d: ix.assign_inplace(d),
+                refresh=lambda ix, view: ix.refresh(view, max_iter=10),
+            )
+            refreshed.write(store.read(), f"{base}/ivf_layout.parquet")
+            layout = spark.read.parquet(f"{base}/ivf_layout.parquet")
+            qvec = _hybrid_qvec(spark, sf_dir)
+            _write_rows(
+                spark, f"{base}/ivf_probes_q2.parquet",
+                [(int(c),) for c in refreshed.probe_lists(np.asarray(qvec), 2)],
+                "cluster_id bigint",
+            )
+            refreshed.save(spark, f"{base}/ivf_model")
+            _ann_sig_stamp(sf_dir, f"{base}/ivf_model")
         _MAINT_CACHE[key] = (refreshed, layout)
     return _MAINT_CACHE[key]
 
@@ -3726,26 +3929,44 @@ def _maint_pq(spark: SparkSession, sf_dir: str):
     during the merge rewrite (reference re-Train, ``pq_index.go``); the
     compacted store's raw files — one segment, every id exactly once —
     ARE the merged view, so the oracle replays ADC straight off them."""
-    key = (_skey(spark), sf_dir, "pq")
+    key = _live_cache_key(spark, sf_dir, "embeddings") + ("pq",)
     if key not in _MAINT_CACHE:
         import numpy as np
 
         from comet_spark.operators.ann import PQIndex
+        from comet_spark.storage.store import DocumentStore
 
+        # no _evict_superseded here: _MAINT_CACHE holds one entry PER
+        # MAINT NAME under the same (session, sf_dir) — the generic
+        # eviction would drop the sibling layouts. A regen just strands
+        # the old entry (no executor storage pinned; bounded by regens).
         base = f"{_art_dir(sf_dir)}/maint"
-        refreshed, store = _drifted_store(
-            spark, sf_dir, "pq",
-            train=lambda d: PQIndex.train(d, m=PQ_M, nbits=4, max_iter=5),
-            ingest=lambda ix, d: ix.encode_inplace(d),
-            refresh=lambda ix, view: ix.refresh(view, max_iter=5),
-        )
-        qvec = _hybrid_qvec(spark, sf_dir)
-        lut = refreshed.lut(np.asarray(qvec))
-        _write_rows(
-            spark, f"{base}/pq_lut_q.parquet",
-            [(s, c, float(lut[s][c])) for s in range(refreshed.m) for c in range(refreshed.ksub)],
-            "sub int, code int, dist double",
-        )
+        # build-once per corpus — see _maint_ivf (r14)
+        refreshed = None
+        if _ann_sig_fresh(sf_dir, f"{base}/pq_model"):
+            try:
+                refreshed = PQIndex.load(spark, f"{base}/pq_model")
+                store = DocumentStore(spark, f"{base}/pq_store")
+                store.read().first()
+                spark.read.parquet(f"{base}/pq_lut_q.parquet").first()
+            except Exception:
+                refreshed = None
+        if refreshed is None:
+            refreshed, store = _drifted_store(
+                spark, sf_dir, "pq",
+                train=lambda d: PQIndex.train(d, m=PQ_M, nbits=4, max_iter=5),
+                ingest=lambda ix, d: ix.encode_inplace(d),
+                refresh=lambda ix, view: ix.refresh(view, max_iter=5),
+            )
+            qvec = _hybrid_qvec(spark, sf_dir)
+            lut = refreshed.lut(np.asarray(qvec))
+            _write_rows(
+                spark, f"{base}/pq_lut_q.parquet",
+                [(s, c, float(lut[s][c])) for s in range(refreshed.m) for c in range(refreshed.ksub)],
+                "sub int, code int, dist double",
+            )
+            refreshed.save(spark, f"{base}/pq_model")
+            _ann_sig_stamp(sf_dir, f"{base}/pq_model")
         _MAINT_CACHE[key] = (refreshed, store)
     return _MAINT_CACHE[key]
 
@@ -3855,8 +4076,8 @@ def _ivf_auto_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         n = ivf.auto_nprobe(
             np.asarray(qvec), c._ivf_list_sizes(), target_scan_frac=0.5
         )
-        _write_rows(
-            spark, f"{_art_dir(sf_dir)}/ivf/probes_auto.parquet",
+        _write_rows_once(
+            spark, sf_dir, f"{_art_dir(sf_dir)}/ivf/probes_auto.parquet",
             [(int(x),) for x in ivf.probe_lists(np.asarray(qvec), n)],
             "cluster_id bigint",
         )
@@ -3892,12 +4113,13 @@ def _hybrid_ivfpq_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     the encoded artifact restricted to the lang candidates, then
     BM25 + RRF — the residual-ADC twin of hybrid_adc_rrf."""
     _ivfpq_adc(spark, sf_dir)  # trained index + encoded artifact
-    ix, enc = _IVFPQ_CACHE[(_skey(spark), sf_dir)]
+    ix, enc = _ivfpq_trained(spark, sf_dir)
     qvec = _hybrid_qvec(spark, sf_dir)
     key = (_skey(spark), sf_dir, "ivfpq_luts_q2")
     if key not in _PROBE_WRITTEN:
         _write_cluster_luts(
-            spark, ix, qvec, f"{_art_dir(sf_dir)}/ivfpq/luts_q2.parquet", nprobe=2
+            spark, ix, qvec, f"{_art_dir(sf_dir)}/ivfpq/luts_q2.parquet", nprobe=2,
+            sf_dir=sf_dir,
         )
         _PROBE_WRITTEN.add(key)
     corpus = _hybrid_corpus(spark, sf_dir)
@@ -3947,21 +4169,39 @@ def _maint_ivfpq(spark: SparkSession, sf_dir: str):
     re-Train, ``ivfpq_index.go:164-341``). Completes the maintenance ×
     layout matrix: IVF (ivf_recluster_knn), PQ (pq_reencode_adc), graph
     (hnsw_addbatch_topk), IVFPQ here."""
-    key = (_skey(spark), sf_dir, "ivfpq")
+    key = _live_cache_key(spark, sf_dir, "embeddings") + ("ivfpq",)
     if key not in _MAINT_CACHE:
         from comet_spark.operators.ann import IVFPQIndex
+        from comet_spark.storage.store import DocumentStore
 
+        # no _evict_superseded here: _MAINT_CACHE holds one entry PER
+        # MAINT NAME under the same (session, sf_dir) — the generic
+        # eviction would drop the sibling layouts. A regen just strands
+        # the old entry (no executor storage pinned; bounded by regens).
         base = f"{_art_dir(sf_dir)}/maint"
-        refreshed, store = _drifted_store(
-            spark, sf_dir, "ivfpq",
-            train=lambda d: IVFPQIndex.train(d, nlist=4, m=PQ_M, nbits=4, max_iter=5),
-            ingest=lambda ix, d: ix.encode_inplace(d),
-            refresh=lambda ix, view: ix.refresh(view, max_iter=5),
-        )
-        _write_cluster_luts(
-            spark, refreshed, _hybrid_qvec(spark, sf_dir),
-            f"{base}/ivfpq_luts_q.parquet", nprobe=2,
-        )
+        # build-once per corpus — see _maint_ivf (r14)
+        refreshed = None
+        if _ann_sig_fresh(sf_dir, f"{base}/ivfpq_model"):
+            try:
+                refreshed = IVFPQIndex.load(spark, f"{base}/ivfpq_model")
+                store = DocumentStore(spark, f"{base}/ivfpq_store")
+                store.read().first()
+                spark.read.parquet(f"{base}/ivfpq_luts_q.parquet").first()
+            except Exception:
+                refreshed = None
+        if refreshed is None:
+            refreshed, store = _drifted_store(
+                spark, sf_dir, "ivfpq",
+                train=lambda d: IVFPQIndex.train(d, nlist=4, m=PQ_M, nbits=4, max_iter=5),
+                ingest=lambda ix, d: ix.encode_inplace(d),
+                refresh=lambda ix, view: ix.refresh(view, max_iter=5),
+            )
+            _write_cluster_luts(
+                spark, refreshed, _hybrid_qvec(spark, sf_dir),
+                f"{base}/ivfpq_luts_q.parquet", nprobe=2,
+            )
+            refreshed.save(spark, f"{base}/ivfpq_model")
+            _ann_sig_stamp(sf_dir, f"{base}/ivfpq_model")
         _MAINT_CACHE[key] = (refreshed, store)
     return _MAINT_CACHE[key]
 
@@ -4628,7 +4868,9 @@ def _soft_delete_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _emb_docs(spark, sf_dir)
     deletes = docs.filter(F.col("id") % 17 == 0).select("id")
     live = docs.join(deletes, "id", "left_anti")
-    res = knn(live, _emb_queries(spark, sf_dir, (QUERY_VEC_ID,)), k=K, metric="l2")
+    res = knn(
+        live, None, k=K, metric="l2", literal_query=_hybrid_qvec(spark, sf_dir)
+    )
     return res.select(F.col("id").alias("vec_id"), "score")
 
 
@@ -4693,8 +4935,8 @@ def _tiered_store(spark: SparkSession, sf_dir: str):
 def _tiered_store_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     store = _tiered_store(spark, sf_dir)
     res = knn(
-        store.read(), _emb_queries(spark, sf_dir, (QUERY_VEC_ID,)),
-        k=K, metric="l2",
+        store.read(), None, k=K, metric="l2",
+        literal_query=_hybrid_qvec(spark, sf_dir),
     )
     return res.select(F.col("id").alias("vec_id"), "score")
 
@@ -4715,7 +4957,12 @@ SELECT vec_id, score FROM d ORDER BY score, vec_id LIMIT {K}
 )
 
 
-_LSM_SEG_TABLES_CACHE: dict[tuple[str, str], dict[str, DataFrame]] = {}
+_LSM_SEG_TABLES_CACHE: dict[tuple[str, str, str], dict[str, DataFrame]] = {}
+
+
+def _unpersist_lsm_tables(tabs: dict[str, DataFrame]) -> None:
+    for df in tabs.values():
+        df.unpersist()
 
 
 def _lsm_merge_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4737,8 +4984,9 @@ def _lsm_merge_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     from comet_spark.operators.bm25 import B, K1, _token_table
     from comet_spark.operators.topk import topk, topk_per_group
 
-    key = (_skey(spark), sf_dir)
+    key = _live_cache_key(spark, sf_dir, "documents")
     if key not in _LSM_SEG_TABLES_CACHE:
+        _evict_superseded(_LSM_SEG_TABLES_CACHE, key, _unpersist_lsm_tables)
         docs = _t(spark, sf_dir, "documents")
         # normalize=False: the write-time NFKC probe is skipped — the
         # driver corpus is ASCII-asserted (tests/test_text.py)
@@ -4912,14 +5160,15 @@ def _docs_par(spark: SparkSession, sf_dir: str) -> DataFrame:
 # family member reads the cached arrays — the same design as _BM25_CACHE
 # (the reference likewise tokenizes once into its in-memory index,
 # bm25_index.go:153-166, rather than re-analyzing per query)
-_TOKDOCS_CACHE: dict[tuple[str, str], DataFrame] = {}
+_TOKDOCS_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 
 
 def _docs_tok(spark: SparkSession, sf_dir: str) -> DataFrame:
     from comet_spark.functions.text import ensure_nfkc
 
-    key = (_skey(spark), sf_dir)
+    key = _live_cache_key(spark, sf_dir, "documents")
     if key not in _TOKDOCS_CACHE:
+        _evict_superseded(_TOKDOCS_CACHE, key, lambda df: df.unpersist())
         # ensure_nfkc = write-time normalization: a no-op passthrough on
         # the ASCII driver corpus (one probe scan), an Arrow NFKC pass on
         # a non-NFKC corpus — either way queries stay native
@@ -4933,14 +5182,15 @@ def _docs_tok(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # word-3gram shingle table derived from the cached tokens, shared by the
 # minhash/jaccard/decontam family (all pinned to NGRAM_N)
-_SHINGLES_CACHE: dict[tuple[str, str], DataFrame] = {}
+_SHINGLES_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 
 
 def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from comet_spark.operators.dedup import shingles
 
-    key = (_skey(spark), sf_dir)
+    key = _live_cache_key(spark, sf_dir, "documents")
     if key not in _SHINGLES_CACHE:
+        _evict_superseded(_SHINGLES_CACHE, key, lambda df: df.unpersist())
         _SHINGLES_CACHE[key] = shingles(
             _docs_tok(spark, sf_dir), tokens_col="__toks", n=NGRAM_N
         ).cache()
@@ -4950,14 +5200,15 @@ def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
 # per-doc shingle SETS (one array per doc, same strings as the exploded
 # table above), shared by the minhash family's in-row signature and
 # set-intersection verify paths (r13)
-_SHINGLE_SETS_CACHE: dict[tuple[str, str], DataFrame] = {}
+_SHINGLE_SETS_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 
 
 def _doc_shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     from comet_spark.operators.dedup import shingle_sets
 
-    key = (_skey(spark), sf_dir)
+    key = _live_cache_key(spark, sf_dir, "documents")
     if key not in _SHINGLE_SETS_CACHE:
+        _evict_superseded(_SHINGLE_SETS_CACHE, key, lambda df: df.unpersist())
         _SHINGLE_SETS_CACHE[key] = shingle_sets(
             _docs_tok(spark, sf_dir), tokens_col="__toks", n=NGRAM_N
         ).cache()
@@ -10937,17 +11188,18 @@ def _asof_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         (F.col("ts") / F.lit(86_400_000_000_000)).cast("bigint").alias("event_day"),
     )
-    orders = (
-        _t(spark, sf_dir, "orders")
-        .select(
-            F.col("o_custkey"),
-            F.datediff(
-                F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")
-            ).cast("bigint").alias("order_day"),
-            "o_orderkey",
-        )
-        .groupBy("o_custkey", "order_day")
-        .agg(F.max("o_orderkey").alias("o_orderkey"))  # unique per (key, t)
+    # r14: no (custkey, day) pre-aggregation pass — duplicate orders on
+    # the same day are deduped by the as-of window's own sort via the
+    # o_orderkey tiebreak (carried row = max o_orderkey, exactly the
+    # value the removed groupBy/max computed). Plan: Exchange 2 → 1
+    # (the old pre-agg shuffled nearly-unique (custkey, day) keys, so
+    # its map-side combine saved nothing — guide §2.4).
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey"),
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")
+        ).cast("bigint").alias("order_day"),
+        "o_orderkey",
     )
     joined = asof_join(
         ev.withColumnRenamed("user_id", "k"),
@@ -10956,6 +11208,7 @@ def _asof_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         left_time="event_day",
         right_time="order_day",
         right_cols=["o_orderkey"],
+        right_tiebreak=["o_orderkey"],
     )
     return joined.select(
         "event_id", F.col("k").alias("user_id"), "event_day", "o_orderkey"
@@ -11010,11 +11263,16 @@ def _range_join_recent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")
         ).cast("bigint").alias("order_day"),
     )
+    # explode_outer, not explode (ADVICE r13): a NULL ts yields a NULL
+    # sequence, and plain explode would DROP the event entirely, whereas
+    # the oracle's correlated count keeps it with n_recent_orders = 0.
+    # The outer row's NULL day never matches an order, so count() still
+    # lands on 0 — identical on non-null fixtures, correct on null ts.
     probe = ev.select(
         "event_id",
         "user_id",
         "event_day",
-        F.explode(
+        F.explode_outer(
             F.sequence(F.col("event_day") - (RANGE_DAYS - 1), F.col("event_day"))
         ).alias("day"),
     )

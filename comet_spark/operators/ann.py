@@ -231,20 +231,23 @@ class IVFIndex:
         qrows = queries.select(
             F.col(qid_col).alias("qid"), to_double_array(qvec_col).alias("qv")
         ).collect()
+        # ONE (qid, cluster_id, qv) probe table instead of separate probe
+        # and query-vector broadcasts: each probe row carries its query's
+        # vector (≤ nprobe·|batch| rows, driver-built either way), so the
+        # scan pays one broadcast build + one join, not two (r14, guide
+        # §2.4; the duplicated vector bytes are bounded by the probe
+        # table, KBs for any sane batch)
         probe_rows = []
-        qvec_rows = []
         for r in qrows:
             qv = [float(x) for x in r["qv"]]
-            qvec_rows.append((r["qid"], qv))
             n_q = nprobe.get(r["qid"], 1) if isinstance(nprobe, dict) else nprobe
             for cid in self.probe_lists(np.asarray(qv), n_q):
-                probe_rows.append((r["qid"], cid))
-        probes = spark.createDataFrame(probe_rows, "qid bigint, cluster_id bigint")
-        qvecs = spark.createDataFrame(qvec_rows, "qid bigint, qv array<double>")
-
-        cand = assigned.join(F.broadcast(probes), "cluster_id").join(
-            F.broadcast(qvecs), "qid"
+                probe_rows.append((r["qid"], cid, qv))
+        probes = spark.createDataFrame(
+            probe_rows, "qid bigint, cluster_id bigint, qv array<double>"
         )
+
+        cand = assigned.join(F.broadcast(probes), "cluster_id")
         score = distance(self.metric, to_double_array(vec_col), F.col("qv"))
         if round_to is not None:
             score = F.round(score, round_to)

@@ -34,8 +34,17 @@ def asof_join(
     left_time: str,
     right_time: str,
     right_cols: list[str] | None = None,
+    right_tiebreak: list[str] | None = None,
 ) -> DataFrame:
-    """LEFT as-of join; returns left columns + carried right_cols."""
+    """LEFT as-of join; returns left columns + carried right_cols.
+
+    ``right_tiebreak`` (r14) names right payload columns that totally
+    order DUPLICATE right rows at the same (key, time): the carried row
+    is then the one sorting LAST among them (e.g. ``["order_id"]`` ⇒
+    max order_id — exactly what a ``groupBy(key, time).agg(max(...))``
+    pre-aggregation produced, without its extra Exchange+HashAggregate
+    pass: the dedup rides the window sort the as-of already pays
+    (guide §2.4)."""
     right_cols = right_cols or [
         c for c in right.columns if c not in (on, right_time)
     ]
@@ -57,10 +66,16 @@ def asof_join(
         F.lit(None).cast(l_tagged.schema["__lrow"].dataType.simpleString()).alias("__lrow"),
         F.struct(*[F.col(c) for c in right_cols]).alias("__rpay"),
     )
-    # right rows sort before left rows at equal time → inclusive (<=) match
+    # right rows sort before left rows at equal time → inclusive (<=) match;
+    # tiebreak columns order duplicate right rows so last() is
+    # deterministic (left rows' NULL payload sorts first within its
+    # __is_left group and never affects which right row is carried)
+    order = [F.col("__t").asc(), F.col("__is_left").asc()] + [
+        F.col(f"__rpay.{c}").asc() for c in (right_tiebreak or [])
+    ]
     w = (
         Window.partitionBy("__k")
-        .orderBy(F.col("__t").asc(), F.col("__is_left").asc())
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     merged = l_tagged.unionByName(r_tagged).withColumn(

@@ -1043,8 +1043,9 @@ class BM25:
 
 
     def _scored(
-        self, query_terms: DataFrame, prefilter_ids: DataFrame | None,
+        self, query_terms: DataFrame | None, prefilter_ids: DataFrame | None,
         round_to: int | None, literal_terms: list[str] | None = None,
+        literal_qtf: dict[str, float] | None = None,
     ) -> DataFrame:
         """The ONE scoring pipeline: (qid, term, qtf) → (qid, id, score)
         pre-top-k. score() and score_batch() share it so the BM25 formula
@@ -1056,7 +1057,14 @@ class BM25:
         row-group stats skip non-matching data, and on a bucketed
         postings table it prunes to only the terms' buckets. The
         broadcast join alone can't do either (no dynamic pushdown on
-        non-partition columns)."""
+        non-partition columns).
+
+        ``literal_qtf`` (r14; requires ``literal_terms``) carries the one
+        constant query's per-term counts as a FOLDED MAP LITERAL: qtf
+        comes from an in-row map lookup over the isin-pruned postings
+        instead of a broadcast join of the query-terms DataFrame — same
+        doubles, one fewer BroadcastExchange wave per serving call
+        (guide §2.4)."""
         posts = self.postings
         if literal_terms:
             posts = posts.filter(F.col("term").isin(literal_terms))
@@ -1084,18 +1092,40 @@ class BM25:
                     "term", "left_semi",
                 )
             df_eff = df_src.groupBy("term").agg(F.count("*").alias("df"))
-        matched = posts.join(F.broadcast(query_terms), "term")
+        elif literal_terms:
+            # only the query's terms are ever consumed — the literal
+            # prune keeps the per-term broadcast query-sized instead of
+            # vocabulary-sized (r14; at scale the full df table is far
+            # too big to broadcast)
+            df_eff = df_eff.filter(F.col("term").isin(literal_terms))
+        if literal_qtf is not None:
+            qtf_map = F.create_map(
+                *(lit for t, c in literal_qtf.items() for lit in (F.lit(t), F.lit(float(c))))
+            )
+            matched = posts.select(
+                F.lit(0).cast("bigint").alias("qid"),
+                "id", "term", "tf",
+                F.element_at(qtf_map, F.col("term")).alias("qtf"),
+            )
+        else:
+            matched = posts.join(F.broadcast(query_terms), "term")
         if prefilter_ids is not None:
             matched = matched.join(prefilter_ids.select("id"), "id", "left_semi")
-        matched = (
-            matched.join(self.doc_len, "id")
-            .join(F.broadcast(df_eff), "term")
-            .crossJoin(F.broadcast(self.stats))
+        # df/idf inputs and the single-row corpus stats ride ONE
+        # broadcast (df_eff × stats), not two — one fewer broadcast wave
+        # per query; idf is a per-TERM constant, so it is evaluated once
+        # per broadcast row (≤ vocab) instead of once per matched
+        # posting row — the same double from the same expression over
+        # the same inputs, just not recomputed 2M times in the batch
+        # shape (r14, guide §1.2 step 2 "per-task work")
+        aux = df_eff.crossJoin(self.stats).withColumn(
+            "__idf",
+            F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0),
         )
-        idf = F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+        matched = matched.join(self.doc_len, "id").join(F.broadcast(aux), "term")
         tf = F.col("tf").cast("double")
         denom = tf + K1 * (1.0 - B + B * (F.col("dl") / F.col("avgdl")))
-        term_score = F.col("qtf") * idf * (tf * (K1 + 1.0)) / denom
+        term_score = F.col("qtf") * F.col("__idf") * (tf * (K1 + 1.0)) / denom
         scored = matched.groupBy("qid", "id").agg(F.sum(term_score).alias("score"))
         if round_to is not None:
             scored = scored.withColumn("score", F.round("score", round_to))
@@ -1136,16 +1166,14 @@ class BM25:
         terms: dict[str, int] = {}
         for t in tokenize_py(query):
             terms[t] = terms.get(t, 0) + 1
-        spark = self.postings.sparkSession
-        qterms = spark.createDataFrame(
-            [(0, t, float(c)) for t, c in terms.items()],
-            "qid bigint, term string, qtf double",
-        )
         # the constant query's terms are known here — push them as a
         # literal isin so the postings scan reads only their row
-        # groups/buckets (see _scored)
+        # groups/buckets, and the per-term counts as a folded map
+        # literal so no query-terms DataFrame is ever broadcast
+        # (see _scored)
         scored = self._scored(
-            qterms, prefilter_ids, round_to, list(terms)
+            None, prefilter_ids, round_to, list(terms),
+            literal_qtf={t: float(c) for t, c in terms.items()},
         ).select("id", "score")
         # single query → TakeOrderedAndProject, not a window
         return topk(scored, [F.col("score").desc(), F.col("id").asc()], k)

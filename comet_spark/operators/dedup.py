@@ -325,9 +325,14 @@ def minhash_lsh_pairs(
             min_jaccard=min_jaccard, round_to=round_to, candidates=cand,
             shingles_df=shingles_df,
         )
+    # cache an INTERNALLY built sets table (ADVICE r13): it feeds
+    # signature generation plus both verify joins, so an external caller
+    # without sets_df would otherwise re-tokenize and re-shingle the
+    # corpus three times per run. A caller-supplied sets_df keeps its
+    # caller-owned lifecycle (the entry point passes its session cache).
     sets = sets_df if sets_df is not None else shingle_sets(
         docs, id_col=id_col, text_col=text_col, n=n, tokens_col=tokens_col
-    )
+    ).cache()
     bsig = minhash_band_signatures(
         docs, id_col=id_col, text_col=text_col, n=n, n_hashes=n_hashes,
         bands=bands, sets_df=sets,

@@ -93,12 +93,17 @@ def fuse_max(vec: DataFrame, txt: DataFrame, *, k: int = 10, round_to: int | Non
 
 def fuse_min(vec: DataFrame, txt: DataFrame, *, k: int = 10, round_to: int | None = 6) -> DataFrame:
     """Min score, docs present in BOTH modalities only (``fusion.go:291-306``)."""
+    # modality presence is tracked EXPLICITLY (bit_or of a per-leg tag),
+    # not via count(*) == 2 (ADVICE r13): a caller passing a leg with
+    # duplicate ids must not sneak a single-modality doc through the
+    # both-legs filter. For unique-id legs (the builder's contract) the
+    # row set is identical to the count form.
     out = (
-        vec.select("id", "score")
-        .unionByName(txt.select("id", "score"))
+        vec.select("id", "score", F.lit(1).alias("__leg"))
+        .unionByName(txt.select("id", "score", F.lit(2).alias("__leg")))
         .groupBy("id")
-        .agg(F.min("score").alias("score"), F.count(F.lit(1)).alias("__n"))
-        .filter(F.col("__n") == 2)  # present in BOTH legs (legs are unique-id)
-        .drop("__n")
+        .agg(F.min("score").alias("score"), F.bit_or("__leg").alias("__legs"))
+        .filter(F.col("__legs") == 3)  # present in BOTH legs
+        .drop("__legs")
     )
     return _finish(out, k, round_to)

@@ -33,7 +33,7 @@ __all__ = ["knn", "knn_aggregate", "SCORE_AGGS"]
 
 def knn(
     docs: DataFrame,
-    queries: DataFrame,
+    queries: DataFrame | None,
     *,
     k: int = 10,
     metric: str = "l2",
@@ -45,6 +45,7 @@ def knn(
     prefilter: Column | None = None,
     round_to: int | None = 6,
     single_query: bool = False,
+    literal_query: Sequence[float] | None = None,
 ) -> DataFrame:
     """Per-query exact top-k: returns ``(qid, id, score)``.
 
@@ -56,19 +57,39 @@ def knn(
     row: the per-qid window top-k (partial/final WindowGroupLimit around
     an Exchange) collapses to a global ``TakeOrderedAndProject`` — same
     rows, one fewer shuffle (the qid partitioning is a constant).
+    ``literal_query`` (r14) is the driver-held vector of that one query:
+    the distance is computed against a FOLDED ARRAY LITERAL instead of a
+    one-row broadcast cross join — same doubles through the identical
+    zip_with/aggregate expression, but the plan loses a
+    BroadcastExchange + BroadcastNestedLoopJoin (one whole AQE broadcast
+    wave per query at serving time; guide §2.4 "remove shuffles
+    outright"). Implies ``single_query``.
     """
     if prefilter is not None:
         docs = docs.filter(prefilter)
     docs = docs.filter(F.col(vec_col).isNotNull())
 
     d = docs.select(F.col(id_col).alias("id"), to_double_array(vec_col).alias("__v"))
-    q = queries.select(F.col(qid_col).alias("qid"), to_double_array(qvec_col).alias("__qv"))
 
-    score = distance(metric, F.col("__v"), F.col("__qv"))
-    if round_to is not None:
-        score = F.round(score, round_to)
+    if literal_query is not None:
+        single_query = True
+        qarr = F.array(*[F.lit(float(x)) for x in literal_query])
+        score = distance(metric, F.col("__v"), qarr)
+        if round_to is not None:
+            score = F.round(score, round_to)
+        scored = d.select(
+            F.lit(0).cast("bigint").alias("qid"), "id", score.alias("score")
+        )
+    else:
+        q = queries.select(
+            F.col(qid_col).alias("qid"), to_double_array(qvec_col).alias("__qv")
+        )
 
-    scored = d.crossJoin(F.broadcast(q)).select("qid", "id", score.alias("score"))
+        score = distance(metric, F.col("__v"), F.col("__qv"))
+        if round_to is not None:
+            score = F.round(score, round_to)
+
+        scored = d.crossJoin(F.broadcast(q)).select("qid", "id", score.alias("score"))
 
     # cosine of a zero vector is NULL (reference rejects zero vectors,
     # distance.go:252-255). Do NOT pre-filter on score.isNotNull() OR the

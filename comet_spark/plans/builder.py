@@ -381,7 +381,12 @@ class VectorSearch:
         single = len(self._queries) == 1 and not self._node_ids
         per_query = knn(
             c.docs,
-            self._query_df(),
+            # r14: a one-query batch holds its vector driver-side — knn
+            # scores against the folded array literal and the plan loses
+            # the one-row query broadcast + cross join (one fewer
+            # broadcast wave per serving call); multi-query and
+            # node-lookup batches keep the broadcast join
+            None if single else self._query_df(),
             k=self.k,
             metric=c.metric,
             id_col=c.id_col,
@@ -389,6 +394,7 @@ class VectorSearch:
             threshold=self.threshold,
             prefilter=self._prefilter,
             single_query=single,
+            literal_query=self._queries[0] if single else None,
         )
         if single and self.agg in ("sum", "max", "mean"):
             out = topk(
