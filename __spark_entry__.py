@@ -5186,9 +5186,14 @@ j AS (SELECT i.a_id, i.b_id,
 def _ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from comet_spark.operators.dedup import ngram_jaccard_pairs
 
+    # r14: per-doc sizes come in-row from the cached sets table
+    # (size(sh_set) == the exploded table's count(*) per id — distinct
+    # by construction), dropping the per-execution full-shingle-table
+    # aggregation the old cnt join paid (guide §2.4)
     return ngram_jaccard_pairs(
         _docs_par(spark, sf_dir), n=NGRAM_N, min_jaccard=MIN_JACCARD,
         shingles_df=_doc_shingles(spark, sf_dir),
+        sets_df=_doc_shingle_sets(spark, sf_dir),
     )
 
 

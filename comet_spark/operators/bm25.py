@@ -1099,14 +1099,30 @@ class BM25:
             # too big to broadcast)
             df_eff = df_eff.filter(F.col("term").isin(literal_terms))
         if literal_qtf is not None:
-            qtf_map = F.create_map(
-                *(lit for t, c in literal_qtf.items() for lit in (F.lit(t), F.lit(float(c))))
-            )
-            matched = posts.select(
-                F.lit(0).cast("bigint").alias("qid"),
-                "id", "term", "tf",
-                F.element_at(qtf_map, F.col("term")).alias("qtf"),
-            )
+            if literal_qtf:
+                qtf = F.element_at(
+                    F.create_map(
+                        *(
+                            lit
+                            for t, c in literal_qtf.items()
+                            for lit in (F.lit(t), F.lit(float(c)))
+                        )
+                    ),
+                    F.col("term"),
+                )
+            else:
+                # zero-token query: the query-terms join this replaces
+                # matched NOTHING — an empty literal map must too (with
+                # no isin filter above, a NULL-qtf lookup would instead
+                # score every posting row NULL)
+                qtf = F.lit(None).cast("double")
+            # no qid column on this path — the query is a constant, so
+            # the score aggregation groups by id alone (the exchange
+            # carries one key, not a folded-literal second one); the
+            # constant qid is re-attached after the aggregation
+            matched = posts.select("id", "term", "tf", qtf.alias("qtf"))
+            if not literal_qtf:
+                matched = matched.filter(F.lit(False))
         else:
             matched = posts.join(F.broadcast(query_terms), "term")
         if prefilter_ids is not None:
@@ -1126,9 +1142,14 @@ class BM25:
         tf = F.col("tf").cast("double")
         denom = tf + K1 * (1.0 - B + B * (F.col("dl") / F.col("avgdl")))
         term_score = F.col("qtf") * F.col("__idf") * (tf * (K1 + 1.0)) / denom
-        scored = matched.groupBy("qid", "id").agg(F.sum(term_score).alias("score"))
+        group = ["id"] if literal_qtf is not None else ["qid", "id"]
+        scored = matched.groupBy(*group).agg(F.sum(term_score).alias("score"))
         if round_to is not None:
             scored = scored.withColumn("score", F.round("score", round_to))
+        if literal_qtf is not None:
+            scored = scored.select(
+                F.lit(0).cast("bigint").alias("qid"), "id", "score"
+            )
         return scored
 
     def score_batch(

@@ -143,18 +143,27 @@ def ngram_jaccard_pairs(
     candidates: DataFrame | None = None,
     shingles_df: DataFrame | None = None,
     tokens_col: str | None = None,
+    sets_df: DataFrame | None = None,
 ) -> DataFrame:
     """Exact jaccard over shingle sets → (a_id, b_id, jaccard).
 
     Without ``candidates`` this is the exact O(pairs-sharing-a-shingle)
     join; with a candidate DataFrame (from LSH) it verifies only those.
     ``shingles_df`` lets a caller reuse an already-computed (cached)
-    shingle table.
+    shingle table. ``sets_df`` (r14) is the per-doc set-array twin: its
+    ``size(sh_set)`` IS the per-doc distinct-shingle count (the exploded
+    table is distinct per (id, shingle) by construction), so the per-doc
+    size aggregation over the whole exploded table is skipped — one full
+    (corpus-sized at scale) shuffle less per run.
     """
     sh = shingles_df if shingles_df is not None else shingles(
         docs, id_col=id_col, text_col=text_col, n=n, tokens_col=tokens_col
     )
-    cnt = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
+    cnt = (
+        sets_df.select("id", F.size("sh_set").alias("n_sh"))
+        if sets_df is not None
+        else sh.groupBy("id").agg(F.count("*").alias("n_sh"))
+    )
 
     if candidates is None:
         a = sh.select(F.col("id").alias("a_id"), "shingle")

@@ -39,9 +39,59 @@ def _canon(rows, cols):
 QUERIES = entry_mod.queries()
 ORACLES = entry_mod.oracle_sql()
 
+# Default-run parity SMOKE (the full sweep is `-m parity_sweep`, see
+# pytest.ini): one representative per operator family PLUS every query
+# whose physical plan the r14 optimization round rewrote — the paths
+# where an equivalence bug would live. The driver's own gate still
+# checks a 50-query sample of the full registry every round.
+SMOKE = [
+    # flat/threshold/prefilter knn + literal-query path (r14)
+    "knn_l2", "knn_l2sq", "knn_cosine", "range_search_l2", "knn_prefilter",
+    "knn_top3_per_label", "knn_multi_sum", "knn_batch100", "autocut_knn",
+    "soft_delete_knn", "tiered_store_knn", "more_like_this",
+    # BM25 + literal-qtf/fused-aux path (r14)
+    "bm25_single", "bm25_multi_max", "bm25_batch50", "bm25_append_score",
+    "bm25_compact_score", "bm25_tiered_delete_score", "bm25_stream_score",
+    "autocut_bm25", "lsm_merge_bm25",
+    # hybrid fusion over every layout (r14 leg rewrites)
+    "hybrid_rrf", "hybrid_weighted", "hybrid_max", "hybrid_min",
+    "hybrid_ivf_rrf", "hybrid_delete_rrf", "hybrid_adc_rrf",
+    "hybrid_ivfpq_rrf", "hybrid_hnsw_rrf", "hybrid_reencode_rrf",
+    "hybrid_recluster_rrf", "hybrid_filter_groups", "hybrid_doc_stream_rrf",
+    # ANN layouts + artifact reopen (r14)
+    "ivf_knn_nprobe2", "ivf_knn_fullprobe", "ivf_batch20_nprobe2",
+    "ivf_delete_knn", "ivf_recluster_knn", "ivf_multi_sum",
+    "pq_adc_knn", "pq_adc_rescore", "pq_adc_batch20", "pq_reencode_adc",
+    "ivfpq_adc_knn", "ivfpq_reencode_adc", "hnsw_ann_topk", "hnsw_dist_topk",
+    "hnsw_addbatch_topk", "knn_f16_storage", "lsh_ann_topk",
+    # terminal-sort removals (r14) + text/dedup/sketch/meta/TPC-H/events reps
+    "repetition_metrics", "decontam_ngram", "tfidf_cosine_pairs",
+    "ngram_jaccard_pairs", "minhash_lsh_pairs", "simhash_neardup_pairs",
+    "asof_latest_order", "range_join_recent_orders", "events_sessionize",
+    "hll_shared_terms", "cms_term_counts", "token_surprisal_scores",
+    "gopher_rules", "meta_not_gt", "pricing_summary", "large_orders",
+    "pipeline_funnel", "store_live_read_knn", "pii_redaction",
+    "image_real_features", "seq_packing", "winnow_neardup_pairs",
+]
 
+
+def test_smoke_names_are_registered():
+    missing = set(SMOKE) - set(QUERIES)
+    assert not missing, f"smoke list names unknown queries: {sorted(missing)}"
+
+
+@pytest.mark.parametrize("name", sorted(set(SMOKE)))
+def test_query_matches_oracle_smoke(name, spark):
+    _check_query_matches_oracle(name, spark)
+
+
+@pytest.mark.parity_sweep
 @pytest.mark.parametrize("name", sorted(QUERIES))
 def test_query_matches_oracle(name, spark):
+    _check_query_matches_oracle(name, spark)
+
+
+def _check_query_matches_oracle(name, spark):
     fn = QUERIES[name]
     sdf = fn(spark, SF_DIR_ORACLE)
     scols = sdf.columns

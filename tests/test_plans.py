@@ -112,7 +112,9 @@ def test_bm25_bucketed_postings_default_path(spark):
     constant query's literal terms push into it as an isin (bucket
     pruning — only the terms' buckets are read), and the postings side
     reaches the score aggregation with no Exchange; the only shuffle in
-    the query is the final (qid, id) aggregation itself."""
+    the query is the final score aggregation itself (r14: the constant
+    single query carries no qid column into the aggregation — the
+    exchange keys on id alone)."""
     import re
 
     df = entry_mod.queries()["bm25_single"](spark, SF_DIR_SMALL)
@@ -122,7 +124,7 @@ def test_bm25_bucketed_postings_default_path(spark):
     assert "In(term" in scan  # literal query terms pushed into the scan
     assert re.search(r"SelectedBucketsCount: \d+ out of \d+", scan)
     exchanges = re.findall(r"Exchange hashpartitioning\((\w+)", plan)
-    assert exchanges and all(e == "qid" for e in exchanges), exchanges
+    assert exchanges and all(e == "id" for e in exchanges), exchanges
 
 
 def test_bm25_appended_postings_keep_pruned_plan(spark):
@@ -142,8 +144,8 @@ def test_bm25_appended_postings_keep_pruned_plan(spark):
     assert "In(term" in scan
     assert re.search(r"SelectedBucketsCount: \d+ out of \d+", scan)
     exchanges = re.findall(r"Exchange hashpartitioning\((\w+)", plan)
-    assert exchanges and set(exchanges) <= {"qid", "term"}, exchanges
-    assert "qid" in exchanges
+    assert exchanges and set(exchanges) <= {"id", "term"}, exchanges
+    assert "id" in exchanges  # the final score aggregation (r14: no qid)
     # and the artifact really is the appended two-segment layout, not a
     # rebuilt single-segment one
     base = f"{entry_mod._art_dir(SF_DIR_SMALL)}/bm25_append"
@@ -155,9 +157,9 @@ def test_bm25_compacted_postings_regain_single_segment_plan(spark):
     (BM25.compact): the postings scan must be bucketed + literal-term
     pruned, AND — unlike the appended layout — the single-segment fast
     path must re-engage: df partials are collapsed on disk, so the only
-    Exchange left in the plan is the final (qid, id) aggregation, exactly
-    the fresh-build bm25_single shape. Compaction gives the plan back
-    what appending cost it."""
+    Exchange left in the plan is the final score aggregation, exactly
+    the fresh-build bm25_single shape (keyed on id alone, r14).
+    Compaction gives the plan back what appending cost it."""
     import re
 
     df = entry_mod.queries()["bm25_compact_score"](spark, SF_DIR_SMALL)
@@ -167,7 +169,7 @@ def test_bm25_compacted_postings_regain_single_segment_plan(spark):
     assert "In(term" in scan
     assert re.search(r"SelectedBucketsCount: \d+ out of \d+", scan)
     exchanges = re.findall(r"Exchange hashpartitioning\((\w+)", plan)
-    assert exchanges and all(e == "qid" for e in exchanges), exchanges
+    assert exchanges and all(e == "id" for e in exchanges), exchanges
     # and the artifact really is the compacted shape: ONE stats row, one
     # consolidated file per bucket
     base = f"{entry_mod._art_dir(SF_DIR_SMALL)}/bm25_compact"
@@ -200,8 +202,8 @@ def test_bm25_delete_vector_keeps_pruned_plan(spark):
         assert "In(term" in scan
         assert re.search(r"SelectedBucketsCount: \d+ out of \d+", scan)
     exchanges = re.findall(r"Exchange hashpartitioning\((\w+)", plan)
-    assert exchanges and set(exchanges) <= {"qid", "term", "id"}, exchanges
-    assert "qid" in exchanges
+    assert exchanges and set(exchanges) <= {"term", "id"}, exchanges
+    assert "id" in exchanges  # the final score aggregation (r14: no qid)
     # the artifact really is the tiered shape with a RETAINED vector
     base = f"{entry_mod._art_dir(SF_DIR_SMALL)}/bm25_tiered_delete"
     import os

@@ -84,6 +84,18 @@ def test_bm25_score_literal_qtf_equals_generic_batch(spark):
     assert lit_rows == gen_rows
 
 
+def test_bm25_score_zero_token_query_matches_nothing(spark):
+    """The literal-qtf path must keep the empty-join semantics: a query
+    that tokenizes to NOTHING returns no rows (an empty literal map with
+    no isin prune would otherwise NULL-score every posting row)."""
+    from comet_spark.operators.bm25 import BM25
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma")], "id bigint, text string"
+    )
+    assert BM25(docs).score("!!! ???", k=5).collect() == []
+
+
 # --- as-of window tiebreak ≡ (key, time) pre-aggregation --------------------
 
 def test_asof_tiebreak_equals_preagg(spark):
