@@ -4805,10 +4805,39 @@ def _cms_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     counters = cms_sketch(tok, "term", d=CMS_D, w=CMS_W)
     probes = spark.createDataFrame([(t,) for t in CMS_PROBES], "term string")
     est = cms_estimate(counters, probes, d=CMS_D, w=CMS_W)
+    # r14: exact probe counts in-row from the cached token arrays — the
+    # old leg re-exploded the full corpus token stream (a corpus-sized
+    # shuffle source at scale) to count 8 constant terms; counting each
+    # probe inside the per-doc array (size(filter(...))) needs only a
+    # 1-row aggregate, no explode and no exchange (guide §2.4). A term
+    # absent from every doc sums to 0, matching the old left-join
+    # coalesce; a NULL token array contributes NULL to the sum exactly
+    # as explode contributed no rows.
+    def _eq(term: str):
+        # NOT a default-arg lambda: F.filter treats a 2-param lambda as
+        # (element, index) and would bind the index column to the default
+        return lambda x: x == F.lit(term)
+
+    per_doc = [
+        F.sum(F.size(F.filter(F.col("__toks"), _eq(t)))).alias(f"__c{i}")
+        for i, t in enumerate(CMS_PROBES)
+    ]
     exact = (
-        tok.filter(F.col("term").isin(*CMS_PROBES))
-        .groupBy("term")
-        .agg(F.count("*").alias("exact_count"))
+        docs.agg(*per_doc)
+        .select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(t).alias("term"),
+                            F.col(f"__c{i}").alias("exact_count"),
+                        )
+                        for i, t in enumerate(CMS_PROBES)
+                    ]
+                )
+            ).alias("e")
+        )
+        .select("e.term", "e.exact_count")
     )
     return (
         est.join(exact, "term", "left")

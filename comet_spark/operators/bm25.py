@@ -1124,9 +1124,7 @@ class BM25:
             if not literal_qtf:
                 matched = matched.filter(F.lit(False))
         else:
-            matched = posts.join(F.broadcast(query_terms), "term")
-        if prefilter_ids is not None:
-            matched = matched.join(prefilter_ids.select("id"), "id", "left_semi")
+            matched = None  # batch shape: built below from the merged aux
         # df/idf inputs and the single-row corpus stats ride ONE
         # broadcast (df_eff × stats), not two — one fewer broadcast wave
         # per query; idf is a per-TERM constant, so it is evaluated once
@@ -1138,7 +1136,29 @@ class BM25:
             "__idf",
             F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0),
         )
-        matched = matched.join(self.doc_len, "id").join(F.broadcast(aux), "term")
+        if matched is None:
+            # batch (query-terms DataFrame) shape, r14: the query terms
+            # and their df/idf/stats ride ONE broadcast — query_terms ⨝
+            # aux is query-sized, so the postings stream probes a single
+            # small hash relation and the vocabulary-wide aux broadcast
+            # leaves this path too (it is far too big to broadcast at
+            # scale); same matched rowset (every posted term exists in
+            # df by construction), same doubles
+            qaux = query_terms.join(aux, "term")
+            matched = posts.join(F.broadcast(qaux), "term")
+            if prefilter_ids is not None:
+                matched = matched.join(
+                    prefilter_ids.select("id"), "id", "left_semi"
+                )
+            matched = matched.join(self.doc_len, "id")
+        else:
+            if prefilter_ids is not None:
+                matched = matched.join(
+                    prefilter_ids.select("id"), "id", "left_semi"
+                )
+            matched = matched.join(self.doc_len, "id").join(
+                F.broadcast(aux), "term"
+            )
         tf = F.col("tf").cast("double")
         denom = tf + K1 * (1.0 - B + B * (F.col("dl") / F.col("avgdl")))
         term_score = F.col("qtf") * F.col("__idf") * (tf * (K1 + 1.0)) / denom
