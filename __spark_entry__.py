@@ -4684,6 +4684,29 @@ TFIDF_SOURCE = "src0"
 TFIDF_MIN_SIM = 0.8
 
 
+_TFIDF_W_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
+def _tfidf_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cached TF-IDF weight side table for the blocked pair query —
+    the weight subtree feeds three consumers (both pair legs + norms)
+    and Spark re-executes it per consumer; one cached build per
+    (session, corpus) pays the tokenize + tf/df aggregation once (the
+    _simhash_table convention)."""
+    from comet_spark.operators.tfidf import tfidf_weights
+
+    key = _live_cache_key(spark, sf_dir, "documents")
+    if key not in _TFIDF_W_CACHE:
+        _evict_superseded(
+            _TFIDF_W_CACHE, key, unpersist=lambda df: df.unpersist()
+        )
+        docs = _t(spark, sf_dir, "documents").filter(
+            F.col("source") == TFIDF_SOURCE
+        )
+        _TFIDF_W_CACHE[key] = tfidf_weights(docs).cache()
+    return _TFIDF_W_CACHE[key]
+
+
 def _tfidf_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF vector-space doc similarity (tfidf.py) within one source
     block — the shared-term join is quadratic per posting list, so real
@@ -4697,7 +4720,10 @@ def _tfidf_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").filter(F.col("source") == TFIDF_SOURCE)
     # r14: terminal orderBy dropped — the sort's sampling pass re-ran the
     # pair-scoring broadcast joins every execution (see repetition_metrics)
-    return tfidf_cosine_pairs(docs, min_sim=TFIDF_MIN_SIM)
+    return tfidf_cosine_pairs(
+        docs, min_sim=TFIDF_MIN_SIM,
+        weights_df=_tfidf_weights(spark, sf_dir),
+    )
 
 
 _register(

@@ -25,7 +25,37 @@ from pyspark.sql import functions as F
 
 from comet_spark.operators.dedup import _tok
 
-__all__ = ["tfidf_cosine_pairs"]
+__all__ = ["tfidf_cosine_pairs", "tfidf_weights"]
+
+
+def tfidf_weights(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    tokens_col: str | None = None,
+) -> DataFrame:
+    """The (id, term, df, w) TF-IDF weight table over ``docs`` —
+    factored out of :func:`tfidf_cosine_pairs` so a session can compute
+    it once, cache it, and hand it back in as ``weights_df``."""
+    tf = (
+        docs.select(
+            F.col(id_col).alias("id"),
+            F.explode(_tok(text_col, tokens_col)).alias("term"),
+        )
+        .groupBy("id", "term")
+        .agg(F.count("*").cast("double").alias("tf"))
+    )
+    n_docs = docs.select(F.col(id_col)).agg(F.count("*").cast("double").alias("n"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    return (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "id", "term", "df",
+            (F.col("tf") * F.log(F.col("n") / F.col("df"))).alias("w"),
+        )
+    )
 
 
 def tfidf_cosine_pairs(
@@ -37,24 +67,24 @@ def tfidf_cosine_pairs(
     max_df: int | None = None,
     round_to: int = 6,
     tokens_col: str | None = None,
+    weights_df: DataFrame | None = None,
 ) -> DataFrame:
     """All doc pairs with TF-IDF cosine ≥ ``min_sim`` → ``(a_id, b_id,
     cosine)``. N and df are computed over the full input corpus BEFORE
-    the ``max_df`` join pruning, so weights don't depend on the knob."""
-    tf = (
-        docs.select(
-            F.col(id_col).alias("id"),
-            F.explode(_tok(text_col, tokens_col)).alias("term"),
-        )
-        .groupBy("id", "term")
-        .agg(F.count("*").cast("double").alias("tf"))
-    )
-    n_docs = docs.select(F.col(id_col)).agg(F.count("*").cast("double").alias("n"))
-    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    the ``max_df`` join pruning, so weights don't depend on the knob.
+
+    ``weights_df`` (r14) lets a caller hand in an already-computed
+    (id, term, df, w) weight table — the weight subtree feeds THREE
+    consumers (both pair legs and the norms), and Spark re-executes it
+    per consumer, so a session that caches it pays the tokenize +
+    tf/df aggregation once instead of three times per run (the
+    shingles_df/sets_df convention, guide §2.4)."""
     w = (
-        tf.join(F.broadcast(dfreq), "term")
-        .crossJoin(F.broadcast(n_docs))
-        .select("id", "term", "df", (F.col("tf") * F.log(F.col("n") / F.col("df"))).alias("w"))
+        weights_df
+        if weights_df is not None
+        else tfidf_weights(
+            docs, id_col=id_col, text_col=text_col, tokens_col=tokens_col
+        )
     )
     norm = w.groupBy("id").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
     if max_df is not None:
