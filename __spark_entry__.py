@@ -5138,20 +5138,33 @@ def _lsm_merge_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     terms: dict[str, int] = {}
     for tok in tokenize_py(BM25_QUERY):
         terms[tok] = terms.get(tok, 0) + 1
-    qt = spark.createDataFrame(
-        [(tok, float(c)) for tok, c in terms.items()], "term string, qtf double"
+    # r14: the constant query rides a folded map literal (no query-terms
+    # DataFrame, no broadcast), and the per-(seg, term) df + per-seg
+    # stats ride ONE query-sized broadcast — the cached dft table is
+    # vocabulary-wide, far too big to broadcast at scale, so it is
+    # literal-pruned to the query's terms first (the _scored r14 shape);
+    # idf is evaluated once per broadcast row, the same double from the
+    # same expression over the same inputs
+    qtf_map = F.create_map(
+        *(lit for tok, c in terms.items() for lit in (F.lit(tok), F.lit(float(c))))
+    )
+    aux = (
+        t["dft"].filter(F.col("term").isin(list(terms)))
+        .join(t["stats"], "seg")
+        .withColumn(
+            "__idf",
+            F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0),
+        )
     )
     m = (
         t["posts"].filter(F.col("term").isin(list(terms)))
-        .join(F.broadcast(qt), "term")
+        .withColumn("qtf", F.element_at(qtf_map, F.col("term")))
         .join(t["doc_len"], "id")
-        .join(F.broadcast(t["dft"]), ["seg", "term"])
-        .join(F.broadcast(t["stats"]), "seg")
+        .join(F.broadcast(aux), ["seg", "term"])
     )
-    idf = F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
     tf = F.col("tf").cast("double")
     denom = tf + K1 * (1.0 - B + B * (F.col("dl") / F.col("avgdl")))
-    term_score = F.col("qtf") * idf * (tf * (K1 + 1.0)) / denom
+    term_score = F.col("qtf") * F.col("__idf") * (tf * (K1 + 1.0)) / denom
     scored = m.groupBy("seg", "id").agg(F.round(F.sum(term_score), 6).alias("score"))
     per_seg = topk_per_group(
         scored, ["seg"], [F.col("score").desc(), F.col("id").asc()], K
