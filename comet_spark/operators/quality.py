@@ -139,6 +139,29 @@ def gopher_rules(
     base = docs.select(F.col(id_col).alias("id"), toks.alias("toks")).filter(
         F.size("toks") > 0
     )
+    # repetition rule (top-token count) in-row, r14: the mode frequency
+    # of the token multiset == the longest equal-run in the SORTED token
+    # array, the same fold repetition_metrics uses — so the one metric
+    # that shuffled (explode → two aggregations → join) is now array
+    # algebra like the rest and the operator is a pure map over the
+    # corpus (guide §2.4); counts are integers, ratios bit-identical
+    zero = F.lit(0).cast("bigint")
+    one = F.lit(1).cast("bigint")
+    acc0 = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        zero.alias("run"),
+        zero.alias("top"),
+    )
+
+    def _step(acc, x):
+        run = F.when(x == acc["prev"], acc["run"] + one).otherwise(one)
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc["top"], run).alias("top"),
+        )
+
+    top_c = F.aggregate(F.array_sort(F.col("toks")), acc0, _step)["top"]
     per_doc = base.select(
         "id",
         F.size("toks").cast("bigint").alias("n_tokens"),
@@ -151,16 +174,9 @@ def gopher_rules(
         F.size(F.filter(F.array_distinct("toks"), lambda t: F.array_contains(sw, t)))
         .cast("bigint")
         .alias("n_stopwords"),
+        top_c.alias("top_c"),
     )
-    # repetition rule: per-doc mode frequency — the only shuffled metric
-    top = (
-        base.select("id", F.explode("toks").alias("term"))
-        .groupBy("id", "term")
-        .agg(F.count("*").alias("c"))
-        .groupBy("id")
-        .agg(F.max("c").alias("top_c"))
-    )
-    m = per_doc.join(top, "id").withColumn(
+    m = per_doc.withColumn(
         "top_token_frac", F.round(F.col("top_c") / F.col("n_tokens"), 6)
     )
     ok_words = F.col("n_tokens").between(min_words, max_words)
