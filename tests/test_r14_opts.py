@@ -221,3 +221,84 @@ def test_regen_flips_rekeyed_session_caches(spark, tmp_path):
         for c in caches:
             for k in [k for k in c if k[1] == sf_dir]:
                 del c[k]
+
+
+# --- gopher top-token rule: in-row sorted-run fold ≡ mode frequency ---------
+
+def test_gopher_top_token_fold_equals_python_mode(spark):
+    """The repetition rule's in-row fold (longest equal-run in the
+    sorted token array) must equal the token mode frequency the old
+    explode → groupBy formulation computed — including ties, repeats at
+    both array ends, and single-token docs."""
+    from collections import Counter
+
+    from comet_spark.operators.quality import gopher_rules
+
+    docs = [
+        (1, "a b a c a"),            # clear mode a=3
+        (2, "x x y y"),              # tie 2/2
+        (3, "solo"),                 # single token
+        (4, "z z z z z"),            # all equal
+        (5, "m n o p q r"),          # all distinct
+    ]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    out = {
+        r["id"]: r["top_token_frac"]
+        for r in gopher_rules(df, min_words=1).collect()
+    }
+    from comet_spark.operators.bm25 import tokenize_py
+
+    for did, text in docs:
+        toks = tokenize_py(text)
+        want = round(Counter(toks).most_common(1)[0][1] / len(toks), 6)
+        assert out[did] == want, (did, out[did], want)
+
+
+# --- tfidf weights_df path ≡ inline weight computation -----------------------
+
+def test_tfidf_weights_df_equals_inline(spark):
+    from comet_spark.operators.tfidf import tfidf_cosine_pairs, tfidf_weights
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple banana cherry apple"),
+            (2, "apple banana cherry date"),
+            (3, "elderberry fig grape"),
+            (4, "apple banana cherry apple date"),
+        ],
+        "doc_id bigint, text string",
+    )
+    inline = sorted(
+        tuple(r) for r in tfidf_cosine_pairs(docs, min_sim=0.1).collect()
+    )
+    via_w = sorted(
+        tuple(r)
+        for r in tfidf_cosine_pairs(
+            docs, min_sim=0.1, weights_df=tfidf_weights(docs)
+        ).collect()
+    )
+    assert inline and inline == via_w
+
+
+# --- cms exact probe counts: in-row array filter ≡ exploded count -----------
+
+def test_cms_inrow_exact_counts_match_exploded(spark):
+    import __spark_entry__ as entry_mod
+
+    sf_dir = SF_DIR_SMALL
+    docs = entry_mod._docs_tok(spark, sf_dir)
+    exploded = {
+        r["term"]: r["n"]
+        for r in docs.select(F.explode("__toks").alias("term"))
+        .filter(F.col("term").isin(*entry_mod.CMS_PROBES))
+        .groupBy("term")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    got = {
+        r["term"]: r["exact_count"]
+        for r in entry_mod.queries()["cms_term_counts"](spark, sf_dir).collect()
+    }
+    assert set(got) == set(entry_mod.CMS_PROBES)
+    for t in entry_mod.CMS_PROBES:
+        assert got[t] == exploded.get(t, 0), t
