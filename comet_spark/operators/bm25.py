@@ -1042,10 +1042,51 @@ class BM25:
                 fs.delete(f"{path}/deletes")
 
 
+    def _aux_literals(self, terms: list[str]):
+        """Driver-side (n_docs, avgdl, {term: df}) for a constant query —
+        the literal twin of the ``df_eff × stats`` broadcast in
+        :meth:`_scored` (r14, guide §2.4/§3.1).
+
+        These are INDEX STATISTICS (the same numbers the persisted
+        ``df``/``stats`` artifacts hold), fetched once per instance and
+        memoized on it — the convention the trained ANN models already
+        follow (centroids/codebooks live driver-side and are folded into
+        query literals). Nothing query-result-shaped is cached: the
+        instance itself is corpus-fingerprint-keyed by its owners, so a
+        testdata regen builds a fresh index and a fresh memo. Returns
+        ``None`` when a delete vector is present — every delete-sensitive
+        statistic must derive LIVE from the anti-joined tables (see
+        :meth:`read`), never from a point-in-time snapshot."""
+        if self.del_ids is not None:
+            return None
+        cache = getattr(self, "_aux_lit_cache", None)
+        if cache is None:
+            cache = self._aux_lit_cache = {"stats": None, "df": {}}
+        if cache["stats"] is None:
+            r = self.stats.first()
+            # n_docs/avgdl are DOUBLE columns; collect() round-trips the
+            # exact bits, so the literals below feed the scoring
+            # expression the same doubles the broadcast row carried
+            cache["stats"] = (r["n_docs"], r["avgdl"])
+        missing = [t for t in terms if t not in cache["df"]]
+        if missing:
+            got = {
+                r["term"]: int(r["df"])
+                for r in self.df.filter(F.col("term").isin(missing)).collect()
+            }
+            # vocabulary misses memoize as None: they can never appear on
+            # a matched posting row, so no lookup ever consumes them
+            for t in missing:
+                cache["df"][t] = got.get(t)
+        n_docs, avgdl = cache["stats"]
+        dfmap = {t: cache["df"][t] for t in terms if cache["df"][t] is not None}
+        return n_docs, avgdl, dfmap
+
     def _scored(
         self, query_terms: DataFrame | None, prefilter_ids: DataFrame | None,
         round_to: int | None, literal_terms: list[str] | None = None,
         literal_qtf: dict[str, float] | None = None,
+        literal_aux: tuple | None = None,
     ) -> DataFrame:
         """The ONE scoring pipeline: (qid, term, qtf) → (qid, id, score)
         pre-top-k. score() and score_batch() share it so the BM25 formula
@@ -1064,7 +1105,16 @@ class BM25:
         comes from an in-row map lookup over the isin-pruned postings
         instead of a broadcast join of the query-terms DataFrame — same
         doubles, one fewer BroadcastExchange wave per serving call
-        (guide §2.4)."""
+        (guide §2.4).
+
+        ``literal_aux`` (r14, from :meth:`_aux_literals`; requires
+        ``literal_qtf`` and no delete vector) additionally inlines the
+        query terms' df and the corpus n_docs/avgdl as literals: the
+        entire ``df_eff × stats`` aux subtree (two BroadcastExchanges +
+        a BroadcastNestedLoopJoin per execution) disappears. The idf
+        ``log`` stays a JVM expression over the same doubles — df counts
+        are exact integers and n_docs/avgdl round-trip bit-exact through
+        collect() — so every score is bit-identical to the join path."""
         posts = self.postings
         if literal_terms:
             posts = posts.filter(F.col("term").isin(literal_terms))
@@ -1125,17 +1175,56 @@ class BM25:
                 matched = matched.filter(F.lit(False))
         else:
             matched = None  # batch shape: built below from the merged aux
-        # df/idf inputs and the single-row corpus stats ride ONE
-        # broadcast (df_eff × stats), not two — one fewer broadcast wave
-        # per query; idf is a per-TERM constant, so it is evaluated once
-        # per broadcast row (≤ vocab) instead of once per matched
-        # posting row — the same double from the same expression over
-        # the same inputs, just not recomputed 2M times in the batch
-        # shape (r14, guide §1.2 step 2 "per-task work")
-        aux = df_eff.crossJoin(self.stats).withColumn(
-            "__idf",
-            F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0),
-        )
+        if literal_aux is not None and literal_qtf is not None:
+            # constant query, no deletes: df/n_docs/avgdl ride as
+            # literals — no aux subtree at all (see docstring). The idf
+            # expression is UNCHANGED (same JVM log over the same
+            # doubles); it now evaluates per matched posting row instead
+            # of per aux row, a few thousand extra log calls traded for
+            # two BroadcastExchanges + a BNLJ per execution.
+            aux = None
+            n_docs_l, avgdl_l, dfmap = literal_aux
+            if dfmap:
+                df_col = F.element_at(
+                    F.create_map(
+                        *(
+                            lit
+                            for t, d in dfmap.items()
+                            for lit in (F.lit(t), F.lit(d).cast("long"))
+                        )
+                    ),
+                    F.col("term"),
+                )
+                idf_col = F.log(
+                    (F.lit(n_docs_l) - df_col + 0.5) / (df_col + 0.5) + 1.0
+                )
+            else:
+                # no query term exists in the vocabulary → zero matched
+                # rows; the idf column is never evaluated
+                idf_col = F.lit(None).cast("double")
+            avgdl_col = (
+                F.lit(avgdl_l)
+                if avgdl_l is not None
+                else F.lit(None).cast("double")
+            )
+        else:
+            # df/idf inputs and the single-row corpus stats ride ONE
+            # broadcast (df_eff × stats), not two — one fewer broadcast
+            # wave per query; idf is a per-TERM constant, so it is
+            # evaluated once per broadcast row (≤ vocab) instead of once
+            # per matched posting row — the same double from the same
+            # expression over the same inputs, just not recomputed 2M
+            # times in the batch shape (r14, guide §1.2 step 2
+            # "per-task work")
+            aux = df_eff.crossJoin(self.stats).withColumn(
+                "__idf",
+                F.log(
+                    (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+                    + 1.0
+                ),
+            )
+            idf_col = F.col("__idf")
+            avgdl_col = F.col("avgdl")
         if matched is None:
             # batch (query-terms DataFrame) shape, r14: the query terms
             # and their df/idf/stats ride ONE broadcast — query_terms ⨝
@@ -1156,12 +1245,12 @@ class BM25:
                 matched = matched.join(
                     prefilter_ids.select("id"), "id", "left_semi"
                 )
-            matched = matched.join(self.doc_len, "id").join(
-                F.broadcast(aux), "term"
-            )
+            matched = matched.join(self.doc_len, "id")
+            if aux is not None:
+                matched = matched.join(F.broadcast(aux), "term")
         tf = F.col("tf").cast("double")
-        denom = tf + K1 * (1.0 - B + B * (F.col("dl") / F.col("avgdl")))
-        term_score = F.col("qtf") * F.col("__idf") * (tf * (K1 + 1.0)) / denom
+        denom = tf + K1 * (1.0 - B + B * (F.col("dl") / avgdl_col))
+        term_score = F.col("qtf") * idf_col * (tf * (K1 + 1.0)) / denom
         group = ["id"] if literal_qtf is not None else ["qid", "id"]
         scored = matched.groupBy(*group).agg(F.sum(term_score).alias("score"))
         if round_to is not None:
@@ -1209,12 +1298,14 @@ class BM25:
             terms[t] = terms.get(t, 0) + 1
         # the constant query's terms are known here — push them as a
         # literal isin so the postings scan reads only their row
-        # groups/buckets, and the per-term counts as a folded map
-        # literal so no query-terms DataFrame is ever broadcast
-        # (see _scored)
+        # groups/buckets, the per-term counts as a folded map literal so
+        # no query-terms DataFrame is ever broadcast, and (deletes-free
+        # indexes) the terms' df + corpus stats as literals so the aux
+        # broadcast subtree disappears too (see _scored)
         scored = self._scored(
             None, prefilter_ids, round_to, list(terms),
             literal_qtf={t: float(c) for t, c in terms.items()},
+            literal_aux=self._aux_literals(list(terms)),
         ).select("id", "score")
         # single query → TakeOrderedAndProject, not a window
         return topk(scored, [F.col("score").desc(), F.col("id").asc()], k)

@@ -84,6 +84,42 @@ def test_bm25_score_literal_qtf_equals_generic_batch(spark):
     assert lit_rows == gen_rows
 
 
+def test_bm25_literal_aux_equals_broadcast_aux(spark):
+    """Isolates the r14 aux-literal rewrite: score() (df/n_docs/avgdl as
+    literals) must be tuple-exact vs the same literal-qtf pipeline still
+    riding the df_eff × stats broadcast, including a query term missing
+    from the vocabulary; the literal plan must carry no aux subtree
+    (no BroadcastNestedLoopJoin); and a delete vector must refuse the
+    snapshot literals entirely (stats stay live-derived)."""
+    from comet_spark.operators.bm25 import BM25
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple banana apple"), (2, "banana cherry"),
+            (3, "apple cherry cherry date"), (4, "date elderberry"),
+            (5, "banana banana apple cherry"),
+        ],
+        "id bigint, text string",
+    )
+    ix = BM25(docs)
+    query = "apple cherry zzz_not_in_vocab"  # exercises the vocab-miss memo
+    terms = {"apple": 1.0, "cherry": 1.0, "zzz_not_in_vocab": 1.0}
+    lit = ix.score(query, k=10)
+    # same pipeline, aux delivered by broadcast instead of literals
+    old = (
+        ix._scored(None, None, 6, list(terms), literal_qtf=terms)
+        .select("id", "score")
+    )
+    assert sorted(map(tuple, lit.collect())) == sorted(
+        map(tuple, old.orderBy(F.col("score").desc(), "id").limit(10).collect())
+    )
+    plan = lit._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert ix._aux_literals(["apple"]) is not None
+    ix.del_ids = docs.select("id").filter("id = 4")
+    assert ix._aux_literals(["apple"]) is None  # deletes ⇒ live stats only
+
+
 def test_bm25_score_zero_token_query_matches_nothing(spark):
     """The literal-qtf path must keep the empty-join semantics: a query
     that tokenizes to NOTHING returns no rows (an empty literal map with
