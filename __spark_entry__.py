@@ -291,6 +291,21 @@ def _evict_superseded(cache: dict, key: tuple, unpersist=None) -> None:
                 pass
 
 
+def _pin_view(pair):
+    """cache() the view half of an ``(index, view DataFrame)`` serving
+    pair (r14): the live/CRUD serving views are unions + newest-wins
+    windows + delete anti-joins over committed components, re-resolved
+    on EVERY execution otherwise — pinning the committed snapshot is
+    the doc_serving_views/BM25-side-table convention (the reference's
+    in-memory read side), semantics-transparent by construction."""
+    ix, view = pair
+    return ix, view.cache()
+
+
+def _unpin_view(pair) -> None:
+    pair[1].unpersist()
+
+
 # --- ANN artifact build-once scaffold (r14, VERDICT r13 #4) ---------------
 # The BM25 index already pays its corpus-wide build once per CORPUS
 # (signature-stamped artifact, _fresh_bm25_artifact); the trained ANN
@@ -5139,32 +5154,73 @@ def _lsm_merge_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     for tok in tokenize_py(BM25_QUERY):
         terms[tok] = terms.get(tok, 0) + 1
     # r14: the constant query rides a folded map literal (no query-terms
-    # DataFrame, no broadcast), and the per-(seg, term) df + per-seg
-    # stats ride ONE query-sized broadcast — the cached dft table is
-    # vocabulary-wide, far too big to broadcast at scale, so it is
-    # literal-pruned to the query's terms first (the _scored r14 shape);
-    # idf is evaluated once per broadcast row, the same double from the
-    # same expression over the same inputs
+    # DataFrame, no broadcast). The per-(seg, term) df and per-seg
+    # n_docs/avgdl ride as LITERALS too (the BM25._aux_literals move,
+    # entry M): they are per-segment index statistics of a constant
+    # query — collected once per (session, corpus) into the seg-tables
+    # memo and folded into the scoring expression, so the per-execution
+    # aux BroadcastExchange disappears. df counts are exact integers and
+    # n_docs/avgdl round-trip bit-exact through collect(); the idf log
+    # stays a JVM expression over the same doubles.
     qtf_map = F.create_map(
         *(lit for tok, c in terms.items() for lit in (F.lit(tok), F.lit(float(c))))
     )
-    aux = (
-        t["dft"].filter(F.col("term").isin(list(terms)))
-        .join(t["stats"], "seg")
-        .withColumn(
-            "__idf",
-            F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0),
+    if "aux_lit" not in t:
+        t["aux_lit"] = {
+            "df": {
+                (r["seg"], r["term"]): int(r["df"])
+                for r in t["dft"].filter(F.col("term").isin(list(terms))).collect()
+            },
+            "stats": {
+                r["seg"]: (r["n_docs"], r["avgdl"]) for r in t["stats"].collect()
+            },
+        }
+    lit_df, lit_stats = t["aux_lit"]["df"], t["aux_lit"]["stats"]
+    seg_key = F.concat(F.col("seg").cast("string"), F.lit("\x00"), F.col("term"))
+    df_col = (
+        F.element_at(
+            F.create_map(
+                *(
+                    lit
+                    for (seg, term), d in lit_df.items()
+                    for lit in (F.lit(f"{seg}\x00{term}"), F.lit(d).cast("long"))
+                )
+            ),
+            seg_key,
         )
+        if lit_df
+        # no query term in the vocabulary → zero matched rows; never read
+        else F.lit(None).cast("long")
     )
+    n_docs_col = F.element_at(
+        F.create_map(
+            *(
+                lit
+                for seg, (n, _) in lit_stats.items()
+                for lit in (F.lit(int(seg)), F.lit(n))
+            )
+        ),
+        F.col("seg").cast("int"),
+    )
+    avgdl_col = F.element_at(
+        F.create_map(
+            *(
+                lit
+                for seg, (_, a) in lit_stats.items()
+                for lit in (F.lit(int(seg)), F.lit(a))
+            )
+        ),
+        F.col("seg").cast("int"),
+    )
+    idf_col = F.log((n_docs_col - df_col + 0.5) / (df_col + 0.5) + 1.0)
     m = (
         t["posts"].filter(F.col("term").isin(list(terms)))
         .withColumn("qtf", F.element_at(qtf_map, F.col("term")))
         .join(t["doc_len"], "id")
-        .join(F.broadcast(aux), ["seg", "term"])
     )
     tf = F.col("tf").cast("double")
-    denom = tf + K1 * (1.0 - B + B * (F.col("dl") / F.col("avgdl")))
-    term_score = F.col("qtf") * F.col("__idf") * (tf * (K1 + 1.0)) / denom
+    denom = tf + K1 * (1.0 - B + B * (F.col("dl") / avgdl_col))
+    term_score = F.col("qtf") * idf_col * (tf * (K1 + 1.0)) / denom
     scored = m.groupBy("seg", "id").agg(F.round(F.sum(term_score), 6).alias("score"))
     per_seg = topk_per_group(
         scored, ["seg"], [F.col("score").desc(), F.col("id").asc()], K
@@ -6970,6 +7026,9 @@ ORDER BY score DESC, doc_id LIMIT {K}
 _LIVE_READ_MOD = 4
 
 
+_STORE_LIVE_READ_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
 def _store_live_read_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     from comet_spark.operators.knn import knn
     from comet_spark.storage.store import DocumentStore
@@ -6980,12 +7039,21 @@ def _store_live_read_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda: _build_store_live_read_artifact(spark, sf_dir, base),
         table="embeddings", probe_paths=[f"{base}/store/data"],
     ).select("phase", "vec_id", "score")
-    store = DocumentStore(spark, f"{base}/store", id_col="id")
-    qdf = spark.createDataFrame(
-        [(0, _hybrid_qvec(spark, sf_dir))], "qid bigint, qvec array<double>"
-    )
+    # the 'final' phase serves LIVE from the store's committed merged
+    # view — pinned per (session, corpus) like every other serving view
+    # (r14), and scored against the literal query vector (the entry-C
+    # knn shape: same doubles, no one-row broadcast cross join)
+    key = _live_cache_key(spark, sf_dir, "embeddings")
+    if key not in _STORE_LIVE_READ_CACHE:
+        _evict_superseded(
+            _STORE_LIVE_READ_CACHE, key, lambda df: df.unpersist()
+        )
+        store = DocumentStore(spark, f"{base}/store", id_col="id")
+        _STORE_LIVE_READ_CACHE[key] = store.read().cache()
     fin = knn(
-        store.read(), qdf, k=K, metric="l2", id_col="id", vec_col="vector"
+        _STORE_LIVE_READ_CACHE[key], None, k=K, metric="l2",
+        id_col="id", vec_col="vector",
+        literal_query=_hybrid_qvec(spark, sf_dir),
     ).select(
         F.lit("final").alias("phase"), F.col("id").alias("vec_id"), "score"
     )
@@ -7326,7 +7394,7 @@ def _ivf_live(spark: SparkSession, sf_dir: str):
 
     key = _live_cache_key(spark, sf_dir, "embeddings")
     if key not in _IVF_LIVE_CACHE:
-        _evict_superseded(_IVF_LIVE_CACHE, key)
+        _evict_superseded(_IVF_LIVE_CACHE, key, _unpin_view)
         base = f"{_art_dir(sf_dir)}/ivf_live"
         full = f"{base}/index/full_v{_IVF_LIVE_REFRESH_AT}"
         _fresh_stream_artifact(
@@ -7349,7 +7417,7 @@ def _ivf_live(spark: SparkSession, sf_dir: str):
                 f"{base}/index/tail/batch={_IVF_LIVE_MOD - 1}/_SUCCESS",
             ],
         )
-        _IVF_LIVE_CACHE[key] = ivf_serving_view(spark, f"{base}/index")
+        _IVF_LIVE_CACHE[key] = _pin_view(ivf_serving_view(spark, f"{base}/index"))
     return _IVF_LIVE_CACHE[key]
 
 
@@ -7789,7 +7857,7 @@ def _ivf_crud_live(spark: SparkSession, sf_dir: str):
 
     key = _live_cache_key(spark, sf_dir, "embeddings")
     if key not in _IVF_CRUD_CACHE:
-        _evict_superseded(_IVF_CRUD_CACHE, key)
+        _evict_superseded(_IVF_CRUD_CACHE, key, _unpin_view)
         base = f"{_art_dir(sf_dir)}/ivf_crud"
         full = f"{base}/index/full_v{_IVF_CRUD_REFRESH_AT}"
         _fresh_stream_artifact(
@@ -7812,7 +7880,7 @@ def _ivf_crud_live(spark: SparkSession, sf_dir: str):
                 f"{base}/index/_deletes/batch=3/_SUCCESS",
             ],
         )
-        _IVF_CRUD_CACHE[key] = ivf_serving_view(spark, f"{base}/index")
+        _IVF_CRUD_CACHE[key] = _pin_view(ivf_serving_view(spark, f"{base}/index"))
     return _IVF_CRUD_CACHE[key]
 
 
@@ -8198,7 +8266,7 @@ def _pq_live(spark: SparkSession, sf_dir: str):
 
     key = _live_cache_key(spark, sf_dir, "embeddings")
     if key not in _PQ_LIVE_CACHE:
-        _evict_superseded(_PQ_LIVE_CACHE, key)
+        _evict_superseded(_PQ_LIVE_CACHE, key, _unpin_view)
         base = f"{_art_dir(sf_dir)}/pq_live"
         full = f"{base}/index/full_v{_PQ_LIVE_REFRESH_AT}"
         _fresh_stream_artifact(
@@ -8215,7 +8283,7 @@ def _pq_live(spark: SparkSession, sf_dir: str):
                 f"{base}/index/tail/batch={_PQ_LIVE_MOD - 1}/_SUCCESS",
             ],
         )
-        _PQ_LIVE_CACHE[key] = pq_serving_view(spark, f"{base}/index")
+        _PQ_LIVE_CACHE[key] = _pin_view(pq_serving_view(spark, f"{base}/index"))
     return _PQ_LIVE_CACHE[key]
 
 
@@ -8394,7 +8462,7 @@ def _ivfpq_live(spark: SparkSession, sf_dir: str):
 
     key = _live_cache_key(spark, sf_dir, "embeddings")
     if key not in _IVFPQ_LIVE_CACHE:
-        _evict_superseded(_IVFPQ_LIVE_CACHE, key)
+        _evict_superseded(_IVFPQ_LIVE_CACHE, key, _unpin_view)
         base = f"{_art_dir(sf_dir)}/ivfpq_live"
         full = f"{base}/index/full_v{_IVFPQ_LIVE_REFRESH_AT}"
         _fresh_stream_artifact(
@@ -8412,7 +8480,7 @@ def _ivfpq_live(spark: SparkSession, sf_dir: str):
                 f"{base}/index/tail/batch={_IVFPQ_LIVE_MOD - 1}/_SUCCESS",
             ],
         )
-        _IVFPQ_LIVE_CACHE[key] = ivfpq_serving_view(spark, f"{base}/index")
+        _IVFPQ_LIVE_CACHE[key] = _pin_view(ivfpq_serving_view(spark, f"{base}/index"))
     return _IVFPQ_LIVE_CACHE[key]
 
 
@@ -8579,7 +8647,7 @@ def _pq_crud_live(spark: SparkSession, sf_dir: str):
 
     key = _live_cache_key(spark, sf_dir, "embeddings")
     if key not in _PQ_CRUD_CACHE:
-        _evict_superseded(_PQ_CRUD_CACHE, key)
+        _evict_superseded(_PQ_CRUD_CACHE, key, _unpin_view)
         base = f"{_art_dir(sf_dir)}/pq_crud"
         full = f"{base}/index/full_v{_PQ_CRUD_REFRESH_AT}"
         _fresh_stream_artifact(
@@ -8602,7 +8670,7 @@ def _pq_crud_live(spark: SparkSession, sf_dir: str):
                 f"{base}/index/_deletes/batch=3/_SUCCESS",
             ],
         )
-        _PQ_CRUD_CACHE[key] = pq_serving_view(spark, f"{base}/index")
+        _PQ_CRUD_CACHE[key] = _pin_view(pq_serving_view(spark, f"{base}/index"))
     return _PQ_CRUD_CACHE[key]
 
 
@@ -8884,7 +8952,7 @@ def _ivfpq_crud_live(spark: SparkSession, sf_dir: str):
 
     key = _live_cache_key(spark, sf_dir, "embeddings")
     if key not in _IVFPQ_CRUD_CACHE:
-        _evict_superseded(_IVFPQ_CRUD_CACHE, key)
+        _evict_superseded(_IVFPQ_CRUD_CACHE, key, _unpin_view)
         base = f"{_art_dir(sf_dir)}/ivfpq_crud"
         full = f"{base}/index/full_v{_IVFPQ_CRUD_REFRESH_AT}"
         _fresh_stream_artifact(
@@ -8905,7 +8973,7 @@ def _ivfpq_crud_live(spark: SparkSession, sf_dir: str):
                 f"{base}/index/_deletes/batch=3/_SUCCESS",
             ],
         )
-        _IVFPQ_CRUD_CACHE[key] = ivfpq_serving_view(spark, f"{base}/index")
+        _IVFPQ_CRUD_CACHE[key] = _pin_view(ivfpq_serving_view(spark, f"{base}/index"))
     return _IVFPQ_CRUD_CACHE[key]
 
 
@@ -9691,9 +9759,13 @@ def _doc_stream_views(spark: SparkSession, sf_dir: str):
 
     key = _live_cache_key(spark, sf_dir, "documents+embeddings")
     if key not in _DOC_STREAM_CACHE:
-        _evict_superseded(
-            _DOC_STREAM_CACHE, key, lambda t: _unpersist_bm25(t[2])
-        )
+        def _unpersist_views(t) -> None:
+            # layout/docs serving views are cache()d too (r14)
+            _unpersist_bm25(t[2])
+            t[1].unpersist()
+            t[3].unpersist()
+
+        _evict_superseded(_DOC_STREAM_CACHE, key, _unpersist_views)
         base = f"{_art_dir(sf_dir)}/doc_stream"
         full = f"{base}/index/full_v{_DOC_STREAM_REFRESH_AT}"
         _fresh_stream_artifact(

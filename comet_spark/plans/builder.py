@@ -704,6 +704,22 @@ class TextSearch:
             # rows: score() builds the identical term table and the
             # batch's per-query top-k for one query IS the global top-k.
             out = c.bm25().score(queries[0], k=self.k, prefilter_ids=ids)
+        elif len(queries) <= 4:
+            # r14: a HANDFUL of constant queries runs as per-leg literal
+            # score() calls + the same aggregation — each leg takes the
+            # single-query shape above (literal qtf/df, TakeOrdered, no
+            # createDataFrame / qaux broadcast / per-qid window). The
+            # batch's per-qid top-k decomposes into per-leg top-k for
+            # independent qids, and knn_aggregate groups by id alone, so
+            # the result is identical to the score_batch route. Past a
+            # handful the batched one-scan shape wins (N legs = N
+            # postings scans at scale), hence the threshold.
+            bm = c.bm25()
+            per = None
+            for q in queries:
+                leg = bm.score(q, k=self.k, prefilter_ids=ids)
+                per = leg if per is None else per.unionByName(leg)
+            out = knn_aggregate(per, k=self.k, agg=self.agg, ascending=False)
         else:
             rows = []
             for qid, q in enumerate(queries):

@@ -924,13 +924,21 @@ def doc_serving_views(
     projections. One store, one commit history, three serving
     surfaces — the reference's hybrid_search_index read side.
     ``cache`` keeps the BM25 side tables (postings/df/doc_len/stats)
-    persisted for repeat queries; unpersist them when the epoch rolls
-    (the serving views are a snapshot of committed state — rebuild
-    after each drain, exactly like every other serving view here)."""
+    AND the merged layout/document views persisted for repeat queries
+    (r14: the views are unions + newest-wins windows + delete anti-joins
+    over the committed segments — without pinning them every query leg
+    re-runs that merge; pinning the SERVING view is the same convention
+    as the BM25 side tables and the reference's in-memory read side);
+    unpersist them when the epoch rolls (the serving views are a
+    snapshot of committed state — rebuild after each drain, exactly
+    like every other serving view here)."""
     from comet_spark.operators.bm25 import BM25
 
     ivf, layout = ivf_serving_view(spark, index_base)
     docs = store.read()
+    if cache:
+        layout = layout.cache()
+        docs = docs.cache()
     bm = BM25(
         docs, id_col=store.id_col, text_col=text_col,
         normalize=normalize, cache=cache,
