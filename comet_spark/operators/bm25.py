@@ -1053,12 +1053,17 @@ class BM25:
         follow (centroids/codebooks live driver-side and are folded into
         query literals). Nothing query-result-shaped is cached: the
         instance itself is corpus-fingerprint-keyed by its owners, so a
-        testdata regen builds a fresh index and a fresh memo. Returns
-        ``None`` when a delete vector is present — every delete-sensitive
-        statistic must derive LIVE from the anti-joined tables (see
-        :meth:`read`), never from a point-in-time snapshot."""
-        if self.del_ids is not None:
-            return None
+        testdata regen builds a fresh index and a fresh memo.
+
+        With a delete vector, df derives LIVE — the same anti-join +
+        recount over the (pruned) postings the per-execution plan ran —
+        but only ONCE per instance: an instance's tables are an
+        immutable committed snapshot (``del_ids`` is set exactly once,
+        by :meth:`read`), so the recount lands on the same integers
+        every execution. The crash-state exactness argument (any mix of
+        applied/unapplied tables recounts to the same numbers) holds at
+        that derivation unchanged; ``self.stats`` on this path is
+        already the live-derived row read() built."""
         cache = getattr(self, "_aux_lit_cache", None)
         if cache is None:
             cache = self._aux_lit_cache = {"stats": None, "df": {}}
@@ -1070,10 +1075,23 @@ class BM25:
             cache["stats"] = (r["n_docs"], r["avgdl"])
         missing = [t for t in terms if t not in cache["df"]]
         if missing:
-            got = {
-                r["term"]: int(r["df"])
-                for r in self.df.filter(F.col("term").isin(missing)).collect()
-            }
+            if self.del_ids is not None:
+                src = self.postings.filter(F.col("term").isin(missing)).join(
+                    F.broadcast(self.del_ids), "id", "left_anti"
+                )
+                got = {
+                    r["term"]: int(r["df"])
+                    for r in src.groupBy("term")
+                    .agg(F.count("*").alias("df"))
+                    .collect()
+                }
+            else:
+                got = {
+                    r["term"]: int(r["df"])
+                    for r in self.df.filter(
+                        F.col("term").isin(missing)
+                    ).collect()
+                }
             # vocabulary misses memoize as None: they can never appear on
             # a matched posting row, so no lookup ever consumes them
             for t in missing:
@@ -1108,13 +1126,15 @@ class BM25:
         (guide §2.4).
 
         ``literal_aux`` (r14, from :meth:`_aux_literals`; requires
-        ``literal_qtf`` and no delete vector) additionally inlines the
-        query terms' df and the corpus n_docs/avgdl as literals: the
-        entire ``df_eff × stats`` aux subtree (two BroadcastExchanges +
-        a BroadcastNestedLoopJoin per execution) disappears. The idf
-        ``log`` stays a JVM expression over the same doubles — df counts
-        are exact integers and n_docs/avgdl round-trip bit-exact through
-        collect() — so every score is bit-identical to the join path."""
+        ``literal_qtf``) additionally inlines the query terms' df and
+        the corpus n_docs/avgdl as literals: the entire
+        ``df_eff × stats`` aux subtree (two BroadcastExchanges + a
+        BroadcastNestedLoopJoin per execution — plus, on the delete
+        path, the per-execution live df recount aggregation)
+        disappears. The idf ``log`` stays a JVM expression over the
+        same doubles — df counts are exact integers and n_docs/avgdl
+        round-trip bit-exact through collect() — so every score is
+        bit-identical to the join path."""
         posts = self.postings
         if literal_terms:
             posts = posts.filter(F.col("term").isin(literal_terms))
@@ -1299,9 +1319,10 @@ class BM25:
         # the constant query's terms are known here — push them as a
         # literal isin so the postings scan reads only their row
         # groups/buckets, the per-term counts as a folded map literal so
-        # no query-terms DataFrame is ever broadcast, and (deletes-free
-        # indexes) the terms' df + corpus stats as literals so the aux
-        # broadcast subtree disappears too (see _scored)
+        # no query-terms DataFrame is ever broadcast, and the terms'
+        # (live-derived once per instance when deletes exist) df +
+        # corpus stats as literals so the aux broadcast subtree
+        # disappears too (see _scored / _aux_literals)
         scored = self._scored(
             None, prefilter_ids, round_to, list(terms),
             literal_qtf={t: float(c) for t, c in terms.items()},

@@ -89,8 +89,7 @@ def test_bm25_literal_aux_equals_broadcast_aux(spark):
     literals) must be tuple-exact vs the same literal-qtf pipeline still
     riding the df_eff × stats broadcast, including a query term missing
     from the vocabulary; the literal plan must carry no aux subtree
-    (no BroadcastNestedLoopJoin); and a delete vector must refuse the
-    snapshot literals entirely (stats stay live-derived)."""
+    (no BroadcastNestedLoopJoin)."""
     from comet_spark.operators.bm25 import BM25
 
     docs = spark.createDataFrame(
@@ -116,8 +115,42 @@ def test_bm25_literal_aux_equals_broadcast_aux(spark):
     plan = lit._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan
     assert ix._aux_literals(["apple"]) is not None
-    ix.del_ids = docs.select("id").filter("id = 4")
-    assert ix._aux_literals(["apple"]) is None  # deletes ⇒ live stats only
+
+
+def test_bm25_literal_aux_delete_path_equals_live_recount(spark, tmp_path):
+    """Delete-path twin: on a read-back index carrying a delete vector,
+    score() (df live-derived ONCE per instance, then literal) must be
+    tuple-exact vs the per-execution live-recount broadcast pipeline —
+    including a term whose postings are ALL deleted (df row disappears
+    on both paths) — and vs a from-scratch index over the survivors."""
+    from comet_spark.operators.bm25 import BM25
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple banana apple"), (2, "banana cherry"),
+            (3, "apple cherry cherry date"), (4, "date elderberry"),
+            (5, "banana banana apple cherry"), (6, "kumquat apple"),
+        ],
+        "id bigint, text string",
+    )
+    path = str(tmp_path / "ix_del")
+    BM25(docs).write(path)
+    # id 6 holds the ONLY kumquat posting; id 3 thins apple/cherry dfs
+    BM25.delete(spark, path, [3, 6])
+    back = BM25.read(spark, path)
+    assert back.del_ids is not None
+    query = "apple cherry kumquat"
+    terms = {"apple": 1.0, "cherry": 1.0, "kumquat": 1.0}
+    lit_rows = sorted(map(tuple, back.score(query, k=0).collect()))
+    old = (
+        back._scored(None, None, 6, list(terms), literal_qtf=terms)
+        .select("id", "score")
+    )
+    assert lit_rows == sorted(map(tuple, old.collect()))
+    fresh = BM25(docs.filter(~F.col("id").isin([3, 6])))
+    assert lit_rows == sorted(
+        map(tuple, fresh.score(query, k=0).collect())
+    )
 
 
 def test_bm25_score_zero_token_query_matches_nothing(spark):
