@@ -7394,7 +7394,7 @@ def _ivf_live(spark: SparkSession, sf_dir: str):
 
     key = _live_cache_key(spark, sf_dir, "embeddings")
     if key not in _IVF_LIVE_CACHE:
-        _evict_superseded(_IVF_LIVE_CACHE, key, _unpin_view)
+        _evict_superseded(_IVF_LIVE_CACHE, key)
         base = f"{_art_dir(sf_dir)}/ivf_live"
         full = f"{base}/index/full_v{_IVF_LIVE_REFRESH_AT}"
         _fresh_stream_artifact(
@@ -7417,7 +7417,7 @@ def _ivf_live(spark: SparkSession, sf_dir: str):
                 f"{base}/index/tail/batch={_IVF_LIVE_MOD - 1}/_SUCCESS",
             ],
         )
-        _IVF_LIVE_CACHE[key] = _pin_view(ivf_serving_view(spark, f"{base}/index"))
+        _IVF_LIVE_CACHE[key] = ivf_serving_view(spark, f"{base}/index")
     return _IVF_LIVE_CACHE[key]
 
 
@@ -7857,7 +7857,7 @@ def _ivf_crud_live(spark: SparkSession, sf_dir: str):
 
     key = _live_cache_key(spark, sf_dir, "embeddings")
     if key not in _IVF_CRUD_CACHE:
-        _evict_superseded(_IVF_CRUD_CACHE, key, _unpin_view)
+        _evict_superseded(_IVF_CRUD_CACHE, key)
         base = f"{_art_dir(sf_dir)}/ivf_crud"
         full = f"{base}/index/full_v{_IVF_CRUD_REFRESH_AT}"
         _fresh_stream_artifact(
@@ -7880,7 +7880,7 @@ def _ivf_crud_live(spark: SparkSession, sf_dir: str):
                 f"{base}/index/_deletes/batch=3/_SUCCESS",
             ],
         )
-        _IVF_CRUD_CACHE[key] = _pin_view(ivf_serving_view(spark, f"{base}/index"))
+        _IVF_CRUD_CACHE[key] = ivf_serving_view(spark, f"{base}/index")
     return _IVF_CRUD_CACHE[key]
 
 
@@ -9760,9 +9760,8 @@ def _doc_stream_views(spark: SparkSession, sf_dir: str):
     key = _live_cache_key(spark, sf_dir, "documents+embeddings")
     if key not in _DOC_STREAM_CACHE:
         def _unpersist_views(t) -> None:
-            # layout/docs serving views are cache()d too (r14)
+            # the merged docs serving view is cache()d too (r14)
             _unpersist_bm25(t[2])
-            t[1].unpersist()
             t[3].unpersist()
 
         _evict_superseded(_DOC_STREAM_CACHE, key, _unpersist_views)

@@ -64,10 +64,16 @@ def autocut(results: DataFrame, *, cutoff: int = 1, ascending: bool = True) -> D
     d = d.withColumn(
         "__cum", F.sum(F.col("__ext").cast("int")).over(wr.rowsBetween(Window.unboundedPreceding, 0))
     )
-    cut = d.filter(F.col("__ext") & (F.col("__cum") == cutoff)).agg(
-        F.min("__rn").alias("__cut")
-    )
-    out = d.crossJoin(F.broadcast(cut)).filter(
-        F.col("__cut").isNull() | (F.col("__rn") < F.col("__cut"))
-    )
+    # the cut row as a FULL-FRAME window min over the same ≤k rows (r14):
+    # the previous aggregate + crossJoin(broadcast(cut)) made the cut a
+    # separate 1-row subtree over d, and Spark re-executed the ENTIRE
+    # upstream pipeline (search + top-k + these windows) a second time to
+    # produce it — guide §2.4. min() skips NULLs, so this is exactly
+    # min(__rn) over the qualifying rows, NULL (keep all) when none
+    # qualify — the identical predicate either way.
+    cut_rn = F.min(
+        F.when(F.col("__ext") & (F.col("__cum") == cutoff), F.col("__rn"))
+    ).over(wr.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+    d = d.withColumn("__cut", cut_rn)
+    out = d.filter(F.col("__cut").isNull() | (F.col("__rn") < F.col("__cut")))
     return out.drop("__rn", "__n", "__diff", "__ext", "__cum", "__cut")

@@ -924,20 +924,23 @@ def doc_serving_views(
     projections. One store, one commit history, three serving
     surfaces — the reference's hybrid_search_index read side.
     ``cache`` keeps the BM25 side tables (postings/df/doc_len/stats)
-    AND the merged layout/document views persisted for repeat queries
-    (r14: the views are unions + newest-wins windows + delete anti-joins
-    over the committed segments — without pinning them every query leg
-    re-runs that merge; pinning the SERVING view is the same convention
-    as the BM25 side tables and the reference's in-memory read side);
-    unpersist them when the epoch rolls (the serving views are a
-    snapshot of committed state — rebuild after each drain, exactly
-    like every other serving view here)."""
+    AND the merged DOCUMENT view persisted for repeat queries (r14: the
+    docs view is a union + newest-wins window + delete anti-join over
+    the committed segments — without pinning it every metadata
+    prefilter and text-leg consumer re-runs that merge; pinning the
+    SERVING view is the same convention as the BM25 side tables and
+    the reference's in-memory read side). The IVF ``layout`` is NOT
+    pinned: its scale shape is the partition-pruned scan of the
+    versioned parquet layout (the probe filter must reach the file
+    scan — plan-asserted in test_plans), which an InMemoryRelation
+    would swallow. Unpersist when the epoch rolls (the serving views
+    are a snapshot of committed state — rebuild after each drain,
+    exactly like every other serving view here)."""
     from comet_spark.operators.bm25 import BM25
 
     ivf, layout = ivf_serving_view(spark, index_base)
     docs = store.read()
     if cache:
-        layout = layout.cache()
         docs = docs.cache()
     bm = BM25(
         docs, id_col=store.id_col, text_col=text_col,
