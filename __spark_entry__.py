@@ -4702,23 +4702,27 @@ TFIDF_MIN_SIM = 0.8
 _TFIDF_W_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 
 
-def _tfidf_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cached TF-IDF weight side table for the blocked pair query —
-    the weight subtree feeds three consumers (both pair legs + norms)
-    and Spark re-executes it per consumer; one cached build per
+def _tfidf_weights(spark: SparkSession, sf_dir: str):
+    """Cached TF-IDF weight + norm side tables for the blocked pair
+    query — the weight subtree feeds three consumers (both pair legs +
+    norms) and Spark re-executes it per consumer; one cached build per
     (session, corpus) pays the tokenize + tf/df aggregation once (the
-    _simhash_table convention)."""
-    from comet_spark.operators.tfidf import tfidf_weights
+    _simhash_table convention). The per-doc norms (r14) are the second
+    per-corpus side table: without caching them the norm aggregation
+    re-ran over the cached weights on every execution."""
+    from comet_spark.operators.tfidf import tfidf_norms, tfidf_weights
 
     key = _live_cache_key(spark, sf_dir, "documents")
     if key not in _TFIDF_W_CACHE:
         _evict_superseded(
-            _TFIDF_W_CACHE, key, unpersist=lambda df: df.unpersist()
+            _TFIDF_W_CACHE, key,
+            unpersist=lambda pair: [df.unpersist() for df in pair],
         )
         docs = _t(spark, sf_dir, "documents").filter(
             F.col("source") == TFIDF_SOURCE
         )
-        _TFIDF_W_CACHE[key] = tfidf_weights(docs).cache()
+        w = tfidf_weights(docs).cache()
+        _TFIDF_W_CACHE[key] = (w, tfidf_norms(w).cache())
     return _TFIDF_W_CACHE[key]
 
 
@@ -4735,9 +4739,9 @@ def _tfidf_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").filter(F.col("source") == TFIDF_SOURCE)
     # r14: terminal orderBy dropped — the sort's sampling pass re-ran the
     # pair-scoring broadcast joins every execution (see repetition_metrics)
+    w, norms = _tfidf_weights(spark, sf_dir)
     return tfidf_cosine_pairs(
-        docs, min_sim=TFIDF_MIN_SIM,
-        weights_df=_tfidf_weights(spark, sf_dir),
+        docs, min_sim=TFIDF_MIN_SIM, weights_df=w, norms_df=norms,
     )
 
 

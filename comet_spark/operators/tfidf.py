@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 
 from comet_spark.operators.dedup import _tok
 
-__all__ = ["tfidf_cosine_pairs", "tfidf_weights"]
+__all__ = ["tfidf_cosine_pairs", "tfidf_norms", "tfidf_weights"]
 
 
 def tfidf_weights(
@@ -58,6 +58,17 @@ def tfidf_weights(
     )
 
 
+def tfidf_norms(weights: DataFrame) -> DataFrame:
+    """The per-doc ``(id, nrm)`` vector norms of a weight table — the
+    second cacheable side table of :func:`tfidf_cosine_pairs` (r14).
+    Must be built from the PRE-``max_df`` weights (the norm covers the
+    whole document vector even when ubiquitous terms are pruned from
+    the pair join)."""
+    return weights.groupBy("id").agg(
+        F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm")
+    )
+
+
 def tfidf_cosine_pairs(
     docs: DataFrame,
     *,
@@ -68,6 +79,7 @@ def tfidf_cosine_pairs(
     round_to: int = 6,
     tokens_col: str | None = None,
     weights_df: DataFrame | None = None,
+    norms_df: DataFrame | None = None,
 ) -> DataFrame:
     """All doc pairs with TF-IDF cosine ≥ ``min_sim`` → ``(a_id, b_id,
     cosine)``. N and df are computed over the full input corpus BEFORE
@@ -78,7 +90,11 @@ def tfidf_cosine_pairs(
     consumers (both pair legs and the norms), and Spark re-executes it
     per consumer, so a session that caches it pays the tokenize +
     tf/df aggregation once instead of three times per run (the
-    shingles_df/sets_df convention, guide §2.4)."""
+    shingles_df/sets_df convention, guide §2.4). ``norms_df`` (r14)
+    does the same for the per-doc ``(id, nrm)`` table — without it the
+    norm aggregation re-runs over the weight table per execution (it
+    must derive from the PRE-max_df weights, so hand in
+    ``tfidf_norms(weights)``)."""
     w = (
         weights_df
         if weights_df is not None
@@ -86,7 +102,7 @@ def tfidf_cosine_pairs(
             docs, id_col=id_col, text_col=text_col, tokens_col=tokens_col
         )
     )
-    norm = w.groupBy("id").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
+    norm = norms_df if norms_df is not None else tfidf_norms(w)
     if max_df is not None:
         w = w.filter(F.col("df") <= max_df)
     a = w.select(F.col("id").alias("a_id"), "term", F.col("w").alias("wa"))

@@ -347,6 +347,17 @@ def test_tfidf_weights_df_equals_inline(spark):
         ).collect()
     )
     assert inline and inline == via_w
+    # r14: handed-in norms (the second cacheable side table) too
+    from comet_spark.operators.tfidf import tfidf_norms
+
+    w = tfidf_weights(docs)
+    via_wn = sorted(
+        tuple(r)
+        for r in tfidf_cosine_pairs(
+            docs, min_sim=0.1, weights_df=w, norms_df=tfidf_norms(w)
+        ).collect()
+    )
+    assert inline == via_wn
 
 
 # --- cms exact probe counts: in-row array filter ≡ exploded count -----------
