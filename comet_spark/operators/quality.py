@@ -204,6 +204,8 @@ def token_surprisal(
     text_col: str = "text",
     round_to: int = 6,
     tokens_col: str | None = None,
+    tf_df: DataFrame | None = None,
+    total: float | None = None,
 ) -> DataFrame:
     """Corpus-LM proxy quality score: per-document mean token surprisal
     ``mean(-ln(ctf/total))`` under the corpus unigram distribution — the
@@ -216,17 +218,29 @@ def token_surprisal(
     attached lazily via a 1-row cross join, so constructing this
     DataFrame launches no job) and once as the per-doc probe side; the
     only full shuffle is the per-doc mean aggregation. Linear at 100 TB.
+
+    ``tf_df`` / ``total`` (r14) let a session hand in the corpus unigram
+    table (``(term, ctf)``) and its exact token count so repeat scoring
+    skips the per-execution vocabulary aggregation (the weights_df
+    convention). ``total`` is an exact integer ≤ 2⁵³ carried as a double
+    — the identical value the 1-row cross join delivered.
     """
     toks = docs.select(
         F.col(id_col).alias("id"), F.explode(_tok(text_col, tokens_col)).alias("term")
     )
-    tf = toks.groupBy("term").agg(F.count("*").alias("ctf"))
-    tot = tf.agg(F.sum("ctf").cast("double").alias("__total"))
-    scored = (
-        toks.join(F.broadcast(tf), "term")
-        .crossJoin(F.broadcast(tot))
-        .select("id", (-F.log(F.col("ctf") / F.col("__total"))).alias("s"))
+    tf = (
+        tf_df
+        if tf_df is not None
+        else toks.groupBy("term").agg(F.count("*").alias("ctf"))
     )
+    probe = toks.join(F.broadcast(tf), "term")
+    if total is not None:
+        tot_col = F.lit(float(total))
+    else:
+        tot = tf.agg(F.sum("ctf").cast("double").alias("__total"))
+        probe = probe.crossJoin(F.broadcast(tot))
+        tot_col = F.col("__total")
+    scored = probe.select("id", (-F.log(F.col("ctf") / tot_col)).alias("s"))
     return scored.groupBy("id").agg(
         F.count("*").alias("n_tokens"),
         F.round(F.avg("s"), round_to).alias("surprisal"),
